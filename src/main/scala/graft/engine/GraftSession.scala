@@ -1,0 +1,39 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * The reference (bsautrey/python-mapreduce) stands up its "session" by
+  * SSH-spawning RPyC workers in GNU screen and flushing Redis
+  * (/root/reference/manage_cluster.py:52-304). On Spark the whole cluster
+  * lifecycle is the resource manager's job; what remains for the engine is
+  * picking configs that hold at 100 TB:
+  *
+  *  - AQE on (runtime re-plan: partition coalescing, skew-join splitting,
+  *    broadcast demotion/promotion) — replaces all the reference's hand
+  *    tuning of shuffle file sizes (/root/reference/shuffler.py:79-86).
+  *  - shuffle.partitions sized to the cluster, not the 200 default; in
+  *    local[N] tests we size to N. AQE coalescing makes over-partitioning
+  *    cheap, so at real scale this is set high (2-3x total cores) and AQE
+  *    shrinks per-stage.
+  *  - UTC session time zone for deterministic timestamp semantics.
+  */
+object GraftSession {
+  def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: Int = 4): SparkSession = {
+    val s = builder(s"local[$cores]", math.max(cores, 4)).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

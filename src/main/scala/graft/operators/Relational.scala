@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Core relational operator surface (SURVEY.md §2 Table B: scans,
+  * projection, filter, aggregation, joins, set ops).
+  *
+  * In the reference every one of these exists only as a hand-written
+  * map/reduce function pair over JSON lines (hook points
+  * /root/reference/mapper.py:59, /root/reference/reducer.py:85-88); here
+  * each is a declared DataFrame plan so Catalyst gets to push filters into
+  * the parquet scan, prune columns, pick join strategies and run partial
+  * (map-side) aggregation — none of which the reference can do (its map fn
+  * receives the raw line, so nothing is prunable below it).
+  *
+  * Determinism discipline for the DuckDB oracle: every floating aggregate
+  * is rounded (4 dp) and every result has a total ORDER BY, in both the
+  * Spark plan and the oracle SQL.
+  */
+object Relational {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- aggregation: the TPC-H Q1 pricing summary (SURVEY §7 M1b) ---
+    // Partial hash-agg (map-side combine) + final agg; 2-col grouping key
+    // keeps the shuffle tiny regardless of input scale. Filter is pushed
+    // to the parquet scan.
+    QueryDef(
+      "q01_pricing_summary",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .filter($"l_shipdate" <= lit("2000-12-01").cast("timestamp"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            round(sum($"l_quantity"), 4).as("sum_qty"),
+            round(sum($"l_extendedprice"), 4).as("sum_base_price"),
+            round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("sum_disc_price"),
+            round(sum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")), 4).as("sum_charge"),
+            round(avg($"l_quantity"), 4).as("avg_qty"),
+            round(avg($"l_extendedprice"), 4).as("avg_price"),
+            round(avg($"l_discount"), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ----- projection + filter: predicate algebra over one scan --------
+    // Catalyst pushes the whole conjunction into the parquet reader
+    // (PushedFilters) and reads only 5 of 11 columns (ReadSchema).
+    QueryDef(
+      "q02_filter_project",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .filter(
+            $"o_orderstatus".isin("O", "F") &&
+            $"o_totalprice" > 100000.0 &&
+            $"o_orderpriority".like("1%") &&
+            $"o_orderdate" >= lit("1996-01-01").cast("timestamp"))
+          .select(
+            $"o_orderkey",
+            $"o_custkey",
+            round($"o_totalprice" * 0.9, 4).as("discounted"),
+            upper($"o_orderstatus").as("status"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               round(o_totalprice * 0.9, 4) AS discounted,
+               upper(o_orderstatus) AS status
+        FROM orders
+        WHERE o_orderstatus IN ('O','F') AND o_totalprice > 100000.0
+          AND o_orderpriority LIKE '1%'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+        ORDER BY o_orderkey"""))
+  )
+}
