@@ -14,6 +14,10 @@ object SparkEntry {
 
   private val modules: Seq[Seq[QueryDef]] = Seq(
     Relational.defs,
+    Joins.defs,
+    Aggregates.defs,
+    WindowQueries.defs,
+    ScalarQueries.defs,
     TextQueries.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten

@@ -29,6 +29,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // fixture events.ts is parquet TIMESTAMP(NANOS); read as long and
+      // convert in Tables.load (Spark has no nanos timestamp type)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = 4): SparkSession = {

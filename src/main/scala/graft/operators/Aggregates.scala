@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Aggregation + set-operation surface (SURVEY.md §2 Table B).
+  *
+  * The reference's only aggregation paradigm is sort-then-reduce-per-group
+  * (/root/reference/reducer.py:50-93) with no map-side combine; every
+  * query here instead compiles to Spark's partial (map-side) hash
+  * aggregation + final merge, so shuffle volume scales with group
+  * cardinality, not input rows — the property that matters at 100 TB.
+  * distinct / rollup / cube / grouping sets have no reference equivalent
+  * at all (SURVEY §2 Table B marks them absent).
+  */
+object Aggregates {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- distinct ------------------------------------------------------
+    QueryDef(
+      "q14_distinct_segments",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .select($"c_mktsegment", $"c_nationkey")
+          .distinct()
+          .orderBy($"c_mktsegment", $"c_nationkey")
+      },
+      Some("""
+        SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        ORDER BY c_mktsegment, c_nationkey""")),
+
+    // ----- dropDuplicates(subset) → one row per key, deterministic ------
+    // dropDuplicates keeps an arbitrary row per key; for an oracle-exact
+    // result the engine uses the argmin pattern (min over the whole
+    // struct), which is also the scalable form (one partial-aggregated
+    // shuffle, no window sort).
+    QueryDef(
+      "q15_dedup_first_order_per_customer",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupBy($"o_custkey")
+          .agg(min(struct($"o_orderdate", $"o_orderkey")).as("first"))
+          .select($"o_custkey", $"first.o_orderkey".as("first_orderkey"),
+            $"first.o_orderdate".as("first_orderdate"))
+          .orderBy($"o_custkey")
+      },
+      Some("""
+        SELECT o_custkey,
+               first(o_orderkey ORDER BY o_orderdate, o_orderkey) AS first_orderkey,
+               min(o_orderdate) AS first_orderdate
+        FROM orders
+        GROUP BY o_custkey
+        ORDER BY o_custkey""")),
+
+    // ----- approximate distinct (HLL) — no exact oracle ------------------
+    QueryDef(
+      "q16_approx_count_distinct",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+            count(lit(1)).as("n"))
+          .orderBy($"l_returnflag")
+      },
+      None),
+
+    // ----- rollup ---------------------------------------------------------
+    QueryDef(
+      "q17_rollup_flag_status",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(
+            round(sum($"l_quantity"), 4).as("sum_qty"),
+            count(lit(1)).as("n"))
+          .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // ----- cube ------------------------------------------------------------
+    QueryDef(
+      "q18_cube_status_priority",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(
+            round(sum($"o_totalprice"), 4).as("total"),
+            count(lit(1)).as("n"))
+          .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+      },
+      Some("""
+        SELECT o_orderstatus, o_orderpriority,
+               round(sum(o_totalprice), 4) AS total, count(*) AS n
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
+    // ----- grouping sets + grouping() marker ------------------------------
+    QueryDef(
+      "q19_grouping_sets",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupingSets(
+            Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority")),
+            $"o_orderstatus", $"o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            grouping($"o_orderstatus").cast("int").as("g_status"))
+          .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+      },
+      Some("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
+    // ----- UNION ALL (the reference's input_dirs concat, mapper.py:75) ---
+    QueryDef(
+      "q20_union_all",
+      (s, dir) => {
+        import s.implicits._
+        val hi = t(s, dir, "orders").filter($"o_totalprice" > 450000.0)
+          .select($"o_orderkey", lit("high").as("bucket"))
+        val lo = t(s, dir, "orders").filter($"o_totalprice" < 10000.0)
+          .select($"o_orderkey", lit("low").as("bucket"))
+        hi.unionByName(lo).orderBy($"o_orderkey", $"bucket")
+      },
+      Some("""
+        SELECT o_orderkey, 'high' AS bucket FROM orders WHERE o_totalprice > 450000.0
+        UNION ALL
+        SELECT o_orderkey, 'low' AS bucket FROM orders WHERE o_totalprice < 10000.0
+        ORDER BY o_orderkey, bucket""")),
+
+    // ----- INTERSECT --------------------------------------------------------
+    QueryDef(
+      "q21_intersect_nations",
+      (s, dir) => {
+        import s.implicits._
+        val cn = t(s, dir, "customer").select($"c_nationkey".as("nationkey"))
+        val sn = t(s, dir, "supplier").select($"s_nationkey".as("nationkey"))
+        cn.intersect(sn).orderBy($"nationkey")
+      },
+      Some("""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier
+        ORDER BY nationkey""")),
+
+    // ----- EXCEPT ------------------------------------------------------------
+    QueryDef(
+      "q22_except_nations",
+      (s, dir) => {
+        import s.implicits._
+        val cn = t(s, dir, "customer").select($"c_nationkey".as("nationkey"))
+        val sn = t(s, dir, "supplier").select($"s_nationkey".as("nationkey"))
+        cn.except(sn).orderBy($"nationkey")
+      },
+      Some("""
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey FROM supplier
+        ORDER BY nationkey""")),
+
+    // ----- HAVING -------------------------------------------------------------
+    QueryDef(
+      "q23_having_active_customers",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupBy($"o_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum($"o_totalprice"), 4).as("lifetime"))
+          .filter($"n_orders" >= 15)
+          .orderBy($"o_custkey")
+      },
+      Some("""
+        SELECT o_custkey, count(*) AS n_orders,
+               round(sum(o_totalprice), 4) AS lifetime
+        FROM orders
+        GROUP BY o_custkey
+        HAVING count(*) >= 15
+        ORDER BY o_custkey""")),
+
+    // ----- DISTINCT aggregates + statistical aggregates ----------------------
+    QueryDef(
+      "q24_stats_by_segment",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .groupBy($"c_mktsegment")
+          .agg(
+            countDistinct($"c_nationkey").as("n_nations"),
+            round(sum_distinct(round($"c_acctbal", 0)), 4).as("sum_distinct_bal"),
+            round(min($"c_acctbal"), 4).as("min_bal"),
+            round(max($"c_acctbal"), 4).as("max_bal"),
+            round(stddev_samp($"c_acctbal"), 4).as("sd_bal"),
+            round(var_samp($"c_acctbal"), 4).as("var_bal"),
+            round(median($"c_acctbal"), 4).as("med_bal"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""
+        SELECT c_mktsegment,
+               count(DISTINCT c_nationkey) AS n_nations,
+               round(sum(DISTINCT round(c_acctbal, 0)), 4) AS sum_distinct_bal,
+               round(min(c_acctbal), 4) AS min_bal,
+               round(max(c_acctbal), 4) AS max_bal,
+               round(stddev_samp(c_acctbal), 4) AS sd_bal,
+               round(var_samp(c_acctbal), 4) AS var_bal,
+               round(median(c_acctbal), 4) AS med_bal
+        FROM customer
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment"""))
+  )
+}

@@ -1,0 +1,311 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Join operator surface (SURVEY.md §2 Table B, join rows).
+  *
+  * In the reference all of these are the hand-written "reduce-side join"
+  * pattern — map both inputs to (joinkey, tagged value) and pair the tags
+  * inside one sorted group (/root/reference/disk_sort.py:39-75) — or the
+  * "map-side join" pattern of probing broadcast auxiliary data
+  * (/root/reference/mapper.py:150-157). Here each variant is a declared
+  * join; Catalyst + AQE choose broadcast-hash vs sort-merge vs
+  * shuffled-hash at runtime, and dimension tables get explicit
+  * broadcast() hints so the 100 TB fact scan never shuffles for them.
+  */
+object Joins {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- inner equi-join chain + agg: revenue per nation -------------
+    // lineitem⋈orders is the only big-big join (sort-merge / AQE);
+    // orders⋈customer⋈nation are dimension-sized → broadcast.
+    QueryDef(
+      "q03_join_revenue_by_nation",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        li.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"n_name")
+          .agg(
+            round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy($"n_name")
+      },
+      Some("""
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_name""")),
+
+    // ----- left outer join: preserved rows + null-aware counting -------
+    QueryDef(
+      "q04_left_join_order_items",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem").filter($"l_quantity" >= 45.0)
+        o.join(li, $"o_orderkey" === $"l_orderkey", "left")
+          .groupBy($"o_orderkey")
+          .agg(
+            count($"l_orderkey").as("big_items"),
+            round(coalesce(sum($"l_quantity"), lit(0.0)), 4).as("big_qty"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey,
+               count(l_orderkey) AS big_items,
+               round(coalesce(sum(l_quantity), 0), 4) AS big_qty
+        FROM orders
+        LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity >= 45.0) li
+          ON o_orderkey = l_orderkey
+        GROUP BY o_orderkey
+        ORDER BY o_orderkey""")),
+
+    // ----- left semi join (EXISTS) --------------------------------------
+    QueryDef(
+      "q05_semi_join_big_spenders",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").filter($"o_totalprice" > 400000.0)
+        c.join(o, $"c_custkey" === $"o_custkey", "left_semi")
+          .select($"c_custkey", $"c_name", $"c_mktsegment")
+          .orderBy($"c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+        ORDER BY c_custkey""")),
+
+    // ----- left anti join (NOT EXISTS) ----------------------------------
+    QueryDef(
+      "q06_anti_join_no_big_order",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").filter($"o_totalprice" > 400000.0)
+        c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+          .select($"c_custkey", $"c_acctbal")
+          .orderBy($"c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_acctbal
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+        ORDER BY c_custkey""")),
+
+    // ----- full outer join of two aggregates ----------------------------
+    QueryDef(
+      "q07_full_outer_nation_counts",
+      (s, dir) => {
+        import s.implicits._
+        val cust = t(s, dir, "customer")
+          .groupBy($"c_nationkey".as("nationkey")).agg(count(lit(1)).as("n_customers"))
+        val supp = t(s, dir, "supplier")
+          .groupBy($"s_nationkey".as("nationkey")).agg(count(lit(1)).as("n_suppliers"))
+        cust.join(supp, Seq("nationkey"), "full_outer")
+          .select(
+            $"nationkey",
+            coalesce($"n_customers", lit(0L)).as("n_customers"),
+            coalesce($"n_suppliers", lit(0L)).as("n_suppliers"))
+          .orderBy($"nationkey")
+      },
+      Some("""
+        SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+               coalesce(n_customers, 0) AS n_customers,
+               coalesce(n_suppliers, 0) AS n_suppliers
+        FROM (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+              FROM customer GROUP BY 1) c
+        FULL OUTER JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+                         FROM supplier GROUP BY 1) s
+          USING (nationkey)
+        ORDER BY nationkey""")),
+
+    // ----- cross join ----------------------------------------------------
+    QueryDef(
+      "q08_cross_join_region_nation",
+      (s, dir) => {
+        import s.implicits._
+        val r = t(s, dir, "region").select($"r_name")
+        val n = t(s, dir, "nation").select($"n_name")
+        r.crossJoin(n)
+          .select($"r_name", $"n_name")
+          .orderBy($"r_name", $"n_name")
+      },
+      Some("""
+        SELECT r_name, n_name FROM region CROSS JOIN nation
+        ORDER BY r_name, n_name""")),
+
+    // ----- broadcast (map-side) join ------------------------------------
+    // The reference's auxiliary-data probe (/root/reference/mapper.py:150)
+    // as a declared broadcast hash join: no shuffle of the fact table.
+    QueryDef(
+      "q09_broadcast_join_brand_revenue",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+        val p = t(s, dir, "part")
+        li.join(broadcast(p), $"l_partkey" === $"p_partkey")
+          .groupBy($"p_brand")
+          .agg(
+            round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("revenue"),
+            round(sum($"l_quantity"), 4).as("qty"))
+          .orderBy($"p_brand")
+      },
+      Some("""
+        SELECT p_brand,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               round(sum(l_quantity), 4) AS qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+        ORDER BY p_brand""")),
+
+    // ----- range (band) join --------------------------------------------
+    // Non-equi predicate: broadcast nested-loop against a tiny banding
+    // relation — the scalable plan for fact-vs-bands at any data size.
+    QueryDef(
+      "q10_range_join_quantity_bands",
+      (s, dir) => {
+        import s.implicits._
+        val bands = Seq((1.0, 10.0, "low"), (11.0, 25.0, "mid"), (26.0, 50.0, "high"))
+          .toDF("lo", "hi", "band")
+        t(s, dir, "lineitem")
+          .join(broadcast(bands), $"l_quantity" >= $"lo" && $"l_quantity" <= $"hi")
+          .groupBy($"band")
+          .agg(
+            count(lit(1)).as("n_items"),
+            round(sum($"l_extendedprice"), 4).as("base_price"))
+          .orderBy($"band")
+      },
+      Some("""
+        SELECT band, count(*) AS n_items, round(sum(l_extendedprice), 4) AS base_price
+        FROM lineitem
+        JOIN (VALUES (1.0, 10.0, 'low'), (11.0, 25.0, 'mid'), (26.0, 50.0, 'high'))
+             AS bands(lo, hi, band)
+          ON l_quantity >= lo AND l_quantity <= hi
+        GROUP BY band
+        ORDER BY band""")),
+
+    // ----- as-of join -----------------------------------------------------
+    // Latest prior click per purchase, per user. Spark lacks a native
+    // as-of join; the scalable recipe is union-merge + running
+    // last(ignoreNulls) over one user-partitioned window — a single
+    // shuffle on user_id, no per-row subquery, no skew-prone self-join.
+    QueryDef(
+      "q11_asof_join_last_click",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts", $"event_id", lit(null).cast("timestamp").as("c_ts"),
+            lit(1).as("is_p"))
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"ts", lit(null).cast("long").as("event_id"),
+            $"ts".as("c_ts"), lit(0).as("is_p"))
+        // at equal ts the click (is_p=0) sorts first, so ts<=purchase.ts holds
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"is_p")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        purchases.unionByName(clicks)
+          .withColumn("last_click_ts", last($"c_ts", ignoreNulls = true).over(w))
+          .filter($"is_p" === 1)
+          .select($"event_id", $"user_id", $"ts", $"last_click_ts")
+          .orderBy($"event_id")
+      },
+      Some("""
+        SELECT p.event_id, p.user_id, p.ts,
+               (SELECT max(c.ts) FROM events c
+                WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                  AND c.ts <= p.ts) AS last_click_ts
+        FROM events p
+        WHERE p.event_type = 'purchase'
+        ORDER BY p.event_id""")),
+
+    // ----- TPC-H Q3 shape: top-k over a 3-way join ----------------------
+    QueryDef(
+      "q12_top_unshipped_orders",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+        val o = t(s, dir, "orders")
+          .filter($"o_orderdate" < lit("1999-01-01").cast("timestamp"))
+        val li = t(s, dir, "lineitem")
+          .filter($"l_shipdate" > lit("1999-01-01").cast("timestamp"))
+        li.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .groupBy($"l_orderkey", $"o_orderdate")
+          .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("revenue"))
+          .orderBy($"revenue".desc, $"l_orderkey")
+          .limit(10)
+      },
+      Some("""
+        SELECT l_orderkey, o_orderdate,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1999-01-01'
+          AND l_shipdate > TIMESTAMP '1999-01-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10""")),
+
+    // ----- TPC-H Q5 shape: 6-table join --------------------------------
+    QueryDef(
+      "q13_local_supplier_volume",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1999-01-01").cast("timestamp"))
+        val c = t(s, dir, "customer")
+        val sup = t(s, dir, "supplier")
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region").filter($"r_name" === "ASIA")
+        li.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .join(broadcast(sup),
+            $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+          .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"n_name")
+          .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("revenue"))
+          .orderBy($"revenue".desc, $"n_name")
+      },
+      Some("""
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1999-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name"""))
+  )
+}

@@ -1,76 +1,109 @@
 #!/usr/bin/env python3
-"""Local mirror of the driver's correctness gate.
+"""Local emulation of the driver's correctness gate.
 
-Runs DuckDB oracle SQL from outDir/oracle_sql.json against the sf
-parquet tables and compares to the Spark results Verify dumped as
-outDir/<name>.parquet: columns sorted by name, rows sorted, values
-hashed. Usage: python3 tools/check.py <sfDir> <outDir>
-(Dev tooling only — not part of the Scala library.)
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (Spark output), runs the matching
+oracle SQL from oracle_sql.json in DuckDB over the raw parquet tables, and
+compares: column names (sorted), row count, and a canonical value hash.
 """
-import json, sys, glob, os
+import sys, os, json, hashlib, math
+
 import duckdb
-import pandas as pd
 
-TABLES = ["region","nation","customer","supplier","part","orders",
-          "lineitem","events","documents","embeddings"]
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    # stringify for stable sorting/hashing across engines
-    def cell(v):
-        if isinstance(v, float):
-            return f"{v:.6f}"
-        if isinstance(v, (list, tuple)) or str(type(v)).find("ndarray") >= 0:
-            return "[" + ",".join(cell(x) for x in v) + "]"
-        return str(v)
-    out = df.apply(lambda col: col.map(cell))
-    return out.sort_values(by=list(out.columns), ignore_index=True)
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # canonical float formatting; driver-style rounding safety
+        return repr(round(v, 6))
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
 
-def main(sf_dir, out_dir):
+
+def table_hash(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    h = hashlib.sha256()
+    lines = []
+    for r in rows:
+        lines.append("\x1f".join(canon(r[i]) for i in order))
+    # sort rows too, so output ordering doesn't matter
+    for ln in sorted(lines):
+        h.update(ln.encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+
     con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    names = sorted(os.path.basename(p) for p in glob.glob(f"{out_dir}/*")
-                   if os.path.isdir(p))
-    n_pass = n_fail = n_rowsonly = 0
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+                if os.path.isdir(p) else
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    n_pass = n_fail = n_weak = 0
     for name in names:
-        spark_df = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
-        if name not in oracle:
-            ok = len(spark_df) > 0
-            print(f"{'PASS' if ok else 'FAIL'} (rows-only, n={len(spark_df)}) {name}")
-            n_rowsonly += 1
-            if not ok: n_fail += 1
+        spark_rel = con.sql(
+            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+        s_cols = list(spark_rel.columns)
+        s_rows = spark_rel.fetchall()
+        if name not in oracles:
+            status = "WEAK" if len(s_rows) > 0 else "WEAK-EMPTY"
+            n_weak += 1
+            print(f"{status:10s} {name}: rows={len(s_rows)} (no oracle)")
             continue
         try:
-            ora_df = con.sql(oracle[name]).df()
+            o_rel = con.sql(oracles[name])
+            o_cols = list(o_rel.columns)
+            o_rows = o_rel.fetchall()
         except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}")
+            print(f"ORACLE-ERR {name}: {e}")
             n_fail += 1
             continue
-        a, b = canon(spark_df), canon(ora_df)
-        if list(a.columns) != list(b.columns):
-            print(f"FAIL {name}: columns spark={list(a.columns)} oracle={list(b.columns)}")
+        problems = []
+        if sorted(s_cols) != sorted(o_cols):
+            problems.append(f"cols spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+        if len(s_rows) != len(o_rows):
+            problems.append(f"rows spark={len(s_rows)} oracle={len(o_rows)}")
+        if not problems:
+            hs, ho = table_hash(s_rows, s_cols), table_hash(o_rows, o_cols)
+            if hs != ho:
+                problems.append("hash mismatch")
+                # show first differing row for debugging
+                so = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+                oo = sorted(range(len(o_cols)), key=lambda i: o_cols[i])
+                sl = sorted("\x1f".join(canon(r[i]) for i in so) for r in s_rows)
+                ol = sorted("\x1f".join(canon(r[i]) for i in oo) for r in o_rows)
+                for a, b in zip(sl, ol):
+                    if a != b:
+                        problems.append(f"  spark : {a[:200]}")
+                        problems.append(f"  oracle: {b[:200]}")
+                        break
+        if problems:
             n_fail += 1
-        elif len(a) != len(b):
-            print(f"FAIL {name}: rows spark={len(a)} oracle={len(b)}")
-            n_fail += 1
-        elif not a.equals(b):
-            diff = (a != b).any(axis=1)
-            i = diff.idxmax()
-            print(f"FAIL {name}: value mismatch at row {i}:\n  spark : {a.loc[i].tolist()}\n  oracle: {b.loc[i].tolist()}")
-            n_fail += 1
+            print(f"FAIL       {name}: " + "; ".join(problems[:1]))
+            for p in problems[1:]:
+                print(f"           {p}")
         else:
-            print(f"PASS {name} ({len(a)} rows)")
             n_pass += 1
-    missing = set(oracle) - set(names)
-    for m in sorted(missing):
-        print(f"FAIL {m}: no spark output")
-        n_fail += 1
-    print(f"\n{n_pass} oracle-pass, {n_rowsonly} rows-only, {n_fail} FAIL")
+            print(f"PASS       {name}: rows={len(s_rows)}")
+    print(f"\n== {n_pass} pass, {n_fail} fail, {n_weak} weak-checked ==")
     sys.exit(1 if n_fail else 0)
 
+
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main()
