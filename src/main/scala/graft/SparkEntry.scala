@@ -18,7 +18,11 @@ object SparkEntry {
     Aggregates.defs,
     WindowQueries.defs,
     ScalarQueries.defs,
-    TextQueries.defs)
+    TextQueries.defs,
+    Dedup.defs,
+    Similarity.defs,
+    TextAnalysis.defs,
+    Multimodal.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 

@@ -1,0 +1,281 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Deduplication operator family over `documents` — the training-data
+  * pipeline surface (exact, n-gram Jaccard, MinHash+LSH, SimHash,
+  * embedding-cosine near-dup).
+  *
+  * The reference could only express any of these as hand-written
+  * map/reduce pairs (/root/reference/README.txt:236-293); here each is a
+  * declared plan built purely from codegen'd `functions._` — no UDFs, so
+  * every hash/shingle/band computation stays inside WholeStageCodegen and
+  * is replicated verbatim in the DuckDB oracle SQL (md5-derived hashing
+  * computes identically in both engines).
+  *
+  * Scale notes (100 TB posture):
+  *  - Exact dedup = hash-groupBy → one shuffle on the digest, partial agg.
+  *  - Exact pairwise Jaccard (q42) explodes shingles and self-joins: the
+  *    oracle baseline, quadratic in bucket size — at scale you run
+  *    MinHash+LSH (q43), which bounds the join to per-band buckets and
+  *    only exact-verifies candidate pairs.
+  *  - SimHash is one linear pass: 32 conditional sums per doc (no row
+  *    blowup), then pairs at Hamming distance 0 via bucket join.
+  */
+object Dedup {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Whitespace tokens; Spark `split` and DuckDB `string_split` agree
+    * (both keep interior/trailing empties; we filter empties where it
+    * matters). */
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Distinct 3-token shingles. Guarded so short docs yield an empty
+    * array (Spark's `sequence(1,0)` would count DOWN, unlike DuckDB). */
+  private def shingles(c: Column): Column = {
+    val ts = toks(c)
+    array_distinct(
+      when(size(ts) >= 3,
+        transform(sequence(lit(1), size(ts) - 2), i =>
+          concat_ws(" ", element_at(ts, i), element_at(ts, i + 1),
+            element_at(ts, i + 2))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** First 15 hex digits of md5 as a non-negative long (60 bits) —
+    * identical in DuckDB as CAST(concat('0x', substring(md5(x),1,15)) AS
+    * BIGINT). The shared cross-engine hash primitive. */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** First 8 hex digits of md5 as a long (32 bits). */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  private val MinhashK = 16
+  private val Bands = 4 // 4 bands x 4 rows
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- exact dedup: hash-groupBy on the content digest ---------------
+    // Keep the smallest doc_id per distinct text. One partially-aggregated
+    // shuffle keyed by the 128-bit digest; never ships the text itself.
+    QueryDef(
+      "q41_dedup_exact",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select(md5($"text").as("digest"), $"doc_id")
+          .groupBy($"digest")
+          .agg(min($"doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+          .orderBy($"keep_doc_id")
+      },
+      Some("""
+        SELECT md5(text) AS digest, min(doc_id) AS keep_doc_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+        ORDER BY keep_doc_id""")),
+
+    // ----- exact n-gram Jaccard near-dup pairs ---------------------------
+    QueryDef(
+      "q42_dedup_ngram_jaccard",
+      (s, dir) => {
+        import s.implicits._
+        val sh = t(s, dir, "documents")
+          .select($"doc_id", shingles($"text").as("sh"))
+          .select($"doc_id", size($"sh").as("n"), explode($"sh").as("s"))
+        val a = sh.toDF("id1", "n1", "s")
+        val b = sh.toDF("id2", "n2", "s")
+        a.join(b, a("s") === b("s") && a("id1") < b("id2"))
+          .groupBy($"id1", $"id2")
+          .agg(count(lit(1)).as("inter"),
+            first($"n1").as("n1"), first($"n2").as("n2"))
+          .withColumn("jaccard",
+            round($"inter" / ($"n1" + $"n2" - $"inter"), 4))
+          .filter($"jaccard" >= 0.8)
+          .select($"id1", $"id2", $"jaccard")
+          .orderBy($"id1", $"id2")
+      },
+      Some("""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+                   THEN list_transform(
+                     generate_series(1, len(string_split(text,' ')) - 2),
+                     i -> concat_ws(' ', string_split(text,' ')[i],
+                                    string_split(text,' ')[i+1],
+                                    string_split(text,' ')[i+2]))
+                   ELSE [] END) AS sh
+          FROM documents),
+        ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh)
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               round(count(*)::DOUBLE /
+                     (any_value(a.n) + any_value(b.n) - count(*)), 4) AS jaccard
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING round(count(*)::DOUBLE /
+                     (any_value(a.n) + any_value(b.n) - count(*)), 4) >= 0.8
+        ORDER BY id1, id2""")),
+
+    // ----- MinHash + LSH near-dup: the scale path ------------------------
+    // 16 minhashes (seeded md5), 4 bands of 4 → candidate pairs only where
+    // a full band collides; exact Jaccard verifies candidates. Join work
+    // is bounded by band-bucket sizes, not corpus size.
+    QueryDef(
+      "q43_dedup_minhash_lsh",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", shingles($"text").as("sh"))
+          .filter(size($"sh") > 0)
+
+        // signature: min over shingles of h_i(s), i = 0..15, one pass
+        val ex = docs.select($"doc_id", explode($"sh").as("s"))
+        val sigAggs = (0 until MinhashK).map(i =>
+          min(h60(concat(lit(i), lit("#"), $"s"))).as(s"sig$i"))
+        val sig = ex.groupBy($"doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+
+        // band key = md5 of the 4 comma-joined signature values
+        val bandStructs = (0 until Bands).map { b =>
+          val cols = (0 until 4).map(r => col(s"sig${b * 4 + r}").cast("string"))
+          struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("bk"))
+        }
+        val banded = sig
+          .select($"doc_id", explode(array(bandStructs: _*)).as("bb"))
+          .select($"doc_id", $"bb.band".as("band"), $"bb.bk".as("bk"))
+
+        val cand = banded.toDF("id1", "band", "bk")
+          .join(banded.toDF("id2", "band", "bk"), Seq("band", "bk"))
+          .filter($"id1" < $"id2")
+          .select($"id1", $"id2").distinct()
+
+        // exact-verify candidates with full shingle sets
+        val sets = docs.select($"doc_id", $"sh")
+        cand
+          .join(sets.toDF("id1", "sh1"), "id1")
+          .join(sets.toDF("id2", "sh2"), "id2")
+          .select($"id1", $"id2",
+            round(size(array_intersect($"sh1", $"sh2")) /
+              size(array_union($"sh1", $"sh2")).cast("double"), 4).as("jaccard"))
+          .filter($"jaccard" >= 0.8)
+          .orderBy($"id1", $"id2")
+      },
+      Some("""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+                   THEN list_transform(
+                     generate_series(1, len(string_split(text,' ')) - 2),
+                     i -> concat_ws(' ', string_split(text,' ')[i],
+                                    string_split(text,' ')[i+1],
+                                    string_split(text,' ')[i+2]))
+                   ELSE [] END) AS sh
+          FROM documents WHERE len(string_split(text,' ')) >= 3),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        hashes AS (
+          SELECT doc_id, i,
+                 CAST(concat('0x', substring(md5(concat(i, '#', s)),1,15))
+                      AS BIGINT) AS h
+          FROM ex, (SELECT unnest(generate_series(0,15)) AS i)),
+        sig AS (SELECT doc_id, i, min(h) AS sig FROM hashes GROUP BY doc_id, i),
+        banded AS (
+          SELECT doc_id, i // 4 AS band,
+                 md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i)) AS bk
+          FROM sig GROUP BY doc_id, i // 4),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+        j AS (
+          SELECT c.id1, c.id2,
+                 round(len(list_intersect(s1.sh, s2.sh))::DOUBLE /
+                       len(list_distinct(list_concat(s1.sh, s2.sh))), 4)
+                   AS jaccard
+          FROM cand c JOIN sh s1 ON s1.doc_id = c.id1
+                      JOIN sh s2 ON s2.doc_id = c.id2)
+        SELECT id1, id2, jaccard FROM j
+        WHERE jaccard >= 0.8
+        ORDER BY id1, id2""")),
+
+    // ----- SimHash fingerprints ------------------------------------------
+    // 32-bit simhash with token multiplicity as weight: one linear pass,
+    // 32 conditional sums per doc (no explode), then a sum of bit terms.
+    QueryDef(
+      "q44_dedup_simhash",
+      (s, dir) => {
+        import s.implicits._
+        val tok = t(s, dir, "documents")
+          .select($"doc_id", explode(toks($"text")).as("tk"))
+          .filter(length($"tk") > 0)
+          .withColumn("h", h32($"tk"))
+        val bitAggs = (0 until 32).map(j =>
+          sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"b$j"))
+        val bits = tok.groupBy($"doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+        val simhash = (0 until 32)
+          .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _)
+        bits.select($"doc_id", simhash.as("simhash")).orderBy($"doc_id")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substring(md5(tk),1,8)) AS BIGINT) AS h
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+                FROM documents)
+          WHERE length(tk) > 0),
+        bits AS (
+          SELECT doc_id, j,
+                 sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM tok, (SELECT unnest(generate_series(0,31)) AS j)
+          GROUP BY doc_id, j)
+        SELECT doc_id,
+               sum(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT)
+                        ELSE 0 END) AS simhash
+        FROM bits
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    // ----- embedding-cosine near-dup pairs -------------------------------
+    // All arithmetic forced to double on both engines; self-join is the
+    // exact baseline (at scale: LSH-bucket first, see q47).
+    QueryDef(
+      "q45_dedup_embedding_cosine",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+          .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+          .withColumn("nrm",
+            sqrt(aggregate($"v", lit(0.0), (acc, x) => acc + x * x)))
+        val a = e.toDF("id1", "v1", "nrm1")
+        val b = e.toDF("id2", "v2", "nrm2")
+        a.join(b, $"id1" < $"id2")
+          .withColumn("cosine", round(
+            aggregate(zip_with($"v1", $"v2", (x, y) => x * y),
+              lit(0.0), (acc, x) => acc + x) / ($"nrm1" * $"nrm2"), 4))
+          .filter($"cosine" >= 0.45)
+          .select($"id1", $"id2", $"cosine")
+          .orderBy($"id1", $"id2")
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        n AS (
+          SELECT vec_id, v,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM e)
+        SELECT a.vec_id AS id1, b.vec_id AS id2,
+               round(list_sum(list_transform(generate_series(1, len(a.v)),
+                     i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE round(list_sum(list_transform(generate_series(1, len(a.v)),
+                    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) >= 0.45
+        ORDER BY id1, id2"""))
+  )
+}

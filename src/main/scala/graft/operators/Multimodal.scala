@@ -1,0 +1,93 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed per-partition in batches.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * STUB (deterministic fake, clearly marked below); everything around it
+  * — the binary column, the typed records, the mapPartitions batch shape,
+  * the partition sizing — is the real 100 TB design:
+  *
+  *  - media rides in a `binary` column next to its metadata; Parquet
+  *    stores it row-grouped so a metadata-only query never reads bytes
+  *    (column pruning), and `spark.sql.files.maxPartitionBytes` bounds
+  *    per-task memory when it is read.
+  *  - decode/feature-extract runs once per partition via mapPartitions —
+  *    the iterator is streamed, nothing is materialized, and a real
+  *    decoder would amortize model/codec init across the partition
+  *    exactly like this stub amortizes its MessageDigest instance.
+  */
+object Multimodal {
+
+  /** Input record: opaque bytes + typed metadata. */
+  final case class MediaRecord(doc_id: Long, media: Array[Byte], kind: String)
+
+  /** Extracted features. */
+  final case class MediaFeatures(
+      doc_id: Long, n_bytes: Long, digest: String,
+      fake_width: Int, fake_height: Int)
+
+  /** ===== STUB decode =====
+    * Deterministic fake standing in for a real image/audio decode: length,
+    * content digest, and "dimensions" derived from the first two bytes.
+    * A real implementation would decode `media` with an actual codec here;
+    * the Spark-side contract (streamed iterator in, iterator out,
+    * per-partition init) is unchanged. */
+  private def decodeStub(records: Iterator[MediaRecord]): Iterator[MediaFeatures] = {
+    val md = MessageDigest.getInstance("SHA-256") // per-partition init
+    records.map { r =>
+      md.reset()
+      val digest = md.digest(r.media).map("%02x".format(_)).mkString
+      MediaFeatures(
+        doc_id = r.doc_id,
+        n_bytes = r.media.length.toLong,
+        digest = digest,
+        fake_width = if (r.media.nonEmpty) r.media(0) & 0xff else 0,
+        fake_height = if (r.media.length > 1) r.media(1) & 0xff else 0)
+    }
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // documents.text re-cast as utf-8 "media" bytes exercises the whole
+    // binary path; features come out of the partition-streamed stub and
+    // are SQL-checkable because the stub is deterministic.
+    QueryDef(
+      "q52_multimodal_features",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text".cast("binary").as("media"),
+            lit("image/fake").as("kind"))
+          .as[MediaRecord]
+        media
+          .mapPartitions(decodeStub)
+          .toDF()
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS digest,
+               CAST(ascii(substring(text, 1, 1)) AS INT) AS fake_width,
+               CAST(ascii(substring(text, 2, 1)) AS INT) AS fake_height
+        FROM documents
+        ORDER BY doc_id"""))
+  )
+
+  /** Column-pruning counterpart: metadata-only aggregation that must never
+    * touch the binary column (ReadSchema shows bytes excluded). */
+  def metadataOnly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", $"text".cast("binary").as("media"), $"lang")
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
+  }
+}

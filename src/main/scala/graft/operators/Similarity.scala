@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * The reference has no notion of vectors at all (its type universe is the
+  * JSON scalar set, SURVEY.md §1.2); this family is part of the
+  * training-data-pipeline extension surface. Two tiers:
+  *
+  *  - q46: brute-force cosine top-k — the exactness baseline. Queries are
+  *    broadcast (tiny), candidates streamed: the big side is never
+  *    shuffled, cost is one scan x |queries|, and the per-query top-k is a
+  *    rank-filter window partitioned by query (no global sort).
+  *  - q47: random-hyperplane LSH — the 100 TB path. Each vector gets an
+  *    8-bit signature (sign of dot with 8 deterministic hyperplanes);
+  *    candidates are same-bucket only, so join work is bounded by bucket
+  *    population instead of |corpus| x |queries|.
+  *
+  * Hyperplane components derive from md5 (computes identically in the
+  * DuckDB oracle): component i of plane m = (h60(m||'_'||i) % 2001 - 1000)
+  * / 1000 ∈ [-1, 1]. All vector math is zip_with/aggregate in double —
+  * native Catalyst higher-order expressions, no UDFs.
+  */
+object Similarity {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private val Planes = 8
+  private val Dim = 64
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- brute-force cosine top-k (exact baseline) ---------------------
+    QueryDef(
+      "q46_knn_bruteforce",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+          .select($"vec_id", asDouble($"embedding").as("v"))
+          .withColumn("nrm", sqrt(dot($"v", $"v")))
+        val queries = e.filter($"vec_id" < 5).toDF("qid", "qv", "qnrm")
+        val cands = e.filter($"vec_id" >= 5).toDF("cid", "cv", "cnrm")
+        val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"cid")
+        cands.join(broadcast(queries))
+          .withColumn("cosine",
+            round(dot($"qv", $"cv") / ($"qnrm" * $"cnrm"), 4))
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 3)
+          .select($"qid", $"rk", $"cid", $"cosine")
+          .orderBy($"qid", $"rk")
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        n AS (SELECT vec_id, v,
+                     sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+              FROM e),
+        scored AS (
+          SELECT q.vec_id AS qid, c.vec_id AS cid,
+                 round(list_sum(list_transform(generate_series(1, len(q.v)),
+                       i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 4) AS cosine
+          FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id >= 5),
+        ranked AS (
+          SELECT qid, cid, cosine,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cosine DESC, cid) AS rk
+          FROM scored)
+        SELECT qid, CAST(rk AS INT) AS rk, cid, cosine
+        FROM ranked WHERE rk <= 3
+        ORDER BY qid, rk""")),
+
+    // ----- LSH-bucketed ANN (the scale path) -----------------------------
+    // Search only within the query's bucket; approximate by construction,
+    // and the oracle replays the identical bucketing, so results compare
+    // exactly.
+    QueryDef(
+      "q47_knn_lsh",
+      (s, dir) => {
+        import s.implicits._
+        // deterministic hyperplanes: Planes x Dim, components in [-1, 1]
+        val hp: Column = transform(sequence(lit(0), lit(Planes - 1)), m =>
+          transform(sequence(lit(0), lit(Dim - 1)), i =>
+            (h60(concat(m, lit("_"), i)) % 2001 - 1000) / lit(1000.0)))
+        val e = t(s, dir, "embeddings")
+          .select($"vec_id", asDouble($"embedding").as("v"))
+          .withColumn("planes", hp)
+          .withColumn("bucket",
+            aggregate(
+              zip_with($"planes", sequence(lit(0), lit(Planes - 1)),
+                (p, m) => when(dot(p, $"v") >= 0,
+                  pow(lit(2.0), m).cast("long")).otherwise(lit(0L))),
+              lit(0L), (acc, x) => acc + x))
+          .withColumn("nrm", sqrt(dot($"v", $"v")))
+          .select($"vec_id", $"v", $"nrm", $"bucket")
+        val queries = e.filter($"vec_id" < 5).toDF("qid", "qv", "qnrm", "bucket")
+        val cands = e.filter($"vec_id" >= 5).toDF("cid", "cv", "cnrm", "bucket")
+        val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"cid")
+        cands.join(broadcast(queries), "bucket")
+          .withColumn("cosine",
+            round(dot($"qv", $"cv") / ($"qnrm" * $"cnrm"), 4))
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 3)
+          .select($"qid", $"rk", $"cid", $"cosine", $"bucket")
+          .orderBy($"qid", $"rk")
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        sig AS (
+          SELECT vec_id, v,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+                 list_sum(list_transform(generate_series(0, 7), m ->
+                   CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                          i -> ((CAST(concat('0x', substring(md5(
+                                  concat(m, '_', i - 1)),1,15)) AS BIGINT)
+                                 % 2001 - 1000) / 1000.0) * v[i])) >= 0
+                        THEN CAST(power(2, m) AS BIGINT) ELSE 0 END)) AS bucket
+          FROM e),
+        scored AS (
+          SELECT q.vec_id AS qid, c.vec_id AS cid, q.bucket AS bucket,
+                 round(list_sum(list_transform(generate_series(1, len(q.v)),
+                       i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 4) AS cosine
+          FROM sig q JOIN sig c
+            ON q.bucket = c.bucket AND q.vec_id < 5 AND c.vec_id >= 5),
+        ranked AS (
+          SELECT qid, cid, bucket, cosine,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cosine DESC, cid) AS rk
+          FROM scored)
+        SELECT qid, CAST(rk AS INT) AS rk, cid, cosine, bucket
+        FROM ranked WHERE rk <= 3
+        ORDER BY qid, rk"""))
+  )
+}

@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Text-analysis operator family over `documents`: language-ID heuristic,
+  * quality scoring, token counting (whitespace + regex token classes) and
+  * document fingerprinting (rolling hash).
+  *
+  * In the reference, token counting is the worked example the whole
+  * framework is pitched on (/root/reference/README.txt:18) and everything
+  * else would be hand-written Python in the map fn. Here each is one
+  * linear scan built from codegen'd `functions._` / higher-order array
+  * expressions — per-doc work is independent, so these parallelize
+  * embarrassingly at any scale; the only shuffles are the final tiny
+  * aggregations.
+  */
+object TextAnalysis {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Non-empty whitespace tokens. */
+  private def toks(c: Column): Column =
+    filter(split(c, " "), x => length(x) > 0)
+
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Tiny per-language marker profiles (bigram heuristics over common
+    * function words — public-knowledge frequency tables). The mechanism
+    * (n-gram profile scoring, argmax with deterministic tiebreak) is the
+    * operator; profiles are pluggable. */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "sch", "ein"),
+    "en" -> Seq("the", "and", "ing", "ion", "ta"),
+    "es" -> Seq("de ", "la ", "que", "os ", "ci"),
+    "fr" -> Seq("le ", "les", "des", "que", "eau"),
+    "zh" -> Seq("zh", "sh", "ng", "xi", "qu"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- language-ID: n-gram marker scoring, argmax ---------------------
+    // score(lang) = total occurrences of that lang's marker n-grams; the
+    // winner is picked with max_by over (score, -rank) — deterministic
+    // tiebreak, single pass, no shuffle at all (per-row expression).
+    QueryDef(
+      "q48_lang_id",
+      (s, dir) => {
+        import s.implicits._
+        def occurrences(marker: String): Column =
+          ((length($"text") - length(regexp_replace($"text", marker, ""))) /
+            marker.length).cast("long")
+        val scores = LangMarkers.map { case (lang, ms) =>
+          ms.map(occurrences).reduce(_ + _).as(s"score_$lang")
+        }
+        val scored = t(s, dir, "documents")
+          .select(($"doc_id" +: scores): _*)
+        // argmax with lexicographic tiebreak: fold over (score, lang) pairs
+        val best = LangMarkers.map { case (lang, _) =>
+          struct(col(s"score_$lang").as("score"), lit(lang).as("lang"))
+        }
+        scored
+          .withColumn("best", greatest(best: _*))
+          .select($"doc_id", $"best.lang".as("pred_lang"),
+            $"best.score".as("score"))
+          .orderBy($"doc_id")
+      },
+      Some {
+        def occ(m: String) =
+          s"(length(text) - length(replace(text, '${m}', ''))) // ${m.length}"
+        val structs = LangMarkers.map { case (lang, ms) =>
+          val score = ms.map(occ).mkString(" + ")
+          s"{'score': CAST($score AS BIGINT), 'lang': '$lang'}"
+        }.mkString(", ")
+        // Spark's greatest(struct...) = max score, tie -> greatest lang;
+        // replayed here as a per-doc rank (DuckDB greatest lacks structs)
+        s"""
+        WITH u AS (
+          SELECT doc_id, unnest([$structs]) AS ls FROM documents),
+        ranked AS (
+          SELECT doc_id, ls.lang AS lang, ls.score AS score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY ls.score DESC, ls.lang DESC) AS rn
+          FROM u)
+        SELECT doc_id, lang AS pred_lang, score
+        FROM ranked WHERE rn = 1
+        ORDER BY doc_id"""
+      }),
+
+    // ----- quality scoring: length / ratio heuristics --------------------
+    QueryDef(
+      "q49_quality_score",
+      (s, dir) => {
+        import s.implicits._
+        val stop = Seq("the", "a", "of", "and", "to")
+        val tk = toks($"text")
+        val nTok = size(tk).cast("long")
+        val nStop = size(filter(tk, x => x.isin(stop.map(lit): _*))).cast("long")
+        val nDistinct = size(array_distinct(tk)).cast("long")
+        val meanLen = aggregate(tk, lit(0L), (acc, x) => acc + length(x))
+          .cast("double") / nTok
+        t(s, dir, "documents")
+          .select(
+            $"doc_id",
+            length($"text").cast("long").as("n_chars"),
+            nTok.as("n_tokens"),
+            round(nDistinct / nTok.cast("double"), 4).as("distinct_ratio"),
+            round(nStop / nTok.cast("double"), 4).as("stopword_ratio"),
+            round(meanLen, 4).as("mean_token_len"),
+            // composite quality: long enough, diverse, some stopwords
+            round(
+              least(nTok.cast("double") / 100.0, lit(1.0)) * 0.4 +
+                (nDistinct / nTok.cast("double")) * 0.4 +
+                least(nStop.cast("double") * 10 / nTok, lit(1.0)) * 0.2,
+              4).as("quality"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id, text,
+                 list_filter(string_split(text, ' '), x -> length(x) > 0) AS tk
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+                 CAST(length(text) AS BIGINT) AS n_chars,
+                 CAST(len(tk) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+                 CAST(len(list_filter(tk,
+                   x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
+                 list_sum(list_transform(tk, x -> length(x)))::DOUBLE
+                   / len(tk) AS mean_len
+          FROM f)
+        SELECT doc_id, n_chars, n_tokens,
+               round(n_distinct / n_tokens::DOUBLE, 4) AS distinct_ratio,
+               round(n_stop / n_tokens::DOUBLE, 4) AS stopword_ratio,
+               round(mean_len, 4) AS mean_token_len,
+               round(least(n_tokens::DOUBLE / 100.0, 1.0) * 0.4 +
+                     (n_distinct / n_tokens::DOUBLE) * 0.4 +
+                     least(n_stop::DOUBLE * 10 / n_tokens, 1.0) * 0.2,
+                     4) AS quality
+        FROM m
+        ORDER BY doc_id""")),
+
+    // ----- token counting: whitespace + regex token classes --------------
+    // A BPE-ish pre-tokenizer count: runs of letters, runs of digits, and
+    // single non-alphanumeric marks, via regexp_extract_all (identical
+    // pattern both engines).
+    QueryDef(
+      "q50_token_stats",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select(
+            $"doc_id",
+            size(toks($"text")).cast("long").as("ws_tokens"),
+            size(regexp_extract_all($"text", lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+              .cast("long").as("bpe_ish_tokens"),
+            size(array_distinct(toks($"text"))).cast("long").as("vocab"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '),
+                    x -> length(x) > 0)) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text,
+                    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT)
+                 AS bpe_ish_tokens,
+               CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                    x -> length(x) > 0))) AS BIGINT) AS vocab
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ----- document fingerprint: order-sensitive rolling hash ------------
+    // Left fold (acc*31 + h(token)) mod p over the token sequence — a true
+    // rolling hash (token order matters), as one higher-order aggregate
+    // expression; DuckDB replays it with list_reduce.
+    QueryDef(
+      "q51_doc_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        val p = 1000000007L
+        t(s, dir, "documents")
+          .select(
+            $"doc_id",
+            aggregate(
+              transform(toks($"text"), x => h60(x) % p),
+              lit(0L), (acc, h) => (acc * 31 + h) % p).as("fingerprint"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(
+                     list_filter(string_split(text, ' '), x -> length(x) > 0),
+                     x -> CAST(concat('0x', substring(md5(x),1,15)) AS BIGINT)
+                          % 1000000007)),
+                 (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
+        FROM documents
+        ORDER BY doc_id"""))
+  )
+}
