@@ -22,7 +22,8 @@ object SparkEntry {
     Dedup.defs,
     Similarity.defs,
     TextAnalysis.defs,
-    Multimodal.defs)
+    Multimodal.defs,
+    MapReduceQueries.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 
