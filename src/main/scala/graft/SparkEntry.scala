@@ -23,7 +23,8 @@ object SparkEntry {
     Similarity.defs,
     TextAnalysis.defs,
     Multimodal.defs,
-    MapReduceQueries.defs)
+    MapReduceQueries.defs,
+    graft.streaming.StreamingQueries.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 

@@ -1,0 +1,286 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.operators.QueryDef
+
+/** Structured Streaming surface (SURVEY.md §2 Table B streaming rows,
+  * §7 M4).
+  *
+  * The reference's only "streaming" is `hold_state`: a per-file seen-set
+  * so re-runs process only new files (/root/reference/mapper.py:110-143),
+  * with arrival-time-only semantics and silent loss of late data inside
+  * old files. Structured Streaming's file source + checkpoint reproduces
+  * that exactly-once file tracking (q55 runs the stream TWICE against one
+  * checkpoint to prove nothing reprocesses), and then adds everything the
+  * reference cannot express: event-time tumbling/sliding/session windows,
+  * watermarks with a defined late-data contract, and arbitrary keyed
+  * state.
+  *
+  * Every query here executes a real streaming job with
+  * Trigger.AvailableNow (the batch-style catch-up trigger), lands the
+  * sink, and returns the result as a static frame so the driver's DuckDB
+  * oracle can hash-compare it.
+  *
+  * Scale posture: streaming state lives in the state store partitioned by
+  * the grouping key (same hash shuffle as batch agg); watermarks bound
+  * state size — without one, per-window state grows forever, which is the
+  * 100 TB failure mode the reference sidesteps by never looking back.
+  */
+object StreamingQueries {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Streaming view of the events table (schema taken from the batch
+    * reader; ts arrives as nanos-long, converted to micros like
+    * Tables.load).
+    *
+    * The streaming file source watches a DIRECTORY of arriving files —
+    * the same model as the reference's input_dirs
+    * (/root/reference/mapper.py:75-85) — but the fixture is one flat
+    * parquet file, so it is staged (hard-linked) into a temp source dir
+    * once per (jvm, sf). */
+  private val staged = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val srcDir = staged.getOrElseUpdate(path, {
+      val d = Files.createTempDirectory("events_src_")
+      val target = d.resolve("events-000.parquet")
+      try Files.createLink(target, java.nio.file.Paths.get(path))
+      catch { case _: Exception =>
+        Files.copy(java.nio.file.Paths.get(path), target)
+      }
+      d.toString
+    })
+    val schema = s.read.parquet(path).schema
+    val raw = s.readStream.schema(schema).parquet(srcDir)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Run an aggregation stream to a complete-mode memory sink and return
+    * the final table. */
+  private def runComplete(s: SparkSession, df: DataFrame): DataFrame = {
+    val name = "mem_" + UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", tmp("ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- incremental ingest: the reference's hold_state ----------------
+    // File-source + checkpoint = exactly-once file tracking. The stream is
+    // started twice against the same checkpoint; the second run finds no
+    // new files, so the sink holds each purchase exactly once — the
+    // f(A+B)=f(A)+f(B) re-run contract, machine-checked by the oracle
+    // row counts.
+    QueryDef(
+      "q55_stream_incremental_ingest",
+      (s, dir) => {
+        import s.implicits._
+        val ckpt = tmp("ckpt_")
+        val out = tmp("sink_")
+        def runOnce(): Unit = {
+          val q = eventsStream(s, dir)
+            .filter($"event_type" === "purchase")
+            .select($"event_id", $"user_id", $"ts", round($"value", 4).as("value"))
+            .writeStream
+            .outputMode(OutputMode.Append())
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        runOnce()
+        runOnce() // second run: checkpoint says all files seen -> no-op
+        s.read.parquet(out).orderBy($"event_id")
+      },
+      Some("""
+        SELECT event_id, user_id, ts, round(value, 4) AS value
+        FROM events
+        WHERE event_type = 'purchase'
+        ORDER BY event_id""")),
+
+    // ----- event-time tumbling window ------------------------------------
+    QueryDef(
+      "q56_stream_tumbling_window",
+      (s, dir) => {
+        import s.implicits._
+        val agg = eventsStream(s, dir)
+          .groupBy(window($"ts", "1 day"), $"event_type")
+          .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("total"))
+        runComplete(s, agg)
+          .select($"window.start".as("w_start"), $"window.end".as("w_end"),
+            $"event_type", $"n", $"total")
+          .orderBy($"w_start", $"event_type")
+      },
+      Some("""
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+               CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP) AS w_end,
+               event_type, count(*) AS n, round(sum(value), 4) AS total
+        FROM events
+        GROUP BY 1, 2, 3
+        ORDER BY w_start, event_type""")),
+
+    // ----- sliding window (2-day windows, 1-day slide) -------------------
+    QueryDef(
+      "q57_stream_sliding_window",
+      (s, dir) => {
+        import s.implicits._
+        val agg = eventsStream(s, dir)
+          .groupBy(window($"ts", "2 days", "1 day"))
+          .agg(count(lit(1)).as("n"))
+        runComplete(s, agg)
+          .select($"window.start".as("w_start"), $"window.end".as("w_end"), $"n")
+          .orderBy($"w_start")
+      },
+      Some("""
+        SELECT CAST(date_trunc('day', ts) - to_days(k) AS TIMESTAMP) AS w_start,
+               CAST(date_trunc('day', ts) - to_days(k) + INTERVAL 2 DAY
+                    AS TIMESTAMP) AS w_end,
+               count(*) AS n
+        FROM events, (SELECT unnest([0, 1]) AS k)
+        GROUP BY 1, 2
+        ORDER BY w_start""")),
+
+    // ----- watermark + append mode: the late-data contract ---------------
+    // Append emits a window only once the watermark (max event time seen
+    // minus 1 day) passes its end — so the trailing windows are withheld.
+    // The oracle states that contract in SQL: only windows whose end is
+    // <= max(ts) - 1 day appear. This is the semantics the reference
+    // cannot express at all (late data in old files is silently ignored,
+    // /root/reference/mapper.py:110-114).
+    QueryDef(
+      "q58_stream_watermark_append",
+      (s, dir) => {
+        import s.implicits._
+        val out = tmp("sink_")
+        val q = eventsStream(s, dir)
+          .withWatermark("ts", "1 day")
+          .groupBy(window($"ts", "1 day"), $"event_type")
+          .agg(count(lit(1)).as("n"))
+          .select($"window.start".as("w_start"), $"window.end".as("w_end"),
+            $"event_type", $"n")
+          .writeStream
+          .outputMode(OutputMode.Append())
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", tmp("ckpt_"))
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out).orderBy($"w_start", $"event_type")
+      },
+      Some("""
+        WITH w AS (
+          SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+                 CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP) AS w_end,
+                 event_type, count(*) AS n
+          FROM events
+          GROUP BY 1, 2, 3)
+        SELECT w_start, w_end, event_type, n
+        FROM w
+        WHERE w_end <= (SELECT max(ts) FROM events) - INTERVAL 1 DAY
+        ORDER BY w_start, event_type""")),
+
+    // ----- session windows (30-minute gap) per user ----------------------
+    QueryDef(
+      "q59_stream_session_window",
+      (s, dir) => {
+        import s.implicits._
+        val agg = eventsStream(s, dir)
+          .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+          .agg(count(lit(1)).as("n_events"))
+        runComplete(s, agg)
+          .select($"user_id", $"session_window.start".as("s_start"),
+            $"session_window.end".as("s_end"), $"n_events")
+          .orderBy($"user_id", $"s_start")
+      },
+      // gaps-and-islands replay: a session breaks when the gap from the
+      // previous event exceeds 30 min; session end = last event + 30 min
+      Some("""
+        WITH o AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM events),
+        g AS (
+          SELECT user_id, ts,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o)
+        SELECT user_id,
+               CAST(min(ts) AS TIMESTAMP) AS s_start,
+               CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS s_end,
+               count(*) AS n_events
+        FROM g
+        GROUP BY user_id, sid
+        ORDER BY user_id, s_start""")),
+
+    // ----- custom keyed state: flatMapGroupsWithState --------------------
+    // Running per-user (count, max value) in a GroupState — the upgrade
+    // over the reference's only state (a per-file seen-set). foreachBatch
+    // sink + final groupBy makes the result batching-insensitive.
+    QueryDef(
+      "q60_stream_stateful_counter",
+      (s, dir) => {
+        import s.implicits._
+        val out = tmp("sink_")
+        val typed = eventsStream(s, dir)
+          .select($"user_id", $"value").as[(Long, Double)]
+        val updated = typed
+          .groupByKey(_._1)
+          .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+            OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+            (user: Long, rows: Iterator[(Long, Double)],
+             state: GroupState[(Long, Double)]) =>
+              val (n0, mx0) = state.getOption.getOrElse((0L, Double.MinValue))
+              var n = n0; var mx = mx0
+              rows.foreach { case (_, v) => n += 1; mx = math.max(mx, v) }
+              state.update((n, mx))
+              Iterator.single((user, n, mx))
+          }
+        val q = updated.toDF("user_id", "n_events", "max_value")
+          .writeStream
+          .outputMode(OutputMode.Update())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(out)
+          }
+          .option("checkpointLocation", tmp("ckpt_"))
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out)
+          .groupBy($"user_id")
+          .agg(max($"n_events").as("n_events"),
+            round(max($"max_value"), 4).as("max_value"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        SELECT user_id, count(*) AS n_events,
+               round(max(value), 4) AS max_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id"""))
+  )
+}
