@@ -24,7 +24,8 @@ object SparkEntry {
     TextAnalysis.defs,
     Multimodal.defs,
     MapReduceQueries.defs,
-    graft.streaming.StreamingQueries.defs)
+    graft.streaming.StreamingQueries.defs,
+    Extras.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 

@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.{CosineSimilarity, WeightedAverage}
+
+/** Remaining Table-B / extension surface: native-expression KNN, typed
+  * Aggregator, sampling (deterministic + seeded), pivot, scalar subquery,
+  * TF-IDF.
+  */
+object Extras {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- KNN via the native codegen'd cosine Expression ----------------
+    // Same result contract as q46, but the per-pair math is one fused
+    // Java loop inside WholeStageCodegen instead of interpreted
+    // higher-order lambdas — the hot-path form for a 100 TB embedding
+    // scan. Correctness is pinned by sharing q46's oracle.
+    QueryDef(
+      "q61_knn_native_expr",
+      (s, dir) => {
+        import s.implicits._
+        CosineSimilarity.register(s)
+        val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+        val queries = e.filter($"vec_id" < 5).toDF("qid", "qv")
+        val cands = e.filter($"vec_id" >= 5).toDF("cid", "cv")
+        val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"cid")
+        cands.join(broadcast(queries))
+          .withColumn("cosine", round(expr("cosine_sim(qv, cv)"), 4))
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 3)
+          .select($"qid", $"rk", $"cid", $"cosine")
+          .orderBy($"qid", $"rk")
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        n AS (SELECT vec_id, v,
+                     sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+              FROM e),
+        scored AS (
+          SELECT q.vec_id AS qid, c.vec_id AS cid,
+                 round(list_sum(list_transform(generate_series(1, len(q.v)),
+                       i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 4) AS cosine
+          FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id >= 5),
+        ranked AS (
+          SELECT qid, cid, cosine,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cosine DESC, cid) AS rk
+          FROM scored)
+        SELECT qid, CAST(rk AS INT) AS rk, cid, cosine
+        FROM ranked WHERE rk <= 3
+        ORDER BY qid, rk""")),
+
+    // ----- typed Aggregator: algebraic weighted average ------------------
+    // Partial-aggregates on the map side (merge = the incrementation law);
+    // compare q01's built-in avg, which Spark treats the same way.
+    QueryDef(
+      "q62_aggregator_weighted_avg",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .select($"l_returnflag", $"l_extendedprice", $"l_quantity")
+          .as[(String, Double, Double)]
+        li.groupByKey(_._1)
+          .mapValues(r => (r._2, r._3))
+          .agg(WeightedAverage.toColumn.name("wavg_price"))
+          .toDF("l_returnflag", "wavg_price")
+          .select($"l_returnflag", round($"wavg_price", 4).as("wavg_price"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag,
+               round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+                 AS wavg_price
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    // ----- deterministic hash sampling -----------------------------------
+    // The reference's downsample-for-testing story
+    // (/root/reference/README.txt:24) made reproducible: membership is a
+    // pure function of the key (md5 mod 100 < 10 => ~10%), identical in
+    // any engine, stable across runs and cluster sizes.
+    QueryDef(
+      "q63_sample_hash",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .filter(
+            conv(substring(md5($"o_orderkey".cast("string")), 1, 15), 16, 10)
+              .cast("long") % 100 < 10)
+          .select($"o_orderkey", $"o_custkey", round($"o_totalprice", 4).as("price"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS price
+        FROM orders
+        WHERE CAST(concat('0x',
+                substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 100 < 10
+        ORDER BY o_orderkey""")),
+
+    // ----- seeded Bernoulli row sampling (engine-native RNG) -------------
+    // Spark's seeded sample is reproducible within Spark but its RNG
+    // stream is engine-specific, so the driver records a rows-only check.
+    QueryDef(
+      "q64_sample_seeded",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+          .select($"o_orderkey", $"o_totalprice")
+          .orderBy($"o_orderkey")
+      },
+      None),
+
+    // ----- pivot ----------------------------------------------------------
+    // Explicit pivot values => no discovery pass and stable output schema
+    // (at scale, value discovery is an extra full aggregation).
+    QueryDef(
+      "q65_pivot_status",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(round(sum($"o_totalprice"), 4))
+          .na.fill(0.0, Seq("F", "O", "P"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority,
+               coalesce(round(sum(CASE WHEN o_orderstatus = 'F'
+                                       THEN o_totalprice END), 4), 0) AS F,
+               coalesce(round(sum(CASE WHEN o_orderstatus = 'O'
+                                       THEN o_totalprice END), 4), 0) AS O,
+               coalesce(round(sum(CASE WHEN o_orderstatus = 'P'
+                                       THEN o_totalprice END), 4), 0) AS P
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    // ----- scalar subquery ------------------------------------------------
+    // Orders above the global mean: the aggregate is a 1-row broadcast
+    // joined against the scan — no shuffle of the big side.
+    QueryDef(
+      "q66_scalar_subquery",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+        val avgPrice = o.agg(avg($"o_totalprice").as("global_avg"))
+        o.join(broadcast(avgPrice))
+          .filter($"o_totalprice" > $"global_avg" * 1.5)
+          .select($"o_orderkey", round($"o_totalprice", 4).as("price"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, round(o_totalprice, 4) AS price
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5
+        ORDER BY o_orderkey""")),
+
+    // ----- TF-IDF: most characteristic term per document -----------------
+    // tf from one explode+groupBy; document frequency from a distinct
+    // aggregation; idf joined back broadcast (term dictionary << corpus).
+    QueryDef(
+      "q67_tfidf_top_term",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val nDocs = docs.select(countDistinct($"doc_id").as("n_docs"))
+        val tokens = docs
+          .select($"doc_id", explode(split($"text", " ")).as("token"))
+          .filter(length($"token") > 0)
+        val tf = tokens.groupBy($"doc_id", $"token")
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tokens.select($"doc_id", $"token").distinct()
+          .groupBy($"token").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"token")
+        tf.join(broadcast(dfreq), "token")
+          .join(broadcast(nDocs))
+          .withColumn("tfidf", round($"tf" * log($"n_docs" / $"df".cast("double")), 6))
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" === 1)
+          .select($"doc_id", $"token".as("top_term"), $"tfidf")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH tokens AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents),
+        tok AS (SELECT * FROM tokens WHERE length(token) > 0),
+        tf AS (SELECT doc_id, token, count(*) AS tf
+               FROM tok GROUP BY doc_id, token),
+        dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok
+                  GROUP BY token),
+        nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.token,
+                 round(tf.tf * ln(nd.n_docs / df.df::DOUBLE), 6) AS tfidf
+          FROM tf JOIN dfreq df USING (token) CROSS JOIN nd),
+        ranked AS (
+          SELECT doc_id, token, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, token) AS rk
+          FROM scored)
+        SELECT doc_id, token AS top_term, tfidf
+        FROM ranked WHERE rk = 1
+        ORDER BY doc_id"""))
+  )
+}

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class FunctionsSpec extends SparkSpec {
+
+  private def cosineOf(a: Seq[Float], b: Seq[Float]): Option[Double] = {
+    import spark.implicits._
+    CosineSimilarity.register(spark)
+    Seq((a, b)).toDF("a", "b")
+      .selectExpr("cosine_sim(a, b) AS c")
+      .collect().headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+  }
+
+  test("cosine_sim matches a hand computation (codegen path)") {
+    val c = cosineOf(Seq(1f, 2f, 3f), Seq(2f, 4f, 6f)).get
+    assert(math.abs(c - 1.0) < 1e-12) // parallel vectors
+    val c2 = cosineOf(Seq(1f, 0f), Seq(0f, 1f)).get
+    assert(math.abs(c2) < 1e-12) // orthogonal
+  }
+
+  test("cosine_sim agrees with the higher-order-function formulation") {
+    import spark.implicits._
+    CosineSimilarity.register(spark)
+    val df = Seq.tabulate(50)(i =>
+      (Seq.tabulate(16)(j => (i * 31 + j * 7 % 13).toFloat / 10f),
+       Seq.tabulate(16)(j => (i * 17 + j * 11 % 7).toFloat / 10f)))
+      .toDF("a", "b")
+    val both = df.select(
+      expr("cosine_sim(a, b)").as("native"),
+      (aggregate(zip_with(
+        transform($"a", x => x.cast("double")),
+        transform($"b", x => x.cast("double")), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x) /
+        (sqrt(aggregate(transform($"a", x => x.cast("double")),
+          lit(0.0), (acc, x) => acc + x * x)) *
+         sqrt(aggregate(transform($"b", x => x.cast("double")),
+           lit(0.0), (acc, x) => acc + x * x)))).as("hof"))
+      .collect()
+    both.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+  }
+
+  test("cosine_sim: null on length mismatch or zero vector") {
+    assert(cosineOf(Seq(1f, 2f), Seq(1f, 2f, 3f)).isEmpty)
+    assert(cosineOf(Seq(0f, 0f), Seq(1f, 2f)).isEmpty)
+  }
+
+  test("cosine_sim interpreted eval agrees with codegen") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val mk = (xs: Seq[Float]) =>
+      Literal.create(new GenericArrayData(xs.map(Float.box).toArray),
+        ArrayType(FloatType))
+    val e = CosineSimilarity(mk(Seq(1f, 2f, 3f)), mk(Seq(3f, 2f, 1f)))
+    val interpreted = e.eval(null).asInstanceOf[Double]
+    val viaDf = cosineOf(Seq(1f, 2f, 3f), Seq(3f, 2f, 1f)).get
+    assert(math.abs(interpreted - viaDf) < 1e-12)
+  }
+
+  test("WeightedAverage: merge law (the incrementation property)") {
+    val xs = Seq((10.0, 1.0), (20.0, 3.0), (5.0, 2.0), (8.0, 4.0))
+    val (a, b) = xs.splitAt(2)
+    def aggOf(ys: Seq[(Double, Double)]) =
+      ys.foldLeft(WeightedAverage.zero)(WeightedAverage.reduce)
+    val whole = aggOf(xs)
+    val merged = WeightedAverage.merge(aggOf(a), aggOf(b))
+    assert(whole == merged)
+    assert(math.abs(WeightedAverage.finish(whole) -
+      xs.map(p => p._1 * p._2).sum / xs.map(_._2).sum) < 1e-12)
+  }
+}
