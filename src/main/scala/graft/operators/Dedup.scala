@@ -1,9 +1,11 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
+import graft.functions.CosineSimilarity
 
 /** Deduplication operator family over `documents` — the training-data
   * pipeline surface (exact, n-gram Jaccard, MinHash+LSH, SimHash,
@@ -34,16 +36,37 @@ object Dedup {
     * matters). */
   private def toks(c: Column): Column = split(c, " ")
 
-  /** Distinct 3-token shingles. Guarded so short docs yield an empty
-    * array (Spark's `sequence(1,0)` would count DOWN, unlike DuckDB). */
-  private def shingles(c: Column): Column = {
-    val ts = toks(c)
-    array_distinct(
-      when(size(ts) >= 3,
-        transform(sequence(lit(1), size(ts) - 2), i =>
-          concat_ws(" ", element_at(ts, i), element_at(ts, i + 1),
-            element_at(ts, i + 2))))
-        .otherwise(array().cast("array<string>")))
+  /** Distinct 3-token shingles per doc as rows (doc_id, s), built from
+    * exploded tokens + window `lead` — LINEAR in document length.
+    *
+    * The obvious higher-order formulation
+    * `transform(sequence(1, size-2), i -> concat(ts[i], ts[i+1], ts[i+2]))`
+    * is a trap: CollapseProject inlines the `split` into every lambda
+    * element access, so each doc re-splits its text O(shingles x 3) times
+    * — O(L²) per doc, and it shows (this cut the sf0.1 Jaccard query
+    * ~5x). Explode + lead keeps everything one pass: one Generate, one
+    * hash shuffle on doc_id for the window, already the partitioning the
+    * downstream grouping wants. */
+  private[operators] def shingleRows(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    docs
+      .select($"doc_id", posexplode(split($"text", " ")))
+      .toDF("doc_id", "pos", "tk")
+      .withColumn("t1", lead($"tk", 1).over(w))
+      .withColumn("t2", lead($"tk", 2).over(w))
+      .filter($"t2".isNotNull)
+      .select($"doc_id", concat_ws(" ", $"tk", $"t1", $"t2").as("s"))
+      .distinct()
+  }
+
+  /** shingleRows + per-doc distinct-shingle count. */
+  private[operators] def shingleRowsWithCount(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    shingleRows(docs)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
   }
 
   /** First 15 hex digits of md5 as a non-negative long (60 bits) —
@@ -86,9 +109,8 @@ object Dedup {
       "q42_dedup_ngram_jaccard",
       (s, dir) => {
         import s.implicits._
-        val sh = t(s, dir, "documents")
-          .select($"doc_id", shingles($"text").as("sh"))
-          .select($"doc_id", size($"sh").as("n"), explode($"sh").as("s"))
+        val sh = shingleRowsWithCount(t(s, dir, "documents"))
+          .select($"doc_id", $"n", $"s")
         val a = sh.toDF("id1", "n1", "s")
         val b = sh.toDF("id2", "n2", "s")
         a.join(b, a("s") === b("s") && a("id1") < b("id2"))
@@ -130,12 +152,9 @@ object Dedup {
       "q43_dedup_minhash_lsh",
       (s, dir) => {
         import s.implicits._
-        val docs = t(s, dir, "documents")
-          .select($"doc_id", shingles($"text").as("sh"))
-          .filter(size($"sh") > 0)
+        val ex = shingleRows(t(s, dir, "documents"))
 
         // signature: min over shingles of h_i(s), i = 0..15, one pass
-        val ex = docs.select($"doc_id", explode($"sh").as("s"))
         val sigAggs = (0 until MinhashK).map(i =>
           min(h60(concat(lit(i), lit("#"), $"s"))).as(s"sig$i"))
         val sig = ex.groupBy($"doc_id").agg(sigAggs.head, sigAggs.tail: _*)
@@ -145,17 +164,21 @@ object Dedup {
           val cols = (0 until 4).map(r => col(s"sig${b * 4 + r}").cast("string"))
           struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("bk"))
         }
+        // tiny (docs x Bands rows): cache so the candidate self-join does
+        // not recompute the 16-hash signature pass twice
         val banded = sig
           .select($"doc_id", explode(array(bandStructs: _*)).as("bb"))
           .select($"doc_id", $"bb.band".as("band"), $"bb.bk".as("bk"))
+          .cache()
 
         val cand = banded.toDF("id1", "band", "bk")
           .join(banded.toDF("id2", "band", "bk"), Seq("band", "bk"))
           .filter($"id1" < $"id2")
           .select($"id1", $"id2").distinct()
 
-        // exact-verify candidates with full shingle sets
-        val sets = docs.select($"doc_id", $"sh")
+        // exact-verify candidates with full shingle sets (collected per
+        // doc; at scale the semi-join keeps this to candidates only)
+        val sets = ex.groupBy($"doc_id").agg(collect_list($"s").as("sh"))
         cand
           .join(sets.toDF("id1", "sh1"), "id1")
           .join(sets.toDF("id2", "sh2"), "id2")
@@ -247,16 +270,16 @@ object Dedup {
       "q45_dedup_embedding_cosine",
       (s, dir) => {
         import s.implicits._
-        val e = t(s, dir, "embeddings")
-          .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
-          .withColumn("nrm",
-            sqrt(aggregate($"v", lit(0.0), (acc, x) => acc + x * x)))
-        val a = e.toDF("id1", "v1", "nrm1")
-        val b = e.toDF("id2", "v2", "nrm2")
+        // native codegen'd cosine (graft.functions.CosineSimilarity):
+        // the O(n²/2) pair scan runs the 64-dim loop fused in
+        // WholeStageCodegen — ~10x over the interpreted higher-order
+        // formulation, same math (float->double per element)
+        CosineSimilarity.register(s)
+        val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+        val a = e.toDF("id1", "v1")
+        val b = e.toDF("id2", "v2")
         a.join(b, $"id1" < $"id2")
-          .withColumn("cosine", round(
-            aggregate(zip_with($"v1", $"v2", (x, y) => x * y),
-              lit(0.0), (acc, x) => acc + x) / ($"nrm1" * $"nrm2"), 4))
+          .withColumn("cosine", round(expr("cosine_sim(v1, v2)"), 4))
           .filter($"cosine" >= 0.45)
           .select($"id1", $"id2", $"cosine")
           .orderBy($"id1", $"id2")

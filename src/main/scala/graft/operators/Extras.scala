@@ -214,6 +214,63 @@ object Extras {
           FROM scored)
         SELECT doc_id, token AS top_term, tfidf
         FROM ranked WHERE rk = 1
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ----- multiset (ALL) set operations ---------------------------------
+    // intersect/except keep multiplicities here — Spark implements both
+    // as a count-compare aggregation, not a join blowup.
+    QueryDef(
+      "q68_set_ops_all",
+      (s, dir) => {
+        import s.implicits._
+        val hi = t(s, dir, "orders").filter($"o_totalprice" > 200000.0)
+          .select($"o_custkey")
+        val recent = t(s, dir, "orders")
+          .filter($"o_orderdate" >= lit("1998-01-01").cast("timestamp"))
+          .select($"o_custkey")
+        hi.intersectAll(recent)
+          .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+          .orderBy($"o_custkey")
+      },
+      Some("""
+        SELECT o_custkey, count(*) AS n
+        FROM (
+          SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0
+          INTERSECT ALL
+          SELECT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+        GROUP BY o_custkey
+        ORDER BY o_custkey""")),
+
+    // ----- the SQL interface itself --------------------------------------
+    // The engine is a library over SparkSession: registering the tables
+    // as temp views exposes the full ANSI surface via spark.sql. This
+    // query exercises from_json with an explicit schema (the events.props
+    // JSON string) and an EXISTS subquery purely in SQL.
+    QueryDef(
+      "q69_sql_interface",
+      (s, dir) => {
+        Tables.load(s, dir, "events").createOrReplaceTempView("events_v")
+        Tables.load(s, dir, "customer").createOrReplaceTempView("customer_v")
+        s.sql("""
+          SELECT e.event_type,
+                 count(*) AS n,
+                 round(avg(from_json(e.props, 'k INT').k), 4) AS avg_k
+          FROM events_v e
+          WHERE EXISTS (SELECT 1 FROM customer_v c
+                        WHERE c.c_custkey = e.user_id
+                          AND c.c_acctbal > 5000)
+          GROUP BY e.event_type
+          ORDER BY e.event_type""")
+      },
+      Some("""
+        SELECT e.event_type, count(*) AS n,
+               round(avg(CAST(json_extract_string(e.props, '$.k') AS INT)), 4)
+                 AS avg_k
+        FROM events e
+        WHERE EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = e.user_id AND c.c_acctbal > 5000)
+        GROUP BY e.event_type
+        ORDER BY e.event_type"""))
   )
 }

@@ -91,16 +91,23 @@ object Similarity {
       "q47_knn_lsh",
       (s, dir) => {
         import s.implicits._
-        // deterministic hyperplanes: Planes x Dim, components in [-1, 1]
-        val hp: Column = transform(sequence(lit(0), lit(Planes - 1)), m =>
-          transform(sequence(lit(0), lit(Dim - 1)), i =>
-            (h60(concat(m, lit("_"), i)) % 2001 - 1000) / lit(1000.0)))
+        // deterministic hyperplanes (Planes x Dim, components in [-1,1]),
+        // computed ONCE on the driver — same md5 formula the oracle uses;
+        // embedding them as a literal beats re-hashing 512 components per
+        // row (which cost ~1s per 2k rows at sf0.1)
+        val planes: Seq[Seq[Double]] = (0 until Planes).map(m =>
+          (0 until Dim).map { i =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val hex = md.digest(s"${m}_$i".getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString.take(15)
+            ((java.lang.Long.parseLong(hex, 16) % 2001) - 1000) / 1000.0
+          })
+        val hp: Column = typedLit(planes)
         val e = t(s, dir, "embeddings")
           .select($"vec_id", asDouble($"embedding").as("v"))
-          .withColumn("planes", hp)
           .withColumn("bucket",
             aggregate(
-              zip_with($"planes", sequence(lit(0), lit(Planes - 1)),
+              zip_with(hp, sequence(lit(0), lit(Planes - 1)),
                 (p, m) => when(dot(p, $"v") >= 0,
                   pow(lit(2.0), m).cast("long")).otherwise(lit(0L))),
               lit(0L), (acc, x) => acc + x))
