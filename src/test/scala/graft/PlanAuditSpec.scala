@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Regression tests for the SCALE properties of the declared plans — the
+  * things that decide whether a query that passes at sf0.01 still works
+  * at 100 TB. Each assertion reads the formatted physical plan the same
+  * way a human running .explain("formatted") would.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q02: predicate pushdown reaches the parquet scan, columns pruned") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters"), "no pushdown section")
+    assert(p.contains("GreaterThan(o_totalprice,100000.0)"),
+      "price filter not pushed to scan")
+    // 11-column table, 5-column read
+    assert(p.contains("o_orderpriority") && !p.contains("o_comment"))
+  }
+
+  test("q01: aggregation is partial (map-side) + final") {
+    val p = plan("q01_pricing_summary")
+    // two HashAggregate nodes around one Exchange = partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(p.contains("Exchange"))
+  }
+
+  test("q03: dimension joins are broadcast, not shuffled") {
+    val p = plan("q03_join_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), "dims should broadcast")
+  }
+
+  test("q09: broadcast join never shuffles the fact table") {
+    val p = plan("q09_broadcast_join_brand_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "fact-side shuffle join where a broadcast was hinted")
+  }
+
+  test("q25: global top-k is TakeOrdered, not a total sort") {
+    val p = plan("q25_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"),
+      "orderBy+limit should plan as distributed top-k")
+  }
+
+  test("q61: native cosine expression appears in the plan and supports codegen") {
+    val p = plan("q61_knn_native_expr")
+    assert(p.contains("cosine_sim"), "native expression missing from plan")
+    // the expression itself must not be a CodegenFallback (which would
+    // break the surrounding WholeStageCodegen span)
+    val e = graft.functions.CosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal.default(
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.default(
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    assert(!e.isInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback])
+  }
+
+  test("whole-stage codegen is active on the flagship query (executed plan)") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("WholeStageCodegen") || executed.contains("*("),
+      "no WholeStageCodegen span in executed plan:\n" + executed.take(1500))
+  }
+
+  test("bucketed co-located join eliminates both shuffles") {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Files.createTempDirectory("wh_").toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import spark.implicits._
+      val o = graft.engine.Tables.load(spark, sf, "orders")
+      val li = graft.engine.Tables.load(spark, sf, "lineitem")
+      o.write.format("parquet").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", s"$wh/orders_b").saveAsTable("orders_b")
+      li.write.format("parquet").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", s"$wh/lineitem_b").saveAsTable("lineitem_b")
+      val j = spark.table("lineitem_b")
+        .join(spark.table("orders_b"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus").agg(sum($"l_quantity"))
+      val p = j.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      // both sides pre-bucketed on the join key: no Exchange below the join
+      val joinSection = p.substring(0, p.indexOf("HashAggregate"))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))
+      assert(!joinSection.contains("Exchange hashpartitioning"),
+        "bucketed join should not re-shuffle either side:\n" + p.take(2000))
+      assert(j.count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}
