@@ -1,0 +1,55 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.operators.SkewJoin
+
+class IncrementalSpec extends SparkSpec {
+
+  test("incremental agg: two updates equal one batch aggregate (f(A+B)=f(A)+f(B))") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("inc_")
+    val input = base.resolve("in").toString
+    new java.io.File(input).mkdirs()
+
+    val batchA = Seq(("x", 1.0), ("y", 2.0), ("x", 3.0)).toDF("k", "v")
+    val batchB = Seq(("y", 10.0), ("z", 5.0)).toDF("k", "v")
+    batchA.write.parquet(input + "/fileA")
+    val inc = new IncrementalAgg(spark, input + "/*/", batchA.schema,
+      base.resolve("ckpt").toString, base.resolve("state").toString,
+      keys = Seq("k"), sumCols = Seq("v"))
+
+    val s1 = inc.update().collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(s1 == Set(("x", 4.0, 2L), ("y", 2.0, 1L)))
+
+    // second wave of files: only fileB is processed, state is merged
+    batchB.write.parquet(input + "/fileB")
+    val s2 = inc.update().collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(s2 == Set(("x", 4.0, 2L), ("y", 12.0, 2L), ("z", 5.0, 1L)))
+
+    // idempotence: nothing new -> state unchanged
+    val s3 = inc.update().collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(s3 == s2)
+  }
+
+  test("salted join equals plain join on skewed data") {
+    import spark.implicits._
+    // 90% of left rows share one hot key
+    val left = (1 to 2000).map(i =>
+      (if (i % 10 == 0) s"k$i" else "HOT", i)).toDF("lk", "lv")
+    val right = (Seq("HOT") ++ (10 to 2000 by 10).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, j) => (k, j) }.toDF("rk", "rv")
+    val plain = left.join(right, $"lk" === $"rk")
+      .select($"lk", $"lv", $"rv")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    val salted = SkewJoin.saltedInnerJoin(left, right, "lk", "rk", salt = 4)
+      .select($"lk", $"lv", $"rv")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(salted == plain)
+    assert(plain.size == 2000)
+  }
+}
