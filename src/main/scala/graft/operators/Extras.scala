@@ -271,6 +271,134 @@ object Extras {
         WHERE EXISTS (SELECT 1 FROM customer c
                       WHERE c.c_custkey = e.user_id AND c.c_acctbal > 5000)
         GROUP BY e.event_type
-        ORDER BY e.event_type"""))
+        ORDER BY e.event_type""")),
+
+    // ----- correlated scalar subquery, decorrelated by hand --------------
+    // "orders above their own customer's average" — the correlated
+    // subquery is expressed as the decorrelated form Catalyst would aim
+    // for: one partial-aggregated pass for per-customer means, joined
+    // back. Never a per-row subquery execution.
+    QueryDef(
+      "q70_correlated_subquery",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+        val custAvg = o.groupBy($"o_custkey".as("ck"))
+          .agg(avg($"o_totalprice").as("cust_avg"))
+        // the average itself is not emitted: a float mean rounded to 4dp
+        // can land exactly on a .00005 boundary and differ from the
+        // oracle by summation order (observed at sf0.01)
+        o.join(custAvg, $"o_custkey" === $"ck")
+          .filter($"o_totalprice" > $"cust_avg" * 1.8)
+          .select($"o_orderkey", $"o_custkey",
+            round($"o_totalprice", 4).as("price"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS price
+        FROM orders o
+        WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey) * 1.8
+        ORDER BY o_orderkey""")),
+
+    // ----- unpivot / melt -------------------------------------------------
+    QueryDef(
+      "q71_unpivot",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            round(sum($"l_quantity"), 4).as("qty"),
+            round(sum($"l_discount"), 4).as("discount"),
+            round(sum($"l_tax"), 4).as("tax"))
+          .unpivot(
+            ids = Array($"l_returnflag"),
+            values = Array($"qty", $"discount", $"tax"),
+            variableColumnName = "measure",
+            valueColumnName = "total")
+          .orderBy($"l_returnflag", $"measure")
+      },
+      Some("""
+        WITH agg AS (
+          SELECT l_returnflag,
+                 round(sum(l_quantity), 4) AS qty,
+                 round(sum(l_discount), 4) AS discount,
+                 round(sum(l_tax), 4) AS tax
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, measure, total
+        FROM (
+          SELECT l_returnflag, 'qty' AS measure, qty AS total FROM agg
+          UNION ALL
+          SELECT l_returnflag, 'discount', discount FROM agg
+          UNION ALL
+          SELECT l_returnflag, 'tax', tax FROM agg)
+        ORDER BY l_returnflag, measure""")),
+
+    // ----- TPC-H Q7 shape: bi-national trade volume by year --------------
+    QueryDef(
+      "q72_nation_trade_volume",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val sup = t(s, dir, "supplier")
+        val n1 = t(s, dir, "nation").select(
+          $"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))
+        val n2 = t(s, dir, "nation").select(
+          $"n_nationkey".as("c_nk"), $"n_name".as("cust_nation"))
+        li.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .join(broadcast(n1), $"s_nationkey" === $"s_nk")
+          .join(broadcast(n2), $"c_nationkey" === $"c_nk")
+          .filter(
+            ($"supp_nation" === "KENYA" && $"cust_nation" === "PERU") ||
+              ($"supp_nation" === "PERU" && $"cust_nation" === "KENYA"))
+          .groupBy($"supp_nation", $"cust_nation",
+            year($"l_shipdate").as("l_year"))
+          .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4)
+            .as("volume"))
+          .orderBy($"supp_nation", $"cust_nation", $"l_year")
+      },
+      Some("""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS volume
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'KENYA' AND n2.n_name = 'PERU')
+           OR (n1.n_name = 'PERU' AND n2.n_name = 'KENYA')
+        GROUP BY 1, 2, 3
+        ORDER BY supp_nation, cust_nation, l_year""")),
+
+    // ----- exact percentiles (distributed sort-based) --------------------
+    // percentile() is exact (sort within group); approx_percentile is the
+    // sketch alternative for when a shuffle-light answer suffices.
+    QueryDef(
+      "q73_percentiles",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .groupBy($"c_mktsegment")
+          .agg(
+            round(expr("percentile(c_acctbal, 0.5)"), 4).as("p50"),
+            round(expr("percentile(c_acctbal, 0.9)"), 4).as("p90"),
+            round(expr("percentile(c_acctbal, 0.99)"), 4).as("p99"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""
+        SELECT c_mktsegment,
+               round(quantile_cont(c_acctbal, 0.5), 4) AS p50,
+               round(quantile_cont(c_acctbal, 0.9), 4) AS p90,
+               round(quantile_cont(c_acctbal, 0.99), 4) AS p99
+        FROM customer
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment"""))
   )
 }
