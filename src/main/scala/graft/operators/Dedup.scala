@@ -7,16 +7,17 @@ import org.apache.spark.sql.functions._
 import graft.engine.Tables
 import graft.functions.CosineSimilarity
 
-/** Deduplication operator family over `documents` — the training-data
-  * pipeline surface (exact, n-gram Jaccard, MinHash+LSH, SimHash,
-  * embedding-cosine near-dup).
+/** Deduplication operator family over document corpora — the
+  * training-data pipeline surface (exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash, embedding-cosine near-dup), exposed as library functions over
+  * any DataFrame with (doc_id, text) / (vec_id, embedding) columns; the
+  * QueryDef entries bind them to the fixture tables for the oracle gate.
   *
   * The reference could only express any of these as hand-written
   * map/reduce pairs (/root/reference/README.txt:236-293); here each is a
-  * declared plan built purely from codegen'd `functions._` — no UDFs, so
-  * every hash/shingle/band computation stays inside WholeStageCodegen and
-  * is replicated verbatim in the DuckDB oracle SQL (md5-derived hashing
-  * computes identically in both engines).
+  * declared plan built purely from codegen'd `functions._` — no UDFs —
+  * and every hash is md5-derived so the DuckDB oracle replays the exact
+  * computation.
   *
   * Scale notes (100 TB posture):
   *  - Exact dedup = hash-groupBy → one shuffle on the digest, partial agg.
@@ -25,16 +26,36 @@ import graft.functions.CosineSimilarity
   *    MinHash+LSH (q43), which bounds the join to per-band buckets and
   *    only exact-verifies candidate pairs.
   *  - SimHash is one linear pass: 32 conditional sums per doc (no row
-  *    blowup), then pairs at Hamming distance 0 via bucket join.
+  *    blowup).
   */
 object Dedup {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Whitespace tokens; Spark `split` and DuckDB `string_split` agree
-    * (both keep interior/trailing empties; we filter empties where it
-    * matters). */
-  private def toks(c: Column): Column = split(c, " ")
+  /** First 15 hex digits of md5 as a non-negative long (60 bits) —
+    * identical in DuckDB as CAST(concat('0x', substring(md5(x),1,15)) AS
+    * BIGINT). The shared cross-engine hash primitive. */
+  private[operators] def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** First 8 hex digits of md5 as a long (32 bits). */
+  private[operators] def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  private val MinhashK = 16
+  private val Bands = 4 // 4 bands x 4 rows
+
+  // ------------------------------------------------------------------
+  // library surface
+  // ------------------------------------------------------------------
+
+  /** Exact dedup by content digest: one row per distinct `text`, keeping
+    * the smallest doc_id; never ships the text itself. */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .select(md5(col("text")).as("digest"), col("doc_id"))
+      .groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
   /** Distinct 3-token shingles per doc as rows (doc_id, s), built from
     * exploded tokens + window `lead` — LINEAR in document length.
@@ -47,7 +68,7 @@ object Dedup {
     * ~5x). Explode + lead keeps everything one pass: one Generate, one
     * hash shuffle on doc_id for the window, already the partitioning the
     * downstream grouping wants. */
-  private[operators] def shingleRows(docs: DataFrame): DataFrame = {
+  def shingleRows(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
@@ -61,42 +82,111 @@ object Dedup {
       .distinct()
   }
 
-  /** shingleRows + per-doc distinct-shingle count. */
-  private[operators] def shingleRowsWithCount(docs: DataFrame): DataFrame = {
+  /** Exact n-gram-Jaccard near-dup pairs (id1 < id2, jaccard >= threshold,
+    * 4dp). Quadratic per shingle bucket — the exactness baseline; use
+    * [[minhashLshPairs]] at corpus scale. */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    shingleRows(docs)
+    val sh = shingleRows(docs)
       .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
+    val a = sh.toDF("id1", "s", "n1")
+    val b = sh.toDF("id2", "s", "n2")
+    a.join(b, a("s") === b("s") && a("id1") < b("id2"))
+      .groupBy($"id1", $"id2")
+      .agg(count(lit(1)).as("inter"),
+        first($"n1").as("n1"), first($"n2").as("n2"))
+      .withColumn("jaccard",
+        round($"inter" / ($"n1" + $"n2" - $"inter"), 4))
+      .filter($"jaccard" >= threshold)
+      .select($"id1", $"id2", $"jaccard")
   }
 
-  /** First 15 hex digits of md5 as a non-negative long (60 bits) —
-    * identical in DuckDB as CAST(concat('0x', substring(md5(x),1,15)) AS
-    * BIGINT). The shared cross-engine hash primitive. */
-  private def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** MinHash(16) + LSH(4 bands x 4 rows) candidate generation with exact
+    * Jaccard verification of candidates only — the scale path: join work
+    * is bounded by band-bucket population, not corpus size. */
+  def minhashLshPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val ex = shingleRows(docs)
 
-  /** First 8 hex digits of md5 as a long (32 bits). */
-  private def h32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    // signature: min over shingles of h_i(s), i = 0..15, one pass
+    val sigAggs = (0 until MinhashK).map(i =>
+      min(h60(concat(lit(i), lit("#"), $"s"))).as(s"sig$i"))
+    val sig = ex.groupBy($"doc_id").agg(sigAggs.head, sigAggs.tail: _*)
 
-  private val MinhashK = 16
-  private val Bands = 4 // 4 bands x 4 rows
+    // band key = md5 of the 4 comma-joined signature values
+    val bandStructs = (0 until Bands).map { b =>
+      val cols = (0 until 4).map(r => col(s"sig${b * 4 + r}").cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("bk"))
+    }
+    // tiny (docs x Bands rows): cache so the candidate self-join does
+    // not recompute the 16-hash signature pass twice
+    val banded = sig
+      .select($"doc_id", explode(array(bandStructs: _*)).as("bb"))
+      .select($"doc_id", $"bb.band".as("band"), $"bb.bk".as("bk"))
+      .cache()
+
+    val cand = banded.toDF("id1", "band", "bk")
+      .join(banded.toDF("id2", "band", "bk"), Seq("band", "bk"))
+      .filter($"id1" < $"id2")
+      .select($"id1", $"id2").distinct()
+
+    // exact-verify candidates with full shingle sets (collected per
+    // doc; at scale the semi-join keeps this to candidates only)
+    val sets = ex.groupBy($"doc_id").agg(collect_list($"s").as("sh"))
+    cand
+      .join(sets.toDF("id1", "sh1"), "id1")
+      .join(sets.toDF("id2", "sh2"), "id2")
+      .select($"id1", $"id2",
+        round(size(array_intersect($"sh1", $"sh2")) /
+          size(array_union($"sh1", $"sh2")).cast("double"), 4).as("jaccard"))
+      .filter($"jaccard" >= threshold)
+  }
+
+  /** 32-bit SimHash fingerprint per doc, token multiplicity as weight:
+    * one linear pass, 32 conditional sums, then a sum of bit terms. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val tok = docs
+      .select($"doc_id", explode(split($"text", " ")).as("tk"))
+      .filter(length($"tk") > 0)
+      .withColumn("h", h32($"tk"))
+    val bitAggs = (0 until 32).map(j =>
+      sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"b$j"))
+    val bits = tok.groupBy($"doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+    val sh = (0 until 32)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    bits.select($"doc_id", sh.as("simhash"))
+  }
+
+  /** Embedding near-dup pairs (cosine >= threshold, 4dp) via the native
+    * codegen'd cosine Expression. Exact O(n²/2) baseline — compose behind
+    * Similarity's LSH bucketing at corpus scale. */
+  def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val s = embeddings.sparkSession
+    import s.implicits._
+    CosineSimilarity.register(s)
+    val e = embeddings.select($"vec_id", $"embedding")
+    val a = e.toDF("id1", "v1")
+    val b = e.toDF("id2", "v2")
+    a.join(b, $"id1" < $"id2")
+      .withColumn("cosine", round(expr("cosine_sim(v1, v2)"), 4))
+      .filter($"cosine" >= threshold)
+      .select($"id1", $"id2", $"cosine")
+  }
+
+  // ------------------------------------------------------------------
+  // oracle-gated bindings
+  // ------------------------------------------------------------------
 
   val defs: Seq[QueryDef] = Seq(
 
-    // ----- exact dedup: hash-groupBy on the content digest ---------------
-    // Keep the smallest doc_id per distinct text. One partially-aggregated
-    // shuffle keyed by the 128-bit digest; never ships the text itself.
     QueryDef(
       "q41_dedup_exact",
-      (s, dir) => {
-        import s.implicits._
-        t(s, dir, "documents")
-          .select(md5($"text").as("digest"), $"doc_id")
-          .groupBy($"digest")
-          .agg(min($"doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
-          .orderBy($"keep_doc_id")
-      },
+      (s, dir) => exact(t(s, dir, "documents")).orderBy(col("keep_doc_id")),
       Some("""
         SELECT md5(text) AS digest, min(doc_id) AS keep_doc_id,
                count(*) AS n_copies
@@ -104,25 +194,10 @@ object Dedup {
         GROUP BY md5(text)
         ORDER BY keep_doc_id""")),
 
-    // ----- exact n-gram Jaccard near-dup pairs ---------------------------
     QueryDef(
       "q42_dedup_ngram_jaccard",
-      (s, dir) => {
-        import s.implicits._
-        val sh = shingleRowsWithCount(t(s, dir, "documents"))
-          .select($"doc_id", $"n", $"s")
-        val a = sh.toDF("id1", "n1", "s")
-        val b = sh.toDF("id2", "n2", "s")
-        a.join(b, a("s") === b("s") && a("id1") < b("id2"))
-          .groupBy($"id1", $"id2")
-          .agg(count(lit(1)).as("inter"),
-            first($"n1").as("n1"), first($"n2").as("n2"))
-          .withColumn("jaccard",
-            round($"inter" / ($"n1" + $"n2" - $"inter"), 4))
-          .filter($"jaccard" >= 0.8)
-          .select($"id1", $"id2", $"jaccard")
-          .orderBy($"id1", $"id2")
-      },
+      (s, dir) => jaccardPairs(t(s, dir, "documents"), 0.8)
+        .orderBy(col("id1"), col("id2")),
       Some("""
         WITH sh AS (
           SELECT doc_id,
@@ -144,50 +219,10 @@ object Dedup {
                      (any_value(a.n) + any_value(b.n) - count(*)), 4) >= 0.8
         ORDER BY id1, id2""")),
 
-    // ----- MinHash + LSH near-dup: the scale path ------------------------
-    // 16 minhashes (seeded md5), 4 bands of 4 → candidate pairs only where
-    // a full band collides; exact Jaccard verifies candidates. Join work
-    // is bounded by band-bucket sizes, not corpus size.
     QueryDef(
       "q43_dedup_minhash_lsh",
-      (s, dir) => {
-        import s.implicits._
-        val ex = shingleRows(t(s, dir, "documents"))
-
-        // signature: min over shingles of h_i(s), i = 0..15, one pass
-        val sigAggs = (0 until MinhashK).map(i =>
-          min(h60(concat(lit(i), lit("#"), $"s"))).as(s"sig$i"))
-        val sig = ex.groupBy($"doc_id").agg(sigAggs.head, sigAggs.tail: _*)
-
-        // band key = md5 of the 4 comma-joined signature values
-        val bandStructs = (0 until Bands).map { b =>
-          val cols = (0 until 4).map(r => col(s"sig${b * 4 + r}").cast("string"))
-          struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("bk"))
-        }
-        // tiny (docs x Bands rows): cache so the candidate self-join does
-        // not recompute the 16-hash signature pass twice
-        val banded = sig
-          .select($"doc_id", explode(array(bandStructs: _*)).as("bb"))
-          .select($"doc_id", $"bb.band".as("band"), $"bb.bk".as("bk"))
-          .cache()
-
-        val cand = banded.toDF("id1", "band", "bk")
-          .join(banded.toDF("id2", "band", "bk"), Seq("band", "bk"))
-          .filter($"id1" < $"id2")
-          .select($"id1", $"id2").distinct()
-
-        // exact-verify candidates with full shingle sets (collected per
-        // doc; at scale the semi-join keeps this to candidates only)
-        val sets = ex.groupBy($"doc_id").agg(collect_list($"s").as("sh"))
-        cand
-          .join(sets.toDF("id1", "sh1"), "id1")
-          .join(sets.toDF("id2", "sh2"), "id2")
-          .select($"id1", $"id2",
-            round(size(array_intersect($"sh1", $"sh2")) /
-              size(array_union($"sh1", $"sh2")).cast("double"), 4).as("jaccard"))
-          .filter($"jaccard" >= 0.8)
-          .orderBy($"id1", $"id2")
-      },
+      (s, dir) => minhashLshPairs(t(s, dir, "documents"), 0.8)
+        .orderBy(col("id1"), col("id2")),
       Some("""
         WITH sh AS (
           SELECT doc_id,
@@ -225,25 +260,9 @@ object Dedup {
         WHERE jaccard >= 0.8
         ORDER BY id1, id2""")),
 
-    // ----- SimHash fingerprints ------------------------------------------
-    // 32-bit simhash with token multiplicity as weight: one linear pass,
-    // 32 conditional sums per doc (no explode), then a sum of bit terms.
     QueryDef(
       "q44_dedup_simhash",
-      (s, dir) => {
-        import s.implicits._
-        val tok = t(s, dir, "documents")
-          .select($"doc_id", explode(toks($"text")).as("tk"))
-          .filter(length($"tk") > 0)
-          .withColumn("h", h32($"tk"))
-        val bitAggs = (0 until 32).map(j =>
-          sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"b$j"))
-        val bits = tok.groupBy($"doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-        val simhash = (0 until 32)
-          .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _)
-        bits.select($"doc_id", simhash.as("simhash")).orderBy($"doc_id")
-      },
+      (s, dir) => simhash(t(s, dir, "documents")).orderBy(col("doc_id")),
       Some("""
         WITH tok AS (
           SELECT doc_id,
@@ -263,27 +282,10 @@ object Dedup {
         GROUP BY doc_id
         ORDER BY doc_id""")),
 
-    // ----- embedding-cosine near-dup pairs -------------------------------
-    // All arithmetic forced to double on both engines; self-join is the
-    // exact baseline (at scale: LSH-bucket first, see q47).
     QueryDef(
       "q45_dedup_embedding_cosine",
-      (s, dir) => {
-        import s.implicits._
-        // native codegen'd cosine (graft.functions.CosineSimilarity):
-        // the O(n²/2) pair scan runs the 64-dim loop fused in
-        // WholeStageCodegen — ~10x over the interpreted higher-order
-        // formulation, same math (float->double per element)
-        CosineSimilarity.register(s)
-        val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
-        val a = e.toDF("id1", "v1")
-        val b = e.toDF("id2", "v2")
-        a.join(b, $"id1" < $"id2")
-          .withColumn("cosine", round(expr("cosine_sim(v1, v2)"), 4))
-          .filter($"cosine" >= 0.45)
-          .select($"id1", $"id2", $"cosine")
-          .orderBy($"id1", $"id2")
-      },
+      (s, dir) => embeddingNearDupPairs(t(s, dir, "embeddings"), 0.45)
+        .orderBy(col("id1"), col("id2")),
       Some("""
         WITH e AS (
           SELECT vec_id,

@@ -399,6 +399,29 @@ object Extras {
                round(quantile_cont(c_acctbal, 0.99), 4) AS p99
         FROM customer
         GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")),
+
+    // ----- salted skew join, oracle = the plain join ---------------------
+    // Result-identical to an unsalted join by construction; the oracle
+    // states exactly that. orders.o_custkey is the "hot" axis here.
+    QueryDef(
+      "q74_salted_join",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+          .select($"c_custkey", $"c_mktsegment")
+        SkewJoin.saltedInnerJoin(o, c, "o_custkey", "c_custkey", salt = 4)
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum($"o_totalprice"), 4).as("total"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""
+        SELECT c_mktsegment, count(*) AS n_orders,
+               round(sum(o_totalprice), 4) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
         ORDER BY c_mktsegment"""))
   )
 }

@@ -41,27 +41,85 @@ object Similarity {
   private val Planes = 8
   private val Dim = 64
 
+  // ------------------------------------------------------------------
+  // library surface
+  // ------------------------------------------------------------------
+
+  /** Exact cosine top-k: queries broadcast, candidates streamed (the big
+    * side is never shuffled; cost = one scan x |queries|), per-query
+    * rank-filter window. `isQuery` splits one embeddings frame into the
+    * two roles. */
+  def bruteForceTopK(embeddings: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    val s = embeddings.sparkSession
+    import s.implicits._
+    val e = embeddings
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .withColumn("nrm", sqrt(dot($"v", $"v")))
+    val queries = e.filter(isQuery).toDF("qid", "qv", "qnrm")
+    val cands = e.filter(!isQuery).toDF("cid", "cv", "cnrm")
+    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"cid")
+    cands.join(broadcast(queries))
+      .withColumn("cosine",
+        round(dot($"qv", $"cv") / ($"qnrm" * $"cnrm"), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"qid", $"rk", $"cid", $"cosine")
+  }
+
+  /** Deterministic random-hyperplane signatures: (vec_id, v, nrm, bucket).
+    * Hyperplanes are driver-computed constants (same md5 formula the
+    * DuckDB oracle replays); search within a bucket is candidate-bounded
+    * — the 100 TB path. */
+  def lshBuckets(embeddings: DataFrame): DataFrame = {
+    val s = embeddings.sparkSession
+    import s.implicits._
+    val planes: Seq[Seq[Double]] = (0 until Planes).map(m =>
+      (0 until Dim).map { i =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"${m}_$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        ((java.lang.Long.parseLong(hex, 16) % 2001) - 1000) / 1000.0
+      })
+    val hp: Column = typedLit(planes)
+    embeddings
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .withColumn("bucket",
+        aggregate(
+          zip_with(hp, sequence(lit(0), lit(Planes - 1)),
+            (p, m) => when(dot(p, $"v") >= 0,
+              pow(lit(2.0), m).cast("long")).otherwise(lit(0L))),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("nrm", sqrt(dot($"v", $"v")))
+      .select($"vec_id", $"v", $"nrm", $"bucket")
+  }
+
+  /** Approximate top-k: exact ranking within the query's LSH bucket. */
+  def lshTopK(embeddings: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    val s = embeddings.sparkSession
+    import s.implicits._
+    val e = lshBuckets(embeddings)
+    val queries = e.filter(isQuery).toDF("qid", "qv", "qnrm", "bucket")
+    val cands = e.filter(!isQuery).toDF("cid", "cv", "cnrm", "bucket")
+    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"cid")
+    cands.join(broadcast(queries), "bucket")
+      .withColumn("cosine",
+        round(dot($"qv", $"cv") / ($"qnrm" * $"cnrm"), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"qid", $"rk", $"cid", $"cosine", $"bucket")
+  }
+
+  // ------------------------------------------------------------------
+  // oracle-gated bindings
+  // ------------------------------------------------------------------
+
   val defs: Seq[QueryDef] = Seq(
 
     // ----- brute-force cosine top-k (exact baseline) ---------------------
     QueryDef(
       "q46_knn_bruteforce",
-      (s, dir) => {
-        import s.implicits._
-        val e = t(s, dir, "embeddings")
-          .select($"vec_id", asDouble($"embedding").as("v"))
-          .withColumn("nrm", sqrt(dot($"v", $"v")))
-        val queries = e.filter($"vec_id" < 5).toDF("qid", "qv", "qnrm")
-        val cands = e.filter($"vec_id" >= 5).toDF("cid", "cv", "cnrm")
-        val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"cid")
-        cands.join(broadcast(queries))
-          .withColumn("cosine",
-            round(dot($"qv", $"cv") / ($"qnrm" * $"cnrm"), 4))
-          .withColumn("rk", row_number().over(w))
-          .filter($"rk" <= 3)
-          .select($"qid", $"rk", $"cid", $"cosine")
-          .orderBy($"qid", $"rk")
-      },
+      (s, dir) => bruteForceTopK(t(s, dir, "embeddings"),
+        col("vec_id") < 5, 3).orderBy(col("qid"), col("rk")),
       Some("""
         WITH e AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -89,41 +147,8 @@ object Similarity {
     // exactly.
     QueryDef(
       "q47_knn_lsh",
-      (s, dir) => {
-        import s.implicits._
-        // deterministic hyperplanes (Planes x Dim, components in [-1,1]),
-        // computed ONCE on the driver — same md5 formula the oracle uses;
-        // embedding them as a literal beats re-hashing 512 components per
-        // row (which cost ~1s per 2k rows at sf0.1)
-        val planes: Seq[Seq[Double]] = (0 until Planes).map(m =>
-          (0 until Dim).map { i =>
-            val md = java.security.MessageDigest.getInstance("MD5")
-            val hex = md.digest(s"${m}_$i".getBytes("UTF-8"))
-              .map("%02x".format(_)).mkString.take(15)
-            ((java.lang.Long.parseLong(hex, 16) % 2001) - 1000) / 1000.0
-          })
-        val hp: Column = typedLit(planes)
-        val e = t(s, dir, "embeddings")
-          .select($"vec_id", asDouble($"embedding").as("v"))
-          .withColumn("bucket",
-            aggregate(
-              zip_with(hp, sequence(lit(0), lit(Planes - 1)),
-                (p, m) => when(dot(p, $"v") >= 0,
-                  pow(lit(2.0), m).cast("long")).otherwise(lit(0L))),
-              lit(0L), (acc, x) => acc + x))
-          .withColumn("nrm", sqrt(dot($"v", $"v")))
-          .select($"vec_id", $"v", $"nrm", $"bucket")
-        val queries = e.filter($"vec_id" < 5).toDF("qid", "qv", "qnrm", "bucket")
-        val cands = e.filter($"vec_id" >= 5).toDF("cid", "cv", "cnrm", "bucket")
-        val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"cid")
-        cands.join(broadcast(queries), "bucket")
-          .withColumn("cosine",
-            round(dot($"qv", $"cv") / ($"qnrm" * $"cnrm"), 4))
-          .withColumn("rk", row_number().over(w))
-          .filter($"rk" <= 3)
-          .select($"qid", $"rk", $"cid", $"cosine", $"bucket")
-          .orderBy($"qid", $"rk")
-      },
+      (s, dir) => lshTopK(t(s, dir, "embeddings"), col("vec_id") < 5, 3)
+        .orderBy(col("qid"), col("rk")),
       Some("""
         WITH e AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

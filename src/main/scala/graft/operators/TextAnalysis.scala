@@ -39,34 +39,86 @@ object TextAnalysis {
     "fr" -> Seq("le ", "les", "des", "que", "eau"),
     "zh" -> Seq("zh", "sh", "ng", "xi", "qu"))
 
+  // ------------------------------------------------------------------
+  // library surface
+  // ------------------------------------------------------------------
+
+  /** Language-ID heuristic: per-language marker-n-gram occurrence scores,
+    * argmax with deterministic tiebreak. Pure per-row expressions — no
+    * shuffle at all. */
+  def langId(docs: DataFrame): DataFrame = {
+    def occurrences(marker: String): Column =
+      ((length(col("text")) -
+        length(regexp_replace(col("text"), marker, ""))) /
+        marker.length).cast("long")
+    val scores = LangMarkers.map { case (lang, ms) =>
+      ms.map(occurrences).reduce(_ + _).as(s"score_$lang")
+    }
+    val scored = docs.select((col("doc_id") +: scores): _*)
+    val best = LangMarkers.map { case (lang, _) =>
+      struct(col(s"score_$lang").as("score"), lit(lang).as("lang"))
+    }
+    scored
+      .withColumn("best", greatest(best: _*))
+      .select(col("doc_id"), col("best.lang").as("pred_lang"),
+        col("best.score").as("score"))
+  }
+
+  /** Quality heuristics: size, diversity, stopword density and a
+    * composite score — one linear pass per doc. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to")
+    val tk = toks(col("text"))
+    val nTok = size(tk).cast("long")
+    val nStop = size(filter(tk, x => x.isin(stop.map(lit): _*))).cast("long")
+    val nDistinct = size(array_distinct(tk)).cast("long")
+    val meanLen = aggregate(tk, lit(0L), (acc, x) => acc + length(x))
+      .cast("double") / nTok
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      nTok.as("n_tokens"),
+      round(nDistinct / nTok.cast("double"), 4).as("distinct_ratio"),
+      round(nStop / nTok.cast("double"), 4).as("stopword_ratio"),
+      round(meanLen, 4).as("mean_token_len"),
+      round(
+        least(nTok.cast("double") / 100.0, lit(1.0)) * 0.4 +
+          (nDistinct / nTok.cast("double")) * 0.4 +
+          least(nStop.cast("double") * 10 / nTok, lit(1.0)) * 0.2,
+        4).as("quality"))
+  }
+
+  /** Token counting: whitespace tokens, BPE-ish regex pre-tokens, vocab. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(toks(col("text"))).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+        .cast("long").as("bpe_ish_tokens"),
+      size(array_distinct(toks(col("text")))).cast("long").as("vocab"))
+
+  /** Order-sensitive rolling-hash fingerprint:
+    * fold (acc*31 + h(token)) mod p over the token sequence. */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val p = 1000000007L
+    docs.select(
+      col("doc_id"),
+      aggregate(
+        transform(toks(col("text")), x => h60(x) % p),
+        lit(0L), (acc, h) => (acc * 31 + h) % p).as("fingerprint"))
+  }
+
+  // ------------------------------------------------------------------
+  // oracle-gated bindings
+  // ------------------------------------------------------------------
+
   val defs: Seq[QueryDef] = Seq(
 
-    // ----- language-ID: n-gram marker scoring, argmax ---------------------
-    // score(lang) = total occurrences of that lang's marker n-grams; the
-    // winner is picked with max_by over (score, -rank) — deterministic
-    // tiebreak, single pass, no shuffle at all (per-row expression).
     QueryDef(
       "q48_lang_id",
-      (s, dir) => {
-        import s.implicits._
-        def occurrences(marker: String): Column =
-          ((length($"text") - length(regexp_replace($"text", marker, ""))) /
-            marker.length).cast("long")
-        val scores = LangMarkers.map { case (lang, ms) =>
-          ms.map(occurrences).reduce(_ + _).as(s"score_$lang")
-        }
-        val scored = t(s, dir, "documents")
-          .select(($"doc_id" +: scores): _*)
-        // argmax with lexicographic tiebreak: fold over (score, lang) pairs
-        val best = LangMarkers.map { case (lang, _) =>
-          struct(col(s"score_$lang").as("score"), lit(lang).as("lang"))
-        }
-        scored
-          .withColumn("best", greatest(best: _*))
-          .select($"doc_id", $"best.lang".as("pred_lang"),
-            $"best.score".as("score"))
-          .orderBy($"doc_id")
-      },
+      (s, dir) => langId(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id")),
       Some {
         def occ(m: String) =
           s"(length(text) - length(replace(text, '${m}', ''))) // ${m.length}"
@@ -92,31 +144,8 @@ object TextAnalysis {
     // ----- quality scoring: length / ratio heuristics --------------------
     QueryDef(
       "q49_quality_score",
-      (s, dir) => {
-        import s.implicits._
-        val stop = Seq("the", "a", "of", "and", "to")
-        val tk = toks($"text")
-        val nTok = size(tk).cast("long")
-        val nStop = size(filter(tk, x => x.isin(stop.map(lit): _*))).cast("long")
-        val nDistinct = size(array_distinct(tk)).cast("long")
-        val meanLen = aggregate(tk, lit(0L), (acc, x) => acc + length(x))
-          .cast("double") / nTok
-        t(s, dir, "documents")
-          .select(
-            $"doc_id",
-            length($"text").cast("long").as("n_chars"),
-            nTok.as("n_tokens"),
-            round(nDistinct / nTok.cast("double"), 4).as("distinct_ratio"),
-            round(nStop / nTok.cast("double"), 4).as("stopword_ratio"),
-            round(meanLen, 4).as("mean_token_len"),
-            // composite quality: long enough, diverse, some stopwords
-            round(
-              least(nTok.cast("double") / 100.0, lit(1.0)) * 0.4 +
-                (nDistinct / nTok.cast("double")) * 0.4 +
-                least(nStop.cast("double") * 10 / nTok, lit(1.0)) * 0.2,
-              4).as("quality"))
-          .orderBy($"doc_id")
-      },
+      (s, dir) => qualityScore(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id")),
       Some("""
         WITH f AS (
           SELECT doc_id, text,
@@ -149,17 +178,8 @@ object TextAnalysis {
     // pattern both engines).
     QueryDef(
       "q50_token_stats",
-      (s, dir) => {
-        import s.implicits._
-        t(s, dir, "documents")
-          .select(
-            $"doc_id",
-            size(toks($"text")).cast("long").as("ws_tokens"),
-            size(regexp_extract_all($"text", lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
-              .cast("long").as("bpe_ish_tokens"),
-            size(array_distinct(toks($"text"))).cast("long").as("vocab"))
-          .orderBy($"doc_id")
-      },
+      (s, dir) => tokenStats(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id")),
       Some("""
         SELECT doc_id,
                CAST(len(list_filter(string_split(text, ' '),
@@ -178,17 +198,8 @@ object TextAnalysis {
     // expression; DuckDB replays it with list_reduce.
     QueryDef(
       "q51_doc_fingerprint",
-      (s, dir) => {
-        import s.implicits._
-        val p = 1000000007L
-        t(s, dir, "documents")
-          .select(
-            $"doc_id",
-            aggregate(
-              transform(toks($"text"), x => h60(x) % p),
-              lit(0L), (acc, h) => (acc * 31 + h) % p).as("fingerprint"))
-          .orderBy($"doc_id")
-      },
+      (s, dir) => fingerprint(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id")),
       Some("""
         SELECT doc_id,
                list_reduce(
