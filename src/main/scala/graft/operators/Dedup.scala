@@ -178,6 +178,17 @@ object Dedup {
       .select($"id1", $"id2", $"cosine")
   }
 
+  /** End-to-end near-dup removal: keep each near-dup cluster's
+    * lowest-id member (pairs always satisfy id1 < id2, so dropping every
+    * id2 keeps exactly the cluster minima for transitively-closed pairs
+    * and a deterministic subset otherwise). Anti-join = one shuffle of
+    * the pair ids, corpus side untouched. */
+  def dropNearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {
+    val dupIds = minhashLshPairs(docs, threshold)
+      .select(col("id2").as("doc_id")).distinct()
+    docs.join(dupIds, Seq("doc_id"), "left_anti")
+  }
+
   // ------------------------------------------------------------------
   // oracle-gated bindings
   // ------------------------------------------------------------------
@@ -301,6 +312,48 @@ object Dedup {
         FROM n a JOIN n b ON a.vec_id < b.vec_id
         WHERE round(list_sum(list_transform(generate_series(1, len(a.v)),
                     i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) >= 0.45
-        ORDER BY id1, id2"""))
+        ORDER BY id1, id2""")),
+
+    QueryDef(
+      "q75_dedup_corpus",
+      (s, dir) => dropNearDuplicates(t(s, dir, "documents"), 0.8)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+                   THEN list_transform(
+                     generate_series(1, len(string_split(text,' ')) - 2),
+                     i -> concat_ws(' ', string_split(text,' ')[i],
+                                    string_split(text,' ')[i+1],
+                                    string_split(text,' ')[i+2]))
+                   ELSE [] END) AS sh
+          FROM documents WHERE len(string_split(text,' ')) >= 3),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        hashes AS (
+          SELECT doc_id, i,
+                 CAST(concat('0x', substring(md5(concat(i, '#', s)),1,15))
+                      AS BIGINT) AS h
+          FROM ex, (SELECT unnest(generate_series(0,15)) AS i)),
+        sig AS (SELECT doc_id, i, min(h) AS sig FROM hashes GROUP BY doc_id, i),
+        banded AS (
+          SELECT doc_id, i // 4 AS band,
+                 md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i)) AS bk
+          FROM sig GROUP BY doc_id, i // 4),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+        dup AS (
+          SELECT DISTINCT c.id2
+          FROM cand c JOIN sh s1 ON s1.doc_id = c.id1
+                      JOIN sh s2 ON s2.doc_id = c.id2
+          WHERE round(len(list_intersect(s1.sh, s2.sh))::DOUBLE /
+                      len(list_distinct(list_concat(s1.sh, s2.sh))), 4) >= 0.8)
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE doc_id NOT IN (SELECT id2 FROM dup)
+        ORDER BY doc_id"""))
   )
 }
