@@ -25,7 +25,8 @@ object SparkEntry {
     Multimodal.defs,
     MapReduceQueries.defs,
     graft.streaming.StreamingQueries.defs,
-    Extras.defs)
+    Extras.defs,
+    FunctionCoverage.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 
