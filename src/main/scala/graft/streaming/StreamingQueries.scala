@@ -281,6 +281,35 @@ object StreamingQueries {
                round(max(value), 4) AS max_value
         FROM events
         GROUP BY user_id
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // ----- streaming exact dedup -----------------------------------------
+    // dropDuplicates on a stream: first arrival wins, dedup state bounded
+    // by the watermark — the streaming form of the training-pipeline
+    // exact-dedup operator (state is keyed by the dedup columns; without
+    // the watermark it would grow forever).
+    QueryDef(
+      "q61b_stream_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val out = tmp("sink_")
+        val q = eventsStream(s, dir)
+          .withWatermark("ts", "10 days")
+          .dropDuplicates("user_id", "event_type")
+          .select($"user_id", $"event_type")
+          .writeStream
+          .outputMode(OutputMode.Append())
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", tmp("ckpt_"))
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out).orderBy($"user_id", $"event_type")
+      },
+      Some("""
+        SELECT DISTINCT user_id, event_type
+        FROM events
+        ORDER BY user_id, event_type"""))
   )
 }

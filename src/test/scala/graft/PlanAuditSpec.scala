@@ -73,6 +73,27 @@ class PlanAuditSpec extends SparkSpec {
       "no WholeStageCodegen span in executed plan:\n" + executed.take(1500))
   }
 
+  test("partitioned parquet: filters prune partitions at plan time") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("part_").toString + "/events"
+    graft.engine.Tables.load(spark, sf, "events")
+      .write.partitionBy("event_type").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .filter($"event_type" === "purchase" && $"value" > 10.0)
+      .select($"event_id", $"value")
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters") &&
+      p.contains("event_type#") || p.contains("isnotnull(event_type"),
+      "partition filter not applied:\n" + p.take(1500))
+    // the data filter must still be pushed separately
+    assert(p.contains("GreaterThan(value,10.0)"))
+    // only the matching partition is listed
+    assert(df.count() ==
+      graft.engine.Tables.load(spark, sf, "events")
+        .filter($"event_type" === "purchase" && $"value" > 10.0).count())
+  }
+
   test("bucketed co-located join eliminates both shuffles") {
     import org.apache.spark.sql.functions._
     val wh = java.nio.file.Files.createTempDirectory("wh_").toString
