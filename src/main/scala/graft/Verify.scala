@@ -11,7 +11,17 @@ object Verify {
       .builder(s"local[$cpus]", shufflePartitions = cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    // clean stale per-query dirs (renamed/removed queries would otherwise
+    // linger and confuse the compare)
+    val outFile = new java.io.File(outDir)
+    if (outFile.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(outFile)
+    }
+    outFile.mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -289,7 +289,7 @@ object StreamingQueries {
     // exact-dedup operator (state is keyed by the dedup columns; without
     // the watermark it would grow forever).
     QueryDef(
-      "q61b_stream_dedup",
+      "q79_stream_dedup",
       (s, dir) => {
         import s.implicits._
         val out = tmp("sink_")
