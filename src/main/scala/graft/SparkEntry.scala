@@ -26,7 +26,8 @@ object SparkEntry {
     MapReduceQueries.defs,
     graft.streaming.StreamingQueries.defs,
     Extras.defs,
-    FunctionCoverage.defs)
+    FunctionCoverage.defs,
+    TpchShapes.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 
