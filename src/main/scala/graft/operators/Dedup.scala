@@ -45,6 +45,22 @@ object Dedup {
   private val MinhashK = 16
   private val Bands = 4 // 4 bands x 4 rows
 
+  /** Affine minhash family over one base hash: h_i(s) = (a_i * h30 + b_i)
+    * mod P where h30 = h60(s) mod 2^30. ONE md5 per shingle instead of
+    * 16 — the signature pass is the dominant cost of LSH dedup, and at
+    * corpus scale 16x less hashing is 16x less CPU on the hot path.
+    * Constants are generated from i (odd multipliers, Knuth-style mix)
+    * and interpolated into the oracle SQL from this same definition, so
+    * the two engines cannot drift. a_i*h30+b_i < 2^31 * 2^30 + 2^31 <
+    * 2^62 — no 64-bit overflow on either engine. */
+  private val MinhashP = 1000000007L
+  private[operators] val minhashAB: Seq[(Long, Long)] =
+    (0 until MinhashK).map { i =>
+      val a = ((i.toLong * 2654435761L + 1) % (1L << 30)) | 1L
+      val b = (i.toLong * 40503L * 65537L + 17L) % MinhashP
+      (a, b)
+    }
+
   // ------------------------------------------------------------------
   // library surface
   // ------------------------------------------------------------------
@@ -109,10 +125,13 @@ object Dedup {
     val s = docs.sparkSession
     import s.implicits._
     val ex = shingleRows(docs)
+      .withColumn("h30", h60(col("s")) % (1L << 30))
 
-    // signature: min over shingles of h_i(s), i = 0..15, one pass
-    val sigAggs = (0 until MinhashK).map(i =>
-      min(h60(concat(lit(i), lit("#"), $"s"))).as(s"sig$i"))
+    // signature: min over shingles of h_i(s), i = 0..15 — one base md5
+    // per shingle, 16 affine mixes (see minhashAB)
+    val sigAggs = minhashAB.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h30") * a + b) % MinhashP).as(s"sig$i")
+    }
     val sig = ex.groupBy($"doc_id").agg(sigAggs.head, sigAggs.tail: _*)
 
     // band key = md5 of the 4 comma-joined signature values
@@ -193,6 +212,52 @@ object Dedup {
   // oracle-gated bindings
   // ------------------------------------------------------------------
 
+  /** Shared DuckDB CTE chain replaying the MinHash+LSH pipeline with the
+    * SAME affine constants as the Spark plan (interpolated from
+    * [[minhashAB]] — single source of truth). `tail` selects from the
+    * final CTEs: sh(doc_id, sh), cand(id1, id2), j(id1, id2, jaccard). */
+  private def minhashOracle(tail: String): String = {
+    val abValues = minhashAB.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    s"""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+                   THEN list_transform(
+                     generate_series(1, len(string_split(text,' ')) - 2),
+                     i -> concat_ws(' ', string_split(text,' ')[i],
+                                    string_split(text,' ')[i+1],
+                                    string_split(text,' ')[i+2]))
+                   ELSE [] END) AS sh
+          FROM documents WHERE len(string_split(text,' ')) >= 3),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        base AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substring(md5(s),1,15)) AS BIGINT)
+                   % 1073741824 AS h30
+          FROM ex),
+        ab(i, a, b) AS (VALUES $abValues),
+        sig AS (
+          SELECT doc_id, i, min((h30 * a + b) % $MinhashP) AS sig
+          FROM base, ab GROUP BY doc_id, i),
+        banded AS (
+          SELECT doc_id, i // 4 AS band,
+                 md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i)) AS bk
+          FROM sig GROUP BY doc_id, i // 4),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+        j AS (
+          SELECT c.id1, c.id2,
+                 round(len(list_intersect(s1.sh, s2.sh))::DOUBLE /
+                       len(list_distinct(list_concat(s1.sh, s2.sh))), 4)
+                   AS jaccard
+          FROM cand c JOIN sh s1 ON s1.doc_id = c.id1
+                      JOIN sh s2 ON s2.doc_id = c.id2)
+        $tail"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -234,42 +299,10 @@ object Dedup {
       "q43_dedup_minhash_lsh",
       (s, dir) => minhashLshPairs(t(s, dir, "documents"), 0.8)
         .orderBy(col("id1"), col("id2")),
-      Some("""
-        WITH sh AS (
-          SELECT doc_id,
-                 list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
-                   THEN list_transform(
-                     generate_series(1, len(string_split(text,' ')) - 2),
-                     i -> concat_ws(' ', string_split(text,' ')[i],
-                                    string_split(text,' ')[i+1],
-                                    string_split(text,' ')[i+2]))
-                   ELSE [] END) AS sh
-          FROM documents WHERE len(string_split(text,' ')) >= 3),
-        ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-        hashes AS (
-          SELECT doc_id, i,
-                 CAST(concat('0x', substring(md5(concat(i, '#', s)),1,15))
-                      AS BIGINT) AS h
-          FROM ex, (SELECT unnest(generate_series(0,15)) AS i)),
-        sig AS (SELECT doc_id, i, min(h) AS sig FROM hashes GROUP BY doc_id, i),
-        banded AS (
-          SELECT doc_id, i // 4 AS band,
-                 md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i)) AS bk
-          FROM sig GROUP BY doc_id, i // 4),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-          FROM banded a JOIN banded b
-            ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
-        j AS (
-          SELECT c.id1, c.id2,
-                 round(len(list_intersect(s1.sh, s2.sh))::DOUBLE /
-                       len(list_distinct(list_concat(s1.sh, s2.sh))), 4)
-                   AS jaccard
-          FROM cand c JOIN sh s1 ON s1.doc_id = c.id1
-                      JOIN sh s2 ON s2.doc_id = c.id2)
+      Some(minhashOracle("""
         SELECT id1, id2, jaccard FROM j
         WHERE jaccard >= 0.8
-        ORDER BY id1, id2""")),
+        ORDER BY id1, id2"""))),
 
     QueryDef(
       "q44_dedup_simhash",
@@ -319,41 +352,10 @@ object Dedup {
       (s, dir) => dropNearDuplicates(t(s, dir, "documents"), 0.8)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy(col("doc_id")),
-      Some("""
-        WITH sh AS (
-          SELECT doc_id,
-                 list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
-                   THEN list_transform(
-                     generate_series(1, len(string_split(text,' ')) - 2),
-                     i -> concat_ws(' ', string_split(text,' ')[i],
-                                    string_split(text,' ')[i+1],
-                                    string_split(text,' ')[i+2]))
-                   ELSE [] END) AS sh
-          FROM documents WHERE len(string_split(text,' ')) >= 3),
-        ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-        hashes AS (
-          SELECT doc_id, i,
-                 CAST(concat('0x', substring(md5(concat(i, '#', s)),1,15))
-                      AS BIGINT) AS h
-          FROM ex, (SELECT unnest(generate_series(0,15)) AS i)),
-        sig AS (SELECT doc_id, i, min(h) AS sig FROM hashes GROUP BY doc_id, i),
-        banded AS (
-          SELECT doc_id, i // 4 AS band,
-                 md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i)) AS bk
-          FROM sig GROUP BY doc_id, i // 4),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-          FROM banded a JOIN banded b
-            ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
-        dup AS (
-          SELECT DISTINCT c.id2
-          FROM cand c JOIN sh s1 ON s1.doc_id = c.id1
-                      JOIN sh s2 ON s2.doc_id = c.id2
-          WHERE round(len(list_intersect(s1.sh, s2.sh))::DOUBLE /
-                      len(list_distinct(list_concat(s1.sh, s2.sh))), 4) >= 0.8)
+      Some(minhashOracle("""
         SELECT doc_id, lang, source, n_chars
         FROM documents
-        WHERE doc_id NOT IN (SELECT id2 FROM dup)
-        ORDER BY doc_id"""))
+        WHERE doc_id NOT IN (SELECT DISTINCT id2 FROM j WHERE jaccard >= 0.8)
+        ORDER BY doc_id""")))
   )
 }
