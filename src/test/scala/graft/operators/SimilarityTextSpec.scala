@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+/** Unit tests for the similarity-search and text-analysis library
+  * functions on synthetic inputs. */
+class SimilarityTextSpec extends SparkSpec {
+
+  private def emb(rows: (Long, Seq[Float])*) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("bruteForceTopK ranks by cosine with deterministic tiebreak") {
+    // query 0 = (1,0); candidates: 10 parallel, 11 orthogonal, 12 diagonal
+    val d = emb(
+      (0L, Seq(1f, 0f)),
+      (10L, Seq(5f, 0f)),
+      (11L, Seq(0f, 3f)),
+      (12L, Seq(1f, 1f)))
+    val r = Similarity.bruteForceTopK(d, col("vec_id") < 10, 3)
+      .orderBy(col("rk")).collect()
+      .map(x => (x.getInt(1), x.getLong(2), x.getDouble(3)))
+    assert(r.map(_._2).toSeq == Seq(10L, 12L, 11L))
+    assert(r.head._3 == 1.0)
+  }
+
+  test("lshBuckets: identical vectors land in the same bucket, buckets in range") {
+    val d = emb(
+      (1L, Seq.tabulate(64)(i => i.toFloat / 64)),
+      (2L, Seq.tabulate(64)(i => i.toFloat / 64)),
+      (3L, Seq.tabulate(64)(i => -(i.toFloat) / 64)))
+    val r = Similarity.lshBuckets(d).collect()
+      .map(x => (x.getLong(0), x.getLong(3))).toMap
+    assert(r(1L) == r(2L))
+    assert(r(3L) != r(1L)) // opposite vector flips every hyperplane sign
+    assert(r.values.forall(b => b >= 0 && b < 256))
+  }
+
+  test("langId is deterministic and scores marker occurrences") {
+    import spark.implicits._
+    val d = Seq((1L, "the cat and the dog"), (2L, "zzz qqq"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.langId(d).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toList
+    assert(r.map(_._1) == List(1L, 2L))
+    val doc1 = r.head
+    assert(doc1._3 > 0) // 'the'/'and' markers present
+  }
+
+  test("qualityScore ratios are consistent") {
+    import spark.implicits._
+    val d = Seq((1L, "the the the the")).toDF("doc_id", "text")
+    val row = TextAnalysis.qualityScore(d).collect().head
+    assert(row.getLong(2) == 4L)             // n_tokens
+    assert(row.getDouble(3) == 0.25)          // distinct_ratio
+    assert(row.getDouble(4) == 1.0)           // stopword_ratio
+    assert(row.getDouble(5) == 3.0)           // mean_token_len
+  }
+
+  test("fingerprint is order-sensitive (a true rolling hash)") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.fingerprint(d).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r(1L) == r(3L))
+    assert(r(1L) != r(2L))
+  }
+
+  test("tokenStats counts regex token classes") {
+    import spark.implicits._
+    val d = Seq((1L, "ab1 cd, ef")).toDF("doc_id", "text")
+    val row = TextAnalysis.tokenStats(d).collect().head
+    assert(row.getLong(1) == 3L) // ws tokens: ab1 / cd, / ef
+    // bpe-ish: ab, 1, cd, ',', ef
+    assert(row.getLong(2) == 5L)
+  }
+}
