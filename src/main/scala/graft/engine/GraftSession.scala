@@ -39,4 +39,28 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Production posture for a real cluster (master/resources come from
+    * spark-submit / the resource manager — never hardcoded here). Sizing
+    * rules, per SCALING.md:
+    *  - shuffle partitions ≈ 2-3x total executor cores; AQE coalesces
+    *    per-stage, so over-partitioning is cheap and under-partitioning
+    *    spills;
+    *  - broadcast threshold raised so all dimension-scale tables
+    *    broadcast (the fixtures' region/nation/supplier/part stay
+    *    dimension-sized at any SF);
+    *  - 128 MB scan partitions keep a task's batch + shuffle buffers
+    *    inside executor memory. */
+  def clusterBuilder(totalCores: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", (totalCores * 3).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (200L * 1024 * 1024).toString)
+      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
 }

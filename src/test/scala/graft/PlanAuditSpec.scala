@@ -12,9 +12,18 @@ class PlanAuditSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private def plan(name: String): String = {
-    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
-    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  private def plan(name: String): String =
+    graft.plans.PlanInspector.formatted(SparkEntry.queries(name)(spark, sf))
+
+  test("PlanInspector predicates agree with the raw plan checks") {
+    val df = SparkEntry.queries("q03_join_revenue_by_nation")(spark, sf)
+    assert(graft.plans.PlanInspector.hasBroadcastJoin(df))
+    assert(graft.plans.PlanInspector.hasPartialAggregation(df))
+    assert(graft.plans.PlanInspector.exchangeCount(df) >= 1)
+    val q2 = SparkEntry.queries("q02_filter_project")(spark, sf)
+    assert(graft.plans.PlanInspector.hasPushedFilter(q2,
+      "GreaterThan(o_totalprice,100000.0)"))
+    assert(!graft.plans.PlanInspector.readSchemaContains(q2, "o_comment"))
   }
 
   test("q02: predicate pushdown reaches the parquet scan, columns pruned") {
