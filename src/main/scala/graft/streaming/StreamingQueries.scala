@@ -310,6 +310,51 @@ object StreamingQueries {
       Some("""
         SELECT DISTINCT user_id, event_type
         FROM events
-        ORDER BY user_id, event_type"""))
+        ORDER BY user_id, event_type""")),
+
+    // ----- stream-stream interval join -----------------------------------
+    // Purchases matched to the same user's clicks from the preceding hour
+    // — both sides are streams; the watermarks + the time-bound condition
+    // are what let Spark BOUND the join state (each side's buffer evicts
+    // rows older than watermark + interval). The reference cannot express
+    // any join, let alone a state-bounded streaming one.
+    QueryDef(
+      "q85_stream_stream_join",
+      (s, dir) => {
+        import s.implicits._
+        val out = tmp("sink_")
+        val ev = eventsStream(s, dir)
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"event_id".as("c_id"), $"user_id".as("c_user"),
+            $"ts".as("c_ts"))
+          .withWatermark("c_ts", "1 hour")
+        val q = purchases
+          .join(clicks,
+            $"user_id" === $"c_user" &&
+              $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") &&
+              $"c_ts" <= $"p_ts")
+          .select($"p_id", $"user_id", $"c_id", $"c_ts")
+          .writeStream
+          .outputMode(OutputMode.Append())
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", tmp("ckpt_"))
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out).orderBy($"p_id", $"c_id")
+      },
+      Some("""
+        SELECT p.event_id AS p_id, p.user_id, c.event_id AS c_id, c.ts AS c_ts
+        FROM events p
+        JOIN events c
+          ON p.event_type = 'purchase' AND c.event_type = 'click'
+         AND c.user_id = p.user_id
+         AND c.ts >= p.ts - INTERVAL 1 HOUR
+         AND c.ts <= p.ts
+        ORDER BY p_id, c_id"""))
   )
 }
