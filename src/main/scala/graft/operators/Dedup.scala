@@ -187,8 +187,9 @@ object Dedup {
   }
 
   /** Embedding near-dup pairs (cosine >= threshold, 4dp) via the native
-    * codegen'd cosine Expression. Exact O(n²/2) baseline — compose behind
-    * Similarity's LSH bucketing at corpus scale. */
+    * codegen'd cosine Expression. Exact O(n²/2) ORACLE BASELINE — the
+    * production path at corpus scale is [[embeddingNearDupLshPairs]],
+    * which bounds the join to LSH band buckets. */
   def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
     val s = embeddings.sparkSession
     import s.implicits._
@@ -197,6 +198,43 @@ object Dedup {
     val a = e.toDF("id1", "v1")
     val b = e.toDF("id2", "v2")
     a.join(b, $"id1" < $"id2")
+      .withColumn("cosine", round(expr("cosine_sim(v1, v2)"), 4))
+      .filter($"cosine" >= threshold)
+      .select($"id1", $"id2", $"cosine")
+  }
+
+  /** LSH-composed embedding near-dup — the 100 TB path for
+    * [[embeddingNearDupPairs]]'s operator: 8-bit random-hyperplane
+    * signatures ([[Similarity.lshBuckets]]), banded 4 x 2 bits for recall
+    * (a pair is a candidate if ANY band matches — P(2-bit band match) for
+    * near vectors is far higher than P(all 8 bits match)), candidate join
+    * bounded by band-bucket population, then exact cosine verification of
+    * candidates only via the native codegen'd expression. Same recipe
+    * [[minhashLshPairs]] uses for text: linear signature pass, bucketed
+    * candidate join, candidate-only verify — never n²/2 pairs. */
+  def embeddingNearDupLshPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val s = embeddings.sparkSession
+    import s.implicits._
+    CosineSimilarity.register(s)
+    val sig = Similarity.lshBuckets(embeddings).select($"vec_id", $"bucket")
+    val bandStructs = (0 until 4).map { m =>
+      struct(lit(m).as("band"),
+        shiftright($"bucket", 2 * m).bitwiseAND(3).as("bk"))
+    }
+    // tiny (vectors x 4 rows): cache so the candidate self-join does not
+    // recompute the hyperplane signature pass twice
+    val banded = sig
+      .select($"vec_id", explode(array(bandStructs: _*)).as("bb"))
+      .select($"vec_id", $"bb.band".as("band"), $"bb.bk".as("bk"))
+      .cache()
+    val cand = banded.toDF("id1", "band", "bk")
+      .join(banded.toDF("id2", "band", "bk"), Seq("band", "bk"))
+      .filter($"id1" < $"id2")
+      .select($"id1", $"id2").distinct()
+    val vecs = embeddings.select($"vec_id", $"embedding")
+    cand
+      .join(vecs.toDF("id1", "v1"), "id1")
+      .join(vecs.toDF("id2", "v2"), "id2")
       .withColumn("cosine", round(expr("cosine_sim(v1, v2)"), 4))
       .filter($"cosine" >= threshold)
       .select($"id1", $"id2", $"cosine")
@@ -321,12 +359,16 @@ object Dedup {
           WHERE length(tk) > 0),
         bits AS (
           SELECT doc_id, j,
-                 sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                 CAST(sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)
+                      AS BIGINT) AS s
           FROM tok, (SELECT unnest(generate_series(0,31)) AS j)
           GROUP BY doc_id, j)
+        -- outer CAST: DuckDB sum() yields HUGEINT, which the comparison
+        -- bridge widens to float64 and formats as '...0.0' — BIGINT keeps
+        -- the value bit-identical to Spark's int64
         SELECT doc_id,
-               sum(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT)
-                        ELSE 0 END) AS simhash
+               CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS simhash
         FROM bits
         GROUP BY doc_id
         ORDER BY doc_id""")),
@@ -348,6 +390,49 @@ object Dedup {
                round(list_sum(list_transform(generate_series(1, len(a.v)),
                      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS cosine
         FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE round(list_sum(list_transform(generate_series(1, len(a.v)),
+                    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) >= 0.45
+        ORDER BY id1, id2""")),
+
+    // the 100 TB path for q45's operator: same threshold, but candidates
+    // come from banded hyperplane buckets instead of all pairs; the oracle
+    // replays the identical bucketing, so the (approximate-by-construction)
+    // result compares exactly
+    QueryDef(
+      "q86_dedup_embedding_lsh",
+      (s, dir) => embeddingNearDupLshPairs(t(s, dir, "embeddings"), 0.45)
+        .orderBy(col("id1"), col("id2")),
+      Some("""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        n AS (
+          SELECT vec_id, v,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM e),
+        sig AS (
+          SELECT vec_id,
+                 CAST(list_sum(list_transform(generate_series(0, 7), m ->
+                   CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                          i -> ((CAST(concat('0x', substring(md5(
+                                  concat(m, '_', i - 1)),1,15)) AS BIGINT)
+                                 % 2001 - 1000) / 1000.0) * v[i])) >= 0
+                        THEN CAST(power(2, m) AS BIGINT) ELSE 0 END))
+                      AS BIGINT) AS bucket
+          FROM e),
+        banded AS (
+          SELECT vec_id, m AS band, (bucket >> (2 * m)) & 3 AS bk
+          FROM sig, (SELECT unnest(generate_series(0, 3)) AS m)),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id)
+        SELECT c.id1, c.id2,
+               round(list_sum(list_transform(generate_series(1, len(a.v)),
+                     i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS cosine
+        FROM cand c JOIN n a ON a.vec_id = c.id1
+                    JOIN n b ON b.vec_id = c.id2
         WHERE round(list_sum(list_transform(generate_series(1, len(a.v)),
                     i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) >= 0.45
         ORDER BY id1, id2""")),

@@ -28,7 +28,10 @@ object FunctionCoverage {
             $"doc_id",
             element_at(array_sort(array_distinct($"tk")), 1).as("first_sorted"),
             element_at(reverse($"tk"), 1).as("last_token"),
-            slice($"tk", 1, 3).as("head3"),
+            // serialized with '|' rather than emitted as array<string>:
+            // raw array cells are unhashable/unsortable in the oracle
+            // comparison bridge
+            concat_ws("|", slice($"tk", 1, 3)).as("head3"),
             array_position($"tk", "data").cast("long").as("pos_data"),
             array_contains($"tk", "spark").as("has_spark"),
             size(flatten(array($"tk", $"tk"))).cast("long").as("doubled_len"))
@@ -42,7 +45,7 @@ object FunctionCoverage {
         SELECT doc_id,
                list_sort(list_distinct(tk))[1] AS first_sorted,
                list_reverse(tk)[1] AS last_token,
-               tk[1:3] AS head3,
+               array_to_string(tk[1:3], '|') AS head3,
                CAST(coalesce(list_position(tk, 'data'), 0) AS BIGINT)
                  AS pos_data,
                list_contains(tk, 'spark') AS has_spark,
