@@ -21,6 +21,7 @@ object SparkEntry {
     TextQueries.defs,
     Dedup.defs,
     Similarity.defs,
+    SourceCoverage.defs,
     TextAnalysis.defs,
     Multimodal.defs,
     MapReduceQueries.defs,

@@ -28,6 +28,10 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // failure marker: a crashed query must read as FAIL downstream,
+        // not silently vanish from the comparison
+        Files.writeString(Paths.get(s"$outDir/$name._FAILED"),
+          String.valueOf(e.getMessage))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -19,7 +19,8 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   *
   * Accepts array<float> (the fixture layout — half the bytes of double at
   * rest and in cache) or array<double>; arithmetic is double either way.
-  * Null or length-mismatched inputs yield null.
+  * Null inputs, null ELEMENTS, and length-mismatched inputs yield null
+  * (SQL semantics — a null component must not silently read as 0.0).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -53,6 +54,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
+      // a null ELEMENT propagates null (SQL semantics, matches the
+      // oracle) — silently reading it as 0.0 would skew the result
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv: Double = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv: Double = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xv * yv; nx += xv * xv; ny += yv * yv
@@ -74,19 +78,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       val denom = ctx.freshName("denom")
+      val anyNull = ctx.freshName("anyNull")
       s"""
         final int $n = $a.numElements();
         if ($n != $b.numElements()) {
           ${ev.isNull} = true;
         } else {
           double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+          boolean $anyNull = false;
           for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
             final double $xv = (double) $a.$lGet($i);
             final double $yv = (double) $b.$rGet($i);
             $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
           }
           final double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
-          if ($denom == 0.0) {
+          if ($anyNull || $denom == 0.0) {
             ${ev.isNull} = true;
           } else {
             ${ev.value} = $dot / $denom;

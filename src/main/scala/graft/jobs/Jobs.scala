@@ -73,10 +73,14 @@ object TransferType {
 final case class JobResult(name: String, ok: Boolean, seconds: Double,
     error: Option[String])
 
-/** Persistent priority queue + runner. State (queue order, finished set,
-  * runtimes) survives restarts via a JSON-lines journal, like JOBS.data
-  * under flock (/root/reference/scheduler.py:586-600) — single-writer
-  * here, the driver.
+/** Persistent priority queue + runner. The finished-set survives restarts
+  * via a JSON-lines journal, like JOBS.data under flock
+  * (/root/reference/scheduler.py:586-600) — single-writer here, the
+  * driver. Job BODIES are closures and cannot be journaled: on restart
+  * the caller resubmits its job definitions and any job the journal
+  * recorded as finished is re-marked finished (so it is skipped unless
+  * `forceRun`), which is the same contract the reference's scheduler
+  * gives restarted runners.
   */
 final class JobQueue(stateFile: Option[String] = None) {
 
@@ -87,9 +91,28 @@ final class JobQueue(stateFile: Option[String] = None) {
   private val runtimes = mutable.Map.empty[String, mutable.ArrayBuffer[Double]]
   private var seqCounter = 0L
 
+  // restore: names the journal recorded as finished in a previous
+  // process; applied when the job is resubmitted
+  private val journaledFinished: Set[String] = stateFile match {
+    case Some(f) if Files.exists(Paths.get(f)) =>
+      val nameRe = """"name":"((?:[^"\\]|\\.)*)"""".r
+      val finRe = """"finished":(true|false)""".r
+      scala.jdk.CollectionConverters.ListHasAsScala(
+        Files.readAllLines(Paths.get(f))).asScala
+        .flatMap { line =>
+          for {
+            nm <- nameRe.findFirstMatchIn(line).map(m => JobQueue.unescape(m.group(1)))
+            fin <- finRe.findFirstMatchIn(line).map(_.group(1) == "true")
+            if fin
+          } yield nm
+        }.toSet
+    case _ => Set.empty
+  }
+
   def submit(job: JobSpec): Unit = synchronized {
     require(!entries.exists(_.job.name == job.name), s"duplicate job ${job.name}")
     entries += Entry(job, { seqCounter += 1; seqCounter })
+    if (journaledFinished.contains(job.name)) finished += job.name
     persist()
   }
 
@@ -169,14 +192,52 @@ final class JobQueue(stateFile: Option[String] = None) {
       }
   }
 
-  /** Journal queue metadata (not closures) as JSON lines. */
+  /** Journal queue metadata (not closures) as JSON lines. Names and
+    * groups are JSON-escaped — a quote in a job name must not corrupt
+    * the journal. */
   private def persist(): Unit = stateFile.foreach { f =>
+    import JobQueue.escape
     val lines = ordered.map { e =>
-      val g = e.job.groupName.map(s => "\"" + s + "\"").getOrElse("null")
-      s"""{"name":"${e.job.name}","priority":${e.job.priority},"group":$g,""" +
+      val g = e.job.groupName
+        .map(s => "\"" + escape(s) + "\"").getOrElse("null")
+      s"""{"name":"${escape(e.job.name)}","priority":${e.job.priority},"group":$g,""" +
         s""""runOnce":${e.job.runOnce},"finished":${finished.contains(e.job.name)}}"""
     }
     Files.write(Paths.get(f), lines.mkString("\n").getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+}
+
+object JobQueue {
+  private[jobs] def escape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private[jobs] def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"'  => sb += '"'; i += 2
+          case '\\' => sb += '\\'; i += 2
+          case 'n'  => sb += '\n'; i += 2
+          case 'r'  => sb += '\r'; i += 2
+          case 't'  => sb += '\t'; i += 2
+          case 'u' if i + 6 <= s.length =>
+            sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+            i += 6
+          case other => sb += other; i += 2
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
   }
 }

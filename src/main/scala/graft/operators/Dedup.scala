@@ -100,16 +100,35 @@ object Dedup {
 
   /** Exact n-gram-Jaccard near-dup pairs (id1 < id2, jaccard >= threshold,
     * 4dp). Quadratic per shingle bucket — the exactness baseline; use
-    * [[minhashLshPairs]] at corpus scale. */
-  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    * [[minhashLshPairs]] at corpus scale.
+    *
+    * `maxShingleFreq` guards the quadratic blowup: a shingle appearing in
+    * f docs contributes f² join rows, so one stopword trigram shared by
+    * 10^6 docs is 10^12 rows from a single bucket. With a cap, shingles
+    * in more than `cap` docs are dropped from the shingle UNIVERSE
+    * (both intersection and union counts — jaccard over the filtered
+    * sets, the standard document-frequency cut), bounding any bucket's
+    * contribution at cap². None (the oracle default) keeps exact
+    * semantics. */
+  def jaccardPairs(docs: DataFrame, threshold: Double,
+      maxShingleFreq: Option[Int] = None): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     // join on a 60-bit hash of the shingle, not the string: fixed-width
     // long keys shrink the shuffle and the sort-merge compares (~25%
     // at sf0.1); a cross-doc hash collision would need ~2^30 distinct
     // shingles to matter (md5-derived, uniform)
-    val sh = shingleRows(docs)
+    val base = shingleRows(docs)
       .select($"doc_id", h60($"s").as("hs"))
+    val guarded = maxShingleFreq match {
+      case Some(cap) =>
+        base
+          .withColumn("_f", count(lit(1)).over(Window.partitionBy($"hs")))
+          .filter($"_f" <= cap)
+          .drop("_f")
+      case None => base
+    }
+    val sh = guarded
       .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
     val a = sh.toDF("id1", "hs", "n1")
     val b = sh.toDF("id2", "hs", "n2")

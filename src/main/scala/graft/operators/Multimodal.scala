@@ -79,7 +79,20 @@ object Multimodal {
                CAST(ascii(substring(text, 1, 1)) AS INT) AS fake_width,
                CAST(ascii(substring(text, 2, 1)) AS INT) AS fake_height
         FROM documents
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // column-pruning contract gated by CORRECTNESS, not only the plan
+    // audit: the aggregation must never read the binary column (its
+    // ReadSchema excludes `media` — asserted in PlanAuditSpec) and still
+    // produce the exact metadata rollup.
+    QueryDef(
+      "q89_multimodal_metadata_only",
+      (s, dir) => metadataOnly(s, dir).orderBy(col("lang")),
+      Some("""
+        SELECT lang, count(*) AS n
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang"""))
   )
 
   /** Column-pruning counterpart: metadata-only aggregation that must never

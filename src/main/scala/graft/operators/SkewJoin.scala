@@ -26,16 +26,20 @@ object SkewJoin {
       leftKey: String, rightKey: String,
       salt: Int = 8): DataFrame = {
     require(salt > 0)
-    // probe side: uniform per-row salt (any assignment is correct; a hash
-    // of the row id spreads rows evenly without an RNG column)
+    // probe side: salt from a hash of the FULL row content — stable under
+    // task retries (monotonically_increasing_id() reassigns on re-run,
+    // which is correct but makes re-executions bit-nonidentical), and
+    // spreads a hot key's rows because the non-key columns vary
     val saltedLeft = left.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salt)))
+      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(salt.toLong)))
     // build side: replicate each row across every salt bucket
     val saltedRight = right.withColumn("_salt",
       explode(sequence(lit(0L), lit(salt - 1L))))
     saltedLeft
       .join(saltedRight,
-        col(leftKey) === col(rightKey) &&
+        // keys qualified per side: with same-named key columns an
+        // unqualified col() is ambiguous (AnalysisException) or worse
+        saltedLeft(leftKey) === saltedRight(rightKey) &&
           saltedLeft("_salt") === saltedRight("_salt"))
       .drop("_salt")
   }

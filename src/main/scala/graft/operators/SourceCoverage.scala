@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.engine.Tables
+
+/** Raw-text and CSV scan coverage (SURVEY.md §2 Table B scan rows): the
+  * reference's native input is raw lines handed to the map function
+  * (/root/reference/mapper.py:58-59); these queries prove the engine
+  * ingests line-oriented and CSV data end-to-end, not just parquet and
+  * JSON-lines.
+  *
+  * The fixture set is parquet-only, so each query first STAGES a file
+  * set from `documents` under java.io.tmpdir (overwrite-idempotent, so
+  * re-runs are deterministic), then reads it back through the source
+  * under test. The oracle replays the same computation from the parquet
+  * table directly — any parse or round-trip fault therefore surfaces as
+  * a row/hash mismatch against DuckDB.
+  *
+  * Scale notes (100 TB posture):
+  *  - text/CSV scans split by line ranges exactly like parquet row
+  *    groups; `spark.sql.files.maxPartitionBytes` bounds task input, so
+  *    the plan shape is identical at any corpus size.
+  *  - the CSV read declares an EXPLICIT schema: schema inference is a
+  *    second full pass over the data and is never acceptable at scale.
+  *  - parsing stays inside WholeStageCodegen (split_part/cast built-ins,
+  *    no UDFs), and the aggregation after the scan is partial+final.
+  */
+object SourceCoverage {
+
+  /** Deterministic staging dir per (tag, fixture dir). */
+  private def stagePath(tag: String, dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_src_${tag}_${Integer.toHexString(dir.hashCode)}"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- raw-text source: the reference's native input shape ----------
+    // one "doc_id<TAB>text" line per document; read.text → split_part
+    // parse → tokenize → per-doc token count.
+    QueryDef(
+      "q87_raw_text_source",
+      (s, dir) => {
+        import s.implicits._
+        val staged = stagePath("text", dir)
+        Tables.load(s, dir, "documents")
+          .select(concat_ws("\t", $"doc_id", $"text").as("value"))
+          .write.mode("overwrite").text(staged)
+        s.read.text(staged)
+          .select(
+            split_part($"value", lit("\t"), lit(1)).cast("long").as("doc_id"),
+            split_part($"value", lit("\t"), lit(2)).as("text"))
+          .select($"doc_id", explode(split($"text", " ")).as("tk"))
+          .filter(length($"tk") > 0)
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tokens"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id, count(*) AS n_tokens
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+              FROM documents)
+        WHERE length(tk) > 0
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    // ----- CSV source: header + explicit schema round-trip --------------
+    QueryDef(
+      "q88_csv_source",
+      (s, dir) => {
+        import s.implicits._
+        val staged = stagePath("csv", dir)
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"lang", $"source", $"n_chars")
+          .write.mode("overwrite").option("header", "true").csv(staged)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("lang", StringType),
+          StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        s.read.schema(schema).option("header", "true").csv(staged)
+          .groupBy($"lang", $"source")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+          .orderBy($"lang", $"source")
+      },
+      Some("""
+        SELECT lang, source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        GROUP BY lang, source
+        ORDER BY lang, source"""))
+  )
+}

@@ -47,9 +47,12 @@ object TextAnalysis {
     * argmax with deterministic tiebreak. Pure per-row expressions — no
     * shuffle at all. */
   def langId(docs: DataFrame): DataFrame = {
+    // literal `replace`, not regexp_replace: markers are data, not
+    // patterns — a marker like "c." or "(de" must count literally (and
+    // match the oracle's literal replace()), never as a regex
     def occurrences(marker: String): Column =
       ((length(col("text")) -
-        length(regexp_replace(col("text"), marker, ""))) /
+        length(replace(col("text"), lit(marker), lit("")))) /
         marker.length).cast("long")
     val scores = LangMarkers.map { case (lang, ms) =>
       ms.map(occurrences).reduce(_ + _).as(s"score_$lang")

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -80,7 +80,7 @@ final class IncrementalAgg(
         val version = s"v$batchId"
         merged.write.mode("overwrite")
           .parquet(Paths.get(stateDir, version).toString)
-        Files.writeString(pointer, version) // atomic enough: tiny write
+        IncrementalAgg.flipPointer(pointer, version)
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -90,5 +90,17 @@ final class IncrementalAgg(
     state().getOrElse(aggregate(
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         schema)))
+  }
+}
+
+object IncrementalAgg {
+  /** Flip the `_LATEST` pointer via write-temp + atomic rename: a crash
+    * mid-write can never leave readers a torn pointer — they see either
+    * the old version or the new one, never a partial string. */
+  private[streaming] def flipPointer(
+      pointer: java.nio.file.Path, version: String): Unit = {
+    val tmp = pointer.resolveSibling(s"_LATEST.tmp")
+    Files.writeString(tmp, version)
+    Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE)
   }
 }

@@ -47,6 +47,27 @@ class FunctionsSpec extends SparkSpec {
     assert(cosineOf(Seq(0f, 0f), Seq(1f, 2f)).isEmpty)
   }
 
+  test("cosine_sim: a null ELEMENT propagates null (both eval paths)") {
+    import spark.implicits._
+    CosineSimilarity.register(spark)
+    // codegen path via DataFrame
+    val viaDf = Seq((Seq(Some(1f), None, Some(3f)), Seq(Some(1f), Some(2f), Some(3f))))
+      .toDF("a", "b")
+      .selectExpr("cosine_sim(a, b) AS c")
+      .collect().head
+    assert(viaDf.isNullAt(0))
+    // interpreted path via direct eval
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val withNull = Literal.create(
+      new GenericArrayData(Array[Any](1f, null, 3f)), ArrayType(FloatType))
+    val plain = Literal.create(
+      new GenericArrayData(Array[Any](1f, 2f, 3f)), ArrayType(FloatType))
+    assert(CosineSimilarity(withNull, plain).eval(null) == null)
+    assert(CosineSimilarity(plain, withNull).eval(null) == null)
+  }
+
   test("cosine_sim interpreted eval agrees with codegen") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.GenericArrayData

@@ -73,6 +73,30 @@ class JobsSpec extends SparkSpec {
     assert(Files.exists(dst) && !Files.exists(src))
   }
 
+  test("journal restore: resubmitted finished jobs skip unless forced; names escape") {
+    val f = Files.createTempFile("jobs_", ".data").toString
+    var n = 0
+    val tricky = "job \"quoted\"\twith\ncontrol chars"
+    locally {
+      val q = new JobQueue(Some(f))
+      q.submit(SparkJob(tricky, _ => n += 1))
+      q.runAll(spark)
+      assert(n == 1)
+    }
+    // journal stays one valid JSON object per line despite the quotes
+    Files.readAllLines(java.nio.file.Paths.get(f)).forEach { line =>
+      assert(line.startsWith("{") && line.endsWith("}"))
+    }
+    // a fresh queue (simulated restart) restores the finished-set when
+    // the job is resubmitted
+    val q2 = new JobQueue(Some(f))
+    q2.submit(SparkJob(tricky, _ => n += 1))
+    q2.runAll(spark)
+    assert(n == 1) // restored as finished -> skipped
+    q2.runAll(spark, forceRun = true)
+    assert(n == 2)
+  }
+
   test("state journal persists queue metadata; runtimes are tracked") {
     val f = Files.createTempFile("jobs_", ".data").toString
     val q = new JobQueue(Some(f))

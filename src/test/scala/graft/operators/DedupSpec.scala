@@ -45,6 +45,43 @@ class DedupSpec extends SparkSpec {
     assert(r.map(x => (x.getLong(0), x.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("jaccardPairs maxShingleFreq cap bounds a pathological hot bucket") {
+    // every doc shares one stopword trigram ("the end of") but is
+    // otherwise unique: uncapped, that single bucket contributes all
+    // n(n-1)/2 pairs — exactly the quadratic blowup the cap guards
+    val d = docs((1 to 12).map(i =>
+      (i.toLong, s"the end of a$i b$i c$i d$i")): _*)
+    val uncapped = Dedup.jaccardPairs(d, 0.0001).count()
+    assert(uncapped == 66) // 12*11/2: all pairs overlap on the hot shingle
+    // cap below the hot shingle's doc frequency: it leaves the shingle
+    // universe, remaining shingles are doc-unique -> no candidate pairs
+    val capped = Dedup.jaccardPairs(d, 0.0001, maxShingleFreq = Some(5)).count()
+    assert(capped == 0)
+    // a genuine near-dup pair still survives the cap
+    val d2 = docs((1L, "x1 x2 x3 x4 x5 x6"), (2L, "x1 x2 x3 x4 x5 zz"),
+      (3L, "y1 y2 y3 y4 y5 y6"))
+    val r = Dedup.jaccardPairs(d2, 0.4, maxShingleFreq = Some(5)).collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("embeddingNearDupLshPairs: candidate pairs agree with the exact baseline scores") {
+    import spark.implicits._
+    val mk = (seed: Int) => Seq.tabulate(64)(j =>
+      math.sin(seed * 31 + j * 7).toFloat)
+    val near = mk(1).zipWithIndex.map { case (v, j) =>
+      if (j == 0) v + 0.01f else v }
+    val e = Seq((1L, mk(1)), (2L, near), (3L, mk(99)))
+      .toDF("vec_id", "embedding")
+    val lsh = Dedup.embeddingNearDupLshPairs(e, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = Dedup.embeddingNearDupPairs(e, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // LSH candidates are a subset of the exact pairs, with identical
+    // cosine scores; the planted near-identical pair must survive
+    assert(lsh.subsetOf(exact))
+    assert(lsh.exists { case (a, b, c) => a == 1L && b == 2L && c > 0.99 })
+  }
+
   test("simhash: identical docs get identical fingerprints, disjoint docs differ") {
     val d = docs((1L, "a b c d e"), (2L, "a b c d e"), (3L, "v w x y z"))
     val r = Dedup.simhash(d).collect()

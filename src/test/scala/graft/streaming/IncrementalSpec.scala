@@ -36,6 +36,28 @@ class IncrementalSpec extends SparkSpec {
     assert(s3 == s2)
   }
 
+  test("state pointer flip is an atomic rename: replaces existing, no temp left") {
+    val dir = Files.createTempDirectory("ptr_")
+    val pointer = dir.resolve("_LATEST")
+    IncrementalAgg.flipPointer(pointer, "v0")
+    assert(Files.readString(pointer) == "v0")
+    IncrementalAgg.flipPointer(pointer, "v1") // overwrite path
+    assert(Files.readString(pointer) == "v1")
+    assert(!Files.exists(dir.resolve("_LATEST.tmp")))
+  }
+
+  test("salted join resolves same-named key columns and avoids nondeterministic salts") {
+    import spark.implicits._
+    val left = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "lv")
+    val right = Seq(("a", 10), ("b", 20)).toDF("k", "rv")
+    val r = SkewJoin.saltedInnerJoin(left, right, "k", "k", salt = 3)
+    assert(r.count() == 3)
+    // salts must come from row content, not monotonically_increasing_id:
+    // task retries reassign mid-ids, making re-runs bit-nonidentical
+    assert(!r.queryExecution.analyzed.toString
+      .contains("monotonically_increasing_id"))
+  }
+
   test("salted join equals plain join on skewed data") {
     import spark.implicits._
     // 90% of left rows share one hot key

@@ -53,10 +53,22 @@ def main():
                 if os.path.isdir(p) else
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
-    names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d)))
+    # iterate the UNION of produced dirs, declared oracles, and failure
+    # markers: a query that crashed (no output dir) must count as FAIL,
+    # not silently drop out of the comparison
+    present = {d for d in os.listdir(out_dir)
+               if os.path.isdir(os.path.join(out_dir, d))}
+    failed_markers = {fn[:-len("._FAILED")] for fn in os.listdir(out_dir)
+                      if fn.endswith("._FAILED")}
+    names = sorted(present | failed_markers | set(oracles))
     n_pass = n_fail = n_weak = 0
     for name in names:
+        if name not in present:
+            reason = ("crashed: see marker" if name in failed_markers
+                      else "no output produced")
+            print(f"FAIL       {name}: {reason}")
+            n_fail += 1
+            continue
         spark_rel = con.sql(
             f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
         s_cols = list(spark_rel.columns)
