@@ -117,6 +117,44 @@ object Similarity {
       .select($"qid", $"rk", $"cid", $"cosine", $"bucket")
   }
 
+  /** IVF (inverted-file) ANN: the corpus is partitioned into Voronoi
+    * cells around coarse centroids; a query searches only its own cell.
+    *
+    * Centroid selection here is a deterministic subset of the corpus
+    * (`isCentroid`) so the DuckDB oracle can replay the index build
+    * exactly; at real scale the centroids would come from k-means over a
+    * sample, which changes WHERE the cell boundaries fall but not the
+    * plan shape. The two passes are both scale-safe:
+    *  1. assignment: corpus x K with the K centroids BROADCAST — linear
+    *     in corpus for fixed K, never a shuffle of the big side;
+    *  2. search: queries broadcast, candidate join bounded by cell
+    *     population (like [[lshTopK]] with learned rather than hashed
+    *     cells).
+    * Assignment similarity is rounded to 6dp with a centroid-id tiebreak
+    * so argmax is stable cross-engine. */
+  def ivfTopK(embeddings: DataFrame, isCentroid: Column, isQuery: Column,
+      k: Int): DataFrame = {
+    val s = embeddings.sparkSession
+    import s.implicits._
+    CosineSimilarity.register(s)
+    val e = embeddings.select($"vec_id", $"embedding")
+    val centroids = e.filter(isCentroid).toDF("cent_id", "cent_v")
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cent_id")
+    val assigned = e.crossJoin(broadcast(centroids))
+      .withColumn("sim", round(expr("cosine_sim(embedding, cent_v)"), 6))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"embedding", $"cent_id".as("cell"))
+    val queries = assigned.filter(isQuery).toDF("qid", "qv", "cell")
+    val cands = assigned.filter(!isQuery).toDF("cid", "cv", "cell")
+    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"cid")
+    cands.join(broadcast(queries), "cell")
+      .withColumn("cosine", round(expr("cosine_sim(qv, cv)"), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"qid", $"rk", $"cid", $"cosine", $"cell")
+  }
+
   // ------------------------------------------------------------------
   // oracle-gated bindings
   // ------------------------------------------------------------------
@@ -187,6 +225,56 @@ object Similarity {
                                     ORDER BY cosine DESC, cid) AS rk
           FROM scored)
         SELECT qid, CAST(rk AS INT) AS rk, cid, cosine, bucket
+        FROM ranked WHERE rk <= 3
+        ORDER BY qid, rk""")),
+
+    // ----- IVF ANN (learned-cell scale path) ------------------------------
+    // Deterministic centroid subset (vec_id % 29 == 3 — 18 cells at
+    // sf0.01) so the oracle replays the index build; queries search only
+    // their own Voronoi cell.
+    QueryDef(
+      "q90_knn_ivf",
+      (s, dir) => ivfTopK(t(s, dir, "embeddings"),
+        col("vec_id") % 29 === 3, col("vec_id") < 5, 3)
+        .orderBy(col("qid"), col("rk")),
+      Some("""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        n AS (SELECT vec_id, v,
+                     sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+              FROM e),
+        cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+                 FROM n WHERE vec_id % 29 = 3),
+        scored AS (
+          SELECT a.vec_id, c.cent_id,
+                 round(list_sum(list_transform(generate_series(1, len(a.v)),
+                       i -> a.v[i] * c.cv[i])) / (a.nrm * c.cnrm), 6) AS sim
+          FROM n a CROSS JOIN cent c),
+        assigned AS (
+          SELECT vec_id, cent_id AS cell
+          FROM (SELECT vec_id, cent_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, cent_id) AS rn
+                FROM scored)
+          WHERE rn = 1),
+        qa AS (SELECT a.vec_id AS qid, n.v AS qv, n.nrm AS qnrm, a.cell
+               FROM assigned a JOIN n ON n.vec_id = a.vec_id
+               WHERE a.vec_id < 5),
+        ca AS (SELECT a.vec_id AS cid, n.v AS cv, n.nrm AS cnrm, a.cell
+               FROM assigned a JOIN n ON n.vec_id = a.vec_id
+               WHERE a.vec_id >= 5),
+        sc2 AS (
+          SELECT q.qid, c.cid, q.cell,
+                 round(list_sum(list_transform(generate_series(1, len(q.qv)),
+                       i -> q.qv[i] * c.cv[i])) / (q.qnrm * c.cnrm), 4) AS cosine
+          FROM qa q JOIN ca c ON q.cell = c.cell),
+        ranked AS (
+          SELECT qid, cid, cell, cosine,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cosine DESC, cid) AS rk
+          FROM sc2)
+        SELECT qid, CAST(rk AS INT) AS rk, cid, cosine, cell
         FROM ranked WHERE rk <= 3
         ORDER BY qid, rk"""))
   )

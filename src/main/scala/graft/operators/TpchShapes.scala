@@ -5,11 +5,18 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 
-/** Classic TPC-H query shapes (Q10/Q14/Q18/Q19/Q22, adapted to the
-  * fixture schema) — each exercises an optimizer pattern beyond the
-  * earlier joins: returned-item top-k (Q10), conditional aggregation over
-  * a join (Q14), HAVING-subquery semi join (Q18), OR-of-ANDs predicate
-  * bundles (Q19), and anti-join + scalar-subquery gating (Q22).
+/** Classic TPC-H query shapes (Q4/Q6/Q10/Q12/Q14/Q16/Q17/Q18/Q19/Q21/Q22,
+  * adapted to the fixture schema) — each exercises an optimizer pattern
+  * beyond the earlier joins: correlated EXISTS semi join (Q4), single-pass
+  * filter-aggregate (Q6), returned-item top-k (Q10), two-way conditional
+  * counts over a join (Q12), conditional aggregation over a join (Q14),
+  * distinct-count with an exclusion anti join (Q16), per-group-threshold
+  * correlated filter (Q17), HAVING-subquery semi join (Q18), OR-of-ANDs
+  * predicate bundles (Q19), EXISTS + NOT-EXISTS double correlation (Q21),
+  * and anti-join + scalar-subquery gating (Q22). The fixture lacks
+  * l_commitdate/l_receiptdate/partsupp, so Q4/Q12/Q21's predicates are
+  * re-expressed over shipdate lateness / linestatus / returnflag — the
+  * plan shapes (what the optimizer must do) are unchanged.
   */
 object TpchShapes {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
@@ -168,6 +175,195 @@ object TpchShapes {
           AND NOT EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey)
         GROUP BY c_nationkey
-        ORDER BY c_nationkey"""))
+        ORDER BY c_nationkey""")),
+
+    // ----- Q4 shape: priority counts gated by a correlated EXISTS --------
+    // The correlated EXISTS (an order has at least one late-shipping line)
+    // plans as a left-semi join with a cross-side predicate — one pass
+    // over each table, no per-row subquery execution.
+    QueryDef(
+      "q91_priority_late_ship",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+          .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1997-10-01").cast("timestamp"))
+        val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_shipdate")
+        o.join(li,
+          $"o_orderkey" === $"l_orderkey" &&
+            $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    // ----- Q6 shape: single-pass filter-aggregate -------------------------
+    // All three predicates push to the parquet scan; the whole query is
+    // one scan + partial/final agg, the cheapest possible 100 TB plan.
+    QueryDef(
+      "q92_forecast_revenue",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1998-01-01").cast("timestamp") &&
+            $"l_discount".between(0.03, 0.07) && $"l_quantity" < 24.0)
+          .agg(round(sum($"l_extendedprice" * $"l_discount"), 4).as("revenue"),
+            count(lit(1)).as("n"))
+      },
+      Some("""
+        SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+               count(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24.0""")),
+
+    // ----- Q12 shape: two-way conditional counts over a join --------------
+    QueryDef(
+      "q93_linestatus_priority",
+      (s, dir) => {
+        import s.implicits._
+        val hi = Seq("1-URGENT", "2-HIGH")
+        t(s, dir, "lineitem")
+          .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+          .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+          .groupBy($"l_linestatus")
+          .agg(
+            sum(when($"o_orderpriority".isin(hi: _*), 1L).otherwise(0L))
+              .as("high_line_count"),
+            sum(when(!$"o_orderpriority".isin(hi: _*), 1L).otherwise(0L))
+              .as("low_line_count"))
+          .orderBy($"l_linestatus")
+      },
+      Some("""
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus""")),
+
+    // ----- Q16 shape: distinct-count with an exclusion anti join ----------
+    // (partsupp is absent; lineitem's (partkey, suppkey) plays its role)
+    QueryDef(
+      "q94_supplier_part_counts",
+      (s, dir) => {
+        import s.implicits._
+        val excluded = t(s, dir, "supplier")
+          .filter($"s_acctbal" < 0.0).select($"s_suppkey")
+        val p = t(s, dir, "part")
+          .filter($"p_brand" =!= "Brand#45" && $"p_size".isin(1, 4, 7))
+        t(s, dir, "lineitem")
+          .select($"l_partkey", $"l_suppkey").distinct()
+          .join(broadcast(p), $"l_partkey" === $"p_partkey")
+          .join(broadcast(excluded), $"l_suppkey" === $"s_suppkey", "left_anti")
+          .groupBy($"p_brand", $"p_type", $"p_size")
+          .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+          .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+      },
+      Some("""
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#45'
+          AND p_size IN (1, 4, 7)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0.0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")),
+
+    // ----- Q17 shape: per-group threshold (decorrelated) -------------------
+    // The correlated avg-quantity subquery decorrelates into one pre-agg
+    // over the SAME filtered subset + an equi join: two passes over the
+    // brand's lines, never a per-row subquery. (Quantities are integral,
+    // so avg is order-independent in double — safe cross-engine.)
+    QueryDef(
+      "q95_small_qty_revenue",
+      (s, dir) => {
+        import s.implicits._
+        val p = t(s, dir, "part").filter($"p_brand" === "Brand#23")
+          .select($"p_partkey")
+        val sel = t(s, dir, "lineitem")
+          .join(broadcast(p), $"l_partkey" === $"p_partkey")
+          .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+        val th = sel.groupBy($"l_partkey".as("ap"))
+          .agg((avg($"l_quantity") * 0.2).as("thresh"))
+        sel.join(th, $"l_partkey" === $"ap")
+          .filter($"l_quantity" < $"thresh")
+          .agg(round(sum($"l_extendedprice") / 7.0, 4).as("avg_yearly"),
+            count(lit(1)).as("n"))
+      },
+      Some("""
+        WITH sel AS (
+          SELECT l_partkey, l_quantity, l_extendedprice
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#23'),
+        th AS (SELECT l_partkey AS ap, 0.2 * avg(l_quantity) AS thresh
+               FROM sel GROUP BY l_partkey)
+        SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly,
+               count(*) AS n
+        FROM sel JOIN th ON l_partkey = ap
+        WHERE l_quantity < thresh""")),
+
+    // ----- Q21 shape: EXISTS + NOT EXISTS double correlation --------------
+    // Suppliers who are the ONLY supplier with returned lines in a
+    // multi-supplier order: both correlations plan as one semi and one
+    // anti join over distinct (order, supplier) pairs — no re-scan per row.
+    QueryDef(
+      "q96_sole_returning_supplier",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_suppkey", $"l_returnflag")
+        val r = pairs.filter($"l_returnflag" === "R")
+          .select($"l_orderkey", $"l_suppkey").distinct()
+        val all = pairs.select($"l_orderkey".as("o2"), $"l_suppkey".as("s2"))
+          .distinct()
+        val withOther = r.join(all,
+          $"l_orderkey" === $"o2" && $"l_suppkey" =!= $"s2", "left_semi")
+        val sole = withOther.join(
+          r.select($"l_orderkey".as("o3"), $"l_suppkey".as("s3")),
+          $"l_orderkey" === $"o3" && $"l_suppkey" =!= $"s3", "left_anti")
+        sole.join(broadcast(t(s, dir, "supplier")),
+          $"l_suppkey" === $"s_suppkey")
+          .groupBy($"s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy($"numwait".desc, $"s_name")
+          .limit(20)
+      },
+      Some("""
+        WITH r AS (SELECT DISTINCT l_orderkey, l_suppkey
+                   FROM lineitem WHERE l_returnflag = 'R'),
+        a AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+        SELECT s_name, count(*) AS numwait
+        FROM r JOIN supplier ON r.l_suppkey = s_suppkey
+        WHERE EXISTS (SELECT 1 FROM a
+                      WHERE a.l_orderkey = r.l_orderkey
+                        AND a.l_suppkey <> r.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM r r2
+                          WHERE r2.l_orderkey = r.l_orderkey
+                            AND r2.l_suppkey <> r.l_suppkey)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20"""))
   )
 }

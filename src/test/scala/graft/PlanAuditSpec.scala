@@ -74,6 +74,31 @@ class PlanAuditSpec extends SparkSpec {
       org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback])
   }
 
+  test("q86: LSH embedding dedup plans no nested-loop cartesian (unlike q45)") {
+    val p = plan("q86_dedup_embedding_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the scale-path near-dup must join within buckets, never all pairs:\n" +
+        p.take(1500))
+    // q45 is the O(n²) baseline and IS a nested-loop by construction —
+    // pin that contrast so a regression can't silently swap them
+    val baseline = plan("q45_dedup_embedding_cosine")
+    assert(baseline.contains("BroadcastNestedLoopJoin") ||
+      baseline.contains("CartesianProduct"))
+  }
+
+  test("q46/q47: kNN per-pair math is the native codegen expression") {
+    assert(plan("q46_knn_bruteforce").contains("cosine_sim"),
+      "brute-force kNN should use the fused native expression")
+    assert(plan("q47_knn_lsh").contains("cosine_sim"),
+      "LSH kNN verify should use the fused native expression")
+  }
+
+  test("q89: metadata-only multimodal read prunes the binary column") {
+    val df = graft.operators.Multimodal.metadataOnly(spark, sf)
+    assert(!graft.plans.PlanInspector.readSchemaContains(df, "text"),
+      "binary payload column must not be read for a metadata-only rollup")
+  }
+
   test("whole-stage codegen is active on the flagship query (executed plan)") {
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
     df.collect()
