@@ -355,6 +355,31 @@ object StreamingQueries {
          AND c.user_id = p.user_id
          AND c.ts >= p.ts - INTERVAL 1 HOUR
          AND c.ts <= p.ts
-        ORDER BY p_id, c_id"""))
+        ORDER BY p_id, c_id""")),
+
+    // ----- stream-static join: dimension enrichment in flight -------------
+    // The static side is a plain batch frame (re-read per micro-batch,
+    // broadcast under AQE since it's dimension-sized): the standard 100 TB
+    // enrichment pattern — no state, no watermark needed on the static
+    // side, stream side stays append-only.
+    QueryDef(
+      "q97_stream_static_join",
+      (s, dir) => {
+        import s.implicits._
+        val customers = graft.engine.Tables.load(s, dir, "customer")
+          .select($"c_custkey", $"c_mktsegment")
+        val agg = eventsStream(s, dir)
+          .filter($"event_type" === "purchase")
+          .join(broadcast(customers), $"user_id" === $"c_custkey")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("total"))
+        runComplete(s, agg).orderBy($"c_mktsegment")
+      },
+      Some("""
+        SELECT c_mktsegment, count(*) AS n, round(sum(value), 4) AS total
+        FROM events JOIN customer ON user_id = c_custkey
+        WHERE event_type = 'purchase'
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment"""))
   )
 }
