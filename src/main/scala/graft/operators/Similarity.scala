@@ -117,6 +117,31 @@ object Similarity {
       .select($"qid", $"rk", $"cid", $"cosine", $"bucket")
   }
 
+  /** Multi-probe LSH top-k: like [[lshTopK]], but each query also probes
+    * the 8 buckets at Hamming distance 1 from its own signature (flip one
+    * hyperplane sign) — the standard recall fix for single-bucket LSH: a
+    * near neighbor that lands just across one hyperplane is still found.
+    * Cost is bounded: the QUERY side fans out 9x (queries are tiny and
+    * broadcast); the corpus is still touched once per bucket it occupies,
+    * never scanned. */
+  def lshTopKMultiProbe(embeddings: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    val s = embeddings.sparkSession
+    import s.implicits._
+    CosineSimilarity.register(s)
+    val e = lshBuckets(embeddings).select($"vec_id", $"v", $"bucket")
+    val probeCols = $"qb" +: (0 until Planes).map(m =>
+      $"qb".bitwiseXOR(lit(1L << m)))
+    val probes = e.filter(isQuery).toDF("qid", "qv", "qb")
+      .select($"qid", $"qv", explode(array(probeCols: _*)).as("bucket"))
+    val cands = e.filter(!isQuery).toDF("cid", "cv", "bucket")
+    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"cid")
+    cands.join(broadcast(probes), "bucket")
+      .withColumn("cosine", round(expr("cosine_sim(qv, cv)"), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"qid", $"rk", $"cid", $"cosine")
+  }
+
   /** IVF (inverted-file) ANN: the corpus is partitioned into Voronoi
     * cells around coarse centroids; a query searches only its own cell.
     *
@@ -275,6 +300,50 @@ object Similarity {
                                     ORDER BY cosine DESC, cid) AS rk
           FROM sc2)
         SELECT qid, CAST(rk AS INT) AS rk, cid, cosine, cell
+        FROM ranked WHERE rk <= 3
+        ORDER BY qid, rk""")),
+
+    // ----- multi-probe LSH ANN (recall path) ------------------------------
+    // Probes the query's own bucket + the 8 Hamming-distance-1 buckets;
+    // the oracle replays the identical probe-set expansion.
+    QueryDef(
+      "q98_knn_lsh_multiprobe",
+      (s, dir) => lshTopKMultiProbe(t(s, dir, "embeddings"),
+        col("vec_id") < 5, 3).orderBy(col("qid"), col("rk")),
+      Some("""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        sig AS (
+          SELECT vec_id, v,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+                 CAST(list_sum(list_transform(generate_series(0, 7), m ->
+                   CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                          i -> ((CAST(concat('0x', substring(md5(
+                                  concat(m, '_', i - 1)),1,15)) AS BIGINT)
+                                 % 2001 - 1000) / 1000.0) * v[i])) >= 0
+                        THEN CAST(power(2, m) AS BIGINT) ELSE 0 END))
+                      AS BIGINT) AS bucket
+          FROM e),
+        probes AS (
+          SELECT vec_id AS qid, v AS qv, nrm AS qnrm,
+                 unnest(list_prepend(bucket,
+                   list_transform(generate_series(0, 7),
+                     m -> xor(bucket, CAST(power(2, m) AS BIGINT))))) AS bucket
+          FROM sig WHERE vec_id < 5),
+        c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm, bucket
+              FROM sig WHERE vec_id >= 5),
+        scored AS (
+          SELECT p.qid, c.cid,
+                 round(list_sum(list_transform(generate_series(1, len(p.qv)),
+                       i -> p.qv[i] * c.cv[i])) / (p.qnrm * c.cnrm), 4) AS cosine
+          FROM probes p JOIN c ON p.bucket = c.bucket),
+        ranked AS (
+          SELECT qid, cid, cosine,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cosine DESC, cid) AS rk
+          FROM scored)
+        SELECT qid, CAST(rk AS INT) AS rk, cid, cosine
         FROM ranked WHERE rk <= 3
         ORDER BY qid, rk"""))
   )
