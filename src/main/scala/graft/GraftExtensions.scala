@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, RhpSignature}
 
 /** Session extension point: makes the engine's native functions available
   * to ANY session (SQL included) via
@@ -28,6 +28,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "cosine_sim takes exactly 2 arguments")
         CosineSimilarity(exprs.head, exprs(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("rhp_signature"),
+      new ExpressionInfo(classOf[RhpSignature].getName, "rhp_signature"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "rhp_signature takes exactly 1 argument")
+        RhpSignature(exprs.head)
       }))
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, RhpSignature}
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
   *
@@ -72,28 +72,18 @@ object Similarity {
   }
 
   /** Deterministic random-hyperplane signatures: (vec_id, v, nrm, bucket).
-    * Hyperplanes are driver-computed constants (same md5 formula the
-    * DuckDB oracle replays); search within a bucket is candidate-bounded
-    * — the 100 TB path. */
+    * Hyperplanes are md5-derived constants (same formula the DuckDB
+    * oracle replays), and the signature itself is the native codegen'd
+    * [[graft.functions.RhpSignature]] — one fused loop per vector, the
+    * right shape for the linear index-build pass over a 100 TB corpus.
+    * Search within a bucket is candidate-bounded — the 100 TB path. */
   def lshBuckets(embeddings: DataFrame): DataFrame = {
     val s = embeddings.sparkSession
     import s.implicits._
-    val planes: Seq[Seq[Double]] = (0 until Planes).map(m =>
-      (0 until Dim).map { i =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val hex = md.digest(s"${m}_$i".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(15)
-        ((java.lang.Long.parseLong(hex, 16) % 2001) - 1000) / 1000.0
-      })
-    val hp: Column = typedLit(planes)
+    RhpSignature.register(s)
     embeddings
       .select($"vec_id", asDouble($"embedding").as("v"))
-      .withColumn("bucket",
-        aggregate(
-          zip_with(hp, sequence(lit(0), lit(Planes - 1)),
-            (p, m) => when(dot(p, $"v") >= 0,
-              pow(lit(2.0), m).cast("long")).otherwise(lit(0L))),
-          lit(0L), (acc, x) => acc + x))
+      .withColumn("bucket", expr("rhp_signature(v)"))
       .withColumn("nrm", sqrt(dot($"v", $"v")))
       .select($"vec_id", $"v", $"nrm", $"bucket")
   }

@@ -81,6 +81,37 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(interpreted - viaDf) < 1e-12)
   }
 
+  test("rhp_signature agrees with the higher-order-function formulation") {
+    import spark.implicits._
+    RhpSignature.register(spark)
+    val planes: Seq[Seq[Double]] = (0 until 8).map(m =>
+      (0 until 64).map(i => RhpSignature.flatPlanes(m * 64 + i)))
+    val hp = typedLit(planes)
+    val df = Seq.tabulate(40)(s =>
+      Tuple1(Seq.tabulate(64)(j => math.sin(s * 13 + j * 3)))).toDF("v")
+    val both = df.select(
+      expr("rhp_signature(v)").as("native"),
+      aggregate(
+        zip_with(hp, sequence(lit(0), lit(7)), (p, m) =>
+          when(aggregate(zip_with(p, $"v", (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x) >= 0,
+            pow(lit(2.0), m).cast("long")).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc + x).as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("rhp_signature: null on wrong length, null element, or null input") {
+    import spark.implicits._
+    RhpSignature.register(spark)
+    def sigOf(v: Seq[Option[Double]]): Boolean =
+      Seq(Tuple1(v)).toDF("v").selectExpr("rhp_signature(v) AS s")
+        .collect().head.isNullAt(0)
+    assert(sigOf(Seq.fill(63)(Some(1.0))))          // wrong length
+    assert(sigOf(Seq.fill(63)(Some(1.0)) :+ None))  // null element
+    assert(!sigOf(Seq.fill(64)(Some(1.0))))         // valid
+  }
+
   test("WeightedAverage: merge law (the incrementation property)") {
     val xs = Seq((10.0, 1.0), (20.0, 3.0), (5.0, 2.0), (8.0, 4.0))
     val (a, b) = xs.splitAt(2)
