@@ -21,26 +21,23 @@ import graft.functions.{CosineSimilarity, RhpSignature}
   *    8-bit signature (sign of dot with 8 deterministic hyperplanes);
   *    candidates are same-bucket only, so join work is bounded by bucket
   *    population instead of |corpus| x |queries|.
+  *  - q98: multi-probe LSH — q47 plus the 8 Hamming-distance-1 buckets
+  *    per query (full top-k recall on the fixture, corpus untouched).
+  *  - q90: IVF — learned Voronoi cells instead of hashed buckets;
+  *    broadcast centroid assignment, cell-bounded search.
   *
   * Hyperplane components derive from md5 (computes identically in the
   * DuckDB oracle): component i of plane m = (h60(m||'_'||i) % 2001 - 1000)
-  * / 1000 ∈ [-1, 1]. All vector math is zip_with/aggregate in double —
-  * native Catalyst higher-order expressions, no UDFs.
+  * / 1000 ∈ [-1, 1]. All per-vector math runs in native codegen'd
+  * expressions (`cosine_sim`, `rhp_signature`) — fused loops inside
+  * WholeStageCodegen, no UDFs, no interpreted higher-order lambdas on the
+  * hot path.
   */
 object Similarity {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  private def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
-
   private val Planes = 8
-  private val Dim = 64
 
   // ------------------------------------------------------------------
   // library surface
@@ -71,21 +68,21 @@ object Similarity {
       .select($"qid", $"rk", $"cid", $"cosine")
   }
 
-  /** Deterministic random-hyperplane signatures: (vec_id, v, nrm, bucket).
+  /** Deterministic random-hyperplane signatures: (vec_id, v, bucket).
     * Hyperplanes are md5-derived constants (same formula the DuckDB
     * oracle replays), and the signature itself is the native codegen'd
     * [[graft.functions.RhpSignature]] — one fused loop per vector, the
     * right shape for the linear index-build pass over a 100 TB corpus.
-    * Search within a bucket is candidate-bounded — the 100 TB path. */
+    * `v` stays the raw float array (half the bytes of double in the
+    * shuffle; the native expressions consume floats directly). Search
+    * within a bucket is candidate-bounded — the 100 TB path. */
   def lshBuckets(embeddings: DataFrame): DataFrame = {
     val s = embeddings.sparkSession
     import s.implicits._
     RhpSignature.register(s)
     embeddings
-      .select($"vec_id", asDouble($"embedding").as("v"))
+      .select($"vec_id", $"embedding".as("v"))
       .withColumn("bucket", expr("rhp_signature(v)"))
-      .withColumn("nrm", sqrt(dot($"v", $"v")))
-      .select($"vec_id", $"v", $"nrm", $"bucket")
   }
 
   /** Approximate top-k: exact ranking within the query's LSH bucket.

@@ -32,8 +32,8 @@ class SimilarityTextSpec extends SparkSpec {
       (1L, Seq.tabulate(64)(i => i.toFloat / 64)),
       (2L, Seq.tabulate(64)(i => i.toFloat / 64)),
       (3L, Seq.tabulate(64)(i => -(i.toFloat) / 64)))
-    val r = Similarity.lshBuckets(d).collect()
-      .map(x => (x.getLong(0), x.getLong(3))).toMap
+    val r = Similarity.lshBuckets(d).select("vec_id", "bucket").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
     assert(r(1L) == r(2L))
     assert(r(3L) != r(1L)) // opposite vector flips every hyperplane sign
     assert(r.values.forall(b => b >= 0 && b < 256))
