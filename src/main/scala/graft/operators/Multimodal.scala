@@ -92,7 +92,46 @@ object Multimodal {
         SELECT lang, count(*) AS n
         FROM documents
         GROUP BY lang
-        ORDER BY lang"""))
+        ORDER BY lang""")),
+
+    // frame sampling: the video-pipeline access pattern — cut the binary
+    // payload into fixed-size frames, keep every Nth. explode(sequence)
+    // over byte offsets + substring on the binary column: linear, row
+    // parallel, no window. (A real codec would replace the byte slicing
+    // with keyframe extraction; the plumbing — offset enumeration,
+    // stride, per-frame rows — is identical. Fixture text is ASCII, so
+    // the oracle's char offsets equal the binary byte offsets.)
+    QueryDef(
+      "q99_multimodal_frame_sample",
+      (s, dir) => {
+        import s.implicits._
+        val frameBytes = 32
+        val stride = 3
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text".cast("binary").as("media"))
+          .select($"doc_id",
+            explode(sequence(lit(0),
+              ((length($"media") - 1) / frameBytes).cast("int")))
+              .as("frame_idx"),
+            $"media")
+          .filter($"frame_idx" % stride === 0)
+          .select($"doc_id", $"frame_idx".cast("long").as("frame_idx"),
+            $"media".substr($"frame_idx" * frameBytes + 1, lit(frameBytes))
+              .cast("string").as("frame"))
+          .orderBy($"doc_id", $"frame_idx")
+      },
+      Some("""
+        WITH frames AS (
+          SELECT doc_id,
+                 unnest(generate_series(0, (length(text) - 1) // 32))
+                   AS frame_idx,
+                 text
+          FROM documents)
+        SELECT doc_id, frame_idx,
+               substring(text, frame_idx * 32 + 1, 32) AS frame
+        FROM frames
+        WHERE frame_idx % 3 = 0
+        ORDER BY doc_id, frame_idx"""))
   )
 
   /** Column-pruning counterpart: metadata-only aggregation that must never
