@@ -91,6 +91,37 @@ class DedupSpec extends SparkSpec {
     assert(r.values.forall(v => v >= 0 && v < (1L << 32)))
   }
 
+  test("LSH soundness on a random corpus: every LSH pair is an exact pair") {
+    // 40 docs over a small vocabulary (seeded): base docs, exact copies,
+    // and one-token mutations — the LSH pipeline exact-verifies its
+    // candidates, so its output must be a SUBSET of the exact pairs with
+    // identical jaccard values, and exact duplicates (identical
+    // signatures in every band) must always be found
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector.tabulate(30)(i => s"w$i")
+    val base = (0 until 20).map(i =>
+      (i.toLong, Seq.fill(60)(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val copies = (0 until 10).map(i =>
+      (100L + i, base(i)._2)) // exact duplicates
+    val mutated = (0 until 10).map { i =>
+      val toks = base(i)._2.split(" ")
+      toks(rnd.nextInt(toks.length)) = "MUT"
+      (200L + i, toks.mkString(" "))
+    }
+    val d = docs((base ++ copies ++ mutated): _*)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = pairSet(Dedup.minhashLshPairs(d, 0.5))
+    val exact = pairSet(Dedup.jaccardPairs(d, 0.5))
+    assert(lsh.subsetOf(exact),
+      s"LSH emitted pairs the exact baseline doesn't have: ${lsh -- exact}")
+    (0 until 10).foreach { i =>
+      assert(lsh.exists { case (a, b, j) =>
+        a == i.toLong && b == 100L + i && j == 1.0 },
+        s"exact duplicate pair ($i, ${100 + i}) missed by LSH")
+    }
+  }
+
   test("dropNearDuplicates keeps cluster minimum and unrelated docs") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 39).map(i => s"tok$i").mkString(" ") + " tokX"
