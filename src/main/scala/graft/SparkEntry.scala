@@ -28,7 +28,8 @@ object SparkEntry {
     graft.streaming.StreamingQueries.defs,
     Extras.defs,
     FunctionCoverage.defs,
-    TpchShapes.defs)
+    TpchShapes.defs,
+    Pipeline.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 

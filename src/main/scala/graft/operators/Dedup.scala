@@ -259,6 +259,83 @@ object Dedup {
       .select($"id1", $"id2", $"cosine")
   }
 
+  /** Exact n-gram-Jaccard near-dup pairs via PPJoin-style prefix
+    * filtering — the EXACT scale path for [[jaccardPairs]]'s operator
+    * (same output contract; q42's quadratic self-join is the oracle
+    * baseline). Shingles get a canonical global order (ascending document
+    * frequency, ties by hash — rare-first minimizes candidates); a pair
+    * with jaccard >= t must share an element of each side's prefix of
+    * length n - ceil(t*n) + 1, because the required overlap ceil(t*n)
+    * cannot fit in the remaining suffix. The candidate join therefore
+    * touches only prefix tokens (for t=0.8, ~20% of shingle rows), plus a
+    * size filter (t * max(n1,n2) <= min(n1,n2)); exact verification runs
+    * on candidates only. Lossless by the prefix-filtering lemma
+    * (Chaudhuri et al., ICDE'06) — pinned by a property test against
+    * [[jaccardPairs]] on a random corpus. */
+  def jaccardPrefixPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val base = shingleRows(docs).select($"doc_id", h60($"s").as("hs"))
+    val docFreq = base.groupBy($"hs").agg(count(lit(1)).as("df"))
+    val ordered = base.join(docFreq, "hs")
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"df", $"hs")))
+    val prefix = ordered
+      .filter($"rk" <= $"n" - ceil($"n" * threshold) + 1)
+    val a = prefix.select($"doc_id".as("id1"), $"hs", $"n".as("n1"))
+    val b = prefix.select($"doc_id".as("id2"), $"hs", $"n".as("n2"))
+    val cand = a.join(b, Seq("hs"))
+      .filter($"id1" < $"id2" &&
+        greatest($"n1", $"n2") * threshold <= least($"n1", $"n2"))
+      .select($"id1", $"id2").distinct()
+    val sets = shingleRows(docs).groupBy($"doc_id")
+      .agg(collect_list($"s").as("sh"))
+    cand
+      .join(sets.toDF("id1", "sh1"), "id1")
+      .join(sets.toDF("id2", "sh2"), "id2")
+      .select($"id1", $"id2",
+        round(size(array_intersect($"sh1", $"sh2")) /
+          size(array_union($"sh1", $"sh2")).cast("double"), 4).as("jaccard"))
+      .filter($"jaccard" >= threshold)
+  }
+
+  /** Connected components over an undirected (id1, id2) edge list:
+    * (id, component) with component = smallest reachable id. Iterative
+    * min-label propagation — one shuffle per round, `localCheckpoint`
+    * truncates the growing lineage — converging in O(cluster diameter)
+    * rounds. Near-dup graphs are shallow (dup clusters are cliques-ish),
+    * so a handful of rounds suffices even at corpus scale; for
+    * pathological chain graphs the large-star/small-star variant
+    * (Kiveris et al., SoCC'14) bounds rounds at O(log n) with the same
+    * per-round plan shape. The driver loop holds only the convergence
+    * counter, never data. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val sym = edges.select($"id1".as("src"), $"id2".as("dst"))
+      .union(edges.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct()
+    var labels = sym.select($"src".as("id")).distinct()
+      .select($"id", $"id".as("comp")).localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val viaNbr = sym.join(labels, sym("dst") === labels("id"))
+        .select(sym("src").as("id"), labels("comp"))
+      val next = labels.union(viaNbr)
+        .groupBy($"id").agg(min($"comp").as("comp"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter($"comp" < $"old").count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
   /** End-to-end near-dup removal: keep each near-dup cluster's
     * lowest-id member (pairs always satisfy id1 < id2, so dropping every
     * id2 keeps exactly the cluster minima for transitively-closed pairs
@@ -278,11 +355,12 @@ object Dedup {
     * SAME affine constants as the Spark plan (interpolated from
     * [[minhashAB]] — single source of truth). `tail` selects from the
     * final CTEs: sh(doc_id, sh), cand(id1, id2), j(id1, id2, jaccard). */
-  private def minhashOracle(tail: String): String = {
+  private[operators] def minhashOracle(tail: String, recursive: Boolean = false): String = {
     val abValues = minhashAB.zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    val withKw = if (recursive) "WITH RECURSIVE" else "WITH"
     s"""
-        WITH sh AS (
+        $withKw sh AS (
           SELECT doc_id,
                  list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
                    THEN list_transform(
@@ -455,6 +533,64 @@ object Dedup {
         WHERE round(list_sum(list_transform(generate_series(1, len(a.v)),
                     i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) >= 0.45
         ORDER BY id1, id2""")),
+
+    // exact scale path for q42's operator: identical output contract
+    // (prefix filtering is lossless), so the oracle IS the exact-Jaccard
+    // SQL — only the candidate-generation plan differs
+    QueryDef(
+      "q101_jaccard_prefix_filter",
+      (s, dir) => jaccardPrefixPairs(t(s, dir, "documents"), 0.8)
+        .orderBy(col("id1"), col("id2")),
+      Some("""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+                   THEN list_transform(
+                     generate_series(1, len(string_split(text,' ')) - 2),
+                     i -> concat_ws(' ', string_split(text,' ')[i],
+                                    string_split(text,' ')[i+1],
+                                    string_split(text,' ')[i+2]))
+                   ELSE [] END) AS sh
+          FROM documents),
+        ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh)
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               round(count(*)::DOUBLE /
+                     (any_value(a.n) + any_value(b.n) - count(*)), 4) AS jaccard
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING round(count(*)::DOUBLE /
+                     (any_value(a.n) + any_value(b.n) - count(*)), 4) >= 0.8
+        ORDER BY id1, id2""")),
+
+    // near-dup pairs -> transitive clusters: the missing last step of a
+    // corpus dedup (a~b, b~c must collapse to ONE cluster even when a~c
+    // never paired); oracle replays reachability as a recursive CTE
+    QueryDef(
+      "q100_dedup_components",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = minhashLshPairs(t(s, dir, "documents"), 0.8)
+          .select($"id1", $"id2")
+        connectedComponents(pairs)
+          .withColumn("cluster_size",
+            count(lit(1)).over(Window.partitionBy($"comp")))
+          .select($"id".as("doc_id"), $"comp".as("component"), $"cluster_size")
+          .orderBy($"doc_id")
+      },
+      Some(minhashOracle("""
+        , p AS (SELECT id1, id2 FROM j WHERE jaccard >= 0.8),
+        e AS (SELECT id1 AS src, id2 AS dst FROM p
+              UNION SELECT id2 AS src, id1 AS dst FROM p),
+        reach AS (
+          SELECT src AS id, src AS r FROM e
+          UNION
+          SELECT e.dst AS id, reach.r FROM reach JOIN e ON e.src = reach.id),
+        comp AS (SELECT id AS doc_id, min(r) AS component
+                 FROM reach GROUP BY id)
+        SELECT doc_id, component,
+               count(*) OVER (PARTITION BY component) AS cluster_size
+        FROM comp
+        ORDER BY doc_id""", recursive = true))),
 
     QueryDef(
       "q75_dedup_corpus",

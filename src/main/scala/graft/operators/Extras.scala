@@ -122,6 +122,38 @@ object Extras {
       },
       None),
 
+    // ----- stratified deterministic sampling -----------------------------
+    // q63's hash sampling with per-stratum rates (oversample the rare /
+    // interesting stratum, thin the bulk — the standard shape for building
+    // an eval split from a skewed corpus). Membership stays a pure
+    // function of (key, stratum), identical in any engine at any cluster
+    // size; no sampleBy/RNG, so re-runs and the oracle agree bit-for-bit.
+    QueryDef(
+      "q102_sample_stratified",
+      (s, dir) => {
+        import s.implicits._
+        val bucket =
+          conv(substring(md5($"o_orderkey".cast("string")), 1, 15), 16, 10)
+            .cast("long") % 100
+        val rate = when($"o_orderpriority" === "1-URGENT", lit(30))
+          .when($"o_orderpriority" === "2-HIGH", lit(20))
+          .otherwise(lit(5))
+        t(s, dir, "orders")
+          .filter(bucket < rate)
+          .select($"o_orderkey", $"o_orderpriority",
+            round($"o_totalprice", 4).as("price"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_orderpriority, round(o_totalprice, 4) AS price
+        FROM orders
+        WHERE CAST(concat('0x',
+                substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 100
+              < CASE o_orderpriority WHEN '1-URGENT' THEN 30
+                                     WHEN '2-HIGH' THEN 20 ELSE 5 END
+        ORDER BY o_orderkey""")),
+
     // ----- pivot ----------------------------------------------------------
     // Explicit pivot values => no discovery pass and stable output schema
     // (at scale, value discovery is an extra full aggregation).

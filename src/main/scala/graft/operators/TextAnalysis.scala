@@ -112,6 +112,38 @@ object TextAnalysis {
         lit(0L), (acc, h) => (acc * 31 + h) % p).as("fingerprint"))
   }
 
+  /** BM25 top-k retrieval over the corpus for a literal term set (k1/b =
+    * standard 1.2/0.75). Pure relational plan: one tokenize pass feeds
+    * both doc lengths and term frequencies; global stats (N, avgdl,
+    * per-term df — a handful of rows) broadcast back to the scoring join,
+    * so the corpus shuffles once on doc_id and the top-k is a TakeOrdered
+    * (per-partition heap), never a global sort. Ties at equal rounded
+    * score break by doc_id, making the cut deterministic cross-engine. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val tok = docs.select($"doc_id", explode(toks($"text")).as("tk"))
+    val dl = tok.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+    val tf = tok.filter($"tk".isin(terms: _*))
+      .groupBy($"doc_id", $"tk").agg(count(lit(1)).as("tf"))
+    val termDf = tf.groupBy($"tk").agg(count(lit(1)).as("df"))
+    // avgdl as an explicit exact-sum quotient: both engines derive the
+    // same double (a streaming mean would be order-dependent)
+    val avgdl = $"sum_dl".cast("double") / $"n_docs"
+    val idf = log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+    val denom = $"tf" + lit(k1) * (lit(1 - b) + lit(b) * $"dl" / avgdl)
+    tf
+      .join(broadcast(termDf), "tk")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", idf * ($"tf" * lit(k1 + 1)) / denom)
+      .groupBy($"doc_id").agg(round(sum($"contrib"), 4).as("score"))
+      .orderBy($"score".desc, $"doc_id")
+      .limit(k)
+  }
+
   // ------------------------------------------------------------------
   // oracle-gated bindings
   // ------------------------------------------------------------------
@@ -213,6 +245,42 @@ object TextAnalysis {
                           % 1000000007)),
                  (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
         FROM documents
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ----- BM25 top-k retrieval ------------------------------------------
+    // Corpus search by literal terms — the inspect/mine side of a
+    // training-data pipeline. The oracle replays the identical scoring
+    // formula with the same operator association, so the rounded scores
+    // compare exactly.
+    QueryDef(
+      "q104_bm25_search",
+      (s, dir) => bm25TopK(Tables.load(s, dir, "documents"),
+        Seq("spark", "join", "slow"), k = 10),
+      Some("""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(text, ' '),
+                        x -> length(x) > 0)) AS tk
+          FROM documents),
+        dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+               FROM tok GROUP BY doc_id),
+        stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+        tf AS (SELECT doc_id, tk, CAST(count(*) AS BIGINT) AS tf
+               FROM tok WHERE tk IN ('spark', 'join', 'slow')
+               GROUP BY doc_id, tk),
+        dfx AS (SELECT tk, CAST(count(*) AS BIGINT) AS df
+                FROM tf GROUP BY tk)
+        SELECT t.doc_id,
+               round(sum(
+                 ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * (t.tf * 2.2)
+                   / (t.tf + 1.2 * (0.25 + 0.75 * l.dl
+                        / (s.sum_dl::DOUBLE / s.n_docs)))), 4) AS score
+        FROM tf t JOIN dfx d USING (tk) JOIN dl l USING (doc_id)
+             CROSS JOIN stats s
+        GROUP BY t.doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT 10"""))
   )
 }

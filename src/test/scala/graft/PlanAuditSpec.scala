@@ -93,6 +93,27 @@ class PlanAuditSpec extends SparkSpec {
       "LSH kNN verify should use the fused native expression")
   }
 
+  test("q101/q103: prefix-filter join and pipeline plan no cartesian") {
+    // q101 must candidate-join on the prefix hash (equi-join), never all
+    // pairs — the whole point of prefix filtering
+    val p101 = plan("q101_jaccard_prefix_filter")
+    assert(!p101.contains("BroadcastNestedLoopJoin") &&
+      !p101.contains("CartesianProduct"),
+      "prefix-filtered jaccard must be an equi-join on prefix tokens")
+    // the fused pipeline stays equi-join/anti-join end to end
+    val p103 = plan("q103_training_pipeline")
+    assert(!p103.contains("BroadcastNestedLoopJoin") &&
+      !p103.contains("CartesianProduct"))
+  }
+
+  test("q104: BM25 stats broadcast; top-k is TakeOrdered, not a global sort") {
+    val p = plan("q104_bm25_search")
+    assert(p.contains("BroadcastExchange"),
+      "term df / corpus stats should broadcast to the scoring join")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k should be a per-partition heap, not a total sort")
+  }
+
   test("q89: metadata-only multimodal read prunes the binary column") {
     val df = graft.operators.Multimodal.metadataOnly(spark, sf)
     assert(!graft.plans.PlanInspector.readSchemaContains(df, "text"),

@@ -122,6 +122,66 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("jaccardPrefixPairs is EXACTLY jaccardPairs on a random corpus (lossless filter)") {
+    // prefix filtering must be lossless: same pairs, same jaccard values,
+    // on a corpus of random docs + exact copies + one-token mutations
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector.tabulate(25)(i => s"w$i")
+    val base = (0 until 15).map(i =>
+      (i.toLong, Seq.fill(50)(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val copies = (0 until 7).map(i => (100L + i, base(i)._2))
+    val mutated = (0 until 7).map { i =>
+      val toks = base(i)._2.split(" ")
+      toks(rnd.nextInt(toks.length)) = "MUT"
+      (200L + i, toks.mkString(" "))
+    }
+    val d = docs((base ++ copies ++ mutated): _*)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    Seq(0.3, 0.8).foreach { t =>
+      val exact = pairSet(Dedup.jaccardPairs(d, t))
+      val pp = pairSet(Dedup.jaccardPrefixPairs(d, t))
+      assert(pp == exact,
+        s"t=$t missed=${exact -- pp} extra=${pp -- exact}")
+    }
+  }
+
+  test("connectedComponents: chain + triangle + pair collapse to min-id labels") {
+    import spark.implicits._
+    // chain 1-2-3-4 (transitive, never all-pairs), triangle 10-11-12,
+    // isolated pair 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id1", "id2")
+    val r = Dedup.connectedComponents(edges).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents matches driver-side union-find on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val edges = (0 until 60).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    // reference: plain union-find over the same edges
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      .map(n => n -> find(n)).toMap
+    val got = Dedup.connectedComponents(edges.toDF("id1", "id2")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(got == expected)
+  }
+
   test("dropNearDuplicates keeps cluster minimum and unrelated docs") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 39).map(i => s"tok$i").mkString(" ") + " tokX"

@@ -78,4 +78,24 @@ class SimilarityTextSpec extends SparkSpec {
     // bpe-ish: ab, 1, cd, ',', ef
     assert(row.getLong(2) == 5L)
   }
+
+  test("bm25TopK: rare-term doc outranks common-term doc, k bounds the result") {
+    import spark.implicits._
+    // 'rare' appears in one doc, 'common' in all four: idf makes doc 1
+    // the clear winner; doc 4 matches nothing and must not appear
+    val d = Seq(
+      (1L, "rare common x y z"),
+      (2L, "common a b c d e f g h i j k l m n o p q r s t u v w"),
+      (3L, "common q r s"),
+      (4L, "nothing here at all")).toDF("doc_id", "text")
+    val r = TextAnalysis.bm25TopK(d, Seq("rare", "common"), k = 3).collect()
+      .map(x => (x.getLong(0), x.getDouble(1)))
+    assert(r.length == 3)
+    assert(r.head._1 == 1L) // rare-term match dominates
+    assert(r.map(_._1).toSet == Set(1L, 2L, 3L))
+    // longer doc is penalized: doc 3's 'common' beats doc 2's
+    val byId = r.toMap
+    assert(byId(3L) > byId(2L))
+    assert(r.map(_._2).forall(_ > 0))
+  }
 }
