@@ -18,14 +18,16 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(name)
-    (1 to reps).foreach { r =>
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[scratch] $name rep$r: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+    name.split(',').foreach { q =>
+      val fn = SparkEntry.queries(q)
+      (1 to reps).foreach { r =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        println(f"[scratch] $q rep$r: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+      }
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+        fn(spark, sfDir).explain("formatted")
     }
-    if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
-      fn(spark, sfDir).explain("formatted")
     spark.stop()
   }
 }

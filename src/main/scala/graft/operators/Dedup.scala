@@ -148,8 +148,11 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    // one shingle+md5 pass feeds both the signature aggregation and the
+    // exact-verify sets — cache instead of recomputing the dominant cost
     val ex = shingleRows(docs)
       .withColumn("h30", h60(col("s")) % (1L << 30))
+      .cache()
 
     // signature: min over shingles of h_i(s), i = 0..15 — one base md5
     // per shingle, 16 affine mixes (see minhashAB)
@@ -275,9 +278,15 @@ object Dedup {
   def jaccardPrefixPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val base = shingleRows(docs).select($"doc_id", h60($"s").as("hs"))
-    val docFreq = base.groupBy($"hs").agg(count(lit(1)).as("df"))
-    val ordered = base.join(docFreq, "hs")
+    // the md5-per-shingle pass is the dominant cost and feeds BOTH the
+    // prefix build and the exact verify — cache it (MEMORY_AND_DISK,
+    // spills rather than OOMs at corpus scale) instead of computing twice
+    val sh = shingleRows(docs).cache()
+    val base = sh.select($"doc_id", h60($"s").as("hs"))
+    // document frequency as a window over hs (shares the shuffle the
+    // data needs anyway) rather than a groupBy + re-join
+    val ordered = base
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"hs")))
       .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
       .withColumn("rk", row_number().over(
         Window.partitionBy($"doc_id").orderBy($"df", $"hs")))
@@ -289,7 +298,7 @@ object Dedup {
       .filter($"id1" < $"id2" &&
         greatest($"n1", $"n2") * threshold <= least($"n1", $"n2"))
       .select($"id1", $"id2").distinct()
-    val sets = shingleRows(docs).groupBy($"doc_id")
+    val sets = sh.groupBy($"doc_id")
       .agg(collect_list($"s").as("sh"))
     cand
       .join(sets.toDF("id1", "sh1"), "id1")
@@ -313,9 +322,12 @@ object Dedup {
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
+    // materialize the edge list ONCE: edges usually arrive as the output
+    // of a whole near-dup pipeline, and without this every iteration's
+    // join would re-run that upstream job from the scan up
     val sym = edges.select($"id1".as("src"), $"id2".as("dst"))
       .union(edges.select(col("id2").as("src"), col("id1").as("dst")))
-      .distinct()
+      .distinct().localCheckpoint()
     var labels = sym.select($"src".as("id")).distinct()
       .select($"id", $"id".as("comp")).localCheckpoint()
     var converged = false
@@ -334,6 +346,28 @@ object Dedup {
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     labels
+  }
+
+  /** Blocked fuzzy entity matching (record linkage): candidate pairs
+    * come only from equal blocking keys — the classic way to keep edit-
+    * distance matching off the n² cliff — then a length pre-filter
+    * (|len1-len2| <= maxDistance, implied by the metric, so it never
+    * changes results) and the exact levenshtein test. At 100 TB the
+    * block key IS the shuffle key; block-size skew is the thing to watch
+    * ([[SkewJoin.keySkewProfile]] measures it, a frequency cap like
+    * [[jaccardPairs]]'s guards it). */
+  def fuzzyMatchBlocked(records: DataFrame, blockCols: Seq[String],
+      idCol: String, nameCol: String, maxDistance: Int): DataFrame = {
+    val a = records.select(
+      (blockCols.map(col) :+ col(idCol).as("id1") :+ col(nameCol).as("name1")): _*)
+    val b = records.select(
+      (blockCols.map(col) :+ col(idCol).as("id2") :+ col(nameCol).as("name2")): _*)
+    a.join(b, blockCols)
+      .filter(col("id1") < col("id2") &&
+        abs(length(col("name1")) - length(col("name2"))) <= maxDistance)
+      .withColumn("distance", levenshtein(col("name1"), col("name2")))
+      .filter(col("distance") <= maxDistance)
+      .select(col("id1"), col("id2"), col("distance"))
   }
 
   /** End-to-end near-dup removal: keep each near-dup cluster's
@@ -591,6 +625,25 @@ object Dedup {
                count(*) OVER (PARTITION BY component) AS cluster_size
         FROM comp
         ORDER BY doc_id""", recursive = true))),
+
+    // blocked record linkage: same (nation, segment) block, customer
+    // names within edit distance 2 — DuckDB ships the same levenshtein
+    // (unit-cost insert/delete/substitute), so distances compare exactly
+    QueryDef(
+      "q108_fuzzy_match_blocked",
+      (s, dir) => fuzzyMatchBlocked(t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), "c_custkey", "c_name",
+        maxDistance = 2)
+        .orderBy(col("id1"), col("id2")),
+      Some("""
+        SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+               CAST(levenshtein(a.c_name, b.c_name) AS INT) AS distance
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_mktsegment = b.c_mktsegment
+         AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 2
+        ORDER BY id1, id2""")),
 
     QueryDef(
       "q75_dedup_corpus",

@@ -454,6 +454,26 @@ object Extras {
                round(sum(o_totalprice), 4) AS total
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
-        ORDER BY c_mktsegment"""))
+        ORDER BY c_mktsegment""")),
+
+    // ----- key-skew diagnostics ------------------------------------------
+    // The measurement half of the salting decision (q74 is the cure):
+    // hottest join keys with share-of-rows and skew factor vs the mean
+    // key. lineitem.l_suppkey is the profiled axis.
+    QueryDef(
+      "q106_skew_profile",
+      (s, dir) => SkewJoin.keySkewProfile(
+        t(s, dir, "lineitem"), "l_suppkey", topK = 20),
+      Some("""
+        WITH c AS (SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS cnt
+                   FROM lineitem GROUP BY 1),
+        s AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                     CAST(count(*) AS BIGINT) AS nkeys FROM c)
+        SELECT key, cnt,
+               round(cnt / total::DOUBLE, 6) AS share,
+               round(cnt * nkeys / total::DOUBLE, 4) AS skew_x
+        FROM c CROSS JOIN s
+        ORDER BY cnt DESC, key
+        LIMIT 20"""))
   )
 }

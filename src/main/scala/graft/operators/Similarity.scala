@@ -167,11 +167,79 @@ object Similarity {
       .select($"qid", $"rk", $"cid", $"cosine", $"cell")
   }
 
+  /** Int8 scalar quantization of an embedding column: per-vector scale =
+    * max|v|/127, q_i = round-half-up(v_i/scale), plus the l-infinity
+    * reconstruction error. One linear pass, no shuffle — at 100 TB this
+    * is the 4x storage/IO cut applied before vectors are written; the
+    * ANN paths read the int8 column and rescale on the fly. Rounding is
+    * floor(x + 0.5) spelled explicitly (not an engine `round`) so Spark
+    * and the oracle agree on every half-way case; no clamp is needed
+    * because |v_i/scale| <= 127 by construction. The error metric is the
+    * MAX abs residual, not l2: max is order-independent, so two engines
+    * that agree per element agree on the reduction (an l2 sum of 64
+    * doubles rounds differently under different association — measured). */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val s = embeddings.sparkSession
+    import s.implicits._
+    val e = embeddings.select($"vec_id",
+      transform($"embedding", x => x.cast("double")).as("v"))
+    // internal name `_scale` must differ from the output alias `scale`:
+    // inside one select, Spark 4's lateral-column-alias resolution binds
+    // a same-named reference to the ROUNDED sibling alias, silently
+    // computing the residual against round(scale, 6) — measured, not
+    // hypothetical
+    val se = e.select($"vec_id", $"v",
+      (array_max(transform($"v", x => abs(x))) / 127).as("_scale"))
+    val qv = transform($"v", x =>
+      when($"_scale" === 0, lit(0))
+        .otherwise(floor(x / $"_scale" + 0.5).cast("int")))
+    val qe = se.select($"vec_id", $"v", $"_scale", qv.as("qv"))
+    val absErr = zip_with($"v", $"qv", (x, q) => abs(x - q * $"_scale"))
+    qe.select($"vec_id",
+      round($"_scale", 6).as("scale"),
+      concat_ws(",", transform($"qv", q => q.cast("string"))).as("q_str"),
+      round(when($"_scale" === 0, lit(0.0))
+        .otherwise(array_max(absErr)), 6).as("max_err"))
+  }
+
   // ------------------------------------------------------------------
   // oracle-gated bindings
   // ------------------------------------------------------------------
 
   val defs: Seq[QueryDef] = Seq(
+
+    // ----- int8 scalar quantization --------------------------------------
+    // The storage-side operator for embeddings at scale; q_str serializes
+    // the int8 vector (raw arrays would break the driver's pandas sort).
+    QueryDef(
+      "q105_embedding_quantize",
+      (s, dir) => quantizeInt8(t(s, dir, "embeddings"))
+        .orderBy(col("vec_id")),
+      Some("""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        s AS (
+          SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+          FROM e),
+        q AS (
+          SELECT vec_id, v, scale,
+                 list_transform(v, x ->
+                   CASE WHEN scale = 0 THEN 0
+                        ELSE CAST(floor(x / scale + 0.5) AS INTEGER)
+                   END) AS qv
+          FROM s)
+        SELECT vec_id,
+               round(scale, 6) AS scale,
+               array_to_string(qv, ',') AS q_str,
+               round(CASE WHEN scale = 0 THEN 0.0 ELSE
+                 list_max(list_transform(generate_series(1, len(v)),
+                   i -> abs(v[i] - qv[i] * scale)))
+                 END, 6) AS max_err
+        FROM q
+        ORDER BY vec_id""")),
 
     // ----- brute-force cosine top-k (exact baseline) ---------------------
     QueryDef(

@@ -43,4 +43,24 @@ object SkewJoin {
           saltedLeft("_salt") === saltedRight("_salt"))
       .drop("_salt")
   }
+
+  /** Key-distribution profile for deciding WHETHER to salt: the topK
+    * hottest keys with absolute count, share of all rows, and skew factor
+    * (count / mean-per-key). One partial-aggregated shuffle on the key +
+    * a broadcast of two global scalars; the top-k is a TakeOrdered.
+    * skew_x >> 1 on the head keys = salt (or rely on AQE skew split);
+    * skew_x ~ 1 = leave the join alone. */
+  def keySkewProfile(df: DataFrame, keyCol: String, topK: Int = 20): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("nkeys"))
+    counts.crossJoin(broadcast(stats))
+      .select(col("key"), col("cnt"),
+        round(col("cnt") / col("total").cast("double"), 6).as("share"),
+        round(col("cnt") * col("nkeys") / col("total").cast("double"), 4)
+          .as("skew_x"))
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(topK)
+  }
 }

@@ -332,19 +332,21 @@ object TpchShapes {
       "q96_sole_returning_supplier",
       (s, dir) => {
         import s.implicits._
+        // EXISTS-other-supplier / NOT-EXISTS-other-R-supplier as one
+        // per-order aggregate (n_all > 1, n_r == 1) instead of theta
+        // semi/anti joins: two narrow shuffles on l_orderkey replace
+        // three lineitem passes + two non-equi sort-merge joins
         val pairs = t(s, dir, "lineitem")
           .select($"l_orderkey", $"l_suppkey", $"l_returnflag")
+        val stats = pairs.groupBy($"l_orderkey").agg(
+          countDistinct($"l_suppkey").as("n_all"),
+          countDistinct(when($"l_returnflag" === "R", $"l_suppkey")).as("n_r"))
         val r = pairs.filter($"l_returnflag" === "R")
           .select($"l_orderkey", $"l_suppkey").distinct()
-        val all = pairs.select($"l_orderkey".as("o2"), $"l_suppkey".as("s2"))
-          .distinct()
-        val withOther = r.join(all,
-          $"l_orderkey" === $"o2" && $"l_suppkey" =!= $"s2", "left_semi")
-        val sole = withOther.join(
-          r.select($"l_orderkey".as("o3"), $"l_suppkey".as("s3")),
-          $"l_orderkey" === $"o3" && $"l_suppkey" =!= $"s3", "left_anti")
-        sole.join(broadcast(t(s, dir, "supplier")),
-          $"l_suppkey" === $"s_suppkey")
+        r.join(stats, "l_orderkey")
+          .filter($"n_all" > 1 && $"n_r" === 1)
+          .join(broadcast(t(s, dir, "supplier")),
+            $"l_suppkey" === $"s_suppkey")
           .groupBy($"s_name")
           .agg(count(lit(1)).as("numwait"))
           .orderBy($"numwait".desc, $"s_name")

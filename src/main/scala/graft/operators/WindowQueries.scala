@@ -212,6 +212,35 @@ object WindowQueries {
                CAST(row_number() OVER (ORDER BY round(s_acctbal, 4) DESC, s_suppkey)
                     AS INT) AS pos
         FROM supplier
-        ORDER BY bal DESC, s_suppkey"""))
+        ORDER BY bal DESC, s_suppkey""")),
+
+    // ----- distribution windows: ntile / percent_rank / cume_dist --------
+    // Quartile bucketing and rank-normalization per segment — the window
+    // family q27's ranking trio doesn't cover. percent_rank/cume_dist
+    // are exact rationals of row counts, so the 6dp rounding is stable;
+    // the full ORDER BY (acctbal, custkey) makes ntile assignment
+    // deterministic cross-engine.
+    QueryDef(
+      "q107_window_distribution",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"c_mktsegment")
+          .orderBy($"c_acctbal", $"c_custkey")
+        t(s, dir, "customer")
+          .select($"c_custkey", $"c_mktsegment",
+            round($"c_acctbal", 4).as("bal"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+          .orderBy($"c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_mktsegment, round(c_acctbal, 4) AS bal,
+               CAST(ntile(4) OVER w AS INT) AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        ORDER BY c_custkey"""))
   )
 }

@@ -5,7 +5,9 @@ import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 import graft.operators.QueryDef
 
@@ -32,6 +34,31 @@ import graft.operators.QueryDef
   * state size — without one, per-window state grows forever, which is the
   * 100 TB failure mode the reference sidesteps by never looking back.
   */
+/** Per-user running (count, min, max) held in a named ValueState cell —
+  * the transformWithState (state v2) form of q60's logic. Emits the
+  * running stats after each input batch for the key. */
+private[streaming] class RunningStatsProcessor
+    extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double, Double)] {
+  @transient private var stats: ValueState[(Long, Double, Double)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    stats = getHandle.getValueState[(Long, Double, Double)]("stats",
+      Encoders.product[(Long, Double, Double)], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+      timerValues: TimerValues): Iterator[(Long, Long, Double, Double)] = {
+    val (n0, mn0, mx0) =
+      if (stats.exists()) stats.get()
+      else (0L, Double.MaxValue, Double.MinValue)
+    var n = n0; var mn = mn0; var mx = mx0
+    rows.foreach { case (_, v) =>
+      n += 1; mn = math.min(mn, v); mx = math.max(mx, v)
+    }
+    stats.update((n, mn, mx))
+    Iterator.single((key, n, mn, mx))
+  }
+}
+
 object StreamingQueries {
 
   private def tmp(prefix: String): String =
@@ -278,6 +305,62 @@ object StreamingQueries {
       },
       Some("""
         SELECT user_id, count(*) AS n_events,
+               round(max(value), 4) AS max_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id""")),
+
+    // ----- arbitrary state v2: transformWithState ------------------------
+    // Spark 4's StatefulProcessor API (the successor to
+    // flatMapGroupsWithState, q60): explicit named state cells on the
+    // RocksDB state store — at scale, state lives off-heap/on-disk per
+    // partition instead of in executor heap, which is what makes
+    // billion-key state tenable. Emitted stats (count/min/max) are
+    // order-independent, so the result is batching-insensitive.
+    QueryDef(
+      "q109_stream_transform_with_state",
+      (s, dir) => {
+        import s.implicits._
+        val out = tmp("sink_")
+        val prevProvider = s.conf.getOption(
+          "spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val typed = eventsStream(s, dir)
+            .select($"user_id", $"value").as[(Long, Double)]
+          val updated = typed
+            .groupByKey(_._1)
+            .transformWithState(new RunningStatsProcessor,
+              TimeMode.None(), OutputMode.Update())
+          val q = updated.toDF("user_id", "n_events", "min_value", "max_value")
+            .writeStream
+            .outputMode(OutputMode.Update())
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              batch.write.mode("append").parquet(out)
+            }
+            .option("checkpointLocation", tmp("ckpt_"))
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally {
+          prevProvider match {
+            case Some(p) =>
+              s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+            case None =>
+              s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+          }
+        }
+        s.read.parquet(out)
+          .groupBy($"user_id")
+          .agg(max($"n_events").as("n_events"),
+            round(min($"min_value"), 4).as("min_value"),
+            round(max($"max_value"), 4).as("max_value"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        SELECT user_id, count(*) AS n_events,
+               round(min(value), 4) AS min_value,
                round(max(value), 4) AS max_value
         FROM events
         GROUP BY user_id

@@ -182,6 +182,19 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("fuzzyMatchBlocked: edit-distance pairs only within a block") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "b1", "alpha"),
+      (2L, "b1", "alphx"),   // distance 1 from alpha, same block
+      (3L, "b2", "alpha"),   // identical name, DIFFERENT block -> no pair
+      (4L, "b1", "omega3")   // distance > 2 from everything in b1
+    ).toDF("id", "blk", "name")
+    val r = Dedup.fuzzyMatchBlocked(recs, Seq("blk"), "id", "name", 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    assert(r == Set((1L, 2L, 1)))
+  }
+
   test("dropNearDuplicates keeps cluster minimum and unrelated docs") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 39).map(i => s"tok$i").mkString(" ") + " tokX"

@@ -79,6 +79,21 @@ class SimilarityTextSpec extends SparkSpec {
     assert(row.getLong(2) == 5L)
   }
 
+  test("quantizeInt8: half-up rounding, extreme maps to ±127, zero vector safe") {
+    val d = emb(
+      (1L, Seq(1f, -0.5f, 0.25f, 0f)),
+      (2L, Seq(0f, 0f, 0f, 0f)))
+    val r = Similarity.quantizeInt8(d).orderBy(col("vec_id")).collect()
+      .map(x => (x.getLong(0), x.getDouble(1), x.getString(2), x.getDouble(3)))
+    // scale = 1/127; v/scale = [127, -63.5, 31.75, 0] -> floor(x+0.5)
+    assert(r(0)._3 == "127,-63,32,0")
+    assert(math.abs(r(0)._2 - 1.0 / 127) < 1e-6)
+    // worst residual |-0.5 - (-63/127)| = 0.5/127, rounded DOWN at 6dp
+    assert(r(0)._4 > 0 && r(0)._4 < 0.5 / 127)
+    // all-zero vector: scale 0 guard, zero error
+    assert(r(1) == ((2L, 0.0, "0,0,0,0", 0.0)))
+  }
+
   test("bm25TopK: rare-term doc outranks common-term doc, k bounds the result") {
     import spark.implicits._
     // 'rare' appears in one doc, 'common' in all four: idf makes doc 1
