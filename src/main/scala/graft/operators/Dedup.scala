@@ -330,6 +330,12 @@ object Dedup {
       .distinct().localCheckpoint()
     var labels = sym.select($"src".as("id")).distinct()
       .select($"id", $"id".as("comp")).localCheckpoint()
+    // labels only ever DECREASE, so sum(comp) is a strictly decreasing
+    // fixpoint metric: convergence detection is one tiny aggregate per
+    // round instead of a join against the previous labels
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum($"comp")).head.getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -338,10 +344,10 @@ object Dedup {
       val next = labels.union(viaNbr)
         .groupBy($"id").agg(min($"comp").as("comp"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
-        .filter($"comp" < $"old").count()
+      val newSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = newSum == prevSum
+      prevSum = newSum
       it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")

@@ -154,6 +154,42 @@ object Extras {
                                      WHEN '2-HIGH' THEN 20 ELSE 5 END
         ORDER BY o_orderkey""")),
 
+    // ----- deterministic train/val/test split ----------------------------
+    // The split every training corpus needs, as a pure function of the
+    // doc key (md5 mod 100: <80 train, <90 val, else test): stable across
+    // runs, engines and cluster sizes, and NEVER leaks a doc into two
+    // splits — re-runs of q63's hash-membership idea as a labeling.
+    QueryDef(
+      "q112_train_val_test_split",
+      (s, dir) => {
+        import s.implicits._
+        val bucket =
+          conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+            .cast("long") % 100
+        t(s, dir, "documents")
+          .select($"doc_id", $"lang",
+            when(bucket < 80, "train")
+              .when(bucket < 90, "val")
+              .otherwise("test").as("split"))
+          .groupBy($"split", $"lang")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy($"split", $"lang")
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id, lang,
+                 CAST(concat('0x',
+                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % 100 AS bucket
+          FROM documents)
+        SELECT CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               lang, count(*) AS n_docs
+        FROM b
+        GROUP BY 1, 2
+        ORDER BY split, lang""")),
+
     // ----- pivot ----------------------------------------------------------
     // Explicit pivot values => no discovery pass and stable output schema
     // (at scale, value discovery is an extra full aggregation).

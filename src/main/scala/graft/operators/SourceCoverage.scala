@@ -89,6 +89,63 @@ object SourceCoverage {
                CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM documents
         GROUP BY lang, source
-        ORDER BY lang, source"""))
+        ORDER BY lang, source""")),
+
+    // ----- ORC source: the second columnar format Spark ships ------------
+    // Round-trip events through ORC (zlib-striped, predicate-pushdown
+    // capable like parquet) and aggregate off the ORC scan; the oracle
+    // replays from the parquet fixture, so any ORC encode/decode fault
+    // hash-mismatches.
+    QueryDef(
+      "q110_orc_source",
+      (s, dir) => {
+        import s.implicits._
+        val staged = stagePath("orc", dir)
+        Tables.load(s, dir, "events")
+          .select($"event_id", $"user_id", $"event_type", $"value")
+          .write.mode("overwrite").orc(staged)
+        s.read.orc(staged)
+          .filter($"value" > 10.0)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_events"),
+            round(sum($"value"), 4).as("sum_value"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type, count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events
+        WHERE value > 10.0
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // ----- partitioned parquet sink + pruned read-back -------------------
+    // The at-rest layout SCALING.md prescribes (partition by the dominant
+    // filter column): write events partitioned by event_type, read back
+    // ONE partition — the scan must touch only that directory (partition
+    // pruning is also pinned by PlanAuditSpec; this gates the round-trip
+    // through CORRECTNESS).
+    QueryDef(
+      "q111_partitioned_sink",
+      (s, dir) => {
+        import s.implicits._
+        val staged = stagePath("part", dir)
+        Tables.load(s, dir, "events")
+          .select($"event_id", $"user_id", $"event_type", $"value")
+          .write.mode("overwrite").partitionBy("event_type").parquet(staged)
+        s.read.parquet(staged)
+          .filter($"event_type" === "purchase")
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_purchases"),
+            round(sum($"value"), 4).as("sum_value"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        SELECT user_id, count(*) AS n_purchases,
+               round(sum(value), 4) AS sum_value
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY user_id
+        ORDER BY user_id"""))
   )
 }
