@@ -35,11 +35,15 @@ object Pipeline {
       nearDupThreshold: Double): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    // project to (ids, digest) BEFORE the dedup window: partitioning by
+    // md5(text) on the full row would ship every document's text through
+    // the shuffle — the digest row is ~40 bytes instead
     val exactKeep = docs
+      .select($"doc_id", $"lang", $"source", md5($"text").as("_digest"))
       .withColumn("_keep",
-        min($"doc_id").over(Window.partitionBy(md5($"text"))))
+        min($"doc_id").over(Window.partitionBy($"_digest")))
       .filter($"doc_id" === $"_keep")
-      .drop("_keep")
+      .select($"doc_id", $"lang", $"source")
     val quality = TextAnalysis.qualityScore(docs)
       .select($"doc_id", $"quality", $"n_tokens")
     val nearDupIds = Dedup.minhashLshPairs(docs, nearDupThreshold)

@@ -51,8 +51,11 @@ object SkewJoin {
     * skew_x >> 1 on the head keys = salt (or rely on AQE skew split);
     * skew_x ~ 1 = leave the join alone. */
   def keySkewProfile(df: DataFrame, keyCol: String, topK: Int = 20): DataFrame = {
+    // per-key counts feed BOTH the global stats and the top-k: cache the
+    // |keys|-sized frame (spills if huge) rather than scanning df twice
     val counts = df.groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("cnt"))
+      .cache()
     val stats = counts.agg(sum(col("cnt")).as("total"),
       count(lit(1)).as("nkeys"))
     counts.crossJoin(broadcast(stats))

@@ -119,6 +119,35 @@ object SourceCoverage {
         GROUP BY event_type
         ORDER BY event_type""")),
 
+    // ----- JSON-lines + gzip + roll round-trip ---------------------------
+    // The reference's own storage format (gzip NDJSON, rolled files —
+    // reducer.py:106-139) through the JsonLines source/sink pair; until
+    // now that pair was only unit-tested, so this puts the compatibility
+    // boundary under the oracle gate too. Rolling at 100 records forces
+    // a multi-file scan; gzip makes each file a single split (the
+    // documented trade — fine for a compatibility boundary, parquet is
+    // the at-rest format).
+    QueryDef(
+      "q113_jsonl_gzip_source",
+      (s, dir) => {
+        import s.implicits._
+        val staged = stagePath("jsonl", dir)
+        graft.sources.JsonLines.write(
+          Tables.load(s, dir, "documents")
+            .select($"doc_id", $"lang", $"n_chars"),
+          staged, maxRecordsPerFile = 100L, compress = true)
+        graft.sources.JsonLines.read(s, Seq(staged))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+          .orderBy($"lang")
+      },
+      Some("""
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang""")),
+
     // ----- partitioned parquet sink + pruned read-back -------------------
     // The at-rest layout SCALING.md prescribes (partition by the dominant
     // filter column): write events partitioned by event_type, read back

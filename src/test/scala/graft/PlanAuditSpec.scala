@@ -104,6 +104,10 @@ class PlanAuditSpec extends SparkSpec {
     val p103 = plan("q103_training_pipeline")
     assert(!p103.contains("BroadcastNestedLoopJoin") &&
       !p103.contains("CartesianProduct"))
+    // and its exact-dedup stage shuffles on the md5 digest — the text
+    // column must never be the partition key of an Exchange
+    assert(p103.contains("hashpartitioning(_digest"),
+      "exact-dedup window should partition on the precomputed digest")
   }
 
   test("q104: BM25 stats broadcast; top-k is TakeOrdered, not a global sort") {
