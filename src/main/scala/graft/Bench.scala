@@ -15,6 +15,9 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     // deterministic (sorted) order -> comparable timings across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // no cross-query cache reuse: a cached frame left by an earlier
+      // query must not flatter a later query's timing
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

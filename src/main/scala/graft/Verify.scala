@@ -33,6 +33,9 @@ object Verify {
         Files.writeString(Paths.get(s"$outDir/$name._FAILED"),
           String.valueOf(e.getMessage))
       }
+      // queries that cache intermediates (shingle passes, LSH bands, key
+      // counts) would otherwise accumulate across the 100+-query run
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

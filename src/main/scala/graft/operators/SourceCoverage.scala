@@ -161,7 +161,9 @@ object SourceCoverage {
         val staged = stagePath("part", dir)
         Tables.load(s, dir, "events")
           .select($"event_id", $"user_id", $"event_type", $"value")
-          .write.mode("overwrite").partitionBy("event_type").parquet(staged)
+          .write.mode("overwrite").partitionBy("event_type")
+          .option("compression", "zstd") // the SCALING.md at-rest codec
+          .parquet(staged)
         s.read.parquet(staged)
           .filter($"event_type" === "purchase")
           .groupBy($"user_id")
