@@ -354,6 +354,44 @@ object Dedup {
     labels
   }
 
+  /** Directional containment pairs: fraction of `src`'s shingles present
+    * in `dst` (|A∩B| / |A|, >= threshold). The asymmetric cousin of
+    * Jaccard — catches a short document quoted/embedded inside a longer
+    * one, which symmetric Jaccard dilutes below any useful threshold.
+    * Same bounded shape as [[jaccardPairs]]: equi-join on the shingle
+    * hash, count per ordered pair. */
+  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val base = shingleRows(docs).select($"doc_id", h60($"s").as("hs"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
+    val a = base.toDF("src", "hs", "n_src")
+    val b = base.select($"doc_id".as("dst"), $"hs")
+    a.join(b, Seq("hs"))
+      .filter($"src" =!= $"dst")
+      .groupBy($"src", $"dst")
+      .agg(count(lit(1)).as("inter"), first($"n_src").as("n_src"))
+      .withColumn("containment", round($"inter" / $"n_src".cast("double"), 4))
+      .filter($"containment" >= threshold)
+      .select($"src", $"dst", $"containment")
+  }
+
+  /** Boilerplate n-gram mining: the shingles shared by at least `minDf`
+    * documents, hottest first — template headers/footers and license
+    * blurbs surface here long before any pairwise comparison. One
+    * partial-aggregated shuffle on the shingle; also exactly the
+    * histogram that justifies [[jaccardPairs]]'s `maxShingleFreq` cap. */
+  def boilerplateShingles(docs: DataFrame, minDf: Int, topK: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    shingleRows(docs)
+      .groupBy($"s")
+      .agg(count(lit(1)).as("df"))
+      .filter($"df" >= minDf)
+      .orderBy($"df".desc, $"s")
+      .limit(topK)
+  }
+
   /** Blocked fuzzy entity matching (record linkage): candidate pairs
     * come only from equal blocking keys — the classic way to keep edit-
     * distance matching off the n² cliff — then a length pre-filter
@@ -631,6 +669,54 @@ object Dedup {
                count(*) OVER (PARTITION BY component) AS cluster_size
         FROM comp
         ORDER BY doc_id""", recursive = true))),
+
+    // directional containment (quote/subset detection) over documents
+    QueryDef(
+      "q114_containment_pairs",
+      (s, dir) => containmentPairs(t(s, dir, "documents"), 0.8)
+        .orderBy(col("src"), col("dst")),
+      Some("""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+                   THEN list_transform(
+                     generate_series(1, len(string_split(text,' ')) - 2),
+                     i -> concat_ws(' ', string_split(text,' ')[i],
+                                    string_split(text,' ')[i+1],
+                                    string_split(text,' ')[i+2]))
+                   ELSE [] END) AS sh
+          FROM documents),
+        ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh)
+        SELECT a.doc_id AS src, b.doc_id AS dst,
+               round(count(*)::DOUBLE / any_value(a.n), 4) AS containment
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING round(count(*)::DOUBLE / any_value(a.n), 4) >= 0.8
+        ORDER BY src, dst""")),
+
+    // boilerplate shingle mining (df histogram head)
+    QueryDef(
+      "q115_boilerplate_ngrams",
+      (s, dir) => boilerplateShingles(t(s, dir, "documents"),
+        minDf = 5, topK = 20),
+      Some("""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+                   THEN list_transform(
+                     generate_series(1, len(string_split(text,' ')) - 2),
+                     i -> concat_ws(' ', string_split(text,' ')[i],
+                                    string_split(text,' ')[i+1],
+                                    string_split(text,' ')[i+2]))
+                   ELSE [] END) AS sh
+          FROM documents),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM sh)
+        SELECT s, count(*) AS df
+        FROM ex
+        GROUP BY s
+        HAVING count(*) >= 5
+        ORDER BY df DESC, s
+        LIMIT 20""")),
 
     // blocked record linkage: same (nation, segment) block, customer
     // names within edit distance 2 — DuckDB ships the same levenshtein

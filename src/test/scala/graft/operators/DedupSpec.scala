@@ -182,6 +182,25 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("containmentPairs is directional: embedded doc scores 1.0, host scores lower") {
+    val short = (1 to 10).map(i => s"t$i").mkString(" ")
+    val long = short + " " + (100 to 120).map(i => s"u$i").mkString(" ")
+    val other = (200 to 220).map(i => s"v$i").mkString(" ")
+    val r = Dedup.containmentPairs(
+      docs((1L, short), (2L, long), (3L, other)), 0.9).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    // every shingle of the short doc appears in the long doc, not vice versa
+    assert(r == Set((1L, 2L, 1.0)))
+  }
+
+  test("boilerplateShingles surfaces the shared template trigram") {
+    val d = docs((1 to 8).map(i =>
+      (i.toLong, s"copyright acme corp body$i text$i here$i")): _*)
+    val r = Dedup.boilerplateShingles(d, minDf = 5, topK = 5).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(r.head == (("copyright acme corp", 8L)))
+  }
+
   test("fuzzyMatchBlocked: edit-distance pairs only within a block") {
     import spark.implicits._
     val recs = Seq(
