@@ -247,6 +247,35 @@ object TextAnalysis {
         FROM documents
         ORDER BY doc_id""")),
 
+    // ----- PII masking / redaction ---------------------------------------
+    // The redaction pass a corpus gets before leaving a trust boundary:
+    // identifier digits masked with only the last 3 visible ("keep last
+    // group" masking). Split by substring arithmetic, not a lazy regex —
+    // digit masking is the only regex, so the two engines' dialects
+    // cannot diverge (DuckDB regexp_replace needs the explicit 'g'
+    // flag). Embarrassingly parallel, no shuffle before the ORDER BY.
+    QueryDef(
+      "q116_pii_mask",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "customer")
+          .select($"c_custkey",
+            concat(
+              regexp_replace(
+                $"c_name".substr(lit(1), length($"c_name") - 3), "[0-9]", "#"),
+              $"c_name".substr(length($"c_name") - 2, lit(3))).as("masked_name"))
+          .orderBy($"c_custkey")
+      },
+      Some("""
+        SELECT c_custkey,
+               concat(
+                 regexp_replace(
+                   substring(c_name, 1, length(c_name) - 3),
+                   '[0-9]', '#', 'g'),
+                 substring(c_name, length(c_name) - 2, 3)) AS masked_name
+        FROM customer
+        ORDER BY c_custkey""")),
+
     // ----- BM25 top-k retrieval ------------------------------------------
     // Corpus search by literal terms — the inspect/mine side of a
     // training-data pipeline. The oracle replays the identical scoring
