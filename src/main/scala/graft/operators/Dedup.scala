@@ -310,15 +310,15 @@ object Dedup {
   }
 
   /** Connected components over an undirected (id1, id2) edge list:
-    * (id, component) with component = smallest reachable id. Iterative
-    * min-label propagation — one shuffle per round, `localCheckpoint`
-    * truncates the growing lineage — converging in O(cluster diameter)
-    * rounds. Near-dup graphs are shallow (dup clusters are cliques-ish),
-    * so a handful of rounds suffices even at corpus scale; for
-    * pathological chain graphs the large-star/small-star variant
-    * (Kiveris et al., SoCC'14) bounds rounds at O(log n) with the same
-    * per-round plan shape. The driver loop holds only the convergence
-    * counter, never data. */
+    * (id, component) with component = smallest reachable id. Each round
+    * relaxes against neighbors' labels AND against the label's own label
+    * (pointer jumping / path halving), so convergence is O(log diameter)
+    * rounds — maxIter=25 therefore covers graphs with diameter ~2^25,
+    * not 25, and a long mutation chain cannot crash the query. One
+    * shuffle per relaxation, `localCheckpoint` truncates the growing
+    * lineage; the driver loop holds only the convergence counter, never
+    * data. (Same round bound as large-star/small-star, Kiveris et al.,
+    * SoCC'14, with a simpler per-round plan.) */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
@@ -341,8 +341,14 @@ object Dedup {
     while (!converged && it < maxIter) {
       val viaNbr = sym.join(labels, sym("dst") === labels("id"))
         .select(sym("src").as("id"), labels("comp"))
-      val next = labels.union(viaNbr)
+      val relaxed = labels.union(viaNbr)
         .groupBy($"id").agg(min($"comp").as("comp"))
+      // pointer jump: also take my label's label (comp values are node
+      // ids, so the inner self-join always finds a row) — this is what
+      // turns O(diameter) rounds into O(log diameter)
+      val byId = relaxed.toDF("jid", "jcomp")
+      val next = relaxed.join(byId, relaxed("comp") === byId("jid"))
+        .select(relaxed("id"), least(relaxed("comp"), byId("jcomp")).as("comp"))
         .localCheckpoint()
       val newSum = labelSum(next)
       labels = next

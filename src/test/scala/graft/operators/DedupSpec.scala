@@ -158,6 +158,15 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents handles a 60-deep chain (pointer jumping, not O(diameter))") {
+    import spark.implicits._
+    // diameter 59 >> maxIter 25: only the O(log diameter) jump converges
+    val edges = (0L until 59L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val r = Dedup.connectedComponents(edges).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.length == 60 && r.forall(_._2 == 0L))
+  }
+
   test("connectedComponents matches driver-side union-find on a random graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(29)
