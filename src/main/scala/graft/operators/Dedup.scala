@@ -366,10 +366,21 @@ object Dedup {
     * one, which symmetric Jaccard dilutes below any useful threshold.
     * Same bounded shape as [[jaccardPairs]]: equi-join on the shingle
     * hash, count per ordered pair. */
-  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  def containmentPairs(docs: DataFrame, threshold: Double,
+      maxShingleFreq: Option[Int] = None): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val base = shingleRows(docs).select($"doc_id", h60($"s").as("hs"))
+    val raw = shingleRows(docs).select($"doc_id", h60($"s").as("hs"))
+    // same quadratic-bucket guard as jaccardPairs: drop shingles shared
+    // by more than `cap` docs from the universe (n counts the filtered
+    // set, keeping the containment denominator consistent)
+    val guarded = maxShingleFreq match {
+      case Some(cap) =>
+        raw.withColumn("_f", count(lit(1)).over(Window.partitionBy($"hs")))
+          .filter($"_f" <= cap).drop("_f")
+      case None => raw
+    }
+    val base = guarded
       .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
     val a = base.toDF("src", "hs", "n_src")
     val b = base.select($"doc_id".as("dst"), $"hs")

@@ -200,6 +200,13 @@ class DedupSpec extends SparkSpec {
       .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
     // every shingle of the short doc appears in the long doc, not vice versa
     assert(r == Set((1L, 2L, 1.0)))
+    // the df cap guards the hot-bucket blowup the same way jaccardPairs'
+    // does: with every doc sharing one trigram, capping below its df
+    // empties the candidate set
+    val hot = docs((1 to 12).map(i =>
+      (i.toLong, s"the end of a$i b$i c$i d$i")): _*)
+    assert(Dedup.containmentPairs(hot, 0.0001,
+      maxShingleFreq = Some(5)).count() == 0)
   }
 
   test("boilerplateShingles surfaces the shared template trigram") {
