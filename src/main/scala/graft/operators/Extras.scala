@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -491,6 +491,94 @@ object Extras {
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment""")),
+
+    // ----- grouped Pearson correlation (exact-integer bridge) ------------
+    // corr(quantity, price) per returnflag. The naive double formula is
+    // catastrophic here: n*Σxy - Σx*Σy subtracts ~1e14-scale terms, so
+    // the engines' different FP summation orders surface as 1e-2-scale
+    // drift. Instead price is scaled to integer cents (round kills the
+    // double representation error) and every sum runs in DECIMAL(38,0)
+    // — EXACT in both engines — with doubles entering only for the final
+    // sqrt/division on identical inputs. The cents scaling cancels in
+    // the ratio.
+    QueryDef(
+      "q117_correlation",
+      (s, dir) => {
+        import s.implicits._
+        // narrow input precisions so q*q / p*p / q*p stay inside both
+        // engines' 38-digit decimal cap; the SUMS are therefore exact,
+        // and each is cast to double only once (identical nearest-double
+        // in both engines) before the final formula
+        val q = $"l_quantity".cast("decimal(9,0)")
+        val p = round($"l_extendedprice" * 100).cast("decimal(12,0)")
+        val d = (c: Column) => c.cast("double")
+        t(s, dir, "lineitem")
+          .select($"l_returnflag", q.as("q"), p.as("p"))
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum($"q").as("sq"), sum($"p").as("sp"),
+            sum($"q" * $"q").as("sqq"), sum($"p" * $"p").as("spp"),
+            sum($"q" * $"p").as("sqp"))
+          .select($"l_returnflag",
+            round((d($"n") * d($"sqp") - d($"sq") * d($"sp")) /
+              sqrt((d($"n") * d($"sqq") - d($"sq") * d($"sq")) *
+                   (d($"n") * d($"spp") - d($"sp") * d($"sp"))), 4)
+              .as("corr_qty_price"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        WITH b AS (
+          SELECT l_returnflag,
+                 CAST(l_quantity AS DECIMAL(9,0)) AS q,
+                 CAST(round(l_extendedprice * 100) AS DECIMAL(12,0)) AS p
+          FROM lineitem),
+        a AS (
+          SELECT l_returnflag,
+                 count(*) AS n,
+                 sum(q) AS sq, sum(p) AS sp,
+                 sum(q * q) AS sqq, sum(p * p) AS spp,
+                 sum(q * p) AS sqp
+          FROM b GROUP BY l_returnflag)
+        SELECT l_returnflag,
+               round((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
+                      - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE)) /
+                 sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                       - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) *
+                      (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                       - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 4)
+                 AS corr_qty_price
+        FROM a
+        ORDER BY l_returnflag""")),
+
+    // ----- per-key EWMA (ordered fold) -----------------------------------
+    // Exponentially weighted moving average of each user's event values
+    // in (ts, event_id) order, zero-seeded: ewma = 0.3*v + 0.7*acc. A
+    // sequential left fold is ORDER-DETERMINISTIC, so unlike a float
+    // sum it is bit-identical across engines (same trick as the q51
+    // rolling hash, in doubles).
+    QueryDef(
+      "q118_ewma_per_user",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy($"user_id")
+          .agg(sort_array(collect_list(
+            struct($"ts", $"event_id", $"value"))).as("evs"))
+          .select($"user_id",
+            round(aggregate(transform($"evs", e => e.getField("value")),
+              lit(0.0), (acc, v) => lit(0.3) * v + lit(0.7) * acc), 4)
+              .as("ewma"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        SELECT user_id,
+               round(list_reduce(
+                 list_prepend(CAST(0.0 AS DOUBLE),
+                   list(value ORDER BY ts, event_id)),
+                 (acc, v) -> 0.3 * v + 0.7 * acc), 4) AS ewma
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id""")),
 
     // ----- key-skew diagnostics ------------------------------------------
     // The measurement half of the salting decision (q74 is the cure):
