@@ -94,6 +94,23 @@ class SimilarityTextSpec extends SparkSpec {
     assert(r(1) == ((2L, 0.0, "0,0,0,0", 0.0)))
   }
 
+  test("quantizeInt8 invariant on random vectors: residual <= scale/2, codes in [-127,127]") {
+    val rnd = new scala.util.Random(41)
+    val d = emb((0 until 30).map(i =>
+      (i.toLong, Seq.fill(64)((rnd.nextFloat() - 0.5f) * 10f))): _*)
+    val rows = Similarity.quantizeInt8(d).collect()
+    rows.foreach { r =>
+      val scale = r.getDouble(1)
+      val codes = r.getString(2).split(",").map(_.toInt)
+      val maxErr = r.getDouble(3)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      // half-up rounding bounds each residual by scale/2 (plus the 6dp
+      // output rounding of both fields)
+      assert(maxErr <= scale / 2 + 1e-6,
+        s"vec ${r.getLong(0)}: maxErr=$maxErr scale=$scale")
+    }
+  }
+
   test("bm25TopK: rare-term doc outranks common-term doc, k bounds the result") {
     import spark.implicits._
     // 'rare' appears in one doc, 'common' in all four: idf makes doc 1
