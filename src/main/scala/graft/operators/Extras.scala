@@ -492,6 +492,43 @@ object Extras {
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment""")),
 
+    // ----- equal-width numeric histogram ---------------------------------
+    // 10-bin profile of order totals: global min/max broadcast back, bin
+    // assignment is the same double expression in both engines (identical
+    // association → identical bin for every row, v=hi clamped into the
+    // last bin). One partial-aggregated shuffle on the bin id.
+    QueryDef(
+      "q119_numeric_histogram",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders").select($"o_totalprice".as("v"))
+        val stats = o.agg(min($"v").as("lo"), max($"v").as("hi"))
+        o.crossJoin(broadcast(stats))
+          .withColumn("bin",
+            least(floor(($"v" - $"lo") / ($"hi" - $"lo") * 10), lit(9L))
+              .cast("int"))
+          .groupBy($"bin")
+          .agg(count(lit(1)).as("n"),
+            first($"lo").as("lo"), first($"hi").as("hi"))
+          .select($"bin", $"n",
+            round($"lo" + $"bin" * ($"hi" - $"lo") / 10, 4).as("bin_lo"))
+          .orderBy($"bin")
+      },
+      Some("""
+        WITH s AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+                   FROM orders),
+        b AS (
+          SELECT CAST(least(floor((o_totalprice - lo) / (hi - lo) * 10), 9)
+                      AS INT) AS bin,
+                 lo, hi
+          FROM orders, s)
+        SELECT bin, count(*) AS n,
+               round(any_value(lo) + bin * (any_value(hi) - any_value(lo))
+                     / 10, 4) AS bin_lo
+        FROM b
+        GROUP BY bin
+        ORDER BY bin""")),
+
     // ----- grouped Pearson correlation (exact-integer bridge) ------------
     // corr(quantity, price) per returnflag. The naive double formula is
     // catastrophic here: n*Σxy - Σx*Σy subtracts ~1e14-scale terms, so
