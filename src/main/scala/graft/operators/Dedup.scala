@@ -332,9 +332,11 @@ object Dedup {
       .select($"id", $"id".as("comp")).localCheckpoint()
     // labels only ever DECREASE, so sum(comp) is a strictly decreasing
     // fixpoint metric: convergence detection is one tiny aggregate per
-    // round instead of a join against the previous labels
+    // round instead of a join against the previous labels. sum over zero
+    // rows is NULL — coalesce so an empty edge list (clean corpus, zero
+    // near-dup pairs) converges to an empty labeling instead of NPE-ing
     def labelSum(df: DataFrame): Long =
-      df.agg(sum($"comp")).head.getLong(0)
+      df.agg(coalesce(sum($"comp"), lit(0L))).head.getLong(0)
     var prevSum = labelSum(labels)
     var converged = false
     var it = 0

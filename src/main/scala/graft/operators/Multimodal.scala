@@ -105,19 +105,10 @@ object Multimodal {
       "q99_multimodal_frame_sample",
       (s, dir) => {
         import s.implicits._
-        val frameBytes = 32
-        val stride = 3
-        Tables.load(s, dir, "documents")
-          .select($"doc_id", $"text".cast("binary").as("media"))
-          .select($"doc_id",
-            explode(sequence(lit(0),
-              ((length($"media") - 1) / frameBytes).cast("int")))
-              .as("frame_idx"),
-            $"media")
-          .filter($"frame_idx" % stride === 0)
-          .select($"doc_id", $"frame_idx".cast("long").as("frame_idx"),
-            $"media".substr($"frame_idx" * frameBytes + 1, lit(frameBytes))
-              .cast("string").as("frame"))
+        frameSample(
+          Tables.load(s, dir, "documents")
+            .select($"doc_id", $"text".cast("binary").as("media")),
+          frameBytes = 32, stride = 3)
           .orderBy($"doc_id", $"frame_idx")
       },
       Some("""
@@ -126,13 +117,35 @@ object Multimodal {
                  unnest(generate_series(0, (length(text) - 1) // 32))
                    AS frame_idx,
                  text
-          FROM documents)
+          FROM documents
+          WHERE length(text) > 0)
         SELECT doc_id, frame_idx,
                substring(text, frame_idx * 32 + 1, 32) AS frame
         FROM frames
         WHERE frame_idx % 3 = 0
         ORDER BY doc_id, frame_idx"""))
   )
+
+  /** Cut a binary payload into fixed-size frames, keep every `stride`-th:
+    * (doc_id, frame_idx, frame). Empty payloads emit NO frames — Spark's
+    * int division truncates (0-1)/N toward zero, which without the guard
+    * would fabricate one empty frame where floor semantics (DuckDB `//`)
+    * emit none; a real decoder also yields nothing for an empty stream. */
+  def frameSample(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media
+      .filter(length($"media") > 0)
+      .select($"doc_id",
+        explode(sequence(lit(0),
+          ((length($"media") - 1) / frameBytes).cast("int")))
+          .as("frame_idx"),
+        $"media")
+      .filter($"frame_idx" % stride === 0)
+      .select($"doc_id", $"frame_idx".cast("long").as("frame_idx"),
+        $"media".substr($"frame_idx" * frameBytes + 1, lit(frameBytes))
+          .cast("string").as("frame"))
+  }
 
   /** Column-pruning counterpart: metadata-only aggregation that must never
     * touch the binary column (ReadSchema shows bytes excluded). */

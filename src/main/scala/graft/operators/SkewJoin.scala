@@ -20,18 +20,36 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Inner equi-join `left.leftKey == right.rightKey` with the left side's
-    * skew spread over `salt` buckets. */
+    * skew spread over `salt` buckets.
+    *
+    * Two salting modes for the probe side:
+    *  - default (`spreadIdentical = false`): salt = hash of the row's
+    *    hashable column content — deterministic across task retries
+    *    (re-executions are bit-identical). CAVEAT: rows that are
+    *    bit-identical all land in one salt bucket, so a hot key whose rows
+    *    are exact duplicates (dedup-less upstream ingestion) keeps its
+    *    skew. Map-typed columns are excluded from the hash (xxhash64
+    *    rejects them); if nothing hashable remains, falls through to the
+    *    spreading salt.
+    *  - `spreadIdentical = true`: mixes `spark_partition_id` and a
+    *    per-partition row index into the hash — breaks up even
+    *    bit-identical duplicates, at the cost of retry nondeterminism
+    *    (a re-executed task may assign different salts; join RESULTS are
+    *    identical either way, only bucket placement varies). */
   def saltedInnerJoin(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      salt: Int = 8): DataFrame = {
+      salt: Int = 8, spreadIdentical: Boolean = false): DataFrame = {
     require(salt > 0)
-    // probe side: salt from a hash of the FULL row content — stable under
-    // task retries (monotonically_increasing_id() reassigns on re-run,
-    // which is correct but makes re-executions bit-nonidentical), and
-    // spreads a hot key's rows because the non-key columns vary
-    val saltedLeft = left.withColumn("_salt",
-      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(salt.toLong)))
+    val hashable = left.schema.fields
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name)).toIndexedSeq
+    val saltExpr =
+      if (spreadIdentical || hashable.isEmpty)
+        xxhash64((hashable :+ spark_partition_id().cast("long"))
+          :+ monotonically_increasing_id(): _*)
+      else xxhash64(hashable: _*)
+    val saltedLeft = left.withColumn("_salt", pmod(saltExpr, lit(salt.toLong)))
     // build side: replicate each row across every salt bucket
     val saltedRight = right.withColumn("_salt",
       explode(sequence(lit(0L), lit(salt - 1L))))

@@ -34,6 +34,33 @@ object SourceCoverage {
   private def stagePath(tag: String, dir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_src_${tag}_${Integer.toHexString(dir.hashCode)}"
 
+  /** Stage `docs` (doc_id, text) as "doc_id<TAB>text" lines, read them back
+    * through the raw-text source, and count whitespace tokens per doc.
+    *
+    * The line format cannot carry a literal tab or newline inside `text`
+    * (a tab truncates the parse at the second field, a newline splits one
+    * doc across two lines whose second half has a null doc_id), so staging
+    * normalizes `\t \n \r` to spaces BEFORE writing. Token counts are
+    * preserved: the tokenizer splits on spaces and drops empties, so a
+    * whitespace-class character mapping to ' ' is identity on the token
+    * stream. The oracle must apply the same normalization (see q87's SQL). */
+  def rawTextTokenCounts(s: SparkSession, docs: DataFrame, staged: String): DataFrame = {
+    import s.implicits._
+    docs
+      .select(concat_ws("\t", $"doc_id",
+        translate($"text", "\t\n\r", "   ")).as("value"))
+      .write.mode("overwrite").text(staged)
+    s.read.text(staged)
+      .select(
+        split_part($"value", lit("\t"), lit(1)).cast("long").as("doc_id"),
+        split_part($"value", lit("\t"), lit(2)).as("text"))
+      .select($"doc_id", explode(split($"text", " ")).as("tk"))
+      .filter(length($"tk") > 0)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"))
+      .orderBy($"doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ----- raw-text source: the reference's native input shape ----------
@@ -41,25 +68,17 @@ object SourceCoverage {
     // parse → tokenize → per-doc token count.
     QueryDef(
       "q87_raw_text_source",
-      (s, dir) => {
-        import s.implicits._
-        val staged = stagePath("text", dir)
-        Tables.load(s, dir, "documents")
-          .select(concat_ws("\t", $"doc_id", $"text").as("value"))
-          .write.mode("overwrite").text(staged)
-        s.read.text(staged)
-          .select(
-            split_part($"value", lit("\t"), lit(1)).cast("long").as("doc_id"),
-            split_part($"value", lit("\t"), lit(2)).as("text"))
-          .select($"doc_id", explode(split($"text", " ")).as("tk"))
-          .filter(length($"tk") > 0)
-          .groupBy($"doc_id")
-          .agg(count(lit(1)).as("n_tokens"))
-          .orderBy($"doc_id")
-      },
+      (s, dir) =>
+        rawTextTokenCounts(s, Tables.load(s, dir, "documents"),
+          stagePath("text", dir)),
+      // same \t\n\r -> ' ' normalization as the staging path: token counts
+      // agree even if a fixture doc ever carries embedded whitespace
       Some("""
         SELECT doc_id, count(*) AS n_tokens
-        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+        FROM (SELECT doc_id,
+                     unnest(string_split(
+                       translate(text, chr(9) || chr(10) || chr(13), '   '),
+                       ' ')) AS tk
               FROM documents)
         WHERE length(tk) > 0
         GROUP BY doc_id

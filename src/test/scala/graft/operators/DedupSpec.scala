@@ -158,6 +158,14 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents returns an empty labeling on an empty edge list") {
+    import spark.implicits._
+    // a clean corpus yields zero near-dup pairs; sum over zero rows is
+    // NULL, which must not NPE the convergence check
+    val edges = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Dedup.connectedComponents(edges).count() == 0)
+  }
+
   test("connectedComponents handles a 60-deep chain (pointer jumping, not O(diameter))") {
     import spark.implicits._
     // diameter 59 >> maxIter 25: only the O(log diameter) jump converges

@@ -74,4 +74,26 @@ class IncrementalSpec extends SparkSpec {
     assert(salted == plain)
     assert(plain.size == 2000)
   }
+
+  test("spreadIdentical salting matches plain join on bit-identical hot rows") {
+    import spark.implicits._
+    // every probe row is bit-identical: content hashing alone would put
+    // them all in ONE salt bucket (the skew survives); spreadIdentical
+    // mixes in partition id + row index to break them up
+    val left = (1 to 500).map(_ => ("HOT", 1)).toDF("lk", "lv")
+    val right = Seq(("HOT", 9)).toDF("rk", "rv")
+    val spread = SkewJoin.saltedInnerJoin(left, right, "lk", "rk",
+      salt = 4, spreadIdentical = true)
+    assert(spread.count() == 500)
+    assert(spread.queryExecution.analyzed.toString
+      .contains("monotonically_increasing_id"))
+  }
+
+  test("default salting skips map columns instead of erroring in xxhash64") {
+    import spark.implicits._
+    val left = Seq(("a", Map("x" -> 1)), ("b", Map("y" -> 2))).toDF("k", "m")
+    val right = Seq(("a", 10), ("b", 20)).toDF("rk", "rv")
+    val r = SkewJoin.saltedInnerJoin(left, right, "k", "rk", salt = 3)
+    assert(r.count() == 2)
+  }
 }
