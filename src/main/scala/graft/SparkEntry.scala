@@ -29,7 +29,8 @@ object SparkEntry {
     Extras.defs,
     FunctionCoverage.defs,
     TpchShapes.defs,
-    Pipeline.defs)
+    Pipeline.defs,
+    TrainingPipeline.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 

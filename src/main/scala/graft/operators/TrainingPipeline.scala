@@ -1,0 +1,317 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Training-data curation operators beyond the dedup/similarity family:
+  * benchmark decontamination, repetition-based quality signals, sequence
+  * packing, deterministic shuffling/sharding, incremental (cross-batch)
+  * dedup, and per-source quota sampling. These are the operations a
+  * 100 TB LLM-pretraining pipeline runs between "raw corpus" and
+  * "training shards"; the reference engine could only express them as
+  * hand-written map/reduce pairs (/root/reference/README.txt:236-293).
+  *
+  * All of it is declared-plan `functions._` — no UDFs, every hash
+  * md5-derived so the DuckDB oracle replays the computation exactly.
+  *
+  * Scale notes (100 TB posture):
+  *  - decontamination: the benchmark side is tiny by definition (eval
+  *    sets, not corpora) → its n-gram set broadcasts; the corpus side is
+  *    one linear n-gram pass + a broadcast hash join. No shuffle of the
+  *    corpus at all.
+  *  - repetition signals: two partial-agg shuffles keyed on (doc, token)
+  *    then doc — text itself never ships past the initial explode.
+  *  - packing / quota / sharding: windows are PARTITIONED (by source or
+  *    shard), never a single global ordering, so parallelism survives any
+  *    corpus size; shard count should scale with the cluster (cores × k),
+  *    the fixture queries use small constants only for oracle legibility.
+  */
+object TrainingPipeline {
+
+  /** Distinct n-token shingles per doc as rows (doc_id, s) — the
+    * generalized [[Dedup.shingleRows]] (same linear explode + window-lead
+    * construction; see that scaladoc for why the higher-order-function
+    * formulation is an O(len²) trap). */
+  def ngramRows(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, "n-gram size must be >= 2")
+    val s = docs.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val base = docs.select($"doc_id", posexplode(split($"text", " ")))
+      .toDF("doc_id", "pos", "tk0")
+    val withLeads = (1 until n).foldLeft(base) { (df, i) =>
+      df.withColumn(s"tk$i", lead($"tk0", i).over(w))
+    }
+    withLeads
+      .filter(col(s"tk${n - 1}").isNotNull)
+      .select($"doc_id",
+        concat_ws(" ", (0 until n).map(i => col(s"tk$i")): _*).as("s"))
+      .distinct()
+  }
+
+  /** Benchmark decontamination: corpus docs sharing at least `minOverlap`
+    * distinct n-grams with ANY benchmark doc, with the overlap count —
+    * the standard eval-set leak check run before training. The benchmark
+    * n-gram set is deduped and broadcast (eval sets are MBs, not TBs), so
+    * the corpus side is a single linear pass with a broadcast join: the
+    * corpus is never shuffled. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 4, minOverlap: Long = 1L): DataFrame = {
+    val bg = ngramRows(benchmark, n)
+      .select(Dedup.h60(col("s")).as("hb")).distinct()
+    ngramRows(corpus, n)
+      .select(col("doc_id"), Dedup.h60(col("s")).as("h"))
+      .join(broadcast(bg), col("h") === col("hb"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
+  /** Per-doc token-repetition quality signals (Gopher-style repetition
+    * rules): duplicate-token fraction, top-token fraction, and a keep
+    * flag from thresholds on the ROUNDED fractions (so the decision is
+    * reproducible across engines and reruns). */
+  def repetitionSignals(docs: DataFrame,
+      maxDupFrac: Double = 0.55, maxTopFrac: Double = 0.12): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val per = docs.select($"doc_id", explode(split($"text", " ")).as("tk"))
+      .groupBy($"doc_id", $"tk").agg(count(lit(1)).as("c"))
+    per.groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max($"c").as("top_count"))
+      .select($"doc_id", $"n_tokens",
+        round(lit(1.0) - $"n_distinct" / $"n_tokens".cast("double"), 4)
+          .as("dup_frac"),
+        round($"top_count" / $"n_tokens".cast("double"), 4).as("top_frac"))
+      .withColumn("keep",
+        when($"dup_frac" <= maxDupFrac && $"top_frac" <= maxTopFrac, 1)
+          .otherwise(0))
+  }
+
+  /** Concatenate-and-chunk sequence packing: documents are laid out in
+    * doc_id order within each `source` partition and cut into packs of
+    * `budget` tokens; a doc belongs to the pack where it STARTS. This is
+    * the packing layout used when pretraining on concatenated documents
+    * with a fixed context length. The window is partitioned by source —
+    * no global sort — and the pack id is exact integer arithmetic
+    * ((cum - n_tok) DIV budget, both non-negative), not double division
+    * that would lose exactness past 2^53 cumulative tokens. */
+  def packSequences(docs: DataFrame, budget: Long = 512L): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select($"source", $"doc_id",
+        size(split($"text", " ")).cast("long").as("n_tok"))
+      .withColumn("cum", sum($"n_tok").over(w))
+      .withColumn("pack_id", expr(s"(cum - n_tok) DIV $budget"))
+      .groupBy($"source", $"pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("sum_tokens"))
+  }
+
+  /** Deterministic training-order shuffle: every doc gets a pseudo-random
+    * but fully reproducible (seeded, content-independent) shard and
+    * position — rerunning the pipeline yields the identical training
+    * order, unlike rand()-based shuffles. Position is a row_number within
+    * the shard ordered by the doc's seeded hash; the window is
+    * partitioned BY SHARD, so at cluster scale you raise `nShards` to
+    * (cores × k) and every shard sorts independently. */
+  def deterministicShuffle(docs: DataFrame, nShards: Int, seed: Long): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val h = Dedup.h60(concat($"doc_id".cast("string"), lit(s":$seed")))
+    docs.select($"doc_id", h.as("h"))
+      .withColumn("shard", pmod($"h", lit(nShards.toLong)))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy($"shard").orderBy($"h", $"doc_id"))
+          .cast("long"))
+  }
+
+  /** Incremental (cross-batch) exact dedup: drop new docs whose content
+    * digest already exists in the `seen` digest set, after first deduping
+    * the batch internally (keep min doc_id). Only digests ship — the
+    * seen set is a digest column, typically the persisted output of
+    * previous runs, and the anti-join is the bloom-prunable shape AQE
+    * handles well. Returns (doc_id, digest, n_in_batch) survivors. */
+  def incrementalDedup(newDocs: DataFrame, seenDigests: DataFrame): DataFrame = {
+    val s = newDocs.sparkSession
+    import s.implicits._
+    val batch = newDocs.select(md5($"text").as("digest"), $"doc_id")
+      .groupBy($"digest")
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_in_batch"))
+    batch.join(seenDigests.select($"digest".as("_seen")).distinct(),
+        batch("digest") === col("_seen"), "left_anti")
+      .select($"doc_id", $"digest", $"n_in_batch")
+  }
+
+  /** Per-source quota sampling: keep at most `cap` docs per source,
+    * chosen by deterministic content-hash order (not rand(), so reruns
+    * and retries agree) — the "domain cap" every web-scale corpus applies
+    * so one giant crawl domain can't dominate the mixture. row_number is
+    * per-source, so the window parallelizes across sources. */
+  def sourceQuota(docs: DataFrame, cap: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select($"source", $"doc_id", Dedup.h60($"text").as("h"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"source").orderBy($"h", $"doc_id"))
+          .cast("long"))
+      .filter($"rn" <= cap)
+      .select($"source", $"rn", $"doc_id")
+  }
+
+  // ------------------------------------------------------------------
+  // fixture-bound oracle queries
+  // ------------------------------------------------------------------
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // eval-set leak check: docs ≡ 0 (mod 7) play the benchmark, the rest
+    // the corpus; any corpus doc sharing a distinct 4-gram is flagged
+    QueryDef(
+      "q120_decontamination",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        decontaminate(
+          docs.filter($"doc_id" % 7 =!= 0),
+          docs.filter($"doc_id" % 7 === 0), n = 4)
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH g AS (
+          SELECT doc_id,
+                 unnest(list_distinct(CASE WHEN len(string_split(text,' ')) >= 4
+                   THEN list_transform(
+                     generate_series(1, len(string_split(text,' ')) - 3),
+                     i -> concat_ws(' ', string_split(text,' ')[i],
+                                    string_split(text,' ')[i+1],
+                                    string_split(text,' ')[i+2],
+                                    string_split(text,' ')[i+3]))
+                   ELSE [] END)) AS s
+          FROM documents),
+        b AS (SELECT DISTINCT s FROM g WHERE doc_id % 7 = 0)
+        SELECT doc_id, count(*) AS n_overlap
+        FROM g
+        WHERE doc_id % 7 != 0 AND s IN (SELECT s FROM b)
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    QueryDef(
+      "q121_repetition_quality",
+      (s, dir) => repetitionSignals(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH per AS (
+          SELECT doc_id, tk, count(*) AS c
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+                FROM documents)
+          GROUP BY doc_id, tk),
+        d AS (
+          SELECT doc_id,
+                 CAST(sum(c) AS BIGINT) AS n_tokens,
+                 count(*) AS n_distinct,
+                 max(c) AS top_count
+          FROM per GROUP BY doc_id)
+        SELECT doc_id, n_tokens,
+               round(1.0 - n_distinct / CAST(n_tokens AS DOUBLE), 4) AS dup_frac,
+               round(top_count / CAST(n_tokens AS DOUBLE), 4) AS top_frac,
+               CASE WHEN round(1.0 - n_distinct / CAST(n_tokens AS DOUBLE), 4) <= 0.55
+                     AND round(top_count / CAST(n_tokens AS DOUBLE), 4) <= 0.12
+                    THEN 1 ELSE 0 END AS keep
+        FROM d
+        ORDER BY doc_id""")),
+
+    QueryDef(
+      "q122_sequence_packing",
+      (s, dir) => packSequences(Tables.load(s, dir, "documents"), budget = 512L)
+        .orderBy(col("source"), col("pack_id")),
+      Some("""
+        WITH tk AS (
+          SELECT source, doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents),
+        c AS (
+          SELECT source, doc_id, n_tok,
+                 sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM tk)
+        SELECT source, CAST((cum - n_tok) // 512 AS BIGINT) AS pack_id,
+               count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+        FROM c
+        GROUP BY source, pack_id
+        ORDER BY source, pack_id""")),
+
+    // shard-level rollup of the deterministic shuffle: counts, id sums,
+    // and the first doc in each shard's order pin the exact permutation
+    QueryDef(
+      "q123_deterministic_shuffle",
+      (s, dir) => {
+        import s.implicits._
+        deterministicShuffle(Tables.load(s, dir, "documents"),
+            nShards = 8, seed = 42L)
+          .groupBy($"shard")
+          .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("sum_doc_id"),
+            min_by($"doc_id", $"pos").as("first_doc_id"))
+          .orderBy($"shard")
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substring(md5(doc_id || ':42'), 1, 15))
+                      AS BIGINT) AS h
+          FROM documents)
+        SELECT h % 8 AS shard, count(*) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+               arg_min(doc_id, h) AS first_doc_id
+        FROM h
+        GROUP BY shard
+        ORDER BY shard""")),
+
+    // odd doc_ids arrive as the "new batch", even doc_ids' digests are
+    // the persisted seen set from previous runs
+    QueryDef(
+      "q124_incremental_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        incrementalDedup(
+          docs.filter($"doc_id" % 2 === 1),
+          docs.filter($"doc_id" % 2 === 0).select(md5($"text").as("digest")))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH newb AS (
+          SELECT md5(text) AS digest, min(doc_id) AS doc_id,
+                 count(*) AS n_in_batch
+          FROM documents WHERE doc_id % 2 = 1 GROUP BY md5(text)),
+        seen AS (
+          SELECT DISTINCT md5(text) AS digest
+          FROM documents WHERE doc_id % 2 = 0)
+        SELECT doc_id, digest, n_in_batch
+        FROM newb
+        WHERE digest NOT IN (SELECT digest FROM seen)
+        ORDER BY doc_id""")),
+
+    QueryDef(
+      "q125_source_quota",
+      (s, dir) => sourceQuota(Tables.load(s, dir, "documents"), cap = 10)
+        .orderBy(col("source"), col("rn")),
+      Some("""
+        WITH r AS (
+          SELECT source, doc_id,
+                 CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT) AS h,
+                 row_number() OVER (PARTITION BY source ORDER BY
+                   CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT),
+                   doc_id) AS rn
+          FROM documents)
+        SELECT source, CAST(rn AS BIGINT) AS rn, doc_id
+        FROM r
+        WHERE rn <= 10
+        ORDER BY source, rn"""))
+  )
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class TrainingPipelineSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("ngramRows: distinct positional n-grams, docs shorter than n drop out") {
+    val r = TrainingPipeline.ngramRows(docs((1L, "a b c d"), (2L, "a")), 2)
+      .collect().map(x => (x.getLong(0), x.getString(1))).toSet
+    assert(r == Set((1L, "a b"), (1L, "b c"), (1L, "c d")))
+  }
+
+  test("decontaminate flags only docs overlapping the benchmark") {
+    val corpus = docs(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated words in this one here now"))
+    val bench = docs((100L, "quick brown fox jumps elsewhere entirely"))
+    val r = TrainingPipeline.decontaminate(corpus, bench, n = 4).collect()
+    // doc 1 shares exactly one 4-gram ("quick brown fox jumps")
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSet == Set((1L, 1L)))
+  }
+
+  test("repetitionSignals: fractions and keep flag") {
+    val r = TrainingPipeline.repetitionSignals(
+      docs((1L, "a a a a b"), (2L, "a b c d e")), maxDupFrac = 0.55,
+      maxTopFrac = 0.5).collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(2), x.getDouble(3), x.getInt(4))))
+      .toMap
+    // doc 1: 5 tokens, 2 distinct -> dup 0.6, top 4/5 = 0.8 -> dropped
+    assert(r(1L) == ((0.6, 0.8, 0)))
+    // doc 2: all distinct -> dup 0.0, top 0.2 -> kept
+    assert(r(2L) == ((0.0, 0.2, 1)))
+  }
+
+  test("packSequences: concatenate-and-chunk pack assignment per source") {
+    import spark.implicits._
+    // source s: docs of 3,3,3 tokens, budget 5 -> cum starts 0,3,6 ->
+    // packs 0,0,1
+    val d = Seq((1L, "a b c", "s"), (2L, "d e f", "s"), (3L, "g h i", "s"))
+      .toDF("doc_id", "text", "source")
+    val r = TrainingPipeline.packSequences(d, budget = 5L).collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getLong(3))).toSet
+    assert(r == Set((0L, 2L, 6L), (1L, 1L, 3L))) // (pack_id, n_docs, sum_tokens)
+  }
+
+  test("deterministicShuffle: total, reproducible, positions contiguous per shard") {
+    val d = docs((0L until 100L).map(i => (i, s"doc $i")): _*)
+    val once = TrainingPipeline.deterministicShuffle(d, nShards = 4, seed = 7L)
+      .collect().map(x => (x.getLong(0), x.getLong(2), x.getLong(3))).toSet
+    val again = TrainingPipeline.deterministicShuffle(d, nShards = 4, seed = 7L)
+      .collect().map(x => (x.getLong(0), x.getLong(2), x.getLong(3))).toSet
+    assert(once == again) // bit-identical across runs, unlike rand()
+    assert(once.size == 100)
+    // per-shard positions are 1..n with no gaps
+    once.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3) == (1L to rows.size).toSet)
+    }
+    // a different seed yields a different permutation
+    val other = TrainingPipeline.deterministicShuffle(d, nShards = 4, seed = 8L)
+      .collect().map(x => (x.getLong(0), x.getLong(2), x.getLong(3))).toSet
+    assert(other != once)
+  }
+
+  test("incrementalDedup drops seen digests and dedups the batch internally") {
+    import spark.implicits._
+    val newDocs = docs((10L, "already seen"), (11L, "fresh text"),
+      (12L, "fresh text"), (13L, "also new"))
+    val seen = Seq("already seen").toDF("t")
+      .select(org.apache.spark.sql.functions.md5($"t").as("digest"))
+    val r = TrainingPipeline.incrementalDedup(newDocs, seen).collect()
+      .map(x => (x.getLong(0), x.getLong(2))).toSet
+    // 10 dropped (seen); 11/12 collapse to 11 with n_in_batch=2
+    assert(r == Set((11L, 2L), (13L, 1L)))
+  }
+
+  test("sourceQuota caps per source deterministically") {
+    import spark.implicits._
+    val d = (1 to 30).map(i => (i.toLong, s"text $i", s"src${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    val r1 = TrainingPipeline.sourceQuota(d, cap = 5).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r1.groupBy(_._1).forall(_._2.length == 5))
+    val r2 = TrainingPipeline.sourceQuota(d, cap = 5).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r1.toSet == r2.toSet)
+  }
+}
