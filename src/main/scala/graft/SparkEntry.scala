@@ -30,7 +30,8 @@ object SparkEntry {
     FunctionCoverage.defs,
     TpchShapes.defs,
     Pipeline.defs,
-    TrainingPipeline.defs)
+    TrainingPipeline.defs,
+    Analytics.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 

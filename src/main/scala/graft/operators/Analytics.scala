@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Event-analytics operators over the events table: batch sessionization,
+  * ordered funnel conversion, cohort retention, and a generic table
+  * profiler. The classic clickstream queries an OLAP engine is asked for
+  * daily; the reference could only express them as chained map/reduce
+  * jobs with hand-rolled group iteration.
+  *
+  * Scale notes (100 TB posture):
+  *  - sessionize / cohort windows are PARTITIONED BY USER — parallelism
+  *    is user-count wide, no global ordering anywhere; the gap test uses
+  *    exact integer microseconds (no float truncation drift).
+  *  - funnel stages are per-user min-timestamps chained through joins on
+  *    user_id — each stage's frame is |users|, far smaller than events,
+  *    and AQE broadcasts them as they shrink.
+  *  - tableProfile is ONE aggregation pass over the table producing every
+  *    column's stats together (not one scan per column); exact
+  *    count_distinct per column is the fixture-honest choice here — at
+  *    100 TB you swap in approx_count_distinct and keep the same shape.
+  */
+object Analytics {
+
+  /** Gap-based sessionization: a new session starts when a user's
+    * inter-event gap exceeds `gapMinutes`. Returns one row per session
+    * with bounds and rollups. The batch counterpart of the streaming
+    * session window (q59); ties on ts are broken by event_id so the
+    * session numbering is fully deterministic. */
+  def sessionize(events: DataFrame, gapMinutes: Long): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("_gap_us",
+        unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w))
+      .withColumn("_new",
+        when($"_gap_us".isNull || $"_gap_us" > gapMinutes * 60000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum($"_new").over(cum))
+      .groupBy($"user_id", $"sess_id")
+      .agg(count(lit(1)).as("n_events"), min($"ts").as("sess_start"),
+        max($"ts").as("sess_end"), round(sum($"value"), 4).as("sum_value"))
+  }
+
+  /** Ordered funnel: users who did step 1, then step 2 AFTER step 1,
+    * then step 3 AFTER step 2 (strictly increasing first-completion
+    * times — re-orderings don't count, matching product-analytics
+    * semantics). Returns (stage, stage_idx, n_users). */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty)
+    val s = events.sparkSession
+    import s.implicits._
+    val e = events.select($"user_id", $"event_type", $"ts")
+    // stage frames shrink monotonically: each is per-user minimal
+    // completion time of the prefix, joined forward
+    val stages = steps.tail.scanLeft(
+      e.filter($"event_type" === steps.head)
+        .groupBy($"user_id").agg(min($"ts").as("step_ts"))) { (prev, step) =>
+      e.filter($"event_type" === step)
+        .join(prev.select($"user_id", $"step_ts".as("_prev_ts")), "user_id")
+        .filter($"ts" > $"_prev_ts")
+        .groupBy($"user_id").agg(min($"ts").as("step_ts"))
+    }
+    stages.zip(steps).zipWithIndex.map { case ((df, step), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(step).as("stage"), lit(i + 1).as("stage_idx"), $"n_users")
+    }.reduce(_.union(_))
+  }
+
+  /** Cohort retention: users grouped by first-activity day, counted as
+    * active per whole-week offset from that day. (cohort_day,
+    * week_offset, n_users) — the retention-curve input. Integer date
+    * arithmetic only. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val firstDay = events.groupBy($"user_id")
+      .agg(min(to_date($"ts")).as("cohort_day"))
+    events.select($"user_id", to_date($"ts").as("d"))
+      .join(firstDay, "user_id")
+      .select($"user_id", $"cohort_day",
+        expr("datediff(d, cohort_day) DIV 7").as("week_offset"))
+      .distinct()
+      .groupBy($"cohort_day", $"week_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** One-pass per-column table profile: null count, exact distinct count,
+    * and (for numeric columns) min/max — long format, one row per column.
+    * The data-quality gate run before any pipeline consumes a new drop. */
+  def tableProfile(df: DataFrame, numericCols: Seq[String],
+      otherCols: Seq[String]): DataFrame = {
+    val all = numericCols ++ otherCols
+    val aggs = all.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nnull"),
+        count_distinct(col(c)).as(s"${c}__ndist"))
+    } ++ numericCols.flatMap { c =>
+      Seq(round(min(col(c)).cast("double"), 4).as(s"${c}__min"),
+        round(max(col(c)).cast("double"), 4).as(s"${c}__max"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = all.map { c =>
+      val isNum = numericCols.contains(c)
+      struct(lit(c).as("col_name"),
+        col(s"${c}__nnull").as("n_null"),
+        col(s"${c}__ndist").as("n_distinct"),
+        (if (isNum) col(s"${c}__min") else lit(null).cast("double")).as("min_num"),
+        (if (isNum) col(s"${c}__max") else lit(null).cast("double")).as("max_num"))
+    }
+    wide.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
+  // ------------------------------------------------------------------
+  // fixture-bound oracle queries
+  // ------------------------------------------------------------------
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q126_sessionize",
+      (s, dir) => sessionize(Tables.load(s, dir, "events"), gapMinutes = 360L)
+        .orderBy(col("user_id"), col("sess_id")),
+      Some("""
+        WITH g AS (
+          SELECT user_id, event_id, ts, value,
+                 epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          FROM events),
+        se AS (
+          SELECT user_id, ts, value,
+                 sum(CASE WHEN gap_us IS NULL OR gap_us > 21600000000
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sess_id
+          FROM g)
+        SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+               count(*) AS n_events, min(ts) AS sess_start,
+               max(ts) AS sess_end, round(sum(value), 4) AS sum_value
+        FROM se
+        GROUP BY user_id, sess_id
+        ORDER BY user_id, sess_id""")),
+
+    QueryDef(
+      "q127_funnel",
+      (s, dir) => funnel(Tables.load(s, dir, "events"),
+        Seq("view", "click", "purchase")).orderBy(col("stage_idx")),
+      Some("""
+        WITH s1 AS (
+          SELECT user_id, min(ts) AS step_ts FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (
+          SELECT e.user_id, min(e.ts) AS step_ts
+          FROM events e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'click' AND e.ts > s1.step_ts
+          GROUP BY e.user_id),
+        s3 AS (
+          SELECT e.user_id, min(e.ts) AS step_ts
+          FROM events e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s2.step_ts
+          GROUP BY e.user_id)
+        SELECT 'view' AS stage, 1 AS stage_idx, count(*) AS n_users FROM s1
+        UNION ALL
+        SELECT 'click', 2, count(*) FROM s2
+        UNION ALL
+        SELECT 'purchase', 3, count(*) FROM s3
+        ORDER BY stage_idx""")),
+
+    QueryDef(
+      "q128_cohort_retention",
+      (s, dir) => cohortRetention(Tables.load(s, dir, "events"))
+        .orderBy(col("cohort_day"), col("week_offset")),
+      Some("""
+        WITH f AS (
+          SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+          FROM events GROUP BY user_id),
+        a AS (
+          SELECT DISTINCT e.user_id, f.cohort_day,
+                 datediff('day', f.cohort_day, CAST(e.ts AS DATE)) // 7
+                   AS week_offset
+          FROM events e JOIN f ON e.user_id = f.user_id)
+        SELECT cohort_day, CAST(week_offset AS BIGINT) AS week_offset,
+               count(*) AS n_users
+        FROM a
+        GROUP BY cohort_day, week_offset
+        ORDER BY cohort_day, week_offset""")),
+
+    QueryDef(
+      "q129_table_profile",
+      (s, dir) => tableProfile(Tables.load(s, dir, "events"),
+        numericCols = Seq("event_id", "user_id", "value"),
+        otherCols = Seq("event_type", "props"))
+        .orderBy(col("col_name")),
+      Some("""
+        SELECT 'event_id' AS col_name,
+               CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               count(DISTINCT event_id) AS n_distinct,
+               round(CAST(min(event_id) AS DOUBLE), 4) AS min_num,
+               round(CAST(max(event_id) AS DOUBLE), 4) AS max_num
+        FROM events
+        UNION ALL
+        SELECT 'user_id',
+               CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT user_id),
+               round(CAST(min(user_id) AS DOUBLE), 4),
+               round(CAST(max(user_id) AS DOUBLE), 4)
+        FROM events
+        UNION ALL
+        SELECT 'value',
+               CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT value),
+               round(min(value), 4), round(max(value), 4)
+        FROM events
+        UNION ALL
+        SELECT 'event_type',
+               CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT event_type), NULL, NULL
+        FROM events
+        UNION ALL
+        SELECT 'props',
+               CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT props), NULL, NULL
+        FROM events
+        ORDER BY col_name"""))
+  )
+}

@@ -128,8 +128,12 @@ object Dedup {
           .drop("_f")
       case None => base
     }
+    // both sides of the self-join read this frame: cache it
+    // (MEMORY_AND_DISK) or the whole shingle+md5 pass — the dominant
+    // cost — runs twice
     val sh = guarded
       .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      .cache()
     val a = sh.toDF("id1", "hs", "n1")
     val b = sh.toDF("id2", "hs", "n2")
     a.join(b, a("hs") === b("hs") && a("id1") < b("id2"))
@@ -262,6 +266,44 @@ object Dedup {
       .select($"id1", $"id2", $"cosine")
   }
 
+  /** SemDeDup-style semantic dedup (cluster-then-prune, Abbas et al.
+    * 2023, arXiv:2303.09540): assign every vector to its nearest centroid
+    * (broadcast centroids, exactly [[Similarity.ivfTopK]]'s cell
+    * assignment), then within each cell drop any vector that has a
+    * LOWER-id cell-mate with cosine >= threshold. Returns the survivors
+    * (vec_id, cell).
+    *
+    * The join is bounded by cell population — never n²/2 — and at corpus
+    * scale the centroids come from a k-means over a sample (still
+    * broadcast-sized); here they are a deterministic corpus subset so the
+    * oracle can replay the assignment. */
+  def semanticDedup(embeddings: DataFrame, isCentroid: Column,
+      threshold: Double): DataFrame = {
+    val s = embeddings.sparkSession
+    import s.implicits._
+    CosineSimilarity.register(s)
+    val e = embeddings.select($"vec_id", $"embedding")
+    val centroids = e.filter(isCentroid).toDF("cent_id", "cent_v")
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cent_id")
+    // both the pair join's two sides and the survivor anti-join read the
+    // assignment: cache it so the centroid scoring pass runs once
+    val assigned = e.crossJoin(broadcast(centroids))
+      .withColumn("sim", round(expr("cosine_sim(embedding, cent_v)"), 6))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"embedding", $"cent_id".as("cell"))
+      .cache()
+    val dropped = assigned.select($"vec_id".as("id1"), $"embedding".as("v1"), $"cell")
+      .join(assigned.select($"vec_id".as("id2"), $"embedding".as("v2"), $"cell"),
+        Seq("cell"))
+      .filter($"id1" < $"id2")
+      .withColumn("cosine", round(expr("cosine_sim(v1, v2)"), 4))
+      .filter($"cosine" >= threshold)
+      .select($"id2".as("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select($"vec_id", $"cell")
+  }
+
   /** Exact n-gram-Jaccard near-dup pairs via PPJoin-style prefix
     * filtering — the EXACT scale path for [[jaccardPairs]]'s operator
     * (same output contract; q42's quadratic self-join is the oracle
@@ -382,8 +424,11 @@ object Dedup {
           .filter($"_f" <= cap).drop("_f")
       case None => raw
     }
+    // both sides of the self-join read this frame: cache it so the
+    // shingle+md5 pass runs once (same trade as jaccardPairs)
     val base = guarded
       .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      .cache()
     val a = base.toDF("src", "hs", "n_src")
     val b = base.select($"doc_id".as("dst"), $"hs")
     a.join(b, Seq("hs"))
@@ -690,6 +735,44 @@ object Dedup {
         ORDER BY doc_id""", recursive = true))),
 
     // directional containment (quote/subset detection) over documents
+    QueryDef(
+      "q130_semantic_dedup",
+      (s, dir) => semanticDedup(t(s, dir, "embeddings"),
+        col("vec_id") % 29 === 3, 0.45).orderBy(col("vec_id")),
+      Some("""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        n AS (SELECT vec_id, v,
+                     sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+              FROM e),
+        cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+                 FROM n WHERE vec_id % 29 = 3),
+        scored AS (
+          SELECT a.vec_id, c.cent_id,
+                 round(list_sum(list_transform(generate_series(1, len(a.v)),
+                       i -> a.v[i] * c.cv[i])) / (a.nrm * c.cnrm), 6) AS sim
+          FROM n a CROSS JOIN cent c),
+        assigned AS (
+          SELECT vec_id, cent_id AS cell
+          FROM (SELECT vec_id, cent_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, cent_id) AS rn
+                FROM scored)
+          WHERE rn = 1),
+        dropped AS (
+          SELECT a2.vec_id AS id2
+          FROM assigned a1
+          JOIN assigned a2 ON a1.cell = a2.cell AND a1.vec_id < a2.vec_id
+          JOIN n n1 ON n1.vec_id = a1.vec_id
+          JOIN n n2 ON n2.vec_id = a2.vec_id
+          WHERE round(list_sum(list_transform(generate_series(1, len(n1.v)),
+                i -> n1.v[i] * n2.v[i])) / (n1.nrm * n2.nrm), 4) >= 0.45)
+        SELECT a.vec_id, a.cell
+        FROM assigned a
+        WHERE a.vec_id NOT IN (SELECT id2 FROM dropped)
+        ORDER BY a.vec_id""")),
+
     QueryDef(
       "q114_containment_pairs",
       (s, dir) => containmentPairs(t(s, dir, "documents"), 0.8)

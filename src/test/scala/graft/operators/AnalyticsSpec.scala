@@ -1,0 +1,78 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class AnalyticsSpec extends SparkSpec {
+
+  private def ts(min: Long) = new Timestamp(min * 60000L)
+
+  private def events(rows: (Long, Long, String, Double)*) = {
+    import spark.implicits._
+    rows.zipWithIndex.map { case ((u, m, t, v), i) =>
+      (i.toLong, u, ts(m), t, v)
+    }.toDF("event_id", "user_id", "ts", "event_type", "value")
+  }
+
+  test("sessionize splits on gaps greater than the threshold") {
+    val e = events(
+      (1L, 0L, "view", 1.0), (1L, 10L, "click", 2.0), // session 1
+      (1L, 100L, "view", 3.0), // gap 90min > 30 -> session 2
+      (2L, 0L, "view", 4.0)) // other user: own session 1
+    val r = Analytics.sessionize(e, gapMinutes = 30L).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
+    assert(r == Map((1L, 1L) -> 2L, (1L, 2L) -> 1L, (2L, 1L) -> 1L))
+  }
+
+  test("funnel counts only strictly-ordered completions") {
+    val e = events(
+      (1L, 0L, "view", 0), (1L, 1L, "click", 0), (1L, 2L, "purchase", 0),
+      // user 2 clicked BEFORE viewing: counts for view only
+      (2L, 5L, "click", 0), (2L, 6L, "view", 0),
+      // user 3 viewed only
+      (3L, 0L, "view", 0))
+    val r = Analytics.funnel(e, Seq("view", "click", "purchase")).collect()
+      .map(x => x.getInt(1) -> x.getLong(2)).toMap
+    assert(r == Map(1 -> 3L, 2 -> 1L, 3 -> 1L))
+  }
+
+  test("cohortRetention buckets activity by whole-week offset from first day") {
+    val day = 24 * 60L
+    val e = events(
+      (1L, 0L, "view", 0), (1L, 3 * day, "view", 0), // week 0 twice
+      (1L, 8 * day, "view", 0), // week 1
+      (2L, 1 * day, "view", 0)) // cohort day 2, week 0
+    val r = Analytics.cohortRetention(e).collect()
+      .map(x => (x.getDate(0).toString, x.getLong(1), x.getLong(2))).toSet
+    assert(r == Set(("1970-01-01", 0L, 1L), ("1970-01-01", 1L, 1L),
+      ("1970-01-02", 0L, 1L)))
+  }
+
+  test("tableProfile: null counts, distinct counts, numeric min/max") {
+    import spark.implicits._
+    val df = Seq((1L, Some(2.0), "a"), (2L, None, "a"), (3L, Some(4.0), "b"))
+      .toDF("id", "x", "s")
+    val r = Analytics.tableProfile(df, Seq("id", "x"), Seq("s")).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2),
+          Option(x.get(3)).map(_.asInstanceOf[Double]),
+          Option(x.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(r("id") == ((0L, 3L, Some(1.0), Some(3.0))))
+    assert(r("x") == ((1L, 2L, Some(2.0), Some(4.0))))
+    assert(r("s") == ((0L, 2L, None, None)))
+  }
+
+  test("semanticDedup drops the higher id of a planted near-identical pair") {
+    import spark.implicits._
+    // vectors 0/1 nearly identical, 2 orthogonal-ish; centroid = vec 0
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.999f, 0.01f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Dedup.semanticDedup(e, org.apache.spark.sql.functions.col("vec_id") === 0L,
+      threshold = 0.95).collect().map(_.getLong(0)).toSet
+    assert(r == Set(0L, 2L)) // 1 dropped as near-dup of 0
+  }
+}
