@@ -124,6 +124,37 @@ class PlanAuditSpec extends SparkSpec {
       "binary payload column must not be read for a metadata-only rollup")
   }
 
+  test("q120: benchmark n-gram set broadcasts; corpus is never cartesian-joined") {
+    val p = plan("q120_decontamination")
+    assert(p.contains("BroadcastHashJoin"),
+      "the (tiny) benchmark gram set should broadcast to the corpus pass")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "decontamination must equi-join on the gram hash, never all pairs")
+  }
+
+  test("curation windows are partitioned per key, never a global ordering") {
+    assert(plan("q122_sequence_packing").contains("hashpartitioning(source"),
+      "packing must window per source partition")
+    assert(plan("q126_sessionize").contains("hashpartitioning(user_id"),
+      "sessionization must window per user")
+    assert(plan("q123_deterministic_shuffle").contains("hashpartitioning(shard"),
+      "shuffle positions must be computed per shard")
+  }
+
+  test("q127: funnel stages equi-join on user_id, no cartesian") {
+    val p = plan("q127_funnel")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q130: semantic dedup verifies candidates with the native cosine expression") {
+    val p = plan("q130_semantic_dedup")
+    assert(p.contains("cosine_sim"))
+    // the only nested-loop allowed is the broadcast centroid assignment;
+    // the within-cell candidate join must key on the cell
+    assert(p.contains("hashpartitioning(cell") || p.contains("BroadcastHashJoin"),
+      "within-cell pair join should be an equi-join on the cell:\n" + p.take(1500))
+  }
+
   test("whole-stage codegen is active on the flagship query (executed plan)") {
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
     df.collect()
