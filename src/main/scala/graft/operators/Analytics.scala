@@ -116,6 +116,22 @@ object Analytics {
     wide.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
 
+  /** Forward fill (last observation carried forward): null out values
+    * where `mask` holds, then carry the last non-null value forward per
+    * user in event order — the standard gap-repair for sensor/metric
+    * streams. Window is per-user, frame-bounded, deterministic
+    * (event_id tiebreak); leading nulls stay null. */
+  def forwardFill(events: DataFrame, mask: org.apache.spark.sql.Column): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.select($"event_id", $"user_id", $"ts", $"event_type", $"value")
+      .withColumn("_v", when(mask, lit(null)).otherwise($"value"))
+      .withColumn("filled_value", round(last($"_v", ignoreNulls = true).over(w), 4))
+      .select($"event_id", $"user_id", $"event_type", $"filled_value")
+  }
+
   // ------------------------------------------------------------------
   // fixture-bound oracle queries
   // ------------------------------------------------------------------
@@ -190,6 +206,25 @@ object Analytics {
         FROM a
         GROUP BY cohort_day, week_offset
         ORDER BY cohort_day, week_offset""")),
+
+    // 'error' events masquerade as sensor dropouts: their value is
+    // nulled, then repaired by carry-forward per user
+    QueryDef(
+      "q133_forward_fill",
+      (s, dir) => forwardFill(Tables.load(s, dir, "events"),
+        col("event_type") === "error").orderBy(col("event_id")),
+      Some("""
+        WITH m AS (
+          SELECT event_id, user_id, ts, event_type,
+                 CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+          FROM events)
+        SELECT event_id, user_id, event_type,
+               round(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                 AS filled_value
+        FROM m
+        ORDER BY event_id""")),
 
     QueryDef(
       "q129_table_profile",

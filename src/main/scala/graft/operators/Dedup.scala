@@ -370,8 +370,12 @@ object Dedup {
     val sym = edges.select($"id1".as("src"), $"id2".as("dst"))
       .union(edges.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct().localCheckpoint()
-    var labels = sym.select($"src".as("id")).distinct()
-      .select($"id", $"id".as("comp")).localCheckpoint()
+    // initial labels already fold in one relaxation — min(self, neighbors)
+    // from a single groupBy on the edge list — so the loop starts a full
+    // round ahead of the naive id->id seeding (one fewer join+checkpoint
+    // round for the common shallow-cluster case)
+    var labels = sym.groupBy($"src".as("id"))
+      .agg(least(first($"src"), min($"dst")).as("comp")).localCheckpoint()
     // labels only ever DECREASE, so sum(comp) is a strictly decreasing
     // fixpoint metric: convergence detection is one tiny aggregate per
     // round instead of a join against the previous labels. sum over zero

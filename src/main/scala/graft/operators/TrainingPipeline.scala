@@ -164,6 +164,51 @@ object TrainingPipeline {
       .select($"source", $"rn", $"doc_id")
   }
 
+  /** Token-window chunking: cut each document into chunks of `size`
+    * tokens every `stride` tokens (overlap = size - stride) — the
+    * context-window chunker for RAG indexing and fixed-length training
+    * examples. One linear pass: sequence + explode + slice, row-parallel,
+    * no shuffle before the output sort. */
+  def chunkTokens(docs: DataFrame, size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0)
+    val s = docs.sparkSession
+    import s.implicits._
+    // guard on the raw text, not size(ts): split("") yields [""] (one
+    // empty token) in BOTH engines, which would fabricate a chunk
+    val nt = org.apache.spark.sql.functions.size($"ts")
+    docs.filter(length($"text") > 0)
+      .select($"doc_id", split($"text", " ").as("ts"))
+      .select($"doc_id", $"ts",
+        explode(sequence(lit(0), nt - 1, lit(stride))).as("start"))
+      .select($"doc_id", ($"start" / stride).cast("long").as("chunk_idx"),
+        array_join(slice($"ts", $"start" + 1, lit(size)), " ").as("chunk"),
+        least(nt - $"start", lit(size)).cast("long").as("n_tokens"))
+  }
+
+  /** Weight-proportional systematic sampling per source: lay each
+    * source's docs on a cumulative-weight axis (doc_id order), place
+    * `perSourceK` equally-spaced marks, keep the doc each mark lands in.
+    * EXACT integer arithmetic end to end (weights are integer byte/char
+    * counts), so the sample is bit-reproducible across engines and
+    * retries — the mixture-weighting primitive used when up/down-
+    * sampling sources by quality or size. A doc spanning multiple marks
+    * is kept once (the standard systematic-sampling caveat). */
+  def weightedSystematicSample(docs: DataFrame, weightCol: String,
+      perSourceK: Int): DataFrame = {
+    require(perSourceK > 0)
+    val s = docs.sparkSession
+    import s.implicits._
+    val cumW = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select($"source", $"doc_id", col(weightCol).cast("long").as("w"))
+      .withColumn("cum", sum($"w").over(cumW))
+      .withColumn("_tot", sum($"w").over(Window.partitionBy($"source")))
+      .withColumn("_step", expr(s"_tot DIV $perSourceK"))
+      .filter($"_step" > 0L &&
+        expr("(cum DIV _step) > ((cum - w) DIV _step)"))
+      .select($"source", $"doc_id", $"w")
+  }
+
   // ------------------------------------------------------------------
   // fixture-bound oracle queries
   // ------------------------------------------------------------------
@@ -296,6 +341,43 @@ object TrainingPipeline {
         FROM newb
         WHERE digest NOT IN (SELECT digest FROM seen)
         ORDER BY doc_id""")),
+
+    QueryDef(
+      "q131_text_chunking",
+      (s, dir) => chunkTokens(Tables.load(s, dir, "documents"),
+        size = 32, stride = 24).orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS ts
+          FROM documents
+          WHERE length(text) > 0),
+        st AS (
+          SELECT doc_id, ts, unnest(generate_series(0, len(ts) - 1, 24))
+                   AS start
+          FROM t)
+        SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_idx,
+               array_to_string(list_slice(ts, start + 1, start + 32), ' ')
+                 AS chunk,
+               CAST(least(len(ts) - start, 32) AS BIGINT) AS n_tokens
+        FROM st
+        ORDER BY doc_id, chunk_idx""")),
+
+    QueryDef(
+      "q132_weighted_sample",
+      (s, dir) => weightedSystematicSample(Tables.load(s, dir, "documents"),
+        "n_chars", perSourceK = 5).orderBy(col("source"), col("doc_id")),
+      Some("""
+        WITH c AS (
+          SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w,
+                 sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 sum(n_chars) OVER (PARTITION BY source) AS tot
+          FROM documents)
+        SELECT source, doc_id, w
+        FROM c
+        WHERE (tot // 5) > 0
+          AND (cum // (tot // 5)) > ((cum - w) // (tot // 5))
+        ORDER BY source, doc_id""")),
 
     QueryDef(
       "q125_source_quota",

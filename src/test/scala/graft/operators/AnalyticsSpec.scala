@@ -63,6 +63,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(r("s") == ((0L, 2L, None, None)))
   }
 
+  test("forwardFill carries last good value forward; leading nulls stay null") {
+    import org.apache.spark.sql.functions.col
+    val e = events(
+      (1L, 0L, "error", 99.0), // leading masked value -> stays null
+      (1L, 1L, "view", 1.5),
+      (1L, 2L, "error", 99.0), // repaired to 1.5
+      (1L, 3L, "view", 2.5))
+    val r = Analytics.forwardFill(e, col("event_type") === "error").collect()
+      .map(x => x.getLong(0) -> Option(x.get(3)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(r(0L).isEmpty && r(1L) == Some(1.5) &&
+      r(2L) == Some(1.5) && r(3L) == Some(2.5))
+  }
+
   test("semanticDedup drops the higher id of a planted near-identical pair") {
     import spark.implicits._
     // vectors 0/1 nearly identical, 2 orthogonal-ish; centroid = vec 0

@@ -78,6 +78,30 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(r == Set((11L, 2L), (13L, 1L)))
   }
 
+  test("chunkTokens: overlapping windows, short tail chunk, empty doc dropped") {
+    val r = TrainingPipeline.chunkTokens(
+      docs((1L, "a b c d e f g"), (2L, "")), size = 4, stride = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2), x.getLong(3)))
+    // 7 tokens, starts 0,3,6 -> chunks of 4,4,1 tokens
+    assert(r.toSet == Set(
+      (1L, 0L, "a b c d", 4L), (1L, 1L, "d e f g", 4L), (1L, 2L, "g", 1L)))
+  }
+
+  test("weightedSystematicSample lands marks proportionally to weight") {
+    import spark.implicits._
+    // one heavy doc (w=80) among ten light ones (w=2 each): total 100,
+    // k=5 -> step 20; the heavy doc spans 4 marks but is kept once,
+    // and at least one light doc after it catches a remaining mark
+    val d = ((1 to 10).map(i => (i.toLong, "t", "s", 2L)) :+ (0L, "t", "s", 80L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val r = TrainingPipeline.weightedSystematicSample(d, "n_chars", perSourceK = 5)
+      .collect().map(_.getLong(1)).toSet
+    assert(r.contains(0L)) // the heavy doc is always selected
+    val again = TrainingPipeline.weightedSystematicSample(d, "n_chars", perSourceK = 5)
+      .collect().map(_.getLong(1)).toSet
+    assert(r == again)
+  }
+
   test("sourceQuota caps per source deterministically") {
     import spark.implicits._
     val d = (1 to 30).map(i => (i.toLong, s"text $i", s"src${i % 2}"))
