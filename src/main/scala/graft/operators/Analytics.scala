@@ -132,6 +132,31 @@ object Analytics {
       .select($"event_id", $"user_id", $"event_type", $"filled_value")
   }
 
+  /** Gap-filled time-series resampling: bucket events into fixed
+    * `bucketMicros` intervals per user and emit a DENSE grid from each
+    * user's first to last bucket — empty buckets appear with zero counts
+    * (the shape charting/forecasting consumers need; a groupBy alone
+    * silently skips gaps). Bucketing is exact integer microsecond
+    * division; the grid is sequence+explode per user, so its size is
+    * bounded by time-range/bucket and the join stays on (user, bucket). */
+  def resample(events: DataFrame, bucketMicros: Long): DataFrame = {
+    require(bucketMicros > 0)
+    val s = events.sparkSession
+    import s.implicits._
+    val b = events.select($"user_id",
+      expr(s"unix_micros(ts) DIV $bucketMicros").as("bucket"), $"value")
+    val agg = b.groupBy($"user_id", $"bucket")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 4).as("sum_value"))
+    val grid = b.groupBy($"user_id")
+      .agg(min($"bucket").as("b0"), max($"bucket").as("b1"))
+      .select($"user_id", explode(sequence($"b0", $"b1")).as("bucket"))
+    grid.join(agg, Seq("user_id", "bucket"), "left")
+      .select($"user_id",
+        timestamp_micros($"bucket" * bucketMicros).as("bucket_start"),
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        coalesce($"sum_value", lit(0.0)).as("sum_value"))
+  }
+
   // ------------------------------------------------------------------
   // fixture-bound oracle queries
   // ------------------------------------------------------------------
@@ -206,6 +231,31 @@ object Analytics {
         FROM a
         GROUP BY cohort_day, week_offset
         ORDER BY cohort_day, week_offset""")),
+
+    // 6-hour buckets, dense per-user grid with zero fill
+    QueryDef(
+      "q135_resample_gapfill",
+      (s, dir) => resample(Tables.load(s, dir, "events"),
+        bucketMicros = 21600000000L)
+        .orderBy(col("user_id"), col("bucket_start")),
+      Some("""
+        WITH b AS (
+          SELECT user_id, epoch_us(ts) // 21600000000 AS bucket, value
+          FROM events),
+        a AS (
+          SELECT user_id, bucket, count(*) AS n_events,
+                 round(sum(value), 4) AS sum_value
+          FROM b GROUP BY user_id, bucket),
+        g AS (
+          SELECT user_id,
+                 unnest(generate_series(min(bucket), max(bucket))) AS bucket
+          FROM b GROUP BY user_id)
+        SELECT g.user_id,
+               make_timestamp(g.bucket * 21600000000) AS bucket_start,
+               coalesce(a.n_events, 0) AS n_events,
+               coalesce(a.sum_value, 0.0) AS sum_value
+        FROM g LEFT JOIN a ON g.user_id = a.user_id AND g.bucket = a.bucket
+        ORDER BY g.user_id, bucket_start""")),
 
     // 'error' events masquerade as sensor dropouts: their value is
     // nulled, then repaired by carry-forward per user

@@ -463,6 +463,48 @@ object StreamingQueries {
         FROM events JOIN customer ON user_id = c_custkey
         WHERE event_type = 'purchase'
         GROUP BY c_mktsegment
-        ORDER BY c_mktsegment"""))
+        ORDER BY c_mktsegment""")),
+
+    // ----- foreachBatch: the custom idempotent sink ----------------------
+    // The production pattern for sinks Spark doesn't ship natively
+    // (JDBC upserts, vector stores, search indexes): foreachBatch hands
+    // each micro-batch to arbitrary batch code along with a MONOTONIC
+    // batchId; writing to a per-batchId location with overwrite makes the
+    // sink idempotent, so checkpoint replay after a crash cannot
+    // duplicate data. Proven the q55 way — the stream runs TWICE against
+    // one checkpoint and the oracle counts stay exact.
+    QueryDef(
+      "q134_stream_foreachbatch_sink",
+      (s, dir) => {
+        import s.implicits._
+        val ckpt = tmp("ckpt_")
+        val out = tmp("sink_")
+        def runOnce(): Unit = {
+          val q = eventsStream(s, dir)
+            .filter($"event_type" === "signup")
+            .select($"event_id", $"user_id", $"ts")
+            .writeStream
+            .outputMode(OutputMode.Append())
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              // overwrite per batch id = replays rewrite, never append-dup
+              batch.write.mode("overwrite").parquet(s"$out/batch=$batchId")
+              ()
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        runOnce()
+        runOnce() // replay: all files seen -> no new batches, sink intact
+        s.read.parquet(out)
+          .select($"event_id", $"user_id", $"ts")
+          .orderBy($"event_id")
+      },
+      Some("""
+        SELECT event_id, user_id, ts
+        FROM events
+        WHERE event_type = 'signup'
+        ORDER BY event_id"""))
   )
 }

@@ -63,6 +63,15 @@ class AnalyticsSpec extends SparkSpec {
     assert(r("s") == ((0L, 2L, None, None)))
   }
 
+  test("resample emits a dense grid with zero-filled gap buckets") {
+    val e = events(
+      (1L, 0L, "view", 1.0),  // bucket 0
+      (1L, 125L, "view", 2.0)) // bucket 2 (60-min buckets) -> gap at 1
+    val r = Analytics.resample(e, bucketMicros = 3600000000L).collect()
+      .map(x => (x.getTimestamp(1).getTime / 3600000L, x.getLong(2), x.getDouble(3)))
+    assert(r.toSet == Set((0L, 1L, 1.0), (1L, 0L, 0.0), (2L, 1L, 2.0)))
+  }
+
   test("forwardFill carries last good value forward; leading nulls stay null") {
     import org.apache.spark.sql.functions.col
     val e = events(
