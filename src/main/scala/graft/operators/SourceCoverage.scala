@@ -167,6 +167,48 @@ object SourceCoverage {
         GROUP BY lang
         ORDER BY lang""")),
 
+    // ----- binaryFile source: whole files as opaque bytes ----------------
+    // The ingestion path for multimodal corpora (images/audio land as
+    // FILES, not rows): `binaryFile` reads each file to one row of
+    // (path, modificationTime, length, content) — the row shape
+    // `Multimodal` consumes. Here a handful of documents are staged as
+    // .bin files, read back whole, and digested; the oracle replays the
+    // digest from the parquet table, so a byte-level round-trip fault
+    // hash-mismatches. At scale each file is one task input (no
+    // splitting); `pathGlobFilter` prunes by extension at listing time,
+    // and tiny-file pressure is the known trade — batch small media into
+    // parquet binary columns (q52) once ingested.
+    QueryDef(
+      "q136_binaryfile_source",
+      (s, dir) => {
+        import s.implicits._
+        val staged = stagePath("bin", dir)
+        // stage one file per doc (partitioned text sink: doc_id=N/part-*.txt,
+        // each holding the doc's text + one trailing \n) — all distributed,
+        // no driver-side staging
+        Tables.load(s, dir, "documents")
+          .filter($"doc_id" % 25 === 0)
+          .select($"doc_id", $"text")
+          .write.mode("overwrite").partitionBy("doc_id").text(staged)
+        // binaryFile: whole file -> one (path, mtime, length, content) row;
+        // doc_id comes back through partition discovery
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.txt")
+          .load(staged)
+          .select($"doc_id".cast("long").as("doc_id"),
+            $"length".as("n_bytes"),
+            md5($"content").as("digest"))
+          .orderBy($"doc_id")
+      },
+      // the text sink appends one newline per line: account for it exactly
+      Some("""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) + 1 AS BIGINT) AS n_bytes,
+               md5(text || chr(10)) AS digest
+        FROM documents
+        WHERE doc_id % 25 = 0
+        ORDER BY doc_id""")),
+
     // ----- partitioned parquet sink + pruned read-back -------------------
     // The at-rest layout SCALING.md prescribes (partition by the dominant
     // filter column): write events partitioned by event_type, read back

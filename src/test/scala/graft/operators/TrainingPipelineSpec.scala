@@ -102,6 +102,58 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(r == again)
   }
 
+  test("decontaminate matches a driver-side brute force on a random corpus") {
+    val rnd = new scala.util.Random(43)
+    def randDoc() = Seq.fill(12)(s"w${rnd.nextInt(30)}").mkString(" ")
+    val corpusDocs = (0 until 25).map(i => (i.toLong, randDoc()))
+    val benchDocs = (100 until 105).map(i => (i.toLong, randDoc()))
+    val n = 4
+    def grams(t: String): Set[String] =
+      t.split(" ").sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+    val benchGrams = benchDocs.flatMap(d => grams(d._2)).toSet
+    val expected = corpusDocs
+      .map { case (id, t) => id -> (grams(t) & benchGrams).size.toLong }
+      .filter(_._2 >= 1).toMap
+    val got = TrainingPipeline.decontaminate(
+      docs(corpusDocs: _*), docs(benchDocs: _*), n = n).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("packSequences conserves docs and tokens; pack ids are non-decreasing per source") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(44)
+    val d = (1 to 60).map { i =>
+      val nTok = 1 + rnd.nextInt(40)
+      (i.toLong, Seq.fill(nTok)("t").mkString(" "), s"src${i % 3}")
+    }.toDF("doc_id", "text", "source")
+    val r = TrainingPipeline.packSequences(d, budget = 50L).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.map(_._3).sum == 60) // every doc lands in exactly one pack
+    assert(r.map(_._4).sum == // token totals preserved
+      d.collect().map(_.getString(1).split(" ").length.toLong).sum)
+    r.groupBy(_._1).foreach { case (_, packs) =>
+      val ids = packs.map(_._2).sorted
+      assert(ids.head == 0L) // first pack starts at 0
+      assert(ids.distinct.length == ids.length)
+    }
+  }
+
+  test("weightedSystematicSample on random weights: between 1 and k picks per source") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(45)
+    val d = (1 to 80).map(i =>
+      (i.toLong, "t", s"src${i % 4}", 1L + rnd.nextInt(500)))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val k = 6
+    val bySource = TrainingPipeline.weightedSystematicSample(d, "n_chars", k)
+      .collect().groupBy(_.getString(0)).view.mapValues(_.length)
+    assert(bySource.size == 4)
+    bySource.foreach { case (src, cnt) =>
+      assert(cnt >= 1 && cnt <= k, s"$src picked $cnt of k=$k")
+    }
+  }
+
   test("sourceQuota caps per source deterministically") {
     import spark.implicits._
     val d = (1 to 30).map(i => (i.toLong, s"text $i", s"src${i % 2}"))
