@@ -157,6 +157,49 @@ object Analytics {
         coalesce($"sum_value", lit(0.0)).as("sum_value"))
   }
 
+  /** First-order event-transition mining: counts and row-normalized
+    * probabilities of consecutive (event_type -> next event_type) pairs
+    * per user timeline — the Markov-chain input for journey analysis.
+    * One per-user lead window + a tiny (|types|²) aggregation; the
+    * probability is a ratio of the integer counts, so it is exact. */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events.select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type", $"next_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round($"n" / sum($"n").over(Window.partitionBy($"event_type"))
+          .cast("double"), 4))
+  }
+
+  /** Robust (median/MAD) outlier profile per group: median, median
+    * absolute deviation, and the count of values beyond
+    * `k * 1.4826 * MAD` — the standard robust z-score rule, immune to
+    * the outliers it hunts (unlike mean/stddev). Two percentile passes
+    * (the second needs the first's median joined back); group count is
+    * tiny so the join broadcasts. */
+  def robustOutliers(events: DataFrame, k: Double = 3.0): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val med = events.groupBy($"event_type")
+      .agg(expr("percentile(value, 0.5)").as("_med"))
+    val mad = events.join(broadcast(med), "event_type")
+      .groupBy($"event_type")
+      .agg(first($"_med").as("_med"),
+        expr("percentile(abs(value - _med), 0.5)").as("_mad"))
+    events.join(broadcast(mad), "event_type")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(first($"_med"), 4).as("med"),
+        round(first($"_mad"), 4).as("mad"),
+        sum(when(abs($"value" - $"_med") > lit(k * 1.4826) * $"_mad", 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   // ------------------------------------------------------------------
   // fixture-bound oracle queries
   // ------------------------------------------------------------------
@@ -231,6 +274,49 @@ object Analytics {
         FROM a
         GROUP BY cohort_day, week_offset
         ORDER BY cohort_day, week_offset""")),
+
+    QueryDef(
+      "q138_event_transitions",
+      (s, dir) => eventTransitions(Tables.load(s, dir, "events"))
+        .orderBy(col("event_type"), col("next_type")),
+      Some("""
+        WITH t AS (
+          SELECT event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS next_type
+          FROM events),
+        c AS (
+          SELECT event_type, next_type, count(*) AS n
+          FROM t WHERE next_type IS NOT NULL
+          GROUP BY event_type, next_type)
+        SELECT event_type, next_type, n,
+               round(n / CAST(sum(n) OVER (PARTITION BY event_type)
+                 AS DOUBLE), 4) AS p
+        FROM c
+        ORDER BY event_type, next_type""")),
+
+    QueryDef(
+      "q139_robust_outliers",
+      (s, dir) => robustOutliers(Tables.load(s, dir, "events"))
+        .orderBy(col("event_type")),
+      Some("""
+        WITH m AS (
+          SELECT event_type, quantile_cont(value, 0.5) AS med
+          FROM events GROUP BY event_type),
+        d AS (
+          SELECT e.event_type,
+                 quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+                 any_value(m.med) AS med
+          FROM events e JOIN m ON e.event_type = m.event_type
+          GROUP BY e.event_type)
+        SELECT e.event_type, count(*) AS n,
+               round(any_value(d.med), 4) AS med,
+               round(any_value(d.mad), 4) AS mad,
+               CAST(sum(CASE WHEN abs(e.value - d.med) > 3.0 * 1.4826 * d.mad
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM events e JOIN d ON e.event_type = d.event_type
+        GROUP BY e.event_type
+        ORDER BY e.event_type""")),
 
     // 6-hour buckets, dense per-user grid with zero fill
     QueryDef(

@@ -587,6 +587,61 @@ object Extras {
         FROM a
         ORDER BY l_returnflag""")),
 
+    // ----- Spearman rank correlation (tie-broken, exact-integer) ---------
+    // Rank both variables per group with a deterministic tiebreak
+    // (event_id), then Pearson over the INTEGER ranks with the same
+    // DECIMAL exact-sum bridge as q117 — rank sums are exact in both
+    // engines, doubles enter only for the final sqrt/ratio on identical
+    // inputs. (Tie-broken Spearman, not tie-averaged: ranks are a
+    // permutation, which is what makes the arithmetic exact.)
+    QueryDef(
+      "q137_spearman",
+      (s, dir) => {
+        import s.implicits._
+        val wv = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+        val wt = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+        val d = (c: Column) => c.cast("double")
+        t(s, dir, "events")
+          .select($"event_type", $"event_id", $"ts", $"value")
+          .withColumn("rx", row_number().over(wv).cast("decimal(12,0)"))
+          .withColumn("ry", row_number().over(wt).cast("decimal(12,0)"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum($"rx").as("sx"), sum($"ry").as("sy"),
+            sum($"rx" * $"rx").as("sxx"), sum($"ry" * $"ry").as("syy"),
+            sum($"rx" * $"ry").as("sxy"))
+          .select($"event_type",
+            round((d($"n") * d($"sxy") - d($"sx") * d($"sy")) /
+              sqrt((d($"n") * d($"sxx") - d($"sx") * d($"sx")) *
+                   (d($"n") * d($"syy") - d($"sy") * d($"sy"))), 4)
+              .as("spearman_value_time"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        WITH r AS (
+          SELECT event_type,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                   ORDER BY value, event_id) AS DECIMAL(12,0)) AS rx,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                   ORDER BY ts, event_id) AS DECIMAL(12,0)) AS ry
+          FROM events),
+        a AS (
+          SELECT event_type, count(*) AS n,
+                 sum(rx) AS sx, sum(ry) AS sy,
+                 sum(rx * rx) AS sxx, sum(ry * ry) AS syy,
+                 sum(rx * ry) AS sxy
+          FROM r GROUP BY event_type)
+        SELECT event_type,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                 sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                      (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+                 AS spearman_value_time
+        FROM a
+        ORDER BY event_type""")),
+
     // ----- per-key EWMA (ordered fold) -----------------------------------
     // Exponentially weighted moving average of each user's event values
     // in (ts, event_id) order, zero-seeded: ewma = 0.3*v + 0.7*acc. A

@@ -63,6 +63,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(r("s") == ((0L, 2L, None, None)))
   }
 
+  test("eventTransitions counts consecutive pairs with exact probabilities") {
+    val e = events(
+      (1L, 0L, "view", 0), (1L, 1L, "click", 0), (1L, 2L, "view", 0),
+      (2L, 0L, "view", 0), (2L, 1L, "click", 0))
+    val r = Analytics.eventTransitions(e).collect()
+      .map(x => ((x.getString(0), x.getString(1)), (x.getLong(2), x.getDouble(3))))
+      .toMap
+    assert(r == Map(
+      ("view", "click") -> ((2L, 1.0)),
+      ("click", "view") -> ((1L, 1.0))))
+  }
+
+  test("robustOutliers flags only the planted extreme value") {
+    val e = events(
+      (1L, 0L, "view", 10.0), (1L, 1L, "view", 11.0), (2L, 2L, "view", 9.0),
+      (2L, 3L, "view", 10.5), (3L, 4L, "view", 1000.0)) // the outlier
+    val r = Analytics.robustOutliers(e, k = 3.0).collect().head
+    assert(r.getLong(1) == 5L) // n
+    assert(r.getDouble(2) == 10.5) // median of 9,10,10.5,11,1000
+    assert(r.getLong(4) == 1L) // only the 1000.0
+  }
+
   test("resample emits a dense grid with zero-filled gap buckets") {
     val e = events(
       (1L, 0L, "view", 1.0),  // bucket 0
