@@ -212,6 +212,37 @@ object Dedup {
     bits.select($"doc_id", sh.as("simhash"))
   }
 
+  /** SimHash near-dup pairs within `maxHamming` bits, found WITHOUT an
+    * all-pairs comparison: the 32-bit fingerprint is cut into 4 byte
+    * bands, and by pigeonhole any pair within Hamming distance 3 agrees
+    * on at least one whole band — so candidates come from equi-joins on
+    * (band, byte) buckets and only candidates pay the popcount verify.
+    * The fingerprint pass is linear ([[simhash]]); join work is bounded
+    * by band-bucket population, the same recipe as [[minhashLshPairs]]
+    * but LOSSLESS for the Hamming radius (bands are exhaustive, not
+    * probabilistic). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 byte bands only guarantee Hamming <= 3")
+    val s = docs.sparkSession
+    import s.implicits._
+    val bandStructs = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        shiftright($"simhash", 8 * b).bitwiseAND(255).as("bk")))
+    // tiny (docs x 4 rows): cache so the candidate self-join does not
+    // recompute the fingerprint pass twice
+    val banded = simhash(docs)
+      .select($"doc_id", $"simhash", explode(array(bandStructs: _*)).as("bb"))
+      .select($"doc_id", $"simhash", $"bb.band".as("band"), $"bb.bk".as("bk"))
+      .cache()
+    banded.toDF("id1", "sh1", "band", "bk")
+      .join(banded.toDF("id2", "sh2", "band", "bk"), Seq("band", "bk"))
+      .filter($"id1" < $"id2")
+      .select($"id1", $"id2", $"sh1", $"sh2").distinct()
+      .withColumn("hamming", expr("bit_count(sh1 ^ sh2)").cast("long"))
+      .filter($"hamming" <= maxHamming)
+      .select($"id1", $"id2", $"hamming")
+  }
+
   /** Embedding near-dup pairs (cosine >= threshold, 4dp) via the native
     * codegen'd cosine Expression. Exact O(n²/2) ORACLE BASELINE — the
     * production path at corpus scale is [[embeddingNearDupLshPairs]],
@@ -615,6 +646,43 @@ object Dedup {
         FROM bits
         GROUP BY doc_id
         ORDER BY doc_id""")),
+
+    QueryDef(
+      "q140_simhash_pairs",
+      (s, dir) => simhashPairs(t(s, dir, "documents"), maxHamming = 3)
+        .orderBy(col("id1"), col("id2")),
+      Some("""
+        WITH tok AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substring(md5(tk),1,8)) AS BIGINT) AS h
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+                FROM documents)
+          WHERE length(tk) > 0),
+        bits AS (
+          SELECT doc_id, j,
+                 CAST(sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)
+                      AS BIGINT) AS s
+          FROM tok, (SELECT unnest(generate_series(0,31)) AS j)
+          GROUP BY doc_id, j),
+        sh AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS simhash
+          FROM bits GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, simhash, b.band,
+                 (simhash >> (8 * b.band)) & 255 AS bk
+          FROM sh, (SELECT unnest(generate_series(0,3)) AS band) b),
+        cand AS (
+          SELECT a.doc_id AS id1, c.doc_id AS id2,
+                 any_value(a.simhash) AS sh1, any_value(c.simhash) AS sh2
+          FROM banded a JOIN banded c
+            ON a.band = c.band AND a.bk = c.bk AND a.doc_id < c.doc_id
+          GROUP BY a.doc_id, c.doc_id)
+        SELECT id1, id2, CAST(bit_count(xor(sh1, sh2)) AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sh1, sh2)) <= 3
+        ORDER BY id1, id2""")),
 
     QueryDef(
       "q45_dedup_embedding_cosine",

@@ -158,6 +158,23 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("simhashPairs is lossless for Hamming <= 3 (matches all-pairs brute force)") {
+    val rnd = new scala.util.Random(46)
+    val vocab = (0 until 12).map(i => s"w$i")
+    val d = docs((0 until 40).map(i =>
+      (i.toLong, Seq.fill(8)(vocab(rnd.nextInt(vocab.length))).mkString(" "))): _*)
+    val fp = Dedup.simhash(d).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val expected = (for {
+      (i1, s1) <- fp; (i2, s2) <- fp
+      if i1 < i2 && java.lang.Long.bitCount(s1 ^ s2) <= 3
+    } yield (i1, i2)).toSet
+    val got = Dedup.simhashPairs(d, maxHamming = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == expected) // byte bands are exhaustive for radius 3
+    assert(expected.nonEmpty, "fixture should produce at least one close pair")
+  }
+
   test("connectedComponents returns an empty labeling on an empty edge list") {
     import spark.implicits._
     // a clean corpus yields zero near-dup pairs; sum over zero rows is
