@@ -352,10 +352,10 @@ object Dedup {
     val s = docs.sparkSession
     import s.implicits._
     // the md5-per-shingle pass is the dominant cost and feeds BOTH the
-    // prefix build and the exact verify — cache it (MEMORY_AND_DISK,
-    // spills rather than OOMs at corpus scale) instead of computing twice
-    val sh = shingleRows(docs).cache()
-    val base = sh.select($"doc_id", h60($"s").as("hs"))
+    // prefix build and the exact verify — cache the HASHED rows
+    // (doc_id, hs longs; MEMORY_AND_DISK spills rather than OOMs at
+    // corpus scale) instead of computing twice
+    val base = shingleRows(docs).select($"doc_id", h60($"s").as("hs")).cache()
     // document frequency as a window over hs (shares the shuffle the
     // data needs anyway) rather than a groupBy + re-join
     val ordered = base
@@ -370,16 +370,21 @@ object Dedup {
     val cand = a.join(b, Seq("hs"))
       .filter($"id1" < $"id2" &&
         greatest($"n1", $"n2") * threshold <= least($"n1", $"n2"))
-      .select($"id1", $"id2").distinct()
-    val sets = sh.groupBy($"doc_id")
-      .agg(collect_list($"s").as("sh"))
+      .select($"id1", $"id2", $"n1", $"n2").distinct()
+    // exact verify on candidates only: the intersection count comes from
+    // two equi-joins back to the hashed shingle rows — no per-pair
+    // collect_list array materialization (the join on (id2, hs) keeps
+    // exactly the shared shingles), same jaccard formula as jaccardPairs
     cand
-      .join(sets.toDF("id1", "sh1"), "id1")
-      .join(sets.toDF("id2", "sh2"), "id2")
-      .select($"id1", $"id2",
-        round(size(array_intersect($"sh1", $"sh2")) /
-          size(array_union($"sh1", $"sh2")).cast("double"), 4).as("jaccard"))
+      .join(base.toDF("id1", "hs"), Seq("id1"))
+      .join(base.toDF("id2", "hs"), Seq("id2", "hs"))
+      .groupBy($"id1", $"id2")
+      .agg(first($"n1").as("n1"), first($"n2").as("n2"),
+        count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        round($"inter" / ($"n1" + $"n2" - $"inter"), 4))
       .filter($"jaccard" >= threshold)
+      .select($"id1", $"id2", $"jaccard")
   }
 
   /** Connected components over an undirected (id1, id2) edge list:
