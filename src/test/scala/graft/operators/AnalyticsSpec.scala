@@ -63,6 +63,69 @@ class AnalyticsSpec extends SparkSpec {
     assert(r("s") == ((0L, 2L, None, None)))
   }
 
+  test("sessionize matches a driver-side fold on random event streams") {
+    val rnd = new scala.util.Random(47)
+    val rows = (0 until 300).map { i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(5000).toLong, "view", 1.0)
+    }
+    val gap = 30L
+    // reference: per user, sort by (ts, event_id), split when gap > 30min
+    val byUser = rows.zipWithIndex
+      .map { case ((u, m, _, _), i) => (u, m, i.toLong) }
+      .groupBy(_._1).view.mapValues { es =>
+        val sorted = es.sortBy(e => (e._2, e._3))
+        val sessions = scala.collection.mutable.ArrayBuffer[Long]()
+        var prev = Long.MinValue
+        var sess = 0L
+        sorted.foreach { e =>
+          if (prev == Long.MinValue || e._2 - prev > gap) sess += 1
+          sessions += sess
+          prev = e._2
+        }
+        sessions.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      }.toMap
+    val expected = byUser.flatMap { case (u, m) =>
+      m.map { case (s, n) => (u, s) -> n }
+    }
+    val got = Analytics.sessionize(events(rows: _*), gapMinutes = gap).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(got == expected)
+  }
+
+  test("funnel matches a driver-side scan on random event streams") {
+    val rnd = new scala.util.Random(48)
+    val types = Seq("view", "click", "purchase", "error")
+    val rows = (0 until 400).map { i =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(5000).toLong,
+        types(rnd.nextInt(types.length)), 0.0)
+    }
+    val steps = Seq("view", "click", "purchase")
+    // reference: per user, strictly-increasing first-completion chain
+    val byUser = rows.zipWithIndex
+      .map { case ((u, m, t, _), i) => (u, m, i.toLong, t) }
+      .groupBy(_._1).view.mapValues(_.sortBy(e => (e._2, e._3))).toMap
+    val expected = steps.indices.map { depth =>
+      byUser.count { case (_, es) =>
+        // first 'view' time, then first 'click' strictly after, ...
+        var t: Option[Long] = None
+        var ok = true
+        steps.take(depth + 1).foreach { step =>
+          if (ok) {
+            val hit = es.find(e => e._4 == step && t.forall(e._2 > _))
+            hit match {
+              case Some(h) => t = Some(h._2)
+              case None => ok = false
+            }
+          }
+        }
+        ok
+      }.toLong
+    }
+    val got = Analytics.funnel(events(rows: _*), steps).collect()
+      .sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+    assert(got == expected)
+  }
+
   test("eventTransitions counts consecutive pairs with exact probabilities") {
     val e = events(
       (1L, 0L, "view", 0), (1L, 1L, "click", 0), (1L, 2L, "view", 0),
