@@ -59,7 +59,13 @@ object Aggregates {
         GROUP BY o_custkey
         ORDER BY o_custkey""")),
 
-    // ----- approximate distinct (HLL) — no exact oracle ------------------
+    // ----- approximate distinct (HLL) — property-gated oracle ------------
+    // The HLL++ estimate is engine-specific, so its VALUE cannot hash-
+    // match DuckDB; what CAN be checked is the accuracy contract: the
+    // query referees the sketch against the exact count (exact runs only
+    // at fixture scale — at 100 TB the sketch runs alone) and emits a
+    // within-5x-rsd flag the oracle pins to 1. A broken sketch flips the
+    // flag and fails CORRECTNESS.
     QueryDef(
       "q16_approx_count_distinct",
       (s, dir) => {
@@ -67,11 +73,22 @@ object Aggregates {
         t(s, dir, "lineitem")
           .groupBy($"l_returnflag")
           .agg(
-            approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+            approx_count_distinct($"l_partkey", 0.02).as("_approx"),
+            count_distinct($"l_partkey").as("n_parts"),
             count(lit(1)).as("n"))
+          .select($"l_returnflag", $"n_parts", $"n",
+            when(abs($"_approx" - $"n_parts") <= $"n_parts" * 0.1, 1)
+              .otherwise(0).as("approx_ok"))
           .orderBy($"l_returnflag")
       },
-      None),
+      Some("""
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS n_parts,
+               count(*) AS n,
+               1 AS approx_ok
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
 
     // ----- rollup ---------------------------------------------------------
     QueryDef(

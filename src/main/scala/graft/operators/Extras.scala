@@ -110,17 +110,37 @@ object Extras {
 
     // ----- seeded Bernoulli row sampling (engine-native RNG) -------------
     // Spark's seeded sample is reproducible within Spark but its RNG
-    // stream is engine-specific, so the driver records a rows-only check.
+    // stream is engine-specific, so the MEMBERSHIP cannot hash-match an
+    // oracle; the checkable contract is (a) same seed -> bit-identical
+    // membership (two independent samples joined full-outer, zero
+    // one-sided rows) and (b) the rate lands near the requested
+    // fraction. Both flags are pinned to 1 by the oracle — a broken or
+    // nondeterministic sampler fails CORRECTNESS. (q63/q102 are the
+    // hash-based samplers whose membership IS cross-engine exact.)
     QueryDef(
       "q64_sample_seeded",
       (s, dir) => {
         import s.implicits._
-        t(s, dir, "orders")
+        val o = t(s, dir, "orders")
+        def sampled() = o
           .sample(withReplacement = false, fraction = 0.1, seed = 42L)
-          .select($"o_orderkey", $"o_totalprice")
-          .orderBy($"o_orderkey")
+          .select($"o_orderkey")
+        val s1 = sampled().toDF("k1")
+        val s2 = sampled().toDF("k2")
+        val mism = s1.join(s2, $"k1" === $"k2", "full_outer")
+          .filter($"k1".isNull || $"k2".isNull)
+          .agg(count(lit(1)).as("_mism"))
+        s1.agg(count(lit(1)).as("_n1"))
+          .crossJoin(o.agg(count(lit(1)).as("n_total")))
+          .crossJoin(mism)
+          .select($"n_total",
+            when($"_mism" === 0, 1).otherwise(0).as("deterministic"),
+            when(abs($"_n1" / $"n_total".cast("double") - 0.1) < 0.03, 1)
+              .otherwise(0).as("rate_ok"))
       },
-      None),
+      Some("""
+        SELECT count(*) AS n_total, 1 AS deterministic, 1 AS rate_ok
+        FROM orders""")),
 
     // ----- stratified deterministic sampling -----------------------------
     // q63's hash sampling with per-stratum rates (oversample the rare /
