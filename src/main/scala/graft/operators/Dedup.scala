@@ -220,8 +220,19 @@ object Dedup {
     * The fingerprint pass is linear ([[simhash]]); join work is bounded
     * by band-bucket population, the same recipe as [[minhashLshPairs]]
     * but LOSSLESS for the Hamming radius (bands are exhaustive, not
-    * probabilistic). */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    * probabilistic).
+    *
+    * Scale note: an 8-bit band has only 256 buckets, so bucket
+    * population grows as n/256 — fine at fixture scale (and what the
+    * 32-bit q44 fingerprint contract allows), but at corpus scale the
+    * fingerprint must widen so bands keep buckets small: 64-bit simhash
+    * with 4 x 16-bit bands (65k buckets/band) is the standard choice,
+    * same plan shape. `maxBandFreq` is the interim guard: band-buckets
+    * holding more than `cap` docs are dropped from candidate generation
+    * (an explicit recall trade on pathological buckets, exactly like
+    * [[jaccardPairs]]'s `maxShingleFreq`). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      maxBandFreq: Option[Int] = None): DataFrame = {
     require(maxHamming <= 3, "4 byte bands only guarantee Hamming <= 3")
     val s = docs.sparkSession
     import s.implicits._
@@ -230,10 +241,16 @@ object Dedup {
         shiftright($"simhash", 8 * b).bitwiseAND(255).as("bk")))
     // tiny (docs x 4 rows): cache so the candidate self-join does not
     // recompute the fingerprint pass twice
-    val banded = simhash(docs)
+    val all = simhash(docs)
       .select($"doc_id", $"simhash", explode(array(bandStructs: _*)).as("bb"))
       .select($"doc_id", $"simhash", $"bb.band".as("band"), $"bb.bk".as("bk"))
-      .cache()
+    val banded = (maxBandFreq match {
+      case Some(cap) =>
+        all.withColumn("_f",
+            count(lit(1)).over(Window.partitionBy($"band", $"bk")))
+          .filter($"_f" <= cap).drop("_f")
+      case None => all
+    }).cache()
     banded.toDF("id1", "sh1", "band", "bk")
       .join(banded.toDF("id2", "sh2", "band", "bk"), Seq("band", "bk"))
       .filter($"id1" < $"id2")
@@ -307,7 +324,11 @@ object Dedup {
     * The join is bounded by cell population — never n²/2 — and at corpus
     * scale the centroids come from a k-means over a sample (still
     * broadcast-sized); here they are a deterministic corpus subset so the
-    * oracle can replay the assignment. */
+    * oracle can replay the assignment. Size k so cells stay near-constant
+    * (k ≈ n / target_cell_size, SemDeDup uses ~constant-population
+    * clusters for exactly this reason); a cell that still blows up is
+    * visible in [[SkewJoin.keySkewProfile]] over the cell column and is
+    * split by re-clustering that cell alone. */
   def semanticDedup(embeddings: DataFrame, isCentroid: Column,
       threshold: Double): DataFrame = {
     val s = embeddings.sparkSession

@@ -175,6 +175,16 @@ class DedupSpec extends SparkSpec {
     assert(expected.nonEmpty, "fixture should produce at least one close pair")
   }
 
+  test("simhashPairs maxBandFreq cap drops pathological band buckets") {
+    // identical docs -> identical fingerprints -> every band bucket holds
+    // all of them; the cap empties candidate generation
+    val d = docs((1 to 10).map(i => (i.toLong, "same text here now")): _*)
+    val uncapped = Dedup.simhashPairs(d).count()
+    assert(uncapped == 45) // 10*9/2 all-pairs at Hamming 0
+    val capped = Dedup.simhashPairs(d, maxBandFreq = Some(5)).count()
+    assert(capped == 0)
+  }
+
   test("connectedComponents returns an empty labeling on an empty edge list") {
     import spark.implicits._
     // a clean corpus yields zero near-dup pairs; sum over zero rows is
