@@ -97,6 +97,9 @@ object Analytics {
   def tableProfile(df: DataFrame, numericCols: Seq[String],
       otherCols: Seq[String]): DataFrame = {
     val all = numericCols ++ otherCols
+    require(all.nonEmpty, "tableProfile needs at least one column")
+    require(all.distinct.size == all.size,
+      s"duplicate columns in profile list: ${all.diff(all.distinct).mkString(",")}")
     val aggs = all.flatMap { c =>
       Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nnull"),
         count_distinct(col(c)).as(s"${c}__ndist"))

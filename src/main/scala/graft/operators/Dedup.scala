@@ -73,30 +73,14 @@ object Dedup {
       .groupBy(col("digest"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct 3-token shingles per doc as rows (doc_id, s), built from
-    * exploded tokens + window `lead` — LINEAR in document length.
-    *
-    * The obvious higher-order formulation
-    * `transform(sequence(1, size-2), i -> concat(ts[i], ts[i+1], ts[i+2]))`
-    * is a trap: CollapseProject inlines the `split` into every lambda
-    * element access, so each doc re-splits its text O(shingles x 3) times
-    * — O(L²) per doc, and it shows (this cut the sf0.1 Jaccard query
-    * ~5x). Explode + lead keeps everything one pass: one Generate, one
-    * hash shuffle on doc_id for the window, already the partitioning the
-    * downstream grouping wants. */
-  def shingleRows(docs: DataFrame): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
-    val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    docs
-      .select($"doc_id", posexplode(split($"text", " ")))
-      .toDF("doc_id", "pos", "tk")
-      .withColumn("t1", lead($"tk", 1).over(w))
-      .withColumn("t2", lead($"tk", 2).over(w))
-      .filter($"t2".isNotNull)
-      .select($"doc_id", concat_ws(" ", $"tk", $"t1", $"t2").as("s"))
-      .distinct()
-  }
+  /** Distinct 3-token shingles per doc as rows (doc_id, s) — the n=3
+    * case of [[TrainingPipeline.ngramRows]], which carries the
+    * construction (explode + window lead, linear in document length) and
+    * the rationale for avoiding the O(len²) higher-order-function
+    * formulation. Single-sourced so the dedup shingles and the
+    * decontamination grams can never diverge. */
+  def shingleRows(docs: DataFrame): DataFrame =
+    TrainingPipeline.ngramRows(docs, 3)
 
   /** Exact n-gram-Jaccard near-dup pairs (id1 < id2, jaccard >= threshold,
     * 4dp). Quadratic per shingle bucket — the exactness baseline; use

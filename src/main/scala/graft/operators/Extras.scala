@@ -618,8 +618,13 @@ object Extras {
       "q137_spearman",
       (s, dir) => {
         import s.implicits._
-        val wv = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
-        val wt = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+        // explicit NULLS LAST: Spark's ascending default is NULLS FIRST,
+        // DuckDB's is NULLS LAST — on a null-free fixture they agree, but
+        // the rank permutation must not silently diverge if values go null
+        val wv = Window.partitionBy($"event_type")
+          .orderBy($"value".asc_nulls_last, $"event_id")
+        val wt = Window.partitionBy($"event_type")
+          .orderBy($"ts".asc_nulls_last, $"event_id")
         val d = (c: Column) => c.cast("double")
         t(s, dir, "events")
           .select($"event_type", $"event_id", $"ts", $"value")

@@ -31,8 +31,8 @@ object SkewJoin {
     *    skew. Map-typed columns are excluded from the hash (xxhash64
     *    rejects them); if nothing hashable remains, falls through to the
     *    spreading salt.
-    *  - `spreadIdentical = true`: mixes `spark_partition_id` and a
-    *    per-partition row index into the hash — breaks up even
+    *  - `spreadIdentical = true`: mixes a per-partition row index (which
+    *    also encodes the partition id) into the hash — breaks up even
     *    bit-identical duplicates, at the cost of retry nondeterminism
     *    (a re-executed task may assign different salts; join RESULTS are
     *    identical either way, only bucket placement varies). */
@@ -44,10 +44,11 @@ object SkewJoin {
     val hashable = left.schema.fields
       .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
       .map(f => col(f.name)).toIndexedSeq
+    // monotonically_increasing_id already encodes the partition id in its
+    // upper bits, so it alone breaks up bit-identical rows
     val saltExpr =
       if (spreadIdentical || hashable.isEmpty)
-        xxhash64((hashable :+ spark_partition_id().cast("long"))
-          :+ monotonically_increasing_id(): _*)
+        xxhash64(hashable :+ monotonically_increasing_id(): _*)
       else xxhash64(hashable: _*)
     val saltedLeft = left.withColumn("_salt", pmod(saltExpr, lit(salt.toLong)))
     // build side: replicate each row across every salt bucket

@@ -31,10 +31,18 @@ import graft.engine.Tables
   */
 object TrainingPipeline {
 
-  /** Distinct n-token shingles per doc as rows (doc_id, s) — the
-    * generalized [[Dedup.shingleRows]] (same linear explode + window-lead
-    * construction; see that scaladoc for why the higher-order-function
-    * formulation is an O(len²) trap). */
+  /** Distinct n-token shingles per doc as rows (doc_id, s), built from
+    * exploded tokens + window `lead` — LINEAR in document length
+    * ([[Dedup.shingleRows]] is the n=3 specialization).
+    *
+    * The obvious higher-order formulation
+    * `transform(sequence(1, size-n+1), i -> concat(ts[i], ..., ts[i+n-1]))`
+    * is a trap: CollapseProject inlines the `split` into every lambda
+    * element access, so each doc re-splits its text O(shingles x n) times
+    * — O(L²) per doc, and it shows (this cut the sf0.1 Jaccard query
+    * ~5x). Explode + lead keeps everything one pass: one Generate, one
+    * hash shuffle on doc_id for the window, already the partitioning the
+    * downstream grouping wants. */
   def ngramRows(docs: DataFrame, n: Int): DataFrame = {
     require(n >= 2, "n-gram size must be >= 2")
     val s = docs.sparkSession
@@ -127,7 +135,8 @@ object TrainingPipeline {
     docs.select($"doc_id", h.as("h"))
       .withColumn("shard", pmod($"h", lit(nShards.toLong)))
       .withColumn("pos",
-        row_number().over(Window.partitionBy($"shard").orderBy($"h", $"doc_id"))
+        row_number().over(Window.partitionBy($"shard")
+          .orderBy($"h".asc_nulls_last, $"doc_id"))
           .cast("long"))
   }
 
@@ -156,9 +165,12 @@ object TrainingPipeline {
   def sourceQuota(docs: DataFrame, cap: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    // NULLS LAST: a null text hashes to null; Spark's NULLS FIRST default
+    // would diverge from DuckDB's NULLS LAST on such rows
     docs.select($"source", $"doc_id", Dedup.h60($"text").as("h"))
       .withColumn("rn",
-        row_number().over(Window.partitionBy($"source").orderBy($"h", $"doc_id"))
+        row_number().over(Window.partitionBy($"source")
+          .orderBy($"h".asc_nulls_last, $"doc_id"))
           .cast("long"))
       .filter($"rn" <= cap)
       .select($"source", $"rn", $"doc_id")
@@ -200,12 +212,16 @@ object TrainingPipeline {
     import s.implicits._
     val cumW = Window.partitionBy($"source").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // step = ceil(tot / k): always >= 1, so a source whose total weight is
+    // below k still yields its docs (never silently vanishes), and picks
+    // per source are bounded by floor(tot/step) <= k (floor division
+    // would give step 0 for tiny sources and up to `tot` picks when
+    // tot is barely above k)
     docs.select($"source", $"doc_id", col(weightCol).cast("long").as("w"))
       .withColumn("cum", sum($"w").over(cumW))
       .withColumn("_tot", sum($"w").over(Window.partitionBy($"source")))
-      .withColumn("_step", expr(s"_tot DIV $perSourceK"))
-      .filter($"_step" > 0L &&
-        expr("(cum DIV _step) > ((cum - w) DIV _step)"))
+      .withColumn("_step", expr(s"(_tot + $perSourceK - 1) DIV $perSourceK"))
+      .filter(expr("(cum DIV _step) > ((cum - w) DIV _step)"))
       .select($"source", $"doc_id", $"w")
   }
 
@@ -375,8 +391,7 @@ object TrainingPipeline {
           FROM documents)
         SELECT source, doc_id, w
         FROM c
-        WHERE (tot // 5) > 0
-          AND (cum // (tot // 5)) > ((cum - w) // (tot // 5))
+        WHERE (cum // ((tot + 4) // 5)) > ((cum - w) // ((tot + 4) // 5))
         ORDER BY source, doc_id""")),
 
     QueryDef(

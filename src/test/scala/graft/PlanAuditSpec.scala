@@ -146,13 +146,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
-  test("q130: semantic dedup verifies candidates with the native cosine expression") {
-    val p = plan("q130_semantic_dedup")
-    assert(p.contains("cosine_sim"))
-    // the only nested-loop allowed is the broadcast centroid assignment;
-    // the within-cell candidate join must key on the cell
-    assert(p.contains("hashpartitioning(cell") || p.contains("BroadcastHashJoin"),
-      "within-cell pair join should be an equi-join on the cell:\n" + p.take(1500))
+  test("q130: pair and survivor joins carry equi-keys (only the cached assignment is a cross)") {
+    val df = SparkEntry.queries("q130_semantic_dedup")(spark, sf)
+    assert(plan("q130_semantic_dedup").contains("cosine_sim"))
+    // the cached centroid assignment collapses to an InMemoryRelation
+    // leaf, so the joins visible in the optimized plan are exactly the
+    // within-cell pair join and the survivor anti-join — each must keep
+    // an equality in its condition (losing the cell equi-key would leave
+    // only id1 < id2, a nested-loop over all pairs)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size >= 2, s"expected pair + anti joins, saw ${joins.size}")
+    joins.foreach { j =>
+      assert(j.condition.exists(_.exists {
+        case _: org.apache.spark.sql.catalyst.expressions.EqualTo => true
+        case _ => false
+      }), s"join without an equi-key: $j")
+    }
   }
 
   test("whole-stage codegen is active on the flagship query (executed plan)") {

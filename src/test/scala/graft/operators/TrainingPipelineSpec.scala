@@ -154,6 +154,22 @@ class TrainingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("weightedSystematicSample never drops a small source (ceil step)") {
+    import spark.implicits._
+    // total weight 3 < k=5: floor-division step would be 0 and silently
+    // drop the whole source; ceil step keeps every doc
+    val d = Seq((1L, "t", "s", 1L), (2L, "t", "s", 1L), (3L, "t", "s", 1L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val r = TrainingPipeline.weightedSystematicSample(d, "n_chars", perSourceK = 5)
+    assert(r.count() == 3)
+    // and a source barely above k still yields <= k picks, not `tot`
+    val d2 = (1 to 11).map(i => (i.toLong, "t", "s", 1L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val n2 = TrainingPipeline.weightedSystematicSample(d2, "n_chars", perSourceK = 6)
+      .count()
+    assert(n2 >= 1 && n2 <= 6, s"got $n2 picks for k=6")
+  }
+
   test("sourceQuota caps per source deterministically") {
     import spark.implicits._
     val d = (1 to 30).map(i => (i.toLong, s"text $i", s"src${i % 2}"))
