@@ -366,6 +366,277 @@ object TpchShapes {
                             AND r2.l_suppkey <> r.l_suppkey)
         GROUP BY s_name
         ORDER BY numwait DESC, s_name
-        LIMIT 20"""))
+        LIMIT 20""")),
+
+    // ----- Q8 shape: market share over a double-dimension snowflake ------
+    // Two independent nation lookups (supplier side, customer→region
+    // side) hang off one fact join — the optimizer must broadcast both
+    // chains and keep the fact table unshuffled; the share is a ratio of
+    // two sums over the SAME rows, so FP summation drift cancels at 4dp.
+    QueryDef(
+      "q141_market_share",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+        val p = t(s, dir, "part").filter($"p_type" === "ECONOMY")
+        val sup = t(s, dir, "supplier")
+        val sn = t(s, dir, "nation").toDF("sn_key", "supp_nation", "sn_rk")
+        val c = t(s, dir, "customer")
+        val cn = t(s, dir, "nation").toDF("cn_key", "cn_name", "cn_rk")
+        val r = t(s, dir, "region").filter($"r_name" === "ASIA")
+        li.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(p), $"l_partkey" === $"p_partkey")
+          .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+          .join(broadcast(sn), $"s_nationkey" === $"sn_key")
+          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .join(broadcast(cn), $"c_nationkey" === $"cn_key")
+          .join(broadcast(r), $"cn_rk" === $"r_regionkey")
+          .select(year($"o_orderdate").as("yr"),
+            ($"l_extendedprice" * (lit(1) - $"l_discount")).as("vol"),
+            $"supp_nation")
+          .groupBy($"yr")
+          .agg(round(
+            sum(when($"supp_nation" === "NATION_3", $"vol").otherwise(0.0)) /
+              sum($"vol"), 4).as("mkt_share"))
+          .orderBy($"yr")
+      },
+      Some("""
+        WITH v AS (
+          SELECT year(o_orderdate) AS yr,
+                 l_extendedprice*(1-l_discount) AS vol,
+                 sn.n_name AS supp_nation
+          FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+          JOIN part ON l_partkey=p_partkey
+          JOIN supplier ON l_suppkey=s_suppkey
+          JOIN nation sn ON s_nationkey=sn.n_nationkey
+          JOIN customer ON o_custkey=c_custkey
+          JOIN nation cn ON c_nationkey=cn.n_nationkey
+          JOIN region ON cn.n_regionkey=r_regionkey
+          WHERE r_name='ASIA' AND p_type='ECONOMY'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1998-01-01')
+        SELECT yr,
+               round(sum(CASE WHEN supp_nation='NATION_3' THEN vol ELSE 0 END)
+                     / sum(vol), 4) AS mkt_share
+        FROM v GROUP BY yr ORDER BY yr""")),
+
+    // ----- Q9 shape: product-type profit by nation and year --------------
+    // (ps_supplycost does not exist in the fixture; unit cost is
+    // surrogated as 10% of p_retailprice — the plan shape, a LIKE-filtered
+    // part dimension over a 4-way snowflake with a two-level grouping, is
+    // what matters.)
+    QueryDef(
+      "q142_nation_profit",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val p = t(s, dir, "part").filter($"p_name".like("%widget%"))
+        val sup = t(s, dir, "supplier")
+        val n = t(s, dir, "nation")
+        li.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(p), $"l_partkey" === $"p_partkey")
+          .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+          .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+          .select($"n_name", year($"o_orderdate").as("yr"),
+            ($"l_extendedprice" * (lit(1) - $"l_discount") -
+              lit(0.1) * $"p_retailprice" * $"l_quantity").as("amount"))
+          .groupBy($"n_name", $"yr")
+          .agg(round(sum($"amount"), 4).as("profit"))
+          .orderBy($"n_name", $"yr".desc)
+      },
+      Some("""
+        SELECT n_name, year(o_orderdate) AS yr,
+               round(sum(l_extendedprice*(1-l_discount)
+                         - 0.1*p_retailprice*l_quantity), 4) AS profit
+        FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        JOIN part ON l_partkey=p_partkey
+        JOIN supplier ON l_suppkey=s_suppkey
+        JOIN nation ON s_nationkey=n_nationkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY n_name, yr
+        ORDER BY n_name, yr DESC""")),
+
+    // ----- Q2 shape: cheapest supplier per part in a region --------------
+    // (partsupp does not exist; the part↔supplier cost relation is
+    // derived from lineitem history, with unit cost in EXACT integer
+    // cents — `round(price*100) DIV quantity` per row, integer min — so
+    // the argmin selection cannot flip on FP summation order.)
+    QueryDef(
+      "q143_cheapest_supplier",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+        val sup = t(s, dir, "supplier")
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region").filter($"r_name" === "EUROPE")
+        val p = t(s, dir, "part").filter($"p_size" === 10)
+        val pairs = li
+          .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+          .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+          .select($"l_partkey", $"l_suppkey",
+            expr("CAST(round(l_extendedprice*100) AS BIGINT) DIV CAST(l_quantity AS BIGINT)")
+              .as("unit_cents"))
+          .groupBy($"l_partkey", $"l_suppkey")
+          .agg(min($"unit_cents").as("cost"))
+        pairs
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"l_partkey").orderBy($"cost", $"l_suppkey")))
+          .filter($"rn" === 1)
+          .join(broadcast(p), $"l_partkey" === $"p_partkey")
+          .select($"l_partkey".as("p_partkey"), $"l_suppkey".as("s_suppkey"),
+            $"cost")
+          .orderBy($"p_partkey")
+      },
+      Some("""
+        WITH pairs AS (
+          SELECT l_partkey, l_suppkey,
+                 min(CAST(round(l_extendedprice*100) AS BIGINT)
+                     // CAST(l_quantity AS BIGINT)) AS cost
+          FROM lineitem JOIN supplier ON l_suppkey=s_suppkey
+          JOIN nation ON s_nationkey=n_nationkey
+          JOIN region ON n_regionkey=r_regionkey
+          WHERE r_name='EUROPE'
+          GROUP BY l_partkey, l_suppkey),
+        best AS (
+          SELECT l_partkey, l_suppkey, cost,
+                 row_number() OVER (PARTITION BY l_partkey
+                                    ORDER BY cost, l_suppkey) AS rn
+          FROM pairs)
+        SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey, cost
+        FROM best JOIN part ON l_partkey=p_partkey
+        WHERE rn=1 AND p_size=10
+        ORDER BY p_partkey""")),
+
+    // ----- Q11 shape: important stock, global-fraction HAVING ------------
+    // (availqty*supplycost surrogated as shipped cents*quantity.) The
+    // distinctive plan: a grouped value vs a SCALAR SUBQUERY over the
+    // same grouping — kept in exact integers so `val*500 > total` is an
+    // integer comparison, immune to FP drift on both engines.
+    QueryDef(
+      "q144_important_parts",
+      (s, dir) => {
+        import s.implicits._
+        val v = t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+          .filter($"s_nationkey" === 5)
+          .select($"l_partkey",
+            (expr("CAST(round(l_extendedprice*100) AS BIGINT)") *
+              $"l_quantity".cast("long")).as("cents"))
+          .groupBy($"l_partkey")
+          .agg(sum($"cents").as("value_cents"))
+        val total = v.agg(sum($"value_cents").as("total"))
+        v.crossJoin(broadcast(total))
+          .filter($"value_cents" * 500 > $"total")
+          .select($"l_partkey", $"value_cents")
+          .orderBy($"value_cents".desc, $"l_partkey")
+      },
+      Some("""
+        WITH v AS (
+          SELECT l_partkey,
+                 CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                          * CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_cents
+          FROM lineitem JOIN supplier ON l_suppkey=s_suppkey
+          WHERE s_nationkey=5 GROUP BY l_partkey)
+        SELECT l_partkey, value_cents
+        FROM v WHERE value_cents*500 > (SELECT sum(value_cents) FROM v)
+        ORDER BY value_cents DESC, l_partkey""")),
+
+    // ----- Q13 shape: order-count distribution (left join + re-group) ----
+    QueryDef(
+      "q145_order_count_distribution",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left")
+          .groupBy($"c_custkey")
+          .agg(count($"o_orderkey").as("c_count"))
+          .groupBy($"c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy($"custdist".desc, $"c_count".desc)
+      },
+      Some("""
+        WITH cc AS (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey=o_custkey
+          GROUP BY c_custkey)
+        SELECT c_count, count(*) AS custdist
+        FROM cc GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC""")),
+
+    // ----- Q15 shape: top supplier (aggregate = scalar max subquery) -----
+    // Revenue in exact integer cents (per-row round, integer sum) so the
+    // equality against the max cannot miss by one ulp.
+    QueryDef(
+      "q146_top_supplier",
+      (s, dir) => {
+        import s.implicits._
+        val rev = t(s, dir, "lineitem")
+          .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+          .select($"l_suppkey",
+            expr("CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)")
+              .as("cents"))
+          .groupBy($"l_suppkey")
+          .agg(sum($"cents").as("revenue_cents"))
+        val mx = rev.agg(max($"revenue_cents").as("mx"))
+        rev.crossJoin(broadcast(mx))
+          .filter($"revenue_cents" === $"mx")
+          .join(broadcast(t(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+          .select($"s_suppkey", $"s_name", $"revenue_cents")
+          .orderBy($"s_suppkey")
+      },
+      Some("""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100)
+                               AS BIGINT)) AS BIGINT) AS revenue_cents
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, revenue_cents
+        FROM rev JOIN supplier ON l_suppkey=s_suppkey
+        WHERE revenue_cents = (SELECT max(revenue_cents) FROM rev)
+        ORDER BY s_suppkey""")),
+
+    // ----- Q20 shape: disproportionate suppliers of a part family --------
+    // (availqty does not exist; "excess share" is re-expressed as a
+    // supplier shipping more than 1/8 of a part's total volume —
+    // per-group total joined back, integral quantities, integer compare.)
+    QueryDef(
+      "q147_excess_suppliers",
+      (s, dir) => {
+        import s.implicits._
+        val pq = t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part").filter($"p_name".like("cold%"))),
+            $"l_partkey" === $"p_partkey")
+          .groupBy($"l_partkey", $"l_suppkey")
+          .agg(sum($"l_quantity").cast("long").as("sq"))
+        val tot = pq.groupBy($"l_partkey").agg(sum($"sq").as("tq"))
+        pq.join(tot, "l_partkey")
+          .filter($"sq" * 8 > $"tq")
+          .join(broadcast(t(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+          .select($"s_name").distinct()
+          .orderBy($"s_name")
+      },
+      Some("""
+        WITH pq AS (
+          SELECT l_partkey, l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS sq
+          FROM lineitem JOIN part ON l_partkey=p_partkey
+          WHERE p_name LIKE 'cold%'
+          GROUP BY l_partkey, l_suppkey),
+        tot AS (SELECT l_partkey, CAST(sum(sq) AS BIGINT) AS tq
+                FROM pq GROUP BY l_partkey)
+        SELECT DISTINCT s_name
+        FROM pq JOIN tot USING (l_partkey)
+        JOIN supplier ON l_suppkey=s_suppkey
+        WHERE sq*8 > tq
+        ORDER BY s_name"""))
   )
 }
