@@ -607,6 +607,38 @@ object Extras {
         FROM a
         ORDER BY l_returnflag""")),
 
+    // ----- equi-depth histogram (quantile binning via ntile) -------------
+    // The complement of q119's equal-width bins: 10 buckets of (nearly)
+    // equal POPULATION, the statistics a cost optimizer keeps. ntile is
+    // row_number-based (deterministic with the event_id tiebreak), and
+    // the bucket bounds are raw min/max values, not sums — no FP
+    // reduction anywhere. One global-ordering window at fixture scale;
+    // at 100 TB the same statistic comes from approx quantiles per
+    // partition (documented trade — exactness is the point here).
+    QueryDef(
+      "q148_equidepth_histogram",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .select($"o_totalprice".as("v"), $"o_orderkey")
+          .withColumn("bucket",
+            ntile(10).over(Window.orderBy($"v", $"o_orderkey")).cast("int"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n"),
+            round(min($"v"), 4).as("lo"), round(max($"v"), 4).as("hi"))
+          .orderBy($"bucket")
+      },
+      Some("""
+        WITH b AS (
+          SELECT o_totalprice AS v,
+                 ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+          FROM orders)
+        SELECT CAST(bucket AS INT) AS bucket, count(*) AS n,
+               round(min(v), 4) AS lo, round(max(v), 4) AS hi
+        FROM b
+        GROUP BY bucket
+        ORDER BY bucket""")),
+
     // ----- Spearman rank correlation (tie-broken, exact-integer) ---------
     // Rank both variables per group with a deterministic tiebreak
     // (event_id), then Pearson over the INTEGER ranks with the same
