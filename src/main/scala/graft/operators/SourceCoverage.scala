@@ -209,6 +209,41 @@ object SourceCoverage {
         WHERE doc_id % 25 = 0
         ORDER BY doc_id""")),
 
+    // ----- schema evolution: mergeSchema across parquet generations ------
+    // The long-lived-dataset reality: files written before a column
+    // existed sit next to files written after. Two generations are
+    // staged (docs without `lang`, then docs with it); a mergeSchema
+    // read must surface the union schema with NULLs for the missing
+    // column, and the aggregation must agree with replaying the same
+    // generation split from the fixture. (At scale, mergeSchema costs a
+    // footer read per file — pin the schema explicitly once known; this
+    // gates the evolution path itself.)
+    QueryDef(
+      "q150_schema_evolution",
+      (s, dir) => {
+        import s.implicits._
+        val staged = stagePath("evo", dir)
+        val docs = Tables.load(s, dir, "documents")
+        docs.filter($"doc_id" % 2 === 0)
+          .select($"doc_id", $"n_chars")
+          .write.mode("overwrite").parquet(s"$staged/gen=0")
+        docs.filter($"doc_id" % 2 === 1)
+          .select($"doc_id", $"n_chars", $"lang")
+          .write.mode("overwrite").parquet(s"$staged/gen=1")
+        s.read.option("mergeSchema", "true").parquet(staged)
+          .groupBy(coalesce($"lang", lit("_pre_schema")).as("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+          .orderBy($"lang")
+      },
+      Some("""
+        SELECT CASE WHEN doc_id % 2 = 0 THEN '_pre_schema' ELSE lang END
+                 AS lang,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        GROUP BY 1
+        ORDER BY lang""")),
+
     // ----- partitioned parquet sink + pruned read-back -------------------
     // The at-rest layout SCALING.md prescribes (partition by the dominant
     // filter column): write events partitioned by event_type, read back
