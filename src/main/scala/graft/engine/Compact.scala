@@ -25,6 +25,14 @@ object Compact {
     val conf = spark.sparkContext.hadoopConfiguration
     val in = new org.apache.hadoop.fs.Path(inDir)
     val fs = in.getFileSystem(conf)
+    // overwrite mode DELETES outDir before the lazy read of inDir runs —
+    // an in-place (or nested) call would destroy the source data
+    val qIn = fs.makeQualified(in).toUri.getPath.stripSuffix("/")
+    val qOut = fs.makeQualified(new org.apache.hadoop.fs.Path(outDir))
+      .toUri.getPath.stripSuffix("/")
+    require(qIn != qOut && !qOut.startsWith(qIn + "/") &&
+      !qIn.startsWith(qOut + "/"),
+      s"outDir must not be inDir or nested with it (in=$qIn out=$qOut)")
     val inputBytes = fs.getContentSummary(in).getLength
     val parts = math.max(1L, (inputBytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(inDir)

@@ -212,15 +212,17 @@ object TrainingPipeline {
     import s.implicits._
     val cumW = Window.partitionBy($"source").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // step = ceil(tot / k): always >= 1, so a source whose total weight is
-    // below k still yields its docs (never silently vanishes), and picks
-    // per source are bounded by floor(tot/step) <= k (floor division
-    // would give step 0 for tiny sources and up to `tot` picks when
-    // tot is barely above k)
+    // step = max(1, ceil(tot / k)): ceil keeps a source whose total
+    // weight is below k (it yields its docs instead of silently
+    // vanishing) and bounds picks at floor(tot/step) <= k; the max(1)
+    // clamp covers an all-zero-weight source, whose tot = 0 would
+    // otherwise make `cum DIV 0` throw under Spark's ANSI mode (such a
+    // source correctly yields nothing: zero weight, zero marks crossed)
     docs.select($"source", $"doc_id", col(weightCol).cast("long").as("w"))
       .withColumn("cum", sum($"w").over(cumW))
       .withColumn("_tot", sum($"w").over(Window.partitionBy($"source")))
-      .withColumn("_step", expr(s"(_tot + $perSourceK - 1) DIV $perSourceK"))
+      .withColumn("_step",
+        greatest(lit(1L), expr(s"(_tot + $perSourceK - 1) DIV $perSourceK")))
       .filter(expr("(cum DIV _step) > ((cum - w) DIV _step)"))
       .select($"source", $"doc_id", $"w")
   }
@@ -391,7 +393,8 @@ object TrainingPipeline {
           FROM documents)
         SELECT source, doc_id, w
         FROM c
-        WHERE (cum // ((tot + 4) // 5)) > ((cum - w) // ((tot + 4) // 5))
+        WHERE (cum // greatest(1, (tot + 4) // 5))
+              > ((cum - w) // greatest(1, (tot + 4) // 5))
         ORDER BY source, doc_id""")),
 
     QueryDef(

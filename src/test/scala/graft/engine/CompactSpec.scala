@@ -26,6 +26,21 @@ class CompactSpec extends SparkSpec {
     assert(a.sameElements(b)) // rows preserved exactly
   }
 
+  test("compact refuses in-place and nested targets before touching data") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("compact3_")
+    val in = s"$base/in"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(in)
+    intercept[IllegalArgumentException] {
+      Compact.compact(spark, in, in)
+    }
+    intercept[IllegalArgumentException] {
+      Compact.compact(spark, in, s"$in/compacted")
+    }
+    // source untouched after the refused calls
+    assert(spark.read.parquet(in).count() == 1)
+  }
+
   test("compact splits output near the byte target") {
     import spark.implicits._
     val base = Files.createTempDirectory("compact2_")

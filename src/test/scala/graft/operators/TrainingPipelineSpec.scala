@@ -162,12 +162,17 @@ class TrainingPipelineSpec extends SparkSpec {
       .toDF("doc_id", "text", "source", "n_chars")
     val r = TrainingPipeline.weightedSystematicSample(d, "n_chars", perSourceK = 5)
     assert(r.count() == 3)
-    // and a source barely above k still yields <= k picks, not `tot`
+    // a source barely above k still yields <= k picks, not `tot`
     val d2 = (1 to 11).map(i => (i.toLong, "t", "s", 1L))
       .toDF("doc_id", "text", "source", "n_chars")
     val n2 = TrainingPipeline.weightedSystematicSample(d2, "n_chars", perSourceK = 6)
       .count()
     assert(n2 >= 1 && n2 <= 6, s"got $n2 picks for k=6")
+    // an all-zero-weight source yields nothing but must not divide by
+    // zero (ANSI mode throws on DIV 0)
+    val d3 = Seq((1L, "t", "s", 0L), (2L, "t", "s", 0L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    assert(TrainingPipeline.weightedSystematicSample(d3, "n_chars", 5).count() == 0)
   }
 
   test("sourceQuota caps per source deterministically") {
