@@ -607,6 +607,44 @@ object Extras {
         FROM a
         ORDER BY l_returnflag""")),
 
+    // ----- approximate percentiles, property-gated (q16's recipe) --------
+    // approx_percentile (KLL/GK-style sketch) is THE percentile at
+    // 100 TB; its value is engine-specific, so the oracle pins the
+    // ACCURACY CONTRACT instead: the sketch estimate must land inside
+    // the exact [p45, p55] / [p85, p95] brackets (computed only at
+    // fixture scale to referee). A broken sketch flips the flag and
+    // fails CORRECTNESS.
+    QueryDef(
+      "q149_approx_percentile",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy($"event_type")
+          .agg(
+            expr("approx_percentile(value, 0.5, 1000)").as("_a50"),
+            expr("approx_percentile(value, 0.9, 1000)").as("_a90"),
+            expr("percentile(value, 0.45)").as("_lo50"),
+            expr("percentile(value, 0.55)").as("_hi50"),
+            expr("percentile(value, 0.85)").as("_lo90"),
+            expr("percentile(value, 0.95)").as("_hi90"),
+            round(expr("percentile(value, 0.5)"), 4).as("p50_exact"),
+            round(expr("percentile(value, 0.9)"), 4).as("p90_exact"))
+          .select($"event_type", $"p50_exact", $"p90_exact",
+            when($"_a50".between($"_lo50", $"_hi50"), 1).otherwise(0)
+              .as("approx_p50_ok"),
+            when($"_a90".between($"_lo90", $"_hi90"), 1).otherwise(0)
+              .as("approx_p90_ok"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50_exact,
+               round(quantile_cont(value, 0.9), 4) AS p90_exact,
+               1 AS approx_p50_ok, 1 AS approx_p90_ok
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
     // ----- equi-depth histogram (quantile binning via ntile) -------------
     // The complement of q119's equal-width bins: 10 buckets of (nearly)
     // equal POPULATION, the statistics a cost optimizer keeps. ntile is
