@@ -8,10 +8,14 @@ import graft.engine.Tables
 import graft.functions.CosineSimilarity
 
 /** Deduplication operator family over document corpora — the
-  * training-data pipeline surface (exact, n-gram Jaccard, MinHash+LSH,
-  * SimHash, embedding-cosine near-dup), exposed as library functions over
-  * any DataFrame with (doc_id, text) / (vec_id, embedding) columns; the
-  * QueryDef entries bind them to the fixture tables for the oracle gate.
+  * training-data pipeline surface (exact, n-gram Jaccard with and
+  * without PPJoin prefix filtering, MinHash+LSH, SimHash fingerprints +
+  * Hamming-banded pairs, embedding-cosine near-dup with an LSH scale
+  * path, SemDeDup-style semantic dedup, directional containment,
+  * boilerplate mining, blocked fuzzy matching, and connected-components
+  * clustering), exposed as library functions over any DataFrame with
+  * (doc_id, text) / (vec_id, embedding) columns; the QueryDef entries
+  * bind them to the fixture tables for the oracle gate.
   *
   * The reference could only express any of these as hand-written
   * map/reduce pairs (/root/reference/README.txt:236-293); here each is a
