@@ -26,10 +26,15 @@ object Compact {
     val in = new org.apache.hadoop.fs.Path(inDir)
     val fs = in.getFileSystem(conf)
     // overwrite mode DELETES outDir before the lazy read of inDir runs —
-    // an in-place (or nested) call would destroy the source data
-    val qIn = fs.makeQualified(in).toUri.getPath.stripSuffix("/")
-    val qOut = fs.makeQualified(new org.apache.hadoop.fs.Path(outDir))
-      .toUri.getPath.stripSuffix("/")
+    // an in-place (or nested) call would destroy the source data.
+    // Identity is the FULLY QUALIFIED URI (scheme + authority + path),
+    // each path qualified against its OWN filesystem: comparing bare
+    // paths would spuriously reject distinct stores with equal paths
+    // (s3://a/data vs s3://b/data) and mis-qualify a cross-scheme outDir
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    val outFs = out.getFileSystem(conf)
+    val qIn = fs.makeQualified(in).toUri.toString.stripSuffix("/")
+    val qOut = outFs.makeQualified(out).toUri.toString.stripSuffix("/")
     require(qIn != qOut && !qOut.startsWith(qIn + "/") &&
       !qIn.startsWith(qOut + "/"),
       s"outDir must not be inDir or nested with it (in=$qIn out=$qOut)")
@@ -38,7 +43,6 @@ object Compact {
     spark.read.parquet(inDir)
       .repartition(parts)
       .write.mode("overwrite").parquet(outDir)
-    val out = new org.apache.hadoop.fs.Path(outDir)
-    fs.listStatus(out).count(st => st.getPath.getName.startsWith("part-")).toLong
+    outFs.listStatus(out).count(st => st.getPath.getName.startsWith("part-")).toLong
   }
 }

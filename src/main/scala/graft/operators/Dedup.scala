@@ -31,6 +31,18 @@ import graft.functions.CosineSimilarity
   *    only exact-verifies candidate pairs.
   *  - SimHash is one linear pass: 32 conditional sums per doc (no row
   *    blowup).
+  *
+  * Cache lifecycle: the `.cache()` calls in this module pin the shared
+  * self-join inputs (shingle/signature frames) for the LIFETIME OF THE
+  * SESSION unless the caller releases them — a deliberate trade. These
+  * operators return lazy DataFrames, so there is no completion point
+  * inside the operator at which unpersist would be safe (the caller may
+  * not have run an action yet, and unpersisting after one action would
+  * silently recompute on the next). Callers owning a session loop
+  * release them wholesale (`spark.catalog.clearCache()` — what
+  * `graft.Verify` does between queries) or individually after their
+  * terminal action. All caches here are MEMORY_AND_DISK: at corpus scale
+  * they spill rather than OOM.
   */
 object Dedup {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
@@ -136,14 +148,21 @@ object Dedup {
 
   /** MinHash(16) + LSH(4 bands x 4 rows) candidate generation with exact
     * Jaccard verification of candidates only — the scale path: join work
-    * is bounded by band-bucket population, not corpus size. */
+    * is bounded by band-bucket population, not corpus size, and the
+    * verification never touches non-candidate documents: the shingle
+    * frame is semi-joined down to candidate ids first, then the
+    * intersection count comes from hash equi-joins on the 60-bit shingle
+    * hash (the [[jaccardPrefixPairs]] recipe) — no per-doc array
+    * materialization, no full-corpus-width shuffle of shingle sets. */
   def minhashLshPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     // one shingle+md5 pass feeds both the signature aggregation and the
-    // exact-verify sets — cache instead of recomputing the dominant cost
+    // candidate verification — cache the fixed-width hashed rows instead
+    // of recomputing the dominant cost (strings never leave this plan)
     val ex = shingleRows(docs)
-      .withColumn("h30", h60(col("s")) % (1L << 30))
+      .select($"doc_id", h60(col("s")).as("hs"))
+      .withColumn("h30", $"hs" % (1L << 30))
       .cache()
 
     // signature: min over shingles of h_i(s), i = 0..15 — one base md5
@@ -170,16 +189,30 @@ object Dedup {
       .filter($"id1" < $"id2")
       .select($"id1", $"id2").distinct()
 
-    // exact-verify candidates with full shingle sets (collected per
-    // doc; at scale the semi-join keeps this to candidates only)
-    val sets = ex.groupBy($"doc_id").agg(collect_list($"s").as("sh"))
+    // exact-verify candidates only: prune the shingle frame to candidate
+    // docs BEFORE any set-building — at corpus scale the candidate set is
+    // orders of magnitude smaller than the corpus, so this semi-join is
+    // what keeps verification off the full-corpus shuffle path. |doc| per
+    // candidate doc is still the FULL shingle count (the semi-join keeps
+    // every row of a kept doc), so jaccard is exact.
+    val candIds = cand.select($"id1".as("doc_id"))
+      .union(cand.select($"id2".as("doc_id"))).distinct()
+    val exCand = ex.join(candIds, Seq("doc_id"), "left_semi")
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
+    // intersection via two equi-joins on the shingle hash (the join on
+    // (id2, hs) keeps exactly the shared shingles) — same array-free
+    // verify as jaccardPrefixPairs; pairs with zero overlap drop out of
+    // the inner join, which any threshold > 0 discards anyway
     cand
-      .join(sets.toDF("id1", "sh1"), "id1")
-      .join(sets.toDF("id2", "sh2"), "id2")
-      .select($"id1", $"id2",
-        round(size(array_intersect($"sh1", $"sh2")) /
-          size(array_union($"sh1", $"sh2")).cast("double"), 4).as("jaccard"))
+      .join(exCand.select($"doc_id".as("id1"), $"hs", $"n".as("n1")), Seq("id1"))
+      .join(exCand.select($"doc_id".as("id2"), $"hs", $"n".as("n2")), Seq("id2", "hs"))
+      .groupBy($"id1", $"id2")
+      .agg(first($"n1").as("n1"), first($"n2").as("n2"),
+        count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        round($"inter" / ($"n1" + $"n2" - $"inter"), 4))
       .filter($"jaccard" >= threshold)
+      .select($"id1", $"id2", $"jaccard")
   }
 
   /** 32-bit SimHash fingerprint per doc, token multiplicity as weight:
@@ -324,14 +357,22 @@ object Dedup {
     CosineSimilarity.register(s)
     val e = embeddings.select($"vec_id", $"embedding")
     val centroids = e.filter(isCentroid).toDF("cent_id", "cent_v")
-    val wAssign = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cent_id")
-    // both the pair join's two sides and the survivor anti-join read the
-    // assignment: cache it so the centroid scoring pass runs once
+    // nearest-centroid argmax via max_by aggregation — partial-aggregated
+    // map-side, so ONE row per vector crosses the shuffle instead of all
+    // k scored rows (a row_number window would shuffle the whole n×k
+    // frame by vec_id just to pick each vector's best centroid).
+    // Tie-break matches the oracle's (sim DESC, cent_id ASC): max over
+    // the ordered pair (sim, -cent_id). embedding is constant within a
+    // vec_id group, so first() is deterministic here and saves a re-join.
+    // Both the pair join's two sides and the survivor anti-join read the
+    // assignment: cache it so the centroid scoring pass runs once.
     val assigned = e.crossJoin(broadcast(centroids))
       .withColumn("sim", round(expr("cosine_sim(embedding, cent_v)"), 6))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter($"rn" === 1)
-      .select($"vec_id", $"embedding", $"cent_id".as("cell"))
+      .groupBy($"vec_id")
+      .agg(
+        max_by($"cent_id", struct($"sim", (-$"cent_id").as("_neg"))).as("cell"),
+        first($"embedding").as("embedding"))
+      .select($"vec_id", $"embedding", $"cell")
       .cache()
     val dropped = assigned.select($"vec_id".as("id1"), $"embedding".as("v1"), $"cell")
       .join(assigned.select($"vec_id".as("id2"), $"embedding".as("v2"), $"cell"),

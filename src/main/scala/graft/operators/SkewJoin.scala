@@ -71,7 +71,10 @@ object SkewJoin {
     * skew_x ~ 1 = leave the join alone. */
   def keySkewProfile(df: DataFrame, keyCol: String, topK: Int = 20): DataFrame = {
     // per-key counts feed BOTH the global stats and the top-k: cache the
-    // |keys|-sized frame (spills if huge) rather than scanning df twice
+    // |keys|-sized frame (spills if huge) rather than scanning df twice.
+    // Session-lifetime pin by design — the operator is lazy, so there is
+    // no safe in-operator unpersist point; callers release via
+    // spark.catalog.clearCache() or unpersist after their terminal action
     val counts = df.groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("cnt"))
       .cache()

@@ -373,6 +373,11 @@ object TpchShapes {
     // side) hang off one fact join — the optimizer must broadcast both
     // chains and keep the fact table unshuffled; the share is a ratio of
     // two sums over the SAME rows, so FP summation drift cancels at 4dp.
+    // Broadcast hints ONLY on the fixed-cardinality dims (nation 25 rows,
+    // region 5 rows — constant at every SF); customer/supplier/part grow
+    // linearly with scale factor, so their join strategy is left to
+    // AQE/autoBroadcastJoinThreshold — a forced broadcast(customer) is an
+    // executor OOM at SF 100k.
     QueryDef(
       "q141_market_share",
       (s, dir) => {
@@ -388,10 +393,10 @@ object TpchShapes {
         val cn = t(s, dir, "nation").toDF("cn_key", "cn_name", "cn_rk")
         val r = t(s, dir, "region").filter($"r_name" === "ASIA")
         li.join(o, $"l_orderkey" === $"o_orderkey")
-          .join(broadcast(p), $"l_partkey" === $"p_partkey")
-          .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+          .join(p, $"l_partkey" === $"p_partkey")
+          .join(sup, $"l_suppkey" === $"s_suppkey")
           .join(broadcast(sn), $"s_nationkey" === $"sn_key")
-          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .join(c, $"o_custkey" === $"c_custkey")
           .join(broadcast(cn), $"c_nationkey" === $"cn_key")
           .join(broadcast(r), $"cn_rk" === $"r_regionkey")
           .select(year($"o_orderdate").as("yr"),
@@ -427,7 +432,14 @@ object TpchShapes {
     // (ps_supplycost does not exist in the fixture; unit cost is
     // surrogated as 10% of p_retailprice — the plan shape, a LIKE-filtered
     // part dimension over a 4-way snowflake with a two-level grouping, is
-    // what matters.)
+    // what matters.) Profit is computed in EXACT integer 10^-4 units:
+    // extendedprice*(1-discount) has 4dp (2dp x 2dp) and
+    // 0.1*retailprice*quantity has 3dp, so scaling by 10^4 makes every
+    // per-row term integer-valued — the sum is order-independent and
+    // cannot flip a decimal across engines the way a raw double sum can
+    // (same exactness discipline as q143-q147's integer cents). Broadcast
+    // hint only on fixed-size nation; part/supplier are SF-scaled and
+    // left to AQE.
     QueryDef(
       "q142_nation_profit",
       (s, dir) => {
@@ -438,20 +450,22 @@ object TpchShapes {
         val sup = t(s, dir, "supplier")
         val n = t(s, dir, "nation")
         li.join(o, $"l_orderkey" === $"o_orderkey")
-          .join(broadcast(p), $"l_partkey" === $"p_partkey")
-          .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+          .join(p, $"l_partkey" === $"p_partkey")
+          .join(sup, $"l_suppkey" === $"s_suppkey")
           .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
           .select($"n_name", year($"o_orderdate").as("yr"),
-            ($"l_extendedprice" * (lit(1) - $"l_discount") -
-              lit(0.1) * $"p_retailprice" * $"l_quantity").as("amount"))
+            (round($"l_extendedprice" * (lit(1) - $"l_discount") * 10000) -
+              round($"p_retailprice" * 1000) * $"l_quantity")
+              .cast("long").as("amount_e4"))
           .groupBy($"n_name", $"yr")
-          .agg(round(sum($"amount"), 4).as("profit"))
+          .agg(round(sum($"amount_e4") / 10000.0, 4).as("profit"))
           .orderBy($"n_name", $"yr".desc)
       },
       Some("""
         SELECT n_name, year(o_orderdate) AS yr,
-               round(sum(l_extendedprice*(1-l_discount)
-                         - 0.1*p_retailprice*l_quantity), 4) AS profit
+               round(CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000)
+                                   - round(p_retailprice*1000)*l_quantity
+                                   AS BIGINT)) AS BIGINT) / 10000.0, 4) AS profit
         FROM lineitem JOIN orders ON l_orderkey=o_orderkey
         JOIN part ON l_partkey=p_partkey
         JOIN supplier ON l_suppkey=s_suppkey

@@ -145,14 +145,24 @@ object TrainingPipeline {
     * the batch internally (keep min doc_id). Only digests ship — the
     * seen set is a digest column, typically the persisted output of
     * previous runs, and the anti-join is the bloom-prunable shape AQE
-    * handles well. Returns (doc_id, digest, n_in_batch) survivors. */
+    * handles well. Returns (doc_id, digest, n_in_batch) survivors.
+    *
+    * NULL contract: rows with a null digest (null text) are excluded
+    * from BOTH sides up front. Without this, engines diverge on nulls —
+    * a left_anti keeps a null-digest batch row (null === null is null,
+    * never matched) while SQL's NOT IN empties the whole result once
+    * `seen` holds one NULL — so the contract is pinned here and mirrored
+    * by `WHERE text IS NOT NULL` in the oracle. */
   def incrementalDedup(newDocs: DataFrame, seenDigests: DataFrame): DataFrame = {
     val s = newDocs.sparkSession
     import s.implicits._
     val batch = newDocs.select(md5($"text").as("digest"), $"doc_id")
+      .filter($"digest".isNotNull)
       .groupBy($"digest")
       .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_in_batch"))
-    batch.join(seenDigests.select($"digest".as("_seen")).distinct(),
+    batch.join(
+        seenDigests.select($"digest".as("_seen"))
+          .filter(col("_seen").isNotNull).distinct(),
         batch("digest") === col("_seen"), "left_anti")
       .select($"doc_id", $"digest", $"n_in_batch")
   }
@@ -204,7 +214,13 @@ object TrainingPipeline {
     * counts), so the sample is bit-reproducible across engines and
     * retries — the mixture-weighting primitive used when up/down-
     * sampling sources by quality or size. A doc spanning multiple marks
-    * is kept once (the standard systematic-sampling caveat). */
+    * is kept once (the standard systematic-sampling caveat).
+    *
+    * PRECONDITION: weights must be non-negative — a negative weight
+    * makes the cumulative axis non-monotonic, letting the mark-crossing
+    * predicate select spurious or duplicate docs. Enforced by filtering
+    * w < 0 rows out (a doc with negative weight carries no sampling mass
+    * by definition). */
   def weightedSystematicSample(docs: DataFrame, weightCol: String,
       perSourceK: Int): DataFrame = {
     require(perSourceK > 0)
@@ -219,6 +235,7 @@ object TrainingPipeline {
     // otherwise make `cum DIV 0` throw under Spark's ANSI mode (such a
     // source correctly yields nothing: zero weight, zero marks crossed)
     docs.select($"source", $"doc_id", col(weightCol).cast("long").as("w"))
+      .filter($"w" >= 0)
       .withColumn("cum", sum($"w").over(cumW))
       .withColumn("_tot", sum($"w").over(Window.partitionBy($"source")))
       .withColumn("_step",
@@ -351,10 +368,11 @@ object TrainingPipeline {
         WITH newb AS (
           SELECT md5(text) AS digest, min(doc_id) AS doc_id,
                  count(*) AS n_in_batch
-          FROM documents WHERE doc_id % 2 = 1 GROUP BY md5(text)),
+          FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL
+          GROUP BY md5(text)),
         seen AS (
           SELECT DISTINCT md5(text) AS digest
-          FROM documents WHERE doc_id % 2 = 0)
+          FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL)
         SELECT doc_id, digest, n_in_batch
         FROM newb
         WHERE digest NOT IN (SELECT digest FROM seen)

@@ -146,6 +146,63 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q43: LSH verify is candidate-pruned and array-free (no all-docs collect_list)") {
+    val p = plan("q43_dedup_minhash_lsh")
+    // the exact-verify stage must count intersections via hash equi-joins
+    // on candidate docs only — never materialize per-doc shingle arrays
+    // for the whole corpus and shuffle them
+    assert(!p.contains("collect_list"),
+      "verify stage rebuilt full-corpus shingle arrays")
+    assert(p.contains("LeftSemi"),
+      "shingle frame must be semi-joined down to candidate ids before verify")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q141/q142: broadcast is hint-forced only on fixed-size dims") {
+    // with auto-broadcast disabled, the only BroadcastHashJoins left are
+    // the explicit hints — nation (both lookups) and region, whose
+    // cardinality is constant at every SF; customer/supplier/part are
+    // SF-scaled and must fall back to shuffle joins (threshold/AQE decide
+    // in production, where they'd broadcast again at small SF)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def joins(name: String) =
+        SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan.collect {
+          case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => "bhj"
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => "smj"
+          case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => "shj"
+        }
+      val j141 = joins("q141_market_share")
+      assert(j141.count(_ == "bhj") == 3,
+        s"q141 must force-broadcast exactly nation(x2)+region, saw $j141")
+      assert(j141.exists(j => j == "smj" || j == "shj"),
+        "SF-scaled dims must shuffle-join when broadcast is not justified")
+      val j142 = joins("q142_nation_profit")
+      assert(j142.count(_ == "bhj") == 1,
+        s"q142 must force-broadcast exactly nation, saw $j142")
+      assert(j142.exists(j => j == "smj" || j == "shj"))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("q130: centroid assignment aggregates (max_by), never windows the n×k frame") {
+    val df = SparkEntry.queries("q130_semantic_dedup")(spark, sf)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    // the row_number argmax would shuffle all n×k scored rows by vec_id;
+    // max_by partial-aggregates map-side so one row per vector shuffles.
+    // The cached assignment is an InMemoryRelation leaf here, so also
+    // audit the cached plan itself for stray windows.
+    val cachedWindows = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        r.cachedPlan.collect {
+          case w if w.nodeName.contains("Window") => w
+        }
+    }.flatten
+    assert(windows.isEmpty && cachedWindows.isEmpty,
+      s"semanticDedup must not window-argmax: $windows $cachedWindows")
+  }
+
   test("q130: pair and survivor joins carry equi-keys (only the cached assignment is a cross)") {
     val df = SparkEntry.queries("q130_semantic_dedup")(spark, sf)
     assert(plan("q130_semantic_dedup").contains("cosine_sim"))
