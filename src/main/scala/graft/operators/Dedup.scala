@@ -154,35 +154,44 @@ object Dedup {
     * intersection count comes from hash equi-joins on the 60-bit shingle
     * hash (the [[jaccardPrefixPairs]] recipe) — no per-doc array
     * materialization, no full-corpus-width shuffle of shingle sets. */
+  /** Hashed shingle rows (doc_id, hs 60-bit, h30 30-bit) — the one
+    * md5-per-shingle pass every minhash operator starts from. Callers
+    * cache it: identical lineage means the CacheManager shares one
+    * materialization across operators built over the same input. */
+  private[operators] def hashedShingles(docs: DataFrame): DataFrame =
+    shingleRows(docs)
+      .select(col("doc_id"), h60(col("s")).as("hs"))
+      .withColumn("h30", col("hs") % (1L << 30))
+
+  /** MinHash LSH band keys (doc_id, band, bk) from hashed shingle rows:
+    * 16 affine minhashes ([[minhashAB]]) grouped into 4 bands of 4, band
+    * key = md5 of the comma-joined signature slice. One aggregation pass
+    * — the linear index-build over a corpus. */
+  private[operators] def bandKeys(ex: DataFrame): DataFrame = {
+    val sigAggs = minhashAB.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h30") * a + b) % MinhashP).as(s"sig$i")
+    }
+    val sig = ex.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+    val bandStructs = (0 until Bands).map { b =>
+      val cols = (0 until 4).map(r => col(s"sig${b * 4 + r}").cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("bk"))
+    }
+    sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+  }
+
   def minhashLshPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     // one shingle+md5 pass feeds both the signature aggregation and the
     // candidate verification — cache the fixed-width hashed rows instead
     // of recomputing the dominant cost (strings never leave this plan)
-    val ex = shingleRows(docs)
-      .select($"doc_id", h60(col("s")).as("hs"))
-      .withColumn("h30", $"hs" % (1L << 30))
-      .cache()
+    val ex = hashedShingles(docs).cache()
 
-    // signature: min over shingles of h_i(s), i = 0..15 — one base md5
-    // per shingle, 16 affine mixes (see minhashAB)
-    val sigAggs = minhashAB.zipWithIndex.map { case ((a, b), i) =>
-      min((col("h30") * a + b) % MinhashP).as(s"sig$i")
-    }
-    val sig = ex.groupBy($"doc_id").agg(sigAggs.head, sigAggs.tail: _*)
-
-    // band key = md5 of the 4 comma-joined signature values
-    val bandStructs = (0 until Bands).map { b =>
-      val cols = (0 until 4).map(r => col(s"sig${b * 4 + r}").cast("string"))
-      struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("bk"))
-    }
     // tiny (docs x Bands rows): cache so the candidate self-join does
     // not recompute the 16-hash signature pass twice
-    val banded = sig
-      .select($"doc_id", explode(array(bandStructs: _*)).as("bb"))
-      .select($"doc_id", $"bb.band".as("band"), $"bb.bk".as("bk"))
-      .cache()
+    val banded = bandKeys(ex).cache()
 
     val cand = banded.toDF("id1", "band", "bk")
       .join(banded.toDF("id2", "band", "bk"), Seq("band", "bk"))
@@ -247,8 +256,9 @@ object Dedup {
     * population grows as n/256 — fine at fixture scale (and what the
     * 32-bit q44 fingerprint contract allows), but at corpus scale the
     * fingerprint must widen so bands keep buckets small: 64-bit simhash
-    * with 4 x 16-bit bands (65k buckets/band) is the standard choice,
-    * same plan shape. `maxBandFreq` is the interim guard: band-buckets
+    * with 4 x 16-bit bands (65k buckets/band) — implemented as
+    * [[simhash64Pairs]], same plan shape. `maxBandFreq` is the guard
+    * within this 32-bit variant: band-buckets
     * holding more than `cap` docs are dropped from candidate generation
     * (an explicit recall trade on pathological buckets, exactly like
     * [[jaccardPairs]]'s `maxShingleFreq`). */
@@ -277,6 +287,80 @@ object Dedup {
       .filter($"id1" < $"id2")
       .select($"id1", $"id2", $"sh1", $"sh2").distinct()
       .withColumn("hamming", expr("bit_count(sh1 ^ sh2)").cast("long"))
+      .filter($"hamming" <= maxHamming)
+      .select($"id1", $"id2", $"hamming")
+  }
+
+  /** 64-bit SimHash fingerprint per doc as FOUR 16-bit band values
+    * (doc_id, band0..band3) — the at-scale widening of [[simhash]] that
+    * [[simhashPairs]]'s scaladoc specifies: 16-bit bands give 65k
+    * buckets/band, so bucket population grows as n/65536 instead of
+    * n/256. The 64 bit-planes come from two 32-bit md5 slices per token
+    * (hex chars 1-8 and 9-16 — one md5 call, two extractions).
+    * Representing the fingerprint as 4 shorts rather than one 64-bit
+    * value keeps every intermediate well inside signed-long range in
+    * BOTH engines (bit 63 of a packed fingerprint would need unsigned
+    * arithmetic DuckDB's BIGINT rejects). */
+  def simhash64(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val tok = docs
+      .select($"doc_id", explode(split($"text", " ")).as("tk"))
+      .filter(length($"tk") > 0)
+      .withColumn("h1", h32($"tk"))
+      .withColumn("h2",
+        conv(substring(md5($"tk"), 9, 8), 16, 10).cast("long"))
+    val bitAggs = (0 until 64).map { j =>
+      val bit =
+        if (j < 32) expr(s"(h1 >> $j) & 1") else expr(s"(h2 >> ${j - 32}) & 1")
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val bits = tok.groupBy($"doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+    val bandCols = (0 until 4).map { m =>
+      (0 until 16)
+        .map(r => when(col(s"b${16 * m + r}") > 0, lit(1L << r)).otherwise(lit(0L)))
+        .reduce(_ + _).as(s"band$m")
+    }
+    bits.select(($"doc_id" +: bandCols): _*)
+  }
+
+  /** 64-bit SimHash near-dup pairs within `maxHamming` bits — the
+    * corpus-scale counterpart of [[simhashPairs]] (same lossless
+    * pigeonhole argument: 4 bands, radius <= 3 → at least one whole band
+    * equal), with 16-bit bands so candidate buckets stay small as the
+    * corpus grows. Hamming distance is the sum of per-band popcounts —
+    * never a packed 64-bit value, see [[simhash64]]. */
+  def simhash64Pairs(docs: DataFrame, maxHamming: Int = 3,
+      maxBandFreq: Option[Int] = None): DataFrame = {
+    require(maxHamming <= 3, "4 16-bit bands only guarantee Hamming <= 3")
+    val s = docs.sparkSession
+    import s.implicits._
+    val bandStructs = (0 until 4).map(m =>
+      struct(lit(m).as("band"), col(s"band$m").as("bk")))
+    // docs x 4 rows: cache so the candidate self-join does not recompute
+    // the 64-bit-plane fingerprint pass twice (session-lifetime pin —
+    // see the module scaladoc's cache-lifecycle note)
+    val all = simhash64(docs)
+      .select($"doc_id", $"band0", $"band1", $"band2", $"band3",
+        explode(array(bandStructs: _*)).as("bb"))
+      .select($"doc_id", $"band0", $"band1", $"band2", $"band3",
+        $"bb.band".as("band"), $"bb.bk".as("bk"))
+    val banded = (maxBandFreq match {
+      case Some(cap) =>
+        all.withColumn("_f",
+            count(lit(1)).over(Window.partitionBy($"band", $"bk")))
+          .filter($"_f" <= cap).drop("_f")
+      case None => all
+    }).cache()
+    banded.toDF("id1", "a0", "a1", "a2", "a3", "band", "bk")
+      .join(banded.toDF("id2", "c0", "c1", "c2", "c3", "band", "bk"),
+        Seq("band", "bk"))
+      .filter($"id1" < $"id2")
+      .select($"id1", $"id2", $"a0", $"a1", $"a2", $"a3",
+        $"c0", $"c1", $"c2", $"c3").distinct()
+      .withColumn("hamming",
+        expr("bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)").cast("long"))
       .filter($"hamming" <= maxHamming)
       .select($"id1", $"id2", $"hamming")
   }
@@ -579,6 +663,50 @@ object Dedup {
     docs.join(dupIds, Seq("doc_id"), "left_anti")
   }
 
+  /** MinHash band-key index of a corpus: distinct (band, bk) — the
+    * PERSISTABLE near-dup state for incremental pipelines. Tiny relative
+    * to the corpus (≤ 4 band keys per kept doc, no text, no shingles);
+    * write it out with each batch, union it across batches, and new data
+    * dedups against all history without ever touching old text. The
+    * LLM-pipeline analogue of the reference's `hold_state` per-file seen
+    * set (/root/reference/README.txt:18, mapper.py:110-143): state is a
+    * compact digest of what was processed, not the data itself. */
+  def minhashBandIndex(docs: DataFrame): DataFrame =
+    bandKeys(hashedShingles(docs)).select(col("band"), col("bk")).distinct()
+
+  /** Incremental (cross-batch) NEAR-dup dedup: drop new docs that (a)
+    * share any LSH band key with the persisted `seenBands` index —
+    * the same candidate criterion [[minhashLshPairs]] uses, applied
+    * against all prior batches — or (b) are batch-internal near-dups
+    * (jaccard >= threshold, keep lowest id). Returns the surviving rows
+    * of `newDocs`; append [[minhashBandIndex]](survivors) to the index
+    * for the next batch.
+    *
+    * The cross-batch check is the pure LSH screen (candidate = dropped,
+    * no exact verify): the index stores band keys only, so history text
+    * is never re-read — the deliberate precision trade for state that
+    * stays O(kept docs), and it errs toward dropping (a false positive
+    * costs one doc; a false negative costs a training dup). Within the
+    * new batch, the full candidate-generation + exact-verify path runs.
+    * Composes [[minhashLshPairs]] (q43) with the incremental anti-join
+    * pattern of [[TrainingPipeline.incrementalDedup]] (q124). */
+  def incrementalNearDedup(newDocs: DataFrame, seenBands: DataFrame,
+      threshold: Double): DataFrame = {
+    val s = newDocs.sparkSession
+    import s.implicits._
+    // same lineage as minhashLshPairs' internal frames → the CacheManager
+    // shares one materialization of the shingle/band passes
+    val newBands = bandKeys(hashedShingles(newDocs).cache()).cache()
+    val crossDropped = newBands
+      .join(seenBands.select($"band", $"bk"), Seq("band", "bk"), "left_semi")
+      .select($"doc_id").distinct()
+    val inBatchDropped = minhashLshPairs(newDocs, threshold)
+      .select($"id2".as("doc_id")).distinct()
+    newDocs
+      .join(crossDropped.union(inBatchDropped).distinct(),
+        Seq("doc_id"), "left_anti")
+  }
+
   // ------------------------------------------------------------------
   // oracle-gated bindings
   // ------------------------------------------------------------------
@@ -737,6 +865,49 @@ object Dedup {
         SELECT id1, id2, CAST(bit_count(xor(sh1, sh2)) AS BIGINT) AS hamming
         FROM cand
         WHERE bit_count(xor(sh1, sh2)) <= 3
+        ORDER BY id1, id2""")),
+
+    // 64-bit SimHash with 16-bit bands — the at-scale widening of q140;
+    // oracle replays the identical two-slice hashing, 64 bit-planes, and
+    // per-band popcount distance
+    QueryDef(
+      "q151_simhash64_pairs",
+      (s, dir) => simhash64Pairs(t(s, dir, "documents"), maxHamming = 3)
+        .orderBy(col("id1"), col("id2")),
+      Some("""
+        WITH tok AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substring(md5(tk),1,8)) AS BIGINT) AS h1,
+                 CAST(concat('0x', substring(md5(tk),9,8)) AS BIGINT) AS h2
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+                FROM documents)
+          WHERE length(tk) > 0),
+        bits AS (
+          SELECT doc_id, j,
+                 CAST(sum(CASE WHEN (CASE WHEN j < 32 THEN (h1 >> j) & 1
+                                     ELSE (h2 >> (j - 32)) & 1 END) = 1
+                          THEN 1 ELSE -1 END) AS BIGINT) AS s
+          FROM tok, (SELECT unnest(generate_series(0,63)) AS j)
+          GROUP BY doc_id, j),
+        bands AS (
+          SELECT doc_id, j // 16 AS band,
+                 CAST(sum(CASE WHEN s > 0
+                          THEN CAST(power(2, j % 16) AS BIGINT) ELSE 0 END)
+                      AS BIGINT) AS bk
+          FROM bits GROUP BY doc_id, j // 16),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+          FROM bands a JOIN bands c
+            ON a.band = c.band AND a.bk = c.bk AND a.doc_id < c.doc_id),
+        ham AS (
+          SELECT cand.id1, cand.id2,
+                 CAST(sum(bit_count(xor(x.bk, y.bk))) AS BIGINT) AS hamming
+          FROM cand
+          JOIN bands x ON x.doc_id = cand.id1
+          JOIN bands y ON y.doc_id = cand.id2 AND y.band = x.band
+          GROUP BY cand.id1, cand.id2)
+        SELECT id1, id2, hamming FROM ham
+        WHERE hamming <= 3
         ORDER BY id1, id2""")),
 
     QueryDef(
@@ -965,6 +1136,40 @@ object Dedup {
          AND a.c_custkey < b.c_custkey
         WHERE levenshtein(a.c_name, b.c_name) <= 2
         ORDER BY id1, id2""")),
+
+    // incremental near-dup: even docs are history (band index only), odd
+    // docs are the new batch — dropped on any band collision with
+    // history or an in-batch verified near-dup pair. The oracle replays
+    // the full-corpus band/jaccard pipeline and filters by parity: a
+    // doc's band keys depend only on its own text, so banded/j restricted
+    // to a parity class equal the same pipeline run on that class alone.
+    QueryDef(
+      "q152_incremental_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        incrementalNearDedup(
+          docs.filter($"doc_id" % 2 === 1),
+          minhashBandIndex(docs.filter($"doc_id" % 2 === 0)),
+          0.8)
+          .select($"doc_id", $"source", $"n_chars")
+          .orderBy($"doc_id")
+      },
+      Some(minhashOracle("""
+        , seenb AS (SELECT DISTINCT band, bk FROM banded WHERE doc_id % 2 = 0),
+        newbk AS (SELECT doc_id, band, bk FROM banded WHERE doc_id % 2 = 1),
+        crossdrop AS (
+          SELECT DISTINCT n.doc_id
+          FROM newbk n JOIN seenb sb ON n.band = sb.band AND n.bk = sb.bk),
+        indrop AS (
+          SELECT DISTINCT id2 AS doc_id FROM j
+          WHERE jaccard >= 0.8 AND id1 % 2 = 1 AND id2 % 2 = 1)
+        SELECT doc_id, source, n_chars
+        FROM documents
+        WHERE doc_id % 2 = 1
+          AND doc_id NOT IN (SELECT doc_id FROM crossdrop)
+          AND doc_id NOT IN (SELECT doc_id FROM indrop)
+        ORDER BY doc_id"""))),
 
     QueryDef(
       "q75_dedup_corpus",

@@ -151,12 +151,18 @@ object Similarity {
     CosineSimilarity.register(s)
     val e = embeddings.select($"vec_id", $"embedding")
     val centroids = e.filter(isCentroid).toDF("cent_id", "cent_v")
-    val wAssign = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cent_id")
+    // argmax via max_by aggregation, not a row_number window: partial-
+    // aggregated map-side, one row per vector crosses the shuffle instead
+    // of all K scored rows (same fix as Dedup.semanticDedup; tie-break
+    // (sim DESC, cent_id ASC) = max over (sim, -cent_id), matching the
+    // oracle's row_number ordering)
     val assigned = e.crossJoin(broadcast(centroids))
       .withColumn("sim", round(expr("cosine_sim(embedding, cent_v)"), 6))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter($"rn" === 1)
-      .select($"vec_id", $"embedding", $"cent_id".as("cell"))
+      .groupBy($"vec_id")
+      .agg(
+        max_by($"cent_id", struct($"sim", (-$"cent_id").as("_neg"))).as("cell"),
+        first($"embedding").as("embedding"))
+      .select($"vec_id", $"embedding", $"cell")
     val queries = assigned.filter(isQuery).toDF("qid", "qv", "cell")
     val cands = assigned.filter(!isQuery).toDF("cid", "cv", "cell")
     val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"cid")
@@ -165,6 +171,27 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= k)
       .select($"qid", $"rk", $"cid", $"cosine", $"cell")
+  }
+
+  /** Recall@k contract: per query, how many of the exact brute-force
+    * top-k ([[bruteForceTopK]]) the multi-probe LSH path
+    * ([[lshTopKMultiProbe]]) recovers — the gated accuracy metric for
+    * the ANN family (exact integer arithmetic, like the q16/q149
+    * sketch-accuracy contracts). The oracle replays both pipelines from
+    * their specification, so an implementation regression in signature,
+    * probe-set, or banding logic surfaces as a hash mismatch here even
+    * though q98's own oracle (which replays the same buckets it probes)
+    * would keep passing. Returns (qid, hits, k); on the fixture
+    * multi-probe has full recall, so hits = k for every query. */
+  def annRecallAtK(embeddings: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    val s = embeddings.sparkSession
+    import s.implicits._
+    val exact = bruteForceTopK(embeddings, isQuery, k).select($"qid", $"cid")
+    val approx = lshTopKMultiProbe(embeddings, isQuery, k)
+      .select($"qid", $"cid", lit(1).as("_hit"))
+    exact.join(approx, Seq("qid", "cid"), "left")
+      .groupBy($"qid")
+      .agg(count($"_hit").as("hits"), count(lit(1)).as("k"))
   }
 
   /** Int8 scalar quantization of an embedding column: per-vector scale =
@@ -400,6 +427,69 @@ object Similarity {
           FROM scored)
         SELECT qid, CAST(rk AS INT) AS rk, cid, cosine
         FROM ranked WHERE rk <= 3
-        ORDER BY qid, rk"""))
+        ORDER BY qid, rk""")),
+
+    // ----- gated ANN recall contract --------------------------------------
+    // recall@3 of multi-probe LSH vs the exact brute-force top-3, as
+    // exact integers the oracle checks: the oracle derives BOTH sides
+    // from their spec, so a banding/probe regression in the Spark
+    // implementation fails this gate even while q98's replayed-bucket
+    // oracle still passes.
+    QueryDef(
+      "q153_ann_recall",
+      (s, dir) => annRecallAtK(t(s, dir, "embeddings"), col("vec_id") < 5, 3)
+        .orderBy(col("qid")),
+      Some("""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        sig AS (
+          SELECT vec_id, v,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+                 CAST(list_sum(list_transform(generate_series(0, 7), m ->
+                   CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                          i -> ((CAST(concat('0x', substring(md5(
+                                  concat(m, '_', i - 1)),1,15)) AS BIGINT)
+                                 % 2001 - 1000) / 1000.0) * v[i])) >= 0
+                        THEN CAST(power(2, m) AS BIGINT) ELSE 0 END))
+                      AS BIGINT) AS bucket
+          FROM e),
+        bfscored AS (
+          SELECT q.vec_id AS qid, c.vec_id AS cid,
+                 round(list_sum(list_transform(generate_series(1, len(q.v)),
+                       i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 4) AS cosine
+          FROM sig q JOIN sig c ON q.vec_id < 5 AND c.vec_id >= 5),
+        bfranked AS (
+          SELECT qid, cid,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cosine DESC, cid) AS rk
+          FROM bfscored),
+        probes AS (
+          SELECT vec_id AS qid, v AS qv, nrm AS qnrm,
+                 unnest(list_prepend(bucket,
+                   list_transform(generate_series(0, 7),
+                     m -> xor(bucket, CAST(power(2, m) AS BIGINT))))) AS bucket
+          FROM sig WHERE vec_id < 5),
+        c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm, bucket
+              FROM sig WHERE vec_id >= 5),
+        mpscored AS (
+          SELECT p.qid, c.cid,
+                 round(list_sum(list_transform(generate_series(1, len(p.qv)),
+                       i -> p.qv[i] * c.cv[i])) / (p.qnrm * c.cnrm), 4) AS cosine
+          FROM probes p JOIN c ON p.bucket = c.bucket),
+        mpranked AS (
+          SELECT qid, cid,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cosine DESC, cid) AS rk
+          FROM mpscored)
+        SELECT bf.qid,
+               CAST(count(mp.cid) AS BIGINT) AS hits,
+               CAST(count(*) AS BIGINT) AS k
+        FROM bfranked bf
+        LEFT JOIN mpranked mp
+          ON bf.qid = mp.qid AND bf.cid = mp.cid AND mp.rk <= 3
+        WHERE bf.rk <= 3
+        GROUP BY bf.qid
+        ORDER BY bf.qid"""))
   )
 }

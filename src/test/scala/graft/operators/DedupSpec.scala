@@ -274,4 +274,63 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 3L))
   }
+
+  test("simhash64Pairs is lossless for Hamming <= 3 (matches all-pairs brute force)") {
+    val rnd = new scala.util.Random(46)
+    val vocab = (0 until 12).map(i => s"w$i")
+    val d = docs((0 until 40).map(i =>
+      (i.toLong, Seq.fill(8)(vocab(rnd.nextInt(vocab.length))).mkString(" "))): _*)
+    // brute-force distance from the 4x16-bit band fingerprints
+    val fp = Dedup.simhash64(d).collect()
+      .map(x => (x.getLong(0), Seq(x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4))))
+    val expected = (for {
+      (i1, b1) <- fp; (i2, b2) <- fp
+      if i1 < i2 &&
+        b1.zip(b2).map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum <= 3
+    } yield (i1, i2)).toSet
+    val got = Dedup.simhash64Pairs(d, maxHamming = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == expected) // 16-bit bands are exhaustive for radius 3
+    // 64-bit fingerprints separate better than 32-bit: near pairs on the
+    // same corpus must be a subset of the 32-bit radius-3 pairs' docs
+    val got32 = Dedup.simhashPairs(d, maxHamming = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got.size <= got32.size,
+      s"64-bit bands admitted MORE pairs (${got.size}) than 32-bit (${got32.size})")
+  }
+
+  test("simhash64 bands are 16-bit values; identical docs collide, disjoint differ") {
+    val d = docs((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
+    val rows = Dedup.simhash64(d).collect()
+      .map(x => x.getLong(0) -> Seq(x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4))).toMap
+    rows.values.flatten.foreach(b => assert(b >= 0 && b <= 0xFFFFL))
+    assert(rows(1L) == rows(2L))
+    assert(rows(1L) != rows(3L))
+  }
+
+  test("incrementalNearDedup: cross-batch collisions drop, in-batch near-dups keep min id") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 39).map(i => s"tok$i").mkString(" ") + " tokX"
+    val fresh = (200 to 240).map(i => s"u$i").mkString(" ")
+    val freshDup = (200 to 239).map(i => s"u$i").mkString(" ") + " uY"
+    // batch 0 (history): the base doc only
+    val seen = Dedup.minhashBandIndex(docs((1L, base)))
+    // batch 1: an exact copy of history (11), a near-dup of history (12),
+    // two in-batch near-dups (13 < 14), and nothing else
+    val batch = docs((11L, base), (12L, nearDup), (13L, fresh), (14L, freshDup))
+    val kept = Dedup.incrementalNearDedup(batch, seen, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 11 collides with history on every band; 12 on at least one (39/40
+    // shared shingles -> signatures nearly identical); 14 is dropped as
+    // the in-batch pair's higher id; 13 survives as the cluster min
+    assert(kept == Set(13L))
+    // replaying the SAME batch against an index extended with the
+    // survivors drops everything — the incremental law
+    val seen2 = seen.union(Dedup.minhashBandIndex(docs((13L, fresh))))
+    val rerun = Dedup.incrementalNearDedup(batch, seen2, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rerun.isEmpty)
+  }
 }
