@@ -184,6 +184,24 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("q152: incremental near-dup is digest/band-only against history (no text in any Exchange)") {
+    val p = plan("q152_incremental_neardup")
+    // the cross-batch check must semi-join band keys against the index
+    assert(p.contains("LeftSemi"),
+      "band-index membership should be a semi-join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // history is a band index: no Exchange may partition on raw text —
+    // the whole point of persisting band keys instead of documents
+    assert(!p.contains("hashpartitioning(text"),
+      "document text must never be a shuffle key")
+  }
+
+  test("q151: 64-bit simhash pairs stay equi-join candidate-bounded") {
+    val p = plan("q151_simhash64_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "simhash64 candidates must come from (band, bk) equi-joins")
+  }
+
   test("q130: centroid assignment aggregates (max_by), never windows the n×k frame") {
     val df = SparkEntry.queries("q130_semantic_dedup")(spark, sf)
     val windows = df.queryExecution.optimizedPlan.collect {
