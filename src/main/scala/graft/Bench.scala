@@ -32,8 +32,13 @@ object Bench {
           e: StreamingQueryListener.QueryProgressEvent): Unit = ()
       override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-        starts.remove(e.runId).foreach(t0 =>
-          streamNanos += System.nanoTime() - t0)
+        starts.get(e.runId).foreach { t0 =>
+          // add BEFORE removing: the drain loop below keys on
+          // starts.isEmpty, so the reverse order would let it observe an
+          // empty map while this stream's nanos are still unrecorded
+          streamNanos += System.nanoTime() - t0
+          starts.remove(e.runId)
+        }
     }
     spark.streams.addListener(listener)
 
@@ -46,9 +51,12 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       // terminated events post asynchronously — drain briefly so a
-      // stream's runtime is attributed to the query that ran it
+      // stream's runtime is attributed to the query that ran it; then
+      // abandon any still-pending entry so a delayed event can neither
+      // leak its time into a later query nor stall every later drain
       val deadline = System.nanoTime() + 2000000000L
       while (starts.nonEmpty && System.nanoTime() < deadline) Thread.sleep(20)
+      starts.clear()
       val total = (System.nanoTime() - t0) / 1e9
       (name, total, streamNanos / 1e9)
     }

@@ -27,17 +27,29 @@ object Compact {
     val fs = in.getFileSystem(conf)
     // overwrite mode DELETES outDir before the lazy read of inDir runs —
     // an in-place (or nested) call would destroy the source data.
-    // Identity is the FULLY QUALIFIED URI (scheme + authority + path),
-    // each path qualified against its OWN filesystem: comparing bare
-    // paths would spuriously reject distinct stores with equal paths
-    // (s3://a/data vs s3://b/data) and mis-qualify a cross-scheme outDir
+    // Identity: paths overlap AND the two URIs plausibly name the same
+    // store — same scheme and same host, each path qualified against its
+    // OWN filesystem. Ports are deliberately IGNORED (hdfs://nn:8020 vs
+    // hdfs://nn is the same namenode spelled two ways — treating them as
+    // distinct would let the overwrite destroy the source); distinct
+    // stores with equal paths (s3://a/data vs s3://b/data) differ by
+    // host and are allowed. A host aliased as FQDN vs IP is not
+    // detectable without name resolution — callers using mixed spellings
+    // for one cluster must normalize them.
     val out = new org.apache.hadoop.fs.Path(outDir)
     val outFs = out.getFileSystem(conf)
-    val qIn = fs.makeQualified(in).toUri.toString.stripSuffix("/")
-    val qOut = outFs.makeQualified(out).toUri.toString.stripSuffix("/")
-    require(qIn != qOut && !qOut.startsWith(qIn + "/") &&
-      !qIn.startsWith(qOut + "/"),
-      s"outDir must not be inDir or nested with it (in=$qIn out=$qOut)")
+    val uIn = fs.makeQualified(in).toUri
+    val uOut = outFs.makeQualified(out).toUri
+    def norm(s: String): String =
+      Option(s).map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("")
+    val sameStore = norm(uIn.getScheme) == norm(uOut.getScheme) &&
+      norm(uIn.getHost) == norm(uOut.getHost)
+    val pIn = uIn.getPath.stripSuffix("/")
+    val pOut = uOut.getPath.stripSuffix("/")
+    val overlap = pIn == pOut || pOut.startsWith(pIn + "/") ||
+      pIn.startsWith(pOut + "/")
+    require(!(sameStore && overlap),
+      s"outDir must not be inDir or nested with it (in=$uIn out=$uOut)")
     val inputBytes = fs.getContentSummary(in).getLength
     val parts = math.max(1L, (inputBytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(inDir)

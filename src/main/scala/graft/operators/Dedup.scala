@@ -146,14 +146,6 @@ object Dedup {
       .select($"id1", $"id2", $"jaccard")
   }
 
-  /** MinHash(16) + LSH(4 bands x 4 rows) candidate generation with exact
-    * Jaccard verification of candidates only — the scale path: join work
-    * is bounded by band-bucket population, not corpus size, and the
-    * verification never touches non-candidate documents: the shingle
-    * frame is semi-joined down to candidate ids first, then the
-    * intersection count comes from hash equi-joins on the 60-bit shingle
-    * hash (the [[jaccardPrefixPairs]] recipe) — no per-doc array
-    * materialization, no full-corpus-width shuffle of shingle sets. */
   /** Hashed shingle rows (doc_id, hs 60-bit, h30 30-bit) — the one
     * md5-per-shingle pass every minhash operator starts from. Callers
     * cache it: identical lineage means the CacheManager shares one
@@ -181,7 +173,21 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
   }
 
+  /** MinHash(16) + LSH(4 bands x 4 rows) candidate generation with exact
+    * Jaccard verification of candidates only — the scale path: join work
+    * is bounded by band-bucket population, not corpus size, and the
+    * verification never touches non-candidate documents: the shingle
+    * frame is semi-joined down to candidate ids first, then the
+    * intersection count comes from hash equi-joins on the 60-bit shingle
+    * hash (the [[jaccardPrefixPairs]] recipe) — no per-doc array
+    * materialization, no full-corpus-width shuffle of shingle sets.
+    *
+    * Requires threshold > 0: zero-overlap candidate pairs (band-key
+    * coincidences between docs sharing no shingle) drop out of the
+    * verify equi-join rather than surfacing with jaccard 0.0, so
+    * threshold 0 would not enumerate the full candidate set. */
   def minhashLshPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0, "threshold must be > 0 (see scaladoc)")
     val s = docs.sparkSession
     import s.implicits._
     // one shingle+md5 pass feeds both the signature aggregation and the

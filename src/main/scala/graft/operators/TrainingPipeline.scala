@@ -408,7 +408,9 @@ object TrainingPipeline {
                  sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
                  sum(n_chars) OVER (PARTITION BY source) AS tot
-          FROM documents)
+          -- mirrors the operator's non-negative-weight precondition
+          -- filter (w >= 0) — the two sides must drop the same rows
+          FROM documents WHERE n_chars >= 0)
         SELECT source, doc_id, w
         FROM c
         WHERE (cum // greatest(1, (tot + 4) // 5))

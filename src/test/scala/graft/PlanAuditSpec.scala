@@ -164,6 +164,10 @@ class PlanAuditSpec extends SparkSpec {
     // cardinality is constant at every SF; customer/supplier/part are
     // SF-scaled and must fall back to shuffle joins (threshold/AQE decide
     // in production, where they'd broadcast again at small SF)
+    // restore the SESSION's configured threshold afterwards, not Spark's
+    // built-in default — unset would leave later audits running under a
+    // different broadcast policy than the shipped GraftSession one
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       def joins(name: String) =
@@ -181,7 +185,7 @@ class PlanAuditSpec extends SparkSpec {
       assert(j142.count(_ == "bhj") == 1,
         s"q142 must force-broadcast exactly nation, saw $j142")
       assert(j142.exists(j => j == "smj" || j == "shj"))
-    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
   test("q152: incremental near-dup is digest/band-only against history (no text in any Exchange)") {
