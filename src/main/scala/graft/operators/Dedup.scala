@@ -570,6 +570,9 @@ object Dedup {
       // pointer jump: also take my label's label (comp values are node
       // ids, so the inner self-join always finds a row) — this is what
       // turns O(diameter) rounds into O(log diameter)
+      // (NOT unrolled to two relaxations per checkpoint: the self-join
+      // recomputes its un-materialized input subtree, so chaining
+      // relaxations compounds recomputation — measured 35% slower)
       val byId = relaxed.toDF("jid", "jcomp")
       val next = relaxed.join(byId, relaxed("comp") === byId("jid"))
         .select(relaxed("id"), least(relaxed("comp"), byId("jcomp")).as("comp"))
