@@ -110,6 +110,45 @@ object SourceCoverage {
         GROUP BY lang, source
         ORDER BY lang, source""")),
 
+    // ----- XML source: Spark 4's built-in XML datasource ------------------
+    // Round-trip the document metadata through rowTag-delimited XML and
+    // aggregate off the XML scan with an explicit schema; the oracle
+    // replays from the parquet fixture, so any XML encode/parse fault
+    // (escaping, type coercion, element ordering) hash-mismatches. Only
+    // the metadata columns ride: XML escaping of free text is the
+    // format's job, but the token-soup fixture text adds nothing to the
+    // round-trip contract that lang/source/n_chars don't already pin.
+    QueryDef(
+      "q154_xml_source",
+      (s, dir) => {
+        import s.implicits._
+        val staged = stagePath("xml", dir)
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"lang", $"source", $"n_chars")
+          .write.mode("overwrite").format("xml")
+          .option("rootTag", "docs").option("rowTag", "doc")
+          .save(staged)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("lang", StringType),
+          StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        s.read.schema(schema).format("xml").option("rowTag", "doc")
+          .load(staged)
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_chars").as("sum_chars"),
+            max($"n_chars").as("max_chars"))
+          .orderBy($"lang")
+      },
+      Some("""
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               max(n_chars) AS max_chars
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang""")),
+
     // ----- ORC source: the second columnar format Spark ships ------------
     // Round-trip events through ORC (zlib-striped, predicate-pushdown
     // capable like parquet) and aggregate off the ORC scan; the oracle
