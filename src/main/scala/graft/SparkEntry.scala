@@ -30,6 +30,7 @@ object SparkEntry {
     FunctionCoverage.defs,
     TpchShapes.defs,
     Pipeline.defs,
+    Bucketing.defs,
     TrainingPipeline.defs,
     Analytics.defs)
 

@@ -32,6 +32,10 @@ object GraftSession {
       // fixture events.ts is parquet TIMESTAMP(NANOS); read as long and
       // convert in Tables.load (Spark has no nanos timestamp type)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed saveAsTable target; tmpdir keeps test/verify runs from
+      // dropping a spark-warehouse/ dir into the repo working copy
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft_warehouse")
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = 4): SparkSession = {

@@ -716,6 +716,67 @@ object Dedup {
         Seq("doc_id"), "left_anti")
   }
 
+  /** Exact duplicated-span REMOVAL — substring-level dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL'22):
+    * where doc-level near-dup keeps or drops whole documents, this strips
+    * the duplicated PASSAGES (license headers, quoted chain emails,
+    * templated paragraphs) and keeps the unique remainder. A span is any
+    * exact `w`-token window whose text occurs in >= 2 distinct docs;
+    * every token covered by such a window is dropped and the survivors
+    * are re-joined in order.
+    *
+    * Scale shape (the suffix-array of the paper is a single-machine
+    * design; this is its shuffle-bounded equivalent):
+    *  1. one linear pass hashes each doc's n-w+1 sliding windows —
+    *     16-byte md5 rows (doc_id, start, h) are ALL that shuffles, the
+    *     text itself never ships;
+    *  2. duplicated hashes = groupBy(h) with countDistinct(doc_id) >= 2 —
+    *     partial-aggregated map-side;
+    *  3. the duplicated-hash set (tiny: true cross-doc repeats) joins
+    *     back to window rows, and the matching start offsets are grouped
+    *     per doc — one small array per AFFECTED doc;
+    *  4. re-joined to the corpus as a LEFT join, the kept text is rebuilt
+    *     with higher-order functions (filter over token index vs covered
+    *     starts) — row-local, codegen'd, no token explode, and untouched
+    *     docs stream through with starts = null.
+    * md5-collision risk: two different windows colliding would over-drop;
+    * at 128 bits that needs ~2^64 windows — acceptable for 100 TB (and
+    * the same contract every md5-keyed op in this module uses). */
+  def spanDedup(docs: DataFrame, w: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs.select($"doc_id", split($"text", " ").as("ts"))
+    val wins = toks
+      .filter(org.apache.spark.sql.functions.size($"ts") >= w)
+      .select($"doc_id",
+        explode(sequence(lit(1), org.apache.spark.sql.functions.size($"ts") - (w - 1)))
+          .as("start"),
+        $"ts")
+      .select($"doc_id", $"start",
+        md5(array_join(slice($"ts", $"start", lit(w)), " ")).as("h"))
+      .cache()
+    val dup = wins.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("ndocs"))
+      .filter($"ndocs" >= 2)
+      .select($"h")
+    val starts = wins.join(dup, Seq("h"), "left_semi")
+      .groupBy($"doc_id")
+      .agg(collect_set($"start").as("starts"))
+    toks.join(starts, Seq("doc_id"), "left")
+      // token at 1-based position p survives unless some duplicated
+      // window start s covers it: s <= p < s + w
+      .withColumn("kept",
+        expr(s"""transform(
+                   filter(transform(ts, (t, i) -> struct(t AS t, i + 1 AS p)),
+                          x -> starts IS NULL OR
+                               NOT exists(starts, s -> x.p >= s AND x.p < s + $w)),
+                   x -> x.t)"""))
+      .select($"doc_id",
+        array_join($"kept", " ").as("clean_text"),
+        (org.apache.spark.sql.functions.size($"ts") -
+          org.apache.spark.sql.functions.size($"kept")).cast("long").as("n_dropped"))
+  }
+
   // ------------------------------------------------------------------
   // oracle-gated bindings
   // ------------------------------------------------------------------
@@ -1189,6 +1250,36 @@ object Dedup {
         SELECT doc_id, lang, source, n_chars
         FROM documents
         WHERE doc_id NOT IN (SELECT DISTINCT id2 FROM j WHERE jaccard >= 0.8)
-        ORDER BY doc_id""")))
+        ORDER BY doc_id"""))),
+
+    // substring-level dedup: strip 8-token spans that occur verbatim in
+    // >= 2 docs, keep the unique remainder of every document
+    QueryDef(
+      "q156_span_dedup",
+      (s, dir) => spanDedup(t(s, dir, "documents"), 8)
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        win AS (SELECT doc_id, unnest(generate_series(1, len(ts) - 7)) AS start, ts
+                FROM t WHERE len(ts) >= 8),
+        h AS (SELECT doc_id, start,
+                     md5(array_to_string(ts[start:start+7], ' ')) AS h
+              FROM win),
+        dup AS (SELECT h FROM h GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        cov AS (SELECT DISTINCT h.doc_id, h.start + j.j AS pos
+                FROM h JOIN dup USING (h)
+                CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) j),
+        tok AS (SELECT doc_id, unnest(generate_series(1, len(ts))) AS pos, ts
+                FROM t),
+        kept AS (SELECT tok.doc_id, tok.pos, tok.ts[tok.pos] AS tk
+                 FROM tok LEFT JOIN cov
+                   ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+                 WHERE cov.pos IS NULL)
+        SELECT t.doc_id,
+               coalesce(string_agg(kept.tk, ' ' ORDER BY kept.pos), '') AS clean_text,
+               len(t.ts) - count(kept.tk) AS n_dropped
+        FROM t LEFT JOIN kept USING (doc_id)
+        GROUP BY t.doc_id, len(t.ts)
+        ORDER BY t.doc_id"""))
   )
 }
