@@ -229,6 +229,59 @@ object Similarity {
         .otherwise(array_max(absErr)), 6).as("max_err"))
   }
 
+  /** Distributed Lloyd k-means over the embedding column — the centroid
+    * TRAINING step the IVF scaladoc defers to ([[ivfTopK]] picks a
+    * deterministic subset as stand-in centroids; this learns them).
+    * Returns the final (vec_id, cluster) assignment after `iters`
+    * assign/update rounds plus one closing assignment.
+    *
+    * EXACT integer geometry so two engines replay it bit-identically:
+    * vectors are quantized once to a 1e-6 grid (round(x*1e6) as long) —
+    * distances are then integer sums of squared diffs (64 dims x (2e6)^2
+    * ~ 2.6e14 << 2^63, no overflow), argmin ties break on cluster id,
+    * and the centroid update is floor(sum/count) back onto the grid
+    * (sums stay < 2^53, so the one double division is exact-input and
+    * IEEE-deterministic). No floating accumulation anywhere — the usual
+    * "k-means differs per run" nondeterminism is gone by construction.
+    * Init = the k smallest vec_ids' vectors; a cluster that loses all
+    * members drops out (k shrinks), same rule both engines.
+    *
+    * Scale shape per round: assignment = corpus x k with centroids
+    * BROADCAST (k x d longs — KBs), partial-aggregated min_by; update =
+    * posexplode to (cid, dim) rows — the only shuffle, n x d rows
+    * combiner-reduced map-side to k x d. The corpus frame itself never
+    * repartitions; driver holds zero data, just the loop counter. */
+  def kmeansClusters(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    val s = embeddings.sparkSession
+    import s.implicits._
+    val v = embeddings.select($"vec_id",
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+        .as("ve"))
+      .cache()
+    var cents = v.orderBy($"vec_id").limit(k)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy($"vec_id")) - 1).cast("long"))
+      .select($"cid", $"ve".as("ce"))
+    def assign(cs: DataFrame): DataFrame =
+      v.crossJoin(broadcast(cs))
+        .withColumn("d",
+          expr("aggregate(zip_with(ve, ce, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+        .groupBy($"vec_id")
+        .agg(min_by($"cid", struct($"d", $"cid")).as("cid"),
+          first($"ve").as("ve"))
+    for (_ <- 1 to iters) {
+      val a = assign(cents)
+      cents = a.select($"cid", posexplode($"ve").as(Seq("pos", "x")))
+        .groupBy($"cid", $"pos")
+        .agg(sum($"x").as("sx"), count(lit(1)).as("cnt"))
+        .withColumn("cj", expr("CAST(floor(CAST(sx AS DOUBLE) / cnt) AS BIGINT)"))
+        .groupBy($"cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cj))), p -> p.cj)")
+          .as("ce"))
+    }
+    assign(cents).select($"vec_id", $"cid".as("cluster"))
+  }
+
   // ------------------------------------------------------------------
   // oracle-gated bindings
   // ------------------------------------------------------------------
@@ -490,6 +543,59 @@ object Similarity {
           ON bf.qid = mp.qid AND bf.cid = mp.cid AND mp.rk <= 3
         WHERE bf.rk <= 3
         GROUP BY bf.qid
-        ORDER BY bf.qid"""))
+        ORDER BY bf.qid""")),
+
+    // Lloyd k-means (k=4, 2 assign/update rounds + closing assignment)
+    // on the exact 1e-6 integer grid — bit-identical across engines
+    QueryDef(
+      "q158_kmeans_clusters",
+      (s, dir) => kmeansClusters(t(s, dir, "embeddings"), 4, 2)
+        .orderBy(col("vec_id")),
+      Some("""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS ve
+          FROM embeddings),
+        c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+                      ve AS ce
+               FROM (SELECT vec_id, ve FROM e ORDER BY vec_id LIMIT 4)),
+        s1 AS (SELECT e.vec_id, e.ve, c.cid,
+                      list_sum(list_transform(generate_series(1, len(e.ve)),
+                        i -> (e.ve[i] - c.ce[i]) * (e.ve[i] - c.ce[i]))) AS d
+               FROM e CROSS JOIN c0 c),
+        a1 AS (SELECT vec_id, ve, cid FROM (
+                 SELECT vec_id, ve, cid,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                 FROM s1) WHERE rn = 1),
+        u1 AS (SELECT cid, j,
+                      CAST(floor(CAST(sum(ve[j]) AS DOUBLE) / count(*)) AS BIGINT) AS cj
+               FROM (SELECT cid, unnest(generate_series(1, len(ve))) AS j, ve FROM a1)
+               GROUP BY cid, j),
+        c1 AS (SELECT cid, list(cj ORDER BY j) AS ce FROM u1 GROUP BY cid),
+        s2 AS (SELECT e.vec_id, e.ve, c.cid,
+                      list_sum(list_transform(generate_series(1, len(e.ve)),
+                        i -> (e.ve[i] - c.ce[i]) * (e.ve[i] - c.ce[i]))) AS d
+               FROM e CROSS JOIN c1 c),
+        a2 AS (SELECT vec_id, ve, cid FROM (
+                 SELECT vec_id, ve, cid,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                 FROM s2) WHERE rn = 1),
+        u2 AS (SELECT cid, j,
+                      CAST(floor(CAST(sum(ve[j]) AS DOUBLE) / count(*)) AS BIGINT) AS cj
+               FROM (SELECT cid, unnest(generate_series(1, len(ve))) AS j, ve FROM a2)
+               GROUP BY cid, j),
+        c2 AS (SELECT cid, list(cj ORDER BY j) AS ce FROM u2 GROUP BY cid),
+        s3 AS (SELECT e.vec_id, c.cid,
+                      list_sum(list_transform(generate_series(1, len(e.ve)),
+                        i -> (e.ve[i] - c.ce[i]) * (e.ve[i] - c.ce[i]))) AS d
+               FROM e CROSS JOIN c2 c),
+        a3 AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                 FROM s3) WHERE rn = 1)
+        SELECT vec_id, cid AS cluster
+        FROM a3
+        ORDER BY vec_id"""))
   )
 }

@@ -244,6 +244,47 @@ object TrainingPipeline {
       .select($"source", $"doc_id", $"w")
   }
 
+  /** Temperature-scaled source mixture (T = 2, i.e. sampling weights
+    * ∝ n^(1/2)): the standard multilingual/multi-source rebalancing rule
+    * (mT5, XLM-R) — big sources are down-weighted, small sources
+    * up-weighted, with the exponent 1/α = T controlling how flat the
+    * mixture gets. Per-source allocation out of `totalK` picks:
+    *
+    *   w_s = floor(sqrt(n_s));  k_s = max(1, (totalK * w_s) div Σ w_t)
+    *
+    * EXACT arithmetic everywhere it matters: counts and w are integers,
+    * the allocation is one integer multiply + divide, and doc selection
+    * within a source is md5-hash order (deterministic across engines,
+    * retries and partitionings — same contract as [[sourceQuota]]).
+    * sqrt is the one double op; IEEE-correctly-rounded on both engines,
+    * so floor(sqrt(n)) is bit-identical cross-engine. The max(1) clamp
+    * guarantees every live source survives into the mixture (the whole
+    * point of temperature flattening); Σ k_s may exceed totalK by at
+    * most the number of clamped sources.
+    *
+    * Scale shape: counts are a partial-aggregated groupBy; the 1-row
+    * Σ w frame and the per-source k frame are broadcast (sources number
+    * in the thousands at worst); the only corpus-wide work is the
+    * per-source row_number window — one shuffle by source, same cost
+    * class as [[sourceQuota]]. */
+  def temperatureMixture(docs: DataFrame, totalK: Int): DataFrame = {
+    require(totalK > 0)
+    val s = docs.sparkSession
+    import s.implicits._
+    val w = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+      .withColumn("w", floor(sqrt($"n".cast("double"))).cast("long"))
+    val tot = w.agg(sum($"w").as("sumw"))
+    val alloc = w.crossJoin(broadcast(tot))
+      .withColumn("k", greatest(lit(1L), expr(s"(CAST($totalK AS BIGINT) * w) DIV sumw")))
+      .select($"source", $"k")
+    docs.select($"source", $"doc_id", md5($"text").as("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"h", $"doc_id")))
+      .join(broadcast(alloc), Seq("source"))
+      .filter($"rk" <= $"k")
+      .select($"source", $"doc_id", $"rk".cast("long").as("rk"))
+  }
+
   // ------------------------------------------------------------------
   // fixture-bound oracle queries
   // ------------------------------------------------------------------
@@ -432,6 +473,29 @@ object TrainingPipeline {
         SELECT source, CAST(rn AS BIGINT) AS rn, doc_id
         FROM r
         WHERE rn <= 10
-        ORDER BY source, rn"""))
+        ORDER BY source, rn""")),
+
+    // temperature-flattened source mixture: 100 picks allocated
+    // ∝ floor(sqrt(n_source)), selected in md5-hash order
+    QueryDef(
+      "q157_temperature_mixture",
+      (s, dir) => temperatureMixture(Tables.load(s, dir, "documents"), 100)
+        .orderBy(col("source"), col("rk")),
+      Some("""
+        WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        w AS (SELECT source,
+                     CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w
+              FROM c),
+        a AS (SELECT source,
+                     greatest(1, (100 * w) // (SELECT sum(w) FROM w)) AS k
+              FROM w),
+        r AS (SELECT source, doc_id,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY md5(text), doc_id) AS rk
+              FROM documents)
+        SELECT r.source, r.doc_id, CAST(rk AS BIGINT) AS rk
+        FROM r JOIN a USING (source)
+        WHERE rk <= k
+        ORDER BY source, rk"""))
   )
 }
