@@ -39,9 +39,18 @@ object Bucketing {
   private def tag(dir: String): String = Integer.toHexString(dir.hashCode)
 
   /** Stage `df` as a bucketed+sorted managed table; returns the name.
-    * Overwrite mode makes re-runs idempotent (same dir → same name). */
+    * Idempotent across JVMs, not just sessions: with the in-memory
+    * catalog, a previous process's staging leaves the warehouse
+    * directory behind with no catalog entry, and `saveAsTable` refuses
+    * to CREATE over an existing location — so both the table and any
+    * orphaned location are cleared first. */
   def stageBucketed(s: SparkSession, df: DataFrame, name: String,
       buckets: Int, key: String): String = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(name)

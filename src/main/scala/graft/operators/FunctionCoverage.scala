@@ -122,6 +122,67 @@ object FunctionCoverage {
                to_base64(encode(p_brand)) AS brand_b64
         FROM part
         WHERE p_partkey < 500
-        ORDER BY p_partkey"""))
+        ORDER BY p_partkey""")),
+
+    // ----- VARIANT ingestion (Spark 4 semi-structured type) --------------
+    // parse once into the binary VARIANT encoding, extract typed fields
+    // with variant_get. At scale this is the schema-on-read path for
+    // ragged JSON: parsing happens once at ingest, extraction is a typed
+    // codegen'd path walk (no per-query string re-parse), and shredded
+    // columns stay prunable. The oracle replays with plain JSON
+    // extraction — any parse/path divergence hash-mismatches.
+    QueryDef(
+      "q159_variant_json",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .withColumn("v", parse_json($"props"))
+          .withColumn("k", variant_get($"v", "$.k", "long"))
+          .filter($"k".isNotNull)
+          .groupBy($"event_type")
+          .agg(
+            sum(when($"k" >= 50, $"k").otherwise(0L)).as("sum_hi"),
+            count(when($"k" >= 50, lit(1))).as("n_hi"),
+            count(lit(1)).as("n"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type,
+               sum(CASE WHEN k >= 50 THEN k ELSE 0 END) AS sum_hi,
+               count(CASE WHEN k >= 50 THEN 1 END) AS n_hi,
+               count(*) AS n
+        FROM (SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events)
+        WHERE k IS NOT NULL
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // ----- collation-aware grouping (Spark 4 collations) -----------------
+    // case-insensitive semantics pushed into the ENGINE via a collated
+    // comparison, not a lower() rewrite of every row: at scale the
+    // collation applies inside hash/sort operators directly. The fixture
+    // is single-cased, so half the rows are upper()'d first to make the
+    // test real; the output key is lower()'d because a collated group's
+    // representative casing is engine-chosen (deliberately unspecified).
+    QueryDef(
+      "q160_collated_group",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .withColumn("src_mixed",
+            when($"doc_id" % 2 === 0, upper($"source")).otherwise($"source"))
+          .groupBy(collate($"src_mixed", "UTF8_LCASE").as("g"))
+          .agg(count(lit(1)).as("n"), sum($"n_chars").as("chars"))
+          .select(lower($"g").as("src"), $"n", $"chars")
+          .orderBy($"src")
+      },
+      Some("""
+        SELECT lower(CASE WHEN doc_id % 2 = 0 THEN upper(source)
+                          ELSE source END) AS src,
+               count(*) AS n, sum(n_chars) AS chars
+        FROM documents
+        GROUP BY 1
+        ORDER BY src"""))
   )
 }

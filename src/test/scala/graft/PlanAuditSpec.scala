@@ -305,4 +305,31 @@ class PlanAuditSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("runtime bloom filter from a selective dim filter prunes the fact scan") {
+    // the clusterBuilder posture (GraftSession.scala) enables runtime
+    // bloom filters; this pins that the rule actually fires on our join
+    // shape. Thresholds are lowered because the fixture is far below the
+    // production 10 GB application-side default.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val set = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    set.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.engine.Tables.load(spark, sf, "lineitem")
+      val o = graft.engine.Tables.load(spark, sf, "orders")
+        .filter($"o_orderpriority" === "1-URGENT")
+      val j = li.join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_returnflag").agg(sum($"l_quantity").as("q"))
+      val p = j.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("might_contain"),
+        "no runtime bloom filter injected on the fact side:\n" + p.take(2500))
+    } finally {
+      set.foreach { case (k, _) => spark.conf.unset(k) }
+    }
+  }
 }

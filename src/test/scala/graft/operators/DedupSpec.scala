@@ -333,4 +333,45 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(rerun.isEmpty)
   }
+
+  test("spanDedup strips only the cross-doc duplicated span") {
+    val span = (1 to 8).map(i => s"dup$i").mkString(" ")
+    val d = docs(
+      (1L, s"a1 a2 $span a3 a4"),
+      (2L, s"b1 $span b2 b3 b4 b5 b6"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9"))
+    val r = Dedup.spanDedup(d, 8).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    assert(r(1L) == ("a1 a2 a3 a4", 8L))
+    assert(r(2L) == ("b1 b2 b3 b4 b5 b6", 8L))
+    assert(r(3L) == ("c1 c2 c3 c4 c5 c6 c7 c8 c9", 0L)) // untouched
+  }
+
+  test("spanDedup matches a driver-side brute force on a random corpus") {
+    val rnd = new scala.util.Random(20260812L)
+    // small vocab + short windows force genuine cross-doc collisions
+    val w = 4
+    val corpus = (1L to 40L).map { id =>
+      val n = 6 + rnd.nextInt(20)
+      id -> (1 to n).map(_ => s"t${rnd.nextInt(6)}").mkString(" ")
+    }
+    // reference implementation: window strings, cross-doc dup set,
+    // covered positions, survivors in order
+    val wins = corpus.flatMap { case (id, text) =>
+      val ts = text.split(" ")
+      (0 to ts.length - w).map(i => (id, i, ts.slice(i, i + w).mkString(" ")))
+    }
+    val dup = wins.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val expected = corpus.map { case (id, text) =>
+      val ts = text.split(" ")
+      val covered = wins.collect {
+        case (d, i, s) if d == id && dup(s) => i until i + w
+      }.flatten.toSet
+      val kept = ts.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+      id -> (kept.mkString(" "), (ts.length - kept.length).toLong)
+    }.toMap
+    val got = Dedup.spanDedup(docs(corpus: _*), w).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    assert(got == expected)
+  }
 }

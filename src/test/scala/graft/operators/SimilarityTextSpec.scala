@@ -130,4 +130,48 @@ class SimilarityTextSpec extends SparkSpec {
     assert(byId(3L) > byId(2L))
     assert(r.map(_._2).forall(_ > 0))
   }
+
+  test("kmeansClusters separates planted poles and replays a driver-side Lloyd exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42L)
+    val dim = 8
+    // two planted poles with small jitter; ids interleaved so the init
+    // picks one seed from each pole region
+    def jitter(base: Double) =
+      Array.fill(dim)((base + (rnd.nextDouble() - 0.5) * 0.1).toFloat)
+    val vecs = (1L to 30L).map { id =>
+      id -> jitter(if (id % 2 == 0) 0.9 else -0.9)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.kmeansClusters(df, 2, 2).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+
+    // driver-side replay of the SAME integer-grid algorithm
+    val q = vecs.map { case (id, v) =>
+      id -> v.map(x => math.round(x.toDouble * 1e6))
+    }.toMap
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var cents: Map[Long, Array[Long]] =
+      q.keys.toSeq.sorted.take(2).zipWithIndex
+        .map { case (id, i) => i.toLong -> q(id) }.toMap
+    def assign(cs: Map[Long, Array[Long]]): Map[Long, Long] =
+      q.map { case (id, v) =>
+        id -> cs.toSeq.map { case (cid, c) => (dist(v, c), cid) }.min._2
+      }
+    for (_ <- 1 to 2) {
+      val a = assign(cents)
+      cents = a.groupBy(_._2).map { case (cid, members) =>
+        val vs = members.keys.map(q).toSeq
+        cid -> Array.tabulate(dim)(j =>
+          math.floor(vs.map(_(j)).sum.toDouble / vs.size).toLong)
+      }
+    }
+    val expected = assign(cents)
+    assert(got == expected)
+    // and the poles actually separate: evens together, odds together
+    assert(got.filterKeys(_ % 2 == 0).values.toSet.size == 1)
+    assert(got.filterKeys(_ % 2 == 1).values.toSet.size == 1)
+    assert(got(2L) != got(1L))
+  }
 }

@@ -186,4 +186,22 @@ class TrainingPipelineSpec extends SparkSpec {
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
     assert(r1.toSet == r2.toSet)
   }
+
+  test("temperatureMixture: sqrt allocation, min-1 clamp, deterministic") {
+    import spark.implicits._
+    // sizes 100 / 9 / 1 -> w = 10 / 3 / 1, sum 14; K = 10 ->
+    // k = max(1, 100/14)=7, max(1, 30/14)=2, max(1, 10/14)=1
+    val d = ((1 to 100).map(i => (i.toLong, s"a $i", "big")) ++
+      (101 to 109).map(i => (i.toLong, s"b $i", "mid")) ++
+      Seq((110L, "c solo", "tiny")))
+      .toDF("doc_id", "text", "source")
+    val r = TrainingPipeline.temperatureMixture(d, 10).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    val bySource = r.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(bySource == Map("big" -> 7, "mid" -> 2, "tiny" -> 1))
+    // deterministic: identical pick set on a rerun
+    val r2 = TrainingPipeline.temperatureMixture(d, 10).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(r.toSet == r2.toSet)
+  }
 }
