@@ -200,6 +200,27 @@ class PlanAuditSpec extends SparkSpec {
       "document text must never be a shuffle key")
   }
 
+  test("q156: span dedup shuffles window hashes, never token arrays or text") {
+    val p = plan("q156_span_dedup")
+    // candidate windows travel as 16-byte md5 rows; the duplicated-hash
+    // membership check is a semi-join; reassembly must not partition on
+    // the token array (the starts side is the small one)
+    assert(p.contains("LeftSemi"),
+      "duplicated-hash membership should be a semi-join")
+    assert(!p.contains("hashpartitioning(ts") && !p.contains("hashpartitioning(text"),
+      "token arrays must never be a shuffle key:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q158: k-means centroids broadcast every round; corpus never repartitions") {
+    val p = plan("q158_kmeans_clusters")
+    // assignment is corpus x k via BroadcastExchange of the k centroids
+    assert(p.contains("BroadcastExchange"),
+      "centroids must broadcast to the assignment join")
+    assert(!p.contains("hashpartitioning(ve#") && !p.contains("hashpartitioning(embedding"),
+      "the vector column must never be a shuffle key:\n" + p.take(2000))
+  }
+
   test("q151: 64-bit simhash pairs stay equi-join candidate-bounded") {
     val p = plan("q151_simhash64_pairs")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

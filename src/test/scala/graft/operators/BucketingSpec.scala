@@ -49,4 +49,18 @@ class BucketingSpec extends SparkSpec {
         "bucketed join re-shuffled an input:\n" + p.take(2000))
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("bucketed aggregation on the bucket key needs no hash exchange") {
+    import spark.implicits._
+    val df = Bucketing.bucketedCustomerRollup(spark, sf)
+    val p = df.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    // the scan is pre-partitioned on o_custkey: the only exchange in the
+    // whole plan is the rangepartitioning for the final orderBy
+    assert(!p.contains("Exchange hashpartitioning"),
+      "keyed rollup re-shuffled a bucketed scan:\n" + p.take(2000))
+    assert(df.groupBy().agg(org.apache.spark.sql.functions.sum($"n_orders"))
+      .collect().head.getLong(0) ==
+      graft.engine.Tables.load(spark, sf, "orders").count())
+  }
 }
