@@ -42,8 +42,16 @@ object Bench {
     }
     spark.streams.addListener(listener)
 
+    // optional subset (builder iteration only; the driver sets neither):
+    // SPARK_GRAFT_BENCH_FROM/TO bound the sorted name range, so a long
+    // catalog can be benched in foreground-sized chunks and merged
+    val from = sys.env.get("SPARK_GRAFT_BENCH_FROM")
+    val until = sys.env.get("SPARK_GRAFT_BENCH_TO")
     // deterministic (sorted) order -> comparable timings across rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) =>
+        from.forall(n >= _) && until.forall(n < _) }
+      .map { case (name, fn) =>
       // no cross-query cache reuse: a cached frame left by an earlier
       // query must not flatter a later query's timing
       spark.catalog.clearCache()
