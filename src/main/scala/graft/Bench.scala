@@ -51,10 +51,21 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) =>
         from.forall(n >= _) && until.forall(n < _) }
-      .map { case (name, fn) =>
+      .zipWithIndex.map { case ((name, fn), i) =>
       // no cross-query cache reuse: a cached frame left by an earlier
       // query must not flatter a later query's timing
       spark.catalog.clearCache()
+      // clearCache only drops SQL-cached frames — RDDs pinned by
+      // localCheckpoint (connected components, incremental dedup) and by
+      // Dataset.cache on intermediate frames survive it and accumulate
+      // block-manager memory across a 162-query session, degrading late
+      // queries (round-4: trivial scalar queries 25-45x slower late-run)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      // periodic GC breathing room: the ContextCleaner reclaims shuffle
+      // files and broadcast blocks only when their weak refs are
+      // collected, so a long run without GC pressure leaks tmp space
+      if (i % 20 == 19) System.gc()
       streamNanos = 0L
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -77,8 +88,50 @@ object Bench {
         ",\"setup_sec\":" + math.max(0.0, v - s) + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // regression self-defense: compare each query against its best run in
+    // BENCH_HISTORY.jsonl (same sf only). A correctness oracle cannot see
+    // a recompute storm — round 4 shipped a 10x q100 regression with every
+    // oracle green. >2x over the historical best AND >1s absolute gets
+    // flagged loudly (the 1s floor keeps sub-second jitter out).
+    val best: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get("/root/repo/BENCH_HISTORY.jsonl")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val kv = """"([A-Za-z0-9_]+)":([0-9][0-9.eE+-]*)""".r
+        scala.jdk.CollectionConverters.ListHasAsScala(
+            java.nio.file.Files.readAllLines(p)).asScala
+          .filter(_.contains("\"sf\":\"" + sfDir + "\""))
+          .flatMap { line =>
+            val qStart = line.indexOf("\"queries\":{")
+            if (qStart < 0) Nil
+            else {
+              val body = line.substring(qStart + 11)
+              val qEnd = body.indexOf('}')
+              if (qEnd < 0) Nil
+              else kv.findAllMatchIn(body.substring(0, qEnd))
+                .map(m => m.group(1) -> m.group(2).toDouble)
+                .filter(_._2 > 0).toSeq
+            }
+          }
+          .groupMapReduce(_._1)(_._2)(math.min)
+      }
+    } catch { case _: Throwable => Map.empty }
+    val regressed = results.flatMap { case (k, v, _) =>
+      best.get(k).collect {
+        case b if v > 2 * b && v > 1.0 => (k, v, b)
+      }
+    }
+    if (regressed.nonEmpty) {
+      System.err.println("REGRESSED >2x vs BENCH_HISTORY best:")
+      regressed.foreach { case (k, v, b) =>
+        System.err.println(f"  $k%-8s ${v}%8.2fs  (best ${b}%.2fs, ${v / b}%.1fx)")
+      }
+    }
+    val regJson = regressed.map { case (k, v, b) =>
+      s"\"" + k + "\":{\"sec\":" + v + ",\"best_sec\":" + b + "}"
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming_phases":$phases,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming_phases":$phases,"regressed":$regJson,"sf":"$sfDir"}"""
     println(line)
     // also persist to a file: the driver's stdout capture truncates long
     // runs (round-1 BENCH artifact lost q01-q31), and round-over-round

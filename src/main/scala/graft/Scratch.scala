@@ -23,6 +23,10 @@ object Scratch {
     name.split(',').foreach { q =>
       val fn = SparkEntry.queries(q)
       (1 to reps).foreach { r =>
+        // bench-faithful mode: pay cache population every rep, so the
+        // remaining rep1-vs-rep2 delta is pure codegen/JIT warmup
+        if (sys.env.contains("SPARK_GRAFT_CLEARCACHE"))
+          spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
         println(f"[scratch] $q rep$r: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")

@@ -28,20 +28,6 @@ object Verify {
       rm(outFile)
     }
     outFile.mkdirs()
-    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        // failure marker: a crashed query must read as FAIL downstream,
-        // not silently vanish from the comparison
-        Files.writeString(Paths.get(s"$outDir/$name._FAILED"),
-          String.valueOf(e.getMessage))
-      }
-      // queries that cache intermediates (shingle passes, LSH bands, key
-      // counts) would otherwise accumulate across the 100+-query run
-      spark.catalog.clearCache()
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -54,9 +40,31 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // oracle_sql.json FIRST: it depends only on SparkEntry.oracleSql, so
+    // writing it before any query runs means a driver-side timeout or
+    // kill mid-run still leaves a comparable partial result (per-query
+    // parquet dirs flush as each query completes) instead of zeroing the
+    // round's entire correctness attestation.
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // failure marker: a crashed query must read as FAIL downstream,
+        // not silently vanish from the comparison
+        Files.writeString(Paths.get(s"$outDir/$name._FAILED"),
+          String.valueOf(e.getMessage))
+      }
+      // queries that cache intermediates (shingle passes, LSH bands, key
+      // counts) would otherwise accumulate across the 100+-query run;
+      // clearCache misses localCheckpoint-pinned RDDs, so drop those too
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     spark.stop()
   }
 }

@@ -33,9 +33,12 @@ object GraftSession {
       // convert in Tables.load (Spark has no nanos timestamp type)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // bucketed saveAsTable target; tmpdir keeps test/verify runs from
-      // dropping a spark-warehouse/ dir into the repo working copy
+      // dropping a spark-warehouse/ dir into the repo working copy. The
+      // pid component isolates concurrent JVMs (chunked Bench runs,
+      // Verify alongside Bench) that would otherwise race on
+      // drop/delete/rewrite of the same deterministic table locations.
       .config("spark.sql.warehouse.dir",
-        s"${sys.props("java.io.tmpdir")}/graft_warehouse")
+        s"${sys.props("java.io.tmpdir")}/graft_warehouse_${ProcessHandle.current().pid()}")
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = 4): SparkSession = {

@@ -46,6 +46,12 @@ object Bucketing {
     * orphaned location are cleared first. */
   def stageBucketed(s: SparkSession, df: DataFrame, name: String,
       buckets: Int, key: String): String = {
+    // same-session reuse: the name is content-addressed by the fixture
+    // dir (immutable for a session's lifetime), so a table this session
+    // already staged is bit-identical — skip the rewrite entirely. This
+    // is what lets q155 and q161 share ONE staging write per run instead
+    // of each re-paying the full bucketed write.
+    if (s.catalog.tableExists(name)) return name
     s.sql(s"DROP TABLE IF EXISTS $name")
     val loc = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
@@ -84,8 +90,9 @@ object Bucketing {
     * every keyed rollup and reading pre-placed buckets. */
   def bucketedCustomerRollup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // same staged table as q155 (same name, schema and layout), so one
-    // Verify/Bench run stages it once and both queries read it
+    // same staged table as q155 (same name, schema and layout): the
+    // tableExists guard in stageBucketed means one Verify/Bench run
+    // stages it once and both queries read it
     val o = stageBucketed(s, Tables.load(s, dir, "orders")
         .select($"o_orderkey", $"o_custkey", $"o_totalprice"),
       s"graft_bkt_orders_${tag(dir)}", 8, "o_custkey")

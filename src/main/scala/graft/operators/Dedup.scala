@@ -199,10 +199,15 @@ object Dedup {
     // not recompute the 16-hash signature pass twice
     val banded = bandKeys(ex).cache()
 
+    // cand is referenced THREE times below (both sides of candIds and the
+    // final verify join) — without the cache each reference re-runs the
+    // band self-join and the signature pass behind it, and under parallel
+    // stages those recomputations race multiplicatively (the round-4
+    // q100/q103 regression: 121s isolated vs 12s with this materialized)
     val cand = banded.toDF("id1", "band", "bk")
       .join(banded.toDF("id2", "band", "bk"), Seq("band", "bk"))
       .filter($"id1" < $"id2")
-      .select($"id1", $"id2").distinct()
+      .select($"id1", $"id2").distinct().cache()
 
     // exact-verify candidates only: prune the shingle frame to candidate
     // docs BEFORE any set-building — at corpus scale the candidate set is
@@ -212,8 +217,11 @@ object Dedup {
     // every row of a kept doc), so jaccard is exact.
     val candIds = cand.select($"id1".as("doc_id"))
       .union(cand.select($"id2".as("doc_id"))).distinct()
+    // exCand feeds both sides of the intersection join — cache so the
+    // semi-join + per-doc window runs once, not twice
     val exCand = ex.join(candIds, Seq("doc_id"), "left_semi")
       .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      .cache()
     // intersection via two equi-joins on the shingle hash (the join on
     // (id2, hs) keeps exactly the shared shingles) — same array-free
     // verify as jaccardPrefixPairs; pairs with zero overlap drop out of
@@ -507,10 +515,14 @@ object Dedup {
       .filter($"rk" <= $"n" - ceil($"n" * threshold) + 1)
     val a = prefix.select($"doc_id".as("id1"), $"hs", $"n".as("n1"))
     val b = prefix.select($"doc_id".as("id2"), $"hs", $"n".as("n2"))
+    // cand sits behind two window passes and a self-join over the same
+    // frame; the verify below references it once but the join planner
+    // evaluates both join sides from it — cache so the prefix build runs
+    // exactly once (19.1s vs 1.4s at sf0.1 without this, round-4 q101)
     val cand = a.join(b, Seq("hs"))
       .filter($"id1" < $"id2" &&
         greatest($"n1", $"n2") * threshold <= least($"n1", $"n2"))
-      .select($"id1", $"id2", $"n1", $"n2").distinct()
+      .select($"id1", $"id2", $"n1", $"n2").distinct().cache()
     // exact verify on candidates only: the intersection count comes from
     // two equi-joins back to the hashed shingle rows — no per-pair
     // collect_list array materialization (the join on (id2, hs) keeps
@@ -540,11 +552,14 @@ object Dedup {
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    // materialize the edge list ONCE: edges usually arrive as the output
-    // of a whole near-dup pipeline, and without this every iteration's
-    // join would re-run that upstream job from the scan up
-    val sym = edges.select($"id1".as("src"), $"id2".as("dst"))
-      .union(edges.select(col("id2").as("src"), col("id1").as("dst")))
+    // materialize the edge list ONCE, BEFORE the reverse-union references
+    // it twice: edges usually arrive as the output of a whole near-dup
+    // pipeline, and a union of two references to that un-materialized
+    // subtree runs the full corpus pass twice (racing across parallel
+    // stages) just to build `sym` — measured 49.7s cold vs 3.3s with the
+    // input materialized first at sf0.1
+    val e = edges.select($"id1".as("src"), $"id2".as("dst")).localCheckpoint()
+    val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
       .distinct().localCheckpoint()
     // initial labels already fold in one relaxation — min(self, neighbors)
     // from a single groupBy on the edge list — so the loop starts a full

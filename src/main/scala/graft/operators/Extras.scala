@@ -436,9 +436,11 @@ object Extras {
           $"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))
         val n2 = t(s, dir, "nation").select(
           $"n_nationkey".as("c_nk"), $"n_name".as("cust_nation"))
+        // supplier/customer are SF-scaled — broadcast hints only on the
+        // two fixed-size nation lookups
         li.join(o, $"l_orderkey" === $"o_orderkey")
-          .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
-          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .join(sup, $"l_suppkey" === $"s_suppkey")
+          .join(c, $"o_custkey" === $"c_custkey")
           .join(broadcast(n1), $"s_nationkey" === $"s_nk")
           .join(broadcast(n2), $"c_nationkey" === $"c_nk")
           .filter(

@@ -14,8 +14,12 @@ import graft.engine.Tables
   * "map-side join" pattern of probing broadcast auxiliary data
   * (/root/reference/mapper.py:150-157). Here each variant is a declared
   * join; Catalyst + AQE choose broadcast-hash vs sort-merge vs
-  * shuffled-hash at runtime, and dimension tables get explicit
-  * broadcast() hints so the 100 TB fact scan never shuffles for them.
+  * shuffled-hash at runtime. Broadcast hints appear ONLY on
+  * fixed-cardinality relations (nation/region, literal band tables,
+  * 1-row aggregates); SF-scaled tables (customer/supplier/part) are left
+  * to AQE's size-based decision — at test scale they still broadcast
+  * (PlanAuditSpec pins it), and at SF 100k a forced hint would be an
+  * executor OOM instead of a graceful shuffle.
   */
 object Joins {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
@@ -24,8 +28,11 @@ object Joins {
   val defs: Seq[QueryDef] = Seq(
 
     // ----- inner equi-join chain + agg: revenue per nation -------------
-    // lineitem⋈orders is the only big-big join (sort-merge / AQE);
-    // orders⋈customer⋈nation are dimension-sized → broadcast.
+    // lineitem⋈orders is the only big-big join (sort-merge / AQE).
+    // Broadcast hint only on fixed-cardinality nation (25 rows at every
+    // SF); customer grows with scale factor, so its strategy is left to
+    // AQE/autoBroadcastJoinThreshold — a forced broadcast(customer) is
+    // an executor OOM at SF 100k.
     QueryDef(
       "q03_join_revenue_by_nation",
       (s, dir) => {
@@ -35,7 +42,7 @@ object Joins {
         val c = t(s, dir, "customer")
         val n = t(s, dir, "nation")
         li.join(o, $"l_orderkey" === $"o_orderkey")
-          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .join(c, $"o_custkey" === $"c_custkey")
           .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
           .groupBy($"n_name")
           .agg(
@@ -158,14 +165,18 @@ object Joins {
 
     // ----- broadcast (map-side) join ------------------------------------
     // The reference's auxiliary-data probe (/root/reference/mapper.py:150)
-    // as a declared broadcast hash join: no shuffle of the fact table.
+    // as a broadcast hash join: no shuffle of the fact table. The hint is
+    // deliberately OMITTED — part is SF-scaled, so the broadcast decision
+    // belongs to AQE/autoBroadcastJoinThreshold, which picks broadcast
+    // whenever the dim actually fits; PlanAuditSpec pins that the plan IS
+    // a BroadcastHashJoin at test scale.
     QueryDef(
       "q09_broadcast_join_brand_revenue",
       (s, dir) => {
         import s.implicits._
         val li = t(s, dir, "lineitem")
         val p = t(s, dir, "part")
-        li.join(broadcast(p), $"l_partkey" === $"p_partkey")
+        li.join(p, $"l_partkey" === $"p_partkey")
           .groupBy($"p_brand")
           .agg(
             round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("revenue"),
@@ -250,8 +261,10 @@ object Joins {
           .filter($"o_orderdate" < lit("1999-01-01").cast("timestamp"))
         val li = t(s, dir, "lineitem")
           .filter($"l_shipdate" > lit("1999-01-01").cast("timestamp"))
+        // customer is SF-scaled (even segment-filtered it grows with SF)
+        // — no forced broadcast, AQE decides
         li.join(o, $"l_orderkey" === $"o_orderkey")
-          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .join(c, $"o_custkey" === $"c_custkey")
           .groupBy($"l_orderkey", $"o_orderdate")
           .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("revenue"))
           .orderBy($"revenue".desc, $"l_orderkey")
@@ -283,9 +296,10 @@ object Joins {
         val sup = t(s, dir, "supplier")
         val n = t(s, dir, "nation")
         val r = t(s, dir, "region").filter($"r_name" === "ASIA")
+        // customer/supplier are SF-scaled — no forced broadcast on them
         li.join(o, $"l_orderkey" === $"o_orderkey")
-          .join(broadcast(c), $"o_custkey" === $"c_custkey")
-          .join(broadcast(sup),
+          .join(c, $"o_custkey" === $"c_custkey")
+          .join(sup,
             $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
           .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
           .join(broadcast(r), $"n_regionkey" === $"r_regionkey")

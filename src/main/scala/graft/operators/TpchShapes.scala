@@ -35,8 +35,11 @@ object TpchShapes {
             $"o_orderdate" < lit("1997-07-01").cast("timestamp"))
         val c = t(s, dir, "customer")
         val n = t(s, dir, "nation")
+        // broadcast hint only on fixed-size nation; customer is SF-scaled
+        // (a forced broadcast is an executor OOM at SF 100k) — its join
+        // strategy is AQE's call
         li.join(o, $"l_orderkey" === $"o_orderkey")
-          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .join(c, $"o_custkey" === $"c_custkey")
           .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
           .groupBy($"c_custkey", $"c_name", $"n_name")
           .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4)
@@ -66,8 +69,9 @@ object TpchShapes {
         val li = t(s, dir, "lineitem")
           .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
             $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+        // part is SF-scaled — no forced broadcast, AQE decides
         val p = t(s, dir, "part")
-        li.join(broadcast(p), $"l_partkey" === $"p_partkey")
+        li.join(p, $"l_partkey" === $"p_partkey")
           .agg(
             round(
               sum(when($"p_type" === "PROMO",
@@ -99,8 +103,9 @@ object TpchShapes {
           .filter($"total_qty" > 300.0)
         val o = t(s, dir, "orders")
         val c = t(s, dir, "customer")
+        // customer is SF-scaled — no forced broadcast, AQE decides
         o.join(big, $"o_orderkey" === $"big_ok")
-          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .join(c, $"o_custkey" === $"c_custkey")
           .select($"c_custkey", $"c_name", $"o_orderkey", $"o_orderdate",
             round($"o_totalprice", 4).as("price"), $"total_qty")
           .orderBy($"price".desc, $"o_orderkey")
@@ -124,8 +129,9 @@ object TpchShapes {
       (s, dir) => {
         import s.implicits._
         val li = t(s, dir, "lineitem")
+        // part is SF-scaled — no forced broadcast, AQE decides
         val p = t(s, dir, "part")
-        li.join(broadcast(p), $"l_partkey" === $"p_partkey")
+        li.join(p, $"l_partkey" === $"p_partkey")
           .filter(
             ($"p_brand" === "Brand#12" && $"p_size".between(1, 15) &&
               $"l_quantity".between(1, 11)) ||
@@ -273,8 +279,8 @@ object TpchShapes {
           .filter($"p_brand" =!= "Brand#45" && $"p_size".isin(1, 4, 7))
         t(s, dir, "lineitem")
           .select($"l_partkey", $"l_suppkey").distinct()
-          .join(broadcast(p), $"l_partkey" === $"p_partkey")
-          .join(broadcast(excluded), $"l_suppkey" === $"s_suppkey", "left_anti")
+          .join(p, $"l_partkey" === $"p_partkey")
+          .join(excluded, $"l_suppkey" === $"s_suppkey", "left_anti")
           .groupBy($"p_brand", $"p_type", $"p_size")
           .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
           .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
@@ -303,7 +309,7 @@ object TpchShapes {
         val p = t(s, dir, "part").filter($"p_brand" === "Brand#23")
           .select($"p_partkey")
         val sel = t(s, dir, "lineitem")
-          .join(broadcast(p), $"l_partkey" === $"p_partkey")
+          .join(p, $"l_partkey" === $"p_partkey")
           .select($"l_partkey", $"l_quantity", $"l_extendedprice")
         val th = sel.groupBy($"l_partkey".as("ap"))
           .agg((avg($"l_quantity") * 0.2).as("thresh"))
@@ -345,7 +351,7 @@ object TpchShapes {
           .select($"l_orderkey", $"l_suppkey").distinct()
         r.join(stats, "l_orderkey")
           .filter($"n_all" > 1 && $"n_r" === 1)
-          .join(broadcast(t(s, dir, "supplier")),
+          .join(t(s, dir, "supplier"),
             $"l_suppkey" === $"s_suppkey")
           .groupBy($"s_name")
           .agg(count(lit(1)).as("numwait"))
@@ -489,7 +495,7 @@ object TpchShapes {
         val r = t(s, dir, "region").filter($"r_name" === "EUROPE")
         val p = t(s, dir, "part").filter($"p_size" === 10)
         val pairs = li
-          .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+          .join(sup, $"l_suppkey" === $"s_suppkey")
           .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
           .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
           .select($"l_partkey", $"l_suppkey",
@@ -502,7 +508,7 @@ object TpchShapes {
             org.apache.spark.sql.expressions.Window
               .partitionBy($"l_partkey").orderBy($"cost", $"l_suppkey")))
           .filter($"rn" === 1)
-          .join(broadcast(p), $"l_partkey" === $"p_partkey")
+          .join(p, $"l_partkey" === $"p_partkey")
           .select($"l_partkey".as("p_partkey"), $"l_suppkey".as("s_suppkey"),
             $"cost")
           .orderBy($"p_partkey")
@@ -537,7 +543,7 @@ object TpchShapes {
       (s, dir) => {
         import s.implicits._
         val v = t(s, dir, "lineitem")
-          .join(broadcast(t(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+          .join(t(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
           .filter($"s_nationkey" === 5)
           .select($"l_partkey",
             (expr("CAST(round(l_extendedprice*100) AS BIGINT)") *
@@ -601,7 +607,7 @@ object TpchShapes {
         val mx = rev.agg(max($"revenue_cents").as("mx"))
         rev.crossJoin(broadcast(mx))
           .filter($"revenue_cents" === $"mx")
-          .join(broadcast(t(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+          .join(t(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
           .select($"s_suppkey", $"s_name", $"revenue_cents")
           .orderBy($"s_suppkey")
       },
@@ -628,14 +634,14 @@ object TpchShapes {
       (s, dir) => {
         import s.implicits._
         val pq = t(s, dir, "lineitem")
-          .join(broadcast(t(s, dir, "part").filter($"p_name".like("cold%"))),
+          .join(t(s, dir, "part").filter($"p_name".like("cold%")),
             $"l_partkey" === $"p_partkey")
           .groupBy($"l_partkey", $"l_suppkey")
           .agg(sum($"l_quantity").cast("long").as("sq"))
         val tot = pq.groupBy($"l_partkey").agg(sum($"sq").as("tq"))
         pq.join(tot, "l_partkey")
           .filter($"sq" * 8 > $"tq")
-          .join(broadcast(t(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+          .join(t(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
           .select($"s_name").distinct()
           .orderBy($"s_name")
       },

@@ -48,7 +48,8 @@ object WindowQueries {
         val c = t(s, dir, "customer")
         val w = Window.partitionBy($"c_mktsegment")
           .orderBy($"o_totalprice".desc, $"o_orderkey")
-        o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+        // customer is SF-scaled — no forced broadcast, AQE decides
+        o.join(c, $"o_custkey" === $"c_custkey")
           .withColumn("rk", row_number().over(w))
           .filter($"rk" <= 3)
           .select($"c_mktsegment", $"rk", $"o_orderkey",

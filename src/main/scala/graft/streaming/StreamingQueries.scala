@@ -441,10 +441,11 @@ object StreamingQueries {
         ORDER BY p_id, c_id""")),
 
     // ----- stream-static join: dimension enrichment in flight -------------
-    // The static side is a plain batch frame (re-read per micro-batch,
-    // broadcast under AQE since it's dimension-sized): the standard 100 TB
-    // enrichment pattern — no state, no watermark needed on the static
-    // side, stream side stays append-only.
+    // The static side is a plain batch frame (re-read per micro-batch):
+    // the standard 100 TB enrichment pattern — no state, no watermark
+    // needed on the static side, stream side stays append-only. No forced
+    // broadcast: the projected customer frame is SF-scaled, so the
+    // planner's size estimate decides broadcast-vs-shuffle per batch.
     QueryDef(
       "q97_stream_static_join",
       (s, dir) => {
@@ -453,7 +454,7 @@ object StreamingQueries {
           .select($"c_custkey", $"c_mktsegment")
         val agg = eventsStream(s, dir)
           .filter($"event_type" === "purchase")
-          .join(broadcast(customers), $"user_id" === $"c_custkey")
+          .join(customers, $"user_id" === $"c_custkey")
           .groupBy($"c_mktsegment")
           .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("total"))
         runComplete(s, agg).orderBy($"c_mktsegment")

@@ -188,6 +188,43 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("no forced broadcast survives on any SF-scaled dim (hint sweep)") {
+    // with auto-broadcast disabled, any BroadcastHashJoin left in the
+    // plan is a hint-forced one. Hints are allowed ONLY on relations
+    // whose cardinality is constant at every SF (nation 25 rows, region
+    // 5, literal band tables, 1-row aggregates); customer/supplier/part
+    // grow with SF, and a forced broadcast on them is an executor OOM at
+    // SF 100k — exactly the class of bug a correctness oracle can't see.
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def bhj(name: String): Int =
+        SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan.collect {
+          case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+        }.size
+      val expected = Seq(
+        "q03_join_revenue_by_nation"      -> 1, // nation
+        "q09_broadcast_join_brand_revenue"-> 0, // part: AQE's call
+        "q12_top_unshipped_orders"        -> 0, // customer
+        "q13_local_supplier_volume"       -> 2, // nation + region
+        "q26_top3_orders_per_segment"     -> 0, // customer
+        "q72_nation_trade_volume"         -> 2, // nation x2
+        "q80_returned_item_customers"     -> 1, // nation
+        "q81_promo_revenue_share"         -> 0, // part
+        "q82_large_volume_orders"         -> 0, // customer
+        "q83_bracketed_revenue"           -> 0, // part
+        "q94_supplier_part_counts"        -> 0, // part + supplier anti
+        "q143_cheapest_supplier"          -> 2, // nation + region
+        "q144_important_parts"            -> 0, // supplier
+        "q147_excess_suppliers"           -> 0) // part + supplier
+      expected.foreach { case (name, n) =>
+        assert(bhj(name) == n,
+          s"$name: expected $n hint-forced broadcasts, saw ${bhj(name)}")
+      }
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("q152: incremental near-dup is digest/band-only against history (no text in any Exchange)") {
     val p = plan("q152_incremental_neardup")
     // the cross-batch check must semi-join band keys against the index

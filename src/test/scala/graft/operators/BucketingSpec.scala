@@ -40,8 +40,11 @@ class BucketingSpec extends SparkSpec {
         .explainString(ExplainMode.fromString("formatted"))
       // everything below the join comes straight off the bucketed scans:
       // in the tree section, the join subtree (deepest, printed last)
-      // must contain no Exchange — its inputs are Sort-over-Scan only
-      val tree = p.substring(0, p.indexOf("\n\n"))
+      // must contain no Exchange — its inputs are Sort-over-Scan only.
+      // (guard the separator lookup: a missing blank line should fail
+      // the assertions below readably, not throw out of substring)
+      val sep = p.indexOf("\n\n")
+      val tree = if (sep >= 0) p.substring(0, sep) else p
       val ji = tree.indexOf("SortMergeJoin")
       assert(ji >= 0 || tree.contains("ShuffledHashJoin"), p.take(2000))
       val joinSubtree = tree.substring(math.max(ji, 0))

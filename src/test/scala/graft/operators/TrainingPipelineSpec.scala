@@ -78,6 +78,20 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(r == Set((11L, 2L), (13L, 1L)))
   }
 
+  test("incrementalDedup NULL contract: null-text rows excluded from both sides") {
+    import spark.implicits._
+    // a null digest in `seen` must not empty the result (SQL NOT IN
+    // semantics), and a null-text batch row must not survive (left_anti
+    // null-never-matches semantics) — the pinned contract excludes both
+    val newDocs = Seq((10L, null: String), (11L, "fresh text"))
+      .toDF("doc_id", "text")
+    val seen = Seq(Some("kept digest"), None).toDF("t")
+      .select(org.apache.spark.sql.functions.md5($"t").as("digest"))
+    val r = TrainingPipeline.incrementalDedup(newDocs, seen).collect()
+      .map(x => (x.getLong(0), x.getLong(2))).toSet
+    assert(r == Set((11L, 1L)))
+  }
+
   test("chunkTokens: overlapping windows, short tail chunk, empty doc dropped") {
     val r = TrainingPipeline.chunkTokens(
       docs((1L, "a b c d e f g"), (2L, "")), size = 4, stride = 3)
@@ -152,6 +166,19 @@ class TrainingPipelineSpec extends SparkSpec {
     bySource.foreach { case (src, cnt) =>
       assert(cnt >= 1 && cnt <= k, s"$src picked $cnt of k=$k")
     }
+  }
+
+  test("weightedSystematicSample ignores negative weights (monotonic axis)") {
+    import spark.implicits._
+    // a negative weight would make the cumulative axis non-monotonic and
+    // let the mark-crossing predicate double-select; the guard drops it
+    val d = Seq((1L, "t", "s", 10L), (2L, "t", "s", -50L), (3L, "t", "s", 10L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val r = TrainingPipeline.weightedSystematicSample(d, "n_chars", perSourceK = 2)
+      .collect().map(x => (x.getLong(1), x.getLong(2)))
+    assert(!r.exists(_._1 == 2L))          // negative-weight doc never kept
+    assert(r.map(_._1).distinct.length == r.length) // no duplicate picks
+    assert(r.nonEmpty && r.length <= 2)
   }
 
   test("weightedSystematicSample never drops a small source (ceil step)") {
