@@ -106,4 +106,44 @@ class JobsSpec extends SparkSpec {
     assert(journal.contains("\"name\":\"a\"") && journal.contains("\"finished\":true"))
     assert(q.runtimeHistory("a").nonEmpty)
   }
+
+  test("incremental near-dup runs as scheduled batch jobs over a persisted index") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("neardup_job_").toString
+    val (indexDir, outDir) = (s"$root/index", s"$root/out")
+    def writeBatch(name: String, rows: (Long, String)*): String = {
+      val dir = s"$root/in_$name"
+      rows.toDF("doc_id", "text").write.parquet(dir)
+      dir
+    }
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val fresh = (200 to 240).map(i => s"u$i").mkString(" ")
+    // batch 1: base + an in-batch near-dup of it (higher id drops)
+    val b1 = writeBatch("b1", (1L, base),
+      (2L, (1 to 39).map(i => s"tok$i").mkString(" ") + " tokX"))
+    // batch 2: a copy of batch-1 history (cross-batch drop) + a fresh doc
+    val b2 = writeBatch("b2", (11L, base), (12L, fresh))
+    val q = new JobQueue(Some(s"$root/jobs.data"))
+    // same priority: FIFO order is what makes b2 see b1's index
+    q.submit(IncrementalJobs.nearDupBatchJob("b1", b1, indexDir, outDir, 0.5))
+    q.submit(IncrementalJobs.nearDupBatchJob("b2", b2, indexDir, outDir, 0.5))
+    assert(q.runAll(spark).forall(_.ok))
+    def keptIds(batch: String): Set[Long] =
+      spark.read.parquet(s"$outDir/batch=$batch")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds("b1") == Set(1L))          // 2 is an in-batch near-dup
+    assert(keptIds("b2") == Set(12L))         // 11 collides with history
+    // the persisted index now covers both surviving docs' band keys
+    val idx = IncrementalJobs.readIndex(spark, indexDir)
+    assert(idx.count() > 0)
+    val expected = graft.operators.Dedup
+      .minhashBandIndex(Seq((1L, base), (12L, fresh)).toDF("doc_id", "text"))
+    assert(idx.except(expected).count() == 0 &&
+      expected.except(idx).count() == 0)
+    // replaying batch 2 forced: idempotent (same survivors, no index dup)
+    assert(q.runAll(spark, forceRun = true).forall(_.ok))
+    assert(keptIds("b1") == Set(1L))
+    assert(IncrementalJobs.readIndex(spark, indexDir)
+      .except(expected).count() == 0)
+  }
 }
