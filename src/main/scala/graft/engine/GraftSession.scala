@@ -20,10 +20,52 @@ import org.apache.spark.sql.SparkSession
   *  - UTC session time zone for deterministic timestamp semantics.
   */
 object GraftSession {
+
+  /** Scratch dir for shuffle/spill/broadcast files in LOCAL runs.
+    * Prefers tmpfs (/dev/shm): the default /tmp here sits on an ext4
+    * volume mounted with inline `discard`, so the thousands of shuffle
+    * files a 100+-query session creates AND deletes each pay a
+    * synchronous TRIM — measured as multi-second single-core stalls
+    * late in long benchmark runs. On tmpfs both ends are memory ops.
+    * Per-pid naming isolates concurrent JVMs; dirs whose owning process
+    * is dead are swept on next session build (a kill -9 would otherwise
+    * leak tmpfs pages until reboot). Local-mode only — on a cluster
+    * spark.local.dir is the resource manager's concern. */
+  /** Memoized per-process scratch root (also hosts streaming checkpoint
+    * dirs via StreamingQueries) — one sweep + mkdir per JVM. */
+  private[graft] lazy val scratchRoot: String = localScratchDir()
+
+  private def localScratchDir(): String = {
+    val pid = ProcessHandle.current().pid()
+    val shm = new java.io.File("/dev/shm")
+    val base =
+      if (shm.isDirectory && shm.canWrite) shm
+      else new java.io.File(sys.props("java.io.tmpdir"))
+    Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("graft_local_")).foreach { f =>
+        val owner = f.getName.stripPrefix("graft_local_")
+        val alive = owner.toLongOption
+          .flatMap(p => scala.jdk.OptionConverters.RichOptional(
+            ProcessHandle.of(p)).toScala)
+          .exists(_.isAlive)
+        if (!alive) {
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+            x.delete(); ()
+          }
+          rm(f)
+        }
+      }
+    val dir = new java.io.File(base, s"graft_local_$pid")
+    dir.mkdirs()
+    dir.getAbsolutePath
+  }
+
   def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
       .appName("graft")
+      .config("spark.local.dir", scratchRoot)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -32,13 +74,13 @@ object GraftSession {
       // fixture events.ts is parquet TIMESTAMP(NANOS); read as long and
       // convert in Tables.load (Spark has no nanos timestamp type)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // bucketed saveAsTable target; tmpdir keeps test/verify runs from
-      // dropping a spark-warehouse/ dir into the repo working copy. The
-      // pid component isolates concurrent JVMs (chunked Bench runs,
+      // bucketed saveAsTable target, under the per-pid scratch root: keeps
+      // test/verify runs from dropping a spark-warehouse/ dir into the
+      // repo working copy, isolates concurrent JVMs (chunked Bench runs,
       // Verify alongside Bench) that would otherwise race on
-      // drop/delete/rewrite of the same deterministic table locations.
-      .config("spark.sql.warehouse.dir",
-        s"${sys.props("java.io.tmpdir")}/graft_warehouse_${ProcessHandle.current().pid()}")
+      // drop/delete/rewrite of the same deterministic table locations,
+      // and puts the staged-table file churn on tmpfs with the shuffles
+      .config("spark.sql.warehouse.dir", s"$scratchRoot/warehouse")
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = 4): SparkSession = {

@@ -61,8 +61,16 @@ private[streaming] class RunningStatsProcessor
 
 object StreamingQueries {
 
+  // checkpoint/staging dirs live under the per-pid scratch root
+  // (tmpfs-preferred): on this box /tmp is ext4 mounted with inline
+  // discard, where the hundreds of tiny checkpoint files a stream
+  // writes (and the harness deletes) each pay a synchronous TRIM. The
+  // root is swept by the next session once this JVM dies, so tmpfs
+  // pages cannot accumulate across runs.
   private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+    Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.engine.GraftSession.scratchRoot),
+      prefix).toString
 
   /** Streaming view of the events table (schema taken from the batch
     * reader; ts arrives as nanos-long, converted to micros like
