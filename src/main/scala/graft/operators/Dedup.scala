@@ -1295,6 +1295,67 @@ object Dedup {
                len(t.ts) - count(kept.tk) AS n_dropped
         FROM t LEFT JOIN kept USING (doc_id)
         GROUP BY t.doc_id, len(t.ts)
-        ORDER BY t.doc_id"""))
+        ORDER BY t.doc_id""")),
+
+    // the scheduler-driven form of q152: three batches (doc_id % 3) run
+    // as queue jobs over an on-disk band index ([[jobs.IncrementalJobs]]
+    // — survivors and index partitions written per batch, each batch
+    // dedup'd against the PERSISTED state of all earlier ones). The
+    // oracle replays the three-stage chain with the same parity argument
+    // as q152: band keys depend only on a doc's own text, so banded/j
+    // restricted to a class equal the pipeline run on that class alone.
+    QueryDef(
+      "q162_incremental_job_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val root = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(graft.engine.GraftSession.scratchRoot),
+          "neardup_q162_").toString
+        val (indexDir, outDir) = (s"$root/index", s"$root/out")
+        val q = new graft.jobs.JobQueue()
+        Seq("a", "b", "c").zipWithIndex.foreach { case (name, k) =>
+          val in = s"$root/in_$name"
+          docs.filter($"doc_id" % 3 === k).write.parquet(in)
+          q.submit(graft.jobs.IncrementalJobs
+            .nearDupBatchJob(name, in, indexDir, outDir, 0.8))
+        }
+        val rs = q.runAll(s)
+        require(rs.size == 3 && rs.forall(_.ok),
+          s"incremental jobs failed: ${rs.filterNot(_.ok)}")
+        s.read.parquet(outDir)
+          .select($"doc_id", $"source", $"n_chars")
+          .orderBy($"doc_id")
+      },
+      Some(minhashOracle("""
+        , surv0 AS (
+          SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+            AND doc_id NOT IN (SELECT DISTINCT id2 FROM j
+                               WHERE jaccard >= 0.8
+                                 AND id1 % 3 = 0 AND id2 % 3 = 0)),
+        seen1 AS (SELECT DISTINCT band, bk FROM banded
+                  WHERE doc_id IN (SELECT doc_id FROM surv0)),
+        surv1 AS (
+          SELECT doc_id FROM documents WHERE doc_id % 3 = 1
+            AND doc_id NOT IN (SELECT DISTINCT n.doc_id FROM banded n
+                               JOIN seen1 s ON n.band = s.band AND n.bk = s.bk)
+            AND doc_id NOT IN (SELECT DISTINCT id2 FROM j
+                               WHERE jaccard >= 0.8
+                                 AND id1 % 3 = 1 AND id2 % 3 = 1)),
+        seen2 AS (SELECT DISTINCT band, bk FROM banded
+                  WHERE doc_id IN (SELECT doc_id FROM surv0
+                                   UNION SELECT doc_id FROM surv1)),
+        surv2 AS (
+          SELECT doc_id FROM documents WHERE doc_id % 3 = 2
+            AND doc_id NOT IN (SELECT DISTINCT n.doc_id FROM banded n
+                               JOIN seen2 s ON n.band = s.band AND n.bk = s.bk)
+            AND doc_id NOT IN (SELECT DISTINCT id2 FROM j
+                               WHERE jaccard >= 0.8
+                                 AND id1 % 3 = 2 AND id2 % 3 = 2))
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM surv0
+                         UNION ALL SELECT doc_id FROM surv1
+                         UNION ALL SELECT doc_id FROM surv2)
+        ORDER BY doc_id""")))
   )
 }
