@@ -83,6 +83,14 @@ object Bench {
       // 25-45x slower late-run)
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // drop staged bucketed tables so every measurement of q155/q161
+      // pays the staging write: stageBucketed's tableExists guard would
+      // otherwise make the retry (or whichever of the two runs second)
+      // structurally cheaper than the first pass, and a min-of-two
+      // report would record a staging-free time as the query's cost
+      spark.catalog.listTables().collect()
+        .map(_.name).filter(_.startsWith("graft_bkt_"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       // periodic GC breathing room: the ContextCleaner reclaims shuffle
       // files and broadcast blocks only when their weak refs are
       // collected, so a long run without GC pressure leaks tmp space

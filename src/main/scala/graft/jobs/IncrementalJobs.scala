@@ -33,15 +33,21 @@ object IncrementalJobs {
 
   /** Build the per-batch job. `batchName` keys the index partition and
     * the output subdir; jobs for one pipeline share `group` so the
-    * queue's failure cascade covers the whole chain. */
+    * queue's failure cascade covers the whole chain. Names are
+    * restricted to word chars so they map 1:1 onto `batch=<name>`
+    * partition directories (no URL-escaping, no partition-value
+    * canonicalization surprises). */
   def nearDupBatchJob(batchName: String, batchDir: String, indexDir: String,
       outDir: String, threshold: Double, group: String = "neardup",
-      priority: Int = 0): SparkJob =
+      priority: Int = 0): SparkJob = {
+    require(batchName.matches("[A-Za-z0-9_-]+"),
+      s"batch name must be [A-Za-z0-9_-]+: $batchName")
     SparkJob(
       name = s"neardup_$batchName",
       run = s => runBatch(s, batchName, batchDir, indexDir, outDir, threshold),
       priority = priority,
       groupName = Some(group))
+  }
 
   /** One batch pass: read batch, dedup against history, write survivors,
     * extend the index. Public for direct (non-queued) use.
@@ -63,6 +69,14 @@ object IncrementalJobs {
     // writes are overwrite-idempotent per batch partition)
     Dedup.minhashBandIndex(spark.read.parquet(outPath))
       .write.mode("overwrite").parquet(s"$indexDir/batch=$batchName")
+    // per-batch cache hygiene: the dedup operators pin their shared
+    // shingle/band frames for the session (Dedup scaladoc); in a
+    // long-lived scheduler session those accumulate ~6 cached frames per
+    // batch unless released after the batch's terminal writes — the
+    // exact block-manager creep Bench/Verify defend against per query
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
   }
 
   /** All persisted band keys across batches; empty-seeded before the
@@ -74,15 +88,21 @@ object IncrementalJobs {
       excludeBatch: Option[String]): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(indexDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty) {
-      val all = spark.read.parquet(indexDir)
-      // cast: partition-value type inference must not break the compare
-      // for numeric-looking batch names
-      excludeBatch.fold(all)(b =>
-          all.filter(org.apache.spark.sql.functions.col("batch")
-            .cast("string") =!= b))
+    // exclusion by PATH, not by a filter on the inferred partition
+    // column: partition-value type inference canonicalizes numeric
+    // names ("007" reads back as 7), so a column compare would fail to
+    // exclude the batch's own partition on retry and silently empty it
+    val parts =
+      if (fs.exists(p))
+        fs.listStatus(p).filter(_.isDirectory)
+          .map(_.getPath).filter(_.getName.startsWith("batch="))
+          .filter(d => !excludeBatch.contains(
+            d.getName.stripPrefix("batch=")))
+      else Array.empty[org.apache.hadoop.fs.Path]
+    if (parts.nonEmpty)
+      spark.read.parquet(parts.map(_.toString).toIndexedSeq: _*)
         .select("band", "bk")
-    } else {
+    else {
       import spark.implicits._
       Seq.empty[(Int, String)].toDF("band", "bk")
     }

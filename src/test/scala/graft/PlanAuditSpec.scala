@@ -218,8 +218,9 @@ class PlanAuditSpec extends SparkSpec {
         "q144_important_parts"            -> 0, // supplier
         "q147_excess_suppliers"           -> 0) // part + supplier
       expected.foreach { case (name, n) =>
-        assert(bhj(name) == n,
-          s"$name: expected $n hint-forced broadcasts, saw ${bhj(name)}")
+        val saw = bhj(name)
+        assert(saw == n,
+          s"$name: expected $n hint-forced broadcasts, saw $saw")
       }
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)

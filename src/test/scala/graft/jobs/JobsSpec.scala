@@ -107,6 +107,30 @@ class JobsSpec extends SparkSpec {
     assert(q.runtimeHistory("a").nonEmpty)
   }
 
+  test("numeric batch names survive forced replay (path-based self-exclusion)") {
+    import spark.implicits._
+    // partition-value inference reads batch=007 back as integer 7; a
+    // column-compare exclusion would miss it on retry and the batch
+    // would collide with its own index — exclusion is by path, so the
+    // replay must be a no-op even for a non-canonical numeric name
+    val root = Files.createTempDirectory("neardup_num_").toString
+    val in = s"$root/in"
+    Seq((1L, (1 to 40).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(in)
+    val q = new JobQueue()
+    q.submit(IncrementalJobs.nearDupBatchJob("007", in, s"$root/index",
+      s"$root/out", 0.5))
+    assert(q.runAll(spark).forall(_.ok))
+    assert(q.runAll(spark, forceRun = true).forall(_.ok))
+    val kept = spark.read.parquet(s"$root/out/batch=007")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+    intercept[IllegalArgumentException] {
+      IncrementalJobs.nearDupBatchJob("a/b", in, s"$root/index",
+        s"$root/out", 0.5)
+    }
+  }
+
   test("incremental near-dup runs as scheduled batch jobs over a persisted index") {
     import spark.implicits._
     val root = Files.createTempDirectory("neardup_job_").toString
