@@ -375,10 +375,14 @@ object StreamingQueries {
         ORDER BY user_id""")),
 
     // ----- streaming exact dedup -----------------------------------------
-    // dropDuplicates on a stream: first arrival wins, dedup state bounded
-    // by the watermark — the streaming form of the training-pipeline
-    // exact-dedup operator (state is keyed by the dedup columns; without
-    // the watermark it would grow forever).
+    // dropDuplicates on a stream: first arrival wins, EXACT dedup over
+    // the whole stream. State caveat the 100 TB reader must know: the
+    // event-time column is NOT among the dedup keys, so the watermark
+    // does NOT evict this state — it grows with distinct keys forever.
+    // That is the correct trade only when the key domain is bounded
+    // (here: users x event types). For unbounded key domains the scale
+    // path is q163's dropDuplicatesWithinWatermark, whose state is
+    // evicted at the watermark.
     QueryDef(
       "q79_stream_dedup",
       (s, dir) => {
@@ -387,6 +391,40 @@ object StreamingQueries {
         val q = eventsStream(s, dir)
           .withWatermark("ts", "10 days")
           .dropDuplicates("user_id", "event_type")
+          .select($"user_id", $"event_type")
+          .writeStream
+          .outputMode(OutputMode.Append())
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", tmp("ckpt_"))
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out).orderBy($"user_id", $"event_type")
+      },
+      Some("""
+        SELECT DISTINCT user_id, event_type
+        FROM events
+        ORDER BY user_id, event_type""")),
+
+    // ----- streaming dedup with WATERMARK-BOUNDED state -------------------
+    // dropDuplicatesWithinWatermark (Spark 3.5+): dedup keyed on the
+    // business columns, but state rows are evicted once the watermark
+    // passes their event time — the at-scale variant for unbounded key
+    // domains (doc digests, request ids), where q79's whole-stream
+    // dropDuplicates would hold state forever. Semantics trade: a
+    // duplicate arriving later than the watermark delay after its first
+    // occurrence can re-emit; on the fixture (one AvailableNow batch, 10
+    // day delay) no eviction happens mid-run, so the output equals exact
+    // DISTINCT and the oracle can gate it.
+    QueryDef(
+      "q163_stream_dedup_within_watermark",
+      (s, dir) => {
+        import s.implicits._
+        val out = tmp("sink_")
+        val q = eventsStream(s, dir)
+          .withWatermark("ts", "10 days")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
           .select($"user_id", $"event_type")
           .writeStream
           .outputMode(OutputMode.Append())
