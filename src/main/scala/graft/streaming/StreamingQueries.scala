@@ -41,6 +41,11 @@ private[streaming] class RunningStatsProcessor
     extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double, Double)] {
   @transient private var stats: ValueState[(Long, Double, Double)] = _
 
+  // TTLConfig.NONE: state grows with the key domain (users), acceptable
+  // for a bounded domain. For unbounded domains at scale, pass
+  // TTLConfig(Duration) with TimeMode.ProcessingTime and the store
+  // evicts idle keys — not exercised here because processing-time TTL
+  // cannot fire deterministically under a single AvailableNow batch.
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     stats = getHandle.getValueState[(Long, Double, Double)]("stats",
       Encoders.product[(Long, Double, Double)], TTLConfig.NONE)
