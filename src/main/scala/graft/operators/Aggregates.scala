@@ -244,6 +244,48 @@ object Aggregates {
                round(median(c_acctbal), 4) AS med_bal
         FROM customer
         GROUP BY c_mktsegment
-        ORDER BY c_mktsegment"""))
+        ORDER BY c_mktsegment""")),
+
+    // ----- mergeable HLL sketches (q16's contract, plus the merge law) ---
+    // What q16 cannot show: DataSketches HLL sketches are MERGEABLE
+    // partial aggregates. At 100 TB the pattern is: sketch each shard /
+    // day / partition once (one pass, a few KB per group), persist the
+    // binary sketches, and answer any cross-partition distinct by
+    // hll_union_agg over sketches alone — the base table is never
+    // re-scanned, and pre-aggregated groups union without double-counting
+    // keys shared across groups (l_partkey spans return flags here, so
+    // summing per-group distincts WOULD over-count: the query pins that
+    // gap as sum_groups > n_parts). Sketch values are engine-specific, so
+    // the oracle pins the accuracy contract, not the estimate.
+    QueryDef(
+      "q164_hll_sketch_merge",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+        // stage 1: one sketch per group — at scale these few-KB rows are
+        // what persists, not the 100 TB of base rows behind them
+        val perGroup = li.groupBy($"l_returnflag")
+          .agg(expr("hll_sketch_agg(l_partkey, 14)").as("sk"),
+            count_distinct($"l_partkey").as("gd"))
+        // stage 2: cross-group distinct from sketches ONLY (no re-scan);
+        // exact referee runs at fixture scale to gate the 0.8%-rsd sketch
+        val merged = perGroup.agg(
+          expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("_approx"),
+          sum($"gd").as("sum_groups"))
+        val exact = li.agg(count_distinct($"l_partkey").as("n_parts"))
+        exact.crossJoin(merged).select(
+          $"n_parts", $"sum_groups",
+          when(abs($"_approx" - $"n_parts") <= $"n_parts" * 0.05, 1)
+            .otherwise(0).as("merged_ok"),
+          when($"sum_groups" > $"n_parts", 1).otherwise(0)
+            .as("naive_sum_overcounts"))
+      },
+      Some("""
+        SELECT count(DISTINCT l_partkey) AS n_parts,
+               (SELECT sum(gd) FROM (
+                  SELECT count(DISTINCT l_partkey) AS gd
+                  FROM lineitem GROUP BY l_returnflag)) AS sum_groups,
+               1 AS merged_ok, 1 AS naive_sum_overcounts
+        FROM lineitem"""))
   )
 }

@@ -1117,6 +1117,58 @@ object Dedup {
         FROM comp
         ORDER BY doc_id""", recursive = true))),
 
+    // cluster-aware train/val/test split: the step AFTER q100 in a real
+    // training pipeline. Splitting docs independently leaks near-dups
+    // across train/eval (a train doc's 0.9-jaccard twin in the test set
+    // inflates eval); the leakage-safe split assigns the WHOLE near-dup
+    // cluster to one side by hashing the cluster representative, so
+    // members can never straddle a boundary. Singleton docs (no near-dup
+    // pair) are their own cluster. Assignment is h60(md5) on the cluster
+    // id — deterministic, engine-bridgeable, and shuffle-free on top of
+    // the CC output (one broadcast-sized left join at fixture scale; at
+    // corpus scale the same join shuffles on doc_id, which the CC output
+    // already carries). 80/10/10 by hash residue.
+    QueryDef(
+      "q165_cluster_aware_split",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val pairs = minhashLshPairs(docs, 0.8).select($"id1", $"id2")
+        val comp = connectedComponents(pairs)
+          .select($"id".as("doc_id"), $"comp")
+        val clustered = docs.select($"doc_id")
+          .join(comp, Seq("doc_id"), "left")
+          .withColumn("cluster", coalesce($"comp", $"doc_id"))
+        clustered
+          .withColumn("_h", pmod(h60($"cluster".cast("string")), lit(10)))
+          .withColumn("split",
+            when($"_h" < 8, "train").when($"_h" === 8, "val")
+              .otherwise("test"))
+          .select($"doc_id", $"cluster", $"split")
+          .orderBy($"doc_id")
+      },
+      Some(minhashOracle("""
+        , p AS (SELECT id1, id2 FROM j WHERE jaccard >= 0.8),
+        e AS (SELECT id1 AS src, id2 AS dst FROM p
+              UNION SELECT id2 AS src, id1 AS dst FROM p),
+        reach AS (
+          SELECT src AS id, src AS r FROM e
+          UNION
+          SELECT e.dst AS id, reach.r FROM reach JOIN e ON e.src = reach.id),
+        comp AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id),
+        cl AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster
+               FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+        hs AS (SELECT doc_id, cluster,
+                      CAST(concat('0x', substring(
+                        md5(CAST(cluster AS VARCHAR)), 1, 15)) AS BIGINT)
+                        % 10 AS h
+               FROM cl)
+        SELECT doc_id, cluster,
+               CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM hs
+        ORDER BY doc_id""", recursive = true))),
+
     // directional containment (quote/subset detection) over documents
     QueryDef(
       "q130_semantic_dedup",

@@ -310,6 +310,53 @@ object TextAnalysis {
              CROSS JOIN stats s
         GROUP BY t.doc_id
         ORDER BY score DESC, doc_id
-        LIMIT 10"""))
+        LIMIT 10""")),
+
+    // ----- PII scrubbing pass --------------------------------------------
+    // The redaction pass every corpus runs before training: find + mask
+    // email/phone spans, keep per-doc redaction counts for audit. One
+    // linear codegen'd scan (regexp_count + regexp_replace), no shuffle
+    // at all — the shape that runs unchanged at 100 TB. The fixture text
+    // carries no PII, so the query PLANTS one deterministic email+phone
+    // per row (derived from doc_id — both engines build the identical
+    // string) and the oracle referees that the scrub finds exactly those
+    // and the redacted text hashes identically; regexes are RE2-safe so
+    // Java (Spark) and RE2 (DuckDB) agree.
+    QueryDef(
+      "q166_pii_redaction",
+      (s, dir) => {
+        import s.implicits._
+        val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+        val phoneRe = "\\d{3}-\\d{3}-\\d{4}"
+        t(s, dir, "documents")
+          .select($"doc_id",
+            concat($"text", lit(" contact user"), $"doc_id",
+              lit("@example.com or call 555-867-"),
+              lpad(pmod($"doc_id", lit(10000)).cast("string"), 4, "0")).as("s"))
+          .select($"doc_id",
+            regexp_count($"s", lit(emailRe)).cast("long").as("n_emails"),
+            regexp_count($"s", lit(phoneRe)).cast("long").as("n_phones"),
+            md5(regexp_replace(
+              regexp_replace($"s", emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>")).as("red_digest"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id,
+                 concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                        '@example.com or call 555-867-',
+                        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS s
+          FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(s,
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+               len(regexp_extract_all(s, '\d{3}-\d{3}-\d{4}')) AS n_phones,
+               md5(regexp_replace(regexp_replace(s,
+                     '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                     '<EMAIL>', 'g'),
+                   '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS red_digest
+        FROM p
+        ORDER BY doc_id"""))
   )
 }
