@@ -32,7 +32,8 @@ object SparkEntry {
     Pipeline.defs,
     Bucketing.defs,
     TrainingPipeline.defs,
-    Analytics.defs)
+    Analytics.defs,
+    ZOrder.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 
