@@ -446,6 +446,47 @@ object StreamingQueries {
         FROM events
         ORDER BY user_id, event_type""")),
 
+    // ----- RocksDB state store: off-heap, spill-to-disk stream state -----
+    // Same declarative plan as q56's windowed agg but keyed (window x
+    // user) — the large-key-domain case — and executed with the RocksDB
+    // state store provider instead of the default HDFS-backed in-memory
+    // map. This is the operational 100 TB answer for big streaming state:
+    // state lives off-heap in RocksDB (memtable + SST files under the
+    // checkpoint), so executor heap no longer bounds the number of live
+    // keys and GC pressure stays flat as state grows. Provider choice is
+    // pure config — the plan, the results, and the oracle are identical
+    // to the default provider (StreamingRocksDbSpec pins both: rocksdb
+    // metrics present, results equal). Conf is restored after the run so
+    // sibling queries keep the default provider.
+    QueryDef(
+      "q168_stream_rocksdb_state",
+      (s, dir) => {
+        import s.implicits._
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+        try {
+          val agg = eventsStream(s, dir)
+            .groupBy(window($"ts", "1 day"), $"user_id")
+            .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("total"))
+          runComplete(s, agg)
+            .select($"window.start".as("w_start"), $"user_id", $"n", $"total")
+            .orderBy($"w_start", $"user_id")
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set(key, v)
+            case None => s.conf.unset(key)
+          }
+        }
+      },
+      Some("""
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+               user_id, count(*) AS n, round(sum(value), 4) AS total
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY w_start, user_id""")),
+
     // ----- stream-stream interval join -----------------------------------
     // Purchases matched to the same user's clicks from the preceding hour
     // — both sides are streams; the watermarks + the time-bound condition
