@@ -320,6 +320,54 @@ object Joins {
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate < TIMESTAMP '1999-01-01'
         GROUP BY n_name
-        ORDER BY revenue DESC, n_name"""))
+        ORDER BY revenue DESC, n_name""")),
+
+    // ----- runtime bloom-filter join pruning -----------------------------
+    // The shuffle-join complement of q09's broadcast: when the dimension
+    // is too big to broadcast but carries a selective filter, Catalyst's
+    // InjectRuntimeFilter builds a bloom filter over the surviving join
+    // keys and drops non-matching fact rows AT THE SCAN, before they pay
+    // the shuffle — at 100 TB that is "shuffle the ~2% that can join"
+    // instead of the whole fact table. The thresholds here emulate
+    // fact-scale conditions at fixture size (probe-side floor to 0,
+    // broadcast off so the join actually shuffles);
+    // RuntimeBloomFilterSpec pins that the filter really injects into
+    // this exact shape. localCheckpoint materializes the (tiny) grouped
+    // result while the confs are live — the returned frame must not
+    // re-plan after the finally restores them.
+    QueryDef(
+      "q169_bloom_filter_join",
+      (s, dir) => {
+        import s.implicits._
+        val confs = Seq(
+          "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+        val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+        confs.foreach { case (k, v) => s.conf.set(k, v) }
+        try {
+          val o = t(s, dir, "orders")
+            .filter($"o_orderpriority" === "1-URGENT")
+            .select($"o_orderkey", $"o_orderpriority")
+          t(s, dir, "lineitem")
+            .select($"l_orderkey", $"l_returnflag", $"l_quantity")
+            .join(o, $"l_orderkey" === $"o_orderkey")
+            .groupBy($"l_returnflag")
+            .agg(count(lit(1)).as("n"),
+              round(sum($"l_quantity"), 4).as("sum_qty"))
+            .localCheckpoint()
+            .orderBy($"l_returnflag")
+        } finally prev.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      },
+      Some("""
+        SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag"""))
   )
 }
