@@ -330,11 +330,11 @@ object Joins {
     // the shuffle — at 100 TB that is "shuffle the ~2% that can join"
     // instead of the whole fact table. The thresholds here emulate
     // fact-scale conditions at fixture size (probe-side floor to 0,
-    // broadcast off so the join actually shuffles);
-    // RuntimeBloomFilterSpec pins that the filter really injects into
-    // this exact shape. localCheckpoint materializes the (tiny) grouped
-    // result while the confs are live — the returned frame must not
-    // re-plan after the finally restores them.
+    // broadcast off so the join actually shuffles); PlanAuditSpec's
+    // "runtime bloom filter" case pins that the filter really injects
+    // into this exact shape. localCheckpoint materializes the (tiny)
+    // grouped result while the confs are live — the returned frame must
+    // not re-plan after the finally restores them.
     QueryDef(
       "q169_bloom_filter_join",
       (s, dir) => {
