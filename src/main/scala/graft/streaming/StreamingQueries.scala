@@ -106,9 +106,31 @@ object StreamingQueries {
     else raw
   }
 
+  /** Streaming state partition sizing. The session default
+    * (shuffle.partitions = cores, the batch posture) also fixes the
+    * number of state-store instances per stateful operator — each one
+    * paying per-micro-batch open/commit/snapshot I/O against the
+    * checkpoint. State partition count should track STATE SIZE, not
+    * core count: at fixture scale 8 partitions hold the state easily
+    * and cut the fixed per-batch store overhead 4x; at corpus scale
+    * raise it (it is pinned into the checkpoint at first start — a
+    * restarted stream keeps its original state partitioning, so size it
+    * for the target state up front). Conf is restored after the stream
+    * finishes; batch queries in the same session keep the session
+    * default. */
+  private def withStatePartitions[A](s: SparkSession, n: Int = 8)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Run an aggregation stream to a complete-mode memory sink and return
-    * the final table. */
-  private def runComplete(s: SparkSession, df: DataFrame): DataFrame = {
+    * the final table. State-sized partitioning per [[withStatePartitions]]. */
+  private def runComplete(s: SparkSession, df: DataFrame): DataFrame =
+    withStatePartitions(s) { runCompleteRaw(s, df) }
+
+  private def runCompleteRaw(s: SparkSession, df: DataFrame): DataFrame = {
     val name = "mem_" + UUID.randomUUID().toString.replace("-", "")
     val q = df.writeStream
       .outputMode(OutputMode.Complete())
@@ -209,7 +231,7 @@ object StreamingQueries {
     // /root/reference/mapper.py:110-114).
     QueryDef(
       "q58_stream_watermark_append",
-      (s, dir) => {
+      (s, dir) => withStatePartitions(s) {
         import s.implicits._
         val out = tmp("sink_")
         val q = eventsStream(s, dir)
@@ -283,7 +305,7 @@ object StreamingQueries {
     // sink + final groupBy makes the result batching-insensitive.
     QueryDef(
       "q60_stream_stateful_counter",
-      (s, dir) => {
+      (s, dir) => withStatePartitions(s) {
         import s.implicits._
         val out = tmp("sink_")
         val typed = eventsStream(s, dir)
@@ -332,7 +354,7 @@ object StreamingQueries {
     // order-independent, so the result is batching-insensitive.
     QueryDef(
       "q109_stream_transform_with_state",
-      (s, dir) => {
+      (s, dir) => withStatePartitions(s) {
         import s.implicits._
         val out = tmp("sink_")
         val prevProvider = s.conf.getOption(
@@ -390,7 +412,7 @@ object StreamingQueries {
     // evicted at the watermark.
     QueryDef(
       "q79_stream_dedup",
-      (s, dir) => {
+      (s, dir) => withStatePartitions(s) {
         import s.implicits._
         val out = tmp("sink_")
         val q = eventsStream(s, dir)
@@ -424,7 +446,7 @@ object StreamingQueries {
     // DISTINCT and the oracle can gate it.
     QueryDef(
       "q163_stream_dedup_within_watermark",
-      (s, dir) => {
+      (s, dir) => withStatePartitions(s) {
         import s.implicits._
         val out = tmp("sink_")
         val q = eventsStream(s, dir)
@@ -495,7 +517,7 @@ object StreamingQueries {
     // any join, let alone a state-bounded streaming one.
     QueryDef(
       "q85_stream_stream_join",
-      (s, dir) => {
+      (s, dir) => withStatePartitions(s) {
         import s.implicits._
         val out = tmp("sink_")
         val ev = eventsStream(s, dir)
