@@ -374,4 +374,17 @@ class DedupSpec extends SparkSpec {
       .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
     assert(got == expected)
   }
+
+  test("cluster-aware split (q165): no near-dup component straddles a split") {
+    import org.apache.spark.sql.functions._
+    val r = graft.SparkEntry
+      .queries("q165_cluster_aware_split")(spark, "/root/testdata/sf0.001")
+    // the leakage guarantee: every cluster lands wholly in ONE split
+    val straddling = r.groupBy("cluster")
+      .agg(countDistinct("split").as("k")).filter(col("k") > 1).count()
+    assert(straddling == 0)
+    // every doc is assigned, each to exactly one of the three splits
+    assert(r.select("doc_id").distinct().count() == r.count())
+    assert(r.select("split").distinct().count() == 3)
+  }
 }
