@@ -51,20 +51,60 @@ object Verify {
     // sorted order (same as Bench): a timed-out partial run then loses a
     // deterministic tail instead of a hash-order-random subset, and the
     // per-query stderr times line up across rounds
+    // per-query stall watchdog: this sandbox intermittently wedges a
+    // single query 10-100x (see BENCH history); without a bound, one
+    // wedged query eats the driver's whole verify budget and the round
+    // loses every query after it. The query runs on a worker thread
+    // with its own job group; on timeout the group is cancelled
+    // (interruptOnCancel) and the query records as _FAILED — the rest
+    // of the catalog still gets attested.
+    val perQueryTimeoutMs = sys.env
+      .getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT_SEC", "300").toLong * 1000
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        System.err.println(
-          f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        // failure marker: a crashed query must read as FAIL downstream,
-        // not silently vanish from the comparison
-        Files.writeString(Paths.get(s"$outDir/$name._FAILED"),
-          String.valueOf(e.getMessage))
+      @volatile var err: Option[Throwable] = None
+      val worker = new Thread(() => {
+        try {
+          // job group is thread-local: set it on the thread that
+          // submits the jobs so cancelJobGroup reaches them
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case e: Throwable => err = Some(e) }
+        finally spark.sparkContext.clearJobGroup()
+      }, s"verify-$name")
+      worker.setDaemon(true)
+      worker.start()
+      worker.join(perQueryTimeoutMs)
+      if (worker.isAlive) {
+        spark.sparkContext.cancelJobGroup(name)
+        worker.join(30000)
+        if (err.isEmpty)
+          err = Some(new RuntimeException(
+            s"timed out after ${perQueryTimeoutMs / 1000}s (watchdog cancel)"))
+      }
+      err match {
+        case None =>
+          System.err.println(
+            f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        case Some(e) =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // drop any partial output dir: a half-written parquet dir
+          // would crash the comparer's read; the _FAILED marker alone
+          // records the failure
+          val partial = new java.io.File(s"$outDir/$name")
+          if (partial.exists()) {
+            def rmq(f: java.io.File): Unit = {
+              if (f.isDirectory) f.listFiles().foreach(rmq)
+              f.delete(); ()
+            }
+            rmq(partial)
+          }
+          // failure marker: a crashed query must read as FAIL downstream,
+          // not silently vanish from the comparison
+          Files.writeString(Paths.get(s"$outDir/$name._FAILED"),
+            String.valueOf(e.getMessage))
       }
       // queries that cache intermediates (shingle passes, LSH bands, key
       // counts) would otherwise accumulate across the 100+-query run;
