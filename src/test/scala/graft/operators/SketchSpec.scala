@@ -35,4 +35,23 @@ class SketchSpec extends SparkSpec {
       s"estimate $direct outside 5% of true 5000")
     df.unpersist()
   }
+
+  test("sketches survive parquet persistence: store per-group, merge later") {
+    // the workflow the pattern promises at 100 TB: sketch each partition
+    // once, PERSIST the binary sketch column, answer cross-cuts later
+    // from the stored sketches alone — no re-scan of the base data
+    val dir = java.nio.file.Files
+      .createTempDirectory("sketches_").toString + "/sk"
+    val df = spark.range(50000).selectExpr("id % 2000 AS v", "id % 5 AS g")
+    df.groupBy(col("g")).agg(expr("hll_sketch_agg(v, 14)").as("sk"))
+      .write.parquet(dir)
+    val live = df
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(v, 14))"))
+      .collect()(0).getLong(0)
+    val fromDisk = spark.read.parquet(dir)
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))"))
+      .collect()(0).getLong(0)
+    assert(fromDisk == live,
+      s"stored-sketch merge $fromDisk != live sketch $live")
+  }
 }
