@@ -17,16 +17,20 @@ object Verify {
       .builder(s"local[$cpus]", shufflePartitions = cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // recursive delete, tolerant of files vanishing mid-walk (listFiles
+    // returns null for a dir deleted under us — e.g. a task-abort
+    // cleaning its _temporary dir concurrently)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+      }
+      f.delete(); ()
+    }
     // clean stale per-query dirs (renamed/removed queries would otherwise
     // linger and confuse the compare)
     val outFile = new java.io.File(outDir)
-    if (outFile.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(outFile)
-    }
+    if (outFile.exists()) rm(outFile)
     outFile.mkdirs()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -79,6 +83,16 @@ object Verify {
       worker.join(perQueryTimeoutMs)
       if (worker.isAlive) {
         spark.sparkContext.cancelJobGroup(name)
+        // streaming queries do NOT run under the caller's job group
+        // (StreamExecution submits under its own runId group), so the
+        // cancel above cannot reach them: stop any active stream
+        // directly, and interrupt the worker so a thread blocked in
+        // awaitTermination unwinds — its finally blocks then restore
+        // any session confs the query set (withStatePartitions,
+        // RocksDB provider) instead of leaking them into later queries
+        spark.streams.active.foreach(sq =>
+          try sq.stop() catch { case _: Throwable => () })
+        worker.interrupt()
         worker.join(30000)
         if (err.isEmpty)
           err = Some(new RuntimeException(
@@ -92,15 +106,19 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
           // drop any partial output dir: a half-written parquet dir
           // would crash the comparer's read; the _FAILED marker alone
-          // records the failure
-          val partial = new java.io.File(s"$outDir/$name")
-          if (partial.exists()) {
-            def rmq(f: java.io.File): Unit = {
-              if (f.isDirectory) f.listFiles().foreach(rmq)
-              f.delete(); ()
+          // records the failure. If the worker somehow survived the
+          // interrupt, don't race its writer with a recursive delete —
+          // rename the dir OUT of the compare set instead (best effort;
+          // all of this is defensive and must never kill the main loop)
+          try {
+            val partial = new java.io.File(s"$outDir/$name")
+            if (partial.exists()) {
+              if (worker.isAlive)
+                partial.renameTo(new java.io.File(
+                  outFile.getAbsoluteFile.getParentFile, s".abandoned_$name"))
+              else rm(partial)
             }
-            rmq(partial)
-          }
+          } catch { case _: Throwable => () }
           // failure marker: a crashed query must read as FAIL downstream,
           // not silently vanish from the comparison
           Files.writeString(Paths.get(s"$outDir/$name._FAILED"),

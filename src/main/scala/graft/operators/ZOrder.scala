@@ -61,10 +61,15 @@ object ZOrder {
           expr("unix_micros(ts) DIV 86400000000").as("y"))
         val mm = ev.agg(min($"x").as("xlo"), max($"x").as("xhi"),
           min($"y").as("ylo"), max($"y").as("yhi"))
+        // materialized ONCE (repo materialization discipline): both
+        // spans() branches of the union below reference this frame, and
+        // an un-checkpointed shared subtree would re-run the scan +
+        // min/max pass per branch — the round-4 recompute-storm pattern
         val scaled = ev.join(broadcast(mm))
           .selectExpr(gridScaleSql("x", "xlo", "xhi") + " AS xs",
             gridScaleSql("y", "ylo", "yhi") + " AS ys")
           .withColumn("z", mortonZ($"xs", $"ys"))
+          .localCheckpoint()
         def spans(df: DataFrame, bucket: Column, scheme: String) = df
           .groupBy(bucket.as("bucket"))
           .agg((max($"xs") - min($"xs")).as("xspan"),
