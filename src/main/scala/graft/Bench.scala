@@ -98,7 +98,32 @@ object Bench {
       if (ranSinceGc % 20 == 0) System.gc()
       streamNanos = 0L
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // stall watchdog (Verify's recipe): a query wedged by the
+      // sandbox's 10-100x single-core stalls must not hang the whole
+      // bench — after the bound, cancel its job group, stop any active
+      // stream (stream jobs run under their own runId group, out of
+      // cancelJobGroup's reach), interrupt, and move on; the elapsed
+      // time lands in the artifact and the retry pass re-measures it
+      val timeoutMs = sys.env
+        .getOrElse("SPARK_GRAFT_BENCH_TIMEOUT_SEC", "240").toLong * 1000
+      val worker = new Thread(() => {
+        try {
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          fn(spark, sfDir).count(); ()
+        } catch { case _: Throwable => () }
+        finally spark.sparkContext.clearJobGroup()
+      }, s"bench-$name")
+      worker.setDaemon(true)
+      worker.start()
+      worker.join(timeoutMs)
+      if (worker.isAlive) {
+        System.err.println(s"[watchdog] $name exceeded ${timeoutMs / 1000}s - cancelling")
+        spark.sparkContext.cancelJobGroup(name)
+        spark.streams.active.foreach(sq =>
+          try sq.stop() catch { case _: Throwable => () })
+        worker.interrupt()
+        worker.join(30000)
+      }
       // terminated events post asynchronously — drain briefly so a
       // stream's runtime is attributed to the query that ran it; then
       // abandon any still-pending entry so a delayed event can neither
