@@ -28,10 +28,15 @@ object Verify {
       f.delete(); ()
     }
     // clean stale per-query dirs (renamed/removed queries would otherwise
-    // linger and confuse the compare)
+    // linger and confuse the compare), and any .abandoned_* dirs a prior
+    // run's watchdog parked next to the output dir
     val outFile = new java.io.File(outDir)
     if (outFile.exists()) rm(outFile)
     outFile.mkdirs()
+    Option(outFile.getAbsoluteFile.getParentFile)
+      .flatMap(p => Option(p.listFiles())).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(".abandoned_"))
+      .foreach(f => try rm(f) catch { case _: Throwable => () })
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -365,6 +365,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q164/q166: new-query scans read only the needed columns") {
+    // q164: both lineitem passes (sketch build + exact referee) must
+    // prune to the 1-2 columns used — a sketch pass that drags the full
+    // 16-column row defeats the point of a one-pass sketch at 100 TB
+    val p164 = plan("q164_hll_sketch_merge")
+    assert(p164.contains("ReadSchema: struct<l_partkey:bigint"),
+      "q164 scan not pruned to l_partkey")
+    assert(!p164.contains("l_comment") && !p164.contains("l_extendedprice"),
+      "q164 reads columns it never uses")
+    // q166: the redaction pass is a linear scan of (doc_id, text) only
+    val p166 = plan("q166_pii_redaction")
+    assert(p166.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "q166 scan not pruned to doc_id+text")
+  }
+
   test("runtime bloom filter from a selective dim filter prunes the fact scan") {
     // the clusterBuilder posture (GraftSession.scala) enables runtime
     // bloom filters; this pins that the rule actually fires on our join
