@@ -357,6 +357,70 @@ object TextAnalysis {
                      '<EMAIL>', 'g'),
                    '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS red_digest
         FROM p
+        ORDER BY doc_id""")),
+
+    // ----- model-based quality filter (inference plumbing) ---------------
+    // The learned-filter pass (fastText-style) production corpora run
+    // after heuristic quality signals: hash word uni+bigrams into a
+    // fixed feature space, dot with a weight vector, sigmoid, threshold.
+    // The SCALE shape is what matters: features come from higher-order
+    // array fns (no explode of a dictionary join), the "model" is a
+    // pure function of the bucket id (at production scale: a broadcast
+    // array lookup — same plan, weights pluggable), and the per-doc
+    // logit sums INTEGER weights (exact, order-independent) so the one
+    // double division + sigmoid at the end is bit-bridgeable to the
+    // oracle. One linear scan, zero shuffle before the final sort.
+    QueryDef(
+      "q170_quality_inference",
+      (s, dir) => {
+        import s.implicits._
+        val d = 4096 // feature buckets
+        val tokens = filter(split($"text", " "), x => length(x) > 0)
+        val grams = concat(tokens,
+          filter(zip_with(tokens, slice(tokens, 2, 1 << 30),
+            (a, b) => concat(a, lit("_"), b)), x => x.isNotNull))
+        t(s, dir, "documents")
+          .select($"doc_id", explode(grams).as("f"))
+          .withColumn("b", pmod(h60($"f"), lit(d)))
+          // deterministic pseudo-weights in [-1000, 1000]: md5 of the
+          // bucket id — stands in for trained weights, same lookup shape
+          .withColumn("w",
+            pmod(h60(concat(lit("w"), $"b".cast("string"))), lit(2001)) - 1000)
+          .groupBy($"doc_id")
+          .agg(sum($"w").as("zsum"), count(lit(1)).as("n_features"))
+          .withColumn("score",
+            round(lit(1.0) / (lit(1.0) +
+              exp(-$"zsum" / ($"n_features" * 1000.0))), 4))
+          .select($"doc_id", $"n_features", $"score",
+            when($"score" >= 0.5, 1).otherwise(0).as("keep"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH ts AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+          FROM documents),
+        feats AS (
+          SELECT doc_id, unnest(list_concat(t,
+                   list_filter(
+                     list_transform(generate_series(1, len(t) - 1),
+                       i -> t[i] || '_' || t[i+1]),
+                     x -> x IS NOT NULL))) AS f
+          FROM ts),
+        hw AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substring(md5(concat('w', CAST(
+                   CAST(concat('0x', substring(md5(f),1,15)) AS BIGINT) % 4096
+                   AS VARCHAR))),1,15)) AS BIGINT) % 2001 - 1000 AS w
+          FROM feats)
+        SELECT doc_id, count(*) AS n_features,
+               round(1.0 / (1.0 +
+                 exp(-(sum(w)::DOUBLE) / (count(*) * 1000.0))), 4) AS score,
+               CASE WHEN round(1.0 / (1.0 +
+                 exp(-(sum(w)::DOUBLE) / (count(*) * 1000.0))), 4) >= 0.5
+                 THEN 1 ELSE 0 END AS keep
+        FROM hw
+        GROUP BY doc_id
         ORDER BY doc_id"""))
   )
 }
