@@ -496,6 +496,78 @@ object TrainingPipeline {
         SELECT r.source, r.doc_id, CAST(rk AS BIGINT) AS rk
         FROM r JOIN a USING (source)
         WHERE rk <= k
-        ORDER BY source, rk"""))
+        ORDER BY source, rk""")),
+
+    // ----- length-bucketed batching (padding-waste minimization) ---------
+    // The batching-efficiency complement of q122's sequence packing:
+    // when docs must stay whole (SFT, reward modeling), every batch pads
+    // to its longest member, and batching in arrival order wastes
+    // sum(max - len) tokens. Bucketing by length (32-token granularity)
+    // before forming fixed-size batches keeps batch members near-equal
+    // length. The query forms both layouts and reports the measured
+    // padding waste of each — bucketed must beat naive on any non-uniform
+    // corpus. Scale: the bucketed path is windowed PER BUCKET (bounded
+    // partitions, parallel across buckets); the naive baseline's global
+    // window is exactly the anti-pattern it exists to quantify.
+    QueryDef(
+      "q171_length_bucketed_batches",
+      (s, dir) => {
+        import s.implicits._
+        val b = 16 // docs per batch
+        // materialized once (repo discipline): both layout branches of
+        // the union below read this frame — 16 bytes/doc, not the corpus
+        val lens = Tables.load(s, dir, "documents")
+          .select($"doc_id",
+            size(filter(split($"text", " "), x => length(x) > 0))
+              .cast("long").as("len"))
+          .localCheckpoint()
+        def waste(df: DataFrame, scheme: String) = df
+          .groupBy($"bucket", $"batch")
+          .agg(count(lit(1)).as("n"), max($"len").as("mx"),
+            sum($"len").as("tot"))
+          .agg(count(lit(1)).as("n_batches"),
+            round(lit(1) - sum($"tot") / sum($"n" * $"mx"), 4)
+              .as("padding_waste"))
+          .select(lit(scheme).as("scheme"), $"n_batches", $"padding_waste")
+        val bucketed = lens
+          .withColumn("bucket", expr("len DIV 32"))
+          .withColumn("batch", expr(
+            s"(row_number() OVER (PARTITION BY len DIV 32 ORDER BY doc_id) - 1) DIV $b"))
+        val naive = lens
+          .withColumn("bucket", lit(0L))
+          .withColumn("batch", expr(
+            s"(row_number() OVER (ORDER BY doc_id) - 1) DIV $b"))
+        waste(bucketed, "bucketed").unionAll(waste(naive, "naive"))
+          .orderBy($"scheme")
+      },
+      Some("""
+        WITH lens AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   x -> length(x) > 0)) AS BIGINT) AS len
+          FROM documents),
+        bk AS (
+          SELECT len, len // 32 AS bucket,
+                 (row_number() OVER (PARTITION BY len // 32
+                                     ORDER BY doc_id) - 1) // 16 AS batch
+          FROM lens),
+        nv AS (
+          SELECT len, 0 AS bucket,
+                 (row_number() OVER (ORDER BY doc_id) - 1) // 16 AS batch
+          FROM lens),
+        bw AS (SELECT bucket, batch, count(*) AS n, max(len) AS mx,
+                      sum(len) AS tot
+               FROM bk GROUP BY bucket, batch),
+        nw AS (SELECT bucket, batch, count(*) AS n, max(len) AS mx,
+                      sum(len) AS tot
+               FROM nv GROUP BY bucket, batch)
+        SELECT 'bucketed' AS scheme, count(*) AS n_batches,
+               round(1 - sum(tot)::DOUBLE / sum(n * mx), 4) AS padding_waste
+        FROM bw
+        UNION ALL
+        SELECT 'naive' AS scheme, count(*) AS n_batches,
+               round(1 - sum(tot)::DOUBLE / sum(n * mx), 4) AS padding_waste
+        FROM nw
+        ORDER BY scheme"""))
   )
 }
