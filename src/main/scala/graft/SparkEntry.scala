@@ -33,7 +33,8 @@ object SparkEntry {
     Bucketing.defs,
     TrainingPipeline.defs,
     Analytics.defs,
-    ZOrder.defs)
+    ZOrder.defs,
+    ChangeData.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 

@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Change-data / warehouse-maintenance operators: SCD2 attribute history
+  * and snapshot reconciliation (diff). The reference's only story for
+  * "what changed between two drops" is re-running a full map/reduce over
+  * both and hand-merging (`/root/reference/README.txt:236-293` sketches
+  * jobs as full-input passes); these are the declarative equivalents.
+  *
+  * Scale notes (100 TB posture):
+  *  - scd2History is window-only, PARTITIONED BY KEY — no join, no
+  *    global sort; parallelism is key-count wide. The daily-state
+  *    pre-aggregation (max_by per (key, day)) is partial-aggregated
+  *    map-side, so the shuffle carries at most one row per key-day.
+  *  - snapshotDiff shuffles 16-byte (key, hash) rows, NOT full records:
+  *    each side is projected to xxhash64 of its compare-attrs before the
+  *    full-outer join, so diffing two 100 TB snapshots moves ~2×|keys|×16
+  *    bytes. Hash equality within one engine is exact-input; a 2^-64
+  *    collision would misclassify a changed row as unchanged — the DuckDB
+  *    oracle compares attributes directly, so any such event (or a hash
+  *    bug) surfaces as a gate mismatch rather than hiding.
+  */
+object ChangeData {
+
+  /** SCD2 (slowly-changing-dimension type 2) history of one attribute:
+    * collapse a transaction log to end-of-day states (last write per key
+    * per day wins, by `tiebreak` desc), keep only rows where the value
+    * changed vs the previous day-state, and emit validity intervals
+    * [valid_from, valid_to) with `valid_to` NULL on the current row. */
+  def scd2History(log: DataFrame, key: Column, day: Column, value: Column,
+      tiebreak: Column): DataFrame = {
+    val s = log.sparkSession
+    import s.implicits._
+    val daily = log
+      .groupBy(key.as("k"), day.as("day"))
+      .agg(max_by(value, tiebreak).as("value"))
+    val wDay = Window.partitionBy($"k").orderBy($"day")
+    val changes = daily
+      .withColumn("_prev", lag($"value", 1).over(wDay))
+      .filter($"_prev".isNull || $"_prev" =!= $"value")
+      .select($"k", $"value", $"day".as("valid_from"))
+    val wFrom = Window.partitionBy($"k").orderBy($"valid_from")
+    changes
+      .withColumn("valid_to", lead($"valid_from", 1).over(wFrom))
+      .withColumn("is_current", $"valid_to".isNull)
+  }
+
+  /** Snapshot reconciliation: classify every key across two snapshots as
+    * added / removed / changed / unchanged and return per-class counts
+    * with key bounds. Sides are reduced to (key, attr-hash) before the
+    * join — the only full-width scan is the local projection. */
+  def snapshotDiff(a: DataFrame, b: DataFrame, key: String,
+      attrs: Seq[String]): DataFrame = {
+    val s = a.sparkSession
+    import s.implicits._
+    def hashed(df: DataFrame, h: String) =
+      df.select(col(key), xxhash64(attrs.map(col): _*).as(h))
+    hashed(a, "_ha").join(hashed(b, "_hb"), Seq(key), "full_outer")
+      .withColumn("change_type",
+        when($"_hb".isNull, "removed")
+          .when($"_ha".isNull, "added")
+          .when($"_ha" === $"_hb", "unchanged")
+          .otherwise("changed"))
+      .groupBy($"change_type")
+      .agg(count(lit(1)).as("n"),
+        min(col(key)).as("min_key"), max(col(key)).as("max_key"))
+  }
+
+  // ------------------------------------------------------------------
+  // fixture-bound oracle queries
+  // ------------------------------------------------------------------
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // order-priority history per customer: the orders table read as a
+    // transaction log over the customer dimension
+    QueryDef(
+      "q172_scd2_history",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        scd2History(o, col("o_custkey"), to_date(col("o_orderdate")),
+          col("o_orderpriority"), col("o_orderkey"))
+          .select(col("k").as("o_custkey"), col("value").as("priority"),
+            col("valid_from"), col("valid_to"), col("is_current"))
+          .orderBy(col("o_custkey"), col("valid_from"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+                 max_by(o_orderpriority, o_orderkey) AS priority
+          FROM orders GROUP BY o_custkey, day),
+        c AS (
+          SELECT o_custkey, day, priority,
+                 lag(priority) OVER (PARTITION BY o_custkey ORDER BY day)
+                   AS prev_p
+          FROM d),
+        h AS (
+          SELECT o_custkey, priority, day AS valid_from
+          FROM c WHERE prev_p IS NULL OR prev_p <> priority)
+        SELECT o_custkey, priority, valid_from,
+               lead(valid_from) OVER (PARTITION BY o_custkey
+                 ORDER BY valid_from) AS valid_to,
+               lead(valid_from) OVER (PARTITION BY o_custkey
+                 ORDER BY valid_from) IS NULL AS is_current
+        FROM h
+        ORDER BY o_custkey, valid_from""")),
+
+    // two simulated drops of the orders table: an older extract vs a
+    // newer one whose open orders were re-prioritized upstream
+    QueryDef(
+      "q173_snapshot_diff",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val snapA = o
+          .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        val snapB = o
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+          .withColumn("o_orderpriority",
+            when(col("o_orderstatus") === "O", lit("1-URGENT"))
+              .otherwise(col("o_orderpriority")))
+        snapshotDiff(snapA, snapB, "o_orderkey",
+          Seq("o_orderstatus", "o_orderpriority", "o_totalprice"))
+          .orderBy(col("change_type"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+          FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'),
+        b AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderstatus = 'O' THEN '1-URGENT'
+                      ELSE o_orderpriority END AS o_orderpriority,
+                 o_totalprice
+          FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'),
+        j AS (
+          SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k,
+                 CASE WHEN b.o_orderkey IS NULL THEN 'removed'
+                      WHEN a.o_orderkey IS NULL THEN 'added'
+                      WHEN a.o_orderstatus = b.o_orderstatus
+                           AND a.o_orderpriority = b.o_orderpriority
+                           AND a.o_totalprice = b.o_totalprice
+                        THEN 'unchanged'
+                      ELSE 'changed' END AS change_type
+          FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+        SELECT change_type, count(*) AS n,
+               min(k) AS min_key, max(k) AS max_key
+        FROM j GROUP BY change_type
+        ORDER BY change_type"""))
+  )
+}
