@@ -34,7 +34,8 @@ object SparkEntry {
     TrainingPipeline.defs,
     Analytics.defs,
     ZOrder.defs,
-    ChangeData.defs)
+    ChangeData.defs,
+    Linkage.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 

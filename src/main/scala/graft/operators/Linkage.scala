@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Record-linkage operators: edit-distance fuzzy self-join with a
+  * LOSSLESS deletion-neighborhood blocker (the SymSpell index idea:
+  * Garbe's symmetric-delete spelling correction, public algorithm).
+  * The reference has no fuzzy matching at all — its joins are exact
+  * key-group merges (`/root/reference/reducer.py:91-105`); entity
+  * resolution over dirty names is a standard ask of a data engine.
+  *
+  * Scale notes (100 TB posture):
+  *  - the naive fuzzy join is O(n²) levenshtein calls — a non-starter.
+  *    Deletion blocking is linear: each name emits its <=k-deletion
+  *    variants (C(len,k)+...+1 strings, ~len^k/k!), candidates are pairs
+  *    sharing a variant (an equi-join Spark hash-partitions like any
+  *    other), and the exact levenshtein verify runs on candidates only.
+  *  - LOSSLESS: lev(a,b) <= k implies a and b share a common string
+  *    reachable by <= k deletions from each (delete the edited positions
+  *    on both sides), so no qualifying pair can escape the blocker —
+  *    the oracle's brute-force O(n²) scan is the proof harness.
+  *  - variant strings are bounded by name length; the join key cardinality
+  *    grows with corpus size so buckets stay small (hot-variant skew =
+  *    AQE skew-join territory, same defense as q74's salted join).
+  */
+object Linkage {
+
+  /** All strings reachable from `c` by deleting at most `k` (<=2)
+    * characters, as a SQL array expression over column name `c`. */
+  private def deletionVariants(c: String, k: Int): String = {
+    require(k >= 1 && k <= 2, "deletion neighborhood supported for k in {1,2}")
+    val del0 = s"array($c)"
+    val del1 =
+      s"transform(sequence(1, length($c)), i -> concat(left($c, i - 1), substring($c, i + 1, 1000000)))"
+    val del2 =
+      s"""flatten(transform(sequence(1, length($c) - 1), i ->
+            transform(sequence(i + 1, length($c)), j ->
+              concat(left($c, i - 1), substring($c, i + 1, j - i - 1),
+                     substring($c, j + 1, 1000000)))))"""
+    val parts = if (k == 1) Seq(del0, del1) else Seq(del0, del1, del2)
+    s"array_distinct(flatten(array(${parts.mkString(", ")})))"
+  }
+
+  /** Fuzzy self-join: all unordered pairs of distinct `nameCol` values
+    * within levenshtein distance `k`, found via deletion-neighborhood
+    * candidate generation + exact verify. Returns (name_a, name_b, dist)
+    * with name_a < name_b. */
+  def fuzzySelfJoin(df: DataFrame, nameCol: String, k: Int): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val names = df.select(col(nameCol).as("name")).distinct()
+    val variants = names
+      .select($"name", explode(expr(deletionVariants("name", k))).as("v"))
+    val cand = variants.as("l")
+      .join(variants.as("r"), col("l.v") === col("r.v") &&
+        col("l.name") < col("r.name"))
+      .select(col("l.name").as("name_a"), col("r.name").as("name_b"))
+      .distinct()
+    cand
+      .withColumn("dist", levenshtein($"name_a", $"name_b"))
+      .filter($"dist" <= k)
+  }
+
+  // ------------------------------------------------------------------
+  // fixture-bound oracle queries
+  // ------------------------------------------------------------------
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // near-identical supplier names (single-character defects) — the
+    // oracle is the brute-force quadratic scan the blocker avoids
+    QueryDef(
+      "q174_fuzzy_edit_join",
+      (s, dir) => fuzzySelfJoin(Tables.load(s, dir, "supplier"), "s_name", 1)
+        .orderBy(col("name_a"), col("name_b")),
+      Some("""
+        SELECT a.s_name AS name_a, b.s_name AS name_b,
+               levenshtein(a.s_name, b.s_name) AS dist
+        FROM supplier a JOIN supplier b ON a.s_name < b.s_name
+        WHERE levenshtein(a.s_name, b.s_name) <= 1
+        ORDER BY name_a, name_b"""))
+  )
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** The fixture oracle (q174) only exercises equal-length substitutions;
+  * these pin the LOSSLESS claim of the deletion-neighborhood blocker on
+  * inputs with insertions/deletions and k=2, against brute force. */
+class LinkageSpec extends SparkSpec {
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private val names = Seq(
+    "graphite", "graphte", "grphite",   // deletions of each other
+    "graphites", "xgraphite",           // insertions
+    "graffite", "grapiste",             // substitutions / mixed
+    "marble", "marbles", "mrbl",        // a second cluster + far point
+    "quartz")
+
+  private def bruteForce(k: Int): Set[(String, String, Int)] =
+    (for {
+      a <- names; b <- names if a < b
+      d = lev(a, b) if d <= k
+    } yield (a, b, d)).toSet
+
+  private def viaBlocker(k: Int): Set[(String, String, Int)] = {
+    import spark.implicits._
+    Linkage.fuzzySelfJoin(names.toDF("s"), "s", k)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+  }
+
+  test("k=1: blocker+verify equals brute force (indels included)") {
+    assert(viaBlocker(1) == bruteForce(1))
+  }
+
+  test("k=2: blocker+verify equals brute force (indels included)") {
+    val bf = bruteForce(2)
+    assert(bf.exists(_._3 == 2), "fixture must contain true distance-2 pairs")
+    assert(viaBlocker(2) == bf)
+  }
+
+  test("duplicate input names collapse — no self pairs emitted") {
+    import spark.implicits._
+    val r = Linkage.fuzzySelfJoin(
+      Seq("same", "same", "samey").toDF("s"), "s", 2).collect()
+    assert(r.map(x => (x.getString(0), x.getString(1))).toSet ==
+      Set(("same", "samey")))
+  }
+}
