@@ -144,6 +144,49 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Adjacent character-pair frequencies within lowercase alphabetic
+    * word tokens — the statistic the first BPE merge step ranks
+    * (Sennrich et al., ACL 2016: merge the most frequent symbol pair).
+    * One linear scan; pair extraction is a per-row higher-order array
+    * expression (no shuffle until the <=26² pair aggregation), so the
+    * tokenizer-training profile of a 100 TB corpus is a map-side
+    * combine down to a few hundred rows. */
+  def bpePairStats(docs: DataFrame, topN: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select(explode(split(lower($"text"), "[^a-z]+")).as("w"))
+      .filter(length($"w") >= 2)
+      .select(explode(
+        expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy($"pair").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"pair")
+      .limit(topN)
+  }
+
+  /** Inverted index over whitespace terms: document frequency + the
+    * full sorted posting list per term (serialized "id,id,..." so the
+    * gate can hash it; the at-scale sink keeps the array column and
+    * bucket-partitions by term). Postings are per-term sorted arrays —
+    * exactly the structure a distributed retrieval shard serves; df
+    * ranking bounds the demo output, not the build. */
+  def invertedIndex(docs: DataFrame, topN: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .filter($"term" =!= "")
+      .distinct()
+      .groupBy($"term")
+      .agg(count(lit(1)).as("df"),
+        array_join(
+          transform(array_sort(collect_set($"doc_id")), _.cast("string")),
+          ",").as("postings"))
+      .orderBy($"df".desc, $"term")
+      .limit(topN)
+  }
+
   // ------------------------------------------------------------------
   // oracle-gated bindings
   // ------------------------------------------------------------------
@@ -421,6 +464,39 @@ object TextAnalysis {
                  THEN 1 ELSE 0 END AS keep
         FROM hw
         GROUP BY doc_id
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // deterministic top-N: n desc then pair; 'pair' is unique per group
+    QueryDef(
+      "q175_bpe_pair_stats",
+      (s, dir) => bpePairStats(t(s, dir, "documents"), topN = 50),
+      Some("""
+        WITH toks AS (
+          SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+          FROM documents),
+        t AS (SELECT w FROM toks WHERE length(w) >= 2),
+        p AS (
+          SELECT substr(w, CAST(unnest(generate_series(1, length(w) - 1))
+            AS INT), 2) AS pair
+          FROM t)
+        SELECT pair, count(*) AS n
+        FROM p GROUP BY pair
+        ORDER BY n DESC, pair LIMIT 50""")),
+
+    QueryDef(
+      "q176_inverted_index",
+      (s, dir) => invertedIndex(t(s, dir, "documents"), topN = 100),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        d AS (SELECT DISTINCT doc_id, term FROM t WHERE term <> ''),
+        g AS (
+          SELECT term, count(*) AS df,
+                 string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                   AS postings
+          FROM d GROUP BY term)
+        SELECT term, df, postings FROM g
+        ORDER BY df DESC, term LIMIT 100"""))
   )
 }
