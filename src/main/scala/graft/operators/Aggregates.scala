@@ -286,6 +286,51 @@ object Aggregates {
                   SELECT count(DISTINCT l_partkey) AS gd
                   FROM lineitem GROUP BY l_returnflag)) AS sum_groups,
                1 AS merged_ok, 1 AS naive_sum_overcounts
-        FROM lineitem"""))
+        FROM lineitem""")),
+
+    // ----- mergeable count-min sketches (heavy hitters) ------------------
+    // The frequency-side companion of q164's HLL: one CMS per source
+    // partition (a few KB of counters), merged centrally, answers "how
+    // often does token X occur corpus-wide" without re-scanning. The
+    // deliberately-lossy width (eps=0.05) forces counter collisions so
+    // the contract is non-trivial: CMS never under-counts, and
+    // over-counts at most eps*N (N = corpus token count) at the sketch's
+    // confidence — checked for the exact top-20 tokens. The two collects
+    // are bounded by GROUP COUNT (|sources| sketch rows) and K (20 probe
+    // rows from a TakeOrdered), never by corpus size — this driver-merge
+    // step is precisely the production shape for sketch aggregation.
+    // Sketch counters are impl-specific, so the oracle pins the contract
+    // (under/over-slack violation counts), not the estimates.
+    QueryDef(
+      "q177_cms_heavy_hitters",
+      (s, dir) => {
+        import s.implicits._
+        val eps = 0.05
+        val toks = t(s, dir, "documents")
+          .select($"source", explode(split($"text", " ")).as("tok"))
+          .filter($"tok" =!= "")
+        val perSrc = toks.groupBy($"source")
+          .agg(expr(s"count_min_sketch(tok, ${eps}d, 0.99d, 42)").as("sk"),
+            count(lit(1)).as("n"))
+          .collect()
+        val merged = perSrc
+          .map(r => org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("sk"))))
+          .reduce { (a, b) => a.mergeInPlace(b); a }
+        val totalN = perSrc.map(_.getAs[Long]("n")).sum
+        val slack = math.ceil(eps * totalN).toLong
+        val top = toks.groupBy($"tok").agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"tok").limit(20).collect()
+        val nUnder = top.count(r =>
+          merged.estimateCount(r.getString(0)) < r.getLong(1))
+        val nOver = top.count(r =>
+          merged.estimateCount(r.getString(0)) > r.getLong(1) + slack)
+        Seq((top.length.toLong, nUnder.toLong, nOver.toLong))
+          .toDF("n_checked", "n_under", "n_over_slack")
+      },
+      Some("""
+        SELECT CAST(20 AS BIGINT) AS n_checked,
+               CAST(0 AS BIGINT) AS n_under,
+               CAST(0 AS BIGINT) AS n_over_slack"""))
   )
 }

@@ -203,6 +203,35 @@ object Analytics {
           .otherwise(0L)).as("n_outliers"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic per group: the max
+    * absolute gap between the empirical CDFs of `value` before vs after
+    * `cutoff` — the standard distribution-drift gate between a reference
+    * window and a fresh batch. One grouped count to (group, value) then
+    * one window pass; cumulative counts are exact integers and the CDF
+    * division is a single IEEE op, so two engines agree bit-for-bit.
+    * Groups present on only one side are dropped (no defined KS). */
+  def ksDrift(events: DataFrame, cutoff: org.apache.spark.sql.Column): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val g = events
+      .select($"event_type", $"value",
+        when($"ts" < cutoff, 1L).otherwise(0L).as("_e"))
+      .groupBy($"event_type", $"value")
+      .agg(sum($"_e").as("ne"), sum(lit(1L) - $"_e").as("nl"))
+    val cum = Window.partitionBy($"event_type").orderBy($"value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy($"event_type")
+    g.withColumn("ce", sum($"ne").over(cum))
+      .withColumn("cl", sum($"nl").over(cum))
+      .withColumn("te", sum($"ne").over(tot))
+      .withColumn("tl", sum($"nl").over(tot))
+      .filter($"te" > 0 && $"tl" > 0)
+      .groupBy($"event_type")
+      .agg(max($"te").as("n_early"), max($"tl").as("n_late"),
+        round(max(abs($"ce".cast("double") / $"te" -
+          $"cl".cast("double") / $"tl")), 4).as("ks_stat"))
+  }
+
   // ------------------------------------------------------------------
   // fixture-bound oracle queries
   // ------------------------------------------------------------------
@@ -401,6 +430,37 @@ object Analytics {
                CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                count(DISTINCT props), NULL, NULL
         FROM events
-        ORDER BY col_name"""))
+        ORDER BY col_name""")),
+
+    // mid-month cutoff: first two weeks = reference window, rest = fresh
+    QueryDef(
+      "q178_ks_drift",
+      (s, dir) => ksDrift(Tables.load(s, dir, "events"),
+        lit("2024-01-15").cast("timestamp")).orderBy(col("event_type")),
+      Some("""
+        WITH e AS (
+          SELECT event_type, value,
+                 CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END AS ie
+          FROM events),
+        g AS (
+          SELECT event_type, value, sum(ie) AS ne, sum(1 - ie) AS nl
+          FROM e GROUP BY event_type, value),
+        c AS (
+          SELECT event_type,
+                 sum(ne) OVER (PARTITION BY event_type ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ce,
+                 sum(nl) OVER (PARTITION BY event_type ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl,
+                 sum(ne) OVER (PARTITION BY event_type) AS te,
+                 sum(nl) OVER (PARTITION BY event_type) AS tl
+          FROM g)
+        SELECT event_type, CAST(max(te) AS BIGINT) AS n_early,
+               CAST(max(tl) AS BIGINT) AS n_late,
+               round(max(abs(CAST(ce AS DOUBLE) / te
+                 - CAST(cl AS DOUBLE) / tl)), 4) AS ks_stat
+        FROM c
+        WHERE te > 0 AND tl > 0
+        GROUP BY event_type
+        ORDER BY event_type"""))
   )
 }
