@@ -331,6 +331,36 @@ object Aggregates {
       Some("""
         SELECT CAST(20 AS BIGINT) AS n_checked,
                CAST(0 AS BIGINT) AS n_under,
-               CAST(0 AS BIGINT) AS n_over_slack"""))
+               CAST(0 AS BIGINT) AS n_over_slack""")),
+
+    // ----- bivariate statistics ------------------------------------------
+    // corr / covariance / closed-form OLS per group — all single-pass
+    // co-moment aggregates (Welford-style mergeable partials), so they
+    // partial-aggregate map-side like any sum; the per-group trend
+    // readout (slope/intercept/r²) without a window or a second scan.
+    QueryDef(
+      "q180_regression_stats",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem").groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            round(corr($"l_extendedprice", $"l_quantity"), 4).as("r"),
+            round(covar_samp($"l_extendedprice", $"l_quantity"), 4).as("cov_s"),
+            round(covar_pop($"l_extendedprice", $"l_quantity"), 4).as("cov_p"),
+            round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+            round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("icept"),
+            round(expr("regr_r2(l_extendedprice, l_quantity)"), 4).as("r2"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag, count(*) AS n,
+               round(corr(l_extendedprice, l_quantity), 4) AS r,
+               round(covar_samp(l_extendedprice, l_quantity), 4) AS cov_s,
+               round(covar_pop(l_extendedprice, l_quantity), 4) AS cov_p,
+               round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+               round(regr_r2(l_extendedprice, l_quantity), 4) AS r2
+        FROM lineitem GROUP BY l_returnflag
+        ORDER BY l_returnflag"""))
   )
 }
