@@ -35,7 +35,8 @@ object SparkEntry {
     Analytics.defs,
     ZOrder.defs,
     ChangeData.defs,
-    Linkage.defs)
+    Linkage.defs,
+    Graph.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 
