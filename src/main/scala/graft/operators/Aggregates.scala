@@ -282,9 +282,12 @@ object Aggregates {
       },
       Some("""
         SELECT count(DISTINCT l_partkey) AS n_parts,
-               (SELECT sum(gd) FROM (
+               -- CAST: sum(BIGINT) is HUGEINT in DuckDB (float64 after
+               -- the driver's pandas fetch) - keep it BIGINT-exact
+               CAST((SELECT sum(gd) FROM (
                   SELECT count(DISTINCT l_partkey) AS gd
-                  FROM lineitem GROUP BY l_returnflag)) AS sum_groups,
+                  FROM lineitem GROUP BY l_returnflag)) AS BIGINT)
+                 AS sum_groups,
                1 AS merged_ok, 1 AS naive_sum_overcounts
         FROM lineitem""")),
 

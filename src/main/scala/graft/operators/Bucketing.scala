@@ -109,10 +109,14 @@ object Bucketing {
       "q155_bucketed_join",
       (s, dir) => bucketedSegmentStats(s, dir),
       // oracle replays from the raw parquet: any fault in the bucketed
-      // write/read path (dropped rows, bucket misroute) hash-mismatches
+      // write/read path (dropped rows, bucket misroute) hash-mismatches.
+      // Outer CAST: DuckDB sum(BIGINT) yields HUGEINT, which the driver's
+      // pandas fetch renders as float64 ("...0") and hash-mismatches
+      // against Spark's long — cast back to BIGINT (round-5 q155 finding)
       Some("""
         SELECT c_mktsegment, count(*) AS n_orders,
-               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS total_cents
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
@@ -121,9 +125,11 @@ object Bucketing {
     QueryDef(
       "q161_bucketed_agg",
       (s, dir) => bucketedCustomerRollup(s, dir),
+      // same HUGEINT->BIGINT cast rationale as q155
       Some("""
         SELECT o_custkey, count(*) AS n_orders,
-               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS total_cents
         FROM orders
         GROUP BY o_custkey
         ORDER BY o_custkey

@@ -148,7 +148,10 @@ object FunctionCoverage {
       },
       Some("""
         SELECT event_type,
-               sum(CASE WHEN k >= 50 THEN k ELSE 0 END) AS sum_hi,
+               -- CAST: DuckDB sum(BIGINT) is HUGEINT -> float64 in the
+               -- driver's pandas fetch; BIGINT keeps it integer-exact
+               CAST(sum(CASE WHEN k >= 50 THEN k ELSE 0 END) AS BIGINT)
+                 AS sum_hi,
                count(CASE WHEN k >= 50 THEN 1 END) AS n_hi,
                count(*) AS n
         FROM (SELECT event_type,
@@ -185,7 +188,7 @@ object FunctionCoverage {
       Some("""
         SELECT lower(CASE WHEN doc_id % 2 = 0 THEN upper(source)
                           ELSE source END) AS src,
-               count(*) AS n, sum(n_chars) AS chars
+               count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
         FROM documents
         WHERE regexp_matches(source, '^[\x00-\x7F]*$')
         GROUP BY 1

@@ -110,7 +110,10 @@ object Graph {
         ${oracleIter("r0", "r1")},
         ${oracleIter("r1", "r2")},
         ${oracleIter("r2", "r3")}
-        SELECT (node - 1) // 2 AS s_suppkey, rank
+        SELECT (node - 1) // 2 AS s_suppkey,
+               -- CAST: the HUGEINT from sum(rank // deg) propagates into
+               -- rank; the driver's pandas fetch would float64 it
+               CAST(rank AS BIGINT) AS rank
         FROM r3 WHERE node % 2 = 1
         ORDER BY s_suppkey"""))
   )

@@ -81,12 +81,26 @@ def main():
         try:
             o_rel = con.sql(oracles[name])
             o_cols = list(o_rel.columns)
+            o_types = [str(t) for t in o_rel.types]
             o_rows = o_rel.fetchall()
         except Exception as e:
             print(f"ORACLE-ERR {name}: {e}")
             n_fail += 1
             continue
         problems = []
+        # pandas-lossy oracle output types: the DRIVER fetches via pandas,
+        # where HUGEINT (DuckDB's sum(BIGINT) result) becomes float64 and
+        # hash-mismatches Spark's long even when values are identical.
+        # fetchall() here would hide that, so fail on the type itself.
+        # (round-5 finding: q155/q159/q160/q161/q164/q181 all lost their
+        # driver hash to exactly this; fix is CAST(... AS BIGINT).)
+        lossy = [f"{c}:{t}" for c, t in zip(o_cols, o_types)
+                 if t in ("HUGEINT", "UHUGEINT", "UBIGINT")
+                 or t.startswith("DECIMAL")]
+        if lossy:
+            problems.append(
+                "pandas-lossy oracle type(s) " + ",".join(lossy)
+                + " - CAST to BIGINT/DOUBLE in the oracle SQL")
         if sorted(s_cols) != sorted(o_cols):
             problems.append(f"cols spark={sorted(s_cols)} oracle={sorted(o_cols)}")
         if len(s_rows) != len(o_rows):
