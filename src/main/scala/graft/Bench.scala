@@ -71,6 +71,9 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
 
     var ranSinceGc = 0
+    // first query whose watchdog-killed worker refused to die: every
+    // measurement after it shares cores with the zombie (ADVICE r5)
+    var degradedFrom: Option[String] = None
     /** One measured execution with the standard between-query hygiene. */
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
       // no cross-query cache reuse: a cached frame left by an earlier
@@ -123,6 +126,15 @@ object Bench {
           try sq.stop() catch { case _: Throwable => () })
         worker.interrupt()
         worker.join(30000)
+        // a worker that survives the interrupt (uninterruptible native /
+        // parquet IO) keeps running CONCURRENTLY with every later
+        // measurement, contending for cores — record the session as
+        // degraded from this query on so overlapped timings are
+        // identifiable in the artifact
+        if (worker.isAlive) {
+          System.err.println(s"[watchdog] $name zombie survived interrupt - session degraded")
+          degradedFrom = degradedFrom.orElse(Some(name))
+        }
       }
       // terminated events post asynchronously — drain briefly so a
       // stream's runtime is attributed to the query that ran it; then
@@ -201,13 +213,16 @@ object Bench {
       }
     }
 
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // value rendering: 3 decimals (ms precision) — the full-precision
+    // doubles bloated round-5's line past the driver's capture window
+    def ms(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     // per-phase split for queries that ran a stream: stream_sec is
     // trigger-to-sink execution, setup_sec the remaining harness cost
     val phases = results.collect { case (k, v, s) if s > 0 =>
-      s"\"" + k + "\":{\"stream_sec\":" + s +
-        ",\"setup_sec\":" + math.max(0.0, v - s) + "}"
+      s"\"" + k + "\":{\"stream_sec\":" + ms(s) +
+        ",\"setup_sec\":" + ms(math.max(0.0, v - s)) + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // regression report: >2x over the historical best AND >1s absolute
@@ -225,29 +240,57 @@ object Bench {
       }
     }
     val regJson = regressed.map { case (k, v, b) =>
-      s"\"" + k + "\":{\"sec\":" + v + ",\"best_sec\":" + b + "}"
+      s"\"" + k + "\":{\"sec\":" + ms(v) + ",\"best_sec\":" + ms(b) + "}"
     }.mkString("{", ",", "}")
     val retryJson = retried.toSeq.sortBy(_._1).map { case (k, (f, r)) =>
-      s"\"" + k + "\":{\"first_sec\":" + f + ",\"retry_sec\":" + r + "}"
+      s"\"" + k + "\":{\"first_sec\":" + ms(f) + ",\"retry_sec\":" + ms(r) + "}"
     }.mkString("{", ",", "}")
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming_phases":$phases,"regressed":$regJson,"retried":$retryJson,"sf":"$sfDir"}"""
-    println(line)
-    // also persist to a file: the driver's stdout capture truncates long
-    // runs (round-1 BENCH artifact lost q01-q31), and round-over-round
-    // comparison needs the complete per-query map
+    val degJson = degradedFrom
+      .map(n => s""","degraded_from":"$n"""").getOrElse("")
+    // the COMPLETE record — full per-query map, stream phases, retry and
+    // regression detail — goes to files only (BENCH_LATEST.json + the
+    // append-only history). It is ~12KB for 180 queries.
+    val full =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"streaming_phases":$phases,"regressed":$regJson,"retried":$retryJson$degJson,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-        "/root/repo/BENCH_LATEST.json")), line + "\n")
-    // and append to a history log so no round's numbers are ever lost to
-    // artifact truncation (each line is a complete self-dated record)
-    val stamped = line.dropRight(1) +
+        "/root/repo/BENCH_LATEST.json")), full + "\n")
+    // append-only history: no round's numbers are ever lost to artifact
+    // truncation (each line is a complete self-dated record); this is
+    // also what the retry pass reads its per-query historical bests from
+    val stamped = full.dropRight(1) +
       s""","wall_clock_ms":${System.currentTimeMillis()}}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_HISTORY.jsonl"),
       stamped + "\n",
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
+    // STDOUT gets a line that FITS THE DRIVER'S CAPTURE: the driver keeps
+    // only the last ~2000 chars of stdout and json-parses what it finds
+    // there — the full line above has overflowed that window every round
+    // so far (BENCH_r03..r05 all record parsed:null). Contract fields
+    // stay (metric/value/unit/queries/sf); `queries` carries a fixed
+    // headline subset spanning every operator family, `n_queries` says
+    // how many the total covers, and `detail` points at the full record.
+    val headline = Seq(
+      "q01_pricing_summary", "q03_join_revenue_by_nation",
+      "q09_broadcast_join_brand_revenue", "q25_topk_orders",
+      "q27_ranking_functions", "q32_global_sort_suppliers",
+      "q43_dedup_minhash_lsh", "q46_knn_bruteforce", "q53_mr_token_count",
+      "q56_stream_tumbling_window", "q65_pivot_status",
+      "q85_stream_stream_join", "q100_dedup_components",
+      "q103_training_pipeline", "q104_bm25_search", "q122_sequence_packing",
+      "q130_semantic_dedup", "q155_bucketed_join", "q158_kmeans_clusters",
+      "q162_incremental_job_pipeline", "q176_inverted_index",
+      "q181_pagerank")
+    val resMap = results.map { case (k, v, _) => k -> v }.toMap
+    val headQs = headline.flatMap(k => resMap.get(k).map(v =>
+      s"\"" + k + "\":" + ms(v))).mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"queries":$headQs,"detail":"BENCH_LATEST.json"$degJson,"sf":"$sfDir"}"""
+    if (line.length > 1800) System.err.println(
+      s"[bench] WARNING stdout line ${line.length} chars may overflow driver capture")
+    println(line)
     spark.stop()
   }
 }
