@@ -698,6 +698,15 @@ object Dedup {
   def minhashBandIndex(docs: DataFrame): DataFrame =
     bandKeys(hashedShingles(docs)).select(col("band"), col("bk")).distinct()
 
+  /** Per-doc LSH band keys (doc_id, band, bk) — the id-carrying form of
+    * [[minhashBandIndex]]. Public so incremental jobs can derive a
+    * survivor-scoped index from the SAME cached lineage their dedup pass
+    * pinned (identical plan → the CacheManager shares the
+    * materialization) instead of re-running the shingle+minhash pass
+    * over the survivor text. */
+  def bandKeysOf(docs: DataFrame): DataFrame =
+    bandKeys(hashedShingles(docs))
+
   /** Incremental (cross-batch) NEAR-dup dedup: drop new docs that (a)
     * share any LSH band key with the persisted `seenBands` index —
     * the same candidate criterion [[minhashLshPairs]] uses, applied

@@ -170,4 +170,35 @@ class JobsSpec extends SparkSpec {
     assert(IncrementalJobs.readIndex(spark, indexDir)
       .except(expected).count() == 0)
   }
+
+  test("replay of an EARLIER batch ignores later-sequenced index partitions") {
+    import spark.implicits._
+    // In the natural flow a later survivor can never share a band with an
+    // earlier one (the screen guarantees disjointness) — but a partition
+    // seeded by a crashed half-run, a different threshold, or another
+    // pipeline sharing the index CAN collide. seq-scoped history makes
+    // the replay read exactly the state the batch originally saw.
+    val root = Files.createTempDirectory("neardup_seq_").toString
+    val (indexDir, outDir) = (s"$root/index", s"$root/out")
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val in = s"$root/in_b1"
+    Seq((1L, base)).toDF("doc_id", "text").write.parquet(in)
+    IncrementalJobs.runBatch(spark, "b1", in, indexDir, outDir, 0.5)
+    assert(spark.read.parquet(s"$outDir/batch=b1").count() == 1)
+    // adversarial later partition: doc 1's OWN band keys at seq 1
+    graft.operators.Dedup
+      .minhashBandIndex(Seq((99L, base)).toDF("doc_id", "text"))
+      .withColumn("seq", org.apache.spark.sql.functions.lit(1L))
+      .write.mode("overwrite").parquet(s"$indexDir/batch=evil")
+    // replay b1: its stored seq (0) scopes history to seq < 0 = empty,
+    // so the colliding seq-1 keys are invisible and doc 1 survives
+    IncrementalJobs.runBatch(spark, "b1", in, indexDir, outDir, 0.5)
+    assert(spark.read.parquet(s"$outDir/batch=b1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L))
+    // a genuinely NEW batch (seq 2) does screen against those keys
+    val in2 = s"$root/in_b2"
+    Seq((2L, base)).toDF("doc_id", "text").write.parquet(in2)
+    IncrementalJobs.runBatch(spark, "b2", in2, indexDir, outDir, 0.5)
+    assert(spark.read.parquet(s"$outDir/batch=b2").count() == 0)
+  }
 }
