@@ -17,13 +17,14 @@ import graft.engine.Tables
   *    global sort; parallelism is key-count wide. The daily-state
   *    pre-aggregation (max_by per (key, day)) is partial-aggregated
   *    map-side, so the shuffle carries at most one row per key-day.
-  *  - snapshotDiff shuffles 16-byte (key, hash) rows, NOT full records:
-  *    each side is projected to xxhash64 of its compare-attrs before the
-  *    full-outer join, so diffing two 100 TB snapshots moves ~2×|keys|×16
-  *    bytes. Hash equality within one engine is exact-input; a 2^-64
-  *    collision would misclassify a changed row as unchanged — the DuckDB
-  *    oracle compares attributes directly, so any such event (or a hash
-  *    bug) surfaces as a gate mismatch rather than hiding.
+  *  - snapshotDiff shuffles 24-byte (key, hash, null-mask) rows, NOT
+  *    full records: each side is projected to xxhash64 of its
+  *    compare-attrs plus a null-position bitmask before the full-outer
+  *    join, so diffing two 100 TB snapshots moves ~2×|keys|×24 bytes.
+  *    Hash equality within one engine is exact-input; a 2^-64 collision
+  *    would misclassify a changed row as unchanged — the DuckDB oracle
+  *    compares attributes directly (NULL-safely), so any such event (or
+  *    a hash bug) surfaces as a gate mismatch rather than hiding.
   */
 object ChangeData {
 
@@ -52,19 +53,33 @@ object ChangeData {
 
   /** Snapshot reconciliation: classify every key across two snapshots as
     * added / removed / changed / unchanged and return per-class counts
-    * with key bounds. Sides are reduced to (key, attr-hash) before the
-    * join — the only full-width scan is the local projection. */
+    * with key bounds. Sides are reduced to (key, attr-hash, null-mask)
+    * before the join — the only full-width scan is the local projection.
+    *
+    * Equality is NULL-SAFE per attribute (the IS NOT DISTINCT FROM
+    * contract): xxhash64 skips NULL children, so the hash alone would
+    * call (NULL,'a') vs ('a',NULL) — and any other null-position
+    * rearrangement — unchanged. A null-position bitmask (one bit per
+    * attr, codegen'd, no serialization) travels with the hash; rows are
+    * unchanged only when both agree. NULL vs NULL in the same position
+    * compares unchanged, matching IS NOT DISTINCT FROM. */
   def snapshotDiff(a: DataFrame, b: DataFrame, key: String,
       attrs: Seq[String]): DataFrame = {
+    require(attrs.nonEmpty && attrs.size <= 63,
+      s"1..63 compare attrs (got ${attrs.size}: one bit per attr)")
     val s = a.sparkSession
     import s.implicits._
+    val nullMask = attrs.zipWithIndex.map { case (c, i) =>
+      when(col(c).isNull, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
     def hashed(df: DataFrame, h: String) =
-      df.select(col(key), xxhash64(attrs.map(col): _*).as(h))
+      df.select(col(key), xxhash64(attrs.map(col): _*).as(h),
+        nullMask.as(s"${h}_m"))
     hashed(a, "_ha").join(hashed(b, "_hb"), Seq(key), "full_outer")
       .withColumn("change_type",
         when($"_hb".isNull, "removed")
           .when($"_ha".isNull, "added")
-          .when($"_ha" === $"_hb", "unchanged")
+          .when($"_ha" === $"_hb" && $"_ha_m" === $"_hb_m", "unchanged")
           .otherwise("changed"))
       .groupBy($"change_type")
       .agg(count(lit(1)).as("n"),
@@ -141,9 +156,9 @@ object ChangeData {
           SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k,
                  CASE WHEN b.o_orderkey IS NULL THEN 'removed'
                       WHEN a.o_orderkey IS NULL THEN 'added'
-                      WHEN a.o_orderstatus = b.o_orderstatus
-                           AND a.o_orderpriority = b.o_orderpriority
-                           AND a.o_totalprice = b.o_totalprice
+                      WHEN a.o_orderstatus IS NOT DISTINCT FROM b.o_orderstatus
+                           AND a.o_orderpriority IS NOT DISTINCT FROM b.o_orderpriority
+                           AND a.o_totalprice IS NOT DISTINCT FROM b.o_totalprice
                         THEN 'unchanged'
                       ELSE 'changed' END AS change_type
           FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)

@@ -35,11 +35,18 @@ object Linkage {
     val del0 = s"array($c)"
     val del1 =
       s"transform(sequence(1, length($c)), i -> concat(left($c, i - 1), substring($c, i + 1, 1000000)))"
+    // outer range guarded for length < 2: sequence(1, 0) in Spark is a
+    // DESCENDING [1, 0], which would emit spurious empty/malformed
+    // variants — and the empty string then becomes one shared blocking
+    // key across ALL short names (a hot bucket; correctness survives
+    // the exact verify, candidate volume does not)
     val del2 =
-      s"""flatten(transform(sequence(1, length($c) - 1), i ->
-            transform(sequence(i + 1, length($c)), j ->
-              concat(left($c, i - 1), substring($c, i + 1, j - i - 1),
-                     substring($c, j + 1, 1000000)))))"""
+      s"""CASE WHEN length($c) >= 2 THEN
+            flatten(transform(sequence(1, length($c) - 1), i ->
+              transform(sequence(i + 1, length($c)), j ->
+                concat(left($c, i - 1), substring($c, i + 1, j - i - 1),
+                       substring($c, j + 1, 1000000)))))
+          ELSE array() END"""
     val parts = if (k == 1) Seq(del0, del1) else Seq(del0, del1, del2)
     s"array_distinct(flatten(array(${parts.mkString(", ")})))"
   }

@@ -40,7 +40,13 @@ object ZOrder {
   }
 
   /** Scale-to-grid SQL fragment, [0, 2^bits): integer-exact
-    * (v - lo) * 2^bits DIV (hi - lo + 1). */
+    * (v - lo) * 2^bits DIV (hi - lo + 1).
+    *
+    * PRECONDITION: v >= lo and hi >= lo (both operands of the DIV
+    * non-negative). Callers here satisfy it by construction (lo/hi are
+    * min/max over the same rows). For negative operands Spark's DIV
+    * truncates toward zero while DuckDB's // floors — the fragment is
+    * not engine-portable outside the precondition. */
   def gridScaleSql(v: String, lo: String, hi: String, bits: Int = 8): String =
     s"(($v - $lo) * ${1 << bits}) DIV ($hi - $lo + 1)"
 
@@ -57,8 +63,12 @@ object ZOrder {
       "q167_zorder_layout",
       (s, dir) => {
         import s.implicits._
+        // calendar-day bucket via date conversion, NOT unix_micros DIV
+        // 86400000000: date conversion floors for pre-1970 timestamps in
+        // both engines, where integer DIV would truncate toward zero in
+        // Spark and floor in DuckDB (ADVICE r5 parity trap)
         val ev = t(s, dir, "events").select($"user_id".as("x"),
-          expr("unix_micros(ts) DIV 86400000000").as("y"))
+          expr("datediff(to_date(ts), date'1970-01-01')").cast("long").as("y"))
         val mm = ev.agg(min($"x").as("xlo"), max($"x").as("xhi"),
           min($"y").as("ylo"), max($"y").as("yhi"))
         // materialized ONCE (repo materialization discipline): both
@@ -85,7 +95,9 @@ object ZOrder {
       },
       Some("""
         WITH ev AS (
-          SELECT user_id AS x, epoch_us(ts) // 86400000000 AS y
+          SELECT user_id AS x,
+                 CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(ts AS DATE)) AS BIGINT) AS y
           FROM events),
         mm AS (SELECT min(x) AS xlo, max(x) AS xhi,
                       min(y) AS ylo, max(y) AS yhi FROM ev),

@@ -46,6 +46,29 @@ class LinkageSpec extends SparkSpec {
     assert(viaBlocker(2) == bf)
   }
 
+  test("length<2 names with k=2: still lossless, no malformed variants") {
+    import spark.implicits._
+    // sequence(1, length-1) would be a DESCENDING [1,0] for 1-char names
+    // without the guard; losslessness must survive because del1 already
+    // yields "" for them ("a"~"bc" at distance 2 share only "")
+    val short = Seq("a", "b", "ab", "bc", "xyz")
+    val bf = (for {
+      x <- short; y <- short if x < y
+      d = lev(x, y) if d <= 2
+    } yield (x, y, d)).toSet
+    val got = Linkage.fuzzySelfJoin(short.toDF("s"), "s", 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == bf)
+    // and the variant generator emits no malformed strings for 1-char
+    // input: exactly the identity and the single deletion
+    val vs = Seq("a").toDF("s")
+      .selectExpr("explode(array_distinct(flatten(array(array(s), " +
+        "transform(sequence(1, length(s)), i -> concat(left(s, i - 1), " +
+        "substring(s, i + 1, 1000000)))))))")
+      .collect().map(_.getString(0)).toSet
+    assert(vs == Set("a", ""))
+  }
+
   test("duplicate input names collapse — no self pairs emitted") {
     import spark.implicits._
     val r = Linkage.fuzzySelfJoin(
