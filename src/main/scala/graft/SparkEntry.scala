@@ -36,7 +36,8 @@ object SparkEntry {
     ZOrder.defs,
     ChangeData.defs,
     Linkage.defs,
-    Graph.defs)
+    Graph.defs,
+    Maintenance.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 

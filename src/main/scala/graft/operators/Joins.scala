@@ -368,6 +368,76 @@ object Joins {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_orderpriority = '1-URGENT'
         GROUP BY l_returnflag
-        ORDER BY l_returnflag"""))
+        ORDER BY l_returnflag""")),
+
+    // ----- interval overlap self-join (bin blocking + exact verify) ------
+    // max-quantity shipments whose 7-day shipping windows overlapped:
+    // the oracle is the O(n²) scan the binning avoids
+    QueryDef(
+      "q183_interval_overlap_join",
+      (s, dir) => {
+        import s.implicits._
+        val iv = t(s, dir, "lineitem")
+          .filter($"l_quantity" >= 50)
+          .select(($"l_orderkey" * 10 + $"l_linenumber").as("id"),
+            expr("CAST(datediff(to_date(l_shipdate), date'1970-01-01') AS BIGINT)")
+              .as("s"))
+          .withColumn("e", $"s" + 7)
+        intervalSelfOverlap(iv, binWidth = 8)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""
+        WITH iv AS (
+          SELECT l_orderkey * 10 + l_linenumber AS id,
+                 CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(l_shipdate AS DATE)) AS BIGINT) AS s,
+                 CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(l_shipdate AS DATE)) AS BIGINT) + 7 AS e
+          FROM lineitem WHERE l_quantity >= 50)
+        SELECT a.id AS id_a, b.id AS id_b,
+               least(a.e, b.e) - greatest(a.s, b.s) + 1 AS overlap_days
+        FROM iv a JOIN iv b
+          ON a.id < b.id AND a.s <= b.e AND b.s <= a.e
+        ORDER BY id_a, id_b"""))
   )
+
+  /** All unordered pairs of overlapping integer intervals from one
+    * input, via bin blocking + exact verify. Input must carry columns
+    * (id, s, e) with s <= e on an integer grid (e.g. days); output is
+    * (id_a, id_b, overlap_days) with id_a < id_b.
+    *
+    * Scale shape — the interval analogue of the deletion-neighborhood
+    * blocker: a naive overlap self-join is O(n²) comparisons with no
+    * equi-key for Spark to hash on (a pure theta-join = broadcast nested
+    * loop). Binning makes it an EQUI-join: each interval explodes to the
+    * ~(len/binWidth + 1) bins it touches, candidates are pairs sharing a
+    * bin, and the exact predicate verifies candidates only. Lossless:
+    * overlapping intervals share a covered day, hence its bin (the
+    * bin function is monotone — integer DIV truncation included, so
+    * negative-day inputs stay correct; bins just straddle zero wider).
+    *
+    * Sizing: binWidth ≈ the typical interval length keeps the explode
+    * factor ~2 and bucket population proportional to interval density
+    * per bin-window. Pathologically long intervals explode to many bins
+    * — route a bounded "long" subset through a broadcast nested loop
+    * instead if the length distribution is heavy-tailed (same hot-key
+    * discipline as the salted join, q74). Duplicate candidates from
+    * multi-bin overlaps collapse via distinct BEFORE the verify, so the
+    * exact predicate runs once per pair. */
+  def intervalSelfOverlap(iv: DataFrame, binWidth: Long): DataFrame = {
+    val s = iv.sparkSession
+    import s.implicits._
+    require(binWidth > 0, "binWidth must be positive")
+    val binned = iv.select($"id", $"s", $"e",
+      explode(expr(s"sequence(s DIV ${binWidth}L, e DIV ${binWidth}L)"))
+        .as("bin"))
+    binned.select($"id".as("id_a"), $"s".as("sa"), $"e".as("ea"), $"bin")
+      .join(binned.select($"id".as("id_b"), $"s".as("sb"), $"e".as("eb"),
+        $"bin"), Seq("bin"))
+      .filter($"id_a" < $"id_b" && $"sa" <= $"eb" && $"sb" <= $"ea")
+      .select($"id_a", $"id_b",
+        (least($"ea", $"eb") - greatest($"sa", $"sb") + lit(1L))
+          .as("overlap_days"))
+      .distinct()
+  }
 }
