@@ -289,6 +289,63 @@ object TrainingPipeline {
   // fixture-bound oracle queries
   // ------------------------------------------------------------------
 
+  /** Token-budget-exact corpus selection: take documents in
+    * (`rankCol` DESC, doc_id ASC) order while the running token sum
+    * stays within `budget` — the budget-constrained "best docs first"
+    * subset selection of a data-mixing pipeline.
+    *
+    * The naive phrasing is a window over the GLOBAL order (single
+    * partition — a non-starter at corpus scale). This is the two-level
+    * exact equivalent:
+    *  1. docs bucket by `rankCol DIV bucketWidth`; per-bucket token
+    *     totals aggregate map-side (|buckets| rows shuffle — the only
+    *     full-corpus pass);
+    *  2. bucket-level exclusive running totals (a window over the TINY
+    *     bucket summary) classify each bucket: wholly inside the
+    *     budget, wholly outside, or THE boundary bucket (at most one
+    *     when totals are positive);
+    *  3. wholly-inside buckets pass through with NO sort; only the
+    *     boundary bucket pays an exact (rankCol DESC, doc_id) window,
+    *     partitioned by bucket — bounded work however large the corpus.
+    * Exactness: rankCol DIV w is monotone, so bucket order refines the
+    * global order; within the boundary bucket the window replays it
+    * exactly. All arithmetic is integer (token counts), so the
+    * bucket-offset + in-bucket cumulative decomposition is bit-exact
+    * against the single-window oracle. Zero-token docs at the cut line
+    * follow the same cum <= budget rule in both phrasings. */
+  def tokenBudgetSelect(docs: DataFrame, budget: Long,
+      bucketWidth: Long = 64L): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(budget >= 0 && bucketWidth > 0)
+    val base = docs.select($"doc_id", $"n_chars",
+      size(split($"text", " ")).cast("long").as("n_tok"))
+    val bucketed = base.withColumn("bucket",
+      expr(s"n_chars DIV ${bucketWidth}L"))
+    val buckets = bucketed.groupBy($"bucket").agg(sum($"n_tok").as("btok"))
+    // exclusive prefix over better (higher) buckets; |buckets| rows, so
+    // the unpartitioned window is a few KB on one task by design
+    val offs = buckets.withColumn("off",
+      coalesce(sum($"btok").over(Window.orderBy($"bucket".desc)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val full = offs.filter($"off" + $"btok" <= budget).select($"bucket")
+    val boundary = offs
+      .filter($"off" <= budget && $"off" + $"btok" > budget)
+      .select($"bucket", $"off")
+    val keptFull = bucketed
+      .join(broadcast(full), Seq("bucket"), "left_semi")
+      .select($"doc_id", $"n_chars", $"n_tok")
+    val wIn = Window.partitionBy($"bucket")
+      .orderBy($"n_chars".desc, $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keptBoundary = bucketed
+      .join(broadcast(boundary), Seq("bucket"))
+      .withColumn("cum", sum($"n_tok").over(wIn))
+      .filter($"off" + $"cum" <= budget)
+      .select($"doc_id", $"n_chars", $"n_tok")
+    keptFull.unionByName(keptBoundary)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // eval-set leak check: docs ≡ 0 (mod 7) play the benchmark, the rest
@@ -568,6 +625,26 @@ object TrainingPipeline {
         SELECT 'naive' AS scheme, count(*) AS n_batches,
                round(1 - sum(tot)::DOUBLE / sum(n * mx), 4) AS padding_waste
         FROM nw
-        ORDER BY scheme"""))
+        ORDER BY scheme""")),
+
+    // budget-constrained "best docs first" selection; the oracle is the
+    // single-window global phrasing the bucketed algorithm decomposes
+    QueryDef(
+      "q184_token_budget_select",
+      (s, dir) => tokenBudgetSelect(
+        Tables.load(s, dir, "documents"), budget = 20000L)
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, n_chars,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents),
+        o AS (
+          SELECT *, sum(n_tok) OVER (ORDER BY n_chars DESC, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum
+          FROM d)
+        SELECT doc_id, n_chars, n_tok
+        FROM o WHERE cum <= 20000
+        ORDER BY doc_id"""))
   )
 }

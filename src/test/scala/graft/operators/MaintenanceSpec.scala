@@ -49,4 +49,30 @@ class MaintenanceSpec extends SparkSpec {
     val right = Maintenance.mergeState(a, Maintenance.mergeState(b, c))
     assert(canon(left) == canon(right))
   }
+
+  test("tokenBudgetSelect equals the global-window phrasing, budgets swept") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    // texts with tied n_chars across bucket boundaries
+    val docs = (1L to 150L).map { id =>
+      val n = 1 + rnd.nextInt(12)
+      (id, Seq.fill(n)("w").mkString(" "))
+    }.map { case (id, text) => (id, text, text.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+    def brute(budget: Long): Set[Long] = {
+      val rows = docs.select("doc_id", "n_chars", "text").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getString(2).split(" ").length.toLong))
+        .sortBy { case (id, nc, _) => (-nc, id) }
+      var cum = 0L
+      rows.takeWhile { case (_, _, t) => { cum += t; cum <= budget } }
+        .map(_._1).toSet
+    }
+    for (budget <- Seq(0L, 37L, 200L, 420L, 100000L);
+         width <- Seq(1L, 4L, 64L)) {
+      val got = TrainingPipeline.tokenBudgetSelect(docs, budget, width)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == brute(budget), s"budget=$budget width=$width")
+    }
+  }
 }
