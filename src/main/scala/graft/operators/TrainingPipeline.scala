@@ -346,6 +346,40 @@ object TrainingPipeline {
     keptFull.unionByName(keptBoundary)
   }
 
+  /** Deterministic shard write + integrity manifest — the terminal step
+    * of a curation pipeline: lay the corpus out as `nShards` hash-
+    * assigned shard partitions under `outDir`, then account for what
+    * was ACTUALLY written by re-reading the files and summarizing each
+    * shard as (n_docs, n_tokens, digest). The digest is an
+    * order-independent sum of 40-bit per-doc content hashes
+    * (h60(text) DIV 2^20), so at most ~2^23 docs per shard stay clear
+    * of 63-bit overflow — KB-scale manifests for TB-scale shards.
+    *
+    * The integrity story: the oracle (and any downstream consumer)
+    * recomputes the same manifest from the SOURCE table; a dropped,
+    * duplicated, or cross-assigned row during the write shows up as a
+    * digest/count mismatch on exactly the affected shard. This is the
+    * reference's per-file accounting (`hold_state` checks file names
+    * only — /root/reference/mapper.py:110-143) upgraded to content
+    * checksums. Shard assignment is content-keyed (h60 of doc_id), so
+    * re-running the pipeline reproduces identical shard membership. */
+  def shardManifest(docs: DataFrame, nShards: Int,
+      outDir: String): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(nShards > 0)
+    docs.select($"doc_id", $"text",
+        pmod(Dedup.h60($"doc_id".cast("string")), lit(nShards.toLong))
+          .as("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    s.read.parquet(outDir)
+      .groupBy($"shard".cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split($"text", " ")).cast("long")).as("n_tokens"),
+        sum(shiftright(Dedup.h60($"text"), 20)).as("digest"))
+      .orderBy($"shard")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // eval-set leak check: docs ≡ 0 (mod 7) play the benchmark, the rest
@@ -645,6 +679,30 @@ object TrainingPipeline {
           FROM d)
         SELECT doc_id, n_chars, n_tok
         FROM o WHERE cum <= 20000
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // shard write + read-back manifest; the oracle recomputes the same
+    // accounting from the SOURCE table, so any row dropped, duplicated
+    // or misrouted by the write diverges on the affected shard
+    QueryDef(
+      "q185_shard_manifest",
+      (s, dir) => {
+        val out = new java.io.File(graft.engine.GraftSession.scratchRoot,
+          s"shards_q185_${Integer.toHexString(dir.hashCode)}")
+          .getAbsolutePath
+        shardManifest(Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text")), 8, out)
+      },
+      Some("""
+        SELECT CAST(abs(CAST(concat('0x', substring(md5(
+                 CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)) % 8 AS BIGINT)
+                 AS shard,
+               count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+               CAST(sum(CAST(concat('0x', substring(md5(text), 1, 15))
+                 AS BIGINT) // 1048576) AS BIGINT) AS digest
+        FROM documents
+        GROUP BY 1
+        ORDER BY shard"""))
   )
 }
