@@ -406,4 +406,29 @@ class PlanAuditSpec extends SparkSpec {
       set.foreach { case (k, _) => spark.conf.unset(k) }
     }
   }
+
+  test("q183: interval overlap join is an equi-join on bins, never a nested loop") {
+    val p = plan("q183_interval_overlap_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "theta-join fell back to a nested loop — bin blocking not in effect")
+    // quantity filter still reaches the scan under the explode
+    assert(p.contains("GreaterThanOrEqual(l_quantity,50.0)"),
+      "selection not pushed below the bin explode")
+  }
+
+  test("q184: budget selection sorts at most the boundary bucket, not the corpus") {
+    import org.apache.spark.sql.functions._
+    // audit the OPERATOR (not the query, whose final orderBy(doc_id) is
+    // output determinism for the oracle): the only window sorts are
+    // bucket-partitioned or over the |buckets|-row summary — no
+    // full-corpus range partitioning
+    val docs = graft.engine.Tables.load(spark, sf, "documents")
+    val p = graft.plans.PlanInspector.formatted(
+      graft.operators.TrainingPipeline.tokenBudgetSelect(docs, 2000L))
+    val rangeExchanges = p.linesIterator
+      .filter(l => l.contains("Exchange rangepartitioning")).toSeq
+    assert(rangeExchanges.isEmpty,
+      s"global sort in the selection path:\n${rangeExchanges.mkString("\n")}")
+  }
 }
