@@ -37,7 +37,8 @@ object SparkEntry {
     ChangeData.defs,
     Linkage.defs,
     Graph.defs,
-    Maintenance.defs)
+    Maintenance.defs,
+    Quality.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 

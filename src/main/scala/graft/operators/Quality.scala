@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Data-quality constraint validation: declared rules evaluated in bulk,
+  * reported as (rule, n_checked, n_violations). The reference's only
+  * quality story is whatever each hand-written mapper chose to assert
+  * inline (`/root/reference/mapper.py:55-62` — per-row Python with no
+  * reporting); here constraints are data, not code.
+  *
+  * Scale shape:
+  *  - row-level rules (`checkRules`) compile to ONE pass over the input
+  *    — each rule is a conditional count inside a single aggregate, so
+  *    checking 50 rules on 100 TB costs one scan plus a 1-row-per-rule
+  *    result. No shuffle of data rows at all (partial aggregates only).
+  *  - referential integrity (`refViolations`) is a left-anti join — the
+  *    bloom-prunable shape AQE handles well; only keys shuffle.
+  *  - uniqueness (`duplicateKeys`) is a keyed count>1 — partial-agg
+  *    map-side, |dup keys| rows out.
+  */
+object Quality {
+
+  /** Evaluate row-level rules in one scan. Each rule is (name,
+    * violation-predicate); NULL predicate results count as violations
+    * (a rule that cannot evaluate did not pass). */
+  def checkRules(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty)
+    val s = df.sparkSession
+    import s.implicits._
+    val aggs = count(lit(1)).as("n_checked") +:
+      rules.map { case (name, viol) =>
+        count(when(coalesce(viol, lit(true)), 1)).as(s"v_$name")
+      }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    // pivot the single wide row to (rule, n_checked, n_violations) rows
+    row.selectExpr(
+      s"inline(array(${rules.map { case (n, _) =>
+        s"struct('$n' AS rule, n_checked, v_$n AS n_violations)"
+      }.mkString(", ")}))")
+  }
+
+  /** Rows of `child` whose `childKey` has no match in `parent` — the
+    * referential-integrity violation set. */
+  def refViolations(child: DataFrame, childKey: String, parent: DataFrame,
+      parentKey: String): DataFrame =
+    child.join(parent.select(col(parentKey).as(childKey)).distinct(),
+      Seq(childKey), "left_anti")
+
+  /** Key values appearing more than once (uniqueness violations). */
+  def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+
+  // ------------------------------------------------------------------
+  // fixture-bound oracle queries
+  // ------------------------------------------------------------------
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // a rule pack over orders + referential / uniqueness checks, all in
+    // one report; the fixture is clean on some rules and dirty on others
+    // (totalprice range is violated by design), so both zero and
+    // non-zero violation counts are exercised
+    QueryDef(
+      "q186_quality_rules",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val rowRules = checkRules(o, Seq(
+          "orderdate_not_null" -> $"o_orderdate".isNull,
+          "priority_domain" -> !$"o_orderpriority".isin(
+            "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+          "totalprice_range" ->
+            ($"o_totalprice" <= 0.0 || $"o_totalprice" > 300000.0)))
+        val refRule = refViolations(o, "o_custkey", c, "c_custkey")
+          .agg(count(lit(1)).as("n_violations"))
+          .select(lit("custkey_ref").as("rule"),
+            lit(-1L).as("n_checked"), $"n_violations")
+        val uniqRule = duplicateKeys(o, Seq("o_orderkey"))
+          .agg(count(lit(1)).as("n_violations"))
+          .select(lit("orderkey_unique").as("rule"),
+            lit(-1L).as("n_checked"), $"n_violations")
+        rowRules.unionByName(refRule).unionByName(uniqRule)
+          .orderBy($"rule")
+      },
+      Some("""
+        WITH rows_checked AS (SELECT count(*) AS n FROM orders)
+        SELECT 'custkey_ref' AS rule, CAST(-1 AS BIGINT) AS n_checked,
+               (SELECT count(*) FROM orders
+                WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+                 AS n_violations
+        UNION ALL
+        SELECT 'orderdate_not_null', (SELECT n FROM rows_checked),
+               (SELECT count(*) FROM orders WHERE o_orderdate IS NULL)
+        UNION ALL
+        SELECT 'orderkey_unique', CAST(-1 AS BIGINT),
+               (SELECT count(*) FROM (
+                  SELECT o_orderkey FROM orders
+                  GROUP BY o_orderkey HAVING count(*) > 1))
+        UNION ALL
+        SELECT 'priority_domain', (SELECT n FROM rows_checked),
+               (SELECT count(*) FROM orders
+                WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH',
+                  '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW'))
+        UNION ALL
+        SELECT 'totalprice_range', (SELECT n FROM rows_checked),
+               (SELECT count(*) FROM orders
+                WHERE o_totalprice <= 0.0 OR o_totalprice > 300000.0)
+        ORDER BY rule"""))
+  )
+}
