@@ -50,6 +50,73 @@ object Maintenance {
         min(col("mn")).as("mn"), max(col("mx")).as("mx"))
 
   // ------------------------------------------------------------------
+  // retraction (signed-delta) maintenance
+  // ------------------------------------------------------------------
+
+  /** Signed per-key state of one delta batch: `sign` is +1 (insert) or
+    * -1 (retraction). count/sum merge exactly under retraction
+    * (n = Σsign, s = Σsign·v); min/max DO NOT — a retraction that
+    * removes the current extremum needs a repair pass (below). The
+    * batch's own candidate extrema travel along so the repair set can
+    * be decided without re-reading history. */
+  def signedState(batch: DataFrame, key: Column, value: Column,
+      sign: Column): DataFrame =
+    batch.select(key.as("k"), value.as("v"), sign.as("sg"))
+      .groupBy(col("k"))
+      .agg(sum(col("sg")).as("n"), sum(col("sg") * col("v")).as("s"),
+        min(when(col("sg") === 1, col("v"))).as("mn"),
+        max(when(col("sg") === 1, col("v"))).as("mx"),
+        min(when(col("sg") === -1, col("v"))).as("rmn"),
+        max(when(col("sg") === -1, col("v"))).as("rmx"))
+
+  /** Fold a signed delta into signed state, dropping keys whose live
+    * count reaches zero. Exact for n/s; mn/mx are OPTIMISTIC (inserts
+    * tighten them, retractions cannot widen them) and the returned
+    * frame marks keys needing repair: a retraction at or below the
+    * running min / at or above the running max may have removed the
+    * extremum. Feed those keys to [[repairMinMax]] with the live base.
+    * Never-inserted retract-only keys surface with n < 0 — a consumer
+    * contract violation made visible rather than silently dropped. */
+  def mergeSigned(state: DataFrame, delta: DataFrame): DataFrame = {
+    // accept both fresh signedState frames and prior mergeSigned output
+    // (whose derived needs_repair column is not part of the state shape)
+    val merged = state.drop("needs_repair")
+      .unionByName(delta.drop("needs_repair"))
+      .groupBy(col("k"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
+        min(col("mn")).as("mn"), max(col("mx")).as("mx"),
+        min(col("rmn")).as("rmn"), max(col("rmx")).as("rmx"))
+      .filter(col("n") =!= 0)
+    merged.withColumn("needs_repair",
+      (col("rmn").isNotNull && col("rmn") <= col("mn")) ||
+        (col("rmx").isNotNull && col("rmx") >= col("mx")))
+  }
+
+  /** Re-derive exact min/max for ONLY the flagged keys from the live
+    * base relation (a semi-join-bounded scan — the production answer to
+    * non-retractable aggregates: repair the touched keys, never the
+    * table). Returns the state with mn/mx exact everywhere and the
+    * retraction bookkeeping cleared. */
+  def repairMinMax(merged: DataFrame, liveBase: DataFrame, key: Column,
+      value: Column): DataFrame = {
+    val s = merged.sparkSession
+    import s.implicits._
+    val bad = merged.filter($"needs_repair")
+    val fixed = liveBase.select(key.as("k"), value.as("v"))
+      .join(bad.select($"k"), Seq("k"), "left_semi")
+      .groupBy($"k")
+      .agg(min($"v").as("mn2"), max($"v").as("mx2"))
+    merged.join(fixed, Seq("k"), "left")
+      .select($"k", $"n", $"s",
+        when($"needs_repair", $"mn2").otherwise($"mn").as("mn"),
+        when($"needs_repair", $"mx2").otherwise($"mx").as("mx"),
+        // bookkeeping cleared (typed nulls) so the repaired state
+        // composes into further mergeSigned rounds
+        when(lit(false), $"rmn").as("rmn"),
+        when(lit(false), $"rmx").as("rmx"))
+  }
+
+  // ------------------------------------------------------------------
   // fixture-bound oracle queries
   // ------------------------------------------------------------------
 
@@ -86,6 +153,41 @@ object Maintenance {
                min(CAST(round(o_totalprice * 100) AS BIGINT)) AS min_cents,
                max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents
         FROM orders
+        GROUP BY o_custkey
+        ORDER BY o_custkey""")),
+
+    // q182 with deletes: 1998's orders are retracted after the fact;
+    // count/sum retract exactly, min/max repair re-scans ONLY the keys
+    // whose extremum the retraction hit, and the final state equals the
+    // full recompute over the live rows
+    QueryDef(
+      "q187_retractable_agg_state",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders").select($"o_custkey",
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          year($"o_orderdate").as("yr"))
+        def st(df: org.apache.spark.sql.DataFrame, sg: Int) =
+          signedState(df, $"o_custkey", $"cents", lit(sg))
+        val ins1 = st(o.filter($"yr" <= 1996), 1)
+        val ins2 = st(o.filter($"yr" >= 1997), 1)
+        val del = st(o.filter($"yr" === 1998), -1)
+        val merged = mergeSigned(mergeSigned(ins1, ins2), del)
+        val live = o.filter($"yr" =!= 1998)
+        repairMinMax(merged, live, $"o_custkey", $"cents")
+          .select($"k".as("o_custkey"), $"n".as("n_orders"),
+            $"s".as("total_cents"), $"mn".as("min_cents"),
+            $"mx".as("max_cents"))
+          .orderBy($"o_custkey")
+      },
+      Some("""
+        SELECT o_custkey, count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS total_cents,
+               min(CAST(round(o_totalprice * 100) AS BIGINT)) AS min_cents,
+               max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents
+        FROM orders
+        WHERE year(CAST(o_orderdate AS DATE)) <> 1998
         GROUP BY o_custkey
         ORDER BY o_custkey"""))
   )

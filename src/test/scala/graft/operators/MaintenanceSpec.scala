@@ -50,6 +50,49 @@ class MaintenanceSpec extends SparkSpec {
     assert(canon(left) == canon(right))
   }
 
+  test("signed retraction: exact n/s, targeted min/max repair, zero-count keys drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def st(rows: Seq[(Long, Long)], sg: Int) =
+      Maintenance.signedState(rows.toDF("k", "v"), col("k"), col("v"), lit(sg))
+    // key 1: values {5, 9}; retract the min (5) -> repair must find 9
+    // key 2: values {3, 7}; retract a middle-insert copy? retract 7 (max)
+    // key 3: single value fully retracted -> key disappears
+    val ins = st(Seq((1L, 5L), (1L, 9L), (2L, 3L), (2L, 7L), (3L, 4L)), 1)
+    val del = st(Seq((1L, 5L), (2L, 7L), (3L, 4L)), -1)
+    val merged = Maintenance.mergeSigned(ins, del)
+    val flags = merged.select("k", "needs_repair").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(flags == Map(1L -> true, 2L -> true)) // 3 dropped (n=0)
+    val live = Seq((1L, 9L), (2L, 3L)).toDF("k", "v")
+    val repaired = Maintenance.repairMinMax(merged, live, col("k"), col("v"))
+    val out = repaired.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((1L, 1L, 9L, 9L, 9L), (2L, 1L, 3L, 3L, 3L)))
+    // repaired state composes: a further insert batch merges cleanly
+    // and needs no repair when no retraction is present
+    val more = st(Seq((1L, 2L), (4L, 8L)), 1)
+    val again = Maintenance.mergeSigned(repaired, more)
+    val a1 = again.filter(col("k") === 1L).collect().head
+    assert(a1.getLong(1) == 2L && a1.getLong(2) == 11L &&
+      a1.getLong(3) == 2L && a1.getLong(4) == 9L &&
+      !a1.getBoolean(a1.fieldIndex("needs_repair")))
+  }
+
+  test("retraction NOT at an extremum does not flag repair") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def st(rows: Seq[(Long, Long)], sg: Int) =
+      Maintenance.signedState(rows.toDF("k", "v"), col("k"), col("v"), lit(sg))
+    val ins = st(Seq((1L, 1L), (1L, 5L), (1L, 9L)), 1)
+    val del = st(Seq((1L, 5L)), -1)
+    val m = Maintenance.mergeSigned(ins, del).collect().head
+    assert(!m.getBoolean(m.fieldIndex("needs_repair")))
+    assert(m.getLong(m.fieldIndex("n")) == 2L &&
+      m.getLong(m.fieldIndex("s")) == 10L)
+  }
+
   test("tokenBudgetSelect equals the global-window phrasing, budgets swept") {
     import spark.implicits._
     val rnd = new Random(11)
