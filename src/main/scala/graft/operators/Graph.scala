@@ -57,6 +57,55 @@ object Graph {
     r
   }
 
+  /** Exact triangle count over an undirected edge list, by
+    * degree-ordered orientation (the Cohen / Suri–Vassilvitskii
+    * MapReduce algorithm, public literature): orient every edge from
+    * its lower-(degree, id) endpoint to the higher, enumerate wedges
+    * only from each node's OUT-neighbors, and close them against the
+    * oriented edge set.
+    *
+    * Why this survives 100 TB graphs where the naive 3-way self-join
+    * dies: wedge count under this orientation is Σ C(outdeg, 2) =
+    * O(m^1.5) total — a hub of degree 10^6 contributes nothing from its
+    * in-side, so the skew that makes id-ordered enumeration explode
+    * (every low-id hub pairs all its neighbors) is structurally capped.
+    * All three steps are equi-joins (hash-partitioned on node ids);
+    * nothing is ever broadcast or collected.
+    *
+    * Input: one row per undirected edge, any orientation, self-loops
+    * and duplicates tolerated (normalized away). Output: one row
+    * (n_nodes, n_edges, n_triangles). */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val e = edges.select(
+      least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+      .filter($"u" =!= $"v").distinct()
+    val deg = e.select($"u".as("n")).unionAll(e.select($"v".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("d"))
+    val tagged = e
+      .join(deg.select($"n".as("u"), $"d".as("du")), Seq("u"))
+      .join(deg.select($"n".as("v"), $"d".as("dv")), Seq("v"))
+    // orient toward the higher (degree, id); carry the dst's rank pair
+    // so wedge endpoints can be ordered without another join
+    val dir = tagged.select(
+      when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u")
+        .otherwise($"v").as("src"),
+      when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v")
+        .otherwise($"u").as("dst"),
+      when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"dv")
+        .otherwise($"du").as("dd"))
+    val wedges = dir.select($"src".as("a"), $"dst".as("b"), $"dd".as("db"))
+      .join(dir.select($"src".as("a"), $"dst".as("c"), $"dd".as("dc")),
+        Seq("a"))
+      .filter($"db" < $"dc" || ($"db" === $"dc" && $"b" < $"c"))
+    val tri = wedges.join(
+      dir.select($"src".as("b"), $"dst".as("c")), Seq("b", "c"), "left_semi")
+    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    nn.crossJoin(ne).crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+  }
+
   // ------------------------------------------------------------------
   // fixture-bound oracle queries
   // ------------------------------------------------------------------
@@ -115,6 +164,32 @@ object Graph {
                -- rank; the driver's pandas fetch would float64 it
                CAST(rank AS BIGINT) AS rank
         FROM r3 WHERE node % 2 = 1
-        ORDER BY s_suppkey"""))
+        ORDER BY s_suppkey""")),
+
+    // co-purchase graph (parts sharing an order) — triangle count is
+    // orientation-invariant, so the oracle uses the simple id-ordered
+    // 3-way join while the operator runs the degree-ordered plan
+    QueryDef(
+      "q188_triangle_count",
+      (s, dir) => {
+        import s.implicits._
+        val op = Tables.load(s, dir, "lineitem")
+          .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+        val edges = op.join(op.toDF("o", "p2"), Seq("o"))
+          .filter($"p" < $"p2")
+          .select($"p".as("src"), $"p2".as("dst")).distinct()
+        triangleCount(edges)
+      },
+      Some("""
+        WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                    FROM lineitem),
+        e AS (SELECT DISTINCT a.p AS u, b.p AS v
+              FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)
+        SELECT (SELECT count(*) FROM (
+                  SELECT u FROM e UNION SELECT v FROM e)) AS n_nodes,
+               (SELECT count(*) FROM e) AS n_edges,
+               count(*) AS n_triangles
+        FROM e e1 JOIN e e2 ON e1.v = e2.u
+                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v"""))
   )
 }

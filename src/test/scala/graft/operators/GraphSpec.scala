@@ -1,0 +1,45 @@
+package graft.operators
+
+import scala.util.Random
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+
+  private def count(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
+    import spark.implicits._
+    val r = Graph.triangleCount(edges.toDF("src", "dst")).collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  private def bruteTriangles(edges: Seq[(Long, Long)]): Long = {
+    val e = edges.filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    (for {
+      a <- nodes; b <- nodes if a < b && e((a, b))
+      c <- nodes if b < c && e((b, c)) && e((a, c))
+    } yield 1).size.toLong
+  }
+
+  test("K4 has 4 triangles; a path has none; dups/loops/reversals normalize") {
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    assert(count(k4) == (4L, 6L, 4L))
+    assert(count(Seq((1L, 2L), (2L, 3L), (3L, 4L))) == (4L, 3L, 0L))
+    // same K4 fed with duplicates, reversed edges, and a self-loop
+    val messy = k4 ++ k4.map(_.swap) ++ Seq((2L, 2L))
+    assert(count(messy) == (4L, 6L, 4L))
+  }
+
+  test("random graph matches brute force (hub-skewed degrees)") {
+    val rnd = new Random(3)
+    // a hub (node 0) connected widely + random sparse edges: exercises
+    // the degree orientation where naive id-ordering would blow up
+    val edges = ((1L to 40L).map(i => (0L, i)) ++
+      Seq.fill(120)((rnd.nextInt(41).toLong, rnd.nextInt(41).toLong)))
+      .filter(p => p._1 != p._2)
+    val (_, _, tri) = count(edges)
+    assert(tri == bruteTriangles(edges))
+    assert(tri > 0, "fixture must contain triangles")
+  }
+}
