@@ -156,6 +156,39 @@ object Maintenance {
         GROUP BY o_custkey
         ORDER BY o_custkey""")),
 
+    // distinct-count maintenance: the sketch analogue of q182 — per-key
+    // state is a mergeable DataSketches HLL (a few KB/key however much
+    // history it summarizes), each batch unions in, and COUNT DISTINCT
+    // over all history never re-reads it. At the fixture's per-key
+    // cardinality (<= 5 distinct priorities) the HLL sparse mode is
+    // exact, so the oracle is the exact COUNT(DISTINCT) — any estimator
+    // or merge fault hash-mismatches outright.
+    QueryDef(
+      "q189_incremental_distinct_state",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders").select($"o_custkey",
+          $"o_orderpriority".as("pri"), year($"o_orderdate").as("yr"))
+        def sk(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy($"o_custkey")
+            .agg(expr("hll_sketch_agg(pri, 14)").as("sk"))
+        val states = Seq(
+          sk(o.filter($"yr" <= 1994)),
+          sk(o.filter($"yr" >= 1995 && $"yr" <= 1996)),
+          sk(o.filter($"yr" >= 1997)))
+        states.reduce(_ unionByName _)
+          .groupBy($"o_custkey")
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))")
+            .as("n_priorities"))
+          .orderBy($"o_custkey")
+      },
+      Some("""
+        SELECT o_custkey,
+               count(DISTINCT o_orderpriority) AS n_priorities
+        FROM orders
+        GROUP BY o_custkey
+        ORDER BY o_custkey""")),
+
     // q182 with deletes: 1998's orders are retracted after the fact;
     // count/sum retract exactly, min/max repair re-scans ONLY the keys
     // whose extremum the retraction hit, and the final state equals the
