@@ -236,7 +236,50 @@ object Analytics {
   // fixture-bound oracle queries
   // ------------------------------------------------------------------
 
+  /** Sliding-window distinct counts (trailing `windowDays`-day active
+    * keys per day) — exactly, at scale. Spark does not support
+    * COUNT(DISTINCT) over a window frame, and a per-day correlated
+    * re-scan is O(days × window) passes. The scalable exact phrasing:
+    * dedup to (day, key) first (partial-agg map-side — this bounds the
+    * explode), then each (day, key) row contributes to the `windowDays`
+    * output days it falls inside, and a single groupBy counts distinct
+    * keys per output day. One shuffle of |active (day,key)| × window
+    * rows; no correlated scans, no window-frame distinct. Output days
+    * are restricted to days that actually have events. */
+  def slidingDistinct(events: DataFrame, keyCol: String,
+      windowDays: Int): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    require(windowDays >= 1)
+    val dayKey = events.select(
+      expr("CAST(datediff(to_date(ts), date'1970-01-01') AS BIGINT)")
+        .as("day"), col(keyCol).as("k")).distinct()
+    val contrib = dayKey.select(
+      explode(expr(s"sequence(day, day + ${windowDays - 1})")).as("wday"),
+      $"k")
+    contrib.groupBy($"wday".as("day"))
+      .agg(countDistinct($"k").as("n_active"))
+      .join(dayKey.select($"day").distinct(), Seq("day"), "left_semi")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q190_sliding_distinct",
+      (s, dir) => slidingDistinct(Tables.load(s, dir, "events"),
+        "user_id", windowDays = 7)
+        .orderBy(col("day")),
+      Some("""
+        WITH ev AS (
+          SELECT DISTINCT CAST(date_diff('day', DATE '1970-01-01',
+                   CAST(ts AS DATE)) AS BIGINT) AS day, user_id
+          FROM events),
+        days AS (SELECT DISTINCT day FROM ev)
+        SELECT d.day,
+               (SELECT count(DISTINCT e.user_id) FROM ev e
+                WHERE e.day BETWEEN d.day - 6 AND d.day) AS n_active
+        FROM days d
+        ORDER BY day""")),
 
     QueryDef(
       "q126_sessionize",

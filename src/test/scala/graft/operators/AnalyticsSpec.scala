@@ -15,6 +15,31 @@ class AnalyticsSpec extends SparkSpec {
     }.toDF("event_id", "user_id", "ts", "event_type", "value")
   }
 
+  test("slidingDistinct matches a per-day correlated recount (random streams)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    // users active on random days over ~6 weeks, minute-grain timestamps
+    val rows = Seq.fill(300) {
+      val day = rnd.nextInt(42).toLong
+      val user = rnd.nextInt(25).toLong
+      (user, day * 1440 + rnd.nextInt(1440).toLong)
+    }
+    val ev = rows.zipWithIndex.map { case ((u, m), i) =>
+      (i.toLong, u, ts(m), "x", 0.0)
+    }.toDF("event_id", "user_id", "ts", "event_type", "value")
+    for (w <- Seq(1, 7, 30)) {
+      val got = Analytics.slidingDistinct(ev, "user_id", w)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val byDay = rows.map { case (u, m) => (m / 1440, u) }.distinct
+      val days = byDay.map(_._1).distinct
+      val expected = days.map { d =>
+        d -> byDay.filter { case (ed, _) =>
+          ed >= d - (w - 1) && ed <= d }.map(_._2).distinct.size.toLong
+      }.toMap
+      assert(got == expected, s"window=$w")
+    }
+  }
+
   test("sessionize splits on gaps greater than the threshold") {
     val e = events(
       (1L, 0L, "view", 1.0), (1L, 10L, "click", 2.0), // session 1
