@@ -86,11 +86,92 @@ object ChangeData {
         min(col(key)).as("min_key"), max(col(key)).as("max_key"))
   }
 
+  /** CDC MERGE (upsert): apply a change log to a keyed snapshot and
+    * return the next snapshot. The log carries full row images — the
+    * snapshot's columns plus `seqCol` (change ordering) and `opCol`
+    * ('U' upsert / 'D' delete). Last op per key wins (by seq); semantics
+    * follow ANSI MERGE: 'D' matched → delete, 'U' matched → update
+    * (change image replaces the row), 'U' not matched → insert,
+    * 'D' not matched → no-op, key untouched by the log → keep.
+    *
+    * Scale: the log is first reduced to ONE row per key with a map-side-
+    * combined max_by, so the wire carries |distinct changed keys| rows
+    * for the reduction plus the keyed full-outer join — both hash-
+    * partitioned on the same key, one Exchange each side, and AQE plans
+    * the join side broadcast when the reduced changeset is small (the
+    * common CDC case). Unmatched snapshot rows stream through the join;
+    * nothing is rewritten driver-side. */
+  def mergeUpsert(snapshot: DataFrame, changes: DataFrame, key: String,
+      seqCol: String, opCol: String): DataFrame = {
+    val valCols = snapshot.columns.filterNot(_ == key)
+    require(valCols.forall(changes.columns.contains),
+      "changes must carry full row images (all snapshot columns)")
+    val latest = changes
+      .groupBy(col(key))
+      .agg(max_by(col(opCol), col(seqCol)).as("_op"),
+        max_by(struct(valCols.map(col): _*), col(seqCol)).as("_new"))
+    // 'D' rows drop whether matched (delete) or not (no-op on a missing
+    // key — the full-outer's all-NULL snapshot side must not survive)
+    val merged = snapshot.join(latest, Seq(key), "full_outer")
+      .filter(col("_op").isNull || col("_op") === "U")
+    val applied = valCols.foldLeft(merged) { (df, c) =>
+      df.withColumn(c,
+        when(col("_op") === "U", col("_new")(c)).otherwise(col(c)))
+    }
+    applied.drop("_op", "_new")
+  }
+
   // ------------------------------------------------------------------
   // fixture-bound oracle queries
   // ------------------------------------------------------------------
 
   val defs: Seq[QueryDef] = Seq(
+
+    // the orders table read as a CDC stream over the customer snapshot:
+    // every order is a full-image upsert of its customer (re-segmented,
+    // balance = order total), some keys are deletes, and keys shifted
+    // past the customer range exercise the insert path
+    QueryDef(
+      "q191_merge_upsert",
+      (s, dir) => {
+        val snap = Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            round(col("c_acctbal"), 2).as("bal"))
+        val ch = Tables.load(s, dir, "orders").select(
+          when(col("o_orderkey") % 13 === 0, col("o_custkey") + 100000)
+            .otherwise(col("o_custkey")).as("c_custkey"),
+          col("o_orderkey").as("seq"),
+          when(col("o_orderkey") % 17 === 0, lit("D")).otherwise(lit("U"))
+            .as("op"),
+          concat(lit("SEG-"), col("o_orderstatus")).as("c_mktsegment"),
+          round(col("o_totalprice"), 2).as("bal"))
+        mergeUpsert(snap, ch, "c_custkey", "seq", "op")
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        WITH snap AS (
+          SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS bal
+          FROM customer),
+        ch AS (
+          SELECT CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 100000
+                      ELSE o_custkey END AS c_custkey,
+                 o_orderkey AS seq,
+                 CASE WHEN o_orderkey % 17 = 0 THEN 'D' ELSE 'U' END AS op,
+                 'SEG-' || o_orderstatus AS c_mktsegment,
+                 round(o_totalprice, 2) AS bal
+          FROM orders),
+        latest AS (
+          SELECT c_custkey, max_by(op, seq) AS op,
+                 max_by(ch.c_mktsegment, seq) AS seg,
+                 max_by(ch.bal, seq) AS nbal
+          FROM ch GROUP BY c_custkey)
+        SELECT coalesce(s.c_custkey, l.c_custkey) AS c_custkey,
+               CASE WHEN l.op = 'U' THEN l.seg
+                    ELSE s.c_mktsegment END AS c_mktsegment,
+               CASE WHEN l.op = 'U' THEN l.nbal ELSE s.bal END AS bal
+        FROM snap s FULL OUTER JOIN latest l ON s.c_custkey = l.c_custkey
+        WHERE l.op IS NULL OR l.op = 'U'
+        ORDER BY c_custkey""")),
 
     // order-priority history per customer: the orders table read as a
     // transaction log over the customer dimension

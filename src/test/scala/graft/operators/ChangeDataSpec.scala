@@ -49,6 +49,25 @@ class ChangeDataSpec extends SparkSpec {
       3L -> "unchanged", 4L -> "changed"))
   }
 
+  test("mergeUpsert: update, delete, insert, unmatched-delete no-op, last-op-wins") {
+    import spark.implicits._
+    val snap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "seg", "bal")
+    val ch = Seq(
+      (1L, 1L, "U", "a2", 11.0),  // update
+      (2L, 1L, "D", "x", 0.0),    // delete
+      (4L, 1L, "U", "d", 40.0),   // insert (not matched)
+      (5L, 1L, "D", "x", 0.0),    // unmatched delete: no-op
+      (3L, 1L, "U", "c2", 31.0),  // superseded by the later delete...
+      (3L, 2L, "D", "x", 0.0),
+      (4L, 2L, "U", "d2", 41.0)   // ...and later update wins over insert
+    ).toDF("k", "seq", "op", "seg", "bal")
+    val out = ChangeData.mergeUpsert(snap, ch, "k", "seq", "op")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, "a2", 11.0), (4L, "d2", 41.0)))
+  }
+
   test("scd2History: change rows with validity intervals, last-write-wins per day") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
