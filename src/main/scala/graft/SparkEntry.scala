@@ -37,6 +37,7 @@ object SparkEntry {
     ChangeData.defs,
     Linkage.defs,
     Graph.defs,
+    Basket.defs,
     Maintenance.defs,
     Quality.defs)
 
