@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -262,7 +262,68 @@ object Analytics {
       .join(dayKey.select($"day").distinct(), Seq("day"), "left_semi")
   }
 
+  /** Multi-touch attribution: credit each conversion's value to a
+    * marketing channel under two models at once — first-touch (the
+    * user's first event ever) and last-touch (the latest non-conversion
+    * event strictly before the conversion; 'direct' when none exists).
+    * Conversion values are summed in exact integer cents so Spark and
+    * the oracle agree bit-for-bit regardless of float summation order.
+    *
+    * Scale: both credits are window functions PARTITIONED BY USER over
+    * the same (ts, event_id)-ordered frame — one shuffle, no joins, no
+    * self-scan per conversion; the two model aggregations reuse the
+    * windowed frame and output |channels| rows each. */
+  def attribution(events: DataFrame, conversionType: String): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val credited = events
+      .withColumn("_ft", first($"event_type").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_lt", last(
+        when($"event_type" =!= conversionType, $"event_type"),
+        ignoreNulls = true).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter($"event_type" === conversionType)
+      .withColumn("_cents", round($"value" * 100).cast("long"))
+    def model(name: String, channel: Column) = credited
+      .groupBy(channel.as("channel"))
+      .agg(count(lit(1)).as("conversions"),
+        sum($"_cents").as("rev_cents"))
+      .select(lit(name).as("model"), $"channel", $"conversions",
+        $"rev_cents")
+    model("first_touch", $"_ft")
+      .unionAll(model("last_touch", coalesce($"_lt", lit("direct"))))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q193_attribution",
+      (s, dir) => attribution(Tables.load(s, dir, "events"), "purchase")
+        .orderBy(col("model"), col("channel")),
+      Some("""
+        WITH cr AS (
+          SELECT event_type, value,
+                 CAST(round(value * 100) AS BIGINT) AS cents,
+                 first_value(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS ft,
+                 last_value(CASE WHEN event_type <> 'purchase'
+                                 THEN event_type END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+          FROM events),
+        conv AS (SELECT * FROM cr WHERE event_type = 'purchase')
+        SELECT 'first_touch' AS model, ft AS channel,
+               count(*) AS conversions,
+               CAST(sum(cents) AS BIGINT) AS rev_cents
+        FROM conv GROUP BY ft
+        UNION ALL
+        SELECT 'last_touch' AS model, coalesce(lt, 'direct') AS channel,
+               count(*) AS conversions,
+               CAST(sum(cents) AS BIGINT) AS rev_cents
+        FROM conv GROUP BY coalesce(lt, 'direct')
+        ORDER BY model, channel""")),
 
     QueryDef(
       "q190_sliding_distinct",

@@ -40,6 +40,30 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("attribution credits first-touch and last-touch channels exactly") {
+    import org.apache.spark.sql.functions.col
+    // user 1: view -> click -> purchase(10.005) -> purchase(2.0)
+    //   ft=view both; lt=click both (no non-purchase between the two)
+    // user 2: purchase(5.0) with no prior events: ft=purchase, lt=direct
+    val e = events(
+      (1L, 0L, "view", 0.0), (1L, 10L, "click", 0.0),
+      (1L, 20L, "purchase", 10.005), (1L, 30L, "purchase", 2.0),
+      (2L, 5L, "purchase", 5.0))
+    val out = Analytics.attribution(e, "purchase")
+      .orderBy(col("model"), col("channel")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // 10.005 * 100 lands on exactly 1000.5 in IEEE double arithmetic
+    // (the true product 1000.49999999999998? is within half an ulp of
+    // 1000.5), and both Spark and DuckDB round halves up for positive
+    // values -> 1001 cents; parity holds because the oracle runs the
+    // identical double computation
+    assert(out.toSeq == Seq(
+      ("first_touch", "purchase", 1L, 500L),
+      ("first_touch", "view", 2L, 1201L),
+      ("last_touch", "click", 2L, 1201L),
+      ("last_touch", "direct", 1L, 500L)))
+  }
+
   test("sessionize splits on gaps greater than the threshold") {
     val e = events(
       (1L, 0L, "view", 1.0), (1L, 10L, "click", 2.0), // session 1
