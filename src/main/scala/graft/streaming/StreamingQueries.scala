@@ -106,6 +106,60 @@ object StreamingQueries {
     else raw
   }
 
+  private val stagedFlush = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** eventsStream plus TWO far-future sentinel rows (event_type 'flush',
+    * negative ids, ts = max + 30/60 days), read one file per micro-batch.
+    * Stream-stream OUTER joins emit their unmatched (null-padded) rows
+    * only when the watermark passes a row's state-eviction deadline —
+    * and the watermark a batch RUNS with is the one computed at the END
+    * of the previous batch, with no trailing no-data batch under
+    * Trigger.AvailableNow. One sentinel therefore isn't enough: it
+    * advances the watermark, but no later batch runs to apply it, and
+    * every row in the stream's last watermark-delay window stays locked
+    * in state. Two sentinels in separate batches (maxFilesPerTrigger=1)
+    * fix that deterministically: the second sentinel's batch executes
+    * with the first sentinel's watermark, evicting every real row. The
+    * bounded run then emits exactly the batch join semantics (minus the
+    * sentinels, which consumers filter out via id < 0). This mirrors the
+    * punctuation/heartbeat pattern a production feed uses to close out
+    * quiet partitions. */
+  private def eventsStreamWithFlush(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val srcDir = stagedFlush.getOrElseUpdate(path, {
+      val d = Files.createTempDirectory("events_srcflush_")
+      val target = d.resolve("events-000.parquet")
+      try Files.createLink(target, java.nio.file.Paths.get(path))
+      catch { case _: Exception =>
+        Files.copy(java.nio.file.Paths.get(path), target)
+      }
+      val base = s.read.parquet(path)
+      val isLongTs =
+        base.schema("ts").dataType == org.apache.spark.sql.types.LongType
+      def sentinel(days: Int, id: Long) = {
+        val bump = // +days, in the file's native ts representation
+          if (isLongTs) expr(s"ts + ${days.toLong * 86400000000000L}L")
+          else expr(s"ts + INTERVAL $days DAYS")
+        base.orderBy(desc("ts")).limit(1)
+          .withColumn("ts", bump)
+          .withColumn("event_id", lit(id))
+          .withColumn("user_id", lit(id))
+          .withColumn("event_type", lit("flush"))
+          .select(base.columns.map(col): _*)
+      }
+      // two separate write jobs -> two files -> two micro-batches
+      sentinel(30, -1L).coalesce(1).write.mode("append").parquet(d.toString)
+      sentinel(60, -2L).coalesce(1).write.mode("append").parquet(d.toString)
+      d.toString
+    })
+    val schema = s.read.parquet(path).schema
+    val raw = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
   /** Streaming state partition sizing. The session default
     * (shuffle.partitions = cores, the batch posture) also fixes the
     * number of state-store instances per stateful operator — each one
@@ -552,6 +606,65 @@ object StreamingQueries {
          AND c.user_id = p.user_id
          AND c.ts >= p.ts - INTERVAL 1 HOUR
          AND c.ts <= p.ts
+        ORDER BY p_id, c_id""")),
+
+    // ----- stream-stream LEFT OUTER join with watermark flush -------------
+    // q85's inner join answers "which purchases had a preceding click";
+    // the outer form answers the harder operational question — "which
+    // purchases had NO attributable click" — and exercises the state-
+    // eviction emission path: null-padded rows surface only when the
+    // watermark proves no future match can arrive. The flush sentinel
+    // (see eventsStreamWithFlush) makes that deterministic on a bounded
+    // fixture, so the oracle is the plain batch LEFT JOIN.
+    QueryDef(
+      "q194_stream_outer_join",
+      (s, dir) => withStatePartitions(s) {
+        import s.implicits._
+        val out = tmp("sink_")
+        val ev = eventsStreamWithFlush(s, dir)
+        val purchases = ev
+          .filter($"event_type".isin("purchase", "flush"))
+          .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val clicks = ev
+          .filter($"event_type".isin("click", "flush"))
+          .select($"event_id".as("c_id"), $"user_id".as("c_user"),
+            $"ts".as("c_ts"))
+          .withWatermark("c_ts", "1 hour")
+        val q = purchases
+          .join(clicks,
+            $"user_id" === $"c_user" &&
+              $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") &&
+              $"c_ts" <= $"p_ts",
+            "left_outer")
+          // NOTE: no sentinel filter here — a p_id predicate would be
+          // pushed below the purchases-side watermark node, hiding the
+          // flush rows from it and pinning the watermark at the last
+          // real purchase (observed: the stream's final hour never
+          // evicted). Sentinels are dropped in the sink read-back.
+          .select($"p_id", $"user_id", $"c_id", $"c_ts")
+          .writeStream
+          .outputMode(OutputMode.Append())
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", tmp("ckpt_"))
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out)
+          .filter($"p_id" >= 0L) // the sentinels' own rows
+          .orderBy($"p_id", $"c_id")
+      },
+      Some("""
+        SELECT p.event_id AS p_id, p.user_id, c.event_id AS c_id,
+               c.ts AS c_ts
+        FROM events p
+        LEFT JOIN events c
+          ON c.event_type = 'click'
+         AND c.user_id = p.user_id
+         AND c.ts >= p.ts - INTERVAL 1 HOUR
+         AND c.ts <= p.ts
+        WHERE p.event_type = 'purchase'
         ORDER BY p_id, c_id""")),
 
     // ----- stream-static join: dimension enrichment in flight -------------
