@@ -245,7 +245,11 @@ object Analytics {
     * output days it falls inside, and a single groupBy counts distinct
     * keys per output day. One shuffle of |active (day,key)| × window
     * rows; no correlated scans, no window-frame distinct. Output days
-    * are restricted to days that actually have events. */
+    * are restricted to days that actually have events — carried as an
+    * anchor flag on the contribution rows (a contribution with
+    * wday == day proves the day is real), NOT as a semi-join back to
+    * the day list: that second reference would duplicate the whole
+    * scan+distinct subtree (the r4 recompute-storm lesson). */
   def slidingDistinct(events: DataFrame, keyCol: String,
       windowDays: Int): DataFrame = {
     val s = events.sparkSession
@@ -256,10 +260,12 @@ object Analytics {
         .as("day"), col(keyCol).as("k")).distinct()
     val contrib = dayKey.select(
       explode(expr(s"sequence(day, day + ${windowDays - 1})")).as("wday"),
-      $"k")
-    contrib.groupBy($"wday".as("day"))
-      .agg(countDistinct($"k").as("n_active"))
-      .join(dayKey.select($"day").distinct(), Seq("day"), "left_semi")
+      $"day", $"k")
+    contrib.groupBy($"wday")
+      .agg(countDistinct($"k").as("n_active"),
+        max(when($"wday" === $"day", 1).otherwise(0)).as("_anchor"))
+      .filter($"_anchor" === 1)
+      .select($"wday".as("day"), $"n_active")
   }
 
   /** Multi-touch attribution: credit each conversion's value to a

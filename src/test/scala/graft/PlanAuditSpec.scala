@@ -431,4 +431,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(rangeExchanges.isEmpty,
       s"global sort in the selection path:\n${rangeExchanges.mkString("\n")}")
   }
+
+  test("q190: sliding distinct scans events ONCE — no semi-join subtree duplication") {
+    val p = plan("q190_sliding_distinct")
+    // the only table in the query is events, so any parquet scan is it;
+    // count detail headers ("(N) Scan parquet") — formatted mode prints
+    // every node twice (tree line + detail section)
+    val scans = p.linesIterator
+      .count(l => l.trim.startsWith("(") && l.contains("Scan parquet"))
+    assert(scans == 1,
+      s"events scanned $scans times — the day-list reference re-expanded")
+    assert(!p.contains("Join"), "anchor-flag day restriction became a join")
+  }
+
+  test("q191: merge-upsert is one keyed full-outer, change log reduced map-side") {
+    val p = plan("q191_merge_upsert")
+    assert(p.contains("FullOuter"), "merge join shape lost")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // max_by over the full-image struct plans as ObjectHashAggregate —
+    // still partial+final; assert the partial side survives
+    assert(p.contains("partial_max_by"),
+      "last-op-per-key reduction is not map-side partial")
+  }
+
+  test("q192: basket rules never cartesian; pair expansion equi-joins on basket id") {
+    val p = plan("q192_basket_rules")
+    assert(!p.contains("CartesianProduct"),
+      "pair expansion fell back to a cross product")
+    // the single 1-row basket-count broadcast is the only nested loop
+    // allowed in the plan; the pair expansion itself must stay equi
+    // (detail headers only — formatted mode prints nodes twice)
+    val bnlj = p.linesIterator.count(l =>
+      l.trim.startsWith("(") && l.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"$bnlj nested-loop joins — only the 1-row " +
+      "n_baskets broadcast is expected")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 rules became a global sort")
+  }
 }
