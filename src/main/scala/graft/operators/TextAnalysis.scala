@@ -187,11 +187,71 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Ordered phrase-proximity search: documents where `termB` follows
+    * `termA` within `maxDist` token positions, with the pair count and
+    * the closest distance. The retrieval primitive behind phrase and
+    * NEAR queries over q176's inverted index.
+    *
+    * Scale shape: ONE scan — the corpus is tokenized once, filtered to
+    * the two query terms immediately (so only |postings(A)|+|postings(B)|
+    * rows survive the explode), and grouped per doc into two small
+    * sorted position arrays. The pair enumeration is then row-local
+    * higher-order-function math (codegen'd, no shuffle) instead of a
+    * positional self-join — which would re-reference the tokenized
+    * subtree and plan a SECOND corpus scan (the r4 recompute-storm
+    * lesson; same reason q190 carries an anchor flag). With a persisted
+    * positional index the same code runs off the index table and the
+    * scan term-prunes. */
+  def proximitySearch(docs: DataFrame, termA: String, termB: String,
+      maxDist: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select($"doc_id", posexplode(split($"text", " ")))
+      .toDF("doc_id", "pos", "token")
+      .filter($"token".isin(termA, termB))
+      .groupBy($"doc_id")
+      .agg(
+        sort_array(collect_list(when($"token" === termA, $"pos")))
+          .as("pa"),
+        sort_array(collect_list(when($"token" === termB, $"pos")))
+          .as("pb"))
+      .withColumn("dists", expr(
+        s"flatten(transform(pa, a -> transform(" +
+          s"filter(pb, b -> b > a AND b <= a + $maxDist), b -> b - a)))"))
+      .filter(size($"dists") > 0)
+      .select($"doc_id",
+        size($"dists").cast("long").as("n_pairs"),
+        array_min($"dists").cast("long").as("min_dist"))
+  }
+
   // ------------------------------------------------------------------
   // oracle-gated bindings
   // ------------------------------------------------------------------
 
   val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q195_proximity_search",
+      (s, dir) => proximitySearch(Tables.load(s, dir, "documents"),
+        "hash", "join", maxDist = 5)
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH pos AS (
+          SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS token,
+                 unnest(generate_series(1, len(string_split(text, ' '))))
+                   AS pos
+          FROM documents),
+        pa AS (SELECT doc_id, pos FROM pos WHERE token = 'hash'),
+        pb AS (SELECT doc_id, pos FROM pos WHERE token = 'join')
+        SELECT pa.doc_id, count(*) AS n_pairs,
+               CAST(min(pb.pos - pa.pos) AS BIGINT) AS min_dist
+        FROM pa JOIN pb
+          ON pa.doc_id = pb.doc_id
+         AND pb.pos > pa.pos AND pb.pos - pa.pos <= 5
+        GROUP BY pa.doc_id
+        ORDER BY pa.doc_id""")),
 
     QueryDef(
       "q48_lang_id",

@@ -111,6 +111,32 @@ class SimilarityTextSpec extends SparkSpec {
     }
   }
 
+  test("proximitySearch matches a brute-force pair scan on random token streams") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d")
+    val docs = (0L until 40L).map { id =>
+      (id, Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    for (d <- Seq(1, 3, 10)) {
+      val got = TextAnalysis.proximitySearch(df, "a", "b", d)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      val expected = docs.flatMap { case (id, text) =>
+        val toks = text.split(" ")
+        val pairs = for {
+          (ta, i) <- toks.zipWithIndex if ta == "a"
+          (tb, j) <- toks.zipWithIndex
+          if tb == "b" && j > i && j - i <= d
+        } yield j - i
+        if (pairs.isEmpty) None
+        else Some(id -> (pairs.size.toLong, pairs.min.toLong))
+      }.toMap
+      assert(got == expected, s"maxDist=$d")
+    }
+  }
+
   test("bm25TopK: rare-term doc outranks common-term doc, k bounds the result") {
     import spark.implicits._
     // 'rare' appears in one doc, 'common' in all four: idf makes doc 1
