@@ -302,7 +302,65 @@ object Analytics {
       .unionAll(model("last_touch", coalesce($"_lt", lit("direct"))))
   }
 
+  /** Time-weighted average (TWAP) of a value per key: each observation
+    * holds until the next one, so its weight is that duration; the mean
+    * is over the key's [first, last] observation span (the last row
+    * spans zero time and contributes no weight — the metering/pricing
+    * convention). Exact integer accumulation: values on an integer cent
+    * grid × microsecond durations (cent·µs products stay far under
+    * Long range for year-scale spans), one double division at the end,
+    * rounded to 4dp — so Spark and the oracle agree bit-for-bit.
+    *
+    * Scale: one window pass PARTITIONED BY KEY (lead), one partial-
+    * aggregated groupBy on the same key — parallelism is key-wide, no
+    * global ordering, nothing driver-side. */
+  def timeWeightedAvg(events: DataFrame, keyCol: String): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy(col(keyCol)).orderBy($"ts", $"event_id")
+    events
+      .withColumn("_us", unix_micros($"ts"))
+      .withColumn("_cents", round($"value" * 100).cast("long"))
+      .withColumn("_dur", lead($"_us", 1).over(w) - $"_us")
+      .filter($"_dur".isNotNull)
+      .groupBy(col(keyCol))
+      .agg(
+        sum($"_cents" * $"_dur").as("_wsum"),
+        sum($"_dur").as("_tspan"),
+        count(lit(1)).as("n_holds"))
+      .filter($"_tspan" > 0)
+      .select(col(keyCol), $"n_holds",
+        round($"_wsum" / $"_tspan" / 100.0, 4).as("twap"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q197_time_weighted_avg",
+      (s, dir) => timeWeightedAvg(
+        Tables.load(s, dir, "events")
+          .where(col("event_type") === "purchase"), "user_id")
+        .orderBy(col("user_id")),
+      Some("""
+        WITH p AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'),
+        d AS (
+          SELECT user_id, cents,
+                 lead(us) OVER (PARTITION BY user_id
+                   ORDER BY us, event_id) - us AS dur
+          FROM p),
+        a AS (
+          SELECT user_id,
+                 CAST(sum(cents * dur) AS BIGINT) AS wsum,
+                 CAST(sum(dur) AS BIGINT) AS tspan,
+                 count(*) AS n_holds
+          FROM d WHERE dur IS NOT NULL GROUP BY user_id)
+        SELECT user_id, n_holds,
+               round(1.0 * wsum / tspan / 100.0, 4) AS twap
+        FROM a WHERE tspan > 0
+        ORDER BY user_id""")),
 
     QueryDef(
       "q193_attribution",

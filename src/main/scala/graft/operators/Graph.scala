@@ -106,6 +106,37 @@ object Graph {
     nn.crossJoin(ne).crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
   }
 
+  /** Synchronous label propagation (community detection) for a fixed
+    * number of iterations over a SYMMETRIC edge list. Every node starts
+    * as its own community (label = node id); each round it adopts the
+    * most frequent label among its neighbors, ties broken toward the
+    * smallest label — fully deterministic, unlike the
+    * randomized-asynchronous textbook variant. The pick is encoded as
+    * one exact integer comparator (count·10¹² − label) so max_by needs
+    * no struct ordering and the oracle replays it bit-for-bit; valid
+    * while label ids stay below 10¹² and degrees below ~9·10⁶ of that
+    * headroom (enforced).
+    *
+    * Scale shape per iteration: TWO combiner-reduced shuffles — the
+    * (dst, label) count and the per-dst argmax — plus the edges⋈labels
+    * equi-join, all hash-partitioned on node ids. No driver data, no
+    * broadcast of anything SF-scaled; O(iters) rounds like q181. */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val K = 1000000000000L
+    val e = edges.select($"src", $"dst").distinct()
+    var lab = e.select($"src".as("node")).distinct()
+      .withColumn("label", $"node")
+    for (_ <- 1 to iters) {
+      val cnt = e.join(lab, e("src") === lab("node"))
+        .groupBy($"dst", $"label").agg(count(lit(1)).as("c"))
+      lab = cnt.groupBy($"dst".as("node"))
+        .agg(max_by($"label", $"c" * K - $"label").as("label"))
+    }
+    lab
+  }
+
   // ------------------------------------------------------------------
   // fixture-bound oracle queries
   // ------------------------------------------------------------------
@@ -124,6 +155,15 @@ object Graph {
     pairs.select($"c".as("src"), $"p".as("dst"))
       .union(pairs.select($"p".as("src"), $"c".as("dst")))
   }
+
+  private def lpaIter(prev: String, out: String): String =
+    s"""$out AS (
+       SELECT dst AS node,
+              max_by(label, c * 1000000000000 - label) AS label
+       FROM (SELECT e.dst, $prev.label, count(*) AS c
+             FROM e JOIN $prev ON e.src = $prev.node
+             GROUP BY e.dst, $prev.label)
+       GROUP BY dst)"""
 
   private def oracleIter(prev: String, out: String): String =
     s"""$out AS (
@@ -165,6 +205,28 @@ object Graph {
                CAST(rank AS BIGINT) AS rank
         FROM r3 WHERE node % 2 = 1
         ORDER BY s_suppkey""")),
+
+    // communities on the same trade graph: 3 synchronous rounds of
+    // deterministic majority-label adoption, then per-node assignment
+    QueryDef(
+      "q196_label_propagation",
+      (s, dir) => {
+        import s.implicits._
+        labelPropagation(tradeEdges(s, dir), iters = 3)
+          .orderBy($"node")
+      },
+      Some(s"""
+        WITH e0 AS (
+          SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+        ${lpaIter("l0", "l1")},
+        ${lpaIter("l1", "l2")},
+        ${lpaIter("l2", "l3")}
+        SELECT node, CAST(label AS BIGINT) AS label
+        FROM l3
+        ORDER BY node""")),
 
     // co-purchase graph (parts sharing an order) — triangle count is
     // orientation-invariant, so the oracle uses the simple id-ordered

@@ -64,6 +64,19 @@ class AnalyticsSpec extends SparkSpec {
       ("last_touch", "direct", 1L, 500L)))
   }
 
+  test("timeWeightedAvg weights each value by its hold duration") {
+    import org.apache.spark.sql.functions.col
+    // user 1: 10.0 held 100min, 20.0 held 300min, final row spans nothing
+    // twap = (1000c*100 + 2000c*300) / 400 = 1750c = 17.5
+    val e = events(
+      (1L, 0L, "p", 10.0), (1L, 100L, "p", 20.0), (1L, 400L, "p", 30.0),
+      (2L, 5L, "p", 7.0)) // single event: no span -> excluded
+    val out = Analytics.timeWeightedAvg(e, "user_id")
+      .orderBy(col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 17.5)))
+  }
+
   test("sessionize splits on gaps greater than the threshold") {
     val e = events(
       (1L, 0L, "view", 1.0), (1L, 10L, "click", 2.0), // session 1

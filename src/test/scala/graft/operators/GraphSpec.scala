@@ -31,6 +31,22 @@ class GraphSpec extends SparkSpec {
     assert(count(messy) == (4L, 6L, 4L))
   }
 
+  test("labelPropagation: two bridged triangles converge to two communities") {
+    import spark.implicits._
+    // triangles {1,2,3} and {10,11,12} with a 3-10 bridge; symmetric input
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+    val sym = (und ++ und.map(_.swap)).toDF("src", "dst")
+    // hand-run of 3 synchronous rounds (majority label, ties -> smallest):
+    //   r1: 1->2 2->1 3->1 10->3 11->10 12->10
+    //   r2: 1->1 2->1 3->1 10->10 11->3 12->3
+    //   r3: 1->1 2->1 3->1 10->3  11->3 12->3
+    val got = Graph.labelPropagation(sym, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L))
+  }
+
   test("random graph matches brute force (hub-skewed degrees)") {
     val rnd = new Random(3)
     // a hub (node 0) connected widely + random sparse edges: exercises
