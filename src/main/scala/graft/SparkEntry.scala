@@ -38,6 +38,7 @@ object SparkEntry {
     Linkage.defs,
     Graph.defs,
     Basket.defs,
+    Skyline.defs,
     Maintenance.defs,
     Quality.defs)
 
