@@ -282,7 +282,7 @@ object Bench {
       "q103_training_pipeline", "q104_bm25_search", "q122_sequence_packing",
       "q130_semantic_dedup", "q155_bucketed_join", "q158_kmeans_clusters",
       "q162_incremental_job_pipeline", "q176_inverted_index",
-      "q181_pagerank")
+      "q181_pagerank", "q194_stream_outer_join", "q198_pareto_frontier")
     val resMap = results.map { case (k, v, _) => k -> v }.toMap
     val headQs = headline.flatMap(k => resMap.get(k).map(v =>
       s"\"" + k + "\":" + ms(v))).mkString("{", ",", "}")

@@ -225,11 +225,93 @@ object TextAnalysis {
         array_min($"dists").cast("long").as("min_dist"))
   }
 
+  /** Bigram PMI (pointwise mutual information) — the collocation
+    * statistic behind phrase mining and word-embedding preprocessing:
+    * pmi(a,b) = ln(C(ab)·N / (C(a)·C(b))) over adjacent token pairs.
+    *
+    * Scale shape: ONE corpus scan. Each document row-locally emits a
+    * tagged item array — its unigrams (kind 0) and its adjacent pairs
+    * (kind 1) — so one explode + one combiner-reduced groupBy produces
+    * both count tables; splitting unigram/bigram counts any other way
+    * re-references the tokenized corpus subtree (two scans — the q195
+    * lesson). The aggregated counts frame is |vocab|+|bigrams| rows —
+    * cached before its three consumers (unigrams, bigrams, N) so the
+    * corpus pass runs once; the enrichment joins are tiny-vs-tiny and
+    * AQE-broadcast. */
+  def bigramPmi(docs: DataFrame, minCount: Long, topK: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val counts = docs
+      .withColumn("_toks", expr("filter(split(text, ' '), t -> t != '')"))
+      // sequence(1, n) DESCENDS when n < 1 (the q174/Linkage footgun):
+      // short docs must yield an empty pair list, not [1, 0]
+      .select(explode(expr(
+        """flatten(array(
+             transform(_toks, t -> struct(0L AS kind, t AS a, '' AS b)),
+             if(size(_toks) >= 2,
+               transform(sequence(1, size(_toks) - 1),
+                 i -> struct(1L AS kind, element_at(_toks, i) AS a,
+                             element_at(_toks, i + 1) AS b)),
+               array())))""")).as("it"))
+      .select($"it.kind", $"it.a", $"it.b")
+      .groupBy($"kind", $"a", $"b").agg(count(lit(1)).as("c"))
+      .cache()
+    val uni = counts.filter($"kind" === 0)
+      .select($"a".as("t"), $"c".as("n_t"))
+    val bi = counts.filter($"kind" === 1 && $"c" >= minCount)
+      .select($"a", $"b", $"c".as("n_ab"))
+    val total = counts.filter($"kind" === 1)
+      .agg(sum($"c").as("n_pairs"))
+    bi.join(uni.select($"t".as("a"), $"n_t".as("n_a")), "a")
+      .join(uni.select($"t".as("b"), $"n_t".as("n_b")), "b")
+      .crossJoin(total)
+      .select($"a", $"b", $"n_ab", $"n_a", $"n_b",
+        // numerator double × exact-int denominator, mirroring the
+        // oracle's 1.0*… phrasing (and dodging long overflow at scale)
+        round(log($"n_ab".cast("double") * $"n_pairs" /
+          ($"n_a" * $"n_b")), 4).as("pmi"))
+      .orderBy(desc("pmi"), $"a", $"b")
+      .limit(topK)
+  }
+
   // ------------------------------------------------------------------
   // oracle-gated bindings
   // ------------------------------------------------------------------
 
   val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q199_bigram_pmi",
+      (s, dir) => bigramPmi(Tables.load(s, dir, "documents"),
+        minCount = 5L, topK = 50),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(text, ' '),
+                                    t -> t <> '')) AS t,
+                 unnest(generate_series(1,
+                   len(list_filter(string_split(text, ' '), t -> t <> ''))))
+                   AS pos
+          FROM documents),
+        uni AS (SELECT t, count(*) AS n_t FROM toks GROUP BY t),
+        bi AS (
+          SELECT x.t AS a, y.t AS b, count(*) AS n_ab
+          FROM toks x JOIN toks y
+            ON x.doc_id = y.doc_id AND y.pos = x.pos + 1
+          GROUP BY x.t, y.t HAVING count(*) >= 5),
+        tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_pairs FROM (
+                  SELECT count(*) AS n_ab
+                  FROM toks x JOIN toks y
+                    ON x.doc_id = y.doc_id AND y.pos = x.pos + 1
+                  GROUP BY x.t, y.t))
+        SELECT a, b, n_ab, ua.n_t AS n_a, ub.n_t AS n_b,
+               round(ln(1.0 * n_ab * tot.n_pairs / (ua.n_t * ub.n_t)), 4)
+                 AS pmi
+        FROM bi JOIN uni ua ON bi.a = ua.t
+                JOIN uni ub ON bi.b = ub.t
+                CROSS JOIN tot
+        ORDER BY pmi DESC, a, b
+        LIMIT 50""")),
 
     QueryDef(
       "q195_proximity_search",

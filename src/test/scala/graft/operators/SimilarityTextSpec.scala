@@ -137,6 +137,21 @@ class SimilarityTextSpec extends SparkSpec {
     }
   }
 
+  test("bigramPmi: hand-checked counts; empty and 1-token docs are safe") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b a b"), (1L, "a"), (2L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramPmi(docs, minCount = 1L, topK = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // unigrams a=3 b=2; pairs (a,b)=2 (b,a)=1, N=3
+    // pmi(a,b)=ln(2*3/(3*2))=0; pmi(b,a)=ln(1*3/(2*3))=-0.6931
+    assert(out.toSeq == Seq(
+      ("a", "b", 2L, 3L, 2L, 0.0),
+      ("b", "a", 1L, 2L, 3L, -0.6931)))
+  }
+
   test("bm25TopK: rare-term doc outranks common-term doc, k bounds the result") {
     import spark.implicits._
     // 'rare' appears in one doc, 'common' in all four: idf makes doc 1
