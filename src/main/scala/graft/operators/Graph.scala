@@ -137,6 +137,37 @@ object Graph {
     lab
   }
 
+  /** Multi-source BFS distance labeling: min hop count from any source
+    * node, capped at `maxHops` — k-hop reachability (fraud rings, blast
+    * radius, influence neighborhoods). Frontier-style expansion: round h
+    * joins edges against ONLY the nodes first reached at h-1, so each
+    * edge is traversed once per endpoint-reach, not once per round.
+    *
+    * Scale shape: O(maxHops) rounds of one equi-join (hash-partitioned
+    * on node id) + one min-combine; the distance frame is
+    * localCheckpoint'd every round — it is referenced twice per round
+    * (frontier filter + union-merge) and lazily re-expanding it would
+    * re-run all prior rounds multiplicatively (the q100 recompute-storm
+    * lesson, applied at write time). Nothing driver-side but the loop
+    * counter. */
+  def khopDistances(edges: DataFrame, sources: DataFrame,
+      maxHops: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val e = edges.select($"src", $"dst").distinct()
+    var dist = sources.select($"node").distinct()
+      .withColumn("d", lit(0L)).localCheckpoint()
+    for (h <- 1 to maxHops) {
+      val reached = e.join(dist.filter($"d" === h - 1),
+          e("src") === $"node")
+        .select($"dst".as("node"), lit(h.toLong).as("d"))
+      dist = dist.unionAll(reached)
+        .groupBy($"node").agg(min($"d").as("d"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   // ------------------------------------------------------------------
   // fixture-bound oracle queries
   // ------------------------------------------------------------------
@@ -155,6 +186,15 @@ object Graph {
     pairs.select($"c".as("src"), $"p".as("dst"))
       .union(pairs.select($"p".as("src"), $"c".as("dst")))
   }
+
+  private def bfsIter(prev: String, out: String, h: Int): String =
+    s"""$out AS (
+       SELECT node, min(d) AS d FROM (
+         SELECT node, d FROM $prev
+         UNION ALL
+         SELECT e.dst AS node, $h AS d
+         FROM e JOIN $prev ON e.src = $prev.node AND $prev.d = ${h - 1})
+       GROUP BY node)"""
 
   private def lpaIter(prev: String, out: String): String =
     s"""$out AS (
@@ -226,6 +266,32 @@ object Graph {
         ${lpaIter("l2", "l3")}
         SELECT node, CAST(label AS BIGINT) AS label
         FROM l3
+        ORDER BY node""")),
+
+    // blast radius on the trade graph: hop distance from nation 7's
+    // customer base, capped at 3 hops (customer→supplier alternating)
+    QueryDef(
+      "q200_khop_reachability",
+      (s, dir) => {
+        import s.implicits._
+        val src = Tables.load(s, dir, "customer")
+          .filter($"c_nationkey" === 7)
+          .select(($"c_custkey" * 2).as("node"))
+        khopDistances(tradeEdges(s, dir), src, maxHops = 3)
+          .orderBy($"node")
+      },
+      Some(s"""
+        WITH e0 AS (
+          SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        d0 AS (SELECT DISTINCT c_custkey * 2 AS node, 0 AS d
+               FROM customer WHERE c_nationkey = 7),
+        ${bfsIter("d0", "d1", 1)},
+        ${bfsIter("d1", "d2", 2)},
+        ${bfsIter("d2", "d3", 3)}
+        SELECT node, CAST(d AS BIGINT) AS d
+        FROM d3
         ORDER BY node""")),
 
     // co-purchase graph (parts sharing an order) — triangle count is

@@ -47,6 +47,22 @@ class GraphSpec extends SparkSpec {
       10L -> 3L, 11L -> 3L, 12L -> 3L))
   }
 
+  test("khopDistances: path graph hops, multi-source min, cap respected") {
+    import spark.implicits._
+    // path 1-2-3-4-5 (symmetric), sources {1, 5}, 2 hops
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val sym = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val src = Seq(1L, 5L).toDF("node")
+    val got = Graph.khopDistances(sym, src, maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 3 is reached at hop 2 from BOTH sources -> min 2; everything else
+    // is 0 or 1; nothing is farther than 2 on this graph
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+    val one = Graph.khopDistances(sym, Seq(1L).toDF("node"), maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(1L -> 0L, 2L -> 1L, 3L -> 2L)) // 4,5 beyond the cap
+  }
+
   test("random graph matches brute force (hub-skewed degrees)") {
     val rnd = new Random(3)
     // a hub (node 0) connected widely + random sparse edges: exercises
