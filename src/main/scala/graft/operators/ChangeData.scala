@@ -121,11 +121,73 @@ object ChangeData {
     applied.drop("_op", "_new")
   }
 
+  /** Temporal (effective-dated) dimension join: attach to each fact the
+    * dim attribute that was valid on the fact's date — the consumption
+    * side of scd2History's [valid_from, valid_to) intervals. Because
+    * intervals are non-overlapping per key, each fact matches at most
+    * one dim row.
+    *
+    * Scale: ONE equi-join hash-partitioned on the key; the validity
+    * predicate prunes the per-key fan (bounded by the key's interval
+    * count, i.e. its change count — never |dim|). No windows over
+    * facts, no broadcast of an SF-scaled side forced (AQE decides). */
+  def temporalJoin(facts: DataFrame, factKey: Column, factDate: Column,
+      dim: DataFrame): DataFrame =
+    facts.join(dim,
+      factKey === dim("k") && factDate >= dim("valid_from") &&
+        (dim("valid_to").isNull || factDate < dim("valid_to")))
+
   // ------------------------------------------------------------------
   // fixture-bound oracle queries
   // ------------------------------------------------------------------
 
   val defs: Seq[QueryDef] = Seq(
+
+    // each order joined to its customer's effective priority interval:
+    // build the SCD2 history from the order log, then consume it
+    // temporally — orders mid-history land on interior intervals
+    QueryDef(
+      "q201_temporal_dim_join",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val dim = scd2History(o, col("o_custkey"),
+          to_date(col("o_orderdate")), col("o_orderpriority"),
+          col("o_orderkey"))
+        temporalJoin(
+          o.select(col("o_orderkey"), col("o_custkey"),
+            to_date(col("o_orderdate")).as("od")),
+          col("o_custkey"), col("od"), dim)
+          .select(col("o_orderkey"), col("o_custkey"), col("od"),
+            col("value").as("eff_priority"), col("valid_from"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+                 max_by(o_orderpriority, o_orderkey) AS priority
+          FROM orders GROUP BY o_custkey, day),
+        c AS (
+          SELECT o_custkey, day, priority,
+                 lag(priority) OVER (PARTITION BY o_custkey ORDER BY day)
+                   AS prev_p
+          FROM d),
+        h AS (
+          SELECT o_custkey, priority, day AS valid_from
+          FROM c WHERE prev_p IS NULL OR prev_p <> priority),
+        dim AS (
+          SELECT o_custkey AS k, priority, valid_from,
+                 lead(valid_from) OVER (PARTITION BY o_custkey
+                   ORDER BY valid_from) AS valid_to
+          FROM h)
+        SELECT o.o_orderkey, o.o_custkey,
+               CAST(o.o_orderdate AS DATE) AS od,
+               dim.priority AS eff_priority, dim.valid_from
+        FROM orders o
+        JOIN dim ON o.o_custkey = dim.k
+                AND CAST(o.o_orderdate AS DATE) >= dim.valid_from
+                AND (dim.valid_to IS NULL
+                     OR CAST(o.o_orderdate AS DATE) < dim.valid_to)
+        ORDER BY o.o_orderkey""")),
 
     // the orders table read as a CDC stream over the customer snapshot:
     // every order is a full-image upsert of its customer (re-segmented,

@@ -68,6 +68,31 @@ class ChangeDataSpec extends SparkSpec {
     assert(out == Seq((1L, "a2", 11.0), (4L, "d2", 41.0)))
   }
 
+  test("temporalJoin: half-open interval boundaries, pre-history facts drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dim = Seq(
+      (1L, "A", "2024-01-01", Some("2024-01-10")),
+      (1L, "B", "2024-01-10", None))
+      .toDF("k", "value", "f", "t")
+      .select($"k", $"value", to_date($"f").as("valid_from"),
+        to_date($"t").as("valid_to"))
+    val facts = Seq(
+      (100L, 1L, "2023-12-31"), // before history -> dropped
+      (101L, 1L, "2024-01-01"), // == valid_from -> A
+      (102L, 1L, "2024-01-09"), // interior -> A
+      (103L, 1L, "2024-01-10"), // == valid_to -> next interval B
+      (104L, 1L, "2030-01-01"), // open current row -> B
+      (105L, 2L, "2024-01-05")) // unknown key -> dropped
+      .toDF("id", "fk", "fd")
+      .select($"id", $"fk", to_date($"fd").as("fd"))
+    val got = ChangeData.temporalJoin(facts, $"fk", $"fd", dim)
+      .select($"id", $"value").orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((101L, "A"), (102L, "A"),
+      (103L, "B"), (104L, "B")))
+  }
+
   test("scd2History: change rows with validity intervals, last-write-wins per day") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
