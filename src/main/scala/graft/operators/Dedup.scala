@@ -549,6 +549,37 @@ object Dedup {
     * lineage; the driver loop holds only the convergence counter, never
     * data. (Same round bound as large-star/small-star, Kiveris et al.,
     * SoCC'14, with a simpler per-round plan.) */
+  /** Golden-record survivorship over clustered duplicates: one
+    * canonical row per component from `members`
+    * (comp, doc_id, source, lang, n_chars) — canonical id = min member,
+    * each categorical attribute picked by (frequency desc, value asc),
+    * length = max. The MDM step a curation pipeline runs on q100's
+    * component output before re-publishing.
+    *
+    * Scale: members is cached — it feeds three consumers and is
+    * |clustered docs| rows, tiny vs corpus; each attribute pick windows
+    * only the (component, value) COUNT frame, never raw members; the
+    * final joins are cluster-count sized and AQE-broadcast. */
+  def goldenRecords(membersIn: DataFrame): DataFrame = {
+    val s = membersIn.sparkSession
+    import s.implicits._
+    val members = membersIn.cache()
+    def pick(attr: String) = members
+      .groupBy($"comp", col(attr)).agg(count(lit(1)).as("_c"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy($"comp").orderBy($"_c".desc, col(attr).asc)))
+      .filter($"_rn" === 1)
+      .select($"comp", col(attr).as(s"best_$attr"))
+    members.groupBy($"comp")
+      .agg(min($"doc_id").as("canonical_id"),
+        max($"n_chars").as("max_chars"),
+        count(lit(1)).as("members"))
+      .join(pick("source"), "comp")
+      .join(pick("lang"), "comp")
+      .select($"comp".as("component"), $"canonical_id",
+        $"best_source", $"best_lang", $"max_chars", $"members")
+  }
+
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
@@ -1125,6 +1156,48 @@ object Dedup {
                count(*) OVER (PARTITION BY component) AS cluster_size
         FROM comp
         ORDER BY doc_id""", recursive = true))),
+
+    // survivorship AFTER clustering (see goldenRecords scaladoc)
+    QueryDef(
+      "q202_golden_record",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = minhashLshPairs(t(s, dir, "documents"), 0.8)
+          .select($"id1", $"id2")
+        val comp = connectedComponents(pairs)
+        val members = comp
+          .join(t(s, dir, "documents"), $"id" === col("doc_id"))
+          .select($"comp", $"doc_id", $"source", $"lang", $"n_chars")
+        goldenRecords(members).orderBy($"component")
+      },
+      Some(minhashOracle("""
+        , p AS (SELECT id1, id2 FROM j WHERE jaccard >= 0.8),
+        e AS (SELECT id1 AS src, id2 AS dst FROM p
+              UNION SELECT id2 AS src, id1 AS dst FROM p),
+        reach AS (
+          SELECT src AS id, src AS r FROM e
+          UNION
+          SELECT e.dst AS id, reach.r FROM reach JOIN e ON e.src = reach.id),
+        comp AS (SELECT id AS doc_id, min(r) AS comp
+                 FROM reach GROUP BY id),
+        mem AS (SELECT comp.comp, d.doc_id, d.source, d.lang, d.n_chars
+                FROM comp JOIN documents d USING (doc_id)),
+        srcpick AS (SELECT comp, source AS best_source FROM (
+          SELECT comp, source, row_number() OVER (PARTITION BY comp
+            ORDER BY count(*) DESC, source ASC) AS rn
+          FROM mem GROUP BY comp, source) WHERE rn = 1),
+        langpick AS (SELECT comp, lang AS best_lang FROM (
+          SELECT comp, lang, row_number() OVER (PARTITION BY comp
+            ORDER BY count(*) DESC, lang ASC) AS rn
+          FROM mem GROUP BY comp, lang) WHERE rn = 1),
+        gagg AS (SELECT comp, min(doc_id) AS canonical_id,
+                        max(n_chars) AS max_chars, count(*) AS members
+                 FROM mem GROUP BY comp)
+        SELECT gagg.comp AS component, canonical_id, best_source,
+               best_lang, max_chars, members
+        FROM gagg JOIN srcpick ON gagg.comp = srcpick.comp
+                  JOIN langpick ON gagg.comp = langpick.comp
+        ORDER BY component""", recursive = true))),
 
     // cluster-aware train/val/test split: the step AFTER q100 in a real
     // training pipeline. Splitting docs independently leaks near-dups

@@ -12,6 +12,26 @@ class DedupSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("goldenRecords: frequency-then-value survivorship, min id, max length") {
+    import spark.implicits._
+    val members = Seq(
+      // comp 1: source web×2 beats api×1; lang tie de/en×1 -> 'de'
+      (1L, 10L, "web", "en", 100L),
+      (1L, 11L, "web", "de", 300L),
+      (1L, 12L, "api", "fr", 200L),
+      // comp 2: singleton
+      (2L, 20L, "api", "en", 50L)
+    ).toDF("comp", "doc_id", "source", "lang", "n_chars")
+    val got = Dedup.goldenRecords(members)
+      .orderBy("component").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getLong(5)))
+    // comp1 langs are de/en/fr each once -> tie broken to 'de'
+    assert(got.toSeq == Seq(
+      (1L, 10L, "web", "de", 300L, 3L),
+      (2L, 20L, "api", "en", 50L, 1L)))
+  }
+
   test("exact: groups identical texts, keeps the min doc_id") {
     val d = docs((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
     val r = Dedup.exact(d).collect()
