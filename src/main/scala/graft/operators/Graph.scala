@@ -114,8 +114,8 @@ object Graph {
     * randomized-asynchronous textbook variant. The pick is encoded as
     * one exact integer comparator (count·10¹² − label) so max_by needs
     * no struct ordering and the oracle replays it bit-for-bit; valid
-    * while label ids stay below 10¹² and degrees below ~9·10⁶ of that
-    * headroom (enforced).
+    * while node ids stay in [0, 10¹²) — checked in-plan with
+    * raise_error — and degrees below ~9·10⁶.
     *
     * Scale shape per iteration: TWO combiner-reduced shuffles — the
     * (dst, label) count and the per-dst argmax — plus the edges⋈labels
@@ -126,8 +126,13 @@ object Graph {
     import s.implicits._
     val K = 1000000000000L
     val e = edges.select($"src", $"dst").distinct()
+    // the comparator needs label < K; checked in-plan (row-local, no
+    // extra job) rather than trusted to the scaladoc
     var lab = e.select($"src".as("node")).distinct()
-      .withColumn("label", $"node")
+      .withColumn("label",
+        when($"node" >= 0 && $"node" < K, $"node")
+          .otherwise(raise_error(concat(
+            lit(s"labelPropagation: node id out of [0, $K): "), $"node"))))
     for (_ <- 1 to iters) {
       val cnt = e.join(lab, e("src") === lab("node"))
         .groupBy($"dst", $"label").agg(count(lit(1)).as("c"))

@@ -469,4 +469,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       "top-100 rules became a global sort")
   }
+
+  test("q201: temporal join keeps its equi-key (range predicate must not force a nested loop)") {
+    val p = plan("q201_temporal_dim_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "validity-interval predicate displaced the o_custkey equi-join")
+  }
+
+  test("q197/q199: single-scan operators never re-read their table") {
+    for ((q, label) <- Seq(
+        "q197_time_weighted_avg" -> "events",
+        "q199_bigram_pmi" -> "documents")) {
+      val p = plan(q)
+      val scans = p.linesIterator
+        .count(l => l.trim.startsWith("(") && l.contains("Scan parquet"))
+      // q199's three count-frame consumers must hit the InMemoryRelation,
+      // not re-expand the corpus subtree
+      assert(scans <= 1, s"$q scanned $label $scans times")
+    }
+  }
+
+  test("q196/q200: iterative graph rounds are equi-joins, never cartesian") {
+    for (q <- Seq("q196_label_propagation", "q200_khop_reachability")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q plans a cross product")
+    }
+  }
 }
