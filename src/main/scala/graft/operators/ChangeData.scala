@@ -93,6 +93,8 @@ object ChangeData {
     * follow ANSI MERGE: 'D' matched → delete, 'U' matched → update
     * (change image replaces the row), 'U' not matched → insert,
     * 'D' not matched → no-op, key untouched by the log → keep.
+    * `seqCol` must be unique per key (CDC offsets/LSNs are): ties make
+    * the winning image nondeterministic.
     *
     * Scale: the log is first reduced to ONE row per key with a map-side-
     * combined max_by, so the wire carries |distinct changed keys| rows

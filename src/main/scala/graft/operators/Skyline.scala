@@ -45,9 +45,16 @@ object Skyline {
     val bounds = base.agg(min($"_min").as("_lo"), max($"_min").as("_hi"))
     // exact integer bucketing: (v - lo) * B div (hi - lo + 1) is
     // monotone and order-preserving across bucket boundaries
+    // in-plan overflow guard: (v - lo) * buckets must stay in Long —
+    // raise instead of silently mis-bucketing astronomically-ranged
+    // inputs (row-local check, no extra job)
     val bk = base.crossJoin(bounds).withColumn("_bk",
-      when($"_hi" === $"_lo", lit(0L)).otherwise(
-        ($"_min" - $"_lo") * buckets / ($"_hi" - $"_lo" + 1)))
+      when($"_hi" - $"_lo" < 0 ||
+          $"_hi" - $"_lo" > Long.MaxValue / buckets - 1,
+        raise_error(lit(
+          "paretoFrontier: minimize-dimension range overflows the bucket grid")))
+        .when($"_hi" === $"_lo", lit(0L))
+        .otherwise(($"_min" - $"_lo") * buckets / ($"_hi" - $"_lo" + 1)))
       .drop("_lo", "_hi")
     val summary = bk.groupBy($"_bk").agg(max($"_max").as("_bm"))
       // |buckets| rows: the single-partition window is bounded and tiny
