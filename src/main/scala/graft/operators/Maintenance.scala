@@ -34,6 +34,24 @@ import graft.engine.Tables
   */
 object Maintenance {
 
+  /** Incremental JOIN maintenance — the delta-join identity
+    * (A∪ΔA) ⋈ (B∪ΔB) = A⋈B ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB. Returns the NEW
+    * rows a refresh must add to a materialized equi-join when each side
+    * receives an insert-only delta; the old A⋈B is never recomputed —
+    * that is the entire point. Multiset semantics (duplicates carry
+    * their multiplicity, matching EXCEPT ALL against a full recompute).
+    *
+    * Scale: three equi-joins, each with AT LEAST ONE delta-sized side —
+    * a daily delta against 100 TB of history shuffles the delta plus
+    * the matching history partitions (AQE broadcasts the delta when it
+    * is small), never history × history. Deltas feed two terms each, so
+    * callers stream them from storage or pass cached frames. */
+  def joinDelta(aOld: DataFrame, aDelta: DataFrame,
+      bOld: DataFrame, bDelta: DataFrame, key: String): DataFrame =
+    aDelta.join(bOld, key)
+      .unionByName(aOld.join(bDelta, key))
+      .unionByName(aDelta.join(bDelta, key))
+
   /** Per-key mergeable aggregate state of one batch:
     * (k, n, s, mn, mx). */
   def aggState(batch: DataFrame, key: Column, value: Column): DataFrame =
@@ -124,6 +142,42 @@ object Maintenance {
     Tables.load(s, dir, name)
 
   val defs: Seq[QueryDef] = Seq(
+
+    // both sides of a materialized order⋈lineitem join receive a delta
+    // (orders placed / lines shipped since the cut); the operator emits
+    // exactly the refresh rows. The oracle is the INDEPENDENT law:
+    // full new-state join EXCEPT ALL full old-state join.
+    QueryDef(
+      "q203_incremental_join_delta",
+      (s, dir) => {
+        import s.implicits._
+        val cut = lit("1997-07-01").cast("timestamp")
+        val o = t(s, dir, "orders")
+          .select($"o_orderkey".as("okey"), $"o_orderdate")
+        val l = t(s, dir, "lineitem")
+          .select($"l_orderkey".as("okey"), $"l_linenumber", $"l_shipdate")
+        joinDelta(
+          o.filter($"o_orderdate" < cut), o.filter($"o_orderdate" >= cut),
+          l.filter($"l_shipdate" < cut), l.filter($"l_shipdate" >= cut),
+          "okey")
+          .orderBy($"okey", $"l_linenumber", $"l_shipdate")
+      },
+      Some("""
+        WITH o AS (SELECT o_orderkey AS okey, o_orderdate FROM orders),
+        l AS (SELECT l_orderkey AS okey, l_linenumber, l_shipdate
+              FROM lineitem),
+        old_j AS (
+          SELECT o.okey, o_orderdate, l_linenumber, l_shipdate
+          FROM o JOIN l ON o.okey = l.okey
+          WHERE o_orderdate < TIMESTAMP '1997-07-01'
+            AND l_shipdate < TIMESTAMP '1997-07-01'),
+        new_j AS (
+          SELECT o.okey, o_orderdate, l_linenumber, l_shipdate
+          FROM o JOIN l ON o.okey = l.okey)
+        SELECT okey, o_orderdate, l_linenumber, l_shipdate FROM new_j
+        EXCEPT ALL
+        SELECT okey, o_orderdate, l_linenumber, l_shipdate FROM old_j
+        ORDER BY okey, l_linenumber, l_shipdate""")),
 
     // three yearly "delta drops" of orders folded into one running
     // per-customer state; the oracle is the full recompute the operator

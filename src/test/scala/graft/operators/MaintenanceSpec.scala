@@ -18,6 +18,29 @@ class MaintenanceSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).toSeq
 
+  test("joinDelta law: old join ++ delta == full new join, multiset-exact") {
+    import spark.implicits._
+    val rnd = new Random(23)
+    // duplicate keys on both sides (multiset multiplicities matter)
+    val a = Seq.fill(120)((rnd.nextInt(20).toLong, rnd.nextInt(2).toLong))
+    val b = Seq.fill(150)((rnd.nextInt(20).toLong, rnd.nextInt(3).toLong))
+    val (aOld, aDelta) = a.splitAt(70)
+    val (bOld, bDelta) = b.splitAt(90)
+    def df(x: Seq[(Long, Long)], v: String) = x.toDF("k", v)
+    val delta = Maintenance.joinDelta(
+      df(aOld, "av"), df(aDelta, "av"),
+      df(bOld, "bv"), df(bDelta, "bv"), "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def joined(x: Seq[(Long, Long)], y: Seq[(Long, Long)]) =
+      for ((k, av) <- x; (k2, bv) <- y if k == k2) yield (k, av, bv)
+    val expectedNew = joined(a, b).groupBy(identity).view.mapValues(_.size)
+    val oldJ = joined(aOld, bOld).groupBy(identity).view.mapValues(_.size)
+    val got = (delta.toSeq.groupBy(identity).view.mapValues(_.size).toMap
+      .toSeq ++ oldJ.toSeq).groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    assert(got == expectedNew.toMap)
+  }
+
   test("merge law: mergeState(agg(A), agg(B)) == agg(A ++ B), any split/order") {
     val rnd = new Random(42)
     for (trial <- 1 to 5) {
