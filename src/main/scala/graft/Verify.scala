@@ -136,6 +136,22 @@ object Verify {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
+    // Attestation-completeness gate: every query in the catalog must leave
+    // a trace in outDir — either a result parquet dir or a _FAILED marker.
+    // In round 6 the fixture regenerated mid-round, 8 queries crashed, and
+    // their rows simply VANISHED from the correctness artifact with no
+    // signal anywhere; this line makes a silent shrink impossible (driver
+    // keeps the stdout/stderr tail, and tools/check.py counts markers).
+    val expected = SparkEntry.queries.keySet.filter(keep)
+    val attested = Option(outFile.listFiles()).getOrElse(Array.empty)
+      .map(_.getName.stripSuffix("._FAILED")).toSet
+    val missing = expected.diff(attested)
+    if (missing.nonEmpty)
+      System.err.println(
+        s"MISSING ATTESTATION: ${missing.toSeq.sorted.mkString(",")}")
+    else
+      System.err.println(
+        s"[verify] attestation complete: ${expected.size} queries")
     spark.stop()
   }
 }

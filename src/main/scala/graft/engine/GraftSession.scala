@@ -74,6 +74,12 @@ object GraftSession {
       // fixture events.ts is parquet TIMESTAMP(NANOS); read as long and
       // convert in Tables.load (Spark has no nanos timestamp type)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // fixture events.ts has also shipped as isAdjustedToUTC=false micros;
+      // read those as TimestampType directly (session is pinned UTC, so the
+      // naive micros are value-preserving) instead of TIMESTAMP_NTZ, which
+      // withWatermark and unix_micros both reject. Tables.load carries a
+      // defensive NTZ cast for sessions built elsewhere.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // bucketed saveAsTable target, under the per-pid scratch root: keeps
       // test/verify runs from dropping a spark-warehouse/ dir into the
       // repo working copy, isolates concurrent JVMs (chunked Bench runs,
@@ -116,5 +122,6 @@ object GraftSession {
       .config("spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
 }

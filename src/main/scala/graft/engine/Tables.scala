@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated fixture tables (TESTDATA.md /
   * FIXTURES.md). Parquet at rest — columnar scan + predicate pushdown +
@@ -14,18 +14,32 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is written as parquet TIMESTAMP(NANOS), which Spark has no
-    // native type for; sessions set spark.sql.legacy.parquet.nanosAsLong,
-    // so it arrives as a long we truncate to microseconds (integer div —
-    // going through double would lose precision on ~1.7e18 nanos).
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) if name == "events" =>
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    normalizeEventTime(spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** Load-time contract: `ts` is ALWAYS `TimestampType` (UTC session
+    * micros) after load, whatever shape the fixture parquet ships in.
+    * The driver has regenerated events.parquet with different physical
+    * encodings across rounds; each shape gets a branch here so a fixture
+    * change is a non-event for the 30+ event-time operators downstream:
+    *  - TIMESTAMP(NANOS): no native Spark type; sessions set
+    *    spark.sql.legacy.parquet.nanosAsLong, so it arrives as a long we
+    *    truncate to micros (integer div — going through double would lose
+    *    precision on ~1.7e18 nanos).
+    *  - isAdjustedToUTC=false micros (TIMESTAMP_NTZ when inference is on,
+    *    e.g. a session not built by GraftSession): cast to TimestampType.
+    *    The session time zone is pinned UTC, so the naive micros map 1:1
+    *    onto epoch micros — value-preserving and oracle-parity-safe
+    *    (DuckDB reads the same column as a naive timestamp).
+    *  - TimestampType already: pass through. */
+  def normalizeEventTime(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
-  }
 
   /** Multi-dir scan — the reference's `input_dirs` list is an implicit
     * UNION ALL (/root/reference/mapper.py:75-85); Spark's multi-path read

@@ -50,9 +50,13 @@ object Graph {
       val contribs = e2.join(r, e2("src") === r("node"))
         .select($"dst", expr("rank div deg").as("c"))
         .groupBy($"dst").agg(sum($"c").as("sc"))
+      // truncate lineage every round (same rule as LPA / k-hop below):
+      // without this the plan tree grows linearly with iters, each round
+      // re-plans all prior rounds, and a failure re-executes them all
       r = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
         .select($"node",
           (lit(base) + expr("(85 * coalesce(sc, 0L)) div 100")).as("rank"))
+        .localCheckpoint()
     }
     r
   }
@@ -78,11 +82,16 @@ object Graph {
   def triangleCount(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
+    // every frame below is referenced more than once downstream (e: tag
+    // join + edge count; deg: two tag joins + node count; dir: both wedge
+    // sides + the closing semi-join) — materialize each, or the lazy plan
+    // re-runs the upstream edge normalization multiplicatively (the q100
+    // recompute-storm lesson; dir un-checkpointed measured 5x slower)
     val e = edges.select(
       least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
-      .filter($"u" =!= $"v").distinct()
+      .filter($"u" =!= $"v").distinct().localCheckpoint()
     val deg = e.select($"u".as("n")).unionAll(e.select($"v".as("n")))
-      .groupBy($"n").agg(count(lit(1)).as("d"))
+      .groupBy($"n").agg(count(lit(1)).as("d")).localCheckpoint()
     val tagged = e
       .join(deg.select($"n".as("u"), $"d".as("du")), Seq("u"))
       .join(deg.select($"n".as("v"), $"d".as("dv")), Seq("v"))
@@ -95,6 +104,7 @@ object Graph {
         .otherwise($"u").as("dst"),
       when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"dv")
         .otherwise($"du").as("dd"))
+      .localCheckpoint()
     val wedges = dir.select($"src".as("a"), $"dst".as("b"), $"dd".as("db"))
       .join(dir.select($"src".as("a"), $"dst".as("c"), $"dd".as("dc")),
         Seq("a"))

@@ -101,9 +101,9 @@ object StreamingQueries {
     })
     val schema = s.read.parquet(path).schema
     val raw = s.readStream.schema(schema).parquet(srcDir)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    // same ts contract as batch: nanos-long / NTZ-micros / timestamp all
+    // normalize to TimestampType before any watermark is applied
+    graft.engine.Tables.normalizeEventTime(raw)
   }
 
   private val stagedFlush = scala.collection.concurrent.TrieMap.empty[String, String]
@@ -155,9 +155,7 @@ object StreamingQueries {
     val schema = s.read.parquet(path).schema
     val raw = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    graft.engine.Tables.normalizeEventTime(raw)
   }
 
   /** Streaming state partition sizing. The session default
