@@ -155,11 +155,14 @@ object Graph {
         when($"node" >= 0 && $"node" < K, $"node")
           .otherwise(raise_error(concat(
             lit(s"labelPropagation: node id out of [0, $K): "), $"node"))))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val cnt = e.join(lab, e("src") === lab("node"))
         .groupBy($"dst", $"label").agg(count(lit(1)).as("c"))
       lab = cnt.groupBy($"dst".as("node"))
         .agg(max_by($"label", $"c" * K - $"label").as("label"))
+      // label frame is referenced once (next round) — periodic lineage
+      // truncation only, same cadence rationale as pageRank above
+      if (i % 5 == 0 && i < iters) lab = lab.localCheckpoint()
     }
     lab
   }
@@ -171,26 +174,34 @@ object Graph {
     * edge is traversed once per endpoint-reach, not once per round.
     *
     * Scale shape: O(maxHops) rounds of one equi-join (hash-partitioned
-    * on node id) + one min-combine; the distance frame is
-    * localCheckpoint'd every round — it is referenced twice per round
-    * (frontier filter + union-merge) and lazily re-expanding it would
-    * re-run all prior rounds multiplicatively (the q100 recompute-storm
-    * lesson, applied at write time). Nothing driver-side but the loop
-    * counter. */
+    * on node id) + one min-combine; the distance frame is referenced
+    * twice per round (frontier filter + union-merge), so each round's
+    * frame is CACHED — lazily re-expanding it would re-run all prior
+    * rounds multiplicatively (the q100 recompute-storm lesson) — and
+    * every 5th round is localCheckpoint'd to bound plan depth on deep
+    * hop counts (lazy cache for sharing, periodic checkpoint for
+    * lineage; eager per-round checkpointing measured ~15% slower at 3
+    * hops). Nothing driver-side but the loop counter. */
   def khopDistances(edges: DataFrame, sources: DataFrame,
       maxHops: Int): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     val e = edges.select($"src", $"dst").distinct()
     var dist = sources.select($"node").distinct()
-      .withColumn("d", lit(0L)).localCheckpoint()
+      .withColumn("d", lit(0L)).cache()
     for (h <- 1 to maxHops) {
       val reached = e.join(dist.filter($"d" === h - 1),
           e("src") === $"node")
         .select($"dst".as("node"), lit(h.toLong).as("d"))
       dist = dist.unionAll(reached)
         .groupBy($"node").agg(min($"d").as("d"))
-        .localCheckpoint()
+      // lazy cache guards the per-round double reference (frontier filter
+      // + union-merge) without an eager per-round job; periodic
+      // localCheckpoint bounds plan depth on deep hop counts (the r7
+      // materialization-cadence rule: cache for sharing, checkpoint for
+      // lineage, eager only when fan-out demands it)
+      dist = if (h % 5 == 0 && h < maxHops) dist.localCheckpoint()
+        else dist.cache()
     }
     dist
   }

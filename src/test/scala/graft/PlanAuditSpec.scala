@@ -497,4 +497,24 @@ class PlanAuditSpec extends SparkSpec {
         !p.contains("BroadcastNestedLoopJoin"), s"$q plans a cross product")
     }
   }
+
+  test("q205: winsorize clip join broadcasts the bounds, aggs are partial") {
+    val p = plan("q205_winsorize")
+    // the |groups|-row bounds frame must broadcast back onto the input —
+    // a sort-merge join here would shuffle the full table a second time
+    assert(p.contains("BroadcastHashJoin"),
+      "winsorize bounds should broadcast, not shuffle the fact side")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial agg")
+  }
+
+  test("q206: join cardinality never joins data rows, only key histograms") {
+    val p = plan("q206_join_cardinality")
+    // both sides reduce to (key, count) BEFORE the join: the join's
+    // inputs must each sit above a partial+final aggregate, and no
+    // column beyond the keys is ever read
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "per-side histograms should partial-aggregate before the join")
+    assert(!p.contains("o_totalprice") && !p.contains("l_quantity"),
+      "histogram build read non-key columns")
+  }
 }
