@@ -285,6 +285,40 @@ object TrainingPipeline {
       .select($"source", $"doc_id", $"rk".cast("long").as("rk"))
   }
 
+  /** Per-source composition diagnostics: the language-distribution
+    * entropy of each source and its KL divergence from the corpus-wide
+    * language mix — the "is this source on-distribution" signal a
+    * mixture designer reads before weighting sources
+    * ([[temperatureMixture]] decides HOW MUCH of each source;
+    * this says HOW DIFFERENT each source is). Low entropy = monolingual
+    * source; high KL = source pulls the mixture away from the corpus
+    * profile.
+    *
+    * Scale shape: one partial-aggregated (source, lang) count — the only
+    * corpus-wide pass — then everything is |sources × langs| rows:
+    * per-source totals, the broadcast corpus profile, and the row-local
+    * p·ln(p/q) terms. Doubles appear only in final ln/÷ terms rounded to
+    * 4dp (count ratios are exact longs until then). */
+  def sourceComposition(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sl = docs.groupBy($"source", $"lang").agg(count(lit(1)).as("nsl"))
+      .cache() // three consumers below, |sources×langs| rows
+    val perSource = sl.groupBy($"source").agg(sum($"nsl").as("ns"))
+    val corpus = sl.groupBy($"lang").agg(sum($"nsl").as("nl"))
+    val total = sl.agg(sum($"nsl").as("n"))
+    sl.join(broadcast(perSource), "source")
+      .join(broadcast(corpus), "lang")
+      .crossJoin(broadcast(total))
+      .withColumn("p", $"nsl".cast("double") / $"ns")
+      .withColumn("q", $"nl".cast("double") / $"n")
+      .groupBy($"source")
+      .agg(
+        max($"ns").as("n_docs"),
+        round(-sum($"p" * log($"p")), 4).as("lang_entropy"),
+        round(sum($"p" * log($"p" / $"q")), 4).as("kl_vs_corpus"))
+  }
+
   // ------------------------------------------------------------------
   // fixture-bound oracle queries
   // ------------------------------------------------------------------
@@ -703,6 +737,33 @@ object TrainingPipeline {
                  AS BIGINT) // 1048576) AS BIGINT) AS digest
         FROM documents
         GROUP BY 1
-        ORDER BY shard"""))
+        ORDER BY shard""")),
+
+    // per-source language entropy + KL vs the corpus mix; both engines
+    // compute the identical exact-count ratios and natural logs
+    QueryDef(
+      "q208_source_composition",
+      (s, dir) => sourceComposition(Tables.load(s, dir, "documents"))
+        .orderBy(col("source")),
+      Some("""
+        WITH sl AS (SELECT source, lang, count(*) AS nsl
+                    FROM documents GROUP BY source, lang),
+        ps AS (SELECT source, sum(nsl) AS ns FROM sl GROUP BY source),
+        cl AS (SELECT lang, sum(nsl) AS nl FROM sl GROUP BY lang),
+        t AS (SELECT sum(nsl) AS n FROM sl)
+        SELECT sl.source,
+               CAST(max(ns) AS BIGINT) AS n_docs,
+               round(-sum((CAST(nsl AS DOUBLE) / ns)
+                          * ln(CAST(nsl AS DOUBLE) / ns)), 4)
+                 AS lang_entropy,
+               round(sum((CAST(nsl AS DOUBLE) / ns)
+                         * ln((CAST(nsl AS DOUBLE) / ns)
+                              / (CAST(nl AS DOUBLE) / n))), 4)
+                 AS kl_vs_corpus
+        FROM sl JOIN ps ON sl.source = ps.source
+               JOIN cl ON sl.lang = cl.lang
+               CROSS JOIN t
+        GROUP BY sl.source
+        ORDER BY sl.source"""))
   )
 }

@@ -731,6 +731,97 @@ object StreamingQueries {
         SELECT event_id, user_id, ts
         FROM events
         WHERE event_type = 'signup'
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // ----- per-micro-batch observed metrics ------------------------------
+    // The streaming counterpart of q204: `observe` on a stream reports its
+    // named aggregates PER MICRO-BATCH through QueryProgress events — the
+    // production feed-monitoring surface (rows/sec, malformed counts,
+    // revenue totals per trigger) with zero extra passes; the metrics ride
+    // the batch's own tasks as partial-aggregate accumulators. The source
+    // is staged 4 files wide (maxFilesPerTrigger=1 -> 4 micro-batches), so
+    // the oracle equality ALSO proves cross-batch accumulation: per-batch
+    // metric rows summed over the run equal the whole-table aggregates.
+    // Money is summed in exact cents (round-to-long per row) because
+    // per-batch double sums would re-associate nondeterministically.
+    QueryDef(
+      "q207_stream_observe",
+      (s, dir) => {
+        import s.implicits._
+        val rows = new java.util.concurrent.atomic.AtomicLong
+        val purchases = new java.util.concurrent.atomic.AtomicLong
+        val cents = new java.util.concurrent.atomic.AtomicLong
+        val batches = new java.util.concurrent.atomic.AtomicLong
+        val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+          override def onQueryStarted(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+          override def onQueryTerminated(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+          override def onQueryProgress(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+            val m = e.progress.observedMetrics
+            if (m.containsKey("feed_metrics")) {
+              val r = m.get("feed_metrics")
+              rows.addAndGet(r.getAs[Long]("n_rows"))
+              purchases.addAndGet(r.getAs[Long]("n_purchase"))
+              cents.addAndGet(r.getAs[Long]("cents"))
+              if (r.getAs[Long]("n_rows") > 0) batches.incrementAndGet()
+              ()
+            }
+          }
+        }
+        s.streams.addListener(listener)
+        try {
+          val q = eventsStreamSplit(s, dir)
+            .observe("feed_metrics",
+              count(lit(1)).as("n_rows"),
+              count(when($"event_type" === "purchase", 1)).as("n_purchase"),
+              coalesce(sum(round($"value" * 100).cast("long")), lit(0L))
+                .as("cents"))
+            .select($"event_id") // sink payload irrelevant; metrics are the product
+            .writeStream
+            .outputMode(OutputMode.Append())
+            .format("noop")
+            .option("checkpointLocation", tmp("ckpt_"))
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally s.streams.removeListener(listener)
+        // progress events post asynchronously after termination
+        val deadline = System.nanoTime() + 10000000000L
+        while (batches.get() < 4 && System.nanoTime() < deadline)
+          Thread.sleep(20)
+        Seq((batches.get(), rows.get(), purchases.get(), cents.get()))
+          .toDF("n_batches", "n_rows", "n_purchase", "cents")
+      },
+      Some("""
+        SELECT 4 AS n_batches, count(*) AS n_rows,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                 AS n_purchase,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM events"""))
   )
+
+  /** Events staged as FOUR parquet files (deterministic pmod split on
+    * event_id) so a maxFilesPerTrigger=1 stream runs four real
+    * micro-batches — the multi-batch harness for per-batch metric
+    * accumulation (q207). Totals are split-invariant; per-file contents
+    * are deterministic (pmod, not sampled ranges). */
+  private val stagedSplit = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def eventsStreamSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s"$dir/events.parquet"
+    val srcDir = stagedSplit.getOrElseUpdate(path, {
+      val d = Files.createTempDirectory("events_split_")
+      val base = graft.engine.Tables.normalizeEventTime(s.read.parquet(path))
+      for (i <- 0 until 4)
+        base.filter(pmod($"event_id", lit(4)) === i)
+          .coalesce(1).write.mode("append").parquet(d.toString)
+      d.toString
+    })
+    val schema = s.read.parquet(srcDir).schema
+    s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(srcDir)
+  }
 }

@@ -231,4 +231,25 @@ class TrainingPipelineSpec extends SparkSpec {
       .map(x => (x.getString(0), x.getLong(1)))
     assert(r.toSet == r2.toSet)
   }
+
+  test("sourceComposition: entropy and KL match hand computation") {
+    import spark.implicits._
+    // source A: 2 en + 2 fr (uniform -> H = ln 2); source B: 4 en
+    // (H = 0). Corpus: 6 en, 2 fr -> q_en = 0.75, q_fr = 0.25.
+    // KL(A) = .5 ln(.5/.75) + .5 ln(.5/.25); KL(B) = ln(1/0.75)
+    val d = Seq(
+      (1L, "x", "en", "A"), (2L, "x", "en", "A"),
+      (3L, "x", "fr", "A"), (4L, "x", "fr", "A"),
+      (5L, "x", "en", "B"), (6L, "x", "en", "B"),
+      (7L, "x", "en", "B"), (8L, "x", "en", "B"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = TrainingPipeline.sourceComposition(d).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getDouble(2), x.getDouble(3)))).toMap
+    def r4(v: Double) = BigDecimal(v).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r("A") == ((4L, r4(math.log(2)),
+      r4(0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25)))))
+    assert(r("B") == ((4L, 0.0, r4(math.log(1 / 0.75)))))
+  }
 }
