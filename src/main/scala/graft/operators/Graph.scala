@@ -130,8 +130,15 @@ object Graph {
     // graphs with strong community structure where multiplicities
     // actually collapse. The O(m^1.5) wedge shuffle is the algorithm's
     // inherent cost and the orientation already bounds it.
+    // SHUFFLE_HASH on the edge side: the default sort-merge strategy
+    // sorts the O(m^1.5) wedge stream before probing — the single
+    // largest cost in the plan — while hashing the m-row edge side per
+    // partition costs O(m/partitions) memory and lets wedges stream
+    // through unsorted. (A broadcast is deliberately NOT forced: dir is
+    // SF-scaled; AQE may still choose one at runtime if it shrinks.)
     val tri = wedges.join(
-      dir.select($"src".as("b"), $"dst".as("c")), Seq("b", "c"), "left_semi")
+      dir.select($"src".as("b"), $"dst".as("c")).hint("shuffle_hash"),
+      Seq("b", "c"), "left_semi")
     val nn = deg.agg(count(lit(1)).as("n_nodes"))
     val ne = e.agg(count(lit(1)).as("n_edges"))
     nn.crossJoin(ne).crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
