@@ -144,14 +144,22 @@ object Verify {
     // keeps the stdout/stderr tail, and tools/check.py counts markers).
     val expected = SparkEntry.queries.keySet.filter(keep)
     val attested = Option(outFile.listFiles()).getOrElse(Array.empty)
-      .map(_.getName.stripSuffix("._FAILED")).toSet
-    val missing = expected.diff(attested)
+      .map(_.getName).toSet
+    val missing = missingAttestations(expected, attested)
     if (missing.nonEmpty)
       System.err.println(
-        s"MISSING ATTESTATION: ${missing.toSeq.sorted.mkString(",")}")
+        s"MISSING ATTESTATION: ${missing.mkString(",")}")
     else
       System.err.println(
         s"[verify] attestation complete: ${expected.size} queries")
     spark.stop()
   }
+
+  /** Names in `expected` with neither a result dir nor a `._FAILED`
+    * marker among `outDirEntries` — the silent-shrink detector, kept as
+    * a pure function so the spec can pin its behavior. */
+  def missingAttestations(expected: Set[String],
+      outDirEntries: Set[String]): Seq[String] =
+    expected.diff(outDirEntries.map(_.stripSuffix("._FAILED")))
+      .toSeq.sorted
 }
