@@ -123,6 +123,42 @@ object ChangeData {
     applied.drop("_op", "_new")
   }
 
+  /** Snapshot-to-CDC: derive the MINIMAL op log that transforms `oldS`
+    * into `newS` — the inverse of [[mergeUpsert]], for systems that only
+    * hand over full snapshots (nightly dumps, vendor feeds) but whose
+    * consumers want deltas. Emits one row per changed key: 'I' (new only,
+    * new image), 'D' (old only, old image), 'U' (both, differing, new
+    * image); unchanged keys emit nothing. Law, pinned by the spec:
+    * applying the feed with [[mergeUpsert]] (whose ANSI-MERGE op
+    * vocabulary folds I into U — upsert subsumes insert) reproduces
+    * `newS` exactly, and re-deriving a feed afterwards finds nothing.
+    *
+    * Attribute equality is null-safe field-wise (struct comparisons in
+    * Spark are ordering-based, so nested NULL == NULL holds — same
+    * contract snapshotDiff's hash+mask implements, here on the exact
+    * values because the diff must carry images anyway).
+    *
+    * Scale: sides reduce to (key, attr-struct) projections into ONE
+    * keyed full-outer join — same shape and cost as mergeUpsert itself;
+    * output is |changed keys| rows, typically tiny vs the snapshots. */
+  def changeFeed(oldS: DataFrame, newS: DataFrame, key: String): DataFrame = {
+    val valCols = oldS.columns.filterNot(_ == key)
+    require(newS.columns.sorted.sameElements(oldS.columns.sorted),
+      "snapshots must share a schema")
+    val o = oldS.select(col(key), struct(valCols.map(col): _*).as("_o"))
+    val n = newS.select(col(key), struct(valCols.map(col): _*).as("_n"))
+    val classified = o.join(n, Seq(key), "full_outer")
+      .withColumn("op",
+        when(col("_o").isNull, "I")
+          .when(col("_n").isNull, "D")
+          .when(!(col("_o") <=> col("_n")), "U"))
+      .filter(col("op").isNotNull)
+      .withColumn("_img",
+        when(col("op") === "D", col("_o")).otherwise(col("_n")))
+    classified.select(
+      col(key) +: col("op") +: valCols.map(c => col("_img")(c).as(c)): _*)
+  }
+
   /** Temporal (effective-dated) dimension join: attach to each fact the
     * dim attribute that was valid on the fact's date — the consumption
     * side of scd2History's [valid_from, valid_to) intervals. Because
@@ -310,6 +346,51 @@ object ChangeData {
         SELECT change_type, count(*) AS n,
                min(k) AS min_key, max(k) AS max_key
         FROM j GROUP BY change_type
-        ORDER BY change_type"""))
+        ORDER BY change_type""")),
+
+    // snapshot-to-CDC: a deterministic mutation of the customer table
+    // (mod-11 deletes, mod-7 balance bumps, mod-13 synthetic inserts)
+    // plays the "tomorrow's dump" role; the feed must name exactly the
+    // changed keys with the right op and image
+    QueryDef(
+      "q209_change_feed",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.load(s, dir, "customer")
+          .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+        val next = base.filter($"c_custkey" % 11 =!= 0)
+          .withColumn("c_acctbal",
+            when($"c_custkey" % 7 === 0, $"c_acctbal" + 100.0)
+              .otherwise($"c_acctbal"))
+          .unionByName(base.filter($"c_custkey" % 13 === 0)
+            .select(($"c_custkey" + 1000000L).as("c_custkey"),
+              lit(0.0).as("c_acctbal"), lit("NEW").as("c_mktsegment")))
+        changeFeed(base, next, "c_custkey")
+          .orderBy($"c_custkey", $"op")
+      },
+      Some("""
+        WITH old AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+        new AS (
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                      ELSE c_acctbal END AS c_acctbal,
+                 c_mktsegment
+          FROM customer WHERE c_custkey % 11 <> 0
+          UNION ALL
+          SELECT c_custkey + 1000000, 0.0, 'NEW'
+          FROM customer WHERE c_custkey % 13 = 0)
+        SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+               CASE WHEN o.c_custkey IS NULL THEN 'I'
+                    WHEN n.c_custkey IS NULL THEN 'D'
+                    ELSE 'U' END AS op,
+               CASE WHEN n.c_custkey IS NULL THEN o.c_acctbal
+                    ELSE n.c_acctbal END AS c_acctbal,
+               CASE WHEN n.c_custkey IS NULL THEN o.c_mktsegment
+                    ELSE n.c_mktsegment END AS c_mktsegment
+        FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+        WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+           OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+           OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+        ORDER BY c_custkey, op"""))
   )
 }

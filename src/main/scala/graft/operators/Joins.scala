@@ -251,6 +251,44 @@ object Joins {
         WHERE p.event_type = 'purchase'
         ORDER BY p.event_id""")),
 
+    // ----- as-of join with TOLERANCE (kdb/QuestDB `asof ... within`) ----
+    // q11's union-merge running-last, then one row-local staleness test:
+    // a match older than the tolerance is null'd out rather than joined.
+    // Same single-shuffle shape — the tolerance never becomes a range
+    // JOIN PREDICATE (which would fan out candidates); it is applied
+    // AFTER the per-key merge, on exact integer microseconds.
+    QueryDef(
+      "q210_asof_tolerance",
+      (s, dir) => {
+        import s.implicits._
+        val tolUs = 2L * 86400000000L // 2 days
+        val ev = t(s, dir, "events")
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts", $"event_id",
+            lit(null).cast("timestamp").as("c_ts"), lit(1).as("is_p"))
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"ts", lit(null).cast("long").as("event_id"),
+            $"ts".as("c_ts"), lit(0).as("is_p"))
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"is_p")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        purchases.unionByName(clicks)
+          .withColumn("_last", last($"c_ts", ignoreNulls = true).over(w))
+          .filter($"is_p" === 1)
+          .withColumn("last_click_ts",
+            when(unix_micros($"ts") - unix_micros($"_last") <= tolUs, $"_last"))
+          .select($"event_id", $"user_id", $"ts", $"last_click_ts")
+          .orderBy($"event_id")
+      },
+      Some("""
+        SELECT p.event_id, p.user_id, p.ts,
+               (SELECT max(c.ts) FROM events c
+                WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                  AND c.ts <= p.ts
+                  AND c.ts >= p.ts - INTERVAL 2 DAY) AS last_click_ts
+        FROM events p
+        WHERE p.event_type = 'purchase'
+        ORDER BY p.event_id""")),
+
     // ----- TPC-H Q3 shape: top-k over a 3-way join ----------------------
     QueryDef(
       "q12_top_unshipped_orders",
