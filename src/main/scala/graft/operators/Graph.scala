@@ -163,7 +163,10 @@ object Graph {
     val s = edges.sparkSession
     import s.implicits._
     val K = 1000000000000L
-    val e = edges.select($"src", $"dst").distinct()
+    // the edge frame feeds every round's count join plus the initial
+    // label build — cache it once (pageRank's e2/nodes discipline;
+    // un-cached, the upstream edge derivation re-runs per round)
+    val e = edges.select($"src", $"dst").distinct().cache()
     // the comparator needs label < K; checked in-plan (row-local, no
     // extra job) rather than trusted to the scaladoc
     var lab = e.select($"src".as("node")).distinct()
@@ -202,7 +205,8 @@ object Graph {
       maxHops: Int): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    val e = edges.select($"src", $"dst").distinct()
+    // one frontier join per hop all probe the same edge frame — cache it
+    val e = edges.select($"src", $"dst").distinct().cache()
     var dist = sources.select($"node").distinct()
       .withColumn("d", lit(0L)).cache()
     for (h <- 1 to maxHops) {
