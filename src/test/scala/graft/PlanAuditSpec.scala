@@ -517,4 +517,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("o_totalprice") && !p.contains("l_quantity"),
       "histogram build read non-key columns")
   }
+
+  test("q209/q210: change feed stays a keyed equi-join; tolerance asof adds no join") {
+    val feed = plan("q209_change_feed")
+    assert(!feed.contains("CartesianProduct") &&
+      !feed.contains("BroadcastNestedLoopJoin"),
+      "change feed must stay a keyed full-outer equi-join")
+    val asof = plan("q210_asof_tolerance")
+    // tolerance must be a row-local cutoff after the union-merge window,
+    // never a range-join predicate — the plan has windows but NO join
+    assert(!asof.contains("Join"), "tolerance became a join predicate")
+    assert(asof.contains("Window"), "union-merge window missing")
+  }
 }

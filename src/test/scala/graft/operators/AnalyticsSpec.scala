@@ -262,6 +262,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(r("b") == ((10.0, 1000.0, 0L, 0L)))
   }
 
+  test("winsorizedStats matches a driver-side reference on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = Seq.fill(800)((s"g${rnd.nextInt(4)}", rnd.nextInt(10000) / 10.0))
+    val got = Analytics.winsorizedStats(rows.toDF("g", "v"), "g", "v")
+      .collect().map(x => x.getString(0) ->
+        ((x.getDouble(1), x.getDouble(2), x.getLong(3), x.getLong(4))))
+      .toMap
+    rows.groupBy(_._1).foreach { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val n = sorted.length
+      val lo = sorted((n + 99) / 100 - 1)       // value at ceil-rank, 1-based
+      val hi = sorted((99 * n + 99) / 100 - 1)
+      val expect = (lo, hi,
+        sorted.count(_ < lo).toLong, sorted.count(_ > hi).toLong)
+      assert(got(g) == expect, s"group $g")
+    }
+  }
+
   test("joinCardinality law: histogram product equals the real join size") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
