@@ -18,9 +18,19 @@ object PlanSweep {
         val p = graft.plans.PlanInspector.formatted(fn(spark, sfDir))
         val cart = "CartesianProduct".r.findAllIn(p).size
         val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
-        if (cart + bnlj > 0) {
+        // scan fan-out: >3 parquet scan nodes of one fixture table in a
+        // single plan is the recompute-storm smell (multiply-referenced
+        // un-materialized frame re-expanding its source subtree)
+        val scans = p.linesIterator
+          .filter(l => l.contains("Scan parquet") && l.contains("testdata"))
+          .flatMap(l => "(\\w+)\\.parquet".r.findFirstMatchIn(l).map(_.group(1)))
+          .toSeq.groupBy(identity).view.mapValues(_.size)
+          .filter(_._2 > 3).toMap
+        if (cart + bnlj > 0 || scans.nonEmpty) {
           hits += 1
-          println(s"[plansweep] $name cartesian=$cart bnlj=$bnlj")
+          val sc = if (scans.isEmpty) ""
+            else scans.map { case (t, n) => s"$t×$n" }.mkString(" scans[", ",", "]")
+          println(s"[plansweep] $name cartesian=$cart bnlj=$bnlj$sc")
         }
       } catch {
         case e: Throwable =>
