@@ -66,6 +66,47 @@ object Graph {
     r
   }
 
+  /** Personalized PageRank: importance RELATIVE TO A SEED SET — the
+    * restart mass returns to the seeds (uniformly) instead of all nodes,
+    * so rank decays with distance from the seeds and untouched regions
+    * stay at zero. The "items for THIS cohort" / fraud-locality variant
+    * of [[pageRank]]; same integer-grid determinism (teleport term
+    * (15·S) div (100·|seeds∩nodes|) added on seed rows only), same
+    * one-combiner-shuffle-per-iteration scale shape, same periodic
+    * lineage cadence. Seeds outside the graph carry no mass (dropped by
+    * the node intersection) — mirroring the convention that rank lives
+    * on the edge list's node set. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val e = edges.select($"src", $"dst").distinct()
+    val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val e2 = e.join(deg, "src").cache()
+    val nodes = e.select($"src".as("node")).distinct()
+      .join(seeds.select($"node").distinct().withColumn("_s", lit(1)),
+        Seq("node"), "left")
+      .withColumn("seed", $"_s".isNotNull).drop("_s")
+      .cache()
+    val ns = nodes.filter($"seed").count()
+    require(ns > 0, "no seed intersects the graph")
+    val base = (15L * S) / (100L * ns)
+    var r = nodes.withColumn("rank",
+      when($"seed", lit(S / ns)).otherwise(lit(0L)))
+      .select($"node", $"rank")
+    for (i <- 1 to iters) {
+      val contribs = e2.join(r, e2("src") === r("node"))
+        .select($"dst", expr("rank div deg").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("sc"))
+      r = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+        .select($"node",
+          (when($"seed", lit(base)).otherwise(lit(0L))
+            + expr("(85 * coalesce(sc, 0L)) div 100")).as("rank"))
+      if (i % 5 == 0 && i < iters) r = r.localCheckpoint()
+    }
+    r
+  }
+
   /** Exact triangle count over an undirected edge list, by
     * degree-ordered orientation (the Cohen / Suri–Vassilvitskii
     * MapReduce algorithm, public literature): orient every edge from
@@ -274,6 +315,18 @@ object Graph {
                          JOIN deg ON e.src = deg.src
                   GROUP BY e.dst) s ON nodes.node = s.dst)"""
 
+  private def pprIter(prev: String, out: String): String =
+    s"""$out AS (
+       SELECT nodes.node,
+              CASE WHEN nodes.seed = 1 THEN (15 * 1000000) // (100 * p.ns)
+                   ELSE 0 END
+              + (85 * coalesce(s.sc, 0)) // 100 AS rank
+       FROM nodes CROSS JOIN p
+       LEFT JOIN (SELECT e.dst, sum($prev.rank // deg.deg) AS sc
+                  FROM e JOIN $prev ON e.src = $prev.node
+                         JOIN deg ON e.src = deg.src
+                  GROUP BY e.dst) s ON nodes.node = s.dst)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -300,6 +353,44 @@ object Graph {
         SELECT (node - 1) // 2 AS s_suppkey,
                -- CAST: the HUGEINT from sum(rank // deg) propagates into
                -- rank; the driver's pandas fetch would float64 it
+               CAST(rank AS BIGINT) AS rank
+        FROM r3 WHERE node % 2 = 1
+        ORDER BY s_suppkey""")),
+
+    // personalized variant: restart mass pinned to nation-7's customer
+    // base (q200's seed set) — supplier rank now means "importance TO
+    // this cohort"; far-from-seed suppliers sit at exactly 0
+    QueryDef(
+      "q211_personalized_pagerank",
+      (s, dir) => {
+        import s.implicits._
+        val seeds = Tables.load(s, dir, "customer")
+          .filter($"c_nationkey" === 7)
+          .select(($"c_custkey" * 2).as("node"))
+        personalizedPageRank(tradeEdges(s, dir), seeds, iters = 3)
+          .filter($"node" % 2 === 1)
+          .select(expr("(node - 1) div 2").as("s_suppkey"), $"rank")
+          .orderBy($"s_suppkey")
+      },
+      Some(s"""
+        WITH e0 AS (
+          SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        sd AS (SELECT DISTINCT c_custkey * 2 AS node FROM customer
+               WHERE c_nationkey = 7),
+        nodes AS (
+          SELECT n.node, CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS seed
+          FROM (SELECT DISTINCT src AS node FROM e) n
+          LEFT JOIN sd ON n.node = sd.node),
+        p AS (SELECT count(*) AS ns FROM nodes WHERE seed = 1),
+        r0 AS (SELECT node, CASE WHEN seed = 1 THEN 1000000 // p.ns
+                                 ELSE 0 END AS rank FROM nodes, p),
+        ${pprIter("r0", "r1")},
+        ${pprIter("r1", "r2")},
+        ${pprIter("r2", "r3")}
+        SELECT (node - 1) // 2 AS s_suppkey,
                CAST(rank AS BIGINT) AS rank
         FROM r3 WHERE node % 2 = 1
         ORDER BY s_suppkey""")),

@@ -74,4 +74,20 @@ class GraphSpec extends SparkSpec {
     assert(tri == bruteTriangles(edges))
     assert(tri > 0, "fixture must contain triangles")
   }
+
+  test("personalized PageRank: mass decays from the seed, zero elsewhere") {
+    import spark.implicits._
+    // path a(1)-b(2)-c(3), symmetric; isolated pair d(4)-e(5); seed {a}.
+    // Hand-unrolled 2 iterations on the integer grid:
+    //   r0: a=1e6           | iter1: a=150000, b=850000
+    //   iter2: a=150000+85*(850000 div 2) div 100 = 511250
+    //          b=85*150000 div 100 = 127500, c=85*425000 div 100=361250
+    //   d,e never touched -> exactly 0
+    val sym = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),
+      (4L, 5L), (5L, 4L)).toDF("src", "dst")
+    val got = Graph.personalizedPageRank(sym, Seq(1L).toDF("node"), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 511250L, 2L -> 127500L, 3L -> 361250L,
+      4L -> 0L, 5L -> 0L))
+  }
 }
