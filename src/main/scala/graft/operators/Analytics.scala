@@ -268,6 +268,44 @@ object Analytics {
       .select($"wday".as("day"), $"n_active")
   }
 
+  /** Approximate trailing-window distinct — the SKETCH scale path for
+    * [[slidingDistinct]]. The exact operator explodes each (day, key)
+    * into its window contributions: O(active·window) shuffle rows, the
+    * right cost when exact counts are contractual. Here each day folds
+    * once into a mergeable HLL sketch and the trailing window is a
+    * RANGE-framed `hll_union_agg` over the |days|-row daily frame —
+    * corpus work is ONE partial-aggregated pass regardless of window
+    * width, and the window math touches kilobyte sketches, not keys.
+    *
+    * Output carries the exact count (computed alongside, fixture-honest)
+    * plus the accuracy-contract flag `hll_ok` (estimate within 5%): HLL
+    * is deterministic for a given input set, so the flag is stable and
+    * the oracle pins it — the q16/q164 sketch-contract pattern. At
+    * 100 TB drop the exact column and keep the sketch path. */
+  def slidingDistinctHll(events: DataFrame, keyCol: String,
+      windowDays: Int): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    require(windowDays >= 1)
+    val dayKey = events.select(
+      expr("CAST(datediff(to_date(ts), date'1970-01-01') AS BIGINT)")
+        .as("day"), col(keyCol).as("k")).distinct()
+    val daily = dayKey.groupBy($"day")
+      .agg(expr("hll_sketch_agg(k)").as("sk"))
+    val w = Window.orderBy($"day").rangeBetween(-(windowDays - 1), 0)
+    val approx = daily
+      // |days| rows: the partition-less window is tiny by construction
+      .withColumn("_u", expr("hll_union_agg(sk)").over(w))
+      .withColumn("n_approx",
+        expr("hll_sketch_estimate(_u)").cast("long"))
+      .select($"day", $"n_approx")
+    slidingDistinct(events, keyCol, windowDays)
+      .join(approx, "day")
+      .select($"day", $"n_active",
+        (abs($"n_approx" - $"n_active") <=
+          $"n_active".cast("double") * 0.05).as("hll_ok"))
+  }
+
   /** Multi-touch attribution: credit each conversion's value to a
     * marketing channel under two models at once — first-touch (the
     * user's first event ever) and last-touch (the latest non-conversion
@@ -446,6 +484,26 @@ object Analytics {
         SELECT d.day,
                (SELECT count(DISTINCT e.user_id) FROM ev e
                 WHERE e.day BETWEEN d.day - 6 AND d.day) AS n_active
+        FROM days d
+        ORDER BY day""")),
+
+    // the sketch scale path of q190: per-day HLLs, RANGE-windowed union;
+    // exact count carried for the oracle, estimate pinned to ±5%
+    QueryDef(
+      "q212_sliding_distinct_hll",
+      (s, dir) => slidingDistinctHll(Tables.load(s, dir, "events"),
+        "user_id", windowDays = 7)
+        .orderBy(col("day")),
+      Some("""
+        WITH ev AS (
+          SELECT DISTINCT CAST(date_diff('day', DATE '1970-01-01',
+                   CAST(ts AS DATE)) AS BIGINT) AS day, user_id
+          FROM events),
+        days AS (SELECT DISTINCT day FROM ev)
+        SELECT d.day,
+               (SELECT count(DISTINCT e.user_id) FROM ev e
+                WHERE e.day BETWEEN d.day - 6 AND d.day) AS n_active,
+               TRUE AS hll_ok
         FROM days d
         ORDER BY day""")),
 
