@@ -733,6 +733,52 @@ object StreamingQueries {
         WHERE event_type = 'signup'
         ORDER BY event_id""")),
 
+    // ----- update-mode output: changed aggregates per trigger ------------
+    // Complete mode re-emits the whole result table every batch (q56);
+    // Update emits ONLY the keys whose aggregate changed in that batch —
+    // the wire-efficient contract for live dashboards and keyed stores.
+    // Consumption side: each batch's updates land tagged with the
+    // monotonically increasing batchId, and the reader takes the
+    // last-writer-wins row per key (max_by over batchId) — exactly how a
+    // KV upsert sink applies update-mode output. The 4-file deterministic
+    // source makes every batch's emission set reproducible, and the
+    // final last-wins state must equal the whole-table batch aggregate.
+    QueryDef(
+      "q213_stream_update_mode",
+      (s, dir) => {
+        import s.implicits._
+        val out = tmp("upd_")
+        withStatePartitions(s) {
+          val q = eventsStreamSplit(s, dir)
+            .groupBy($"event_type")
+            .agg(count(lit(1)).as("n"),
+              sum(round($"value" * 100).cast("long")).as("cents"))
+            .writeStream
+            .outputMode(OutputMode.Update())
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              batch.withColumn("_b", lit(batchId))
+                .write.mode("append").parquet(out)
+              ()
+            }
+            .option("checkpointLocation", tmp("ckpt_"))
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        s.read.parquet(out)
+          .groupBy($"event_type")
+          .agg(max_by($"n", $"_b").as("n"),
+            max_by($"cents", $"_b").as("cents"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
     // ----- per-micro-batch observed metrics ------------------------------
     // The streaming counterpart of q204: `observe` on a stream reports its
     // named aggregates PER MICRO-BATCH through QueryProgress events — the
