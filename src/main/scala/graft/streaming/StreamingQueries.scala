@@ -64,6 +64,49 @@ private[streaming] class RunningStatsProcessor
   }
 }
 
+/** Event-time TIMER processor: per user, hold (count, max event-time) and
+  * keep one timer armed at max_ts + 1 hour; when the WATERMARK passes it,
+  * emit the closed session summary and drop the state. The "emit on
+  * silence" primitive — session closure, SLA breach, abandoned-cart —
+  * that polling-based engines (the reference's 7 s scheduler loop) can
+  * only approximate. closed_at is computed from state micros, not the
+  * ms-granular timer, so the emission is exact event-time + 1 h.
+  * Sentinel keys (negative ids, the flush punctuation) update no state
+  * and arm no timers. */
+private[streaming] class SessionCloseProcessor
+    extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+  @transient private var st: ValueState[(Long, Long)] = _ // (n, maxUs)
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long)]("sess",
+      Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    if (key < 0) return Iterator.empty // flush sentinels carry no session
+    val (n0, mx0) = if (st.exists()) st.get() else (0L, Long.MinValue)
+    var n = n0; var mx = mx0
+    rows.foreach { case (_, us) => n += 1; mx = math.max(mx, us) }
+    if (mx0 != Long.MinValue)
+      getHandle.deleteTimer(mx0 / 1000 + 3600000 + 1)
+    st.update((n, mx))
+    // ceil to ms so the timer never fires BEFORE event-time max + 1h
+    getHandle.registerTimer(mx / 1000 + 3600000 + 1)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[(Long, Long, Long)] = {
+    val out = if (st.exists()) {
+      val (n, mx) = st.get()
+      Iterator.single((key, n, mx + 3600000000L))
+    } else Iterator.empty
+    st.clear()
+    out
+  }
+}
+
 object StreamingQueries {
 
   // checkpoint/staging dirs live under the per-pid scratch root
@@ -732,6 +775,56 @@ object StreamingQueries {
         FROM events
         WHERE event_type = 'signup'
         ORDER BY event_id""")),
+
+    // ----- event-time timers: emit on watermark passage ------------------
+    // The flush sentinels (q194's punctuation) advance the watermark past
+    // every user's max_ts + 1h across the bounded run's micro-batches, so
+    // each user's timer fires exactly once and the emission set equals
+    // the batch per-user summary — which is precisely the oracle.
+    QueryDef(
+      "q214_stream_event_timers",
+      (s, dir) => withStatePartitions(s) {
+        import s.implicits._
+        val out = tmp("sink_")
+        // timers live in a second column family — RocksDB provider only
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+        try {
+          val typed = eventsStreamWithFlush(s, dir)
+            .withWatermark("ts", "0 seconds")
+            .select($"user_id", unix_micros($"ts").as("us"))
+            .as[(Long, Long)]
+          val closed = typed.groupByKey(_._1)
+            .transformWithState(new SessionCloseProcessor,
+              TimeMode.EventTime(), OutputMode.Append())
+          val q = closed.toDF("user_id", "n_events", "closed_us")
+            .writeStream
+            .outputMode(OutputMode.Append())
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              batch.write.mode("append").parquet(out)
+              ()
+            }
+            .option("checkpointLocation", tmp("ckpt_"))
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None => s.conf.unset(key)
+        }
+        s.read.parquet(out)
+          .select($"user_id", $"n_events",
+            timestamp_micros($"closed_us").as("closed_at"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        SELECT user_id, count(*) AS n_events,
+               max(ts) + INTERVAL 1 HOUR AS closed_at
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id""")),
 
     // ----- update-mode output: changed aggregates per trigger ------------
     // Complete mode re-emits the whole result table every batch (q56);
