@@ -40,7 +40,7 @@ object PlanSweep {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
-    println(s"[plansweep] done: $hits queries with cartesian/BNLJ nodes")
+    println(s"[plansweep] done: $hits queries flagged (cartesian/BNLJ or scan fan-out)")
     spark.stop()
   }
 }

@@ -15,7 +15,11 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    normalizeEventTime(spark.read.parquet(s"$sfDir/$name.parquet"))
+    normalizeEventTime(spark.read.parquet(s"$sfDir/$name.parquet"),
+      // the nanos-as-long coercion is events-specific knowledge: a plain
+      // long `ts` on some future table (epoch seconds, a sequence id)
+      // must NOT be silently divided and retyped
+      nanosLong = name == "events")
 
   /** Load-time contract: `ts` is ALWAYS `TimestampType` (UTC session
     * micros) after load, whatever shape the fixture parquet ships in.
@@ -32,9 +36,10 @@ object Tables {
     *    onto epoch micros — value-preserving and oracle-parity-safe
     *    (DuckDB reads the same column as a naive timestamp).
     *  - TimestampType already: pass through. */
-  def normalizeEventTime(df: DataFrame): DataFrame =
+  def normalizeEventTime(df: DataFrame,
+      nanosLong: Boolean = true): DataFrame =
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
-      case Some(LongType) =>
+      case Some(LongType) if nanosLong =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case Some(TimestampNTZType) =>
         df.withColumn("ts", col("ts").cast(TimestampType))

@@ -251,13 +251,21 @@ object Analytics {
     * the day list: that second reference would duplicate the whole
     * scan+distinct subtree (the r4 recompute-storm lesson). */
   def slidingDistinct(events: DataFrame, keyCol: String,
-      windowDays: Int): DataFrame = {
-    val s = events.sparkSession
-    import s.implicits._
-    require(windowDays >= 1)
-    val dayKey = events.select(
+      windowDays: Int): DataFrame =
+    slidingDistinctFrom(dayKeys(events, keyCol), windowDays)
+
+  /** The deduplicated (day, key) frame both sliding-distinct variants
+    * consume — derived once so the HLL path can share a single scan. */
+  private def dayKeys(events: DataFrame, keyCol: String): DataFrame =
+    events.select(
       expr("CAST(datediff(to_date(ts), date'1970-01-01') AS BIGINT)")
         .as("day"), col(keyCol).as("k")).distinct()
+
+  private def slidingDistinctFrom(dayKey: DataFrame,
+      windowDays: Int): DataFrame = {
+    val s = dayKey.sparkSession
+    import s.implicits._
+    require(windowDays >= 1)
     val contrib = dayKey.select(
       explode(expr(s"sequence(day, day + ${windowDays - 1})")).as("wday"),
       $"day", $"k")
@@ -287,9 +295,10 @@ object Analytics {
     val s = events.sparkSession
     import s.implicits._
     require(windowDays >= 1)
-    val dayKey = events.select(
-      expr("CAST(datediff(to_date(ts), date'1970-01-01') AS BIGINT)")
-        .as("day"), col(keyCol).as("k")).distinct()
+    // ONE corpus pass: the exact referee and the sketch path both read
+    // this cached (day, key) frame (the repo's materialize-at-fan-out
+    // rule; un-shared, the scan+distinct ran twice)
+    val dayKey = dayKeys(events, keyCol).cache()
     val daily = dayKey.groupBy($"day")
       .agg(expr("hll_sketch_agg(k)").as("sk"))
     val w = Window.orderBy($"day").rangeBetween(-(windowDays - 1), 0)
@@ -299,7 +308,7 @@ object Analytics {
       .withColumn("n_approx",
         expr("hll_sketch_estimate(_u)").cast("long"))
       .select($"day", $"n_approx")
-    slidingDistinct(events, keyCol, windowDays)
+    slidingDistinctFrom(dayKey, windowDays)
       .join(approx, "day")
       .select($"day", $"n_active",
         (abs($"n_approx" - $"n_active") <=
@@ -391,9 +400,14 @@ object Analytics {
     require(0 < loPctile && loPctile < hiPctile && hiPctile <= 100)
     val s = df.sparkSession
     import s.implicits._
+    // NULL values are EXCLUDED up front — percentile_disc semantics
+    // ignore NULLs, and leaving them in would both shift the ranks
+    // (Spark orders NULLs first, DuckDB last) and silently escape the
+    // clip comparisons (NULL < lo is NULL, not true)
+    val rows = df.select(col(g), col(v)).filter(col(v).isNotNull)
     val wOrd = Window.partitionBy(col(g)).orderBy(col(v))
     val wAll = Window.partitionBy(col(g))
-    val ranked = df.select(col(g), col(v))
+    val ranked = rows
       .withColumn("rn", row_number().over(wOrd))
       .withColumn("n", count(lit(1)).over(wAll))
     val bounds = ranked.groupBy(col(g)).agg(
@@ -401,7 +415,7 @@ object Analytics {
         .as("lo"),
       max(when($"rn" === expr(s"($hiPctile * n + 99) div 100"), col(v)))
         .as("hi"))
-    df.join(broadcast(bounds), g)
+    rows.join(broadcast(bounds), g)
       .groupBy(col(g), $"lo", $"hi")
       .agg(
         count(when(col(v) < $"lo", 1)).as("n_clip_lo"),

@@ -35,32 +35,49 @@ object Graph {
     * fixed iterations, damping 0.85, on the integer grid. Every node
     * must appear as a src (feed a symmetrized edge list for undirected
     * graphs — that also rules out dangling-node rank loss). */
-  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int): DataFrame =
+    prLoop(edges, seedsOpt = None, iters)
+
+  /** The shared propagate-and-sum loop behind [[pageRank]] (uniform
+    * teleport: every node is a "seed") and [[personalizedPageRank]]
+    * (teleport pinned to the seed set). One combiner-reduced shuffle per
+    * iteration; PERIODIC lineage truncation, not per-iteration — each
+    * rank frame is referenced once (the next round), so unlike LPA/k-hop
+    * there is no recompute fan-out to cut; the only thing that grows is
+    * the plan tree, and eager per-round materialization measured 5x
+    * slower than letting rounds pipeline in one fused job (codegen +
+    * ReusedExchange do the work). Every 5th round bounds plan depth and
+    * failure re-execution for deep iteration counts. */
+  private def prLoop(edges: DataFrame, seedsOpt: Option[DataFrame],
+      iters: Int): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     val e = edges.select($"src", $"dst").distinct()
     val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
     val e2 = e.join(deg, "src").cache()
-    val nodes = e.select($"src".as("node")).distinct().cache()
-    val n = nodes.count() // one scalar to the driver
-    require(n > 0, "empty graph")
-    val base = (15L * S) / (100L * n)
-    var r = nodes.withColumn("rank", lit(S / n))
+    val allNodes = e.select($"src".as("node")).distinct()
+    val nodes = (seedsOpt match {
+      case Some(sd) => allNodes
+        .join(sd.select($"node").distinct().withColumn("_s", lit(1)),
+          Seq("node"), "left")
+        .withColumn("seed", $"_s".isNotNull).drop("_s")
+      case None => allNodes.withColumn("seed", lit(true))
+    }).cache()
+    val nTele = nodes.filter($"seed").count() // one scalar to the driver
+    require(nTele > 0,
+      if (seedsOpt.isDefined) "no seed intersects the graph" else "empty graph")
+    val base = (15L * S) / (100L * nTele)
+    var r = nodes
+      .withColumn("rank", when($"seed", lit(S / nTele)).otherwise(lit(0L)))
+      .select($"node", $"rank")
     for (i <- 1 to iters) {
       val contribs = e2.join(r, e2("src") === r("node"))
         .select($"dst", expr("rank div deg").as("c"))
         .groupBy($"dst").agg(sum($"c").as("sc"))
       r = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
         .select($"node",
-          (lit(base) + expr("(85 * coalesce(sc, 0L)) div 100")).as("rank"))
-      // PERIODIC lineage truncation, not per-iteration: each rank frame is
-      // referenced once (next round), so unlike LPA/k-hop's per-round
-      // checkpoints there is no recompute fan-out to cut — the only thing
-      // that grows is the plan tree, and eager materialization every round
-      // measured 5x slower than letting 3 rounds pipeline in one job
-      // (codegen + ReusedExchange do the work). Every 5th round bounds
-      // plan depth / failure re-execution for deep iteration counts while
-      // leaving shallow fixture runs a single fused job.
+          (when($"seed", lit(base)).otherwise(lit(0L))
+            + expr("(85 * coalesce(sc, 0L)) div 100")).as("rank"))
       if (i % 5 == 0 && i < iters) r = r.localCheckpoint()
     }
     r
@@ -77,35 +94,8 @@ object Graph {
     * the node intersection) — mirroring the convention that rank lives
     * on the edge list's node set. */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
-      iters: Int): DataFrame = {
-    val s = edges.sparkSession
-    import s.implicits._
-    val e = edges.select($"src", $"dst").distinct()
-    val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
-    val e2 = e.join(deg, "src").cache()
-    val nodes = e.select($"src".as("node")).distinct()
-      .join(seeds.select($"node").distinct().withColumn("_s", lit(1)),
-        Seq("node"), "left")
-      .withColumn("seed", $"_s".isNotNull).drop("_s")
-      .cache()
-    val ns = nodes.filter($"seed").count()
-    require(ns > 0, "no seed intersects the graph")
-    val base = (15L * S) / (100L * ns)
-    var r = nodes.withColumn("rank",
-      when($"seed", lit(S / ns)).otherwise(lit(0L)))
-      .select($"node", $"rank")
-    for (i <- 1 to iters) {
-      val contribs = e2.join(r, e2("src") === r("node"))
-        .select($"dst", expr("rank div deg").as("c"))
-        .groupBy($"dst").agg(sum($"c").as("sc"))
-      r = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
-        .select($"node",
-          (when($"seed", lit(base)).otherwise(lit(0L))
-            + expr("(85 * coalesce(sc, 0L)) div 100")).as("rank"))
-      if (i % 5 == 0 && i < iters) r = r.localCheckpoint()
-    }
-    r
-  }
+      iters: Int): DataFrame =
+    prLoop(edges, seedsOpt = Some(seeds), iters)
 
   /** Exact triangle count over an undirected edge list, by
     * degree-ordered orientation (the Cohen / Suri–Vassilvitskii

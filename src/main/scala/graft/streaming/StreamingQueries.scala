@@ -925,11 +925,14 @@ object StreamingQueries {
             .trigger(Trigger.AvailableNow())
             .start()
           q.awaitTermination()
+          // progress events post asynchronously off the listener bus —
+          // drain BEFORE removing the listener (a removed listener never
+          // receives its queued events, which would silently drop the
+          // final batch's metrics on a loaded machine)
+          val deadline = System.nanoTime() + 10000000000L
+          while (batches.get() < 4 && System.nanoTime() < deadline)
+            Thread.sleep(20)
         } finally s.streams.removeListener(listener)
-        // progress events post asynchronously after termination
-        val deadline = System.nanoTime() + 10000000000L
-        while (batches.get() < 4 && System.nanoTime() < deadline)
-          Thread.sleep(20)
         Seq((batches.get(), rows.get(), purchases.get(), cents.get()))
           .toDF("n_batches", "n_rows", "n_purchase", "cents")
       },
