@@ -247,31 +247,9 @@ object Bench {
         ",\"setup_sec\":" + ms(math.max(0.0, v - s)) + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // regression report: >2x over the historical best AND >1s absolute
-    // (the 1s floor keeps sub-second jitter out), AFTER the retry pass —
-    // what remains here is reproducible, not a stall
-    val regressed = results.flatMap { case (k, v, _) =>
-      best.get(k).collect {
-        case b if v > 2 * b && v > 1.0 => (k, v, b)
-      }
-    }
-    if (regressed.nonEmpty) {
-      System.err.println("REGRESSED >2x vs BENCH_HISTORY best:")
-      regressed.foreach { case (k, v, b) =>
-        System.err.println(f"  $k%-8s ${v}%8.2fs  (best ${b}%.2fs, ${v / b}%.1fx)")
-      }
-    }
-    val regJson = regressed.map { case (k, v, b) =>
-      s"\"" + k + "\":{\"sec\":" + ms(v) + ",\"best_sec\":" + ms(b) + "}"
-    }.mkString("{", ",", "}")
-    val retryJson = retried.toSeq.sortBy(_._1).map { case (k, (f, r)) =>
-      s"\"" + k + "\":{\"first_sec\":" + ms(f) + ",\"retry_sec\":" + ms(r) + "}"
-    }.mkString("{", ",", "}")
-    val degJson = degradedFrom
-      .map(n => s""","degraded_from":"$n"""").getOrElse("")
-    // end-of-run calibration + env factor vs the best start-calib ever
-    // recorded (calib is IO-free so history is comparable across sf)
-    val calibEnd = calibrate()
+    // env factor FIRST (it feeds the regression report): this run's
+    // start-calib vs the best start-calib ever recorded (calib is
+    // IO-free so history is comparable across sf)
     val calibBest: Option[Double] = try {
       val p = java.nio.file.Paths.get("/root/repo/BENCH_HISTORY.jsonl")
       if (!java.nio.file.Files.exists(p)) None
@@ -280,10 +258,55 @@ object Bench {
         val vs = scala.jdk.CollectionConverters.ListHasAsScala(
             java.nio.file.Files.readAllLines(p)).asScala
           .flatMap(l => re.findFirstMatchIn(l).map(_.group(1).toDouble))
-        if (vs.isEmpty) None else Some(vs.min)
+        if (vs.isEmpty) {
+          // history exists but the calib regex matched nothing — that is
+          // format drift, not absence; say so instead of silently
+          // dropping env_factor from the report
+          System.err.println(
+            "WARN: BENCH_HISTORY.jsonl exists but no \"calib\" fields " +
+              "parsed — record format drifted? env_factor omitted.")
+          None
+        } else Some(vs.min)
       }
-    } catch { case _: Throwable => None }
+    } catch { case t: Throwable =>
+      System.err.println(
+        s"WARN: BENCH_HISTORY.jsonl calib parse failed (${t.getClass.getSimpleName}: ${t.getMessage}) — env_factor omitted.")
+      None
+    }
     val envFactor = calibBest.map(b => calibStart / math.max(b, 1e-9))
+    // regression report, NORMALIZED by the env factor: raw seconds are
+    // divided by env_factor (floored at 1 — a faster-than-best-ever
+    // environment must not hide a real regression) so a sandbox that is
+    // 2x slower across the board doesn't bury a real plan regression
+    // under 35 environmental entries. Flag at >1.5x best normalized AND
+    // >1s absolute (the floor keeps sub-second jitter out), AFTER the
+    // retry pass — what remains here is reproducible, not a stall.
+    val nf = math.max(envFactor.getOrElse(1.0), 1.0)
+    val regressed = results.flatMap { case (k, v, _) =>
+      best.get(k).collect {
+        case b if v / nf > 1.5 * b && v > 1.0 => (k, v, v / nf, b)
+      }
+    }
+    if (regressed.nonEmpty) {
+      System.err.println(
+        f"REGRESSED >1.5x vs BENCH_HISTORY best (env-normalized /$nf%.2f):")
+      regressed.foreach { case (k, v, n, b) =>
+        System.err.println(
+          f"  $k%-8s ${v}%8.2fs raw ${n}%8.2fs norm  (best ${b}%.2fs, ${n / b}%.1fx)")
+      }
+    }
+    val regJson = regressed.map { case (k, v, n, b) =>
+      s"\"" + k + "\":{\"sec\":" + ms(v) + ",\"norm_sec\":" + ms(n) +
+        ",\"best_sec\":" + ms(b) + "}"
+    }.mkString("{", ",", "}")
+    val retryJson = retried.toSeq.sortBy(_._1).map { case (k, (f, r)) =>
+      s"\"" + k + "\":{\"first_sec\":" + ms(f) + ",\"retry_sec\":" + ms(r) + "}"
+    }.mkString("{", ",", "}")
+    val degJson = degradedFrom
+      .map(n => s""","degraded_from":"$n"""").getOrElse("")
+    // end-of-run calibration (the start-calib + env factor were computed
+    // above, before the regression report that consumes them)
+    val calibEnd = calibrate()
     val calibJson =
       s""","calib":{"start_sec":${ms(calibStart)},"end_sec":${ms(calibEnd)}""" +
         envFactor.map(f => s""","env_factor":${ms(f)}""").getOrElse("") + "}"

@@ -501,12 +501,16 @@ object Analytics {
         FROM days d
         ORDER BY day""")),
 
-    // the sketch scale path of q190: per-day HLLs, RANGE-windowed union;
-    // exact count carried for the oracle, estimate pinned to ±5%
+    // the sketch scale path of q190: per-day HLLs, RANGE-windowed union.
+    // The oracle pins the EXACT count only; the ±5% estimate-accuracy
+    // contract (hll_ok) is asserted in AnalyticsSpec, where a violation
+    // names the offending day instead of hash-failing the whole query
+    // on a fixture regeneration.
     QueryDef(
       "q212_sliding_distinct_hll",
       (s, dir) => slidingDistinctHll(Tables.load(s, dir, "events"),
         "user_id", windowDays = 7)
+        .select(col("day"), col("n_active"))
         .orderBy(col("day")),
       Some("""
         WITH ev AS (
@@ -516,8 +520,7 @@ object Analytics {
         days AS (SELECT DISTINCT day FROM ev)
         SELECT d.day,
                (SELECT count(DISTINCT e.user_id) FROM ev e
-                WHERE e.day BETWEEN d.day - 6 AND d.day) AS n_active,
-               TRUE AS hll_ok
+                WHERE e.day BETWEEN d.day - 6 AND d.day) AS n_active
         FROM days d
         ORDER BY day""")),
 
@@ -758,7 +761,7 @@ object Analytics {
                  row_number() OVER (PARTITION BY c_mktsegment
                                     ORDER BY c_acctbal) AS rn,
                  count(*) OVER (PARTITION BY c_mktsegment) AS n
-          FROM customer),
+          FROM customer WHERE c_acctbal IS NOT NULL),
         bounds AS (
           SELECT g,
                  max(CASE WHEN rn = (1 * n + 99) // 100 THEN v END) AS lo,
@@ -772,6 +775,7 @@ object Analytics {
                               WHEN c_acctbal > hi THEN hi
                               ELSE c_acctbal END), 4) AS wins_avg
         FROM customer JOIN bounds ON c_mktsegment = g
+        WHERE c_acctbal IS NOT NULL
         GROUP BY c_mktsegment, lo, hi
         ORDER BY c_mktsegment"""))
   )

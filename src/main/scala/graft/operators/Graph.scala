@@ -240,6 +240,14 @@ object Graph {
     val e = edges.select($"src", $"dst").distinct().cache()
     var dist = sources.select($"node").distinct()
       .withColumn("d", lit(0L)).cache()
+    // cached round frames SINCE THE LAST CHECKPOINT; a localCheckpoint
+    // is eager, so once it materializes everything upstream of it is
+    // dead weight in the block manager — unpersist it then. (Frames
+    // after the last checkpoint stay cached: the returned frame's
+    // lineage still reads them. Without this, deep hop counts leak one
+    // node-scale cached frame per round into library callers — the
+    // Verify/Bench clearCache masked it.)
+    var pending = List(dist)
     for (h <- 1 to maxHops) {
       val reached = e.join(dist.filter($"d" === h - 1),
           e("src") === $"node")
@@ -251,8 +259,14 @@ object Graph {
       // localCheckpoint bounds plan depth on deep hop counts (the r7
       // materialization-cadence rule: cache for sharing, checkpoint for
       // lineage, eager only when fan-out demands it)
-      dist = if (h % 5 == 0 && h < maxHops) dist.localCheckpoint()
-        else dist.cache()
+      if (h % 5 == 0 && h < maxHops) {
+        dist = dist.localCheckpoint() // eager — superseded caches now safe
+        pending.foreach(_.unpersist(blocking = false))
+        pending = Nil
+      } else {
+        dist = dist.cache()
+        pending ::= dist
+      }
     }
     dist
   }

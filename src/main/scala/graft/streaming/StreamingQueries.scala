@@ -911,6 +911,16 @@ object StreamingQueries {
         }
         s.streams.addListener(listener)
         try {
+          // expected batch count is DERIVED from the staged split, not
+          // assumed: one micro-batch per NON-EMPTY pmod class (an empty
+          // class stages an empty file whose batch never fires the
+          // n_rows>0 counter). The oracle derives the same number from
+          // the raw table, so a fixture where some class is empty stays
+          // green instead of burning the drain deadline on a constant.
+          val staged = s.read.parquet(eventsSplitDir(s, dir))
+          val expectedBatches = staged
+            .groupBy(pmod($"event_id", lit(4))).count().count()
+          val expectedRows = staged.count()
           val q = eventsStreamSplit(s, dir)
             .observe("feed_metrics",
               count(lit(1)).as("n_rows"),
@@ -930,14 +940,17 @@ object StreamingQueries {
           // receives its queued events, which would silently drop the
           // final batch's metrics on a loaded machine)
           val deadline = System.nanoTime() + 10000000000L
-          while (batches.get() < 4 && System.nanoTime() < deadline)
+          while ((batches.get() < expectedBatches ||
+              rows.get() < expectedRows) && System.nanoTime() < deadline)
             Thread.sleep(20)
         } finally s.streams.removeListener(listener)
         Seq((batches.get(), rows.get(), purchases.get(), cents.get()))
           .toDF("n_batches", "n_rows", "n_purchase", "cents")
       },
       Some("""
-        SELECT 4 AS n_batches, count(*) AS n_rows,
+        SELECT (SELECT count(DISTINCT event_id % 4) FROM events)
+                 AS n_batches,
+               count(*) AS n_rows,
                count(CASE WHEN event_type = 'purchase' THEN 1 END)
                  AS n_purchase,
                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
@@ -952,10 +965,10 @@ object StreamingQueries {
     * are deterministic (pmod, not sampled ranges). */
   private val stagedSplit = scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def eventsStreamSplit(s: SparkSession, dir: String): DataFrame = {
+  private def eventsSplitDir(s: SparkSession, dir: String): String = {
     import s.implicits._
     val path = s"$dir/events.parquet"
-    val srcDir = stagedSplit.getOrElseUpdate(path, {
+    stagedSplit.getOrElseUpdate(path, {
       val d = Files.createTempDirectory("events_split_")
       val base = graft.engine.Tables.normalizeEventTime(s.read.parquet(path))
       for (i <- 0 until 4)
@@ -963,6 +976,10 @@ object StreamingQueries {
           .coalesce(1).write.mode("append").parquet(d.toString)
       d.toString
     })
+  }
+
+  private def eventsStreamSplit(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = eventsSplitDir(s, dir)
     val schema = s.read.parquet(srcDir).schema
     s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(srcDir)
   }

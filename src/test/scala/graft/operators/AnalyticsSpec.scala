@@ -281,6 +281,31 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("slidingDistinctHll: estimate within 5% of exact on every day") {
+    import spark.implicits._
+    // the q212 accuracy contract, asserted HERE (naming the offending
+    // day) rather than hash-gated in the oracle, so a fixture or scale
+    // change that nudges one day's estimate reads as a named accuracy
+    // breach instead of a whole-query correctness failure
+    val rnd = new scala.util.Random(9)
+    val rows = Seq.fill(2000) {
+      val day = rnd.nextInt(30).toLong
+      val user = rnd.nextInt(400).toLong
+      (user, day * 1440 + rnd.nextInt(1440).toLong)
+    }
+    val ev = rows.zipWithIndex.map { case ((u, m), i) =>
+      (i.toLong, u, ts(m), "x", 0.0)
+    }.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Analytics.slidingDistinctHll(ev, "user_id", windowDays = 7)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getBoolean(2),
+        s"hll estimate off >5% on day ${r.getLong(0)} " +
+          s"(exact n_active=${r.getLong(1)})")
+    }
+  }
+
   test("joinCardinality law: histogram product equals the real join size") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
