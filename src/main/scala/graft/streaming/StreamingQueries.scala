@@ -708,6 +708,120 @@ object StreamingQueries {
         WHERE p.event_type = 'purchase'
         ORDER BY p_id, c_id""")),
 
+    // ----- stream-stream FULL OUTER join --------------------------------
+    // The union of q85 and both unmatched sides in one pass: matched
+    // purchase-click pairs, purchases with no attributable click
+    // (c_* null), AND clicks that attributed to no purchase (p_* null).
+    // Both sides' state-eviction emission paths run — a null-padded row
+    // surfaces from either buffer only when that side's watermark proves
+    // no future partner can arrive. Same two-sentinel punctuation as
+    // q194 (sentinels carry negative ids/user_ids so they can never pair
+    // with real rows; their own null-padded emissions are dropped in the
+    // sink read-back). Oracle: the plain batch FULL JOIN over
+    // pre-filtered sides (the purchase/click predicates must live inside
+    // the sides, not WHERE, or outer rows would be eaten).
+    QueryDef(
+      "q215_stream_full_outer_join",
+      (s, dir) => withStatePartitions(s) {
+        import s.implicits._
+        val out = tmp("sink_")
+        val ev = eventsStreamWithFlush(s, dir)
+        val purchases = ev
+          .filter($"event_type".isin("purchase", "flush"))
+          .select($"event_id".as("p_id"), $"user_id".as("p_user"),
+            $"ts".as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val clicks = ev
+          .filter($"event_type".isin("click", "flush"))
+          .select($"event_id".as("c_id"), $"user_id".as("c_user"),
+            $"ts".as("c_ts"))
+          .withWatermark("c_ts", "1 hour")
+        val q = purchases
+          .join(clicks,
+            $"p_user" === $"c_user" &&
+              $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") &&
+              $"c_ts" <= $"p_ts",
+            "full_outer")
+          // no sentinel filter in-plan (q194's watermark-pinning lesson)
+          .select($"p_id", $"p_user", $"c_id", $"c_user", $"c_ts")
+          .writeStream
+          .outputMode(OutputMode.Append())
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", tmp("ckpt_"))
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out)
+          .filter(($"p_id".isNull || $"p_id" >= 0L) &&
+            ($"c_id".isNull || $"c_id" >= 0L)) // sentinels' own rows
+          .orderBy($"p_id", $"c_id")
+      },
+      Some("""
+        SELECT p.p_id, p.p_user, c.c_id, c.c_user, c.c_ts
+        FROM (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+              FROM events WHERE event_type = 'purchase') p
+        FULL JOIN (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
+              FROM events WHERE event_type = 'click') c
+          ON c.c_user = p.p_user
+         AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+         AND c.c_ts <= p.p_ts
+        ORDER BY p_id, c_id""")),
+
+    // ----- stream-stream RIGHT OUTER join -------------------------------
+    // q194 mirrored: every click, with its attributed purchase or nulls
+    // — "which clicks converted" from the click side's point of view.
+    // The null-padding now comes from the CLICK buffer's eviction path
+    // (the side q194 never exercises). Same sentinel discipline; oracle
+    // is the batch RIGHT JOIN with the purchase filter inside the left
+    // side.
+    QueryDef(
+      "q216_stream_right_outer_join",
+      (s, dir) => withStatePartitions(s) {
+        import s.implicits._
+        val out = tmp("sink_")
+        val ev = eventsStreamWithFlush(s, dir)
+        val purchases = ev
+          .filter($"event_type".isin("purchase", "flush"))
+          .select($"event_id".as("p_id"), $"user_id".as("p_user"),
+            $"ts".as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val clicks = ev
+          .filter($"event_type".isin("click", "flush"))
+          .select($"event_id".as("c_id"), $"user_id".as("c_user"),
+            $"ts".as("c_ts"))
+          .withWatermark("c_ts", "1 hour")
+        val q = purchases
+          .join(clicks,
+            $"p_user" === $"c_user" &&
+              $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") &&
+              $"c_ts" <= $"p_ts",
+            "right_outer")
+          .select($"p_id", $"p_user", $"c_id", $"c_user", $"c_ts")
+          .writeStream
+          .outputMode(OutputMode.Append())
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", tmp("ckpt_"))
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out)
+          .filter($"c_id" >= 0L &&
+            ($"p_id".isNull || $"p_id" >= 0L)) // sentinels' own rows
+          .orderBy($"c_id", $"p_id")
+      },
+      Some("""
+        SELECT p.p_id, p.p_user, c.c_id, c.c_user, c.c_ts
+        FROM (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+              FROM events WHERE event_type = 'purchase') p
+        RIGHT JOIN (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
+              FROM events WHERE event_type = 'click') c
+          ON c.c_user = p.p_user
+         AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+         AND c.c_ts <= p.p_ts
+        ORDER BY c_id, p_id""")),
+
     // ----- stream-static join: dimension enrichment in flight -------------
     // The static side is a plain batch frame (re-read per micro-batch):
     // the standard 100 TB enrichment pattern — no state, no watermark
