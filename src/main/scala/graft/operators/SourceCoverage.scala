@@ -312,6 +312,49 @@ object SourceCoverage {
         FROM events
         WHERE event_type = 'purchase'
         GROUP BY user_id
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // ----- JDBC source/sink round-trip (embedded Derby) ------------------
+    // The external-database boundary (reference analogue: A27's
+    // file-transfer handoff, /root/reference/scheduler.py:127-171 — the
+    // reference ships bytes to an external box; a Spark engine ships rows
+    // to an external store). Stages `customer` INTO an embedded Derby
+    // database via the JDBC sink (overwrite = drop-and-recreate,
+    // idempotent re-runs), then reads it back through the JDBC source the
+    // way a 100 TB ingest would: a 4-way PARTITIONED parallel read (each
+    // task issues its own bounded-range query — the only way a JDBC scan
+    // scales past one connection) with the numeric filter PUSHED DOWN to
+    // the database as WHERE (SourceCoverageSpec pins both). Derby runs in-JVM
+    // from the Spark distribution's own jars — hermetic, no network.
+    QueryDef(
+      "q217_jdbc_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        // keep Derby's boot log out of cwd (dev hygiene; set once)
+        System.setProperty("derby.stream.error.file",
+          s"${sys.props("java.io.tmpdir")}/graft_derby.log")
+        val url = s"jdbc:derby:${stagePath("jdbc", dir)};create=true"
+        val props = new java.util.Properties
+        props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        val cust = Tables.load(s, dir, "customer")
+          .select($"c_custkey", $"c_nationkey", $"c_acctbal")
+        cust.write.mode("overwrite").jdbc(url, "customer_rt", props)
+        val (lo, hi) = cust // two scalars for the partition bounds
+          .agg(min($"c_custkey"), max($"c_custkey")).as[(Long, Long)].head()
+        s.read
+          .jdbc(url, "customer_rt", "c_custkey", lo, hi + 1, 4, props)
+          .filter($"c_acctbal" > 0) // pushed into Derby's WHERE
+          .groupBy($"c_nationkey")
+          .agg(count(lit(1)).as("n"),
+            round(sum($"c_acctbal"), 4).as("total_bal"))
+          .orderBy($"c_nationkey")
+      },
+      Some("""
+        SELECT c_nationkey, count(*) AS n,
+               round(sum(c_acctbal), 4) AS total_bal
+        FROM customer
+        WHERE c_acctbal > 0
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey"""))
   )
 }
