@@ -165,6 +165,124 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** The full BPE tokenizer-training loop (Sennrich et al., ACL 2016):
+    * iterate [[bpePairStats]]'s one ranking step N times — each round
+    * merges the corpus-wide most frequent adjacent symbol pair (ties
+    * broken lexicographically, so the whole trajectory is deterministic)
+    * into a new symbol and re-applies it to the vocabulary. Output is
+    * the merge table itself — (step, a, b, merged, freq) — i.e. the
+    * artifact a tokenizer ships.
+    *
+    * Scale shape: the corpus is scanned ONCE, collapsing to the
+    * word-frequency table (the classic BPE-on-word-counts formulation —
+    * vocabulary-sized, zipf-bounded, NOT corpus-sized); every merge
+    * round after that touches only that |vocab|-row frame: one
+    * pair-explode + combiner-reduced count (the pair domain is ≤ a few
+    * thousand rows), one argmax row to the driver (a 2-string scalar,
+    * the q158-centroid/IncrementalJobs-seq pattern), and one map-only
+    * greedy-left fold re-encode (codegen'd higher-order aggregate — no
+    * shuffle). Round frames are cached for their double reference and
+    * unpersisted at checkpoint boundaries (the khop cadence).
+    *
+    * The greedy-left fold (merge all non-overlapping occurrences,
+    * scanning left) is exactly replayable in the oracle as a
+    * wrapped-symbol string replace — see [[bpeMergesOracle]]. */
+  def bpeMerges(docs: DataFrame, nMerges: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    var words = docs
+      .select(explode(split(lower($"text"), "[^a-z]+")).as("w"))
+      .filter(length($"w") >= 2)
+      .groupBy($"w").agg(count(lit(1)).as("n"))
+      .select(split($"w", "").as("s"), $"n")
+      .cache()
+    var pending = List(words)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var exhausted = false
+    for (k <- 1 to nMerges if !exhausted) {
+      val top = words
+        // fully-merged single-symbol words contribute no pairs — and
+        // sequence(1, 0) is DESCENDING [1,0] in Spark, which would index
+        // past the array; DuckDB's generate_series(1,0) is empty
+        .filter(size($"s") >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(s) - 1), " +
+            "i -> struct(element_at(s, i) AS a, element_at(s, i + 1) AS b))"))
+          .as("p"), $"n")
+        .groupBy($"p.a".as("a"), $"p.b".as("b")).agg(sum($"n").as("f"))
+        .orderBy($"f".desc, $"a", $"b")
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, f) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((k, a, b, a + b, f))
+        // symbols are [a-z]+ by construction — safe to inline as SQL
+        // literals; the fold is the canonical greedy-left BPE apply
+        words = words.select(expr(
+          s"""aggregate(s, cast(array() as array<string>),
+             |  (acc, x) -> CASE
+             |    WHEN size(acc) > 0 AND element_at(acc, -1) = '$a'
+             |         AND x = '$b'
+             |    THEN concat(slice(acc, 1, size(acc) - 1), array('${a + b}'))
+             |    ELSE concat(acc, array(x)) END)""".stripMargin).as("s"),
+          $"n")
+        if (k % 5 == 0 && k < nMerges) {
+          words = words.localCheckpoint()
+          pending.foreach(_.unpersist(blocking = false))
+          pending = Nil
+        } else {
+          words = words.cache()
+          pending ::= words
+        }
+      }
+    }
+    pending.foreach(_.unpersist(blocking = false))
+    merges.toSeq.toDF("step", "a", "b", "merged", "freq")
+      .orderBy($"step")
+  }
+
+  /** The unrolled DuckDB replay of [[bpeMerges]] — N WITH-chained
+    * stages (the q158/q181 loop-oracle pattern). Vocabulary state is a
+    * WRAPPED-SYMBOL string ('•h••a••t•'): every symbol carries its own
+    * delimiters, so `replace(w, '•a••b•', '•ab•')` merges exactly the
+    * greedy-left non-overlapping occurrences the Spark fold does
+    * (boundary characters are never shared between adjacent matches —
+    * verified on the 'aaaaa' + (a,a) → 'aa aa a' case). */
+  def bpeMergesOracle(nMerges: Int): String = {
+    // every stage CTE is MATERIALIZED: w(k+1) references w(k) plus three
+    // best(k) scalar subqueries, so inlined CTEs would expand the chain
+    // ~4^N-fold (observed: fd exhaustion re-opening the parquet)
+    val stages = (0 until nMerges).map { k =>
+      s"""pr$k AS MATERIALIZED (
+         |  SELECT s[i] AS a, s[i+1] AS b, CAST(sum(n) AS BIGINT) AS f
+         |  FROM (SELECT n, string_split(trim(w, '•'), '••') AS s FROM w$k),
+         |       unnest(generate_series(1, len(s) - 1)) AS t(i)
+         |  GROUP BY 1, 2),
+         |best$k AS MATERIALIZED (
+         |  SELECT a, b, f FROM pr$k ORDER BY f DESC, a, b LIMIT 1),
+         |w${k + 1} AS MATERIALIZED (
+         |  SELECT replace(w,
+         |    '•' || (SELECT a FROM best$k) || '••' ||
+         |      (SELECT b FROM best$k) || '•',
+         |    '•' || (SELECT a || b FROM best$k) || '•') AS w, n
+         |  FROM w$k)""".stripMargin
+    }.mkString(",\n")
+    val out = (0 until nMerges).map { k =>
+      s"""SELECT ${k + 1} AS step, a, b, a || b AS merged, f AS freq
+         |FROM best$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT regexp_replace(w, '(.)', '•\\1•', 'g') AS w, count(*) AS n
+       |  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+       |        FROM documents)
+       |  WHERE length(w) >= 2 GROUP BY w),
+       |$stages
+       |$out
+       |ORDER BY step""".stripMargin
+  }
+
   /** Inverted index over whitespace terms: document frequency + the
     * full sorted posting list per term (serialized "id,id,..." so the
     * gate can hash it; the at-scale sink keeps the array column and
@@ -624,6 +742,14 @@ object TextAnalysis {
         SELECT pair, count(*) AS n
         FROM p GROUP BY pair
         ORDER BY n DESC, pair LIMIT 50""")),
+
+    // q175 ranks ONE merge step's candidates; this runs the LOOP — ten
+    // BPE merges, the tokenizer-training artifact itself. Oracle is the
+    // generated 10-stage unrolled replay (bpeMergesOracle).
+    QueryDef(
+      "q218_bpe_merge_loop",
+      (s, dir) => bpeMerges(t(s, dir, "documents"), nMerges = 10),
+      Some(bpeMergesOracle(10))),
 
     QueryDef(
       "q176_inverted_index",

@@ -215,4 +215,31 @@ class SimilarityTextSpec extends SparkSpec {
     assert(got.filterKeys(_ % 2 == 1).values.toSet.size == 1)
     assert(got(2L) != got(1L))
   }
+
+  test("bpeMerges: frequency-descending, deterministic, hand-checked first merge") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat the hat"), (2L, "the thin cat sat"),
+      (3L, "that hat is that cat"), (4L, "this is the thing"))
+      .toDF("doc_id", "text")
+    val run1 = TextAnalysis.bpeMerges(docs, nMerges = 6).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    // merge frequencies can never increase: any pair involving the new
+    // symbol ab is bounded by count(ab) = f, and pre-existing pairs only
+    // lose occurrences to the merge
+    val freqs = run1.map(_._5)
+    assert(freqs.zip(freqs.tail).forall { case (x, y) => x >= y },
+      s"frequencies not non-increasing: ${freqs.toSeq}")
+    // hand-check the head: (t,h) rides the(4) thin that(2) this thing
+    // = 9 occurrences; (a,t) rides cat(3) hat(2) sat that(2) = 8 and
+    // survives the th-merge untouched (that = [th,a,t] keeps its (a,t))
+    assert(run1(0) == ((1, "t", "h", "th", 9L)), run1(0).toString)
+    assert(run1(1) == ((2, "a", "t", "at", 8L)), run1(1).toString)
+    // deterministic: an independent run yields the identical trajectory
+    val run2 = TextAnalysis.bpeMerges(docs, nMerges = 6).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(run1.toSeq == run2.toSeq)
+  }
 }
