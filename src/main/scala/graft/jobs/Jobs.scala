@@ -70,8 +70,12 @@ object TransferType {
   case object Auxiliary extends TransferType  // upload_auxiliary: stage broadcast data
 }
 
+/** `etaSeconds` is the queue's PRE-RUN estimate for this execution
+  * (median of recent recorded runtimes — [[JobQueue.estimateRuntime]]),
+  * None on a job's first run. Surfacing prediction next to actual is
+  * what makes the estimator auditable. */
 final case class JobResult(name: String, ok: Boolean, seconds: Double,
-    error: Option[String])
+    error: Option[String], etaSeconds: Option[Double] = None)
 
 /** Persistent priority queue + runner. The finished-set survives restarts
   * via a JSON-lines journal, like JOBS.data under flock
@@ -122,6 +126,20 @@ final class JobQueue(stateFile: Option[String] = None) {
   def runtimeHistory(name: String): Seq[Double] =
     synchronized(runtimes.getOrElse(name, Nil).toSeq)
 
+  /** Next-run ETA: median of the job's last `k` recorded runtimes
+    * (reference analogue: the scheduler's runtime-estimation surface,
+    * /root/reference/scheduler.py:603-708 — carried there as dead code;
+    * live here). Median, not mean: one straggler run (GC pause, cold
+    * cache) must not poison the estimate. None until the job has run
+    * at least once. */
+  def estimateRuntime(name: String, k: Int = 5): Option[Double] =
+    synchronized {
+      val h = runtimes.getOrElse(name, Nil).takeRight(k).toSeq.sorted
+      if (h.isEmpty) None
+      else if (h.size % 2 == 1) Some(h(h.size / 2))
+      else Some((h(h.size / 2 - 1) + h(h.size / 2)) / 2)
+    }
+
   /** Priority desc, then submission order (ties FIFO). */
   private def ordered: Seq[Entry] =
     entries.sortBy(e => (-e.job.priority, e.seq)).toSeq
@@ -139,13 +157,15 @@ final class JobQueue(stateFile: Option[String] = None) {
     while (next.isDefined) {
       val entry = next.get
       ranThisPass += entry.job.name
+      val eta = estimateRuntime(entry.job.name) // pre-run, from history only
       val t0 = System.nanoTime()
       val outcome = Try(execute(spark, entry.job))
       val secs = (System.nanoTime() - t0) / 1e9
       val res = outcome match {
-        case Success(_) => JobResult(entry.job.name, ok = true, secs, None)
+        case Success(_) =>
+          JobResult(entry.job.name, ok = true, secs, None, eta)
         case Failure(e) => JobResult(entry.job.name, ok = false, secs,
-          Some(e.getMessage))
+          Some(e.getMessage), eta)
       }
       results += res
       synchronized {

@@ -107,6 +107,29 @@ class JobsSpec extends SparkSpec {
     assert(q.runtimeHistory("a").nonEmpty)
   }
 
+  test("estimateRuntime: None before first run, median-of-last-k after, straggler-robust") {
+    val q = new JobQueue()
+    q.submit(SparkJob("j", _ => ()))
+    assert(q.estimateRuntime("j").isEmpty) // no history yet
+    val first = q.runAll(spark)
+    assert(first.head.etaSeconds.isEmpty) // pre-run estimate on run 1
+    // force 4 more runs: history now 5 entries
+    for (_ <- 1 to 4) q.runAll(spark, forceRun = true)
+    val eta = q.estimateRuntime("j")
+    assert(eta.isDefined && eta.get > 0)
+    val hist = q.runtimeHistory("j")
+    // median of the recorded history, not the mean: plant a synthetic
+    // check that the estimator sits inside the observed range (a mean of
+    // history-with-straggler could not be guaranteed to)
+    assert(eta.get >= hist.min && eta.get <= hist.max)
+    // exact median law on a known window
+    val last5 = hist.takeRight(5).sorted
+    assert(eta.get == last5(2))
+    // the NEXT run's result carries the pre-run eta
+    val next = q.runAll(spark, forceRun = true)
+    assert(next.head.etaSeconds.contains(eta.get))
+  }
+
   test("numeric batch names survive forced replay (path-based self-exclusion)") {
     import spark.implicits._
     // partition-value inference reads batch=007 back as integer 7; a
