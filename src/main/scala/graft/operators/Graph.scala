@@ -49,11 +49,22 @@ object Graph {
     * ReusedExchange do the work). Every 5th round bounds plan depth and
     * failure re-execution for deep iteration counts. */
   private def prLoop(edges: DataFrame, seedsOpt: Option[DataFrame],
-      iters: Int): DataFrame = {
+      iters: Int, weightCol: Option[String] = None): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    val e = edges.select($"src", $"dst").distinct()
-    val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+    // weighted: parallel edges collapse by weight-SUM and a node's
+    // out-mass splits proportionally to edge weight — the unweighted
+    // path is the w=1 special case of the same integer arithmetic
+    // ((rank * 1) div deg == rank div deg), so both variants share one
+    // loop body and one oracle shape
+    val e = weightCol match {
+      case Some(wc) => edges
+        .select($"src", $"dst", col(wc).cast("long").as("w"))
+        .groupBy($"src", $"dst").agg(sum($"w").as("w"))
+      case None => edges.select($"src", $"dst").distinct()
+        .withColumn("w", lit(1L))
+    }
+    val deg = e.groupBy($"src").agg(sum($"w").as("deg"))
     val e2 = e.join(deg, "src").cache()
     val allNodes = e.select($"src".as("node")).distinct()
     val nodes = (seedsOpt match {
@@ -72,7 +83,7 @@ object Graph {
       .select($"node", $"rank")
     for (i <- 1 to iters) {
       val contribs = e2.join(r, e2("src") === r("node"))
-        .select($"dst", expr("rank div deg").as("c"))
+        .select($"dst", expr("(rank * w) div deg").as("c"))
         .groupBy($"dst").agg(sum($"c").as("sc"))
       r = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
         .select($"node",
@@ -96,6 +107,19 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
       iters: Int): DataFrame =
     prLoop(edges, seedsOpt = Some(seeds), iters)
+
+  /** Edge-weighted PageRank: a node's out-mass splits PROPORTIONALLY TO
+    * EDGE WEIGHT instead of uniformly — contribution per edge is
+    * (rank·w) div Σw_out, still on the exact integer grid (the
+    * unweighted operator is the w=1 case of the same loop). Parallel
+    * edges collapse by weight-sum. The "how much did they trade"
+    * refinement of [[pageRank]] — same one-combiner-shuffle-per-round
+    * scale shape, same periodic lineage cadence. Overflow posture:
+    * rank ≤ S = 10⁶, so per-edge weights up to ~10¹² stay inside Long.
+    * `edges` must carry `src`, `dst`, and `weightCol` (integral). */
+  def weightedPageRank(edges: DataFrame, iters: Int,
+      weightCol: String = "w"): DataFrame =
+    prLoop(edges, seedsOpt = None, iters, weightCol = Some(weightCol))
 
   /** Exact triangle count over an undirected edge list, by
     * degree-ordered orientation (the Cohen / Suri–Vassilvitskii
@@ -190,14 +214,36 @@ object Graph {
     * (dst, label) count and the per-dst argmax — plus the edges⋈labels
     * equi-join, all hash-partitioned on node ids. No driver data, no
     * broadcast of anything SF-scaled; O(iters) rounds like q181. */
-  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame =
+    lpaLoop(edges, iters, weightCol = None)
+
+  /** Edge-weighted label propagation: neighbor votes count Σw instead
+    * of 1 per edge — "adopt the label of the community you trade MOST
+    * with". Same two-shuffle-per-round shape as [[labelPropagation]]
+    * (that operator is the w=1 case). Comparator bound tightens from
+    * degree to WEIGHTED degree: Σw per (node, label) must stay below
+    * ~9·10⁶ for the exact integer comparator (checked nowhere cheaper
+    * than the caller — at 100 TB scale pre-bucket weights or drop to a
+    * struct-ordered max_by). */
+  def weightedLabelPropagation(edges: DataFrame, iters: Int,
+      weightCol: String = "w"): DataFrame =
+    lpaLoop(edges, iters, weightCol = Some(weightCol))
+
+  private def lpaLoop(edges: DataFrame, iters: Int,
+      weightCol: Option[String]): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     val K = 1000000000000L
     // the edge frame feeds every round's count join plus the initial
     // label build — cache it once (pageRank's e2/nodes discipline;
     // un-cached, the upstream edge derivation re-runs per round)
-    val e = edges.select($"src", $"dst").distinct().cache()
+    val e = (weightCol match {
+      case Some(wc) => edges
+        .select($"src", $"dst", col(wc).cast("long").as("w"))
+        .groupBy($"src", $"dst").agg(sum($"w").as("w"))
+      case None => edges.select($"src", $"dst").distinct()
+        .withColumn("w", lit(1L))
+    }).cache()
     // the comparator needs label < K; checked in-plan (row-local, no
     // extra job) rather than trusted to the scaladoc
     var lab = e.select($"src".as("node")).distinct()
@@ -207,7 +253,7 @@ object Graph {
             lit(s"labelPropagation: node id out of [0, $K): "), $"node"))))
     for (i <- 1 to iters) {
       val cnt = e.join(lab, e("src") === lab("node"))
-        .groupBy($"dst", $"label").agg(count(lit(1)).as("c"))
+        .groupBy($"dst", $"label").agg(sum($"w").as("c"))
       lab = cnt.groupBy($"dst".as("node"))
         .agg(max_by($"label", $"c" * K - $"label").as("label"))
       // label frame is referenced once (next round) — periodic lineage
@@ -290,6 +336,21 @@ object Graph {
       .union(pairs.select($"p".as("src"), $"c".as("dst")))
   }
 
+  /** [[tradeEdges]] with edge weight = number of lineitems traded on
+    * the (customer, supplier) pair — "how MUCH they trade", feeding the
+    * weighted graph variants. */
+  private def weightedTradeEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.load(s, dir, "orders")
+    val l = Tables.load(s, dir, "lineitem")
+    val pairs = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("p"))
+      .agg(count(lit(1)).as("w"))
+    pairs.select($"c".as("src"), $"p".as("dst"), $"w")
+      .union(pairs.select($"p".as("src"), $"c".as("dst"), $"w"))
+  }
+
   private def bfsIter(prev: String, out: String, h: Int): String =
     s"""$out AS (
        SELECT node, min(d) AS d FROM (
@@ -307,6 +368,26 @@ object Graph {
              FROM e JOIN $prev ON e.src = $prev.node
              GROUP BY e.dst, $prev.label)
        GROUP BY dst)"""
+
+  private def wlpaIter(prev: String, out: String): String =
+    s"""$out AS (
+       SELECT dst AS node,
+              max_by(label, c * 1000000000000 - label) AS label
+       FROM (SELECT e.dst, $prev.label, CAST(sum(e.w) AS BIGINT) AS c
+             FROM e JOIN $prev ON e.src = $prev.node
+             GROUP BY e.dst, $prev.label)
+       GROUP BY dst)"""
+
+  private def wprIter(prev: String, out: String): String =
+    s"""$out AS (
+       SELECT nodes.node,
+              (15 * 1000000) // (100 * p.n)
+              + (85 * coalesce(s.sc, 0)) // 100 AS rank
+       FROM nodes CROSS JOIN p
+       LEFT JOIN (SELECT e.dst, sum(($prev.rank * e.w) // deg.deg) AS sc
+                  FROM e JOIN $prev ON e.src = $prev.node
+                         JOIN deg ON e.src = deg.src
+                  GROUP BY e.dst) s ON nodes.node = s.dst)"""
 
   private def oracleIter(prev: String, out: String): String =
     s"""$out AS (
@@ -417,6 +498,65 @@ object Graph {
         ${lpaIter("l0", "l1")},
         ${lpaIter("l1", "l2")},
         ${lpaIter("l2", "l3")}
+        SELECT node, CAST(label AS BIGINT) AS label
+        FROM l3
+        ORDER BY node""")),
+
+    // weighted variant: out-mass splits by lineitem volume — suppliers
+    // that trade MORE with well-connected customers now outrank equally-
+    // connected but low-volume peers. Oracle unrolls identically to q181
+    // with the (rank·w)//Σw contribution.
+    QueryDef(
+      "q219_weighted_pagerank",
+      (s, dir) => {
+        import s.implicits._
+        weightedPageRank(weightedTradeEdges(s, dir), iters = 3)
+          .filter($"node" % 2 === 1)
+          .select(expr("(node - 1) div 2").as("s_suppkey"), $"rank")
+          .orderBy($"s_suppkey")
+      },
+      Some(s"""
+        WITH e0 AS (
+          SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+                 count(*) AS w
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          GROUP BY 1, 2),
+        e AS (SELECT src, dst, w FROM e0
+              UNION ALL SELECT dst, src, w FROM e0),
+        deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS deg
+                FROM e GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        p AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (SELECT node, (1000000 // p.n) AS rank FROM nodes, p),
+        ${wprIter("r0", "r1")},
+        ${wprIter("r1", "r2")},
+        ${wprIter("r2", "r3")}
+        SELECT (node - 1) // 2 AS s_suppkey,
+               CAST(rank AS BIGINT) AS rank
+        FROM r3 WHERE node % 2 = 1
+        ORDER BY s_suppkey""")),
+
+    // weighted LPA: "adopt the label of the community you trade MOST
+    // with" — votes are lineitem volumes, not edge counts
+    QueryDef(
+      "q220_weighted_label_propagation",
+      (s, dir) => {
+        import s.implicits._
+        weightedLabelPropagation(weightedTradeEdges(s, dir), iters = 3)
+          .orderBy($"node")
+      },
+      Some(s"""
+        WITH e0 AS (
+          SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+                 count(*) AS w
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          GROUP BY 1, 2),
+        e AS (SELECT src, dst, w FROM e0
+              UNION ALL SELECT dst, src, w FROM e0),
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+        ${wlpaIter("l0", "l1")},
+        ${wlpaIter("l1", "l2")},
+        ${wlpaIter("l2", "l3")}
         SELECT node, CAST(label AS BIGINT) AS label
         FROM l3
         ORDER BY node""")),

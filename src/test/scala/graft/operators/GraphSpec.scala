@@ -90,4 +90,58 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(1L -> 511250L, 2L -> 127500L, 3L -> 361250L,
       4L -> 0L, 5L -> 0L))
   }
+
+  test("weightedPageRank matches a driver-side integer replay; w=1 equals unweighted") {
+    import spark.implicits._
+    val rnd = new Random(17)
+    val raw = Seq.fill(150)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong,
+      (rnd.nextInt(9) + 1).toLong)).filter(e => e._1 != e._2)
+    val edges = raw.toDF("src", "dst", "w")
+    val iters = 3
+    val got = Graph.weightedPageRank(edges, iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver replay of the exact integer-grid recurrence
+    val wsum = raw.groupBy(e => (e._1, e._2)).view
+      .mapValues(_.map(_._3).sum).toMap // parallel edges collapse by sum
+    val outW = wsum.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nodes = wsum.keys.map(_._1).toSet
+    val n = nodes.size
+    var rank = nodes.map(_ -> 1000000L / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = wsum.toSeq.groupBy(_._1._2).view.mapValues(_.map {
+        case ((s, _), w) => rank(s) * w / outW(s)
+      }.sum).toMap
+      rank = nodes.map(v =>
+        v -> (150000L / n + 85L * contrib.getOrElse(v, 0L) / 100L)).toMap
+    }
+    assert(got == rank)
+    // the unweighted operator IS the w=1 case: identical output
+    val uni = raw.map(e => (e._1, e._2)).distinct
+    val a = Graph.pageRank(uni.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.weightedPageRank(
+      uni.map(e => (e._1, e._2, 1L)).toDF("src", "dst", "w"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("weightedLabelPropagation: volume outvotes edge count") {
+    import spark.implicits._
+    // node 3 has TWO light edges into the {1,2} community and ONE heavy
+    // edge to node 9: unweighted LPA pulls it left, weighted pulls right
+    val e = Seq(
+      (1L, 2L, 1L), (2L, 1L, 1L), // left community
+      (3L, 1L, 1L), (1L, 3L, 1L), (3L, 2L, 1L), (2L, 3L, 1L),
+      (3L, 9L, 10L), (9L, 3L, 10L)) // one heavy trade partner
+      .toDF("src", "dst", "w")
+    val weighted = Graph.weightedLabelPropagation(e, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1, node 3's votes: label1 w=1, label2 w=1, label9 w=10 -> 9
+    assert(weighted(3L) == 9L)
+    val unweighted = Graph.labelPropagation(
+      e.select($"src", $"dst"), iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // unweighted votes: labels 1,2,9 one each -> smallest label wins
+    assert(unweighted(3L) == 1L)
+  }
 }
