@@ -111,19 +111,27 @@ object FixtureGen {
       pick($"id", 16, priorities).as("o_orderpriority"))
     write(orders, "orders")
 
-    // 1..7 lineitems per order (hash-derived, avg 4 -> ~4x orders rows)
+    // 1..7 lineitems per order (hash-derived, avg 4 -> ~4x orders rows).
+    // l_linenumber is drawn 1..7 per row INDEPENDENTLY of the row index:
+    // the driver fixtures carry ~20% duplicate (l_orderkey, l_linenumber)
+    // keys at every SF (measured; q183's sf0.1 divergence traced to it),
+    // so sf1 must reproduce that artifact or key-identity assumptions
+    // pass here and break on driver data. lkey (the value-derivation
+    // seed) stays the unique row index, so duplicate-key rows still get
+    // independent dates/amounts like the driver's.
     val li = spark.read.parquet(s"$out/orders.parquet")
       .select($"o_orderkey", $"o_orderdate",
         (pmod(xxhash64($"o_orderkey", lit(17)), lit(7)) + 1).cast("int")
           .as("nl"))
       .select($"o_orderkey", $"o_orderdate",
-        explode(expr("sequence(1, nl)")).as("l_linenumber"))
-    val lkey = concat($"o_orderkey", lit("#"), $"l_linenumber")
+        explode(expr("sequence(1, nl)")).as("li_i"))
+    val lkey = concat($"o_orderkey", lit("#"), $"li_i")
     write(li.select(
       $"o_orderkey".as("l_orderkey"),
       pmod(xxhash64(lkey, lit(18)), lit(nPart)).as("l_partkey"),
       pmod(xxhash64(lkey, lit(19)), lit(nSupp)).as("l_suppkey"),
-      $"l_linenumber",
+      (pmod(xxhash64(lkey, lit(41)), lit(7)) + 1).cast("int")
+        .as("l_linenumber"),
       (pmod(xxhash64(lkey, lit(20)), lit(50)) + 1).cast("double")
         .as("l_quantity"),
       round(lit(900.0) + u(lkey, 21) * 104100.0, 2).as("l_extendedprice"),

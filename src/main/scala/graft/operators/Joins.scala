@@ -410,28 +410,38 @@ object Joins {
 
     // ----- interval overlap self-join (bin blocking + exact verify) ------
     // max-quantity shipments whose 7-day shipping windows overlapped:
-    // the oracle is the O(n²) scan the binning avoids
+    // the oracle is the O(n²) scan the binning avoids.
+    //
+    // Identity: the fixture's (l_orderkey, l_linenumber) is NOT unique
+    // (~20% of rows are key-duplicates at every SF — surfaced by the
+    // sf0.1 oracle run, where two key-colliding shipments first produced
+    // identical pair rows that intervalSelfOverlap's candidate-dedup
+    // collapsed while the O(n²) oracle kept both). The interval identity
+    // is therefore the DISTINCT (key, start-day) pair, composite-encoded
+    // as one bigint on both sides — well-defined ("distinct shipment
+    // windows") and stable under duplicate fixture keys. s < 65536 for
+    // any date before year 2149, so the encoding is collision-free.
     QueryDef(
       "q183_interval_overlap_join",
       (s, dir) => {
         import s.implicits._
         val iv = t(s, dir, "lineitem")
           .filter($"l_quantity" >= 50)
-          .select(($"l_orderkey" * 10 + $"l_linenumber").as("id"),
+          .select(($"l_orderkey" * 10 + $"l_linenumber").as("k"),
             expr("CAST(datediff(to_date(l_shipdate), date'1970-01-01') AS BIGINT)")
               .as("s"))
-          .withColumn("e", $"s" + 7)
+          .distinct()
+          .select(($"k" * 65536 + $"s").as("id"), $"s", ($"s" + 7).as("e"))
         intervalSelfOverlap(iv, binWidth = 8)
           .orderBy($"id_a", $"id_b")
       },
       Some("""
-        WITH iv AS (
-          SELECT l_orderkey * 10 + l_linenumber AS id,
+        WITH base AS (
+          SELECT DISTINCT l_orderkey * 10 + l_linenumber AS k,
                  CAST(date_diff('day', DATE '1970-01-01',
-                                CAST(l_shipdate AS DATE)) AS BIGINT) AS s,
-                 CAST(date_diff('day', DATE '1970-01-01',
-                                CAST(l_shipdate AS DATE)) AS BIGINT) + 7 AS e
-          FROM lineitem WHERE l_quantity >= 50)
+                                CAST(l_shipdate AS DATE)) AS BIGINT) AS s
+          FROM lineitem WHERE l_quantity >= 50),
+        iv AS (SELECT k * 65536 + s AS id, s, s + 7 AS e FROM base)
         SELECT a.id AS id_a, b.id AS id_b,
                least(a.e, b.e) - greatest(a.s, b.s) + 1 AS overlap_days
         FROM iv a JOIN iv b
@@ -441,8 +451,12 @@ object Joins {
 
   /** All unordered pairs of overlapping integer intervals from one
     * input, via bin blocking + exact verify. Input must carry columns
-    * (id, s, e) with s <= e on an integer grid (e.g. days); output is
-    * (id_a, id_b, overlap_days) with id_a < id_b.
+    * (id, s, e) with s <= e on an integer grid (e.g. days) and UNIQUE
+    * ids — duplicate ids make pair identity ill-defined, and the
+    * candidate dedup below would collapse pairs of distinct intervals
+    * that share an id (q183 hit exactly this on the fixture's
+    * duplicate line-item keys). Output is (id_a, id_b, overlap_days)
+    * with id_a < id_b.
     *
     * Scale shape — the interval analogue of the deletion-neighborhood
     * blocker: a naive overlap self-join is O(n²) comparisons with no
