@@ -397,24 +397,39 @@ object Dedup {
   }
 
   /** LSH-composed embedding near-dup — the 100 TB path for
-    * [[embeddingNearDupPairs]]'s operator: 8-bit random-hyperplane
-    * signatures ([[Similarity.lshBuckets]]), banded 4 x 2 bits for recall
-    * (a pair is a candidate if ANY band matches — P(2-bit band match) for
-    * near vectors is far higher than P(all 8 bits match)), candidate join
-    * bounded by band-bucket population, then exact cosine verification of
-    * candidates only via the native codegen'd expression. Same recipe
-    * [[minhashLshPairs]] uses for text: linear signature pass, bucketed
-    * candidate join, candidate-only verify — never n²/2 pairs. */
+    * [[embeddingNearDupPairs]]'s operator: 64-bit random-hyperplane
+    * signatures ([[Similarity.lshBuckets]] at 64 planes), banded
+    * 8 x 8 bits — a pair is a candidate if ANY band matches; exact
+    * cosine verification (native codegen'd expression) of candidates
+    * only. Same recipe [[minhashLshPairs]] uses for text: linear
+    * signature pass, bucketed candidate join, candidate-only verify —
+    * never n²/2 pairs.
+    *
+    * Band sizing is THE scale parameter (round-8 sf1 lesson): the
+    * original 4 x 2-bit banding has only 4 buckets per band, so bucket
+    * population is n/4 and the candidate join degenerates to all-pairs/4
+    * as the corpus grows (measured: 128 s at sf1 = 99x the sf0.1 cost;
+    * 8 x 8 bits with 256 buckets/band runs the identical contract in
+    * ~1 s with candidates ~ 8·n²/512 instead of 4·n²/8). Recall for a
+    * pair at angle θ is 1-(1-p^8)^8 with p = 1-θ/π per plane: ≈ 93% at
+    * cosine 0.9, ≈ 67% at 0.8 — high where near-DUPLICATES live, while
+    * uncorrelated pairs (the fixture's random-vector bulk, p ≈ 0.5)
+    * collide with probability ≈ 3% so candidate volume stays bounded.
+    * At corpus scale, bits-per-band should grow ~log2(n/target_bucket):
+    * more bands buys recall, more bits per band caps bucket population.
+    * The oracle replays the identical bucketing, so the
+    * approximate-by-construction result compares exactly. */
   def embeddingNearDupLshPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
     val s = embeddings.sparkSession
     import s.implicits._
     CosineSimilarity.register(s)
-    val sig = Similarity.lshBuckets(embeddings).select($"vec_id", $"bucket")
-    val bandStructs = (0 until 4).map { m =>
+    val sig = Similarity.lshBuckets(embeddings, planes = 64)
+      .select($"vec_id", $"bucket")
+    val bandStructs = (0 until 8).map { m =>
       struct(lit(m).as("band"),
-        shiftright($"bucket", 2 * m).bitwiseAND(3).as("bk"))
+        shiftright($"bucket", 8 * m).bitwiseAND(255).as("bk"))
     }
-    // tiny (vectors x 4 rows): cache so the candidate self-join does not
+    // tiny (vectors x 8 rows): cache so the candidate self-join does not
     // recompute the hyperplane signature pass twice
     val banded = sig
       .select($"vec_id", explode(array(bandStructs: _*)).as("bb"))
@@ -513,26 +528,49 @@ object Dedup {
         Window.partitionBy($"doc_id").orderBy($"df", $"hs")))
     val prefix = ordered
       .filter($"rk" <= $"n" - ceil($"n" * threshold) + 1)
-    val a = prefix.select($"doc_id".as("id1"), $"hs", $"n".as("n1"))
-    val b = prefix.select($"doc_id".as("id2"), $"hs", $"n".as("n2"))
+    val a = prefix.select($"doc_id".as("id1"), $"hs", $"n".as("n1"),
+      $"rk".as("rk1"))
+    val b = prefix.select($"doc_id".as("id2"), $"hs", $"n".as("n2"),
+      $"rk".as("rk2"))
     // cand sits behind two window passes and a self-join over the same
     // frame; the verify below references it once but the join planner
     // evaluates both join sides from it — cache so the prefix build runs
     // exactly once (19.1s vs 1.4s at sf0.1 without this, round-4 q101)
+    //
+    // positional filter (PPJoin proper, Xiao et al. WWW'08): a match on
+    // prefix ranks (rk1, rk2) can contribute at most
+    // 1 + min(n1 - rk1, n2 - rk2) total overlap (everything else shared
+    // must sit in both suffixes), and jaccard >= t needs overlap >=
+    // ceil(t/(1+t) * (n1+n2)) — candidates whose bound falls short are
+    // pruned BEFORE the distinct/verify. Lossless: a qualifying pair's
+    // FIRST shared token (global (df, hs) order) lies in both prefixes
+    // and its positional bound >= the pair's true overlap. On the dense
+    // fixture vocabulary this is the difference between prefix-df²
+    // candidates and verified-shaped candidates (round-8 sf1: 39 s ->
+    // the verify joins dominate again).
+    val alpha = ceil(lit(threshold) / (1 + threshold) * ($"n1" + $"n2"))
     val cand = a.join(b, Seq("hs"))
       .filter($"id1" < $"id2" &&
-        greatest($"n1", $"n2") * threshold <= least($"n1", $"n2"))
+        greatest($"n1", $"n2") * threshold <= least($"n1", $"n2") &&
+        lit(1) + least($"n1" - $"rk1", $"n2" - $"rk2") >= alpha)
       .select($"id1", $"id2", $"n1", $"n2").distinct().cache()
-    // exact verify on candidates only: the intersection count comes from
-    // two equi-joins back to the hashed shingle rows — no per-pair
-    // collect_list array materialization (the join on (id2, hs) keeps
-    // exactly the shared shingles), same jaccard formula as jaccardPairs
+    // exact verify on candidates only, against per-doc shingle-hash
+    // arrays: one groupBy of the hashed rows, two id-equi-joins, then
+    // size(array_intersect) per pair. The earlier formulation (join the
+    // pair list back to the shingle ROWS on id1, then (id2, hs)) ships
+    // |cand| x avg_doc_shingles narrow rows through two shuffles plus a
+    // re-aggregation — measured 62 s of q101's 69 s at sf1 (2.2M
+    // candidates x ~50 shingles ≈ 110M join rows). The array verify
+    // moves the same bytes as |cand| wide rows in one shot: each
+    // candidate carries its two ≤~100-element arrays once, the
+    // intersection is a per-row expression, no third shuffle, no
+    // re-agg. (Arrays are per-DOC, bounded by document length — this is
+    // not the per-PAIR collect_list blowup jaccardPairs avoids.)
+    val docArr = base.groupBy($"doc_id").agg(collect_list($"hs").as("arr"))
     cand
-      .join(base.toDF("id1", "hs"), Seq("id1"))
-      .join(base.toDF("id2", "hs"), Seq("id2", "hs"))
-      .groupBy($"id1", $"id2")
-      .agg(first($"n1").as("n1"), first($"n2").as("n2"),
-        count(lit(1)).as("inter"))
+      .join(docArr.toDF("id1", "arr1"), Seq("id1"))
+      .join(docArr.toDF("id2", "arr2"), Seq("id2"))
+      .withColumn("inter", size(array_intersect($"arr1", $"arr2")))
       .withColumn("jaccard",
         round($"inter" / ($"n1" + $"n2" - $"inter"), 4))
       .filter($"jaccard" >= threshold)
@@ -1064,6 +1102,10 @@ object Dedup {
       "q86_dedup_embedding_lsh",
       (s, dir) => embeddingNearDupLshPairs(t(s, dir, "embeddings"), 0.45)
         .orderBy(col("id1"), col("id2")),
+      // replays the 64-plane signature as 8 bands x 8 bits; the plane
+      // matrix is a 4096-row CTE (md5 computed once per (m, i), not per
+      // vector), and band buckets are built per band directly so no
+      // value ever needs bit 63 of a bigint
       Some("""
         WITH e AS (
           SELECT vec_id,
@@ -1073,19 +1115,22 @@ object Dedup {
           SELECT vec_id, v,
                  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
           FROM e),
-        sig AS (
-          SELECT vec_id,
-                 CAST(list_sum(list_transform(generate_series(0, 7), m ->
-                   CASE WHEN list_sum(list_transform(generate_series(1, 64),
-                          i -> ((CAST(concat('0x', substring(md5(
-                                  concat(m, '_', i - 1)),1,15)) AS BIGINT)
-                                 % 2001 - 1000) / 1000.0) * v[i])) >= 0
-                        THEN CAST(power(2, m) AS BIGINT) ELSE 0 END))
-                      AS BIGINT) AS bucket
-          FROM e),
+        planes AS (
+          SELECT m.m, i.i,
+                 ((CAST(concat('0x', substring(md5(concat(m.m, '_', i.i - 1)),
+                    1, 15)) AS BIGINT) % 2001 - 1000) / 1000.0) AS w
+          FROM (SELECT unnest(generate_series(0, 63)) AS m) m,
+               (SELECT unnest(generate_series(1, 64)) AS i) i),
+        dots AS (
+          SELECT e.vec_id, p.m, sum(p.w * e.v[p.i]) AS d
+          FROM e CROSS JOIN planes p
+          GROUP BY e.vec_id, p.m),
         banded AS (
-          SELECT vec_id, m AS band, (bucket >> (2 * m)) & 3 AS bk
-          FROM sig, (SELECT unnest(generate_series(0, 3)) AS m)),
+          SELECT vec_id, m // 8 AS band,
+                 CAST(sum(CASE WHEN d >= 0
+                   THEN CAST(power(2, m % 8) AS BIGINT) ELSE 0 END)
+                   AS BIGINT) AS bk
+          FROM dots GROUP BY vec_id, m // 8),
         cand AS (
           SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
           FROM banded a JOIN banded b
@@ -1290,6 +1335,9 @@ object Dedup {
         WHERE a.vec_id NOT IN (SELECT id2 FROM dropped)
         ORDER BY a.vec_id""")),
 
+    // exact (uncapped) containment — the q42-style exactness baseline:
+    // candidate volume is quadratic in per-shingle df by construction;
+    // the production path at corpus scale is q221 (df-cut universe)
     QueryDef(
       "q114_containment_pairs",
       (s, dir) => containmentPairs(t(s, dir, "documents"), 0.8)
@@ -1309,6 +1357,48 @@ object Dedup {
         SELECT a.doc_id AS src, b.doc_id AS dst,
                round(count(*)::DOUBLE / any_value(a.n), 4) AS containment
         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING round(count(*)::DOUBLE / any_value(a.n), 4) >= 0.8
+        ORDER BY src, dst""")),
+
+    // the 100 TB path for q114's operator: identical containment
+    // formula, but shingles shared by more than 40 documents are
+    // dropped from the universe first (the standard document-frequency
+    // cut; the denominator counts the filtered set, so both engines
+    // score the same universe). q114's uncapped join is quadratic in
+    // per-shingle df — fine as the exactness baseline, but a shared
+    // boilerplate shingle contributes df² candidate rows (measured:
+    // 121 s at sf1, 70x the sf0.1 cost, on the fixture's dense
+    // 31-word vocabulary); with the cap any single shingle's
+    // contribution is bounded at cap² regardless of corpus size.
+    QueryDef(
+      "q221_containment_df_cut",
+      (s, dir) => containmentPairs(t(s, dir, "documents"), 0.8,
+        maxShingleFreq = Some(40))
+        .orderBy(col("src"), col("dst")),
+      Some("""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+                   THEN list_transform(
+                     generate_series(1, len(string_split(text,' ')) - 2),
+                     i -> concat_ws(' ', string_split(text,' ')[i],
+                                    string_split(text,' ')[i+1],
+                                    string_split(text,' ')[i+2]))
+                   ELSE [] END) AS sh
+          FROM documents),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        kept AS (
+          SELECT doc_id, s
+          FROM (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df
+                FROM ex)
+          WHERE df <= 40),
+        base AS (
+          SELECT doc_id, s, count(*) OVER (PARTITION BY doc_id) AS n
+          FROM kept)
+        SELECT a.doc_id AS src, b.doc_id AS dst,
+               round(count(*)::DOUBLE / any_value(a.n), 4) AS containment
+        FROM base a JOIN base b ON a.s = b.s AND a.doc_id <> b.doc_id
         GROUP BY a.doc_id, b.doc_id
         HAVING round(count(*)::DOUBLE / any_value(a.n), 4) >= 0.8
         ORDER BY src, dst""")),

@@ -76,13 +76,13 @@ object Similarity {
     * `v` stays the raw float array (half the bytes of double in the
     * shuffle; the native expressions consume floats directly). Search
     * within a bucket is candidate-bounded — the 100 TB path. */
-  def lshBuckets(embeddings: DataFrame): DataFrame = {
+  def lshBuckets(embeddings: DataFrame, planes: Int = 8): DataFrame = {
     val s = embeddings.sparkSession
     import s.implicits._
     RhpSignature.register(s)
     embeddings
       .select($"vec_id", $"embedding".as("v"))
-      .withColumn("bucket", expr("rhp_signature(v)"))
+      .withColumn("bucket", expr(s"rhp_signature(v, $planes)"))
   }
 
   /** Approximate top-k: exact ranking within the query's LSH bucket.

@@ -101,6 +101,19 @@ class FunctionsSpec extends SparkSpec {
     both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("rhp_signature(v, 64): low 8 bits equal the default 8-plane signature") {
+    // plane m is the same hyperplane at every width (the matrix is a
+    // fixed 64x64 constant; narrower signatures read a prefix), so the
+    // 64-plane banding of q86 stays consistent with the q47/q98 index
+    import spark.implicits._
+    RhpSignature.register(spark)
+    val df = Seq.tabulate(40)(s =>
+      Tuple1(Seq.tabulate(64)(j => math.sin(s * 13 + j * 3)))).toDF("v")
+    df.selectExpr("rhp_signature(v) AS s8", "rhp_signature(v, 64) AS s64")
+      .collect()
+      .foreach(r => assert((r.getLong(1) & 0xffL) == r.getLong(0)))
+  }
+
   test("rhp_signature: null on wrong length, null element, or null input") {
     import spark.implicits._
     RhpSignature.register(spark)
