@@ -412,6 +412,14 @@ object Joins {
     // max-quantity shipments whose 7-day shipping windows overlapped:
     // the oracle is the O(n²) scan the binning avoids.
     //
+    // Scale disposition (q42/q114 pattern): this pair-LISTING form is
+    // the exactness baseline. Its OUTPUT is quadratic in interval
+    // density over the fixed date range — 10× data ⇒ ~100× pairs — so
+    // materializing + globally sorting the listing cannot scale
+    // linearly no matter the plan; q222 below is the production shape
+    // (same exact pair enumeration, collapsed map-side into a bounded
+    // aggregate before any pair-width shuffle).
+    //
     // Identity: the fixture's (l_orderkey, l_linenumber) is NOT unique
     // (~20% of rows are key-duplicates at every SF — surfaced by the
     // sf0.1 oracle run, where two key-colliding shipments first produced
@@ -425,14 +433,7 @@ object Joins {
       "q183_interval_overlap_join",
       (s, dir) => {
         import s.implicits._
-        val iv = t(s, dir, "lineitem")
-          .filter($"l_quantity" >= 50)
-          .select(($"l_orderkey" * 10 + $"l_linenumber").as("k"),
-            expr("CAST(datediff(to_date(l_shipdate), date'1970-01-01') AS BIGINT)")
-              .as("s"))
-          .distinct()
-          .select(($"k" * 65536 + $"s").as("id"), $"s", ($"s" + 7).as("e"))
-        intervalSelfOverlap(iv, binWidth = 8)
+        intervalSelfOverlap(shipmentWindows(s, dir), binWidth = 8)
           .orderBy($"id_a", $"id_b")
       },
       Some("""
@@ -446,8 +447,57 @@ object Joins {
                least(a.e, b.e) - greatest(a.s, b.s) + 1 AS overlap_days
         FROM iv a JOIN iv b
           ON a.id < b.id AND a.s <= b.e AND b.s <= a.e
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // ----- interval overlap stats (the 100 TB shape of q183) -------------
+    // Same exact pair enumeration — every overlapping window pair is
+    // generated once via canonical-bin emission — but the pair stream
+    // collapses into a histogram of overlap lengths INSIDE the join
+    // stage: partial hash aggregation runs map-side on the join output,
+    // so the only pair-width data movement is codegen'd in-memory
+    // streaming; what crosses the wire is ≤8 (overlap_days, count)
+    // rows per task. At 100 TB the listing (q183) is something you
+    // write to storage per-partition if at all; the global answer you
+    // actually compute looks like this. The aggregate is still a
+    // strong oracle: any missed, duplicated, or phantom pair shifts a
+    // bucket count.
+    QueryDef(
+      "q222_interval_overlap_stats",
+      (s, dir) => {
+        import s.implicits._
+        intervalSelfOverlap(shipmentWindows(s, dir), binWidth = 8)
+          .groupBy($"overlap_days")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy($"overlap_days")
+      },
+      Some("""
+        WITH base AS (
+          SELECT DISTINCT l_orderkey * 10 + l_linenumber AS k,
+                 CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(l_shipdate AS DATE)) AS BIGINT) AS s
+          FROM lineitem WHERE l_quantity >= 50),
+        iv AS (SELECT k * 65536 + s AS id, s, s + 7 AS e FROM base)
+        SELECT least(a.e, b.e) - greatest(a.s, b.s) + 1 AS overlap_days,
+               count(*) AS n_pairs
+        FROM iv a JOIN iv b
+          ON a.id < b.id AND a.s <= b.e AND b.s <= a.e
+        GROUP BY 1
+        ORDER BY overlap_days"""))
   )
+
+  /** q183/q222's interval set: distinct (line-item key, ship-day) 7-day
+    * windows over max-quantity shipments, composite-encoded so the id
+    * is unique under the fixture's duplicate keys (see q183 notes). */
+  private def shipmentWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter($"l_quantity" >= 50)
+      .select(($"l_orderkey" * 10 + $"l_linenumber").as("k"),
+        expr("CAST(datediff(to_date(l_shipdate), date'1970-01-01') AS BIGINT)")
+          .as("s"))
+      .distinct()
+      .select(($"k" * 65536 + $"s").as("id"), $"s", ($"s" + 7).as("e"))
+  }
 
   /** All unordered pairs of overlapping integer intervals from one
     * input, via bin blocking + exact verify. Input must carry columns
@@ -473,9 +523,21 @@ object Joins {
     * per bin-window. Pathologically long intervals explode to many bins
     * — route a bounded "long" subset through a broadcast nested loop
     * instead if the length distribution is heavy-tailed (same hot-key
-    * discipline as the salted join, q74). Duplicate candidates from
-    * multi-bin overlaps collapse via distinct BEFORE the verify, so the
-    * exact predicate runs once per pair. */
+    * discipline as the salted join, q74).
+    *
+    * Exactly-once without distinct: a pair touching several shared bins
+    * is emitted ONLY from its canonical bin — the bin of
+    * greatest(sa, sb). That day lies inside both intervals whenever
+    * they overlap (it is ≥ both starts by construction and ≤ both ends
+    * by the overlap predicate), so both sides explode to that bin and
+    * the pair appears there at least once; the equality filter keeps
+    * that single occurrence and no other. This replaces the former
+    * pair-width distinct — at sf1 the pair stream is ~10⁷ rows (pair
+    * volume grows quadratically with interval density over the fixed
+    * date range), and shuffling it once more for dedup was the
+    * dominant cost of q183. With the canonical-bin filter, the only
+    * pair-width work left is whatever the caller does with the stream
+    * (q222 collapses it map-side into a bounded aggregate). */
   def intervalSelfOverlap(iv: DataFrame, binWidth: Long): DataFrame = {
     val s = iv.sparkSession
     import s.implicits._
@@ -486,10 +548,10 @@ object Joins {
     binned.select($"id".as("id_a"), $"s".as("sa"), $"e".as("ea"), $"bin")
       .join(binned.select($"id".as("id_b"), $"s".as("sb"), $"e".as("eb"),
         $"bin"), Seq("bin"))
-      .filter($"id_a" < $"id_b" && $"sa" <= $"eb" && $"sb" <= $"ea")
+      .filter($"id_a" < $"id_b" && $"sa" <= $"eb" && $"sb" <= $"ea" &&
+        $"bin" === expr(s"greatest(sa, sb) DIV ${binWidth}L"))
       .select($"id_a", $"id_b",
         (least($"ea", $"eb") - greatest($"sa", $"sb") + lit(1L))
           .as("overlap_days"))
-      .distinct()
   }
 }
