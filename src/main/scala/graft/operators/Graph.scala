@@ -317,6 +317,51 @@ object Graph {
     dist
   }
 
+  /** Bounded k-core peel: `rounds` rounds of "drop every node with
+    * degree < k, and its incident edges" over an undirected
+    * (both-direction) edge list; returns surviving nodes with their
+    * residual degree. The k-core is the standard graph-quality cut
+    * (spam/bot fringes peel off; the dense core survives) — the
+    * fixed-round form mirrors the engine's other bounded loops
+    * (PageRank/LPA): converged iff one more round is a fixed point,
+    * replayable by an unrolled oracle.
+    *
+    * Scale shape: each round is one degree aggregation (hash on src)
+    * plus two semi-shaped joins of the edge frame against the
+    * surviving-node set — the two join builds share one identical
+    * aggregate subtree, which Spark's ReuseExchange collapses to a
+    * single computed exchange. The edge frame is referenced three
+    * times per round, so each round's frame is cached; every other
+    * round is localCheckpoint'd (eager) after which superseded caches
+    * are unpersisted — the khop cadence: lazy cache for sharing,
+    * periodic checkpoint for lineage, nothing leaks to library
+    * callers. Nothing driver-side but the loop counter. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    require(k >= 1 && rounds >= 1, "k and rounds must be positive")
+    var e = edges.select($"src", $"dst").distinct().cache()
+    var pending: List[DataFrame] = List(e)
+    for (r <- 1 to rounds) {
+      val keep = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+        .filter($"deg" >= k)
+        .select($"src".as("node"))
+      e = e.join(keep, e("src") === keep("node"))
+        .select($"src", $"dst")
+        .join(keep.select($"node".as("node2")), $"dst" === $"node2")
+        .select($"src", $"dst")
+      if (r % 2 == 0 && r < rounds) {
+        e = e.localCheckpoint() // eager — superseded caches now safe
+        pending.foreach(_.unpersist(blocking = false))
+        pending = Nil
+      } else {
+        e = e.cache()
+        pending ::= e
+      }
+    }
+    e.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+  }
+
   // ------------------------------------------------------------------
   // fixture-bound oracle queries
   // ------------------------------------------------------------------
@@ -350,6 +395,14 @@ object Graph {
     pairs.select($"c".as("src"), $"p".as("dst"), $"w")
       .union(pairs.select($"p".as("src"), $"c".as("dst"), $"w"))
   }
+
+  private def kcoreIter(prev: String, out: String, k: Int): String =
+    s"""$out AS (
+       SELECT $prev.src, $prev.dst FROM $prev
+       JOIN (SELECT src FROM $prev GROUP BY src
+             HAVING count(*) >= $k) ka ON $prev.src = ka.src
+       JOIN (SELECT src FROM $prev GROUP BY src
+             HAVING count(*) >= $k) kb ON $prev.dst = kb.src)"""
 
   private def bfsIter(prev: String, out: String, h: Int): String =
     s"""$out AS (
@@ -611,6 +664,28 @@ object Graph {
                (SELECT count(*) FROM e) AS n_edges,
                count(*) AS n_triangles
         FROM e e1 JOIN e e2 ON e1.v = e2.u
-                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v"""))
+                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""")),
+
+    // k-core of the trade graph: customers with < 8 distinct suppliers
+    // (and vice versa) peel off; surviving nodes keep their residual
+    // degree. Oracle unrolls the peel exactly, one CTE per round.
+    QueryDef(
+      "q223_kcore",
+      (s, dir) => {
+        import s.implicits._
+        kCore(tradeEdges(s, dir), k = 8, rounds = 3)
+          .orderBy($"node")
+      },
+      Some(s"""
+        WITH e0 AS (
+          SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        ${kcoreIter("e", "c1", 8)},
+        ${kcoreIter("c1", "c2", 8)},
+        ${kcoreIter("c2", "c3", 8)}
+        SELECT src AS node, count(*) AS deg
+        FROM c3 GROUP BY src
+        ORDER BY node"""))
   )
 }

@@ -392,6 +392,47 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Bigram-LM document scoring — the CCNet-style quality signal: train
+    * add-one-smoothed bigram probabilities on the corpus itself, then
+    * score every document by its mean log-probability
+    * avg(ln((n_ab + 1) / (n_a + V))). Low scores = improbable token
+    * sequences (gibberish, boilerplate soup, wrong-language fragments);
+    * the complement of q170's discriminative filter — this one needs no
+    * labels. Documents with fewer than two tokens have no bigrams and
+    * are absent from the output (score undefined).
+    *
+    * Scale shape: one scan builds the token/bigram streams; corpus
+    * counts are two hash aggregations (token, token-pair); scoring
+    * joins the bigram stream back to the count tables — Zipf-head
+    * tokens are hot PROBE keys against a vocabulary-sized build side
+    * (sublinear in corpus), which AQE broadcasts when small; the final
+    * per-doc avg collapses map-side. The bigram stream feeds both the
+    * pair-count agg and the scoring join, so it is cached once. */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs
+      .withColumn("_toks", expr("filter(split(text, ' '), t -> t != '')"))
+    val bi = toks.filter(size($"_toks") >= 2)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(1, size(_toks) - 1),
+             i -> struct(element_at(_toks, i) AS a,
+                         element_at(_toks, i + 1) AS b))""")).as("p"))
+      .select($"doc_id", $"p.a", $"p.b")
+      .cache()
+    val uni = toks.select(explode($"_toks").as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("n_t"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val nab = bi.groupBy($"a", $"b").agg(count(lit(1)).as("n_ab"))
+    bi.join(nab, Seq("a", "b"))
+      .join(uni.select($"t".as("a"), $"n_t".as("n_a")), Seq("a"))
+      .crossJoin(vocab) // 1-row aggregate, broadcast by construction
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(($"n_ab" + 1).cast("double") / ($"n_a" + $"v"))), 4)
+          .as("lm_score"))
+  }
+
   // ------------------------------------------------------------------
   // oracle-gated bindings
   // ------------------------------------------------------------------
@@ -430,6 +471,35 @@ object TextAnalysis {
                 CROSS JOIN tot
         ORDER BY pmi DESC, a, b
         LIMIT 50""")),
+
+    QueryDef(
+      "q224_bigram_lm_score",
+      (s, dir) => bigramLmScore(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(text, ' '),
+                                    t -> t <> '')) AS t,
+                 unnest(generate_series(1,
+                   len(list_filter(string_split(text, ' '), t -> t <> ''))))
+                   AS pos
+          FROM documents),
+        bi AS (
+          SELECT x.doc_id, x.t AS a, y.t AS b
+          FROM toks x JOIN toks y
+            ON x.doc_id = y.doc_id AND y.pos = x.pos + 1),
+        uni AS (SELECT t, count(*) AS n_t FROM toks GROUP BY t),
+        v AS (SELECT count(*) AS v FROM uni),
+        nab AS (SELECT a, b, count(*) AS n_ab FROM bi GROUP BY a, b)
+        SELECT bi.doc_id, count(*) AS n_bigrams,
+               round(avg(ln(1.0 * (n_ab + 1) / (n_t + v.v))), 4)
+                 AS lm_score
+        FROM bi JOIN nab ON bi.a = nab.a AND bi.b = nab.b
+                JOIN uni ON bi.a = uni.t
+                CROSS JOIN v
+        GROUP BY bi.doc_id
+        ORDER BY doc_id""")),
 
     QueryDef(
       "q195_proximity_search",

@@ -144,4 +144,48 @@ class GraphSpec extends SparkSpec {
     // unweighted votes: labels 1,2,9 one each -> smallest label wins
     assert(unweighted(3L) == 1L)
   }
+
+  /** Driver-side replay of the bounded peel: `rounds` rounds of
+    * "drop nodes with degree < k", on a both-direction edge set. */
+  private def brutePeel(edges: Seq[(Long, Long)], k: Int,
+      rounds: Int): Map[Long, Long] = {
+    var e = edges.toSet
+    for (_ <- 1 to rounds) {
+      val deg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      e = e.filter(p => keep(p._1) && keep(p._2))
+    }
+    e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+  }
+
+  test("kCore: pendant chain peels off a clique; cascade needs rounds") {
+    import spark.implicits._
+    // K4 on {1..4} plus chain 4-5-6: 6 peels in round 1 (deg 1 < 2),
+    // 5 only in round 2 (its degree drops to 1 after 6 leaves)
+    val und = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)) ++
+      Seq((4L, 5L), (5L, 6L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    def run(rounds: Int): Map[Long, Long] =
+      Graph.kCore(e, k = 2, rounds = rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r1 = run(1)
+    assert(r1.contains(5L) && !r1.contains(6L))
+    val r2 = run(2)
+    assert(r2 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore: random graphs match the driver-side replay, several k/rounds") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    val und = (1 to 160).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val both = (und ++ und.map(_.swap)).distinct
+    val e = both.toDF("src", "dst")
+    for (k <- Seq(2, 4, 8); rounds <- Seq(1, 3)) {
+      val got = Graph.kCore(e, k, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == brutePeel(both, k, rounds), s"k=$k rounds=$rounds")
+    }
+  }
 }

@@ -152,6 +152,27 @@ class SimilarityTextSpec extends SparkSpec {
       ("b", "a", 1L, 2L, 3L, -0.6931)))
   }
 
+  test("bigramLmScore: hand-checked smoothed log-probs; short docs absent") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b a b"), (1L, "a b"), (2L, "x q"), (3L, "a"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // unigrams: a=4 b=3 x=1 q=1, V=4
+    // bigram counts: (a,b)=3 (b,a)=1 (x,q)=1
+    def p(nab: Long, na: Long) = math.log((nab + 1.0) / (na + 4.0))
+    def r4(x: Double) = math.rint(x * 10000) / 10000
+    val d0 = r4((p(3, 4) + p(1, 3) + p(3, 4)) / 3) // a b, b a, a b
+    val d1 = r4(p(3, 4))
+    val d2 = r4(p(1, 1))
+    assert(out(0L) == ((3L, d0)))
+    assert(out(1L) == ((1L, d1)))
+    assert(out(2L) == ((1L, d2)))
+    assert(!out.contains(3L) && !out.contains(4L))
+    // the common-bigram doc reads as more probable than the rare one
+    assert(out(1L)._2 > out(2L)._2)
+  }
+
   test("bm25TopK: rare-term doc outranks common-term doc, k bounds the result") {
     import spark.implicits._
     // 'rare' appears in one doc, 'common' in all four: idf makes doc 1
