@@ -328,14 +328,15 @@ object Graph {
     *
     * Scale shape: each round is one degree aggregation (hash on src)
     * plus two semi-shaped joins of the edge frame against the
-    * surviving-node set — the two join builds share one identical
-    * aggregate subtree, which Spark's ReuseExchange collapses to a
-    * single computed exchange. The edge frame is referenced three
-    * times per round, so each round's frame is cached; every other
-    * round is localCheckpoint'd (eager) after which superseded caches
-    * are unpersisted — the khop cadence: lazy cache for sharing,
-    * periodic checkpoint for lineage, nothing leaks to library
-    * callers. Nothing driver-side but the loop counter. */
+    * surviving-node set. The node set feeds BOTH joins, and the rename
+    * the second join needs (node → node2) defeats ReuseExchange's
+    * subtree canonicalization — so it is cached explicitly (node-scale,
+    * one aggregation per round instead of two). The edge frame is
+    * cached per round for the same sharing reason; every other round
+    * is localCheckpoint'd (eager) after which superseded caches are
+    * unpersisted — the khop cadence: lazy cache for sharing, periodic
+    * checkpoint for lineage, nothing leaks to library callers. Nothing
+    * driver-side but the loop counter. */
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
@@ -346,6 +347,8 @@ object Graph {
       val keep = e.groupBy($"src").agg(count(lit(1)).as("deg"))
         .filter($"deg" >= k)
         .select($"src".as("node"))
+        .cache()
+      pending ::= keep
       e = e.join(keep, e("src") === keep("node"))
         .select($"src", $"dst")
         .join(keep.select($"node".as("node2")), $"dst" === $"node2")

@@ -529,4 +529,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(!asof.contains("Join"), "tolerance became a join predicate")
     assert(asof.contains("Window"), "union-merge window missing")
   }
+
+  test("q222: overlap stats collapse map-side — no pair-width exchange or sort") {
+    val p = plan("q222_interval_overlap_stats")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "bin blocking not in effect")
+    // partial + final HashAggregate around the post-join exchange: the
+    // quadratic pair stream must reduce to <=8 rows per task BEFORE
+    // shuffling (the whole point of the stats form over the listing)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "no partial aggregation on the pair stream")
+    // the canonical-bin filter replaced the pair-width distinct: no
+    // aggregate in the plan may group on the pair identity — that
+    // would be the reintroduced second shuffle of the full pair stream
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Keys") && l.contains("id_a")),
+      "aggregate keyed on (id_a, id_b) — pair-width distinct is back")
+  }
+
+  test("q223: k-core's per-round surviving-node set is cached, joins stay equi") {
+    val p = plan("q223_kcore")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "peel round fell back to a nested loop")
+    // each round joins the edge frame against the SAME degree-filtered
+    // node set twice; the node→node2 rename defeats ReuseExchange, so
+    // the operator must cache the set — both joins read the cache
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      "surviving-node aggregate computed twice per round (cache missing)")
+  }
 }
