@@ -707,6 +707,86 @@ object Dedup {
       .select($"src", $"dst", $"containment")
   }
 
+  /** Exact containment pairs via prefix filtering — the same output
+    * contract as [[containmentPairs]] (uncapped), at PPJoin cost: the
+    * asymmetric analogue of [[jaccardPrefixPairs]].
+    *
+    * containment(src→dst) = |A∩B|/|A| >= t requires overlap >=
+    * ceil(t·n_src), so src may MISS at most n_src − ceil(t·n_src)
+    * shingles: order each doc's shingles by ascending document
+    * frequency (ties by hash — rare first) and the first shared
+    * shingle of any qualifying pair must sit within src's first
+    * misses+1 entries. The candidate join therefore streams only src
+    * PREFIX rows against the full index (dst side is unconstrained —
+    * containment is asymmetric), plus a size filter (n_dst >= required
+    * overlap) and the positional bound (1 + min(n_src − rk_src,
+    * n_dst − rk_dst) >= required — everything else shared must fit in
+    * both suffixes after the matched rank). Exact verify runs on
+    * candidates only, against per-doc hash arrays (the q101 array form:
+    * candidate volume × doc length, one shuffle, no re-aggregation).
+    *
+    * The required overlap is computed against threshold − 5e-5, not
+    * threshold: the verify (and the DuckDB oracle) accept pairs by
+    * ROUND(containment, 4) >= t, which admits ratios up to 5e-5 below
+    * t — the relaxed bound keeps the filter lossless for documents
+    * longer than 20k shingles where that gap exceeds 1/n.
+    *
+    * `evidence` (q) generalizes the single-shared-token lemma to
+    * MULTI-token evidence, the lever that matters on dense
+    * vocabularies where every shingle is common (measured at sf1:
+    * q=1 leaves 25M candidate pairs — the positional filter alone
+    * cannot separate near-random documents — and the array verify
+    * ships ~20 GB; q=4 leaves only pairs sharing 4 rare-ordered
+    * tokens). Extending the prefix to misses+q guarantees a
+    * qualifying pair shares at least q PREFIX tokens (it cannot miss
+    * q of them and still reach the required overlap), so the
+    * candidate distinct becomes a count-filtered aggregation:
+    * group the prefix-join rows by pair, keep count >= q. Each
+    * counted row's positional bound is relaxed by q−1 (the q−1
+    * earlier shared tokens are overlap the suffix bound cannot see).
+    * For short documents q clamps to the required overlap (prefix
+    * never exceeds the document). */
+  def containmentPrefixPairs(docs: DataFrame, threshold: Double,
+      evidence: Int = 4): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(evidence >= 1, "evidence must be >= 1")
+    val base = shingleRows(docs).select($"doc_id", h60($"s").as("hs")).cache()
+    // df/doc-length/rank windows share the shuffles the data needs
+    // anyway; the frame feeds BOTH join sides — cache it
+    val ordered = base
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"hs")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"df", $"hs")))
+      .cache()
+    def required(n: Column): Column =
+      greatest(lit(1L), ceil(n * (threshold - 0.00005)).cast("long"))
+    def qEff(n: Column): Column =
+      least(lit(evidence.toLong), required(n))
+    val a = ordered.filter($"rk" <= $"n" - required($"n") + qEff($"n"))
+      .select($"doc_id".as("src"), $"hs", $"n".as("n1"), $"rk".as("rk1"))
+    val b = ordered.select($"doc_id".as("dst"), $"hs", $"n".as("n2"),
+      $"rk".as("rk2"))
+    val cand = a.join(b, Seq("hs"))
+      .filter($"src" =!= $"dst" &&
+        $"n2" >= required($"n1") &&
+        lit(1) + least($"n1" - $"rk1", $"n2" - $"rk2") >=
+          required($"n1") - (qEff($"n1") - 1))
+      .groupBy($"src", $"dst", $"n1")
+      .agg(count(lit(1)).as("ev"))
+      .filter($"ev" >= qEff($"n1"))
+      .select($"src", $"dst", $"n1").cache()
+    val docArr = base.groupBy($"doc_id").agg(collect_list($"hs").as("arr"))
+    cand
+      .join(docArr.toDF("src", "arr1"), Seq("src"))
+      .join(docArr.toDF("dst", "arr2"), Seq("dst"))
+      .withColumn("inter", size(array_intersect($"arr1", $"arr2")))
+      .withColumn("containment", round($"inter" / $"n1".cast("double"), 4))
+      .filter($"containment" >= threshold)
+      .select($"src", $"dst", $"containment")
+  }
+
   /** Boilerplate n-gram mining: the shingles shared by at least `minDf`
     * documents, hottest first — template headers/footers and license
     * blurbs surface here long before any pairwise comparison. One
@@ -1335,12 +1415,17 @@ object Dedup {
         WHERE a.vec_id NOT IN (SELECT id2 FROM dropped)
         ORDER BY a.vec_id""")),
 
-    // exact (uncapped) containment — the q42-style exactness baseline:
-    // candidate volume is quadratic in per-shingle df by construction;
-    // the production path at corpus scale is q221 (df-cut universe)
+    // exact (uncapped) containment, prefix-filtered: identical output
+    // to the naive all-shingle self-join ([[containmentPairs]] with no
+    // cap — the formulation the oracle replays), but candidates come
+    // only from src-prefix rows + positional/size pruning, then an
+    // array verify. The sf1 run that motivated this measured the
+    // uncapped join at 43-121 s (quadratic in per-shingle df); the
+    // prefix form is the exact scale path, and q221's df-cut remains
+    // the variant that also BOUNDS any single shingle's contribution.
     QueryDef(
       "q114_containment_pairs",
-      (s, dir) => containmentPairs(t(s, dir, "documents"), 0.8)
+      (s, dir) => containmentPrefixPairs(t(s, dir, "documents"), 0.8)
         .orderBy(col("src"), col("dst")),
       Some("""
         WITH sh AS (

@@ -166,6 +166,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containmentPrefixPairs is EXACTLY containmentPairs on a random corpus (lossless filter)") {
+    // asymmetric prefix filtering must be lossless: same (src, dst,
+    // containment) rows as the uncapped all-shingle self-join, including
+    // short-into-long containments where only the SRC side is bounded
+    val rnd = new scala.util.Random(29)
+    val vocab = Vector.tabulate(25)(i => s"w$i")
+    val base = (0 until 12).map(i =>
+      (i.toLong, Seq.fill(40)(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val copies = (0 until 5).map(i => (100L + i, base(i)._2))
+    // fragments: a contiguous slice of a base doc — high containment
+    // fragment→base, low the other way
+    val fragments = (0 until 5).map { i =>
+      (200L + i, base(i)._2.split(" ").slice(5, 25).mkString(" "))
+    }
+    val mutated = (0 until 5).map { i =>
+      val toks = base(i)._2.split(" ")
+      toks(rnd.nextInt(toks.length)) = "MUT"
+      (300L + i, toks.mkString(" "))
+    }
+    val d = docs((base ++ copies ++ fragments ++ mutated): _*)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    Seq(0.4, 0.8).foreach { t =>
+      val exact = pairSet(Dedup.containmentPairs(d, t))
+      // evidence sweep: q=1 (plain prefix lemma), q=4 (default), q=50
+      // (clamps to the required overlap on every doc)
+      Seq(1, 4, 50).foreach { q =>
+        val pp = pairSet(Dedup.containmentPrefixPairs(d, t, evidence = q))
+        assert(pp == exact,
+          s"t=$t q=$q missed=${exact -- pp} extra=${pp -- exact}")
+      }
+    }
+  }
+
   test("connectedComponents: chain + triangle + pair collapse to min-id labels") {
     import spark.implicits._
     // chain 1-2-3-4 (transitive, never all-pairs), triangle 10-11-12,
