@@ -733,6 +733,46 @@ object Similarity {
                  FROM s3) WHERE rn = 1)
         SELECT vec_id, cid AS cluster
         FROM a3
-        ORDER BY vec_id"""))
+        ORDER BY vec_id""")),
+
+    // ----- embedding covariance (drift / PCA-prep statistics) -----------
+    // full upper-triangle sample-covariance matrix of the corpus, in ONE
+    // scan: a single Generate emits the d(d+1)/2 (i, j, x_i, x_j)
+    // component pairs per vector and partial aggregation collapses them
+    // map-side to d(d+1)/2 groups — output size is constant in corpus
+    // size, nothing vector-scale ever shuffles (the 100 TB shape; a
+    // vec_id self-join formulation would move N·d² rows instead). The
+    // matrix is the input to PCA whitening / dimension pruning and the
+    // classic embedding-drift monitor (compare per-window matrices).
+    QueryDef(
+      "q225_embedding_covariance",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "embeddings")
+          .select(expr(
+            """inline(flatten(transform(sequence(1, size(embedding)),
+                 i -> transform(sequence(i, size(embedding)),
+                   j -> struct(i AS i, j AS j,
+                     CAST(element_at(embedding, i) AS DOUBLE) AS x,
+                     CAST(element_at(embedding, j) AS DOUBLE) AS y)))))"""))
+          .groupBy($"i", $"j")
+          .agg(round(covar_samp($"x", $"y"), 4).as("cov"))
+          .orderBy($"i", $"j")
+      },
+      Some("""
+        WITH comp AS (
+          SELECT vec_id,
+                 unnest(generate_series(1, len(embedding))) AS i,
+                 unnest(list_transform(embedding,
+                        v -> CAST(v AS DOUBLE))) AS x
+          FROM embeddings)
+        SELECT a.i AS i, b.i AS j,
+               -- + 0.0 normalizes IEEE -0.0 (DuckDB's round keeps the
+               -- sign on tiny negatives; Spark's does not)
+               round(covar_samp(a.x, b.x), 4) + 0.0 AS cov
+        FROM comp a JOIN comp b
+          ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY a.i, b.i
+        ORDER BY a.i, b.i"""))
   )
 }
