@@ -402,6 +402,60 @@ object Similarity {
   // oracle-gated bindings
   // ------------------------------------------------------------------
 
+  /** Top principal component by distributed power iteration — the PCA
+    * step after [[q225's|embedding covariance]] matrix: v ←
+    * normalize(Σ_rows (x−μ)·⟨x−μ, v⟩), `iters` fixed rounds from
+    * v₀ = e₁. The d×d covariance is never materialized and nothing
+    * vector-scale ever shuffles: each round is two keyed aggregations
+    * over the cached component rows (per-vector dot, then per-dimension
+    * re-projection) with the d-row mean/direction frames joined in —
+    * AQE broadcasts them (d rows, constant in corpus size). Fixed
+    * iteration count keeps it oracle-replayable (the q158/q181
+    * unrolled-loop discipline); sign is pinned by v₀, no convention
+    * needed. Returns (i, pc) — the unit direction, d rows. */
+  def topPrincipalComponent(embeddings: DataFrame, iters: Int): DataFrame = {
+    val s = embeddings.sparkSession
+    import s.implicits._
+    // component rows feed the mean AND every round's two aggregations
+    val comp = embeddings
+      .select($"vec_id", posexplode($"embedding").as(Seq("i0", "xf")))
+      .select($"vec_id", ($"i0" + 1).as("i"), $"xf".cast("double").as("x"))
+      .cache()
+    val mu = comp.groupBy($"i").agg(avg($"x").as("mu"))
+    // centered component rows are reused twice per round — cache once
+    val centered = comp.join(mu, "i")
+      .select($"vec_id", $"i", ($"x" - $"mu").as("c"))
+      .cache()
+    var v = mu.select($"i", when($"i" === 1, 1.0d).otherwise(0.0d).as("v"))
+    for (_ <- 1 to iters) {
+      val dv = centered.join(v, "i")
+        .groupBy($"vec_id").agg(sum($"c" * $"v").as("dv"))
+      val w = centered.join(dv, "vec_id")
+        .groupBy($"i").agg(sum($"c" * $"dv").as("w"))
+      val nrm = w.agg(sqrt(sum($"w" * $"w")).as("nrm"))
+      v = w.crossJoin(nrm) // 1-row aggregate, broadcast by construction
+        .select($"i", ($"w" / $"nrm").as("v"))
+        .localCheckpoint() // d rows; truncates the per-round lineage
+    }
+    v.select($"i", round($"v", 4).as("pc"))
+  }
+
+  /** One power-iteration round for q226's oracle: per-vector dot with
+    * the previous direction, per-dimension re-projection, unit
+    * normalization via a scalar subquery. */
+  private def pcIter(prev: String, out: String): String =
+    s"""d_$out AS (
+       SELECT c.vec_id, sum(c.cx * p.v) AS dv
+       FROM cent c JOIN $prev p ON c.i = p.i
+       GROUP BY c.vec_id),
+     w_$out AS (
+       SELECT c.i, sum(c.cx * d.dv) AS w
+       FROM cent c JOIN d_$out d ON c.vec_id = d.vec_id
+       GROUP BY c.i),
+     $out AS (
+       SELECT i, w / (SELECT sqrt(sum(w * w)) FROM w_$out) AS v
+       FROM w_$out)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ----- product quantization ANN -------------------------------------
@@ -734,6 +788,33 @@ object Similarity {
         SELECT vec_id, cid AS cluster
         FROM a3
         ORDER BY vec_id""")),
+
+    // ----- top principal component (distributed power iteration) --------
+    // 3 fixed rounds; the oracle unrolls each round as two grouped
+    // joins + a scalar-subquery normalization over the same centered
+    // component rows
+    QueryDef(
+      "q226_power_iteration_pc",
+      (s, dir) => topPrincipalComponent(t(s, dir, "embeddings"), iters = 3)
+        .orderBy(col("i")),
+      Some(s"""
+        WITH comp AS (
+          SELECT vec_id,
+                 unnest(generate_series(1, len(embedding))) AS i,
+                 unnest(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE))) AS x
+          FROM embeddings),
+        mu AS (SELECT i, avg(x) AS mu FROM comp GROUP BY i),
+        cent AS (SELECT c.vec_id, c.i, c.x - m.mu AS cx
+                 FROM comp c JOIN mu m ON c.i = m.i),
+        v0 AS (SELECT i, CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END AS v
+               FROM mu),
+        ${pcIter("v0", "v1")},
+        ${pcIter("v1", "v2")},
+        ${pcIter("v2", "v3")}
+        SELECT i, round(v, 4) + 0.0 AS pc
+        FROM v3
+        ORDER BY i""")),
 
     // ----- embedding covariance (drift / PCA-prep statistics) -----------
     // full upper-triangle sample-covariance matrix of the corpus, in ONE

@@ -193,6 +193,42 @@ class SimilarityTextSpec extends SparkSpec {
     assert(r.map(_._2).forall(_ > 0))
   }
 
+  test("topPrincipalComponent replays a driver-side power iteration and finds a planted axis") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val dim = 8
+    // planted dominant axis along dim 2 (0-based index 2), noise elsewhere
+    val vecs = (1L to 40L).map { id =>
+      val base = Array.fill(dim)((rnd.nextDouble() - 0.5) * 0.2)
+      base(2) += (if (id % 2 == 0) 1.0 else -1.0)
+      id -> base.map(_.toFloat)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.topPrincipalComponent(df, iters = 3)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // driver-side replay of the exact recurrence
+    val n = vecs.size
+    val mu = Array.tabulate(dim)(j => vecs.map(_._2(j).toDouble).sum / n)
+    val cent = vecs.map { case (_, v) =>
+      Array.tabulate(dim)(j => v(j).toDouble - mu(j)) }
+    var v = Array.tabulate(dim)(j => if (j == 0) 1.0 else 0.0)
+    for (_ <- 1 to 3) {
+      val w = Array.fill(dim)(0.0)
+      cent.foreach { c =>
+        val d = (0 until dim).map(j => c(j) * v(j)).sum
+        (0 until dim).foreach(j => w(j) += c(j) * d)
+      }
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / nrm)
+    }
+    (1 to dim).foreach { i =>
+      assert(math.abs(got(i) - math.rint(v(i - 1) * 10000) / 10000) <= 1e-4,
+        s"dim $i: got ${got(i)} expected ${v(i - 1)}")
+    }
+    // the planted axis dominates the direction
+    assert(math.abs(got(3)) > 0.9, s"planted axis weight ${got(3)}")
+  }
+
   test("kmeansClusters separates planted poles and replays a driver-side Lloyd exactly") {
     import spark.implicits._
     val rnd = new scala.util.Random(42L)
