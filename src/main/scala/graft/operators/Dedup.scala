@@ -505,20 +505,39 @@ object Dedup {
     * frequency, ties by hash — rare-first minimizes candidates); a pair
     * with jaccard >= t must share an element of each side's prefix of
     * length n - ceil(t*n) + 1, because the required overlap ceil(t*n)
-    * cannot fit in the remaining suffix. The candidate join therefore
-    * touches only prefix tokens (for t=0.8, ~20% of shingle rows), plus a
-    * size filter (t * max(n1,n2) <= min(n1,n2)); exact verification runs
-    * on candidates only. Lossless by the prefix-filtering lemma
-    * (Chaudhuri et al., ICDE'06) — pinned by a property test against
-    * [[jaccardPairs]] on a random corpus. */
-  def jaccardPrefixPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    * cannot fit in the remaining suffix — and, with the prefix extended
+    * by `evidence` instead of 1, must share that many prefix tokens
+    * (multi-token evidence, clamped per side at ceil(t*n)). The
+    * candidate join therefore touches only prefix tokens (for t=0.8,
+    * ~20-30% of shingle rows), plus a size filter
+    * (t * max(n1,n2) <= min(n1,n2)) and a count-filtered aggregation in
+    * place of the candidate distinct; exact verification runs on
+    * candidates only. Lossless by the prefix-filtering lemma
+    * (Chaudhuri et al., ICDE'06) extended as in
+    * [[containmentPrefixPairs]] — pinned by a property test against
+    * [[jaccardPairs]] on a random corpus, sweeping evidence. */
+  def jaccardPrefixPairs(docs: DataFrame, threshold: Double,
+      evidence: Int = 4): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    require(evidence >= 1, "evidence must be >= 1")
     // the md5-per-shingle pass is the dominant cost and feeds BOTH the
     // prefix build and the exact verify — cache the HASHED rows
     // (doc_id, hs longs; MEMORY_AND_DISK spills rather than OOMs at
     // corpus scale) instead of computing twice
     val base = shingleRows(docs).select($"doc_id", h60($"s").as("hs")).cache()
+    // multi-token evidence (the q114 generalization, symmetric form):
+    // jaccard >= t forces inter >= ceil(t·n_i) on EACH side, so doc i
+    // can miss at most n_i − ceil(t·n_i) tokens; with the prefix
+    // extended by qEff_i = min(evidence, ceil(t·n_i)) instead of 1, a
+    // qualifying pair's first min(qEff_1, qEff_2) shared tokens all
+    // lie in both prefixes — the candidate distinct becomes a
+    // count-filtered aggregation, which on dense vocabularies (where
+    // single shared tokens are everywhere) is what separates
+    // near-random pairs from real ones (measured at sf3: 47.5 s with
+    // q=1, the count filter restores linearity)
+    def qEff(n: Column): Column =
+      least(lit(evidence.toLong), ceil(n * threshold).cast("long"))
     // document frequency as a window over hs (shares the shuffle the
     // data needs anyway) rather than a groupBy + re-join
     val ordered = base
@@ -527,7 +546,7 @@ object Dedup {
       .withColumn("rk", row_number().over(
         Window.partitionBy($"doc_id").orderBy($"df", $"hs")))
     val prefix = ordered
-      .filter($"rk" <= $"n" - ceil($"n" * threshold) + 1)
+      .filter($"rk" <= $"n" - ceil($"n" * threshold) + qEff($"n"))
     val a = prefix.select($"doc_id".as("id1"), $"hs", $"n".as("n1"),
       $"rk".as("rk1"))
     val b = prefix.select($"doc_id".as("id2"), $"hs", $"n".as("n2"),
@@ -549,11 +568,20 @@ object Dedup {
     // candidates and verified-shaped candidates (round-8 sf1: 39 s ->
     // the verify joins dominate again).
     val alpha = ceil(lit(threshold) / (1 + threshold) * ($"n1" + $"n2"))
+    // pair-level evidence requirement: min over the two sides' clamps.
+    // Each counted row's positional bound is relaxed by qPair − 1 (the
+    // earlier shared tokens are overlap the suffix bound cannot see) —
+    // same lossless argument as containmentPrefixPairs
+    val qPair = least(qEff($"n1"), qEff($"n2"))
     val cand = a.join(b, Seq("hs"))
       .filter($"id1" < $"id2" &&
         greatest($"n1", $"n2") * threshold <= least($"n1", $"n2") &&
-        lit(1) + least($"n1" - $"rk1", $"n2" - $"rk2") >= alpha)
-      .select($"id1", $"id2", $"n1", $"n2").distinct().cache()
+        lit(1) + least($"n1" - $"rk1", $"n2" - $"rk2") >=
+          alpha - (qPair - 1))
+      .groupBy($"id1", $"id2", $"n1", $"n2")
+      .agg(count(lit(1)).as("ev"))
+      .filter($"ev" >= qPair)
+      .select($"id1", $"id2", $"n1", $"n2").cache()
     // exact verify on candidates only, against per-doc shingle-hash
     // arrays: one groupBy of the hashed rows, two id-equi-joins, then
     // size(array_intersect) per pair. The earlier formulation (join the

@@ -160,9 +160,11 @@ class DedupSpec extends SparkSpec {
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     Seq(0.3, 0.8).foreach { t =>
       val exact = pairSet(Dedup.jaccardPairs(d, t))
-      val pp = pairSet(Dedup.jaccardPrefixPairs(d, t))
-      assert(pp == exact,
-        s"t=$t missed=${exact -- pp} extra=${pp -- exact}")
+      Seq(1, 4, 50).foreach { q =>
+        val pp = pairSet(Dedup.jaccardPrefixPairs(d, t, evidence = q))
+        assert(pp == exact,
+          s"t=$t q=$q missed=${exact -- pp} extra=${pp -- exact}")
+      }
     }
   }
 
