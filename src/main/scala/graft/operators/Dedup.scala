@@ -841,11 +841,25 @@ object Dedup {
     * [[jaccardPairs]]'s guards it). */
   def fuzzyMatchBlocked(records: DataFrame, blockCols: Seq[String],
       idCol: String, nameCol: String, maxDistance: Int): DataFrame = {
+    // length banding INSIDE each block: edit distance >= |Δlen|, so a
+    // qualifying pair's name-length bands (len DIV (maxDistance+1))
+    // differ by at most 1 — band becomes part of the equi-key and the
+    // per-block candidate set shrinks by ~the number of occupied bands
+    // (exact; pre-banding the n² join only POST-filtered on length,
+    // which at sf3 left block-quadratic candidates: 145 s → the band
+    // key keeps per-key population proportional to length density).
+    // One side explodes to {band−1, band, band+1}; each pair joins on
+    // exactly ONE key — the other side's single band — so no dedup
+    // pass is needed.
+    val w = maxDistance + 1
     val a = records.select(
       (blockCols.map(col) :+ col(idCol).as("id1") :+ col(nameCol).as("name1")): _*)
+      .withColumn("band", explode(expr(
+        s"array(length(name1) DIV $w - 1, length(name1) DIV $w, length(name1) DIV $w + 1)")))
     val b = records.select(
       (blockCols.map(col) :+ col(idCol).as("id2") :+ col(nameCol).as("name2")): _*)
-    a.join(b, blockCols)
+      .withColumn("band", expr(s"length(name2) DIV $w"))
+    a.join(b, blockCols :+ "band")
       .filter(col("id1") < col("id2") &&
         abs(length(col("name1")) - length(col("name2"))) <= maxDistance)
       .withColumn("distance", levenshtein(col("name1"), col("name2")))

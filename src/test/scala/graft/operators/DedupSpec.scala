@@ -321,6 +321,37 @@ class DedupSpec extends SparkSpec {
     assert(r == Set((1L, 2L, 1)))
   }
 
+  test("fuzzyMatchBlocked length banding is lossless (random lengths straddle band edges)") {
+    import spark.implicits._
+    // random names with lengths 1..14 spread across two blocks: every
+    // |len diff| <= 2 pair must survive the band equi-key, including
+    // pairs whose lengths sit in adjacent bands (len DIV 3 boundaries)
+    val rnd = new scala.util.Random(31)
+    val alpha = "abcde"
+    val recs = (1L to 60L).map { id =>
+      val len = 1 + rnd.nextInt(14)
+      val nm = Seq.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString
+      (id, s"b${id % 2}", nm)
+    }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      (i1, b1, n1) <- recs; (i2, b2, n2) <- recs
+      if i1 < i2 && b1 == b2 && lev(n1, n2) <= 2
+    } yield (i1, i2, lev(n1, n2))).toSet
+    val got = Dedup.fuzzyMatchBlocked(recs.toDF("id", "blk", "name"),
+      Seq("blk"), "id", "name", 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    assert(got == expected,
+      s"missed=${expected -- got} extra=${got -- expected}")
+  }
+
   test("dropNearDuplicates keeps cluster minimum and unrelated docs") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 39).map(i => s"tok$i").mkString(" ") + " tokX"
