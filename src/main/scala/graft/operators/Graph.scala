@@ -337,22 +337,40 @@ object Graph {
     * unpersisted — the khop cadence: lazy cache for sharing, periodic
     * checkpoint for lineage, nothing leaks to library callers. Nothing
     * driver-side but the loop counter. */
-  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame =
+    kCoreLoop(edges, k.toDouble, rounds, weightCol = None)
+
+  /** Strength-based peel — [[kCore]] with degree generalized to Σw
+    * (node strength): "drop every node whose total trade volume is
+    * below k". The unweighted peel is the w=1 case; same per-round
+    * shape, same cache/checkpoint cadence, same unrolled oracle. */
+  def weightedKCore(edges: DataFrame, minStrength: Double, rounds: Int,
+      weightCol: String = "w"): DataFrame =
+    kCoreLoop(edges, minStrength, rounds, weightCol = Some(weightCol))
+
+  private def kCoreLoop(edges: DataFrame, k: Double, rounds: Int,
+      weightCol: Option[String]): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     require(k >= 1 && rounds >= 1, "k and rounds must be positive")
-    var e = edges.select($"src", $"dst").distinct().cache()
+    var e = (weightCol match {
+      case Some(wc) => edges
+        .select($"src", $"dst", col(wc).cast("double").as("w"))
+        .groupBy($"src", $"dst").agg(sum($"w").as("w"))
+      case None => edges.select($"src", $"dst").distinct()
+        .withColumn("w", lit(1.0d))
+    }).cache()
     var pending: List[DataFrame] = List(e)
     for (r <- 1 to rounds) {
-      val keep = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+      val keep = e.groupBy($"src").agg(sum($"w").as("deg"))
         .filter($"deg" >= k)
         .select($"src".as("node"))
         .cache()
       pending ::= keep
       e = e.join(keep, e("src") === keep("node"))
-        .select($"src", $"dst")
+        .select($"src", $"dst", $"w")
         .join(keep.select($"node".as("node2")), $"dst" === $"node2")
-        .select($"src", $"dst")
+        .select($"src", $"dst", $"w")
       if (r % 2 == 0 && r < rounds) {
         e = e.localCheckpoint() // eager — superseded caches now safe
         pending.foreach(_.unpersist(blocking = false))
@@ -362,7 +380,12 @@ object Graph {
         pending ::= e
       }
     }
-    e.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+    weightCol match {
+      case Some(_) => e.groupBy($"src".as("node"))
+        .agg(round(sum($"w"), 4).as("strength"))
+      case None => e.groupBy($"src".as("node"))
+        .agg(count(lit(1)).as("deg"))
+    }
   }
 
   // ------------------------------------------------------------------
@@ -398,6 +421,14 @@ object Graph {
     pairs.select($"c".as("src"), $"p".as("dst"), $"w")
       .union(pairs.select($"p".as("src"), $"c".as("dst"), $"w"))
   }
+
+  private def wkcoreIter(prev: String, out: String, k: Int): String =
+    s"""$out AS (
+       SELECT $prev.src, $prev.dst, $prev.w FROM $prev
+       JOIN (SELECT src FROM $prev GROUP BY src
+             HAVING sum(w) >= $k) ka ON $prev.src = ka.src
+       JOIN (SELECT src FROM $prev GROUP BY src
+             HAVING sum(w) >= $k) kb ON $prev.dst = kb.src)"""
 
   private def kcoreIter(prev: String, out: String, k: Int): String =
     s"""$out AS (
@@ -688,6 +719,33 @@ object Graph {
         ${kcoreIter("c1", "c2", 8)},
         ${kcoreIter("c2", "c3", 8)}
         SELECT src AS node, count(*) AS deg
+        FROM c3 GROUP BY src
+        ORDER BY node""")),
+
+    // strength-based peel: "drop every participant whose total trade
+    // volume is below 30 lineitems" — the weighted k-core, volumes not
+    // edge counts (weights are exact integer counts in doubles, so the
+    // threshold comparison replays bit-exactly)
+    QueryDef(
+      "q227_weighted_kcore",
+      (s, dir) => {
+        import s.implicits._
+        weightedKCore(weightedTradeEdges(s, dir), minStrength = 30.0,
+          rounds = 3)
+          .orderBy($"node")
+      },
+      Some(s"""
+        WITH e0 AS (
+          SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+                 count(*) AS cnt
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          GROUP BY 1, 2),
+        e AS (SELECT src, dst, CAST(cnt AS DOUBLE) AS w FROM e0
+              UNION ALL SELECT dst, src, CAST(cnt AS DOUBLE) AS w FROM e0),
+        ${wkcoreIter("e", "c1", 30)},
+        ${wkcoreIter("c1", "c2", 30)},
+        ${wkcoreIter("c2", "c3", 30)}
+        SELECT src AS node, round(sum(w), 4) AS strength
         FROM c3 GROUP BY src
         ORDER BY node"""))
   )

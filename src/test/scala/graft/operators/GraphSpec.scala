@@ -174,6 +174,41 @@ class GraphSpec extends SparkSpec {
     assert(r2 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("weightedKCore: strength peel matches a driver-side replay; w=1 equals kCore") {
+    import spark.implicits._
+    val rnd = new Random(23)
+    val und = (1 to 80).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong, 1L + rnd.nextInt(5)))
+      .filter(p => p._1 != p._2)
+      .groupBy(p => (p._1, p._2)).map(_._2.head).toSeq
+    val both = und ++ und.map(p => (p._2, p._1, p._3))
+    // driver-side strength peel
+    def replay(minS: Double, rounds: Int): Map[Long, Double] = {
+      var e = both
+      for (_ <- 1 to rounds) {
+        val str = e.groupBy(_._1).view.mapValues(_.map(_._3).sum.toDouble).toMap
+        val keep = str.filter(_._2 >= minS).keySet
+        e = e.filter(p => keep(p._1) && keep(p._2))
+      }
+      e.groupBy(_._1).view.mapValues(_.map(_._3).sum.toDouble).toMap
+    }
+    val df = both.toDF("src", "dst", "w")
+    for (minS <- Seq(6.0, 12.0); rounds <- Seq(1, 3)) {
+      val got = Graph.weightedKCore(df, minS, rounds)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got == replay(minS, rounds), s"minS=$minS rounds=$rounds")
+    }
+    // w=1 degenerates to the unweighted peel (on UNIQUE pairs: the
+    // weighted path sums parallel edges, the unweighted path dedups)
+    val uniq = both.map(p => (p._1, p._2)).distinct
+    val unitW = uniq.map(p => (p._1, p._2, 1L)).toDF("src", "dst", "w")
+    val w1 = Graph.weightedKCore(unitW, 3.0, 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1).toLong).toMap
+    val un = Graph.kCore(uniq.toDF("src", "dst"), 3, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w1 == un)
+  }
+
   test("kCore: random graphs match the driver-side replay, several k/rounds") {
     import spark.implicits._
     val rnd = new Random(11)
