@@ -816,6 +816,54 @@ object Similarity {
         FROM v3
         ORDER BY i""")),
 
+    // ----- PCA outlier scoring (projection onto the top component) ------
+    // compose the power-iteration direction with one corpus pass: each
+    // vector's centered projection onto the top PC, largest-magnitude
+    // first — the "which documents sit at the extreme of the dominant
+    // variance axis" outlier view. The direction and mean are d-row
+    // frames (broadcast); the projection is one groupBy(vec_id) over
+    // the component rows; top-20 plans as TakeOrdered, never a global
+    // sort. Ties broken by vec_id for cross-engine determinism.
+    QueryDef(
+      "q228_pca_outliers",
+      (s, dir) => {
+        import s.implicits._
+        val embs = t(s, dir, "embeddings")
+        val comp = embs
+          .select($"vec_id", posexplode($"embedding").as(Seq("i0", "xf")))
+          .select($"vec_id", ($"i0" + 1).as("i"),
+            $"xf".cast("double").as("x"))
+        val mu = comp.groupBy($"i").agg(avg($"x").as("mu"))
+        val v = topPrincipalComponent(embs, iters = 3)
+          .select($"i", $"pc")
+        comp.join(mu, "i").join(v, "i")
+          .groupBy($"vec_id")
+          .agg(round(sum(($"x" - $"mu") * $"pc"), 4).as("proj"))
+          .orderBy(abs($"proj").desc, $"vec_id")
+          .limit(20)
+      },
+      Some(s"""
+        WITH comp AS (
+          SELECT vec_id,
+                 unnest(generate_series(1, len(embedding))) AS i,
+                 unnest(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE))) AS x
+          FROM embeddings),
+        mu AS (SELECT i, avg(x) AS mu FROM comp GROUP BY i),
+        cent AS (SELECT c.vec_id, c.i, c.x - m.mu AS cx
+                 FROM comp c JOIN mu m ON c.i = m.i),
+        v0 AS (SELECT i, CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END AS v
+               FROM mu),
+        ${pcIter("v0", "v1")},
+        ${pcIter("v1", "v2")},
+        ${pcIter("v2", "v3")},
+        pc AS (SELECT i, round(v, 4) + 0.0 AS pc FROM v3)
+        SELECT c.vec_id, round(sum(c.cx * pc.pc), 4) + 0.0 AS proj
+        FROM cent c JOIN pc ON c.i = pc.i
+        GROUP BY c.vec_id
+        ORDER BY abs(round(sum(c.cx * pc.pc), 4)) DESC, c.vec_id
+        LIMIT 20""")),
+
     // ----- embedding covariance (drift / PCA-prep statistics) -----------
     // full upper-triangle sample-covariance matrix of the corpus, in ONE
     // scan: a single Generate emits the d(d+1)/2 (i, j, x_i, x_j)
