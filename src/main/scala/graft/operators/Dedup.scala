@@ -536,8 +536,15 @@ object Dedup {
     // single shared tokens are everywhere) is what separates
     // near-random pairs from real ones (measured at sf3: 47.5 s with
     // q=1, the count filter restores linearity)
+    // every pruning bound derives from tr = threshold − 5e-5, not
+    // threshold: the verify (and the DuckDB oracle) accept pairs by
+    // ROUND(jaccard, 4) >= t, which admits ratios up to 5e-5 below t —
+    // pruning with the strict t would drop those pairs for documents
+    // longer than ~20k shingles (the containmentPrefixPairs relaxation,
+    // which this operator's bounds all mirror)
+    val tr = threshold - 0.00005
     def qEff(n: Column): Column =
-      least(lit(evidence.toLong), ceil(n * threshold).cast("long"))
+      least(lit(evidence.toLong), ceil(n * tr).cast("long"))
     // document frequency as a window over hs (shares the shuffle the
     // data needs anyway) rather than a groupBy + re-join
     val ordered = base
@@ -546,7 +553,7 @@ object Dedup {
       .withColumn("rk", row_number().over(
         Window.partitionBy($"doc_id").orderBy($"df", $"hs")))
     val prefix = ordered
-      .filter($"rk" <= $"n" - ceil($"n" * threshold) + qEff($"n"))
+      .filter($"rk" <= $"n" - ceil($"n" * tr) + qEff($"n"))
     val a = prefix.select($"doc_id".as("id1"), $"hs", $"n".as("n1"),
       $"rk".as("rk1"))
     val b = prefix.select($"doc_id".as("id2"), $"hs", $"n".as("n2"),
@@ -567,7 +574,7 @@ object Dedup {
     // fixture vocabulary this is the difference between prefix-df²
     // candidates and verified-shaped candidates (round-8 sf1: 39 s ->
     // the verify joins dominate again).
-    val alpha = ceil(lit(threshold) / (1 + threshold) * ($"n1" + $"n2"))
+    val alpha = ceil(lit(tr) / (1 + tr) * ($"n1" + $"n2"))
     // pair-level evidence requirement: min over the two sides' clamps.
     // Each counted row's positional bound is relaxed by qPair − 1 (the
     // earlier shared tokens are overlap the suffix bound cannot see) —
@@ -575,7 +582,7 @@ object Dedup {
     val qPair = least(qEff($"n1"), qEff($"n2"))
     val cand = a.join(b, Seq("hs"))
       .filter($"id1" < $"id2" &&
-        greatest($"n1", $"n2") * threshold <= least($"n1", $"n2") &&
+        greatest($"n1", $"n2") * tr <= least($"n1", $"n2") &&
         lit(1) + least($"n1" - $"rk1", $"n2" - $"rk2") >=
           alpha - (qPair - 1))
       .groupBy($"id1", $"id2", $"n1", $"n2")

@@ -337,22 +337,29 @@ object Graph {
     * unpersisted — the khop cadence: lazy cache for sharing, periodic
     * checkpoint for lineage, nothing leaks to library callers. Nothing
     * driver-side but the loop counter. */
-  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame =
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
     kCoreLoop(edges, k.toDouble, rounds, weightCol = None)
+  }
 
   /** Strength-based peel — [[kCore]] with degree generalized to Σw
     * (node strength): "drop every node whose total trade volume is
     * below k". The unweighted peel is the w=1 case; same per-round
     * shape, same cache/checkpoint cadence, same unrolled oracle. */
   def weightedKCore(edges: DataFrame, minStrength: Double, rounds: Int,
-      weightCol: String = "w"): DataFrame =
+      weightCol: String = "w"): DataFrame = {
+    // fractional floors are legitimate on fractional weights — only
+    // positivity is required (the unweighted integer-k constraint
+    // must not leak into the Double threshold)
+    require(minStrength > 0, "minStrength must be positive")
     kCoreLoop(edges, minStrength, rounds, weightCol = Some(weightCol))
+  }
 
   private def kCoreLoop(edges: DataFrame, k: Double, rounds: Int,
       weightCol: Option[String]): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    require(k >= 1 && rounds >= 1, "k and rounds must be positive")
+    require(rounds >= 1, "rounds must be positive")
     var e = (weightCol match {
       case Some(wc) => edges
         .select($"src", $"dst", col(wc).cast("double").as("w"))

@@ -502,11 +502,11 @@ object Joins {
   /** All unordered pairs of overlapping integer intervals from one
     * input, via bin blocking + exact verify. Input must carry columns
     * (id, s, e) with s <= e on an integer grid (e.g. days) and UNIQUE
-    * ids — duplicate ids make pair identity ill-defined, and the
-    * candidate dedup below would collapse pairs of distinct intervals
-    * that share an id (q183 hit exactly this on the fixture's
-    * duplicate line-item keys). Output is (id_a, id_b, overlap_days)
-    * with id_a < id_b.
+    * ids — duplicate ids make pair identity ill-defined: each duplicate
+    * interval combination emits its own (id_a, id_b) row, so a repeated
+    * id yields repeated/conflicting pair rows (q183 encodes the
+    * fixture's duplicate line-item keys into the id for exactly this
+    * reason). Output is (id_a, id_b, overlap_days) with id_a < id_b.
     *
     * Scale shape — the interval analogue of the deletion-neighborhood
     * blocker: a naive overlap self-join is O(n²) comparisons with no

@@ -413,7 +413,14 @@ object Similarity {
     * iteration count keeps it oracle-replayable (the q158/q181
     * unrolled-loop discipline); sign is pinned by v₀, no convention
     * needed. Returns (i, pc) — the unit direction, d rows. */
-  def topPrincipalComponent(embeddings: DataFrame, iters: Int): DataFrame = {
+  def topPrincipalComponent(embeddings: DataFrame, iters: Int): DataFrame =
+    pcLoop(embeddings, iters)._1
+
+  /** Shared body for q226/q228: returns the rounded unit direction
+    * (i, pc) AND the cached centered component frame (vec_id, i, c) so
+    * a downstream projection (q228) reuses the centering pass instead
+    * of rebuilding comp/mu from the corpus. */
+  private def pcLoop(embeddings: DataFrame, iters: Int): (DataFrame, DataFrame) = {
     val s = embeddings.sparkSession
     import s.implicits._
     // component rows feed the mean AND every round's two aggregations
@@ -437,7 +444,7 @@ object Similarity {
         .select($"i", ($"w" / $"nrm").as("v"))
         .localCheckpoint() // d rows; truncates the per-round lineage
     }
-    v.select($"i", round($"v", 4).as("pc"))
+    (v.select($"i", round($"v", 4).as("pc")), centered)
   }
 
   /** One power-iteration round for q226's oracle: per-vector dot with
@@ -828,17 +835,12 @@ object Similarity {
       "q228_pca_outliers",
       (s, dir) => {
         import s.implicits._
-        val embs = t(s, dir, "embeddings")
-        val comp = embs
-          .select($"vec_id", posexplode($"embedding").as(Seq("i0", "xf")))
-          .select($"vec_id", ($"i0" + 1).as("i"),
-            $"xf".cast("double").as("x"))
-        val mu = comp.groupBy($"i").agg(avg($"x").as("mu"))
-        val v = topPrincipalComponent(embs, iters = 3)
-          .select($"i", $"pc")
-        comp.join(mu, "i").join(v, "i")
+        // pcLoop hands back its cached centered frame — the projection
+        // reuses the centering pass instead of rebuilding comp/mu
+        val (pc, centered) = pcLoop(t(s, dir, "embeddings"), iters = 3)
+        centered.join(pc, "i")
           .groupBy($"vec_id")
-          .agg(round(sum(($"x" - $"mu") * $"pc"), 4).as("proj"))
+          .agg(round(sum($"c" * $"pc"), 4).as("proj"))
           .orderBy(abs($"proj").desc, $"vec_id")
           .limit(20)
       },

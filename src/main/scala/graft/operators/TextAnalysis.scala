@@ -411,20 +411,31 @@ object TextAnalysis {
   def bigramLmScore(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val toks = docs
+    // ONE scan (the bigramPmi tagged-explode pattern, doc id carried):
+    // unigrams (kind 0) and adjacent pairs (kind 1) come out of a
+    // single split/filter pass — the dominant per-row cost — and the
+    // stream is cached once for its three consumers (unigram counts,
+    // pair counts, per-doc scoring join)
+    val stream = docs
       .withColumn("_toks", expr("filter(split(text, ' '), t -> t != '')"))
-    val bi = toks.filter(size($"_toks") >= 2)
       .select($"doc_id", explode(expr(
-        """transform(sequence(1, size(_toks) - 1),
-             i -> struct(element_at(_toks, i) AS a,
-                         element_at(_toks, i + 1) AS b))""")).as("p"))
-      .select($"doc_id", $"p.a", $"p.b")
+        """flatten(array(
+             transform(_toks, t -> struct(0L AS kind, t AS a, '' AS b)),
+             if(size(_toks) >= 2,
+               transform(sequence(1, size(_toks) - 1),
+                 i -> struct(1L AS kind, element_at(_toks, i) AS a,
+                             element_at(_toks, i + 1) AS b)),
+               array())))""")).as("it"))
+      .select($"doc_id", $"it.kind", $"it.a", $"it.b")
       .cache()
-    val uni = toks.select(explode($"_toks").as("t"))
-      .groupBy($"t").agg(count(lit(1)).as("n_t"))
+    val uni = stream.filter($"kind" === 0)
+      .groupBy($"a").agg(count(lit(1)).as("n_t"))
+      .select($"a".as("t"), $"n_t")
     val vocab = uni.agg(count(lit(1)).as("v"))
-    val nab = bi.groupBy($"a", $"b").agg(count(lit(1)).as("n_ab"))
-    bi.join(nab, Seq("a", "b"))
+    val nab = stream.filter($"kind" === 1)
+      .groupBy($"a", $"b").agg(count(lit(1)).as("n_ab"))
+    stream.filter($"kind" === 1)
+      .join(nab, Seq("a", "b"))
       .join(uni.select($"t".as("a"), $"n_t".as("n_a")), Seq("a"))
       .crossJoin(vocab) // 1-row aggregate, broadcast by construction
       .groupBy($"doc_id")
