@@ -119,6 +119,12 @@ object FixtureGen {
     // pass here and break on driver data. lkey (the value-derivation
     // seed) stays the unique row index, so duplicate-key rows still get
     // independent dates/amounts like the driver's.
+    // CONSEQUENCE (see WindowQueries header): (l_shipdate, l_orderkey,
+    // l_linenumber) is a non-unique sort key on these generated fixtures
+    // — duplicate-key rows that hash to the same ship day tie — so
+    // window-query output is nondeterministic at generated SFs. Fine
+    // while sf1/sf3 stay bench-only; any sfN correctness gate over the
+    // window family needs a unique tiebreaker first.
     val li = spark.read.parquet(s"$out/orders.parquet")
       .select($"o_orderkey", $"o_orderdate",
         (pmod(xxhash64($"o_orderkey", lit(17)), lit(7)) + 1).cast("int")

@@ -1,0 +1,62 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Deterministic block-manager hygiene for iterative operators.
+  *
+  * The engine's loop operators (PageRank/LPA/k-hop/k-core/CC/power
+  * iteration/bigram LM) share intermediates via `cache()` and truncate
+  * lineage via `localCheckpoint()`. Both pin executor storage:
+  * CacheManager entries for `cache()`, raw RDD blocks for
+  * `localCheckpoint()` — and `Dataset.unpersist` releases ONLY the
+  * former (it goes through CacheManager, which has never heard of the
+  * checkpoint RDD). Left alone, a long-lived session calling these
+  * operators as a library accumulates one corpus-scale frame per
+  * call/round until the ContextCleaner happens to GC the references —
+  * the leak the Verify/Bench per-query `clearCache` masked.
+  *
+  * Contract adopted by every loop operator (the "materialized result"
+  * contract):
+  *  1. the operator eagerly `localCheckpoint`s its FINAL, output-scale
+  *     result,
+  *  2. then calls [[free]] on every internal cache and superseded
+  *     checkpoint before returning — nothing corpus-scale stays pinned,
+  *  3. the caller owns the returned frame's (output-scale) blocks:
+  *     release them with [[free]], or let the ContextCleaner reclaim
+  *     them when the frame is garbage collected.
+  *
+  * Asserted per operator in `CacheHygieneSpec` via
+  * `sparkContext.getPersistentRDDs`.
+  */
+object Materialize {
+
+  /** Release every block backing `df`: its CacheManager entry (if it
+    * was `cache()`d) and any `localCheckpoint` RDDs in its plan.
+    *
+    * CAVEAT: the plan walk frees LogicalRDD blocks found ANYWHERE in
+    * `df`'s tree — only call this on a frame whose checkpointed inputs
+    * are not shared with another live frame (true for the operators'
+    * internal intermediates, which is the intended use).
+    */
+  def free(df: Dataset[_]): Unit = {
+    try df.unpersist(blocking = false)
+    catch { case _: Throwable => () }
+    try df.queryExecution.analyzed.foreach {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    } catch { case _: Throwable => () }
+  }
+
+  /** [[free]] over a batch, tolerating repeats. */
+  def freeAll(dfs: Iterable[Dataset[_]]): Unit = dfs.foreach(free)
+
+  /** Eagerly materialize `result` (localCheckpoint), then [[free]] the
+    * superseded frames — the tail every loop operator shares. Returns
+    * the checkpoint-backed frame the caller owns. */
+  def handoff(result: DataFrame, superseded: Iterable[Dataset[_]]): DataFrame = {
+    val out = result.localCheckpoint()
+    freeAll(superseded)
+    out
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.engine.Tables
+import graft.engine.{Materialize, Tables}
 import graft.functions.CosineSimilarity
 
 /** Deduplication operator family over document corpora — the
@@ -43,6 +43,12 @@ import graft.functions.CosineSimilarity
   * `graft.Verify` does between queries) or individually after their
   * terminal action. All caches here are MEMORY_AND_DISK: at corpus scale
   * they spill rather than OOM.
+  *
+  * Exception: [[connectedComponents]] is a LOOP operator and follows the
+  * [[graft.engine.Materialize]] contract instead — its result is already
+  * eagerly checkpointed when returned, so there IS a safe completion
+  * point, and every internal frame (edge checkpoints, superseded round
+  * labels) is freed before return.
   */
 object Dedup {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
@@ -665,6 +671,8 @@ object Dedup {
     val e = edges.select($"id1".as("src"), $"id2".as("dst")).localCheckpoint()
     val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
       .distinct().localCheckpoint()
+    // sym is eagerly materialized — e's blocks are already dead weight
+    Materialize.free(e)
     // initial labels already fold in one relaxation — min(self, neighbors)
     // from a single groupBy on the edge list — so the loop starts a full
     // round ahead of the naive id->id seeding (one fewer join+checkpoint
@@ -697,12 +705,18 @@ object Dedup {
         .select(relaxed("id"), least(relaxed("comp"), byId("jcomp")).as("comp"))
         .localCheckpoint()
       val newSum = labelSum(next)
+      // next is materialized — the previous round's label checkpoint is
+      // superseded (one node-scale frame per round otherwise leaks)
+      Materialize.free(labels)
       labels = next
       converged = newSum == prevSum
       prevSum = newSum
       it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // Materialize contract: the returned labels stay checkpoint-backed
+    // (node-scale, caller-owned); the symmetrized edge frame is freed
+    Materialize.free(sym)
     labels
   }
 
@@ -1233,7 +1247,11 @@ object Dedup {
         .orderBy(col("id1"), col("id2")),
       // replays the 64-plane signature as 8 bands x 8 bits; the plane
       // matrix is a 4096-row CTE (md5 computed once per (m, i), not per
-      // vector), and band buckets are built per band directly so no
+      // vector) folded into one i-ordered list per plane, so each dot is
+      // an ORDERED list_sum — the same i=0..63 summation order as the
+      // Scala loop (a GROUP BY sum is unordered, and a dot near 0 can
+      // round to a different sign under a different order, flipping a
+      // signature bit); band buckets are built per band directly so no
       // value ever needs bit 63 of a bigint
       Some("""
         WITH e AS (
@@ -1250,10 +1268,13 @@ object Dedup {
                     1, 15)) AS BIGINT) % 2001 - 1000) / 1000.0) AS w
           FROM (SELECT unnest(generate_series(0, 63)) AS m) m,
                (SELECT unnest(generate_series(1, 64)) AS i) i),
+        pl AS (
+          SELECT m, list(w ORDER BY i) AS ws FROM planes GROUP BY m),
         dots AS (
-          SELECT e.vec_id, p.m, sum(p.w * e.v[p.i]) AS d
-          FROM e CROSS JOIN planes p
-          GROUP BY e.vec_id, p.m),
+          SELECT e.vec_id, pl.m,
+                 list_sum(list_transform(generate_series(1, 64),
+                   i -> pl.ws[i] * e.v[i])) AS d
+          FROM e CROSS JOIN pl),
         banded AS (
           SELECT vec_id, m // 8 AS band,
                  CAST(sum(CASE WHEN d >= 0

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.engine.Tables
+import graft.engine.{Materialize, Tables}
 
 /** Iterative graph compute: PageRank on an exact integer grid. The
   * companion of q100's connected components (pointer jumping) — where CC
@@ -47,7 +47,10 @@ object Graph {
     * the plan tree, and eager per-round materialization measured 5x
     * slower than letting rounds pipeline in one fused job (codegen +
     * ReusedExchange do the work). Every 5th round bounds plan depth and
-    * failure re-execution for deep iteration counts. */
+    * failure re-execution for deep iteration counts. Returns under the
+    * [[graft.engine.Materialize]] contract: the node-scale result is
+    * checkpoint-backed and owned by the caller; e2/nodes and superseded
+    * round checkpoints are freed before return. */
   private def prLoop(edges: DataFrame, seedsOpt: Option[DataFrame],
       iters: Int, weightCol: Option[String] = None): DataFrame = {
     val s = edges.sparkSession
@@ -81,6 +84,7 @@ object Graph {
     var r = nodes
       .withColumn("rank", when($"seed", lit(S / nTele)).otherwise(lit(0L)))
       .select($"node", $"rank")
+    var superseded: List[DataFrame] = List(e2, nodes)
     for (i <- 1 to iters) {
       val contribs = e2.join(r, e2("src") === r("node"))
         .select($"dst", expr("(rank * w) div deg").as("c"))
@@ -89,9 +93,14 @@ object Graph {
         .select($"node",
           (when($"seed", lit(base)).otherwise(lit(0L))
             + expr("(85 * coalesce(sc, 0L)) div 100")).as("rank"))
-      if (i % 5 == 0 && i < iters) r = r.localCheckpoint()
+      if (i % 5 == 0 && i < iters) {
+        r = r.localCheckpoint() // eager — the PREVIOUS checkpoint is now dead
+        superseded.filterNot(f => (f eq e2) || (f eq nodes))
+          .foreach(Materialize.free)
+        superseded = List(e2, nodes, r)
+      }
     }
-    r
+    Materialize.handoff(r, superseded)
   }
 
   /** Personalized PageRank: importance RELATIVE TO A SEED SET — the
@@ -196,7 +205,11 @@ object Graph {
       Seq("b", "c"), "left_semi")
     val nn = deg.agg(count(lit(1)).as("n_nodes"))
     val ne = e.agg(count(lit(1)).as("n_edges"))
-    nn.crossJoin(ne).crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+    // Materialize-contract handoff: the 1-row result is checkpointed
+    // (trivial) so the edge-scale dir cache can be freed before return
+    Materialize.handoff(
+      nn.crossJoin(ne).crossJoin(tri.agg(count(lit(1)).as("n_triangles"))),
+      Seq(dir))
   }
 
   /** Synchronous label propagation (community detection) for a fixed
@@ -251,6 +264,7 @@ object Graph {
         when($"node" >= 0 && $"node" < K, $"node")
           .otherwise(raise_error(concat(
             lit(s"labelPropagation: node id out of [0, $K): "), $"node"))))
+    var superseded: List[DataFrame] = List(e)
     for (i <- 1 to iters) {
       val cnt = e.join(lab, e("src") === lab("node"))
         .groupBy($"dst", $"label").agg(sum($"w").as("c"))
@@ -258,9 +272,15 @@ object Graph {
         .agg(max_by($"label", $"c" * K - $"label").as("label"))
       // label frame is referenced once (next round) — periodic lineage
       // truncation only, same cadence rationale as pageRank above
-      if (i % 5 == 0 && i < iters) lab = lab.localCheckpoint()
+      if (i % 5 == 0 && i < iters) {
+        lab = lab.localCheckpoint() // eager — prior checkpoint now dead
+        superseded.filterNot(_ eq e).foreach(Materialize.free)
+        superseded = List(e, lab)
+      }
     }
-    lab
+    // Materialize-contract handoff: node-scale result checkpointed,
+    // the cached edge frame and superseded checkpoints freed
+    Materialize.handoff(lab, superseded)
   }
 
   /** Multi-source BFS distance labeling: min hop count from any source
@@ -286,13 +306,13 @@ object Graph {
     val e = edges.select($"src", $"dst").distinct().cache()
     var dist = sources.select($"node").distinct()
       .withColumn("d", lit(0L)).cache()
-    // cached round frames SINCE THE LAST CHECKPOINT; a localCheckpoint
-    // is eager, so once it materializes everything upstream of it is
-    // dead weight in the block manager — unpersist it then. (Frames
-    // after the last checkpoint stay cached: the returned frame's
-    // lineage still reads them. Without this, deep hop counts leak one
-    // node-scale cached frame per round into library callers — the
-    // Verify/Bench clearCache masked it.)
+    // cached/checkpointed round frames superseded at the NEXT eager
+    // materialization; a localCheckpoint is eager, so once it
+    // materializes everything upstream of it — cached rounds AND the
+    // previous checkpoint's blocks — is dead weight in the block
+    // manager. (Without this, deep hop counts leak one node-scale
+    // frame per round into library callers — the Verify/Bench
+    // clearCache masked it.)
     var pending = List(dist)
     for (h <- 1 to maxHops) {
       val reached = e.join(dist.filter($"d" === h - 1),
@@ -306,15 +326,17 @@ object Graph {
       // materialization-cadence rule: cache for sharing, checkpoint for
       // lineage, eager only when fan-out demands it)
       if (h % 5 == 0 && h < maxHops) {
-        dist = dist.localCheckpoint() // eager — superseded caches now safe
-        pending.foreach(_.unpersist(blocking = false))
-        pending = Nil
+        dist = dist.localCheckpoint() // eager — superseded frames now safe
+        pending.foreach(Materialize.free)
+        pending = List(dist) // this checkpoint dies at the next one
       } else {
         dist = dist.cache()
         pending ::= dist
       }
     }
-    dist
+    // Materialize-contract handoff: node-scale distances checkpointed;
+    // the edge cache and every still-pending round frame freed
+    Materialize.handoff(dist, e :: pending)
   }
 
   /** Bounded k-core peel: `rounds` rounds of "drop every node with
@@ -379,20 +401,26 @@ object Graph {
         .join(keep.select($"node".as("node2")), $"dst" === $"node2")
         .select($"src", $"dst", $"w")
       if (r % 2 == 0 && r < rounds) {
-        e = e.localCheckpoint() // eager — superseded caches now safe
-        pending.foreach(_.unpersist(blocking = false))
-        pending = Nil
+        e = e.localCheckpoint() // eager — superseded frames now safe
+        pending.foreach(Materialize.free)
+        pending = List(e) // this checkpoint dies at the next one
       } else {
         e = e.cache()
         pending ::= e
       }
     }
-    weightCol match {
-      case Some(_) => e.groupBy($"src".as("node"))
-        .agg(round(sum($"w"), 4).as("strength"))
-      case None => e.groupBy($"src".as("node"))
-        .agg(count(lit(1)).as("deg"))
-    }
+    // Materialize-contract handoff: the node-scale residual-degree
+    // result is checkpointed, and EVERY round frame — including the
+    // final round's cached keep/e, which the pre-contract version
+    // leaked to library callers — is freed
+    Materialize.handoff(
+      weightCol match {
+        case Some(_) => e.groupBy($"src".as("node"))
+          .agg(round(sum($"w"), 4).as("strength"))
+        case None => e.groupBy($"src".as("node"))
+          .agg(count(lit(1)).as("deg"))
+      },
+      pending)
   }
 
   // ------------------------------------------------------------------

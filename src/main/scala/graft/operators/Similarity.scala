@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.engine.Tables
+import graft.engine.{Materialize, Tables}
 import graft.functions.{CosineSimilarity, RhpSignature}
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
@@ -413,13 +413,41 @@ object Similarity {
     * iteration count keeps it oracle-replayable (the q158/q181
     * unrolled-loop discipline); sign is pinned by v₀, no convention
     * needed. Returns (i, pc) — the unit direction, d rows. */
-  def topPrincipalComponent(embeddings: DataFrame, iters: Int): DataFrame =
-    pcLoop(embeddings, iters)._1
+  def topPrincipalComponent(embeddings: DataFrame, iters: Int): DataFrame = {
+    val (pc, centered) = pcLoop(embeddings, iters)
+    // the direction is already materialized (per-round localCheckpoint),
+    // so the corpus-scale centered frame — which this caller never
+    // projects onto — is freed immediately instead of leaking
+    Materialize.free(centered)
+    pc
+  }
+
+  /** PCA outlier scoring: each vector's centered projection onto the
+    * top principal component, largest magnitude first — "which
+    * documents sit at the extreme of the dominant variance axis". The
+    * q228 surface as a library operator: shares [[pcLoop]]'s centering
+    * pass, checkpoints the topN-row result, and frees the centered
+    * frame before returning (Materialize contract — the pre-contract
+    * binding left it cached for the session to clean up). */
+  def pcaOutliers(embeddings: DataFrame, iters: Int, topN: Int): DataFrame = {
+    val s = embeddings.sparkSession
+    import s.implicits._
+    val (pc, centered) = pcLoop(embeddings, iters)
+    Materialize.handoff(
+      centered.join(pc, "i")
+        .groupBy($"vec_id")
+        .agg(round(sum($"c" * $"pc"), 4).as("proj"))
+        .orderBy(abs($"proj").desc, $"vec_id")
+        .limit(topN),
+      Seq(centered, pc))
+  }
 
   /** Shared body for q226/q228: returns the rounded unit direction
     * (i, pc) AND the cached centered component frame (vec_id, i, c) so
     * a downstream projection (q228) reuses the centering pass instead
-    * of rebuilding comp/mu from the corpus. */
+    * of rebuilding comp/mu from the corpus. Ownership: the CALLER must
+    * free `centered` (and may free the pc frame, releasing its d-row
+    * checkpoint) — both public wrappers above do. */
   private def pcLoop(embeddings: DataFrame, iters: Int): (DataFrame, DataFrame) = {
     val s = embeddings.sparkSession
     import s.implicits._
@@ -434,7 +462,8 @@ object Similarity {
       .select($"vec_id", $"i", ($"x" - $"mu").as("c"))
       .cache()
     var v = mu.select($"i", when($"i" === 1, 1.0d).otherwise(0.0d).as("v"))
-    for (_ <- 1 to iters) {
+    var prevCkpt: Option[DataFrame] = None
+    for (r <- 1 to iters) {
       val dv = centered.join(v, "i")
         .groupBy($"vec_id").agg(sum($"c" * $"v").as("dv"))
       val w = centered.join(dv, "vec_id")
@@ -443,6 +472,11 @@ object Similarity {
       v = w.crossJoin(nrm) // 1-row aggregate, broadcast by construction
         .select($"i", ($"w" / $"nrm").as("v"))
         .localCheckpoint() // d rows; truncates the per-round lineage
+      // round 1's eager checkpoint materialized `centered` in passing;
+      // comp (raw component rows) is dead weight from here on. Later
+      // rounds retire the previous round's d-row checkpoint.
+      if (r == 1) Materialize.free(comp) else prevCkpt.foreach(Materialize.free)
+      prevCkpt = Some(v)
     }
     (v.select($"i", round($"v", 4).as("pc")), centered)
   }
@@ -833,17 +867,7 @@ object Similarity {
     // sort. Ties broken by vec_id for cross-engine determinism.
     QueryDef(
       "q228_pca_outliers",
-      (s, dir) => {
-        import s.implicits._
-        // pcLoop hands back its cached centered frame — the projection
-        // reuses the centering pass instead of rebuilding comp/mu
-        val (pc, centered) = pcLoop(t(s, dir, "embeddings"), iters = 3)
-        centered.join(pc, "i")
-          .groupBy($"vec_id")
-          .agg(round(sum($"c" * $"pc"), 4).as("proj"))
-          .orderBy(abs($"proj").desc, $"vec_id")
-          .limit(20)
-      },
+      (s, dir) => pcaOutliers(t(s, dir, "embeddings"), iters = 3, topN = 20),
       Some(s"""
         WITH comp AS (
           SELECT vec_id,

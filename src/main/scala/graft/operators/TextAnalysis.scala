@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.engine.Tables
+import graft.engine.{Materialize, Tables}
 
 /** Text-analysis operator family over `documents`: language-ID heuristic,
   * quality scoring, token counting (whitespace + regex token classes) and
@@ -230,15 +230,17 @@ object TextAnalysis {
           $"n")
         if (k % 5 == 0 && k < nMerges) {
           words = words.localCheckpoint()
-          pending.foreach(_.unpersist(blocking = false))
-          pending = Nil
+          pending.foreach(Materialize.free)
+          pending = List(words) // this checkpoint dies at the next boundary
         } else {
           words = words.cache()
           pending ::= words
         }
       }
     }
-    pending.foreach(_.unpersist(blocking = false))
+    // result is a driver-local merge table — free every round frame
+    // (cached AND checkpointed; plain unpersist missed the latter)
+    pending.foreach(Materialize.free)
     merges.toSeq.toDF("step", "a", "b", "merged", "freq")
       .orderBy($"step")
   }
@@ -380,16 +382,20 @@ object TextAnalysis {
       .select($"a", $"b", $"c".as("n_ab"))
     val total = counts.filter($"kind" === 1)
       .agg(sum($"c").as("n_pairs"))
-    bi.join(uni.select($"t".as("a"), $"n_t".as("n_a")), "a")
-      .join(uni.select($"t".as("b"), $"n_t".as("n_b")), "b")
-      .crossJoin(total)
-      .select($"a", $"b", $"n_ab", $"n_a", $"n_b",
-        // numerator double × exact-int denominator, mirroring the
-        // oracle's 1.0*… phrasing (and dodging long overflow at scale)
-        round(log($"n_ab".cast("double") * $"n_pairs" /
-          ($"n_a" * $"n_b")), 4).as("pmi"))
-      .orderBy(desc("pmi"), $"a", $"b")
-      .limit(topK)
+    // Materialize-contract handoff: topK rows checkpointed, the
+    // vocab-scale counts cache freed before return
+    Materialize.handoff(
+      bi.join(uni.select($"t".as("a"), $"n_t".as("n_a")), "a")
+        .join(uni.select($"t".as("b"), $"n_t".as("n_b")), "b")
+        .crossJoin(total)
+        .select($"a", $"b", $"n_ab", $"n_a", $"n_b",
+          // numerator double × exact-int denominator, mirroring the
+          // oracle's 1.0*… phrasing (and dodging long overflow at scale)
+          round(log($"n_ab".cast("double") * $"n_pairs" /
+            ($"n_a" * $"n_b")), 4).as("pmi"))
+        .orderBy(desc("pmi"), $"a", $"b")
+        .limit(topK),
+      Seq(counts))
   }
 
   /** Bigram-LM document scoring — the CCNet-style quality signal: train
@@ -434,14 +440,19 @@ object TextAnalysis {
     val vocab = uni.agg(count(lit(1)).as("v"))
     val nab = stream.filter($"kind" === 1)
       .groupBy($"a", $"b").agg(count(lit(1)).as("n_ab"))
-    stream.filter($"kind" === 1)
-      .join(nab, Seq("a", "b"))
-      .join(uni.select($"t".as("a"), $"n_t".as("n_a")), Seq("a"))
-      .crossJoin(vocab) // 1-row aggregate, broadcast by construction
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(log(($"n_ab" + 1).cast("double") / ($"n_a" + $"v"))), 4)
-          .as("lm_score"))
+    // Materialize-contract handoff: the per-doc (output-scale) scores
+    // are checkpointed and the token-scale stream cache freed — the
+    // pre-contract version left `stream` pinned for the session
+    Materialize.handoff(
+      stream.filter($"kind" === 1)
+        .join(nab, Seq("a", "b"))
+        .join(uni.select($"t".as("a"), $"n_t".as("n_a")), Seq("a"))
+        .crossJoin(vocab) // 1-row aggregate, broadcast by construction
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log(($"n_ab" + 1).cast("double") / ($"n_a" + $"v"))), 4)
+            .as("lm_score")),
+      Seq(stream))
   }
 
   // ------------------------------------------------------------------
