@@ -2,82 +2,100 @@ package graft.operators
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 
-/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+/** Multimodal-column processing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed per-partition in batches.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * STUB (deterministic fake, clearly marked below); everything around it
-  * — the binary column, the typed records, the mapPartitions batch shape,
-  * the partition sizing — is the real 100 TB design:
+  * The 100 TB design:
   *
   *  - media rides in a `binary` column next to its metadata; Parquet
   *    stores it row-grouped so a metadata-only query never reads bytes
   *    (column pruning), and `spark.sql.files.maxPartitionBytes` bounds
   *    per-task memory when it is read.
   *  - decode/feature-extract runs once per partition via mapPartitions —
-  *    the iterator is streamed, nothing is materialized, and a real
-  *    decoder would amortize model/codec init across the partition
-  *    exactly like this stub amortizes its MessageDigest instance.
+  *    the iterator is streamed, nothing is materialized, and per-blob
+  *    codec/digest state is initialized once per partition, amortized
+  *    across the batch.
+  *  - the decode step is REAL: [[ImageHeaders]] parses PNG IHDR / JPEG
+  *    SOF header structures in pure JVM (the container has no codec
+  *    libs, so pixel-level decode stays out of scope — but header decode
+  *    is the operation a curation pipeline runs on EVERY blob anyway:
+  *    filter by format/resolution/aspect before paying for pixels on
+  *    the survivors). One corrupt blob yields NULL metadata, never a
+  *    failed job.
   */
 object Multimodal {
 
   /** Input record: opaque bytes + typed metadata. */
   final case class MediaRecord(doc_id: Long, media: Array[Byte], kind: String)
 
-  /** Extracted features. */
-  final case class MediaFeatures(
-      doc_id: Long, n_bytes: Long, digest: String,
-      fake_width: Int, fake_height: Int)
+  /** Content-level features (no format assumption): length + digest. */
+  final case class MediaFeatures(doc_id: Long, n_bytes: Long, digest: String)
 
-  /** ===== STUB decode =====
-    * Deterministic fake standing in for a real image/audio decode: length,
-    * content digest, and "dimensions" derived from the first two bytes.
-    * A real implementation would decode `media` with an actual codec here;
-    * the Spark-side contract (streamed iterator in, iterator out,
-    * per-partition init) is unchanged. */
-  private def decodeStub(records: Iterator[MediaRecord]): Iterator[MediaFeatures] = {
-    val md = MessageDigest.getInstance("SHA-256") // per-partition init
-    records.map { r =>
-      md.reset()
-      val digest = md.digest(r.media).map("%02x".format(_)).mkString
-      MediaFeatures(
-        doc_id = r.doc_id,
-        n_bytes = r.media.length.toLong,
-        digest = digest,
-        fake_width = if (r.media.nonEmpty) r.media(0) & 0xff else 0,
-        fake_height = if (r.media.length > 1) r.media(1) & 0xff else 0)
+  /** Header-decoded image metadata; None columns = undecodable blob. */
+  final case class ImageHeaderRow(doc_id: Long, format: Option[String],
+      width: Option[Int], height: Option[Int], bit_depth: Option[Int],
+      n_bytes: Long)
+
+  /** Per-partition content fingerprinting: length + SHA-256, digest
+    * instance initialized once per partition (the batch-amortization
+    * shape a real feature extractor shares). */
+  def contentFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      val md = MessageDigest.getInstance("SHA-256") // per-partition init
+      it.map { r =>
+        md.reset()
+        val digest = md.digest(r.media).map("%02x".format(_)).mkString
+        MediaFeatures(r.doc_id, r.media.length.toLong, digest)
+      }
+    }
+  }
+
+  /** The real decode pass: parse each blob's image header
+    * ([[ImageHeaders.decode]] — PNG chunk walk / JPEG marker-segment
+    * walk) into typed metadata. Row-parallel mapPartitions, streamed
+    * iterator, NULLs for undecodable bytes. */
+  def decodeImageHeaders(records: Dataset[MediaRecord]): Dataset[ImageHeaderRow] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        ImageHeaders.decode(r.media) match {
+          case Some(m) => ImageHeaderRow(r.doc_id, Some(m.format),
+            Some(m.width), Some(m.height), Some(m.bitDepth),
+            r.media.length.toLong)
+          case None => ImageHeaderRow(r.doc_id, None, None, None, None,
+            r.media.length.toLong)
+        }
+      }
     }
   }
 
   val defs: Seq[QueryDef] = Seq(
 
     // documents.text re-cast as utf-8 "media" bytes exercises the whole
-    // binary path; features come out of the partition-streamed stub and
-    // are SQL-checkable because the stub is deterministic.
+    // binary path; features come out of the partition-streamed digest
+    // pass and are SQL-checkable because SHA-256 is deterministic.
     QueryDef(
       "q52_multimodal_features",
       (s, dir) => {
         import s.implicits._
         val media = Tables.load(s, dir, "documents")
           .select($"doc_id", $"text".cast("binary").as("media"),
-            lit("image/fake").as("kind"))
+            lit("application/octet-stream").as("kind"))
           .as[MediaRecord]
-        media
-          .mapPartitions(decodeStub)
+        contentFeatures(media)
           .toDF()
           .orderBy($"doc_id")
       },
       Some("""
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-               sha256(text) AS digest,
-               CAST(ascii(substring(text, 1, 1)) AS INT) AS fake_width,
-               CAST(ascii(substring(text, 2, 1)) AS INT) AS fake_height
+               sha256(text) AS digest
         FROM documents
         ORDER BY doc_id""")),
 
@@ -123,7 +141,51 @@ object Multimodal {
                substring(text, frame_idx * 32 + 1, 32) AS frame
         FROM frames
         WHERE frame_idx % 3 = 0
-        ORDER BY doc_id, frame_idx"""))
+        ORDER BY doc_id, frame_idx""")),
+
+    // ----- REAL image-header decode over synthesized real blobs --------
+    // Each doc becomes an actual byte-valid image stream (even doc_id:
+    // PNG — signature, IHDR with CRC32, text bytes as IDAT; odd: baseline
+    // JPEG — SOI, APP0, a variable-length COM the marker walk must hop,
+    // SOF0), with dimensions derived from doc_id. The decoder then reads
+    // format/width/height/depth back OUT OF THE BYTES (big-endian chunk
+    // and segment structure — not from the formula), and the oracle
+    // replays the formula + exact encoded stream lengths: a wrong walk,
+    // offset, or endianness shows up as a hash mismatch.
+    QueryDef(
+      "q229_image_header_decode",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val w = (16 + id % 624).toInt
+            val h = (16 + (id * 7) % 464).toInt
+            val payload = text.getBytes("UTF-8")
+            if (id % 2 == 0)
+              MediaRecord(id, ImageHeaders.encodePng(w, h, 8, payload),
+                "image/png")
+            else
+              MediaRecord(id, ImageHeaders.encodeJpeg(w, h, 8, payload),
+                "image/jpeg")
+          }
+        decodeImageHeaders(media).toDF().orderBy($"doc_id")
+      },
+      // the oracle derives everything arithmetically: dims from doc_id,
+      // stream length from the fixed PNG chunk overhead (8 sig + 25 IHDR
+      // + 12+len IDAT + 12 IEND = 57+len) / JPEG segment overhead (2 SOI
+      // + 18 APP0 + 4+len COM + 19 SOF0 + 2 EOI = 45+len)
+      Some("""
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+               CAST(16 + doc_id % 624 AS INT) AS width,
+               CAST(16 + (doc_id * 7) % 464 AS INT) AS height,
+               CAST(8 AS INT) AS bit_depth,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 57 ELSE 45 END
+                    + octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+        ORDER BY doc_id"""))
   )
 
   /** Cut a binary payload into fixed-size frames, keep every `stride`-th:
