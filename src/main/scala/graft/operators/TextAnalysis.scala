@@ -218,16 +218,7 @@ object TextAnalysis {
         val (a, b, f) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((k, a, b, a + b, f))
-        // symbols are [a-z]+ by construction — safe to inline as SQL
-        // literals; the fold is the canonical greedy-left BPE apply
-        words = words.select(expr(
-          s"""aggregate(s, cast(array() as array<string>),
-             |  (acc, x) -> CASE
-             |    WHEN size(acc) > 0 AND element_at(acc, -1) = '$a'
-             |         AND x = '$b'
-             |    THEN concat(slice(acc, 1, size(acc) - 1), array('${a + b}'))
-             |    ELSE concat(acc, array(x)) END)""".stripMargin).as("s"),
-          $"n")
+        words = words.select(expr(greedyMergeFoldSql(a, b)).as("s"), $"n")
         if (k % 5 == 0 && k < nMerges) {
           words = words.localCheckpoint()
           pending.foreach(Materialize.free)
@@ -245,6 +236,67 @@ object TextAnalysis {
       .orderBy($"step")
   }
 
+  /** The canonical greedy-left BPE apply for one merge (a, b) over a
+    * symbol-array column `s`: merge every non-overlapping occurrence,
+    * scanning left. A codegen'd higher-order aggregate — map-only, no
+    * shuffle; symbols are [a-z]+ by construction so inlining them as SQL
+    * literals is safe. Shared by the training loop ([[bpeMerges]]) and
+    * the corpus encoder ([[bpeEncode]]) so train and apply can never
+    * drift. */
+  private def greedyMergeFoldSql(a: String, b: String): String =
+    s"""aggregate(s, cast(array() as array<string>),
+       |  (acc, x) -> CASE
+       |    WHEN size(acc) > 0 AND element_at(acc, -1) = '$a'
+       |         AND x = '$b'
+       |    THEN concat(slice(acc, 1, size(acc) - 1), array('${a + b}'))
+       |    ELSE concat(acc, array(x)) END)""".stripMargin
+
+  /** Apply a TRAINED merge table to the corpus — the half of the
+    * tokenizer story a pipeline actually runs at 100 TB: [[bpeMerges]]
+    * produces the (priority-ordered) merge artifact once; this encodes
+    * every document into its token sequence. Output: (doc_id, n_tokens,
+    * tokens) with tokens space-joined in document order (docs with no
+    * [a-z]+ word are absent — they have no token stream).
+    *
+    * Scale shape: the corpus is scanned ONCE (posexplode to positioned
+    * words); the merge chain itself runs over the DISTINCT-WORD table —
+    * vocabulary-sized, zipf-bounded, NOT corpus-sized (the classic
+    * encode-each-word-once formulation) — as `merges.length` chained
+    * greedy-left folds, all codegen'd and map-only. Encoded words join
+    * back on the word key (vocab build side — AQE broadcasts when
+    * small) and one groupBy(doc_id) reassembles position-sorted token
+    * streams. The expression-chain form suits merge tables up to a few
+    * hundred rows (each merge is one plan expression); a 30k-merge
+    * production tokenizer would swap the chain for a per-partition
+    * typed map with the ranked merge table broadcast — same join +
+    * reassembly around it. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    merges.foreach { case (a, b) =>
+      require(a.nonEmpty && b.nonEmpty && (a + b).matches("[a-z]+"),
+        s"bpe merge symbols must be [a-z]+, got ('$a', '$b')")
+    }
+    val toks = docs
+      .select($"doc_id",
+        posexplode(split(lower($"text"), "[^a-z]+")).as(Seq("pos", "w")))
+      .filter($"w" =!= "")
+    val vocab = toks.select($"w").distinct()
+      .select($"w", split($"w", "").as("s"))
+    val enc = merges.foldLeft(vocab) { case (df, (a, b)) =>
+      df.select($"w", expr(greedyMergeFoldSql(a, b)).as("s"))
+    }
+    toks.join(enc, "w")
+      .groupBy($"doc_id")
+      // struct sort key: pos is unique per doc, so the order is total
+      .agg(array_sort(collect_list(struct($"pos", $"s"))).as("ps"))
+      .select($"doc_id",
+        expr("flatten(transform(ps, x -> x.s))").as("toks"))
+      .select($"doc_id",
+        size($"toks").cast("long").as("n_tokens"),
+        array_join($"toks", " ").as("tokens"))
+  }
+
   /** The unrolled DuckDB replay of [[bpeMerges]] — N WITH-chained
     * stages (the q158/q181 loop-oracle pattern). Vocabulary state is a
     * WRAPPED-SYMBOL string ('•h••a••t•'): every symbol carries its own
@@ -253,9 +305,21 @@ object TextAnalysis {
     * (boundary characters are never shared between adjacent matches —
     * verified on the 'aaaaa' + (a,a) → 'aa aa a' case). */
   def bpeMergesOracle(nMerges: Int): String = {
-    // every stage CTE is MATERIALIZED: w(k+1) references w(k) plus three
-    // best(k) scalar subqueries, so inlined CTEs would expand the chain
-    // ~4^N-fold (observed: fd exhaustion re-opening the parquet)
+    val out = (0 until nMerges).map { k =>
+      s"""SELECT ${k + 1} AS step, a, b, a || b AS merged, f AS freq
+         |FROM best$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${bpeTrainStagesSql(nMerges)}
+       |$out
+       |ORDER BY step""".stripMargin
+  }
+
+  /** Shared training-replay CTE chain (w0 + per-round pr/best/w CTEs)
+    * behind [[bpeMergesOracle]] and [[bpeEncodeOracle]]. Every stage CTE
+    * is MATERIALIZED: w(k+1) references w(k) plus three best(k) scalar
+    * subqueries, so inlined CTEs would expand the chain ~4^N-fold
+    * (observed: fd exhaustion re-opening the parquet). */
+  private def bpeTrainStagesSql(nMerges: Int): String = {
     val stages = (0 until nMerges).map { k =>
       s"""pr$k AS MATERIALIZED (
          |  SELECT s[i] AS a, s[i+1] AS b, CAST(sum(n) AS BIGINT) AS f
@@ -271,18 +335,48 @@ object TextAnalysis {
          |    '•' || (SELECT a || b FROM best$k) || '•') AS w, n
          |  FROM w$k)""".stripMargin
     }.mkString(",\n")
-    val out = (0 until nMerges).map { k =>
-      s"""SELECT ${k + 1} AS step, a, b, a || b AS merged, f AS freq
-         |FROM best$k""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH w0 AS MATERIALIZED (
+    s"""w0 AS MATERIALIZED (
        |  SELECT regexp_replace(w, '(.)', '•\\1•', 'g') AS w, count(*) AS n
        |  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
        |        FROM documents)
        |  WHERE length(w) >= 2 GROUP BY w),
-       |$stages
-       |$out
-       |ORDER BY step""".stripMargin
+       |$stages""".stripMargin
+  }
+
+  /** The DuckDB replay of train-then-[[bpeEncode]]: derive the same
+    * merge table via [[bpeTrainStagesSql]], then apply each merge to
+    * the POSITIONED per-doc word stream as the wrapped-symbol replace
+    * chain (the exact greedy-left semantics of the Spark fold), and
+    * reassemble per-doc token strings in word order. Unlike training's
+    * w0, the encode stream keeps length-1 words — they carry tokens. */
+  def bpeEncodeOracle(nMerges: Int): String = {
+    val encStages = (0 until nMerges).map { k =>
+      s"""e${k + 1} AS MATERIALIZED (
+         |  SELECT doc_id, i, replace(w,
+         |    '•' || (SELECT a FROM best$k) || '••' ||
+         |      (SELECT b FROM best$k) || '•',
+         |    '•' || (SELECT a || b FROM best$k) || '•') AS w
+         |  FROM e$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeTrainStagesSql(nMerges)},
+       |e0 AS MATERIALIZED (
+       |  SELECT doc_id, i,
+       |         regexp_replace(ws[i], '(.)', '•\\1•', 'g') AS w
+       |  FROM (SELECT doc_id,
+       |               string_split_regex(lower(text), '[^a-z]+') AS ws
+       |        FROM documents),
+       |       unnest(generate_series(1, len(ws))) AS t(i)
+       |  WHERE ws[i] <> ''),
+       |$encStages
+       |SELECT doc_id,
+       |       CAST(sum(len(string_split(trim(w, '•'), '••'))) AS BIGINT)
+       |         AS n_tokens,
+       |       string_agg(
+       |         array_to_string(string_split(trim(w, '•'), '••'), ' '),
+       |         ' ' ORDER BY i) AS tokens
+       |FROM e$nMerges
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** Inverted index over whitespace terms: document frequency + the
@@ -842,6 +936,21 @@ object TextAnalysis {
       "q218_bpe_merge_loop",
       (s, dir) => bpeMerges(t(s, dir, "documents"), nMerges = 10),
       Some(bpeMergesOracle(10))),
+
+    // train-then-encode: derive the merge table on the corpus (the
+    // q218 loop — its result is already a driver-local artifact), then
+    // apply it corpus-wide; the oracle replays BOTH halves, so a drift
+    // between the training fold and the encoder fold cannot hide
+    QueryDef(
+      "q230_bpe_encode",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = bpeMerges(docs, nMerges = 8)
+          .orderBy(col("step")).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        bpeEncode(docs, merges).orderBy(col("doc_id"))
+      },
+      Some(bpeEncodeOracle(8))),
 
     QueryDef(
       "q176_inverted_index",
