@@ -68,6 +68,85 @@ object Maintenance {
         min(col("mn")).as("mn"), max(col("mx")).as("mx"))
 
   // ------------------------------------------------------------------
+  // mergeable quantile state (the percentile sibling of q189's HLL)
+  // ------------------------------------------------------------------
+
+  /** Per-key mergeable QUANTILE state of one batch: a dense fixed-grid
+    * histogram — `bins` bigint counters over the affine grid
+    * [lo, hi) / bins, out-of-domain values clamped to the edge bins.
+    * (k, st: array<bigint>[bins]).
+    *
+    * Why a fixed grid and not t-digest/KLL: the merge is EXACT
+    * element-wise addition — associative, commutative, batch-order
+    * independent (the module's f(A+B)=f(A)+f(B) law holds bit-for-bit,
+    * not just in expectation), and the whole estimator is deterministic,
+    * so the DuckDB oracle replays it exactly instead of pinning a
+    * probabilistic contract. The trade: accuracy is VALUE-resolution
+    * (± half a bin width at the answer, see [[quantileFromState]])
+    * rather than rank-resolution, and the caller must know the domain —
+    * both acceptable for the monitoring/SLA percentiles this maintains,
+    * where the domain is a business fact (price caps, latency ceilings).
+    *
+    * Scale shape: one combiner-reduced (k, bin) count, then one per-key
+    * rollup to the dense array — state is bins×8 bytes per key
+    * (4 KB at 512 bins) however much history it summarizes; a refresh
+    * scans only the delta batch. */
+  def quantileState(batch: DataFrame, key: Column, value: Column,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 2 && hi > lo, "need bins >= 2 and hi > lo")
+    val wid = (hi - lo) / bins
+    batch.select(key.as("k"), value.as("v"))
+      .select(col("k"),
+        least(greatest(floor((col("v") - lo) / wid), lit(0)), lit(bins - 1))
+          .cast("int").as("b"))
+      .groupBy(col("k"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("k"))
+      .agg(collect_list(struct(col("b"), col("c"))).as("bc"))
+      .select(col("k"), expr(
+        s"""transform(sequence(0, ${bins - 1}),
+           |  i -> CAST(coalesce(element_at(map_from_entries(bc), i), 0)
+           |            AS BIGINT))""".stripMargin).as("st"))
+  }
+
+  /** Fold quantile states: per-key element-wise vector add over however
+    * many state rows share a key — one shuffle of |state| rows, exact,
+    * order-independent. */
+  def mergeQuantileState(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta)
+      .groupBy(col("k"))
+      .agg(collect_list(col("st")).as("sts"))
+      .select(col("k"), expr(
+        s"""aggregate(sts, transform(element_at(sts, 1),
+           |                         x -> CAST(0 AS BIGINT)),
+           |  (acc, s) -> zip_with(acc, s, (p, q) -> p + q))""".stripMargin)
+        .as("st"))
+
+  /** Discrete p-quantile estimate from quantile state: adds (n, q)
+    * columns — total count and the midpoint of the first bin whose
+    * cumulative count reaches ceil(p·n). The ceil(p·n)-th smallest
+    * value lies INSIDE that bin, so |q − exact discrete quantile|
+    * <= wid/2 for in-domain data — the pinned accuracy contract q231
+    * referees against the exact sorted-rank value. Row-local
+    * higher-order folds over |keys| state rows, never corpus rows. */
+  def quantileFromState(state: DataFrame, p: Double, lo: Double,
+      wid: Double): DataFrame =
+    state
+      .withColumn("n",
+        expr("aggregate(st, CAST(0 AS BIGINT), (a, b) -> a + b)"))
+      .withColumn("_t", ceil(lit(p) * col("n")).cast("long"))
+      .withColumn("_idx", expr(
+        """aggregate(
+          |  zip_with(st, sequence(0, size(st) - 1),
+          |           (c, i) -> struct(c AS c, i AS i)),
+          |  struct(CAST(0 AS BIGINT) AS cum, -1 AS idx),
+          |  (acc, x) -> IF(acc.idx >= 0, acc,
+          |    named_struct('cum', acc.cum + x.c,
+          |      'idx', IF(acc.cum + x.c >= _t, x.i, -1))),
+          |  acc -> acc.idx)""".stripMargin))
+      .withColumn("q", lit(lo) + (col("_idx") + lit(0.5d)) * lit(wid))
+      .drop("_t", "_idx")
+
+  // ------------------------------------------------------------------
   // retraction (signed-delta) maintenance
   // ------------------------------------------------------------------
 
@@ -241,6 +320,71 @@ object Maintenance {
                count(DISTINCT o_orderpriority) AS n_priorities
         FROM orders
         GROUP BY o_custkey
+        ORDER BY o_custkey""")),
+
+    // percentile maintenance: the quantile sibling of q189 — per-key
+    // state is a mergeable fixed-grid histogram (4 KB/key at 500 bins
+    // however much history it summarizes); year batches fold in by
+    // element-wise add, and the p50 estimate comes from state alone.
+    // The whole estimator is deterministic, so the oracle replays the
+    // bin math EXACTLY (not just a probabilistic contract) and the
+    // exact sorted-rank referee pins |est − exact| <= wid/2 (the
+    // hardcoded 1 makes any violation a hash mismatch).
+    QueryDef(
+      "q231_quantile_sketch_state",
+      (s, dir) => {
+        import s.implicits._
+        val (lo, hi, bins) = (0.0, 500000.0, 500)
+        val wid = (hi - lo) / bins
+        val o = t(s, dir, "orders").select($"o_custkey",
+          $"o_totalprice".as("v"), year($"o_orderdate").as("yr"))
+        def st(df: org.apache.spark.sql.DataFrame) =
+          quantileState(df, $"o_custkey", $"v", lo, hi, bins)
+        val merged = mergeQuantileState(mergeQuantileState(
+          st(o.filter($"yr" <= 1994)),
+          st(o.filter($"yr" >= 1995 && $"yr" <= 1996))),
+          st(o.filter($"yr" >= 1997)))
+        val est = quantileFromState(merged, 0.5, lo, wid)
+          .select($"k".as("o_custkey"), $"n".as("n_orders"),
+            round($"q", 4).as("est_p50"))
+        // exact referee at fixture scale (the q164 pattern): discrete
+        // rank value, same ceil(p*n) rank definition as the sketch
+        val exact = o.groupBy($"o_custkey")
+          .agg(expr("""element_at(sort_array(collect_list(v)),
+                       CAST(ceil(0.5 * count(1)) AS INT))""").as("ex"))
+          .select($"o_custkey", round($"ex", 4).as("exact_p50"))
+        est.join(exact, "o_custkey")
+          .withColumn("within_half_bin",
+            when(abs($"est_p50" - $"exact_p50") <= wid / 2, 1).otherwise(0))
+          .orderBy($"o_custkey")
+      },
+      Some("""
+        WITH v AS (SELECT o_custkey AS k, o_totalprice AS v FROM orders),
+        b AS (SELECT k,
+                     LEAST(GREATEST(CAST(floor(v / 1000.0) AS INT), 0), 499)
+                       AS b
+              FROM v),
+        cnt AS (SELECT k, b, count(*) AS c FROM b GROUP BY k, b),
+        tot AS (SELECT k, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY k),
+        cum AS (SELECT k, b, sum(c) OVER (PARTITION BY k ORDER BY b) AS cum
+                FROM cnt),
+        pick AS (SELECT cum.k, min(cum.b) AS idx
+                 FROM cum JOIN tot ON cum.k = tot.k
+                 WHERE cum.cum >= ceil(0.5 * tot.n)
+                 GROUP BY cum.k),
+        ex AS (SELECT k,
+                      (list_sort(list(v)))[CAST(ceil(0.5 * count(*)) AS BIGINT)]
+                        AS ex
+               FROM v GROUP BY k)
+        SELECT tot.k AS o_custkey,
+               tot.n AS n_orders,
+               round(CAST((pick.idx + 0.5) * 1000.0 AS DOUBLE), 4)
+                 AS est_p50,
+               round(ex.ex, 4) AS exact_p50,
+               1 AS within_half_bin
+        FROM tot
+        JOIN pick ON tot.k = pick.k
+        JOIN ex ON tot.k = ex.k
         ORDER BY o_custkey""")),
 
     // q182 with deletes: 1998's orders are retracted after the fact;

@@ -54,4 +54,65 @@ class SketchSpec extends SparkSpec {
     assert(fromDisk == live,
       s"stored-sketch merge $fromDisk != live sketch $live")
   }
+
+  test("quantile state is grouping-invariant: merged batch sketches " +
+      "equal the whole-table sketch bit-for-bit") {
+    import spark.implicits._
+    val (lo, hi, bins) = (0.0, 1000.0, 100)
+    val df = spark.range(20000)
+      .selectExpr("id % 37 AS k",
+        "CAST((id * 131) % 1000 AS DOUBLE) AS v",
+        "id % 4 AS batch")
+      .cache()
+    def state(filtered: org.apache.spark.sql.DataFrame) =
+      Maintenance.quantileState(filtered, col("k"), col("v"), lo, hi, bins)
+    val whole = state(df)
+    // fold per-batch states in two DIFFERENT orders — exact vector add
+    // must make both identical to the direct whole-table state
+    val batches = (0 to 3).map(i => state(df.filter($"batch" === i)))
+    val mergedFwd = batches.reduce(Maintenance.mergeQuantileState)
+    val mergedRev = batches.reverse.reduce(Maintenance.mergeQuantileState)
+    def rows(s: org.apache.spark.sql.DataFrame) =
+      s.orderBy($"k").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    val w = rows(whole)
+    assert(rows(mergedFwd) == w, "forward merge != whole-table state")
+    assert(rows(mergedRev) == w, "reverse merge != whole-table state")
+    // and the estimate honors the half-bin-width accuracy contract
+    // against the exact discrete quantile, at several percentiles
+    for (p <- Seq(0.1, 0.5, 0.9)) {
+      val wid = (hi - lo) / bins
+      val est = Maintenance.quantileFromState(mergedFwd, p, lo, wid)
+        .select($"k", $"q").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val exact = df.groupBy($"k")
+        .agg(expr(s"""element_at(sort_array(collect_list(v)),
+                      CAST(ceil($p * count(1)) AS INT))""").as("ex"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      exact.foreach { case (k, ex) =>
+        assert(math.abs(est(k) - ex) <= wid / 2 + 1e-9,
+          s"p=$p key=$k est=${est(k)} exact=$ex exceeds half-bin bound")
+      }
+    }
+    df.unpersist()
+  }
+
+  test("quantile state survives parquet persistence and clamps " +
+      "out-of-domain values to edge bins") {
+    import spark.implicits._
+    val (lo, hi, bins) = (0.0, 100.0, 10)
+    val dir = java.nio.file.Files
+      .createTempDirectory("qstate_").toString + "/st"
+    val df = Seq((1L, -50.0), (1L, 5.0), (1L, 95.0), (1L, 250.0))
+      .toDF("k", "v")
+    Maintenance.quantileState(df, col("k"), col("v"), lo, hi, bins)
+      .write.parquet(dir)
+    val st = spark.read.parquet(dir).collect()
+    assert(st.length == 1)
+    val arr = st(0).getSeq[Long](1)
+    assert(arr.length == bins)
+    assert(arr.head == 2L, "below-domain value must clamp into bin 0")
+    assert(arr.last == 2L, "above-domain value must clamp into last bin")
+    assert(arr.sum == 4L)
+  }
 }
