@@ -39,10 +39,19 @@ object Basket {
       minSupport: Long, maxBasketSize: Int = 1000): DataFrame = {
     val s = rows.sparkSession
     import s.implicits._
+    // bi feeds the size filter AND the kept join — cache for sharing
     val bi = rows.select(basketCol.as("b"), itemCol.as("i")).distinct()
+      .cache()
     val sized = bi.groupBy($"b").agg(count(lit(1)).as("_sz"))
       .filter($"_sz" <= maxBasketSize)
-    val kept = bi.join(sized, Seq("b"), "left_semi")
+    // kept has FOUR consumers (basket count, item supports, both pair
+    // sides — the i->i2 rename defeats ReuseExchange on the self-join),
+    // so un-materialized it re-ran the scan+distinct chain per consumer:
+    // the q192 sf1 cold-start cliff (28s first pass vs 6.6s warm — four
+    // cold-page-cache corpus scans instead of one). One eager
+    // checkpoint = one scan; every consumer reads blocks.
+    val kept = bi.join(sized, Seq("b"), "left_semi").localCheckpoint()
+    graft.engine.Materialize.free(bi)
     val nBaskets = kept.select($"b").distinct()
       .agg(count(lit(1)).as("n_baskets"))
     val item = kept.groupBy($"i").agg(count(lit(1)).as("supp_i"))
@@ -52,15 +61,21 @@ object Basket {
       .groupBy($"i".as("item_a"), $"i2".as("item_b"))
       .agg(count(lit(1)).as("supp"))
       .filter($"supp" >= minSupport)
-    pairs
-      .join(item.select($"i".as("item_a"), $"supp_i".as("supp_a")), "item_a")
-      .join(item.select($"i".as("item_b"), $"supp_i".as("supp_b")), "item_b")
-      .crossJoin(nBaskets)
-      .select($"item_a", $"item_b", $"supp", $"supp_a", $"supp_b",
-        round($"supp" / $"supp_a", 4).as("conf_ab"),
-        round($"supp" / $"supp_b", 4).as("conf_ba"),
-        round($"supp" * $"n_baskets" / ($"supp_a" * $"supp_b"), 4)
-          .as("lift"))
+    // Materialize-contract handoff: the (minSupport-pruned) rule frame
+    // is checkpointed and the basket-item checkpoint freed
+    graft.engine.Materialize.handoff(
+      pairs
+        .join(item.select($"i".as("item_a"), $"supp_i".as("supp_a")),
+          "item_a")
+        .join(item.select($"i".as("item_b"), $"supp_i".as("supp_b")),
+          "item_b")
+        .crossJoin(nBaskets)
+        .select($"item_a", $"item_b", $"supp", $"supp_a", $"supp_b",
+          round($"supp" / $"supp_a", 4).as("conf_ab"),
+          round($"supp" / $"supp_b", 4).as("conf_ba"),
+          round($"supp" * $"n_baskets" / ($"supp_a" * $"supp_b"), 4)
+            .as("lift")),
+      Seq(kept))
   }
 
   // ------------------------------------------------------------------

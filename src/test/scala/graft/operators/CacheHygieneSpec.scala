@@ -122,6 +122,16 @@ class CacheHygieneSpec extends SparkSpec {
       TextAnalysis.bigramPmi(docs, minCount = 1L, topK = 10))
   }
 
+  test("associationRules frees the basket-item checkpoint (q192 fix)") {
+    assertClean("associationRules")(
+      Basket.associationRules(
+        Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 12L))
+          .toDF("b", "i"),
+        org.apache.spark.sql.functions.col("b"),
+        org.apache.spark.sql.functions.col("i"),
+        minSupport = 1L))
+  }
+
   test("bpeMerges frees every round frame including mid-loop checkpoints") {
     val sc = spark.sparkContext
     spark.catalog.clearCache()
