@@ -51,10 +51,19 @@ object Materialize {
   /** [[free]] over a batch, tolerating repeats. */
   def freeAll(dfs: Iterable[Dataset[_]]): Unit = dfs.foreach(free)
 
+  /** Test-only tap (PlanAuditSpec): when set, [[handoff]] passes each
+    * pre-checkpoint result frame to the callback BEFORE materializing
+    * and freeing — the returned frame is a bare checkpoint scan, so a
+    * post-hoc explain can no longer see the loop's real internal plan
+    * (cached round frames, join strategies); the tap can, while the
+    * caches are still registered. Never set outside tests. */
+  @volatile private[graft] var auditTap: Option[DataFrame => Unit] = None
+
   /** Eagerly materialize `result` (localCheckpoint), then [[free]] the
     * superseded frames — the tail every loop operator shares. Returns
     * the checkpoint-backed frame the caller owns. */
   def handoff(result: DataFrame, superseded: Iterable[Dataset[_]]): DataFrame = {
+    auditTap.foreach(f => f(result))
     val out = result.localCheckpoint()
     freeAll(superseded)
     out

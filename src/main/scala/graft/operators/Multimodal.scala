@@ -41,6 +41,11 @@ object Multimodal {
       width: Option[Int], height: Option[Int], bit_depth: Option[Int],
       n_bytes: Long)
 
+  /** Header-decoded WAV metadata; None columns = undecodable blob. */
+  final case class WavHeaderRow(doc_id: Long, channels: Option[Int],
+      sample_rate: Option[Int], bits_per_sample: Option[Int],
+      n_samples: Option[Long], n_bytes: Long)
+
   /** Per-partition content fingerprinting: length + SHA-256, digest
     * instance initialized once per partition (the batch-amortization
     * shape a real feature extractor shares). */
@@ -69,6 +74,24 @@ object Multimodal {
             Some(m.width), Some(m.height), Some(m.bitDepth),
             r.media.length.toLong)
           case None => ImageHeaderRow(r.doc_id, None, None, None, None,
+            r.media.length.toLong)
+        }
+      }
+    }
+  }
+
+  /** Audio sibling of [[decodeImageHeaders]]: parse each blob's WAV
+    * header ([[AudioHeaders.decodeWav]] — RIFF chunk walk, unknown
+    * chunks hopped by size) into typed metadata. */
+  def decodeWavHeaders(records: Dataset[MediaRecord]): Dataset[WavHeaderRow] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        AudioHeaders.decodeWav(r.media) match {
+          case Some(m) => WavHeaderRow(r.doc_id, Some(m.channels),
+            Some(m.sampleRate), Some(m.bitsPerSample), Some(m.nSamples),
+            r.media.length.toLong)
+          case None => WavHeaderRow(r.doc_id, None, None, None, None,
             r.media.length.toLong)
         }
       }
@@ -184,6 +207,53 @@ object Multimodal {
                CAST(8 AS INT) AS bit_depth,
                CAST(CASE WHEN doc_id % 2 = 0 THEN 57 ELSE 45 END
                     + octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ----- REAL WAV-header decode over synthesized real streams --------
+    // q229's audio sibling: each doc becomes a byte-valid RIFF/WAVE
+    // stream — a variable-length LIST chunk (text bytes, RIFF even
+    // padding) the little-endian chunk walk must hop, a PCM fmt chunk,
+    // and a data chunk declaring the sample count. The decoder reads
+    // channels/rate/bits/samples OUT OF THE BYTES; duration derives
+    // as integer math from decoded fields; the oracle replays the
+    // derivations and the exact stream length (12 RIFF + 8+len+pad
+    // LIST + 24 fmt + 8 data hdr = 52 + len + len%2).
+    QueryDef(
+      "q232_wav_header_decode",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val rate = (id % 3) match {
+              case 0 => 8000; case 1 => 16000; case _ => 44100
+            }
+            MediaRecord(id,
+              AudioHeaders.encodeWav(
+                channels = (1 + id % 2).toInt, sampleRate = rate,
+                bitsPerSample = 16, nSamples = 1000 + (id * 13) % 100000,
+                note = text.getBytes("UTF-8")),
+              "audio/wav")
+          }
+        decodeWavHeaders(media).toDF()
+          .withColumn("duration_ms",
+            expr("(n_samples * 1000) div sample_rate"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(1 + doc_id % 2 AS INT) AS channels,
+               CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                    ELSE 44100 END AS INT) AS sample_rate,
+               CAST(16 AS INT) AS bits_per_sample,
+               CAST(1000 + (doc_id * 13) % 100000 AS BIGINT) AS n_samples,
+               CAST(52 + octet_length(encode(text))
+                    + octet_length(encode(text)) % 2 AS BIGINT) AS n_bytes,
+               CAST((1000 + (doc_id * 13) % 100000) * 1000
+                    // (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        ELSE 44100 END) AS BIGINT) AS duration_ms
         FROM documents
         ORDER BY doc_id"""))
   )

@@ -549,7 +549,16 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q223: k-core's per-round surviving-node set is cached, joins stay equi") {
-    val p = plan("q223_kcore")
+    // kCore follows the Materialize contract: the returned frame is a
+    // bare checkpoint scan, so the loop's real plan is only visible
+    // through the handoff tap, captured BEFORE caches are freed
+    var captured = List.empty[String]
+    graft.engine.Materialize.auditTap =
+      Some(df => captured ::= graft.plans.PlanInspector.formatted(df))
+    try SparkEntry.queries("q223_kcore")(spark, sf)
+    finally graft.engine.Materialize.auditTap = None
+    assert(captured.nonEmpty, "handoff tap saw no frame — contract drift?")
+    val p = captured.mkString("\n")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       "peel round fell back to a nested loop")
