@@ -93,6 +93,68 @@ final class IncrementalAgg(
   }
 }
 
+/** The quantile sibling of [[IncrementalAgg]]: incrementally-maintained
+  * per-key PERCENTILES over a growing directory, using the mergeable
+  * fixed-grid quantile state (q231,
+  * [[graft.operators.Maintenance.quantileState]]). Same machinery —
+  * streaming file source (checkpoint = the seen-set, exactly-once),
+  * per-batch partial state, exact element-wise merge into a versioned
+  * state table behind an atomic pointer — but the state row is a dense
+  * bin histogram, so ANY percentile is answerable from state alone,
+  * within the pinned half-bin-width contract, without ever re-reading
+  * history. State size: |keys| × bins × 8 bytes, however much history
+  * arrived. */
+final class IncrementalQuantile(
+    spark: SparkSession,
+    inputDir: String,
+    schema: StructType,
+    checkpointDir: String,
+    stateDir: String,
+    keyCol: String,
+    valueCol: String,
+    lo: Double, hi: Double, bins: Int) {
+
+  private val pointer = Paths.get(stateDir, "_LATEST")
+
+  def state(): Option[DataFrame] =
+    if (Files.exists(pointer))
+      Some(spark.read.parquet(
+        Paths.get(stateDir, Files.readString(pointer).trim).toString))
+    else None
+
+  /** Process newly-arrived files, fold their quantile state in. */
+  def update(): Unit = {
+    Files.createDirectories(Paths.get(stateDir))
+    val stream = spark.readStream.schema(schema).parquet(inputDir)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = graft.operators.Maintenance.quantileState(
+          batch, col(keyCol), col(valueCol), lo, hi, bins)
+        val merged = state() match {
+          case Some(prev) =>
+            graft.operators.Maintenance.mergeQuantileState(prev, partial)
+          case None => partial
+        }
+        val version = s"v$batchId"
+        merged.write.mode("overwrite")
+          .parquet(Paths.get(stateDir, version).toString)
+        IncrementalAgg.flipPointer(pointer, version)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** p-quantile per key from the CURRENT state only (adds n and q
+    * columns — see `Maintenance.quantileFromState`). */
+  def quantile(p: Double): Option[DataFrame] =
+    state().map(st => graft.operators.Maintenance
+      .quantileFromState(st, p, lo, (hi - lo) / bins))
+}
+
 object IncrementalAgg {
   /** Flip the `_LATEST` pointer via write-temp + atomic rename: a crash
     * mid-write can never leave readers a torn pointer — they see either

@@ -275,6 +275,65 @@ object StreamingQueries {
         WHERE event_type = 'purchase'
         ORDER BY event_id""")),
 
+    // ----- incremental per-key percentiles (q231's streaming sibling) ----
+    // Orders arrive in three year-batches; each update() folds only the
+    // NEW files' quantile state (mergeable fixed-grid histogram) into a
+    // versioned state table behind an atomic pointer. The merge is
+    // exact element-wise addition, so three incremental folds equal the
+    // one-shot batch state bit-for-bit — the oracle replays the bin
+    // math over ALL orders and any drift (a lost batch, a double-fold,
+    // a torn state version) hash-mismatches.
+    QueryDef(
+      "q233_stream_incremental_quantile",
+      (s, dir) => {
+        import s.implicits._
+        val (input, ckpt, state) = (tmp("qin_"), tmp("qck_"), tmp("qst_"))
+        val o = graft.engine.Tables.load(s, dir, "orders")
+          .select($"o_custkey", $"o_totalprice".as("v"),
+            year($"o_orderdate").as("yr"))
+        val inc = new graft.streaming.IncrementalQuantile(
+          s, input, org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("o_custkey",
+              o.schema("o_custkey").dataType),
+            org.apache.spark.sql.types.StructField("v",
+              org.apache.spark.sql.types.DoubleType))),
+          ckpt, state, keyCol = "o_custkey", valueCol = "v",
+          lo = 0.0, hi = 500000.0, bins = 500)
+        def arrive(batch: org.apache.spark.sql.DataFrame): Unit = {
+          batch.select($"o_custkey", $"v")
+            .write.mode("append").parquet(input)
+          inc.update()
+        }
+        arrive(o.filter($"yr" <= 1994))
+        arrive(o.filter($"yr" >= 1995 && $"yr" <= 1996))
+        arrive(o.filter($"yr" >= 1997))
+        inc.quantile(0.5).get
+          .select($"k".as("o_custkey"), $"n".as("n_orders"),
+            round($"q", 4).as("est_p50"))
+          .orderBy($"o_custkey")
+      },
+      Some("""
+        WITH v AS (SELECT o_custkey AS k, o_totalprice AS v FROM orders),
+        b AS (SELECT k,
+                     LEAST(GREATEST(CAST(floor(v / 1000.0) AS INT), 0), 499)
+                       AS b
+              FROM v),
+        cnt AS (SELECT k, b, count(*) AS c FROM b GROUP BY k, b),
+        tot AS (SELECT k, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY k),
+        cum AS (SELECT k, b, sum(c) OVER (PARTITION BY k ORDER BY b) AS cum
+                FROM cnt),
+        pick AS (SELECT cum.k, min(cum.b) AS idx
+                 FROM cum JOIN tot ON cum.k = tot.k
+                 WHERE cum.cum >= ceil(0.5 * tot.n)
+                 GROUP BY cum.k)
+        SELECT tot.k AS o_custkey,
+               tot.n AS n_orders,
+               round(CAST((pick.idx + 0.5) * 1000.0 AS DOUBLE), 4)
+                 AS est_p50
+        FROM tot
+        JOIN pick ON tot.k = pick.k
+        ORDER BY o_custkey""")),
+
     // ----- event-time tumbling window ------------------------------------
     QueryDef(
       "q56_stream_tumbling_window",
