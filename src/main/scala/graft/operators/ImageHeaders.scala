@@ -44,9 +44,43 @@ object ImageHeaders {
     (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) |
       (u8(b, i + 2) << 8) | u8(b, i + 3)
 
-  /** Sniff-and-parse: PNG first (unambiguous signature), then JPEG. */
+  /** Sniff-and-parse: PNG first (unambiguous signature), then JPEG,
+    * then GIF/BMP (fixed-offset headers). */
   def decode(b: Array[Byte]): Option[ImageMeta] =
     decodePng(b).orElse(decodeJpeg(b))
+      .orElse(decodeGif(b)).orElse(decodeBmp(b))
+
+  /** GIF87a/GIF89a: 6-byte signature, then logical-screen width/height
+    * as u16 LITTLE-endian (GIF is the one LE format here), then a
+    * packed byte whose low 3 bits encode color-table depth − 1. */
+  def decodeGif(b: Array[Byte]): Option[ImageMeta] = {
+    if (b == null || b.length < 11) return None
+    val sig = new String(b, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val w = (b(6) & 0xff) | ((b(7) & 0xff) << 8)
+    val h = (b(8) & 0xff) | ((b(9) & 0xff) << 8)
+    if (w == 0 || h == 0) return None
+    val depth = ((b(10) & 0x07) + 1) // bits per primary
+    Some(ImageMeta("gif", w, h, depth))
+  }
+
+  /** BMP (BITMAPINFOHEADER): 'BM', then width/height as SIGNED i32
+    * little-endian at offsets 18/22 (height may be negative = top-down
+    * rows; magnitude is the pixel height), bit count u16 at 28. */
+  def decodeBmp(b: Array[Byte]): Option[ImageMeta] = {
+    if (b == null || b.length < 30) return None
+    if (b(0) != 'B'.toByte || b(1) != 'M'.toByte) return None
+    def i32le(i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    val hdrSize = i32le(14)
+    if (hdrSize < 40) return None // BITMAPCOREHEADER etc. out of scope
+    val w = i32le(18)
+    val h = i32le(22)
+    val bits = (b(28) & 0xff) | ((b(29) & 0xff) << 8)
+    if (w <= 0 || h == 0) return None
+    Some(ImageMeta("bmp", w, math.abs(h), bits))
+  }
 
   def decodePng(b: Array[Byte]): Option[ImageMeta] = {
     if (b == null || b.length < 8) return None

@@ -87,6 +87,37 @@ class ImageHeadersSpec extends AnyFunSuite {
     assert(decode(encodePng(0, 10, 8, Array.emptyByteArray)).isEmpty)
   }
 
+  test("GIF87a/89a logical-screen descriptor decodes (little-endian)") {
+    // hand-built: signature + w=321 (0x41,0x01) + h=65 (0x41,0x00) +
+    // packed 0x91 (global table, depth bits 001 -> 2 bits/primary)
+    def gif(sig: String) = sig.getBytes("US-ASCII") ++
+      Array[Byte](0x41, 0x01, 0x41, 0x00, 0x91.toByte, 0, 0)
+    assert(decode(gif("GIF89a")).contains(ImageMeta("gif", 321, 65, 2)))
+    assert(decode(gif("GIF87a")).contains(ImageMeta("gif", 321, 65, 2)))
+    assert(decode(gif("GIF88a")).isEmpty)
+  }
+
+  test("BMP BITMAPINFOHEADER decodes; top-down (negative height) " +
+      "yields the magnitude") {
+    def bmp(w: Int, h: Int, bits: Int): Array[Byte] = {
+      val b = new Array[Byte](54)
+      b(0) = 'B'; b(1) = 'M'
+      def le32(i: Int, v: Int): Unit = {
+        b(i) = (v & 0xff).toByte; b(i + 1) = ((v >> 8) & 0xff).toByte
+        b(i + 2) = ((v >> 16) & 0xff).toByte
+        b(i + 3) = ((v >> 24) & 0xff).toByte
+      }
+      le32(14, 40); le32(18, w); le32(22, h)
+      b(28) = (bits & 0xff).toByte; b(29) = ((bits >> 8) & 0xff).toByte
+      b
+    }
+    assert(decode(bmp(1920, 1080, 24))
+      .contains(ImageMeta("bmp", 1920, 1080, 24)))
+    assert(decode(bmp(640, -480, 32))
+      .contains(ImageMeta("bmp", 640, 480, 32)))
+    assert(decode(bmp(0, 480, 24)).isEmpty)
+  }
+
   test("SOS before SOF (scan data with no frame header) is malformed") {
     val base = encodeJpeg(32, 16, 8, Array.emptyByteArray)
     val sofIdx = base.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
