@@ -31,8 +31,32 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object Materialize {
 
+  /** Internal frames a LAZY-returning operator hands to its result's
+    * owner (see [[adopt]]): freed when the caller frees the result.
+    * Weak keys — once the caller drops the result frame, the entry
+    * vanishes and the frames' RDD blocks become ContextCleaner-eligible
+    * (CacheManager entries then live until clearCache, the documented
+    * residual of the lazy variant). */
+  private val adopted = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[Dataset[_], Seq[Dataset[_]]]())
+
+  /** The LAZY variant of the contract, for operators where the eager
+    * final checkpoint measurably breaks the fused pipeline (PageRank:
+    * one action runs all rounds in one adaptive job; materializing the
+    * result first measured 2-3x slower end-to-end). The result frame
+    * stays lazy and still-pinned internals are REGISTERED against it:
+    * [[free]](result) releases them deterministically, and Verify/Bench
+    * style session hygiene (clearCache + unpersist-all) catches the
+    * rest. */
+  def adopt(owner: DataFrame, frames: Seq[Dataset[_]]): DataFrame = {
+    adopted.put(owner, frames)
+    owner
+  }
+
   /** Release every block backing `df`: its CacheManager entry (if it
-    * was `cache()`d) and any `localCheckpoint` RDDs in its plan.
+    * was `cache()`d), any `localCheckpoint` RDDs in its plan, and any
+    * [[adopt]]ed internal frames registered by the operator that
+    * produced it.
     *
     * CAVEAT: the plan walk frees LogicalRDD blocks found ANYWHERE in
     * `df`'s tree — only call this on a frame whose checkpointed inputs
@@ -46,6 +70,7 @@ object Materialize {
       case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
       case _ => ()
     } catch { case _: Throwable => () }
+    Option(adopted.remove(df)).foreach(_.foreach(free))
   }
 
   /** [[free]] over a batch, tolerating repeats. */

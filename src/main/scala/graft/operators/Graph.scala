@@ -47,10 +47,17 @@ object Graph {
     * the plan tree, and eager per-round materialization measured 5x
     * slower than letting rounds pipeline in one fused job (codegen +
     * ReusedExchange do the work). Every 5th round bounds plan depth and
-    * failure re-execution for deep iteration counts. Returns under the
-    * [[graft.engine.Materialize]] contract: the node-scale result is
-    * checkpoint-backed and owned by the caller; e2/nodes and superseded
-    * round checkpoints are freed before return. */
+    * failure re-execution for deep iteration counts.
+    *
+    * Hygiene: the LAZY [[graft.engine.Materialize.adopt]] variant, not
+    * the eager handoff — PageRank's defining perf property is that one
+    * caller action runs ALL rounds in one fused adaptive job, and the
+    * round-9 bench caught the eager final checkpoint costing 2-3x
+    * (q181 5.5s vs 1.9s median, retry-confirmed) before this was
+    * reverted. Superseded in-loop checkpoints are still freed at each
+    * checkpoint boundary; e2/nodes and the last checkpoint are
+    * registered against the returned frame — `Materialize.free(result)`
+    * releases them deterministically. */
   private def prLoop(edges: DataFrame, seedsOpt: Option[DataFrame],
       iters: Int, weightCol: Option[String] = None): DataFrame = {
     val s = edges.sparkSession
@@ -100,7 +107,7 @@ object Graph {
         superseded = List(e2, nodes, r)
       }
     }
-    Materialize.handoff(r, superseded)
+    Materialize.adopt(r, superseded)
   }
 
   /** Personalized PageRank: importance RELATIVE TO A SEED SET — the
