@@ -71,26 +71,31 @@ object Maintenance {
   // mergeable quantile state (the percentile sibling of q189's HLL)
   // ------------------------------------------------------------------
 
-  /** Per-key mergeable QUANTILE state of one batch: a dense fixed-grid
-    * histogram — `bins` bigint counters over the affine grid
-    * [lo, hi) / bins, out-of-domain values clamped to the edge bins.
-    * (k, st: array<bigint>[bins]).
+  /** Per-key mergeable QUANTILE state of one batch: a SPARSE fixed-grid
+    * histogram in long form — one (k, b, c) row per OCCUPIED bin of the
+    * affine grid [lo, hi) / bins, out-of-domain values clamped to the
+    * edge bins.
     *
-    * Why a fixed grid and not t-digest/KLL: the merge is EXACT
-    * element-wise addition — associative, commutative, batch-order
-    * independent (the module's f(A+B)=f(A)+f(B) law holds bit-for-bit,
-    * not just in expectation), and the whole estimator is deterministic,
-    * so the DuckDB oracle replays it exactly instead of pinning a
+    * Why a fixed grid and not t-digest/KLL: the merge is EXACT counter
+    * addition — associative, commutative, batch-order independent (the
+    * module's f(A+B)=f(A)+f(B) law holds bit-for-bit, not just in
+    * expectation), and the whole estimator is deterministic, so the
+    * DuckDB oracle replays it exactly instead of pinning a
     * probabilistic contract. The trade: accuracy is VALUE-resolution
     * (± half a bin width at the answer, see [[quantileFromState]])
     * rather than rank-resolution, and the caller must know the domain —
     * both acceptable for the monitoring/SLA percentiles this maintains,
     * where the domain is a business fact (price caps, latency ceilings).
     *
-    * Scale shape: one combiner-reduced (k, bin) count, then one per-key
-    * rollup to the dense array — state is bins×8 bytes per key
-    * (4 KB at 512 bins) however much history it summarizes; a refresh
-    * scans only the delta batch. */
+    * Why sparse long form and not a dense per-key array: state is
+    * bounded by min(values seen, bins) rows per key — a key with 15
+    * observations carries ≤15 rows, not a 4 KB 500-counter array. The
+    * dense form was measured 4x slower end-to-end on the q233
+    * incremental fold at sf1 (the state table was 97% zeros and its
+    * parquet writes dominated); worst case (all bins occupied) the
+    * long form degrades to the dense size. Scale shape: one
+    * combiner-reduced (k, bin) count per batch; a refresh scans only
+    * the delta batch. */
   def quantileState(batch: DataFrame, key: Column, value: Column,
       lo: Double, hi: Double, bins: Int): DataFrame = {
     require(bins >= 2 && hi > lo, "need bins >= 2 and hi > lo")
@@ -100,51 +105,39 @@ object Maintenance {
         least(greatest(floor((col("v") - lo) / wid), lit(0)), lit(bins - 1))
           .cast("int").as("b"))
       .groupBy(col("k"), col("b")).agg(count(lit(1)).as("c"))
-      .groupBy(col("k"))
-      .agg(collect_list(struct(col("b"), col("c"))).as("bc"))
-      .select(col("k"), expr(
-        s"""transform(sequence(0, ${bins - 1}),
-           |  i -> CAST(coalesce(element_at(map_from_entries(bc), i), 0)
-           |            AS BIGINT))""".stripMargin).as("st"))
   }
 
-  /** Fold quantile states: per-key element-wise vector add over however
-    * many state rows share a key — one shuffle of |state| rows, exact,
-    * order-independent. */
+  /** Fold quantile states: per-(key, bin) counter add over however many
+    * state rows share the cell — one combiner-reduced shuffle of
+    * |state| rows, exact, order-independent. */
   def mergeQuantileState(state: DataFrame, delta: DataFrame): DataFrame =
     state.unionByName(delta)
-      .groupBy(col("k"))
-      .agg(collect_list(col("st")).as("sts"))
-      .select(col("k"), expr(
-        s"""aggregate(sts, transform(element_at(sts, 1),
-           |                         x -> CAST(0 AS BIGINT)),
-           |  (acc, s) -> zip_with(acc, s, (p, q) -> p + q))""".stripMargin)
-        .as("st"))
+      .groupBy(col("k"), col("b")).agg(sum(col("c")).as("c"))
 
-  /** Discrete p-quantile estimate from quantile state: adds (n, q)
-    * columns — total count and the midpoint of the first bin whose
+  /** Discrete p-quantile estimate from quantile state: one row per key
+    * with (n, q) — total count and the midpoint of the first bin whose
     * cumulative count reaches ceil(p·n). The ceil(p·n)-th smallest
     * value lies INSIDE that bin, so |q − exact discrete quantile|
     * <= wid/2 for in-domain data — the pinned accuracy contract q231
-    * referees against the exact sorted-rank value. Row-local
-    * higher-order folds over |keys| state rows, never corpus rows. */
+    * referees against the exact sorted-rank value. One per-key rollup
+    * (≤ bins rows per key) + a row-local fold — never corpus rows. */
   def quantileFromState(state: DataFrame, p: Double, lo: Double,
       wid: Double): DataFrame =
     state
+      .groupBy(col("k"))
+      .agg(sort_array(collect_list(struct(col("b"), col("c")))).as("bc"))
       .withColumn("n",
-        expr("aggregate(st, CAST(0 AS BIGINT), (a, b) -> a + b)"))
+        expr("aggregate(bc, CAST(0 AS BIGINT), (a, x) -> a + x.c)"))
       .withColumn("_t", ceil(lit(p) * col("n")).cast("long"))
       .withColumn("_idx", expr(
-        """aggregate(
-          |  zip_with(st, sequence(0, size(st) - 1),
-          |           (c, i) -> struct(c AS c, i AS i)),
+        """aggregate(bc,
           |  struct(CAST(0 AS BIGINT) AS cum, -1 AS idx),
           |  (acc, x) -> IF(acc.idx >= 0, acc,
           |    named_struct('cum', acc.cum + x.c,
-          |      'idx', IF(acc.cum + x.c >= _t, x.i, -1))),
+          |      'idx', IF(acc.cum + x.c >= _t, x.b, -1))),
           |  acc -> acc.idx)""".stripMargin))
       .withColumn("q", lit(lo) + (col("_idx") + lit(0.5d)) * lit(wid))
-      .drop("_t", "_idx")
+      .drop("bc", "_t", "_idx")
 
   // ------------------------------------------------------------------
   // retraction (signed-delta) maintenance

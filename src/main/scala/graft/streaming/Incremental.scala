@@ -98,12 +98,14 @@ final class IncrementalAgg(
   * fixed-grid quantile state (q231,
   * [[graft.operators.Maintenance.quantileState]]). Same machinery —
   * streaming file source (checkpoint = the seen-set, exactly-once),
-  * per-batch partial state, exact element-wise merge into a versioned
-  * state table behind an atomic pointer — but the state row is a dense
-  * bin histogram, so ANY percentile is answerable from state alone,
-  * within the pinned half-bin-width contract, without ever re-reading
-  * history. State size: |keys| × bins × 8 bytes, however much history
-  * arrived. */
+  * per-batch partial state, exact counter-add merge into a versioned
+  * state table behind an atomic pointer — but the state is a sparse
+  * (key, bin, count) histogram, so ANY percentile is answerable from
+  * state alone, within the pinned half-bin-width contract, without
+  * ever re-reading history. State size: one row per OCCUPIED
+  * (key, bin) cell — min(values seen, bins) per key, however much
+  * history arrived (the dense-array form was measured 4x slower on
+  * the sf1 fold: 97% zeros, parquet writes dominated). */
 final class IncrementalQuantile(
     spark: SparkSession,
     inputDir: String,

@@ -73,8 +73,8 @@ class SketchSpec extends SparkSpec {
     val mergedFwd = batches.reduce(Maintenance.mergeQuantileState)
     val mergedRev = batches.reverse.reduce(Maintenance.mergeQuantileState)
     def rows(s: org.apache.spark.sql.DataFrame) =
-      s.orderBy($"k").collect()
-        .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+      s.orderBy($"k", $"b").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
     val w = rows(whole)
     assert(rows(mergedFwd) == w, "forward merge != whole-table state")
     assert(rows(mergedRev) == w, "reverse merge != whole-table state")
@@ -108,11 +108,11 @@ class SketchSpec extends SparkSpec {
     Maintenance.quantileState(df, col("k"), col("v"), lo, hi, bins)
       .write.parquet(dir)
     val st = spark.read.parquet(dir).collect()
-    assert(st.length == 1)
-    val arr = st(0).getSeq[Long](1)
-    assert(arr.length == bins)
-    assert(arr.head == 2L, "below-domain value must clamp into bin 0")
-    assert(arr.last == 2L, "above-domain value must clamp into last bin")
-    assert(arr.sum == 4L)
+      .map(r => (r.getInt(1), r.getLong(2))).toMap
+    // sparse long form: only occupied bins carry rows
+    assert(st.size == 2, s"expected 2 occupied bins, got $st")
+    assert(st(0) == 2L, "below-domain value must clamp into bin 0")
+    assert(st(bins - 1) == 2L, "above-domain value must clamp into last bin")
+    assert(st.values.sum == 4L)
   }
 }
