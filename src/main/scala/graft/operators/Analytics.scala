@@ -308,11 +308,13 @@ object Analytics {
       .withColumn("n_approx",
         expr("hll_sketch_estimate(_u)").cast("long"))
       .select($"day", $"n_approx")
-    slidingDistinctFrom(dayKey, windowDays)
-      .join(approx, "day")
-      .select($"day", $"n_active",
-        (abs($"n_approx" - $"n_active") <=
-          $"n_active".cast("double") * 0.05).as("hll_ok"))
+    graft.engine.Materialize.adopt(
+      slidingDistinctFrom(dayKey, windowDays)
+        .join(approx, "day")
+        .select($"day", $"n_active",
+          (abs($"n_approx" - $"n_active") <=
+            $"n_active".cast("double") * 0.05).as("hll_ok")),
+      Seq(dayKey))
   }
 
   /** Multi-touch attribution: credit each conversion's value to a

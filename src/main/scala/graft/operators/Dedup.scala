@@ -33,22 +33,25 @@ import graft.functions.CosineSimilarity
   *    blowup).
   *
   * Cache lifecycle: the `.cache()` calls in this module pin the shared
-  * self-join inputs (shingle/signature frames) for the LIFETIME OF THE
-  * SESSION unless the caller releases them — a deliberate trade. These
-  * operators return lazy DataFrames, so there is no completion point
-  * inside the operator at which unpersist would be safe (the caller may
-  * not have run an action yet, and unpersisting after one action would
-  * silently recompute on the next). Callers owning a session loop
-  * release them wholesale (`spark.catalog.clearCache()` — what
-  * `graft.Verify` does between queries) or individually after their
-  * terminal action. All caches here are MEMORY_AND_DISK: at corpus scale
-  * they spill rather than OOM.
+  * self-join inputs (shingle/signature frames); the operators return
+  * LAZY frames (no completion point inside the operator at which
+  * unpersist would be safe — the caller may not have run an action
+  * yet), so every internal cache is REGISTERED against the returned
+  * frame via [[graft.engine.Materialize.adopt]]: when the caller is
+  * done, `Materialize.free(result)` releases the whole chain
+  * deterministically (composed operators adopt their inner results, so
+  * ownership chains transitively). Callers owning a session loop may
+  * still release wholesale (`spark.catalog.clearCache()` — what
+  * `graft.Verify` does between queries). All caches here are
+  * MEMORY_AND_DISK: at corpus scale they spill rather than OOM, and
+  * identical-lineage caches (e.g. [[hashedShingles]] over the same
+  * input) still share ONE materialization through the CacheManager —
+  * free() of one owner then simply lets the next operator repopulate.
   *
-  * Exception: [[connectedComponents]] is a LOOP operator and follows the
-  * [[graft.engine.Materialize]] contract instead — its result is already
-  * eagerly checkpointed when returned, so there IS a safe completion
-  * point, and every internal frame (edge checkpoints, superseded round
-  * labels) is freed before return.
+  * [[connectedComponents]] is a LOOP operator and follows the EAGER
+  * Materialize contract instead — its result is checkpoint-backed when
+  * returned and every internal frame (edge checkpoints, superseded
+  * round labels) is freed before return.
   */
 object Dedup {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
@@ -142,14 +145,16 @@ object Dedup {
       .cache()
     val a = sh.toDF("id1", "hs", "n1")
     val b = sh.toDF("id2", "hs", "n2")
-    a.join(b, a("hs") === b("hs") && a("id1") < b("id2"))
-      .groupBy($"id1", $"id2")
-      .agg(count(lit(1)).as("inter"),
-        first($"n1").as("n1"), first($"n2").as("n2"))
-      .withColumn("jaccard",
-        round($"inter" / ($"n1" + $"n2" - $"inter"), 4))
-      .filter($"jaccard" >= threshold)
-      .select($"id1", $"id2", $"jaccard")
+    Materialize.adopt(
+      a.join(b, a("hs") === b("hs") && a("id1") < b("id2"))
+        .groupBy($"id1", $"id2")
+        .agg(count(lit(1)).as("inter"),
+          first($"n1").as("n1"), first($"n2").as("n2"))
+        .withColumn("jaccard",
+          round($"inter" / ($"n1" + $"n2" - $"inter"), 4))
+        .filter($"jaccard" >= threshold)
+        .select($"id1", $"id2", $"jaccard"),
+      Seq(sh))
   }
 
   /** Hashed shingle rows (doc_id, hs 60-bit, h30 30-bit) — the one
@@ -232,16 +237,20 @@ object Dedup {
     // (id2, hs) keeps exactly the shared shingles) — same array-free
     // verify as jaccardPrefixPairs; pairs with zero overlap drop out of
     // the inner join, which any threshold > 0 discards anyway
-    cand
-      .join(exCand.select($"doc_id".as("id1"), $"hs", $"n".as("n1")), Seq("id1"))
-      .join(exCand.select($"doc_id".as("id2"), $"hs", $"n".as("n2")), Seq("id2", "hs"))
-      .groupBy($"id1", $"id2")
-      .agg(first($"n1").as("n1"), first($"n2").as("n2"),
-        count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        round($"inter" / ($"n1" + $"n2" - $"inter"), 4))
-      .filter($"jaccard" >= threshold)
-      .select($"id1", $"id2", $"jaccard")
+    Materialize.adopt(
+      cand
+        .join(exCand.select($"doc_id".as("id1"), $"hs", $"n".as("n1")),
+          Seq("id1"))
+        .join(exCand.select($"doc_id".as("id2"), $"hs", $"n".as("n2")),
+          Seq("id2", "hs"))
+        .groupBy($"id1", $"id2")
+        .agg(first($"n1").as("n1"), first($"n2").as("n2"),
+          count(lit(1)).as("inter"))
+        .withColumn("jaccard",
+          round($"inter" / ($"n1" + $"n2" - $"inter"), 4))
+        .filter($"jaccard" >= threshold)
+        .select($"id1", $"id2", $"jaccard"),
+      Seq(ex, banded, cand, exCand))
   }
 
   /** 32-bit SimHash fingerprint per doc, token multiplicity as weight:
@@ -302,13 +311,15 @@ object Dedup {
           .filter($"_f" <= cap).drop("_f")
       case None => all
     }).cache()
-    banded.toDF("id1", "sh1", "band", "bk")
-      .join(banded.toDF("id2", "sh2", "band", "bk"), Seq("band", "bk"))
-      .filter($"id1" < $"id2")
-      .select($"id1", $"id2", $"sh1", $"sh2").distinct()
-      .withColumn("hamming", expr("bit_count(sh1 ^ sh2)").cast("long"))
-      .filter($"hamming" <= maxHamming)
-      .select($"id1", $"id2", $"hamming")
+    Materialize.adopt(
+      banded.toDF("id1", "sh1", "band", "bk")
+        .join(banded.toDF("id2", "sh2", "band", "bk"), Seq("band", "bk"))
+        .filter($"id1" < $"id2")
+        .select($"id1", $"id2", $"sh1", $"sh2").distinct()
+        .withColumn("hamming", expr("bit_count(sh1 ^ sh2)").cast("long"))
+        .filter($"hamming" <= maxHamming)
+        .select($"id1", $"id2", $"hamming"),
+      Seq(banded))
   }
 
   /** 64-bit SimHash fingerprint per doc as FOUR 16-bit band values
@@ -372,17 +383,19 @@ object Dedup {
           .filter($"_f" <= cap).drop("_f")
       case None => all
     }).cache()
-    banded.toDF("id1", "a0", "a1", "a2", "a3", "band", "bk")
-      .join(banded.toDF("id2", "c0", "c1", "c2", "c3", "band", "bk"),
-        Seq("band", "bk"))
-      .filter($"id1" < $"id2")
-      .select($"id1", $"id2", $"a0", $"a1", $"a2", $"a3",
-        $"c0", $"c1", $"c2", $"c3").distinct()
-      .withColumn("hamming",
-        expr("bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
-          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)").cast("long"))
-      .filter($"hamming" <= maxHamming)
-      .select($"id1", $"id2", $"hamming")
+    Materialize.adopt(
+      banded.toDF("id1", "a0", "a1", "a2", "a3", "band", "bk")
+        .join(banded.toDF("id2", "c0", "c1", "c2", "c3", "band", "bk"),
+          Seq("band", "bk"))
+        .filter($"id1" < $"id2")
+        .select($"id1", $"id2", $"a0", $"a1", $"a2", $"a3",
+          $"c0", $"c1", $"c2", $"c3").distinct()
+        .withColumn("hamming",
+          expr("bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+            "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)").cast("long"))
+        .filter($"hamming" <= maxHamming)
+        .select($"id1", $"id2", $"hamming"),
+      Seq(banded))
   }
 
   /** Embedding near-dup pairs (cosine >= threshold, 4dp) via the native
@@ -446,12 +459,14 @@ object Dedup {
       .filter($"id1" < $"id2")
       .select($"id1", $"id2").distinct()
     val vecs = embeddings.select($"vec_id", $"embedding")
-    cand
-      .join(vecs.toDF("id1", "v1"), "id1")
-      .join(vecs.toDF("id2", "v2"), "id2")
-      .withColumn("cosine", round(expr("cosine_sim(v1, v2)"), 4))
-      .filter($"cosine" >= threshold)
-      .select($"id1", $"id2", $"cosine")
+    Materialize.adopt(
+      cand
+        .join(vecs.toDF("id1", "v1"), "id1")
+        .join(vecs.toDF("id2", "v2"), "id2")
+        .withColumn("cosine", round(expr("cosine_sim(v1, v2)"), 4))
+        .filter($"cosine" >= threshold)
+        .select($"id1", $"id2", $"cosine"),
+      Seq(banded))
   }
 
   /** SemDeDup-style semantic dedup (cluster-then-prune, Abbas et al.
@@ -500,8 +515,10 @@ object Dedup {
       .withColumn("cosine", round(expr("cosine_sim(v1, v2)"), 4))
       .filter($"cosine" >= threshold)
       .select($"id2".as("vec_id")).distinct()
-    assigned.join(dropped, Seq("vec_id"), "left_anti")
-      .select($"vec_id", $"cell")
+    Materialize.adopt(
+      assigned.join(dropped, Seq("vec_id"), "left_anti")
+        .select($"vec_id", $"cell"),
+      Seq(assigned))
   }
 
   /** Exact n-gram-Jaccard near-dup pairs via PPJoin-style prefix
@@ -608,14 +625,16 @@ object Dedup {
     // re-agg. (Arrays are per-DOC, bounded by document length — this is
     // not the per-PAIR collect_list blowup jaccardPairs avoids.)
     val docArr = base.groupBy($"doc_id").agg(collect_list($"hs").as("arr"))
-    cand
-      .join(docArr.toDF("id1", "arr1"), Seq("id1"))
-      .join(docArr.toDF("id2", "arr2"), Seq("id2"))
-      .withColumn("inter", size(array_intersect($"arr1", $"arr2")))
-      .withColumn("jaccard",
-        round($"inter" / ($"n1" + $"n2" - $"inter"), 4))
-      .filter($"jaccard" >= threshold)
-      .select($"id1", $"id2", $"jaccard")
+    Materialize.adopt(
+      cand
+        .join(docArr.toDF("id1", "arr1"), Seq("id1"))
+        .join(docArr.toDF("id2", "arr2"), Seq("id2"))
+        .withColumn("inter", size(array_intersect($"arr1", $"arr2")))
+        .withColumn("jaccard",
+          round($"inter" / ($"n1" + $"n2" - $"inter"), 4))
+        .filter($"jaccard" >= threshold)
+        .select($"id1", $"id2", $"jaccard"),
+      Seq(base, cand))
   }
 
   /** Connected components over an undirected (id1, id2) edge list:
@@ -649,14 +668,16 @@ object Dedup {
         Window.partitionBy($"comp").orderBy($"_c".desc, col(attr).asc)))
       .filter($"_rn" === 1)
       .select($"comp", col(attr).as(s"best_$attr"))
-    members.groupBy($"comp")
-      .agg(min($"doc_id").as("canonical_id"),
-        max($"n_chars").as("max_chars"),
-        count(lit(1)).as("members"))
-      .join(pick("source"), "comp")
-      .join(pick("lang"), "comp")
-      .select($"comp".as("component"), $"canonical_id",
-        $"best_source", $"best_lang", $"max_chars", $"members")
+    Materialize.adopt(
+      members.groupBy($"comp")
+        .agg(min($"doc_id").as("canonical_id"),
+          max($"n_chars").as("max_chars"),
+          count(lit(1)).as("members"))
+        .join(pick("source"), "comp")
+        .join(pick("lang"), "comp")
+        .select($"comp".as("component"), $"canonical_id",
+          $"best_source", $"best_lang", $"max_chars", $"members"),
+      Seq(members))
   }
 
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
@@ -747,13 +768,16 @@ object Dedup {
       .cache()
     val a = base.toDF("src", "hs", "n_src")
     val b = base.select($"doc_id".as("dst"), $"hs")
-    a.join(b, Seq("hs"))
-      .filter($"src" =!= $"dst")
-      .groupBy($"src", $"dst")
-      .agg(count(lit(1)).as("inter"), first($"n_src").as("n_src"))
-      .withColumn("containment", round($"inter" / $"n_src".cast("double"), 4))
-      .filter($"containment" >= threshold)
-      .select($"src", $"dst", $"containment")
+    Materialize.adopt(
+      a.join(b, Seq("hs"))
+        .filter($"src" =!= $"dst")
+        .groupBy($"src", $"dst")
+        .agg(count(lit(1)).as("inter"), first($"n_src").as("n_src"))
+        .withColumn("containment",
+          round($"inter" / $"n_src".cast("double"), 4))
+        .filter($"containment" >= threshold)
+        .select($"src", $"dst", $"containment"),
+      Seq(base))
   }
 
   /** Exact containment pairs via prefix filtering — the same output
@@ -827,13 +851,16 @@ object Dedup {
       .filter($"ev" >= qEff($"n1"))
       .select($"src", $"dst", $"n1").cache()
     val docArr = base.groupBy($"doc_id").agg(collect_list($"hs").as("arr"))
-    cand
-      .join(docArr.toDF("src", "arr1"), Seq("src"))
-      .join(docArr.toDF("dst", "arr2"), Seq("dst"))
-      .withColumn("inter", size(array_intersect($"arr1", $"arr2")))
-      .withColumn("containment", round($"inter" / $"n1".cast("double"), 4))
-      .filter($"containment" >= threshold)
-      .select($"src", $"dst", $"containment")
+    Materialize.adopt(
+      cand
+        .join(docArr.toDF("src", "arr1"), Seq("src"))
+        .join(docArr.toDF("dst", "arr2"), Seq("dst"))
+        .withColumn("inter", size(array_intersect($"arr1", $"arr2")))
+        .withColumn("containment",
+          round($"inter" / $"n1".cast("double"), 4))
+        .filter($"containment" >= threshold)
+        .select($"src", $"dst", $"containment"),
+      Seq(base, ordered, cand))
   }
 
   /** Boilerplate n-gram mining: the shingles shared by at least `minDf`
@@ -894,9 +921,11 @@ object Dedup {
     * and a deterministic subset otherwise). Anti-join = one shuffle of
     * the pair ids, corpus side untouched. */
   def dropNearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {
-    val dupIds = minhashLshPairs(docs, threshold)
-      .select(col("id2").as("doc_id")).distinct()
-    docs.join(dupIds, Seq("doc_id"), "left_anti")
+    val pairs = minhashLshPairs(docs, threshold)
+    Materialize.adopt(
+      docs.join(pairs.select(col("id2").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti"),
+      Seq(pairs)) // chains the inner operator's adopted caches
   }
 
   /** MinHash band-key index of a corpus: distinct (band, bk) — the
@@ -941,15 +970,20 @@ object Dedup {
     import s.implicits._
     // same lineage as minhashLshPairs' internal frames → the CacheManager
     // shares one materialization of the shingle/band passes
-    val newBands = bandKeys(hashedShingles(newDocs).cache()).cache()
+    val newHashed = hashedShingles(newDocs).cache()
+    val newBands = bandKeys(newHashed).cache()
     val crossDropped = newBands
       .join(seenBands.select($"band", $"bk"), Seq("band", "bk"), "left_semi")
       .select($"doc_id").distinct()
-    val inBatchDropped = minhashLshPairs(newDocs, threshold)
-      .select($"id2".as("doc_id")).distinct()
-    newDocs
-      .join(crossDropped.union(inBatchDropped).distinct(),
-        Seq("doc_id"), "left_anti")
+    // adopting the inner operator's RESULT frame chains ownership: its
+    // own adopted caches free transitively with this operator's
+    val pairs = minhashLshPairs(newDocs, threshold)
+    val inBatchDropped = pairs.select($"id2".as("doc_id")).distinct()
+    Materialize.adopt(
+      newDocs
+        .join(crossDropped.union(inBatchDropped).distinct(),
+          Seq("doc_id"), "left_anti"),
+      Seq(newHashed, newBands, pairs))
   }
 
   /** Exact duplicated-span REMOVAL — substring-level dedup (Lee et al.,
@@ -998,19 +1032,22 @@ object Dedup {
     val starts = wins.join(dup, Seq("h"), "left_semi")
       .groupBy($"doc_id")
       .agg(collect_set($"start").as("starts"))
-    toks.join(starts, Seq("doc_id"), "left")
-      // token at 1-based position p survives unless some duplicated
-      // window start s covers it: s <= p < s + w
-      .withColumn("kept",
-        expr(s"""transform(
-                   filter(transform(ts, (t, i) -> struct(t AS t, i + 1 AS p)),
-                          x -> starts IS NULL OR
-                               NOT exists(starts, s -> x.p >= s AND x.p < s + $w)),
-                   x -> x.t)"""))
-      .select($"doc_id",
-        array_join($"kept", " ").as("clean_text"),
-        (org.apache.spark.sql.functions.size($"ts") -
-          org.apache.spark.sql.functions.size($"kept")).cast("long").as("n_dropped"))
+    Materialize.adopt(
+      toks.join(starts, Seq("doc_id"), "left")
+        // token at 1-based position p survives unless some duplicated
+        // window start s covers it: s <= p < s + w
+        .withColumn("kept",
+          expr(s"""transform(
+                     filter(transform(ts, (t, i) -> struct(t AS t, i + 1 AS p)),
+                            x -> starts IS NULL OR
+                                 NOT exists(starts, s -> x.p >= s AND x.p < s + $w)),
+                     x -> x.t)"""))
+        .select($"doc_id",
+          array_join($"kept", " ").as("clean_text"),
+          (org.apache.spark.sql.functions.size($"ts") -
+            org.apache.spark.sql.functions.size($"kept")).cast("long")
+            .as("n_dropped")),
+      Seq(wins))
   }
 
   // ------------------------------------------------------------------

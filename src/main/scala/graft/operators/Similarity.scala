@@ -279,7 +279,9 @@ object Similarity {
         .agg(expr("transform(array_sort(collect_list(struct(pos, cj))), p -> p.cj)")
           .as("ce"))
     }
-    assign(cents).select($"vec_id", $"cid".as("cluster"))
+    Materialize.adopt(
+      assign(cents).select($"vec_id", $"cid".as("cluster")),
+      Seq(v))
   }
 
   /** Product quantization (Jégou et al., "Product Quantization for
@@ -394,8 +396,10 @@ object Similarity {
       .select($"pid", $"vec_id")
     val hits = exact.join(adc, Seq("pid", "vec_id"))
       .groupBy($"pid").agg(count(lit(1)).as("nhit"))
-    probeV.select($"pid").join(hits, Seq("pid"), "left")
-      .select($"pid", coalesce($"nhit", lit(0L)).as("n_hits"))
+    Materialize.adopt(
+      probeV.select($"pid").join(hits, Seq("pid"), "left")
+        .select($"pid", coalesce($"nhit", lit(0L)).as("n_hits")),
+      Seq(v, sv))
   }
 
   // ------------------------------------------------------------------

@@ -95,22 +95,23 @@ object SkewJoin {
 
   def keySkewProfile(df: DataFrame, keyCol: String, topK: Int = 20): DataFrame = {
     // per-key counts feed BOTH the global stats and the top-k: cache the
-    // |keys|-sized frame (spills if huge) rather than scanning df twice.
-    // Session-lifetime pin by design — the operator is lazy, so there is
-    // no safe in-operator unpersist point; callers release via
-    // spark.catalog.clearCache() or unpersist after their terminal action
+    // |keys|-sized frame (spills if huge) rather than scanning df twice;
+    // the cache is adopted by the returned frame — Materialize.free
+    // releases it, session hygiene (clearCache) catches the rest
     val counts = df.groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("cnt"))
       .cache()
     val stats = counts.agg(sum(col("cnt")).as("total"),
       count(lit(1)).as("nkeys"))
-    counts.crossJoin(broadcast(stats))
-      .select(col("key"), col("cnt"),
-        round(col("cnt") / col("total").cast("double"), 6).as("share"),
-        round(col("cnt") * col("nkeys") / col("total").cast("double"), 4)
-          .as("skew_x"))
-      .orderBy(col("cnt").desc, col("key"))
-      .limit(topK)
+    graft.engine.Materialize.adopt(
+      counts.crossJoin(broadcast(stats))
+        .select(col("key"), col("cnt"),
+          round(col("cnt") / col("total").cast("double"), 6).as("share"),
+          round(col("cnt") * col("nkeys") / col("total").cast("double"), 4)
+            .as("skew_x"))
+        .orderBy(col("cnt").desc, col("key"))
+        .limit(topK),
+      Seq(counts))
   }
 
   // ------------------------------------------------------------------

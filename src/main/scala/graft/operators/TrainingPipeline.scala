@@ -307,16 +307,18 @@ object TrainingPipeline {
     val perSource = sl.groupBy($"source").agg(sum($"nsl").as("ns"))
     val corpus = sl.groupBy($"lang").agg(sum($"nsl").as("nl"))
     val total = sl.agg(sum($"nsl").as("n"))
-    sl.join(broadcast(perSource), "source")
-      .join(broadcast(corpus), "lang")
-      .crossJoin(broadcast(total))
-      .withColumn("p", $"nsl".cast("double") / $"ns")
-      .withColumn("q", $"nl".cast("double") / $"n")
-      .groupBy($"source")
-      .agg(
-        max($"ns").as("n_docs"),
-        round(-sum($"p" * log($"p")), 4).as("lang_entropy"),
-        round(sum($"p" * log($"p" / $"q")), 4).as("kl_vs_corpus"))
+    graft.engine.Materialize.adopt(
+      sl.join(broadcast(perSource), "source")
+        .join(broadcast(corpus), "lang")
+        .crossJoin(broadcast(total))
+        .withColumn("p", $"nsl".cast("double") / $"ns")
+        .withColumn("q", $"nl".cast("double") / $"n")
+        .groupBy($"source")
+        .agg(
+          max($"ns").as("n_docs"),
+          round(-sum($"p" * log($"p")), 4).as("lang_entropy"),
+          round(sum($"p" * log($"p" / $"q")), 4).as("kl_vs_corpus")),
+      Seq(sl))
   }
 
   // ------------------------------------------------------------------

@@ -132,6 +132,38 @@ class CacheHygieneSpec extends SparkSpec {
         minSupport = 1L))
   }
 
+  test("minhashLshPairs: free(result) releases the adopted shingle/" +
+      "band/candidate caches") {
+    assertClean("minhashLshPairs")(
+      Dedup.minhashLshPairs(docs, threshold = 0.5))
+  }
+
+  test("jaccardPrefixPairs adopted caches release via free(result)") {
+    assertClean("jaccardPrefixPairs")(
+      Dedup.jaccardPrefixPairs(docs, threshold = 0.5))
+  }
+
+  test("simhashPairs / containmentPairs / spanDedup are adopt-hygienic") {
+    assertClean("simhashPairs")(Dedup.simhashPairs(docs))
+    assertClean("containmentPairs")(Dedup.containmentPairs(docs, 0.6))
+    assertClean("spanDedup")(Dedup.spanDedup(docs, w = 3))
+  }
+
+  test("dropNearDuplicates chains the inner operator's adopted caches") {
+    assertClean("dropNearDuplicates")(
+      Dedup.dropNearDuplicates(docs, threshold = 0.5))
+  }
+
+  test("kmeansClusters adopted vector cache releases via free(result)") {
+    assertClean("kmeansClusters")(
+      Similarity.kmeansClusters(vecs, k = 3, iters = 2))
+  }
+
+  test("keySkewProfile adopted counts cache releases via free(result)") {
+    assertClean("keySkewProfile")(
+      SkewJoin.keySkewProfile(edges, "src"))
+  }
+
   test("bpeMerges frees every round frame including mid-loop checkpoints") {
     val sc = spark.sparkContext
     spark.catalog.clearCache()
