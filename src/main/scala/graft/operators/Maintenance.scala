@@ -107,6 +107,24 @@ object Maintenance {
       .groupBy(col("k"), col("b")).agg(count(lit(1)).as("c"))
   }
 
+  /** [[quantileState]] with WEIGHTED observations: each row contributes
+    * `weight` to its bin instead of 1 — the token-weighted length
+    * profile ("the median TOKEN sits in a doc of length X"), latency
+    * weighted by request count, spend-weighted price bands. Weights
+    * must be non-negative integers; the merge stays the same exact
+    * counter add, so weighted and unweighted states share
+    * [[mergeQuantileState]]/[[quantileFromState]]/[[quantilesFromState]]. */
+  def weightedQuantileState(batch: DataFrame, key: Column, value: Column,
+      weight: Column, lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 2 && hi > lo, "need bins >= 2 and hi > lo")
+    val wid = (hi - lo) / bins
+    batch.select(key.as("k"), value.as("v"), weight.cast("long").as("w"))
+      .select(col("k"), col("w"),
+        least(greatest(floor((col("v") - lo) / wid), lit(0)), lit(bins - 1))
+          .cast("int").as("b"))
+      .groupBy(col("k"), col("b")).agg(sum(col("w")).as("c"))
+  }
+
   /** Fold quantile states: per-(key, bin) counter add over however many
     * state rows share the cell — one combiner-reduced shuffle of
     * |state| rows, exact, order-independent. */
@@ -138,6 +156,38 @@ object Maintenance {
           |  acc -> acc.idx)""".stripMargin))
       .withColumn("q", lit(lo) + (col("_idx") + lit(0.5d)) * lit(wid))
       .drop("bc", "_t", "_idx")
+
+  /** Multi-percentile read from ONE state pass — the SLA-dashboard
+    * shape (p50/p90/p99 per key without re-aggregating per p): one
+    * per-key rollup of the sparse cells, then one row-local fold PER
+    * requested percentile over the same sorted (bin, count) list.
+    * Output: (k, n, p, q) — one row per key × percentile, same half-
+    * bin-width contract per row as [[quantileFromState]]. */
+  def quantilesFromState(state: DataFrame, ps: Seq[Double], lo: Double,
+      wid: Double): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      "percentiles must be in (0, 1]")
+    val folded = state.groupBy(col("k"))
+      .agg(sort_array(collect_list(struct(col("b"), col("c")))).as("bc"))
+      .withColumn("n",
+        expr("aggregate(bc, CAST(0 AS BIGINT), (a, x) -> a + x.c)"))
+    val qStructs = ps.map { p =>
+      val idx = expr(
+        s"""aggregate(bc,
+           |  struct(CAST(0 AS BIGINT) AS cum, -1 AS idx),
+           |  (acc, x) -> IF(acc.idx >= 0, acc,
+           |    named_struct('cum', acc.cum + x.c,
+           |      'idx', IF(acc.cum + x.c >= CAST(ceil($p * n) AS BIGINT),
+           |                x.b, -1))),
+           |  acc -> acc.idx)""".stripMargin)
+      struct(lit(p).as("p"),
+        (lit(lo) + (idx + lit(0.5d)) * lit(wid)).as("q"))
+    }
+    folded
+      .select(col("k"), col("n"),
+        explode(array(qStructs: _*)).as("pq"))
+      .select(col("k"), col("n"), col("pq.p").as("p"), col("pq.q").as("q"))
+  }
 
   // ------------------------------------------------------------------
   // retraction (signed-delta) maintenance
@@ -379,6 +429,56 @@ object Maintenance {
         JOIN pick ON tot.k = pick.k
         JOIN ex ON tot.k = ex.k
         ORDER BY o_custkey""")),
+
+    // token-WEIGHTED percentile sweep per language — "the median TOKEN
+    // sits in a doc of length X" length profile a data-mixing pipeline
+    // reads at p50/p90/p99, all three from ONE state pass (per-key fold
+    // per percentile over the same sparse cells). Deterministic bin
+    // math: the oracle replays weights, cums, and all three picks.
+    QueryDef(
+      "q234_weighted_quantile_sweep",
+      (s, dir) => {
+        import s.implicits._
+        val (lo, hi, bins) = (0.0, 1000.0, 200)
+        val st = weightedQuantileState(
+          t(s, dir, "documents"),
+          $"lang", $"n_chars".cast("double"),
+          size(expr("filter(split(text, ' '), x -> x != '')")).cast("long"),
+          lo, hi, bins)
+        quantilesFromState(st, Seq(0.5, 0.9, 0.99), lo, (hi - lo) / bins)
+          .select($"k".as("lang"), $"n".as("n_tokens"),
+            $"p", round($"q", 4).as("est"))
+          .orderBy($"lang", $"p")
+      },
+      Some("""
+        WITH v AS (
+          SELECT lang AS k, CAST(n_chars AS DOUBLE) AS v,
+                 CAST(len(list_filter(string_split(text, ' '),
+                          x -> x <> '')) AS BIGINT) AS w
+          FROM documents),
+        b AS (SELECT k, w,
+                     LEAST(GREATEST(CAST(floor(v / 5.0) AS INT), 0), 199)
+                       AS b
+              FROM v),
+        cnt AS (SELECT k, b, CAST(sum(w) AS BIGINT) AS c
+                FROM b GROUP BY k, b),
+        tot AS (SELECT k, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY k),
+        cum AS (SELECT k, b, sum(c) OVER (PARTITION BY k ORDER BY b) AS cum
+                FROM cnt),
+        ps(p) AS (VALUES (0.5), (0.9), (0.99)),
+        pick AS (SELECT cum.k, ps.p, min(cum.b) AS idx
+                 FROM cum
+                 JOIN tot ON cum.k = tot.k
+                 CROSS JOIN ps
+                 WHERE cum.cum >= ceil(ps.p * tot.n)
+                 GROUP BY cum.k, ps.p)
+        SELECT tot.k AS lang,
+               tot.n AS n_tokens,
+               CAST(pick.p AS DOUBLE) AS p,
+               round(CAST((pick.idx + 0.5) * 5.0 AS DOUBLE), 4) AS est
+        FROM tot
+        JOIN pick ON tot.k = pick.k
+        ORDER BY lang, p""")),
 
     // q182 with deletes: 1998's orders are retracted after the fact;
     // count/sum retract exactly, min/max repair re-scans ONLY the keys

@@ -97,6 +97,37 @@ class SketchSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("weighted quantile state == unweighted state of weight-expanded " +
+      "rows; the sweep agrees with single-p reads") {
+    import spark.implicits._
+    val (lo, hi, bins) = (0.0, 100.0, 50)
+    val wid = (hi - lo) / bins
+    val rows = Seq((1L, 10.0, 3L), (1L, 55.0, 1L), (1L, 80.0, 2L),
+      (2L, 5.0, 5L), (2L, 95.0, 1L))
+    val weighted = Maintenance.weightedQuantileState(
+      rows.toDF("k", "v", "w"), col("k"), col("v"), col("w"), lo, hi, bins)
+    val expanded = Maintenance.quantileState(
+      rows.flatMap { case (k, v, w) => Seq.fill(w.toInt)((k, v)) }
+        .toDF("k", "v"), col("k"), col("v"), lo, hi, bins)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"k", $"b").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(cells(weighted) == cells(expanded),
+      "weight w must equal w repeated unit observations, cell for cell")
+    // sweep vs single-p: identical (k, p) -> q
+    val sweep = Maintenance
+      .quantilesFromState(weighted, Seq(0.5, 0.9), lo, wid)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)) -> r.getDouble(3))
+      .toMap
+    for (p <- Seq(0.5, 0.9)) {
+      Maintenance.quantileFromState(weighted, p, lo, wid)
+        .collect().foreach { r =>
+          assert(sweep((r.getLong(0), p)) == r.getDouble(2),
+            s"sweep and single-p read disagree at p=$p")
+        }
+    }
+  }
+
   test("quantile state survives parquet persistence and clamps " +
       "out-of-domain values to edge bins") {
     import spark.implicits._
