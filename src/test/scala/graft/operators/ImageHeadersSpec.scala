@@ -69,6 +69,37 @@ class ImageHeadersSpec extends AnyFunSuite {
     assert(decode(base).contains(ImageMeta("jpeg", 32, 16, 8)))
   }
 
+  test("JDK ImageIO agrees on PNG dimensions — an INDEPENDENT referee " +
+      "(its reader parses the same IHDR our chunk walk does)") {
+    // JPEG is referee'd by round-trip only: the JDK's JPEG reader
+    // validates FULL file structure ("missing SOS marker") and rejects
+    // our intentionally header-only streams, while its PNG reader
+    // answers getWidth/getHeight from IHDR alone.
+    def imageIoDims(b: Array[Byte]): Option[(Int, Int)] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          r.setInput(iis)
+          try Some((r.getWidth(0), r.getHeight(0)))
+          finally r.dispose()
+        }
+      } finally iis.close()
+    }
+    checkProp(Prop.forAll(Gen.choose(1, 4096), Gen.choose(1, 4096)) {
+      (w, h) =>
+        // scalacheck shrinking can step outside the generator's range
+        (w < 1 || h < 1) || {
+          val png = encodePng(w, h, 8, Array.fill(4)(0.toByte))
+          imageIoDims(png).contains((w, h)) &&
+            decode(png).contains(ImageMeta("png", w, h, 8))
+        }
+    }, n = 60)
+  }
+
   test("malformed inputs decode to None, never throw") {
     val cases: Seq[Array[Byte]] = Seq(
       Array.emptyByteArray,
