@@ -291,6 +291,56 @@ object Aggregates {
                1 AS merged_ok, 1 AS naive_sum_overcounts
         FROM lineitem""")),
 
+    // ----- sketch-algebra intersection (audience overlap) ----------------
+    // What UNION sketches also buy: |A∩B| ≈ est(A) + est(B) − est(A∪B)
+    // by inclusion-exclusion — the "how many clickers also purchased"
+    // read, answered from two persisted per-segment sketches with no
+    // re-scan and NO intersection sketch type needed. Error compounds
+    // across three estimates (~√3 × the lgK=14 rsd, relative to the
+    // UNION size, not the intersection), so the pinned contract bounds
+    // the gap by 3% of the exact union — q164's referee discipline.
+    QueryDef(
+      "q236_sketch_intersection",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "events")
+          .filter($"event_type".isin("click", "purchase"))
+          .select($"event_type", $"user_id")
+        val perSeg = e.groupBy($"event_type")
+          .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+        val estU = perSeg.agg(
+          expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("eu"))
+        val estA = perSeg.filter($"event_type" === "click")
+          .select(expr("hll_sketch_estimate(sk)").as("ea"))
+        val estB = perSeg.filter($"event_type" === "purchase")
+          .select(expr("hll_sketch_estimate(sk)").as("eb"))
+        // exact referee at fixture scale
+        val a = e.filter($"event_type" === "click")
+          .select($"user_id").distinct()
+        val b = e.filter($"event_type" === "purchase")
+          .select($"user_id").distinct()
+        val exact = a.agg(count(lit(1)).as("n_click")).crossJoin(
+          b.agg(count(lit(1)).as("n_purchase"))).crossJoin(
+          a.intersect(b).agg(count(lit(1)).as("n_both"))).crossJoin(
+          a.union(b).distinct().agg(count(lit(1)).as("n_union")))
+        exact.crossJoin(estA).crossJoin(estB).crossJoin(estU)
+          .select($"n_click", $"n_purchase", $"n_both", $"n_union",
+            when(abs(($"ea" + $"eb" - $"eu") - $"n_both") <=
+              $"n_union" * 0.03, 1).otherwise(0).as("inter_ok"))
+      },
+      Some("""
+        WITH a AS (SELECT DISTINCT user_id FROM events
+                   WHERE event_type = 'click'),
+        b AS (SELECT DISTINCT user_id FROM events
+              WHERE event_type = 'purchase')
+        SELECT (SELECT count(*) FROM a) AS n_click,
+               (SELECT count(*) FROM b) AS n_purchase,
+               (SELECT count(*) FROM a WHERE user_id IN (SELECT user_id FROM b))
+                 AS n_both,
+               (SELECT count(*) FROM (SELECT user_id FROM a UNION
+                                      SELECT user_id FROM b)) AS n_union,
+               1 AS inter_ok""")),
+
     // ----- mergeable count-min sketches (heavy hitters) ------------------
     // The frequency-side companion of q164's HLL: one CMS per source
     // partition (a few KB of counters), merged centrally, answers "how

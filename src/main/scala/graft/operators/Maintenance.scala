@@ -157,6 +157,37 @@ object Maintenance {
       .withColumn("q", lit(lo) + (col("_idx") + lit(0.5d)) * lit(wid))
       .drop("bc", "_t", "_idx")
 
+  /** Population Stability Index between two quantile states — THE
+    * production drift metric (credit-scoring lineage, public formula:
+    * PSI = Σ_bins (pRef − pCur)·ln(pRef/pCur); < 0.1 stable, > 0.25
+    * action) computed ON THE STATES ALONE: two monitoring periods'
+    * sparse histograms compare without re-reading either period's rows
+    * — the payoff of keeping the mergeable state around. Zero-count
+    * bins are add-one smoothed over the union of occupied bins (the
+    * deterministic variant of the usual eps floor, so the oracle
+    * replays it exactly). One full-outer join on (key, bin) + one
+    * per-key window over ≤ bins rows — never corpus rows.
+    * Output: (k, n_ref, n_cur, psi). */
+  def psiDrift(ref: DataFrame, cur: DataFrame): DataFrame = {
+    val joined = ref.select(col("k"), col("b"), col("c").as("cr"))
+      .join(cur.select(col("k"), col("b"), col("c").as("cc")),
+        Seq("k", "b"), "full_outer")
+      .select(col("k"), col("b"),
+        coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("cc"), lit(0L)).as("cc"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+    joined
+      .withColumn("u", count(lit(1)).over(w))
+      .withColumn("nr", sum(col("cr")).over(w))
+      .withColumn("nc", sum(col("cc")).over(w))
+      .withColumn("pr", (col("cr") + 1).cast("double") / (col("nr") + col("u")))
+      .withColumn("pc", (col("cc") + 1).cast("double") / (col("nc") + col("u")))
+      .groupBy(col("k"))
+      .agg(first(col("nr")).as("n_ref"), first(col("nc")).as("n_cur"),
+        round(sum((col("pr") - col("pc")) * log(col("pr") / col("pc"))), 4)
+          .as("psi"))
+  }
+
   /** Multi-percentile read from ONE state pass — the SLA-dashboard
     * shape (p50/p90/p99 per key without re-aggregating per p): one
     * per-key rollup of the sparse cells, then one row-local fold PER
@@ -479,6 +510,56 @@ object Maintenance {
         FROM tot
         JOIN pick ON tot.k = pick.k
         ORDER BY lang, p""")),
+
+    // drift between two monitoring periods computed ON THE QUANTILE
+    // STATES ALONE — order-price distribution per priority, 1992-95 as
+    // the reference window vs 1996+ current; neither period's rows are
+    // re-read once the states exist. Add-one smoothing over the union
+    // of occupied bins keeps the formula deterministic for the replay.
+    QueryDef(
+      "q235_psi_drift",
+      (s, dir) => {
+        import s.implicits._
+        val (lo, hi, bins) = (0.0, 500000.0, 500)
+        val o = t(s, dir, "orders").select($"o_orderpriority".as("pri"),
+          $"o_totalprice".as("v"), year($"o_orderdate").as("yr"))
+        def st(df: org.apache.spark.sql.DataFrame) =
+          quantileState(df, $"pri", $"v", lo, hi, bins)
+        psiDrift(st(o.filter($"yr" <= 1995)), st(o.filter($"yr" >= 1996)))
+          .select($"k".as("o_orderpriority"), $"n_ref", $"n_cur", $"psi")
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        WITH v AS (
+          SELECT o_orderpriority AS k, o_totalprice AS v,
+                 CASE WHEN year(o_orderdate) <= 1995 THEN 1 ELSE 0 END AS r
+          FROM orders),
+        b AS (SELECT k, r,
+                     LEAST(GREATEST(CAST(floor(v / 1000.0) AS INT), 0), 499)
+                       AS b
+              FROM v),
+        cells AS (
+          SELECT k, b,
+                 CAST(sum(r) AS BIGINT) AS cr,
+                 CAST(sum(1 - r) AS BIGINT) AS cc
+          FROM b GROUP BY k, b),
+        tot AS (
+          SELECT k, count(*) AS u,
+                 CAST(sum(cr) AS BIGINT) AS nr,
+                 CAST(sum(cc) AS BIGINT) AS nc
+          FROM cells GROUP BY k)
+        SELECT cells.k AS o_orderpriority,
+               CAST(max(tot.nr) AS BIGINT) AS n_ref,
+               CAST(max(tot.nc) AS BIGINT) AS n_cur,
+               round(sum(
+                 (CAST(cells.cr + 1 AS DOUBLE) / (tot.nr + tot.u)
+                   - CAST(cells.cc + 1 AS DOUBLE) / (tot.nc + tot.u))
+                 * ln((CAST(cells.cr + 1 AS DOUBLE) / (tot.nr + tot.u))
+                      / (CAST(cells.cc + 1 AS DOUBLE) / (tot.nc + tot.u)))),
+                 4) AS psi
+        FROM cells JOIN tot ON cells.k = tot.k
+        GROUP BY cells.k
+        ORDER BY o_orderpriority""")),
 
     // q182 with deletes: 1998's orders are retracted after the fact;
     // count/sum retract exactly, min/max repair re-scans ONLY the keys
