@@ -285,9 +285,11 @@ object Graph {
         superseded = List(e, lab)
       }
     }
-    // Materialize-contract handoff: node-scale result checkpointed,
-    // the cached edge frame and superseded checkpoints freed
-    Materialize.handoff(lab, superseded)
+    // LAZY adopt, not eager handoff, for the same reason as prLoop: the
+    // remaining rounds pipeline in the caller's single adaptive job
+    // (A/B at sf0.1: eager final checkpoint cost ~25% end-to-end);
+    // free(result) releases the edge cache + last checkpoint
+    Materialize.adopt(lab, superseded)
   }
 
   /** Multi-source BFS distance labeling: min hop count from any source
@@ -341,8 +343,11 @@ object Graph {
         pending ::= dist
       }
     }
-    // Materialize-contract handoff: node-scale distances checkpointed;
-    // the edge cache and every still-pending round frame freed
+    // EAGER handoff: A/B'd against the lazy adopt variant at sf0.1 —
+    // neutral here (the per-round caches already break the fused
+    // pipeline), so the stronger guarantee wins: node-scale distances
+    // checkpointed, edge cache and every pending round frame freed,
+    // nothing pinned even if the caller never calls free
     Materialize.handoff(dist, e :: pending)
   }
 
@@ -416,10 +421,11 @@ object Graph {
         pending ::= e
       }
     }
-    // Materialize-contract handoff: the node-scale residual-degree
-    // result is checkpointed, and EVERY round frame — including the
-    // final round's cached keep/e, which the pre-contract version
-    // leaked to library callers — is freed
+    // EAGER handoff (A/B'd vs lazy adopt at sf0.1: neutral — per-round
+    // caches already break the fused pipeline, so the stronger
+    // guarantee wins): the node-scale residual-degree result is
+    // checkpointed and EVERY round frame — including the final round's
+    // cached keep/e, which the pre-contract version leaked — is freed
     Materialize.handoff(
       weightCol match {
         case Some(_) => e.groupBy($"src".as("node"))
