@@ -44,7 +44,7 @@ object AudioHeaders {
     while (off + 8 <= b.length && (fmt.isEmpty || dataBytes.isEmpty)) {
       val id = tag(b, off)
       val size = u32le(b, off + 4)
-      if (size < 0 || size > Int.MaxValue) return None
+      if (size < 0) return None
       if (id == "fmt ") {
         if (size < 16 || off + 8 + 16 > b.length) return None
         val ch = u16le(b, off + 10)
@@ -57,8 +57,14 @@ object AudioHeaders {
       } else if (id == "data") {
         dataBytes = Some(size)
       }
-      // chunk payloads pad to even length per RIFF
-      off += 8 + size.toInt + (size.toInt & 1)
+      // chunk payloads pad to even length per RIFF; Long math — a
+      // declared size near u32 max would overflow an Int offset into
+      // negative territory (index crash, not a clean end-of-walk), and
+      // a chunk DECLARING more bytes than the buffer carries (our
+      // header-only data chunk, or a truncated stream) simply ends the
+      // walk at the buffer edge
+      val next = off.toLong + 8L + size + (size & 1L)
+      off = if (next > b.length) b.length else next.toInt
     }
     for ((ch, rate, bits, block) <- fmt; db <- dataBytes)
       yield WavMeta(ch, rate, bits, db / block)

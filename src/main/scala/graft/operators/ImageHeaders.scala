@@ -91,7 +91,10 @@ object ImageHeaders {
     // spec-violating-but-parseable stream still yields its header
     while (off + 8 <= b.length) {
       val len = be32(b, off)
-      if (len < 0 || len > Int.MaxValue - 12) return None
+      // a declared length that cannot fit in the remaining buffer is
+      // malformed — and advancing by it could overflow the Int offset
+      // into negative territory (index crash, not a clean None)
+      if (len < 0 || len > b.length - off - 8) return None
       val isIhdr = u8(b, off + 4) == 'I' && u8(b, off + 5) == 'H' &&
         u8(b, off + 6) == 'D' && u8(b, off + 7) == 'R'
       if (isIhdr) {

@@ -118,6 +118,19 @@ class ImageHeadersSpec extends AnyFunSuite {
     assert(decode(encodePng(0, 10, 8, Array.emptyByteArray)).isEmpty)
   }
 
+  test("huge declared chunk length yields None, not an index crash " +
+      "(Int-offset overflow)") {
+    // non-IHDR first chunk declaring ~u32-max length: advancing by it
+    // would wrap the Int offset negative and crash the walk un-guarded
+    val b = new java.io.ByteArrayOutputStream()
+    b.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte), 0, 8)
+    b.write(Array(0x7f, 0xff, 0xff, 0xf0).map(_.toByte), 0, 4) // length
+    b.write("tEXt".getBytes("US-ASCII"), 0, 4)
+    b.write(Array.fill(16)(0x41.toByte), 0, 16)
+    assert(decode(b.toByteArray).isEmpty)
+  }
+
   test("GIF87a/89a logical-screen descriptor decodes (little-endian)") {
     // hand-built: signature + w=321 (0x41,0x01) + h=65 (0x41,0x00) +
     // packed 0x91 (global table, depth bits 001 -> 2 bits/primary)
