@@ -277,10 +277,20 @@ object Bench {
     // jitter the two-point calib cannot see (r8: 11/11 false positives
     // vs best) dies here, while a genuine plan regression is slow on
     // both passes and still trips.
-    val candidates = results.filter { case (k, v, _) =>
+    // worst offenders first (v/median), so a 15-cap can never skip the
+    // genuine 10x regression in favor of alphabetically-earlier jitter;
+    // anything dropped by the cap is said out loud, not silently left
+    // unconfirmed
+    val allCandidates = results.filter { case (k, v, _) =>
       med.get(k).exists(m => Bench.shouldFlag(v, nf, m)) &&
         !retried.contains(k)
-    }.take(15)
+    }.sortBy { case (k, v, _) => -(v / med(k)) }
+    val candidates = allCandidates.take(15)
+    if (allCandidates.size > candidates.size)
+      System.err.println(
+        s"[bench] flag-retry cap dropped ${allCandidates.size - 15} " +
+          s"lower-severity candidates (unconfirmed): " +
+          allCandidates.drop(15).map(_._1).mkString(","))
     val resultsFinal = if (candidates.isEmpty) results else {
       System.gc(); Thread.sleep(1000)
       val re = candidates.map { case (name, first, _) =>

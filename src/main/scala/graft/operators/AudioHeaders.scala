@@ -77,6 +77,12 @@ object AudioHeaders {
     * byte-count formulas stay exact for the oracle). */
   def encodeWav(channels: Int, sampleRate: Int, bitsPerSample: Int,
       nSamples: Long, note: Array[Byte]): Array[Byte] = {
+    val block = channels * (bitsPerSample / 8)
+    // u32 size fields: a declared data size past u32 max would silently
+    // truncate and corrupt the decode — fail loudly at encode time
+    require(block > 0, s"need positive block align, got $block")
+    require(nSamples >= 0 && nSamples * block <= 0xffffffffL,
+      s"data chunk size ${nSamples * block} exceeds u32")
     val out = new ByteArrayOutputStream(note.length + 64)
     def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"), 0, 4)
     def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
@@ -84,7 +90,6 @@ object AudioHeaders {
       out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
       out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
     }
-    val block = channels * (bitsPerSample / 8)
     val noteChunk = 8 + note.length + (note.length & 1)
     val riffSize = 4 + noteChunk + (8 + 16) + 8 // WAVE + LIST + fmt + data hdr
     ascii("RIFF"); le32(riffSize); ascii("WAVE")

@@ -52,7 +52,10 @@ object ImageHeaders {
 
   /** GIF87a/GIF89a: 6-byte signature, then logical-screen width/height
     * as u16 LITTLE-endian (GIF is the one LE format here), then a
-    * packed byte whose low 3 bits encode color-table depth − 1. */
+    * packed byte whose bits 4-6 are the COLOR RESOLUTION − 1 (bits per
+    * primary — the field that matches [[ImageMeta.bitDepth]]'s meaning;
+    * the LOW 3 bits are the global color-table size exponent, a
+    * different thing). */
   def decodeGif(b: Array[Byte]): Option[ImageMeta] = {
     if (b == null || b.length < 11) return None
     val sig = new String(b, 0, 6, "US-ASCII")
@@ -60,7 +63,7 @@ object ImageHeaders {
     val w = (b(6) & 0xff) | ((b(7) & 0xff) << 8)
     val h = (b(8) & 0xff) | ((b(9) & 0xff) << 8)
     if (w == 0 || h == 0) return None
-    val depth = ((b(10) & 0x07) + 1) // bits per primary
+    val depth = (((b(10) >> 4) & 0x07) + 1) // color resolution, bits/primary
     Some(ImageMeta("gif", w, h, depth))
   }
 
@@ -175,6 +178,13 @@ object ImageHeaders {
     * data: header-only, which is all the decoder reads. */
   def encodeJpeg(width: Int, height: Int, precision: Int,
       comment: Array[Byte]): Array[Byte] = {
+    // the COM length field is a u16 including itself: a longer comment
+    // would silently wrap mod 65536 and land the marker walk inside the
+    // comment body — fail loudly instead of emitting a corrupt stream
+    require(comment.length <= 65533,
+      s"JPEG COM payload limited to 65533 bytes, got ${comment.length}")
+    require(width >= 1 && width <= 65535 && height >= 1 && height <= 65535,
+      s"JPEG dimensions are u16: got ${width}x$height")
     val out = new ByteArrayOutputStream(comment.length + 64)
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     marker(0xd8) // SOI

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -67,26 +67,8 @@ final class IncrementalAgg(
   /** Process newly-arrived files and fold them into the state. Returns
     * the merged state. */
   def update(): DataFrame = {
-    Files.createDirectories(Paths.get(stateDir))
-    val stream = spark.readStream.schema(schema).parquet(inputDir)
-    val q = stream.writeStream
-      .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val partial = aggregate(batch)
-        val merged = state() match {
-          case Some(prev) => merge(prev, partial)
-          case None => partial
-        }
-        val version = s"v$batchId"
-        merged.write.mode("overwrite")
-          .parquet(Paths.get(stateDir, version).toString)
-        IncrementalAgg.flipPointer(pointer, version)
-        ()
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    IncrementalAgg.foldNewArrivals(spark, inputDir, schema, checkpointDir,
+      stateDir, pointer, aggregate, merge, () => state())
     state().getOrElse(aggregate(
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         schema)))
@@ -125,30 +107,13 @@ final class IncrementalQuantile(
     else None
 
   /** Process newly-arrived files, fold their quantile state in. */
-  def update(): Unit = {
-    Files.createDirectories(Paths.get(stateDir))
-    val stream = spark.readStream.schema(schema).parquet(inputDir)
-    val q = stream.writeStream
-      .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val partial = graft.operators.Maintenance.quantileState(
-          batch, col(keyCol), col(valueCol), lo, hi, bins)
-        val merged = state() match {
-          case Some(prev) =>
-            graft.operators.Maintenance.mergeQuantileState(prev, partial)
-          case None => partial
-        }
-        val version = s"v$batchId"
-        merged.write.mode("overwrite")
-          .parquet(Paths.get(stateDir, version).toString)
-        IncrementalAgg.flipPointer(pointer, version)
-        ()
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
+  def update(): Unit =
+    IncrementalAgg.foldNewArrivals(spark, inputDir, schema, checkpointDir,
+      stateDir, pointer,
+      batch => graft.operators.Maintenance.quantileState(
+        batch, col(keyCol), col(valueCol), lo, hi, bins),
+      graft.operators.Maintenance.mergeQuantileState,
+      () => state())
 
   /** p-quantile per key from the CURRENT state only (adds n and q
     * columns — see `Maintenance.quantileFromState`). */
@@ -158,6 +123,52 @@ final class IncrementalQuantile(
 }
 
 object IncrementalAgg {
+  /** The shared fold harness behind [[IncrementalAgg]] and
+    * [[IncrementalQuantile]]: stream newly-arrived files
+    * (Trigger.AvailableNow — the checkpoint is the seen-set), fold each
+    * micro-batch into the versioned state table, flip the pointer.
+    *
+    * IDEMPOTENT against foreachBatch REPLAY: batch ids are
+    * checkpoint-stable, so if the pointer already names `v<batchId>`
+    * the state write + flip for this batch completed before a crash
+    * that lost the checkpoint commit — folding again would double-count
+    * every row of the batch (the exactly-once law
+    * IncrementalQuantileSpec pins). Such a replayed batch is skipped.
+    * The other crash window (state written, pointer NOT yet flipped) is
+    * safe without a guard: the re-fold reads the same prev state and
+    * overwrites the same version. */
+  private[streaming] def foldNewArrivals(
+      spark: SparkSession, inputDir: String, schema: StructType,
+      checkpointDir: String, stateDir: String, pointer: Path,
+      partial: DataFrame => DataFrame,
+      merge: (DataFrame, DataFrame) => DataFrame,
+      state: () => Option[DataFrame]): Unit = {
+    Files.createDirectories(Paths.get(stateDir))
+    val stream = spark.readStream.schema(schema).parquet(inputDir)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val version = s"v$batchId"
+        val alreadyFolded = Files.exists(pointer) &&
+          Files.readString(pointer).trim == version
+        if (!alreadyFolded) {
+          val p = partial(batch)
+          val merged = state() match {
+            case Some(prev) => merge(prev, p)
+            case None => p
+          }
+          merged.write.mode("overwrite")
+            .parquet(Paths.get(stateDir, version).toString)
+          flipPointer(pointer, version)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Flip the `_LATEST` pointer via write-temp + atomic rename: a crash
     * mid-write can never leave readers a torn pointer — they see either
     * the old version or the new one, never a partial string. */

@@ -131,13 +131,16 @@ class ImageHeadersSpec extends AnyFunSuite {
     assert(decode(b.toByteArray).isEmpty)
   }
 
-  test("GIF87a/89a logical-screen descriptor decodes (little-endian)") {
+  test("GIF87a/89a logical-screen descriptor decodes (little-endian); " +
+      "depth reads the COLOR-RESOLUTION bits, not the table exponent") {
     // hand-built: signature + w=321 (0x41,0x01) + h=65 (0x41,0x00) +
-    // packed 0x91 (global table, depth bits 001 -> 2 bits/primary)
+    // packed 0xF4 = 1111_0100: color resolution bits 4-6 = 111 -> 8
+    // bits/primary, while the low table-exponent bits say 100 (5) —
+    // a packed byte where the two fields DIFFER pins which one we read
     def gif(sig: String) = sig.getBytes("US-ASCII") ++
-      Array[Byte](0x41, 0x01, 0x41, 0x00, 0x91.toByte, 0, 0)
-    assert(decode(gif("GIF89a")).contains(ImageMeta("gif", 321, 65, 2)))
-    assert(decode(gif("GIF87a")).contains(ImageMeta("gif", 321, 65, 2)))
+      Array[Byte](0x41, 0x01, 0x41, 0x00, 0xf4.toByte, 0, 0)
+    assert(decode(gif("GIF89a")).contains(ImageMeta("gif", 321, 65, 8)))
+    assert(decode(gif("GIF87a")).contains(ImageMeta("gif", 321, 65, 8)))
     assert(decode(gif("GIF88a")).isEmpty)
   }
 
