@@ -64,12 +64,14 @@ object Materialize {
     * internal intermediates, which is the intended use).
     */
   def free(df: Dataset[_]): Unit = {
+    // NonFatal only: swallowing OutOfMemoryError / InterruptedException
+    // here would break thread interruption and hide fatal state
     try df.unpersist(blocking = false)
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
     try df.queryExecution.analyzed.foreach {
       case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
       case _ => ()
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
     Option(adopted.remove(df)).foreach(_.foreach(free))
   }
 

@@ -90,12 +90,17 @@ object AudioHeaders {
       out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
       out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
     }
-    val noteChunk = 8 + note.length + (note.length & 1)
+    // a LIST payload starts with a mandatory 4-byte list-type ('INFO');
+    // omitting it is nonstandard RIFF that third-party tools reject even
+    // though a hop-by-size walker tolerates it. Payload = type + note.
+    val listPayload = 4 + note.length
+    val noteChunk = 8 + listPayload + (listPayload & 1)
     val riffSize = 4 + noteChunk + (8 + 16) + 8 // WAVE + LIST + fmt + data hdr
     ascii("RIFF"); le32(riffSize); ascii("WAVE")
-    ascii("LIST"); le32(note.length)
+    ascii("LIST"); le32(listPayload)
+    ascii("INFO")
     out.write(note, 0, note.length)
-    if ((note.length & 1) == 1) out.write(0) // RIFF even padding
+    if ((listPayload & 1) == 1) out.write(0) // RIFF even padding
     ascii("fmt "); le32(16)
     le16(1) // PCM
     le16(channels)

@@ -82,6 +82,10 @@ object ImageHeaders {
     val h = i32le(22)
     val bits = (b(28) & 0xff) | ((b(29) & 0xff) << 8)
     if (w <= 0 || h == 0) return None
+    // BMP-legal bit counts only — a zero/garbage depth field is as
+    // malformed as a zero dimension (the sibling decoders' discipline)
+    if (bits != 1 && bits != 4 && bits != 8 && bits != 16 &&
+      bits != 24 && bits != 32) return None
     Some(ImageMeta("bmp", w, math.abs(h), bits))
   }
 
@@ -176,13 +180,21 @@ object ImageHeaders {
     * (JFIF 1.1), a COM segment carrying `comment` (variable length — the
     * walker must hop it to reach SOF), SOF0 (3 components), EOI. No scan
     * data: header-only, which is all the decoder reads. */
+  /** Longest COM payload one segment can carry: the u16 length field
+    * includes itself, so 65535 − 2. Longer fixture text TRUNCATES here
+    * (not throws): an executor-side require on document size would fail
+    * the whole query at larger fixture scales, the opposite of the
+    * decode path's corrupt-blob-yields-NULL posture. Oracle length
+    * formulas use LEAST(len, 65533) to stay in sync. */
+  val MaxComBytes = 65533
+
   def encodeJpeg(width: Int, height: Int, precision: Int,
-      comment: Array[Byte]): Array[Byte] = {
-    // the COM length field is a u16 including itself: a longer comment
-    // would silently wrap mod 65536 and land the marker walk inside the
-    // comment body — fail loudly instead of emitting a corrupt stream
-    require(comment.length <= 65533,
-      s"JPEG COM payload limited to 65533 bytes, got ${comment.length}")
+      rawComment: Array[Byte]): Array[Byte] = {
+    // a longer comment would silently wrap the u16 length mod 65536 and
+    // land the marker walk inside the comment body — clamp instead
+    val comment =
+      if (rawComment.length <= MaxComBytes) rawComment
+      else rawComment.take(MaxComBytes)
     require(width >= 1 && width <= 65535 && height >= 1 && height <= 65535,
       s"JPEG dimensions are u16: got ${width}x$height")
     val out = new ByteArrayOutputStream(comment.length + 64)

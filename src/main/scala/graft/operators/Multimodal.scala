@@ -198,15 +198,18 @@ object Multimodal {
       // the oracle derives everything arithmetically: dims from doc_id,
       // stream length from the fixed PNG chunk overhead (8 sig + 25 IHDR
       // + 12+len IDAT + 12 IEND = 57+len) / JPEG segment overhead (2 SOI
-      // + 18 APP0 + 4+len COM + 19 SOF0 + 2 EOI = 45+len)
+      // + 18 APP0 + 4+len COM + 19 SOF0 + 2 EOI = 45+len, COM payload
+      // clamped to one segment's 65533-byte max — ImageHeaders.MaxComBytes)
       Some("""
         SELECT doc_id,
                CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
                CAST(16 + doc_id % 624 AS INT) AS width,
                CAST(16 + (doc_id * 7) % 464 AS INT) AS height,
                CAST(8 AS INT) AS bit_depth,
-               CAST(CASE WHEN doc_id % 2 = 0 THEN 57 ELSE 45 END
-                    + octet_length(encode(text)) AS BIGINT) AS n_bytes
+               CAST(CASE WHEN doc_id % 2 = 0
+                    THEN 57 + octet_length(encode(text))
+                    ELSE 45 + LEAST(octet_length(encode(text)), 65533) END
+                    AS BIGINT) AS n_bytes
         FROM documents
         ORDER BY doc_id""")),
 
@@ -217,8 +220,9 @@ object Multimodal {
     // and a data chunk declaring the sample count. The decoder reads
     // channels/rate/bits/samples OUT OF THE BYTES; duration derives
     // as integer math from decoded fields; the oracle replays the
-    // derivations and the exact stream length (12 RIFF + 8+len+pad
-    // LIST + 24 fmt + 8 data hdr = 52 + len + len%2).
+    // derivations and the exact stream length (12 RIFF + 8+4+len+pad
+    // LIST incl. its 'INFO' list-type + 24 fmt + 8 data hdr
+    // = 56 + len + len%2).
     QueryDef(
       "q232_wav_header_decode",
       (s, dir) => {
@@ -249,7 +253,7 @@ object Multimodal {
                     ELSE 44100 END AS INT) AS sample_rate,
                CAST(16 AS INT) AS bits_per_sample,
                CAST(1000 + (doc_id * 13) % 100000 AS BIGINT) AS n_samples,
-               CAST(52 + octet_length(encode(text))
+               CAST(56 + octet_length(encode(text))
                     + octet_length(encode(text)) % 2 AS BIGINT) AS n_bytes,
                CAST((1000 + (doc_id * 13) % 100000) * 1000
                     // (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000

@@ -23,6 +23,19 @@ class AudioHeadersSpec extends AnyFunSuite {
     })
   }
 
+  test("LIST chunk carries the mandatory 4-byte list-type (standard " +
+      "RIFF a third-party reader accepts, not hop-tolerated nonstandard)") {
+    val note = "hi".getBytes("US-ASCII")
+    val b = encodeWav(1, 8000, 16, 10L, note)
+    val li = b.indexOfSlice("LIST".getBytes)
+    assert(li == 12) // first chunk after RIFF/WAVE
+    val declared = (b(li + 4) & 0xff) | ((b(li + 5) & 0xff) << 8)
+    assert(declared == 4 + note.length) // list-type + payload
+    assert(new String(b, li + 8, 4, "US-ASCII") == "INFO")
+    // total length formula the q232 oracle replays: 56 + len + len%2
+    assert(b.length == 56 + note.length + (note.length & 1))
+  }
+
   test("unknown chunks are hopped by size, not scanned") {
     // LIST payload full of 'fmt '/'data' lookalike bytes must not derail
     val trap = "fmt \u0010\u0000\u0000\u0000data".getBytes("ISO-8859-1")

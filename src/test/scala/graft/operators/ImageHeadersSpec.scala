@@ -163,6 +163,22 @@ class ImageHeadersSpec extends AnyFunSuite {
     assert(decode(bmp(640, -480, 32))
       .contains(ImageMeta("bmp", 640, 480, 32)))
     assert(decode(bmp(0, 480, 24)).isEmpty)
+    // bit counts outside the BMP-legal set {1,4,8,16,24,32} are as
+    // malformed as a zero dimension
+    assert(decode(bmp(640, 480, 0)).isEmpty)
+    assert(decode(bmp(640, 480, 7)).isEmpty)
+    assert(decode(bmp(640, 480, 64)).isEmpty)
+    assert(decode(bmp(640, 480, 1))
+      .contains(ImageMeta("bmp", 640, 480, 1)))
+  }
+
+  test("encodeJpeg clamps an over-long COM payload instead of throwing " +
+      "(a corpus-scale document must not fail the encode on an executor)") {
+    val big = Array.fill(70000)('y'.toByte)
+    val blob = encodeJpeg(320, 240, 8, big)
+    // stream stays byte-valid and decodes; length = 45 + clamped COM
+    assert(decode(blob).contains(ImageMeta("jpeg", 320, 240, 8)))
+    assert(blob.length == 45 + MaxComBytes)
   }
 
   test("SOS before SOF (scan data with no frame header) is malformed") {
