@@ -72,9 +72,11 @@ object Maintenance {
   // ------------------------------------------------------------------
 
   /** Per-key mergeable QUANTILE state of one batch: a SPARSE fixed-grid
-    * histogram in long form — one (k, b, c) row per OCCUPIED bin of the
-    * affine grid [lo, hi) / bins, out-of-domain values clamped to the
-    * edge bins.
+    * histogram in long form — one (k, b, c, o) row per OCCUPIED bin of
+    * the affine grid [lo, hi) / bins, out-of-domain values clamped to
+    * the edge bins WITH the clamped count carried in `o` (per-key
+    * Σo = n_oob, the domain-violation observability counter every
+    * reader surfaces).
     *
     * Why a fixed grid and not t-digest/KLL: the merge is EXACT counter
     * addition — associative, commutative, batch-order independent (the
@@ -103,8 +105,17 @@ object Maintenance {
     batch.select(key.as("k"), value.as("v"))
       .select(col("k"),
         least(greatest(floor((col("v") - lo) / wid), lit(0)), lit(bins - 1))
-          .cast("int").as("b"))
-      .groupBy(col("k"), col("b")).agg(count(lit(1)).as("c"))
+          .cast("int").as("b"),
+        // out-of-domain observability: a value outside [lo, hi] still
+        // clamps into an edge bin (c counts it — totals stay exact) but
+        // ALSO increments the cell's oob counter `o`, so the per-key
+        // Σo = n_oob rides the state through every merge and a reader
+        // can tell "p99 = hi − wid/2" apart from "the domain was wrong".
+        // Only the two edge bins can carry o > 0.
+        when(col("v") < lo || col("v") > hi, lit(1L)).otherwise(lit(0L))
+          .as("o"))
+      .groupBy(col("k"), col("b"))
+      .agg(count(lit(1)).as("c"), sum(col("o")).as("o"))
   }
 
   /** [[quantileState]] with WEIGHTED observations: each row contributes
@@ -121,8 +132,14 @@ object Maintenance {
     batch.select(key.as("k"), value.as("v"), weight.cast("long").as("w"))
       .select(col("k"), col("w"),
         least(greatest(floor((col("v") - lo) / wid), lit(0)), lit(bins - 1))
-          .cast("int").as("b"))
-      .groupBy(col("k"), col("b")).agg(sum(col("w")).as("c"))
+          .cast("int").as("b"),
+        // oob counter in the unit of c (weight mass, not row count) so
+        // n_oob / n reads as "fraction of MASS outside the domain" —
+        // the same unit every other read of this state uses
+        when(col("v") < lo || col("v") > hi, col("w")).otherwise(lit(0L))
+          .as("o"))
+      .groupBy(col("k"), col("b"))
+      .agg(sum(col("w")).as("c"), sum(col("o")).as("o"))
   }
 
   /** Fold quantile states: per-(key, bin) counter add over however many
@@ -130,20 +147,26 @@ object Maintenance {
     * |state| rows, exact, order-independent. */
   def mergeQuantileState(state: DataFrame, delta: DataFrame): DataFrame =
     state.unionByName(delta)
-      .groupBy(col("k"), col("b")).agg(sum(col("c")).as("c"))
+      .groupBy(col("k"), col("b"))
+      .agg(sum(col("c")).as("c"), sum(col("o")).as("o"))
 
   /** Discrete p-quantile estimate from quantile state: one row per key
     * with (n, q) — total count and the midpoint of the first bin whose
     * cumulative count reaches ceil(p·n). The ceil(p·n)-th smallest
     * value lies INSIDE that bin, so |q − exact discrete quantile|
     * <= wid/2 for in-domain data — the pinned accuracy contract q231
-    * referees against the exact sorted-rank value. One per-key rollup
-    * (≤ bins rows per key) + a row-local fold — never corpus rows. */
+    * referees against the exact sorted-rank value, and it is asserted
+    * ONLY where n_oob = 0: clamped out-of-domain mass sits in an edge
+    * bin, so any quantile it reaches is a domain-width artifact the
+    * n_oob column makes observable. One per-key rollup (≤ bins rows per
+    * key) + a row-local fold — never corpus rows.
+    * Output: (k, n, n_oob, q). */
   def quantileFromState(state: DataFrame, p: Double, lo: Double,
       wid: Double): DataFrame =
     state
       .groupBy(col("k"))
-      .agg(sort_array(collect_list(struct(col("b"), col("c")))).as("bc"))
+      .agg(sort_array(collect_list(struct(col("b"), col("c")))).as("bc"),
+        sum(col("o")).as("n_oob"))
       .withColumn("n",
         expr("aggregate(bc, CAST(0 AS BIGINT), (a, x) -> a + x.c)"))
       .withColumn("_t", ceil(lit(p) * col("n")).cast("long"))
@@ -156,6 +179,7 @@ object Maintenance {
           |  acc -> acc.idx)""".stripMargin))
       .withColumn("q", lit(lo) + (col("_idx") + lit(0.5d)) * lit(wid))
       .drop("bc", "_t", "_idx")
+      .select(col("k"), col("n"), col("n_oob"), col("q"))
 
   /** Population Stability Index between two quantile states — THE
     * production drift metric (credit-scoring lineage, public formula:
@@ -167,14 +191,20 @@ object Maintenance {
     * deterministic variant of the usual eps floor, so the oracle
     * replays it exactly). One full-outer join on (key, bin) + one
     * per-key window over ≤ bins rows — never corpus rows.
-    * Output: (k, n_ref, n_cur, psi). */
+    * Output: (k, n_ref, n_cur, n_oob_ref, n_oob_cur, psi) — the oob
+    * columns flag a PSI that is really a domain mismatch (clamped mass
+    * piling into an edge bin reads as "drift" otherwise). */
   def psiDrift(ref: DataFrame, cur: DataFrame): DataFrame = {
-    val joined = ref.select(col("k"), col("b"), col("c").as("cr"))
-      .join(cur.select(col("k"), col("b"), col("c").as("cc")),
+    val joined = ref.select(col("k"), col("b"), col("c").as("cr"),
+        col("o").as("or"))
+      .join(cur.select(col("k"), col("b"), col("c").as("cc"),
+        col("o").as("oc")),
         Seq("k", "b"), "full_outer")
       .select(col("k"), col("b"),
         coalesce(col("cr"), lit(0L)).as("cr"),
-        coalesce(col("cc"), lit(0L)).as("cc"))
+        coalesce(col("cc"), lit(0L)).as("cc"),
+        coalesce(col("or"), lit(0L)).as("or"),
+        coalesce(col("oc"), lit(0L)).as("oc"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
     joined
       .withColumn("u", count(lit(1)).over(w))
@@ -184,6 +214,7 @@ object Maintenance {
       .withColumn("pc", (col("cc") + 1).cast("double") / (col("nc") + col("u")))
       .groupBy(col("k"))
       .agg(first(col("nr")).as("n_ref"), first(col("nc")).as("n_cur"),
+        sum(col("or")).as("n_oob_ref"), sum(col("oc")).as("n_oob_cur"),
         round(sum((col("pr") - col("pc")) * log(col("pr") / col("pc"))), 4)
           .as("psi"))
   }
@@ -192,14 +223,16 @@ object Maintenance {
     * shape (p50/p90/p99 per key without re-aggregating per p): one
     * per-key rollup of the sparse cells, then one row-local fold PER
     * requested percentile over the same sorted (bin, count) list.
-    * Output: (k, n, p, q) — one row per key × percentile, same half-
-    * bin-width contract per row as [[quantileFromState]]. */
+    * Output: (k, n, n_oob, p, q) — one row per key × percentile, same
+    * half-bin-width contract per row as [[quantileFromState]] (asserted
+    * only where n_oob = 0). */
   def quantilesFromState(state: DataFrame, ps: Seq[Double], lo: Double,
       wid: Double): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
       "percentiles must be in (0, 1]")
     val folded = state.groupBy(col("k"))
-      .agg(sort_array(collect_list(struct(col("b"), col("c")))).as("bc"))
+      .agg(sort_array(collect_list(struct(col("b"), col("c")))).as("bc"),
+        sum(col("o")).as("n_oob"))
       .withColumn("n",
         expr("aggregate(bc, CAST(0 AS BIGINT), (a, x) -> a + x.c)"))
     val qStructs = ps.map { p =>
@@ -215,9 +248,10 @@ object Maintenance {
         (lit(lo) + (idx + lit(0.5d)) * lit(wid)).as("q"))
     }
     folded
-      .select(col("k"), col("n"),
+      .select(col("k"), col("n"), col("n_oob"),
         explode(array(qStructs: _*)).as("pq"))
-      .select(col("k"), col("n"), col("pq.p").as("p"), col("pq.q").as("q"))
+      .select(col("k"), col("n"), col("n_oob"),
+        col("pq.p").as("p"), col("pq.q").as("q"))
   }
 
   // ------------------------------------------------------------------
@@ -560,6 +594,58 @@ object Maintenance {
         FROM cells JOIN tot ON cells.k = tot.k
         GROUP BY cells.k
         ORDER BY o_orderpriority""")),
+
+    // the n_oob observability contract under a DELIBERATELY wrong
+    // domain: [0, 100k) is too narrow for o_totalprice, so every
+    // order above 100k clamps into the top bin AND increments the
+    // per-key oob counter that rides the state through the merge.
+    // The oracle replays bins, clamps, counters, and the pick exactly
+    // — a counter lost in the merge or mis-unioned at read time is a
+    // hash mismatch. Keys whose n_oob > 0 show est_p50 pinned at the
+    // top-bin midpoint (99500) wherever the true median is out of
+    // domain — exactly the artifact the counter exists to flag.
+    QueryDef(
+      "q237_quantile_oob_counter",
+      (s, dir) => {
+        import s.implicits._
+        val (lo, hi, bins) = (0.0, 100000.0, 100)
+        val wid = (hi - lo) / bins
+        val o = t(s, dir, "orders").select($"o_custkey",
+          $"o_totalprice".as("v"), year($"o_orderdate").as("yr"))
+        def st(df: org.apache.spark.sql.DataFrame) =
+          quantileState(df, $"o_custkey", $"v", lo, hi, bins)
+        val merged = mergeQuantileState(
+          st(o.filter($"yr" <= 1995)), st(o.filter($"yr" >= 1996)))
+        quantileFromState(merged, 0.5, lo, wid)
+          .select($"k".as("o_custkey"), $"n".as("n_orders"),
+            $"n_oob", round($"q", 4).as("est_p50"))
+          .orderBy($"o_custkey")
+      },
+      Some("""
+        WITH v AS (SELECT o_custkey AS k, o_totalprice AS v FROM orders),
+        b AS (SELECT k,
+                     LEAST(GREATEST(CAST(floor(v / 1000.0) AS INT), 0), 99)
+                       AS b,
+                     CASE WHEN v < 0 OR v > 100000 THEN 1 ELSE 0 END AS oob
+              FROM v),
+        cnt AS (SELECT k, b, count(*) AS c FROM b GROUP BY k, b),
+        tot AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(oob) AS BIGINT) AS n_oob
+                FROM b GROUP BY k),
+        cum AS (SELECT k, b, sum(c) OVER (PARTITION BY k ORDER BY b) AS cum
+                FROM cnt),
+        pick AS (SELECT cum.k, min(cum.b) AS idx
+                 FROM cum JOIN tot ON cum.k = tot.k
+                 WHERE cum.cum >= ceil(0.5 * tot.n)
+                 GROUP BY cum.k)
+        SELECT tot.k AS o_custkey,
+               tot.n AS n_orders,
+               tot.n_oob AS n_oob,
+               round(CAST((pick.idx + 0.5) * 1000.0 AS DOUBLE), 4)
+                 AS est_p50
+        FROM tot
+        JOIN pick ON tot.k = pick.k
+        ORDER BY o_custkey""")),
 
     // q182 with deletes: 1998's orders are retracted after the fact;
     // count/sum retract exactly, min/max repair re-scans ONLY the keys

@@ -117,12 +117,14 @@ class SketchSpec extends SparkSpec {
     // sweep vs single-p: identical (k, p) -> q
     val sweep = Maintenance
       .quantilesFromState(weighted, Seq(0.5, 0.9), lo, wid)
-      .collect().map(r => (r.getLong(0), r.getDouble(2)) -> r.getDouble(3))
+      .select(col("k"), col("p"), col("q"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)) -> r.getDouble(2))
       .toMap
     for (p <- Seq(0.5, 0.9)) {
       Maintenance.quantileFromState(weighted, p, lo, wid)
+        .select(col("k"), col("q"))
         .collect().foreach { r =>
-          assert(sweep((r.getLong(0), p)) == r.getDouble(2),
+          assert(sweep((r.getLong(0), p)) == r.getDouble(1),
             s"sweep and single-p read disagree at p=$p")
         }
     }
@@ -138,12 +140,55 @@ class SketchSpec extends SparkSpec {
       .toDF("k", "v")
     Maintenance.quantileState(df, col("k"), col("v"), lo, hi, bins)
       .write.parquet(dir)
-    val st = spark.read.parquet(dir).collect()
-      .map(r => (r.getInt(1), r.getLong(2))).toMap
+    val stRows = spark.read.parquet(dir)
+      .select(col("b"), col("c"), col("o")).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val st = stRows.view.mapValues(_._1).toMap
     // sparse long form: only occupied bins carry rows
     assert(st.size == 2, s"expected 2 occupied bins, got $st")
     assert(st(0) == 2L, "below-domain value must clamp into bin 0")
     assert(st(bins - 1) == 2L, "above-domain value must clamp into last bin")
     assert(st.values.sum == 4L)
+    // and the clamped mass is OBSERVABLE: each edge bin carries exactly
+    // one oob observation alongside its one in-domain neighbor
+    assert(stRows(0)._2 == 1L && stRows(bins - 1)._2 == 1L,
+      s"edge bins must count their clamped-in oob mass, got $stRows")
+  }
+
+  test("n_oob rides the state through merge, and the half-bin accuracy " +
+      "contract is asserted ONLY where n_oob = 0") {
+    import spark.implicits._
+    val (lo, hi, bins) = (0.0, 100.0, 10)
+    val wid = (hi - lo) / bins
+    // key 1: fully in-domain; key 2: half its mass above the domain —
+    // its p90 is a clamp artifact the counter must expose
+    val inDom = (1 to 20).map(i => (1L, i * 5.0 - 2.5))
+    val oob = (1 to 10).map(i => (2L, i * 9.0)) ++
+      (1 to 10).map(i => (2L, 150.0 + i))
+    val df = (inDom ++ oob).toDF("k", "v")
+    val halves = Seq(df.filter($"v" <= 50), df.filter($"v" > 50))
+      .map(Maintenance.quantileState(_, col("k"), col("v"), lo, hi, bins))
+    val merged = Maintenance.mergeQuantileState(halves(0), halves(1))
+    val read = Maintenance.quantileFromState(merged, 0.9, lo, wid)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(read(1L) == ((20L, 0L, read(1L)._3)), "key 1 must report n_oob=0")
+    assert(read(2L)._1 == 20L && read(2L)._2 == 10L,
+      s"key 2 must report its 10 clamped observations, got ${read(2L)}")
+    // the accuracy contract holds for the clean key...
+    val exact1 = inDom.map(_._2).sorted.apply(math.ceil(0.9 * 20).toInt - 1)
+    assert(math.abs(read(1L)._3 - exact1) <= wid / 2 + 1e-9)
+    // ...and is NOT claimed for the contaminated key: its true p90 (150+)
+    // sits outside the domain entirely — the estimate can only say
+    // "top bin", which n_oob > 0 flags as untrustworthy
+    assert(read(2L)._3 == hi - wid / 2,
+      "clamped mass must surface as the top-bin midpoint, flagged by n_oob")
+    // psiDrift surfaces the same counters per side
+    val drift = Maintenance.psiDrift(halves(0), halves(1))
+      .select($"k", $"n_oob_ref", $"n_oob_cur").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(drift(2L) == ((0L, 10L)),
+      s"oob mass arrived in the >50 half only, got ${drift(2L)}")
+    assert(drift(1L) == ((0L, 0L)))
   }
 }

@@ -66,14 +66,14 @@ class IncrementalQuantileSpec extends SparkSpec {
     assert(stateCells(inc) == oneShot,
       "two incremental folds must equal the one-shot state cell for cell")
     // and the percentile read agrees with reading the one-shot state
-    val inc50 = inc.quantile(0.5).get.orderBy($"k").collect()
-      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val inc50 = inc.quantile(0.5).get.select($"k", $"q").orderBy($"k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val one50 = Maintenance.quantileFromState(
       (b1 ++ b2).toDF("k", "v").transform(df =>
         Maintenance.quantileState(df, col("k"), col("v"), 0.0, 100.0, 20)),
       p = 0.5, lo = 0.0, wid = 5.0)
-      .orderBy($"k").collect()
-      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      .select($"k", $"q").orderBy($"k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(inc50 == one50)
   }
 }
