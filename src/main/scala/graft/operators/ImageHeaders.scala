@@ -45,10 +45,79 @@ object ImageHeaders {
       (u8(b, i + 2) << 8) | u8(b, i + 3)
 
   /** Sniff-and-parse: PNG first (unambiguous signature), then JPEG,
-    * then GIF/BMP (fixed-offset headers). */
+    * then GIF/BMP (fixed-offset headers), then WEBP (RIFF container). */
   def decode(b: Array[Byte]): Option[ImageMeta] =
     decodePng(b).orElse(decodeJpeg(b))
       .orElse(decodeGif(b)).orElse(decodeBmp(b))
+      .orElse(decodeWebp(b))
+
+  private def u16le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def u24le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16)
+  private def u32le(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xff).toLong | ((b(i + 1) & 0xff).toLong << 8) |
+      ((b(i + 2) & 0xff).toLong << 16) | ((b(i + 3) & 0xff).toLong << 24)
+
+  /** WEBP (public spec, RFC 9649 / Google container spec): 'RIFF' +
+    * u32 LE size + 'WEBP', then a chunk chain of (4-byte id, u32 LE
+    * size, payload, odd sizes padded to even) — the same LE chunk-hop
+    * discipline as [[AudioHeaders.decodeWav]], so unknown chunks (EXIF,
+    * ICCP, ...) are hopped by size, never scanned. Dimensions come from
+    * the first image-bearing chunk:
+    *  - 'VP8 ' (lossy): keyframe start code 0x9D 0x01 0x2A at payload
+    *    offset 3, then u16 LE width/height with the low 14 bits valid;
+    *  - 'VP8L' (lossless): signature byte 0x2F, then a u32 LE bitfield
+    *    of (width−1 : 14 bits) | (height−1 : 14 bits) << 14, 3-bit
+    *    version that must be 0;
+    *  - 'VP8X' (extended): 4 flag/reserved bytes, then 24-bit LE
+    *    (canvas width − 1) and (canvas height − 1) — authoritative for
+    *    animated/alpha files whose frame chunks follow.
+    * WebP pixels are 8-bit; bitDepth is reported as 8. */
+  def decodeWebp(b: Array[Byte]): Option[ImageMeta] = {
+    if (b == null || b.length < 12) return None
+    if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+      b(8) != 'W' || b(9) != 'E' || b(10) != 'B' || b(11) != 'P') return None
+    var off = 12
+    while (off + 8 <= b.length) {
+      val id = new String(b, off, 4, "US-ASCII")
+      val size = u32le(b, off + 4)
+      if (size < 0) return None
+      val p = off + 8
+      id match {
+        case "VP8 " =>
+          if (size < 10 || p + 10 > b.length) return None
+          // keyframe start code; an interframe-first stream is malformed
+          if (u8(b, p + 3) != 0x9d || u8(b, p + 4) != 0x01 ||
+            u8(b, p + 5) != 0x2a) return None
+          val w = u16le(b, p + 6) & 0x3fff
+          val h = u16le(b, p + 8) & 0x3fff
+          if (w == 0 || h == 0) return None
+          return Some(ImageMeta("webp", w, h, 8))
+        case "VP8L" =>
+          if (size < 5 || p + 5 > b.length) return None
+          if (u8(b, p) != 0x2f) return None
+          val bits = u32le(b, p + 1)
+          if (((bits >> 29) & 0x7) != 0) return None // version must be 0
+          val w = (bits & 0x3fff).toInt + 1
+          val h = ((bits >> 14) & 0x3fff).toInt + 1
+          return Some(ImageMeta("webp_lossless", w, h, 8))
+        case "VP8X" =>
+          if (size < 10 || p + 10 > b.length) return None
+          val w = u24le(b, p + 4) + 1
+          val h = u24le(b, p + 7) + 1
+          return Some(ImageMeta("webp_extended", w, h, 8))
+        case _ => () // unknown chunk: hop by size
+      }
+      // Long math: a hostile declared size near u32 max must end the
+      // walk cleanly, not overflow the Int offset (the AudioHeaders
+      // discipline)
+      val next = off.toLong + 8L + size + (size & 1L)
+      if (next > b.length) return None
+      off = next.toInt
+    }
+    None
+  }
 
   /** GIF87a/GIF89a: 6-byte signature, then logical-screen width/height
     * as u16 LITTLE-endian (GIF is the one LE format here), then a
@@ -221,6 +290,67 @@ object ImageHeaders {
       out.write(c); out.write(0x11); out.write(0); c += 1
     }
     marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Minimal structurally-valid WEBP stream: RIFF/WEBP container, an
+    * 'EXIF' metadata chunk carrying `note` (variable length, odd sizes
+    * padded — the LE chunk walk must hop it to reach the image chunk),
+    * then one image chunk per `variant`:
+    *  - "vp8":  10-byte lossy keyframe header (3-byte frame tag, start
+    *    code 9D 01 2A, u16 LE dims) — dims ≤ 16383;
+    *  - "vp8l": 5-byte lossless header (0x2F + dim bitfield, version 0)
+    *    + 1 pad byte — dims ≤ 16384;
+    *  - "vp8x": 10-byte extended header (flags + 24-bit LE canvas
+    *    dims − 1) — dims ≤ 2^24.
+    * Stream length = 12 + 8 + |note| + |note|%2 + (18 | 14 | 18) — the
+    * formula the q238 oracle replays. */
+  def encodeWebp(variant: String, width: Int, height: Int,
+      note: Array[Byte]): Array[Byte] = {
+    val dimCap = variant match {
+      case "vp8" => 0x3fff
+      case "vp8l" => 0x4000
+      case "vp8x" => 1 << 24
+      case v => throw new IllegalArgumentException(s"unknown variant $v")
+    }
+    require(width >= 1 && width <= dimCap && height >= 1 && height <= dimCap,
+      s"$variant dims limited to $dimCap, got ${width}x$height")
+    val out = new ByteArrayOutputStream(note.length + 48)
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"), 0, 4)
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le24(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff)
+    }
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    val noteChunk = 8 + note.length + (note.length & 1)
+    val imgChunk = variant match {
+      case "vp8" => 18; case "vp8l" => 14; case "vp8x" => 18
+    }
+    ascii("RIFF"); le32(4L + noteChunk + imgChunk); ascii("WEBP")
+    ascii("EXIF"); le32(note.length.toLong)
+    out.write(note, 0, note.length)
+    if ((note.length & 1) == 1) out.write(0) // RIFF even padding
+    variant match {
+      case "vp8" =>
+        ascii("VP8 "); le32(10L)
+        out.write(0x30); out.write(0); out.write(0) // frame tag (keyframe)
+        out.write(0x9d); out.write(0x01); out.write(0x2a) // start code
+        le16(width); le16(height)
+      case "vp8l" =>
+        ascii("VP8L"); le32(5L)
+        out.write(0x2f)
+        le32(((width - 1).toLong & 0x3fff) |
+          (((height - 1).toLong & 0x3fff) << 14))
+        out.write(0) // 5 is odd: RIFF even padding
+      case "vp8x" =>
+        ascii("VP8X"); le32(10L)
+        le32(0L) // flags + reserved
+        le24(width - 1); le24(height - 1)
+    }
     out.toByteArray
   }
 

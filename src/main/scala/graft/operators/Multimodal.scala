@@ -213,6 +213,49 @@ object Multimodal {
         FROM documents
         ORDER BY doc_id""")),
 
+    // ----- REAL WEBP-header decode over synthesized real streams -------
+    // The web-crawl format q229 was missing: each doc becomes a
+    // byte-valid RIFF/WEBP container — an EXIF chunk carrying the text
+    // (variable length, the LE chunk hop must skip it), then a VP8
+    // (lossy keyframe) / VP8L (lossless bitfield) / VP8X (extended,
+    // 24-bit canvas dims) image chunk by doc_id % 3. The decoder reads
+    // the dims back OUT OF THE BYTES (start codes, 14-bit packed
+    // fields, 24-bit LE); the oracle replays the formula + exact
+    // stream lengths per variant.
+    QueryDef(
+      "q238_webp_header_decode",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val w = (16 + id % 624).toInt
+            val h = (16 + (id * 7) % 464).toInt
+            val variant = (id % 3) match {
+              case 0 => "vp8"; case 1 => "vp8l"; case _ => "vp8x"
+            }
+            MediaRecord(id,
+              ImageHeaders.encodeWebp(variant, w, h, text.getBytes("UTF-8")),
+              "image/webp")
+          }
+        decodeImageHeaders(media).toDF().orderBy($"doc_id")
+      },
+      // stream length: 12 RIFF + 8+len+len%2 EXIF + image chunk
+      // (VP8/VP8X: 8+10 = 18; VP8L: 8+5+1 pad = 14)
+      Some("""
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'webp' WHEN 1 THEN 'webp_lossless'
+                    ELSE 'webp_extended' END AS format,
+               CAST(16 + doc_id % 624 AS INT) AS width,
+               CAST(16 + (doc_id * 7) % 464 AS INT) AS height,
+               CAST(8 AS INT) AS bit_depth,
+               CAST(CASE WHEN doc_id % 3 = 1 THEN 34 ELSE 38 END
+                    + octet_length(encode(text))
+                    + octet_length(encode(text)) % 2 AS BIGINT) AS n_bytes
+        FROM documents
+        ORDER BY doc_id""")),
+
     // ----- REAL WAV-header decode over synthesized real streams --------
     // q229's audio sibling: each doc becomes a byte-valid RIFF/WAVE
     // stream — a variable-length LIST chunk (text bytes, RIFF even

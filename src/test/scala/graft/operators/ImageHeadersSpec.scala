@@ -181,6 +181,57 @@ class ImageHeadersSpec extends AnyFunSuite {
     assert(blob.length == 45 + MaxComBytes)
   }
 
+  test("WEBP round-trip: all three variants recover dims across " +
+      "variable-length hopped EXIF chunks incl. odd lengths (padding)") {
+    val fmt = Map("vp8" -> "webp", "vp8l" -> "webp_lossless",
+      "vp8x" -> "webp_extended")
+    checkProp(Prop.forAll(Gen.oneOf("vp8", "vp8l", "vp8x"),
+        Gen.choose(1, 16383), Gen.choose(1, 16383),
+        Gen.choose(0, 99)) { (variant, w, h, noteLen) =>
+      val blob = encodeWebp(variant, w, h, Array.fill(noteLen)('x'.toByte))
+      decode(blob).contains(ImageMeta(fmt(variant), w, h, 8))
+    })
+  }
+
+  test("WEBP VP8X carries 24-bit canvas dims beyond the 14-bit formats") {
+    val blob = encodeWebp("vp8x", 100000, 65536, Array.emptyByteArray)
+    assert(decode(blob)
+      .contains(ImageMeta("webp_extended", 100000, 65536, 8)))
+  }
+
+  test("malformed WEBP decodes to None, never throws") {
+    val good = encodeWebp("vp8", 320, 240, "note!".getBytes)
+    val goodL = encodeWebp("vp8l", 320, 240, Array.emptyByteArray)
+    def mut(b: Array[Byte])(f: Array[Byte] => Unit): Array[Byte] = {
+      val c = b.clone; f(c); c
+    }
+    val vp8Idx = good.indexOfSlice("VP8 ".getBytes)
+    val vp8lIdx = goodL.indexOfSlice("VP8L".getBytes)
+    val cases: Seq[Array[Byte]] = Seq(
+      good.take(11), // truncated container header
+      good.take(vp8Idx + 9), // truncated image chunk
+      mut(good)(b => b(11) = '2'.toByte), // RIFF but not WEBP
+      mut(good)(b => b(vp8Idx + 11) = 0x00), // bad VP8 start code
+      mut(goodL)(b => b(vp8lIdx + 8) = 0x30), // bad VP8L signature byte
+      // VP8L version bits != 0 (set the top bit of the u32 bitfield)
+      mut(goodL)(b => b(vp8lIdx + 12) =
+        (b(vp8lIdx + 12) | 0x80).toByte),
+      // hostile declared EXIF size near u32 max: Long-math hop must
+      // end the walk cleanly, not overflow into an index crash
+      mut(good) { b =>
+        val e = b.indexOfSlice("EXIF".getBytes)
+        b(e + 4) = 0xf0.toByte; b(e + 5) = 0xff.toByte
+        b(e + 6) = 0xff.toByte; b(e + 7) = 0x7f.toByte
+      })
+    cases.foreach { b =>
+      assert(decodeWebp(b).isEmpty,
+        s"expected None for ${b.length}-byte mutant")
+    }
+    // a container with ONLY metadata chunks (no image chunk) is None
+    val noImg = good.take(vp8Idx)
+    assert(decodeWebp(noImg).isEmpty)
+  }
+
   test("SOS before SOF (scan data with no frame header) is malformed") {
     val base = encodeJpeg(32, 16, 8, Array.emptyByteArray)
     val sofIdx = base.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
