@@ -70,6 +70,191 @@ object AudioHeaders {
       yield WavMeta(ch, rate, bits, db / block)
   }
 
+  // ------------------------------------------------------------------
+  // MP3 (MPEG-1/2/2.5 Layer III) frame-header walk
+  // ------------------------------------------------------------------
+
+  /** Decoded MP3 stream metadata from a full frame-header WALK (not
+    * just the first header): `nFrames` counts every frame hopped by
+    * its computed length, so VBR streams report true totals;
+    * `bitrateKbps` is the FIRST frame's (the constant rate for CBR).
+    * `nSamples` = nFrames × samples-per-frame — duration derives as
+    * nSamples / sampleRate at the caller, the [[WavMeta]] discipline. */
+  final case class Mp3Meta(version: String, bitrateKbps: Int,
+      sampleRate: Int, channels: Int, nFrames: Long, nSamples: Long)
+
+  // public ISO/IEC 11172-3 / 13818-3 tables, Layer III columns only
+  private val Mp3BitrateV1 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+  private val Mp3BitrateV2 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+  private val Mp3RateV1 = Array(44100, 48000, 32000, 0)
+
+  /** MPEG Layer III sniff: skip one leading ID3v2 tag (syncsafe size),
+    * then walk the frame chain — 11-bit sync, version/layer bits,
+    * bitrate + sample-rate table lookups, frame length =
+    * (samples-per-frame / 8) · bitrate / rate + padding. STRICT and
+    * total: free-format (index 0) or reserved table entries, a
+    * mid-buffer sync loss, or a trailing partial frame all yield None
+    * — one corrupt blob must not kill a corpus-scale pass, and a
+    * "successful" parse never silently miscounts. Layer III only (the
+    * format the ask names); Layers I/II have different tables and
+    * return None. */
+  def decodeMp3(b: Array[Byte]): Option[Mp3Meta] = {
+    if (b == null || b.length < 4) return None
+    var off = 0L
+    // one optional ID3v2 prefix: 'ID3' + ver(2) + flags(1) + syncsafe u28
+    if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      if (b.length < 10) return None
+      var size = 0L
+      var i = 6
+      while (i < 10) {
+        if ((b(i) & 0x80) != 0) return None // syncsafe bytes are 7-bit
+        size = (size << 7) | (b(i) & 0x7f)
+        i += 1
+      }
+      off = 10L + size
+    }
+    var first: Option[Mp3Meta] = None
+    var nFrames = 0L
+    while (off + 4 <= b.length) {
+      val o = off.toInt
+      if ((b(o) & 0xff) != 0xff || (b(o + 1) & 0xe0) != 0xe0) return None
+      val verBits = (b(o + 1) >> 3) & 0x3 // 0=V2.5, 2=V2, 3=V1
+      val layerBits = (b(o + 1) >> 1) & 0x3 // 1 = Layer III
+      if (verBits == 1 || layerBits != 1) return None
+      val brIdx = (b(o + 2) >> 4) & 0xf
+      val rateIdx = (b(o + 2) >> 2) & 0x3
+      val padding = (b(o + 2) >> 1) & 0x1
+      if (brIdx == 0 || brIdx == 15 || rateIdx == 3) return None
+      val isV1 = verBits == 3
+      val kbps = (if (isV1) Mp3BitrateV1 else Mp3BitrateV2)(brIdx)
+      val rate = Mp3RateV1(rateIdx) / (verBits match {
+        case 3 => 1; case 2 => 2; case _ => 4 // V2 halves, V2.5 quarters
+      })
+      val channels = if (((b(o + 3) >> 6) & 0x3) == 3) 1 else 2
+      if (first.isEmpty) {
+        val ver = verBits match {
+          case 3 => "mpeg1"; case 2 => "mpeg2"; case _ => "mpeg2.5"
+        }
+        first = Some(Mp3Meta(ver, kbps, rate, channels, 0L, 0L))
+      } else if (first.exists(m => m.sampleRate != rate)) {
+        return None // rate switch mid-stream: not one coherent file
+      }
+      nFrames += 1
+      off += (if (isV1) 144L else 72L) * kbps * 1000L / rate + padding
+    }
+    if (off != b.length) return None // trailing partial frame
+    first.filter(_ => nFrames > 0).map { m =>
+      val spf = if (m.version == "mpeg1") 1152L else 576L
+      m.copy(nFrames = nFrames, nSamples = nFrames * spf)
+    }
+  }
+
+  /** Fixture emitter: `nFrames` byte-valid CBR MPEG-1 Layer III frames
+    * (sync, version/layer bits, table indexes, zero payload to the
+    * exact computed frame length), prefixed by an ID3v2 tag carrying
+    * `note` (syncsafe size — the variable-length hop the walk must
+    * take). Stream length = 10 + |note| + nFrames·(144·kbps·1000/rate)
+    * — the formula the oracle replays. */
+  def encodeMp3(bitrateKbps: Int, sampleRate: Int, nFrames: Int,
+      channels: Int, note: Array[Byte]): Array[Byte] = {
+    val brIdx = Mp3BitrateV1.indexOf(bitrateKbps)
+    val rateIdx = Mp3RateV1.indexOf(sampleRate)
+    require(brIdx >= 1 && brIdx <= 14, s"not a V1 L3 bitrate: $bitrateKbps")
+    require(rateIdx >= 0 && rateIdx <= 2, s"not a V1 rate: $sampleRate")
+    require(nFrames >= 1 && note.length < (1 << 28), "need >=1 frame")
+    val frameLen = (144L * bitrateKbps * 1000L / sampleRate).toInt
+    val out = new ByteArrayOutputStream(10 + note.length +
+      nFrames * frameLen)
+    out.write('I'); out.write('D'); out.write('3')
+    out.write(4); out.write(0); out.write(0) // v2.4, no flags
+    var i = 21
+    while (i >= 0) { out.write((note.length >> i) & 0x7f); i -= 7 }
+    out.write(note, 0, note.length)
+    val hdr = Array[Byte](0xff.toByte,
+      (0xe0 | (3 << 3) | (1 << 1) | 1).toByte, // V1, Layer III, no CRC
+      (((brIdx << 4) | (rateIdx << 2)) & 0xff).toByte, // padding 0
+      (if (channels == 1) 0xc0 else 0x00).toByte)
+    var f = 0
+    while (f < nFrames) {
+      out.write(hdr, 0, 4)
+      out.write(new Array[Byte](frameLen - 4), 0, frameLen - 4)
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------------
+  // FLAC STREAMINFO
+  // ------------------------------------------------------------------
+
+  /** Decoded FLAC STREAMINFO fields (public spec, RFC 9639). */
+  final case class FlacMeta(sampleRate: Int, channels: Int,
+      bitsPerSample: Int, totalSamples: Long)
+
+  /** FLAC sniff: 'fLaC' magic, then the METADATA_BLOCK chain — 1-byte
+    * header (last-block flag bit 7, type bits 0–6) + u24 BE length.
+    * STREAMINFO (type 0, 34 bytes) MUST be first per spec; its packed
+    * big-endian tail carries sample rate (20 bits), channels−1 (3),
+    * bits-per-sample−1 (5), total samples (36). Later blocks (vorbis
+    * comment, padding, ...) are irrelevant to the sniff and left
+    * unwalked — the pipeline filter needs only STREAMINFO. */
+  def decodeFlac(b: Array[Byte]): Option[FlacMeta] = {
+    if (b == null || b.length < 8) return None
+    if (b(0) != 'f' || b(1) != 'L' || b(2) != 'a' || b(3) != 'C') return None
+    if ((b(4) & 0x7f) != 0) return None // first block must be STREAMINFO
+    val len = ((b(5) & 0xff) << 16) | ((b(6) & 0xff) << 8) | (b(7) & 0xff)
+    if (len < 34 || 8 + 34 > b.length) return None
+    val p = 8 // STREAMINFO payload; packed fields start at byte 10
+    def u(i: Int): Int = b(p + i) & 0xff
+    val rate = (u(10) << 12) | (u(11) << 4) | (u(12) >> 4)
+    val channels = ((u(12) >> 1) & 0x7) + 1
+    val bps = (((u(12) & 1) << 4) | (u(13) >> 4)) + 1
+    val total = ((u(13) & 0xf).toLong << 32) | (u(14).toLong << 24) |
+      (u(15) << 16) | (u(16) << 8) | u(17)
+    if (rate == 0) return None // 0 is invalid per spec
+    Some(FlacMeta(rate, channels, bps, total))
+  }
+
+  /** Fixture emitter: 'fLaC' + STREAMINFO (34 bytes, packed fields
+    * real) + a VORBIS_COMMENT block carrying `note` as the last block.
+    * Stream length = 4 + 38 + 4 + |note| = 46 + |note| — the formula
+    * the oracle replays. */
+  def encodeFlac(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      totalSamples: Long, note: Array[Byte]): Array[Byte] = {
+    require(sampleRate > 0 && sampleRate < (1 << 20), "rate is 20 bits")
+    require(channels >= 1 && channels <= 8, "channels-1 is 3 bits")
+    require(bitsPerSample >= 4 && bitsPerSample <= 32, "bps-1 is 5 bits")
+    require(totalSamples >= 0 && totalSamples < (1L << 36),
+      "total samples is 36 bits")
+    require(note.length < (1 << 24), "block length is u24")
+    val out = new ByteArrayOutputStream(46 + note.length)
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    out.write(0x00) // STREAMINFO, not last
+    out.write(0); out.write(0); out.write(34)
+    val si = new Array[Byte](34)
+    // min/max blocksize: legal dummy 4096; min/max framesize 0 (unknown)
+    si(0) = 0x10; si(1) = 0x00; si(2) = 0x10; si(3) = 0x00
+    si(10) = ((sampleRate >> 12) & 0xff).toByte
+    si(11) = ((sampleRate >> 4) & 0xff).toByte
+    si(12) = (((sampleRate & 0xf) << 4) | ((channels - 1) << 1) |
+      ((bitsPerSample - 1) >> 4)).toByte
+    si(13) = ((((bitsPerSample - 1) & 0xf) << 4) |
+      ((totalSamples >> 32) & 0xf).toInt).toByte
+    si(14) = ((totalSamples >> 24) & 0xff).toByte
+    si(15) = ((totalSamples >> 16) & 0xff).toByte
+    si(16) = ((totalSamples >> 8) & 0xff).toByte
+    si(17) = (totalSamples & 0xff).toByte
+    out.write(si, 0, 34)
+    out.write(0x84) // VORBIS_COMMENT (type 4), last block
+    out.write((note.length >> 16) & 0xff)
+    out.write((note.length >> 8) & 0xff)
+    out.write(note.length & 0xff)
+    out.write(note, 0, note.length)
+    out.toByteArray
+  }
+
   /** Minimal structurally-valid WAV header stream: RIFF/WAVE, a LIST
     * chunk carrying `note` (variable length — the walker must hop it),
     * fmt (PCM), and a data chunk DECLARING `nSamples` frames without

@@ -80,6 +80,36 @@ object Multimodal {
     }
   }
 
+  /** Format-sniffed audio metadata; None columns = undecodable blob.
+    * `n_samples` is per-channel sample count for every format, so
+    * duration_ms = n_samples · 1000 / sample_rate uniformly. */
+  final case class AudioSniffRow(doc_id: Long, format: Option[String],
+      sample_rate: Option[Int], channels: Option[Int],
+      n_samples: Option[Long], n_bytes: Long)
+
+  /** The full audio filter pass a crawl mix needs: sniff WAV (RIFF
+    * walk), FLAC (STREAMINFO), or MP3 (Layer III frame-header walk,
+    * ID3v2 hop) per blob — magics are mutually exclusive, so order is
+    * cosmetic. One corrupt blob yields a NULL row, never a failed job. */
+  def sniffAudioHeaders(records: Dataset[MediaRecord]): Dataset[AudioSniffRow] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val wav = AudioHeaders.decodeWav(r.media).map(m =>
+          ("wav", m.sampleRate, m.channels, m.nSamples))
+        val flac = wav.orElse(AudioHeaders.decodeFlac(r.media).map(m =>
+          ("flac", m.sampleRate, m.channels, m.totalSamples)))
+        flac.orElse(AudioHeaders.decodeMp3(r.media).map(m =>
+          ("mp3", m.sampleRate, m.channels, m.nSamples))) match {
+          case Some((f, rate, ch, ns)) => AudioSniffRow(r.doc_id, Some(f),
+            Some(rate), Some(ch), Some(ns), r.media.length.toLong)
+          case None => AudioSniffRow(r.doc_id, None, None, None, None,
+            r.media.length.toLong)
+        }
+      }
+    }
+  }
+
   /** Audio sibling of [[decodeImageHeaders]]: parse each blob's WAV
     * header ([[AudioHeaders.decodeWav]] — RIFF chunk walk, unknown
     * chunks hopped by size) into typed metadata. */
@@ -302,6 +332,83 @@ object Multimodal {
                     // (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
                         ELSE 44100 END) AS BIGINT) AS duration_ms
         FROM documents
+        ORDER BY doc_id""")),
+
+    // ----- MP3 + FLAC sniff: the real crawl audio mix ------------------
+    // q232 covered WAV, but a crawl's audio is mostly MP3/FLAC. Even
+    // docs become CBR MPEG-1 Layer III streams — an ID3v2 tag carrying
+    // the text (syncsafe size, the hop the walk must take) + N
+    // byte-valid frames the decoder must WALK (each hopped by its
+    // computed table-derived length; the frame count comes out of the
+    // walk, not a header field). Odd docs become FLAC — STREAMINFO's
+    // packed 20/3/5/36-bit fields + a vorbis-comment block. The oracle
+    // replays the tables, the packed fields, and the exact byte
+    // lengths: a wrong bitrate table or bit offset is a hash mismatch.
+    QueryDef(
+      "q239_mp3_flac_header_sniff",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val note = text.getBytes("UTF-8")
+            if (id % 2 == 0) {
+              val br = if (id % 4 == 0) 64 else 192
+              val rate = (id % 3) match {
+                case 0 => 44100; case 1 => 48000; case _ => 32000
+              }
+              val ch = if (id % 4 == 0) 1 else 2
+              MediaRecord(id, AudioHeaders.encodeMp3(br, rate,
+                (5 + id % 20).toInt, ch, note), "audio/mpeg")
+            } else {
+              val rate = (id % 3) match {
+                case 0 => 44100; case 1 => 48000; case _ => 96000
+              }
+              val ch = if (id % 4 == 1) 1 else 2
+              val bps = if (id % 8 < 4) 16 else 24
+              MediaRecord(id, AudioHeaders.encodeFlac(rate, ch, bps,
+                1000L + (id * 17) % 100000, note), "audio/flac")
+            }
+          }
+        sniffAudioHeaders(media).toDF()
+          .withColumn("duration_ms",
+            expr("(n_samples * 1000) div sample_rate"))
+          .orderBy($"doc_id")
+      },
+      // mp3: n_samples = frames*1152, n_bytes = 10 + len + frames *
+      // floor(144*br*1000/rate); flac: n_bytes = 46 + len
+      Some("""
+        WITH p AS (
+          SELECT doc_id, octet_length(encode(text)) AS len,
+                 5 + doc_id % 20 AS frames,
+                 CASE WHEN doc_id % 4 = 0 THEN 64 ELSE 192 END AS br,
+                 CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                      ELSE 32000 END AS mrate,
+                 CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                      ELSE 96000 END AS frate,
+                 1000 + (doc_id * 17) % 100000 AS fsamp
+          FROM documents)
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'mp3' ELSE 'flac' END AS format,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN mrate ELSE frate END
+                    AS INT) AS sample_rate,
+               CAST(CASE WHEN doc_id % 2 = 0
+                    THEN CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 2 END
+                    ELSE CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END END
+                    AS INT) AS channels,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN frames * 1152
+                    ELSE fsamp END AS BIGINT) AS n_samples,
+               CAST(CASE WHEN doc_id % 2 = 0
+                    THEN 10 + len
+                         + frames * CAST(floor(144 * br * 1000.0 / mrate)
+                                         AS BIGINT)
+                    ELSE 46 + len END AS BIGINT) AS n_bytes,
+               CAST(CASE WHEN doc_id % 2 = 0
+                    THEN (frames * 1152 * 1000) // mrate
+                    ELSE (fsamp * 1000) // frate END AS BIGINT)
+                 AS duration_ms
+        FROM p
         ORDER BY doc_id"""))
   )
 

@@ -82,6 +82,77 @@ class AudioHeadersSpec extends AnyFunSuite {
     assert(decodeWav(out2.toByteArray).isEmpty)
   }
 
+  test("MP3 round-trip: the frame walk counts every frame across " +
+      "bitrates, rates, and variable-length ID3v2 tags") {
+    checkProp(Prop.forAll(Gen.oneOf(32, 64, 128, 256, 320),
+        Gen.oneOf(44100, 48000, 32000), Gen.choose(1, 40),
+        Gen.oneOf(1, 2), Gen.choose(0, 99)) { (br, rate, nf, ch, noteLen) =>
+      val blob = encodeMp3(br, rate, nf, ch, Array.fill(noteLen)('x'.toByte))
+      decodeMp3(blob).contains(
+        Mp3Meta("mpeg1", br, rate, ch, nf, nf * 1152L))
+    })
+  }
+
+  test("MP3: VBR streams (bitrate switch mid-file) walk to the true " +
+      "frame count; a sample-rate switch is malformed") {
+    def frames(br: Int, rate: Int, nf: Int) =
+      encodeMp3(br, rate, nf, 2, Array.emptyByteArray).drop(10)
+    val vbr = ("ID3".getBytes ++ Array[Byte](4, 0, 0, 0, 0, 0, 0)) ++
+      frames(64, 44100, 3) ++ frames(192, 44100, 2)
+    assert(decodeMp3(vbr).contains(
+      Mp3Meta("mpeg1", 64, 44100, 2, 5, 5 * 1152L)))
+    val rateSwitch = ("ID3".getBytes ++ Array[Byte](4, 0, 0, 0, 0, 0, 0)) ++
+      frames(64, 44100, 2) ++ frames(64, 48000, 1)
+    assert(decodeMp3(rateSwitch).isEmpty)
+  }
+
+  test("malformed MP3 decodes to None, never throws") {
+    val good = encodeMp3(128, 44100, 3, 2, "note".getBytes)
+    def mut(f: Array[Byte] => Unit): Array[Byte] = {
+      val c = good.clone; f(c); c
+    }
+    val firstFrame = 10 + 4 // ID3 header + note
+    val cases: Seq[Array[Byte]] = Seq(
+      Array.emptyByteArray,
+      good.take(firstFrame + 2), // truncated first header
+      good.dropRight(1), // trailing partial frame
+      mut(b => b(firstFrame) = 0x00), // sync lost
+      mut(b => b(firstFrame + 2) = 0xf4.toByte), // bitrate index 15 (bad)
+      mut(b => b(firstFrame + 2) = 0x0c.toByte), // free bitrate (0)
+      mut(b => b(firstFrame + 2) =
+        (b(firstFrame + 2) | 0x0c).toByte), // rate index 3 (reserved)
+      mut(b => b(9) = 0x85.toByte)) // non-syncsafe ID3 size byte
+    cases.foreach(b => assert(decodeMp3(b).isEmpty,
+      s"expected None for ${b.length}-byte mutant"))
+  }
+
+  test("FLAC round-trip: packed 20/3/5/36-bit STREAMINFO fields recover " +
+      "across rates, channels, depths, and variable-length comments") {
+    checkProp(Prop.forAll(Gen.oneOf(8000, 44100, 48000, 96000, 192000),
+        Gen.choose(1, 8), Gen.oneOf(8, 16, 20, 24, 32),
+        Gen.choose(0L, (1L << 36) - 1), Gen.choose(0, 99)) {
+      (rate, ch, bps, total, noteLen) =>
+        val blob = encodeFlac(rate, ch, bps, total,
+          Array.fill(noteLen)('x'.toByte))
+        decodeFlac(blob).contains(FlacMeta(rate, ch, bps, total))
+    })
+  }
+
+  test("malformed FLAC decodes to None, never throws") {
+    val good = encodeFlac(44100, 2, 16, 12345L, "hi".getBytes)
+    def mut(f: Array[Byte] => Unit): Array[Byte] = {
+      val c = good.clone; f(c); c
+    }
+    val cases: Seq[Array[Byte]] = Seq(
+      good.take(7), // truncated block header
+      good.take(20), // truncated STREAMINFO
+      mut(b => b(3) = 'c'.toByte), // bad magic
+      mut(b => b(4) = 0x04), // first block not STREAMINFO
+      mut { b => b(18) = 0; b(19) = 0; b(20) = 0 }) // sample rate 0
+    cases.foreach(b => assert(decodeFlac(b).isEmpty,
+      s"expected None for ${b.length}-byte mutant"))
+  }
+
   test("zero channels / zero rate are rejected") {
     val b = encodeWav(1, 8000, 16, 10L, Array.emptyByteArray)
     // channels u16 sits at fmt payload offset 2 -> locate 'fmt ' + 8 + 2
