@@ -952,6 +952,55 @@ object TextAnalysis {
       },
       Some(bpeEncodeOracle(8))),
 
+    // HTML main-text extraction — the missing FIRST stage of the crawl
+    // pipeline every operator above consumes. Each doc is wrapped in a
+    // realistic page: dropped head/title, a nav link bar (density 1.0
+    // -> cut), a script with '<' and '&' traps in its body, a style
+    // block, a low-density prose paragraph with an inline anchor
+    // (kept, anchor text inlined), an entity paragraph (&amp; &lt;
+    // decoded), and a link-farm footer div (density 12/13 -> cut);
+    // 4 blocks kept, 2 cut.
+    // The oracle replays the expected reassembly string-functionally:
+    // any tag-strip slip, entity miss, density miscount, or whitespace
+    // non-collapse is a hash mismatch.
+    QueryDef(
+      "q240_html_main_text",
+      (s, dir) => {
+        import s.implicits._
+        val pages = t(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            (id,
+              s"""<html><head><title>Doc $id</title></head><body>
+                 |<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav>
+                 |<h1>Title $id</h1>
+                 |<script>if (1 < 2) { alert("x & y"); }</script>
+                 |<p>$text</p>
+                 |<style>.footer { display: none; }</style>
+                 |<p>Read much more in <a href="/arc">the archive</a> every single day</p>
+                 |<p>Tom &amp; Jerry &lt;3</p>
+                 |<div><a href="/p">Privacy</a> | <a href="/t">Terms</a></div>
+                 |</body></html>""".stripMargin)
+          }
+          .toDF("doc_id", "html")
+        HtmlExtract.extractMainText(pages, $"html", maxLinkDensity = 0.5)
+          .select($"doc_id", $"main_text",
+            $"n_blocks".cast("long").as("n_blocks"),
+            $"n_dropped".cast("long").as("n_dropped"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               'Title ' || doc_id || chr(10)
+                 || trim(regexp_replace(text, '\s+', ' ', 'g')) || chr(10)
+                 || 'Read much more in the archive every single day'
+                 || chr(10) || 'Tom & Jerry <3' AS main_text,
+               CAST(4 AS BIGINT) AS n_blocks,
+               CAST(2 AS BIGINT) AS n_dropped
+        FROM documents
+        ORDER BY doc_id""")),
+
     QueryDef(
       "q176_inverted_index",
       (s, dir) => invertedIndex(t(s, dir, "documents"), topN = 100),

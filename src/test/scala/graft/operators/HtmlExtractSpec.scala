@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import HtmlExtract._
+
+class HtmlExtractSpec extends AnyFunSuite {
+
+  private def checkProp(p: Prop, n: Int = 100): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("planted paragraphs survive arbitrary inline-tag nesting and " +
+      "whitespace noise") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon")
+    val para = Gen.nonEmptyListOf(word).map(_.mkString(" "))
+    val inline = Gen.oneOf("b", "i", "em", "strong", "span", "code")
+    val ws = Gen.oneOf(" ", "\n", "\t  \n", "   ")
+    checkProp(Prop.forAll(Gen.nonEmptyListOf(para), inline, ws) {
+      (paras, tag, pad) =>
+        // each paragraph wrapped in <p>, its text wrapped in a random
+        // inline tag with noisy attrs and padded with random whitespace
+        val html = paras.map(t =>
+          s"""<p>$pad<$tag class="x" data-z="a>b">$t</$tag>$pad</p>""")
+          .mkString("\n")
+        val got = mainText(html, 1.0)
+        got.main_text == paras.mkString("\n") &&
+          got.n_blocks == paras.size && got.n_dropped == 0
+    })
+  }
+
+  test("script/style/title/comment content is dropped wholesale, " +
+      "including '<' '&' and tag-lookalike traps inside") {
+    val html =
+      """<html><head><title>Boilerplate Title</title>
+        |<style>p { content: "<p>fake</p>"; }</style></head><body>
+        |<script>if (a < b && c > d) { s = "</div><p>"; }</script>
+        |<!-- <p>commented out</p> -->
+        |<p>real text</p>
+        |<SCRIPT type="text/js">more < junk</SCRIPT>
+        |<p>more text</p></body></html>""".stripMargin
+    val got = mainText(html, 1.0)
+    assert(got.main_text == "real text\nmore text")
+    assert(got.n_blocks == 2 && got.n_dropped == 0)
+  }
+
+  test("link-density cut: pure link bars drop at 0.5, survive at 1.0; " +
+      "prose with an inline anchor is kept with the anchor text inlined") {
+    val html =
+      """<nav><a href="/">Home</a> <a href="/x">About</a></nav>
+        |<p>Read about <a href="/t">this topic</a> in depth here</p>""".stripMargin
+    val cut = mainText(html, 0.5)
+    assert(cut.main_text == "Read about this topic in depth here")
+    assert(cut.n_blocks == 1 && cut.n_dropped == 1)
+    val keep = mainText(html, 1.0)
+    assert(keep.main_text ==
+      "Home About\nRead about this topic in depth here")
+    assert(keep.n_blocks == 2 && keep.n_dropped == 0)
+  }
+
+  test("entities decode: named, decimal, hex; unknown/bare '&' stays " +
+      "literal") {
+    val got = mainText(
+      "<p>Tom &amp; Jerry &lt;3 &quot;hi&quot; &#65;&#x42; " +
+        "AT&T R&unknown; a&b</p>", 1.0)
+    assert(got.main_text == "Tom & Jerry <3 \"hi\" AB AT&T R&unknown; a&b")
+  }
+
+  test("malformed markup never throws and ends deterministically") {
+    val cases = Seq(
+      "<p>unclosed paragraph",
+      "a < b and c > d plain text",
+      "<p>text<",
+      "<!-- unterminated comment <p>gone</p>",
+      "<script>unterminated script <p>gone</p>",
+      "<p attr=\"unterminated quote>text</p><p>next</p>",
+      "<>empty tag<p>kept</p>",
+      "</div></div></div>over-closed",
+      "", "\n\n", "<p></p><div></div>")
+    cases.foreach { h =>
+      val got = mainText(h, 0.5) // must not throw
+      assert(got.n_blocks >= 0)
+    }
+    assert(mainText("<p>unclosed paragraph", 1.0).main_text ==
+      "unclosed paragraph")
+    assert(mainText("a < b and c > d plain text", 1.0).main_text ==
+      "a < b and c > d plain text")
+    assert(mainText("<!-- unterminated comment <p>gone</p>", 1.0)
+      .main_text == "")
+    assert(mainText("<script>unterminated script <p>gone</p>", 1.0)
+      .main_text == "")
+    assert(mainText("</div></div></div>over-closed", 1.0).main_text ==
+      "over-closed")
+  }
+
+  test("deeply nested and interleaved blocks flush once per boundary; " +
+      "whitespace-only blocks vanish") {
+    checkProp(Prop.forAll(Gen.choose(1, 30)) { depth =>
+      // <div><div>...<p>x</p>...</div></div> — all nesting collapses
+      // to the single non-empty block
+      val html = ("<div>" * depth) + "<p>x</p>" + ("</div>" * depth)
+      val got = mainText(html, 1.0)
+      got.main_text == "x" && got.n_blocks == 1
+    })
+  }
+
+  test("over-nested anchors cannot push link depth negative: text " +
+      "after a stray </a> is not counted as link text") {
+    val got = blocks("<p></a></a>plain prose here</p>")
+    assert(got.size == 1 && got.head.nLinkChars == 0)
+  }
+}
