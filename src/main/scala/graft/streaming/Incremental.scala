@@ -36,7 +36,8 @@ final class IncrementalAgg(
     checkpointDir: String,
     stateDir: String,
     keys: Seq[String],
-    sumCols: Seq[String]) {
+    sumCols: Seq[String],
+    retainVersions: Int = 2) {
 
   private val pointer = Paths.get(stateDir, "_LATEST")
 
@@ -68,7 +69,7 @@ final class IncrementalAgg(
     * the merged state. */
   def update(): DataFrame = {
     IncrementalAgg.foldNewArrivals(spark, inputDir, schema, checkpointDir,
-      stateDir, pointer, aggregate, merge, () => state())
+      stateDir, pointer, aggregate, merge, () => state(), retainVersions)
     state().getOrElse(aggregate(
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         schema)))
@@ -96,7 +97,8 @@ final class IncrementalQuantile(
     stateDir: String,
     keyCol: String,
     valueCol: String,
-    lo: Double, hi: Double, bins: Int) {
+    lo: Double, hi: Double, bins: Int,
+    retainVersions: Int = 2) {
 
   private val pointer = Paths.get(stateDir, "_LATEST")
 
@@ -113,7 +115,7 @@ final class IncrementalQuantile(
       batch => graft.operators.Maintenance.quantileState(
         batch, col(keyCol), col(valueCol), lo, hi, bins),
       graft.operators.Maintenance.mergeQuantileState,
-      () => state())
+      () => state(), retainVersions)
 
   /** p-quantile per key from the CURRENT state only (adds n and q
     * columns — see `Maintenance.quantileFromState`). */
@@ -142,7 +144,10 @@ object IncrementalAgg {
       checkpointDir: String, stateDir: String, pointer: Path,
       partial: DataFrame => DataFrame,
       merge: (DataFrame, DataFrame) => DataFrame,
-      state: () => Option[DataFrame]): Unit = {
+      state: () => Option[DataFrame],
+      retainVersions: Int = 2): Unit = {
+    require(retainVersions >= 2,
+      "retainVersions >= 2: the previous version is the documented rollback")
     Files.createDirectories(Paths.get(stateDir))
     val stream = spark.readStream.schema(schema).parquet(inputDir)
     val q = stream.writeStream
@@ -160,6 +165,7 @@ object IncrementalAgg {
           merged.write.mode("overwrite")
             .parquet(Paths.get(stateDir, version).toString)
           flipPointer(pointer, version)
+          pruneVersions(stateDir, pointer, retainVersions)
         }
         ()
       }
@@ -167,6 +173,52 @@ object IncrementalAgg {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** Keep-last-N retention, run ONLY after a successful pointer flip:
+    * version directories beyond the newest `retain` (numeric batch-id
+    * order — v10 outranks v9, not "v1 < v9" lexicographics) are
+    * deleted. Two invariants, both defensive against operator error
+    * and crash interleavings:
+    *  - the pointer target is NEVER deleted, even if a manual rollback
+    *    flipped the pointer at an old version outside the newest N;
+    *  - versions NEWER than the newest retained are impossible here
+    *    (prune runs post-flip, the flipped version is the newest), but
+    *    a version written by a crashed run that never flipped sorts
+    *    newest and is retained — the replaying batch overwrites it.
+    * A crash DURING prune just leaves extra versions; the next
+    * successful fold re-prunes. */
+  private[streaming] def pruneVersions(stateDir: String, pointer: Path,
+      retain: Int): Unit = {
+    if (!Files.exists(pointer)) return
+    val current = Files.readString(pointer).trim
+    val dir = Paths.get(stateDir)
+    val listing = Files.list(dir)
+    val versions =
+      try {
+        val it = listing.iterator()
+        val buf = scala.collection.mutable.ListBuffer.empty[Path]
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.matches("v\\d+")) buf += p
+        }
+        buf.toList.sortBy(p =>
+          -p.getFileName.toString.drop(1).toLong)
+      } finally listing.close()
+    versions.drop(retain)
+      .filterNot(_.getFileName.toString == current)
+      .foreach(deleteRecursively)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val listing = Files.list(p)
+      try {
+        val it = listing.iterator()
+        while (it.hasNext) deleteRecursively(it.next())
+      } finally listing.close()
+    }
+    Files.deleteIfExists(p)
   }
 
   /** Flip the `_LATEST` pointer via write-temp + atomic rename: a crash

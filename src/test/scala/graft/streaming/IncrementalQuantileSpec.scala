@@ -50,6 +50,85 @@ class IncrementalQuantileSpec extends SparkSpec {
     assert(stateCells(inc) == after2)
   }
 
+  test("keep-last-N retention: old versions vanish after each flip, " +
+      "the pointer target and the rollback version survive") {
+    import java.nio.file.{Files => F, Paths}
+    val input = tmp("iq_in_")
+    val stateDir = tmp("iq_st_")
+    val inc = new IncrementalQuantile(
+      spark, input,
+      StructType(Seq(StructField("k", LongType), StructField("v", DoubleType))),
+      tmp("iq_ck_"), stateDir,
+      keyCol = "k", valueCol = "v", lo = 0.0, hi = 100.0, bins = 20,
+      retainVersions = 2)
+    def versions(): Set[String] = {
+      val s = F.list(Paths.get(stateDir))
+      try {
+        val it = s.iterator(); val b = Set.newBuilder[String]
+        while (it.hasNext) {
+          val n = it.next().getFileName.toString
+          if (n.matches("v\\d+")) b += n
+        }
+        b.result()
+      } finally s.close()
+    }
+    for (i <- 1 to 4) {
+      Seq((1L, i * 10.0)).toDF("k", "v").write.mode("append").parquet(input)
+      inc.update()
+    }
+    // batch ids 0..3 -> only v2 (rollback) and v3 (current) remain
+    assert(versions() == Set("v2", "v3"),
+      s"expected last-2 retention, got ${versions()}")
+    val pointer = Paths.get(stateDir, "_LATEST")
+    assert(F.readString(pointer).trim == "v3")
+    // the rollback contract: flipping the pointer back one version
+    // reads a complete, older state
+    val nCurrent = inc.state().get.agg(sum($"c")).collect()(0).getLong(0)
+    IncrementalAgg.flipPointer(pointer, "v2")
+    val nRolledBack = inc.state().get.agg(sum($"c")).collect()(0).getLong(0)
+    assert(nRolledBack == nCurrent - 1, "v2 must be the pre-batch-3 state")
+    // prune must NEVER delete the pointer target, even a manually
+    // rolled-back one outside the newest N
+    IncrementalAgg.pruneVersions(stateDir, pointer, retain = 1)
+    assert(versions() == Set("v2", "v3"),
+      "pointer target v2 must survive a retain-1 prune")
+    // a version written by a crashed run that never flipped sorts
+    // newest and is retained for the replaying batch to overwrite
+    F.createDirectories(Paths.get(stateDir, "v99"))
+    IncrementalAgg.pruneVersions(stateDir, pointer, retain = 1)
+    assert(versions() == Set("v2", "v99"),
+      "crashed-but-unflipped newest version must be retained")
+  }
+
+  test("crash between state write and pointer flip recovers: the " +
+      "replayed fold overwrites the same version and the result is " +
+      "exactly-once") {
+    import java.nio.file.{Files => F, Paths}
+    val input = tmp("iq_in_")
+    val stateDir = tmp("iq_st_")
+    val mkInc = () => new IncrementalQuantile(
+      spark, input,
+      StructType(Seq(StructField("k", LongType), StructField("v", DoubleType))),
+      tmp("iq_ck_"), stateDir,
+      keyCol = "k", valueCol = "v", lo = 0.0, hi = 100.0, bins = 20)
+    // simulate the crash window: v0 was WRITTEN by a run that died
+    // before flipping the pointer (and before the checkpoint commit —
+    // mkInc uses a fresh checkpoint dir, so batch 0 replays). Plant a
+    // poisoned v0 to prove the replay overwrites rather than trusts it.
+    Seq((9L, 50.0)).toDF("k", "v")
+      .write.parquet(Paths.get(stateDir, "v0").toString)
+    assert(!F.exists(Paths.get(stateDir, "_LATEST")))
+    Seq((1L, 10.0), (2L, 90.0)).toDF("k", "v")
+      .write.mode("append").parquet(input)
+    val inc = mkInc()
+    inc.update()
+    assert(F.readString(Paths.get(stateDir, "_LATEST")).trim == "v0")
+    val cells = inc.state().get.orderBy($"k", $"b").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(cells == Seq((1L, 2, 1L), (2L, 18, 1L)),
+      s"replay must overwrite the crashed write, got $cells")
+  }
+
   test("incremental folds equal the one-shot state over all arrivals") {
     val (inc, input) = mk()
     val b1 = Seq((1L, 10.0), (1L, 55.0), (2L, 90.0), (3L, 33.0))
