@@ -40,6 +40,32 @@ object Materialize {
   private val adopted = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[Dataset[_], Seq[Dataset[_]]]())
 
+  /** Debug-mode ownership tracking (see [[free]]'s CAVEAT): with
+    * `-Dgraft.materialize.debug=true`, [[adopt]] records which
+    * checkpoint-RDD ids each live owner pins, and [[free]] THROWS when
+    * asked to release a block another live adopted frame still
+    * references — contract misuse fails loudly at the free site
+    * instead of surfacing later as a mysterious recompute (or a
+    * wrong-looking slow plan) on the surviving frame. Off by default:
+    * production free() stays check-free; tests opt in. */
+  val DebugProperty = "graft.materialize.debug"
+  private def debugEnabled: Boolean =
+    java.lang.Boolean.getBoolean(DebugProperty)
+
+  /** owner -> checkpoint-RDD ids it pins (weak keys: a dropped owner
+    * stops asserting). */
+  private val debugOwnership = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[Dataset[_], Set[Int]]())
+
+  private def checkpointIds(df: Dataset[_]): Set[Int] = {
+    val b = Set.newBuilder[Int]
+    try df.queryExecution.analyzed.foreach {
+      case lr: LogicalRDD => b += lr.rdd.id
+      case _ => ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+    b.result()
+  }
+
   /** The LAZY variant of the contract, for operators where the eager
     * final checkpoint measurably breaks the fused pipeline (PageRank:
     * one action runs all rounds in one adaptive job; materializing the
@@ -50,6 +76,9 @@ object Materialize {
     * rest. */
   def adopt(owner: DataFrame, frames: Seq[Dataset[_]]): DataFrame = {
     adopted.put(owner, frames)
+    if (debugEnabled)
+      debugOwnership.put(owner,
+        (checkpointIds(owner) ++ frames.flatMap(checkpointIds)))
     owner
   }
 
@@ -64,6 +93,7 @@ object Materialize {
     * internal intermediates, which is the intended use).
     */
   def free(df: Dataset[_]): Unit = {
+    if (debugEnabled) debugCheckAndDeregister(df)
     // NonFatal only: swallowing OutOfMemoryError / InterruptedException
     // here would break thread interruption and hide fatal state
     try df.unpersist(blocking = false)
@@ -73,6 +103,40 @@ object Materialize {
       case _ => ()
     } catch { case scala.util.control.NonFatal(_) => () }
     Option(adopted.remove(df)).foreach(_.foreach(free))
+  }
+
+  /** The debug-mode guard: everything `df` will release transitively
+    * (its own plan's checkpoint RDDs plus those of its whole adoption
+    * closure) must not intersect the blocks any OTHER live registered
+    * owner pins. Throws BEFORE anything is unpersisted; on success the
+    * closure is deregistered up front so sibling frames freed by the
+    * recursion cannot false-positive against each other. */
+  private def debugCheckAndDeregister(df: Dataset[_]): Unit = {
+    val closure = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Dataset[_], java.lang.Boolean]())
+    def collect(d: Dataset[_]): Unit =
+      if (closure.add(d))
+        Option(adopted.get(d)).toSeq.flatten.foreach(collect)
+    collect(df)
+    import scala.jdk.CollectionConverters._
+    val freeing = closure.asScala.flatMap(checkpointIds).toSet
+    val owners = debugOwnership.synchronized {
+      debugOwnership.asScala.toList
+    }
+    val conflicts = owners.collect {
+      case (owner, ids) if !closure.contains(owner) &&
+        ids.exists(freeing.contains) =>
+        s"owner@${System.identityHashCode(owner).toHexString} pins RDD " +
+          s"ids ${ids.intersect(freeing).toSeq.sorted.mkString(",")}"
+    }
+    if (conflicts.nonEmpty)
+      throw new IllegalStateException(
+        "Materialize.free would release checkpoint blocks still " +
+          s"referenced by ${conflicts.size} other live adopted " +
+          s"frame(s): ${conflicts.mkString("; ")} — free the owning " +
+          "frame instead, or drop the other reference first " +
+          s"(detected because -D$DebugProperty=true)")
+    closure.asScala.foreach(debugOwnership.remove)
   }
 
   /** [[free]] over a batch, tolerating repeats. */

@@ -62,6 +62,37 @@ class CacheHygieneSpec extends SparkSpec {
     assertClean("pageRank")(Graph.pageRank(edges, iters = 7))
   }
 
+  test("debug mode: freeing a frame whose checkpoint blocks another " +
+      "live adopted frame references fails LOUDLY, not as a silent " +
+      "downstream recompute") {
+    System.setProperty(Materialize.DebugProperty, "true")
+    try {
+      // contract misuse: two adopted results sharing one checkpointed
+      // input — freeing either would strip the other's blocks
+      val base = edges.localCheckpoint()
+      val a = Materialize.adopt(base.filter($"src" < 4L), Seq(base))
+      val b = Materialize.adopt(base.filter($"src" >= 4L), Seq(base))
+      b.count()
+      val ex = intercept[IllegalStateException](Materialize.free(a))
+      assert(ex.getMessage.contains("still referenced"),
+        s"wrong failure: ${ex.getMessage}")
+      // the guard is symmetric and nothing was unpersisted: the other
+      // frame's blocks are intact
+      intercept[IllegalStateException](Materialize.free(b))
+      assert(b.count() == 3)
+      // the legitimate composition: ONE outer owner adopts both — its
+      // free covers the whole closure, no false positive among the
+      // siblings it is releasing
+      val outer = Materialize.adopt(a.unionByName(b), Seq(a, b))
+      Materialize.free(outer)
+      // and non-shared adopted frames never trip the assert
+      val base2 = edges.localCheckpoint()
+      val solo = Materialize.adopt(base2.select($"src"), Seq(base2))
+      solo.count()
+      Materialize.free(solo)
+    } finally System.clearProperty(Materialize.DebugProperty)
+  }
+
   test("personalizedPageRank is hygienic") {
     assertClean("personalizedPageRank")(
       Graph.personalizedPageRank(edges, Seq(1L).toDF("node"), iters = 6))
