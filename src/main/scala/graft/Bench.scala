@@ -11,6 +11,9 @@ object Bench {
       .builder(s"local[$cpus]", shufflePartitions = cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // harness-scoped: drop the benign per-free localCheckpoint warning
+    // so the bench tail stays readable (see GraftSession scaladoc)
+    graft.engine.GraftSession.muteLocalCheckpointUnpersistWarn()
     // JIT/codegen warmup so the first measured query isn't charged for
     // JVM startup (no query data is cached — catalog stays cold)
     spark.range(1000000).selectExpr("sum(id * 2)").collect()

@@ -20,6 +20,7 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.engine.GraftSession.muteLocalCheckpointUnpersistWarn()
     name.split(',').foreach { q =>
       val fn = SparkEntry.queries(q)
       (1 to reps).foreach { r =>

@@ -17,6 +17,9 @@ object Verify {
       .builder(s"local[$cpus]", shufflePartitions = cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // harness-scoped: drop the benign per-free localCheckpoint warning
+    // (see GraftSession.muteLocalCheckpointUnpersistWarn scaladoc)
+    graft.engine.GraftSession.muteLocalCheckpointUnpersistWarn()
     // recursive delete, tolerant of files vanishing mid-walk (listFiles
     // returns null for a dir deleted under us — e.g. a task-abort
     // cleaning its _temporary dir concurrently)

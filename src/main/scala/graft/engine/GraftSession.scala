@@ -89,6 +89,40 @@ object GraftSession {
       .config("spark.sql.warehouse.dir", s"$scratchRoot/warehouse")
       .config("spark.ui.enabled", "false")
 
+  /** Silence ONE known-benign warning in harness logs: every
+    * `Materialize.free` of a localCheckpoint emits
+    * "RDD N was locally checkpointed, its lineage has been truncated
+    * and cannot be recomputed after unpersisting" (logged by
+    * `RDD.unpersist`). That is the cache-hygiene contract WORKING —
+    * the frame is dead by contract, nothing will recompute it — but a
+    * 237-query bench run prints hundreds of them and buries real
+    * warnings. There is no unpersist order that avoids it (the log
+    * site is inside RDD.unpersist itself), so this installs a DENY
+    * filter on the root logger config matching exactly that message
+    * from `org.apache.spark.rdd.*` loggers. Scoped to the HARNESS
+    * mains (Bench/Verify/Scratch call it; library users never get
+    * their logging touched). */
+  def muteLocalCheckpointUnpersistWarn(): Unit = {
+    import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.core.{Filter, LogEvent, LoggerContext}
+    import org.apache.logging.log4j.core.filter.AbstractFilter
+    LogManager.getContext(false) match {
+      case ctx: LoggerContext =>
+        val root = ctx.getConfiguration.getRootLogger
+        root.addFilter(new AbstractFilter(
+          Filter.Result.DENY, Filter.Result.NEUTRAL) {
+          override def filter(event: LogEvent): Filter.Result =
+            if (event.getLoggerName.startsWith("org.apache.spark.rdd") &&
+              event.getMessage.getFormattedMessage
+                .contains("was locally checkpointed, its lineage"))
+              Filter.Result.DENY
+            else Filter.Result.NEUTRAL
+        })
+        ctx.updateLoggers()
+      case _ => () // non-core LoggerContext (custom binding): leave as-is
+    }
+  }
+
   def local(cores: Int = 4): SparkSession = {
     val s = builder(s"local[$cores]", math.max(cores, 4)).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
