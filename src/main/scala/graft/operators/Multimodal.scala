@@ -110,6 +110,30 @@ object Multimodal {
     }
   }
 
+  /** Header-decoded MP4 metadata; None columns = undecodable blob. */
+  final case class Mp4HeaderRow(doc_id: Long, brand: Option[String],
+      timescale: Option[Int], duration_units: Option[Long],
+      width: Option[Int], height: Option[Int], n_tracks: Option[Int],
+      n_bytes: Long)
+
+  /** Video sibling of [[decodeImageHeaders]]: parse each blob's
+    * ISO-BMFF box chain ([[VideoHeaders.decodeMp4]] — big-endian box
+    * walk, moov/trak recursion) into typed metadata. */
+  def decodeMp4Headers(records: Dataset[MediaRecord]): Dataset[Mp4HeaderRow] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        VideoHeaders.decodeMp4(r.media) match {
+          case Some(m) => Mp4HeaderRow(r.doc_id, Some(m.brand),
+            Some(m.timescale), Some(m.durationUnits), Some(m.width),
+            Some(m.height), Some(m.nTracks), r.media.length.toLong)
+          case None => Mp4HeaderRow(r.doc_id, None, None, None, None,
+            None, None, r.media.length.toLong)
+        }
+      }
+    }
+  }
+
   /** Audio sibling of [[decodeImageHeaders]]: parse each blob's WAV
     * header ([[AudioHeaders.decodeWav]] — RIFF chunk walk, unknown
     * chunks hopped by size) into typed metadata. */
@@ -409,6 +433,62 @@ object Multimodal {
                     ELSE (fsamp * 1000) // frate END AS BIGINT)
                  AS duration_ms
         FROM p
+        ORDER BY doc_id""")),
+
+    // ----- MP4 / ISO-BMFF header decode: the VIDEO modality ------------
+    // Completes the image/audio/video triad: each doc becomes a
+    // byte-valid header-only MP4 — ftyp, a variable-length 'free' box
+    // the walk must hop, then moov[mvhd + per-track trak[tkhd]] with
+    // the dims on the first track and later tracks 0x0 (the audio-
+    // track shape the first-nonzero-dims rule exists for). The decoder
+    // re-derives brand/timescale/duration/dims/track-count from the
+    // big-endian box chain; the oracle replays the derivations and the
+    // exact per-track stream lengths.
+    QueryDef(
+      "q241_mp4_header_decode",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val ts = (id % 3) match {
+              case 0 => 600; case 1 => 1000; case _ => 90000
+            }
+            MediaRecord(id,
+              VideoHeaders.encodeMp4(
+                brand = if (id % 2 == 0) "isom" else "mp42",
+                timescale = ts,
+                durationUnits = 1000L + (id * 29) % 100000,
+                width = (16 + id % 624).toInt,
+                height = (16 + (id * 7) % 464).toInt,
+                nTracks = (1 + id % 2).toInt,
+                note = text.getBytes("UTF-8")),
+              "video/mp4")
+          }
+        decodeMp4Headers(media).toDF()
+          .withColumn("duration_ms",
+            expr("(duration_units * 1000) div timescale"))
+          .orderBy($"doc_id")
+      },
+      // stream length: 24 ftyp + 8+len free + 8 moov hdr + 108 mvhd
+      // + nTracks * 100 trak
+      Some("""
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+               CAST(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                    ELSE 90000 END AS INT) AS timescale,
+               CAST(1000 + (doc_id * 29) % 100000 AS BIGINT)
+                 AS duration_units,
+               CAST(16 + doc_id % 624 AS INT) AS width,
+               CAST(16 + (doc_id * 7) % 464 AS INT) AS height,
+               CAST(1 + doc_id % 2 AS INT) AS n_tracks,
+               CAST(148 + octet_length(encode(text))
+                    + (1 + doc_id % 2) * 100 AS BIGINT) AS n_bytes,
+               CAST((1000 + (doc_id * 29) % 100000) * 1000
+                    // (CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                        ELSE 90000 END) AS BIGINT) AS duration_ms
+        FROM documents
         ORDER BY doc_id"""))
   )
 

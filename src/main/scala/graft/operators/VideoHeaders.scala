@@ -1,0 +1,211 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+
+/** Pure-JVM video header codec: parse (and, for fixtures, emit) the
+  * metadata-bearing prefix of MP4 / ISO-BMFF streams (public spec,
+  * ISO/IEC 14496-12) — the VIDEO sibling of [[ImageHeaders]] /
+  * [[AudioHeaders]], no codec libraries, no native deps.
+  *
+  * ISO-BMFF layout: a chain of boxes — u32 BIG-endian size (including
+  * the 8-byte header), 4-char type; size 1 means a u64 largesize
+  * follows, size 0 means "to end of file". Container boxes (moov,
+  * trak) nest the chain recursively. The sniff needs exactly:
+  *  - `ftyp` first (major brand identifies the family: isom/mp42/...);
+  *  - `moov` > `mvhd`: movie timescale (u32) + duration (u32 at
+  *    version 0, u64 at version 1) — duration/timescale = seconds;
+  *  - `moov` > `trak` > `tkhd`: presentation width/height as 16.16
+  *    fixed-point u32s at the end of the box (offset differs by
+  *    version: v0 dur is u32, v1 u64). First track with nonzero dims
+  *    wins (audio tracks carry 0×0).
+  *
+  * A curation pipeline runs this on every video blob: filter by
+  * duration / resolution / brand BEFORE paying for demux on the
+  * survivors. Decode failures return None — one corrupt blob must not
+  * kill a corpus-scale pass. All offset math is Long: a hostile
+  * declared box size near u32/u64 max ends the walk cleanly, never an
+  * Int-overflow index crash (the [[AudioHeaders]] discipline).
+  */
+object VideoHeaders {
+
+  /** Decoded MP4 metadata. `durationUnits` is in `timescale` units;
+    * duration_ms = durationUnits · 1000 / timescale at the caller. */
+  final case class Mp4Meta(brand: String, timescale: Int,
+      durationUnits: Long, width: Int, height: Int, nTracks: Int)
+
+  private def u32(b: Array[Byte], i: Long): Long = {
+    val o = i.toInt
+    ((b(o) & 0xff).toLong << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+  }
+  private def u64(b: Array[Byte], i: Long): Long =
+    (u32(b, i) << 32) | u32(b, i + 4)
+  private def fourcc(b: Array[Byte], i: Long): String =
+    new String(b, i.toInt, 4, "US-ASCII")
+
+  /** One box header at `off`: (payloadStart, boxEnd, type). None =
+    * malformed (undersized, truncated, or overflowing declared size). */
+  private def boxAt(b: Array[Byte], off: Long,
+      limit: Long): Option[(Long, Long, String)] = {
+    if (off + 8 > limit) return None
+    val size32 = u32(b, off)
+    val typ = fourcc(b, off + 4)
+    val (payload, end) =
+      if (size32 == 0) (off + 8, limit) // box extends to the end
+      else if (size32 == 1) {
+        if (off + 16 > limit) return None
+        val large = u64(b, off + 8)
+        if (large < 16) return None
+        (off + 16, off + large)
+      } else {
+        if (size32 < 8) return None
+        (off + 8, off + size32)
+      }
+    if (end < payload || end > limit) return None
+    Some((payload, end, typ))
+  }
+
+  /** Walk one box chain in [off, limit), calling `f` per box; stops
+    * early if `f` returns false. Returns false on malformed chains. */
+  private def walk(b: Array[Byte], off: Long, limit: Long)(
+      f: (String, Long, Long) => Boolean): Boolean = {
+    var o = off
+    while (o < limit) {
+      boxAt(b, o, limit) match {
+        case Some((payload, end, typ)) =>
+          if (!f(typ, payload, end)) return true
+          o = end
+        case None => return false
+      }
+    }
+    true
+  }
+
+  def decodeMp4(b: Array[Byte]): Option[Mp4Meta] = {
+    if (b == null || b.length < 16) return None
+    // ftyp must lead (well-formed ISO-BMFF for interchange)
+    val head = boxAt(b, 0L, b.length.toLong) match {
+      case Some((p, e, "ftyp")) if e - p >= 8 => (p, e)
+      case _ => return None
+    }
+    val brand = fourcc(b, head._1)
+    var timescale = 0
+    var duration = -1L
+    var width = 0
+    var height = 0
+    var nTracks = 0
+    def parseMvhd(p: Long, end: Long): Boolean = {
+      if (end - p < 4) return false
+      val version = b(p.toInt) & 0xff
+      if (version == 0) {
+        if (end - p < 20) return false
+        timescale = u32(b, p + 12).toInt
+        duration = u32(b, p + 16)
+      } else {
+        if (end - p < 32) return false
+        timescale = u32(b, p + 20).toInt
+        duration = u64(b, p + 24)
+      }
+      timescale > 0
+    }
+    def parseTkhd(p: Long, end: Long): Boolean = {
+      if (end - p < 4) return false
+      val version = b(p.toInt) & 0xff
+      val dimsOff = if (version == 0) 76L else 88L
+      if (end - p < dimsOff + 8) return false
+      nTracks += 1
+      if (width == 0 && height == 0) {
+        // 16.16 fixed point; audio tracks are 0x0 — keep looking
+        width = (u32(b, p + dimsOff) >> 16).toInt
+        height = (u32(b, p + dimsOff + 4) >> 16).toInt
+      }
+      true
+    }
+    var sawMoov = false
+    var bad = false
+    val ok = walk(b, head._2, b.length.toLong) { (typ, p, e) =>
+      if (typ == "moov") {
+        sawMoov = true
+        val moovOk = walk(b, p, e) { (t2, p2, e2) =>
+          if (t2 == "mvhd") { if (!parseMvhd(p2, e2)) bad = true }
+          else if (t2 == "trak") {
+            val trakOk = walk(b, p2, e2) { (t3, p3, e3) =>
+              if (t3 == "tkhd") { if (!parseTkhd(p3, e3)) bad = true }
+              true
+            }
+            if (!trakOk) bad = true
+          }
+          !bad
+        }
+        if (!moovOk) bad = true
+        false // moov found: stop the top-level walk
+      } else true
+    }
+    if (!ok || bad || !sawMoov || timescale <= 0 || duration < 0) None
+    else Some(Mp4Meta(brand, timescale, duration, width, height, nTracks))
+  }
+
+  /** Fixture emitter: byte-valid header-only MP4 — ftyp (major brand +
+    * two compatible brands), a `free` box carrying `note` (variable
+    * length, the walk must hop it), then moov [ mvhd v0 + nTracks ×
+    * trak[tkhd v0] ] with the FIRST track carrying the dims and any
+    * further tracks 0×0 (the audio-track shape). Stream length =
+    * 24 + 8 + |note| + 8 + 108 + nTracks·100 — the formula the q241
+    * oracle replays. */
+  def encodeMp4(brand: String, timescale: Int, durationUnits: Long,
+      width: Int, height: Int, nTracks: Int,
+      note: Array[Byte]): Array[Byte] = {
+    require(brand.length == 4, "brand is a 4cc")
+    require(timescale > 0 && durationUnits >= 0 &&
+      durationUnits <= 0xffffffffL, "mvhd v0 duration is u32")
+    require(width >= 0 && width <= 0xffff && height >= 0 &&
+      height <= 0xffff, "tkhd dims are 16.16 fixed")
+    require(nTracks >= 1, "need at least one track")
+    val out = new ByteArrayOutputStream(note.length + 160)
+    def be32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def cc(s: String): Unit = out.write(s.getBytes("US-ASCII"), 0, 4)
+    // ftyp
+    be32(24); cc("ftyp"); cc(brand); be32(0); cc("isom"); cc("mp42")
+    // free box the walk must hop
+    be32(8L + note.length); cc("free"); out.write(note, 0, note.length)
+    // moov
+    val tkhdBox = 8 + 84
+    val trakBox = 8 + tkhdBox
+    val mvhdBox = 8 + 100
+    be32(8L + mvhdBox + nTracks.toLong * trakBox); cc("moov")
+    be32(mvhdBox); cc("mvhd")
+    be32(0) // version 0 + flags
+    be32(0); be32(0) // ctime, mtime
+    be32(timescale); be32(durationUnits)
+    be32(0x00010000L); out.write(0x01); out.write(0x00) // rate 1.0, vol 1.0
+    out.write(new Array[Byte](2 + 8), 0, 10) // reserved
+    // identity matrix
+    be32(0x00010000L); be32(0); be32(0)
+    be32(0); be32(0x00010000L); be32(0)
+    be32(0); be32(0); be32(0x40000000L)
+    out.write(new Array[Byte](24), 0, 24) // pre_defined
+    be32(nTracks + 1L) // next_track_ID
+    var t = 0
+    while (t < nTracks) {
+      be32(trakBox); cc("trak")
+      be32(tkhdBox); cc("tkhd")
+      be32(0) // version 0 + flags
+      be32(0); be32(0) // ctime, mtime
+      be32(t + 1L) // track_ID
+      be32(0) // reserved
+      be32(durationUnits)
+      out.write(new Array[Byte](8), 0, 8) // reserved
+      out.write(new Array[Byte](8), 0, 8) // layer/alt/volume/reserved
+      be32(0x00010000L); be32(0); be32(0)
+      be32(0); be32(0x00010000L); be32(0)
+      be32(0); be32(0); be32(0x40000000L)
+      val (w, h) = if (t == 0) (width, height) else (0, 0)
+      be32(w.toLong << 16); be32(h.toLong << 16)
+      t += 1
+    }
+    out.toByteArray
+  }
+}
