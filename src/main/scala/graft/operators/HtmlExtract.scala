@@ -190,6 +190,147 @@ object HtmlExtract {
     b.toString
   }
 
+  /** Bounded-scan entity decode (same rules as the block parse):
+    * named/decimal/hex within 10 chars of the '&', else literal. */
+  private def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        val decoded: Option[Char] =
+          if (semi > i && semi - i <= 10) {
+            val body = s.substring(i + 1, semi)
+            if (body.startsWith("#x") || body.startsWith("#X"))
+              scala.util.Try(Integer.parseInt(body.drop(2), 16).toChar)
+                .toOption
+            else if (body.startsWith("#"))
+              scala.util.Try(body.drop(1).toInt.toChar).toOption
+            else Entities.get(body)
+          } else None
+        decoded match {
+          case Some(d) => b.append(d); i = semi + 1
+          case None => b.append('&'); i += 1
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
+  /** All `<a href=...>` values in document order (entity-decoded,
+    * quoted or unquoted attribute syntax, malformed-tolerant) — the
+    * OUTLINK side of a crawl pipeline; [[blocks]] is the text side.
+    * Anchors inside dropped containers (script/style/title/comments)
+    * are NOT links and are skipped by the same drop rules. */
+  def links(html: String): Vector[String] = {
+    if (html == null) return Vector.empty
+    val out = Vector.newBuilder[String]
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      if (html.charAt(i) == '<') {
+        if (html.startsWith("<!--", i)) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else {
+          val closing = i + 1 < n && html.charAt(i + 1) == '/'
+          val nameStart = if (closing) i + 2 else i + 1
+          var ne = nameStart
+          val nb = new StringBuilder
+          while (ne < n && html.charAt(ne).isLetterOrDigit) {
+            nb.append(Character.toLowerCase(html.charAt(ne))); ne += 1
+          }
+          val name = nb.toString
+          if (!closing && DropTags(name)) {
+            var j = ne
+            var quote: Char = 0
+            while (j < n && (quote != 0 || html.charAt(j) != '>')) {
+              val cc = html.charAt(j)
+              if (quote != 0) { if (cc == quote) quote = 0 }
+              else if (cc == '"' || cc == '\'') quote = cc
+              j += 1
+            }
+            val close = indexOfIgnoreCase(html, s"</$name", j)
+            i = if (close < 0) n else close + 2 + name.length
+          } else if (!closing && name == "a") {
+            // attribute scan to the tag close, quote-aware
+            var j = ne
+            var href: Option[String] = None
+            var quote: Char = 0
+            while (j < n && (quote != 0 || html.charAt(j) != '>')) {
+              val cc = html.charAt(j)
+              if (quote != 0) { if (cc == quote) quote = 0; j += 1 }
+              else if (cc == '"' || cc == '\'') { quote = cc; j += 1 }
+              else if (href.isEmpty &&
+                (cc == 'h' || cc == 'H') &&
+                html.regionMatches(true, j, "href", 0, 4) &&
+                !html.charAt(j - 1).isLetterOrDigit) {
+                var k = j + 4
+                while (k < n && html.charAt(k).isWhitespace) k += 1
+                if (k < n && html.charAt(k) == '=') {
+                  k += 1
+                  while (k < n && html.charAt(k).isWhitespace) k += 1
+                  if (k < n &&
+                    (html.charAt(k) == '"' || html.charAt(k) == '\'')) {
+                    val q = html.charAt(k)
+                    val end = html.indexOf(q, k + 1)
+                    if (end > 0) {
+                      href = Some(decodeEntities(html.substring(k + 1, end)))
+                      j = end + 1
+                    } else j = n
+                  } else { // unquoted value: to whitespace or '>'
+                    val vs = k
+                    while (k < n && !html.charAt(k).isWhitespace &&
+                      html.charAt(k) != '>') k += 1
+                    href = Some(decodeEntities(html.substring(vs, k)))
+                    j = k
+                  }
+                } else j += 4
+              } else j += 1
+            }
+            href.filter(_.nonEmpty).foreach(out += _)
+            i = if (j < n) j + 1 else n
+          } else {
+            var j = ne
+            var quote: Char = 0
+            while (j < n && (quote != 0 || html.charAt(j) != '>')) {
+              val cc = html.charAt(j)
+              if (quote != 0) { if (cc == quote) quote = 0 }
+              else if (cc == '"' || cc == '\'') quote = cc
+              j += 1
+            }
+            i = if (j < n) j + 1 else n
+          }
+        }
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** Lowercased host of an ABSOLUTE http(s) URL — userinfo and port
+    * stripped, path/query/fragment ignored; None for relative URLs,
+    * other schemes, or an empty authority. The canonical key of a
+    * host-level crawl graph. */
+  def urlHost(url: String): Option[String] = {
+    if (url == null) return None
+    val lower = url.toLowerCase
+    val rest =
+      if (lower.startsWith("https://")) url.substring(8)
+      else if (lower.startsWith("http://")) url.substring(7)
+      else return None
+    var end = 0
+    while (end < rest.length && rest.charAt(end) != '/' &&
+      rest.charAt(end) != '?' && rest.charAt(end) != '#') end += 1
+    var auth = rest.substring(0, end)
+    val at = auth.lastIndexOf('@')
+    if (at >= 0) auth = auth.substring(at + 1)
+    val colon = auth.indexOf(':')
+    if (colon >= 0) auth = auth.substring(0, colon)
+    if (auth.isEmpty) None else Some(auth.toLowerCase)
+  }
+
   /** Extracted result: kept blocks joined by '\n', plus counts. */
   final case class Extracted(main_text: String, n_blocks: Int,
       n_dropped: Int)
@@ -201,6 +342,24 @@ object HtmlExtract {
     val (kept, dropped) = bs.partition(b =>
       b.nLinkChars.toDouble / b.nChars <= maxLinkDensity)
     Extracted(kept.map(_.text).mkString("\n"), kept.size, dropped.size)
+  }
+
+  /** The host-level crawl graph: parse every page's outlinks, keep
+    * absolute http(s) targets, reduce to (src_host, dst_host,
+    * n_links) edges. One map-side parse + one edge-keyed aggregation
+    * — the output feeds the Graph family directly (host PageRank,
+    * components, k-core) and is |hosts|²-bounded, not |pages|-scaled.
+    * `srcHost` is the page's own host column (a crawl store carries
+    * it; deriving it from a page URL column is [[urlHost]]). */
+  def outlinkHostEdges(df: DataFrame, srcHost: Column,
+      htmlCol: Column): DataFrame = {
+    val linksFn = udf { html: String =>
+      links(html).flatMap(urlHost)
+    }
+    df.select(srcHost.as("src_host"),
+        explode(linksFn(htmlCol)).as("dst_host"))
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"))
   }
 
   /** DataFrame form: adds (main_text, n_blocks, n_dropped) from

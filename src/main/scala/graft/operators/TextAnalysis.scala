@@ -1001,6 +1001,53 @@ object TextAnalysis {
         FROM documents
         ORDER BY doc_id""")),
 
+    // the OUTLINK side of the crawl pipeline q240 started: per-page
+    // href extraction (quoted AND unquoted attribute syntax, scheme/
+    // host case-folding, userinfo+port stripping, fragment/query
+    // ignored, relative links dropped, and a script-body link trap
+    // that must NOT leak) reduced to the host-level crawl graph —
+    // (src_host, dst_host, n_links) edges ready for the Graph family.
+    // The oracle replays the planted link arithmetic; a trap leak,
+    // missed unquoted href, or botched normalization all change edge
+    // counts -> hash mismatch.
+    QueryDef(
+      "q242_outlink_host_graph",
+      (s, dir) => {
+        import s.implicits._
+        val pages = t(s, dir, "documents")
+          .select($"doc_id")
+          .as[Long]
+          .map { id =>
+            val (a, b, c) = (id % 7, (id * 3) % 7, (id * 5 + 1) % 7)
+            (s"doc${id % 11}.example",
+              s"""<html><body><p>See <a href="https://host$a.example/p/$id">one</a>
+                 |and <a href="HTTPS://user@Host$b.Example:8443/q?x=1#f">two</a>
+                 |and <a href="/relative/path">rel</a>
+                 |and <a href=https://host$c.example/r>three</a></p>
+                 |<script>var s = '<a href="https://evil.example/x">trap</a>';</script>
+                 |</body></html>""".stripMargin)
+          }
+          .toDF("src_host", "html")
+        HtmlExtract.outlinkHostEdges(pages, $"src_host", $"html")
+          .orderBy($"src_host", $"dst_host")
+      },
+      Some("""
+        WITH l AS (
+          SELECT 'doc' || (doc_id % 11) || '.example' AS src_host,
+                 'host' || (doc_id % 7) || '.example' AS dst_host
+          FROM documents
+          UNION ALL
+          SELECT 'doc' || (doc_id % 11) || '.example',
+                 'host' || ((doc_id * 3) % 7) || '.example'
+          FROM documents
+          UNION ALL
+          SELECT 'doc' || (doc_id % 11) || '.example',
+                 'host' || ((doc_id * 5 + 1) % 7) || '.example'
+          FROM documents)
+        SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+        FROM l GROUP BY src_host, dst_host
+        ORDER BY src_host, dst_host""")),
+
     QueryDef(
       "q176_inverted_index",
       (s, dir) => invertedIndex(t(s, dir, "documents"), topN = 100),

@@ -112,4 +112,51 @@ class HtmlExtractSpec extends AnyFunSuite {
     val got = blocks("<p></a></a>plain prose here</p>")
     assert(got.size == 1 && got.head.nLinkChars == 0)
   }
+
+  test("links: quoted/unquoted hrefs extract in order; script-body " +
+      "and commented anchors do not leak; entities decode") {
+    val html =
+      """<a href="https://a.example/1">x</a>
+        |<a class="z" href='https://b.example/2?u=1&amp;v=2'>y</a>
+        |<a href=https://c.example/3>z</a>
+        |<a name="no-href">w</a>
+        |<!-- <a href="https://gone.example/">c</a> -->
+        |<script>var t = '<a href="https://evil.example/">t</a>';</script>
+        |<a href="/relative">r</a>""".stripMargin
+    assert(links(html) == Vector(
+      "https://a.example/1", "https://b.example/2?u=1&v=2",
+      "https://c.example/3", "/relative"))
+  }
+
+  test("links property: N planted hrefs always extract, whatever the " +
+      "quoting mix and attribute noise") {
+    val quoteStyle = Gen.choose(0, 2)
+    checkProp(Prop.forAll(Gen.nonEmptyListOf(Gen.zip(
+        Gen.choose(0, 99), quoteStyle))) { targets =>
+      val html = targets.zipWithIndex.map { case ((n, q), i) =>
+        val url = s"https://h$n.example/p$i"
+        q match {
+          case 0 => s"""<a id="l$i" href="$url" rel="x">t</a>"""
+          case 1 => s"<a href='$url'>t</a>"
+          case _ => s"<a href=$url rel=nofollow>t</a>"
+        }
+      }.mkString("<p>", " and ", "</p>")
+      links(html) == targets.zipWithIndex.map { case ((n, _), i) =>
+        s"https://h$n.example/p$i"
+      }.toVector
+    })
+  }
+
+  test("urlHost: case-folds, strips userinfo/port/path/query/fragment; " +
+      "relative and non-http schemes yield None") {
+    assert(urlHost("https://Example.COM/path?q#f").contains("example.com"))
+    assert(urlHost("HTTP://user:pw@Host.Example:8080/x")
+      .contains("host.example"))
+    assert(urlHost("https://h.example").contains("h.example"))
+    assert(urlHost("/relative/path").isEmpty)
+    assert(urlHost("ftp://h.example/f").isEmpty)
+    assert(urlHost("mailto:x@y.example").isEmpty)
+    assert(urlHost("https:///no-host").isEmpty)
+    assert(urlHost(null).isEmpty)
+  }
 }
