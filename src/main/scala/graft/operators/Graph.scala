@@ -513,7 +513,8 @@ object Graph {
              GROUP BY e.dst, $prev.label)
        GROUP BY dst)"""
 
-  private def wprIter(prev: String, out: String): String =
+  /** Shared with q243's host-graph composition (TextAnalysis). */
+  private[operators] def wprIter(prev: String, out: String): String =
     s"""$out AS (
        SELECT nodes.node,
               (15 * 1000000) // (100 * p.n)

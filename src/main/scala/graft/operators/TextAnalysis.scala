@@ -1048,6 +1048,69 @@ object TextAnalysis {
         FROM l GROUP BY src_host, dst_host
         ORDER BY src_host, dst_host""")),
 
+    // the crawl pipeline END-TO-END: raw HTML -> href extraction ->
+    // host canonicalization -> weighted host edges -> PageRank, all
+    // engine operators composed (HtmlExtract feeding Graph.prLoop —
+    // which is node-type-agnostic, so STRING hosts rank without any
+    // id-mapping shuffle). Fixture adds doc->doc host links so rank
+    // actually flows (the host{a,b,c} targets are sinks with no
+    // out-edges and per simplified-PageRank stay out of the node
+    // set). Oracle: the planted-link arithmetic chained into the same
+    // unrolled integer PageRank replay q219 pins.
+    QueryDef(
+      "q243_crawl_host_pagerank",
+      (s, dir) => {
+        import s.implicits._
+        val pages = t(s, dir, "documents")
+          .select($"doc_id")
+          .as[Long]
+          .map { id =>
+            val (a, b, c) = (id % 7, (id * 3) % 7, (id * 5 + 1) % 7)
+            val m = (id * 13) % 11
+            (s"doc${id % 11}.example",
+              s"""<p><a href="https://host$a.example/p">1</a>
+                 |<a href="https://host$b.example/q">2</a>
+                 |<a href="https://host$c.example/r">3</a>
+                 |<a href="https://doc$m.example/s">4</a></p>""".stripMargin)
+          }
+          .toDF("src_host", "html")
+        val edges = HtmlExtract.outlinkHostEdges(pages, $"src_host", $"html")
+          .select($"src_host".as("src"), $"dst_host".as("dst"),
+            $"n_links".as("w"))
+        Graph.weightedPageRank(edges, iters = 3)
+          .select($"node".as("host"), $"rank")
+          .orderBy($"host")
+      },
+      Some(s"""
+        WITH l AS (
+          SELECT 'doc' || (doc_id % 11) || '.example' AS src,
+                 'host' || (doc_id % 7) || '.example' AS dst
+          FROM documents
+          UNION ALL
+          SELECT 'doc' || (doc_id % 11) || '.example',
+                 'host' || ((doc_id * 3) % 7) || '.example'
+          FROM documents
+          UNION ALL
+          SELECT 'doc' || (doc_id % 11) || '.example',
+                 'host' || ((doc_id * 5 + 1) % 7) || '.example'
+          FROM documents
+          UNION ALL
+          SELECT 'doc' || (doc_id % 11) || '.example',
+                 'doc' || ((doc_id * 13) % 11) || '.example'
+          FROM documents),
+        e AS (SELECT src, dst, count(*) AS w FROM l GROUP BY src, dst),
+        deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS deg
+                FROM e GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        p AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (SELECT node, (1000000 // p.n) AS rank FROM nodes, p),
+        ${Graph.wprIter("r0", "r1")},
+        ${Graph.wprIter("r1", "r2")},
+        ${Graph.wprIter("r2", "r3")}
+        SELECT node AS host, CAST(rank AS BIGINT) AS rank
+        FROM r3
+        ORDER BY host""")),
+
     QueryDef(
       "q176_inverted_index",
       (s, dir) => invertedIndex(t(s, dir, "documents"), topN = 100),
