@@ -219,6 +219,45 @@ object Maintenance {
           .as("psi"))
   }
 
+  /** Kolmogorov–Smirnov statistic between two quantile states — the
+    * drift metric with a DIFFERENT sensitivity than [[psiDrift]] (KS
+    * catches location shifts PSI's binwise sum can dilute; PSI catches
+    * mass reshuffling KS's single sup can miss — production monitors
+    * run both), computed ON THE STATES ALONE: KS = max over the union
+    * of occupied bins of |cdf_ref − cdf_cur|, with the cdfs as exact
+    * integer cumulative counts divided once at the end. Resolution is
+    * bin-width (the state's contract); neither period's rows are
+    * re-read. One full-outer join on (key, bin) + one per-key ordered
+    * window over ≤ bins rows — never corpus rows.
+    * Output: (k, n_ref, n_cur, n_oob_ref, n_oob_cur, ks). */
+  def ksFromStates(ref: DataFrame, cur: DataFrame): DataFrame = {
+    val joined = ref.select(col("k"), col("b"), col("c").as("cr"),
+        col("o").as("or"))
+      .join(cur.select(col("k"), col("b"), col("c").as("cc"),
+        col("o").as("oc")),
+        Seq("k", "b"), "full_outer")
+      .select(col("k"), col("b"),
+        coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("cc"), lit(0L)).as("cc"),
+        coalesce(col("or"), lit(0L)).as("or"),
+        coalesce(col("oc"), lit(0L)).as("oc"))
+    val byBin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("b"))
+    val perKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k"))
+    joined
+      .withColumn("cumr", sum(col("cr")).over(byBin))
+      .withColumn("cumc", sum(col("cc")).over(byBin))
+      .withColumn("nr", sum(col("cr")).over(perKey))
+      .withColumn("nc", sum(col("cc")).over(perKey))
+      .groupBy(col("k"))
+      .agg(first(col("nr")).as("n_ref"), first(col("nc")).as("n_cur"),
+        sum(col("or")).as("n_oob_ref"), sum(col("oc")).as("n_oob_cur"),
+        round(max(abs(
+          col("cumr").cast("double") / col("nr")
+            - col("cumc").cast("double") / col("nc"))), 4).as("ks"))
+  }
+
   /** Multi-percentile read from ONE state pass — the SLA-dashboard
     * shape (p50/p90/p99 per key without re-aggregating per p): one
     * per-key rollup of the sparse cells, then one row-local fold PER
@@ -593,6 +632,54 @@ object Maintenance {
                  4) AS psi
         FROM cells JOIN tot ON cells.k = tot.k
         GROUP BY cells.k
+        ORDER BY o_orderpriority""")),
+
+    // KS drift on the SAME persisted states q235 reads — the two
+    // metrics complement (KS: location shifts; PSI: mass reshuffles)
+    // and sharing the state is the point: one histogram pass per
+    // period serves every downstream drift monitor. Exact integer
+    // cums; the oracle replays join, windows, and the sup.
+    QueryDef(
+      "q244_ks_from_states",
+      (s, dir) => {
+        import s.implicits._
+        val (lo, hi, bins) = (0.0, 500000.0, 500)
+        val o = t(s, dir, "orders").select($"o_orderpriority".as("pri"),
+          $"o_totalprice".as("v"), year($"o_orderdate").as("yr"))
+        def st(df: org.apache.spark.sql.DataFrame) =
+          quantileState(df, $"pri", $"v", lo, hi, bins)
+        ksFromStates(st(o.filter($"yr" <= 1995)), st(o.filter($"yr" >= 1996)))
+          .select($"k".as("o_orderpriority"), $"n_ref", $"n_cur", $"ks")
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        WITH v AS (
+          SELECT o_orderpriority AS k, o_totalprice AS v,
+                 CASE WHEN year(o_orderdate) <= 1995 THEN 1 ELSE 0 END AS r
+          FROM orders),
+        b AS (SELECT k, r,
+                     LEAST(GREATEST(CAST(floor(v / 1000.0) AS INT), 0), 499)
+                       AS b
+              FROM v),
+        cells AS (
+          SELECT k, b,
+                 CAST(sum(r) AS BIGINT) AS cr,
+                 CAST(sum(1 - r) AS BIGINT) AS cc
+          FROM b GROUP BY k, b),
+        cums AS (
+          SELECT k, b, cr, cc,
+                 sum(cr) OVER (PARTITION BY k ORDER BY b) AS cumr,
+                 sum(cc) OVER (PARTITION BY k ORDER BY b) AS cumc,
+                 sum(cr) OVER (PARTITION BY k) AS nr,
+                 sum(cc) OVER (PARTITION BY k) AS nc
+          FROM cells)
+        SELECT k AS o_orderpriority,
+               CAST(max(nr) AS BIGINT) AS n_ref,
+               CAST(max(nc) AS BIGINT) AS n_cur,
+               round(max(abs(CAST(cumr AS DOUBLE) / nr
+                             - CAST(cumc AS DOUBLE) / nc)), 4) AS ks
+        FROM cums
+        GROUP BY k
         ORDER BY o_orderpriority""")),
 
     // the n_oob observability contract under a DELIBERATELY wrong

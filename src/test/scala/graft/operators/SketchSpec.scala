@@ -155,6 +155,48 @@ class SketchSpec extends SparkSpec {
       s"edge bins must count their clamped-in oob mass, got $stRows")
   }
 
+  test("KS from states: identical states give exactly 0, the statistic " +
+      "matches a driver-side binned KS, and merged batch states give " +
+      "the same answer as the one-shot state") {
+    import spark.implicits._
+    val (lo, hi, bins) = (0.0, 100.0, 20)
+    val refRows = (1 to 200).map(i => (i % 3).toLong -> (i % 97) * 1.0)
+    val curRows = (1 to 150).map(i => (i % 3).toLong -> ((i % 80) + 15.0))
+    def st(rows: Seq[(Long, Double)]) = Maintenance.quantileState(
+      rows.toDF("k", "v"), col("k"), col("v"), lo, hi, bins)
+    val ref = st(refRows)
+    // self-comparison is exactly zero for every key
+    Maintenance.ksFromStates(ref, ref).select($"ks").collect()
+      .foreach(r => assert(r.getDouble(0) == 0.0))
+    // driver-side referee: binned cdf sup-difference per key
+    val got = Maintenance.ksFromStates(ref, st(curRows))
+      .select($"k", $"ks").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def binned(rows: Seq[(Long, Double)]) = rows
+      .groupBy(_._1).view.mapValues { vs =>
+        vs.map(v => math.min(math.max(math.floor(v._2 / 5.0).toInt, 0), 19))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      }.toMap
+    val (rb, cb) = (binned(refRows), binned(curRows))
+    for (k <- rb.keys) {
+      val (nr, nc) = (rb(k).values.sum.toDouble, cb(k).values.sum.toDouble)
+      var (cumr, cumc, sup) = (0L, 0L, 0.0)
+      for (b <- 0 until bins) {
+        cumr += rb(k).getOrElse(b, 0L); cumc += cb(k).getOrElse(b, 0L)
+        sup = math.max(sup, math.abs(cumr / nr - cumc / nc))
+      }
+      assert(math.abs(got(k) - (math.rint(sup * 10000) / 10000)) <= 1e-9,
+        s"key $k: state KS ${got(k)} != referee $sup")
+    }
+    // merge-invariance: batch-folded states answer identically
+    val halves = Seq(refRows.take(100), refRows.drop(100)).map(st)
+    val merged = Maintenance.mergeQuantileState(halves(0), halves(1))
+    val viaMerge = Maintenance.ksFromStates(merged, st(curRows))
+      .select($"k", $"ks").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaMerge == got)
+  }
+
   test("n_oob rides the state through merge, and the half-bin accuracy " +
       "contract is asserted ONLY where n_oob = 0") {
     import spark.implicits._
