@@ -122,6 +122,39 @@ final class IncrementalQuantile(
   def quantile(p: Double): Option[DataFrame] =
     state().map(st => graft.operators.Maintenance
       .quantileFromState(st, p, lo, (hi - lo) / bins))
+
+  /** The retained PREVIOUS state version (the keep-last-N rollback,
+    * one flip behind the pointer) — None before the second fold. What
+    * retention buys beyond rollback: version-over-version monitoring.
+    * [[driftSincePreviousVersion]] compares it against the current
+    * state with `Maintenance.psiDrift`/`ksFromStates`, answering "did
+    * the arrivals since the last fold shift the distribution?" from
+    * two on-disk histograms — no period is ever re-read. */
+  def previousState(): Option[DataFrame] = {
+    if (!Files.exists(pointer)) return None
+    val current = Files.readString(pointer).trim
+    val dir = Paths.get(stateDir)
+    val listing = Files.list(dir)
+    val versions =
+      try {
+        val it = listing.iterator()
+        val buf = scala.collection.mutable.ListBuffer.empty[String]
+        while (it.hasNext) {
+          val n = it.next().getFileName.toString
+          if (n.matches("v\\d+")) buf += n
+        }
+        buf.toList.sortBy(v => -v.drop(1).toLong)
+      } finally listing.close()
+    versions.dropWhile(_ != current).drop(1).headOption
+      .map(v => spark.read.parquet(Paths.get(stateDir, v).toString))
+  }
+
+  /** PSI between the previous retained state version and the current
+    * one — per-key drift contributed by everything folded since the
+    * last flip. None before two versions exist. */
+  def driftSincePreviousVersion(): Option[DataFrame] =
+    for (prev <- previousState(); cur <- state())
+      yield graft.operators.Maintenance.psiDrift(prev, cur)
 }
 
 object IncrementalAgg {

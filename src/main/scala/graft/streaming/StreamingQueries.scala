@@ -277,6 +277,74 @@ object StreamingQueries {
 
     // ----- incremental per-key percentiles (q231's streaming sibling) ----
     // Orders arrive in three year-batches; each update() folds only the
+    // what keep-last-N retention buys BEYOND rollback: version-over-
+    // version drift. Three year-batches fold incrementally; the
+    // retained previous version (through 1996) and the current one
+    // (all years) are both on disk, so "did the latest arrivals shift
+    // the price distribution?" is a PSI between two histograms — no
+    // period re-read, no extra state kept. The oracle replays the
+    // batch split and the full smoothed-PSI formula; a retention bug
+    // (wrong version compared, version deleted early) changes n_ref
+    // and hash-mismatches.
+    QueryDef(
+      "q245_state_version_drift",
+      (s, dir) => {
+        import s.implicits._
+        val (input, ckpt, state) = (tmp("vdin_"), tmp("vdck_"), tmp("vdst_"))
+        val o = graft.engine.Tables.load(s, dir, "orders")
+          .select($"o_orderpriority".as("pri"),
+            $"o_totalprice".as("v"), year($"o_orderdate").as("yr"))
+        val inc = new graft.streaming.IncrementalQuantile(
+          s, input, org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("pri",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("v",
+              org.apache.spark.sql.types.DoubleType))),
+          ckpt, state, keyCol = "pri", valueCol = "v",
+          lo = 0.0, hi = 500000.0, bins = 500)
+        def arrive(batch: org.apache.spark.sql.DataFrame): Unit = {
+          batch.select($"pri", $"v").write.mode("append").parquet(input)
+          inc.update()
+        }
+        arrive(o.filter($"yr" <= 1994))
+        arrive(o.filter($"yr" >= 1995 && $"yr" <= 1996))
+        arrive(o.filter($"yr" >= 1997))
+        inc.driftSincePreviousVersion().get
+          .select($"k".as("o_orderpriority"), $"n_ref", $"n_cur", $"psi")
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        WITH v AS (
+          SELECT o_orderpriority AS k, o_totalprice AS v,
+                 CASE WHEN year(o_orderdate) <= 1996 THEN 1 ELSE 0 END AS p
+          FROM orders),
+        b AS (SELECT k, p,
+                     LEAST(GREATEST(CAST(floor(v / 1000.0) AS INT), 0), 499)
+                       AS b
+              FROM v),
+        cells AS (
+          SELECT k, b,
+                 CAST(sum(p) AS BIGINT) AS cr,
+                 CAST(count(*) AS BIGINT) AS cc
+          FROM b GROUP BY k, b),
+        tot AS (
+          SELECT k, count(*) AS u,
+                 CAST(sum(cr) AS BIGINT) AS nr,
+                 CAST(sum(cc) AS BIGINT) AS nc
+          FROM cells GROUP BY k)
+        SELECT cells.k AS o_orderpriority,
+               CAST(max(tot.nr) AS BIGINT) AS n_ref,
+               CAST(max(tot.nc) AS BIGINT) AS n_cur,
+               round(sum(
+                 (CAST(cells.cr + 1 AS DOUBLE) / (tot.nr + tot.u)
+                   - CAST(cells.cc + 1 AS DOUBLE) / (tot.nc + tot.u))
+                 * ln((CAST(cells.cr + 1 AS DOUBLE) / (tot.nr + tot.u))
+                      / (CAST(cells.cc + 1 AS DOUBLE) / (tot.nc + tot.u)))),
+                 4) AS psi
+        FROM cells JOIN tot ON cells.k = tot.k
+        GROUP BY cells.k
+        ORDER BY o_orderpriority""")),
+
     // NEW files' quantile state (mergeable fixed-grid histogram) into a
     // versioned state table behind an atomic pointer. The merge is
     // exact element-wise addition, so three incremental folds equal the

@@ -100,6 +100,38 @@ class IncrementalQuantileSpec extends SparkSpec {
       "crashed-but-unflipped newest version must be retained")
   }
 
+  test("previousState is the version one flip behind the pointer " +
+      "(None before two versions; respects a manual rollback)") {
+    import java.nio.file.{Files => F, Paths}
+    val input = tmp("iq_in_")
+    val stateDir = tmp("iq_st_")
+    val inc = new IncrementalQuantile(
+      spark, input,
+      StructType(Seq(StructField("k", LongType), StructField("v", DoubleType))),
+      tmp("iq_ck_"), stateDir,
+      keyCol = "k", valueCol = "v", lo = 0.0, hi = 100.0, bins = 20)
+    assert(inc.previousState().isEmpty)
+    Seq((1L, 10.0)).toDF("k", "v").write.mode("append").parquet(input)
+    inc.update()
+    assert(inc.previousState().isEmpty, "one version: no previous yet")
+    Seq((1L, 30.0)).toDF("k", "v").write.mode("append").parquet(input)
+    inc.update()
+    // previous = v0 (one row folded), current = v1 (two)
+    def total(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum($"c")).collect()(0).getLong(0)
+    assert(total(inc.previousState().get) == 1L)
+    assert(total(inc.state().get) == 2L)
+    // drift between them sees exactly the second batch's contribution
+    val drift = inc.driftSincePreviousVersion().get
+      .select($"n_ref", $"n_cur").collect()(0)
+    assert(drift.getLong(0) == 1L && drift.getLong(1) == 2L)
+    // after a manual rollback to v0, there is nothing older than the
+    // pointer target -> no previous
+    IncrementalAgg.flipPointer(Paths.get(stateDir, "_LATEST"), "v0")
+    assert(inc.previousState().isEmpty)
+    assert(F.exists(Paths.get(stateDir, "v1")), "rollback deletes nothing")
+  }
+
   test("crash between state write and pointer flip recovers: the " +
       "replayed fold overwrites the same version and the result is " +
       "exactly-once") {
