@@ -435,6 +435,58 @@ object Multimodal {
         FROM p
         ORDER BY doc_id""")),
 
+    // ----- charset sniff: the ingestion step before ANY text op --------
+    // Each doc's ASCII text is wrapped into one of six byte shapes: raw
+    // (ascii), UTF-8 BOM prefix, an appended 2-byte UTF-8 sequence, an
+    // appended lone 0xFF (the classic windows-1252 tell), an appended
+    // NUL (mislabeled-binary tell), or a full UTF-16LE transcode with
+    // BOM. The RFC 3629 validation walk classifies each; the oracle
+    // replays labels and exact byte lengths from the variant
+    // arithmetic — a validator that under- or over-accepts flips a
+    // label and hash-mismatches.
+    QueryDef(
+      "q246_charset_sniff",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val a = text.getBytes("US-ASCII")
+            val bytes = (id % 6) match {
+              case 0 => a
+              case 1 => Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ a
+              case 2 => a ++ Array[Byte](0xc3.toByte, 0xa9.toByte)
+              case 3 => a ++ Array[Byte](0xff.toByte)
+              case 4 => a ++ Array[Byte](0x00)
+              case _ => Array[Byte](0xff.toByte, 0xfe.toByte) ++
+                text.getBytes("UTF-16LE")
+            }
+            MediaRecord(id, bytes, "text/plain")
+          }
+        media.mapPartitions { it =>
+          it.map { r =>
+            val e = TextEncoding.sniff(r.media)
+            (r.doc_id, e.charset, e.bom, r.media.length.toLong)
+          }
+        }.toDF("doc_id", "charset", "bom", "n_bytes")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CASE doc_id % 6
+                 WHEN 0 THEN 'ascii' WHEN 1 THEN 'utf-8'
+                 WHEN 2 THEN 'utf-8' WHEN 3 THEN 'windows-1252'
+                 WHEN 4 THEN 'binary' ELSE 'utf-16le' END AS charset,
+               doc_id % 6 IN (1, 5) AS bom,
+               CAST(CASE doc_id % 6
+                 WHEN 0 THEN length(text) WHEN 1 THEN length(text) + 3
+                 WHEN 2 THEN length(text) + 2 WHEN 3 THEN length(text) + 1
+                 WHEN 4 THEN length(text) + 1
+                 ELSE 2 + 2 * length(text) END AS BIGINT) AS n_bytes
+        FROM documents
+        ORDER BY doc_id""")),
+
     // ----- MP4 / ISO-BMFF header decode: the VIDEO modality ------------
     // Completes the image/audio/video triad: each doc becomes a
     // byte-valid header-only MP4 — ftyp, a variable-length 'free' box
