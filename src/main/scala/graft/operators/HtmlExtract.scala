@@ -331,6 +331,72 @@ object HtmlExtract {
     if (auth.isEmpty) None else Some(auth.toLowerCase)
   }
 
+  /** Tracking query parameters dropped by [[normalizeUrl]] — the
+    * analytics tags that make one page spell as many URLs. */
+  private val TrackingParams = Set("fbclid", "gclid", "msclkid")
+
+  /** Canonicalize an absolute http(s) URL for DEDUP — the aggressive
+    * crawl-store key, not a byte-faithful RFC form:
+    *  - scheme + host lowercased; userinfo stripped; default ports
+    *    (http:80, https:443) removed, others kept;
+    *  - path: dot-segments resolved (RFC 3986 remove_dot_segments),
+    *    duplicate slashes collapsed, empty path → "/", trailing slash
+    *    preserved;
+    *  - query: `utm_*` and click-id params dropped, the rest sorted by
+    *    (key, value) so parameter order cannot split one page into two
+    *    keys; an emptied query loses its '?';
+    *  - fragment stripped.
+    * None for relative URLs or non-http(s) schemes. Deterministic and
+    * total — the oracle constructs expected forms arithmetically. */
+  def normalizeUrl(url: String): Option[String] = {
+    if (url == null) return None
+    val lower = url.toLowerCase
+    val (scheme, rest) =
+      if (lower.startsWith("https://")) ("https", url.substring(8))
+      else if (lower.startsWith("http://")) ("http", url.substring(7))
+      else return None
+    var authEnd = 0
+    while (authEnd < rest.length && rest.charAt(authEnd) != '/' &&
+      rest.charAt(authEnd) != '?' && rest.charAt(authEnd) != '#') authEnd += 1
+    var auth = rest.substring(0, authEnd)
+    val at = auth.lastIndexOf('@')
+    if (at >= 0) auth = auth.substring(at + 1)
+    auth = auth.toLowerCase
+    val (host, port) = auth.indexOf(':') match {
+      case -1 => (auth, "")
+      case c =>
+        val p = auth.substring(c + 1)
+        val default = (scheme == "http" && p == "80") ||
+          (scheme == "https" && p == "443")
+        (auth.substring(0, c), if (default) "" else s":$p")
+    }
+    if (host.isEmpty) return None
+    val tail = rest.substring(authEnd)
+    val hashIdx = tail.indexOf('#')
+    val noFrag = if (hashIdx >= 0) tail.substring(0, hashIdx) else tail
+    val qIdx = noFrag.indexOf('?')
+    val (rawPath, rawQuery) =
+      if (qIdx >= 0) (noFrag.substring(0, qIdx), noFrag.substring(qIdx + 1))
+      else (noFrag, "")
+    // remove_dot_segments over nonempty segments (collapses // too)
+    val trailingSlash = rawPath.endsWith("/") || rawPath.endsWith("/.") ||
+      rawPath.endsWith("/..")
+    val stack = scala.collection.mutable.ArrayBuffer.empty[String]
+    rawPath.split("/").filter(_.nonEmpty).foreach {
+      case "." => ()
+      case ".." => if (stack.nonEmpty) stack.remove(stack.length - 1)
+      case seg => stack += seg
+    }
+    val path = "/" + stack.mkString("/") +
+      (if (trailingSlash && stack.nonEmpty) "/" else "")
+    val params = rawQuery.split("&").filter(_.nonEmpty).filterNot { kv =>
+      val k = kv.takeWhile(_ != '=')
+      k.startsWith("utm_") || TrackingParams(k)
+    }.sorted
+    val query = if (params.isEmpty) "" else params.mkString("?", "&", "")
+    Some(s"$scheme://$host$port$path$query")
+  }
+
   /** Extracted result: kept blocks joined by '\n', plus counts. */
   final case class Extracted(main_text: String, n_blocks: Int,
       n_dropped: Int)

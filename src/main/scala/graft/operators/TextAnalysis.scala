@@ -1111,6 +1111,43 @@ object TextAnalysis {
         FROM r3
         ORDER BY host""")),
 
+    // URL canonicalization as the DEDUP key it exists to be: each doc
+    // plants TWO different messy spellings of the same page (case-mixed
+    // host, default port, userinfo, dot-segments, tracking params,
+    // param order, fragment) and the operator must collapse them to
+    // ONE canonical row. The oracle constructs the expected canonical
+    // string arithmetically — any normalization slip (port kept, utm
+    // retained, ../ unresolved, params unsorted) doubles a row or
+    // shifts a string and hash-mismatches.
+    QueryDef(
+      "q247_url_normalize_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val urls = t(s, dir, "documents")
+          .select($"doc_id")
+          .as[Long]
+          .flatMap { id =>
+            val a = id % 7
+            Seq(
+              (id, s"HTTPS://Host$a.Example:443/p/$id/../q?b=2&a=1#frag"),
+              (id, s"https://user:pw@host$a.example/p/./q" +
+                s"?a=1&utm_source=x&b=2"))
+          }
+          .toDF("doc_id", "url")
+        val norm = udf((u: String) => HtmlExtract.normalizeUrl(u))
+        urls.select($"doc_id", norm($"url").as("url"))
+          .groupBy($"doc_id", $"url")
+          .agg(count(lit(1)).as("n_spellings"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               'https://host' || (doc_id % 7) || '.example/p/q?a=1&b=2'
+                 AS url,
+               CAST(2 AS BIGINT) AS n_spellings
+        FROM documents
+        ORDER BY doc_id""")),
+
     QueryDef(
       "q176_inverted_index",
       (s, dir) => invertedIndex(t(s, dir, "documents"), topN = 100),

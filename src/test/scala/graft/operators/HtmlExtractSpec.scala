@@ -147,6 +147,29 @@ class HtmlExtractSpec extends AnyFunSuite {
     })
   }
 
+  test("normalizeUrl: every messiness dimension collapses to one " +
+      "canonical form; non-http and relative stay None") {
+    def n(u: String) = normalizeUrl(u)
+    assert(n("HTTPS://Host.Example:443/a/b/../c/./d?z=1&utm_source=x&a=2#f")
+      .contains("https://host.example/a/c/d?a=2&z=1"))
+    assert(n("http://user:pw@HOST.example:80//x///y/")
+      .contains("http://host.example/x/y/"))
+    assert(n("http://h.example:8080/p?fbclid=abc&k=1")
+      .contains("http://h.example:8080/p?k=1")) // non-default port kept
+    assert(n("https://h.example").contains("https://h.example/"))
+    assert(n("https://h.example/a/../../..").contains("https://h.example/"))
+    assert(n("https://h.example/p?utm_campaign=c")
+      .contains("https://h.example/p")) // emptied query loses '?'
+    assert(n("https://h.example/p?b=1&a=2&a=1")
+      .contains("https://h.example/p?a=1&a=2&b=1")) // stable value sort
+    assert(n("ftp://h.example/f").isEmpty)
+    assert(n("/relative").isEmpty)
+    assert(n(null).isEmpty)
+    // idempotence: normalizing a normalized URL is the identity
+    val once = n("HTTPS://A.B:443/x/./y?q=1&utm_x=t#z").get
+    assert(n(once).contains(once))
+  }
+
   test("urlHost: case-folds, strips userinfo/port/path/query/fragment; " +
       "relative and non-http schemes yield None") {
     assert(urlHost("https://Example.COM/path?q#f").contains("example.com"))
