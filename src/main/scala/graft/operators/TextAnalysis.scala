@@ -1148,6 +1148,69 @@ object TextAnalysis {
         FROM documents
         ORDER BY doc_id""")),
 
+    // the crawl fetch-gate: every planted url evaluated against its
+    // host's robots.txt under RFC 9309 semantics — named-group
+    // exclusivity (a graftbot group exists on every third host and
+    // then ONLY its rules apply), longest-pattern precedence (Allow
+    // /private/ok/ beats Disallow /private/), and $-anchored rules on
+    // even hosts. The oracle replays each semantic branch as boolean
+    // arithmetic — a precedence or group-selection slip flips a flag
+    // and hash-mismatches.
+    QueryDef(
+      "q248_robots_fetch_gate",
+      (s, dir) => {
+        import s.implicits._
+        val robots = (0 until 7).map { h =>
+          val base =
+            s"""# rules for host$h
+               |User-agent: *
+               |Disallow: /private/
+               |Allow: /private/ok/
+               |""".stripMargin +
+            (if (h % 2 == 0) "Disallow: /tmp$\n" else "") +
+            (if (h % 3 == 0)
+              "\nUser-agent: graftbot\nDisallow: /graft-only/\n"
+            else "")
+          (s"host$h.example", base)
+        }.toDF("host", "robots_txt")
+        val urls = t(s, dir, "documents")
+          .select($"doc_id")
+          .as[Long]
+          .map { id =>
+            val path = (id % 5) match {
+              case 0 => "/public/page"
+              case 1 => "/private/doc"
+              case 2 => "/private/ok/x"
+              case 3 => "/graft-only/x"
+              case _ => "/tmp"
+            }
+            (id, s"host${id % 7}.example", path)
+          }
+          .toDF("doc_id", "host", "path")
+        Robots.filterAllowed(urls, robots, agent = "graftbot/1.0")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH u AS (
+          SELECT doc_id,
+                 'host' || (doc_id % 7) || '.example' AS host,
+                 CASE doc_id % 5
+                   WHEN 0 THEN '/public/page' WHEN 1 THEN '/private/doc'
+                   WHEN 2 THEN '/private/ok/x' WHEN 3 THEN '/graft-only/x'
+                   ELSE '/tmp' END AS path,
+                 (doc_id % 7) % 3 = 0 AS hb,
+                 (doc_id % 7) % 2 = 0 AS evenh
+          FROM documents)
+        SELECT doc_id, host, path,
+               CASE doc_id % 5
+                 WHEN 0 THEN TRUE
+                 WHEN 1 THEN hb
+                 WHEN 2 THEN TRUE
+                 WHEN 3 THEN NOT hb
+                 ELSE hb OR NOT evenh END AS allowed
+        FROM u
+        ORDER BY doc_id""")),
+
     QueryDef(
       "q176_inverted_index",
       (s, dir) => invertedIndex(t(s, dir, "documents"), topN = 100),
