@@ -119,6 +119,15 @@ object AudioHeaders {
     var nFrames = 0L
     while (off + 4 <= b.length) {
       val o = off.toInt
+      // the ubiquitous ID3v1 trailer: exactly 128 'TAG'-led bytes at
+      // the end of the stream — most encoders have written one for
+      // decades, so rejecting it would mark the majority of real MP3s
+      // undecodable. Accept it as clean end-of-stream (the leading
+      // ID3v2 sibling of this hop).
+      if (b.length - off == 128 && b(o) == 'T' && b(o + 1) == 'A' &&
+        b(o + 2) == 'G') {
+        off = b.length
+      } else {
       if ((b(o) & 0xff) != 0xff || (b(o + 1) & 0xe0) != 0xe0) return None
       val verBits = (b(o + 1) >> 3) & 0x3 // 0=V2.5, 2=V2, 3=V1
       val layerBits = (b(o + 1) >> 1) & 0x3 // 1 = Layer III
@@ -143,6 +152,7 @@ object AudioHeaders {
       }
       nFrames += 1
       off += (if (isV1) 144L else 72L) * kbps * 1000L / rate + padding
+      }
     }
     if (off != b.length) return None // trailing partial frame
     first.filter(_ => nFrames > 0).map { m =>

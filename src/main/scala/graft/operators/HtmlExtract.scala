@@ -72,20 +72,12 @@ object HtmlExtract {
         if (linkDepth > 0) nLink += 1
       }
     }
-    // skip attributes to the closing '>', honoring quoted values (a
-    // '>' inside href="a>b" must not end the tag); unterminated input
-    // consumes to the end
-    def skipTag(from: Int): Int = {
-      var i = from
-      var quote: Char = 0
-      while (i < n) {
-        val c = html.charAt(i)
-        if (quote != 0) { if (c == quote) quote = 0 }
-        else if (c == '"' || c == '\'') quote = c
-        else if (c == '>') return i + 1
-        i += 1
+    def appendCp(cp: Int): Unit = {
+      sb.appendAll(Character.toChars(cp))
+      if (!Character.isWhitespace(cp)) {
+        nChars += 1 // one visible char per code point, pair or not
+        if (linkDepth > 0) nLink += 1
       }
-      n
     }
     def tagNameAt(from: Int): String = {
       var i = from
@@ -104,7 +96,7 @@ object HtmlExtract {
           val e = html.indexOf("-->", i + 4)
           i = if (e < 0) n else e + 3
         } else if (i + 1 < n && html.charAt(i + 1) == '!') {
-          i = skipTag(i + 2) // <!DOCTYPE ...>
+          i = skipTag(html, i + 2) // <!DOCTYPE ...>
         } else {
           val closing = i + 1 < n && html.charAt(i + 1) == '/'
           val nameStart = if (closing) i + 2 else i + 1
@@ -116,34 +108,21 @@ object HtmlExtract {
             // drop content to the matching close tag (case-insensitive
             // in-place scan — no lowercase copy of the whole page per
             // script tag); unterminated -> rest of input is dropped
-            val after = skipTag(nameStart + name.length)
+            val after = skipTag(html, nameStart + name.length)
             val close = indexOfIgnoreCase(html, s"</$name", after)
-            i = if (close < 0) n else skipTag(close + 2 + name.length)
+            i = if (close < 0) n else skipTag(html, close + 2 + name.length)
           } else {
             if (name == "a") {
               if (closing) linkDepth = math.max(0, linkDepth - 1)
               else linkDepth += 1
             }
             if (BlockTags(name)) flush()
-            i = skipTag(nameStart + name.length)
+            i = skipTag(html, nameStart + name.length)
           }
         }
       } else if (c == '&') {
-        // bounded entity scan: name/number then ';' within 10 chars,
-        // else a literal ampersand
-        val semi = html.indexOf(';', i + 1)
-        val decoded: Option[Char] =
-          if (semi > i && semi - i <= 10) {
-            val body = html.substring(i + 1, semi)
-            if (body.startsWith("#x") || body.startsWith("#X"))
-              scala.util.Try(Integer.parseInt(body.drop(2), 16).toChar)
-                .toOption
-            else if (body.startsWith("#"))
-              scala.util.Try(body.drop(1).toInt.toChar).toOption
-            else Entities.get(body)
-          } else None
-        decoded match {
-          case Some(d) => append(d); i = semi + 1
+        entityAt(html, i) match {
+          case Some((cp, next)) => appendCp(cp); i = next
           case None => append('&'); i += 1
         }
       } else {
@@ -152,6 +131,53 @@ object HtmlExtract {
     }
     flush()
     out.result()
+  }
+
+  /** Skip attributes to past the closing '>', honoring quoted values
+    * (a '>' inside href="a>b" must not end the tag); unterminated
+    * input consumes to the end. Shared by the text and link passes so
+    * their tag handling cannot drift. */
+  private def skipTag(html: String, from: Int): Int = {
+    var i = from
+    var quote: Char = 0
+    val n = html.length
+    while (i < n) {
+      val c = html.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == '>') return i + 1
+      i += 1
+    }
+    n
+  }
+
+  /** Decode one entity at `i` (where html(i) == '&'): the code point
+    * and the index just past the ';', or None. The ';' scan is
+    * WINDOW-BOUNDED (10 chars — longer entities are invalid anyway),
+    * so a page full of bare ampersands stays linear, never O(n²).
+    * Astral code points are returned whole (the caller appends via
+    * appendCodePoint — .toChar would silently truncate emoji / rare
+    * CJK to a wrong BMP char); surrogate halves and > U+10FFFF are
+    * rejected. */
+  private def entityAt(html: String, i: Int): Option[(Int, Int)] = {
+    val limit = math.min(i + 11, html.length)
+    var semi = -1
+    var j = i + 1
+    while (semi < 0 && j < limit) {
+      if (html.charAt(j) == ';') semi = j
+      j += 1
+    }
+    if (semi < 0) return None
+    val body = html.substring(i + 1, semi)
+    val cp: Option[Int] =
+      if (body.startsWith("#x") || body.startsWith("#X"))
+        scala.util.Try(Integer.parseInt(body.drop(2), 16)).toOption
+      else if (body.startsWith("#"))
+        scala.util.Try(body.drop(1).toInt).toOption
+      else Entities.get(body).map(_.toInt)
+    cp.filter(c => c >= 0 && c <= 0x10ffff &&
+        !(c >= 0xd800 && c <= 0xdfff))
+      .map(c => (c, semi + 1))
   }
 
   /** Case-insensitive indexOf without copying `s` (`target` must
@@ -190,8 +216,8 @@ object HtmlExtract {
     b.toString
   }
 
-  /** Bounded-scan entity decode (same rules as the block parse):
-    * named/decimal/hex within 10 chars of the '&', else literal. */
+  /** Entity decode over a whole string, via [[entityAt]] (same rules
+    * as the block parse, same bounded window, astral-safe append). */
   private def decodeEntities(s: String): String = {
     if (s.indexOf('&') < 0) return s
     val b = new StringBuilder(s.length)
@@ -199,19 +225,8 @@ object HtmlExtract {
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '&') {
-        val semi = s.indexOf(';', i + 1)
-        val decoded: Option[Char] =
-          if (semi > i && semi - i <= 10) {
-            val body = s.substring(i + 1, semi)
-            if (body.startsWith("#x") || body.startsWith("#X"))
-              scala.util.Try(Integer.parseInt(body.drop(2), 16).toChar)
-                .toOption
-            else if (body.startsWith("#"))
-              scala.util.Try(body.drop(1).toInt.toChar).toOption
-            else Entities.get(body)
-          } else None
-        decoded match {
-          case Some(d) => b.append(d); i = semi + 1
+        entityAt(s, i) match {
+          case Some((cp, next)) => b.appendAll(Character.toChars(cp)); i = next
           case None => b.append('&'); i += 1
         }
       } else { b.append(c); i += 1 }
@@ -244,16 +259,12 @@ object HtmlExtract {
           }
           val name = nb.toString
           if (!closing && DropTags(name)) {
-            var j = ne
-            var quote: Char = 0
-            while (j < n && (quote != 0 || html.charAt(j) != '>')) {
-              val cc = html.charAt(j)
-              if (quote != 0) { if (cc == quote) quote = 0 }
-              else if (cc == '"' || cc == '\'') quote = cc
-              j += 1
-            }
-            val close = indexOfIgnoreCase(html, s"</$name", j)
-            i = if (close < 0) n else close + 2 + name.length
+            // same consumption as blocks(): hop to past the close
+            // tag's OWN '>' so the two passes cannot diverge on e.g.
+            // '</script foo=">">'
+            val after = skipTag(html, ne)
+            val close = indexOfIgnoreCase(html, s"</$name", after)
+            i = if (close < 0) n else skipTag(html, close + 2 + name.length)
           } else if (!closing && name == "a") {
             // attribute scan to the tag close, quote-aware
             var j = ne
@@ -293,15 +304,7 @@ object HtmlExtract {
             href.filter(_.nonEmpty).foreach(out += _)
             i = if (j < n) j + 1 else n
           } else {
-            var j = ne
-            var quote: Char = 0
-            while (j < n && (quote != 0 || html.charAt(j) != '>')) {
-              val cc = html.charAt(j)
-              if (quote != 0) { if (cc == quote) quote = 0 }
-              else if (cc == '"' || cc == '\'') quote = cc
-              j += 1
-            }
-            i = if (j < n) j + 1 else n
+            i = skipTag(html, ne)
           }
         }
       } else i += 1

@@ -253,9 +253,18 @@ object Maintenance {
       .groupBy(col("k"))
       .agg(first(col("nr")).as("n_ref"), first(col("nc")).as("n_cur"),
         sum(col("or")).as("n_oob_ref"), sum(col("oc")).as("n_oob_cur"),
-        round(max(abs(
-          col("cumr").cast("double") / col("nr")
-            - col("cumc").cast("double") / col("nc"))), 4).as("ks"))
+        // a key present in only ONE period (the other side's n = 0) is
+        // the MOST extreme drift — report ks = 1. The divisors are
+        // NULLed when zero (under ANSI mode a plain zero division
+        // would kill the job; non-ANSI would silently NULL the row a
+        // threshold monitor most needs to see) and the outer when maps
+        // the all-NULL aggregate to 1.0.
+        when(first(col("nr")) === 0 || first(col("nc")) === 0, lit(1.0d))
+          .otherwise(round(max(abs(
+            col("cumr").cast("double")
+              / when(col("nr") > 0, col("nr"))
+              - col("cumc").cast("double")
+              / when(col("nc") > 0, col("nc")))), 4)).as("ks"))
   }
 
   /** Multi-percentile read from ONE state pass — the SLA-dashboard

@@ -120,14 +120,28 @@ object Robots {
   /** The fetch-gate as a DataFrame op: `urls` (host, path) joined to
     * `robots` (host, robots_txt) — robots is |hosts|-sized, so the
     * join broadcasts — then per-row evaluation for `agent`. Adds an
-    * `allowed` column; hosts with no robots.txt allow everything. */
+    * `allowed` column.
+    *
+    * Parsing happens ONCE PER HOST on the broadcast side (a host with
+    * a million crawled urls must not re-parse its 500 KiB robots.txt
+    * a million times); the per-row work is only the pattern matches.
+    * Degrades per-row, never per-job: a host with no robots.txt, or a
+    * malformed NULL path, allows — one bad row must not kill a
+    * corpus-scale gate. */
   def filterAllowed(urls: DataFrame, robots: DataFrame,
       agent: String): DataFrame = {
-    val eval = udf { (robotsTxt: String, path: String) =>
-      robotsTxt == null || allowed(rulesFor(robotsTxt, agent), path)
+    val toRules = udf { robotsTxt: String =>
+      rulesFor(robotsTxt, agent).map(r => (r.allow, r.pattern))
     }
-    urls.join(broadcast(robots), Seq("host"), "left")
-      .withColumn("allowed", eval(col("robots_txt"), col("path")))
+    val eval = udf { (rules: Seq[org.apache.spark.sql.Row], path: String) =>
+      rules == null || path == null ||
+        allowed(rules.map(r => Rule(r.getBoolean(0), r.getString(1))), path)
+    }
+    val resolved = robots
+      .withColumn("_rules", toRules(col("robots_txt")))
       .drop("robots_txt")
+    urls.join(broadcast(resolved), Seq("host"), "left")
+      .withColumn("allowed", eval(col("_rules"), col("path")))
+      .drop("_rules")
   }
 }

@@ -275,8 +275,7 @@ object StreamingQueries {
         WHERE event_type = 'purchase'
         ORDER BY event_id""")),
 
-    // ----- incremental per-key percentiles (q231's streaming sibling) ----
-    // Orders arrive in three year-batches; each update() folds only the
+    // ----- state-version drift (retention + the quantile state) ---------
     // what keep-last-N retention buys BEYOND rollback: version-over-
     // version drift. Three year-batches fold incrementally; the
     // retained previous version (through 1996) and the current one
@@ -345,6 +344,8 @@ object StreamingQueries {
         GROUP BY cells.k
         ORDER BY o_orderpriority""")),
 
+    // ----- incremental per-key percentiles (q231's streaming sibling) ----
+    // Orders arrive in three year-batches; each update() folds only the
     // NEW files' quantile state (mergeable fixed-grid histogram) into a
     // versioned state table behind an atomic pointer. The merge is
     // exact element-wise addition, so three incremental folds equal the

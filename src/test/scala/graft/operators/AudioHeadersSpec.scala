@@ -106,6 +106,16 @@ class AudioHeadersSpec extends AnyFunSuite {
     assert(decodeMp3(rateSwitch).isEmpty)
   }
 
+  test("MP3 with the ubiquitous 128-byte ID3v1 'TAG' trailer decodes; " +
+      "a 128-byte non-TAG tail is still a malformed partial frame") {
+    val core = encodeMp3(128, 44100, 3, 2, "note".getBytes)
+    val id3v1 = "TAG".getBytes ++ new Array[Byte](125)
+    assert(decodeMp3(core ++ id3v1).contains(
+      Mp3Meta("mpeg1", 128, 44100, 2, 3, 3 * 1152L)))
+    val junk = "XXX".getBytes ++ new Array[Byte](125)
+    assert(decodeMp3(core ++ junk).isEmpty)
+  }
+
   test("malformed MP3 decodes to None, never throws") {
     val good = encodeMp3(128, 44100, 3, 2, "note".getBytes)
     def mut(f: Array[Byte] => Unit): Array[Byte] = {

@@ -69,6 +69,28 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(got.main_text == "Tom & Jerry <3 \"hi\" AB AT&T R&unknown; a&b")
   }
 
+  test("astral numeric character references decode to real code " +
+      "points (surrogate pairs), not toChar-truncated BMP garbage") {
+    val got = mainText("<p>hi &#128169; and &#x1F600; end</p>", 1.0)
+    assert(got.main_text == "hi 💩 and 😀 end")
+    // out-of-range and surrogate-half NCRs stay literal
+    assert(mainText("<p>&#1114112; &#xD800;</p>", 1.0).main_text
+      == "&#1114112; &#xD800;")
+    // hrefs get the same decode
+    assert(links("""<a href="https://h.example/&#x1F600;">x</a>""")
+      == Vector("https://h.example/😀"))
+  }
+
+  test("a page full of bare ampersands parses in linear time (the " +
+      "entity scan is window-bounded, not scan-to-end-of-string)") {
+    val html = "<p>" + ("x& " * 200000) + "</p>"
+    val t0 = System.nanoTime()
+    val got = mainText(html, 1.0)
+    assert((System.nanoTime() - t0) / 1e9 < 2.0,
+      "600k-char ampersand flood must not go quadratic")
+    assert(got.main_text.startsWith("x& x&"))
+  }
+
   test("malformed markup never throws and ends deterministically") {
     val cases = Seq(
       "<p>unclosed paragraph",

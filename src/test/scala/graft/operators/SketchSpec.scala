@@ -195,6 +195,16 @@ class SketchSpec extends SparkSpec {
       .select($"k", $"ks").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(viaMerge == got)
+    // a key present in only ONE period is MAXIMAL drift, reported as
+    // ks = 1.0 — not the silent NULL a zero divisor would produce
+    val oneSided = Maintenance.ksFromStates(
+      ref, st(curRows.filter(_._1 != 0L)))
+      .select($"k", $"ks").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getDouble(1)))).toMap
+    assert(oneSided(0L).contains(1.0),
+      s"disappeared key must report ks=1.0, got ${oneSided(0L)}")
+    assert(oneSided(1L).exists(_ < 1.0))
   }
 
   test("n_oob rides the state through merge, and the half-bin accuracy " +
