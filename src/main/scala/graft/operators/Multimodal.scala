@@ -487,6 +487,157 @@ object Multimodal {
         FROM documents
         ORDER BY doc_id""")),
 
+    // ----- gzip member decode: header walk + REAL verified inflate -----
+    // Crawl payloads arrive gzip-wrapped; the operator walks the RFC
+    // 1952 header (flag-driven FNAME/FCOMMENT hops — set per doc by
+    // parity, which GZIPOutputStream cannot even write), then REALLY
+    // inflates the deflate stream with the JDK Inflater and verifies
+    // the trailer CRC32 + ISIZE against the actual bytes. The oracle
+    // replays the metadata arithmetic and the uncompressed length —
+    // compressed size is deliberately NOT in the output (deflate's
+    // output bytes are impl-defined; everything emitted is exact).
+    QueryDef(
+      "q249_gzip_decode",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            MediaRecord(id,
+              Compression.encodeGzip(text.getBytes("UTF-8"),
+                mtime = 1000000000L + id,
+                fname = if (id % 2 == 0) Some(s"doc$id.txt") else None,
+                fcomment = if (id % 3 == 0) Some(s"c$id") else None),
+              "application/gzip")
+          }
+        media.mapPartitions { it =>
+          it.map { r =>
+            val meta = Compression.decodeGzipHeader(r.media)
+            val data = Compression.gunzip(r.media)
+            (r.doc_id, meta.map(_.mtime), meta.flatMap(_.fname),
+              meta.flatMap(_.fcomment),
+              data.map(_.length.toLong), data.isDefined)
+          }
+        }.toDF("doc_id", "mtime", "fname", "fcomment",
+            "n_uncompressed", "crc_ok")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(1000000000 + doc_id AS BIGINT) AS mtime,
+               CASE WHEN doc_id % 2 = 0
+                    THEN 'doc' || doc_id || '.txt' END AS fname,
+               CASE WHEN doc_id % 3 = 0 THEN 'c' || doc_id END AS fcomment,
+               CAST(octet_length(encode(text)) AS BIGINT)
+                 AS n_uncompressed,
+               TRUE AS crc_ok
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ----- WARC record parsing: the crawl storage format ---------------
+    // Four records concatenate per blob (doc_id div 4) and the splitter
+    // must JUMP payloads by declared Content-Length — the payloads are
+    // the documents' own text, and a boundary SCANNER would tear on
+    // text content; only length-jumping reconstructs every record. The
+    // oracle replays types/uris/ids/lengths from doc_id arithmetic; a
+    // mis-jump shifts every subsequent record in the blob and
+    // hash-mismatches en masse.
+    QueryDef(
+      "q250_warc_parse",
+      (s, dir) => {
+        import s.implicits._
+        val recs = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .groupByKey { case (id, _) => id / 4 }
+          .flatMapGroups { (group, it) =>
+            val blob = it.toSeq.sortBy(_._1).map { case (id, text) =>
+              Warc.encodeRecord(
+                warcType = (id % 3) match {
+                  case 0 => "response"; case 1 => "request"
+                  case _ => "metadata"
+                },
+                targetUri = if (id % 3 == 2) None
+                  else Some(s"https://host${id % 7}.example/p/$id"),
+                recordId = s"<urn:uuid:$id>",
+                payload = text.getBytes("UTF-8"))
+            }.reduce(_ ++ _)
+            Warc.parse(blob).map { r =>
+              (group * 4 + r.recordIdx, r.warcType, r.targetUri,
+                r.recordId, r.contentLength)
+            }
+          }
+        recs.toDF("doc_id", "warc_type", "target_uri", "record_id",
+            "content_length")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'response' WHEN 1 THEN 'request'
+                    ELSE 'metadata' END AS warc_type,
+               CASE WHEN doc_id % 3 = 2 THEN NULL
+                    ELSE 'https://host' || (doc_id % 7) || '.example/p/'
+                         || doc_id END AS target_uri,
+               '<urn:uuid:' || doc_id || '>' AS record_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS content_length
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ----- .warc.gz: the Common Crawl layout, end to end ---------------
+    // Each record is its OWN gzip member and members concatenate —
+    // random access by member, the reason the format looks this way.
+    // The operator must walk members by the inflater's consumed-byte
+    // count (no length prefix exists!), verify each member's CRC,
+    // then parse the WARC record inside. Composes q249's member codec
+    // with q250's record parser; the oracle is q250's — the
+    // compression layer must be exactly transparent.
+    QueryDef(
+      "q251_warc_gz_members",
+      (s, dir) => {
+        import s.implicits._
+        val recs = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .groupByKey { case (id, _) => id / 4 }
+          .flatMapGroups { (group, it) =>
+            val blob = it.toSeq.sortBy(_._1).map { case (id, text) =>
+              Compression.encodeGzip(
+                Warc.encodeRecord(
+                  warcType = (id % 3) match {
+                    case 0 => "response"; case 1 => "request"
+                    case _ => "metadata"
+                  },
+                  targetUri = if (id % 3 == 2) None
+                    else Some(s"https://host${id % 7}.example/p/$id"),
+                  recordId = s"<urn:uuid:$id>",
+                  payload = text.getBytes("UTF-8")),
+                mtime = 0L, fname = None, fcomment = None)
+            }.reduce(_ ++ _)
+            Compression.gunzipMembers(blob).zipWithIndex.flatMap {
+              case (member, mi) =>
+                Warc.parse(member).map { r =>
+                  (group * 4 + mi, r.warcType, r.targetUri, r.recordId,
+                    r.contentLength)
+                }
+            }
+          }
+        recs.toDF("doc_id", "warc_type", "target_uri", "record_id",
+            "content_length")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'response' WHEN 1 THEN 'request'
+                    ELSE 'metadata' END AS warc_type,
+               CASE WHEN doc_id % 3 = 2 THEN NULL
+                    ELSE 'https://host' || (doc_id % 7) || '.example/p/'
+                         || doc_id END AS target_uri,
+               '<urn:uuid:' || doc_id || '>' AS record_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS content_length
+        FROM documents
+        ORDER BY doc_id""")),
+
     // ----- MP4 / ISO-BMFF header decode: the VIDEO modality ------------
     // Completes the image/audio/video triad: each doc becomes a
     // byte-valid header-only MP4 — ftyp, a variable-length 'free' box

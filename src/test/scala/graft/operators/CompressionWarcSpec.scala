@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+class CompressionWarcSpec extends AnyFunSuite {
+
+  private def checkProp(p: Prop, n: Int = 100): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("gzip round-trip: gunzip(encodeGzip(data)) == data across " +
+      "optional FNAME/FCOMMENT combinations; metadata recovers") {
+    import Compression._
+    checkProp(Prop.forAll(Gen.asciiPrintableStr, Gen.choose(0L, 0xffffffffL),
+        Gen.option(Gen.alphaNumStr), Gen.option(Gen.alphaNumStr)) {
+      (s, mtime, fn, fc) =>
+        val data = s.getBytes("UTF-8")
+        val blob = encodeGzip(data, mtime, fn, fc)
+        val meta = decodeGzipHeader(blob)
+        gunzip(blob).exists(_.sameElements(data)) &&
+          meta.exists(m => m.mtime == mtime && m.fname == fn &&
+            m.fcomment == fc && m.isize == data.length.toLong)
+    })
+  }
+
+  test("gzip interop: the JDK's own GZIPInputStream reads our member, " +
+      "and we read GZIPOutputStream's") {
+    import Compression._
+    val data = "interop payload - both directions".getBytes("UTF-8")
+    val ours = encodeGzip(data, 0L, Some("x"), None)
+    val jdkRead = new java.io.ByteArrayInputStream(ours)
+    val in = new java.util.zip.GZIPInputStream(jdkRead)
+    assert(in.readAllBytes().sameElements(data))
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(data); gz.close()
+    assert(gunzip(bos.toByteArray).exists(_.sameElements(data)))
+  }
+
+  test("corrupt gzip yields None, never throws or returns bad bytes: " +
+      "flipped payload bit (CRC), wrong ISIZE, truncation, bad magic") {
+    import Compression._
+    val good = encodeGzip("verify me please".getBytes, 7L, None, None)
+    def mut(f: Array[Byte] => Unit): Array[Byte] = {
+      val c = good.clone; f(c); c
+    }
+    assert(gunzip(mut(b => b(12) = (b(12) ^ 0x01).toByte)).isEmpty,
+      "a flipped deflate bit must fail the CRC check")
+    assert(gunzip(mut(b => b(b.length - 1) = 0x7f)).isEmpty,
+      "a wrong declared ISIZE must be rejected")
+    assert(gunzip(good.take(good.length - 3)).isEmpty)
+    assert(gunzip(mut(b => b(0) = 0x1e)).isEmpty)
+    assert(decodeGzipHeader(mut(b => b(3) = 0xe0.toByte)).isEmpty,
+      "reserved FLG bits must be rejected")
+  }
+
+  test("concatenated gzip members split by inflater-consumed bytes: " +
+      "every member independently verified, torn tail keeps the prefix") {
+    import Compression._
+    val parts = Seq("first member", "", "third member with more bytes")
+      .map(_.getBytes("UTF-8"))
+    val blob = parts.zipWithIndex.map { case (p, i) =>
+      encodeGzip(p, i.toLong, if (i == 1) Some(s"n$i") else None, None)
+    }.reduce(_ ++ _)
+    val got = gunzipMembers(blob)
+    assert(got.size == 3)
+    got.zip(parts).foreach { case (g, p) => assert(g.sameElements(p)) }
+    // single-member gunzip REJECTS the concatenation (trailing member
+    // is not "one clean member")
+    assert(gunzip(blob).isEmpty)
+    assert(gunzip(encodeGzip(parts(0), 0L, None, None)).isDefined)
+    // torn tail: cut into the last member -> first two still decode
+    val torn = gunzipMembers(blob.dropRight(5))
+    assert(torn.size == 2)
+    // a flipped bit in member 2 stops the walk after member 1 (the
+    // member boundary itself is unrecoverable without the CRC passing)
+    val m1len = encodeGzip(parts(0), 0L, None, None).length
+    val bad = blob.clone
+    bad(m1len + 14) = (bad(m1len + 14) ^ 0x01).toByte
+    assert(gunzipMembers(bad).size == 1)
+  }
+
+  test("WARC: length-jump splitting survives payloads that CONTAIN " +
+      "record-header text; records round-trip in order") {
+    import Warc._
+    val trap = "WARC/1.1\r\nWARC-Type: fake\r\n\r\nnot a record"
+    val blob =
+      encodeRecord("response", Some("https://a.example/1"), "<urn:1>",
+        trap.getBytes("ISO-8859-1")) ++
+      encodeRecord("metadata", None, "<urn:2>",
+        "plain".getBytes) ++
+      encodeRecord("request", Some("https://a.example/3"), "<urn:3>",
+        Array.emptyByteArray)
+    val recs = parse(blob)
+    assert(recs.map(r => (r.recordIdx, r.warcType, r.targetUri,
+      r.recordId, r.contentLength)) == Vector(
+      (0, "response", Some("https://a.example/1"), Some("<urn:1>"),
+        trap.length.toLong),
+      (1, "metadata", None, Some("<urn:2>"), 5L),
+      (2, "request", Some("https://a.example/3"), Some("<urn:3>"), 0L)))
+    assert(new String(recs(0).payload, "ISO-8859-1") == trap)
+  }
+
+  test("WARC: a torn tail returns the good prefix records, not nothing") {
+    import Warc._
+    val good = encodeRecord("response", None, "<urn:1>", "abc".getBytes)
+    // second record declares more payload than the buffer carries
+    val torn = good ++ ("WARC/1.1\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:2>\r\nContent-Length: 99999\r\n\r\nxx")
+      .getBytes("ISO-8859-1")
+    val recs = parse(torn)
+    assert(recs.size == 1 && recs(0).recordId.contains("<urn:1>"))
+    // header-less garbage after a good record also ends the walk clean
+    assert(parse(good ++ "garbage".getBytes).size == 1)
+    // missing Content-Length is malformed
+    assert(parse(("WARC/1.1\r\nWARC-Type: x\r\n\r\n").getBytes).isEmpty)
+    assert(parse(Array.emptyByteArray).isEmpty)
+    assert(parse(null).isEmpty)
+  }
+
+  test("WARC header names are case-insensitive; values trim") {
+    import Warc._
+    val raw = ("WARC/1.1\r\ncontent-length:  4 \r\n" +
+      "warc-TYPE:   response  \r\n\r\nbody\r\n\r\n").getBytes("ISO-8859-1")
+    val recs = parse(raw)
+    assert(recs.size == 1)
+    assert(recs(0).warcType == "response" && recs(0).contentLength == 4L)
+    assert(new String(recs(0).payload) == "body")
+  }
+}
