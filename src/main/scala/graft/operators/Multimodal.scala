@@ -638,6 +638,117 @@ object Multimodal {
         FROM documents
         ORDER BY doc_id""")),
 
+    // ----- HTTP response parse: status / headers / chunked bodies ------
+    // The layer between a WARC response payload and the HTML the text
+    // family wants. Odd docs ship their body CHUNKED (hex-size lines
+    // really decoded, not skipped); content-type parameters split out.
+    // The oracle replays status/type/charset arithmetic and the exact
+    // body length — a chunked mis-walk changes n_body.
+    QueryDef(
+      "q252_http_response_parse",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            MediaRecord(id,
+              Http.encodeResponse(
+                status = if (id % 5 == 4) 404 else 200,
+                contentTypeValue = if (id % 3 == 0)
+                  "text/HTML; charset=UTF-8" else "text/plain",
+                body = text.getBytes("UTF-8"),
+                chunked = id % 2 == 1),
+              "message/http")
+          }
+        media.mapPartitions { it =>
+          it.map { r =>
+            val resp = Http.parseResponse(r.media)
+            val ct = resp.flatMap(_.headers.get("content-type"))
+            (r.doc_id, resp.map(_.status),
+              ct.flatMap(Http.contentType),
+              ct.flatMap(Http.charsetParam),
+              resp.map(_.body.length.toLong))
+          }
+        }.toDF("doc_id", "status", "content_type", "charset", "n_body")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(CASE WHEN doc_id % 5 = 4 THEN 404 ELSE 200 END AS INT)
+                 AS status,
+               CASE WHEN doc_id % 3 = 0 THEN 'text/html'
+                    ELSE 'text/plain' END AS content_type,
+               CASE WHEN doc_id % 3 = 0 THEN 'utf-8' END AS charset,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_body
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ----- the WHOLE crawl ingestion chain in one query ----------------
+    // .warc.gz -> gzip member walk -> WARC record split -> HTTP parse
+    // (chunked bodies on odd docs) -> HTML main-text extraction with
+    // the link-density cut: five operators composed, each one
+    // transparent by construction, so the oracle is q240's main-text
+    // replay plus the HTTP status — any layer leaking (a torn member,
+    // a mis-jumped record, an undecoded chunk boundary inside the
+    // HTML) corrupts main_text and hash-mismatches.
+    QueryDef(
+      "q253_crawl_ingest_end_to_end",
+      (s, dir) => {
+        import s.implicits._
+        val recs = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .groupByKey { case (id, _) => id / 4 }
+          .flatMapGroups { (group, it) =>
+            val blob = it.toSeq.sortBy(_._1).map { case (id, text) =>
+              val page =
+                s"""<html><head><title>Doc $id</title></head><body>
+                   |<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav>
+                   |<h1>Title $id</h1>
+                   |<script>if (1 < 2) { alert("x & y"); }</script>
+                   |<p>$text</p>
+                   |<style>.footer { display: none; }</style>
+                   |<p>Read much more in <a href="/arc">the archive</a> every single day</p>
+                   |<p>Tom &amp; Jerry &lt;3</p>
+                   |<div><a href="/p">Privacy</a> | <a href="/t">Terms</a></div>
+                   |</body></html>""".stripMargin
+              Compression.encodeGzip(
+                Warc.encodeRecord("response",
+                  Some(s"https://host${id % 7}.example/p/$id"),
+                  s"<urn:uuid:$id>",
+                  Http.encodeResponse(200, "text/html; charset=utf-8",
+                    page.getBytes("UTF-8"), chunked = id % 2 == 1)),
+                mtime = 0L, fname = None, fcomment = None)
+            }.reduce(_ ++ _)
+            Compression.gunzipMembers(blob).zipWithIndex.flatMap {
+              case (member, mi) =>
+                for {
+                  rec <- Warc.parse(member)
+                  resp <- Http.parseResponse(rec.payload)
+                } yield {
+                  val ext = HtmlExtract.mainText(
+                    new String(resp.body, "UTF-8"), maxLinkDensity = 0.5)
+                  (group * 4 + mi, resp.status, ext.main_text,
+                    ext.n_blocks.toLong, ext.n_dropped.toLong)
+                }
+            }
+          }
+        recs.toDF("doc_id", "status", "main_text", "n_blocks", "n_dropped")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(200 AS INT) AS status,
+               'Title ' || doc_id || chr(10)
+                 || trim(regexp_replace(text, '\s+', ' ', 'g')) || chr(10)
+                 || 'Read much more in the archive every single day'
+                 || chr(10) || 'Tom & Jerry <3' AS main_text,
+               CAST(4 AS BIGINT) AS n_blocks,
+               CAST(2 AS BIGINT) AS n_dropped
+        FROM documents
+        ORDER BY doc_id""")),
+
     // ----- MP4 / ISO-BMFF header decode: the VIDEO modality ------------
     // Completes the image/audio/video triad: each doc becomes a
     // byte-valid header-only MP4 — ftyp, a variable-length 'free' box
