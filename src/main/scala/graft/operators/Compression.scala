@@ -152,6 +152,109 @@ object Compression {
     out.result()
   }
 
+  /** Parsed zstd frame metadata (header only — the JDK has no zstd
+    * codec, and header-filter-before-decompress is the curation
+    * posture anyway). `contentSize` is the declared decompressed size
+    * when the frame carries one (single-segment frames must; others
+    * may omit it → None). */
+  final case class ZstdMeta(windowSize: Option[Long], dictId: Long,
+      contentSize: Option[Long], checksum: Boolean)
+
+  /** zstd frame header walk (public RFC 8878): magic 28 B5 2F FD LE,
+    * then the frame-header descriptor byte — dictionary-id field size
+    * (0/1/2/4 bytes), content-checksum flag, single-segment flag, and
+    * the frame-content-size field size (0/1/2/4/8). Non-single-segment
+    * frames carry a window descriptor byte (exponent+mantissa →
+    * window size); single-segment frames use the content size as the
+    * window. Skippable frames (magic 184D2A5x) return None — they
+    * carry no content. Reserved descriptor bits must be zero. */
+  def decodeZstdHeader(b: Array[Byte]): Option[ZstdMeta] = {
+    if (b == null || b.length < 6) return None
+    if ((b(0) & 0xff) != 0x28 || (b(1) & 0xff) != 0xb5 ||
+      (b(2) & 0xff) != 0x2f || (b(3) & 0xff) != 0xfd) return None
+    val fhd = b(4) & 0xff
+    if ((fhd & 0x08) != 0) return None // reserved bit must be zero
+    val fcsFlag = (fhd >> 6) & 0x3
+    val singleSegment = (fhd & 0x20) != 0
+    val checksum = (fhd & 0x04) != 0
+    val didFlag = fhd & 0x3
+    var off = 5
+    var windowSize: Option[Long] = None
+    if (!singleSegment) {
+      if (off >= b.length) return None
+      val wd = b(off) & 0xff
+      val exp = wd >> 3
+      val mantissa = wd & 0x7
+      val base = 1L << (10 + exp)
+      windowSize = Some(base + (base / 8) * mantissa)
+      off += 1
+    }
+    val didLen = didFlag match {
+      case 0 => 0; case 1 => 1; case 2 => 2; case _ => 4
+    }
+    if (off + didLen > b.length) return None
+    var dictId = 0L
+    var i = 0
+    while (i < didLen) {
+      dictId |= (b(off + i) & 0xff).toLong << (8 * i); i += 1
+    }
+    off += didLen
+    // FCS size: flag 0 -> 1 byte IF single-segment else absent;
+    // 1 -> 2 bytes (value + 256); 2 -> 4; 3 -> 8
+    val fcsLen = fcsFlag match {
+      case 0 => if (singleSegment) 1 else 0
+      case 1 => 2; case 2 => 4; case _ => 8
+    }
+    if (off + fcsLen > b.length) return None
+    val contentSize =
+      if (fcsLen == 0) None
+      else {
+        var v = 0L
+        var j = 0
+        while (j < fcsLen) {
+          v |= (b(off + j) & 0xff).toLong << (8 * j); j += 1
+        }
+        Some(if (fcsLen == 2) v + 256 else v)
+      }
+    if (singleSegment) windowSize = contentSize
+    Some(ZstdMeta(windowSize, dictId, contentSize, checksum))
+  }
+
+  /** Fixture emitter: a byte-valid zstd FRAME HEADER (descriptor,
+    * window/dict/content-size fields) followed by an opaque payload —
+    * all the sniff reads. */
+  def encodeZstdHeader(windowLog: Int, dictId: Long,
+      contentSize: Option[Long], checksum: Boolean,
+      payload: Array[Byte]): Array[Byte] = {
+    require(windowLog >= 10 && windowLog <= 31, "window exponent 10..31")
+    require(dictId >= 0 && dictId <= 0xffffffffL, "dict id is u32")
+    val out = new ByteArrayOutputStream(payload.length + 16)
+    out.write(0x28); out.write(0xb5); out.write(0x2f); out.write(0xfd)
+    val didLen = if (dictId == 0) 0 else if (dictId <= 0xff) 1
+      else if (dictId <= 0xffff) 2 else 4
+    val didFlag = didLen match {
+      case 0 => 0; case 1 => 1; case 2 => 2; case _ => 3
+    }
+    val fcsFlag = contentSize match {
+      case None => 0
+      case Some(v) if v >= 256 && v < 65536 + 256 => 1
+      case Some(v) if v <= 0xffffffffL => 2
+      case _ => 3
+    }
+    out.write((fcsFlag << 6) | (if (checksum) 0x04 else 0) | didFlag)
+    out.write((windowLog - 10) << 3) // window descriptor, mantissa 0
+    var i = 0
+    while (i < didLen) { out.write(((dictId >> (8 * i)) & 0xff).toInt); i += 1 }
+    contentSize.foreach { v =>
+      val fcsLen = fcsFlag match { case 1 => 2; case 2 => 4; case _ => 8 }
+      val enc = if (fcsFlag == 1) v - 256 else v
+      var j = 0
+      while (j < fcsLen) { out.write(((enc >> (8 * j)) & 0xff).toInt); j += 1 }
+    }
+    out.write(payload, 0, payload.length)
+    out.toByteArray
+  }
+
   /** Fixture emitter: one byte-valid gzip member with explicit FNAME /
     * FCOMMENT fields (GZIPOutputStream cannot set them) and a real
     * deflate of `data` — round-trips through [[gunzip]] and any

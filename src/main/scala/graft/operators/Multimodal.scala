@@ -80,6 +80,40 @@ object Multimodal {
     }
   }
 
+  /** The magic-number switchboard over EVERY decoder in the engine:
+    * route an unknown blob to its format and pull one salient numeric
+    * (images: width; audio: sample rate; mp4: timescale; gzip:
+    * declared uncompressed size; zstd: declared content size; warc:
+    * record count; text: byte length). All decoders are STRICT
+    * full-structure parses, so magic collisions with text content
+    * cannot misroute (e.g. text starting "BM" fails the BMP bit-count
+    * check; text starting "ID3" fails the MP3 frame walk) — the
+    * dispatcher is the first operator a mixed 100 TB blob store runs. */
+  def sniffContent(b: Array[Byte]): (String, Option[Long]) =
+    ImageHeaders.decode(b).map(m => (m.format, Some(m.width.toLong)))
+      .orElse(AudioHeaders.decodeWav(b).map(m =>
+        ("wav", Some(m.sampleRate.toLong))))
+      .orElse(AudioHeaders.decodeFlac(b).map(m =>
+        ("flac", Some(m.sampleRate.toLong))))
+      .orElse(AudioHeaders.decodeMp3(b).map(m =>
+        ("mp3", Some(m.sampleRate.toLong))))
+      .orElse(VideoHeaders.decodeMp4(b).map(m =>
+        ("mp4", Some(m.timescale.toLong))))
+      .orElse(Compression.decodeGzipHeader(b).map(m =>
+        ("gzip", Some(m.isize))))
+      .orElse(Compression.decodeZstdHeader(b).map(m =>
+        ("zstd", m.contentSize)))
+      .orElse {
+        if (b != null && b.length >= 5 &&
+          new String(b, 0, 5, "US-ASCII") == "WARC/")
+          Some(("warc", Some(Warc.parse(b).size.toLong)))
+        else None
+      }
+      .getOrElse {
+        val e = TextEncoding.sniff(b)
+        (e.charset, Some(if (b == null) 0L else b.length.toLong))
+      }
+
   /** Format-sniffed audio metadata; None columns = undecodable blob.
     * `n_samples` is per-channel sample count for every format, so
     * duration_ms = n_samples · 1000 / sample_rate uniformly. */
@@ -746,6 +780,129 @@ object Multimodal {
                  || chr(10) || 'Tom & Jerry <3' AS main_text,
                CAST(4 AS BIGINT) AS n_blocks,
                CAST(2 AS BIGINT) AS n_dropped
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ----- zstd frame header sniff -------------------------------------
+    // gzip's modern sibling (RFC 8878): descriptor-driven field sizes
+    // (dict-id 0/1/2/4 bytes, content-size 0/2/4/8), window descriptor
+    // exponent+mantissa. Header-only by design — no zstd codec in the
+    // JDK, and header-filter-before-decompress is the curation posture.
+    // The oracle replays every field from the planted arithmetic.
+    QueryDef(
+      "q254_zstd_header_sniff",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            MediaRecord(id,
+              Compression.encodeZstdHeader(
+                windowLog = (20 + id % 8).toInt,
+                dictId = (id % 4) match {
+                  case 0 => 0L; case 1 => 200L; case 2 => 40000L
+                  case _ => 5000000L
+                },
+                contentSize = if (id % 5 == 4) None
+                  else Some(1000L + id),
+                checksum = id % 2 == 0,
+                payload = text.getBytes("UTF-8")),
+              "application/zstd")
+          }
+        media.mapPartitions { it =>
+          it.map { r =>
+            val m = Compression.decodeZstdHeader(r.media)
+            (r.doc_id, m.flatMap(_.windowSize), m.map(_.dictId),
+              m.flatMap(_.contentSize), m.map(_.checksum))
+          }
+        }.toDF("doc_id", "window_size", "dict_id", "content_size",
+            "has_checksum")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(power(2, 20 + doc_id % 8) AS BIGINT) AS window_size,
+               CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 200
+                    WHEN 2 THEN 40000 ELSE 5000000 END AS BIGINT)
+                 AS dict_id,
+               CASE WHEN doc_id % 5 = 4 THEN NULL
+                    ELSE CAST(1000 + doc_id AS BIGINT) END AS content_size,
+               doc_id % 2 = 0 AS has_checksum
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ----- the magic-number switchboard over ALL formats ---------------
+    // Twelve formats round-robin across the corpus, every blob a
+    // byte-valid stream from the family's own emitters, and ONE
+    // dispatcher routes each to its decoder. The oracle replays label
+    // + salient numeric per variant — a misroute (or a decoder
+    // loosening that lets text bytes pass a magic check) flips a row.
+    QueryDef(
+      "q255_content_type_sniff",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val tb = text.getBytes("UTF-8")
+            val w = (16 + id % 624).toInt
+            val h = (16 + (id * 7) % 464).toInt
+            val rate3 = (id % 3) match {
+              case 0 => 44100; case 1 => 48000; case _ => 32000
+            }
+            val bytes = (id % 12) match {
+              case 0 => ImageHeaders.encodePng(w, h, 8, tb)
+              case 1 => ImageHeaders.encodeJpeg(w, h, 8, tb)
+              case 2 => ImageHeaders.encodeWebp("vp8", w, h, tb)
+              case 3 => AudioHeaders.encodeWav(1, 8000, 16, 100L, tb)
+              case 4 => AudioHeaders.encodeMp3(128, rate3, 3, 2, tb)
+              case 5 => AudioHeaders.encodeFlac(rate3, 2, 16, 1000L, tb)
+              case 6 => VideoHeaders.encodeMp4("isom",
+                if (id % 3 == 0) 600 else 90000, 5000L, w, h, 1, tb)
+              case 7 => Compression.encodeGzip(tb, 0L, None, None)
+              case 8 => Compression.encodeZstdHeader(20, 0L,
+                Some(1000L + id), checksum = false, tb)
+              case 9 => Warc.encodeRecord("response", None,
+                s"<urn:uuid:$id>", tb)
+              case 10 => tb ++ Array[Byte](0xc3.toByte, 0xa9.toByte)
+              case _ => tb
+            }
+            MediaRecord(id, bytes, "application/octet-stream")
+          }
+        media.mapPartitions { it =>
+          it.map { r =>
+            val (fmt, detail) = sniffContent(r.media)
+            (r.doc_id, fmt, detail)
+          }
+        }.toDF("doc_id", "format", "detail")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CASE doc_id % 12
+                 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'webp'
+                 WHEN 3 THEN 'wav' WHEN 4 THEN 'mp3' WHEN 5 THEN 'flac'
+                 WHEN 6 THEN 'mp4' WHEN 7 THEN 'gzip' WHEN 8 THEN 'zstd'
+                 WHEN 9 THEN 'warc' WHEN 10 THEN 'utf-8'
+                 ELSE 'ascii' END AS format,
+               CAST(CASE doc_id % 12
+                 WHEN 0 THEN 16 + doc_id % 624
+                 WHEN 1 THEN 16 + doc_id % 624
+                 WHEN 2 THEN 16 + doc_id % 624
+                 WHEN 3 THEN 8000
+                 WHEN 4 THEN CASE doc_id % 3 WHEN 0 THEN 44100
+                      WHEN 1 THEN 48000 ELSE 32000 END
+                 WHEN 5 THEN CASE doc_id % 3 WHEN 0 THEN 44100
+                      WHEN 1 THEN 48000 ELSE 32000 END
+                 WHEN 6 THEN CASE WHEN doc_id % 3 = 0 THEN 600
+                      ELSE 90000 END
+                 WHEN 7 THEN octet_length(encode(text))
+                 WHEN 8 THEN 1000 + doc_id
+                 WHEN 9 THEN 1
+                 WHEN 10 THEN octet_length(encode(text)) + 2
+                 ELSE octet_length(encode(text)) END AS BIGINT) AS detail
         FROM documents
         ORDER BY doc_id""")),
 

@@ -83,6 +83,49 @@ class CompressionWarcSpec extends AnyFunSuite {
     assert(gunzipMembers(bad).size == 1)
   }
 
+  test("zstd header round-trip across descriptor-driven field sizes; " +
+      "single-segment and malformed forms handled") {
+    import Compression._
+    checkProp(Prop.forAll(Gen.choose(10, 31),
+        Gen.oneOf(0L, 7L, 300L, 70000L, 4000000000L),
+        Gen.option(Gen.choose(0L, 1L << 40)), Gen.oneOf(true, false)) {
+      (wlog, did, cs, ck) =>
+        val blob = encodeZstdHeader(wlog, did, cs, ck, "pay".getBytes)
+        decodeZstdHeader(blob).exists { m =>
+          m.dictId == did && m.contentSize == cs && m.checksum == ck &&
+            m.windowSize.contains(1L << wlog)
+        }
+    })
+    // hand-built single-segment frame: no window descriptor, 1-byte FCS
+    val ss = Array(0x28, 0xb5, 0x2f, 0xfd, 0x20, 42).map(_.toByte)
+    assert(decodeZstdHeader(ss).contains(
+      ZstdMeta(Some(42L), 0L, Some(42L), checksum = false)))
+    // reserved descriptor bit set -> None; skippable magic -> None
+    assert(decodeZstdHeader(Array(0x28, 0xb5, 0x2f, 0xfd, 0x08, 0)
+      .map(_.toByte)).isEmpty)
+    assert(decodeZstdHeader(Array(0x50, 0x2a, 0x4d, 0x18, 0, 0)
+      .map(_.toByte)).isEmpty)
+    assert(decodeZstdHeader("not zstd at all".getBytes).isEmpty)
+  }
+
+  test("sniffContent routes every family format and never misroutes " +
+      "text that happens to start with a magic-ish prefix") {
+    import Multimodal.sniffContent
+    assert(sniffContent(ImageHeaders.encodePng(10, 9, 8,
+      Array.emptyByteArray)) == (("png", Some(10L))))
+    assert(sniffContent(AudioHeaders.encodeFlac(48000, 2, 16, 5L,
+      Array.emptyByteArray)) == (("flac", Some(48000L))))
+    assert(sniffContent(Compression.encodeGzip("x".getBytes, 0L, None,
+      None)) == (("gzip", Some(1L))))
+    assert(sniffContent(Warc.encodeRecord("response", None, "<u>",
+      "p".getBytes)) == (("warc", Some(1L))))
+    // magic-ish text prefixes stay text: the decoders are strict
+    assert(sniffContent("BMW is a carmaker".getBytes)._1 == "ascii")
+    assert(sniffContent("ID3 tags are metadata".getBytes)._1 == "ascii")
+    assert(sniffContent("RIFFle through it".getBytes)._1 == "ascii")
+    assert(sniffContent(Array.emptyByteArray)._1 == "empty")
+  }
+
   test("WARC: length-jump splitting survives payloads that CONTAIN " +
       "record-header text; records round-trip in order") {
     import Warc._
