@@ -312,6 +312,210 @@ object HtmlExtract {
     out.result()
   }
 
+  /** Parse one tag's attributes into a lowercase-keyed map, returning
+    * the offset past the tag's '>'. Quote-aware (quoted values may
+    * contain '>' and whitespace), unquoted values end at whitespace or
+    * '>'; valueless attributes map to "". */
+  private def tagAttrs(html: String, from: Int): (Map[String, String], Int) = {
+    val n = html.length
+    val attrs = Map.newBuilder[String, String]
+    var i = from
+    while (i < n && html.charAt(i) != '>') {
+      val c = html.charAt(i)
+      if (c.isWhitespace || c == '/') i += 1
+      else {
+        val ks = i
+        while (i < n && !html.charAt(i).isWhitespace &&
+          html.charAt(i) != '=' && html.charAt(i) != '>' &&
+          html.charAt(i) != '/') i += 1
+        val key = html.substring(ks, i).toLowerCase
+        while (i < n && html.charAt(i).isWhitespace) i += 1
+        if (i < n && html.charAt(i) == '=') {
+          i += 1
+          while (i < n && html.charAt(i).isWhitespace) i += 1
+          if (i < n && (html.charAt(i) == '"' || html.charAt(i) == '\'')) {
+            val q = html.charAt(i)
+            val end = html.indexOf(q, i + 1)
+            if (end < 0) { // unterminated quote: consume to end
+              attrs += key -> decodeEntities(html.substring(i + 1))
+              i = n
+            } else {
+              attrs += key -> decodeEntities(html.substring(i + 1, end))
+              i = end + 1
+            }
+          } else {
+            val vs = i
+            while (i < n && !html.charAt(i).isWhitespace &&
+              html.charAt(i) != '>') i += 1
+            attrs += key -> decodeEntities(html.substring(vs, i))
+          }
+        } else if (key.nonEmpty) attrs += key -> ""
+      }
+    }
+    (attrs.result(), if (i < n) i + 1 else n)
+  }
+
+  /** One extracted table cell, in document order. */
+  final case class TableCell(tableIdx: Int, rowIdx: Int, colIdx: Int,
+      text: String, header: Boolean)
+
+  /** Structured TABLE extraction — the table-to-text stage of a
+    * curation pipeline (tables carry the densest factual content on a
+    * page and flat text extraction destroys their structure). Walks
+    * `<table>`/`<tr>`/`<td>`/`<th>` with the same tag/entity/drop
+    * discipline as [[blocks]]; nested or stray markup is tolerated —
+    * a `<td>` outside any `<tr>`/`<table>` is ignored, an unclosed
+    * cell flushes at the next cell/row/table boundary. Cell text is
+    * entity-decoded and whitespace-normalized. */
+  def tables(html: String): Vector[TableCell] = {
+    if (html == null) return Vector.empty
+    val out = Vector.newBuilder[TableCell]
+    val n = html.length
+    var tableIdx = -1
+    var rowIdx = -1
+    var colIdx = -1
+    var inRow = false
+    var cellOpen = false
+    var cellHeader = false
+    val sb = new StringBuilder
+    def flushCell(): Unit = {
+      if (cellOpen) {
+        out += TableCell(tableIdx, rowIdx, colIdx,
+          normalize(sb), cellHeader)
+        cellOpen = false
+      }
+      sb.setLength(0)
+    }
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else {
+          val closing = i + 1 < n && html.charAt(i + 1) == '/'
+          val nameStart = if (closing) i + 2 else i + 1
+          var ne = nameStart
+          val nb = new StringBuilder
+          while (ne < n && html.charAt(ne).isLetterOrDigit) {
+            nb.append(Character.toLowerCase(html.charAt(ne))); ne += 1
+          }
+          val name = nb.toString
+          if (name.isEmpty) { if (cellOpen) sb.append(c); i += 1 }
+          else if (!closing && DropTags(name)) {
+            val after = skipTag(html, ne)
+            val close = indexOfIgnoreCase(html, s"</$name", after)
+            i = if (close < 0) n else skipTag(html, close + 2 + name.length)
+          } else {
+            name match {
+              case "table" =>
+                flushCell(); inRow = false
+                if (!closing) { tableIdx += 1; rowIdx = -1 }
+              case "tr" =>
+                flushCell()
+                if (!closing && tableIdx >= 0) {
+                  rowIdx += 1; colIdx = -1; inRow = true
+                } else inRow = false
+              case "td" | "th" =>
+                flushCell()
+                if (!closing && inRow) {
+                  colIdx += 1; cellOpen = true; cellHeader = name == "th"
+                }
+              case _ => () // inline/other markup inside cells vanishes
+            }
+            i = skipTag(html, ne)
+          }
+        }
+      } else if (c == '&') {
+        entityAt(html, i) match {
+          case Some((cp, next)) =>
+            if (cellOpen) sb.appendAll(Character.toChars(cp))
+            i = next
+          case None => if (cellOpen) sb.append('&'); i += 1
+        }
+      } else {
+        if (cellOpen) sb.append(c)
+        i += 1
+      }
+    }
+    flushCell()
+    out.result()
+  }
+
+  /** Extracted page metadata — the fields a curation pipeline filters
+    * and labels on before touching body text. */
+  final case class PageMeta(title: Option[String],
+      description: Option[String], ogTitle: Option[String],
+      canonical: Option[String])
+
+  /** Page-metadata extraction: `<title>` text (the one DropTags
+    * container whose content IS the signal here), `<meta
+    * name="description" content=...>`, `<meta property="og:title"
+    * content=...>`, `<link rel="canonical" href=...>`. First
+    * occurrence wins; attribute names/keys case-fold; values
+    * entity-decode; title whitespace-normalizes. */
+  def pageMetadata(html: String): PageMeta = {
+    if (html == null) return PageMeta(None, None, None, None)
+    val n = html.length
+    var title: Option[String] = None
+    var desc: Option[String] = None
+    var og: Option[String] = None
+    var canonical: Option[String] = None
+    var i = 0
+    while (i < n &&
+      (title.isEmpty || desc.isEmpty || og.isEmpty || canonical.isEmpty)) {
+      if (html.charAt(i) == '<') {
+        if (html.startsWith("<!--", i)) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else {
+          val closing = i + 1 < n && html.charAt(i + 1) == '/'
+          val nameStart = if (closing) i + 2 else i + 1
+          var ne = nameStart
+          val nb = new StringBuilder
+          while (ne < n && html.charAt(ne).isLetterOrDigit) {
+            nb.append(Character.toLowerCase(html.charAt(ne))); ne += 1
+          }
+          val name = nb.toString
+          if (!closing && name == "title") {
+            val after = skipTag(html, ne)
+            val close = indexOfIgnoreCase(html, "</title", after)
+            val end = if (close < 0) n else close
+            if (title.isEmpty) {
+              val sb = new StringBuilder(
+                decodeEntities(html.substring(after, end)))
+              title = Some(normalize(sb))
+            }
+            i = if (close < 0) n else skipTag(html, close + 7)
+          } else if (!closing && (name == "script" || name == "style")) {
+            val after = skipTag(html, ne)
+            val close = indexOfIgnoreCase(html, s"</$name", after)
+            i = if (close < 0) n else skipTag(html, close + 2 + name.length)
+          } else if (!closing && name == "meta") {
+            val (attrs, next) = tagAttrs(html, ne)
+            val content = attrs.get("content")
+            if (desc.isEmpty &&
+              attrs.get("name").exists(_.equalsIgnoreCase("description")))
+              desc = content
+            if (og.isEmpty &&
+              attrs.get("property").exists(_.equalsIgnoreCase("og:title")))
+              og = content
+            i = next
+          } else if (!closing && name == "link") {
+            val (attrs, next) = tagAttrs(html, ne)
+            if (canonical.isEmpty &&
+              attrs.get("rel").exists(_.equalsIgnoreCase("canonical")))
+              canonical = attrs.get("href")
+            i = next
+          } else if (name.isEmpty) i += 1
+          else i = skipTag(html, ne)
+        }
+      } else i += 1
+    }
+    PageMeta(title, desc, og, canonical)
+  }
+
   /** Lowercased host of an ABSOLUTE http(s) URL — userinfo and port
     * stripped, path/query/fragment ignored; None for relative URLs,
     * other schemes, or an empty authority. The canonical key of a

@@ -1211,6 +1211,103 @@ object TextAnalysis {
         FROM u
         ORDER BY doc_id""")),
 
+    // structured TABLE extraction — tables carry the densest factual
+    // content on a page and flat text extraction destroys their
+    // structure; this emits (table, row, col, cell, is_header) tuples
+    // ready for table-to-text. Planted per doc: a header row, a value
+    // row with entities, and a row whose cell wraps its text in inline
+    // markup that must vanish. The oracle replays the 3x3 grid.
+    QueryDef(
+      "q256_html_table_extract",
+      (s, dir) => {
+        import s.implicits._
+        val pages = t(s, dir, "documents")
+          .select($"doc_id")
+          .as[Long]
+          .map { id =>
+            (id,
+              s"""<html><body><p>intro text</p><table>
+                 |<tr><th>metric</th><th>value</th><th>note</th></tr>
+                 |<tr><td>count</td><td>${id * 2}</td><td>n &amp; m</td></tr>
+                 |<tr><td>score</td><td>${id % 97}</td><td><b>bold $id</b></td></tr>
+                 |</table></body></html>""".stripMargin)
+          }
+          .toDF("doc_id", "html")
+        val cellsUdf = udf { html: String =>
+          HtmlExtract.tables(html).map(c =>
+            (c.tableIdx, c.rowIdx, c.colIdx, c.text, c.header))
+        }
+        pages.select($"doc_id", explode(cellsUdf($"html")).as("c"))
+          .select($"doc_id", $"c._1".as("table_idx"),
+            $"c._2".as("row_idx"), $"c._3".as("col_idx"),
+            $"c._4".as("cell"), $"c._5".as("is_header"))
+          .orderBy($"doc_id", $"row_idx", $"col_idx")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(0 AS INT) AS table_idx,
+               CAST(r.r AS INT) AS row_idx,
+               CAST(c.c AS INT) AS col_idx,
+               CASE r.r
+                 WHEN 0 THEN CASE c.c WHEN 0 THEN 'metric'
+                      WHEN 1 THEN 'value' ELSE 'note' END
+                 WHEN 1 THEN CASE c.c WHEN 0 THEN 'count'
+                      WHEN 1 THEN CAST(doc_id * 2 AS VARCHAR)
+                      ELSE 'n & m' END
+                 ELSE CASE c.c WHEN 0 THEN 'score'
+                      WHEN 1 THEN CAST(doc_id % 97 AS VARCHAR)
+                      ELSE 'bold ' || doc_id END
+               END AS cell,
+               r.r = 0 AS is_header
+        FROM documents
+        CROSS JOIN (SELECT unnest(range(3)) AS r) r
+        CROSS JOIN (SELECT unnest(range(3)) AS c) c
+        ORDER BY doc_id, row_idx, col_idx""")),
+
+    // page-metadata extraction — the fields curation filters and
+    // labels on before touching body text: title (the one dropped
+    // container whose content IS the signal), meta description,
+    // og:title, canonical link. A script planted BEFORE the head
+    // fields carries a fake <title> that must not leak; entities in
+    // every field must decode. The oracle replays each field.
+    QueryDef(
+      "q257_html_page_metadata",
+      (s, dir) => {
+        import s.implicits._
+        val pages = t(s, dir, "documents")
+          .select($"doc_id")
+          .as[Long]
+          .map { id =>
+            (id,
+              s"""<html><head>
+                 |<script>var t = "<title>fake</title>";</script>
+                 |<title>Doc $id &amp; Friends</title>
+                 |<meta name="description" content="Summary $id &lt;here&gt;">
+                 |<meta property="og:title" content="OG $id">
+                 |<link rel="canonical" href="https://host${id % 7}.example/p/$id">
+                 |</head><body><p>body</p></body></html>""".stripMargin)
+          }
+          .toDF("doc_id", "html")
+        val metaUdf = udf { html: String =>
+          val m = HtmlExtract.pageMetadata(html)
+          (m.title, m.description, m.ogTitle, m.canonical)
+        }
+        pages.select($"doc_id", metaUdf($"html").as("m"))
+          .select($"doc_id", $"m._1".as("title"),
+            $"m._2".as("description"), $"m._3".as("og_title"),
+            $"m._4".as("canonical"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               'Doc ' || doc_id || ' & Friends' AS title,
+               'Summary ' || doc_id || ' <here>' AS description,
+               'OG ' || doc_id AS og_title,
+               'https://host' || (doc_id % 7) || '.example/p/' || doc_id
+                 AS canonical
+        FROM documents
+        ORDER BY doc_id""")),
+
     QueryDef(
       "q176_inverted_index",
       (s, dir) => invertedIndex(t(s, dir, "documents"), topN = 100),

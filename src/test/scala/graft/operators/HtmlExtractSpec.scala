@@ -192,6 +192,56 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(n(once).contains(once))
   }
 
+  test("tables: header/data cells extract in grid order; inline markup " +
+      "vanishes; entities decode; stray cells outside rows are ignored") {
+    val html =
+      """<td>stray</td><table>
+        |<tr><th>h1</th><th>h2</th></tr>
+        |<tr><td>a &amp; b</td><td><b>bo</b>ld</td></tr>
+        |</table>
+        |<table><tr><td>t2</td></tr></table>""".stripMargin
+    val got = tables(html)
+    assert(got == Vector(
+      TableCell(0, 0, 0, "h1", header = true),
+      TableCell(0, 0, 1, "h2", header = true),
+      TableCell(0, 1, 0, "a & b", header = false),
+      TableCell(0, 1, 1, "bold", header = false),
+      TableCell(1, 0, 0, "t2", header = false)))
+  }
+
+  test("tables: unclosed cells flush at the next boundary; script " +
+      "content inside a cell is dropped; malformed markup never throws") {
+    val got = tables(
+      "<table><tr><td>one<td>two<script>x<td>fake</script></tr>" +
+        "<tr><td>three</table>")
+    assert(got.map(_.text) == Vector("one", "two", "three"))
+    assert(tables("<table><tr><td>unclosed everything").map(_.text)
+      == Vector("unclosed everything"))
+    assert(tables("no tables at all").isEmpty)
+    assert(tables(null).isEmpty)
+  }
+
+  test("pageMetadata: title/description/og:title/canonical extract " +
+      "with entity decode; a script-body fake title does not leak; " +
+      "first occurrence wins") {
+    val html =
+      """<head><script>t = "<title>fake</title>";</script>
+        |<title> Real &amp; True </title>
+        |<title>second ignored</title>
+        |<meta name="DESCRIPTION" content="d &lt;1&gt;">
+        |<meta property="og:title" content='og val'>
+        |<link rel=canonical href=https://h.example/c>
+        |</head>""".stripMargin
+    val m = pageMetadata(html)
+    assert(m.title.contains("Real & True"))
+    assert(m.description.contains("d <1>"))
+    assert(m.ogTitle.contains("og val"))
+    assert(m.canonical.contains("https://h.example/c"))
+    val none = pageMetadata("<p>no head fields</p>")
+    assert(none == PageMeta(None, None, None, None))
+    assert(pageMetadata(null) == PageMeta(None, None, None, None))
+  }
+
   test("urlHost: case-folds, strips userinfo/port/path/query/fragment; " +
       "relative and non-http schemes yield None") {
     assert(urlHost("https://Example.COM/path?q#f").contains("example.com"))
