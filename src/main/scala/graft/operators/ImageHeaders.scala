@@ -45,11 +45,13 @@ object ImageHeaders {
       (u8(b, i + 2) << 8) | u8(b, i + 3)
 
   /** Sniff-and-parse: PNG first (unambiguous signature), then JPEG,
-    * then GIF/BMP (fixed-offset headers), then WEBP (RIFF container). */
+    * then GIF/BMP (fixed-offset headers), then WEBP (RIFF container),
+    * then TIFF ([[TiffHeaders]] — II/MM order mark + IFD walk). */
   def decode(b: Array[Byte]): Option[ImageMeta] =
     decodePng(b).orElse(decodeJpeg(b))
       .orElse(decodeGif(b)).orElse(decodeBmp(b))
       .orElse(decodeWebp(b))
+      .orElse(TiffHeaders.decodeTiff(b))
 
   private def u16le(b: Array[Byte], i: Int): Int =
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)

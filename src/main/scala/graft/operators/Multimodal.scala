@@ -906,6 +906,100 @@ object Multimodal {
         FROM documents
         ORDER BY doc_id""")),
 
+    // ----- TIFF header decode: the scan/archival format ----------------
+    // The document-crawl format q229/q238 were missing: each doc becomes
+    // a byte-valid TIFF whose IFD0 sits AFTER the doc text (the header's
+    // IFD offset must jump it — offsets vary with every doc), endianness
+    // alternating II/MM by doc parity, and BitsPerSample alternating the
+    // two value encodings the spec allows: grayscale (count 1, INLINE in
+    // the entry's value field) vs RGB (count 3, OFFSET-valued past the
+    // IFD). The decoder reads dims/depth back OUT OF THE IFD; the oracle
+    // replays the formula + exact stream lengths per variant — a wrong
+    // endianness, offset base, or inline/offset decision hash-mismatches.
+    QueryDef(
+      "q258_tiff_header_decode",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val w = (16 + id % 624).toInt
+            val h = (16 + (id * 7) % 464).toInt
+            val samples = if (id % 4 < 2) 1 else 3
+            val bits = if (samples == 1) (if (id % 4 == 0) 8 else 16) else 8
+            MediaRecord(id,
+              TiffHeaders.encodeTiff(w, h, bits, samples,
+                bigEndian = id % 2 == 1, note = text.getBytes("UTF-8")),
+              "image/tiff")
+          }
+        decodeImageHeaders(media).toDF().orderBy($"doc_id")
+      },
+      // stream length: 8 hdr + len note + 54 IFD + (count-3 bps: 6)
+      Some("""
+        SELECT doc_id,
+               'tiff' AS format,
+               CAST(16 + doc_id % 624 AS INT) AS width,
+               CAST(16 + (doc_id * 7) % 464 AS INT) AS height,
+               CAST(CASE WHEN doc_id % 4 = 0 THEN 8 WHEN doc_id % 4 = 1
+                    THEN 16 ELSE 8 END AS INT) AS bit_depth,
+               CAST(62 + octet_length(encode(text))
+                    + CASE WHEN doc_id % 4 >= 2 THEN 6 ELSE 0 END
+                    AS BIGINT) AS n_bytes
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ----- EXIF orientation: the field a resize stage must honor -------
+    // Each doc becomes a byte-valid JPEG carrying an EXIF APP1 (a real
+    // TIFF IFD embedded at segment offset 10 — Make offset-valued ASCII,
+    // Orientation inline SHORT, endianness alternating by parity) plus a
+    // variable-length COM the marker walk must hop. BOTH decoders run:
+    // the EXIF walk pulls orientation/make out of the embedded IFD, and
+    // the plain header decode must still see the same stream as a
+    // baseline JPEG (the APP1 is just another hoppable segment). The
+    // oracle replays every field and the exact stream length.
+    QueryDef(
+      "q259_exif_orientation",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val w = (16 + id % 624).toInt
+            val h = (16 + (id * 7) % 464).toInt
+            MediaRecord(id,
+              TiffHeaders.encodeJpegExif(w, h,
+                orientation = (1 + id % 8).toInt, make = s"Cam${id % 9}",
+                bigEndian = id % 2 == 1, rawComment = text.getBytes("UTF-8")),
+              "image/jpeg")
+          }
+        media.mapPartitions { it =>
+          it.map { r =>
+            val exif = TiffHeaders.decodeJpegExif(r.media)
+            val img = ImageHeaders.decode(r.media)
+            (r.doc_id, exif.map(_.orientation), exif.flatMap(_.make),
+              img.map(_.format), img.map(_.width), img.map(_.height),
+              r.media.length.toLong)
+          }
+        }.toDF("doc_id", "orientation", "make", "format", "width",
+            "height", "n_bytes")
+          .orderBy($"doc_id")
+      },
+      // stream length: 2 SOI + 49+|make| APP1 + 4+len COM (clamped to
+      // one segment) + 19 SOF0 + 2 EOI; |make| = 4 ('Cam' + one digit)
+      Some("""
+        SELECT doc_id,
+               CAST(1 + doc_id % 8 AS INT) AS orientation,
+               'Cam' || (doc_id % 9) AS make,
+               'jpeg' AS format,
+               CAST(16 + doc_id % 624 AS INT) AS width,
+               CAST(16 + (doc_id * 7) % 464 AS INT) AS height,
+               CAST(80 + LEAST(octet_length(encode(text)), 65533)
+                    AS BIGINT) AS n_bytes
+        FROM documents
+        ORDER BY doc_id""")),
+
     // ----- MP4 / ISO-BMFF header decode: the VIDEO modality ------------
     // Completes the image/audio/video triad: each doc becomes a
     // byte-valid header-only MP4 — ftyp, a variable-length 'free' box

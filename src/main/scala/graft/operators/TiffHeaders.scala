@@ -1,0 +1,312 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+
+/** Pure-JVM TIFF / EXIF header codec: parse (and, for fixtures, emit)
+  * the IFD structure of TIFF streams (public spec, TIFF 6.0 — Adobe) and
+  * the EXIF APP1 segment of JPEG streams (public spec, CIPA DC-008,
+  * which embeds a TIFF IFD verbatim) — no codec libraries, no native
+  * deps. Completes [[ImageHeaders]]' format set: TIFF is the scan/
+  * archival format of a document-heavy crawl, and EXIF orientation is
+  * the field an image-curation pipeline must honor before any
+  * resize/crop (a 90°-rotated photo has its dims swapped at render).
+  *
+  * TIFF layout: 2-byte order mark ('II' little / 'MM' big endian),
+  * u16 magic 42, u32 offset to IFD0. An IFD is a u16 entry count then
+  * 12-byte entries (tag u16, type u16, count u32, value-or-offset u32)
+  * sorted ascending by tag, then a u32 next-IFD offset. A value whose
+  * byte size fits in 4 bytes sits INLINE left-justified in the value
+  * field; otherwise the field is an offset to the values elsewhere in
+  * the stream — both shapes exercised here (BitsPerSample count 3 is
+  * offset-valued, count 1 inline).
+  *
+  * Decode failures return None — one corrupt blob must not kill a
+  * corpus-scale pass. Offset math is Long against hostile declared
+  * counts/offsets (the [[AudioHeaders]] discipline).
+  */
+object TiffHeaders {
+
+  import ImageHeaders.ImageMeta
+
+  /** EXIF metadata pulled from a JPEG APP1 segment. `orientation` is
+    * the TIFF tag 274 value (1 = upright … 8 = rotate-270), the field
+    * a resize/crop stage must honor; `make` is tag 271 (ASCII,
+    * NUL-terminated in the stream). */
+  final case class ExifMeta(orientation: Int, make: Option[String])
+
+  // --- endianness-parameterized reads with explicit bounds ------------
+  private def u16(b: Array[Byte], i: Long, be: Boolean): Int = {
+    val o = i.toInt
+    if (be) ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    else (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  }
+  private def u32(b: Array[Byte], i: Long, be: Boolean): Long = {
+    val o = i.toInt
+    if (be)
+      ((b(o) & 0xff).toLong << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    else
+      (b(o) & 0xff).toLong | ((b(o + 1) & 0xff).toLong << 8) |
+        ((b(o + 2) & 0xff).toLong << 16) | ((b(o + 3) & 0xff).toLong << 24)
+  }
+
+  /** TIFF header sniff-and-parse to IFD0's dimension tags. Only IFD0 is
+    * walked — ImageWidth(256)/ImageLength(257)/BitsPerSample(258) live
+    * there per spec; thumbnail IFDs that follow are irrelevant to a
+    * filter pass. `bitDepth` is the first BitsPerSample value (equal
+    * across channels in practice; the spec stores one per sample). */
+  def decodeTiff(b: Array[Byte]): Option[ImageMeta] = {
+    if (b == null || b.length < 8) return None
+    val be =
+      if (b(0) == 'M' && b(1) == 'M') true
+      else if (b(0) == 'I' && b(1) == 'I') false
+      else return None
+    if (u16(b, 2, be) != 42) return None
+    val ifdOff = u32(b, 4, be)
+    parseIfd0(b, ifdOff, be).flatMap { tags =>
+      for {
+        w <- tags.get(256)
+        h <- tags.get(257)
+        bps <- tags.get(258)
+      } yield {
+        if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue ||
+          bps <= 0) return None
+        ImageMeta("tiff", w.toInt, h.toInt, bps.toInt)
+      }
+    }
+  }
+
+  /** IFD0 entry scan → tag → first scalar value. SHORT(3)/LONG(4)
+    * honored; a multi-value SHORT follows its offset to the first
+    * element (ASCII and other types are skipped here — [[exifIfd0]]
+    * reads strings). None = structurally malformed. */
+  private def parseIfd0(b: Array[Byte], ifdOff: Long,
+      be: Boolean): Option[Map[Int, Long]] = {
+    if (ifdOff < 8 || ifdOff + 2 > b.length) return None
+    val n = u16(b, ifdOff, be)
+    if (ifdOff + 2 + 12L * n + 4 > b.length) return None
+    var tags = Map.empty[Int, Long]
+    var i = 0
+    while (i < n) {
+      val e = ifdOff + 2 + 12L * i
+      val tag = u16(b, e, be)
+      val typ = u16(b, e + 2, be)
+      val cnt = u32(b, e + 4, be)
+      if (cnt >= 1) {
+        // inline if the value bytes fit the 4-byte field (left-justified
+        // in stream order, so the FIRST element is always at e+8)
+        val elemSize = typ match {
+          case 1 => 1L; case 3 => 2L; case 4 => 4L; case _ => 0L
+        }
+        if (elemSize > 0) {
+          val inline = elemSize * cnt <= 4
+          val at = if (inline) e + 8 else u32(b, e + 8, be)
+          if (at < 0 || at + elemSize > b.length) return None
+          val v = typ match {
+            case 1 => (b(at.toInt) & 0xff).toLong
+            case 3 => u16(b, at, be).toLong
+            case 4 => u32(b, at, be)
+          }
+          tags += tag -> v
+        }
+      }
+      i += 1
+    }
+    Some(tags)
+  }
+
+  /** ASCII tag read (type 2, count includes the terminating NUL):
+    * inline if count ≤ 4, else offset-valued. */
+  private def asciiTag(b: Array[Byte], ifdOff: Long, be: Boolean,
+      wantTag: Int): Option[String] = {
+    if (ifdOff < 8 || ifdOff + 2 > b.length) return None
+    val n = u16(b, ifdOff, be)
+    if (ifdOff + 2 + 12L * n + 4 > b.length) return None
+    var i = 0
+    while (i < n) {
+      val e = ifdOff + 2 + 12L * i
+      if (u16(b, e, be) == wantTag && u16(b, e + 2, be) == 2) {
+        val cnt = u32(b, e + 4, be)
+        if (cnt < 1) return None
+        val at = if (cnt <= 4) e + 8 else u32(b, e + 8, be)
+        if (at < 0 || at + cnt > b.length) return None
+        // count includes the NUL; tolerate a missing one
+        val end = if (b((at + cnt - 1).toInt) == 0) cnt - 1 else cnt
+        return Some(new String(b, at.toInt, end.toInt, "US-ASCII"))
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** JPEG EXIF parse: walk the marker segments (the [[ImageHeaders]]
+    * discipline — fill bytes tolerated, RSTn/TEM standalone) to the
+    * first APP1 whose payload leads with "Exif\0\0", then parse the
+    * embedded TIFF stream in place for Orientation(274) / Make(271).
+    * SOS/EOI before any EXIF APP1 ⇒ None (scan data is opaque). */
+  def decodeJpegExif(b: Array[Byte]): Option[ExifMeta] = {
+    if (b == null || b.length < 4 ||
+      (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var off = 2
+    while (off + 2 <= b.length) {
+      if ((b(off) & 0xff) != 0xff) return None
+      var mOff = off + 1
+      while (mOff < b.length && (b(mOff) & 0xff) == 0xff) mOff += 1
+      if (mOff >= b.length) return None
+      val marker = b(mOff) & 0xff
+      if (marker == 0xd9 || marker == 0xda) return None // EOI / SOS
+      if ((marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
+        off = mOff + 1
+      } else {
+        if (mOff + 3 > b.length) return None
+        val len = ((b(mOff + 1) & 0xff) << 8) | (b(mOff + 2) & 0xff)
+        if (len < 2 || mOff + 1 + len > b.length) return None
+        if (marker == 0xe1 && len >= 2 + 6 + 8 &&
+          b(mOff + 3) == 'E' && b(mOff + 4) == 'x' && b(mOff + 5) == 'i' &&
+          b(mOff + 6) == 'f' && b(mOff + 7) == 0 && b(mOff + 8) == 0) {
+          // the TIFF stream is embedded verbatim; offsets inside it are
+          // relative to ITS origin, so slice rather than rebase every read
+          val tiff = java.util.Arrays.copyOfRange(b, mOff + 9, mOff + 1 + len)
+          if (tiff.length < 8) return None
+          val be =
+            if (tiff(0) == 'M' && tiff(1) == 'M') true
+            else if (tiff(0) == 'I' && tiff(1) == 'I') false
+            else return None
+          if (u16(tiff, 2, be) != 42) return None
+          val ifdOff = u32(tiff, 4, be)
+          val tags = parseIfd0(tiff, ifdOff, be).getOrElse(return None)
+          val orient = tags.getOrElse(274, 1L) // EXIF default: upright
+          if (orient < 1 || orient > 8) return None
+          return Some(ExifMeta(orient.toInt, asciiTag(tiff, ifdOff, be, 271)))
+        }
+        off = mOff + 1 + len
+      }
+    }
+    None
+  }
+
+  // ------------------------------------------------------------------
+  // fixture emitters — real IFD layouts (computed offsets, ascending
+  // tags, inline vs offset-valued fields) so the decoder is exercised
+  // against the structures it claims to parse
+  // ------------------------------------------------------------------
+
+  /** Minimal structurally-valid TIFF: header, `note` verbatim (the IFD
+    * offset must JUMP it — offsets vary with the note), IFD0 with
+    * ImageWidth/ImageLength (LONG), BitsPerSample (samples=3: three
+    * SHORTs offset-valued AFTER the IFD; samples=1: inline), and
+    * SamplesPerPixel. Stream length = 8 + |note| + 54 + (samples==3 ?
+    * 6 : 0) — the formula the q258 oracle replays. */
+  def encodeTiff(width: Int, height: Int, bitsPerSample: Int,
+      samples: Int, bigEndian: Boolean, note: Array[Byte]): Array[Byte] = {
+    require(width >= 1 && height >= 1, s"dims must be positive: ${width}x$height")
+    require(samples == 1 || samples == 3, s"samples must be 1 or 3: $samples")
+    require(bitsPerSample >= 1 && bitsPerSample <= 0xffff,
+      "BitsPerSample is SHORT")
+    val out = new ByteArrayOutputStream(note.length + 72)
+    def w16(v: Int): Unit =
+      if (bigEndian) { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+      else { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit =
+      if (bigEndian) {
+        out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+        out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+      } else {
+        out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+        out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+      }
+    // header
+    if (bigEndian) { out.write('M'); out.write('M') }
+    else { out.write('I'); out.write('I') }
+    w16(42)
+    val ifdOff = 8L + note.length
+    w32(ifdOff)
+    out.write(note, 0, note.length)
+    // IFD0: 4 entries, ascending tags
+    val ifdBytes = 2 + 4 * 12 + 4
+    w16(4)
+    def entry(tag: Int, typ: Int, cnt: Long)(value: => Unit): Unit = {
+      w16(tag); w16(typ); w32(cnt); value
+    }
+    entry(256, 4, 1)(w32(width.toLong)) // ImageWidth LONG
+    entry(257, 4, 1)(w32(height.toLong)) // ImageLength LONG
+    if (samples == 1)
+      entry(258, 3, 1) { w16(bitsPerSample); w16(0) } // inline SHORT
+    else
+      entry(258, 3, 3)(w32(ifdOff + ifdBytes)) // offset past the IFD
+    entry(277, 3, 1) { w16(samples); w16(0) } // SamplesPerPixel
+    w32(0) // next IFD: none
+    if (samples == 3) { w16(bitsPerSample); w16(bitsPerSample); w16(bitsPerSample) }
+    out.toByteArray
+  }
+
+  /** Minimal structurally-valid JPEG with an EXIF APP1: SOI, APP1
+    * ("Exif\0\0" + a little/big-endian TIFF carrying Make(271, ASCII,
+    * offset-valued) + Orientation(274, SHORT, inline)), a COM segment
+    * carrying `comment` (the marker walk must hop it), SOF0, EOI. The
+    * stream also decodes as a plain JPEG via [[ImageHeaders.decodeJpeg]].
+    * Stream length = 2 + (49 + |make|) + 4 + min(|comment|, 65533)
+    * + 19 + 2 — the formula the q259 oracle replays. */
+  def encodeJpegExif(width: Int, height: Int, orientation: Int,
+      make: String, bigEndian: Boolean, rawComment: Array[Byte]): Array[Byte] = {
+    require(width >= 1 && width <= 65535 && height >= 1 && height <= 65535,
+      s"JPEG dimensions are u16: got ${width}x$height")
+    require(orientation >= 1 && orientation <= 8,
+      s"EXIF orientation is 1..8: $orientation")
+    val comment =
+      if (rawComment.length <= ImageHeaders.MaxComBytes) rawComment
+      else rawComment.take(ImageHeaders.MaxComBytes)
+    val makeBytes = make.getBytes("US-ASCII")
+    val out = new ByteArrayOutputStream(comment.length + makeBytes.length + 96)
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    marker(0xd8) // SOI
+    // APP1: Exif\0\0 + TIFF(hdr 8 + IFD 2+2*12+4 + make+NUL when the
+    // ASCII value doesn't fit the entry's 4-byte field inline)
+    val tiffLen = 8 + 30 +
+      (if (makeBytes.length + 1 <= 4) 0 else makeBytes.length + 1)
+    marker(0xe1)
+    be16(2 + 6 + tiffLen)
+    out.write("Exif".getBytes("US-ASCII"), 0, 4); out.write(0); out.write(0)
+    def t16(v: Int): Unit =
+      if (bigEndian) be16(v)
+      else { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def t32(v: Long): Unit =
+      if (bigEndian) {
+        out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+        out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+      } else {
+        out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+        out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+      }
+    if (bigEndian) { out.write('M'); out.write('M') }
+    else { out.write('I'); out.write('I') }
+    t16(42); t32(8L) // IFD0 immediately after the header
+    t16(2) // two entries, ascending tags: 271 then 274
+    val makeCnt = makeBytes.length + 1 // ASCII count includes the NUL
+    t16(271); t16(2); t32(makeCnt.toLong)
+    if (makeCnt <= 4) {
+      // spec inline rule: value bytes fill the field left-justified
+      out.write(makeBytes, 0, makeBytes.length); out.write(0)
+      var pad = 4 - makeCnt
+      while (pad > 0) { out.write(0); pad -= 1 }
+    } else t32(8L + 30L) // offset past the IFD
+    t16(274); t16(3); t32(1L); t16(orientation); t16(0)
+    t32(0L) // next IFD: none
+    if (makeCnt > 4) { out.write(makeBytes, 0, makeBytes.length); out.write(0) }
+    // COM the walk must hop
+    marker(0xfe)
+    be16(comment.length + 2)
+    out.write(comment, 0, comment.length)
+    // SOF0 (3 components) — same shape as ImageHeaders.encodeJpeg
+    marker(0xc0)
+    be16(8 + 3 * 3)
+    out.write(8)
+    be16(height); be16(width)
+    out.write(3)
+    var c = 1
+    while (c <= 3) { out.write(c); out.write(0x11); out.write(0); c += 1 }
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+}
