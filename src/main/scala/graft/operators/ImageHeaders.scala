@@ -46,12 +46,14 @@ object ImageHeaders {
 
   /** Sniff-and-parse: PNG first (unambiguous signature), then JPEG,
     * then GIF/BMP (fixed-offset headers), then WEBP (RIFF container),
-    * then TIFF ([[TiffHeaders]] — II/MM order mark + IFD walk). */
+    * then TIFF ([[TiffHeaders]] — II/MM order mark + IFD walk), then
+    * AVIF/HEIC ([[VideoHeaders.decodeAvif]] — ISO-BMFF ispe walk). */
   def decode(b: Array[Byte]): Option[ImageMeta] =
     decodePng(b).orElse(decodeJpeg(b))
       .orElse(decodeGif(b)).orElse(decodeBmp(b))
       .orElse(decodeWebp(b))
       .orElse(TiffHeaders.decodeTiff(b))
+      .orElse(VideoHeaders.decodeAvif(b))
 
   private def u16le(b: Array[Byte], i: Int): Int =
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)

@@ -82,9 +82,10 @@ object Multimodal {
 
   /** The magic-number switchboard over EVERY decoder in the engine:
     * route an unknown blob to its format and pull one salient numeric
-    * (images: width; audio: sample rate; mp4: timescale; gzip:
-    * declared uncompressed size; zstd: declared content size; warc:
-    * record count; text: byte length). All decoders are STRICT
+    * (images incl. tiff/avif: width; audio: sample rate; mp4:
+    * timescale; gzip: declared uncompressed size; zstd: declared
+    * content size; warc: record count; pdf: page count; text: byte
+    * length). All decoders are STRICT
     * full-structure parses, so magic collisions with text content
     * cannot misroute (e.g. text starting "BM" fails the BMP bit-count
     * check; text starting "ID3" fails the MP3 frame walk) — the
@@ -109,6 +110,7 @@ object Multimodal {
           Some(("warc", Some(Warc.parse(b).size.toLong)))
         else None
       }
+      .orElse(Pdf.decodePdf(b).map(m => ("pdf", Some(m.nPages.toLong))))
       .getOrElse {
         val e = TextEncoding.sniff(b)
         (e.charset, Some(if (b == null) 0L else b.length.toLong))
@@ -833,7 +835,7 @@ object Multimodal {
         ORDER BY doc_id""")),
 
     // ----- the magic-number switchboard over ALL formats ---------------
-    // Twelve formats round-robin across the corpus, every blob a
+    // Fifteen formats round-robin across the corpus, every blob a
     // byte-valid stream from the family's own emitters, and ONE
     // dispatcher routes each to its decoder. The oracle replays label
     // + salient numeric per variant — a misroute (or a decoder
@@ -852,7 +854,7 @@ object Multimodal {
             val rate3 = (id % 3) match {
               case 0 => 44100; case 1 => 48000; case _ => 32000
             }
-            val bytes = (id % 12) match {
+            val bytes = (id % 15) match {
               case 0 => ImageHeaders.encodePng(w, h, 8, tb)
               case 1 => ImageHeaders.encodeJpeg(w, h, 8, tb)
               case 2 => ImageHeaders.encodeWebp("vp8", w, h, tb)
@@ -866,7 +868,12 @@ object Multimodal {
                 Some(1000L + id), checksum = false, tb)
               case 9 => Warc.encodeRecord("response", None,
                 s"<urn:uuid:$id>", tb)
-              case 10 => tb ++ Array[Byte](0xc3.toByte, 0xa9.toByte)
+              case 10 => TiffHeaders.encodeTiff(w, h, 8, 3,
+                bigEndian = id % 2 == 1, tb)
+              case 11 => VideoHeaders.encodeAvif("avif", w, h, 8, tb)
+              case 12 => Pdf.encodePdf("1.7", (1 + id % 5).toInt,
+                encrypted = false, tb)
+              case 13 => tb ++ Array[Byte](0xc3.toByte, 0xa9.toByte)
               case _ => tb
             }
             MediaRecord(id, bytes, "application/octet-stream")
@@ -881,13 +888,14 @@ object Multimodal {
       },
       Some("""
         SELECT doc_id,
-               CASE doc_id % 12
+               CASE doc_id % 15
                  WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'webp'
                  WHEN 3 THEN 'wav' WHEN 4 THEN 'mp3' WHEN 5 THEN 'flac'
                  WHEN 6 THEN 'mp4' WHEN 7 THEN 'gzip' WHEN 8 THEN 'zstd'
-                 WHEN 9 THEN 'warc' WHEN 10 THEN 'utf-8'
+                 WHEN 9 THEN 'warc' WHEN 10 THEN 'tiff' WHEN 11 THEN 'avif'
+                 WHEN 12 THEN 'pdf' WHEN 13 THEN 'utf-8'
                  ELSE 'ascii' END AS format,
-               CAST(CASE doc_id % 12
+               CAST(CASE doc_id % 15
                  WHEN 0 THEN 16 + doc_id % 624
                  WHEN 1 THEN 16 + doc_id % 624
                  WHEN 2 THEN 16 + doc_id % 624
@@ -901,7 +909,10 @@ object Multimodal {
                  WHEN 7 THEN octet_length(encode(text))
                  WHEN 8 THEN 1000 + doc_id
                  WHEN 9 THEN 1
-                 WHEN 10 THEN octet_length(encode(text)) + 2
+                 WHEN 10 THEN 16 + doc_id % 624
+                 WHEN 11 THEN 16 + doc_id % 624
+                 WHEN 12 THEN 1 + doc_id % 5
+                 WHEN 13 THEN octet_length(encode(text)) + 2
                  ELSE octet_length(encode(text)) END AS BIGINT) AS detail
         FROM documents
         ORDER BY doc_id""")),
@@ -997,6 +1008,93 @@ object Multimodal {
                CAST(16 + (doc_id * 7) % 464 AS INT) AS height,
                CAST(80 + LEAST(octet_length(encode(text)), 65533)
                     AS BIGINT) AS n_bytes
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ----- AVIF / HEIC header decode: the modern crawl image mix -------
+    // HEIF containers reuse the MP4 box grammar with a different tree:
+    // dims live in meta(FULL box)>iprp>ipco>ispe, bit depth in pixi.
+    // Each doc becomes a byte-valid header-only container — ftyp (brand
+    // avif/heic by parity), a free box carrying the text (the walk must
+    // hop it), then the meta tree. The decoder re-derives
+    // format/dims/depth from the box chain via the image decode chain
+    // (dispatcher coverage included); the oracle replays the formula
+    // and the exact stream length.
+    QueryDef(
+      "q260_avif_header_decode",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val w = (16 + id % 624).toInt
+            val h = (16 + (id * 7) % 464).toInt
+            val brand = if (id % 2 == 0) "avif" else "heic"
+            val depth = if (id % 3 == 0) 10 else 8
+            MediaRecord(id,
+              VideoHeaders.encodeAvif(brand, w, h, depth,
+                text.getBytes("UTF-8")),
+              s"image/$brand")
+          }
+        decodeImageHeaders(media).toDF().orderBy($"doc_id")
+      },
+      // stream length: 24 ftyp + 8+len free + 97 meta tree
+      Some("""
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'avif' ELSE 'heic' END AS format,
+               CAST(16 + doc_id % 624 AS INT) AS width,
+               CAST(16 + (doc_id * 7) % 464 AS INT) AS height,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 10 ELSE 8 END AS INT)
+                 AS bit_depth,
+               CAST(129 + octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ----- PDF structure sniff: the document-crawl workhorse -----------
+    // Each doc becomes a structurally-valid classic-xref PDF: catalog,
+    // page tree (1+id%5 pages), page objects, a content stream carrying
+    // the doc text (its length SHIFTS every later object's byte offset,
+    // so the xref entries are real arithmetic, not constants), an
+    // /Encrypt dict on id%7=0, then the xref table + trailer. The
+    // decoder must anchor on startxref, walk the table, and FOLLOW the
+    // offsets (catalog → /Pages → /Count); the oracle replays
+    // version/pages/objects/encrypted from doc_id arithmetic — a
+    // mis-parsed offset or a trailer misread flips a row.
+    QueryDef(
+      "q261_pdf_sniff",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            MediaRecord(id,
+              Pdf.encodePdf(
+                version = s"1.${4 + id % 4}",
+                nPages = (1 + id % 5).toInt,
+                encrypted = id % 7 == 0,
+                payload = text.getBytes("UTF-8")),
+              "application/pdf")
+          }
+        media.mapPartitions { it =>
+          it.map { r =>
+            val m = Pdf.decodePdf(r.media)
+            (r.doc_id, m.map(_.version), m.map(_.nPages),
+              m.map(_.nObjects), m.map(_.encrypted))
+          }
+        }.toDF("doc_id", "version", "n_pages", "n_objects", "encrypted")
+          .orderBy($"doc_id")
+      },
+      // objects: catalog + pages + nPages pages + 1 stream (+1 encrypt)
+      Some("""
+        SELECT doc_id,
+               '1.' || (4 + doc_id % 4) AS version,
+               CAST(1 + doc_id % 5 AS INT) AS n_pages,
+               CAST(3 + (1 + doc_id % 5)
+                    + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS INT)
+                 AS n_objects,
+               doc_id % 7 = 0 AS encrypted
         FROM documents
         ORDER BY doc_id""")),
 

@@ -208,4 +208,107 @@ object VideoHeaders {
     }
     out.toByteArray
   }
+
+  // ------------------------------------------------------------------
+  // AVIF / HEIC — the modern web-crawl image containers (public spec,
+  // ISO/IEC 23008-12 HEIF on the 14496-12 box grammar above). Same box
+  // walk, different tree: dims live in meta > iprp > ipco > ispe, bit
+  // depth in the sibling pixi. `meta` is a FULL box (4-byte
+  // version/flags after the header) — the one wrinkle vs moov.
+  // ------------------------------------------------------------------
+
+  private val HeifBrands = Set("avif", "avis", "heic", "heix", "mif1", "msf1")
+
+  /** HEIF image sniff: ftyp brand gate, then the meta/iprp/ipco walk to
+    * ispe (u32 BE width/height) and pixi (bits per channel — first
+    * channel; 8 assumed when absent, the spec default in practice).
+    * Returns [[ImageHeaders.ImageMeta]] so it slots into the image
+    * decode chain; format is the major brand family ("avif"/"heic"). */
+  def decodeAvif(b: Array[Byte]): Option[ImageHeaders.ImageMeta] = {
+    if (b == null || b.length < 16) return None
+    val head = boxAt(b, 0L, b.length.toLong) match {
+      case Some((p, e, "ftyp")) if e - p >= 8 => (p, e)
+      case _ => return None
+    }
+    val brand = fourcc(b, head._1)
+    if (!HeifBrands.contains(brand)) return None
+    val fmt = if (brand.startsWith("he") || brand == "msf1") "heic" else "avif"
+    var width = 0L
+    var height = 0L
+    var depth = 8
+    var sawIspe = false
+    var bad = false
+    def parseIpco(p: Long, e: Long): Unit = {
+      val ok = walk(b, p, e) { (t, p2, e2) =>
+        if (t == "ispe") {
+          // fullbox: version/flags u32, then width/height u32 BE
+          if (e2 - p2 < 12) bad = true
+          else { width = u32(b, p2 + 4); height = u32(b, p2 + 8); sawIspe = true }
+        } else if (t == "pixi") {
+          // fullbox: version/flags, u8 channel count, u8 bits each
+          if (e2 - p2 < 6) bad = true
+          else depth = b((p2 + 5).toInt) & 0xff
+        }
+        !bad
+      }
+      if (!ok) bad = true
+    }
+    val ok = walk(b, head._2, b.length.toLong) { (typ, p, e) =>
+      if (typ == "meta") {
+        if (e - p < 4) { bad = true; false }
+        else {
+          // meta is a full box: hop version/flags, then walk children
+          val metaOk = walk(b, p + 4, e) { (t2, p2, e2) =>
+            if (t2 == "iprp") {
+              val iprpOk = walk(b, p2, e2) { (t3, p3, e3) =>
+                if (t3 == "ipco") parseIpco(p3, e3)
+                !bad
+              }
+              if (!iprpOk) bad = true
+            }
+            !bad
+          }
+          if (!metaOk) bad = true
+          false // meta found: stop the top-level walk
+        }
+      } else true
+    }
+    if (!ok || bad || !sawIspe || width <= 0 || height <= 0 ||
+      width > Int.MaxValue || height > Int.MaxValue || depth <= 0) None
+    else Some(ImageHeaders.ImageMeta(fmt, width.toInt, height.toInt, depth))
+  }
+
+  /** Fixture emitter: byte-valid header-only AVIF/HEIC — ftyp (major
+    * brand + two compatible), a `free` box carrying `note` (the walk
+    * must hop it), then meta[fullbox: hdlr('pict') + iprp[ipco[ispe +
+    * pixi]]]. Stream length = 24 + 8 + |note| + 97 — the formula the
+    * q260 oracle replays. */
+  def encodeAvif(brand: String, width: Int, height: Int, depth: Int,
+      note: Array[Byte]): Array[Byte] = {
+    require(brand.length == 4, "brand is a 4cc")
+    require(width >= 1 && height >= 1, s"dims must be positive: ${width}x$height")
+    require(depth >= 1 && depth <= 255, "pixi bits are u8")
+    val out = new ByteArrayOutputStream(note.length + 144)
+    def be32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def cc(s: String): Unit = out.write(s.getBytes("US-ASCII"), 0, 4)
+    be32(24); cc("ftyp"); cc(brand); be32(0); cc("mif1"); cc("miaf")
+    be32(8L + note.length); cc("free"); out.write(note, 0, note.length)
+    val ispeBox = 8 + 12
+    val pixiBox = 8 + 4 + 1 + 3 // fullbox + channel count + 3 channels
+    val ipcoBox = 8 + ispeBox + pixiBox
+    val iprpBox = 8 + ipcoBox
+    val hdlrBox = 8 + 4 + 4 + 4 + 12 + 1 // fullbox, pre_def, type, resv, name
+    be32(8L + 4 + hdlrBox + iprpBox); cc("meta"); be32(0) // fullbox ver/flags
+    be32(hdlrBox); cc("hdlr"); be32(0); be32(0); cc("pict")
+    out.write(new Array[Byte](12), 0, 12); out.write(0) // empty name
+    be32(iprpBox); cc("iprp")
+    be32(ipcoBox); cc("ipco")
+    be32(ispeBox); cc("ispe"); be32(0); be32(width.toLong); be32(height.toLong)
+    be32(pixiBox); cc("pixi"); be32(0); out.write(3)
+    out.write(depth); out.write(depth); out.write(depth)
+    out.toByteArray
+  }
 }
