@@ -370,6 +370,202 @@ object Maintenance {
   }
 
   // ------------------------------------------------------------------
+  // bottom-k (KMV) sample state — deterministic mergeable uniform
+  // sample + distinct estimator
+  // ------------------------------------------------------------------
+
+  /** 32-bit multiplicative/xor-shift mix both engines replay in plain
+    * integer SQL: h1 = (v·2654435761) mod 2³², x = h1 ⊕ (h1 ≫ 16),
+    * h2 = (x·40503) mod 2³², h = h2 ⊕ (h2 ≫ 13). Intermediates stay
+    * < 2⁴⁸ (no Long overflow, no DuckDB overflow error); ≫ equals
+    * floor-div for the non-negative values this runs on. Knuth's
+    * multiplicative constants — public. */
+  def mix32(c: Column): Column = {
+    val h1 = (c.cast("long") * lit(2654435761L)) % lit(4294967296L)
+    val x = h1.bitwiseXOR(shiftright(h1, 16))
+    val h2 = (x * lit(40503L)) % lit(4294967296L)
+    h2.bitwiseXOR(shiftright(h2, 13))
+  }
+
+  /** Bottom-k sketch state of one batch: the k DISTINCT values with
+    * the smallest [[mix32]] hashes per key. The sketch is three things
+    * at once (KMV lineage, Bar-Yossef et al. — public): a uniform
+    * without-replacement sample over the key's distinct values, a
+    * distinct-count estimator ([[distinctFromBottomK]]), and — because
+    * min-k(A ∪ B) = min-k(min-k(A) ∪ min-k(B)) — an EXACTLY mergeable
+    * state: [[mergeBottomK]] reproduces the single-pass sketch
+    * bit-for-bit, so fold order can never change an answer (the
+    * f(A+B)=f(A)+f(B) law, here as set identity rather than counter
+    * add). Deterministic by construction: no RNG, the hash IS the
+    * sample order, and ties break on the value itself.
+    * State: (k, h, v), ≤ k rows per key. Scale shape: one distinct
+    * reduce + one per-key top-k window over the distinct rows; state
+    * size is k rows per key regardless of corpus size. */
+  def bottomKState(batch: DataFrame, key: Column, value: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, "need k >= 2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("h"), col("v"))
+    batch.select(key.as("k"), value.as("v"))
+      .distinct()
+      .withColumn("h", mix32(col("v")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
+  /** Fold bottom-k states: union, re-dedup (the same value may appear
+    * in both sides), keep the k smallest — exactly the single-pass
+    * sketch of the united input. |state| rows in, ≤ k·keys out. */
+  def mergeBottomK(state: DataFrame, delta: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("h"), col("v"))
+    state.unionByName(delta)
+      .distinct()
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
+  /** Distinct-count estimate from a bottom-k state: a key holding
+    * fewer than k rows saw fewer than k distinct values — its count is
+    * EXACT; a saturated key estimates ndv ≈ (k−1)/U(k) with U(k) the
+    * k-th smallest hash normalized to (0,1] over the 2³² hash space
+    * (the KMV estimator). Output: (k, n_sample, saturated, ndv_est). */
+  def distinctFromBottomK(state: DataFrame, k: Int): DataFrame =
+    state.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_sample"), max(col("h")).as("_hmax"))
+      .withColumn("saturated", col("n_sample") >= k)
+      .withColumn("ndv_est",
+        when(!col("saturated"), col("n_sample").cast("double"))
+          .otherwise(round(
+            lit((k - 1).toDouble) * lit(4294967296.0d)
+              // ANSI-safe: a zero max hash (all k hashes = 0 — 2⁻³²ᵏ)
+              // nulls rather than kills the job
+              / when(col("_hmax") > 0, col("_hmax")), 4)))
+      .drop("_hmax")
+
+  // ------------------------------------------------------------------
+  // Misra–Gries heavy-hitter state — mergeable frequency summary with
+  // an observable error bound
+  // ------------------------------------------------------------------
+
+  /** MG-compress exact per-(key, item) counts to ≤ m surviving items:
+    * subtract the (m+1)-th largest count t from every item, keep
+    * c − t > 0, and bank the subtracted + dropped mass on the key's
+    * NULL-item row (the [[quantileState]] n_oob discipline: the error
+    * is IN the state, not a paper bound). Totals stay exact —
+    * Σc over all rows including the NULL row equals the input mass.
+    * Deterministic: t is a count VALUE (ties included), no order
+    * dependence — the input is already an exact groupBy. */
+  private def compressMg(counts: DataFrame, m: Int): DataFrame = {
+    val items = counts.filter(col("i").isNotNull)
+    val banked = counts.filter(col("i").isNull)
+      .groupBy(col("k")).agg(sum(col("c")).as("_d0"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("c").desc, col("i"))
+    val ranked = items.withColumn("_rn", row_number().over(w))
+    val t = ranked.filter(col("_rn") === m + 1)
+      .select(col("k"), col("c").as("_t"))
+    val adjusted = ranked.drop("_rn").join(t, Seq("k"), "left")
+      .withColumn("_t", coalesce(col("_t"), lit(0L)))
+    val survivors = adjusted.filter(col("c") > col("_t"))
+      .select(col("k"), col("i"), (col("c") - col("_t")).as("c"))
+    // banked mass = prior NULL rows + everything compress removed
+    val removed = adjusted.groupBy(col("k"))
+      .agg(sum(when(col("c") > col("_t"), col("_t")).otherwise(col("c")))
+        .as("_rm"))
+    val nullRows = removed.join(banked, Seq("k"), "left")
+      .select(col("k"), lit(null).cast(survivors.schema("i").dataType).as("i"),
+        (col("_rm") + coalesce(col("_d0"), lit(0L))).as("c"))
+      .filter(col("c") > 0)
+    survivors.unionByName(nullRows)
+  }
+
+  /** Misra–Gries heavy-hitter state of one batch: exact per-(key,
+    * item) counts, MG-compressed to ≤ m items + one NULL-item row
+    * banking the removed mass (mergeable-summaries lineage, Agarwal
+    * et al. — public). Any item's true batch count lies in
+    * [c, c + banked]; an item absent from the state has true count
+    * ≤ banked. Σc including the NULL row is the EXACT batch mass.
+    * Scale shape: one combiner-reduced groupBy of the batch, then
+    * windows/joins over ≤ items-per-key rows — state is m+1 rows per
+    * key regardless of corpus size. */
+  def heavyHitterState(batch: DataFrame, key: Column, item: Column,
+      m: Int): DataFrame = {
+    require(m >= 1, "need m >= 1")
+    compressMg(
+      batch.select(key.as("k"), item.as("i"))
+        .groupBy(col("k"), col("i"))
+        .agg(count(lit(1)).as("c")),
+      m)
+  }
+
+  /** Fold MG states: per-(key, item) counter add (NULL banks add
+    * too), then re-compress to m — the standard mergeable-summary
+    * fold; the bound stays additive (banked_A + banked_B + what this
+    * compress removes), and it rides the state. */
+  def mergeHeavyHitters(state: DataFrame, delta: DataFrame,
+      m: Int): DataFrame =
+    compressMg(
+      state.unionByName(delta)
+        .groupBy(col("k"), col("i"))
+        .agg(sum(col("c")).as("c")),
+      m)
+
+  /** Read heavy hitters out of MG state: per surviving item the
+    * certified bounds [c_min, c_max] = [c, c + banked], plus the
+    * key's exact total mass. Output: (k, i, c_min, c_max, n_total). */
+  def heavyHittersFromState(state: DataFrame): DataFrame = {
+    val perKey = state.groupBy(col("k"))
+      .agg(sum(when(col("i").isNull, col("c")).otherwise(lit(0L)))
+        .as("_banked"),
+        sum(col("c")).as("n_total"))
+    state.filter(col("i").isNotNull)
+      .join(perKey, Seq("k"))
+      .select(col("k"), col("i"), col("c").as("c_min"),
+        (col("c") + col("_banked")).as("c_max"), col("n_total"))
+  }
+
+  /** Hellinger distance and Jensen–Shannon divergence between two
+    * quantile states — the bounded drift metrics ([0,1] / [0, ln 2])
+    * that complement [[psiDrift]]'s unbounded score and [[ksFromStates]]'
+    * location sensitivity, computed ON THE STATES ALONE with the same
+    * add-one smoothing over the union of occupied bins (deterministic,
+    * replayable). H = √(1 − Σ√(p_ref·p_cur)); JS = ½ΣKL terms against
+    * the midpoint, natural log. Output: (k, n_ref, n_cur, n_oob_ref,
+    * n_oob_cur, hellinger, js). */
+  def hellingerJsFromStates(ref: DataFrame, cur: DataFrame): DataFrame = {
+    val joined = ref.select(col("k"), col("b"), col("c").as("cr"),
+        col("o").as("or"))
+      .join(cur.select(col("k"), col("b"), col("c").as("cc"),
+        col("o").as("oc")),
+        Seq("k", "b"), "full_outer")
+      .select(col("k"), col("b"),
+        coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("cc"), lit(0L)).as("cc"),
+        coalesce(col("or"), lit(0L)).as("or"),
+        coalesce(col("oc"), lit(0L)).as("oc"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+    joined
+      .withColumn("u", count(lit(1)).over(w))
+      .withColumn("nr", sum(col("cr")).over(w))
+      .withColumn("nc", sum(col("cc")).over(w))
+      .withColumn("pr", (col("cr") + 1).cast("double") / (col("nr") + col("u")))
+      .withColumn("pc", (col("cc") + 1).cast("double") / (col("nc") + col("u")))
+      .withColumn("mid", (col("pr") + col("pc")) / 2)
+      .groupBy(col("k"))
+      .agg(first(col("nr")).as("n_ref"), first(col("nc")).as("n_cur"),
+        sum(col("or")).as("n_oob_ref"), sum(col("oc")).as("n_oob_cur"),
+        // float-noise clamp: Σ√(pr·pc) can exceed 1 by an ulp when the
+        // distributions coincide
+        round(sqrt(greatest(lit(0.0d),
+          lit(1.0d) - sum(sqrt(col("pr") * col("pc"))))), 4).as("hellinger"),
+        round(sum(col("pr") * log(col("pr") / col("mid")) / 2
+          + col("pc") * log(col("pc") / col("mid")) / 2), 4).as("js"))
+  }
+
+  // ------------------------------------------------------------------
   // fixture-bound oracle queries
   // ------------------------------------------------------------------
 
@@ -776,6 +972,191 @@ object Maintenance {
         FROM orders
         WHERE year(CAST(o_orderdate AS DATE)) <> 1998
         GROUP BY o_custkey
-        ORDER BY o_custkey"""))
+        ORDER BY o_custkey""")),
+
+    // bottom-k (KMV) sample state built per HALF (ship-year split),
+    // MERGED, then read: sample membership AND the distinct estimate.
+    // The oracle computes the single-pass bottom-k of the whole input —
+    // legal ONLY because min-k(A∪B) = min-k(min-k(A)∪min-k(B)): the
+    // merge-exactness law is what the hash compare certifies. The mix
+    // hash is replayed in integer SQL on both sides.
+    QueryDef(
+      "q262_bottomk_sample_state",
+      (s, dir) => {
+        import s.implicits._
+        val kk = 32
+        val li = t(s, dir, "lineitem").select($"l_returnflag".as("rf"),
+          $"l_suppkey", year($"l_shipdate").as("yr"))
+        def st(df: org.apache.spark.sql.DataFrame) =
+          bottomKState(df, $"rf", $"l_suppkey", kk)
+        val merged = mergeBottomK(
+          st(li.filter($"yr" <= 1995)), st(li.filter($"yr" >= 1996)), kk)
+        val est = distinctFromBottomK(merged, kk)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"k").orderBy($"h", $"v")
+        merged.withColumn("rank", row_number().over(w))
+          .join(est, Seq("k"))
+          .select($"k".as("l_returnflag"), $"rank".cast("int").as("rank"),
+            $"v".as("supp"), $"h".as("hash"), $"n_sample", $"saturated",
+            $"ndv_est")
+          .orderBy($"l_returnflag", $"rank")
+      },
+      Some("""
+        WITH d AS (SELECT DISTINCT l_returnflag AS k, l_suppkey AS v
+                   FROM lineitem),
+        h1 AS (SELECT k, v, (v * 2654435761) % 4294967296 AS a FROM d),
+        h2 AS (SELECT k, v, xor(a, a // 65536) AS x FROM h1),
+        h3 AS (SELECT k, v, (x * 40503) % 4294967296 AS m2 FROM h2),
+        h4 AS (SELECT k, v, xor(m2, m2 // 8192) AS h FROM h3),
+        r AS (SELECT k, v, h,
+                     row_number() OVER (PARTITION BY k ORDER BY h, v)
+                       AS rank
+              FROM h4),
+        st AS (SELECT * FROM r WHERE rank <= 32),
+        agg AS (SELECT k, CAST(count(*) AS BIGINT) AS n_sample,
+                       max(h) AS hmax
+                FROM st GROUP BY k)
+        SELECT st.k AS l_returnflag,
+               CAST(st.rank AS INT) AS rank,
+               st.v AS supp,
+               CAST(st.h AS BIGINT) AS hash,
+               agg.n_sample,
+               agg.n_sample >= 32 AS saturated,
+               CASE WHEN agg.n_sample < 32
+                    THEN CAST(agg.n_sample AS DOUBLE)
+                    ELSE round(31 * 4294967296.0 / agg.hmax, 4)
+               END AS ndv_est
+        FROM st JOIN agg ON st.k = agg.k
+        ORDER BY l_returnflag, rank""")),
+
+    // Misra–Gries heavy-hitter states built per period, MERGED with
+    // the standard summed-then-recompressed fold, then read with
+    // certified [c_min, c_max] bounds — the banked (subtracted +
+    // dropped) mass rides the state as the NULL-item row, so the
+    // bound is observable, not a paper formula. The oracle replays
+    // the whole three-phase pipeline (two compressions, the fold,
+    // the re-compression) in SQL — every subtraction deterministic.
+    QueryDef(
+      "q263_heavy_hitter_state",
+      (s, dir) => {
+        import s.implicits._
+        val m = 8
+        val li = t(s, dir, "lineitem").select($"l_returnflag".as("rf"),
+          $"l_suppkey", year($"l_shipdate").as("yr"))
+        def st(df: org.apache.spark.sql.DataFrame) =
+          heavyHitterState(df, $"rf", $"l_suppkey", m)
+        val merged = mergeHeavyHitters(
+          st(li.filter($"yr" <= 1995)), st(li.filter($"yr" >= 1996)), m)
+        heavyHittersFromState(merged)
+          .select($"k".as("l_returnflag"), $"i".as("supp"),
+            $"c_min", $"c_max", $"n_total")
+          .orderBy($"l_returnflag", $"c_min".desc, $"supp")
+      },
+      Some("""
+        WITH base AS (
+          SELECT l_returnflag AS k, l_suppkey AS i,
+                 CASE WHEN year(l_shipdate) <= 1995 THEN 0 ELSE 1 END AS pd
+          FROM lineitem),
+        cnt AS (SELECT k, i, pd, CAST(count(*) AS BIGINT) AS c
+                FROM base GROUP BY k, i, pd),
+        rk AS (SELECT k, i, pd, c,
+                      row_number() OVER (PARTITION BY k, pd
+                                         ORDER BY c DESC, i) AS rn
+               FROM cnt),
+        thr AS (SELECT k, pd, c AS t FROM rk WHERE rn = 9),
+        surv AS (SELECT rk.k, rk.i, rk.pd,
+                        rk.c - COALESCE(thr.t, 0) AS c
+                 FROM rk LEFT JOIN thr
+                   ON rk.k = thr.k AND rk.pd = thr.pd
+                 WHERE rk.c - COALESCE(thr.t, 0) > 0),
+        bank AS (SELECT cnt.k, cnt.pd,
+                        sum(cnt.c) - COALESCE((SELECT sum(s2.c) FROM surv s2
+                                               WHERE s2.k = cnt.k
+                                                 AND s2.pd = cnt.pd), 0)
+                          AS d
+                 FROM cnt GROUP BY cnt.k, cnt.pd),
+        folded AS (SELECT k, i, CAST(sum(c) AS BIGINT) AS c
+                   FROM surv GROUP BY k, i),
+        rk2 AS (SELECT k, i, c,
+                       row_number() OVER (PARTITION BY k
+                                          ORDER BY c DESC, i) AS rn
+                FROM folded),
+        thr2 AS (SELECT k, c AS t FROM rk2 WHERE rn = 9),
+        surv2 AS (SELECT rk2.k, rk2.i,
+                         rk2.c - COALESCE(thr2.t, 0) AS c
+                  FROM rk2 LEFT JOIN thr2 ON rk2.k = thr2.k
+                  WHERE rk2.c - COALESCE(thr2.t, 0) > 0),
+        banked AS (SELECT bank.k,
+                          sum(bank.d)
+                          + (SELECT COALESCE(sum(f.c), 0) FROM folded f
+                             WHERE f.k = bank.k)
+                          - (SELECT COALESCE(sum(s3.c), 0) FROM surv2 s3
+                             WHERE s3.k = bank.k) AS banked
+                   FROM bank GROUP BY bank.k),
+        tot AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY k)
+        SELECT surv2.k AS l_returnflag,
+               surv2.i AS supp,
+               CAST(surv2.c AS BIGINT) AS c_min,
+               CAST(surv2.c + banked.banked AS BIGINT) AS c_max,
+               tot.n AS n_total
+        FROM surv2
+        JOIN banked ON surv2.k = banked.k
+        JOIN tot ON surv2.k = tot.k
+        ORDER BY l_returnflag, c_min DESC, supp""")),
+
+    // Hellinger + Jensen–Shannon on the SAME persisted states
+    // q235/q244 read — the bounded metrics a dashboard thresholds
+    // uniformly across keys (PSI is unbounded, KS is sup-only). The
+    // oracle replays smoothing, the √ overlap, and both KL terms.
+    QueryDef(
+      "q264_hellinger_js_drift",
+      (s, dir) => {
+        import s.implicits._
+        val (lo, hi, bins) = (0.0, 500000.0, 500)
+        val o = t(s, dir, "orders").select($"o_orderpriority".as("pri"),
+          $"o_totalprice".as("v"), year($"o_orderdate").as("yr"))
+        def st(df: org.apache.spark.sql.DataFrame) =
+          quantileState(df, $"pri", $"v", lo, hi, bins)
+        hellingerJsFromStates(
+          st(o.filter($"yr" <= 1995)), st(o.filter($"yr" >= 1996)))
+          .select($"k".as("o_orderpriority"), $"n_ref", $"n_cur",
+            $"hellinger", $"js")
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        WITH v AS (
+          SELECT o_orderpriority AS k, o_totalprice AS v,
+                 CASE WHEN year(o_orderdate) <= 1995 THEN 1 ELSE 0 END AS r
+          FROM orders),
+        b AS (SELECT k, r,
+                     LEAST(GREATEST(CAST(floor(v / 1000.0) AS INT), 0), 499)
+                       AS b
+              FROM v),
+        cells AS (
+          SELECT k, b,
+                 CAST(sum(r) AS BIGINT) AS cr,
+                 CAST(sum(1 - r) AS BIGINT) AS cc
+          FROM b GROUP BY k, b),
+        tot AS (
+          SELECT k, count(*) AS u,
+                 CAST(sum(cr) AS BIGINT) AS nr,
+                 CAST(sum(cc) AS BIGINT) AS nc
+          FROM cells GROUP BY k),
+        p AS (
+          SELECT cells.k,
+                 CAST(cells.cr + 1 AS DOUBLE) / (tot.nr + tot.u) AS pr,
+                 CAST(cells.cc + 1 AS DOUBLE) / (tot.nc + tot.u) AS pc,
+                 tot.nr, tot.nc
+          FROM cells JOIN tot ON cells.k = tot.k)
+        SELECT k AS o_orderpriority,
+               CAST(max(nr) AS BIGINT) AS n_ref,
+               CAST(max(nc) AS BIGINT) AS n_cur,
+               round(sqrt(GREATEST(0, 1 - sum(sqrt(pr * pc)))), 4)
+                 AS hellinger,
+               round(sum(pr * ln(pr / ((pr + pc) / 2)) / 2
+                         + pc * ln(pc / ((pr + pc) / 2)) / 2), 4) AS js
+        FROM p
+        GROUP BY k
+        ORDER BY o_orderpriority"""))
   )
 }
