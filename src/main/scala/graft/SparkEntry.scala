@@ -41,7 +41,8 @@ object SparkEntry {
     Skyline.defs,
     Maintenance.defs,
     Quality.defs,
-    SkewJoin.defs)
+    SkewJoin.defs,
+    DataSkipping.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 

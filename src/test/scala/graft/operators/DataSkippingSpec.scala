@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import DataSkipping._
+
+class DataSkippingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_skip_spec_$tag").getAbsolutePath
+
+  private lazy val df = spark.range(10000)
+    .selectExpr("id AS k", "id % 97 AS probe_col", "id * 3 AS payload")
+
+  test("skipping range scan returns exactly the full-scan filter result " +
+      "and opens only the intersecting groups") {
+    val out = tmp("range")
+    writeClustered(df, $"k", span = 1000L, out)
+    val manifest = statsManifest(spark, out, "k")
+    val (rows, nSel, nTot) = skippingRangeScan(spark, manifest, out, "k",
+      2500L, 4200L)
+    val expected = df.filter($"k".between(2500, 4200))
+    assert(rows.select($"k", $"probe_col", $"payload")
+      .exceptAll(expected).isEmpty)
+    assert(expected.exceptAll(rows.select($"k", $"probe_col", $"payload"))
+      .isEmpty)
+    assert(nTot === 10L)
+    assert(nSel === 3L, "groups 2, 3, 4 intersect [2500, 4200]")
+  }
+
+  test("a range outside every group prunes ALL files and yields a typed " +
+      "empty frame") {
+    val out = tmp("empty")
+    writeClustered(df, $"k", span = 1000L, out)
+    val manifest = statsManifest(spark, out, "k")
+    val (rows, nSel, _) = skippingRangeScan(spark, manifest, out, "k",
+      50000L, 60000L)
+    assert(nSel === 0L)
+    assert(rows.count() === 0L)
+    assert(rows.columns.contains("k"))
+  }
+
+  test("membership point lookup is exact (false positives filtered) and " +
+      "scans fewer groups than the layout holds") {
+    val out = tmp("member")
+    writeClustered(df, $"k", span = 250L, out)
+    val membership = membershipManifest(spark, out, "probe_col", 4096)
+    val nTot = spark.read.parquet(out).select($"fg").distinct().count()
+    val (rows, nSel) = membershipPointScan(spark, membership, out,
+      "probe_col", probe = 41L, buckets = 4096, nGroupsTotal = nTot)
+    val expected = df.filter($"probe_col" === 41)
+    assert(rows.select($"k", $"probe_col", $"payload")
+      .exceptAll(expected).isEmpty)
+    assert(expected.exceptAll(rows.select($"k", $"probe_col", $"payload"))
+      .isEmpty)
+    // probe_col cycles mod 97, so every 250-row group holds 41 — here
+    // membership CANNOT prune (every group is a true positive): the
+    // honest negative control...
+    assert(nSel === nTot)
+    // ...and the pruning positive: a probe value that appears nowhere
+    // can survive only as a hash collision, which 4096 buckets vs ~97
+    // occupied make rare
+    val (rows2, nSel2) = membershipPointScan(spark, membership, out,
+      "probe_col", probe = 1234567L, buckets = 4096, nGroupsTotal = nTot)
+    assert(rows2.count() === 0L)
+    assert(nSel2 < nTot / 2,
+      s"absent probe should prune most groups, scanned $nSel2 of $nTot")
+  }
+
+  test("membership prunes by content: a probe localized to few groups " +
+      "opens few groups") {
+    // values localized by construction: probe_col equals the group id,
+    // so each value lives in exactly one group (+ collisions)
+    val local = spark.range(10000)
+      .selectExpr("id AS k", "id DIV 500 AS probe_col", "id AS payload")
+    val out = tmp("local")
+    writeClustered(local, $"k", span = 500L, out)
+    val membership = membershipManifest(spark, out, "probe_col", 4096)
+    val nTot = spark.read.parquet(out).select($"fg").distinct().count()
+    val (rows, nSel) = membershipPointScan(spark, membership, out,
+      "probe_col", probe = 7L, buckets = 4096, nGroupsTotal = nTot)
+    assert(rows.count() === 500L)
+    assert(nSel >= 1L && nSel <= 3L,
+      s"localized probe should open ~1 group, opened $nSel of $nTot")
+  }
+}
