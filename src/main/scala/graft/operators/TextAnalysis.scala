@@ -553,6 +553,135 @@ object TextAnalysis {
   // oracle-gated bindings
   // ------------------------------------------------------------------
 
+  // ------------------------------------------------------------------
+  // WordPiece greedy encode
+  // ------------------------------------------------------------------
+
+  /** WordPiece-style greedy longest-match-first segmentation (public
+    * algorithm: the BERT tokenizer's encode step) with a POSITIONLESS
+    * vocabulary (one piece list for initial and continuation positions;
+    * continuations are rendered with the '##' marker). Complements
+    * [[bpeEncode]]: BPE applies a learned MERGE ORDER, WordPiece
+    * re-derives segmentation from the final vocabulary alone — the
+    * encoder a serving path uses when only the vocab ships.
+    *
+    * Runs map-only on the DISTINCT word table (vocabulary-sized — the
+    * q230 posture: the zipf-bounded distinct table grows sublinearly in
+    * the corpus) with the piece list broadcast via closure; documents
+    * join the encoded words back by position. Every [a-z] singleton
+    * must be in `vocab`, which makes segmentation total (no [UNK]
+    * path) and termination structural. */
+  def wordPieceEncode(docs: DataFrame, vocab: Seq[String]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(vocab.forall(p => p.nonEmpty && p.matches("[a-z]+")),
+      "vocab pieces must be [a-z]+")
+    require(('a' to 'z').forall(c => vocab.contains(c.toString)),
+      "vocab must contain every single letter (totality)")
+    val pieces = vocab.toSet
+    val maxLen = vocab.map(_.length).max
+    val toks = docs
+      .select($"doc_id",
+        posexplode(split(lower($"text"), "[^a-z]+")).as(Seq("pos", "w")))
+      .filter($"w" =!= "")
+    val enc = toks.select($"w").distinct().as[String].map { w =>
+      val out = Seq.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        // longest vocab piece starting at i — try the longest first
+        var len = math.min(maxLen, w.length - i)
+        while (len > 1 && !pieces.contains(w.substring(i, i + len))) len -= 1
+        val piece = w.substring(i, i + len) // len 1 always in vocab
+        out += (if (i == 0) piece else "##" + piece)
+        i += len
+      }
+      (w, out.result())
+    }.toDF("w", "s")
+    toks.join(enc, "w")
+      .groupBy($"doc_id")
+      .agg(array_sort(collect_list(struct($"pos", $"s"))).as("ps"))
+      .select($"doc_id",
+        expr("flatten(transform(ps, x -> x.s))").as("toks"))
+      .select($"doc_id",
+        size($"toks").cast("long").as("n_pieces"),
+        array_join($"toks", " ").as("pieces"))
+  }
+
+  /** The DuckDB replay of [[wordPieceEncode]]: a recursive CTE walks
+    * each distinct word left to right, and the longest-match choice is
+    * the piece no LONGER matching piece exists for (NOT EXISTS — no
+    * window needed inside the recursion). */
+  def wordPieceOracle(vocab: Seq[String]): String = {
+    val values = vocab.map(p => s"('$p')").mkString(", ")
+    s"""WITH RECURSIVE vocab(piece) AS (VALUES $values),
+       |words AS (
+       |  SELECT DISTINCT unnest(string_split_regex(lower(text), '[^a-z]+'))
+       |           AS w
+       |  FROM documents),
+       |seg(w, pos, pieces, n) AS (
+       |  SELECT w, 1, '', 0 FROM words WHERE w <> ''
+       |  UNION ALL
+       |  SELECT s.w, s.pos + length(v.piece),
+       |         s.pieces
+       |           || CASE WHEN s.pos > 1 THEN ' ##' || v.piece
+       |              ELSE v.piece END,
+       |         s.n + 1
+       |  FROM seg s
+       |  JOIN vocab v
+       |    ON substring(s.w, s.pos, length(v.piece)) = v.piece
+       |  WHERE s.pos <= length(s.w)
+       |    AND NOT EXISTS (
+       |      SELECT 1 FROM vocab v2
+       |      WHERE length(v2.piece) > length(v.piece)
+       |        AND substring(s.w, s.pos, length(v2.piece)) = v2.piece)),
+       |enc AS (SELECT w, pieces, n FROM seg WHERE pos = length(w) + 1),
+       |toks AS (
+       |  SELECT doc_id, ws[i] AS w, i
+       |  FROM (SELECT doc_id,
+       |               string_split_regex(lower(text), '[^a-z]+') AS ws
+       |        FROM documents),
+       |       unnest(generate_series(1, len(ws))) AS t(i)
+       |  WHERE ws[i] <> '')
+       |SELECT toks.doc_id,
+       |       CAST(sum(enc.n) AS BIGINT) AS n_pieces,
+       |       string_agg(enc.pieces, ' ' ORDER BY toks.i) AS pieces
+       |FROM toks JOIN enc ON toks.w = enc.w
+       |GROUP BY toks.doc_id
+       |ORDER BY toks.doc_id""".stripMargin
+  }
+
+  /** The q267 vocabulary: every [a-z] singleton (totality) plus common
+    * English multi-letter pieces — a fixed literal both engines embed,
+    * the way a served tokenizer ships its vocab file. */
+  val WordPieceVocab: Seq[String] =
+    ('a' to 'z').map(_.toString) ++ Seq(
+      "th", "he", "in", "er", "an", "re", "on", "at", "en", "es",
+      "or", "te", "ed", "is", "it", "al", "ar", "st", "to", "ng",
+      "se", "ha", "as", "ou", "le", "ve", "me", "ta", "ro", "ow",
+      "the", "ing", "and", "ion", "ent", "ble", "que", "row", "can",
+      "tion", "able", "scan", "tab")
+
+  /** Regex sentence segmentation: split prose on [.!?] terminators
+    * (terminator stays with its sentence), trim, drop empties — the
+    * stage between HTML main text and sentence-window chunking in a
+    * RAG/curation pipeline. Abbreviation handling is out of scope by
+    * contract (the oracle and the operator share the regex). Map-only,
+    * one posexplode — row-parallel at any scale. */
+  def segmentSentences(docs: DataFrame, textCol: Column): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select($"doc_id", textCol.as("_t"))
+      .select($"doc_id",
+        posexplode(expr("regexp_extract_all(_t, '[^.!?]+[.!?]', 0)"))
+          .as(Seq("sent_idx", "raw")))
+      .select($"doc_id", $"sent_idx".cast("long").as("sent_idx"),
+        trim($"raw").as("sentence"))
+      .filter(length($"sentence") > 1)
+      .withColumn("n_words",
+        size(split(regexp_replace($"sentence", "[.!?]$", ""), "\\s+"))
+          .cast("long"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -1322,6 +1451,113 @@ object TextAnalysis {
                    AS postings
           FROM d GROUP BY term)
         SELECT term, df, postings FROM g
-        ORDER BY df DESC, term LIMIT 100"""))
+        ORDER BY df DESC, term LIMIT 100""")),
+
+    // WordPiece greedy encode against a fixed shipped vocabulary —
+    // the serving-path tokenizer (q230's BPE needs the merge ORDER;
+    // WordPiece re-derives segmentation from the vocab alone). The
+    // Spark side longest-matches on the distinct word table; the
+    // oracle replays the same greedy walk as a recursive CTE with the
+    // longest-match choice enforced by NOT EXISTS. Any disagreement
+    // in match length, continuation marker, or word order is a hash
+    // mismatch.
+    QueryDef(
+      "q267_wordpiece_encode",
+      (s, dir) => wordPieceEncode(t(s, dir, "documents"), WordPieceVocab)
+        .orderBy(col("doc_id")),
+      Some(wordPieceOracle(WordPieceVocab))),
+
+    // sentence segmentation over synthesized prose: each doc's words
+    // regroup into sentences of (3 + id%3) words with cycling .!?
+    // terminators, and the segmenter re-derives boundaries FROM THE
+    // PUNCTUATION; the oracle replays the arithmetic. One posexplode,
+    // map-only.
+    QueryDef(
+      "q268_sentence_segmentation",
+      (s, dir) => {
+        import s.implicits._
+        val prose = t(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val ws = text.split(" ").filter(_.nonEmpty)
+            val sw = (3 + id % 3).toInt
+            val sents = ws.grouped(sw).zipWithIndex.map { case (g, j) =>
+              g.mkString(" ") + ((j % 3) match {
+                case 0 => "."; case 1 => "!"; case _ => "?"
+              })
+            }
+            (id, sents.mkString(" "))
+          }
+          .toDF("doc_id", "prose")
+        segmentSentences(prose, $"prose")
+          .orderBy($"doc_id", $"sent_idx")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS ws,
+                 3 + doc_id % 3 AS sw
+          FROM documents
+          WHERE length(text) > 0),
+        s AS (
+          SELECT doc_id, ws, sw,
+                 unnest(generate_series(0, (len(ws) - 1) // sw)) AS j
+          FROM t)
+        SELECT doc_id,
+               CAST(j AS BIGINT) AS sent_idx,
+               array_to_string(list_slice(ws, j * sw + 1,
+                                          LEAST((j + 1) * sw, len(ws))), ' ')
+                 || CASE j % 3 WHEN 0 THEN '.' WHEN 1 THEN '!' ELSE '?' END
+                 AS sentence,
+               CAST(LEAST(sw, len(ws) - j * sw) AS BIGINT) AS n_words
+        FROM s
+        ORDER BY doc_id, sent_idx""")),
+
+    // sitemap parse: the crawl-frontier feed beside q248's robots
+    // gate. Docs group into one urlset per host (id % 11), each
+    // entry's loc carrying an ENCODED &amp; the parser must decode,
+    // lastmod /
+    // priority omitted on planted residues; the oracle replays url,
+    // date, and priority arithmetic per doc.
+    QueryDef(
+      "q269_sitemap_parse",
+      (s, dir) => {
+        import s.implicits._
+        val rows = t(s, dir, "documents")
+          .select($"doc_id")
+          .as[Long]
+          .groupByKey(_ % 11)
+          .flatMapGroups { (host, it) =>
+            val entries = it.toSeq.sorted.map { id =>
+              (s"https://doc$host.example/p/$id?a=1&b=2",
+                if (id % 4 == 3) None
+                else Some(java.time.LocalDate.of(2024, 1, 1)
+                  .plusDays(id % 365).toString),
+                if (id % 5 == 4) None
+                else Some((id % 9 + 1) / 10.0))
+            }
+            val xml = Sitemap.emit(entries)
+            Sitemap.parse(xml).map(e =>
+              (s"doc$host.example", e.loc, e.lastmod.orNull,
+                e.priority))
+          }
+        rows.toDF("host", "url", "lastmod", "priority")
+          .select($"host", $"url", $"lastmod",
+            $"priority".cast("double").as("priority"))
+          .orderBy($"url")
+      },
+      Some("""
+        SELECT 'doc' || (doc_id % 11) || '.example' AS host,
+               'https://doc' || (doc_id % 11) || '.example/p/' || doc_id
+                 || '?a=1&b=2' AS url,
+               CASE WHEN doc_id % 4 = 3 THEN NULL
+                    ELSE CAST(CAST(DATE '2024-01-01'
+                              + (doc_id % 365) * INTERVAL 1 DAY AS DATE)
+                         AS VARCHAR)
+               END AS lastmod,
+               CASE WHEN doc_id % 5 = 4 THEN NULL
+                    ELSE (doc_id % 9 + 1) / 10.0 END AS priority
+        FROM documents
+        ORDER BY url"""))
   )
 }
