@@ -445,6 +445,44 @@ object Maintenance {
               / when(col("_hmax") > 0, col("_hmax")), 4)))
       .drop("_hmax")
 
+  /** Set-overlap estimation from two bottom-k states — the
+    * query-planning / dedup-scoping primitive (K-min-values lineage,
+    * Beyer et al. — public): how many DISTINCT values do two
+    * partitions/periods share, without touching either side's rows?
+    * min-k(A∪B) is computable from the two sketches alone; the
+    * fraction of its members present in BOTH sketches estimates
+    * Jaccard, and × the union's ndv estimate gives the intersection
+    * size. Deterministic end to end — the estimate itself is the
+    * replayable contract. Output: (k, n_union_sample, n_common,
+    * jaccard, ndv_union_est, intersection_est). */
+  def intersectionFromBottomK(a: DataFrame, b: DataFrame,
+      k: Int): DataFrame = {
+    val u = mergeBottomK(a, b, k)
+    val inA = a.select(col("k"), col("h"), col("v"))
+      .withColumn("_ina", lit(1))
+    val inB = b.select(col("k"), col("h"), col("v"))
+      .withColumn("_inb", lit(1))
+    u.join(inA, Seq("k", "h", "v"), "left")
+      .join(inB, Seq("k", "h", "v"), "left")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_union_sample"),
+        sum(when(col("_ina") === 1 && col("_inb") === 1, 1L)
+          .otherwise(0L)).as("n_common"),
+        max(col("h")).as("_hmax"))
+      .withColumn("jaccard",
+        round(col("n_common").cast("double")
+          / when(col("n_union_sample") > 0, col("n_union_sample")), 4))
+      .withColumn("ndv_union_est",
+        when(col("n_union_sample") < k,
+          col("n_union_sample").cast("double"))
+          .otherwise(round(
+            lit((k - 1).toDouble) * lit(4294967296.0d)
+              / when(col("_hmax") > 0, col("_hmax")), 4)))
+      .withColumn("intersection_est",
+        round(col("jaccard") * col("ndv_union_est"), 4))
+      .drop("_hmax")
+  }
+
   // ------------------------------------------------------------------
   // Misra–Gries heavy-hitter state — mergeable frequency summary with
   // an observable error bound
@@ -525,6 +563,37 @@ object Maintenance {
       .join(perKey, Seq("k"))
       .select(col("k"), col("i"), col("c").as("c_min"),
         (col("c") + col("_banked")).as("c_max"), col("n_total"))
+  }
+
+  /** PSI between two Misra–Gries states — CATEGORICAL drift (top-app,
+    * top-domain, top-token distributions), where the quantile-state
+    * metrics don't apply because there is no ordering to bin over.
+    * Each state's surviving items are its categories; the banked
+    * NULL-item mass participates as an OTHER category (so probability
+    * mass is conserved and a shift INTO the tail is visible), and
+    * add-one smoothing over the union of categories keeps the formula
+    * total and replayable. Items must be non-negative (the OTHER
+    * sentinel is −1). Output: (k, n_ref, n_cur, psi). */
+  def psiFromHeavyHitters(ref: DataFrame, cur: DataFrame): DataFrame = {
+    def withSentinel(df: DataFrame, cName: String) =
+      df.select(col("k"),
+        coalesce(col("i"), lit(-1L)).as("i"), col("c").as(cName))
+    val joined = withSentinel(ref, "cr")
+      .join(withSentinel(cur, "cc"), Seq("k", "i"), "full_outer")
+      .select(col("k"), col("i"),
+        coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("cc"), lit(0L)).as("cc"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+    joined
+      .withColumn("u", count(lit(1)).over(w))
+      .withColumn("nr", sum(col("cr")).over(w))
+      .withColumn("nc", sum(col("cc")).over(w))
+      .withColumn("pr", (col("cr") + 1).cast("double") / (col("nr") + col("u")))
+      .withColumn("pc", (col("cc") + 1).cast("double") / (col("nc") + col("u")))
+      .groupBy(col("k"))
+      .agg(first(col("nr")).as("n_ref"), first(col("nc")).as("n_cur"),
+        round(sum((col("pr") - col("pc")) * log(col("pr") / col("pc"))), 4)
+          .as("psi"))
   }
 
   /** Hellinger distance and Jensen–Shannon divergence between two
@@ -1103,6 +1172,157 @@ object Maintenance {
         JOIN banked ON surv2.k = banked.k
         JOIN tot ON surv2.k = tot.k
         ORDER BY l_returnflag, c_min DESC, supp""")),
+
+    // set-overlap estimation from the two periods' bottom-k sketches
+    // alone: which suppliers ship in BOTH eras, as a Jaccard /
+    // intersection-size estimate with neither period re-read. The
+    // oracle replays both sketches, the exact min-k union, the
+    // membership flags, and the estimator arithmetic.
+    QueryDef(
+      "q271_sketch_intersection_estimate",
+      (s, dir) => {
+        import s.implicits._
+        val kk = 48
+        val li = t(s, dir, "lineitem").select($"l_returnflag".as("rf"),
+          $"l_suppkey", year($"l_shipdate").as("yr"))
+        def st(df: org.apache.spark.sql.DataFrame) =
+          bottomKState(df, $"rf", $"l_suppkey", kk)
+        intersectionFromBottomK(
+          st(li.filter($"yr" <= 1995)), st(li.filter($"yr" >= 1996)), kk)
+          .select($"k".as("l_returnflag"), $"n_union_sample",
+            $"n_common", $"jaccard", $"ndv_union_est",
+            $"intersection_est")
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        WITH base AS (SELECT l_returnflag AS k, l_suppkey AS v,
+                             year(l_shipdate) AS yr
+                      FROM lineitem),
+        hv AS (SELECT k, v,
+                      xor((xor((v * 2654435761) % 4294967296,
+                               ((v * 2654435761) % 4294967296) // 65536)
+                           * 40503) % 4294967296,
+                          ((xor((v * 2654435761) % 4294967296,
+                                ((v * 2654435761) % 4294967296) // 65536)
+                            * 40503) % 4294967296) // 8192) AS h
+               FROM (SELECT DISTINCT k, v FROM base)),
+        da AS (SELECT DISTINCT k, v FROM base WHERE yr <= 1995),
+        db AS (SELECT DISTINCT k, v FROM base WHERE yr >= 1996),
+        ra AS (SELECT da.k, da.v, hv.h,
+                      row_number() OVER (PARTITION BY da.k
+                                         ORDER BY hv.h, da.v) AS rn
+               FROM da JOIN hv ON da.k = hv.k AND da.v = hv.v),
+        sta AS (SELECT k, v, h FROM ra WHERE rn <= 48),
+        rb AS (SELECT db.k, db.v, hv.h,
+                      row_number() OVER (PARTITION BY db.k
+                                         ORDER BY hv.h, db.v) AS rn
+               FROM db JOIN hv ON db.k = hv.k AND db.v = hv.v),
+        stb AS (SELECT k, v, h FROM rb WHERE rn <= 48),
+        un AS (SELECT DISTINCT k, v, h FROM
+                 (SELECT * FROM sta UNION ALL SELECT * FROM stb)),
+        ur AS (SELECT k, v, h,
+                      row_number() OVER (PARTITION BY k ORDER BY h, v)
+                        AS rn
+               FROM un),
+        st AS (SELECT k, v, h FROM ur WHERE rn <= 48),
+        agg AS (SELECT st.k,
+                       CAST(count(*) AS BIGINT) AS n_union_sample,
+                       CAST(sum(CASE WHEN sta.v IS NOT NULL
+                                      AND stb.v IS NOT NULL
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+                       max(st.h) AS hmax
+                FROM st
+                LEFT JOIN sta ON st.k = sta.k AND st.v = sta.v
+                LEFT JOIN stb ON st.k = stb.k AND st.v = stb.v
+                GROUP BY st.k)
+        SELECT k AS l_returnflag,
+               n_union_sample,
+               n_common,
+               round(CAST(n_common AS DOUBLE) / n_union_sample, 4)
+                 AS jaccard,
+               CASE WHEN n_union_sample < 48
+                    THEN CAST(n_union_sample AS DOUBLE)
+                    ELSE round(47 * 4294967296.0 / hmax, 4) END
+                 AS ndv_union_est,
+               round(round(CAST(n_common AS DOUBLE) / n_union_sample, 4)
+                     * CASE WHEN n_union_sample < 48
+                            THEN CAST(n_union_sample AS DOUBLE)
+                            ELSE round(47 * 4294967296.0 / hmax, 4) END, 4)
+                 AS intersection_est
+        FROM agg
+        ORDER BY l_returnflag""")),
+
+    // CATEGORICAL drift between the two periods' Misra–Gries states —
+    // the q235 move for distributions with no ordering to bin over:
+    // surviving items are categories, the banked mass participates as
+    // OTHER (sentinel −1) so a shift into the tail is visible, add-one
+    // smoothing over the union keeps the formula total. The oracle
+    // replays both compressions and the PSI.
+    QueryDef(
+      "q272_categorical_drift_mg",
+      (s, dir) => {
+        import s.implicits._
+        val m = 8
+        val li = t(s, dir, "lineitem").select($"l_returnflag".as("rf"),
+          $"l_suppkey", year($"l_shipdate").as("yr"))
+        def st(df: org.apache.spark.sql.DataFrame) =
+          heavyHitterState(df, $"rf", $"l_suppkey", m)
+        psiFromHeavyHitters(
+          st(li.filter($"yr" <= 1995)), st(li.filter($"yr" >= 1996)))
+          .select($"k".as("l_returnflag"), $"n_ref", $"n_cur", $"psi")
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        WITH base AS (
+          SELECT l_returnflag AS k, l_suppkey AS i,
+                 CASE WHEN year(l_shipdate) <= 1995 THEN 0 ELSE 1 END AS pd
+          FROM lineitem),
+        cnt AS (SELECT k, i, pd, CAST(count(*) AS BIGINT) AS c
+                FROM base GROUP BY k, i, pd),
+        rk AS (SELECT k, i, pd, c,
+                      row_number() OVER (PARTITION BY k, pd
+                                         ORDER BY c DESC, i) AS rn
+               FROM cnt),
+        thr AS (SELECT k, pd, c AS t FROM rk WHERE rn = 9),
+        surv AS (SELECT rk.k, rk.i, rk.pd,
+                        rk.c - COALESCE(thr.t, 0) AS c
+                 FROM rk LEFT JOIN thr
+                   ON rk.k = thr.k AND rk.pd = thr.pd
+                 WHERE rk.c - COALESCE(thr.t, 0) > 0),
+        bank AS (SELECT cnt.k, cnt.pd,
+                        sum(cnt.c) - COALESCE((SELECT sum(s2.c) FROM surv s2
+                                               WHERE s2.k = cnt.k
+                                                 AND s2.pd = cnt.pd), 0)
+                          AS d
+                 FROM cnt GROUP BY cnt.k, cnt.pd),
+        states AS (SELECT k, i, pd, c FROM surv
+                   UNION ALL
+                   SELECT k, CAST(-1 AS BIGINT) AS i, pd, d AS c
+                   FROM bank WHERE d > 0),
+        cells AS (
+          SELECT k, i,
+                 CAST(sum(CASE WHEN pd = 0 THEN c ELSE 0 END) AS BIGINT)
+                   AS cr,
+                 CAST(sum(CASE WHEN pd = 1 THEN c ELSE 0 END) AS BIGINT)
+                   AS cc
+          FROM states GROUP BY k, i),
+        tot AS (
+          SELECT k, count(*) AS u,
+                 CAST(sum(cr) AS BIGINT) AS nr,
+                 CAST(sum(cc) AS BIGINT) AS nc
+          FROM cells GROUP BY k)
+        SELECT cells.k AS l_returnflag,
+               CAST(max(tot.nr) AS BIGINT) AS n_ref,
+               CAST(max(tot.nc) AS BIGINT) AS n_cur,
+               round(sum(
+                 (CAST(cells.cr + 1 AS DOUBLE) / (tot.nr + tot.u)
+                   - CAST(cells.cc + 1 AS DOUBLE) / (tot.nc + tot.u))
+                 * ln((CAST(cells.cr + 1 AS DOUBLE) / (tot.nr + tot.u))
+                      / (CAST(cells.cc + 1 AS DOUBLE) / (tot.nc + tot.u)))),
+                 4) AS psi
+        FROM cells JOIN tot ON cells.k = tot.k
+        GROUP BY cells.k
+        ORDER BY l_returnflag""")),
 
     // Hellinger + Jensen–Shannon on the SAME persisted states
     // q235/q244 read — the bounded metrics a dashboard thresholds

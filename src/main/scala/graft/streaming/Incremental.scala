@@ -157,6 +157,52 @@ final class IncrementalQuantile(
       yield graft.operators.Maintenance.psiDrift(prev, cur)
 }
 
+/** The bottom-k sibling of [[IncrementalQuantile]]: an incrementally-
+  * maintained per-key KMV sketch (uniform distinct sample + distinct
+  * estimator, [[graft.operators.Maintenance.bottomKState]]) over a
+  * growing directory. Same harness — checkpointed seen-set, versioned
+  * state behind an atomic pointer — and the state's merge is EXACT
+  * (min-k(A∪B) = min-k(min-k(A)∪min-k(B))), so the folded sketch is
+  * bit-for-bit the single-pass sketch of everything that ever arrived.
+  * Unlike the counter states, the set state is also idempotent under a
+  * hypothetical double-fold (union+distinct), but the harness's replay
+  * guard still applies uniformly. State size: ≤ k rows per key,
+  * however much history arrived. */
+final class IncrementalBottomK(
+    spark: SparkSession,
+    inputDir: String,
+    schema: StructType,
+    checkpointDir: String,
+    stateDir: String,
+    keyCol: String,
+    valueCol: String,
+    k: Int,
+    retainVersions: Int = 2) {
+
+  private val pointer = Paths.get(stateDir, "_LATEST")
+
+  def state(): Option[DataFrame] =
+    if (Files.exists(pointer))
+      Some(spark.read.parquet(
+        Paths.get(stateDir, Files.readString(pointer).trim).toString))
+    else None
+
+  /** Process newly-arrived files, fold their sketches in. */
+  def update(): Unit =
+    IncrementalAgg.foldNewArrivals(spark, inputDir, schema, checkpointDir,
+      stateDir, pointer,
+      batch => graft.operators.Maintenance.bottomKState(
+        batch, col(keyCol), col(valueCol), k),
+      (prev, delta) => graft.operators.Maintenance
+        .mergeBottomK(prev, delta, k),
+      () => state(), retainVersions)
+
+  /** Distinct-count estimate per key from the CURRENT state only. */
+  def distinctEstimate(): Option[DataFrame] =
+    state().map(st =>
+      graft.operators.Maintenance.distinctFromBottomK(st, k))
+}
+
 object IncrementalAgg {
   /** The shared fold harness behind [[IncrementalAgg]] and
     * [[IncrementalQuantile]]: stream newly-arrived files

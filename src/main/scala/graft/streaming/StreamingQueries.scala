@@ -403,6 +403,75 @@ object StreamingQueries {
         JOIN pick ON tot.k = pick.k
         ORDER BY o_custkey""")),
 
+    // ----- incremental bottom-k sketch over arriving files ---------------
+    // q233's machinery with the SET state: three arrival batches fold
+    // through the checkpointed exactly-once harness into a versioned
+    // KMV sketch, and because min-k merge is exact the oracle is simply
+    // the single-pass bottom-k of everything that arrived — the
+    // identity that makes fold order unobservable is the thing the
+    // hash compare certifies.
+    QueryDef(
+      "q270_stream_incremental_bottomk",
+      (s, dir) => {
+        import s.implicits._
+        val (input, ckpt, state) = (tmp("bkin_"), tmp("bkck_"), tmp("bkst_"))
+        val o = graft.engine.Tables.load(s, dir, "orders")
+          .select($"o_orderpriority".as("pri"), $"o_custkey",
+            year($"o_orderdate").as("yr"))
+        val inc = new graft.streaming.IncrementalBottomK(
+          s, input, org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("pri",
+              o.schema("pri").dataType),
+            org.apache.spark.sql.types.StructField("o_custkey",
+              o.schema("o_custkey").dataType))),
+          ckpt, state, keyCol = "pri", valueCol = "o_custkey", k = 32)
+        def arrive(batch: org.apache.spark.sql.DataFrame): Unit = {
+          batch.select($"pri", $"o_custkey")
+            .write.mode("append").parquet(input)
+          inc.update()
+        }
+        arrive(o.filter($"yr" <= 1994))
+        arrive(o.filter($"yr" >= 1995 && $"yr" <= 1996))
+        arrive(o.filter($"yr" >= 1997))
+        val st = inc.state().get
+        val est = inc.distinctEstimate().get
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"k").orderBy($"h", $"v")
+        st.withColumn("rank", row_number().over(w))
+          .join(est, Seq("k"))
+          .select($"k".as("o_orderpriority"),
+            $"rank".cast("int").as("rank"), $"v".as("cust"),
+            $"h".as("hash"), $"n_sample", $"saturated", $"ndv_est")
+          .orderBy($"o_orderpriority", $"rank")
+      },
+      Some("""
+        WITH d AS (SELECT DISTINCT o_orderpriority AS k, o_custkey AS v
+                   FROM orders),
+        h1 AS (SELECT k, v, (v * 2654435761) % 4294967296 AS a FROM d),
+        h2 AS (SELECT k, v, xor(a, a // 65536) AS x FROM h1),
+        h3 AS (SELECT k, v, (x * 40503) % 4294967296 AS m2 FROM h2),
+        h4 AS (SELECT k, v, xor(m2, m2 // 8192) AS h FROM h3),
+        r AS (SELECT k, v, h,
+                     row_number() OVER (PARTITION BY k ORDER BY h, v)
+                       AS rank
+              FROM h4),
+        st AS (SELECT * FROM r WHERE rank <= 32),
+        agg AS (SELECT k, CAST(count(*) AS BIGINT) AS n_sample,
+                       max(h) AS hmax
+                FROM st GROUP BY k)
+        SELECT st.k AS o_orderpriority,
+               CAST(st.rank AS INT) AS rank,
+               st.v AS cust,
+               CAST(st.h AS BIGINT) AS hash,
+               agg.n_sample,
+               agg.n_sample >= 32 AS saturated,
+               CASE WHEN agg.n_sample < 32
+                    THEN CAST(agg.n_sample AS DOUBLE)
+                    ELSE round(31 * 4294967296.0 / agg.hmax, 4)
+               END AS ndv_est
+        FROM st JOIN agg ON st.k = agg.k
+        ORDER BY o_orderpriority, rank""")),
+
     // ----- event-time tumbling window ------------------------------------
     QueryDef(
       "q56_stream_tumbling_window",

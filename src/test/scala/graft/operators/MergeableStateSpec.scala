@@ -131,6 +131,52 @@ class MergeableStateSpec extends SparkSpec {
     assert(mass === totals)
   }
 
+  test("KMV intersection estimate: exact-overlap extremes and a sane " +
+      "middle") {
+    val all = values(6000)
+    val k = 32
+    val st = bottomKState(all, $"grp", $"v", k)
+    // identical sketches: jaccard 1, intersection est == ndv est
+    val same = intersectionFromBottomK(st, st, k).collect()
+    same.foreach { r =>
+      assert(r.getAs[Double]("jaccard") === 1.0)
+      assert(r.getAs[Long]("n_common") === r.getAs[Long]("n_union_sample"))
+    }
+    // disjoint value ranges: jaccard 0
+    val a = bottomKState(all.filter($"v" < 400), $"grp", $"v", k)
+    val b = bottomKState(all.filter($"v" >= 400), $"grp", $"v", k)
+    intersectionFromBottomK(a, b, k).collect().foreach { r =>
+      assert(r.getAs[Double]("jaccard") === 0.0)
+      assert(r.getAs[Double]("intersection_est") === 0.0)
+    }
+    // 50% overlap by construction: [0,600) vs [300,900) over ~1000
+    // distinct values → true J = 300/900 ≈ 0.33; allow sketch noise
+    val c = bottomKState(all.filter($"v" < 600), $"grp", $"v", k)
+    val d = bottomKState(all.filter($"v" >= 300 && $"v" < 900),
+      $"grp", $"v", k)
+    intersectionFromBottomK(c, d, k).collect().foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.1 && j < 0.6, s"jaccard $j implausible for true ~0.33")
+    }
+  }
+
+  test("categorical PSI from MG states: zero on identical states, " +
+      "positive under a planted shift") {
+    val df = spark.range(20000)
+      .selectExpr("id % 2 AS grp",
+        "CAST(floor(sqrt(id % 10000)) AS BIGINT) % 40 AS item")
+    val st = heavyHitterState(df, $"grp", $"item", 6)
+    psiFromHeavyHitters(st, st).collect().foreach { r =>
+      assert(r.getAs[Double]("psi") === 0.0)
+      assert(r.getAs[Long]("n_ref") === r.getAs[Long]("n_cur"))
+    }
+    val shifted = heavyHitterState(
+      df.withColumn("item", ($"item" + 17) % 40), $"grp", $"item", 6)
+    psiFromHeavyHitters(st, shifted).collect().foreach { r =>
+      assert(r.getAs[Double]("psi") > 0.0)
+    }
+  }
+
   test("Hellinger/JS: zero on identical states, symmetric, bounded") {
     val df = values(8000).withColumn("v", $"v".cast("double"))
     val st = quantileState(df, $"grp", $"v", 0.0, 1000.0, 100)
