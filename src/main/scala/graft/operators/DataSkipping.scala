@@ -55,6 +55,65 @@ object DataSkipping {
       .agg(count(lit(1)).as("n_rows"),
         min(col(statsCol)).as("mn"), max(col(statsCol)).as("mx"))
 
+  /** Two-column stats manifest — the payoff side of Z-ordering: after
+    * [[ZOrder.mortonZ]] clustering, EVERY group's per-column [mn, mx]
+    * box is tight in BOTH dimensions, so a 2D box predicate prunes on
+    * either axis. One indexing scan, same as [[statsManifest]]. */
+  def statsManifest2(spark: SparkSession, dataDir: String,
+      colA: String, colB: String): DataFrame =
+    spark.read.parquet(dataDir)
+      .groupBy(col("fg"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(colA)).as("mna"), max(col(colA)).as("mxa"),
+        min(col(colB)).as("mnb"), max(col(colB)).as("mxb"))
+
+  /** 2D box scan through a two-column manifest: keep groups whose
+    * [mna,mxa]×[mnb,mxb] box intersects [loA,hiA]×[loB,hiB], open only
+    * those, apply the exact residual filter on both columns. */
+  def skippingBoxScan(spark: SparkSession, manifest: DataFrame,
+      dataDir: String, colA: String, loA: Long, hiA: Long,
+      colB: String, loB: Long, hiB: Long): (DataFrame, Long, Long) = {
+    val picked = manifest
+      .select(col("fg").cast("long"),
+        col("mna").cast("long"), col("mxa").cast("long"),
+        col("mnb").cast("long"), col("mxb").cast("long"))
+      .collect()
+    val total = picked.length.toLong
+    val selected = picked.filter { r =>
+      r.getLong(2) >= loA && r.getLong(1) <= hiA &&
+        r.getLong(4) >= loB && r.getLong(3) <= hiB
+    }.map(_.getLong(0)).sorted
+    val rows =
+      if (selected.isEmpty)
+        spark.read.parquet(dataDir).filter(lit(false)).drop("fg")
+      else
+        spark.read.parquet(selected.map(g => s"$dataDir/fg=$g"): _*)
+          .filter(col(colA).between(loA, hiA) &&
+            col(colB).between(loB, hiB))
+    (rows, selected.length.toLong, total)
+  }
+
+  /** File-path range scan against an INCREMENTALLY-maintained manifest
+    * ([[graft.streaming.IncrementalManifest]]): rows are (f, n_rows,
+    * mn, mx) with `f` a concrete file path; intersecting files are
+    * opened directly. Same metadata-plane collect contract. */
+  def skippingFileRangeScan(spark: SparkSession, manifest: DataFrame,
+      statsCol: String, lo: Long, hi: Long,
+      emptyLike: => DataFrame): (DataFrame, Long, Long) = {
+    val picked = manifest
+      .select(col("f"), col("mn").cast("long"), col("mx").cast("long"))
+      .collect()
+    val total = picked.length.toLong
+    val selected = picked
+      .filter(r => r.getLong(2) >= lo && r.getLong(1) <= hi)
+      .map(_.getString(0)).sorted
+    val rows =
+      if (selected.isEmpty) emptyLike.filter(lit(false))
+      else spark.read.parquet(selected: _*)
+        .filter(col(statsCol).between(lo, hi))
+    (rows, selected.length.toLong, total)
+  }
+
   /** Hash-membership manifest over ANY column (the bloom-index shape):
     * the DISTINCT (fg, bucket) pairs with bucket = mix32(col) mod
     * `buckets`. A point probe keeps only groups holding its bucket;
@@ -174,6 +233,112 @@ object DataSkipping {
         WHERE o_orderkey BETWEEN 10000 AND 13999
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority""")),
+
+    // the Z-ORDER payoff, measured end to end: the same orders write
+    // twice — clustered by the Morton interleave of (custkey, order
+    // day) vs linearly by custkey — both get a two-column min/max
+    // manifest, and the same 2D box query prunes against each. The
+    // z layout's groups are RECTANGLES (both columns' boxes tight),
+    // so the box opens a couple of them; the linear layout prunes on
+    // custkey only (every stripe spans all days). Aggregates must
+    // agree between schemes; the oracle replays the scaling, the
+    // interleave, both group assignments, both prune counts, and the
+    // aggregate — q167 showed the spans, this query cashes them in.
+    QueryDef(
+      "q273_zorder_box_skipping",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.load(s, dir, "orders")
+          .select($"o_custkey".as("x"),
+            expr("datediff(o_orderdate, date'1970-01-01')")
+              .cast("long").as("y"),
+            $"o_totalprice")
+        // bounded pre-pass: four scalars (a production run reads them
+        // off the existing file-stats manifest)
+        val mm = ev.agg(min($"x"), max($"x"), min($"y"), max($"y")).head()
+        val (xlo, xhi) = (mm.getLong(0), mm.getLong(1))
+        val (ylo, yhi) = (mm.getLong(2), mm.getLong(3))
+        val scaled = ev.selectExpr("x", "y", "o_totalprice",
+          s"((x - $xlo) * 256) DIV ($xhi - $xlo + 1) AS xs",
+          s"((y - $ylo) * 256) DIV ($yhi - $ylo + 1) AS ys")
+          .withColumn("z", ZOrder.mortonZ(col("xs"), col("ys"), 8))
+        val outZ = scratch(dir, "skip_q273z")
+        val outL = scratch(dir, "skip_q273l")
+        writeClustered(scaled.select($"x", $"y", $"o_totalprice", $"z"),
+          col("z"), span = 2048L, outZ)
+        writeClustered(scaled.select($"x", $"y", $"o_totalprice", $"xs"),
+          col("xs"), span = 8L, outL)
+        val (c1, c2) = (40L, 200L)
+        val (d1, d2) = (9496L, 9861L) // calendar year 1996
+        def receipt(out: String, scheme: String) = {
+          val (rows, nSel, nTot) = skippingBoxScan(s,
+            statsManifest2(s, out, "x", "y"), out,
+            "x", c1, c2, "y", d1, d2)
+          rows.agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 4).as("total_price"))
+            .select(lit(scheme).as("scheme"), col("n_orders"),
+              col("total_price"),
+              lit(nSel).as("n_groups_scanned"),
+              lit(nTot).as("n_groups_total"))
+        }
+        receipt(outZ, "zorder").unionAll(receipt(outL, "linear"))
+          .orderBy(col("scheme"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT o_custkey AS x,
+                 CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+                      AS BIGINT) AS y,
+                 o_totalprice
+          FROM orders),
+        mm AS (SELECT min(x) AS xlo, max(x) AS xhi,
+                      min(y) AS ylo, max(y) AS yhi FROM ev),
+        scaled AS (
+          SELECT x, y, o_totalprice,
+                 ((x - xlo) * 256) // (xhi - xlo + 1) AS xs,
+                 ((y - ylo) * 256) // (yhi - ylo + 1) AS ys
+          FROM ev CROSS JOIN mm),
+        z AS (
+          SELECT x, y, o_totalprice, xs,
+                 (((xs >> 0) & 1) << 0) + (((ys >> 0) & 1) << 1) +
+                 (((xs >> 1) & 1) << 2) + (((ys >> 1) & 1) << 3) +
+                 (((xs >> 2) & 1) << 4) + (((ys >> 2) & 1) << 5) +
+                 (((xs >> 3) & 1) << 6) + (((ys >> 3) & 1) << 7) +
+                 (((xs >> 4) & 1) << 8) + (((ys >> 4) & 1) << 9) +
+                 (((xs >> 5) & 1) << 10) + (((ys >> 5) & 1) << 11) +
+                 (((xs >> 6) & 1) << 12) + (((ys >> 6) & 1) << 13) +
+                 (((xs >> 7) & 1) << 14) + (((ys >> 7) & 1) << 15) AS z
+          FROM scaled),
+        zman AS (SELECT z // 2048 AS fg,
+                        min(x) AS mna, max(x) AS mxa,
+                        min(y) AS mnb, max(y) AS mxb
+                 FROM z GROUP BY 1),
+        lman AS (SELECT xs // 8 AS fg,
+                        min(x) AS mna, max(x) AS mxa,
+                        min(y) AS mnb, max(y) AS mxb
+                 FROM z GROUP BY 1),
+        zc AS (SELECT CAST(count(*) FILTER (WHERE mxa >= 40 AND mna <= 200
+                             AND mxb >= 9496 AND mnb <= 9861) AS BIGINT)
+                        AS ns,
+                      CAST(count(*) AS BIGINT) AS nt
+               FROM zman),
+        lc AS (SELECT CAST(count(*) FILTER (WHERE mxa >= 40 AND mna <= 200
+                             AND mxb >= 9496 AND mnb <= 9861) AS BIGINT)
+                        AS ns,
+                      CAST(count(*) AS BIGINT) AS nt
+               FROM lman),
+        agg AS (SELECT count(*) AS n_orders,
+                       round(sum(o_totalprice), 4) AS total_price
+                FROM ev
+                WHERE x BETWEEN 40 AND 200 AND y BETWEEN 9496 AND 9861)
+        SELECT 'linear' AS scheme, agg.n_orders, agg.total_price,
+               lc.ns AS n_groups_scanned, lc.nt AS n_groups_total
+        FROM agg, lc
+        UNION ALL
+        SELECT 'zorder' AS scheme, agg.n_orders, agg.total_price,
+               zc.ns AS n_groups_scanned, zc.nt AS n_groups_total
+        FROM agg, zc
+        ORDER BY scheme""")),
 
     // the bloom-index shape: the layout is clustered by ORDERKEY, but
     // the lookup is by CUSTKEY — min/max cannot help a non-clustered

@@ -142,6 +142,29 @@ object Maintenance {
       .agg(sum(col("w")).as("c"), sum(col("o")).as("o"))
   }
 
+  /** [[quantileState]] with the domain DERIVED rather than declared —
+    * the other exit from the fixed-grid footgun the n_oob counter makes
+    * observable: a one-row min/max pre-pass (two scalars to the driver,
+    * the bounded metadata fetch; a production run reads them off the
+    * file-stats manifest, [[DataSkipping.statsManifest]], for free)
+    * sizes [lo, hi] to the data, so n_oob is structurally 0 for THIS
+    * batch and the half-bin-width contract holds unconditionally.
+    * The trade vs a declared domain: states from different batches
+    * merge only when built with the SAME returned domain — pass
+    * (lo, hi) forward, exactly like the wid every reader needs.
+    * Returns (state, lo, hi); degenerate all-equal batches widen hi by
+    * 1 so bins stay well-formed. */
+  def quantileStateAutoDomain(batch: DataFrame, key: Column, value: Column,
+      bins: Int): (DataFrame, Double, Double) = {
+    val mm = batch.agg(min(value).cast("double"),
+      max(value).cast("double")).head()
+    require(!mm.isNullAt(0), "auto-domain needs at least one non-null value")
+    val lo = mm.getDouble(0)
+    val hi0 = mm.getDouble(1)
+    val hi = if (hi0 > lo) hi0 else lo + 1.0d
+    (quantileState(batch, key, value, lo, hi, bins), lo, hi)
+  }
+
   /** Fold quantile states: per-(key, bin) counter add over however many
     * state rows share the cell — one combiner-reduced shuffle of
     * |state| rows, exact, order-independent. */
@@ -1172,6 +1195,52 @@ object Maintenance {
         JOIN banked ON surv2.k = banked.k
         JOIN tot ON surv2.k = tot.k
         ORDER BY l_returnflag, c_min DESC, supp""")),
+
+    // the declared-domain footgun's OTHER exit (q237 made violations
+    // observable; this removes them): the domain derives from a
+    // min/max pre-pass, so n_oob is structurally zero and the
+    // half-bin-width contract holds unconditionally. The oracle
+    // derives the same domain in SQL and replays bins and the pick —
+    // identical IEEE double ops on both sides.
+    QueryDef(
+      "q277_quantile_auto_domain",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders").select($"o_custkey",
+          $"o_totalprice".as("v"))
+        val (st, lo, hi) =
+          quantileStateAutoDomain(o, $"o_custkey", $"v", bins = 500)
+        quantileFromState(st, 0.5, lo, (hi - lo) / 500)
+          .select($"k".as("o_custkey"), $"n".as("n_orders"),
+            $"n_oob", round($"q", 4).as("est_p50"))
+          .orderBy($"o_custkey")
+      },
+      Some("""
+        WITH v AS (SELECT o_custkey AS k, o_totalprice AS v FROM orders),
+        mm AS (SELECT CAST(min(v) AS DOUBLE) AS lo,
+                      CAST(max(v) AS DOUBLE) AS hi FROM v),
+        b AS (SELECT k,
+                     LEAST(GREATEST(CAST(floor((v - lo)
+                                          / ((hi - lo) / 500.0)) AS INT),
+                                    0), 499) AS b
+              FROM v CROSS JOIN mm),
+        cnt AS (SELECT k, b, count(*) AS c FROM b GROUP BY k, b),
+        tot AS (SELECT k, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY k),
+        cum AS (SELECT k, b, sum(c) OVER (PARTITION BY k ORDER BY b) AS cum
+                FROM cnt),
+        pick AS (SELECT cum.k, min(cum.b) AS idx
+                 FROM cum JOIN tot ON cum.k = tot.k
+                 WHERE cum.cum >= ceil(0.5 * tot.n)
+                 GROUP BY cum.k)
+        SELECT tot.k AS o_custkey,
+               tot.n AS n_orders,
+               CAST(0 AS BIGINT) AS n_oob,
+               round(CAST(mm.lo + (pick.idx + 0.5) * ((mm.hi - mm.lo) / 500.0)
+                          AS DOUBLE), 4) AS est_p50
+        FROM tot
+        JOIN pick ON tot.k = pick.k
+        CROSS JOIN mm
+        ORDER BY o_custkey""")),
 
     // set-overlap estimation from the two periods' bottom-k sketches
     // alone: which suppliers ship in BOTH eras, as a Jaccard /

@@ -1011,6 +1011,71 @@ object Multimodal {
         FROM documents
         ORDER BY doc_id""")),
 
+    // ----- EXIF-aware image curation: orientation-corrected filtering --
+    // The step q259's decode exists FOR: a resize/crop stage must use
+    // RENDERED dims, and orientations 5-8 transpose them (the camera
+    // was held sideways). Filters on raw header dims silently pass
+    // portrait shots a landscape-only pipeline should cut. Decode →
+    // swap on 5-8 → aspect filter, all row-local on decoded metadata;
+    // the oracle replays the swap and the aspect arithmetic.
+    QueryDef(
+      "q274_exif_oriented_filter",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val w = (16 + id % 624).toInt
+            val h = (16 + (id * 7) % 464).toInt
+            MediaRecord(id,
+              TiffHeaders.encodeJpegExif(w, h,
+                orientation = (1 + id % 8).toInt, make = s"Cam${id % 9}",
+                bigEndian = id % 2 == 1, rawComment = text.getBytes("UTF-8")),
+              "image/jpeg")
+          }
+        media.mapPartitions { it =>
+          it.map { r =>
+            val exif = TiffHeaders.decodeJpegExif(r.media)
+            val img = ImageHeaders.decode(r.media)
+            (r.doc_id, exif.map(_.orientation).getOrElse(1),
+              img.map(_.width).getOrElse(0), img.map(_.height).getOrElse(0))
+          }
+        }.toDF("doc_id", "orientation", "w", "h")
+          .select($"doc_id", $"orientation",
+            when($"orientation" >= 5, $"h").otherwise($"w")
+              .as("oriented_w"),
+            when($"orientation" >= 5, $"w").otherwise($"h")
+              .as("oriented_h"))
+          .withColumn("aspect",
+            round($"oriented_w".cast("double")
+              / when($"oriented_h" > 0, $"oriented_h"), 4))
+          .withColumn("kept", $"aspect".between(0.5, 2.0))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(1 + doc_id % 8 AS INT) AS orientation,
+                 16 + doc_id % 624 AS w,
+                 16 + (doc_id * 7) % 464 AS h
+          FROM documents)
+        SELECT doc_id, orientation,
+               CAST(CASE WHEN orientation >= 5 THEN h ELSE w END AS INT)
+                 AS oriented_w,
+               CAST(CASE WHEN orientation >= 5 THEN w ELSE h END AS INT)
+                 AS oriented_h,
+               round(CAST(CASE WHEN orientation >= 5 THEN h ELSE w END
+                          AS DOUBLE)
+                     / (CASE WHEN orientation >= 5 THEN w ELSE h END), 4)
+                 AS aspect,
+               round(CAST(CASE WHEN orientation >= 5 THEN h ELSE w END
+                          AS DOUBLE)
+                     / (CASE WHEN orientation >= 5 THEN w ELSE h END), 4)
+                 BETWEEN 0.5 AND 2.0 AS kept
+        FROM d
+        ORDER BY doc_id""")),
+
     // ----- AVIF / HEIC header decode: the modern crawl image mix -------
     // HEIF containers reuse the MP4 box grammar with a different tree:
     // dims live in meta(FULL box)>iprp>ipco>ispe, bit depth in pixi.

@@ -1558,6 +1558,58 @@ object TextAnalysis {
                CASE WHEN doc_id % 5 = 4 THEN NULL
                     ELSE (doc_id % 9 + 1) / 10.0 END AS priority
         FROM documents
-        ORDER BY url"""))
+        ORDER BY url""")),
+
+    // the crawl frontier assembled: q269's sitemaps feed q248's robots
+    // gate — per host, sitemap entries parse into candidate urls, the
+    // host's rules (Disallow /p/1 with an Allow /p/12 longest-match
+    // carve-out) gate each path, and the frontier reports per-host
+    // allowed/blocked counts. The oracle replays the gate as digit
+    // arithmetic on doc_id — a longest-match slip flips the /p/12x
+    // rows.
+    QueryDef(
+      "q275_crawl_frontier_gate",
+      (s, dir) => {
+        import s.implicits._
+        val urls = t(s, dir, "documents")
+          .select($"doc_id")
+          .as[Long]
+          .groupByKey(_ % 11)
+          .flatMapGroups { (host, it) =>
+            val entries = it.toSeq.sorted.map { id =>
+              (s"https://doc$host.example/p/$id", None, None)
+            }
+            Sitemap.parse(Sitemap.emit(entries)).map(e =>
+              (s"doc$host.example",
+                e.loc.replaceFirst("^https://[^/]+", "")))
+          }
+          .toDF("host", "path")
+        val robots = (0 until 11).map { h =>
+          (s"doc$h.example",
+            "User-agent: *\nDisallow: /p/1\nAllow: /p/12\n")
+        }.toDF("host", "robots_txt")
+        Robots.filterAllowed(urls, robots, agent = "graftbot/1.0")
+          .groupBy($"host")
+          .agg(count(lit(1)).as("n_urls"),
+            sum(when($"allowed", 1L).otherwise(0L)).as("n_allowed"),
+            sum(when(!$"allowed", 1L).otherwise(0L)).as("n_blocked"))
+          .orderBy($"host")
+      },
+      Some("""
+        WITH u AS (
+          SELECT 'doc' || (doc_id % 11) || '.example' AS host,
+                 CAST(doc_id AS VARCHAR) AS ds
+          FROM documents)
+        SELECT host,
+               count(*) AS n_urls,
+               CAST(sum(CASE WHEN NOT starts_with(ds, '1')
+                              OR starts_with(ds, '12')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+               CAST(sum(CASE WHEN starts_with(ds, '1')
+                              AND NOT starts_with(ds, '12')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+        FROM u
+        GROUP BY host
+        ORDER BY host"""))
   )
 }

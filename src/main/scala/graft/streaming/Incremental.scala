@@ -203,6 +203,52 @@ final class IncrementalBottomK(
       graft.operators.Maintenance.distinctFromBottomK(st, k))
 }
 
+/** An incrementally-maintained data-skipping index: the per-FILE
+  * (path, n_rows, mn, mx) stats manifest of
+  * [[graft.operators.DataSkipping]], kept fresh by the same
+  * checkpointed fold harness — each newly-arrived file is scanned
+  * exactly once for its stats, and the manifest is the union of
+  * per-file rows (a file lives in exactly one arrival batch, so the
+  * merge is a plain keyed re-aggregate that never double-counts under
+  * the replay guard). The production loop this models: ingest appends
+  * files, the index pass stats ONLY the new ones, and every range
+  * query thereafter prunes against the manifest without re-scanning
+  * history ([[graft.operators.DataSkipping.skippingFileRangeScan]]). */
+final class IncrementalManifest(
+    spark: SparkSession,
+    inputDir: String,
+    schema: StructType,
+    checkpointDir: String,
+    stateDir: String,
+    statsCol: String,
+    retainVersions: Int = 2) {
+
+  private val pointer = Paths.get(stateDir, "_LATEST")
+
+  def state(): Option[DataFrame] =
+    if (Files.exists(pointer))
+      Some(spark.read.parquet(
+        Paths.get(stateDir, Files.readString(pointer).trim).toString))
+    else None
+
+  private def partial(batch: DataFrame): DataFrame =
+    batch.withColumn("f", input_file_name())
+      .groupBy(col("f"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(statsCol)).as("mn"), max(col(statsCol)).as("mx"))
+
+  private def merge(prev: DataFrame, delta: DataFrame): DataFrame =
+    prev.unionByName(delta)
+      .groupBy(col("f"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+
+  /** Stat newly-arrived files and fold them into the manifest. */
+  def update(): Unit =
+    IncrementalAgg.foldNewArrivals(spark, inputDir, schema, checkpointDir,
+      stateDir, pointer, partial, merge, () => state(), retainVersions)
+}
+
 object IncrementalAgg {
   /** The shared fold harness behind [[IncrementalAgg]] and
     * [[IncrementalQuantile]]: stream newly-arrived files

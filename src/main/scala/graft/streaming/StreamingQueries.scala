@@ -472,6 +472,57 @@ object StreamingQueries {
         FROM st JOIN agg ON st.k = agg.k
         ORDER BY o_orderpriority, rank""")),
 
+    // ----- incrementally-maintained data-skipping index -------------------
+    // ingest appends files in orderkey ranges; the manifest fold stats
+    // ONLY each new file (checkpointed exactly-once), and a range query
+    // then prunes against the manifest without touching history: three
+    // single-file arrivals, a [6000, 9000] probe inside the second, so
+    // exactly one of three files opens. The oracle replays the
+    // aggregate and the file-count constants the arrival layout pins.
+    QueryDef(
+      "q276_incremental_skipping_manifest",
+      (s, dir) => {
+        import s.implicits._
+        val (input, ckpt, state) = (tmp("mfin_"), tmp("mfck_"), tmp("mfst_"))
+        val o = graft.engine.Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+        val inc = new graft.streaming.IncrementalManifest(
+          s, input, org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("o_orderkey",
+              o.schema("o_orderkey").dataType),
+            org.apache.spark.sql.types.StructField("o_orderpriority",
+              o.schema("o_orderpriority").dataType),
+            org.apache.spark.sql.types.StructField("o_totalprice",
+              o.schema("o_totalprice").dataType))),
+          ckpt, state, statsCol = "o_orderkey")
+        def arrive(batch: org.apache.spark.sql.DataFrame): Unit = {
+          batch.repartition(1).write.mode("append").parquet(input)
+          inc.update()
+        }
+        arrive(o.filter($"o_orderkey" < 5000))
+        arrive(o.filter($"o_orderkey" >= 5000 && $"o_orderkey" < 10000))
+        arrive(o.filter($"o_orderkey" >= 10000))
+        val (rows, nSel, nTot) = graft.operators.DataSkipping
+          .skippingFileRangeScan(s, inc.state().get, "o_orderkey",
+            6000L, 9000L, emptyLike = o)
+        rows.groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum($"o_totalprice"), 4).as("total_price"))
+          .withColumn("n_files_scanned", lit(nSel))
+          .withColumn("n_files_total", lit(nTot))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 4) AS total_price,
+               CAST(1 AS BIGINT) AS n_files_scanned,
+               CAST(3 AS BIGINT) AS n_files_total
+        FROM orders
+        WHERE o_orderkey BETWEEN 6000 AND 9000
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
     // ----- event-time tumbling window ------------------------------------
     QueryDef(
       "q56_stream_tumbling_window",

@@ -71,6 +71,45 @@ class DataSkippingSpec extends SparkSpec {
       s"absent probe should prune most groups, scanned $nSel2 of $nTot")
   }
 
+  test("2D box scan equals the full filter, and a z-ordered layout " +
+      "prunes where a linear one cannot") {
+    // a 64×64 grid of points: x and y independent, so a box filter has
+    // both dimensions selective
+    val grid = spark.range(4096)
+      .selectExpr("id % 64 AS x", "id DIV 64 AS y", "id AS payload")
+      .withColumn("z", ZOrder.mortonZ($"x", $"y", 6))
+    val outZ = tmp("boxz")
+    val outL = tmp("boxl")
+    writeClustered(grid.select($"x", $"y", $"payload", $"z"),
+      $"z", span = 256L, outZ) // 16 z-tiles
+    writeClustered(grid.select($"x", $"y", $"payload", $"x".as("xs")),
+      $"xs", span = 4L, outL) // 16 x-stripes
+    val expected = grid.filter($"x".between(10, 20) && $"y".between(10, 20))
+      .select($"x", $"y", $"payload")
+    def run(out: String) =
+      skippingBoxScan(spark, statsManifest2(spark, out, "x", "y"), out,
+        "x", 10L, 20L, "y", 10L, 20L)
+    val (zr, zSel, zTot) = run(outZ)
+    val (lr, lSel, lTot) = run(outL)
+    Seq(zr, lr).foreach { r =>
+      assert(r.select($"x", $"y", $"payload").exceptAll(expected).isEmpty)
+      assert(expected.exceptAll(r.select($"x", $"y", $"payload")).isEmpty)
+    }
+    assert(zTot === 16L && lTot === 16L)
+    // z-tiles are 16×16 rectangles: the 11×11 box touches ≤ 4; linear
+    // stripes span all y, so every x-intersecting stripe opens (3-4) —
+    // and on a Y-ONLY box linear opens everything while z stays partial
+    assert(zSel <= 4L)
+    val (_, zSelY, _) = skippingBoxScan(spark,
+      statsManifest2(spark, outZ, "x", "y"), outZ,
+      "x", 0L, 63L, "y", 10L, 20L)
+    val (_, lSelY, _) = skippingBoxScan(spark,
+      statsManifest2(spark, outL, "x", "y"), outL,
+      "x", 0L, 63L, "y", 10L, 20L)
+    assert(lSelY === 16L, "linear layout cannot prune a y-only predicate")
+    assert(zSelY < 16L, s"z layout must prune a y-only predicate, got $zSelY")
+  }
+
   test("membership prunes by content: a probe localized to few groups " +
       "opens few groups") {
     // values localized by construction: probe_col equals the group id,

@@ -131,6 +131,31 @@ class MergeableStateSpec extends SparkSpec {
     assert(mass === totals)
   }
 
+  test("auto-domain quantile state: n_oob structurally zero, accuracy " +
+      "within half a bin width of the exact discrete median") {
+    val df = values(9000).withColumn("v", ($"v" * 7 % 997).cast("double"))
+    val (st, lo, hi) = quantileStateAutoDomain(df, $"grp", $"v", bins = 200)
+    val wid = (hi - lo) / 200
+    val est = quantileFromState(st, 0.5, lo, wid).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    val exact = df.groupBy($"grp")
+      .agg(expr("percentile(v, 0.5)").as("m")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    est.foreach { case (g, (oob, q)) =>
+      assert(oob === 0L, "derived domain covers the batch by construction")
+      // the discrete median lies inside the picked bin; the continuous
+      // percentile can differ from the discrete by interpolation, so
+      // allow one full bin
+      assert(math.abs(q - exact(g)) <= wid,
+        s"grp $g: est $q vs exact ${exact(g)} beyond bin width $wid")
+    }
+    // degenerate all-equal batch still builds a well-formed state
+    val one = spark.range(10).selectExpr("id % 2 AS grp", "CAST(5 AS DOUBLE) AS v")
+    val (st1, lo1, hi1) = quantileStateAutoDomain(one, $"grp", $"v", bins = 10)
+    assert(hi1 > lo1)
+    assert(st1.agg(sum($"c")).head.getLong(0) === 10L)
+  }
+
   test("KMV intersection estimate: exact-overlap extremes and a sane " +
       "middle") {
     val all = values(6000)
