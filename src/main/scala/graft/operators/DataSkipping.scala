@@ -114,6 +114,19 @@ object DataSkipping {
     (rows, selected.length.toLong, total)
   }
 
+  /** Delete-on-immutable: apply TOMBSTONES to a clustered layout. The
+    * data files never rewrite (the deletion-vector posture — Delta DVs,
+    * Iceberg delete files, public); deletes live in a small sibling
+    * table of (fg, k) rows, and every scan anti-joins them per group.
+    * The tombstone side is deletes-sized (broadcastable until a major
+    * compaction folds them in); the fg column scopes the anti-join to
+    * each group. */
+  def scanWithDeletes(spark: SparkSession, dataDir: String,
+      tombstones: DataFrame, keyCol: String): DataFrame =
+    spark.read.parquet(dataDir)
+      .join(broadcast(tombstones.select(col("fg"), col("k").as(keyCol))),
+        Seq("fg", keyCol), "left_anti")
+
   /** Hash-membership manifest over ANY column (the bloom-index shape):
     * the DISTINCT (fg, bucket) pairs with bucket = mix32(col) mod
     * `buckets`. A point probe keeps only groups holding its bucket;
@@ -339,6 +352,49 @@ object DataSkipping {
                zc.ns AS n_groups_scanned, zc.nt AS n_groups_total
         FROM agg, zc
         ORDER BY scheme""")),
+
+    // delete-on-immutable: tombstone a planted key set (every 10th key
+    // in [2000, 8000]), leave the data files untouched, and let every
+    // scan anti-join the delete table per group — the deletion-vector
+    // posture. The oracle replays the delete predicate directly; a
+    // tombstone that leaks (or over-deletes) changes counts and sums.
+    QueryDef(
+      "q279_tombstone_deletes",
+      (s, dir) => {
+        import s.implicits._
+        val out = scratch(dir, "skip_q279")
+        val del = scratch(dir, "skip_q279_del")
+        val orders = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+        writeClustered(orders, $"o_orderkey", span = 4000L, out)
+        // the delete commit: a small sibling table of (fg, k)
+        orders.filter($"o_orderkey" % 10 === 3 &&
+            $"o_orderkey".between(2000, 8000))
+          .select(floor($"o_orderkey" / 4000L).as("fg"),
+            $"o_orderkey".as("k"))
+          .write.mode("overwrite").parquet(del)
+        val tombs = s.read.parquet(del)
+        val nDel = tombs.count()
+        scanWithDeletes(s, out, tombs, "o_orderkey")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum($"o_totalprice"), 4).as("total_price"))
+          .withColumn("n_tombstones", lit(nDel))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        WITH deleted AS (
+          SELECT o_orderkey FROM orders
+          WHERE o_orderkey % 10 = 3 AND o_orderkey BETWEEN 2000 AND 8000)
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 4) AS total_price,
+               (SELECT CAST(count(*) AS BIGINT) FROM deleted)
+                 AS n_tombstones
+        FROM orders
+        WHERE NOT (o_orderkey % 10 = 3 AND o_orderkey BETWEEN 2000 AND 8000)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
 
     // the bloom-index shape: the layout is clustered by ORDERKEY, but
     // the lookup is by CUSTKEY — min/max cannot help a non-clustered

@@ -88,6 +88,47 @@ object Linkage {
                levenshtein(a.s_name, b.s_name) AS dist
         FROM supplier a JOIN supplier b ON a.s_name < b.s_name
         WHERE levenshtein(a.s_name, b.s_name) <= 1
-        ORDER BY name_a, name_b"""))
+        ORDER BY name_a, name_b""")),
+
+    // Jaro–Winkler linkage through the NATIVE codegen expression
+    // (graft.functions.JaroWinkler) — the prefix-weighted similarity
+    // record linkage actually uses on names, blocked by (brand, first
+    // word) so candidates stay linear in parts (JW's prefix bonus
+    // means cross-first-word pairs score low anyway — the block is
+    // the production prefix-blocking move). The oracle is DuckDB's
+    // own jaro_winkler_similarity: an independent implementation of
+    // the same pinned variant refereeing ours pairwise.
+    QueryDef(
+      "q280_jaro_winkler_linkage",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.JaroWinkler.register(s)
+        val p = Tables.load(s, dir, "part")
+          .select($"p_partkey", $"p_name", $"p_brand",
+            split($"p_name", " ").getItem(0).as("w1"))
+        val a = p.select($"p_partkey".as("p1"), $"p_name".as("name_a"),
+          $"p_brand", $"w1")
+        val b = p.select($"p_partkey".as("p2"), $"p_name".as("name_b"),
+          $"p_brand", $"w1")
+        a.join(b, Seq("p_brand", "w1"))
+          .filter($"p1" < $"p2")
+          .withColumn("jw",
+            round(expr("jaro_winkler(name_a, name_b)"), 4))
+          .filter($"jw" >= 0.9)
+          .select($"p1", $"p2", $"name_a", $"name_b", $"jw")
+          .orderBy($"p1", $"p2")
+      },
+      Some("""
+        WITH p AS (SELECT p_partkey, p_name, p_brand,
+                          string_split(p_name, ' ')[1] AS w1
+                   FROM part)
+        SELECT a.p_partkey AS p1, b.p_partkey AS p2,
+               a.p_name AS name_a, b.p_name AS name_b,
+               round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
+        FROM p a
+        JOIN p b ON a.p_brand = b.p_brand AND a.w1 = b.w1
+                AND a.p_partkey < b.p_partkey
+        WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.9
+        ORDER BY p1, p2"""))
   )
 }

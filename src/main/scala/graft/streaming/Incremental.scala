@@ -247,6 +247,29 @@ final class IncrementalManifest(
   def update(): Unit =
     IncrementalAgg.foldNewArrivals(spark, inputDir, schema, checkpointDir,
       stateDir, pointer, partial, merge, () => state(), retainVersions)
+
+  /** Retained manifest versions, oldest first. With append-only data
+    * files, an OLD manifest version IS a snapshot: scanning through it
+    * sees exactly the files that existed at that fold — time travel
+    * for free out of the keep-last-N retention. */
+  def versions(): Seq[String] = {
+    val dir = Paths.get(stateDir)
+    if (!Files.exists(dir)) return Seq.empty
+    val listing = Files.list(dir)
+    try {
+      val it = listing.iterator()
+      val buf = scala.collection.mutable.ListBuffer.empty[String]
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        if (n.matches("v\\d+")) buf += n
+      }
+      buf.toList.sortBy(_.drop(1).toLong)
+    } finally listing.close()
+  }
+
+  /** The manifest as of a retained version (from [[versions]]). */
+  def stateAt(version: String): DataFrame =
+    spark.read.parquet(Paths.get(stateDir, version).toString)
 }
 
 object IncrementalAgg {

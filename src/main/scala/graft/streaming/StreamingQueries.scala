@@ -523,6 +523,66 @@ object StreamingQueries {
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority""")),
 
+    // ----- time travel via retained manifest versions ---------------------
+    // append-only data + keep-last-N manifest retention = snapshots for
+    // free: the OLDEST retained manifest names exactly the files that
+    // existed at that fold, so scanning THROUGH it reads the table as
+    // of then. Three arrivals with retention 3; the same range query
+    // runs at the oldest snapshot (sees only batch 1) and at current
+    // (sees all three). The oracle replays both from the arrival
+    // arithmetic.
+    QueryDef(
+      "q278_manifest_time_travel",
+      (s, dir) => {
+        import s.implicits._
+        val (input, ckpt, state) = (tmp("ttin_"), tmp("ttck_"), tmp("ttst_"))
+        val o = graft.engine.Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+        val inc = new graft.streaming.IncrementalManifest(
+          s, input, org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("o_orderkey",
+              o.schema("o_orderkey").dataType),
+            org.apache.spark.sql.types.StructField("o_totalprice",
+              o.schema("o_totalprice").dataType))),
+          ckpt, state, statsCol = "o_orderkey", retainVersions = 3)
+        def arrive(batch: org.apache.spark.sql.DataFrame): Unit = {
+          batch.repartition(1).write.mode("append").parquet(input)
+          inc.update()
+        }
+        arrive(o.filter($"o_orderkey" < 5000))
+        arrive(o.filter($"o_orderkey" >= 5000 && $"o_orderkey" < 10000))
+        arrive(o.filter($"o_orderkey" >= 10000))
+        val vs = inc.versions()
+        def at(v: String, label: String) = {
+          val (rows, nSel, nTot) = graft.operators.DataSkipping
+            .skippingFileRangeScan(s, inc.stateAt(v), "o_orderkey",
+              0L, 1000000000L, emptyLike = o)
+          rows.agg(count(lit(1)).as("n_orders"),
+            round(sum($"o_totalprice"), 4).as("total_price"))
+            .select(lit(label).as("snapshot"), col("n_orders"),
+              col("total_price"), lit(nSel).as("n_files"),
+              lit(nTot).as("n_files_total"))
+        }
+        at(vs.head, "oldest").unionAll(at(vs.last, "current"))
+          .orderBy($"snapshot")
+      },
+      Some("""
+        SELECT 'current' AS snapshot,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 4) AS total_price,
+               CAST(3 AS BIGINT) AS n_files,
+               CAST(3 AS BIGINT) AS n_files_total
+        FROM orders
+        UNION ALL
+        SELECT 'oldest' AS snapshot,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 4) AS total_price,
+               CAST(1 AS BIGINT) AS n_files,
+               CAST(1 AS BIGINT) AS n_files_total
+        FROM orders
+        WHERE o_orderkey < 5000
+        ORDER BY snapshot""")),
+
     // ----- event-time tumbling window ------------------------------------
     QueryDef(
       "q56_stream_tumbling_window",
