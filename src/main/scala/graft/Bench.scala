@@ -385,7 +385,8 @@ object Bench {
       "q103_training_pipeline", "q104_bm25_search", "q122_sequence_packing",
       "q130_semantic_dedup", "q155_bucketed_join", "q158_kmeans_clusters",
       "q162_incremental_job_pipeline", "q176_inverted_index",
-      "q181_pagerank", "q194_stream_outer_join", "q198_pareto_frontier")
+      "q181_pagerank", "q194_stream_outer_join", "q198_pareto_frontier",
+      "q262_bottomk_sample_state", "q265_stats_manifest_skipping_scan")
     val resMap = resultsFinal.map { case (k, v, _) => k -> v }.toMap
     val headQs = headline.flatMap(k => resMap.get(k).map(v =>
       s"\"" + k + "\":" + ms(v))).mkString("{", ",", "}")

@@ -201,8 +201,11 @@ object Maintenance {
           |      'idx', IF(acc.cum + x.c >= _t, x.b, -1))),
           |  acc -> acc.idx)""".stripMargin))
       .withColumn("q", lit(lo) + (col("_idx") + lit(0.5d)) * lit(wid))
-      .drop("bc", "_t", "_idx")
-      .select(col("k"), col("n"), col("n_oob"), col("q"))
+      // qb (the picked bin) rides along for readers that need an
+      // INTEGER-EXACT answer (a data-derived domain can park q's 4dp
+      // rounding on a cross-engine double boundary — q277's sf0.1 find)
+      .select(col("k"), col("n"), col("n_oob"), col("q"),
+        col("_idx").as("qb"))
 
   /** Population Stability Index between two quantile states — THE
     * production drift metric (credit-scoring lineage, public formula:
@@ -1199,9 +1202,13 @@ object Maintenance {
     // the declared-domain footgun's OTHER exit (q237 made violations
     // observable; this removes them): the domain derives from a
     // min/max pre-pass, so n_oob is structurally zero and the
-    // half-bin-width contract holds unconditionally. The oracle
-    // derives the same domain in SQL and replays bins and the pick —
-    // identical IEEE double ops on both sides.
+    // half-bin-width contract holds unconditionally. The output is
+    // INTEGER-exact — the picked bin plus the domain in cents — so a
+    // data-derived domain can never park the answer's rounding on a
+    // cross-engine double boundary (the rounded-midpoint form did
+    // exactly that at sf0.1: 337821.01725 rounds apart). Bin
+    // assignment itself stays deterministic: both engines run the
+    // same IEEE ops on the same doubles.
     QueryDef(
       "q277_quantile_auto_domain",
       (s, dir) => {
@@ -1212,7 +1219,11 @@ object Maintenance {
           quantileStateAutoDomain(o, $"o_custkey", $"v", bins = 500)
         quantileFromState(st, 0.5, lo, (hi - lo) / 500)
           .select($"k".as("o_custkey"), $"n".as("n_orders"),
-            $"n_oob", round($"q", 4).as("est_p50"))
+            $"n_oob", $"qb".cast("int").as("est_bin"))
+          .withColumn("lo_cents",
+            expr(s"CAST(round(${lo} * 100) AS BIGINT)"))
+          .withColumn("hi_cents",
+            expr(s"CAST(round(${hi} * 100) AS BIGINT)"))
           .orderBy($"o_custkey")
       },
       Some("""
@@ -1235,8 +1246,9 @@ object Maintenance {
         SELECT tot.k AS o_custkey,
                tot.n AS n_orders,
                CAST(0 AS BIGINT) AS n_oob,
-               round(CAST(mm.lo + (pick.idx + 0.5) * ((mm.hi - mm.lo) / 500.0)
-                          AS DOUBLE), 4) AS est_p50
+               CAST(pick.idx AS INT) AS est_bin,
+               CAST(round(mm.lo * 100) AS BIGINT) AS lo_cents,
+               CAST(round(mm.hi * 100) AS BIGINT) AS hi_cents
         FROM tot
         JOIN pick ON tot.k = pick.k
         CROSS JOIN mm
