@@ -16,7 +16,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * builtin exists; a UDF would box two strings per row and break the
   * WholeStageCodegen span. This expression stays inside codegen — the
   * generated code is one static call into [[JaroWinkler.compute]],
-  * which works on the UTF8String bytes with two small scratch arrays.
+  * which runs on a zero-copy view of the UTF8String bytes for ASCII
+  * input (no String decode per row) and on the decoded chars
+  * otherwise, with two small scratch arrays either way.
   *
   * Variant pinned (and oracle-checked against DuckDB's
   * `jaro_winkler_similarity`): Jaro with floor(max/2)−1 match window;
@@ -53,13 +55,33 @@ case class JaroWinkler(left: Expression, right: Expression)
 
 object JaroWinkler {
 
-  /** Static entry the generated code calls. Operates on the decoded
-    * strings (fixtures are ASCII; UTF8String.toString is a cheap
-    * copy for them). */
-  def compute(a: UTF8String, b: UTF8String): Double =
-    computeStr(a.toString, b.toString)
+  /** Zero-copy char view over ASCII bytes — the fast path's input.
+    * subSequence is never called by [[core]]. */
+  private final class AsciiSeq(bytes: Array[Byte]) extends CharSequence {
+    override def length(): Int = bytes.length
+    override def charAt(i: Int): Char = (bytes(i) & 0x7f).toChar
+    override def subSequence(a: Int, b: Int): CharSequence =
+      throw new UnsupportedOperationException
+    override def toString: String = new String(bytes, 0, bytes.length,
+      java.nio.charset.StandardCharsets.US_ASCII)
+  }
 
-  def computeStr(s1: String, s2: String): Double = {
+  /** Static entry the generated code calls. ASCII inputs (numChars ==
+    * numBytes) run over the raw bytes with no String decode; non-ASCII
+    * falls back to the decoded chars so the comparison unit is a
+    * UTF-16 char either way. NOTE the byte-based oracle (DuckDB)
+    * compares BYTES — agreement beyond ASCII is not claimed. */
+  def compute(a: UTF8String, b: UTF8String): Double = {
+    if (a.numBytes == a.numChars && b.numBytes == b.numChars)
+      core(new AsciiSeq(a.getBytes), new AsciiSeq(b.getBytes))
+    else core(a.toString, b.toString)
+  }
+
+  def computeStr(s1: String, s2: String): Double = core(s1, s2)
+
+  /** The one algorithm body — both entry paths feed it, so the fast
+    * path can never drift from the reference path. */
+  private def core(s1: CharSequence, s2: CharSequence): Double = {
     val n1 = s1.length
     val n2 = s2.length
     // any empty side scores 0.0 — including BOTH empty (the DuckDB /

@@ -79,10 +79,14 @@ object DataSkipping {
         col("mnb").cast("long"), col("mxb").cast("long"))
       .collect()
     val total = picked.length.toLong
-    val selected = picked.filter { r =>
-      r.getLong(2) >= loA && r.getLong(1) <= hiA &&
-        r.getLong(4) >= loB && r.getLong(3) <= hiB
-    }.map(_.getLong(0)).sorted
+    // null-keyed / all-null-stats groups cannot satisfy the box
+    // predicate (BETWEEN excludes nulls) — skip, never NPE
+    val selected = picked
+      .filter(r => (0 to 4).forall(i => !r.isNullAt(i)))
+      .filter { r =>
+        r.getLong(2) >= loA && r.getLong(1) <= hiA &&
+          r.getLong(4) >= loB && r.getLong(3) <= hiB
+      }.map(_.getLong(0)).sorted
     val rows =
       if (selected.isEmpty)
         spark.read.parquet(dataDir).filter(lit(false)).drop("fg")
@@ -104,7 +108,10 @@ object DataSkipping {
       .select(col("f"), col("mn").cast("long"), col("mx").cast("long"))
       .collect()
     val total = picked.length.toLong
+    // all-null stats (a file of only null keys) cannot intersect the
+    // range (BETWEEN excludes nulls) — skip, never NPE
     val selected = picked
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2))
       .filter(r => r.getLong(2) >= lo && r.getLong(1) <= hi)
       .map(_.getString(0)).sorted
     val rows =
@@ -153,7 +160,12 @@ object DataSkipping {
         col("mx").cast("long"))
       .collect()
     val total = picked.length.toLong
-    val selected = picked.filter(r => r.getLong(2) >= lo && r.getLong(1) <= hi)
+    // a null-keyed group (null clusterCol rows) or all-null stats can
+    // never satisfy a range predicate on that column (BETWEEN excludes
+    // nulls) — skip it rather than NPE the driver
+    val selected = picked
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2))
+      .filter(r => r.getLong(2) >= lo && r.getLong(1) <= hi)
       .map(_.getLong(0)).sorted
     val rows =
       if (selected.isEmpty) {
@@ -174,13 +186,10 @@ object DataSkipping {
   def membershipPointScan(spark: SparkSession, membership: DataFrame,
       dataDir: String, column: String, probe: Long, buckets: Int,
       nGroupsTotal: Long): (DataFrame, Long) = {
-    val probeBkt = {
-      // mirror mix32 on a literal, driver-side
-      val h1 = (probe * 2654435761L) % 4294967296L
-      val x = h1 ^ (h1 >> 16)
-      val h2 = (x * 40503L) % 4294967296L
-      (h2 ^ (h2 >> 13)) % buckets
-    }
+    // the probe hashes through the SAME implementation the manifest was
+    // built with — a drifted copy here would silently select the wrong
+    // groups (an exact-contract index returning false negatives)
+    val probeBkt = Maintenance.mix32Long(probe) % buckets
     val selected = membership.filter(col("bkt") === probeBkt)
       .select(col("fg").cast("long")).distinct().collect()
       .map(_.getLong(0)).sorted
@@ -375,10 +384,14 @@ object DataSkipping {
           .write.mode("overwrite").parquet(del)
         val tombs = s.read.parquet(del)
         val nDel = tombs.count()
+        // exact-cents money: per-priority sums cover ~300k rows at
+        // sf1, past the point where double summation order stays
+        // inside the 4dp round
         scanWithDeletes(s, out, tombs, "o_orderkey")
           .groupBy($"o_orderpriority")
           .agg(count(lit(1)).as("n_orders"),
-            round(sum($"o_totalprice"), 4).as("total_price"))
+            sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+              .as("total_cents"))
           .withColumn("n_tombstones", lit(nDel))
           .orderBy($"o_orderpriority")
       },
@@ -388,7 +401,8 @@ object DataSkipping {
           WHERE o_orderkey % 10 = 3 AND o_orderkey BETWEEN 2000 AND 8000)
         SELECT o_orderpriority,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 4) AS total_price,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents,
                (SELECT CAST(count(*) AS BIGINT) FROM deleted)
                  AS n_tombstones
         FROM orders

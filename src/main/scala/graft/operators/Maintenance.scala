@@ -220,17 +220,35 @@ object Maintenance {
     * Output: (k, n_ref, n_cur, n_oob_ref, n_oob_cur, psi) — the oob
     * columns flag a PSI that is really a domain mismatch (clamped mass
     * piling into an edge bin reads as "drift" otherwise). */
-  def psiDrift(ref: DataFrame, cur: DataFrame): DataFrame = {
-    val joined = ref.select(col("k"), col("b"), col("c").as("cr"),
-        col("o").as("or"))
-      .join(cur.select(col("k"), col("b"), col("c").as("cc"),
-        col("o").as("oc")),
-        Seq("k", "b"), "full_outer")
-      .select(col("k"), col("b"),
-        coalesce(col("cr"), lit(0L)).as("cr"),
-        coalesce(col("cc"), lit(0L)).as("cc"),
-        coalesce(col("or"), lit(0L)).as("or"),
-        coalesce(col("oc"), lit(0L)).as("oc"))
+  def psiDrift(ref: DataFrame, cur: DataFrame): DataFrame =
+    smoothedCells(ref, cur, "b")
+      .groupBy(col("k"))
+      .agg(first(col("nr")).as("n_ref"), first(col("nc")).as("n_cur"),
+        sum(col("or")).as("n_oob_ref"), sum(col("oc")).as("n_oob_cur"),
+        round(sum((col("pr") - col("pc")) * log(col("pr") / col("pc"))), 4)
+          .as("psi"))
+
+  /** Shared drift scaffolding ([[psiDrift]] / [[hellingerJsFromStates]]
+    * / [[psiFromHeavyHitters]]): full-outer the two states' cells on
+    * (k, idCol), zero-fill both sides (and the oob counters when the
+    * state carries them), attach per-key u (union-cell count), nr/nc
+    * (exact totals), and the add-one-smoothed pr/pc — ONE copy of the
+    * smoothing convention every drift oracle replays, so the metrics
+    * cannot drift from each other. Inputs: (k, idCol, c[, o]). */
+  private def smoothedCells(refIn: DataFrame, curIn: DataFrame,
+      idCol: String): DataFrame = {
+    val hasOob = refIn.columns.contains("o")
+    def side(df: DataFrame, cName: String, oName: String) =
+      df.select(Seq(col("k"), col(idCol), col("c").as(cName)) ++
+        (if (hasOob) Seq(col("o").as(oName)) else Nil): _*)
+    val zero = lit(0L)
+    val joined = side(refIn, "cr", "or")
+      .join(side(curIn, "cc", "oc"), Seq("k", idCol), "full_outer")
+      .select(Seq(col("k"), col(idCol),
+        coalesce(col("cr"), zero).as("cr"),
+        coalesce(col("cc"), zero).as("cc")) ++
+        (if (hasOob) Seq(coalesce(col("or"), zero).as("or"),
+          coalesce(col("oc"), zero).as("oc")) else Nil): _*)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
     joined
       .withColumn("u", count(lit(1)).over(w))
@@ -238,11 +256,6 @@ object Maintenance {
       .withColumn("nc", sum(col("cc")).over(w))
       .withColumn("pr", (col("cr") + 1).cast("double") / (col("nr") + col("u")))
       .withColumn("pc", (col("cc") + 1).cast("double") / (col("nc") + col("u")))
-      .groupBy(col("k"))
-      .agg(first(col("nr")).as("n_ref"), first(col("nc")).as("n_cur"),
-        sum(col("or")).as("n_oob_ref"), sum(col("oc")).as("n_oob_cur"),
-        round(sum((col("pr") - col("pc")) * log(col("pr") / col("pc"))), 4)
-          .as("psi"))
   }
 
   /** Kolmogorov–Smirnov statistic between two quantile states — the
@@ -411,6 +424,16 @@ object Maintenance {
     val x = h1.bitwiseXOR(shiftright(h1, 16))
     val h2 = (x * lit(40503L)) % lit(4294967296L)
     h2.bitwiseXOR(shiftright(h2, 13))
+  }
+
+  /** Scalar twin of [[mix32]] for driver-side probe hashing — the ONE
+    * other implementation, law-tested equal to the Column form, so an
+    * index built with mix32 and a probe hashed here can never drift. */
+  def mix32Long(v: Long): Long = {
+    val h1 = (v * 2654435761L) % 4294967296L
+    val x = h1 ^ (h1 >> 16)
+    val h2 = (x * 40503L) % 4294967296L
+    h2 ^ (h2 >> 13)
   }
 
   /** Bottom-k sketch state of one batch: the k DISTINCT values with
@@ -601,21 +624,10 @@ object Maintenance {
     * total and replayable. Items must be non-negative (the OTHER
     * sentinel is −1). Output: (k, n_ref, n_cur, psi). */
   def psiFromHeavyHitters(ref: DataFrame, cur: DataFrame): DataFrame = {
-    def withSentinel(df: DataFrame, cName: String) =
+    def withSentinel(df: DataFrame) =
       df.select(col("k"),
-        coalesce(col("i"), lit(-1L)).as("i"), col("c").as(cName))
-    val joined = withSentinel(ref, "cr")
-      .join(withSentinel(cur, "cc"), Seq("k", "i"), "full_outer")
-      .select(col("k"), col("i"),
-        coalesce(col("cr"), lit(0L)).as("cr"),
-        coalesce(col("cc"), lit(0L)).as("cc"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
-    joined
-      .withColumn("u", count(lit(1)).over(w))
-      .withColumn("nr", sum(col("cr")).over(w))
-      .withColumn("nc", sum(col("cc")).over(w))
-      .withColumn("pr", (col("cr") + 1).cast("double") / (col("nr") + col("u")))
-      .withColumn("pc", (col("cc") + 1).cast("double") / (col("nc") + col("u")))
+        coalesce(col("i"), lit(-1L)).as("i"), col("c"))
+    smoothedCells(withSentinel(ref), withSentinel(cur), "i")
       .groupBy(col("k"))
       .agg(first(col("nr")).as("n_ref"), first(col("nc")).as("n_cur"),
         round(sum((col("pr") - col("pc")) * log(col("pr") / col("pc"))), 4)
@@ -631,23 +643,7 @@ object Maintenance {
     * the midpoint, natural log. Output: (k, n_ref, n_cur, n_oob_ref,
     * n_oob_cur, hellinger, js). */
   def hellingerJsFromStates(ref: DataFrame, cur: DataFrame): DataFrame = {
-    val joined = ref.select(col("k"), col("b"), col("c").as("cr"),
-        col("o").as("or"))
-      .join(cur.select(col("k"), col("b"), col("c").as("cc"),
-        col("o").as("oc")),
-        Seq("k", "b"), "full_outer")
-      .select(col("k"), col("b"),
-        coalesce(col("cr"), lit(0L)).as("cr"),
-        coalesce(col("cc"), lit(0L)).as("cc"),
-        coalesce(col("or"), lit(0L)).as("or"),
-        coalesce(col("oc"), lit(0L)).as("oc"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
-    joined
-      .withColumn("u", count(lit(1)).over(w))
-      .withColumn("nr", sum(col("cr")).over(w))
-      .withColumn("nc", sum(col("cc")).over(w))
-      .withColumn("pr", (col("cr") + 1).cast("double") / (col("nr") + col("u")))
-      .withColumn("pc", (col("cc") + 1).cast("double") / (col("nc") + col("u")))
+    smoothedCells(ref, cur, "b")
       .withColumn("mid", (col("pr") + col("pc")) / 2)
       .groupBy(col("k"))
       .agg(first(col("nr")).as("n_ref"), first(col("nc")).as("n_cur"),

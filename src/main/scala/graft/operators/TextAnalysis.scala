@@ -1495,7 +1495,10 @@ object TextAnalysis {
       },
       Some("""
         WITH t AS (
-          SELECT doc_id, string_split(text, ' ') AS ws,
+          -- filter empties to pin tokenization to the Spark side's
+          -- filter(_.nonEmpty): irregular spacing must not shift slices
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS ws,
                  3 + doc_id % 3 AS sw
           FROM documents
           WHERE length(text) > 0),

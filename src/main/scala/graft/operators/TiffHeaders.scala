@@ -67,8 +67,11 @@ object TiffHeaders {
       for {
         w <- tags.get(256)
         h <- tags.get(257)
-        bps <- tags.get(258)
       } yield {
+        // TIFF 6.0 declares BitsPerSample OPTIONAL with default 1 — a
+        // bilevel fax/scan (exactly the document-crawl TIFF) commonly
+        // omits it; requiring the tag would misroute those as text
+        val bps = tags.getOrElse(258, 1L)
         if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue ||
           bps <= 0) return None
         ImageMeta("tiff", w.toInt, h.toInt, bps.toInt)

@@ -39,15 +39,11 @@ final class IncrementalAgg(
     sumCols: Seq[String],
     retainVersions: Int = 2) {
 
-  private val pointer = Paths.get(stateDir, "_LATEST")
+  private val pointer = IncrementalAgg.pointerOf(stateDir)
 
   /** Current merged state (empty frame with the right columns if no run
     * has happened yet). */
-  def state(): Option[DataFrame] =
-    if (Files.exists(pointer))
-      Some(spark.read.parquet(
-        Paths.get(stateDir, Files.readString(pointer).trim).toString))
-    else None
+  def state(): Option[DataFrame] = IncrementalAgg.readState(spark, stateDir)
 
   private def aggregate(df: DataFrame): DataFrame =
     df.groupBy(keys.map(col): _*)
@@ -100,13 +96,9 @@ final class IncrementalQuantile(
     lo: Double, hi: Double, bins: Int,
     retainVersions: Int = 2) {
 
-  private val pointer = Paths.get(stateDir, "_LATEST")
+  private val pointer = IncrementalAgg.pointerOf(stateDir)
 
-  def state(): Option[DataFrame] =
-    if (Files.exists(pointer))
-      Some(spark.read.parquet(
-        Paths.get(stateDir, Files.readString(pointer).trim).toString))
-    else None
+  def state(): Option[DataFrame] = IncrementalAgg.readState(spark, stateDir)
 
   /** Process newly-arrived files, fold their quantile state in. */
   def update(): Unit =
@@ -133,19 +125,8 @@ final class IncrementalQuantile(
   def previousState(): Option[DataFrame] = {
     if (!Files.exists(pointer)) return None
     val current = Files.readString(pointer).trim
-    val dir = Paths.get(stateDir)
-    val listing = Files.list(dir)
-    val versions =
-      try {
-        val it = listing.iterator()
-        val buf = scala.collection.mutable.ListBuffer.empty[String]
-        while (it.hasNext) {
-          val n = it.next().getFileName.toString
-          if (n.matches("v\\d+")) buf += n
-        }
-        buf.toList.sortBy(v => -v.drop(1).toLong)
-      } finally listing.close()
-    versions.dropWhile(_ != current).drop(1).headOption
+    IncrementalAgg.listVersions(stateDir).reverse
+      .dropWhile(_ != current).drop(1).headOption
       .map(v => spark.read.parquet(Paths.get(stateDir, v).toString))
   }
 
@@ -179,13 +160,9 @@ final class IncrementalBottomK(
     k: Int,
     retainVersions: Int = 2) {
 
-  private val pointer = Paths.get(stateDir, "_LATEST")
+  private val pointer = IncrementalAgg.pointerOf(stateDir)
 
-  def state(): Option[DataFrame] =
-    if (Files.exists(pointer))
-      Some(spark.read.parquet(
-        Paths.get(stateDir, Files.readString(pointer).trim).toString))
-    else None
+  def state(): Option[DataFrame] = IncrementalAgg.readState(spark, stateDir)
 
   /** Process newly-arrived files, fold their sketches in. */
   def update(): Unit =
@@ -223,13 +200,9 @@ final class IncrementalManifest(
     statsCol: String,
     retainVersions: Int = 2) {
 
-  private val pointer = Paths.get(stateDir, "_LATEST")
+  private val pointer = IncrementalAgg.pointerOf(stateDir)
 
-  def state(): Option[DataFrame] =
-    if (Files.exists(pointer))
-      Some(spark.read.parquet(
-        Paths.get(stateDir, Files.readString(pointer).trim).toString))
-    else None
+  def state(): Option[DataFrame] = IncrementalAgg.readState(spark, stateDir)
 
   private def partial(batch: DataFrame): DataFrame =
     batch.withColumn("f", input_file_name())
@@ -252,7 +225,34 @@ final class IncrementalManifest(
     * files, an OLD manifest version IS a snapshot: scanning through it
     * sees exactly the files that existed at that fold — time travel
     * for free out of the keep-last-N retention. */
-  def versions(): Seq[String] = {
+  def versions(): Seq[String] = IncrementalAgg.listVersions(stateDir)
+
+  /** The manifest as of a retained version (from [[versions]]). */
+  def stateAt(version: String): DataFrame =
+    spark.read.parquet(Paths.get(stateDir, version).toString)
+}
+
+object IncrementalAgg {
+
+  /** Shared state-dir plumbing for the four incremental maintainers —
+    * ONE pointer convention, ONE pointer-follow read, ONE version
+    * listing, so a fix (pointer-read race, version regex) lands
+    * everywhere at once. */
+  private[streaming] def pointerOf(stateDir: String): Path =
+    Paths.get(stateDir, "_LATEST")
+
+  private[streaming] def readState(spark: SparkSession,
+      stateDir: String): Option[DataFrame] = {
+    val pointer = pointerOf(stateDir)
+    if (Files.exists(pointer))
+      Some(spark.read.parquet(
+        Paths.get(stateDir, Files.readString(pointer).trim).toString))
+    else None
+  }
+
+  /** Retained version directory names in ASCENDING batch order (v10
+    * outranks v9 numerically, not lexicographically). */
+  private[streaming] def listVersions(stateDir: String): Seq[String] = {
     val dir = Paths.get(stateDir)
     if (!Files.exists(dir)) return Seq.empty
     val listing = Files.list(dir)
@@ -267,12 +267,6 @@ final class IncrementalManifest(
     } finally listing.close()
   }
 
-  /** The manifest as of a retained version (from [[versions]]). */
-  def stateAt(version: String): DataFrame =
-    spark.read.parquet(Paths.get(stateDir, version).toString)
-}
-
-object IncrementalAgg {
   /** The shared fold harness behind [[IncrementalAgg]] and
     * [[IncrementalQuantile]]: stream newly-arrived files
     * (Trigger.AvailableNow — the checkpoint is the seen-set), fold each
@@ -340,21 +334,10 @@ object IncrementalAgg {
       retain: Int): Unit = {
     if (!Files.exists(pointer)) return
     val current = Files.readString(pointer).trim
-    val dir = Paths.get(stateDir)
-    val listing = Files.list(dir)
-    val versions =
-      try {
-        val it = listing.iterator()
-        val buf = scala.collection.mutable.ListBuffer.empty[Path]
-        while (it.hasNext) {
-          val p = it.next()
-          if (p.getFileName.toString.matches("v\\d+")) buf += p
-        }
-        buf.toList.sortBy(p =>
-          -p.getFileName.toString.drop(1).toLong)
-      } finally listing.close()
-    versions.drop(retain)
-      .filterNot(_.getFileName.toString == current)
+    listVersions(stateDir).reverse
+      .drop(retain)
+      .filterNot(_ == current)
+      .map(v => Paths.get(stateDir, v))
       .foreach(deleteRecursively)
   }
 

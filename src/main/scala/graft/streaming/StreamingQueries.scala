@@ -557,10 +557,13 @@ object StreamingQueries {
           val (rows, nSel, nTot) = graft.operators.DataSkipping
             .skippingFileRangeScan(s, inc.stateAt(v), "o_orderkey",
               0L, 1000000000L, emptyLike = o)
+          // exact-cents money: a whole-table double sum accumulates
+          // order-dependent error past the 4dp round at sf1 row counts
           rows.agg(count(lit(1)).as("n_orders"),
-            round(sum($"o_totalprice"), 4).as("total_price"))
+            sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+              .as("total_cents"))
             .select(lit(label).as("snapshot"), col("n_orders"),
-              col("total_price"), lit(nSel).as("n_files"),
+              col("total_cents"), lit(nSel).as("n_files"),
               lit(nTot).as("n_files_total"))
         }
         at(vs.head, "oldest").unionAll(at(vs.last, "current"))
@@ -569,14 +572,16 @@ object StreamingQueries {
       Some("""
         SELECT 'current' AS snapshot,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 4) AS total_price,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents,
                CAST(3 AS BIGINT) AS n_files,
                CAST(3 AS BIGINT) AS n_files_total
         FROM orders
         UNION ALL
         SELECT 'oldest' AS snapshot,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 4) AS total_price,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents,
                CAST(1 AS BIGINT) AS n_files,
                CAST(1 AS BIGINT) AS n_files_total
         FROM orders
