@@ -134,6 +134,60 @@ object DataSkipping {
       .join(broadcast(tombstones.select(col("fg"), col("k").as(keyCol))),
         Seq("fg", keyCol), "left_anti")
 
+  /** MAJOR COMPACTION: fold tombstones into the data files and retire
+    * them. Only the groups that actually hold deletes are rewritten
+    * (read → anti-join → write); untouched groups move as FILES with
+    * no decode (locally a copy; on an object store a metadata move) —
+    * the reason deletes were cheap to accumulate is that the rewrite
+    * is deferred to here and scoped to affected groups. After
+    * compaction the tombstone table is obsolete: scans of `outDir`
+    * need no anti-join. Returns (nRewritten, nCopied). */
+  def majorCompaction(spark: SparkSession, dataDir: String,
+      tombstones: DataFrame, keyCol: String,
+      outDir: String): (Long, Long) = {
+    val affected = tombstones.select(col("fg").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val allFgs = spark.read.parquet(dataDir)
+      .select(col("fg").cast("long")).distinct().collect()
+      .map(_.getLong(0)).sorted
+    val outRoot = new java.io.File(outDir)
+    if (outRoot.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(outRoot)
+    }
+    outRoot.mkdirs()
+    var rewritten = 0L
+    var copied = 0L
+    allFgs.foreach { g =>
+      val src = s"$dataDir/fg=$g"
+      val dst = s"$outDir/fg=$g"
+      if (affected.contains(g)) {
+        spark.read.parquet(src)
+          .join(broadcast(tombstones.filter(col("fg") === g)
+            .select(col("k").as(keyCol))), Seq(keyCol), "left_anti")
+          .write.mode("overwrite").parquet(dst)
+        rewritten += 1
+      } else {
+        // untouched group: move the files, decode nothing
+        val d = new java.io.File(dst)
+        d.mkdirs()
+        new java.io.File(src).listFiles()
+          .filter(f => f.isFile && !f.getName.startsWith(".") &&
+            !f.getName.startsWith("_"))
+          .foreach { f =>
+            java.nio.file.Files.copy(f.toPath,
+              new java.io.File(d, f.getName).toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        copied += 1
+      }
+    }
+    (rewritten, copied)
+  }
+
   /** Hash-membership manifest over ANY column (the bloom-index shape):
     * the DISTINCT (fg, bucket) pairs with bucket = mix32(col) mod
     * `buckets`. A point probe keeps only groups holding its bucket;
@@ -405,6 +459,58 @@ object DataSkipping {
                     AS BIGINT) AS total_cents,
                (SELECT CAST(count(*) AS BIGINT) FROM deleted)
                  AS n_tombstones
+        FROM orders
+        WHERE NOT (o_orderkey % 10 = 3 AND o_orderkey BETWEEN 2000 AND 8000)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    // the delete LIFECYCLE closed: q279 accumulated tombstones; this
+    // folds them in. Only the groups holding deletes rewrite (2 of 4
+    // at sf0.01 — the deleted key range spans two groups); untouched
+    // groups move as files with no decode. The compacted layout is
+    // scanned WITHOUT any anti-join and must equal q279's
+    // tombstone-applied scan — the oracle replays the delete predicate
+    // and the rewrite receipts from the key arithmetic.
+    QueryDef(
+      "q281_major_compaction",
+      (s, dir) => {
+        import s.implicits._
+        val out = scratch(dir, "skip_q281")
+        val compacted = scratch(dir, "skip_q281_out")
+        val orders = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+        writeClustered(orders, $"o_orderkey", span = 4000L, out)
+        val tombs = orders
+          .filter($"o_orderkey" % 10 === 3 &&
+            $"o_orderkey".between(2000, 8000))
+          .select(floor($"o_orderkey" / 4000L).as("fg"),
+            $"o_orderkey".as("k"))
+        val (nRw, nCp) = majorCompaction(s, out, tombs, "o_orderkey",
+          compacted)
+        // post-compaction scan: NO tombstone join — the files are clean
+        s.read.parquet(compacted)
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+              .as("total_cents"))
+          .withColumn("n_groups_rewritten", lit(nRw))
+          .withColumn("n_groups_copied", lit(nCp))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        WITH del AS (
+          SELECT o_orderkey FROM orders
+          WHERE o_orderkey % 10 = 3 AND o_orderkey BETWEEN 2000 AND 8000),
+        rw AS (SELECT CAST(count(DISTINCT o_orderkey // 4000) AS BIGINT)
+                 AS n FROM del),
+        tot AS (SELECT CAST(count(DISTINCT o_orderkey // 4000) AS BIGINT)
+                  AS n FROM orders)
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents,
+               (SELECT n FROM rw) AS n_groups_rewritten,
+               (SELECT tot.n - rw.n FROM tot, rw) AS n_groups_copied
         FROM orders
         WHERE NOT (o_orderkey % 10 = 3 AND o_orderkey BETWEEN 2000 AND 8000)
         GROUP BY o_orderpriority

@@ -129,6 +129,43 @@ object Linkage {
         JOIN p b ON a.p_brand = b.p_brand AND a.w1 = b.w1
                 AND a.p_partkey < b.p_partkey
         WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.9
-        ORDER BY p1, p2"""))
+        ORDER BY p1, p2""")),
+
+    // true Damerau–Levenshtein linkage through the NATIVE codegen
+    // expression — q174's edit-distance join upgraded with
+    // transposition as a single edit: digit swaps in ids/names are
+    // the dominant typo class, and plain Levenshtein double-charges
+    // them (the output carries BOTH distances; rows with dl < lev are
+    // the transposition pairs the upgrade exists for). Blocked on the
+    // leading digit run (both sides identically — blocked-join
+    // semantics, the q280 discipline). The oracle referee is DuckDB's
+    // own damerau_levenshtein — the same unrestricted variant,
+    // checked pairwise.
+    QueryDef(
+      "q282_damerau_linkage",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.DamerauLevenshtein.register(s)
+        val sup = Tables.load(s, dir, "supplier")
+          .select($"s_name", substring($"s_name", 10, 6).as("blk"))
+        val a = sup.select($"s_name".as("name_a"), $"blk")
+        val b = sup.select($"s_name".as("name_b"), $"blk")
+        a.join(b, Seq("blk"))
+          .filter($"name_a" < $"name_b")
+          .withColumn("dl", expr("damerau_levenshtein(name_a, name_b)"))
+          .filter($"dl" <= 1)
+          .withColumn("lev", levenshtein($"name_a", $"name_b"))
+          .select($"name_a", $"name_b", $"dl", $"lev")
+          .orderBy($"name_a", $"name_b")
+      },
+      Some("""
+        WITH s AS (SELECT s_name, substring(s_name, 10, 6) AS blk
+                   FROM supplier)
+        SELECT a.s_name AS name_a, b.s_name AS name_b,
+               CAST(damerau_levenshtein(a.s_name, b.s_name) AS INT) AS dl,
+               CAST(levenshtein(a.s_name, b.s_name) AS INT) AS lev
+        FROM s a JOIN s b ON a.blk = b.blk AND a.s_name < b.s_name
+        WHERE damerau_levenshtein(a.s_name, b.s_name) <= 1
+        ORDER BY name_a, name_b"""))
   )
 }

@@ -110,6 +110,31 @@ class DataSkippingSpec extends SparkSpec {
     assert(zSelY < 16L, s"z layout must prune a y-only predicate, got $zSelY")
   }
 
+  test("major compaction: compacted layout equals the tombstone-applied " +
+      "scan, only affected groups rewrite, untouched files copy intact") {
+    val out = tmp("compact_in")
+    val compacted = tmp("compact_out")
+    writeClustered(df, $"k", span = 2000L, out) // 5 groups
+    val tombs = df.filter($"k" % 7 === 0 && $"k" < 4000)
+      .select(floor($"k" / 2000L).as("fg"), $"k")
+      .withColumnRenamed("k", "k")
+      .select($"fg", col("k").as("k"))
+    val (nRw, nCp) = majorCompaction(spark, out, tombs, "k", compacted)
+    assert(nRw === 2L, "deleted keys live in groups 0 and 1 only")
+    assert(nCp === 3L)
+    val expected = scanWithDeletes(spark, out, tombs, "k")
+      .select($"k", $"probe_col", $"payload")
+    val clean = spark.read.parquet(compacted)
+      .select($"k", $"probe_col", $"payload")
+    assert(clean.exceptAll(expected).isEmpty &&
+      expected.exceptAll(clean).isEmpty)
+    // untouched groups round-trip byte-identically (files were copied,
+    // not decoded): group 4 content matches the source exactly
+    val srcG4 = spark.read.parquet(s"$out/fg=4")
+    val dstG4 = spark.read.parquet(s"$compacted/fg=4")
+    assert(srcG4.exceptAll(dstG4).isEmpty && dstG4.exceptAll(srcG4).isEmpty)
+  }
+
   test("membership prunes by content: a probe localized to few groups " +
       "opens few groups") {
     // values localized by construction: probe_col equals the group id,
