@@ -91,27 +91,35 @@ object Linkage {
         ORDER BY name_a, name_b""")),
 
     // Jaro–Winkler linkage through the NATIVE codegen expression
-    // (graft.functions.JaroWinkler) — the prefix-weighted similarity
-    // record linkage actually uses on names, blocked by (brand, first
-    // word) so candidates stay linear in parts (JW's prefix bonus
-    // means cross-first-word pairs score low anyway — the block is
-    // the production prefix-blocking move). The oracle is DuckDB's
-    // own jaro_winkler_similarity: an independent implementation of
-    // the same pinned variant refereeing ours pairwise.
+    // (graft.functions.JaroWinkler) via SORTED-NEIGHBORHOOD candidate
+    // generation (Hernández–Stolfo SNM — public): within each
+    // (brand, first-word) sort key, each name pairs with its next W
+    // sorted neighbors, so candidates are W·n — LINEAR at any corpus
+    // size (the plain blocked self-join was measured QUADRATIC at the
+    // sf3 probe: block size grows with the corpus). The sort order is
+    // JW-aligned — high-JW pairs share prefixes and sort adjacent.
+    // The neighbor pairs build by explode + EQUI-join on the neighbor
+    // rank, so the plan never materializes block² rows either. The
+    // oracle is DuckDB's own jaro_winkler_similarity refereeing the
+    // identical SNM construction pairwise.
     QueryDef(
       "q280_jaro_winkler_linkage",
       (s, dir) => {
         import s.implicits._
         graft.functions.JaroWinkler.register(s)
+        val win = 12
         val p = Tables.load(s, dir, "part")
           .select($"p_partkey", $"p_name", $"p_brand",
             split($"p_name", " ").getItem(0).as("w1"))
-        val a = p.select($"p_partkey".as("p1"), $"p_name".as("name_a"),
-          $"p_brand", $"w1")
-        val b = p.select($"p_partkey".as("p2"), $"p_name".as("name_b"),
-          $"p_brand", $"w1")
-        a.join(b, Seq("p_brand", "w1"))
-          .filter($"p1" < $"p2")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"p_brand", $"w1").orderBy($"p_name", $"p_partkey")
+        val r = p.withColumn("rn", row_number().over(w))
+        val anchors = r.select($"p_brand", $"w1", $"rn",
+          $"p_partkey".as("p1"), $"p_name".as("name_a"))
+          .withColumn("nbr", explode(sequence($"rn" + 1, $"rn" + win)))
+        val nbrs = r.select($"p_brand", $"w1", $"rn".as("nbr"),
+          $"p_partkey".as("p2"), $"p_name".as("name_b"))
+        anchors.join(nbrs, Seq("p_brand", "w1", "nbr"))
           .withColumn("jw",
             round(expr("jaro_winkler(name_a, name_b)"), 4))
           .filter($"jw" >= 0.9)
@@ -121,14 +129,22 @@ object Linkage {
       Some("""
         WITH p AS (SELECT p_partkey, p_name, p_brand,
                           string_split(p_name, ' ')[1] AS w1
-                   FROM part)
-        SELECT a.p_partkey AS p1, b.p_partkey AS p2,
-               a.p_name AS name_a, b.p_name AS name_b,
-               round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
-        FROM p a
-        JOIN p b ON a.p_brand = b.p_brand AND a.w1 = b.w1
-                AND a.p_partkey < b.p_partkey
-        WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.9
+                   FROM part),
+        r AS (SELECT p_partkey, p_name, p_brand, w1,
+                     row_number() OVER (PARTITION BY p_brand, w1
+                                        ORDER BY p_name, p_partkey) AS rn
+              FROM p),
+        anchors AS (
+          SELECT p_brand, w1, p_partkey AS p1, p_name AS name_a,
+                 unnest(generate_series(rn + 1, rn + 12)) AS nbr
+          FROM r)
+        SELECT a.p1, b.p_partkey AS p2,
+               a.name_a, b.p_name AS name_b,
+               round(jaro_winkler_similarity(a.name_a, b.p_name), 4) AS jw
+        FROM anchors a
+        JOIN r b ON a.p_brand = b.p_brand AND a.w1 = b.w1
+                AND a.nbr = b.rn
+        WHERE round(jaro_winkler_similarity(a.name_a, b.p_name), 4) >= 0.9
         ORDER BY p1, p2""")),
 
     // true Damerau–Levenshtein linkage through the NATIVE codegen
