@@ -265,6 +265,209 @@ object AudioHeaders {
     out.toByteArray
   }
 
+  // ------------------------------------------------------------------
+  // Ogg container (Opus / Vorbis identification headers)
+  // ------------------------------------------------------------------
+
+  /** Decoded Ogg stream metadata (public specs: RFC 3533 container,
+    * RFC 7845 Opus, Vorbis I). `nSamples` is the playable per-channel
+    * sample count: last granule minus pre-skip for Opus (granules run
+    * at a FIXED 48 kHz for Opus regardless of `sampleRate`, which
+    * reports the original input rate), last granule for Vorbis (whose
+    * granules run at `sampleRate`). */
+  final case class OggMeta(codec: String, channels: Int, sampleRate: Int,
+      preSkip: Int, nPages: Long, nSamples: Long)
+
+  private def i64le(b: Array[Byte], i: Int): Long = {
+    var v = 0L; var k = 7
+    while (k >= 0) { v = (v << 8) | (b(i + k) & 0xff); k -= 1 }
+    v
+  }
+
+  /** Ogg page CRC: CRC-32 poly 0x04c11db7, init 0, NO reflection, NO
+    * final xor (RFC 3533 appendix A) — deliberately not java.util.zip's
+    * reflected CRC-32. Computed over the whole page with the CRC field
+    * zeroed. */
+  private def oggCrc(b: Array[Byte], off: Int, len: Int,
+      crcFieldOff: Int): Int = {
+    var crc = 0
+    var i = 0
+    while (i < len) {
+      val raw = b(off + i) & 0xff
+      val byte = if (i >= crcFieldOff && i < crcFieldOff + 4) 0 else raw
+      crc ^= byte << 24
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80000000) != 0) (crc << 1) ^ 0x04c11db7
+        else crc << 1
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** Ogg sniff: STRICT full page walk — 'OggS' capture pattern, stream
+    * version 0, lacing-table payload sizes, page CRC VERIFIED per page
+    * (the container's own integrity check — a flipped payload bit
+    * yields None, not a wrong answer), one logical stream (constant
+    * serial, sequence numbers 0..n−1, BOS flag on the first page, EOS
+    * on the last), walk ending exactly at the buffer edge. The first
+    * page's payload must be an OpusHead (RFC 7845 §5.1) or Vorbis
+    * identification header (Vorbis I §4.2.2); the last page's granule
+    * position gives the sample count. Opus granules tick at 48 kHz and
+    * include pre-skip; Vorbis granules tick at the declared rate. */
+  def decodeOgg(b: Array[Byte]): Option[OggMeta] = {
+    if (b == null || b.length < 28) return None
+    var off = 0L
+    var seq = 0L
+    var serial = 0L
+    var lastGranule = 0L
+    var firstPayload: Array[Byte] = null
+    var sawEos = false
+    while (off + 27 <= b.length) {
+      if (sawEos) return None // pages after the end-of-stream page
+      val o = off.toInt
+      if (b(o) != 'O' || b(o + 1) != 'g' || b(o + 2) != 'g' ||
+        b(o + 3) != 'S') return None
+      if (b(o + 4) != 0) return None // stream structure version
+      val hdrType = b(o + 5) & 0xff
+      val granule = i64le(b, o + 6)
+      val pageSerial = u32le(b, o + 14)
+      val pageSeq = u32le(b, o + 18)
+      val crc = u32le(b, o + 22)
+      val nSegs = b(o + 26) & 0xff
+      if (off + 27 + nSegs > b.length) return None
+      var payloadLen = 0
+      var i = 0
+      while (i < nSegs) { payloadLen += b(o + 27 + i) & 0xff; i += 1 }
+      val pageLen = 27 + nSegs + payloadLen
+      if (off + pageLen > b.length) return None
+      if (oggCrc(b, o, pageLen, 22) != crc.toInt) return None
+      if (pageSeq != seq) return None // lost page
+      if (seq == 0L) {
+        if ((hdrType & 0x02) == 0) return None // first page must be BOS
+        serial = pageSerial
+        firstPayload = java.util.Arrays.copyOfRange(b, o + 27 + nSegs,
+          o + pageLen)
+      } else if (pageSerial != serial) return None // multiplexed stream
+      if ((hdrType & 0x04) != 0) sawEos = true
+      if (granule != -1L) lastGranule = granule
+      seq += 1
+      off += pageLen
+    }
+    if (off != b.length || seq == 0L || !sawEos) return None
+    val p = firstPayload
+    def u8(i: Int) = p(i) & 0xff
+    if (p.length >= 19 && new String(p, 0, 8, "US-ASCII") == "OpusHead") {
+      if (u8(8) != 1) return None // OpusHead version
+      val ch = u8(9)
+      val preSkip = (p(10) & 0xff) | ((p(11) & 0xff) << 8)
+      val inRate = u32le(p, 12)
+      val samples = lastGranule - preSkip
+      if (ch <= 0 || inRate <= 0 || inRate > Int.MaxValue || samples < 0)
+        return None
+      Some(OggMeta("opus", ch, inRate.toInt, preSkip, seq, samples))
+    } else if (p.length >= 30 && p(0) == 1 &&
+      new String(p, 1, 6, "US-ASCII") == "vorbis") {
+      if (u32le(p, 7) != 0L) return None // vorbis version must be 0
+      val ch = u8(11)
+      val rate = u32le(p, 12)
+      if (ch <= 0 || rate <= 0 || rate > Int.MaxValue || lastGranule < 0)
+        return None
+      Some(OggMeta("vorbis", ch, rate.toInt, 0, seq, lastGranule))
+    } else None
+  }
+
+  private def writeOggPage(out: ByteArrayOutputStream, hdrType: Int,
+      granule: Long, serial: Long, seq: Long,
+      payload: Array[Byte]): Unit = {
+    val nFull = payload.length / 255
+    val nSegs = nFull + 1 // final lacing value = len % 255 (may be 0)
+    require(nSegs <= 255, s"payload ${payload.length} needs >255 segments")
+    val page = new Array[Byte](27 + nSegs + payload.length)
+    page(0) = 'O'; page(1) = 'g'; page(2) = 'g'; page(3) = 'S'
+    page(4) = 0
+    page(5) = hdrType.toByte
+    var g = granule; var i = 0
+    while (i < 8) { page(6 + i) = (g & 0xff).toByte; g >>= 8; i += 1 }
+    var s = serial; i = 0
+    while (i < 4) { page(14 + i) = (s & 0xff).toByte; s >>= 8; i += 1 }
+    var q = seq; i = 0
+    while (i < 4) { page(18 + i) = (q & 0xff).toByte; q >>= 8; i += 1 }
+    page(26) = nSegs.toByte
+    i = 0
+    while (i < nFull) { page(27 + i) = 0xff.toByte; i += 1 }
+    page(27 + nFull) = (payload.length % 255).toByte
+    System.arraycopy(payload, 0, page, 27 + nSegs, payload.length)
+    val crc = oggCrc(page, 0, page.length, 22)
+    i = 0
+    while (i < 4) { page(22 + i) = ((crc >> (8 * i)) & 0xff).toByte; i += 1 }
+    out.write(page, 0, page.length)
+  }
+
+  private def encodeOggStream(idPayload: Array[Byte], nDataPages: Int,
+      granulesPerPage: Long, granuleBase: Long,
+      note: Array[Byte]): Array[Byte] = {
+    require(nDataPages >= 1, "need >=1 data page")
+    require(note.length <= 254 * 255, "note exceeds one page's lacing")
+    val out = new ByteArrayOutputStream(256 + note.length + nDataPages * 29)
+    val serial = 0x47524654L // arbitrary but fixed
+    writeOggPage(out, 0x02, 0L, serial, 0L, idPayload) // BOS
+    writeOggPage(out, 0x00, 0L, serial, 1L, note) // comment page
+    var i = 0
+    while (i < nDataPages) {
+      val eos = if (i == nDataPages - 1) 0x04 else 0x00
+      writeOggPage(out, eos, granuleBase + granulesPerPage * (i + 1),
+        serial, 2L + i, Array[Byte](0))
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** Fixture emitter: BOS page with a byte-valid OpusHead, a comment
+    * page carrying `note`, then `nDataPages` one-byte data pages with
+    * granules stepping `granulesPerPage` from the pre-skip base, EOS
+    * on the last. Real page CRCs. Stream length = 47 + (28 +
+    * |note|/255 + |note|) + 29·nDataPages — the formula the oracle
+    * replays. */
+  def encodeOggOpus(channels: Int, preSkip: Int, inputRate: Int,
+      nDataPages: Int, granulesPerPage: Long,
+      note: Array[Byte]): Array[Byte] = {
+    require(channels >= 1 && channels <= 255 && preSkip >= 0 &&
+      preSkip <= 0xffff && inputRate > 0, "invalid OpusHead fields")
+    val p = new Array[Byte](19)
+    "OpusHead".getBytes("US-ASCII").copyToArray(p)
+    p(8) = 1 // version
+    p(9) = channels.toByte
+    p(10) = (preSkip & 0xff).toByte; p(11) = ((preSkip >> 8) & 0xff).toByte
+    var r = inputRate.toLong; var i = 0
+    while (i < 4) { p(12 + i) = (r & 0xff).toByte; r >>= 8; i += 1 }
+    // output gain 0, mapping family 0 already zeroed
+    encodeOggStream(p, nDataPages, granulesPerPage, preSkip.toLong, note)
+  }
+
+  /** Fixture emitter, Vorbis flavor: BOS page with a byte-valid
+    * Vorbis I identification header (30 bytes), then the same comment
+    * + data page chain as [[encodeOggOpus]]. Stream length = 58 +
+    * (28 + |note|/255 + |note|) + 29·nDataPages. */
+  def encodeOggVorbis(channels: Int, sampleRate: Int, nDataPages: Int,
+      granulesPerPage: Long, note: Array[Byte]): Array[Byte] = {
+    require(channels >= 1 && channels <= 255 && sampleRate > 0,
+      "invalid vorbis id fields")
+    val p = new Array[Byte](30)
+    p(0) = 1
+    "vorbis".getBytes("US-ASCII").copyToArray(p, 1)
+    // version u32 = 0 already zeroed
+    p(11) = channels.toByte
+    var r = sampleRate.toLong; var i = 0
+    while (i < 4) { p(12 + i) = (r & 0xff).toByte; r >>= 8; i += 1 }
+    // bitrate max/nominal/min 0; blocksizes: legal 256/2048 exponents
+    p(28) = ((11 << 4) | 8).toByte
+    p(29) = 1 // framing bit
+    encodeOggStream(p, nDataPages, granulesPerPage, 0L, note)
+  }
+
   /** Minimal structurally-valid WAV header stream: RIFF/WAVE, a LIST
     * chunk carrying `note` (variable length — the walker must hop it),
     * fmt (PCM), and a data chunk DECLARING `nSamples` frames without

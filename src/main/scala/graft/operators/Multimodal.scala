@@ -98,6 +98,8 @@ object Multimodal {
         ("flac", Some(m.sampleRate.toLong))))
       .orElse(AudioHeaders.decodeMp3(b).map(m =>
         ("mp3", Some(m.sampleRate.toLong))))
+      .orElse(AudioHeaders.decodeOgg(b).map(m =>
+        ("ogg/" + m.codec, Some(m.sampleRate.toLong))))
       .orElse(VideoHeaders.decodeMp4(b).map(m =>
         ("mp4", Some(m.timescale.toLong))))
       .orElse(Compression.decodeGzipHeader(b).map(m =>
@@ -141,6 +143,34 @@ object Multimodal {
             Some(rate), Some(ch), Some(ns), r.media.length.toLong)
           case None => AudioSniffRow(r.doc_id, None, None, None, None,
             r.media.length.toLong)
+        }
+      }
+    }
+  }
+
+  /** Ogg-sniffed metadata; None columns = undecodable blob. `pre_skip`
+    * is 0 for Vorbis (the field is Opus-only); duration derives as
+    * n_samples · 1000 / 48000 for Opus (fixed granule clock) and
+    * n_samples · 1000 / sample_rate for Vorbis, at the caller. */
+  final case class OggSniffRow(doc_id: Long, codec: Option[String],
+      channels: Option[Int], sample_rate: Option[Int],
+      pre_skip: Option[Int], n_pages: Option[Long],
+      n_samples: Option[Long], n_bytes: Long)
+
+  /** Ogg filter pass beside [[sniffAudioHeaders]]: full page walk with
+    * per-page CRC verification ([[AudioHeaders.decodeOgg]]), OpusHead /
+    * Vorbis-id dispatch on the first page's payload. One corrupt blob
+    * yields a NULL row, never a failed job. */
+  def sniffOggHeaders(records: Dataset[MediaRecord]): Dataset[OggSniffRow] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        AudioHeaders.decodeOgg(r.media) match {
+          case Some(m) => OggSniffRow(r.doc_id, Some(m.codec),
+            Some(m.channels), Some(m.sampleRate), Some(m.preSkip),
+            Some(m.nPages), Some(m.nSamples), r.media.length.toLong)
+          case None => OggSniffRow(r.doc_id, None, None, None, None,
+            None, None, r.media.length.toLong)
         }
       }
     }
@@ -467,6 +497,87 @@ object Multimodal {
                CAST(CASE WHEN doc_id % 2 = 0
                     THEN (frames * 1152 * 1000) // mrate
                     ELSE (fsamp * 1000) // frate END AS BIGINT)
+                 AS duration_ms
+        FROM p
+        ORDER BY doc_id""")),
+
+    // Ogg sniff: each doc becomes a byte-valid Ogg stream (real page
+    // CRCs, lacing tables, BOS/EOS flags) — Opus for even ids, Vorbis
+    // for odd — with the doc text riding the comment page (the
+    // variable-length hop the walk must lace across). The oracle
+    // replays every output from the variant arithmetic: stream length
+    // from the page-size formulas, samples from granule steps, Opus
+    // duration at the FIXED 48 kHz granule clock vs Vorbis at the
+    // declared rate. A CRC, lacing, or granule bug shifts a column and
+    // hash-mismatches.
+    QueryDef(
+      "q284_ogg_header_sniff",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val note = text.getBytes("UTF-8")
+            val nData = (3 + id % 7).toInt
+            if (id % 2 == 0) {
+              val rate = (id % 3) match {
+                case 0 => 44100; case 1 => 48000; case _ => 32000
+              }
+              val ch = if (id % 4 == 0) 1 else 2
+              val preSkip = (156 + (id % 5) * 100).toInt
+              val gpp = 960L * (1 + id % 4)
+              MediaRecord(id, AudioHeaders.encodeOggOpus(ch, preSkip,
+                rate, nData, gpp, note), "audio/ogg")
+            } else {
+              val rate = (id % 3) match {
+                case 0 => 44100; case 1 => 48000; case _ => 22050
+              }
+              val ch = if (id % 4 == 1) 1 else 2
+              val gpp = 1024L * (1 + id % 3)
+              MediaRecord(id, AudioHeaders.encodeOggVorbis(ch, rate,
+                nData, gpp, note), "audio/ogg")
+            }
+          }
+        sniffOggHeaders(media).toDF()
+          .withColumn("duration_ms",
+            expr("(n_samples * 1000) div " +
+              "(CASE WHEN codec = 'opus' THEN 48000 ELSE sample_rate END)"))
+          .orderBy($"doc_id")
+      },
+      // opus: n_bytes = 75 + len//255 + len + 29*nData;
+      // vorbis: n_bytes = 86 + len//255 + len + 29*nData
+      Some("""
+        WITH p AS (
+          SELECT doc_id, octet_length(encode(text)) AS len,
+                 3 + doc_id % 7 AS ndata,
+                 CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                      ELSE 32000 END AS orate,
+                 CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                      ELSE 22050 END AS vrate,
+                 156 + (doc_id % 5) * 100 AS pre_skip,
+                 960 * (1 + doc_id % 4) AS ogpp,
+                 1024 * (1 + doc_id % 3) AS vgpp
+          FROM documents)
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'opus' ELSE 'vorbis' END
+                 AS codec,
+               CAST(CASE WHEN doc_id % 2 = 0
+                    THEN CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 2 END
+                    ELSE CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END END
+                    AS INT) AS channels,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN orate ELSE vrate END
+                    AS INT) AS sample_rate,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN pre_skip ELSE 0 END
+                    AS INT) AS pre_skip,
+               CAST(2 + ndata AS BIGINT) AS n_pages,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN ndata * ogpp
+                    ELSE ndata * vgpp END AS BIGINT) AS n_samples,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 75 ELSE 86 END
+                    + len // 255 + len + 29 * ndata AS BIGINT) AS n_bytes,
+               CAST(CASE WHEN doc_id % 2 = 0
+                    THEN (ndata * ogpp * 1000) // 48000
+                    ELSE (ndata * vgpp * 1000) // vrate END AS BIGINT)
                  AS duration_ms
         FROM p
         ORDER BY doc_id""")),

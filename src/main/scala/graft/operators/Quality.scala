@@ -90,6 +90,37 @@ object Quality {
   // fixture-bound oracle queries
   // ------------------------------------------------------------------
 
+  /** k-anonymity suppression over prepared quasi-identifier columns:
+    * every row whose QI combination occurs on fewer than `k` rows has
+    * the whole combination generalized to "*" and its group size
+    * withheld (reporting the rare count would leak the very
+    * information suppression hides). Rows in groups >= k pass through
+    * with the group size attached. Row count is preserved — this is
+    * the privacy gate a training-data export runs, not a filter.
+    *
+    * Scale shape: one partial+final count on the QI key — shuffle rows
+    * bounded by |distinct QI combinations|, not input rows — then a
+    * join back on the same key: AQE broadcasts the (small) counts side
+    * when it fits and co-partitions otherwise. Non-QI payload columns
+    * are deliberately DROPPED from the export (output = id + QI +
+    * audit columns); direct identifiers never ride along by accident,
+    * and a caller who needs payload rejoins on `id` explicitly. */
+  def kAnonymize(df: DataFrame, id: String, qi: Seq[String],
+      k: Int): DataFrame = {
+    require(qi.nonEmpty && k >= 1, "need QI columns and k >= 1")
+    val counts = df.groupBy(qi.map(col): _*)
+      .agg(count(lit(1)).as("n_group"))
+    val sup = col("n_group") < k
+    df.join(counts, qi)
+      .select(
+        (col(id) +:
+          qi.map(q =>
+            when(sup, lit("*")).otherwise(col(q).cast("string")).as(q)) :+
+          sup.as("suppressed") :+
+          when(sup, lit(null).cast("long")).otherwise(col("n_group"))
+            .as("n_group")): _*)
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -146,6 +177,41 @@ object Quality {
                (SELECT count(*) FROM orders
                 WHERE o_totalprice <= 0.0 OR o_totalprice > 300000.0)
         ORDER BY rule""")),
+
+    // k-anonymity gate over customer: QI = (nation, acctbal band of
+    // 2000) — coarse enough that both suppressed AND passing groups
+    // exist at every fixture SF, so both branches of the generalize
+    // are exercised. The oracle replays the group counts and the
+    // suppression rewrite; a wrong threshold comparison, a leaked
+    // rare-group count, or a dropped row all hash-mismatch.
+    QueryDef(
+      "q285_k_anonymity",
+      (s, dir) => {
+        import s.implicits._
+        val prepared = t(s, dir, "customer")
+          .select($"c_custkey",
+            $"c_nationkey".as("nation"),
+            floor($"c_acctbal" / 2000.0).cast("int").as("band"))
+        kAnonymize(prepared, "c_custkey", Seq("nation", "band"), k = 5)
+          .orderBy($"c_custkey")
+      },
+      Some("""
+        WITH q AS (
+          SELECT c_custkey, c_nationkey AS nat,
+                 CAST(floor(c_acctbal / 2000.0) AS INT) AS band
+          FROM customer),
+        g AS (SELECT nat, band, count(*) AS n
+              FROM q GROUP BY nat, band)
+        SELECT c_custkey,
+               CASE WHEN g.n < 5 THEN '*'
+                    ELSE CAST(q.nat AS VARCHAR) END AS nation,
+               CASE WHEN g.n < 5 THEN '*'
+                    ELSE CAST(q.band AS VARCHAR) END AS band,
+               g.n < 5 AS suppressed,
+               CAST(CASE WHEN g.n < 5 THEN NULL ELSE g.n END AS BIGINT)
+                 AS n_group
+        FROM q JOIN g ON q.nat = g.nat AND q.band = g.band
+        ORDER BY c_custkey""")),
 
     // single-pass observed curation metrics over documents: the oracle
     // recomputes every metric directly; the Spark side collects them as

@@ -682,6 +682,51 @@ object TextAnalysis {
           .cast("long"))
   }
 
+  /** Per-host repeated-LINE removal — the classic crawl-cleaning step
+    * (C4 drops lines repeated across the corpus; RefinedWeb per host):
+    * a line occurring on >= `minDocs` distinct pages of the SAME host
+    * is boilerplate (nav, footer, cookie banner) and is dropped from
+    * every page; surviving lines reassemble in original order.
+    *
+    * Input `pages`: (doc_id, host, text) with '\n'-separated lines.
+    * Output: (doc_id, n_kept, n_dropped, clean_text).
+    *
+    * Scale shape: one posexplode, then a partial+final count-distinct
+    * on (host, line) — shuffle rows are bounded by |distinct (host,
+    * line)|, not corpus lines, because map-side partial aggregation
+    * collapses each host's repeated lines per task. The boilerplate
+    * set (lines ABOVE the threshold) is tiny relative to the corpus
+    * — per-host template lines, not content — and joins back on the
+    * same (host, line) key the aggregation just shuffled on, so AQE
+    * picks a broadcast when it fits and a co-partitioned shuffle join
+    * when it doesn't. Within-page duplicate lines count ONCE toward
+    * the threshold (count DISTINCT doc_id) but every occurrence drops
+    * once the line is boilerplate — C4's semantics. */
+  def hostLineDedup(pages: DataFrame, minDocs: Int): DataFrame = {
+    val s = pages.sparkSession
+    import s.implicits._
+    val lines = pages
+      .select($"doc_id", $"host",
+        posexplode(split($"text", "\n")).as(Seq("pos", "line")))
+      .filter(length($"line") > 0)
+    val boiler = lines
+      .groupBy($"host", $"line")
+      .agg(countDistinct($"doc_id").as("n_docs"))
+      .filter($"n_docs" >= minDocs)
+      .select($"host", $"line", lit(true).as("_boiler"))
+    lines.join(boiler, Seq("host", "line"), "left")
+      .groupBy($"doc_id")
+      .agg(
+        sum(when($"_boiler".isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"_boiler".isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when($"_boiler".isNull, struct($"pos", $"line")))),
+            x => x.getField("line")),
+          "\n").as("clean_text"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -1515,6 +1560,88 @@ object TextAnalysis {
                CAST(LEAST(sw, len(ws) - j * sw) AS BIGINT) AS n_words
         FROM s
         ORDER BY doc_id, sent_idx""")),
+
+    // C4/RefinedWeb per-host boilerplate-line removal: docs regroup
+    // into pages — host = doc_id%7, content lines of 8 words, a nav
+    // header + copyright footer on every page of the host, a
+    // subscribe banner on every 5th page — and the operator must
+    // rediscover the planted template lines FROM FREQUENCY alone
+    // (>= 4 distinct pages of one host) and strip them, reassembling
+    // the remaining lines in order. The oracle replays the same page
+    // construction arithmetically and the same threshold in SQL; any
+    // disagreement in the boilerplate set, the drop accounting, or
+    // reassembly order is a hash mismatch.
+    QueryDef(
+      "q283_host_line_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val W = 8
+        val pages = t(s, dir, "documents")
+          .select($"doc_id",
+            concat(lit("h"), ($"doc_id" % 7).cast("string")).as("host"),
+            toks($"text").as("ws"))
+          .filter(size($"ws") > 0)
+          .select($"doc_id", $"host",
+            array_join(
+              concat(
+                array(concat(lit("nav menu "), $"host")),
+                transform(
+                  sequence(lit(0),
+                    floor((size($"ws") - 1) / W).cast("int")),
+                  j => array_join(
+                    slice($"ws", (j * W + 1).cast("int"), lit(W)), " ")),
+                when($"doc_id" % 5 === 0,
+                  array(concat(lit("subscribe banner "), $"host")))
+                  .otherwise(array().cast("array<string>")),
+                array(concat(lit("copyright "), $"host"))),
+              "\n").as("text"))
+        hostLineDedup(pages, minDocs = 4).orderBy($"doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, 'h' || (doc_id % 7) AS host,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          FROM documents),
+        nz AS (SELECT doc_id, host, ws, (len(ws) - 1) // 8 AS jmax
+               FROM base WHERE len(ws) > 0),
+        content AS (
+          SELECT doc_id, host, ws,
+                 unnest(generate_series(0, jmax)) AS j
+          FROM nz),
+        lines AS (
+          SELECT doc_id, host, 0 AS pos, 'nav menu ' || host AS line
+          FROM nz
+          UNION ALL
+          SELECT doc_id, host, 1 + j AS pos,
+                 array_to_string(list_slice(ws, j * 8 + 1,
+                   LEAST((j + 1) * 8, len(ws))), ' ') AS line
+          FROM content
+          UNION ALL
+          SELECT doc_id, host, jmax + 2 AS pos,
+                 'subscribe banner ' || host AS line
+          FROM nz WHERE doc_id % 5 = 0
+          UNION ALL
+          SELECT doc_id, host,
+                 jmax + 2 + (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+                   AS pos,
+                 'copyright ' || host AS line
+          FROM nz),
+        freq AS (
+          SELECT host, line, count(DISTINCT doc_id) AS n_docs
+          FROM lines GROUP BY host, line),
+        boiler AS (SELECT host, line FROM freq WHERE n_docs >= 4)
+        SELECT l.doc_id,
+               CAST(sum(CASE WHEN b.line IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_dropped,
+               COALESCE(string_agg(
+                 CASE WHEN b.line IS NULL THEN l.line END,
+                 chr(10) ORDER BY l.pos), '') AS clean_text
+        FROM lines l
+        LEFT JOIN boiler b ON l.host = b.host AND l.line = b.line
+        GROUP BY l.doc_id
+        ORDER BY l.doc_id""")),
 
     // sitemap parse: the crawl-frontier feed beside q248's robots
     // gate. Docs group into one urlset per host (id % 11), each

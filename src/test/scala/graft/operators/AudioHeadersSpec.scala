@@ -170,4 +170,101 @@ class AudioHeadersSpec extends AnyFunSuite {
     b(fmtIdx + 10) = 0; b(fmtIdx + 11) = 0
     assert(decodeWav(b).isEmpty)
   }
+
+  test("Ogg/Opus round-trip: pages, CRCs, lacing, pre-skip granule base") {
+    checkProp(Prop.forAll(Gen.choose(1, 8), Gen.choose(0, 0xffff),
+        Gen.oneOf(8000, 44100, 48000), Gen.choose(1, 9),
+        Gen.choose(0, 700)) { (ch, preSkip, rate, nData, noteLen) =>
+      val blob = encodeOggOpus(ch, preSkip, rate, nData, 960L,
+        Array.fill(noteLen)('y'.toByte))
+      decodeOgg(blob).contains(OggMeta("opus", ch, rate, preSkip,
+        2L + nData, 960L * nData))
+    })
+  }
+
+  test("Ogg/Vorbis round-trip incl. 255-multiple comment lengths " +
+      "(zero-valued final lacing byte)") {
+    for (noteLen <- Seq(0, 254, 255, 510, 1000); nData <- Seq(1, 4)) {
+      val blob = encodeOggVorbis(2, 44100, nData, 1024L,
+        Array.fill(noteLen)('z'.toByte))
+      assert(decodeOgg(blob).contains(
+        OggMeta("vorbis", 2, 44100, 0, 2L + nData, 1024L * nData)),
+        s"noteLen=$noteLen nData=$nData")
+    }
+  }
+
+  test("Ogg rejects CRC corruption, lost pages, wrong magic, truncation") {
+    val good = encodeOggOpus(2, 312, 48000, 3, 960L, "note".getBytes)
+    def mut(f: Array[Byte] => Unit): Array[Byte] = {
+      val c = good.clone; f(c); c
+    }
+    val cases: Seq[(String, Array[Byte])] = Seq(
+      "flipped payload bit breaks page CRC" ->
+        mut(b => b(40) = (b(40) ^ 0x01).toByte),
+      "bad capture pattern" -> mut(b => b(0) = 'X'.toByte),
+      "nonzero stream version" -> mut(b => b(4) = 1),
+      "truncated mid-page" -> good.dropRight(3),
+      "trailing junk after EOS" -> (good ++ Array[Byte](0, 1, 2)),
+      "first page not BOS" -> mut(b => b(5) = 0x00),
+      "empty" -> Array.emptyByteArray)
+    cases.foreach { case (why, b) =>
+      assert(decodeOgg(b).isEmpty, why)
+    }
+    // a dropped middle page breaks the sequence-number chain
+    val pageStarts = good.indices.filter(i => i + 3 < good.length &&
+      good(i) == 'O' && good(i + 1) == 'g' && good(i + 2) == 'g' &&
+      good(i + 3) == 'S')
+    assert(pageStarts.length == 5) // id + comment + 3 data
+    val lost = good.take(pageStarts(1)) ++ good.drop(pageStarts(2))
+    assert(decodeOgg(lost).isEmpty, "lost page must be detected")
+  }
+
+  test("Ogg rejects a foreign codec id payload and a bad version — " +
+      "with valid page CRCs, so the ID gate itself is exercised") {
+    // independent reimplementation of the RFC 3533 CRC (poly 0x04c11db7,
+    // no reflection): mutants get a VALID checksum so rejection can only
+    // come from the identification-header checks, and agreement here
+    // cross-checks the library's own CRC
+    def reCrc(page: Array[Byte], off: Int, len: Int): Unit = {
+      var i = 0
+      while (i < 4) { page(off + 22 + i) = 0; i += 1 }
+      var crc = 0
+      i = 0
+      while (i < len) {
+        crc ^= (page(off + i) & 0xff) << 24
+        var k = 0
+        while (k < 8) {
+          crc = if ((crc & 0x80000000) != 0) (crc << 1) ^ 0x04c11db7
+          else crc << 1
+          k += 1
+        }
+        i += 1
+      }
+      i = 0
+      while (i < 4) {
+        page(off + 22 + i) = ((crc >> (8 * i)) & 0xff).toByte; i += 1
+      }
+    }
+    // vorbis stream, page 0 = 27 hdr + 1 lacing + 30 payload = 58 bytes
+    def vorbisMut(f: Array[Byte] => Unit): Array[Byte] = {
+      val b = encodeOggVorbis(2, 44100, 1, 1024L, Array.emptyByteArray)
+      f(b); reCrc(b, 0, 58); b
+    }
+    val untouched = vorbisMut(_ => ()) // reCrc must be a no-op on a good page
+    assert(decodeOgg(untouched).nonEmpty, "test CRC disagrees with library")
+    // version field at payload offset 7 (absolute 28 + 7)
+    assert(decodeOgg(vorbisMut(b => b(35) = 9)).isEmpty,
+      "nonzero vorbis version accepted")
+    // foreign codec magic: overwrite 'vorbis' with 'speex ' (id byte 1
+    // stays) — structurally a fine stream, but not a codec we sniff
+    assert(decodeOgg(vorbisMut { b =>
+      "speex ".getBytes("US-ASCII").copyToArray(b, 29)
+    }).isEmpty, "unknown codec id accepted")
+    // opus stream, page 0 = 27 + 1 + 19 = 47 bytes; OpusHead version at
+    // payload offset 8 (absolute 36)
+    val opus = encodeOggOpus(2, 0, 48000, 1, 960L, Array.emptyByteArray)
+    opus(36) = 2
+    reCrc(opus, 0, 47)
+    assert(decodeOgg(opus).isEmpty, "OpusHead version 2 accepted")
+  }
 }

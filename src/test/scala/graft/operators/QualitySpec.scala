@@ -34,4 +34,29 @@ class QualitySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(dups == Set((9L, 2L)))
   }
+
+  test("kAnonymize: rare QI combos generalize to '*' with the count " +
+      "withheld; rows are never dropped; k-sized groups pass exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "de", 10, "alice"), (2L, "de", 10, "bob"),
+      (3L, "de", 20, "carol"), // singleton -> suppressed at k=2
+      (4L, "fr", 10, "dave"), (5L, "fr", 10, "eve"), (6L, "fr", 10, "mallory"))
+      .toDF("id", "country", "age_band", "name")
+    val r = Quality.kAnonymize(df, "id", Seq("country", "age_band"), k = 2)
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2),
+        x.getBoolean(3), if (x.isNullAt(4)) -1L else x.getLong(4)))
+    assert(r.length == 6) // row count preserved
+    assert(r(0) == ((1L, "de", "10", false, 2L)))
+    assert(r(1) == ((2L, "de", "10", false, 2L))) // exactly k passes
+    assert(r(2) == ((3L, "*", "*", true, -1L))) // suppressed, count withheld
+    assert(r(3) == ((4L, "fr", "10", false, 3L)))
+    assert(r(5) == ((6L, "fr", "10", false, 3L)))
+    // the PII payload column is dropped from the export: only id, QI,
+    // and audit columns survive
+    val out = Quality.kAnonymize(df, "id", Seq("country", "age_band"), 2)
+    assert(out.columns.toSeq ==
+      Seq("id", "country", "age_band", "suppressed", "n_group"))
+  }
 }

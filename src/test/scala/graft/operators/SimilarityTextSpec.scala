@@ -299,4 +299,36 @@ class SimilarityTextSpec extends SparkSpec {
         r.getString(3), r.getLong(4)))
     assert(run1.toSeq == run2.toSeq)
   }
+
+  test("hostLineDedup: per-host threshold, distinct-doc counting, order kept") {
+    import spark.implicits._
+    val pages = Seq(
+      // host a: 'nav' on 4 distinct pages -> boilerplate at minDocs=4
+      (1L, "a", "nav\nalpha one\nbeta two"),
+      (2L, "a", "nav\ngamma three"),
+      (3L, "a", "nav\nnav\ndelta four"), // in-page dup: both drop
+      (4L, "a", "nav"), // every line boilerplate -> empty clean_text
+      // host b: the SAME 'nav' text on only 2 pages -> kept (per-host)
+      (5L, "b", "nav\nepsilon five"),
+      (6L, "b", "nav\nzeta six"),
+      // host c: 'x' on 3 distinct pages, 4 OCCURRENCES — an
+      // occurrence-counting bug would cross the threshold; distinct-doc
+      // counting must keep it
+      (7L, "c", "x\nx\nseven"),
+      (8L, "c", "x\neight"),
+      (9L, "c", "x\nnine"))
+      .toDF("doc_id", "host", "text")
+    val r = TextAnalysis.hostLineDedup(pages, minDocs = 4)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    assert(r(0) == ((1L, 2L, 1L, "alpha one\nbeta two")), r(0).toString)
+    assert(r(1) == ((2L, 1L, 1L, "gamma three")))
+    assert(r(2) == ((3L, 1L, 2L, "delta four"))) // both occurrences drop
+    assert(r(3) == ((4L, 0L, 1L, "")))
+    assert(r(4) == ((5L, 2L, 0L, "nav\nepsilon five")))
+    assert(r(5) == ((6L, 2L, 0L, "nav\nzeta six")))
+    assert(r(6) == ((7L, 3L, 0L, "x\nx\nseven"))) // 3 distinct < 4
+    assert(r(7) == ((8L, 2L, 0L, "x\neight")))
+    assert(r(8) == ((9L, 2L, 0L, "x\nnine")))
+  }
 }
