@@ -42,7 +42,8 @@ object SparkEntry {
     Maintenance.defs,
     Quality.defs,
     SkewJoin.defs,
-    DataSkipping.defs)
+    DataSkipping.defs,
+    Blocklist.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 

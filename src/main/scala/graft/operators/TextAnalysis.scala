@@ -682,6 +682,89 @@ object TextAnalysis {
           .cast("long"))
   }
 
+  /** Pay-level-domain (registrable-domain) extraction against a
+    * public-suffix rule list: per-host candidate suffixes (last 1..L
+    * labels) BROADCAST-join the rule table, the longest matching rule
+    * wins, and the PLD is that suffix plus one more label. Hosts with
+    * an unknown TLD fall back to the PSL's implicit default rule (the
+    * last label is the public suffix); a host that IS a public suffix
+    * has no PLD (NULL). Per-host traffic/quota accounting keyed by
+    * bare host splits one site into thousands of subdomains — PLD is
+    * the key that doesn't.
+    *
+    * This is deliberately a JOIN, not a giant CASE: the real PSL is
+    * ~9k rules and changes monthly — data, not code. Work per host is
+    * <= L candidate rows (L = max rule depth, 3 here) against a
+    * broadcast table: map-side, no shuffle of the host side at all
+    * until the final per-host max, which AQE folds into the same
+    * stage. Plain suffix rules only (no wildcard/exception rules —
+    * documented subset). */
+  def payLevelDomain(hosts: DataFrame, idCol: String, hostCol: String,
+      psl: Seq[String]): DataFrame = {
+    require(psl.nonEmpty, "need at least one public-suffix rule")
+    val s = hosts.sparkSession
+    import s.implicits._
+    val maxL = psl.map(_.count(_ == '.') + 1).max
+    val rules = psl.map(r => (r, r.count(_ == '.') + 1))
+      .toDF("_suffix", "_rule_labels")
+    val cands = hosts
+      .select(col(idCol), col(hostCol).as("host"))
+      .withColumn("_labels", split($"host", "\\."))
+      .withColumn("_n", size($"_labels"))
+      .withColumn("_k",
+        explode(sequence(lit(1), least($"_n", lit(maxL)))))
+      .withColumn("_cand",
+        array_join(slice($"_labels", $"_n" - $"_k" + 1, $"_k"), "."))
+    cands
+      .join(broadcast(rules), cands("_cand") === rules("_suffix"), "left")
+      .groupBy(col(idCol), $"host")
+      .agg(coalesce(max(when($"_suffix".isNotNull, $"_k")), lit(1))
+        .as("_mk"))
+      .withColumn("_labels", split($"host", "\\."))
+      .withColumn("_n", size($"_labels"))
+      .withColumn("public_suffix",
+        array_join(slice($"_labels", $"_n" - $"_mk" + 1, $"_mk"), "."))
+      .withColumn("pld",
+        when($"_n" > $"_mk",
+          array_join(slice($"_labels", $"_n" - $"_mk", $"_mk" + 1), ".")))
+      .select(col(idCol), $"host", $"public_suffix", $"pld")
+  }
+
+  /** Unicode-canonical dedup key: NFC normalization (composed form,
+    * java.text.Normalizer — the JDK's implementation of UAX #15), then
+    * ASCII-and-beyond lowercasing, then whitespace collapse. Two
+    * crawls of the same page routinely differ ONLY by composition
+    * form (é vs e+U+0301), case, or spacing — byte-exact dedup misses
+    * them all; this canonical form catches them without any
+    * similarity machinery. Output: input columns + `canon_text` +
+    * per-group `group_size` + `is_canonical` (the group's min-id row
+    * — the survivor an exact-dedup pass would keep).
+    *
+    * Scale shape: the normalize itself is map-only (typed map — no
+    * Catalyst expression exists for NFC); the group stats are one
+    * partial+final count keyed by the canonical string, joined back
+    * on the same key. At 100 TB the canonical string would key by its
+    * hash; here the string keys directly so the DuckDB oracle can
+    * replay byte-for-byte. */
+  def canonicalDedupKey(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val canon = docs.select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, text) =>
+        val nfc = java.text.Normalizer.normalize(
+          text, java.text.Normalizer.Form.NFC)
+        (id, nfc.toLowerCase(java.util.Locale.ROOT)
+          .replaceAll(" +", " ").trim)
+      }
+      .toDF("doc_id", "canon_text")
+    val groups = canon.groupBy($"canon_text")
+      .agg(count(lit(1)).as("group_size"),
+        min($"doc_id").as("_canon_id"))
+    canon.join(groups, Seq("canon_text"))
+      .select($"doc_id", $"canon_text", $"group_size",
+        ($"doc_id" === $"_canon_id").as("is_canonical"))
+  }
+
   /** Per-host repeated-LINE removal — the classic crawl-cleaning step
     * (C4 drops lines repeated across the corpus; RefinedWeb per host):
     * a line occurring on >= `minDocs` distinct pages of the SAME host
@@ -1642,6 +1725,129 @@ object TextAnalysis {
         LEFT JOIN boiler b ON l.host = b.host AND l.line = b.line
         GROUP BY l.doc_id
         ORDER BY l.doc_id""")),
+
+    // Unicode-canonical dedup: buckets of 4 docs carry the SAME page
+    // in four disguises — composed é, decomposed e+U+0301, uppercase,
+    // and ragged spacing — and the canonical key must collapse each
+    // bucket to one group with the min-id row as survivor. The oracle
+    // replays the same NFC→lower→collapse pipeline with DuckDB's own
+    // independent nfc_normalize; a normalizer that misses a
+    // composition form or applies the steps out of order splits a
+    // group and hash-mismatches.
+    QueryDef(
+      "q286_unicode_canonical_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val raw = t(s, dir, "documents")
+          .select($"doc_id", ($"doc_id" % 4).as("m"),
+            expr("doc_id div 4").cast("string").as("b"))
+          .select($"doc_id",
+            when($"m" === 0,
+              concat(lit("project café "), $"b", lit(" update")))
+              .when($"m" === 1,
+                concat(lit("project café "), $"b", lit(" update")))
+              .when($"m" === 2,
+                concat(lit("PROJECT CAFÉ "), $"b", lit(" UPDATE")))
+              .otherwise(
+                concat(lit("project  café   "), $"b",
+                  lit("  update ")))
+              .as("text"))
+        canonicalDedupKey(raw).orderBy($"doc_id")
+      },
+      Some("""
+        WITH v AS (
+          SELECT doc_id, doc_id // 4 AS b, doc_id % 4 AS m
+          FROM documents),
+        raw AS (
+          SELECT doc_id,
+                 CASE m
+                   WHEN 0 THEN 'project caf' || chr(233) || ' ' || b
+                               || ' update'
+                   WHEN 1 THEN 'project cafe' || chr(769) || ' ' || b
+                               || ' update'
+                   WHEN 2 THEN 'PROJECT CAF' || chr(201) || ' ' || b
+                               || ' UPDATE'
+                   ELSE 'project  caf' || chr(233) || '   ' || b
+                        || '  update '
+                 END AS t
+          FROM v),
+        canon AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(nfc_normalize(t)),
+                                     ' +', ' ', 'g')) AS canon_text
+          FROM raw),
+        g AS (SELECT canon_text, count(*) AS group_size,
+                     min(doc_id) AS cid
+              FROM canon GROUP BY canon_text)
+        SELECT c.doc_id, c.canon_text,
+               CAST(g.group_size AS BIGINT) AS group_size,
+               c.doc_id = g.cid AS is_canonical
+        FROM canon c JOIN g USING (canon_text)
+        ORDER BY c.doc_id""")),
+
+    // PLD extraction: six host shapes per doc-id residue — known TLD,
+    // two-label rule (co.uk), private registry (github.io), deep
+    // subdomain, unknown TLD (default rule), and a bare public suffix
+    // (NULL pld) — resolved against a 6-rule PSL subset via the
+    // broadcast-join path. The oracle replays each shape's expected
+    // suffix/pld arithmetically; a longest-match bug (io beating
+    // github.io) or an off-by-one label slice flips a column.
+    QueryDef(
+      "q288_pay_level_domain",
+      (s, dir) => {
+        import s.implicits._
+        val hosts = t(s, dir, "documents")
+          .select($"doc_id",
+            expr("doc_id div 6").cast("string").as("i"),
+            ($"doc_id" % 6).as("m"))
+          .select($"doc_id",
+            when($"m" === 0, concat(lit("www.site"), $"i", lit(".com")))
+              .when($"m" === 1,
+                concat(lit("shop.site"), $"i", lit(".co.uk")))
+              .when($"m" === 2,
+                concat(lit("site"), $"i", lit(".github.io")))
+              .when($"m" === 3,
+                concat(lit("a.b.site"), $"i", lit(".org")))
+              .when($"m" === 4,
+                concat(lit("site"), $"i", lit(".nosuchtld")))
+              .otherwise(lit("co.uk"))
+              .as("host"))
+        payLevelDomain(hosts, "doc_id", "host",
+          Seq("com", "org", "io", "uk", "co.uk", "github.io"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH v AS (
+          SELECT doc_id, CAST(doc_id // 6 AS VARCHAR) AS i,
+                 doc_id % 6 AS m
+          FROM documents)
+        SELECT doc_id,
+               CASE m
+                 WHEN 0 THEN 'www.site' || i || '.com'
+                 WHEN 1 THEN 'shop.site' || i || '.co.uk'
+                 WHEN 2 THEN 'site' || i || '.github.io'
+                 WHEN 3 THEN 'a.b.site' || i || '.org'
+                 WHEN 4 THEN 'site' || i || '.nosuchtld'
+                 ELSE 'co.uk'
+               END AS host,
+               CASE m
+                 WHEN 0 THEN 'com'
+                 WHEN 1 THEN 'co.uk'
+                 WHEN 2 THEN 'github.io'
+                 WHEN 3 THEN 'org'
+                 WHEN 4 THEN 'nosuchtld'
+                 ELSE 'co.uk'
+               END AS public_suffix,
+               CASE m
+                 WHEN 0 THEN 'site' || i || '.com'
+                 WHEN 1 THEN 'site' || i || '.co.uk'
+                 WHEN 2 THEN 'site' || i || '.github.io'
+                 WHEN 3 THEN 'site' || i || '.org'
+                 WHEN 4 THEN 'site' || i || '.nosuchtld'
+                 ELSE NULL
+               END AS pld
+        FROM v
+        ORDER BY doc_id""")),
 
     // sitemap parse: the crawl-frontier feed beside q248's robots
     // gate. Docs group into one urlset per host (id % 11), each
