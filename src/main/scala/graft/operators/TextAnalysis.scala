@@ -682,6 +682,40 @@ object TextAnalysis {
           .cast("long"))
   }
 
+  /** Per-document Shannon entropy of the character distribution (bits
+    * per char) — the classic cheap gibberish/encoded-blob detector:
+    * natural prose sits ~4 bits, base64/hex blobs and key-mash noise
+    * run higher, single-char runs collapse toward 0. Map-only typed
+    * pass (one char-frequency table per doc, O(ǀtextǀ)); the only
+    * float is a per-doc sum over ≤ǀalphabetǀ terms, far inside the
+    * 4dp round (the ≥1M-term summation-order hazard does not apply).
+    * Empty texts report 0 bits. */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, t) =>
+        val counts = new java.util.HashMap[Character, Long]()
+        var i = 0
+        while (i < t.length) {
+          val c = Character.valueOf(t.charAt(i))
+          val prev = counts.get(c)
+          counts.put(c, if (prev == null) 1L else prev + 1L)
+          i += 1
+        }
+        val n = t.length.toDouble
+        var h = 0.0
+        counts.values.forEach { k =>
+          val p = k / n
+          h -= p * (math.log(p) / math.log(2.0))
+        }
+        (id, t.length.toLong, counts.size, if (t.isEmpty) 0.0 else h)
+      }
+      .toDF("doc_id", "n_chars", "n_distinct_chars", "_h")
+      .select($"doc_id", $"n_chars", $"n_distinct_chars",
+        round($"_h", 4).as("entropy_bits"))
+  }
+
   /** Pay-level-domain (registrable-domain) extraction against a
     * public-suffix rule list: per-host candidate suffixes (last 1..L
     * labels) BROADCAST-join the rule table, the longest matching rule
@@ -1784,6 +1818,36 @@ object TextAnalysis {
                c.doc_id = g.cid AS is_canonical
         FROM canon c JOIN g USING (canon_text)
         ORDER BY c.doc_id""")),
+
+    // character entropy over the real doc texts (no synthesis): the
+    // oracle recomputes the full char-frequency table per doc in SQL
+    // and the -Σ p·log2 p sum independently; a frequency-table bug or
+    // a natural-log/log2 mixup shifts every row. Both sides sum
+    // ≤ǀalphabetǀ float terms per doc — orders of magnitude inside
+    // the 4dp round.
+    QueryDef(
+      "q289_char_entropy",
+      (s, dir) => {
+        import s.implicits._
+        charEntropy(t(s, dir, "documents")).orderBy($"doc_id")
+      },
+      Some("""
+        WITH pos AS (
+          SELECT doc_id, text,
+                 unnest(generate_series(1, length(text))) AS i
+          FROM documents),
+        cnt AS (
+          SELECT doc_id, substr(text, i, 1) AS c, count(*) AS k
+          FROM pos GROUP BY doc_id, substr(text, i, 1)),
+        d AS (SELECT doc_id, length(text) AS n FROM documents)
+        SELECT d.doc_id,
+               CAST(d.n AS BIGINT) AS n_chars,
+               CAST(count(*) AS INT) AS n_distinct_chars,
+               round(-sum((cnt.k * 1.0 / d.n)
+                          * log2(cnt.k * 1.0 / d.n)), 4) AS entropy_bits
+        FROM cnt JOIN d ON cnt.doc_id = d.doc_id
+        GROUP BY d.doc_id, d.n
+        ORDER BY d.doc_id""")),
 
     // PLD extraction: six host shapes per doc-id residue — known TLD,
     // two-label rule (co.uk), private registry (github.io), deep

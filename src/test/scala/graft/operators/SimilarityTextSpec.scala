@@ -300,6 +300,24 @@ class SimilarityTextSpec extends SparkSpec {
     assert(run1.toSeq == run2.toSeq)
   }
 
+  test("charEntropy: hand-checked bits, degenerate and empty inputs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aabb"), // two equiprobable symbols -> exactly 1 bit
+      (2L, "abcd"), // four equiprobable -> exactly 2 bits
+      (3L, "aaaa"), // degenerate -> 0 bits
+      (4L, ""), // empty -> 0 bits, 0 distinct
+      (5L, "aab")) // 2/3,1/3 -> 0.9183
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.charEntropy(docs).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2), x.getDouble(3)))
+    assert(r(0) == ((1L, 4L, 2, 1.0)))
+    assert(r(1) == ((2L, 4L, 4, 2.0)))
+    assert(r(2) == ((3L, 4L, 1, 0.0)))
+    assert(r(3) == ((4L, 0L, 0, 0.0)))
+    assert(r(4) == ((5L, 3L, 2, 0.9183)))
+  }
+
   test("hostLineDedup: per-host threshold, distinct-doc counting, order kept") {
     import spark.implicits._
     val pages = Seq(
