@@ -108,16 +108,23 @@ object Quality {
   def kAnonymize(df: DataFrame, id: String, qi: Seq[String],
       k: Int): DataFrame = {
     require(qi.nonEmpty && k >= 1, "need QI columns and k >= 1")
+    // null-safe join keys and '_'-prefixed internals: a NULL QI value
+    // forms its own group and must come BACK from the join (an inner
+    // equi-join would silently drop exactly the rows most in need of
+    // suppression), and caller frames may legitimately carry columns
+    // named n_group/suppressed
     val counts = df.groupBy(qi.map(col): _*)
-      .agg(count(lit(1)).as("n_group"))
-    val sup = col("n_group") < k
-    df.join(counts, qi)
+      .agg(count(lit(1)).as("_n_group"))
+      .select(qi.map(q => col(q).as(s"_qi_$q")) :+ col("_n_group"): _*)
+    val cond = qi.map(q => col(q) <=> col(s"_qi_$q")).reduce(_ && _)
+    val sup = col("_n_group") < k
+    df.join(counts, cond)
       .select(
         (col(id) +:
           qi.map(q =>
             when(sup, lit("*")).otherwise(col(q).cast("string")).as(q)) :+
           sup.as("suppressed") :+
-          when(sup, lit(null).cast("long")).otherwise(col("n_group"))
+          when(sup, lit(null).cast("long")).otherwise(col("_n_group"))
             .as("n_group")): _*)
   }
 

@@ -695,21 +695,27 @@ object TextAnalysis {
     import s.implicits._
     docs.select($"doc_id", $"text").as[(Long, String)]
       .map { case (id, t) =>
-        val counts = new java.util.HashMap[Character, Long]()
+        // iterate CODE POINTS, not UTF-16 units: a supplementary-plane
+        // char (emoji) is one symbol here and one char to SQL length()
+        // — surrogate halves must not count twice
+        val counts = new java.util.HashMap[Integer, Long]()
         var i = 0
+        var nCp = 0L
         while (i < t.length) {
-          val c = Character.valueOf(t.charAt(i))
+          val cp = t.codePointAt(i)
+          val c = Integer.valueOf(cp)
           val prev = counts.get(c)
           counts.put(c, if (prev == null) 1L else prev + 1L)
-          i += 1
+          nCp += 1
+          i += Character.charCount(cp)
         }
-        val n = t.length.toDouble
+        val n = nCp.toDouble
         var h = 0.0
         counts.values.forEach { k =>
           val p = k / n
           h -= p * (math.log(p) / math.log(2.0))
         }
-        (id, t.length.toLong, counts.size, if (t.isEmpty) 0.0 else h)
+        (id, nCp, counts.size, if (nCp == 0L) 0.0 else h)
       }
       .toDF("doc_id", "n_chars", "n_distinct_chars", "_h")
       .select($"doc_id", $"n_chars", $"n_distinct_chars",
@@ -766,7 +772,11 @@ object TextAnalysis {
 
   /** Unicode-canonical dedup key: NFC normalization (composed form,
     * java.text.Normalizer — the JDK's implementation of UAX #15), then
-    * ASCII-and-beyond lowercasing, then whitespace collapse. Two
+    * ASCII-and-beyond lowercasing, then collapse of the explicit
+    * whitespace class [ \t\n\r\f] to one space and edge-trim. The
+    * class is spelled out rather than \s because Java's \s and RE2's
+    * \s disagree on U+000B — an oracle replayed on another engine
+    * needs a class both regex dialects read identically. Two
     * crawls of the same page routinely differ ONLY by composition
     * form (é vs e+U+0301), case, or spacing — byte-exact dedup misses
     * them all; this canonical form catches them without any
@@ -787,8 +797,11 @@ object TextAnalysis {
       .map { case (id, text) =>
         val nfc = java.text.Normalizer.normalize(
           text, java.text.Normalizer.Form.NFC)
+        // collapse first, then strip single edge spaces — equivalent
+        // to DuckDB's space-only trim() after the same collapse
         (id, nfc.toLowerCase(java.util.Locale.ROOT)
-          .replaceAll(" +", " ").trim)
+          .replaceAll("[ \\t\\n\\r\\f]+", " ")
+          .replaceAll("^ | $", ""))
       }
       .toDF("doc_id", "canon_text")
     val groups = canon.groupBy($"canon_text")
@@ -831,7 +844,7 @@ object TextAnalysis {
       .agg(countDistinct($"doc_id").as("n_docs"))
       .filter($"n_docs" >= minDocs)
       .select($"host", $"line", lit(true).as("_boiler"))
-    lines.join(boiler, Seq("host", "line"), "left")
+    val perDoc = lines.join(boiler, Seq("host", "line"), "left")
       .groupBy($"doc_id")
       .agg(
         sum(when($"_boiler".isNull, 1L).otherwise(0L)).as("n_kept"),
@@ -842,6 +855,14 @@ object TextAnalysis {
               when($"_boiler".isNull, struct($"pos", $"line")))),
             x => x.getField("line")),
           "\n").as("clean_text"))
+    // total on the input: a page with NO non-empty lines still reports
+    // (0, 0, '') instead of vanishing from the cleaned corpus
+    pages.select($"doc_id").distinct()
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"n_dropped", lit(0L)).as("n_dropped"),
+        coalesce($"clean_text", lit("")).as("clean_text"))
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -1808,7 +1829,8 @@ object TextAnalysis {
         canon AS (
           SELECT doc_id,
                  trim(regexp_replace(lower(nfc_normalize(t)),
-                                     ' +', ' ', 'g')) AS canon_text
+                                     '[ \t\n\r\f]+', ' ', 'g'))
+                   AS canon_text
           FROM raw),
         g AS (SELECT canon_text, count(*) AS group_size,
                      min(doc_id) AS cid
@@ -1842,10 +1864,11 @@ object TextAnalysis {
         d AS (SELECT doc_id, length(text) AS n FROM documents)
         SELECT d.doc_id,
                CAST(d.n AS BIGINT) AS n_chars,
-               CAST(count(*) AS INT) AS n_distinct_chars,
-               round(-sum((cnt.k * 1.0 / d.n)
-                          * log2(cnt.k * 1.0 / d.n)), 4) AS entropy_bits
-        FROM cnt JOIN d ON cnt.doc_id = d.doc_id
+               CAST(count(cnt.c) AS INT) AS n_distinct_chars,
+               round(COALESCE(-sum((cnt.k * 1.0 / d.n)
+                          * log2(cnt.k * 1.0 / d.n)), 0.0), 4)
+                 AS entropy_bits
+        FROM d LEFT JOIN cnt ON cnt.doc_id = d.doc_id
         GROUP BY d.doc_id, d.n
         ORDER BY d.doc_id""")),
 

@@ -108,4 +108,18 @@ class BlocklistSpec extends SparkSpec {
     assert(r(2) == ((12L, "café du monde", 3L, false)))
     assert(r(3) == ((13L, "something else", 1L, true)))
   }
+
+  test("canonicalDedupKey collapses tabs/newlines/CR/FF like spaces " +
+      "and trims them off the edges") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b"),
+      (2L, "a\tb"),
+      (3L, "\na \t b\r\n"),
+      (4L, "a\fb "))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.canonicalDedupKey(docs).orderBy("doc_id")
+      .collect().map(x => (x.getString(1), x.getLong(2)))
+    assert(r.forall(_ == (("a b", 4L))), r.toSeq.toString)
+  }
 }

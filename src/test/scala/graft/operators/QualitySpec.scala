@@ -59,4 +59,27 @@ class QualitySpec extends SparkSpec {
     assert(out.columns.toSeq ==
       Seq("id", "country", "age_band", "suppressed", "n_group"))
   }
+
+  test("kAnonymize: NULL QI rows are PRESERVED (suppressed or passed), " +
+      "never dropped; payload columns named n_group don't collide") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("de"), "x"), (2L, Some("de"), "y"),
+      (3L, None, "z"), // singleton NULL-QI group -> suppressed, kept
+      (4L, None, "w"), (5L, None, "v")) // NULL group of 2 -> passes k=2
+      .toDF("id", "country", "n_group") // payload deliberately n_group
+    val base = df.filter($"id" <= 3)
+    val r3 = Quality.kAnonymize(base, "id", Seq("country"), 2)
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getBoolean(2),
+        if (x.isNullAt(3)) -1L else x.getLong(3)))
+    assert(r3.length == 3, "NULL-QI row was dropped")
+    assert(r3(2) == ((3L, "*", true, -1L)))
+    // a NULL group that reaches k passes with its (null) value intact
+    val r5 = Quality.kAnonymize(df.filter($"id" >= 3), "id",
+      Seq("country"), 2).orderBy("id").collect()
+    assert(r5.length == 3)
+    assert(r5.count(_.getBoolean(2)) == 0) // 3 NULLs >= k: none suppressed
+    assert(r5.forall(x => x.isNullAt(1))) // value stays null, not '*'
+  }
 }

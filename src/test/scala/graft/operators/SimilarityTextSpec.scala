@@ -318,6 +318,19 @@ class SimilarityTextSpec extends SparkSpec {
     assert(r(4) == ((5L, 3L, 2, 0.9183)))
   }
 
+  test("charEntropy counts CODE POINTS: a supplementary-plane emoji is " +
+      "one symbol, not two surrogate halves") {
+    import spark.implicits._
+    // U+1F600 GRINNING FACE = surrogate pair in UTF-16
+    val docs = Seq((1L, "😀😀"), // 2 identical emoji
+      (2L, "a😀")) // 2 distinct symbols -> 1 bit
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.charEntropy(docs).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2), x.getDouble(3)))
+    assert(r(0) == ((1L, 2L, 1, 0.0)))
+    assert(r(1) == ((2L, 2L, 2, 1.0)))
+  }
+
   test("hostLineDedup: per-host threshold, distinct-doc counting, order kept") {
     import spark.implicits._
     val pages = Seq(
@@ -348,5 +361,22 @@ class SimilarityTextSpec extends SparkSpec {
     assert(r(6) == ((7L, 3L, 0L, "x\nx\nseven"))) // 3 distinct < 4
     assert(r(7) == ((8L, 2L, 0L, "x\neight")))
     assert(r(8) == ((9L, 2L, 0L, "x\nnine")))
+  }
+
+  test("hostLineDedup is total on its input: an all-empty page still " +
+      "reports (0, 0, '') instead of vanishing") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "a", "only\ncontent"),
+      (2L, "a", ""), // no lines at all
+      (3L, "a", "\n\n")) // only empty lines
+      .toDF("doc_id", "host", "text")
+    val r = TextAnalysis.hostLineDedup(pages, minDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    assert(r.toSeq == Seq(
+      (1L, 2L, 0L, "only\ncontent"),
+      (2L, 0L, 0L, ""),
+      (3L, 0L, 0L, "")))
   }
 }
