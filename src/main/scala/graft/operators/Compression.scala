@@ -289,4 +289,56 @@ object Compression {
     le32(data.length.toLong & 0xffffffffL)
     out.toByteArray
   }
+
+  // ------------------------------------------------------------------
+  // Parquet file-shell sniff
+  // ------------------------------------------------------------------
+
+  /** Parquet file-shell metadata (public format spec,
+    * apache/parquet-format): `footerLen` is the serialized
+    * FileMetaData length from the trailer; `encryptedFooter` marks the
+    * 'PARE' trailing magic of footer-encrypted files. */
+  final case class ParquetShell(footerLen: Long, encryptedFooter: Boolean)
+
+  /** Parquet sniff: leading 'PAR1' magic, trailing 'PAR1' (plaintext
+    * footer) or 'PARE' (encrypted footer), and the u32 LE footer
+    * length 8 bytes from the end, bounds-checked against the file
+    * size (footer + both magics + the length field must fit). A blob
+    * store's parquet files route to a table reader, not a text
+    * pipeline — this is the dispatcher's cheapest high-value test.
+    * Footer thrift is NOT parsed (that's the table reader's job). */
+  def decodeParquetShell(b: Array[Byte]): Option[ParquetShell] = {
+    if (b == null || b.length < 12) return None
+    if (b(0) != 'P' || b(1) != 'A' || b(2) != 'R' || b(3) != '1')
+      return None
+    val e = b.length
+    val enc = b(e - 4) == 'P' && b(e - 3) == 'A' && b(e - 2) == 'R' &&
+      b(e - 1) == 'E'
+    val plain = b(e - 4) == 'P' && b(e - 3) == 'A' && b(e - 2) == 'R' &&
+      b(e - 1) == '1'
+    if (!enc && !plain) return None
+    val fl = (b(e - 8) & 0xffL) | ((b(e - 7) & 0xffL) << 8) |
+      ((b(e - 6) & 0xffL) << 16) | ((b(e - 5) & 0xffL) << 24)
+    // footer + trailer (8) must fit after the 4-byte leading magic
+    if (fl <= 0 || fl > e - 12L) return None
+    Some(ParquetShell(fl, enc))
+  }
+
+  /** Fixture emitter: 'PAR1' + `payload` + `footerLen` filler bytes
+    * (stand-in for the thrift FileMetaData) + u32 LE footer length +
+    * trailing 'PAR1'/'PARE'. Stream length = 4 + |payload| +
+    * footerLen + 8 — the formula the oracle replays. */
+  def encodeParquetShell(payload: Array[Byte], footerLen: Int,
+      encryptedFooter: Boolean): Array[Byte] = {
+    require(footerLen > 0 && footerLen < (1 << 30), "bad footer length")
+    val out = new ByteArrayOutputStream(12 + payload.length + footerLen)
+    out.write('P'); out.write('A'); out.write('R'); out.write('1')
+    out.write(payload, 0, payload.length)
+    out.write(new Array[Byte](footerLen), 0, footerLen)
+    out.write(footerLen & 0xff); out.write((footerLen >> 8) & 0xff)
+    out.write((footerLen >> 16) & 0xff); out.write((footerLen >> 24) & 0xff)
+    out.write('P'); out.write('A'); out.write('R')
+    out.write(if (encryptedFooter) 'E' else '1')
+    out.toByteArray
+  }
 }

@@ -113,6 +113,8 @@ object Multimodal {
         else None
       }
       .orElse(Pdf.decodePdf(b).map(m => ("pdf", Some(m.nPages.toLong))))
+      .orElse(Compression.decodeParquetShell(b).map(m =>
+        ("parquet", Some(m.footerLen))))
       .getOrElse {
         val e = TextEncoding.sniff(b)
         (e.charset, Some(if (b == null) 0L else b.length.toLong))
@@ -942,6 +944,46 @@ object Multimodal {
                CASE WHEN doc_id % 5 = 4 THEN NULL
                     ELSE CAST(1000 + doc_id AS BIGINT) END AS content_size,
                doc_id % 2 = 0 AS has_checksum
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // Parquet file-shell sniff: each doc becomes a structurally valid
+    // parquet shell ('PAR1' head, footer filler, u32 LE footer length,
+    // 'PAR1'/'PARE' trailer — every 7th file footer-encrypted) with
+    // the doc text as the column-chunk stand-in. The oracle replays
+    // footer length, encryption flag, and total size from the variant
+    // arithmetic; corrupt trailers (q-side malformed cases live in
+    // CompressionWarcSpec) yield NULLs, never failed jobs.
+    QueryDef(
+      "q290_parquet_footer_sniff",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            MediaRecord(id,
+              Compression.encodeParquetShell(
+                text.getBytes("UTF-8"),
+                footerLen = (100 + id % 50).toInt,
+                encryptedFooter = id % 7 == 0),
+              "application/vnd.apache.parquet")
+          }
+        media.mapPartitions { it =>
+          it.map { r =>
+            val m = Compression.decodeParquetShell(r.media)
+            (r.doc_id, m.map(_.footerLen), m.map(_.encryptedFooter),
+              r.media.length.toLong)
+          }
+        }.toDF("doc_id", "footer_len", "encrypted_footer", "n_bytes")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(100 + doc_id % 50 AS BIGINT) AS footer_len,
+               doc_id % 7 = 0 AS encrypted_footer,
+               CAST(12 + octet_length(encode(text)) + 100 + doc_id % 50
+                    AS BIGINT) AS n_bytes
         FROM documents
         ORDER BY doc_id""")),
 

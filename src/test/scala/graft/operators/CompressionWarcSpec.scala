@@ -173,4 +173,38 @@ class CompressionWarcSpec extends AnyFunSuite {
     assert(recs(0).warcType == "response" && recs(0).contentLength == 4L)
     assert(new String(recs(0).payload) == "body")
   }
+
+  test("parquet shell: round-trip, strict trailer/bounds checks, and " +
+      "dispatcher routing") {
+    import Compression._
+    for (fl <- Seq(1, 100, 4096); enc <- Seq(false, true);
+         payLen <- Seq(0, 37)) {
+      val blob = encodeParquetShell(Array.fill(payLen)('d'.toByte), fl, enc)
+      assert(decodeParquetShell(blob).contains(ParquetShell(fl.toLong, enc)),
+        s"fl=$fl enc=$enc payLen=$payLen")
+      assert(blob.length == 12 + payLen + fl)
+    }
+    val good = encodeParquetShell("data".getBytes, 64, encryptedFooter = false)
+    def mut(f: Array[Byte] => Unit): Array[Byte] = {
+      val c = good.clone; f(c); c
+    }
+    val e = good.length
+    val cases: Seq[(String, Array[Byte])] = Seq(
+      "empty" -> Array.emptyByteArray,
+      "truncated below minimum" -> good.take(11),
+      "bad leading magic" -> mut(b => b(0) = 'Q'.toByte),
+      "bad trailing magic" -> mut(b => b(e - 1) = 'X'.toByte),
+      "footer length exceeds file" -> mut(b => b(e - 6) = 0x7f.toByte),
+      "zero footer length" -> mut { b =>
+        b(e - 8) = 0; b(e - 7) = 0; b(e - 6) = 0; b(e - 5) = 0
+      },
+      // 'PAR1' text prefix alone is not a parquet file
+      "textual PAR1 prefix" -> "PAR1 is a magic string".getBytes)
+    cases.foreach { case (why, b) =>
+      assert(decodeParquetShell(b).isEmpty, why)
+    }
+    assert(Multimodal.sniffContent(good) == (("parquet", Some(64L))))
+    val encd = encodeParquetShell("d".getBytes, 32, encryptedFooter = true)
+    assert(Multimodal.sniffContent(encd) == (("parquet", Some(32L))))
+  }
 }
