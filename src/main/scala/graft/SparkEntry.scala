@@ -43,7 +43,8 @@ object SparkEntry {
     Quality.defs,
     SkewJoin.defs,
     DataSkipping.defs,
-    Blocklist.defs)
+    Blocklist.defs,
+    Archive.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 
