@@ -44,7 +44,8 @@ object SparkEntry {
     SkewJoin.defs,
     DataSkipping.defs,
     Blocklist.defs,
-    Archive.defs)
+    Archive.defs,
+    Markdown.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 
