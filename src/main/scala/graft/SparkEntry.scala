@@ -45,7 +45,8 @@ object SparkEntry {
     DataSkipping.defs,
     Blocklist.defs,
     Archive.defs,
-    Markdown.defs)
+    Markdown.defs,
+    Code.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 

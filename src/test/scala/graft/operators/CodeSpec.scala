@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import Code._
+
+class CodeSpec extends AnyFunSuite {
+
+  test("language id: extension beats shebang; env and version suffixes") {
+    assert(detectLanguage("a/b.py", "#!/usr/bin/env node\nx") == ("python", "ext"))
+    assert(detectLanguage("bin/run", "#!/usr/bin/env python3\nx") == ("python", "shebang"))
+    assert(detectLanguage("bin/run", "#!/usr/bin/python2.7\nx") == ("python", "shebang"))
+    assert(detectLanguage("t", "#!/bin/zsh\nx") == ("shell", "shebang"))
+    assert(detectLanguage("a.zzz", "plain") == ("unknown", "none"))
+    assert(detectLanguage("noext", "no shebang") == ("unknown", "none"))
+    assert(detectLanguage("UPPER.PY", "x") == ("python", "ext"))
+    assert(detectLanguage(".hidden", "x") == ("unknown", "none")) // dotfile: no ext
+    assert(detectLanguage("x.c", null) == ("c", "ext"))
+  }
+
+  test("license: SPDX wins, phrase order, star-terminated tag, none") {
+    assert(detectLicense("// SPDX-License-Identifier: Apache-2.0\ncode") ==
+      ("Apache-2.0", "spdx"))
+    assert(detectLicense("/* SPDX-License-Identifier: MIT */") == ("MIT", "spdx"))
+    assert(detectLicense("Permission is hereby granted, free of charge") ==
+      ("MIT", "phrase"))
+    assert(detectLicense("x" * 2000 + "SPDX-License-Identifier: MIT") ==
+      ("none", "none")) // outside the header window
+    assert(detectLicense(null) == ("none", "none"))
+    assert(detectLicense("no license here") == ("none", "none"))
+  }
+
+  test("comment strip (c): strings shield, block merges lines, counts") {
+    val (s1, n1) = stripComments("a = \"//x\"; // tail\nb;", "c")
+    assert(s1 == "a = \"//x\"; \nb;")
+    assert(n1 == 7) // '// tail'
+    val (s2, n2) = stripComments("x/* a\nb */y", "c")
+    assert(s2 == "xy")
+    assert(n2 == 9)
+    val (s3, _) = stripComments("c = 'it\\'s'; // q", "c")
+    assert(s3 == "c = 'it\\'s'; ")
+    // unterminated block runs to EOF
+    val (s4, n4) = stripComments("x /* open", "c")
+    assert(s4 == "x " && n4 == 7)
+    // division is not a comment
+    assert(stripComments("a = b / c / d;", "c")._1 == "a = b / c / d;")
+  }
+
+  test("comment strip (hash): # shielded by strings, newline survives") {
+    val (s, n) = stripComments("a = \"#no\" # yes\nb = 1", "hash")
+    assert(s == "a = \"#no\" \nb = 1")
+    assert(n == 5)
+    assert(stripComments(null, "hash") == ("", 0L))
+  }
+}
