@@ -46,7 +46,9 @@ object SparkEntry {
     Blocklist.defs,
     Archive.defs,
     Markdown.defs,
-    Code.defs)
+    Code.defs,
+    Pii.defs,
+    Csv.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 
