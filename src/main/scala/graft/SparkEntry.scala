@@ -48,7 +48,8 @@ object SparkEntry {
     Markdown.defs,
     Code.defs,
     Pii.defs,
-    Csv.defs)
+    Csv.defs,
+    Json.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 

@@ -121,6 +121,29 @@ object DataSkipping {
     (rows, selected.length.toLong, total)
   }
 
+  /** Snapshot diff between two retained manifest versions
+    * ([[graft.streaming.IncrementalManifest.stateAt]]): which files
+    * were added/removed, and a frame reading ONLY the added files —
+    * incremental consumption of an append-only table (the change-feed
+    * read Delta/Iceberg expose, re-derived from manifests alone; no
+    * history re-scan). File lists are metadata-plane (one row per
+    * file), so the collect is manifest-sized, never data-sized.
+    * Returns (nAdded, nRemoved, addedRows). */
+  def snapshotDiff(spark: SparkSession, oldManifest: DataFrame,
+      newManifest: DataFrame, emptyLike: => DataFrame)
+      : (Long, Long, DataFrame) = {
+    val oldFiles = oldManifest.select(col("f")).collect()
+      .map(_.getString(0)).toSet
+    val newFiles = newManifest.select(col("f")).collect()
+      .map(_.getString(0)).toSet
+    val added = (newFiles -- oldFiles).toSeq.sorted
+    val removed = (oldFiles -- newFiles).size.toLong
+    val rows =
+      if (added.isEmpty) emptyLike.filter(lit(false))
+      else spark.read.parquet(added: _*)
+    (added.size.toLong, removed, rows)
+  }
+
   /** Delete-on-immutable: apply TOMBSTONES to a clustered layout. The
     * data files never rewrite (the deletion-vector posture — Delta DVs,
     * Iceberg delete files, public); deletes live in a small sibling

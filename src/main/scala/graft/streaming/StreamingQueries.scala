@@ -588,6 +588,68 @@ object StreamingQueries {
         WHERE o_orderkey < 5000
         ORDER BY snapshot""")),
 
+    // ----- snapshot diff / incremental change feed ------------------------
+    // the READ side of time travel (q278): between two retained
+    // manifest versions, which files appeared, and what rows do ONLY
+    // those files hold — the change-feed consumption an append-only
+    // lakehouse table offers without any history re-scan. Three
+    // arrivals, diffs v1->v2 and v1->v3; the oracle replays file
+    // counts from the arrival layout and row deltas from the orders
+    // ranges each batch carried. Exact-cents money (sf1-safe).
+    QueryDef(
+      "q300_snapshot_diff_feed",
+      (s, dir) => {
+        import s.implicits._
+        val (input, ckpt, state) = (tmp("sdin_"), tmp("sdck_"), tmp("sdst_"))
+        val o = graft.engine.Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+        val inc = new graft.streaming.IncrementalManifest(
+          s, input, org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("o_orderkey",
+              o.schema("o_orderkey").dataType),
+            org.apache.spark.sql.types.StructField("o_totalprice",
+              o.schema("o_totalprice").dataType))),
+          ckpt, state, statsCol = "o_orderkey", retainVersions = 3)
+        def arrive(batch: org.apache.spark.sql.DataFrame): Unit = {
+          batch.repartition(1).write.mode("append").parquet(input)
+          inc.update()
+        }
+        arrive(o.filter($"o_orderkey" < 5000))
+        arrive(o.filter($"o_orderkey" >= 5000 && $"o_orderkey" < 10000))
+        arrive(o.filter($"o_orderkey" >= 10000))
+        val vs = inc.versions()
+        def diffRow(from: String, to: String, label: String) = {
+          val (nAdd, nRem, rows) = graft.operators.DataSkipping
+            .snapshotDiff(s, inc.stateAt(from), inc.stateAt(to),
+              emptyLike = o)
+          rows.agg(count(lit(1)).as("n_rows_added"),
+            sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+              .as("added_cents"))
+            .select(lit(label).as("diff"), lit(nAdd).as("n_files_added"),
+              lit(nRem).as("n_files_removed"), col("n_rows_added"),
+              col("added_cents"))
+        }
+        diffRow(vs(0), vs(1), "v1_to_v2")
+          .unionAll(diffRow(vs(0), vs(2), "v1_to_v3"))
+          .orderBy($"diff")
+      },
+      Some("""
+        SELECT 'v1_to_v2' AS diff,
+               CAST(1 AS BIGINT) AS n_files_added,
+               CAST(0 AS BIGINT) AS n_files_removed,
+               count(*) AS n_rows_added,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS added_cents
+        FROM orders WHERE o_orderkey >= 5000 AND o_orderkey < 10000
+        UNION ALL
+        SELECT 'v1_to_v3',
+               CAST(2 AS BIGINT), CAST(0 AS BIGINT),
+               count(*),
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT)
+        FROM orders WHERE o_orderkey >= 5000
+        ORDER BY diff""")),
+
     // ----- event-time tumbling window ------------------------------------
     QueryDef(
       "q56_stream_tumbling_window",
