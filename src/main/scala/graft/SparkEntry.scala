@@ -49,7 +49,9 @@ object SparkEntry {
     Code.defs,
     Pii.defs,
     Csv.defs,
-    Json.defs)
+    Json.defs,
+    Protobuf.defs,
+    Avro.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 

@@ -115,6 +115,7 @@ object Multimodal {
       .orElse(Pdf.decodePdf(b).map(m => ("pdf", Some(m.nPages.toLong))))
       .orElse(Compression.decodeParquetShell(b).map(m =>
         ("parquet", Some(m.footerLen))))
+      .orElse(Avro.sniff(b).map(m => ("avro", Some(m.nRecords))))
       .getOrElse {
         val e = TextEncoding.sniff(b)
         (e.charset, Some(if (b == null) 0L else b.length.toLong))
