@@ -51,7 +51,9 @@ object SparkEntry {
     Csv.defs,
     Json.defs,
     Protobuf.defs,
-    Avro.defs)
+    Avro.defs,
+    UnicodeScripts.defs,
+    Frontier.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 
