@@ -53,7 +53,9 @@ object SparkEntry {
     Protobuf.defs,
     Avro.defs,
     UnicodeScripts.defs,
-    Frontier.defs)
+    Frontier.defs,
+    Postings.defs,
+    Sharding.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 
