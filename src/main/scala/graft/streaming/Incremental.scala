@@ -191,6 +191,67 @@ final class IncrementalBottomK(
   * files, the index pass stats ONLY the new ones, and every range
   * query thereafter prunes against the manifest without re-scanning
   * history ([[graft.operators.DataSkipping.skippingFileRangeScan]]). */
+/** Incrementally-maintained JSON schema census
+  * ([[graft.operators.Json.schemaProfile]] kept fresh by the shared
+  * exactly-once fold harness): each newly-arrived JSONL file is walked
+  * once, its (path, type) partial census merges into the persisted
+  * state by keyed sum (docs live in exactly one arrival batch, so the
+  * fold never double-counts), and the retained versions give
+  * version-over-version SCHEMA DRIFT for free — the producer-change
+  * alarm evaluated on census states alone, no corpus re-read. State
+  * size is ǀdistinct (path, type)ǀ — schema-sized at any corpus size. */
+final class IncrementalJsonCensus(
+    spark: SparkSession,
+    inputDir: String,
+    schema: StructType,
+    checkpointDir: String,
+    stateDir: String,
+    idCol: String = "doc_id",
+    jsonCol: String = "json",
+    retainVersions: Int = 2) {
+
+  private val pointer = IncrementalAgg.pointerOf(stateDir)
+
+  def state(): Option[DataFrame] = IncrementalAgg.readState(spark, stateDir)
+
+  private def partial(batch: DataFrame): DataFrame =
+    graft.operators.Json.schemaProfile(batch, idCol, jsonCol)
+
+  private def merge(prev: DataFrame, delta: DataFrame): DataFrame =
+    prev.unionByName(delta)
+      .groupBy(col("path"), col("type"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_values")).as("n_values"))
+
+  def update(): Unit =
+    IncrementalAgg.foldNewArrivals(spark, inputDir, schema, checkpointDir,
+      stateDir, pointer, partial, merge, () => state(), retainVersions)
+
+  def versions(): Seq[String] = IncrementalAgg.listVersions(stateDir)
+
+  def stateAt(version: String): DataFrame =
+    spark.read.parquet(Paths.get(stateDir, version).toString)
+
+  /** Version-over-version census drift. Cumulative counts never shrink
+    * (append-only corpus), so the states are `new` (path/type absent
+    * before), `stale` (count stopped growing — the field stopped
+    * arriving: a rename or drop on the producer side), or `growing`
+    * (healthy). A type shift surfaces as a stale+new pair on one path. */
+  def driftBetween(vOld: String, vNew: String): DataFrame = {
+    val a = stateAt(vOld).select(col("path"), col("type"),
+      col("n_docs").as("n_docs_a"))
+    val b = stateAt(vNew).select(col("path"), col("type"),
+      col("n_docs").as("n_docs_b"))
+    a.join(b, Seq("path", "type"), "full_outer")
+      .withColumn("n_docs_a", coalesce(col("n_docs_a"), lit(0L)))
+      .withColumn("n_docs_b", coalesce(col("n_docs_b"), lit(0L)))
+      .withColumn("status",
+        when(col("n_docs_a") === 0, "new")
+          .when(col("n_docs_b") === col("n_docs_a"), "stale")
+          .otherwise("growing"))
+  }
+}
+
 final class IncrementalManifest(
     spark: SparkSession,
     inputDir: String,

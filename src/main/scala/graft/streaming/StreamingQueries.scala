@@ -650,6 +650,64 @@ object StreamingQueries {
         FROM orders WHERE o_orderkey >= 5000
         ORDER BY diff""")),
 
+    // ----- incremental JSON schema census + drift alarm -------------------
+    // the q301 census kept fresh by the exactly-once fold harness:
+    // three JSONL arrivals where the third switches producer shape
+    // ($.legacy -> $.v2, $.meta.score number -> string). The drift
+    // between the retained pre-switch and post-switch census versions
+    // is evaluated on STATES alone (no corpus re-read): renamed/dropped
+    // fields go stale, the shifted type surfaces as stale+new on one
+    // path. The oracle replays every count from the mod-3 arrival split.
+    QueryDef(
+      "q309_incremental_schema_census",
+      (s, dir) => {
+        import s.implicits._
+        val (input, ckpt, state) = (tmp("jcin_"), tmp("jcck_"), tmp("jcst_"))
+        val docs = graft.engine.Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+        val legacy = docs.filter(_ % 3 != 2)
+          .map(id => (id, s"""{"id":$id,"legacy":1,"meta":{"score":2.5}}"""))
+          .toDF("doc_id", "json")
+        val v2 = docs.filter(_ % 3 == 2)
+          .map(id => (id, s"""{"id":$id,"v2":"x","meta":{"score":"2.5"}}"""))
+          .toDF("doc_id", "json")
+        val inc = new graft.streaming.IncrementalJsonCensus(
+          s, input, org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("json",
+              org.apache.spark.sql.types.StringType))),
+          ckpt, state, retainVersions = 3)
+        def arrive(batch: org.apache.spark.sql.DataFrame): Unit = {
+          batch.repartition(1).write.mode("append").parquet(input)
+          inc.update()
+        }
+        arrive(legacy.filter($"doc_id" % 3 === 0))
+        arrive(legacy.filter($"doc_id" % 3 === 1))
+        arrive(v2)
+        val vs = inc.versions()
+        inc.driftBetween(vs(1), vs(2))
+          .orderBy($"path", $"type")
+      },
+      Some("""
+        WITH c AS (
+          SELECT CAST(sum(CASE WHEN doc_id % 3 <> 2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n01,
+                 CAST(sum(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n2,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM documents)
+        SELECT path, type, n_docs_a, n_docs_b, status FROM (
+          SELECT '$' AS path, 'object' AS type, n01 AS n_docs_a,
+                 n AS n_docs_b, 'growing' AS status FROM c
+          UNION ALL SELECT '$.id', 'number', n01, n, 'growing' FROM c
+          UNION ALL SELECT '$.legacy', 'number', n01, n01, 'stale' FROM c
+          UNION ALL SELECT '$.meta', 'object', n01, n, 'growing' FROM c
+          UNION ALL SELECT '$.meta.score', 'number', n01, n01, 'stale' FROM c
+          UNION ALL SELECT '$.meta.score', 'string', 0, n2, 'new' FROM c
+          UNION ALL SELECT '$.v2', 'string', 0, n2, 'new' FROM c)
+        ORDER BY path, type""")),
+
     // ----- event-time tumbling window ------------------------------------
     QueryDef(
       "q56_stream_tumbling_window",
