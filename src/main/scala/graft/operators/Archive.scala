@@ -48,7 +48,10 @@ object Archive {
     * non-octal bytes or negative/absurd (> 2^42) values. */
   private def tarNumber(b: Array[Byte], off: Int, len: Int): Option[Long] = {
     if ((b(off) & 0x80) != 0) { // GNU base-256
-      var v = (b(off) & 0x3fL)
+      // only the 0x80 marker bit is reserved; the remaining 7 bits of
+      // the first byte are value bits (big-endian two's complement —
+      // negatives can't pass the cap below, so plain accumulate)
+      var v = (b(off) & 0x7fL)
       var i = off + 1
       while (i < off + len) {
         if (v > (1L << 54)) return None

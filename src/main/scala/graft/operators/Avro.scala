@@ -83,11 +83,8 @@ object Avro {
 
   // --------------------------------------------------- fixture emitter
 
-  private def putZigzag(out: ByteArrayOutputStream, v: Long): Unit = {
-    var u = (v << 1) ^ (v >> 63)
-    while ((u & ~0x7fL) != 0) { out.write(((u & 0x7f) | 0x80).toInt); u >>>= 7 }
-    out.write(u.toInt)
-  }
+  private def putZigzag(out: ByteArrayOutputStream, v: Long): Unit =
+    Protobuf.putVarint(out, (v << 1) ^ (v >> 63))
 
   private def putBytes(out: ByteArrayOutputStream, b: Array[Byte]): Unit = {
     putZigzag(out, b.length.toLong); out.write(b, 0, b.length)

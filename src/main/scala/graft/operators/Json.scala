@@ -119,9 +119,12 @@ object Json {
     def number(): Unit = {
       val start = i
       if (i < s.length && s.charAt(i) == '-') i += 1
+      val intStart = i
       var digits = 0
       while (i < s.length && Character.isDigit(s.charAt(i))) { i += 1; digits += 1 }
       if (digits == 0) { fail(); return }
+      // RFC 8259: int = zero / digit1-9 *DIGIT — no leading zeros
+      if (digits > 1 && s.charAt(intStart) == '0') { fail(); return }
       if (i < s.length && s.charAt(i) == '.') {
         i += 1
         var fd = 0
@@ -171,10 +174,12 @@ object Json {
         count(lit(1)).as("n_values"))
   }
 
-  /** Batch-over-batch schema drift: full outer on (path, type);
-    * status `new` (absent before), `gone` (absent now), `stable`. A
-    * type shift surfaces as a gone+new pair on the same path. */
-  def schemaDrift(profileA: DataFrame, profileB: DataFrame): DataFrame = {
+  /** Full outer of two censuses on (path, type) with zero-filled doc
+    * counts — the one scaffold under [[schemaDrift]] and the
+    * incremental maintainer's version drift, so a fix to the join or
+    * null handling cannot miss one of them. */
+  private[graft] def censusOuter(profileA: DataFrame,
+      profileB: DataFrame): DataFrame = {
     val a = profileA.select(col("path"), col("type"),
       col("n_docs").as("n_docs_a"))
     val b = profileB.select(col("path"), col("type"),
@@ -182,11 +187,17 @@ object Json {
     a.join(b, Seq("path", "type"), "full_outer")
       .withColumn("n_docs_a", coalesce(col("n_docs_a"), lit(0L)))
       .withColumn("n_docs_b", coalesce(col("n_docs_b"), lit(0L)))
+  }
+
+  /** Batch-over-batch schema drift: full outer on (path, type);
+    * status `new` (absent before), `gone` (absent now), `stable`. A
+    * type shift surfaces as a gone+new pair on the same path. */
+  def schemaDrift(profileA: DataFrame, profileB: DataFrame): DataFrame =
+    censusOuter(profileA, profileB)
       .withColumn("status",
         when(col("n_docs_a") === 0, "new")
           .when(col("n_docs_b") === 0, "gone")
           .otherwise("stable"))
-  }
 
   // ------------------------------------------------------------------
   // queries

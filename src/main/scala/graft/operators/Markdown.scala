@@ -78,18 +78,28 @@ object Markdown {
   }
 
   /** Inline pass: code spans bind tightest, then images/links, then
-    * emphasis. Returns (text, links, nImages). */
+    * emphasis. Code-span content is PROTECTED from the emphasis pass
+    * (a '*' inside backticks is code, not a delimiter — it must
+    * neither strip nor pair with emphasis outside the span). Returns
+    * (text, links, nImages). */
   private def inline(s: String): (String, Vector[(String, String)], Int) = {
     val links = Vector.newBuilder[(String, String)]
     var nImages = 0
+    // (text, protected): protected segments skip emphasis stripping
+    val parts = Vector.newBuilder[(String, Boolean)]
     val sb = new StringBuilder(s.length)
+    def flush(): Unit =
+      if (sb.nonEmpty) { parts += ((sb.toString, false)); sb.clear() }
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '`') {
         val close = s.indexOf('`', i + 1)
-        if (close > 0) { sb.append(s.substring(i + 1, close)); i = close + 1 }
-        else { sb.append(c); i += 1 }
+        if (close > 0) {
+          flush()
+          parts += ((s.substring(i + 1, close), true))
+          i = close + 1
+        } else { sb.append(c); i += 1 }
       } else if (c == '!' && i + 1 < s.length && s.charAt(i + 1) == '[') {
         parseLink(s, i + 1) match {
           case Some((text, _, next)) =>
@@ -104,7 +114,12 @@ object Markdown {
         }
       } else { sb.append(c); i += 1 }
     }
-    (stripEmphasis(sb.toString), links.result(), nImages)
+    flush()
+    val text = parts.result().map {
+      case (t, true) => t
+      case (t, false) => stripEmphasis(t)
+    }.mkString
+    (text, links.result(), nImages)
   }
 
   /** `[text](url)` starting at the '[' — no nested brackets. */

@@ -21,39 +21,35 @@ import graft.engine.Tables
   */
 object Postings {
 
-  /** Varint-encode one segment's sorted ids as gaps from `base`.
-    * Requires sorted input with ids ≥ base (caller contract). */
+  /** Varint-encode one segment's sorted ids as gaps from `base`
+    * (writer shared with the protobuf/avro emitters). Requires sorted
+    * input with ids ≥ base (caller contract). */
   def encodeSegment(ids: Seq[Long], base: Long): Array[Byte] = {
     val out = new ByteArrayOutputStream(ids.size * 2)
     var prev = base
     ids.foreach { id =>
-      var v = id - prev
+      val v = id - prev
       require(v >= 0, s"unsorted postings: $id after $prev")
-      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
-      out.write(v.toInt)
+      Protobuf.putVarint(out, v)
       prev = id
     }
     out.toByteArray
   }
 
-  /** Decode a segment blob back to absolute ids. */
-  def decodeSegment(b: Array[Byte], base: Long): Vector[Long] = {
+  /** Decode a segment blob back to absolute ids; None on a blob torn
+    * mid-varint or an over-long (>10 byte) varint — a corrupt segment
+    * is a counted casualty, never a crashed task or garbage ids. */
+  def decodeSegment(b: Array[Byte], base: Long): Option[Vector[Long]] = {
     val out = Vector.newBuilder[Long]
     var prev = base
     var i = 0
     while (i < b.length) {
-      var v = 0L; var shift = 0
-      var more = true
-      while (more) {
-        val x = b(i) & 0xff
-        v |= (x & 0x7fL) << shift
-        shift += 7; i += 1
-        more = (x & 0x80) != 0
-      }
-      prev += v
+      val (gap, next) = Protobuf.varint(b, i).getOrElse(return None)
+      i = next
+      prev += gap
       out += prev
     }
-    out.result()
+    Some(out.result())
   }
 
   /** Segmented compressed postings over (docIdCol, termCol) pairs:

@@ -78,7 +78,10 @@ object Protobuf {
 
   // --------------------------------------------------- fixture emitter
 
-  private def putVarint(out: ByteArrayOutputStream, v0: Long): Unit = {
+  /** Base-128 varint writer — the single write-side twin of [[varint]],
+    * shared by the zip/avro/postings encoders so encode and decode
+    * cannot drift apart per module. */
+  private[operators] def putVarint(out: ByteArrayOutputStream, v0: Long): Unit = {
     var v = v0
     while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
     out.write(v.toInt)

@@ -180,17 +180,6 @@ final class IncrementalBottomK(
       graft.operators.Maintenance.distinctFromBottomK(st, k))
 }
 
-/** An incrementally-maintained data-skipping index: the per-FILE
-  * (path, n_rows, mn, mx) stats manifest of
-  * [[graft.operators.DataSkipping]], kept fresh by the same
-  * checkpointed fold harness — each newly-arrived file is scanned
-  * exactly once for its stats, and the manifest is the union of
-  * per-file rows (a file lives in exactly one arrival batch, so the
-  * merge is a plain keyed re-aggregate that never double-counts under
-  * the replay guard). The production loop this models: ingest appends
-  * files, the index pass stats ONLY the new ones, and every range
-  * query thereafter prunes against the manifest without re-scanning
-  * history ([[graft.operators.DataSkipping.skippingFileRangeScan]]). */
 /** Incrementally-maintained JSON schema census
   * ([[graft.operators.Json.schemaProfile]] kept fresh by the shared
   * exactly-once fold harness): each newly-arrived JSONL file is walked
@@ -232,26 +221,32 @@ final class IncrementalJsonCensus(
   def stateAt(version: String): DataFrame =
     spark.read.parquet(Paths.get(stateDir, version).toString)
 
-  /** Version-over-version census drift. Cumulative counts never shrink
-    * (append-only corpus), so the states are `new` (path/type absent
-    * before), `stale` (count stopped growing — the field stopped
-    * arriving: a rename or drop on the producer side), or `growing`
-    * (healthy). A type shift surfaces as a stale+new pair on one path. */
-  def driftBetween(vOld: String, vNew: String): DataFrame = {
-    val a = stateAt(vOld).select(col("path"), col("type"),
-      col("n_docs").as("n_docs_a"))
-    val b = stateAt(vNew).select(col("path"), col("type"),
-      col("n_docs").as("n_docs_b"))
-    a.join(b, Seq("path", "type"), "full_outer")
-      .withColumn("n_docs_a", coalesce(col("n_docs_a"), lit(0L)))
-      .withColumn("n_docs_b", coalesce(col("n_docs_b"), lit(0L)))
+  /** Version-over-version census drift (shared scaffold:
+    * [[graft.operators.Json.censusOuter]]). Cumulative counts never
+    * shrink (append-only corpus), so the states are `new` (path/type
+    * absent before), `stale` (count stopped growing — the field
+    * stopped arriving: a rename or drop on the producer side), or
+    * `growing` (healthy). A type shift surfaces as a stale+new pair
+    * on one path. */
+  def driftBetween(vOld: String, vNew: String): DataFrame =
+    graft.operators.Json.censusOuter(stateAt(vOld), stateAt(vNew))
       .withColumn("status",
         when(col("n_docs_a") === 0, "new")
           .when(col("n_docs_b") === col("n_docs_a"), "stale")
           .otherwise("growing"))
-  }
 }
 
+/** An incrementally-maintained data-skipping index: the per-FILE
+  * (path, n_rows, mn, mx) stats manifest of
+  * [[graft.operators.DataSkipping]], kept fresh by the same
+  * checkpointed fold harness — each newly-arrived file is scanned
+  * exactly once for its stats, and the manifest is the union of
+  * per-file rows (a file lives in exactly one arrival batch, so the
+  * merge is a plain keyed re-aggregate that never double-counts under
+  * the replay guard). The production loop this models: ingest appends
+  * files, the index pass stats ONLY the new ones, and every range
+  * query thereafter prunes against the manifest without re-scanning
+  * history ([[graft.operators.DataSkipping.skippingFileRangeScan]]). */
 final class IncrementalManifest(
     spark: SparkSession,
     inputDir: String,

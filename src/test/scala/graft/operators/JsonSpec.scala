@@ -18,6 +18,8 @@ class JsonSpec extends AnyFunSuite {
 
   test("scalars, empty containers, whitespace") {
     assert(pathTypes("42").get == Vector(("$", "number")))
+    assert(pathTypes("0").get == Vector(("$", "number")))
+    assert(pathTypes("0.5").get == Vector(("$", "number")))
     assert(pathTypes("-1.5e-3").get == Vector(("$", "number")))
     assert(pathTypes("\"s\"").get == Vector(("$", "string")))
     assert(pathTypes(" { } ").get == Vector(("$", "object")))
@@ -34,7 +36,7 @@ class JsonSpec extends AnyFunSuite {
   test("malformed inputs yield None") {
     for (bad <- Seq(null, "", "{", "{\"a\":}", "[1,]", "{\"a\" 1}",
       "tru", "01x", "1.", "1e", "\"unterminated", "{\"a\":1} trailing",
-      "{'single':1}", "\"bad  ctrl\"", "nul"))
+      "007", "{\"a\":01}", "-01", "{'single':1}", "\"bad  ctrl\"", "nul"))
       assert(pathTypes(bad).isEmpty, s"should reject: $bad")
   }
 

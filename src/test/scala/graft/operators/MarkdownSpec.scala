@@ -36,6 +36,13 @@ class MarkdownSpec extends AnyFunSuite {
     assert(s.plainText == "a b * c d\nlone ` tick")
   }
 
+  test("code-span content is shielded from the emphasis pass") {
+    // the '*' inside backticks must neither strip nor pair with the
+    // emphasis outside the span
+    assert(parse("`a*b` *em*").plainText == "a*b em")
+    assert(parse("x `2*3` y *z* `_u_`").plainText == "x 2*3 y z _u_")
+  }
+
   test("links and images: text kept, url recorded, images counted") {
     val s = parse("see [here](http://u/1) and ![pic](i.png) end [broken] one")
     assert(s.links == Vector(("here", "http://u/1")))

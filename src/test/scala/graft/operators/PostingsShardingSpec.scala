@@ -18,8 +18,15 @@ class PostingsShardingSpec extends SparkSpec {
       Gen.choose(0L, 1000000L),
       Gen.listOf(Gen.choose(0L, 100000L))) { (base, deltas) =>
       val ids = deltas.scanLeft(base)(_ + _).tail // sorted by construction
-      Postings.decodeSegment(Postings.encodeSegment(ids, base), base) == ids.toVector
+      Postings.decodeSegment(Postings.encodeSegment(ids, base), base)
+        .contains(ids.toVector)
     })
+  }
+
+  test("postings decode: torn and over-long varints yield None, not a throw") {
+    assert(Postings.decodeSegment(Array(0x80.toByte), 0L).isEmpty) // torn
+    assert(Postings.decodeSegment(Array.fill(11)(0x80.toByte), 0L).isEmpty)
+    assert(Postings.decodeSegment(Array.emptyByteArray, 5L).contains(Vector()))
   }
 
   test("postings: multi-byte gaps and the empty segment") {
