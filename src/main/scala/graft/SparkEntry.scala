@@ -55,7 +55,8 @@ object SparkEntry {
     UnicodeScripts.defs,
     Frontier.defs,
     Postings.defs,
-    Sharding.defs)
+    Sharding.defs,
+    Winnowing.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 
