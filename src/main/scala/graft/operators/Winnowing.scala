@@ -35,10 +35,13 @@ object Winnowing {
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int): DataFrame = {
     val tokens = filter(split(col(textCol), " "), t => length(t) > 0)
+    // sequence(1, 0) in Spark is the DESCENDING [1, 0], not empty — a
+    // doc under k tokens must short-circuit to an empty hash array
+    val nGrams = size(col("_toks")) - (k - 1)
     df.select(col(idCol), tokens.as("_toks"))
-      .select(col(idCol), transform(
-        sequence(lit(1), greatest(size(col("_toks")) - (k - 1), lit(0))),
-        i => kgramHash(col("_toks"), i, k)).as("_hashes"))
+      .select(col(idCol), when(nGrams <= 0, typedLit(Seq.empty[Long]))
+        .otherwise(transform(sequence(lit(1), nGrams),
+          i => kgramHash(col("_toks"), i, k))).as("_hashes"))
       .select(col(idCol), transform(
         sequence(lit(1), greatest(size(col("_hashes")) - (w - 1), lit(1))),
         i => array_min(slice(col("_hashes"), i, lit(w)))).as("_mins"))
