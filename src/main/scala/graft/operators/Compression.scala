@@ -341,4 +341,101 @@ object Compression {
     out.write(if (encryptedFooter) 'E' else '1')
     out.toByteArray
   }
+
+  // ------------------------------------------------------------------
+  // lz4 frame (public spec: lz4_Frame_format.md) + XXH32
+  // ------------------------------------------------------------------
+
+  /** XXH32 (public spec, Cyan4973/xxHash) — the checksum the LZ4 frame
+    * header carries. 32-bit modular arithmetic in an Int. */
+  def xxh32(b: Array[Byte], off: Int, len: Int, seed: Int = 0): Int = {
+    val P1 = -1640531535; val P2 = -2048144777; val P3 = -1028477379
+    val P4 = 668265263; val P5 = 374761393
+    def rotl(x: Int, r: Int): Int = (x << r) | (x >>> (32 - r))
+    def u32(i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) |
+        ((b(i + 3) & 0xff) << 24)
+    var i = off
+    val end = off + len
+    var h =
+      if (len >= 16) {
+        var v1 = seed + P1 + P2; var v2 = seed + P2
+        var v3 = seed; var v4 = seed - P1
+        while (i <= end - 16) {
+          v1 = rotl(v1 + u32(i) * P2, 13) * P1
+          v2 = rotl(v2 + u32(i + 4) * P2, 13) * P1
+          v3 = rotl(v3 + u32(i + 8) * P2, 13) * P1
+          v4 = rotl(v4 + u32(i + 12) * P2, 13) * P1
+          i += 16
+        }
+        rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)
+      } else seed + P5
+    h += len
+    while (i <= end - 4) { h = rotl(h + u32(i) * P3, 17) * P4; i += 4 }
+    while (i < end) { h = rotl(h + (b(i) & 0xff) * P5, 11) * P1; i += 1 }
+    h ^= h >>> 15; h *= P2; h ^= h >>> 13; h *= P3; h ^= h >>> 16
+    h
+  }
+
+  /** LZ4 frame-descriptor metadata: declared content size when the
+    * frame carries one, the block-maximum size in KB (codes 4–7 =
+    * 64 KB…4 MB), and whether block checksums are flagged. */
+  final case class Lz4Meta(contentSize: Option[Long], blockMaxKb: Int,
+      blockChecksums: Boolean)
+
+  /** LZ4 frame sniff: magic 0x184D2204 LE, FLG version bits = 01 with
+    * reserved bits clear, BD block-max code in 4–7, optional content
+    * size, and the REAL XXH32 header checksum verified ((xxh32 >> 8)
+    * & 0xff over the descriptor) — a forged or torn header fails. */
+  def decodeLz4Header(b: Array[Byte]): Option[Lz4Meta] = {
+    if (b == null || b.length < 7) return None
+    if (u32le(b, 0) != 0x184d2204L) return None
+    val flg = b(4) & 0xff
+    if ((flg >>> 6) != 1) return None // version must be 01
+    if ((flg & 0x02) != 0) return None // reserved bit
+    val bd = b(5) & 0xff
+    if ((bd & 0x8f) != 0) return None // reserved bits of BD
+    val bmCode = (bd >>> 4) & 7
+    if (bmCode < 4) return None
+    val hasContentSize = (flg & 0x08) != 0
+    val hasDictId = (flg & 0x01) != 0
+    val descLen = 2 + (if (hasContentSize) 8 else 0) + (if (hasDictId) 4 else 0)
+    if (4 + descLen + 1 > b.length) return None
+    val hc = b(4 + descLen) & 0xff
+    if (((xxh32(b, 4, descLen) >>> 8) & 0xff) != hc) return None
+    val contentSize =
+      if (hasContentSize)
+        Some((0 until 8).map(k => (b(6 + k) & 0xffL) << (8 * k)).sum)
+      else None
+    Some(Lz4Meta(contentSize, 64 << ((bmCode - 4) * 2),
+      (flg & 0x10) != 0))
+  }
+
+  /** Fixture emitter: byte-valid frame header (real XXH32 header
+    * checksum) + an uncompressed block holding `payload` + EndMark. */
+  def encodeLz4(payload: Array[Byte], blockMaxCode: Int = 4,
+      withContentSize: Boolean = true): Array[Byte] = {
+    require(blockMaxCode >= 4 && blockMaxCode <= 7)
+    val out = new ByteArrayOutputStream(payload.length + 32)
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    le32(0x184d2204L)
+    val flg = 0x40 | (if (withContentSize) 0x08 else 0)
+    out.write(flg)
+    out.write(blockMaxCode << 4)
+    if (withContentSize) {
+      var v = payload.length.toLong
+      var k = 0
+      while (k < 8) { out.write((v & 0xff).toInt); v >>= 8; k += 1 }
+    }
+    val desc = out.toByteArray
+    out.write((xxh32(desc, 4, desc.length - 4) >>> 8) & 0xff)
+    // one uncompressed block (high bit of the size word set) + EndMark
+    le32(payload.length.toLong | 0x80000000L)
+    out.write(payload, 0, payload.length)
+    le32(0L)
+    out.toByteArray
+  }
 }

@@ -106,6 +106,8 @@ object Multimodal {
         ("gzip", Some(m.isize))))
       .orElse(Compression.decodeZstdHeader(b).map(m =>
         ("zstd", m.contentSize)))
+      .orElse(Compression.decodeLz4Header(b).map(m =>
+        ("lz4", m.contentSize.orElse(Some(m.blockMaxKb.toLong)))))
       .orElse {
         if (b != null && b.length >= 5 &&
           new String(b, 0, 5, "US-ASCII") == "WARC/")
@@ -116,6 +118,20 @@ object Multimodal {
       .orElse(Compression.decodeParquetShell(b).map(m =>
         ("parquet", Some(m.footerLen))))
       .orElse(Avro.sniff(b).map(m => ("avro", Some(m.nRecords))))
+      .orElse {
+        // tar: ustar magic + per-header checksum make text collision
+        // impossible; require at least one verified member
+        val ms = Archive.tarMembers(b)
+        if (ms.nonEmpty) Some(("tar", Some(ms.size.toLong))) else None
+      }
+      .orElse {
+        // zip: 'PK' gate first so the 64 KiB EOCD back-scan never runs
+        // on plain text blobs
+        if (b != null && b.length >= 4 && b(0) == 'P' && b(1) == 'K')
+          Archive.zipEntries(b).filter(_.nonEmpty)
+            .map(es => ("zip", Some(es.size.toLong)))
+        else None
+      }
       .getOrElse {
         val e = TextEncoding.sniff(b)
         (e.charset, Some(if (b == null) 0L else b.length.toLong))
@@ -1068,6 +1084,88 @@ object Multimodal {
                  WHEN 12 THEN 1 + doc_id % 5
                  WHEN 13 THEN octet_length(encode(text)) + 2
                  ELSE octet_length(encode(text)) END AS BIGINT) AS detail
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // the dispatcher's ARCHIVE/CONTAINER wing: tar, zip, avro, and lz4
+    // blobs routed by magic with a structure-verified salient numeric
+    // (member/entry/record counts; lz4's declared content size). A
+    // text blob cannot collide: tar needs a checksum-verified header,
+    // zip the PK gate + central directory, avro the sync-verified
+    // chain, lz4 the XXH32 header checksum.
+    QueryDef(
+      "q311_archive_dispatch",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val tb = text.getBytes("UTF-8")
+            val bytes = (id % 4) match {
+              case 0 => graft.operators.Archive.encodeTar(Seq(
+                graft.operators.Archive.TarEntry(s"a$id.txt", tb, 1L),
+                graft.operators.Archive.TarEntry("b.json", "{}".getBytes, 2L)))
+              case 1 => graft.operators.Archive.encodeZip(Seq(
+                (s"a$id.txt", tb, true), ("m.json", "{}".getBytes, false)))
+              case 2 => graft.operators.Avro.encode("{}", "null",
+                Array.fill(16)((id % 251).toByte),
+                Seq((10 + id % 7, 30)))
+              case _ => Compression.encodeLz4(tb)
+            }
+            MediaRecord(id, bytes, "application/octet-stream")
+          }
+        media.mapPartitions { it =>
+          it.map { r =>
+            val (fmt, detail) = sniffContent(r.media)
+            (r.doc_id, fmt, detail)
+          }
+        }.toDF("doc_id", "format", "detail")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CASE doc_id % 4 WHEN 0 THEN 'tar' WHEN 1 THEN 'zip'
+                 WHEN 2 THEN 'avro' ELSE 'lz4' END AS format,
+               CAST(CASE doc_id % 4
+                 WHEN 0 THEN 2
+                 WHEN 1 THEN 2
+                 WHEN 2 THEN 10 + doc_id % 7
+                 ELSE octet_length(encode(text)) END AS BIGINT) AS detail
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // lz4 frame sniff on its own: block-max code sweep (64 KB..4 MB),
+    // content-size flag by parity, and the hashed presence of every
+    // field PROVES the XXH32 header checksum verified (the emitter
+    // computes a real one; decode rejects forgeries — spec-tested).
+    QueryDef(
+      "q312_lz4_frame_sniff",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val blob = Compression.encodeLz4(text.getBytes("UTF-8"),
+              blockMaxCode = (4 + id % 4).toInt,
+              withContentSize = id % 2 == 0)
+            Compression.decodeLz4Header(blob) match {
+              case Some(m) => (id, m.blockMaxKb.toLong, m.contentSize,
+                m.blockChecksums)
+              case None => (id, -1L, None: Option[Long], false)
+            }
+          }
+          .toDF("doc_id", "block_max_kb", "content_size", "block_checksums")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(64 * power(4, doc_id % 4) AS BIGINT) AS block_max_kb,
+               CASE WHEN doc_id % 2 = 0
+                    THEN CAST(octet_length(encode(text)) AS BIGINT)
+                    ELSE NULL END AS content_size,
+               FALSE AS block_checksums
         FROM documents
         ORDER BY doc_id""")),
 
