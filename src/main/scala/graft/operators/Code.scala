@@ -166,6 +166,51 @@ object Code {
     }.toDF(idCol, "stripped", "n_comment_chars", "sloc")
   }
 
+  // ---------------------------------------------- clone normalization
+
+  /** Reserved words that survive alpha-normalization (a small
+    * cross-language core — the fixture languages' shared keywords). */
+  val keywords: Set[String] = Set(
+    "if", "else", "for", "while", "return", "int", "long", "float",
+    "double", "void", "var", "val", "def", "fun", "class", "struct",
+    "new", "null", "true", "false")
+
+  /** Type-2 clone key: identifiers alpha-rename to %0, %1, … in
+    * first-occurrence order (keywords, literals, and operators kept),
+    * whitespace collapses. Two fragments differing only by consistent
+    * identifier renaming normalize to the SAME string — the classic
+    * type-2 clone-detection normalization (Roy & Cordy's taxonomy,
+    * public). Run it on comment-stripped source ([[stripComments]]) so
+    * comment edits don't break clone groups either. */
+  def alphaNormalize(src: String): String = {
+    if (src == null) return ""
+    val sb = new StringBuilder(src.length)
+    val names = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    var i = 0
+    val n = src.length
+    while (i < n) {
+      val c = src.charAt(i)
+      if (Character.isJavaIdentifierStart(c)) {
+        val start = i
+        while (i < n && Character.isJavaIdentifierPart(src.charAt(i))) i += 1
+        val word = src.substring(start, i)
+        if (keywords(word)) sb.append(word)
+        else {
+          val idx = names.getOrElseUpdate(word, names.size)
+          sb.append('%').append(idx)
+        }
+      } else if (Character.isWhitespace(c)) {
+        // collapse runs; a single space only between word-ish chars
+        while (i < n && Character.isWhitespace(src.charAt(i))) i += 1
+        if (sb.nonEmpty && i < n &&
+          Character.isJavaIdentifierPart(src.charAt(i)) &&
+          Character.isJavaIdentifierPart(sb.charAt(sb.length - 1)))
+          sb.append(' ')
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   // ------------------------------------------------------------------
   // queries
   // ------------------------------------------------------------------
@@ -252,6 +297,52 @@ object Code {
                  WHEN 0 THEN 'spdx' ELSE 'phrase' END AS method,
                doc_id % 4 <> 3 AS permissive
         FROM documents
+        ORDER BY doc_id""")),
+
+    // type-2 clone detection: three structural shapes whose IDENTIFIER
+    // NAMES vary with every doc_id (and a doc-text comment stripped
+    // first), alpha-normalizing to three constant clone keys — the
+    // oracle replays the exact normalized strings and the clone-group
+    // sizes. Grouping shuffles on the normalized key (clone-class
+    // bounded), never on raw source.
+    QueryDef(
+      "q313_code_clone_groups",
+      (s, dir) => {
+        import s.implicits._
+        val keyed = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val src = (id % 3) match {
+              case 0 => s"// $text\nint alpha$id = beta$id + alpha$id;"
+              case 1 => s"if (x$id > y$id) return y$id; // $text"
+              case _ => s"while (k$id) k$id = k$id - 1;"
+            }
+            (id, Code.alphaNormalize(Code.stripComments(src, "c")._1))
+          }
+          .toDF("doc_id", "clone_key")
+        keyed.withColumn("group_size",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy($"clone_key")))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH c AS (
+          SELECT CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n0,
+                 CAST(sum(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n2
+          FROM documents)
+        SELECT doc_id,
+               CASE doc_id % 3
+                 WHEN 0 THEN 'int %0=%1+%0;'
+                 WHEN 1 THEN 'if(%0>%1)return %1;'
+                 ELSE 'while(%0)%0=%0-1;' END AS clone_key,
+               CASE doc_id % 3 WHEN 0 THEN n0 WHEN 1 THEN n1 ELSE n2 END
+                 AS group_size
+        FROM documents CROSS JOIN c
         ORDER BY doc_id""")),
 
     // comment strip: C-family source whose line 1 comment carries the

@@ -128,10 +128,103 @@ object Quality {
             .as("n_group")): _*)
   }
 
+  /** Pair-counting clustering evaluation WITHOUT materializing pairs:
+    * the contingency-table combinatorics (Rand-index family, public).
+    * tp = Σ C(n_ij, 2) over (pred, truth) cells, predicted pairs =
+    * Σ C(a_i, 2) over pred sizes, truth pairs = Σ C(b_j, 2) over truth
+    * sizes; fp/fn by subtraction. At 100 TB the naive "join predicted
+    * pairs against truth pairs" is O(Σ n²) rows — this is three
+    * cluster-size-bounded aggregates and a handful of scalars.
+    * Input frames: (idCol, clusterCol) each. Returns one row
+    * (tp_pairs, fp_pairs, fn_pairs). */
+  def pairCountingEval(pred: DataFrame, truth: DataFrame, idCol: String,
+      predCol: String, truthCol: String): DataFrame = {
+    val joined = pred.select(col(idCol), col(predCol))
+      .join(truth.select(col(idCol), col(truthCol)), idCol)
+    def pairsOf(df: DataFrame, cols: Seq[String]): DataFrame =
+      df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(expr("n * (n - 1) / 2")), lit(0L))
+          .cast("long").as("pairs"))
+    val tp = pairsOf(joined, Seq(predCol, truthCol))
+      .withColumnRenamed("pairs", "tp_pairs")
+    val pp = pairsOf(joined, Seq(predCol)).withColumnRenamed("pairs", "pp")
+    val tt = pairsOf(joined, Seq(truthCol)).withColumnRenamed("pairs", "tt")
+    tp.crossJoin(pp).crossJoin(tt) // three 1-row frames
+      .select(col("tp_pairs"),
+        (col("pp") - col("tp_pairs")).as("fp_pairs"),
+        (col("tt") - col("tp_pairs")).as("fn_pairs"))
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
   val defs: Seq[QueryDef] = Seq(
+
+    // dedup-quality evaluation: planted truth clusters of 3 consecutive
+    // ids, members disguised by case flips and doubled spacing (the
+    // canonicalization must reunite them), every 5th super-group's two
+    // truth clusters given IDENTICAL text (an over-merge -> fp pairs)
+    // and every 7th super-group's third member given new content (an
+    // under-merge -> fn pairs). Predicted clusters come from the real
+    // canonicalization pipeline; the oracle derives them INDEPENDENTLY
+    // from the planting rules and replays the contingency
+    // combinatorics — no pair set is ever materialized on either side.
+    QueryDef(
+      "q314_dedup_pair_eval",
+      (s, dir) => {
+        import s.implicits._
+        val planted = t(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .groupByKey { case (id, _) => id / 6 }
+          .flatMapGroups { (sg, it) =>
+            val members = it.toSeq.sortBy(_._1)
+            // the corpus has rare canonically-identical texts (8 of
+            // 5000 at sf0.1) — scope the planted content by the
+            // super-group id so predicted merges can only happen where
+            // the fixture PLANTS them
+            val base = s"g$sg " + members.head._2
+            members.map { case (id, _) =>
+              val pos = id % 6
+              val content =
+                if (sg % 7 == 0 && pos == 2) s"unique $id"
+                else if (sg % 5 == 0) base
+                else if (pos >= 3) base + " extrablock"
+                else base
+              val disguised = (pos % 3) match {
+                case 0 => content
+                case 1 => content.toUpperCase
+                case _ => content.replace(" ", "  ")
+              }
+              (id, id / 3, disguised)
+            }
+          }
+          .toDF("doc_id", "truth", "text")
+        val pred = planted.withColumn("pred",
+          trim(regexp_replace(lower($"text"), "\\s+", " ")))
+        Quality.pairCountingEval(pred, planted.select($"doc_id", $"truth"),
+          "doc_id", "pred", "truth")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, doc_id // 3 AS truth, doc_id // 6 AS s,
+                 CASE WHEN (doc_id // 6) % 7 = 0 AND doc_id % 6 = 2
+                        THEN 'u' || doc_id
+                      WHEN (doc_id // 6) % 5 = 0 THEN 'base'
+                      WHEN doc_id % 6 >= 3 THEN 'extra'
+                      ELSE 'base' END AS variant
+          FROM documents),
+        p AS (SELECT doc_id, truth, s || '#' || variant AS pred FROM d),
+        cont AS (SELECT pred, truth, count(*) AS n FROM p GROUP BY 1, 2),
+        tp AS (SELECT COALESCE(sum(n * (n - 1) / 2), 0) AS v FROM cont),
+        pp AS (SELECT COALESCE(sum(n * (n - 1) / 2), 0) AS v FROM
+                 (SELECT pred, count(*) AS n FROM p GROUP BY 1)),
+        tt AS (SELECT COALESCE(sum(n * (n - 1) / 2), 0) AS v FROM
+                 (SELECT truth, count(*) AS n FROM p GROUP BY 1))
+        SELECT CAST(tp.v AS BIGINT) AS tp_pairs,
+               CAST(pp.v - tp.v AS BIGINT) AS fp_pairs,
+               CAST(tt.v - tp.v AS BIGINT) AS fn_pairs
+        FROM tp, pp, tt""")),
 
     // a rule pack over orders + referential / uniqueness checks, all in
     // one report; the fixture is clean on some rules and dirty on others
