@@ -46,6 +46,20 @@ class CodeSpec extends AnyFunSuite {
     assert(stripComments("a = b / c / d;", "c")._1 == "a = b / c / d;")
   }
 
+  test("alpha-normalize: consistent renames are invariant, structure is not") {
+    val a = alphaNormalize("int total = count + total;")
+    val b = alphaNormalize("int sum   = items + sum;")
+    assert(a == b && a == "int %0=%1+%0;")
+    // inconsistent rename (different reference pattern) differs
+    assert(alphaNormalize("int x = y + z;") != a)
+    // keywords survive; first-occurrence order is stable
+    assert(alphaNormalize("if (foo) return foo;") == "if(%0)return %0;")
+    assert(alphaNormalize("while (a) a = a - 1;") == "while(%0)%0=%0-1;")
+    assert(alphaNormalize(null) == "")
+    // literals are not identifiers
+    assert(alphaNormalize("x = 42;") == "%0=42;")
+  }
+
   test("comment strip (hash): # shielded by strings, newline survives") {
     val (s, n) = stripComments("a = \"#no\" # yes\nb = 1", "hash")
     assert(s == "a = \"#no\" \nb = 1")

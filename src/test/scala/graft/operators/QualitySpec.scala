@@ -82,4 +82,28 @@ class QualitySpec extends SparkSpec {
     assert(r5.count(_.getBoolean(2)) == 0) // 3 NULLs >= k: none suppressed
     assert(r5.forall(x => x.isNullAt(1))) // value stays null, not '*'
   }
+
+  test("pairCountingEval: hand-checked contingency combinatorics") {
+    val s = spark
+    import s.implicits._
+    // truth {1,2,3},{4,5}; pred merges everything but 5, splits 5 out:
+    // tp pairs: C(3,2)=3 (cluster A∩X) + 0; pred pairs C(4,2)=6 -> fp 3;
+    // truth pairs 3+1=4 -> fn 1
+    val pred = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "x"), (5L, "y"))
+      .toDF("id", "p")
+    val truth = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"))
+      .toDF("id", "t")
+    val r = Quality.pairCountingEval(pred, truth, "id", "p", "t").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 3L, 1L)))
+    // perfect clustering: fp = fn = 0
+    val perfect = Quality.pairCountingEval(
+      truth.withColumnRenamed("t", "p"), truth, "id", "p", "t").collect()(0)
+    assert((perfect.getLong(0), perfect.getLong(1), perfect.getLong(2)) ==
+      ((4L, 0L, 0L)))
+    // singletons everywhere: zero pairs on both sides
+    val single = Seq((1L, "s1"), (2L, "s2")).toDF("id", "p")
+    val r2 = Quality.pairCountingEval(single,
+      single.withColumnRenamed("p", "t"), "id", "p", "t").collect()(0)
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) == ((0L, 0L, 0L)))
+  }
 }
