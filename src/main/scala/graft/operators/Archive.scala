@@ -476,6 +476,53 @@ object Archive {
   }
 
   // ------------------------------------------------------------------
+  // WebDataset shard WRITER
+  // ------------------------------------------------------------------
+
+  /** Pack documents into byte-budgeted tar shards — the WRITE side of
+    * [[webdatasetSamples]]. Assignment is sequential WITHIN an input
+    * split (the production shape: each writer task packs its own split
+    * in order; a global sequential cumsum would serialize the corpus
+    * through one partition): shard = floor(preceding-bytes / budget)
+    * under a per-split ordered window, then one group per (split,
+    * shard) emits a byte-valid tar blob. Group size is budget-bounded
+    * regardless of corpus size. Returns (split, shard, n_docs,
+    * shard_bytes, first_doc, last_doc) with `shard_bytes` measured
+    * from the REAL encoded blob. */
+  def packShards(docs: DataFrame, idCol: String, textCol: String,
+      splitSpan: Long, budgetBytes: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // per-member block math: 512 header + padded payload, plus the
+    // fixed 1024 json sidecar member (512 header + 512 payload block)
+    val memberBytes = lit(512L) + lit(512L) *
+      floor((octet_length(col(textCol)) + lit(511)) / lit(512)).cast("long") +
+      lit(1024L)
+    val w = Window.partitionBy(col("split")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol), col(textCol))
+      .withColumn("split", (col(idCol) / splitSpan).cast("long"))
+      .withColumn("d", memberBytes)
+      .withColumn("shard",
+        (coalesce(sum(col("d")).over(w), lit(0L)) / budgetBytes).cast("long"))
+      .groupBy(col("split"), col("shard"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"),
+        col(textCol).as("text")))).as("docs"))
+      .as[(Long, Long, Seq[(Long, String)])]
+      .map { case (split, shard, ds) =>
+        val blob = encodeTar(ds.flatMap { case (id, text) =>
+          Seq(TarEntry(s"s$id.txt", text.getBytes("UTF-8"), 0L),
+            TarEntry(s"s$id.json", s"""{"id":$id}""".getBytes("UTF-8"), 0L))
+        })
+        (split, shard, ds.size.toLong, blob.length.toLong,
+          ds.head._1, ds.last._1)
+      }
+      .toDF("split", "shard", "n_docs", "shard_bytes", "first_doc",
+        "last_doc")
+  }
+
+  // ------------------------------------------------------------------
   // queries
   // ------------------------------------------------------------------
 
@@ -589,6 +636,42 @@ object Archive {
                doc_id % 7 <> 0 AS complete
         FROM documents
         ORDER BY doc_id""")),
+
+    // shard WRITER: byte-budgeted packing into real tar shards, 64 KiB
+    // budget, splits of 1000 ids. The oracle replays the ENTIRE
+    // layout: per-doc 512-block member math, the per-split windowed
+    // cumulative assignment, and every shard's total byte size — the
+    // engine measures shard_bytes from the actual encoded blob, so a
+    // single padding or trailer slip anywhere shifts a hashed sum.
+    QueryDef(
+      "q315_webdataset_shard_writer",
+      (s, dir) => {
+        import s.implicits._
+        Archive.packShards(Tables.load(s, dir, "documents"),
+          "doc_id", "text", splitSpan = 1000L, budgetBytes = 65536L)
+          .orderBy($"split", $"shard")
+      },
+      Some("""
+        WITH m AS (
+          SELECT doc_id, doc_id // 1000 AS split,
+                 512 + 512 * ((octet_length(encode(text)) + 511) // 512)
+                   + 1024 AS d
+          FROM documents),
+        a AS (
+          SELECT *,
+                 COALESCE(SUM(d) OVER (PARTITION BY split ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   // 65536 AS shard
+          FROM m)
+        SELECT CAST(split AS BIGINT) AS split,
+               CAST(shard AS BIGINT) AS shard,
+               count(*) AS n_docs,
+               CAST(sum(d) + 1024 AS BIGINT) AS shard_bytes,
+               min(doc_id) AS first_doc,
+               max(doc_id) AS last_doc
+        FROM a
+        GROUP BY split, shard
+        ORDER BY split, shard""")),
 
     // zip central-directory walk + verified extract: per-doc archives
     // (text entry deflated on even ids, stored on odd; constant '{}'

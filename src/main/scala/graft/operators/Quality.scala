@@ -155,6 +155,31 @@ object Quality {
         (col("tt") - col("tp_pairs")).as("fn_pairs"))
   }
 
+  /** Two-level Merkle fingerprint of a corpus: leaf = md5(content),
+    * shard hash = md5(ordered concat of its leaf hexes), root =
+    * md5(ordered concat of shard hexes). Any single-byte change in any
+    * document flips its leaf, its shard, and the root — the
+    * tamper-evidence / version-identity receipt a released dataset
+    * ships with. Shard aggregation is span-bounded; the root fold is
+    * ǀshardsǀ-sized. Returns per-shard rows plus a root row
+    * (shard = −1). */
+  def datasetFingerprint(df: DataFrame, idCol: String, textCol: String,
+      shardSpan: Long): DataFrame = {
+    val leaves = df.select((col(idCol) / shardSpan).cast("long").as("shard"),
+      col(idCol).as("_id"), md5(col(textCol)).as("leaf"))
+    val shards = leaves.groupBy(col("shard"))
+      .agg(md5(concat_ws("",
+        transform(array_sort(collect_list(struct(col("_id"), col("leaf")))),
+          x => x.getField("leaf")))).as("hash"),
+        count(lit(1)).as("n_docs"))
+    val root = shards.agg(md5(concat_ws("",
+      transform(array_sort(collect_list(struct(col("shard"), col("hash")))),
+        x => x.getField("hash")))).as("hash"),
+      sum(col("n_docs")).as("n_docs"))
+      .select(lit(-1L).as("shard"), col("hash"), col("n_docs"))
+    shards.select(col("shard"), col("hash"), col("n_docs")).unionAll(root)
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -225,6 +250,35 @@ object Quality {
                CAST(pp.v - tp.v AS BIGINT) AS fp_pairs,
                CAST(tt.v - tp.v AS BIGINT) AS fn_pairs
         FROM tp, pp, tt""")),
+
+    // dataset Merkle fingerprint: shards of 100 ids, per-shard hashes
+    // and the root all recomputed independently by DuckDB's own md5 +
+    // ordered string_agg — the release-identity receipt. Exact hex
+    // equality across engines is the whole point.
+    QueryDef(
+      "q316_dataset_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        Quality.datasetFingerprint(t(s, dir, "documents"),
+          "doc_id", "text", shardSpan = 100L)
+          .orderBy($"shard")
+      },
+      Some("""
+        WITH l AS (
+          SELECT doc_id // 100 AS shard, doc_id, md5(text) AS leaf
+          FROM documents),
+        sh AS (
+          SELECT CAST(shard AS BIGINT) AS shard,
+                 md5(string_agg(leaf, '' ORDER BY doc_id)) AS hash,
+                 count(*) AS n_docs
+          FROM l GROUP BY shard)
+        SELECT shard, hash, n_docs FROM sh
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT),
+               md5(string_agg(hash, '' ORDER BY shard)),
+               CAST(sum(n_docs) AS BIGINT)
+        FROM sh
+        ORDER BY shard""")),
 
     // a rule pack over orders + referential / uniqueness checks, all in
     // one report; the fixture is clean on some rules and dirty on others
