@@ -663,7 +663,98 @@ object Maintenance {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Equi-depth range-partition bounds from a single-key quantile
+    * STATE ([[quantileState]]) — the sketch-driven range partitioner
+    * that makes a 100 TB global sort / sorted write possible: one
+    * mergeable-state pass picks B−1 split bins, then every row routes
+    * map-side. The collect is bins-bounded metadata (≤ a few hundred
+    * rows), never data. Split i = smallest bin whose cumulative count
+    * satisfies cum·B ≥ i·n (integer cross-multiply — exact, no float
+    * quantile). Balance bound: each bucket ≤ n/B + max single-bin
+    * count (bin-granularity equi-depth). */
+  def rangeBoundsFromState(state: DataFrame, buckets: Int): Seq[Int] = {
+    require(buckets >= 2)
+    val hist = state.select(col("b"), col("c")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = hist.map(_._2).sum
+    var cum = 0L
+    val cumByBin = hist.map { case (b, c) => cum += c; (b, cum) }
+    (1 until buckets).map { i =>
+      cumByBin.find { case (_, cc) => cc * buckets >= i.toLong * n }
+        .map(_._1).getOrElse(Int.MaxValue)
+    }
+  }
+
+  /** Route rows to the equi-depth buckets of [[rangeBoundsFromState]]:
+    * bucket = #{i : split_i ≤ bin(row)} — a pure map-side projection
+    * (the splits are a broadcast-sized literal), shuffle-free. */
+  def assignRangeBucket(df: DataFrame, value: Column, lo: Double,
+      hi: Double, bins: Int, splits: Seq[Int]): DataFrame = {
+    val wid = (hi - lo) / bins
+    val bin = least(greatest(floor((value - lo) / wid), lit(0)),
+      lit(bins - 1)).cast("int")
+    val bucket = splits.foldLeft(lit(0)) { (acc, s) =>
+      acc + when(bin >= lit(s), 1).otherwise(0)
+    }
+    df.withColumn("range_bucket", bucket)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // sketch-driven range partitioner: ONE quantile-state pass over
+    // document lengths picks 7 split bins (integer cross-multiply, no
+    // float quantile), every row routes map-side, and the oracle
+    // replays the ENTIRE construction — histogram, cumulative splits,
+    // assignment — plus each bucket's exact count and value range.
+    // This is how a 100 TB sorted write picks its range bounds without
+    // a global sort or a sampling pass per job.
+    QueryDef(
+      "q317_range_partitioner",
+      (s, dir) => {
+        import s.implicits._
+        val docs = graft.engine.Tables.load(s, dir, "documents")
+        val state = quantileState(docs, lit("all"),
+          octet_length($"text").cast("double"), lo = 0.0, hi = 1024.0,
+          bins = 128)
+        val splits = rangeBoundsFromState(state, buckets = 8)
+        assignRangeBucket(docs.select($"doc_id",
+          octet_length($"text").as("x")),
+          $"x".cast("double"), 0.0, 1024.0, 128, splits)
+          .groupBy($"range_bucket")
+          .agg(count(lit(1)).as("n_rows"),
+            min($"x").cast("long").as("min_val"),
+            max($"x").cast("long").as("max_val"))
+          .select($"range_bucket".cast("long").as("range_bucket"),
+            $"n_rows", $"min_val", $"max_val")
+          .orderBy($"range_bucket")
+      },
+      Some("""
+        WITH v AS (
+          SELECT doc_id, octet_length(encode(text)) AS x FROM documents),
+        b AS (
+          SELECT doc_id, x,
+                 least(greatest(CAST(floor(x / 8.0) AS INT), 0), 127)
+                   AS bin
+          FROM v),
+        hist AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
+        cum AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS cc FROM hist),
+        n AS (SELECT count(*) AS nn FROM b),
+        sp AS (
+          SELECT i,
+                 (SELECT min(bin) FROM cum, n WHERE cc * 8 >= i * nn)
+                   AS sb
+          FROM unnest(generate_series(1, 7)) AS t(i)),
+        a AS (
+          SELECT doc_id, x, bin,
+                 (SELECT count(*) FROM sp WHERE sp.sb <= b.bin) AS bucket
+          FROM b)
+        SELECT CAST(bucket AS BIGINT) AS range_bucket,
+               count(*) AS n_rows,
+               CAST(min(x) AS BIGINT) AS min_val,
+               CAST(max(x) AS BIGINT) AS max_val
+        FROM a
+        GROUP BY bucket
+        ORDER BY range_bucket""")),
 
     // both sides of a materialized order⋈lineitem join receive a delta
     // (orders placed / lines shipped since the cut); the operator emits

@@ -113,5 +113,90 @@ object Winnowing {
                min(fp.fingerprint) AS min_fp
         FROM fp JOIN sh USING (fingerprint)
         GROUP BY doc_id
-        ORDER BY doc_id""")))
+        ORDER BY doc_id""")),
+
+    // fingerprint-level decontamination: the n-gram decontamination
+    // family (q103/q120) upgraded to winnowing — an eval doc is
+    // contaminated when enough of its fingerprints appear ANYWHERE in
+    // the training corpus. Every 97th doc becomes an eval item: even
+    // ids verbatim copies (full containment), odd ids token-reversed
+    // (only chance 3-gram overlap survives). The oracle replays BOTH
+    // winnowing passes and the semi-join in DuckDB — chance overlaps
+    // included, nothing assumed. Join is fingerprint-bucketed; the
+    // train side reduces to DISTINCT fingerprints first.
+    QueryDef(
+      "q318_fingerprint_decontamination",
+      (s, dir) => {
+        import s.implicits._
+        val train = Tables.load(s, dir, "documents")
+        val eval0 = train.select($"doc_id", $"text")
+          .filter($"doc_id" % 97 === 0)
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val toks = text.split(" ").filter(_.nonEmpty)
+            val etext =
+              if (id % 2 == 0) toks.mkString(" ")
+              else toks.reverse.mkString(" ")
+            (id, etext)
+          }
+          .toDF("eval_id", "etext")
+        val trainFps = Winnowing.fingerprints(train, "doc_id", "text", 3, 4)
+          .select($"fingerprint").distinct()
+        val evalFps = Winnowing.fingerprints(eval0, "eval_id", "etext", 3, 4)
+        val shared = evalFps
+          .join(trainFps, Seq("fingerprint"), "left_semi")
+          .groupBy($"eval_id").agg(count(lit(1)).as("n_shared"))
+        evalFps.groupBy($"eval_id").agg(count(lit(1)).as("n_fps"))
+          .join(shared, Seq("eval_id"), "left_outer")
+          .withColumn("n_shared", coalesce($"n_shared", lit(0L)))
+          .withColumn("contaminated", $"n_shared" >= 5)
+          .orderBy($"eval_id")
+      },
+      Some("""
+        WITH ttoks AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '),
+                   t -> length(t) > 0) AS ts
+          FROM documents),
+        eraw AS (
+          SELECT doc_id AS eval_id,
+                 CASE WHEN doc_id % 2 = 0 THEN ts
+                      ELSE list_reverse(ts) END AS ts
+          FROM ttoks WHERE doc_id % 97 = 0),
+        th AS (
+          SELECT doc_id, list_transform(
+                   generate_series(1, greatest(len(ts) - 2, 0)),
+                   i -> CAST(concat('0x', substring(md5(
+                          array_to_string(ts[i:i+2], ' ')), 1, 15))
+                        AS BIGINT)) AS hs
+          FROM ttoks),
+        eh AS (
+          SELECT eval_id, list_transform(
+                   generate_series(1, greatest(len(ts) - 2, 0)),
+                   i -> CAST(concat('0x', substring(md5(
+                          array_to_string(ts[i:i+2], ' ')), 1, 15))
+                        AS BIGINT)) AS hs
+          FROM eraw),
+        tfp AS (
+          SELECT DISTINCT unnest(
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(hs) - 3, 1)),
+                   i -> list_min(hs[i:i+3])))) AS fingerprint
+          FROM th WHERE len(hs) > 0),
+        efp AS (
+          SELECT DISTINCT eval_id, unnest(
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(hs) - 3, 1)),
+                   i -> list_min(hs[i:i+3])))) AS fingerprint
+          FROM eh WHERE len(hs) > 0),
+        sh AS (
+          SELECT eval_id, count(*) AS n_shared FROM efp
+          WHERE fingerprint IN (SELECT fingerprint FROM tfp)
+          GROUP BY eval_id),
+        nf AS (SELECT eval_id, count(*) AS n_fps FROM efp GROUP BY eval_id)
+        SELECT nf.eval_id, nf.n_fps,
+               COALESCE(sh.n_shared, 0) AS n_shared,
+               COALESCE(sh.n_shared, 0) >= 5 AS contaminated
+        FROM nf LEFT JOIN sh USING (eval_id)
+        ORDER BY eval_id""")))
 }
