@@ -56,7 +56,10 @@ object SparkEntry {
     Frontier.defs,
     Postings.defs,
     Sharding.defs,
-    Winnowing.defs)
+    Winnowing.defs,
+    Latex.defs,
+    TableText.defs,
+    Chat.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 
