@@ -16,19 +16,32 @@ object Chat {
   final case class Turn(idx: Int, role: String, content: String)
 
   /** Render in the im_start/im_end convention; returns the full text
-    * and [start, end) char spans of every assistant content block. */
+    * and [start, end) spans of every assistant content block in
+    * UNICODE CODEPOINTS — the unit Python's len()/slicing and SQL
+    * length()/substring agree on. UTF-16 char offsets (Java's native
+    * unit) would silently diverge on astral-plane text. */
   def render(turns: Seq[Turn]): (String, Vector[(Long, Long)]) = {
     val sb = new StringBuilder
-    val spans = Vector.newBuilder[(Long, Long)]
+    val charSpans = Vector.newBuilder[(Int, Int)]
     turns.sortBy(_.idx).foreach { t =>
       sb.append("<|im_start|>").append(t.role).append('\n')
       val start = sb.length
       sb.append(t.content)
-      if (t.role == "assistant")
-        spans += ((start.toLong, sb.length.toLong))
+      if (t.role == "assistant") charSpans += ((start, sb.length))
       sb.append("<|im_end|>\n")
     }
-    (sb.toString, spans.result())
+    val out = sb.toString
+    (out, charSpans.result().map { case (a, b) =>
+      (out.codePointCount(0, a).toLong, out.codePointCount(0, b).toLong)
+    })
+  }
+
+  /** Cut one codepoint span back out of rendered text (the loss-mask
+    * consumer's read path; inverse of [[render]]'s span emission). */
+  def sliceSpan(rendered: String, start: Long, end: Long): String = {
+    val a = rendered.offsetByCodePoints(0, start.toInt)
+    val b = rendered.offsetByCodePoints(0, end.toInt)
+    rendered.substring(a, b)
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -50,7 +63,7 @@ object Chat {
               Turn(1, "user", text),
               Turn(2, "assistant", s"ok ${id % 7}")))
             val (a, b) = spans.head
-            (id, rendered, a, b, rendered.substring(a.toInt, b.toInt))
+            (id, rendered, a, b, Chat.sliceSpan(rendered, a, b))
           }
           .toDF("doc_id", "rendered", "asst_start", "asst_end", "masked")
           .orderBy($"doc_id")
@@ -62,9 +75,8 @@ object Chat {
                  || '<|im_end|>' || chr(10) || '<|im_start|>assistant'
                  || chr(10) || 'ok ' || (doc_id % 7) || '<|im_end|>'
                  || chr(10) AS rendered,
-               CAST(90 + octet_length(encode(text)) AS BIGINT)
-                 AS asst_start,
-               CAST(93 + octet_length(encode(text))
+               CAST(90 + length(text) AS BIGINT) AS asst_start,
+               CAST(93 + length(text)
                     + length(CAST(doc_id % 7 AS VARCHAR)) AS BIGINT)
                  AS asst_end,
                'ok ' || (doc_id % 7) AS masked

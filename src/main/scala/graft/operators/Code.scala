@@ -190,7 +190,27 @@ object Code {
     val n = src.length
     while (i < n) {
       val c = src.charAt(i)
-      if (Character.isJavaIdentifierStart(c)) {
+      if (c == '"' || c == '\'') {
+        // string/char literals verbatim — their contents are values,
+        // not identifiers (same shielding as stripComments)
+        sb.append(c); i += 1
+        var closed = false
+        while (i < n && !closed) {
+          val q = src.charAt(i)
+          sb.append(q)
+          if (q == '\\' && i + 1 < n) { sb.append(src.charAt(i + 1)); i += 2 }
+          else { closed = q == c; i += 1 }
+        }
+      } else if (Character.isDigit(c)) {
+        // numeric literal: consume the whole Java-style number token
+        // (0xFF, 1_000L, 1.5e-3f) verbatim so its letters never rename
+        while (i < n && (Character.isLetterOrDigit(src.charAt(i)) ||
+          src.charAt(i) == '.' || src.charAt(i) == '_')) {
+          sb.append(src.charAt(i)); i += 1
+        }
+      } else if (c == '%') {
+        sb.append("%%"); i += 1 // escape: literal '%' can't forge a %N
+      } else if (Character.isJavaIdentifierStart(c)) {
         val start = i
         while (i < n && Character.isJavaIdentifierPart(src.charAt(i))) i += 1
         val word = src.substring(start, i)

@@ -30,8 +30,6 @@ object Latex {
       "tabular", "verbatim")
   private val sectionCmds =
     Set("section", "subsection", "subsubsection", "paragraph", "chapter")
-  private val keepArgCmds =
-    Set("textbf", "emph", "textit", "texttt", "underline", "mbox")
   private val dropArgCmds = Set("cite", "citep", "citet", "ref", "eqref",
     "label", "usepackage", "documentclass", "bibliography",
     "bibliographystyle", "input", "include")
@@ -40,32 +38,42 @@ object Latex {
     if (tex == null) return TexDoc("", 0, 0, 0, 0)
     val sb = new StringBuilder(tex.length)
     var nSections = 0; var nMath = 0; var nCites = 0; var nEnvs = 0
-    var i = 0
-    val n = tex.length
 
-    def readName(from: Int): (String, Int) = {
+    def readName(s: String, from: Int): (String, Int) = {
       var j = from
-      while (j < n && (Character.isLetter(tex.charAt(j)) ||
-        (j > from && tex.charAt(j) == '*'))) j += 1
-      (tex.substring(from, j), j)
+      while (j < s.length && (Character.isLetter(s.charAt(j)) ||
+        (j > from && s.charAt(j) == '*'))) j += 1
+      (s.substring(from, j), j)
     }
 
-    def readBraceArg(from: Int): Option[(String, Int)] = {
+    /** Balanced brace arg; backslash-escaped chars (incl. \{ \}) do
+      * not move the depth, so `\textbf{set \{x\} ok}` closes where it
+      * should instead of swallowing the document. */
+    def readBraceArg(s: String, from: Int): Option[(String, Int)] = {
       var j = from
-      while (j < n && tex.charAt(j) == ' ') j += 1
-      if (j >= n || tex.charAt(j) != '{') return None
+      while (j < s.length && s.charAt(j) == ' ') j += 1
+      if (j >= s.length || s.charAt(j) != '{') return None
       var depth = 1; j += 1
       val start = j
-      while (j < n && depth > 0) {
-        val c = tex.charAt(j)
-        if (c == '{') depth += 1
-        else if (c == '}') depth -= 1
-        j += 1
+      while (j < s.length && depth > 0) {
+        val c = s.charAt(j)
+        if (c == '\\' && j + 1 < s.length) j += 2
+        else {
+          if (c == '{') depth += 1
+          else if (c == '}') depth -= 1
+          j += 1
+        }
       }
-      Some((tex.substring(start, if (depth == 0) j - 1 else j), j))
+      Some((s.substring(start, if (depth == 0) j - 1 else j), j))
     }
 
-    while (i < n) {
+    // recursive walk: kept brace arguments re-enter the walk, so
+    // \emph{see \cite{x} and $a+b$} strips its nested machinery too
+    def walk(tex: String, depth: Int): Unit = {
+      if (depth > 32) { sb.append(tex); return }
+      var i = 0
+      val n = tex.length
+      while (i < n) {
       val c = tex.charAt(i)
       if (c == '%') { // comment to EOL (escaped \% handled under '\\')
         while (i < n && tex.charAt(i) != '\n') i += 1
@@ -86,9 +94,9 @@ object Latex {
             nMath += 1
             i = if (close < 0) n else close + 2
           } else if (Character.isLetter(next)) {
-            val (name, after) = readName(i + 1)
+            val (name, after) = readName(tex, i + 1)
             if (name == "begin") {
-              readBraceArg(after) match {
+              readBraceArg(tex, after) match {
                 case Some((env, afterArg)) if dropEnvs(env) =>
                   val endTag = s"\\end{$env}"
                   val close = tex.indexOf(endTag, afterArg)
@@ -98,34 +106,33 @@ object Latex {
                 case None => i = after
               }
             } else if (name == "end") {
-              i = readBraceArg(after).map(_._2).getOrElse(after)
+              i = readBraceArg(tex, after).map(_._2).getOrElse(after)
             } else if (sectionCmds(name)) {
-              readBraceArg(after) match {
+              readBraceArg(tex, after) match {
                 case Some((arg, afterArg)) =>
                   nSections += 1
-                  sb.append('\n').append(arg).append('\n')
+                  sb.append('\n'); walk(arg, depth + 1); sb.append('\n')
                   i = afterArg
                 case None => i = after
               }
             } else if (dropArgCmds(name)) {
               if (name.startsWith("cite")) nCites += 1
-              i = readBraceArg(after).map(_._2).getOrElse(after)
-            } else if (keepArgCmds(name)) {
-              readBraceArg(after) match {
-                case Some((arg, afterArg)) => sb.append(arg); i = afterArg
-                case None => i = after
-              }
+              i = readBraceArg(tex, after).map(_._2).getOrElse(after)
             } else {
-              // unknown command: keep a brace arg's content, else drop
-              readBraceArg(after) match {
-                case Some((arg, afterArg)) => sb.append(arg); i = afterArg
+              // formatting or unknown command: re-walk the brace arg's
+              // content (nested cites/math must still strip), else drop
+              readBraceArg(tex, after) match {
+                case Some((arg, afterArg)) =>
+                  walk(arg, depth + 1); i = afterArg
                 case None => i = after
               }
             }
           } else i += 2 // unknown escape: drop both
         }
       } else { sb.append(c); i += 1 }
+      }
     }
+    walk(tex, 0)
     // collapse whitespace per line, drop empty lines
     val lines = sb.toString.split("\n")
       .map(_.trim.split("\\s+").filter(_.nonEmpty).mkString(" "))

@@ -142,8 +142,11 @@ object Quality {
     val joined = pred.select(col(idCol), col(predCol))
       .join(truth.select(col(idCol), col(truthCol)), idCol)
     def pairsOf(df: DataFrame, cols: Seq[String]): DataFrame =
+      // DIV, not '/': SQL division on bigint returns double, which
+      // loses integer exactness past 2^53 (a ~2e8-row cluster already
+      // has ~2e16 pairs)
       df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("n"))
-        .agg(coalesce(sum(expr("n * (n - 1) / 2")), lit(0L))
+        .agg(coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L))
           .cast("long").as("pairs"))
     val tp = pairsOf(joined, Seq(predCol, truthCol))
       .withColumnRenamed("pairs", "tp_pairs")
@@ -241,10 +244,10 @@ object Quality {
           FROM documents),
         p AS (SELECT doc_id, truth, s || '#' || variant AS pred FROM d),
         cont AS (SELECT pred, truth, count(*) AS n FROM p GROUP BY 1, 2),
-        tp AS (SELECT COALESCE(sum(n * (n - 1) / 2), 0) AS v FROM cont),
-        pp AS (SELECT COALESCE(sum(n * (n - 1) / 2), 0) AS v FROM
+        tp AS (SELECT COALESCE(sum(n * (n - 1) // 2), 0) AS v FROM cont),
+        pp AS (SELECT COALESCE(sum(n * (n - 1) // 2), 0) AS v FROM
                  (SELECT pred, count(*) AS n FROM p GROUP BY 1)),
-        tt AS (SELECT COALESCE(sum(n * (n - 1) / 2), 0) AS v FROM
+        tt AS (SELECT COALESCE(sum(n * (n - 1) // 2), 0) AS v FROM
                  (SELECT truth, count(*) AS n FROM p GROUP BY 1))
         SELECT CAST(tp.v AS BIGINT) AS tp_pairs,
                CAST(pp.v - tp.v AS BIGINT) AS fp_pairs,

@@ -60,6 +60,18 @@ class CodeSpec extends AnyFunSuite {
     assert(alphaNormalize("x = 42;") == "%0=42;")
   }
 
+  test("alpha-normalize: literals and % text cannot forge clone keys") {
+    // hex/suffixed numeric literals stay verbatim — 0xFF vs 0xAB differ
+    assert(alphaNormalize("int a = 0xFF;") != alphaNormalize("int a = 0xAB;"))
+    assert(alphaNormalize("long v = 1_000L;").contains("1_000L"))
+    // string literal contents are values, not identifiers
+    assert(alphaNormalize("f(\"abc\")") != alphaNormalize("f(\"xyz\")"))
+    assert(alphaNormalize("s = \"don't // strip\";") ==
+      "%0=\"don't // strip\";")
+    // a literal %0 in source cannot collide with the rename alphabet
+    assert(alphaNormalize("f(%0);") != alphaNormalize("f(f);"))
+  }
+
   test("comment strip (hash): # shielded by strings, newline survives") {
     val (s, n) = stripComments("a = \"#no\" # yes\nb = 1", "hash")
     assert(s == "a = \"#no\" \nb = 1")

@@ -34,6 +34,25 @@ class LatexChatSpec extends AnyFunSuite {
       "kept baz\nnext")
   }
 
+  test("latex: nested machinery inside kept args still strips") {
+    val t = Latex.strip("\\emph{see \\cite{x} and $a+b$ here}")
+    assert(t.plainText == "see and here")
+    assert(t.nCites == 1 && t.nMath == 1)
+    // escaped braces inside an argument do not derail nesting
+    assert(Latex.strip("\\textbf{set \\{x\\} ok} rest").plainText ==
+      "set {x} ok rest")
+  }
+
+  test("chat render: spans are codepoints and survive astral text") {
+    val astral = new String(Character.toChars(0x1F600)) // 1 cp, 2 chars
+    val (r, spans) = Chat.render(Seq(
+      Chat.Turn(0, "user", astral + astral),
+      Chat.Turn(1, "assistant", "yes " + astral)))
+    val (a, b) = spans.head
+    assert(Chat.sliceSpan(r, a, b) == "yes " + astral)
+    assert(b - a == 5) // 5 codepoints, though 6 UTF-16 chars
+  }
+
   test("chat render: spans address exactly the assistant content") {
     val (r, spans) = Chat.render(Seq(
       Chat.Turn(1, "assistant", "reply one"),
