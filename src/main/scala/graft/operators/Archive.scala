@@ -673,6 +673,59 @@ object Archive {
         GROUP BY split, shard
         ORDER BY split, shard""")),
 
+    // WRITE -> READ round trip across the whole archive family: pack
+    // docs into budgeted shards (q315's layout), then WALK EVERY SHARD
+    // BACK through tarMembers + webdatasetSamples and reconcile — the
+    // corpus-level proof that what the writer emits, the reader
+    // recovers sample-exactly. The oracle replays the packing
+    // arithmetic and asserts total completeness; a single lost or torn
+    // member anywhere breaks a hashed count.
+    QueryDef(
+      "q322_shard_round_trip",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val memberBytes = lit(512L) + lit(512L) *
+          floor((octet_length($"text") + lit(511)) / lit(512)).cast("long") +
+          lit(1024L)
+        val w = Window.partitionBy($"split").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val members = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .withColumn("split", ($"doc_id" / 1000).cast("long"))
+          .withColumn("d", memberBytes)
+          .withColumn("shard",
+            (coalesce(sum($"d").over(w), lit(0L)) / 65536L).cast("long"))
+          .groupBy($"split", $"shard")
+          .agg(sort_array(collect_list(struct($"doc_id".as("id"),
+            $"text".as("text")))).as("docs"))
+          .as[(Long, Long, Seq[(Long, String)])]
+          .flatMap { case (split, shard, ds) =>
+            val blob = Archive.encodeTar(ds.flatMap { case (id, text) =>
+              Seq(TarEntry(s"s$id.txt", text.getBytes("UTF-8"), 0L),
+                TarEntry(s"s$id.json", s"""{"id":$id}""".getBytes("UTF-8"), 0L))
+            })
+            // the READ path: walk the real bytes back out
+            Archive.tarMembers(blob).map(m =>
+              (split * 100000 + shard, m.name, m.size))
+          }
+          .toDF("shard_id", "member_name", "n_bytes")
+        Archive.webdatasetSamples(members, Seq("txt", "json"))
+          .groupBy()
+          .agg(count(lit(1)).as("n_samples"),
+            sum(when($"complete", 1L).otherwise(0L)).as("n_complete"),
+            sum($"n_parts").as("n_members"),
+            sum($"total_bytes").as("payload_bytes"))
+      },
+      Some("""
+        SELECT count(*) AS n_samples,
+               count(*) AS n_complete,
+               CAST(2 * count(*) AS BIGINT) AS n_members,
+               CAST(sum(octet_length(encode(text))
+                    + 7 + length(CAST(doc_id AS VARCHAR))) AS BIGINT)
+                 AS payload_bytes
+        FROM documents""")),
+
     // zip central-directory walk + verified extract: per-doc archives
     // (text entry deflated on even ids, stored on odd; constant '{}'
     // sidecar), every entry inflated and CRC32-checked against the
