@@ -59,7 +59,8 @@ object SparkEntry {
     Winnowing.defs,
     Latex.defs,
     TableText.defs,
-    Chat.defs)
+    Chat.defs,
+    MsgPack.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 

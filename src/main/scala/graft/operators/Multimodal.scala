@@ -1135,6 +1135,60 @@ object Multimodal {
         FROM documents
         ORDER BY doc_id""")),
 
+    // TWO-STAGE dispatch: real blob stores nest formats (.tgz shards,
+    // gzipped images) — the dispatcher runs, and when the outer layer
+    // is a gzip member the payload DECODES and re-dispatches. Planted:
+    // gzip(tar), gzip(png), and a plain zip control. The oracle
+    // replays outer/inner labels and the inner salient numeric
+    // (member count / png width / entry count).
+    QueryDef(
+      "q323_nested_dispatch",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val tb = text.getBytes("UTF-8")
+            val blob = (id % 3) match {
+              case 0 =>
+                val tar = graft.operators.Archive.encodeTar(Seq(
+                  graft.operators.Archive.TarEntry(s"a$id.txt", tb, 1L),
+                  graft.operators.Archive.TarEntry("b.json", "{}".getBytes, 2L)))
+                Compression.encodeGzip(tar, 0L, Some(s"s$id.tar"), None)
+              case 1 =>
+                Compression.encodeGzip(
+                  ImageHeaders.encodePng((16 + id % 624).toInt, 32, 8, tb),
+                  0L, None, None)
+              case _ => graft.operators.Archive.encodeZip(Seq(
+                (s"a$id.txt", tb, true), ("m.json", "{}".getBytes, false)))
+            }
+            val (outer, d0) = sniffContent(blob)
+            val (inner, detail) =
+              if (outer == "gzip")
+                Compression.gunzip(blob) match {
+                  case Some(payload) => sniffContent(payload)
+                  case None => ("corrupt", None)
+                }
+              else (outer, d0)
+            (id, outer, inner, detail.getOrElse(-1L))
+          }
+          .toDF("doc_id", "outer_format", "inner_format", "detail")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 2 THEN 'zip' ELSE 'gzip' END
+                 AS outer_format,
+               CASE doc_id % 3 WHEN 0 THEN 'tar' WHEN 1 THEN 'png'
+                 ELSE 'zip' END AS inner_format,
+               CAST(CASE doc_id % 3
+                 WHEN 0 THEN 2
+                 WHEN 1 THEN 16 + doc_id % 624
+                 ELSE 2 END AS BIGINT) AS detail
+        FROM documents
+        ORDER BY doc_id""")),
+
     // lz4 frame sniff on its own: block-max code sweep (64 KB..4 MB),
     // content-size flag by parity, and the hashed presence of every
     // field PROVES the XXH32 header checksum verified (the emitter
