@@ -121,10 +121,11 @@ object FixtureGen {
     // independent dates/amounts like the driver's.
     // CONSEQUENCE (see WindowQueries header): (l_shipdate, l_orderkey,
     // l_linenumber) is a non-unique sort key on these generated fixtures
-    // — duplicate-key rows that hash to the same ship day tie — so
-    // window-query output is nondeterministic at generated SFs. Fine
-    // while sf1/sf3 stay bench-only; any sfN correctness gate over the
-    // window family needs a unique tiebreaker first.
+    // — duplicate-key rows that hash to the same ship day tie. Since
+    // round 12 the window family (q28/q31) extends its ordering with
+    // (l_extendedprice, l_partkey), which ARE independent per duplicate
+    // row (seeded off the unique lkey), so the sfN correctness gate now
+    // includes the window family.
     val li = spark.read.parquet(s"$out/orders.parquet")
       .select($"o_orderkey", $"o_orderdate",
         (pmod(xxhash64($"o_orderkey", lit(17)), lit(7)) + 1).cast("int")

@@ -33,6 +33,21 @@ object Multimodal {
   /** Input record: opaque bytes + typed metadata. */
   final case class MediaRecord(doc_id: Long, media: Array[Byte], kind: String)
 
+  /** Fixture emitter for the zstd family: REAL zstd frames from
+    * zstd-jni (the reference C library already on every Spark
+    * distribution's classpath — spark.io.compression.codec=zstd), with
+    * the content checksum on so [[ZstdCodec]]'s XXH64 verify is in the
+    * oracle-gated path. Fixture-side only; the DECODE under test is
+    * the pure-JVM [[ZstdCodec]]. */
+  private[operators] def zstdJni(data: Array[Byte], level: Int): Array[Byte] = {
+    val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+    try {
+      ctx.setLevel(level)
+      ctx.setChecksum(true)
+      ctx.compress(data)
+    } finally ctx.close()
+  }
+
   /** Content-level features (no format assumption): length + digest. */
   final case class MediaFeatures(doc_id: Long, n_bytes: Long, digest: String)
 
@@ -104,8 +119,16 @@ object Multimodal {
         ("mp4", Some(m.timescale.toLong))))
       .orElse(Compression.decodeGzipHeader(b).map(m =>
         ("gzip", Some(m.isize))))
-      .orElse(Compression.decodeZstdHeader(b).map(m =>
-        ("zstd", m.contentSize)))
+      .orElse(Compression.decodeZstdHeader(b).map { m =>
+        // round 12: the zstd branch DECODES — detail is the verified
+        // decoded length when the frame parses end to end (RFC 8878
+        // full decode, checksum verified), the declared size when the
+        // blob is a bare header sniff (q254 fixtures) or torn
+        ZstdCodec.zstdDecompress(b) match {
+          case Some(out) => ("zstd", Some(out.length.toLong))
+          case None => ("zstd", m.contentSize)
+        }
+      })
       .orElse(Compression.decodeLz4Header(b).map(m =>
         ("lz4", m.contentSize.orElse(Some(m.blockMaxKb.toLong)))))
       .orElse {
@@ -804,6 +827,116 @@ object Multimodal {
         FROM documents
         ORDER BY doc_id""")),
 
+    // ----- zstd frame decode: the RFC 8878 pure-JVM decoder ------------
+    // Each doc zstd-framed by the REAL compressor (zstd-jni, checksum
+    // on) at a level mix spanning every entropy regime — fast-mode
+    // RLE/raw literals at 1, Huffman + predefined FSE at 3/9, FSE-
+    // compressed tables + 4-stream literals at 19 — plus this repo's
+    // own stored-mode emitter on the id%5==0 slice (spec-validated by
+    // real zstd the other direction). Decode is map-side per cell; the
+    // oracle replays length + md5 of the ORIGINAL text, so the
+    // compression layer must be exactly transparent, checksum verified.
+    QueryDef(
+      "q325_zstd_decode",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            val md = MessageDigest.getInstance("MD5")
+            it.map { case (id, text) =>
+              val tb = text.getBytes("UTF-8")
+              val (frame, src) =
+                if (id % 5 == 0)
+                  (ZstdCodec.zstdCompressStored(tb), "stored")
+                else {
+                  val lvl = (id % 4) match {
+                    case 0 => 1; case 1 => 3; case 2 => 9; case _ => 19
+                  }
+                  (zstdJni(tb, lvl), s"jni-$lvl")
+                }
+              ZstdCodec.zstdDecompress(frame) match {
+                case Some(out) =>
+                  md.reset()
+                  val hex = md.digest(out).map("%02x".format(_)).mkString
+                  (id, out.length.toLong, hex,
+                    java.util.Arrays.equals(out, tb), src)
+                case None => (id, -1L, "", false, src)
+              }
+            }
+          }
+          .toDF("doc_id", "n_out", "md5", "roundtrip_ok", "src")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_out,
+               md5(text) AS md5,
+               TRUE AS roundtrip_ok,
+               CASE WHEN doc_id % 5 = 0 THEN 'stored'
+                    ELSE 'jni-' || CASE doc_id % 4 WHEN 0 THEN 1
+                         WHEN 1 THEN 3 WHEN 2 THEN 9 ELSE 19 END
+               END AS src
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ----- .warc.zst: the modern Common Crawl layout, end to end -------
+    // q251's sibling with zstd in place of gzip: one frame per record,
+    // frames back to back, and a leading SKIPPABLE frame per blob (the
+    // real .warc.zst carries its dictionary/index in one — here it
+    // must be hopped, not decoded). Frames alternate real-compressor
+    // (level 3, checksummed) and stored-mode; the oracle is q250's —
+    // the compression layer must be exactly transparent.
+    QueryDef(
+      "q326_warc_zst_members",
+      (s, dir) => {
+        import s.implicits._
+        val recs = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .groupByKey { case (id, _) => id / 4 }
+          .flatMapGroups { (group, it) =>
+            val frames = it.toSeq.sortBy(_._1).map { case (id, text) =>
+              val rec = Warc.encodeRecord(
+                warcType = (id % 3) match {
+                  case 0 => "response"; case 1 => "request"
+                  case _ => "metadata"
+                },
+                targetUri = if (id % 3 == 2) None
+                  else Some(s"https://host${id % 7}.example/p/$id"),
+                recordId = s"<urn:uuid:$id>",
+                payload = text.getBytes("UTF-8"))
+              if (id % 2 == 0) zstdJni(rec, 3)
+              else ZstdCodec.zstdCompressStored(rec)
+            }
+            val blob = ZstdCodec.zstdSkippableFrame(
+              s"shard-index-$group".getBytes("UTF-8")) ++
+              frames.foldLeft(Array.emptyByteArray)(_ ++ _)
+            ZstdCodec.zstdFrames(blob).zipWithIndex.flatMap {
+              case (member, mi) =>
+                Warc.parse(member).map { r =>
+                  (group * 4 + mi, r.warcType, r.targetUri, r.recordId,
+                    r.contentLength)
+                }
+            }
+          }
+        recs.toDF("doc_id", "warc_type", "target_uri", "record_id",
+            "content_length")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'response' WHEN 1 THEN 'request'
+                    ELSE 'metadata' END AS warc_type,
+               CASE WHEN doc_id % 3 = 2 THEN NULL
+                    ELSE 'https://host' || (doc_id % 7) || '.example/p/'
+                         || doc_id END AS target_uri,
+               '<urn:uuid:' || doc_id || '>' AS record_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS content_length
+        FROM documents
+        ORDER BY doc_id""")),
+
     // ----- HTTP response parse: status / headers / chunked bodies ------
     // The layer between a WARC response payload and the HTML the text
     // family wants. Odd docs ship their body CHUNKED (hex-size lines
@@ -1034,8 +1167,7 @@ object Multimodal {
               case 6 => VideoHeaders.encodeMp4("isom",
                 if (id % 3 == 0) 600 else 90000, 5000L, w, h, 1, tb)
               case 7 => Compression.encodeGzip(tb, 0L, None, None)
-              case 8 => Compression.encodeZstdHeader(20, 0L,
-                Some(1000L + id), checksum = false, tb)
+              case 8 => zstdJni(tb, 3) // REAL frame: the branch decodes
               case 9 => Warc.encodeRecord("response", None,
                 s"<urn:uuid:$id>", tb)
               case 10 => TiffHeaders.encodeTiff(w, h, 8, 3,
@@ -1077,7 +1209,7 @@ object Multimodal {
                  WHEN 6 THEN CASE WHEN doc_id % 3 = 0 THEN 600
                       ELSE 90000 END
                  WHEN 7 THEN octet_length(encode(text))
-                 WHEN 8 THEN 1000 + doc_id
+                 WHEN 8 THEN octet_length(encode(text))
                  WHEN 9 THEN 1
                  WHEN 10 THEN 16 + doc_id % 624
                  WHEN 11 THEN 16 + doc_id % 624
@@ -1150,7 +1282,7 @@ object Multimodal {
           .as[(Long, String)]
           .map { case (id, text) =>
             val tb = text.getBytes("UTF-8")
-            val blob = (id % 3) match {
+            val blob = (id % 4) match {
               case 0 =>
                 val tar = graft.operators.Archive.encodeTar(Seq(
                   graft.operators.Archive.TarEntry(s"a$id.txt", tb, 1L),
@@ -1160,13 +1292,23 @@ object Multimodal {
                 Compression.encodeGzip(
                   ImageHeaders.encodePng((16 + id % 624).toInt, 32, 8, tb),
                   0L, None, None)
-              case _ => graft.operators.Archive.encodeZip(Seq(
+              case 2 => graft.operators.Archive.encodeZip(Seq(
                 (s"a$id.txt", tb, true), ("m.json", "{}".getBytes, false)))
+              case _ => // .tar.zst: the modern shard wrapper (round 12)
+                zstdJni(graft.operators.Archive.encodeTar(Seq(
+                  graft.operators.Archive.TarEntry(s"a$id.txt", tb, 1L),
+                  graft.operators.Archive.TarEntry("b.json", "{}".getBytes, 2L))),
+                  level = 3)
             }
             val (outer, d0) = sniffContent(blob)
             val (inner, detail) =
               if (outer == "gzip")
                 Compression.gunzip(blob) match {
+                  case Some(payload) => sniffContent(payload)
+                  case None => ("corrupt", None)
+                }
+              else if (outer == "zstd")
+                ZstdCodec.zstdDecompress(blob) match {
                   case Some(payload) => sniffContent(payload)
                   case None => ("corrupt", None)
                 }
@@ -1178,12 +1320,11 @@ object Multimodal {
       },
       Some("""
         SELECT doc_id,
-               CASE doc_id % 3 WHEN 2 THEN 'zip' ELSE 'gzip' END
-                 AS outer_format,
-               CASE doc_id % 3 WHEN 0 THEN 'tar' WHEN 1 THEN 'png'
-                 ELSE 'zip' END AS inner_format,
-               CAST(CASE doc_id % 3
-                 WHEN 0 THEN 2
+               CASE doc_id % 4 WHEN 2 THEN 'zip' WHEN 3 THEN 'zstd'
+                 ELSE 'gzip' END AS outer_format,
+               CASE doc_id % 4 WHEN 0 THEN 'tar' WHEN 1 THEN 'png'
+                 WHEN 2 THEN 'zip' ELSE 'tar' END AS inner_format,
+               CAST(CASE doc_id % 4
                  WHEN 1 THEN 16 + doc_id % 624
                  ELSE 2 END AS BIGINT) AS detail
         FROM documents

@@ -17,16 +17,18 @@ import graft.engine.Tables
   * Global top-k uses orderBy+limit, which Spark executes as per-partition
   * TakeOrdered + driver merge of k rows (not a global sort).
   *
-  * Ordering-determinism caveat: the lineitem sort key
+  * Ordering-determinism note: the lineitem sort key
   * (l_shipdate, l_orderkey, l_linenumber) is unique on DRIVER fixtures
   * but NOT on builder-generated sfN fixtures — FixtureGen draws
   * l_linenumber independently (reproducing the driver's ~20% duplicate
   * (l_orderkey, l_linenumber) keys), so two duplicate-key rows that also
-  * hash to the same ship day tie, and rank/lag output over them is
-  * engine-nondeterministic. sf1/sf3 are bench-only today; before any sfN
-  * CORRECTNESS gate includes these queries, extend the ordering with a
-  * genuinely unique column (e.g. l_extendedprice, distinct per row by
-  * construction) in BOTH the Spark code and the oracle SQL.
+  * hash to the same ship day tie. q28/q31 therefore extend their window
+  * ordering with (l_extendedprice, l_partkey) — duplicate-key rows keep
+  * independent value draws (FixtureGen seeds values off the unique row
+  * index, not the key), so the extended tuple is total for both engines;
+  * on driver fixtures the prefix is already unique and the trailing keys
+  * are inert. The same extension lives in the oracle SQL, which is what
+  * lets the sfN CORRECTNESS gate include the window family (round 12).
   */
 object WindowQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
@@ -111,7 +113,8 @@ object WindowQueries {
       (s, dir) => {
         import s.implicits._
         val w = Window.partitionBy($"l_suppkey")
-          .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+          .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber",
+            $"l_extendedprice", $"l_partkey")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         t(s, dir, "lineitem")
           .filter($"l_shipdate" >= lit("2001-01-01").cast("timestamp"))
@@ -123,7 +126,8 @@ object WindowQueries {
         SELECT l_suppkey, l_orderkey, l_linenumber,
                round(sum(l_quantity) OVER (
                  PARTITION BY l_suppkey
-                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                          l_extendedprice, l_partkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_qty
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '2001-01-01'
@@ -186,7 +190,8 @@ object WindowQueries {
       (s, dir) => {
         import s.implicits._
         val w = Window.partitionBy($"l_suppkey")
-          .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+          .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber",
+            $"l_extendedprice", $"l_partkey")
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         t(s, dir, "lineitem")
           .filter($"l_shipdate" >= lit("2001-06-01").cast("timestamp"))
@@ -204,7 +209,8 @@ object WindowQueries {
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '2001-06-01'
         WINDOW w AS (PARTITION BY l_suppkey
-                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                              l_extendedprice, l_partkey
                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         ORDER BY l_suppkey, l_orderkey, l_linenumber""")),
 

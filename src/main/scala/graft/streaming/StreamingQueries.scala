@@ -131,15 +131,35 @@ object StreamingQueries {
     * once per (jvm, sf). */
   private val staged = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Stage a parquet fixture into a stream-source dir: the driver's
+    * fixtures are single flat FILES (one hard link), but generated sfN
+    * fixtures are Spark-written DIRECTORIES — link every part file, or
+    * the source dir stages empty and the stream produces zero batches
+    * (the round-12 sf1 gate caught exactly that). Links preserve the
+    * original mtimes, so later-appended sentinel files still sort
+    * after every staged part in the file source's processing order. */
+  private def stageParquet(path: String, d: java.nio.file.Path): Unit = {
+    val src = java.nio.file.Paths.get(path)
+    val parts: Seq[java.nio.file.Path] =
+      if (Files.isDirectory(src)) {
+        import scala.jdk.CollectionConverters._
+        val ls = Files.list(src)
+        try ls.iterator().asScala.filter(
+          _.getFileName.toString.endsWith(".parquet")).toList.sorted
+        finally ls.close()
+      } else Seq(src)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      val target = d.resolve(f"events-$i%03d.parquet")
+      try Files.createLink(target, f)
+      catch { case _: Exception => Files.copy(f, target) }
+    }
+  }
+
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val srcDir = staged.getOrElseUpdate(path, {
       val d = Files.createTempDirectory("events_src_")
-      val target = d.resolve("events-000.parquet")
-      try Files.createLink(target, java.nio.file.Paths.get(path))
-      catch { case _: Exception =>
-        Files.copy(java.nio.file.Paths.get(path), target)
-      }
+      stageParquet(path, d)
       d.toString
     })
     val schema = s.read.parquet(path).schema
@@ -171,11 +191,7 @@ object StreamingQueries {
     val path = s"$dir/events.parquet"
     val srcDir = stagedFlush.getOrElseUpdate(path, {
       val d = Files.createTempDirectory("events_srcflush_")
-      val target = d.resolve("events-000.parquet")
-      try Files.createLink(target, java.nio.file.Paths.get(path))
-      catch { case _: Exception =>
-        Files.copy(java.nio.file.Paths.get(path), target)
-      }
+      stageParquet(path, d)
       val base = s.read.parquet(path)
       val isLongTs =
         base.schema("ts").dataType == org.apache.spark.sql.types.LongType
