@@ -937,6 +937,67 @@ object Multimodal {
         FROM documents
         ORDER BY doc_id""")),
 
+    // ----- WARC revisit-record dedup resolution -------------------------
+    // Real Common Crawl is ~15% `revisit` records: the crawler saw a
+    // page it already stored, so the record carries WARC-Refers-To and
+    // NO payload — consumers must JOIN revisits back to their original
+    // response by record-id or they silently drop that slice of the
+    // corpus. Planted chains: every id%5==4 doc becomes a revisit of
+    // the id-4 response (a DIFFERENT ingest blob, so resolution is
+    // corpus-wide, not per-file). Parse is map-side; resolution is ONE
+    // hash join on record-id (Warc.resolveRevisits). The oracle
+    // replays the reference arithmetic in DuckDB: a revisit row must
+    // surface the ORIGINAL's length and md5.
+    QueryDef(
+      "q327_warc_revisit_resolution",
+      (s, dir) => {
+        import s.implicits._
+        val rows = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            val md = MessageDigest.getInstance("MD5")
+            it.flatMap { case (id, text) =>
+              val isRevisit = id % 5 == 4
+              val blob =
+                if (isRevisit)
+                  Warc.encodeRecord("revisit",
+                    Some(s"https://host${id % 7}.example/p/${id - 4}"),
+                    s"<urn:uuid:$id>", Array.emptyByteArray,
+                    refersTo = Some(s"<urn:uuid:${id - 4}>"))
+                else
+                  Warc.encodeRecord("response",
+                    Some(s"https://host${id % 7}.example/p/$id"),
+                    s"<urn:uuid:$id>", text.getBytes("UTF-8"))
+              Warc.parse(blob).map { r =>
+                md.reset()
+                (id, r.warcType, r.recordId.getOrElse(""),
+                  r.refersTo.orNull,
+                  r.payload.length.toLong,
+                  md.digest(r.payload).map("%02x".format(_)).mkString)
+              }
+            }
+          }
+          .toDF("doc_id", "warc_type", "record_id", "refers_to",
+            "payload_len", "payload_md5")
+        Warc.resolveRevisits(rows)
+          .withColumnRenamed("payload_len", "n_payload")
+          .withColumnRenamed("payload_md5", "md5")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 5 = 4 THEN 'revisit'
+                    ELSE 'response' END AS warc_type,
+               CAST(octet_length(encode(o.text)) AS BIGINT) AS n_payload,
+               md5(o.text) AS md5,
+               CAST(o.doc_id AS BIGINT) AS payload_from
+        FROM documents d
+        JOIN documents o
+          ON o.doc_id = CASE WHEN d.doc_id % 5 = 4 THEN d.doc_id - 4
+                             ELSE d.doc_id END
+        ORDER BY d.doc_id""")),
+
     // ----- HTTP response parse: status / headers / chunked bodies ------
     // The layer between a WARC response payload and the HTML the text
     // family wants. Odd docs ship their body CHUNKED (hex-size lines

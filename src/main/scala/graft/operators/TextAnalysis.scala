@@ -661,6 +661,223 @@ object TextAnalysis {
       "the", "ing", "and", "ion", "ent", "ble", "que", "row", "can",
       "tion", "able", "scan", "tab")
 
+  // ------------------------------------------------------------------
+  // Unigram-LM (SentencePiece-style) train + Viterbi encode
+  // ------------------------------------------------------------------
+
+  /** Integer-quantized piece costs: cost(p) = bitlen(T) − bitlen(c) + 1
+    * ≈ ⌈log2(T/c)⌉ + 1, computed ENTIRELY on integers (bit lengths), so
+    * Spark and DuckDB agree bit-for-bit — the float −log·probability a
+    * textbook unigram LM carries is exactly the ≥1M-term summation-
+    * order hazard the oracle discipline bans (SCALING.md float
+    * lessons); a served tokenizer quantizes its scores anyway. */
+  private def quantCosts(v: Seq[(String, Long)]): Map[String, Long] = {
+    val t = v.map(_._2).sum
+    val bt = 64 - java.lang.Long.numberOfLeadingZeros(math.max(t, 1L))
+    v.map { case (p, c) =>
+      val bc = 64 - java.lang.Long.numberOfLeadingZeros(math.max(c, 1L))
+      (p, (bt - bc + 1).toLong)
+    }.toMap
+  }
+
+  /** Viterbi best segmentation of `w` under integer piece costs —
+    * argmin over ALL segmentations of (total cost, piece count,
+    * space-joined pieces string), the last two as deterministic
+    * tiebreaks both engines can replay. DP is exact for this
+    * lexicographic objective: candidate prefix-states cover the same
+    * letters, so two states first differ at a space-vs-letter position
+    * and the order is preserved under any common suffix
+    * (UnigramSpec pins DP ≡ brute-force enumeration). Totality comes
+    * from the singleton pieces the vocab always retains. */
+  private[operators] def unigramViterbi(w: String,
+      costs: Map[String, Long], maxLen: Int = 4): (String, Int, Long) = {
+    val n = w.length
+    val dpCost = new Array[Long](n + 1)
+    val dpN = new Array[Int](n + 1)
+    val dpS = new Array[String](n + 1)
+    dpS(0) = ""
+    var i = 1
+    while (i <= n) {
+      var bCost = Long.MaxValue
+      var bN = Int.MaxValue
+      var bS: String = null
+      var l = 1
+      val lMax = math.min(maxLen, i)
+      while (l <= lMax) {
+        costs.get(w.substring(i - l, i)) match {
+          case Some(c) if dpS(i - l) != null =>
+            val p = w.substring(i - l, i)
+            val cc = dpCost(i - l) + c
+            val nn = dpN(i - l) + 1
+            val ss = if (dpS(i - l).isEmpty) p else dpS(i - l) + " " + p
+            if (cc < bCost || (cc == bCost && (nn < bN ||
+                (nn == bN && ss < bS)))) {
+              bCost = cc; bN = nn; bS = ss
+            }
+          case _ => ()
+        }
+        l += 1
+      }
+      dpCost(i) = bCost; dpN(i) = bN; dpS(i) = bS
+      i += 1
+    }
+    (dpS(n), dpN(n), dpCost(n))
+  }
+
+  /** Unigram-LM tokenizer, train THEN encode (the q230/q267 triad's
+    * missing member — the current open-model default): seed the vocab
+    * with every ≤`maxLen`-char substring of the distinct-word table
+    * (weighted by corpus word frequency; multi-char pieces gated at
+    * `minSeedCount`), then two hard-EM rounds — E: Viterbi-segment
+    * every distinct word; M: re-estimate integer-quantized costs from
+    * frequency-weighted piece usage, dropping unused non-singleton
+    * pieces — and encode the corpus with the final model. Hard
+    * (Viterbi) EM rather than soft forward–backward keeps every
+    * intermediate integer-exact for the DuckDB replay; the E/M
+    * structure is the same.
+    *
+    * 100 TB shape: E-steps and the encode run distributed over the
+    * DISTINCT word table (zipf-bounded, sublinear in corpus — the
+    * measured q230 posture); documents join the encoded words back by
+    * position. The two vocab collects are metadata-plane by
+    * construction: a ≤4-char [a-z] piece table is bounded at 475 254
+    * entries (Σ 26^k) no matter the corpus size. */
+  def unigramEncode(docs: DataFrame, minSeedCount: Long = 5L,
+      maxLen: Int = 4): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs
+      .select($"doc_id",
+        posexplode(split(lower($"text"), "[^a-z]+")).as(Seq("pos", "w")))
+      .filter($"w" =!= "")
+    val words = toks.groupBy($"w").agg(count(lit(1)).as("f"))
+    // seed vocabulary: substring counts weighted by word frequency
+    val mx = maxLen
+    val seed = words.as[(String, Long)]
+      .flatMap { case (w, f) =>
+        for {
+          i <- 0 until w.length
+          l <- 1 to math.min(mx, w.length - i)
+        } yield (w.substring(i, i + l), f)
+      }
+      .toDF("p", "f").groupBy($"p").agg(sum($"f").as("c"))
+      .filter(length($"p") === 1 || $"c" >= minSeedCount)
+      .as[(String, Long)].collect().toSeq // bounded: ≤ Σ_{k≤4} 26^k
+    val costs0 = s.sparkContext.broadcast(quantCosts(seed))
+    // E-step 1 (distinct table) + M-step (frequency-weighted usage)
+    val used = words.as[(String, Long)]
+      .flatMap { case (w, f) =>
+        unigramViterbi(w, costs0.value, mx)._1.split(' ').map((_, f))
+      }
+      .toDF("p", "f").groupBy($"p").agg(sum($"f").as("c"))
+      .as[(String, Long)].collect().toMap
+    val vocab1 = seed.collect {
+      case (p, _) if p.length == 1 || used.getOrElse(p, 0L) >= 1L =>
+        (p, math.max(used.getOrElse(p, 0L), 1L))
+    }
+    val costs1 = s.sparkContext.broadcast(quantCosts(vocab1))
+    // E-step 2 = final model; encode the corpus by word join-back
+    val enc = words.as[(String, Long)]
+      .map { case (w, _) =>
+        val (ps, n, c) = unigramViterbi(w, costs1.value, mx)
+        (w, ps, n, c)
+      }
+      .toDF("w", "pieces_w", "n_w", "cost_w")
+    toks.join(enc, "w")
+      .groupBy($"doc_id")
+      .agg(array_sort(collect_list(
+        struct($"pos", $"pieces_w", $"n_w", $"cost_w"))).as("ps"))
+      .select($"doc_id",
+        expr("aggregate(ps, 0L, (a, x) -> a + x.n_w)").as("n_pieces"),
+        expr("aggregate(ps, 0L, (a, x) -> a + x.cost_w)").as("total_cost"),
+        expr("array_join(transform(ps, x -> x.pieces_w), ' ')")
+          .as("pieces"))
+  }
+
+  /** The DuckDB replay of [[unigramEncode]]: the identical seed/EM/
+    * encode pipeline in SQL — substring seed counts, two enumerate-
+    * all-segmentations recursive CTEs with argmin by (cost, n_pieces,
+    * pieces) per word (the Viterbi objective, materialized), integer
+    * bit-length costs via length(bin(x)), and the positional join-back.
+    */
+  def unigramOracle(minSeedCount: Long = 5L, maxLen: Int = 4): String =
+    s"""WITH RECURSIVE
+       |toks AS (
+       |  SELECT doc_id, i, ws[i] AS w
+       |  FROM (SELECT doc_id,
+       |               string_split_regex(lower(text), '[^a-z]+') AS ws
+       |        FROM documents),
+       |       unnest(generate_series(1, len(ws))) AS t(i)
+       |  WHERE ws[i] <> ''),
+       |words AS (SELECT w, count(*) AS f FROM toks GROUP BY w),
+       |seed AS (
+       |  SELECT p, c FROM (
+       |    SELECT substring(w.w, s.i, l.l) AS p,
+       |           CAST(sum(w.f) AS BIGINT) AS c
+       |    FROM words w,
+       |         unnest(generate_series(1, length(w.w))) AS s(i),
+       |         unnest(generate_series(1, $maxLen)) AS l(l)
+       |    WHERE s.i + l.l - 1 <= length(w.w)
+       |    GROUP BY 1)
+       |  WHERE length(p) = 1 OR c >= $minSeedCount),
+       |t0 AS (SELECT sum(c) AS t FROM seed),
+       |costs0 AS (
+       |  SELECT p, length(bin(t0.t)) - length(bin(c)) + 1 AS cost
+       |  FROM seed, t0),
+       |seg1(w, pos, pieces, n, cost) AS (
+       |  SELECT w, 1, '', 0, 0 FROM words
+       |  UNION ALL
+       |  SELECT s.w, s.pos + length(v.p),
+       |         CASE WHEN s.pieces = '' THEN v.p
+       |              ELSE s.pieces || ' ' || v.p END,
+       |         s.n + 1, s.cost + v.cost
+       |  FROM seg1 s JOIN costs0 v
+       |    ON substring(s.w, s.pos, length(v.p)) = v.p
+       |  WHERE s.pos <= length(s.w)),
+       |best1 AS (
+       |  SELECT w, pieces FROM (
+       |    SELECT w, pieces, row_number() OVER (
+       |      PARTITION BY w ORDER BY cost, n, pieces) AS rk
+       |    FROM seg1 WHERE pos = length(w) + 1)
+       |  WHERE rk = 1),
+       |used AS (
+       |  SELECT p, CAST(sum(f) AS BIGINT) AS c
+       |  FROM (SELECT w, unnest(string_split(pieces, ' ')) AS p
+       |        FROM best1) u
+       |  JOIN words USING (w)
+       |  GROUP BY p),
+       |vocab1 AS (
+       |  SELECT s.p, greatest(coalesce(u.c, 0), 1) AS c
+       |  FROM seed s LEFT JOIN used u ON s.p = u.p
+       |  WHERE length(s.p) = 1 OR coalesce(u.c, 0) >= 1),
+       |t1 AS (SELECT sum(c) AS t FROM vocab1),
+       |costs1 AS (
+       |  SELECT p, length(bin(t1.t)) - length(bin(c)) + 1 AS cost
+       |  FROM vocab1, t1),
+       |seg2(w, pos, pieces, n, cost) AS (
+       |  SELECT w, 1, '', 0, 0 FROM words
+       |  UNION ALL
+       |  SELECT s.w, s.pos + length(v.p),
+       |         CASE WHEN s.pieces = '' THEN v.p
+       |              ELSE s.pieces || ' ' || v.p END,
+       |         s.n + 1, s.cost + v.cost
+       |  FROM seg2 s JOIN costs1 v
+       |    ON substring(s.w, s.pos, length(v.p)) = v.p
+       |  WHERE s.pos <= length(s.w)),
+       |best2 AS (
+       |  SELECT w, pieces, n, cost FROM (
+       |    SELECT w, pieces, n, cost, row_number() OVER (
+       |      PARTITION BY w ORDER BY cost, n, pieces) AS rk
+       |    FROM seg2 WHERE pos = length(w) + 1)
+       |  WHERE rk = 1)
+       |SELECT toks.doc_id,
+       |       CAST(sum(b.n) AS BIGINT) AS n_pieces,
+       |       CAST(sum(b.cost) AS BIGINT) AS total_cost,
+       |       string_agg(b.pieces, ' ' ORDER BY toks.i) AS pieces
+       |FROM toks JOIN best2 b USING (w)
+       |GROUP BY toks.doc_id
+       |ORDER BY toks.doc_id""".stripMargin
+
   /** Regex sentence segmentation: split prose on [.!?] terminators
     * (terminator stays with its sentence), trim, drop empties — the
     * stage between HTML main text and sentence-window chunking in a
@@ -1649,6 +1866,22 @@ object TextAnalysis {
       (s, dir) => wordPieceEncode(t(s, dir, "documents"), WordPieceVocab)
         .orderBy(col("doc_id")),
       Some(wordPieceOracle(WordPieceVocab))),
+
+    // the tokenizer triad's third member (q230 BPE merge-order, q267
+    // WordPiece greedy, and now the open-model default): unigram-LM
+    // train-then-encode — substring-seeded vocab, two hard-EM rounds
+    // re-estimating integer-quantized costs from frequency-weighted
+    // Viterbi usage, corpus encode by distinct-word join-back. The
+    // oracle replays the ENTIRE train+encode pipeline (seed counts,
+    // both EM rounds as enumerate-and-argmin recursive CTEs, final
+    // positional reassembly) — a drift anywhere in the loop, the
+    // pruning rule, the cost quantization, or the tiebreak order is a
+    // hash mismatch.
+    QueryDef(
+      "q328_unigram_lm_encode",
+      (s, dir) => unigramEncode(t(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some(unigramOracle())),
 
     // sentence segmentation over synthesized prose: each doc's words
     // regroup into sentences of (3 + id%3) words with cycling .!?
