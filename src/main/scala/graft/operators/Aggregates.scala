@@ -117,13 +117,19 @@ object Aggregates {
         t(s, dir, "orders")
           .cube($"o_orderstatus", $"o_orderpriority")
           .agg(
-            round(sum($"o_totalprice"), 4).as("total"),
+            // money sums as integer cents (the sf1 lesson — see q01):
+            // the grand-total cell sums 1.5M doubles and diverged from
+            // DuckDB by summation order at the 4dp boundary
+            round(sum(round($"o_totalprice" * 100).cast("long"))
+              / 100.0, 4).as("total"),
             count(lit(1)).as("n"))
           .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
       },
       Some("""
         SELECT o_orderstatus, o_orderpriority,
-               round(sum(o_totalprice), 4) AS total, count(*) AS n
+               round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 / 100.0, 4) AS total,
+               count(*) AS n
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),

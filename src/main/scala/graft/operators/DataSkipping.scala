@@ -72,21 +72,23 @@ object DataSkipping {
     * those, apply the exact residual filter on both columns. */
   def skippingBoxScan(spark: SparkSession, manifest: DataFrame,
       dataDir: String, colA: String, loA: Long, hiA: Long,
-      colB: String, loB: Long, hiB: Long): (DataFrame, Long, Long) = {
-    val picked = manifest
+      colB: String, loB: Long, hiB: Long,
+      collectThreshold: Long = ManifestCollectThreshold)
+      : (DataFrame, Long, Long) = {
+    val proj = manifest
       .select(col("fg").cast("long"),
         col("mna").cast("long"), col("mxa").cast("long"),
         col("mnb").cast("long"), col("mxb").cast("long"))
-      .collect()
-    val total = picked.length.toLong
     // null-keyed / all-null-stats groups cannot satisfy the box
     // predicate (BETWEEN excludes nulls) — skip, never NPE
-    val selected = picked
-      .filter(r => (0 to 4).forall(i => !r.isNullAt(i)))
-      .filter { r =>
-        r.getLong(2) >= loA && r.getLong(1) <= hiA &&
-          r.getLong(4) >= loB && r.getLong(3) <= hiB
-      }.map(_.getLong(0)).sorted
+    val (selected, total) =
+      pruneManifest(proj, collectThreshold,
+        r => (0 to 4).forall(i => !r.isNullAt(i)) &&
+          r.getLong(2) >= loA && r.getLong(1) <= hiA &&
+          r.getLong(4) >= loB && r.getLong(3) <= hiB,
+        col("mxa") >= loA && col("mna") <= hiA &&
+          col("mxb") >= loB && col("mnb") <= hiB,
+        _.getLong(0))
     val rows =
       if (selected.isEmpty)
         spark.read.parquet(dataDir).filter(lit(false)).drop("fg")
@@ -97,23 +99,54 @@ object DataSkipping {
     (rows, selected.length.toLong, total)
   }
 
+  /** Driver-collect threshold for manifest pruning: below it the
+    * whole manifest collects and prunes on the driver (one job, the
+    * right call for fixture- and most table-sized manifests); above
+    * it pruning runs as a DISTRIBUTED filter and only the SURVIVING
+    * entries collect — at 100 TB / 128 MB files a table's manifest is
+    * ~800k rows, and post-pruning survivors are what the driver must
+    * hold, not the manifest. Both paths compute identical receipts
+    * (DataSkippingSpec pins the switch). */
+  val ManifestCollectThreshold: Long = 10000L
+
+  /** Shared pruning core: (sorted selected keys, total manifest rows).
+    * `driverPred` and `sqlPred` MUST encode the same predicate — the
+    * spec runs both paths on the same manifest and asserts equality. */
+  private def pruneManifest[K: Ordering: scala.reflect.ClassTag](
+      proj: DataFrame, collectThreshold: Long,
+      driverPred: org.apache.spark.sql.Row => Boolean,
+      sqlPred: org.apache.spark.sql.Column,
+      key: org.apache.spark.sql.Row => K): (Array[K], Long) = {
+    val total = proj.count()
+    if (total <= collectThreshold) {
+      val picked = proj.collect()
+      (picked.filter(driverPred).map(key).sorted, total)
+    } else {
+      // distributed prune: the filter runs on executors; only the
+      // selected entries ever reach the driver
+      (proj.filter(sqlPred).collect().map(key).sorted, total)
+    }
+  }
+
   /** File-path range scan against an INCREMENTALLY-maintained manifest
     * ([[graft.streaming.IncrementalManifest]]): rows are (f, n_rows,
     * mn, mx) with `f` a concrete file path; intersecting files are
     * opened directly. Same metadata-plane collect contract. */
   def skippingFileRangeScan(spark: SparkSession, manifest: DataFrame,
       statsCol: String, lo: Long, hi: Long,
-      emptyLike: => DataFrame): (DataFrame, Long, Long) = {
-    val picked = manifest
+      emptyLike: => DataFrame,
+      collectThreshold: Long = ManifestCollectThreshold)
+      : (DataFrame, Long, Long) = {
+    val proj = manifest
       .select(col("f"), col("mn").cast("long"), col("mx").cast("long"))
-      .collect()
-    val total = picked.length.toLong
     // all-null stats (a file of only null keys) cannot intersect the
     // range (BETWEEN excludes nulls) — skip, never NPE
-    val selected = picked
-      .filter(r => !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2))
-      .filter(r => r.getLong(2) >= lo && r.getLong(1) <= hi)
-      .map(_.getString(0)).sorted
+    val (selected, total) =
+      pruneManifest(proj, collectThreshold,
+        r => !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2) &&
+          r.getLong(2) >= lo && r.getLong(1) <= hi,
+        col("f").isNotNull && col("mx") >= lo && col("mn") <= hi,
+        _.getString(0))
     val rows =
       if (selected.isEmpty) emptyLike.filter(lit(false))
       else spark.read.parquet(selected: _*)

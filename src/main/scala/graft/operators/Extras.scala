@@ -504,12 +504,16 @@ object Extras {
         SkewJoin.saltedInnerJoin(o, c, "o_custkey", "c_custkey", salt = 4)
           .groupBy($"c_mktsegment")
           .agg(count(lit(1)).as("n_orders"),
-            round(sum($"o_totalprice"), 4).as("total"))
+            // integer-cents sum (the sf1 lesson — see q01): 300k
+            // doubles per segment diverged at the 4dp boundary
+            round(sum(round($"o_totalprice" * 100).cast("long"))
+              / 100.0, 4).as("total"))
           .orderBy($"c_mktsegment")
       },
       Some("""
         SELECT c_mktsegment, count(*) AS n_orders,
-               round(sum(o_totalprice), 4) AS total
+               round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 / 100.0, 4) AS total
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment""")),
@@ -708,10 +712,13 @@ object Extras {
             sum($"rx" * $"rx").as("sxx"), sum($"ry" * $"ry").as("syy"),
             sum($"rx" * $"ry").as("sxy"))
           .select($"event_type",
-            round((d($"n") * d($"sxy") - d($"sx") * d($"sy")) /
+            // + 0.0 normalizes IEEE negative zero: at sf1 a ~0
+            // correlation rounded to -0.0 in DuckDB and 0.0 here,
+            // and the hash compare sees the sign
+            (round((d($"n") * d($"sxy") - d($"sx") * d($"sy")) /
               sqrt((d($"n") * d($"sxx") - d($"sx") * d($"sx")) *
                    (d($"n") * d($"syy") - d($"sy") * d($"sy"))), 4)
-              .as("spearman_value_time"))
+              + lit(0.0)).as("spearman_value_time"))
           .orderBy($"event_type")
       },
       Some("""
@@ -735,6 +742,7 @@ object Extras {
                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
                       (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+                 + 0.0
                  AS spearman_value_time
         FROM a
         ORDER BY event_type""")),

@@ -46,9 +46,10 @@ object HtmlExtract {
   /** Containers whose CONTENT is dropped wholesale. */
   private val DropTags: Set[String] = Set("script", "style", "title")
 
-  private val Entities: Map[String, Char] = Map(
-    "amp" -> '&', "lt" -> '<', "gt" -> '>', "quot" -> '"',
-    "apos" -> '\'', "nbsp" -> ' ')
+  // named entities: the full WHATWG HTML5 table ([[HtmlEntities]],
+  // 2125 names incl. 93 two-codepoint sequences) — round 12; the
+  // previous 6-name XML set let &nbsp;/&mdash;/&eacute; survive into
+  // extracted training text
 
   /** Parse `html` into content blocks. Single forward pass; tolerant
     * of malformed markup (see class doc). */
@@ -72,11 +73,19 @@ object HtmlExtract {
         if (linkDepth > 0) nLink += 1
       }
     }
-    def appendCp(cp: Int): Unit = {
-      sb.appendAll(Character.toChars(cp))
-      if (!Character.isWhitespace(cp)) {
-        nChars += 1 // one visible char per code point, pair or not
-        if (linkDepth > 0) nLink += 1
+    def appendStr(str: String): Unit = {
+      var k = 0
+      while (k < str.length) {
+        val cp = str.codePointAt(k)
+        sb.appendAll(Character.toChars(cp))
+        // U+00A0: &nbsp; decodes to a REAL no-break space per spec,
+        // but for extracted training text it renders as whitespace
+        // (normalize collapses it) and must not count as visible
+        if (!Character.isWhitespace(cp) && cp != 0xa0) {
+          nChars += 1 // one visible char per code point, pair or not
+          if (linkDepth > 0) nLink += 1
+        }
+        k += Character.charCount(cp)
       }
     }
     def tagNameAt(from: Int): String = {
@@ -122,7 +131,7 @@ object HtmlExtract {
         }
       } else if (c == '&') {
         entityAt(html, i) match {
-          case Some((cp, next)) => appendCp(cp); i = next
+          case Some((str, next)) => appendStr(str); i = next
           case None => append('&'); i += 1
         }
       } else {
@@ -151,16 +160,15 @@ object HtmlExtract {
     n
   }
 
-  /** Decode one entity at `i` (where html(i) == '&'): the code point
-    * and the index just past the ';', or None. The ';' scan is
-    * WINDOW-BOUNDED (10 chars — longer entities are invalid anyway),
-    * so a page full of bare ampersands stays linear, never O(n²).
-    * Astral code points are returned whole (the caller appends via
-    * appendCodePoint — .toChar would silently truncate emoji / rare
-    * CJK to a wrong BMP char); surrogate halves and > U+10FFFF are
-    * rejected. */
-  private def entityAt(html: String, i: Int): Option[(Int, Int)] = {
-    val limit = math.min(i + 11, html.length)
+  /** Decode one entity at `i` (where html(i) == '&'): the decoded
+    * character sequence (1–2 code points — 93 HTML5 names decode to
+    * two) and the index just past the ';', or None. The ';' scan is
+    * WINDOW-BOUNDED (34 chars — the longest HTML5 name is 31), so a
+    * page full of bare ampersands stays linear, never O(n²). Astral
+    * code points are returned whole (surrogate-safe); surrogate
+    * halves and > U+10FFFF numeric forms are rejected. */
+  private def entityAt(html: String, i: Int): Option[(String, Int)] = {
+    val limit = math.min(i + 34, html.length)
     var semi = -1
     var j = i + 1
     while (semi < 0 && j < limit) {
@@ -169,15 +177,15 @@ object HtmlExtract {
     }
     if (semi < 0) return None
     val body = html.substring(i + 1, semi)
-    val cp: Option[Int] =
-      if (body.startsWith("#x") || body.startsWith("#X"))
-        scala.util.Try(Integer.parseInt(body.drop(2), 16)).toOption
-      else if (body.startsWith("#"))
-        scala.util.Try(body.drop(1).toInt).toOption
-      else Entities.get(body).map(_.toInt)
-    cp.filter(c => c >= 0 && c <= 0x10ffff &&
-        !(c >= 0xd800 && c <= 0xdfff))
-      .map(c => (c, semi + 1))
+    if (body.startsWith("#")) {
+      val cp: Option[Int] =
+        if (body.startsWith("#x") || body.startsWith("#X"))
+          scala.util.Try(Integer.parseInt(body.drop(2), 16)).toOption
+        else scala.util.Try(body.drop(1).toInt).toOption
+      cp.filter(c => c >= 0 && c <= 0x10ffff &&
+          !(c >= 0xd800 && c <= 0xdfff))
+        .map(c => (new String(Character.toChars(c)), semi + 1))
+    } else HtmlEntities.table.get(body).map(s => (s, semi + 1))
   }
 
   /** Case-insensitive indexOf without copying `s` (`target` must
@@ -206,7 +214,9 @@ object HtmlExtract {
     var i = 0
     while (i < sb.length) {
       val c = sb.charAt(i)
-      if (c.isWhitespace) { if (started) pendingSpace = true }
+      if (c.isWhitespace || c == '\u00a0') {
+        if (started) pendingSpace = true
+      }
       else {
         if (pendingSpace) { b.append(' '); pendingSpace = false }
         b.append(c); started = true
@@ -226,7 +236,7 @@ object HtmlExtract {
       val c = s.charAt(i)
       if (c == '&') {
         entityAt(s, i) match {
-          case Some((cp, next)) => b.appendAll(Character.toChars(cp)); i = next
+          case Some((str, next)) => b.append(str); i = next
           case None => b.append('&'); i += 1
         }
       } else { b.append(c); i += 1 }
@@ -429,8 +439,8 @@ object HtmlExtract {
         }
       } else if (c == '&') {
         entityAt(html, i) match {
-          case Some((cp, next)) =>
-            if (cellOpen) sb.appendAll(Character.toChars(cp))
+          case Some((str, next)) =>
+            if (cellOpen) sb.append(str)
             i = next
           case None => if (cellOpen) sb.append('&'); i += 1
         }

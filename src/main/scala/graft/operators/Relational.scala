@@ -34,29 +34,52 @@ object Relational {
       "q01_pricing_summary",
       (s, dir) => {
         import s.implicits._
+        // money aggregates sum as INTEGER sub-units (cents / charge
+        // micro-units), never as floating sums: at sf1 the ≥1M-row
+        // double sum diverges from DuckDB's by SUMMATION ORDER past
+        // the 4dp round (measured: sum_charge ...7537.0009 vs .0008).
+        // Per-row scaling is deterministic (identical IEEE products,
+        // values sit ~1e-9 from the integer, never at .5), the
+        // integer sum is exact, and one final division cannot drift.
+        // l_quantity is integer-valued, so its sums stay exact as-is.
+        val cents = (c: org.apache.spark.sql.Column) =>
+          round(c * 100).cast("long")
+        val micro = (c: org.apache.spark.sql.Column) =>
+          round(c * 1000000).cast("long")
         t(s, dir, "lineitem")
           .filter($"l_shipdate" <= lit("2000-12-01").cast("timestamp"))
           .groupBy($"l_returnflag", $"l_linestatus")
           .agg(
             round(sum($"l_quantity"), 4).as("sum_qty"),
-            round(sum($"l_extendedprice"), 4).as("sum_base_price"),
-            round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("sum_disc_price"),
-            round(sum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")), 4).as("sum_charge"),
+            round(sum(cents($"l_extendedprice")) / 100.0, 4)
+              .as("sum_base_price"),
+            round(sum(micro($"l_extendedprice" * (lit(1) - $"l_discount")))
+              / 1000000.0, 4).as("sum_disc_price"),
+            round(sum(micro($"l_extendedprice" * (lit(1) - $"l_discount")
+              * (lit(1) + $"l_tax"))) / 1000000.0, 4).as("sum_charge"),
             round(avg($"l_quantity"), 4).as("avg_qty"),
-            round(avg($"l_extendedprice"), 4).as("avg_price"),
-            round(avg($"l_discount"), 4).as("avg_disc"),
+            round(sum(cents($"l_extendedprice")) / 100.0
+              / count(lit(1)), 4).as("avg_price"),
+            round(sum(cents($"l_discount")) / 100.0
+              / count(lit(1)), 4).as("avg_disc"),
             count(lit(1)).as("count_order"))
           .orderBy($"l_returnflag", $"l_linestatus")
       },
       Some("""
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 4) AS sum_qty,
-               round(sum(l_extendedprice), 4) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+               round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 / 100.0, 4) AS sum_base_price,
+               round(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                 * 1000000) AS BIGINT)) / 1000000.0, 4) AS sum_disc_price,
+               round(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                 * (1 + l_tax) * 1000000) AS BIGINT)) / 1000000.0, 4)
+                 AS sum_charge,
                round(avg(l_quantity), 4) AS avg_qty,
-               round(avg(l_extendedprice), 4) AS avg_price,
-               round(avg(l_discount), 4) AS avg_disc,
+               round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 / 100.0 / count(*), 4) AS avg_price,
+               round(sum(CAST(round(l_discount * 100) AS BIGINT))
+                 / 100.0 / count(*), 4) AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2000-12-01'

@@ -64,7 +64,9 @@ object ScalarQueries {
           .select(
             $"c_custkey",
             round(abs($"c_acctbal"), 4).as("abs_bal"),
-            ceil($"c_acctbal").cast("double").as("ceil_bal"),
+            // + 0.0 normalizes IEEE -0.0: DuckDB's double ceil of a
+            // small negative yields -0.0, Spark's integral ceil 0.0
+            (ceil($"c_acctbal").cast("double") + lit(0.0)).as("ceil_bal"),
             floor($"c_acctbal").cast("double").as("floor_bal"),
             round(sqrt(abs($"c_acctbal")), 4).as("sqrt_bal"),
             round(pow($"c_acctbal", 2), 4).as("sq_bal"),
@@ -78,7 +80,7 @@ object ScalarQueries {
       Some("""
         SELECT c_custkey,
                round(abs(c_acctbal), 4) AS abs_bal,
-               CAST(ceil(c_acctbal) AS DOUBLE) AS ceil_bal,
+               CAST(ceil(c_acctbal) AS DOUBLE) + 0.0 AS ceil_bal,
                CAST(floor(c_acctbal) AS DOUBLE) AS floor_bal,
                round(sqrt(abs(c_acctbal)), 4) AS sqrt_bal,
                round(pow(c_acctbal, 2), 4) AS sq_bal,

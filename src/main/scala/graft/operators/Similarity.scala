@@ -516,8 +516,18 @@ object Similarity {
       "q179_pq_ann_recall",
       (s, dir) => {
         import org.apache.spark.sql.functions.{count => cnt}
-        pqProbeRecalls(t(s, dir, "embeddings"),
-          m = 4, k = 16, iters = 3, nProbes = 5, topK = 10, shortlistK = 50)
+        // the shortlist must TRACK the corpus (the sf1 lesson: a fixed
+        // 50 against a 10x corpus decays recall below any useful gate —
+        // exactly as PQ theory predicts). n/40 keeps the driver scales
+        // at the measured shortlist (50 at both sf0.01 and sf0.1) and
+        // holds the shortlist/corpus ratio at 2.5% beyond; the count is
+        // one metadata-plane scalar per run, and re-rank cost stays
+        // shortlist-bounded per probe.
+        val e = t(s, dir, "embeddings")
+        val shortlist = math.max(50L, e.count() / 40L).toInt
+        pqProbeRecalls(e,
+          m = 4, k = 16, iters = 3, nProbes = 5, topK = 10,
+          shortlistK = shortlist)
           .agg(cnt(lit(1)).as("n_probes"),
             when(sum(col("n_hits")) >= 20, 1).otherwise(0).as("recall_ok"))
       },

@@ -1509,6 +1509,7 @@ object TextAnalysis {
                  |<style>.footer { display: none; }</style>
                  |<p>Read much more in <a href="/arc">the archive</a> every single day</p>
                  |<p>Tom &amp; Jerry &lt;3</p>
+                 |<p>Caf&eacute;&nbsp;menu&mdash;d&eacute;tails&hellip; &copy; 2024 &ne; 2023</p>
                  |<div><a href="/p">Privacy</a> | <a href="/t">Terms</a></div>
                  |</body></html>""".stripMargin)
           }
@@ -1519,13 +1520,19 @@ object TextAnalysis {
             $"n_dropped".cast("long").as("n_dropped"))
           .orderBy($"doc_id")
       },
+      // the entity paragraph pins the FULL HTML5 named table (round
+      // 12): Latin-1 (eacute), typographic (mdash, hellip), symbol
+      // (copy, ne) names, and the &nbsp; -> collapse-to-space rule —
+      // the oracle carries the decoded UTF-8 literally
       Some("""
         SELECT doc_id,
                'Title ' || doc_id || chr(10)
                  || trim(regexp_replace(text, '\s+', ' ', 'g')) || chr(10)
                  || 'Read much more in the archive every single day'
-                 || chr(10) || 'Tom & Jerry <3' AS main_text,
-               CAST(4 AS BIGINT) AS n_blocks,
+                 || chr(10) || 'Tom & Jerry <3'
+                 || chr(10) || 'Café menu—détails… © 2024 ≠ 2023'
+                 AS main_text,
+               CAST(5 AS BIGINT) AS n_blocks,
                CAST(2 AS BIGINT) AS n_dropped
         FROM documents
         ORDER BY doc_id""")),
@@ -1663,8 +1670,11 @@ object TextAnalysis {
                 s"?a=1&utm_source=x&b=2"))
           }
           .toDF("doc_id", "url")
-        val norm = udf((u: String) => HtmlExtract.normalizeUrl(u))
-        urls.select($"doc_id", norm($"url").as("url"))
+        // round 12: the catalog's last corpus-path UDF retired — the
+        // codegen Expression keeps the WholeStageCodegen span intact
+        // (no encoder boxing; the same normalizeUrl body runs)
+        graft.functions.NormalizeUrl.register(s)
+        urls.selectExpr("doc_id", "normalize_url(url) AS url")
           .groupBy($"doc_id", $"url")
           .agg(count(lit(1)).as("n_spellings"))
           .orderBy($"doc_id")

@@ -136,6 +136,30 @@ final class IncrementalQuantile(
   def driftSincePreviousVersion(): Option[DataFrame] =
     for (prev <- previousState(); cur <- state())
       yield graft.operators.Maintenance.psiDrift(prev, cur)
+
+  /** All retained state versions, oldest first. */
+  def versions(): Seq[String] = IncrementalAgg.listVersions(stateDir)
+
+  /** A specific retained state version. */
+  def stateAt(version: String): DataFrame =
+    spark.read.parquet(Paths.get(stateDir, version).toString)
+
+  /** The N-version drift SERIES (round 12 — q245 generalized past its
+    * consecutive pair): with retainVersions > 2, every adjacent
+    * retained pair (v_i, v_{i+1}) yields a per-key PSI, tagged with
+    * its fold index — "which arrival batch moved each key's
+    * distribution, and by how much", computed entirely from on-disk
+    * histograms (no period re-read, the retention family's whole
+    * point). None before two versions exist. */
+  def driftSeries(): Option[DataFrame] = {
+    val vs = versions()
+    if (vs.size < 2) return None
+    val folds = vs.zip(vs.tail).zipWithIndex.map { case ((a, b), i) =>
+      graft.operators.Maintenance.psiDrift(stateAt(a), stateAt(b))
+        .withColumn("fold", lit(i + 1).cast("long"))
+    }
+    Some(folds.reduce(_.unionByName(_)))
+  }
 }
 
 /** The bottom-k sibling of [[IncrementalQuantile]]: an incrementally-

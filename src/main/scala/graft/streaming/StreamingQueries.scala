@@ -191,7 +191,18 @@ object StreamingQueries {
     val path = s"$dir/events.parquet"
     val srcDir = stagedFlush.getOrElseUpdate(path, {
       val d = Files.createTempDirectory("events_srcflush_")
-      stageParquet(path, d)
+      // the flush contract is ONE data micro-batch then the sentinel
+      // batches: watermark-sensitive consumers (stream-stream OUTER
+      // joins, event timers) rely on no data arriving after a
+      // sentinel has advanced the watermark. A directory-shaped
+      // fixture (generated sfN) must therefore stage as a SINGLE
+      // coalesced file — linking its 32 parts made rows "late" behind
+      // the sentinel batches at sf1 and the outer joins dropped them.
+      val src = java.nio.file.Paths.get(path)
+      if (Files.isDirectory(src))
+        s.read.parquet(path).coalesce(1)
+          .write.mode("append").parquet(d.toString)
+      else stageParquet(path, d)
       val base = s.read.parquet(path)
       val isLongTs =
         base.schema("ts").dataType == org.apache.spark.sql.types.LongType
@@ -359,6 +370,83 @@ object StreamingQueries {
         FROM cells JOIN tot ON cells.k = tot.k
         GROUP BY cells.k
         ORDER BY o_orderpriority""")),
+
+    // q245's pairwise drift folded over ALL retained versions (round
+    // 12): four year-batches arrive into a retainVersions=4 quantile
+    // state, and the drift SERIES reports per-key PSI for every
+    // adjacent version pair — which arrival moved which key, from
+    // on-disk histograms alone. The oracle replays all three folds as
+    // cumulative-histogram pairs; a wrong version paired, a fold
+    // skipped, or retention trimming early changes n_ref/psi and
+    // hash-mismatches.
+    QueryDef(
+      "q329_state_drift_series",
+      (s, dir) => {
+        import s.implicits._
+        val (input, ckpt, state) = (tmp("vsin_"), tmp("vsck_"), tmp("vsst_"))
+        val o = graft.engine.Tables.load(s, dir, "orders")
+          .select($"o_orderpriority".as("pri"),
+            $"o_totalprice".as("v"), year($"o_orderdate").as("yr"))
+        val inc = new graft.streaming.IncrementalQuantile(
+          s, input, org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("pri",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("v",
+              org.apache.spark.sql.types.DoubleType))),
+          ckpt, state, keyCol = "pri", valueCol = "v",
+          lo = 0.0, hi = 500000.0, bins = 500, retainVersions = 4)
+        def arrive(batch: org.apache.spark.sql.DataFrame): Unit = {
+          batch.select($"pri", $"v").write.mode("append").parquet(input)
+          inc.update()
+        }
+        arrive(o.filter($"yr" <= 1994))
+        arrive(o.filter($"yr" === 1995))
+        arrive(o.filter($"yr" === 1996))
+        arrive(o.filter($"yr" >= 1997))
+        inc.driftSeries().get
+          .select($"k".as("o_orderpriority"), $"fold",
+            $"n_ref", $"n_cur", $"psi")
+          .orderBy($"o_orderpriority", $"fold")
+      },
+      Some("""
+        WITH v AS (
+          SELECT o_orderpriority AS k, o_totalprice AS v,
+                 CASE WHEN year(o_orderdate) <= 1994 THEN 1
+                      WHEN year(o_orderdate) = 1995 THEN 2
+                      WHEN year(o_orderdate) = 1996 THEN 3
+                      ELSE 4 END AS p
+          FROM orders),
+        b AS (SELECT k, p,
+                     LEAST(GREATEST(CAST(floor(v / 1000.0) AS INT), 0), 499)
+                       AS b
+              FROM v),
+        folds AS (SELECT unnest(generate_series(1, 3)) AS f),
+        cells AS (
+          SELECT f.f, k, b,
+                 CAST(sum(CASE WHEN p <= f.f THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cr,
+                 CAST(count(*) AS BIGINT) AS cc
+          FROM b, folds f
+          WHERE p <= f.f + 1
+          GROUP BY f.f, k, b),
+        tot AS (
+          SELECT f, k, count(*) AS u,
+                 CAST(sum(cr) AS BIGINT) AS nr,
+                 CAST(sum(cc) AS BIGINT) AS nc
+          FROM cells GROUP BY f, k)
+        SELECT cells.k AS o_orderpriority,
+               CAST(cells.f AS BIGINT) AS fold,
+               CAST(max(tot.nr) AS BIGINT) AS n_ref,
+               CAST(max(tot.nc) AS BIGINT) AS n_cur,
+               round(sum(
+                 (CAST(cells.cr + 1 AS DOUBLE) / (tot.nr + tot.u)
+                   - CAST(cells.cc + 1 AS DOUBLE) / (tot.nc + tot.u))
+                 * ln((CAST(cells.cr + 1 AS DOUBLE) / (tot.nr + tot.u))
+                      / (CAST(cells.cc + 1 AS DOUBLE) / (tot.nc + tot.u)))),
+                 4) AS psi
+        FROM cells JOIN tot ON cells.f = tot.f AND cells.k = tot.k
+        GROUP BY cells.k, cells.f
+        ORDER BY o_orderpriority, fold""")),
 
     // ----- incremental per-key percentiles (q231's streaming sibling) ----
     // Orders arrive in three year-batches; each update() folds only the

@@ -151,4 +151,41 @@ class DataSkippingSpec extends SparkSpec {
     assert(nSel >= 1L && nSel <= 3L,
       s"localized probe should open ~1 group, opened $nSel of $nTot")
   }
+
+  test("manifest pruning: the driver-collect and distributed paths " +
+      "compute identical receipts either side of the threshold") {
+    val grid = spark.range(4096)
+      .selectExpr("id % 64 AS x", "id DIV 64 AS y", "id AS payload")
+      .withColumn("z", ZOrder.mortonZ($"x", $"y", 6))
+    val out = tmp("prune_switch")
+    writeClustered(grid.select($"x", $"y", $"payload", $"z"),
+      $"z", span = 256L, out)
+    val manifest = statsManifest2(spark, out, "x", "y")
+    // threshold far above the 16-group manifest -> driver collect;
+    // threshold 0 -> distributed filter; receipts must be identical
+    val (rC, selC, totC) = skippingBoxScan(spark, manifest, out,
+      "x", 10L, 20L, "y", 10L, 20L, collectThreshold = 1000000L)
+    val (rD, selD, totD) = skippingBoxScan(spark, manifest, out,
+      "x", 10L, 20L, "y", 10L, 20L, collectThreshold = 0L)
+    assert(selC === selD && totC === totD)
+    assert(rC.exceptAll(rD).isEmpty && rD.exceptAll(rC).isEmpty)
+    // file-path variant: null-stats rows skip identically in both
+    import org.apache.spark.sql.functions.lit
+    val files = spark.read.parquet(out).inputFiles.sorted
+    val stats = spark.read.parquet(files: _*)
+      .groupBy(org.apache.spark.sql.functions
+        .input_file_name().as("f"))
+      .agg(org.apache.spark.sql.functions.min($"x").as("mn"),
+        org.apache.spark.sql.functions.max($"x").as("mx"))
+      .unionByName(spark.range(1).select(lit("bogus").as("f"),
+        lit(null).cast("long").as("mn"),
+        lit(null).cast("long").as("mx")))
+    def emptyLike = spark.read.parquet(files.head).filter(lit(false))
+    val (fC, fSelC, fTotC) = skippingFileRangeScan(spark, stats, "x",
+      10L, 20L, emptyLike, collectThreshold = 1000000L)
+    val (fD, fSelD, fTotD) = skippingFileRangeScan(spark, stats, "x",
+      10L, 20L, emptyLike, collectThreshold = 0L)
+    assert(fSelC === fSelD && fTotC === fTotD)
+    assert(fC.exceptAll(fD).isEmpty && fD.exceptAll(fC).isEmpty)
+  }
 }

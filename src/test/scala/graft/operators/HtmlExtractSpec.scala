@@ -69,6 +69,24 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(got.main_text == "Tom & Jerry <3 \"hi\" AB AT&T R&unknown; a&b")
   }
 
+  test("the full HTML5 named table: Latin-1, typographic, symbol, " +
+      "case-sensitive, two-codepoint names; nbsp collapses to space") {
+    val got = mainText(
+      "<p>Caf&eacute;&nbsp;menu&mdash;&hellip; &copy; &Delta;&delta; " +
+        "&rarr; x&ne;y &NotEqualTilde; end</p>", 1.0)
+    assert(got.main_text ==
+      "Café menu—… © Δδ → x≠y ≂̸ end")
+    // names are case-sensitive: &AMP; (valid) vs &Amp; (not a name)
+    assert(mainText("<p>&AMP; &Amp;</p>", 1.0).main_text == "& &Amp;")
+    // the table is the complete WHATWG set incl. 31-char names
+    assert(HtmlEntities.table.size == 2125)
+    assert(HtmlEntities.table("CounterClockwiseContourIntegral")
+      == "∳")
+    assert(HtmlEntities.maxNameLen == 31)
+    // an entity at the old 10-char window boundary now decodes
+    assert(mainText("<p>&thickapprox;</p>", 1.0).main_text == "≈")
+  }
+
   test("astral numeric character references decode to real code " +
       "points (surrogate pairs), not toChar-truncated BMP garbage") {
     val got = mainText("<p>hi &#128169; and &#x1F600; end</p>", 1.0)
