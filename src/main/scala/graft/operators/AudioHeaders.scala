@@ -81,25 +81,60 @@ object AudioHeaders {
     * `nSamples` = nFrames × samples-per-frame — duration derives as
     * nSamples / sampleRate at the caller, the [[WavMeta]] discipline. */
   final case class Mp3Meta(version: String, bitrateKbps: Int,
-      sampleRate: Int, channels: Int, nFrames: Long, nSamples: Long)
+      sampleRate: Int, channels: Int, nFrames: Long, nSamples: Long,
+      layer: Int = 3)
 
-  // public ISO/IEC 11172-3 / 13818-3 tables, Layer III columns only
+  // public ISO/IEC 11172-3 / 13818-3 tables — all three layer columns
+  // (round 12; Layer III only before)
   private val Mp3BitrateV1 =
     Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
   private val Mp3BitrateV2 =
     Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+  private val Mp3BitrateV1L1 = Array(0, 32, 64, 96, 128, 160, 192, 224,
+    256, 288, 320, 352, 384, 416, 448, 0)
+  private val Mp3BitrateV1L2 = Array(0, 32, 48, 56, 64, 80, 96, 112,
+    128, 160, 192, 224, 256, 320, 384, 0)
+  private val Mp3BitrateV2L1 = Array(0, 32, 48, 56, 64, 80, 96, 112,
+    128, 144, 160, 176, 192, 224, 256, 0)
   private val Mp3RateV1 = Array(44100, 48000, 32000, 0)
 
-  /** MPEG Layer III sniff: skip one leading ID3v2 tag (syncsafe size),
-    * then walk the frame chain — 11-bit sync, version/layer bits,
-    * bitrate + sample-rate table lookups, frame length =
-    * (samples-per-frame / 8) · bitrate / rate + padding. STRICT and
+  private def mp3BitrateTable(isV1: Boolean, layer: Int): Array[Int] =
+    (isV1, layer) match {
+      case (true, 1) => Mp3BitrateV1L1
+      case (true, 2) => Mp3BitrateV1L2
+      case (true, _) => Mp3BitrateV1
+      case (false, 1) => Mp3BitrateV2L1
+      case (false, _) => Mp3BitrateV2 // V2/V2.5 share the L2/L3 column
+    }
+
+  /** Frame length in bytes: Layer I counts 4-byte slots
+    * ((12·br/rate + pad)·4), Layers II/III count bytes
+    * (spf/8 · br/rate + pad) with Layer III halving samples-per-frame
+    * on MPEG-2/2.5. Integer math matches the spec's truncation. */
+  private def mp3FrameLen(isV1: Boolean, layer: Int, kbps: Int,
+      rate: Int, padding: Int): Long = layer match {
+    case 1 => (12L * kbps * 1000L / rate + padding) * 4L
+    case 2 => 144L * kbps * 1000L / rate + padding
+    case _ => (if (isV1) 144L else 72L) * kbps * 1000L / rate + padding
+  }
+
+  /** Samples per frame: L1 384, L2 1152, L3 1152 (V1) / 576 (V2/2.5). */
+  private def mp3Spf(isV1: Boolean, layer: Int): Long = layer match {
+    case 1 => 384L
+    case 2 => 1152L
+    case _ => if (isV1) 1152L else 576L
+  }
+
+  /** MPEG audio sniff, ALL THREE LAYERS (round 12 — Layer III only
+    * before): skip one leading ID3v2 tag (syncsafe size), then walk
+    * the frame chain — 11-bit sync, version/layer bits, per-layer
+    * bitrate + sample-rate table lookups, per-layer frame length
+    * ([[mp3FrameLen]]: Layer I counts 4-byte slots). STRICT and
     * total: free-format (index 0) or reserved table entries, a
-    * mid-buffer sync loss, or a trailing partial frame all yield None
-    * — one corrupt blob must not kill a corpus-scale pass, and a
-    * "successful" parse never silently miscounts. Layer III only (the
-    * format the ask names); Layers I/II have different tables and
-    * return None. */
+    * mid-buffer sync loss, a mid-stream rate OR layer switch, or a
+    * trailing partial frame all yield None — one corrupt blob must
+    * not kill a corpus-scale pass, and a "successful" parse never
+    * silently miscounts. */
   def decodeMp3(b: Array[Byte]): Option[Mp3Meta] = {
     if (b == null || b.length < 4) return None
     var off = 0L
@@ -130,14 +165,15 @@ object AudioHeaders {
       } else {
       if ((b(o) & 0xff) != 0xff || (b(o + 1) & 0xe0) != 0xe0) return None
       val verBits = (b(o + 1) >> 3) & 0x3 // 0=V2.5, 2=V2, 3=V1
-      val layerBits = (b(o + 1) >> 1) & 0x3 // 1 = Layer III
-      if (verBits == 1 || layerBits != 1) return None
+      val layerBits = (b(o + 1) >> 1) & 0x3 // 3=L1, 2=L2, 1=L3
+      if (verBits == 1 || layerBits == 0) return None
+      val layer = 4 - layerBits
       val brIdx = (b(o + 2) >> 4) & 0xf
       val rateIdx = (b(o + 2) >> 2) & 0x3
       val padding = (b(o + 2) >> 1) & 0x1
       if (brIdx == 0 || brIdx == 15 || rateIdx == 3) return None
       val isV1 = verBits == 3
-      val kbps = (if (isV1) Mp3BitrateV1 else Mp3BitrateV2)(brIdx)
+      val kbps = mp3BitrateTable(isV1, layer)(brIdx)
       val rate = Mp3RateV1(rateIdx) / (verBits match {
         case 3 => 1; case 2 => 2; case _ => 4 // V2 halves, V2.5 quarters
       })
@@ -146,17 +182,18 @@ object AudioHeaders {
         val ver = verBits match {
           case 3 => "mpeg1"; case 2 => "mpeg2"; case _ => "mpeg2.5"
         }
-        first = Some(Mp3Meta(ver, kbps, rate, channels, 0L, 0L))
-      } else if (first.exists(m => m.sampleRate != rate)) {
-        return None // rate switch mid-stream: not one coherent file
+        first = Some(Mp3Meta(ver, kbps, rate, channels, 0L, 0L, layer))
+      } else if (first.exists(m =>
+          m.sampleRate != rate || m.layer != layer)) {
+        return None // rate/layer switch mid-stream: not one coherent file
       }
       nFrames += 1
-      off += (if (isV1) 144L else 72L) * kbps * 1000L / rate + padding
+      off += mp3FrameLen(isV1, layer, kbps, rate, padding)
       }
     }
     if (off != b.length) return None // trailing partial frame
     first.filter(_ => nFrames > 0).map { m =>
-      val spf = if (m.version == "mpeg1") 1152L else 576L
+      val spf = mp3Spf(m.version == "mpeg1", m.layer)
       m.copy(nFrames = nFrames, nSamples = nFrames * spf)
     }
   }
@@ -168,13 +205,16 @@ object AudioHeaders {
     * take). Stream length = 10 + |note| + nFrames·(144·kbps·1000/rate)
     * — the formula the oracle replays. */
   def encodeMp3(bitrateKbps: Int, sampleRate: Int, nFrames: Int,
-      channels: Int, note: Array[Byte]): Array[Byte] = {
-    val brIdx = Mp3BitrateV1.indexOf(bitrateKbps)
+      channels: Int, note: Array[Byte], layer: Int = 3): Array[Byte] = {
+    require(layer >= 1 && layer <= 3, "layer 1..3")
+    val brIdx = mp3BitrateTable(isV1 = true, layer).indexOf(bitrateKbps)
     val rateIdx = Mp3RateV1.indexOf(sampleRate)
-    require(brIdx >= 1 && brIdx <= 14, s"not a V1 L3 bitrate: $bitrateKbps")
+    require(brIdx >= 1 && brIdx <= 14,
+      s"not a V1 L$layer bitrate: $bitrateKbps")
     require(rateIdx >= 0 && rateIdx <= 2, s"not a V1 rate: $sampleRate")
     require(nFrames >= 1 && note.length < (1 << 28), "need >=1 frame")
-    val frameLen = (144L * bitrateKbps * 1000L / sampleRate).toInt
+    val frameLen = mp3FrameLen(isV1 = true, layer, bitrateKbps,
+      sampleRate, padding = 0).toInt
     val out = new ByteArrayOutputStream(10 + note.length +
       nFrames * frameLen)
     out.write('I'); out.write('D'); out.write('3')
@@ -183,7 +223,7 @@ object AudioHeaders {
     while (i >= 0) { out.write((note.length >> i) & 0x7f); i -= 7 }
     out.write(note, 0, note.length)
     val hdr = Array[Byte](0xff.toByte,
-      (0xe0 | (3 << 3) | (1 << 1) | 1).toByte, // V1, Layer III, no CRC
+      (0xe0 | (3 << 3) | ((4 - layer) << 1) | 1).toByte, // V1, no CRC
       (((brIdx << 4) | (rateIdx << 2)) & 0xff).toByte, // padding 0
       (if (channels == 1) 0xc0 else 0x00).toByte)
     var f = 0

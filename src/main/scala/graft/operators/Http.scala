@@ -15,7 +15,8 @@ import java.io.ByteArrayOutputStream
 object Http {
 
   final case class HttpResponse(status: Int,
-      headers: Map[String, String], body: Array[Byte])
+      headers: Map[String, String], body: Array[Byte],
+      trailers: Map[String, String] = Map.empty)
 
   private val Crlf = "\r\n"
 
@@ -37,24 +38,31 @@ object Http {
       else None
     }.toMap
     val raw = java.util.Arrays.copyOfRange(b, headerEnd + 4, b.length)
-    val body =
+    val (body, trailers) =
       if (headers.get("transfer-encoding").exists(
         _.toLowerCase.contains("chunked"))) dechunk(raw) match {
-        case Some(d) => d
+        case Some(dt) => dt
         case None => return None
       }
       else headers.get("content-length").flatMap(_.toLongOption) match {
         case Some(len) if len <= raw.length =>
-          java.util.Arrays.copyOfRange(raw, 0, len.toInt)
+          (java.util.Arrays.copyOfRange(raw, 0, len.toInt),
+            Map.empty[String, String])
         case Some(_) => return None // declares more than it carries
-        case None => raw // to end of record
+        case None => (raw, Map.empty[String, String]) // to end of record
       }
-    Some(HttpResponse(status, headers, body))
+    Some(HttpResponse(status, headers, body, trailers))
   }
 
   /** Chunked transfer decoding: hex-size line, chunk bytes, CRLF,
-    * repeated; a 0-size chunk ends the body (trailers ignored). */
-  private def dechunk(b: Array[Byte]): Option[Array[Byte]] = {
+    * repeated; a 0-size chunk ends the body, then the TRAILER section
+    * (RFC 9112 §7.1.2 — round 12; ignored before): zero or more field
+    * lines, then the empty line that must close the message exactly —
+    * trailing garbage after it is a torn payload, not a clean parse.
+    * Trailer names lowercase like headers (checksums/signatures a
+    * server computes while streaming land here). */
+  private def dechunk(b: Array[Byte]):
+      Option[(Array[Byte], Map[String, String])] = {
     val out = new ByteArrayOutputStream(b.length)
     var off = 0
     while (true) {
@@ -66,7 +74,24 @@ object Http {
       val size = try Integer.parseInt(sizeStr, 16)
       catch { case _: NumberFormatException => return None }
       if (size < 0) return None
-      if (size == 0) return Some(out.toByteArray)
+      if (size == 0) {
+        var toff = lineEnd + 2
+        val tr = Map.newBuilder[String, String]
+        while (true) {
+          val e = indexOfSeq(b, Crlf.getBytes, toff)
+          if (e < 0) return None
+          if (e == toff) { // empty line: end of the trailer section
+            if (e + 2 != b.length) return None
+            return Some((out.toByteArray, tr.result()))
+          }
+          val line = new String(b, toff, e - toff, "ISO-8859-1")
+          val colon = line.indexOf(':')
+          if (colon <= 0) return None // a non-field trailer line is torn
+          tr += (line.substring(0, colon).trim.toLowerCase ->
+            line.substring(colon + 1).trim)
+          toff = e + 2
+        }
+      }
       val dataStart = lineEnd + 2
       if (dataStart + size + 2 > b.length) return None
       out.write(b, dataStart, size)
@@ -106,14 +131,20 @@ object Http {
   }
 
   /** Fixture emitter: a byte-valid response; `chunked` splits the body
-    * into two chunks with a trailing zero chunk. */
+    * into two chunks with a trailing zero chunk; `trailers` (chunked
+    * only) emit after the zero chunk with a declaring Trailer header. */
   def encodeResponse(status: Int, contentTypeValue: String,
-      body: Array[Byte], chunked: Boolean): Array[Byte] = {
+      body: Array[Byte], chunked: Boolean,
+      trailers: Seq[(String, String)] = Nil): Array[Byte] = {
+    require(trailers.isEmpty || chunked, "trailers need chunked encoding")
     val sb = new StringBuilder
     sb.append("HTTP/1.1 ").append(status).append(" X").append(Crlf)
     sb.append("Content-Type: ").append(contentTypeValue).append(Crlf)
     if (chunked) sb.append("Transfer-Encoding: chunked").append(Crlf)
     else sb.append("Content-Length: ").append(body.length).append(Crlf)
+    if (trailers.nonEmpty)
+      sb.append("Trailer: ").append(trailers.map(_._1).mkString(", "))
+        .append(Crlf)
     sb.append(Crlf)
     val head = sb.toString.getBytes("ISO-8859-1")
     if (!chunked) head ++ body
@@ -130,6 +161,10 @@ object Http {
       if (half > 0) chunk(body, 0, half)
       if (body.length - half > 0) chunk(body, half, body.length - half)
       out.write('0'); out.write('\r'); out.write('\n')
+      trailers.foreach { case (k, v) =>
+        out.write(s"$k: $v".getBytes("ISO-8859-1"))
+        out.write('\r'); out.write('\n')
+      }
       out.write('\r'); out.write('\n')
       out.toByteArray
     }

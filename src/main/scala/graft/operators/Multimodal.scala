@@ -428,6 +428,68 @@ object Multimodal {
     // derivations and the exact stream length (12 RIFF + 8+4+len+pad
     // LIST incl. its 'INFO' list-type + 24 fmt + 8 data hdr
     // = 56 + len + len%2).
+    // MPEG audio across ALL THREE LAYERS (round 12 — q232's mp3 family
+    // covered Layer III only): per doc the layer cycles 1/2/3 with a
+    // layer-legal V1 bitrate, the rate cycles the V1 table, and the
+    // walk must apply the per-layer frame-length law (Layer I counts
+    // 4-byte SLOTS — a layer-blind walk desyncs immediately) and
+    // per-layer samples-per-frame. The oracle replays the layer/
+    // bitrate/frame-length/sample arithmetic and the exact stream
+    // length — one wrong table cell shifts n_bytes and mismatches.
+    QueryDef(
+      "q330_mp3_layer_walk",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val layer = (1 + id % 3).toInt
+            val kbps = layer match {
+              case 1 => 256; case 2 => 192; case _ => 128
+            }
+            val rate = ((id / 3) % 3) match {
+              case 0 => 44100; case 1 => 48000; case _ => 32000
+            }
+            val nf = (2 + id % 4).toInt
+            val blob = AudioHeaders.encodeMp3(kbps, rate, nf, 2,
+              text.getBytes("UTF-8"), layer)
+            AudioHeaders.decodeMp3(blob) match {
+              case Some(m) => (id, m.layer, m.sampleRate, m.bitrateKbps,
+                m.nFrames, m.nSamples, blob.length.toLong)
+              case None => (id, -1, -1, -1, -1L, -1L, -1L)
+            }
+          }
+          .toDF("doc_id", "layer", "sample_rate", "bitrate_kbps",
+            "n_frames", "n_samples", "n_bytes")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH m AS (
+          SELECT doc_id,
+                 CAST(1 + doc_id % 3 AS INT) AS layer,
+                 CASE doc_id % 3 WHEN 0 THEN 256 WHEN 1 THEN 192
+                      ELSE 128 END AS kbps,
+                 CASE (doc_id // 3) % 3 WHEN 0 THEN 44100
+                      WHEN 1 THEN 48000 ELSE 32000 END AS rate,
+                 2 + doc_id % 4 AS nf,
+                 octet_length(encode(text)) AS note_len
+          FROM documents)
+        SELECT doc_id,
+               layer,
+               CAST(rate AS INT) AS sample_rate,
+               CAST(kbps AS INT) AS bitrate_kbps,
+               CAST(nf AS BIGINT) AS n_frames,
+               CAST(nf * CASE layer WHEN 1 THEN 384 ELSE 1152 END
+                 AS BIGINT) AS n_samples,
+               CAST(10 + note_len + nf *
+                 CASE layer
+                   WHEN 1 THEN (12 * kbps * 1000 // rate) * 4
+                   ELSE 144 * kbps * 1000 // rate
+                 END AS BIGINT) AS n_bytes
+        FROM m
+        ORDER BY doc_id""")),
+
     QueryDef(
       "q232_wav_header_decode",
       (s, dir) => {
@@ -1041,6 +1103,58 @@ object Multimodal {
                     ELSE 'text/plain' END AS content_type,
                CASE WHEN doc_id % 3 = 0 THEN 'utf-8' END AS charset,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_body
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ----- HTTP trailers after chunked bodies (round 12) ---------------
+    // The streaming-server pattern the q252 parser previously dropped:
+    // a checksum computed WHILE streaming lands in the trailer section
+    // after the zero chunk (RFC 9112 §7.1.2). Every doc ships chunked
+    // with an x-digest (md5-of-body) and x-len trailer; the parser
+    // must walk past the zero chunk, surface both fields, and the
+    // digest must verify against the decoded body — proving body and
+    // trailer BOTH survived the chunk walk. The oracle replays md5/
+    // length from the documents table directly.
+    QueryDef(
+      "q331_http_trailers",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            val md = MessageDigest.getInstance("MD5")
+            it.map { case (id, text) =>
+              val body = text.getBytes("UTF-8")
+              md.reset()
+              val digest = md.digest(body).map("%02x".format(_)).mkString
+              val blob = Http.encodeResponse(200, "text/plain", body,
+                chunked = true,
+                trailers = Seq("x-digest" -> digest,
+                  "x-len" -> body.length.toString))
+              Http.parseResponse(blob) match {
+                case Some(r) =>
+                  md.reset()
+                  val got = md.digest(r.body).map("%02x".format(_)).mkString
+                  (id, r.status, r.body.length.toLong,
+                    r.trailers.getOrElse("x-digest", ""),
+                    r.trailers.get("x-digest").contains(got) &&
+                      r.trailers.get("x-len")
+                        .contains(r.body.length.toString))
+                case None => (id, -1, -1L, "", false)
+              }
+            }
+          }
+          .toDF("doc_id", "status", "n_body", "trailer_digest",
+            "digest_ok")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               200 AS status,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_body,
+               md5(text) AS trailer_digest,
+               TRUE AS digest_ok
         FROM documents
         ORDER BY doc_id""")),
 

@@ -106,6 +106,29 @@ class AudioHeadersSpec extends AnyFunSuite {
     assert(decodeMp3(rateSwitch).isEmpty)
   }
 
+  test("Layers I and II: per-layer tables, slot-quantized Layer I " +
+      "frame length, per-layer samples per frame") {
+    // Layer I: 384 samples/frame, frame = (12*br/rate)*4 slots
+    val l1 = encodeMp3(256, 32000, 4, 2, "n".getBytes, layer = 1)
+    assert(decodeMp3(l1).contains(
+      Mp3Meta("mpeg1", 256, 32000, 2, 4, 4 * 384L, 1)))
+    assert(l1.length == 10 + 1 + 4 * ((12 * 256000 / 32000) * 4))
+    // Layer II: 1152 samples/frame, frame = 144*br/rate
+    val l2 = encodeMp3(192, 44100, 3, 1, Array.emptyByteArray, layer = 2)
+    assert(decodeMp3(l2).contains(
+      Mp3Meta("mpeg1", 192, 44100, 1, 3, 3 * 1152L, 2)))
+    assert(l2.length == 10 + 3 * (144 * 192000 / 44100))
+    // a bitrate valid only in the other layer's column is rejected
+    intercept[IllegalArgumentException] {
+      encodeMp3(448, 44100, 1, 2, Array.emptyByteArray, layer = 3)
+    }
+    // a mid-stream layer switch is not one coherent file
+    val l3tail = encodeMp3(128, 32000, 1, 2, Array.emptyByteArray).drop(10)
+    val l1core = encodeMp3(256, 32000, 1, 2,
+      Array.emptyByteArray, layer = 1).drop(10)
+    assert(decodeMp3(l1core ++ l3tail).isEmpty)
+  }
+
   test("MP3 with the ubiquitous 128-byte ID3v1 'TAG' trailer decodes; " +
       "a 128-byte non-TAG tail is still a malformed partial frame") {
     val core = encodeMp3(128, 44100, 3, 2, "note".getBytes)

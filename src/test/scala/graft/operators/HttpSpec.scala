@@ -57,6 +57,33 @@ class HttpSpec extends AnyFunSuite {
     assert(parseResponse(null).isEmpty)
   }
 
+  test("trailers after the zero chunk parse, verify, and gate " +
+      "strictly (RFC 9112 trailer section)") {
+    val body = "streamed payload".getBytes("ISO-8859-1")
+    val blob = encodeResponse(200, "x/y", body, chunked = true,
+      trailers = Seq("X-Digest" -> "abc123", "x-len" -> "16"))
+    val r = parseResponse(blob).get
+    assert(r.body.sameElements(body))
+    assert(r.trailers == Map("x-digest" -> "abc123", "x-len" -> "16"))
+    // the declaring Trailer header is emitted
+    assert(r.headers.get("trailer").contains("X-Digest, x-len"))
+    // no trailers -> empty map, same walk
+    assert(parseResponse(encodeResponse(200, "x/y", body,
+      chunked = true)).exists(_.trailers.isEmpty))
+    // torn trailer sections are rejected: a non-field line, a missing
+    // final empty line, and garbage after the closing CRLF
+    val torn = Seq(
+      "HTTP/1.1 200 X\r\nTransfer-Encoding: chunked\r\n\r\n" +
+        "4\r\nabcd\r\n0\r\nnotafield\r\n\r\n",
+      "HTTP/1.1 200 X\r\nTransfer-Encoding: chunked\r\n\r\n" +
+        "4\r\nabcd\r\n0\r\nx: 1\r\n",
+      "HTTP/1.1 200 X\r\nTransfer-Encoding: chunked\r\n\r\n" +
+        "4\r\nabcd\r\n0\r\n\r\ngarbage")
+    torn.foreach(t =>
+      assert(parseResponse(t.getBytes("ISO-8859-1")).isEmpty,
+        s"expected None for: $t"))
+  }
+
   test("content-type and charset parameter parsing") {
     assert(contentType("text/HTML; charset=UTF-8").contains("text/html"))
     assert(charsetParam("text/html; charset=UTF-8").contains("utf-8"))
