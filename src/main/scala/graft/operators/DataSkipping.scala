@@ -86,7 +86,8 @@ object DataSkipping {
         r => (0 to 4).forall(i => !r.isNullAt(i)) &&
           r.getLong(2) >= loA && r.getLong(1) <= hiA &&
           r.getLong(4) >= loB && r.getLong(3) <= hiB,
-        col("mxa") >= loA && col("mna") <= hiA &&
+        col("fg").isNotNull &&
+          col("mxa") >= loA && col("mna") <= hiA &&
           col("mxb") >= loB && col("mnb") <= hiB,
         _.getLong(0))
     val rows =
@@ -117,13 +118,17 @@ object DataSkipping {
       driverPred: org.apache.spark.sql.Row => Boolean,
       sqlPred: org.apache.spark.sql.Column,
       key: org.apache.spark.sql.Row => K): (Array[K], Long) = {
-    val total = proj.count()
-    if (total <= collectThreshold) {
-      val picked = proj.collect()
-      (picked.filter(driverPred).map(key).sorted, total)
+    // probe with limit(threshold+1) so the common small-manifest case
+    // stays ONE job (the pre-round-12 cost); only an overflowing probe
+    // pays the count + distributed-filter pair
+    val cap = math.min(collectThreshold, Int.MaxValue - 1L).toInt
+    val probe = proj.limit(cap + 1).collect()
+    if (probe.length <= cap) {
+      (probe.filter(driverPred).map(key).sorted, probe.length.toLong)
     } else {
       // distributed prune: the filter runs on executors; only the
       // selected entries ever reach the driver
+      val total = proj.count()
       (proj.filter(sqlPred).collect().map(key).sorted, total)
     }
   }

@@ -68,7 +68,10 @@ object HtmlExtract {
     }
     def append(c: Char): Unit = {
       sb.append(c)
-      if (!c.isWhitespace) {
+      // literal U+00A0 gets the same not-visible rule as the &nbsp;
+      // entity path — a page must gate identically whether it wrote
+      // the entity or the raw byte
+      if (!c.isWhitespace && c != '\u00a0') {
         nChars += 1
         if (linkDepth > 0) nLink += 1
       }

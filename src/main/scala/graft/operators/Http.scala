@@ -57,8 +57,11 @@ object Http {
   /** Chunked transfer decoding: hex-size line, chunk bytes, CRLF,
     * repeated; a 0-size chunk ends the body, then the TRAILER section
     * (RFC 9112 §7.1.2 — round 12; ignored before): zero or more field
-    * lines, then the empty line that must close the message exactly —
-    * trailing garbage after it is a torn payload, not a clean parse.
+    * lines, then the closing empty line. Bytes AFTER the closing line
+    * are tolerated and ignored (real captures carry stray padding —
+    * the pre-trailer parser's tolerance, kept: a verified body must
+    * not be discarded over record-boundary slop); a NON-FIELD line
+    * inside the section, or a section that never closes, is torn.
     * Trailer names lowercase like headers (checksums/signatures a
     * server computes while streaming land here). */
   private def dechunk(b: Array[Byte]):
@@ -80,10 +83,8 @@ object Http {
         while (true) {
           val e = indexOfSeq(b, Crlf.getBytes, toff)
           if (e < 0) return None
-          if (e == toff) { // empty line: end of the trailer section
-            if (e + 2 != b.length) return None
+          if (e == toff) // empty line: end of the trailer section
             return Some((out.toByteArray, tr.result()))
-          }
           val line = new String(b, toff, e - toff, "ISO-8859-1")
           val colon = line.indexOf(':')
           if (colon <= 0) return None // a non-field trailer line is torn

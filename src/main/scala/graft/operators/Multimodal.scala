@@ -39,11 +39,12 @@ object Multimodal {
     * the content checksum on so [[ZstdCodec]]'s XXH64 verify is in the
     * oracle-gated path. Fixture-side only; the DECODE under test is
     * the pure-JVM [[ZstdCodec]]. */
-  private[operators] def zstdJni(data: Array[Byte], level: Int): Array[Byte] = {
+  private[operators] def zstdJni(data: Array[Byte], level: Int,
+      checksum: Boolean = true): Array[Byte] = {
     val ctx = new com.github.luben.zstd.ZstdCompressCtx()
     try {
       ctx.setLevel(level)
-      ctx.setChecksum(true)
+      ctx.setChecksum(checksum)
       ctx.compress(data)
     } finally ctx.close()
   }
@@ -1475,19 +1476,31 @@ object Multimodal {
                   graft.operators.Archive.TarEntry("b.json", "{}".getBytes, 2L))),
                   level = 3)
             }
-            val (outer, d0) = sniffContent(blob)
-            val (inner, detail) =
-              if (outer == "gzip")
+            // container outers decode ONCE (magic-gated), then the
+            // payload re-dispatches — routing through sniffContent
+            // first would decode the zstd frame twice (its zstd branch
+            // fully decodes for the detail)
+            def magic(m: Int*): Boolean = blob.length >= m.length &&
+              m.zipWithIndex.forall { case (v, i) => (blob(i) & 0xff) == v }
+            val (outer, inner, detail) =
+              if (magic(0x1f, 0x8b))
                 Compression.gunzip(blob) match {
-                  case Some(payload) => sniffContent(payload)
-                  case None => ("corrupt", None)
+                  case Some(payload) =>
+                    val (f, dd) = sniffContent(payload)
+                    ("gzip", f, dd)
+                  case None => ("gzip", "corrupt", None)
                 }
-              else if (outer == "zstd")
+              else if (magic(0x28, 0xb5, 0x2f, 0xfd))
                 ZstdCodec.zstdDecompress(blob) match {
-                  case Some(payload) => sniffContent(payload)
-                  case None => ("corrupt", None)
+                  case Some(payload) =>
+                    val (f, dd) = sniffContent(payload)
+                    ("zstd", f, dd)
+                  case None => ("zstd", "corrupt", None)
                 }
-              else (outer, d0)
+              else {
+                val (f, dd) = sniffContent(blob)
+                (f, f, dd)
+              }
             (id, outer, inner, detail.getOrElse(-1L))
           }
           .toDF("doc_id", "outer_format", "inner_format", "detail")

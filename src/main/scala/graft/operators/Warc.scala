@@ -106,8 +106,10 @@ object Warc {
     * dropped).
     *
     * 100 TB shape: one hash-shuffle join keyed on record-id. The
-    * originals side is filtered to non-revisit records before the
-    * join (only they can provide payloads), the revisit side is ~15%
+    * originals side is filtered to non-revisit records and reduced to
+    * ONE provider per record-id (min-doc_id survivorship — duplicate
+    * ids are a real concatenated-dump artifact) before the join, the
+    * revisit side is ~15%
     * of the corpus (Common Crawl's measured revisit mass), and both
     * sides shuffle ONCE on the join key — no broadcast (originals are
     * corpus-scale), no driver-side state. Revisits referencing other
@@ -115,14 +117,21 @@ object Warc {
     * of which .warc.zst member either record came from. */
   def resolveRevisits(records: org.apache.spark.sql.DataFrame):
       org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, min, struct}
     val originals = records.filter(col("warc_type") =!= "revisit")
     val revisits = records.filter(col("warc_type") === "revisit")
-    val src = originals.select(
-      col("record_id").as("src_record_id"),
-      col("payload_len").as("src_payload_len"),
-      col("payload_md5").as("src_payload_md5"),
-      col("doc_id").as("src_doc_id"))
+    // real concatenated dumps carry DUPLICATE record-ids (a re-crawled
+    // segment merged twice) — pin one provider per id (min doc_id
+    // survivorship, the CDC last-op-per-key pattern) or every revisit
+    // referencing a duplicated id fans out into multiple rows
+    val src = originals
+      .groupBy(col("record_id").as("src_record_id"))
+      .agg(min(struct(col("doc_id"), col("payload_len"),
+        col("payload_md5"))).as("s"))
+      .select(col("src_record_id"),
+        col("s.payload_len").as("src_payload_len"),
+        col("s.payload_md5").as("src_payload_md5"),
+        col("s.doc_id").as("src_doc_id"))
     val resolved = revisits
       .join(src, revisits("refers_to") === src("src_record_id"), "left")
       .select(revisits("doc_id"), revisits("warc_type"),

@@ -203,6 +203,24 @@ object StreamingQueries {
         s.read.parquet(path).coalesce(1)
           .write.mode("append").parquet(d.toString)
       else stageParquet(path, d)
+      // pin the processing order EXPLICITLY: the file source orders by
+      // modification time, and on coarse-mtime filesystems (1 s
+      // granularity) the data write and the sentinel writes can tie —
+      // a sentinel processed first advances the watermark past every
+      // real row. Stamp each staging stage with its own second.
+      val t0 = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000L)
+      def stampNew(t: java.nio.file.attribute.FileTime,
+          seen: Set[java.nio.file.Path]): Set[java.nio.file.Path] = {
+        val ls = Files.list(d)
+        val all = try {
+          import scala.jdk.CollectionConverters._
+          ls.iterator().asScala.toSet
+        } finally ls.close()
+        (all -- seen).foreach(f => Files.setLastModifiedTime(f, t))
+        all
+      }
+      var stamped = stampNew(t0, Set.empty)
       val base = s.read.parquet(path)
       val isLongTs =
         base.schema("ts").dataType == org.apache.spark.sql.types.LongType
@@ -217,9 +235,14 @@ object StreamingQueries {
           .withColumn("event_type", lit("flush"))
           .select(base.columns.map(col): _*)
       }
-      // two separate write jobs -> two files -> two micro-batches
+      // two separate write jobs -> two files -> two micro-batches,
+      // each stamped one second after the previous stage
       sentinel(30, -1L).coalesce(1).write.mode("append").parquet(d.toString)
+      stamped = stampNew(java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 40000L), stamped)
       sentinel(60, -2L).coalesce(1).write.mode("append").parquet(d.toString)
+      stampNew(java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 20000L), stamped)
       d.toString
     })
     val schema = s.read.parquet(path).schema

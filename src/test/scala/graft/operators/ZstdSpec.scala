@@ -4,7 +4,7 @@ import java.util.Base64
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import com.github.luben.zstd.{Zstd, ZstdCompressCtx}
+import com.github.luben.zstd.Zstd
 
 /** The zstd decoder refereed by TWO independent real implementations:
   *
@@ -26,15 +26,12 @@ class ZstdSpec extends AnyFunSuite {
   private def b64(s: String): Array[Byte] =
     Base64.getDecoder.decode(s.replaceAll("\\s", ""))
 
+  // the SAME reference-compressor invocation the query fixtures use —
+  // one copy, so the spec's frames cannot drift from the oracle-gated
+  // path's frames
   private def jniCompress(data: Array[Byte], level: Int,
-      checksum: Boolean = true): Array[Byte] = {
-    val ctx = new ZstdCompressCtx()
-    try {
-      ctx.setLevel(level)
-      ctx.setChecksum(checksum)
-      ctx.compress(data)
-    } finally ctx.close()
-  }
+      checksum: Boolean = true): Array[Byte] =
+    Multimodal.zstdJni(data, level, checksum)
 
   // ---------------- golden CLI frames (zstd v1.5.7, --content-size) ----
 
