@@ -86,6 +86,47 @@ object Relational {
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus""")),
 
+    // q01's money columns past the integer-unit overflow ceiling: the
+    // micro-unit Long sums certify to ~sf30 (SCALING.md round-12); the
+    // arbitrary-scale path sums DECIMAL(38) — exact at any row count
+    // in BOTH engines (Spark decimal sum / DuckDB HUGEINT-backed),
+    // summation order irrelevant by construction. Per-row cast
+    // double→DECIMAL(38,6) is deterministic (2dp/6dp-exact inputs sit
+    // ~1e-9 from the grid); the final double cast is one division.
+    QueryDef(
+      "q332_pricing_summary_decimal",
+      (s, dir) => {
+        import s.implicits._
+        val d6 = (c: org.apache.spark.sql.Column) =>
+          c.cast("decimal(38,6)")
+        t(s, dir, "lineitem")
+          .filter($"l_shipdate" <= lit("2000-12-01").cast("timestamp"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            round(sum(d6($"l_extendedprice")).cast("double"), 4)
+              .as("sum_base_price"),
+            round(sum(d6($"l_extendedprice" * (lit(1) - $"l_discount")))
+              .cast("double"), 4).as("sum_disc_price"),
+            round(sum(d6($"l_extendedprice" * (lit(1) - $"l_discount")
+              * (lit(1) + $"l_tax"))).cast("double"), 4).as("sum_charge"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)))
+                 AS DOUBLE), 4) AS sum_base_price,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_disc_price,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE), 4)
+                 AS sum_charge,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
     // ----- projection + filter: predicate algebra over one scan --------
     // Catalyst pushes the whole conjunction into the parquet reader
     // (PushedFilters) and reads only 5 of 11 columns (ReadSchema).
