@@ -1061,6 +1061,82 @@ object Multimodal {
                              ELSE d.doc_id END
         ORDER BY d.doc_id""")),
 
+    // ----- .warc.zst WITH a trained dictionary (round 12, closing the
+    // no-dict trade-off): real Common Crawl .warc.zst compresses its
+    // small per-record frames against a SHARED dictionary carried in
+    // the file's leading skippable frame — without it every record
+    // pays full entropy-table startup. Here a REAL ZDICT dictionary
+    // (zstd-jni trainer, driver-side over a bounded doc sample,
+    // broadcast) compresses every record frame; the decoder must parse
+    // the dict (magic, id, Huffman + three FSE tables, repcodes,
+    // content), preload frame state from it, window-prefix the
+    // content, and match the declared dictionary id per frame. The
+    // oracle is q250's — any dict-handling slip corrupts payloads
+    // corpus-wide.
+    QueryDef(
+      "q333_warc_zst_dict",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+        // bounded, deterministic training sample (first 1000 by id)
+        val sample = docs.orderBy($"doc_id").limit(1000)
+          .as[(Long, String)].collect().map(_._2.getBytes("UTF-8"))
+        val trainer = new com.github.luben.zstd.ZstdDictTrainer(
+          sample.map(_.length).sum + 1024, 4096)
+        sample.foreach(trainer.addSample)
+        val dictBytes = trainer.trainSamples()
+        val bc = s.sparkContext.broadcast(dictBytes)
+        val recs = docs
+          .as[(Long, String)]
+          .groupByKey { case (id, _) => id / 4 }
+          .flatMapGroups { (group, it) =>
+            val dict = bc.value
+            val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+            val frames = try {
+              ctx.setLevel(3)
+              ctx.setChecksum(true)
+              ctx.loadDict(dict)
+              it.toSeq.sortBy(_._1).map { case (id, text) =>
+                ctx.compress(Warc.encodeRecord(
+                  warcType = (id % 3) match {
+                    case 0 => "response"; case 1 => "request"
+                    case _ => "metadata"
+                  },
+                  targetUri = if (id % 3 == 2) None
+                    else Some(s"https://host${id % 7}.example/p/$id"),
+                  recordId = s"<urn:uuid:$id>",
+                  payload = text.getBytes("UTF-8")))
+              }
+            } finally ctx.close()
+            val blob = ZstdCodec.zstdSkippableFrame(dict) ++
+              frames.foldLeft(Array.emptyByteArray)(_ ++ _)
+            // the consumer side: dict OUT OF THE BLOB, then the walk
+            val parsedDict = ZstdCodec.dictFromSkippable(blob)
+            ZstdCodec.zstdFrames(blob, parsedDict).zipWithIndex.flatMap {
+              case (member, mi) =>
+                Warc.parse(member).map { r =>
+                  (group * 4 + mi, r.warcType, r.targetUri, r.recordId,
+                    r.contentLength)
+                }
+            }
+          }
+        recs.toDF("doc_id", "warc_type", "target_uri", "record_id",
+            "content_length")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'response' WHEN 1 THEN 'request'
+                    ELSE 'metadata' END AS warc_type,
+               CASE WHEN doc_id % 3 = 2 THEN NULL
+                    ELSE 'https://host' || (doc_id % 7) || '.example/p/'
+                         || doc_id END AS target_uri,
+               '<urn:uuid:' || doc_id || '>' AS record_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS content_length
+        FROM documents
+        ORDER BY doc_id""")),
+
     // ----- HTTP response parse: status / headers / chunked bodies ------
     // The layer between a WARC response payload and the HTML the text
     // family wants. Odd docs ship their body CHUNKED (hex-size lines

@@ -150,8 +150,8 @@ object ZstdCodec {
   // FSE (RFC 8878 §4.1): normalized-count reader, decode-table builder.
   // ------------------------------------------------------------------
 
-  private final case class FseTable(sym: Array[Int], nb: Array[Int],
-      base: Array[Int], al: Int)
+  private[operators] final case class FseTable(sym: Array[Int],
+      nb: Array[Int], base: Array[Int], al: Int)
 
   /** Read an FSE table description (forward bitstream): 4-bit
     * Accuracy_Log-5, then the shrinking-threshold normalized counts
@@ -290,8 +290,8 @@ object ZstdCodec {
   // Huffman (RFC 8878 §4.2): weight readers + canonical decode table.
   // ------------------------------------------------------------------
 
-  private final case class HufTable(sym: Array[Int], nb: Array[Int],
-      maxBits: Int)
+  private[operators] final case class HufTable(sym: Array[Int],
+      nb: Array[Int], maxBits: Int)
 
   /** Huffman tree description at `off`: headerByte >= 128 → direct
     * 4-bit weights; < 128 → FSE-compressed weights (two interleaved
@@ -413,25 +413,36 @@ object ZstdCodec {
 
   /** Entropy state carried ACROSS blocks within one frame: the last
     * Huffman table (treeless literals) and the last LL/OF/ML tables
-    * (Repeat sequence mode). */
-  private final class FrameState {
-    var huf: HufTable = null
-    var ll: FseTable = null
-    var of: FseTable = null
-    var ml: FseTable = null
-    val rep: Array[Long] = Array(1L, 4L, 8L)
+    * (Repeat sequence mode). A structured DICTIONARY preloads all
+    * four plus the repeat-offset history (RFC 8878 §5), which is what
+    * makes treeless/Repeat modes legal in a frame's FIRST block. */
+  private final class FrameState(dict: Option[ZstdDict]) {
+    var huf: HufTable = dict.map(_.huf).orNull
+    var ll: FseTable = dict.map(_.ll).orNull
+    var of: FseTable = dict.map(_.of).orNull
+    var ml: FseTable = dict.map(_.ml).orNull
+    val rep: Array[Long] =
+      dict.map(_.rep.clone()).getOrElse(Array(1L, 4L, 8L))
   }
 
-  /** Growable output with random access (sequence matches read back). */
-  private final class Out(hint: Int) {
-    var buf = new Array[Byte](math.max(64, math.min(hint, MaxFrameOut)))
+  /** Growable output with random access (sequence matches read back).
+    * `base` bytes of dictionary CONTENT preload the buffer so matches
+    * reach into them naturally; the frame's produced output is
+    * [base, len) and the size cap counts produced bytes only. */
+  private final class Out(hint: Int, prefix: Array[Byte]) {
+    val base: Int = if (prefix == null) 0 else prefix.length
+    var buf = new Array[Byte](math.max(math.max(64, base + 64),
+      math.min(base + hint, base + MaxFrameOut)))
     var len = 0
+    if (base > 0) { System.arraycopy(prefix, 0, buf, 0, base); len = base }
+    def produced: Int = len - base
     private def ensure(extra: Int): Unit = {
-      if (len + extra > MaxFrameOut) fail()
+      if (len + extra - base > MaxFrameOut) fail()
       if (len + extra > buf.length) {
         var cap = buf.length * 2
         while (cap < len + extra) cap *= 2
-        buf = java.util.Arrays.copyOf(buf, math.min(cap, MaxFrameOut))
+        buf = java.util.Arrays.copyOf(buf,
+          math.min(cap, base + MaxFrameOut))
       }
     }
     def append(src: Array[Byte], off: Int, n: Int): Unit = {
@@ -449,7 +460,7 @@ object ZstdCodec {
       while (k < n) { buf(len + k) = buf(src + k); k += 1 }
       len += n
     }
-    def result: Array[Byte] = java.util.Arrays.copyOf(buf, len)
+    def result: Array[Byte] = java.util.Arrays.copyOfRange(buf, base, len)
   }
 
   /** Literals section of a compressed block: returns (literals,
@@ -666,8 +677,8 @@ object ZstdCodec {
   /** Frame-header fields plus the offset where blocks start. Reuses
     * the q254 sniff's field semantics (Compression.decodeZstdHeader)
     * but reports the header length, which the sniff never needed. */
-  private def parseFrameHeader(b: Array[Byte], off0: Int):
-      (Compression.ZstdMeta, Int) = {
+  private def parseFrameHeader(b: Array[Byte], off0: Int,
+      allowDictId: Boolean = false): (Compression.ZstdMeta, Int) = {
     if (off0 + 6 > b.length) fail()
     if ((b(off0) & 0xff) != 0x28 || (b(off0 + 1) & 0xff) != 0xb5 ||
       (b(off0 + 2) & 0xff) != 0x2f || (b(off0 + 3) & 0xff) != 0xfd) fail()
@@ -694,7 +705,9 @@ object ZstdCodec {
     while (i < didLen) {
       dictId |= (b(off + i) & 0xffL) << (8 * i); i += 1
     }
-    if (dictId != 0) fail() // no-dict decoder: dictionary frames → None
+    // a declared dictionary id is only decodable when the caller
+    // supplied a structured dictionary (the id match happens there)
+    if (dictId != 0 && !allowDictId) fail()
     off += didLen
     val fcsLen = fcsFlag match {
       case 0 => if (singleSegment) 1 else 0
@@ -717,9 +730,12 @@ object ZstdCodec {
   /** Decode ONE frame starting at `off`: the verified content and the
     * offset just past the frame. Skippable frames (magic 184D2A5x)
     * yield empty content and hop their declared length. None on any
-    * structural error, overrun, or checksum mismatch. */
-  def decodeFrameAt(b: Array[Byte], off0: Int):
-      Option[(Array[Byte], Int)] = {
+    * structural error, overrun, or checksum mismatch. A provided
+    * `dict` preloads entropy tables, repeat offsets, and the content
+    * window (RFC 8878 §5); a frame DECLARING a dictionary id requires
+    * a structured dict with that id. */
+  def decodeFrameAt(b: Array[Byte], off0: Int,
+      dict: Option[ZstdDict] = None): Option[(Array[Byte], Int)] = {
     if (b == null || off0 < 0 || off0 + 8 > b.length) return None
     try {
       val magic = (b(off0) & 0xffL) | ((b(off0 + 1) & 0xffL) << 8) |
@@ -732,12 +748,16 @@ object ZstdCodec {
         if (next > b.length) return None
         return Some((Array.emptyByteArray, next.toInt))
       }
-      val (meta, blocksOff) = parseFrameHeader(b, off0)
+      val (meta, blocksOff) = parseFrameHeader(b, off0,
+        allowDictId = dict.exists(_.structured))
+      if (meta.dictId != 0 &&
+        !dict.exists(d => d.structured && d.dictId == meta.dictId)) fail()
       meta.contentSize.foreach(cs => if (cs > MaxFrameOut) fail())
       val blockCap = math.min(
         meta.windowSize.getOrElse(BlockMax.toLong), BlockMax.toLong).toInt
-      val st = new FrameState
-      val out = new Out(meta.contentSize.map(_.toInt).getOrElse(8192))
+      val st = new FrameState(dict.filter(_.structured))
+      val out = new Out(meta.contentSize.map(_.toInt).getOrElse(8192),
+        dict.map(_.content).orNull)
       var off = blocksOff
       var last = false
       while (!last) {
@@ -766,12 +786,12 @@ object ZstdCodec {
           case _ => fail() // reserved block type
         }
       }
-      meta.contentSize.foreach(cs => if (cs != out.len.toLong) fail())
+      meta.contentSize.foreach(cs => if (cs != out.produced.toLong) fail())
       if (meta.checksum) {
         if (off + 4 > b.length) fail()
         val want = (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
           ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
-        val got = xxh64(out.buf, 0, out.len) & 0xffffffffL
+        val got = xxh64(out.buf, out.base, out.produced) & 0xffffffffL
         if (want != got) fail()
         off += 4
       }
@@ -783,6 +803,84 @@ object ZstdCodec {
     }
   }
 
+  /** Parsed zstd dictionary — opaque wrapper over the preloaded
+    * entropy tables, repeat offsets, and content window. `structured`
+    * dicts carry the 0xEC30A437 magic + tables; raw-content dicts are
+    * window-prefix only (both are real zstd semantics). */
+  final class ZstdDict private[ZstdCodec] (
+      val dictId: Long,
+      val structured: Boolean,
+      private[operators] val huf: HufTable,
+      private[operators] val ll: FseTable,
+      private[operators] val of: FseTable,
+      private[operators] val ml: FseTable,
+      private[operators] val rep: Array[Long],
+      private[operators] val content: Array[Byte])
+
+  /** Parse a dictionary blob (RFC 8878 §5): magic 0xEC30A437 LE +
+    * dictionary id + entropy tables (Huffman for literals, then FSE
+    * for Offsets, Match_Lengths, Literals_Lengths) + three u32
+    * repeat offsets + content. A blob WITHOUT the magic is a
+    * raw-content dictionary (window prefix only). None only for a
+    * structurally torn STRUCTURED dict. */
+  def parseDict(b: Array[Byte]): Option[ZstdDict] = {
+    if (b == null || b.length == 0) return None
+    val magic = if (b.length >= 4)
+      (b(0) & 0xffL) | ((b(1) & 0xffL) << 8) |
+        ((b(2) & 0xffL) << 16) | ((b(3) & 0xffL) << 24)
+    else 0L
+    if (magic != 0xec30a437L)
+      return Some(new ZstdDict(0L, false, null, null, null, null,
+        Array(1L, 4L, 8L), b.clone()))
+    try {
+      if (b.length < 8) fail()
+      var dictId = 0L
+      var i = 0
+      while (i < 4) { dictId |= (b(4 + i) & 0xffL) << (8 * i); i += 1 }
+      var off = 8
+      val (huf, hufLen) = readHuffman(b, off, b.length)
+      off += hufLen
+      def fse(maxAl: Int, maxSym: Int): FseTable = {
+        val f = new FwdBits(b, off, b.length)
+        val (counts, al) = readNCount(f, maxAl, maxSym)
+        off += f.byteLen
+        if (off > b.length) fail()
+        buildFse(counts, al)
+      }
+      val of = fse(8, 31)
+      val ml = fse(9, 52)
+      val ll = fse(9, 35)
+      if (off + 12 > b.length) fail()
+      val rep = new Array[Long](3)
+      var r = 0
+      while (r < 3) {
+        var v = 0L
+        var k = 0
+        while (k < 4) { v |= (b(off + k) & 0xffL) << (8 * k); k += 1 }
+        if (v == 0) fail() // a zero repeat offset can never be used
+        rep(r) = v; off += 4; r += 1
+      }
+      val content = java.util.Arrays.copyOfRange(b, off, b.length)
+      Some(new ZstdDict(dictId, true, huf, ll, of, ml, rep, content))
+    } catch {
+      case _: Corrupt => None
+      case _: IndexOutOfBoundsException => None
+    }
+  }
+
+  /** The .warc.zst convention: the file's FIRST frame is a skippable
+    * frame carrying the dictionary the remaining frames were
+    * compressed with. Returns the parsed dict when frame 0 is
+    * skippable and parses; None otherwise. */
+  def dictFromSkippable(b: Array[Byte]): Option[ZstdDict] = {
+    if (b == null || b.length < 8 || !isSkippable(b, 0)) return None
+    var sz = 0L
+    var i = 0
+    while (i < 4) { sz |= (b(4 + i) & 0xffL) << (8 * i); i += 1 }
+    if (8 + sz > b.length) return None
+    parseDict(java.util.Arrays.copyOfRange(b, 8, (8 + sz).toInt))
+  }
+
   /** REAL single-payload decode: exactly one frame spanning the whole
     * buffer (trailing garbage = not one clean frame). */
   def zstdDecompress(b: Array[Byte]): Option[Array[Byte]] =
@@ -790,18 +888,33 @@ object ZstdCodec {
       case (data, next) if next == b.length => data
     }
 
+  /** Dictionary-assisted single-payload decode. */
+  def zstdDecompress(b: Array[Byte],
+      dict: Option[ZstdDict]): Option[Array[Byte]] =
+    decodeFrameAt(b, 0, dict).collect {
+      case (data, next) if next == b.length => data
+    }
+
   /** Decode a CONCATENATION of zstd frames — the .warc.zst layout
     * (one frame per record, frames back to back, skippable frames
     * hopped). Each frame independently verified; a torn tail ends the
     * walk with the good prefix. Skippable frames contribute nothing. */
-  def zstdFrames(b: Array[Byte]): Vector[Array[Byte]] = {
+  def zstdFrames(b: Array[Byte]): Vector[Array[Byte]] =
+    zstdFrames(b, None)
+
+  /** Frame walk with a dictionary applied to every content frame —
+    * pass [[dictFromSkippable]]'s result for the .warc.zst layout
+    * (the dict-carrying skippable frame itself is hopped like any
+    * other skippable). */
+  def zstdFrames(b: Array[Byte],
+      dict: Option[ZstdDict]): Vector[Array[Byte]] = {
     if (b == null) return Vector.empty
     val out = Vector.newBuilder[Array[Byte]]
     var off = 0
     var ok = true
     while (ok && off < b.length) {
       val skippable = isSkippable(b, off)
-      decodeFrameAt(b, off) match {
+      decodeFrameAt(b, off, dict) match {
         case Some((data, next)) if next > off =>
           if (!skippable) out += data
           off = next

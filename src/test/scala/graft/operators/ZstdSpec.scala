@@ -185,6 +185,72 @@ class ZstdSpec extends AnyFunSuite {
     assert(ZstdCodec.zstdDecompress(framed).isEmpty)
   }
 
+  test("structured dictionary (real ZDICT output): parse, preload, " +
+      "window prefix, id match — round trip through this decoder") {
+    // train a REAL dictionary over repetitive samples
+    val samples = (0 until 64).map(i =>
+      bytesOf(s"record $i: the quick brown fox jumps over host$i " * 6))
+    val trainer = new com.github.luben.zstd.ZstdDictTrainer(
+      samples.map(_.length).sum + 1024, 2048)
+    samples.foreach(trainer.addSample)
+    val dictBytes = trainer.trainSamples()
+    val dict = ZstdCodec.parseDict(dictBytes)
+    assert(dict.exists(d => d.structured && d.dictId != 0L))
+    val data = bytesOf(
+      "record 99: the quick brown fox jumps over host99 " * 4)
+    val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+    val frame = try {
+      ctx.setLevel(3); ctx.setChecksum(true); ctx.loadDict(dictBytes)
+      ctx.compress(data)
+    } finally ctx.close()
+    // the frame declares the dict id: decoding WITHOUT the dict fails,
+    // with the WRONG dict fails, with the right one round-trips
+    assert(ZstdCodec.zstdDecompress(frame).isEmpty)
+    assert(ZstdCodec.zstdDecompress(frame, dict).exists(
+      java.util.Arrays.equals(_, data)))
+    val otherTrainer = new com.github.luben.zstd.ZstdDictTrainer(
+      samples.map(_.length).sum + 1024, 2048)
+    samples.reverse.zipWithIndex.foreach { case (x, i) =>
+      otherTrainer.addSample(bytesOf(s"DIFFERENT $i ") ++ x)
+    }
+    val other = ZstdCodec.parseDict(otherTrainer.trainSamples())
+    if (other.exists(_.dictId != dict.get.dictId))
+      assert(ZstdCodec.zstdDecompress(frame, other).isEmpty)
+  }
+
+  test("raw-content dictionary: window-prefix matches resolve") {
+    val dictBytes = bytesOf("shared prefix material " * 40)
+    val dict = ZstdCodec.parseDict(dictBytes)
+    assert(dict.exists(d => !d.structured && d.dictId == 0L))
+    val data = bytesOf("shared prefix material " * 3 + "tail")
+    val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+    val frame = try {
+      ctx.setLevel(19); ctx.setChecksum(true); ctx.loadDict(dictBytes)
+      ctx.compress(data)
+    } finally ctx.close()
+    assert(ZstdCodec.zstdDecompress(frame, dict).exists(
+      java.util.Arrays.equals(_, data)))
+  }
+
+  test("dict-carrying skippable frame: extraction + dict-aware walk") {
+    val dictBytes = bytesOf("warc record boilerplate " * 30)
+    val parts = Seq(bytesOf("warc record boilerplate one"),
+      bytesOf("warc record boilerplate two two"))
+    val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+    val frames = try {
+      ctx.setLevel(3); ctx.setChecksum(true); ctx.loadDict(dictBytes)
+      parts.map(ctx.compress)
+    } finally ctx.close()
+    val blob = ZstdCodec.zstdSkippableFrame(dictBytes) ++
+      frames.foldLeft(Array.emptyByteArray)(_ ++ _)
+    val dict = ZstdCodec.dictFromSkippable(blob)
+    assert(dict.isDefined)
+    val decoded = ZstdCodec.zstdFrames(blob, dict)
+    assert(decoded.size == parts.size)
+    for ((d, pp) <- decoded.zip(parts))
+      assert(java.util.Arrays.equals(d, pp))
+  }
+
   test("xxh64 matches the published empty-input vector") {
     assert(ZstdCodec.xxh64(Array.emptyByteArray, 0, 0) ==
       0xef46db3751d8e999L)
