@@ -33,6 +33,21 @@ object Multimodal {
   /** Input record: opaque bytes + typed metadata. */
   final case class MediaRecord(doc_id: Long, media: Array[Byte], kind: String)
 
+  /** The ONE id→WARC-record fixture mapping q250/q251/q326/q333 share
+    * (type by id%3, host by id%7, urn:uuid record id) — their DuckDB
+    * oracles replay this arithmetic, so a single definition is what
+    * keeps four queries and four oracles in lockstep. */
+  private def warcFixtureRecord(id: Long, text: String): Array[Byte] =
+    Warc.encodeRecord(
+      warcType = (id % 3) match {
+        case 0 => "response"; case 1 => "request"
+        case _ => "metadata"
+      },
+      targetUri = if (id % 3 == 2) None
+        else Some(s"https://host${id % 7}.example/p/$id"),
+      recordId = s"<urn:uuid:$id>",
+      payload = text.getBytes("UTF-8"))
+
   /** Fixture emitter for the zstd family: REAL zstd frames from
     * zstd-jni (the reference C library already on every Spark
     * distribution's classpath — spark.io.compression.codec=zstd), with
@@ -805,15 +820,7 @@ object Multimodal {
           .groupByKey { case (id, _) => id / 4 }
           .flatMapGroups { (group, it) =>
             val blob = it.toSeq.sortBy(_._1).map { case (id, text) =>
-              Warc.encodeRecord(
-                warcType = (id % 3) match {
-                  case 0 => "response"; case 1 => "request"
-                  case _ => "metadata"
-                },
-                targetUri = if (id % 3 == 2) None
-                  else Some(s"https://host${id % 7}.example/p/$id"),
-                recordId = s"<urn:uuid:$id>",
-                payload = text.getBytes("UTF-8"))
+              warcFixtureRecord(id, text)
             }.reduce(_ ++ _)
             Warc.parse(blob).map { r =>
               (group * 4 + r.recordIdx, r.warcType, r.targetUri,
@@ -854,16 +861,7 @@ object Multimodal {
           .groupByKey { case (id, _) => id / 4 }
           .flatMapGroups { (group, it) =>
             val blob = it.toSeq.sortBy(_._1).map { case (id, text) =>
-              Compression.encodeGzip(
-                Warc.encodeRecord(
-                  warcType = (id % 3) match {
-                    case 0 => "response"; case 1 => "request"
-                    case _ => "metadata"
-                  },
-                  targetUri = if (id % 3 == 2) None
-                    else Some(s"https://host${id % 7}.example/p/$id"),
-                  recordId = s"<urn:uuid:$id>",
-                  payload = text.getBytes("UTF-8")),
+              Compression.encodeGzip(warcFixtureRecord(id, text),
                 mtime = 0L, fname = None, fcomment = None)
             }.reduce(_ ++ _)
             Compression.gunzipMembers(blob).zipWithIndex.flatMap {
@@ -961,15 +959,7 @@ object Multimodal {
           .groupByKey { case (id, _) => id / 4 }
           .flatMapGroups { (group, it) =>
             val frames = it.toSeq.sortBy(_._1).map { case (id, text) =>
-              val rec = Warc.encodeRecord(
-                warcType = (id % 3) match {
-                  case 0 => "response"; case 1 => "request"
-                  case _ => "metadata"
-                },
-                targetUri = if (id % 3 == 2) None
-                  else Some(s"https://host${id % 7}.example/p/$id"),
-                recordId = s"<urn:uuid:$id>",
-                payload = text.getBytes("UTF-8"))
+              val rec = warcFixtureRecord(id, text)
               if (id % 2 == 0) zstdJni(rec, 3)
               else ZstdCodec.zstdCompressStored(rec)
             }
@@ -1098,15 +1088,7 @@ object Multimodal {
               ctx.setChecksum(true)
               ctx.loadDict(dict)
               it.toSeq.sortBy(_._1).map { case (id, text) =>
-                ctx.compress(Warc.encodeRecord(
-                  warcType = (id % 3) match {
-                    case 0 => "response"; case 1 => "request"
-                    case _ => "metadata"
-                  },
-                  targetUri = if (id % 3 == 2) None
-                    else Some(s"https://host${id % 7}.example/p/$id"),
-                  recordId = s"<urn:uuid:$id>",
-                  payload = text.getBytes("UTF-8")))
+                ctx.compress(warcFixtureRecord(id, text))
               }
             } finally ctx.close()
             val blob = ZstdCodec.zstdSkippableFrame(dict) ++
