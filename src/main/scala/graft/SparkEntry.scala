@@ -57,6 +57,9 @@ object SparkEntry {
     Postings.defs,
     Sharding.defs,
     Winnowing.defs,
+    Pixels.defs,
+    Pcm.defs,
+    Cdxj.defs,
     Latex.defs,
     TableText.defs,
     Chat.defs,

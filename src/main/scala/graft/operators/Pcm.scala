@@ -1,0 +1,294 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+
+import graft.engine.Tables
+
+/** REAL WAV PCM sample decode — the audio twin of `Pixels`.
+  *
+  * The existing audio family stops at headers (q239's RIFF walk reads
+  * fmt/data metadata; `AudioHeaders.encodeWav` declares a sample count
+  * it never materializes). Here the fixture emitter writes byte-valid
+  * RIFF/WAVE streams whose data chunk carries REAL 16-bit little-endian
+  * PCM samples, and the decoder reads the samples back out of the
+  * bytes and computes integer-exact signal statistics: peak amplitude,
+  * absolute sum, strict zero crossings, and near-full-scale clip
+  * counts — the silence/clipping/energy gates an audio training
+  * pipeline runs before anything expensive touches a clip. The oracle
+  * replays the sample formula arithmetically (lag window for the
+  * crossings), so an endianness slip, a sign-extension bug, or an
+  * off-by-one in the chunk walk shows up as a hash mismatch.
+  *
+  * Scale shape: map-only (one decode per blob, no shuffle until the
+  * final per-doc row), linear in bytes; identical posture to the
+  * header walks (corrupt → None, never throw). Reference analogue:
+  * the map-side per-record feature slot (mapper.py:21-41); the RIFF
+  * layout is the public WAVE spec.
+  */
+object Pcm {
+
+  private def putLe32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >>> 8).toByte
+    b(off + 2) = (v >>> 16).toByte; b(off + 3) = (v >>> 24).toByte
+  }
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  /** Byte-valid RIFF/WAVE with REAL PCM payload: a LIST/INFO chunk
+    * carrying `comment` (variable length + RIFF even-padding — the
+    * walk must hop it), a 16-byte PCM fmt chunk, and a data chunk of
+    * 16-bit LE samples. */
+  def encodePcmWav(channels: Int, sampleRate: Int, samples: Array[Int],
+      comment: Array[Byte]): Array[Byte] = {
+    require(channels >= 1 && samples.length % channels == 0,
+      s"sample count ${samples.length} not a multiple of $channels channels")
+    val listBody = "INFO".getBytes("US-ASCII") ++ comment
+    val listPad = listBody.length % 2
+    val dataLen = samples.length * 2
+    val riffLen = 4 + (8 + listBody.length + listPad) + (8 + 16) + (8 + dataLen)
+    val out = new ByteArrayOutputStream(riffLen + 8)
+    def tag(t: String): Unit = out.write(t.getBytes("US-ASCII"), 0, 4)
+    def u32(v: Int): Unit = { val b = new Array[Byte](4); putLe32(b, 0, v); out.write(b, 0, 4) }
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    tag("RIFF"); u32(riffLen); tag("WAVE")
+    tag("LIST"); u32(listBody.length); out.write(listBody, 0, listBody.length)
+    if (listPad == 1) out.write(0)
+    tag("fmt "); u32(16)
+    u16(1) // PCM
+    u16(channels); u32(sampleRate)
+    u32(sampleRate * channels * 2) // byte rate
+    u16(channels * 2) // block align
+    u16(16) // bits per sample
+    tag("data"); u32(dataLen)
+    samples.foreach { s =>
+      require(s >= -32768 && s <= 32767, s"sample $s out of s16 range")
+      u16(s & 0xffff)
+    }
+    out.toByteArray
+  }
+
+  final case class PcmAudio(channels: Int, sampleRate: Int,
+      samples: Array[Int])
+
+  /** G.711 µ-law expansion (one byte → linear sample): complement,
+    * split sign / 3-bit exponent / 4-bit mantissa, undo the +33 bias
+    * shift. This is the classic ulaw2linear law (±8031 on the 13-bit
+    * scale — the published expansion table divided by 4); byte 0xFF →
+    * 0, 0x80 → +8031, 0x00 → −8031. Integer-exact, so the oracle
+    * replays it with SQL bit ops. */
+  def muLawToLinear(b: Int): Int = {
+    val u = (~b) & 0xff
+    val sign = (u & 0x80) != 0
+    val exp = (u >> 4) & 7
+    val man = u & 0x0f
+    val mag = (((man << 1) + 33) << exp) - 33
+    if (sign) -mag else mag
+  }
+
+  /** Decode PCM out of a RIFF/WAVE stream: LE chunk walk with
+    * even-padding hops, fmt parse, data chunk → linear samples.
+    * Supported fmt combinations: code 1 (linear PCM) at 16 bits —
+    * sign-extended LE — and code 7 (G.711 µ-law) at 8 bits, expanded
+    * through `muLawToLinear`. Anything else / corrupt → None. */
+  def decodePcmWav(bytes: Array[Byte]): Option[PcmAudio] =
+    try {
+      if (bytes.length < 44) return None
+      if (new String(bytes, 0, 4, "US-ASCII") != "RIFF" ||
+          new String(bytes, 8, 4, "US-ASCII") != "WAVE") return None
+      var off = 12
+      var fmtCode = -1; var channels = -1; var rate = -1; var bits = -1
+      var samples: Array[Int] = null
+      while (off + 8 <= bytes.length) {
+        val tag = new String(bytes, off, 4, "US-ASCII")
+        val len = le32(bytes, off + 4)
+        if (len < 0 || off + 8 + len > bytes.length) return None
+        tag match {
+          case "fmt " =>
+            if (len < 16) return None
+            fmtCode = le16(bytes, off + 8)
+            channels = le16(bytes, off + 10)
+            rate = le32(bytes, off + 12)
+            bits = le16(bytes, off + 22)
+            val supported = (fmtCode == 1 && bits == 16) ||
+              (fmtCode == 7 && bits == 8)
+            if (!supported || channels < 1) return None
+          case "data" =>
+            if (fmtCode < 0) return None
+            if (fmtCode == 1) {
+              if (len % 2 != 0) return None
+              samples = Array.tabulate(len / 2) { i =>
+                le16(bytes, off + 8 + i * 2).toShort.toInt // sign-extend
+              }
+            } else {
+              samples = Array.tabulate(len) { i =>
+                muLawToLinear(bytes(off + 8 + i) & 0xff)
+              }
+            }
+          case _ => () // LIST and friends — hop
+        }
+        off += 8 + len + (len % 2) // RIFF chunks are even-aligned
+      }
+      if (samples == null) None
+      else Some(PcmAudio(channels, rate, samples))
+    } catch { case _: Exception => None }
+
+  /** Byte-valid µ-law RIFF/WAVE (fmt code 7, 8 bits/sample): same
+    * chunk layout as `encodePcmWav` but the data chunk carries raw
+    * µ-law BYTES — fixtures generate the bytes arithmetically, so no
+    * lossy linear→µ-law stage exists anywhere in the pipeline. */
+  def encodeMuLawWav(channels: Int, sampleRate: Int, mulaw: Array[Byte],
+      comment: Array[Byte]): Array[Byte] = {
+    require(channels >= 1 && mulaw.length % channels == 0,
+      s"sample count ${mulaw.length} not a multiple of $channels channels")
+    val listBody = "INFO".getBytes("US-ASCII") ++ comment
+    val listPad = listBody.length % 2
+    val dataPad = mulaw.length % 2
+    val riffLen = 4 + (8 + listBody.length + listPad) + (8 + 16) +
+      (8 + mulaw.length + dataPad)
+    val out = new ByteArrayOutputStream(riffLen + 8)
+    def tag(t: String): Unit = out.write(t.getBytes("US-ASCII"), 0, 4)
+    def u32(v: Int): Unit = { val b = new Array[Byte](4); putLe32(b, 0, v); out.write(b, 0, 4) }
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    tag("RIFF"); u32(riffLen); tag("WAVE")
+    tag("LIST"); u32(listBody.length); out.write(listBody, 0, listBody.length)
+    if (listPad == 1) out.write(0)
+    tag("fmt "); u32(16)
+    u16(7) // G.711 µ-law
+    u16(channels); u32(sampleRate)
+    u32(sampleRate * channels) // byte rate: one byte per sample
+    u16(channels) // block align
+    u16(8) // bits per sample
+    tag("data"); u32(mulaw.length)
+    out.write(mulaw, 0, mulaw.length)
+    if (dataPad == 1) out.write(0)
+    out.toByteArray
+  }
+
+  final case class PcmStatsRow(doc_id: Long, n_samples: Int, peak: Int,
+      sum_abs: Long, zero_crossings: Int, clip_count: Int)
+
+  /** Integer signal stats over a decoded sample stream. Zero crossings
+    * are STRICT sign changes between adjacent samples (a zero sample
+    * breaks the run, matching the lag-window oracle); clip threshold
+    * is |s| >= 1900 for the fixture's ±2000 range. */
+  def stats(id: Long, samples: Array[Int], clipAt: Int): PcmStatsRow = {
+    var peak = 0; var sumAbs = 0L; var cross = 0; var clip = 0
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i)
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      sumAbs += a
+      if (a >= clipAt) clip += 1
+      if (i > 0 && samples(i - 1).toLong * s < 0) cross += 1
+      i += 1
+    }
+    PcmStatsRow(id, samples.length, peak, sumAbs, cross, clip)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- REAL PCM sample decode: WAV → samples → signal gates ------
+    // Each doc becomes a byte-valid mono 16-bit WAV (LIST hop, PCM fmt,
+    // real LE samples following an arithmetic ramp); the decoder reads
+    // the samples OUT OF THE BYTES and computes the energy/silence/
+    // clipping gates. The oracle replays the ramp with a lag window.
+    QueryDef(
+      "q336_wav_pcm_decode",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text").as[(Long, String)]
+          .map { case (id, text) =>
+            val n = (200 + id % 300).toInt
+            val samples = Array.tabulate(n)(t =>
+              ((id * 31 + t.toLong * 17) % 4001).toInt - 2000)
+            val bytes = encodePcmWav(1, 8000, samples,
+              text.getBytes("UTF-8"))
+            decodePcmWav(bytes) match {
+              case Some(a) => stats(id, a.samples, clipAt = 1900)
+              case None => PcmStatsRow(id, -1, -1, -1L, -1, -1)
+            }
+          }.toDF().orderBy($"doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, 200 + doc_id % 300 AS n FROM documents),
+        ts AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS t
+               FROM base),
+        sm AS (SELECT doc_id, t,
+                      (doc_id * 31 + t * 17) % 4001 - 2000 AS s FROM ts),
+        lagd AS (SELECT doc_id, s,
+                        lag(s) OVER (PARTITION BY doc_id ORDER BY t) AS prev
+                 FROM sm)
+        SELECT doc_id,
+               CAST(COUNT(*) AS INT) AS n_samples,
+               CAST(MAX(ABS(s)) AS INT) AS peak,
+               CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+               CAST(SUM(CASE WHEN prev * s < 0 THEN 1 ELSE 0 END) AS INT)
+                 AS zero_crossings,
+               CAST(SUM(CASE WHEN ABS(s) >= 1900 THEN 1 ELSE 0 END) AS INT)
+                 AS clip_count
+        FROM lagd
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    // ----- µ-law telephony decode: G.711 WAV → linear → gates --------
+    // The 8kHz-telephony sibling of q336: fmt code 7, one µ-law byte
+    // per sample, bytes arithmetic from doc_id. The decoder expands
+    // through the published ulaw2linear law; the oracle replays the
+    // complement/exponent/mantissa bit math in SQL, so a bias slip or
+    // a sign-bit confusion lands in every column at once.
+    QueryDef(
+      "q339_mulaw_wav_decode",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text").as[(Long, String)]
+          .map { case (id, text) =>
+            val n = (150 + id % 250).toInt
+            val mulaw = Array.tabulate(n)(t =>
+              ((id * 13 + t.toLong * 29) % 256).toByte)
+            val bytes = encodeMuLawWav(1, 8000, mulaw,
+              text.getBytes("UTF-8"))
+            decodePcmWav(bytes) match {
+              case Some(a) => stats(id, a.samples, clipAt = 4000)
+              case None => PcmStatsRow(id, -1, -1, -1L, -1, -1)
+            }
+          }.toDF().orderBy($"doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, 150 + doc_id % 250 AS n FROM documents),
+        ts AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS t
+               FROM base),
+        ub AS (SELECT doc_id, t,
+                      255 - (doc_id * 13 + t * 29) % 256 AS u FROM ts),
+        sm AS (SELECT doc_id, t,
+                      CASE WHEN u >= 128 THEN
+                        -((((u % 16) * 2 + 33) << ((u // 16) % 8)) - 33)
+                      ELSE
+                        ((((u % 16) * 2 + 33) << ((u // 16) % 8)) - 33)
+                      END AS s
+               FROM ub),
+        lagd AS (SELECT doc_id, s,
+                        lag(s) OVER (PARTITION BY doc_id ORDER BY t) AS prev
+                 FROM sm)
+        SELECT doc_id,
+               CAST(COUNT(*) AS INT) AS n_samples,
+               CAST(MAX(ABS(s)) AS INT) AS peak,
+               CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+               CAST(SUM(CASE WHEN prev * s < 0 THEN 1 ELSE 0 END) AS INT)
+                 AS zero_crossings,
+               CAST(SUM(CASE WHEN ABS(s) >= 4000 THEN 1 ELSE 0 END) AS INT)
+                 AS clip_count
+        FROM lagd
+        GROUP BY doc_id
+        ORDER BY doc_id"""))
+  )
+}
