@@ -59,6 +59,7 @@ object SparkEntry {
     Winnowing.defs,
     Pixels.defs,
     Pcm.defs,
+    Flac.defs,
     Cdxj.defs,
     Latex.defs,
     TableText.defs,
