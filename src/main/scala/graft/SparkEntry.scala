@@ -61,6 +61,9 @@ object SparkEntry {
     Pcm.defs,
     Flac.defs,
     Cdxj.defs,
+    Subtitles.defs,
+    Id3.defs,
+    Ebml.defs,
     Latex.defs,
     TableText.defs,
     Chat.defs,

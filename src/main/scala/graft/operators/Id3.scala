@@ -1,0 +1,184 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+
+import graft.engine.Tables
+
+/** ID3v2 tag parsing — the metadata walk `AudioHeaders.decodeMp3` only
+  * HOPS (it syncsafe-skips the tag to reach the first MPEG frame; this
+  * module reads what's inside).
+  *
+  * An audio curation pipeline keys on tag metadata constantly: artist/
+  * album grouping for leakage-safe splits, title dedup, track-number
+  * sanity. The walk covers the two wire formats that actually differ:
+  * ID3v2.3 (frame sizes are PLAIN big-endian u32) and ID3v2.4 (frame
+  * sizes are SYNCSAFE u28 — the classic cross-version trap; a parser
+  * that applies one rule to the other misreads every frame after the
+  * first whose size has a high bit per byte ≥ 0x80). Text frames
+  * decode ISO-8859-1 (encoding byte 0) and UTF-8 (encoding byte 3);
+  * the walk stops at padding and never reads past the declared tag
+  * size. Corrupt → None (the family posture); parse is map-only.
+  *
+  * Reference analogue: the map-side per-record parse slot
+  * (mapper.py:21-41); the format is the published id3.org spec.
+  */
+object Id3 {
+
+  private def syncsafe(v: Int): Array[Byte] = Array(
+    ((v >> 21) & 0x7f).toByte, ((v >> 14) & 0x7f).toByte,
+    ((v >> 7) & 0x7f).toByte, (v & 0x7f).toByte)
+
+  private def readSyncsafe(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0x7f) << 21) | ((b(off + 1) & 0x7f) << 14) |
+      ((b(off + 2) & 0x7f) << 7) | (b(off + 3) & 0x7f)
+
+  private def readBe32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  /** Byte-valid ID3v2.3 or v2.4 tag: header with syncsafe total size,
+    * text frames (encoding byte 0 = ISO-8859-1), `padding` zero bytes.
+    * The frame SIZE field follows the version's rule. */
+  def encodeId3(version: Int, frames: Seq[(String, String)],
+      padding: Int): Array[Byte] = {
+    require(version == 3 || version == 4, s"id3v2.$version unsupported")
+    val body = new ByteArrayOutputStream(256)
+    frames.foreach { case (fid, text) =>
+      require(fid.length == 4, s"frame id $fid")
+      body.write(fid.getBytes("US-ASCII"), 0, 4)
+      val payload = text.getBytes("ISO-8859-1")
+      val size = payload.length + 1 // + encoding byte
+      if (version == 4) body.write(syncsafe(size), 0, 4)
+      else {
+        body.write((size >> 24) & 0xff); body.write((size >> 16) & 0xff)
+        body.write((size >> 8) & 0xff); body.write(size & 0xff)
+      }
+      body.write(0); body.write(0) // frame flags
+      body.write(0) // text encoding: ISO-8859-1
+      body.write(payload, 0, payload.length)
+    }
+    (0 until padding).foreach(_ => body.write(0))
+    val bodyBytes = body.toByteArray
+    val out = new ByteArrayOutputStream(bodyBytes.length + 10)
+    out.write('I'); out.write('D'); out.write('3')
+    out.write(version); out.write(0) // version, revision
+    out.write(0) // flags
+    out.write(syncsafe(bodyBytes.length), 0, 4)
+    out.write(bodyBytes, 0, bodyBytes.length)
+    out.toByteArray
+  }
+
+  final case class Id3Tag(version: Int, frames: Map[String, String],
+      tagBytes: Int)
+
+  /** Walk an ID3v2.3 / v2.4 tag: header, per-frame id + version-ruled
+    * size + flags + text payload (encoding 0 latin-1 / 3 utf-8), stop
+    * at padding, never read past the declared size. Non-text frames
+    * are hopped by size. Corrupt / other versions → None. */
+  def parseId3(bytes: Array[Byte]): Option[Id3Tag] =
+    try {
+      if (bytes.length < 10 || bytes(0) != 'I' || bytes(1) != 'D' ||
+        bytes(2) != '3') return None
+      val version = bytes(3) & 0xff
+      if (version != 3 && version != 4) return None
+      if ((bytes(5) & 0x80) != 0) return None // unsynchronisation: out of scope
+      val size = readSyncsafe(bytes, 6)
+      if (10 + size > bytes.length) return None
+      var off = 10
+      val end = 10 + size
+      val frames = Map.newBuilder[String, String]
+      var done = false
+      while (!done && off + 10 <= end) {
+        if (bytes(off) == 0) done = true // padding
+        else {
+          val fid = new String(bytes, off, 4, "US-ASCII")
+          if (!fid.forall(c => c.isUpper || c.isDigit)) return None
+          val fsize = if (version == 4) readSyncsafe(bytes, off + 4)
+          else readBe32(bytes, off + 4)
+          if (fsize < 0 || off + 10 + fsize > end) return None
+          if (fid.startsWith("T") && fsize >= 1) {
+            val enc = bytes(off + 10) & 0xff
+            val charset = enc match {
+              case 0 => "ISO-8859-1"
+              case 3 => "UTF-8"
+              case _ => null // UTF-16 variants hopped, not decoded
+            }
+            if (charset != null) {
+              val raw = new String(bytes, off + 11, fsize - 1, charset)
+              // v2.4 allows a trailing NUL / multiple values; take first
+              frames += fid -> raw.takeWhile(_ != '\u0000')
+            }
+          }
+          off += 10 + fsize
+        }
+      }
+      Some(Id3Tag(version, frames.result(), 10 + size))
+    } catch { case _: Exception => None }
+
+  final case class Id3Row(doc_id: Long, version: Int, n_frames: Int,
+      title: String, artist: String, album: String, track: Int,
+      tag_bytes: Long)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- ID3v2 tag walk: v2.3 plain vs v2.4 syncsafe frame sizes ----
+    // Even docs carry v2.3 tags, odd v2.4 — the SAME five text frames,
+    // different size coding; sizes are pure length arithmetic the
+    // oracle replays (title embeds doc_id so frame lengths vary with
+    // the id's digit count). A parser applying one version's size rule
+    // to the other misreads the walk and lands in tag_bytes/n_frames.
+    QueryDef(
+      "q343_id3_tag_walk",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val version = 3 + (id % 2).toInt
+            val frames = Seq(
+              "TIT2" -> s"Title $id",
+              "TPE1" -> s"Artist ${id % 50}",
+              "TALB" -> s"Album ${id % 20}",
+              "TRCK" -> s"${id % 12 + 1}",
+              "TYER" -> s"${1990 + id % 35}")
+            val blob = encodeId3(version, frames, (id % 7).toInt)
+            parseId3(blob) match {
+              case Some(t) => Id3Row(id, t.version, t.frames.size,
+                t.frames.getOrElse("TIT2", ""),
+                t.frames.getOrElse("TPE1", ""),
+                t.frames.getOrElse("TALB", ""),
+                t.frames.get("TRCK").flatMap(_.toIntOption).getOrElse(-1),
+                t.tagBytes.toLong)
+              case None => Id3Row(id, -1, -1, "", "", "", -1, -1L)
+            }
+          }.toDF().orderBy($"doc_id")
+      },
+      // tag_bytes = 10 header + Σ(10 + 1 + len(text)) + padding;
+      // the five payload lengths: 6+digits(id), 7+digits(id%50),
+      // 6+digits(id%20), digits(id%12+1), 4
+      Some("""
+        WITH base AS (
+          SELECT doc_id,
+                 length(CAST(doc_id AS VARCHAR)) AS d_id,
+                 length(CAST(doc_id % 50 AS VARCHAR)) AS d_artist,
+                 length(CAST(doc_id % 20 AS VARCHAR)) AS d_album,
+                 length(CAST(doc_id % 12 + 1 AS VARCHAR)) AS d_track
+          FROM documents)
+        SELECT doc_id,
+               CAST(3 + doc_id % 2 AS INT) AS version,
+               CAST(5 AS INT) AS n_frames,
+               'Title ' || CAST(doc_id AS VARCHAR) AS title,
+               'Artist ' || CAST(doc_id % 50 AS VARCHAR) AS artist,
+               'Album ' || CAST(doc_id % 20 AS VARCHAR) AS album,
+               CAST(doc_id % 12 + 1 AS INT) AS track,
+               CAST(10
+                    + (10 + 1 + 6 + d_id)
+                    + (10 + 1 + 7 + d_artist)
+                    + (10 + 1 + 6 + d_album)
+                    + (10 + 1 + d_track)
+                    + (10 + 1 + 4)
+                    + doc_id % 7 AS BIGINT) AS tag_bytes
+        FROM base
+        ORDER BY doc_id"""))
+  )
+}
