@@ -549,6 +549,20 @@ object Pixels {
       if (cells(cy * 8 + cx) > cells(cy * 8 + (cx + 1) % 8)) '1' else '0'
     }.mkString
 
+  /** Vertical-gradient mate of gHash: bit (cy,cx) set iff cell(cy,cx)
+    * > cell((cy+1) mod 8, cx). Concatenated with gHash it forms the
+    * 128-bit fingerprint the near-dup banding needs: at 64 bits,
+    * 8-bit bands mean n/256 bucket occupancy — quadratic candidate
+    * growth the sf1 probe caught live; at 128 bits the bands widen to
+    * 16 bits (n/65536 buckets) while the pigeonhole guarantee keeps
+    * full recall for Hamming ≤ 7 (7 flips across 8 bands leave ≥1
+    * band exact). */
+  def gHashV(cells: Array[Int]): String =
+    Array.tabulate(64) { b =>
+      val cy = b / 8; val cx = b % 8
+      if (cells(cy * 8 + cx) > cells(((cy + 1) % 8) * 8 + cx)) '1' else '0'
+    }.mkString
+
   // ------------------------------------------------------------------
   // queries
   // ------------------------------------------------------------------
@@ -559,7 +573,19 @@ object Pixels {
   final case class DispatchPixelRow(doc_id: Long, format: String,
       width: Int, height: Int, px_sum: Long, ghash: String)
 
-  final case class GHashRow(doc_id: Long, ghash: String)
+  final case class GHashRow(doc_id: Long, ghash: String,
+      q0: Long, q1: Long, q2: Long, q3: Long)
+
+  /** Pack a 128-char bit string into four 32-bit chunks carried as
+    * NON-NEGATIVE longs: int columns would sign-extend through
+    * Spark's bit_count (an int xor with the top bit set gains 32
+    * phantom ones), which silently inflated Hamming by 32 for ~6% of
+    * pairs until the sf0.001 diff caught it. */
+  private def packQuarters(h: String): (Long, Long, Long, Long) = {
+    def q(k: Int): Long =
+      java.lang.Long.parseLong(h.substring(k * 32, (k + 1) * 32), 2)
+    (q(0), q(1), q(2), q(3))
+  }
 
   /** q334 fixture formula (shared by the oracle): dims are multiples
     * of 8, pixels a linear ramp mod 256. */
@@ -569,14 +595,26 @@ object Pixels {
     }
 
   /** q335 fixture formula: docs cluster in groups of 4 (g = id/4) that
-    * share dims and a group-specific gradient; the member m = id%4
-    * perturbs ~m/97 of pixels by +1 — a near-duplicate, not a copy. */
+    * share dims and a group-specific texture; the member m = id%4
+    * perturbs ~m/197 of pixels by +1 — a near-duplicate, not a copy
+    * (soft enough to stay within the banding's Hamming-7 guarantee on
+    * the 128-bit fingerprint).
+    *
+    * The texture must be DIVERSE ACROSS GROUPS: the first cut used
+    * gradients keyed on (g%5, g%3) — 15 classes corpus-wide, so at
+    * sf1 thousands of groups shared a fingerprint and the cross-group
+    * "near-dup" mass grew quadratically (the sf1 probe caught it as a
+    * stuck rep). Real image corpora are hash-diverse; the x·y texture
+    * term keyed on three larger co-prime moduli (41/43/13) makes the
+    * fingerprints effectively unique per group, which is the regime
+    * the banded join is built for. */
   private def q335Pixels(id: Long, w: Int, h: Int): Array[Int] = {
     val g = id / 4; val m = (id % 4).toInt
     Array.tabulate(w * h) { i =>
       val x = (i % w).toLong; val y = (i / w).toLong
-      val base = g * 37 + x * (7 + g % 5) + y * (13 + g % 3)
-      val pert = if ((x * 3 + y * 5) % 97 < m) 1 else 0
+      val base = g * 37 + x * (3 + g % 41) + y * (5 + g % 43) +
+        (x * y % (2 + g % 13)) * 7
+      val pert = if ((x * 3 + y * 5) % 197 < m) 1 else 0
       ((base + pert) % 256).toInt
     }
   }
@@ -654,16 +692,19 @@ object Pixels {
         JOIN gh ON gh.doc_id = d.doc_id
         ORDER BY d.doc_id""")),
 
-    // ----- image near-dup: banded Hamming join on gHash ---------------
+    // ----- image near-dup: banded Hamming join on a 128-bit hash ------
     // Docs cluster in groups of 4 sharing a group gradient; members
     // differ by a sparse +1 perturbation. Each doc goes through the
-    // FULL real path (PNG encode → decode → 8×8 grid → gHash), then
-    // LSH-style banding: 8 bands × 8 bits, candidates = pairs sharing
-    // ≥1 exact band (bucket join — never all-pairs), emit pairs with
-    // Hamming distance ≤ 6. The oracle replays pixels → hash → the
-    // same banding in SQL. This is the image twin of the text MinHash
-    // family: the candidate generator is banded, so at 100 TB the
-    // join is |bucket|²-bounded per band value, not n².
+    // FULL real path (PNG encode → decode → 8×8 grid), hashed as the
+    // 128-bit horizontal‖vertical gradient fingerprint, then LSH
+    // banding: 8 bands × 16 bits, candidates = pairs sharing ≥1 exact
+    // band (bucket join — never all-pairs), emit pairs with Hamming
+    // ≤ 7 (pigeonhole: ≤7 flips across 8 bands leave one band exact —
+    // banding loses NO true pair). The first cut banded 8×8 bits over
+    // a 64-bit hash; the sf1 probe caught its n/256 buckets going
+    // quadratic live — hash WIDTH, not band count, is the scale
+    // lever (the q86 band-size law). Buckets are now n/65536. The
+    // oracle replays pixels → hash → the same banding in SQL.
     QueryDef(
       "q335_image_near_dup",
       (s, dir) => {
@@ -680,25 +721,51 @@ object Pixels {
               case Some((dw, dh, px)) => cellGrid(dw, dh, px)
               case None => Array.fill(64)(-1)
             }
-            GHashRow(id, gHash(cells))
+            val fp = gHash(cells) + gHashV(cells)
+            val (q0, q1, q2, q3) = packQuarters(fp)
+            GHashRow(id, fp, q0, q1, q2, q3)
           }.toDF()
         val bands = hashes
-          .select($"doc_id", $"ghash",
-            explode(sequence(lit(0), lit(7))).as("band"))
-          .withColumn("bits", expr("substring(ghash, band * 8 + 1, 8)"))
-        val cand = bands.as("a").join(bands.as("b"),
+          .select($"doc_id", $"q0", $"q1", $"q2", $"q3",
+            explode(sequence(lit(0), lit(7))).as("band"),
+            $"ghash")
+          .withColumn("bits", expr("substring(ghash, band * 16 + 1, 16)"))
+          .drop("ghash")
+        // hot-bucket cap — the image twin of the text family's df-cut
+        // (q286): degenerate textures (flat regions, monotone ramps)
+        // concentrate in a few band values whose buckets would emit
+        // C(|bucket|,2) near-identical pairs; a true near-dup pair
+        // still meets in a DISTINCTIVE band (its fingerprints agree on
+        // ≥1 of 8 bands, and the degenerate ones are exactly the
+        // shared-by-everyone values the cap removes). One window
+        // count, then the bucket join runs on bounded buckets only.
+        // cached: consumed by BOTH self-join sides — without the pin
+        // the whole PNG encode→decode→hash lineage and the window
+        // count run twice (the q188 multiply-consumed-frame pattern)
+        val kept = bands
+          .withColumn("bc", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"band", $"bits")))
+          .filter($"bc" <= 32)
+          .drop("bc")
+          .cache()
+        // hamming via packed 32-bit quarters: four codegen'd
+        // bit_count(xor) per band match instead of a 128-substring
+        // lambda — and the pair-dedup DISTINCT runs AFTER the ≤7
+        // filter, on the small true-pair set (multiplicity ≤ 8), not
+        // on the full candidate stream carrying two 128-char strings
+        kept.as("a").join(kept.as("b"),
             col("a.band") === col("b.band") &&
             col("a.bits") === col("b.bits") &&
             col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-            col("a.ghash").as("ha"), col("b.ghash").as("hb"))
+            (bit_count(col("a.q0").bitwiseXOR(col("b.q0"))) +
+              bit_count(col("a.q1").bitwiseXOR(col("b.q1"))) +
+              bit_count(col("a.q2").bitwiseXOR(col("b.q2"))) +
+              bit_count(col("a.q3").bitwiseXOR(col("b.q3"))))
+              .cast("int").as("hamming"))
+          .filter($"hamming" <= 7)
           .distinct()
-        cand
-          .withColumn("hamming", expr(
-            """aggregate(sequence(1, 64), 0, (acc, i) ->
-               acc + IF(substring(ha, i, 1) = substring(hb, i, 1), 0, 1))"""))
-          .filter($"hamming" <= 6)
-          .select($"id_a", $"id_b", $"hamming")
           .orderBy($"id_a", $"id_b")
       },
       Some("""
@@ -712,8 +779,9 @@ object Pixels {
         pxy AS (SELECT doc_id, g, w, h, x,
                        unnest(generate_series(0, h - 1)) AS y FROM xs),
         px AS (SELECT doc_id, w, h, x, y,
-                      (g * 37 + x * (7 + g % 5) + y * (13 + g % 3)
-                       + CASE WHEN (x * 3 + y * 5) % 97 < doc_id % 4
+                      (g * 37 + x * (3 + g % 41) + y * (5 + g % 43)
+                       + (x * y % (2 + g % 13)) * 7
+                       + CASE WHEN (x * 3 + y * 5) % 197 < doc_id % 4
                               THEN 1 ELSE 0 END) % 256 AS p
                FROM pxy),
         cells AS (
@@ -722,32 +790,44 @@ object Pixels {
                  SUM(p) // ((w // 8) * (h // 8)) AS cell
           FROM px
           GROUP BY doc_id, w, h, (y // (h // 8)) * 8 + (x // (w // 8))),
-        gh AS (
+        ghh AS (
           SELECT c1.doc_id,
                  string_agg(CASE WHEN c1.cell > c2.cell THEN '1' ELSE '0' END,
-                            '' ORDER BY c1.b) AS ghash
+                            '' ORDER BY c1.b) AS hh
           FROM cells c1 JOIN cells c2
             ON c2.doc_id = c1.doc_id
            AND c2.b = (c1.b // 8) * 8 + ((c1.b % 8) + 1) % 8
           GROUP BY c1.doc_id),
+        ghv AS (
+          SELECT c1.doc_id,
+                 string_agg(CASE WHEN c1.cell > c2.cell THEN '1' ELSE '0' END,
+                            '' ORDER BY c1.b) AS hv
+          FROM cells c1 JOIN cells c2
+            ON c2.doc_id = c1.doc_id
+           AND c2.b = (((c1.b // 8) + 1) % 8) * 8 + c1.b % 8
+          GROUP BY c1.doc_id),
+        gh AS (
+          SELECT ghh.doc_id, ghh.hh || ghv.hv AS ghash
+          FROM ghh JOIN ghv ON ghv.doc_id = ghh.doc_id),
         bands AS (
           SELECT doc_id, ghash, t.band,
-                 substring(ghash, t.band * 8 + 1, 8) AS bits
+                 substring(ghash, t.band * 16 + 1, 16) AS bits
           FROM gh, (SELECT unnest(generate_series(0, 7)) AS band) t),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                 a.ghash AS ha, b.ghash AS hb
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.bits = b.bits
-           AND a.doc_id < b.doc_id),
+        kept AS (
+          SELECT doc_id, ghash, band, bits
+          FROM (SELECT *, COUNT(*) OVER (PARTITION BY band, bits) AS bc
+                FROM bands)
+          WHERE bc <= 32),
         pairs AS (
-          SELECT id_a, id_b,
-                 CAST(list_sum(list_transform(generate_series(1, 64),
-                      i -> CASE WHEN substring(ha, i, 1) = substring(hb, i, 1)
-                                THEN 0 ELSE 1 END)) AS INT) AS hamming
-          FROM cand)
+          SELECT DISTINCT id_a, id_b, hamming FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.ghash::BIT, b.ghash::BIT)) AS INT)
+                     AS hamming
+            FROM kept a JOIN kept b
+              ON a.band = b.band AND a.bits = b.bits
+             AND a.doc_id < b.doc_id)
+          WHERE hamming <= 7)
         SELECT id_a, id_b, hamming FROM pairs
-        WHERE hamming <= 6
         ORDER BY id_a, id_b""")),
 
     // ----- REAL GIF pixel decode: LZW → pixels → perceptual hashes ----

@@ -568,4 +568,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
       "surviving-node aggregate computed twice per round (cache missing)")
   }
+
+  test("q335: image near-dup joins within bands, hamming is bit_count") {
+    val p = plan("q335_image_near_dup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "image near-dup must bucket-join on (band, bits), never all pairs:\n" +
+        p.take(1500))
+    // the hamming path is packed-quarter bit_count(xor), not a
+    // per-character lambda — the 5x sf1 rework this spec pins
+    assert(p.contains("bit_count"), "hamming regressed off bit_count")
+    // both self-join sides read the cached banded frame, not two full
+    // PNG encode->decode->hash lineages
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      "banded frame cache missing (lineage would run twice)")
+  }
 }
