@@ -64,6 +64,7 @@ object SparkEntry {
     Subtitles.defs,
     Id3.defs,
     Ebml.defs,
+    ParquetFooter.defs,
     Latex.defs,
     TableText.defs,
     Chat.defs,

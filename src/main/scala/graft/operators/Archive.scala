@@ -299,6 +299,8 @@ object Archive {
   private def u32le(b: Array[Byte], i: Int): Long =
     (b(i) & 0xff).toLong | ((b(i + 1) & 0xff).toLong << 8) |
       ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  private def u64le(b: Array[Byte], i: Int): Long =
+    u32le(b, i) | (u32le(b, i + 4) << 32)
 
   /** Central-directory walk: locate the EOCD record (PK\05\06 scanned
     * back through the ≤65535-byte comment space, comment length
@@ -316,14 +318,34 @@ object Archive {
       i -= 1
     }
     if (eocd < 0) return None
-    val n = u16le(b, eocd + 10)
-    if (n != u16le(b, eocd + 8)) return None // single-disk archives only
-    val cdSize = u32le(b, eocd + 12)
-    val cdOff = u32le(b, eocd + 16)
-    if (cdOff + cdSize > eocd) return None
+    var n: Long = u16le(b, eocd + 10)
+    var cdSize = u32le(b, eocd + 12)
+    var cdOff = u32le(b, eocd + 16)
+    if (n == 0xffffL || cdSize == 0xffffffffL || cdOff == 0xffffffffL) {
+      // ZIP64 (APPNOTE 4.5): a pinned-0xFFFF field means the real
+      // value lives in the ZIP64 EOCD record, found through the
+      // 20-byte locator that immediately precedes the classic EOCD.
+      // At 100 TB, >4 GB shards make this the COMMON path, not the
+      // exotic one.
+      val loc = eocd - 20
+      if (loc < 0 || !(b(loc) == 'P' && b(loc + 1) == 'K' &&
+        b(loc + 2) == 6 && b(loc + 3) == 7)) return None
+      if (u32le(b, loc + 16) != 1L) return None // single-disk only
+      val z64 = u64le(b, loc + 8)
+      if (z64 < 0 || z64 + 56 > loc) return None
+      val z = z64.toInt
+      if (!(b(z) == 'P' && b(z + 1) == 'K' && b(z + 2) == 6 && b(z + 3) == 6))
+        return None
+      n = u64le(b, z + 32) // total entry count
+      if (n != u64le(b, z + 24)) return None // this-disk vs total
+      cdSize = u64le(b, z + 40)
+      cdOff = u64le(b, z + 48)
+    } else if (n != u16le(b, eocd + 8)) return None // single-disk only
+    if (cdOff < 0 || cdSize < 0 || cdOff + cdSize > eocd) return None
+    if (n < 0 || n > (1L << 22)) return None // hostile-count bound
     val out = Vector.newBuilder[ZipEntryMeta]
     var off = cdOff
-    var k = 0
+    var k = 0L
     while (k < n) {
       if (off + 46 > eocd) return None
       val o = off.toInt
@@ -331,13 +353,35 @@ object Archive {
         return None
       val method = u16le(b, o + 10)
       val crc = u32le(b, o + 16)
-      val comp = u32le(b, o + 20)
-      val uncomp = u32le(b, o + 24)
+      var comp = u32le(b, o + 20)
+      var uncomp = u32le(b, o + 24)
       val nameLen = u16le(b, o + 28)
       val extraLen = u16le(b, o + 30)
       val commentLen = u16le(b, o + 32)
-      val localOff = u32le(b, o + 42)
+      var localOff = u32le(b, o + 42)
       if (off + 46 + nameLen + extraLen + commentLen > eocd) return None
+      if (comp == 0xffffffffL || uncomp == 0xffffffffL ||
+        localOff == 0xffffffffL) {
+        // ZIP64 extra field (id 0x0001): carries ONLY the overflowed
+        // fields, in the fixed order uncompressed / compressed /
+        // local-header offset
+        var eo = o + 46 + nameLen
+        val eEnd = eo + extraLen
+        var found = false
+        while (eo + 4 <= eEnd && !found) {
+          val hid = u16le(b, eo); val hlen = u16le(b, eo + 2)
+          if (eo + 4 + hlen > eEnd) return None
+          if (hid == 1) {
+            var p = eo + 4
+            if (uncomp == 0xffffffffL) { uncomp = u64le(b, p); p += 8 }
+            if (comp == 0xffffffffL) { comp = u64le(b, p); p += 8 }
+            if (localOff == 0xffffffffL) { localOff = u64le(b, p); p += 8 }
+            if (p > eo + 4 + hlen) return None
+            found = true
+          } else eo += 4 + hlen
+        }
+        if (!found) return None
+      }
       val name = new String(b, o + 46, nameLen, "UTF-8")
       out += ZipEntryMeta(name, method, comp, uncomp, crc, localOff)
       off += 46 + nameLen + extraLen + commentLen
@@ -439,6 +483,76 @@ object Archive {
     out.write('P'); out.write('K'); out.write(5); out.write(6)
     le16(0); le16(0); le16(metas.size); le16(metas.size)
     le32(cdSize); le32(cdOff); le16(0)
+    out.toByteArray
+  }
+
+  /** Fixture emitter: byte-valid FORCED-ZIP64 archive — every u32
+    * size/offset field pinned to 0xFFFFFFFF with the real values in
+    * 0x0001 extra fields, ZIP64 EOCD record + locator ahead of the
+    * classic EOCD (whose counts pin to 0xFFFF). APPNOTE permits ZIP64
+    * structures regardless of actual sizes, which is how a testable
+    * fixture exercises the >4 GB layout without 4 GB of bytes; the
+    * JDK's own ZipFile referees the output in `ArchiveSpec`. */
+  def encodeZip64(entries: Seq[(String, Array[Byte], Boolean)]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(entries.map(_._2.length + 192).sum + 160)
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = {
+      le16((v & 0xffff).toInt); le16(((v >> 16) & 0xffff).toInt)
+    }
+    def le64(v: Long): Unit = { le32(v & 0xffffffffL); le32(v >>> 32) }
+    val metas = entries.map { case (name, payload, deflate) =>
+      val nb = name.getBytes("UTF-8")
+      val crc = new CRC32(); crc.update(payload)
+      val comp =
+        if (!deflate) payload
+        else {
+          val d = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
+          d.setInput(payload); d.finish()
+          val bos = new ByteArrayOutputStream(payload.length / 2 + 32)
+          val buf = new Array[Byte](8192)
+          while (!d.finished()) { val k = d.deflate(buf); bos.write(buf, 0, k) }
+          d.end()
+          bos.toByteArray
+        }
+      val localOff = out.size().toLong
+      out.write('P'); out.write('K'); out.write(3); out.write(4)
+      le16(45); le16(0); le16(if (deflate) 8 else 0) // version 4.5
+      le16(0); le16(0x21)
+      le32(crc.getValue); le32(0xffffffffL); le32(0xffffffffL)
+      le16(nb.length); le16(20) // zip64 extra: id+len+two u64s
+      out.write(nb, 0, nb.length)
+      le16(1); le16(16); le64(payload.length.toLong); le64(comp.length.toLong)
+      out.write(comp, 0, comp.length)
+      ZipEntryMeta(name, if (deflate) 8 else 0, comp.length.toLong,
+        payload.length.toLong, crc.getValue, localOff)
+    }
+    val cdOff = out.size().toLong
+    metas.foreach { m =>
+      val nb = m.name.getBytes("UTF-8")
+      out.write('P'); out.write('K'); out.write(1); out.write(2)
+      le16(45); le16(45); le16(0); le16(m.method)
+      le16(0); le16(0x21)
+      le32(m.crc32); le32(0xffffffffL); le32(0xffffffffL)
+      le16(nb.length); le16(28); le16(0); le16(0); le16(0); le32(0)
+      le32(0xffffffffL)
+      out.write(nb, 0, nb.length)
+      le16(1); le16(24)
+      le64(m.uncompSize); le64(m.compSize); le64(m.localOffset)
+    }
+    val cdSize = out.size().toLong - cdOff
+    val z64Off = out.size().toLong
+    // ZIP64 EOCD record (56 bytes, "size of record" excludes sig+size)
+    out.write('P'); out.write('K'); out.write(6); out.write(6)
+    le64(44); le16(45); le16(45); le32(0); le32(0)
+    le64(metas.size.toLong); le64(metas.size.toLong)
+    le64(cdSize); le64(cdOff)
+    // ZIP64 EOCD locator
+    out.write('P'); out.write('K'); out.write(6); out.write(7)
+    le32(0); le64(z64Off); le32(1)
+    // classic EOCD, counts/offsets pinned
+    out.write('P'); out.write('K'); out.write(5); out.write(6)
+    le16(0); le16(0); le16(0xffff); le16(0xffff)
+    le32(0xffffffffL); le32(0xffffffffL); le16(0)
     out.toByteArray
   }
 
@@ -762,6 +876,45 @@ object Archive {
                CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
                  AS n_deflated,
                TRUE AS crc_ok
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ----- ZIP64 member walk (q293's >4 GB-layout sibling) ------------
+    // Forced-ZIP64 fixtures: every size/offset field pinned 0xFFFFFFFF,
+    // real values in 0x0001 extras, ZIP64 EOCD + locator chain. The
+    // SAME zipEntries walk must route through the 64-bit path (a
+    // walk that trusts the pinned u32s reads offset 4 GiB-1 and
+    // dies); extraction re-verifies every CRC through the local
+    // headers. At 100 TB this is the common shard layout, not the
+    // exotic one. JDK ZipFile referees the emitter in ArchiveSpec.
+    QueryDef(
+      "q345_zip64_entries",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val payload = text.getBytes("UTF-8")
+            val third = payload.length / 3
+            val blob = Archive.encodeZip64(Seq(
+              (s"shard/$id.a", payload.take(third), id % 2 == 0),
+              (s"shard/$id.b", payload.slice(third, 2 * third), true),
+              (s"shard/$id.c", payload.drop(2 * third), false)))
+            val entries = Archive.zipEntries(blob).getOrElse(Vector.empty)
+            val verified = entries.count(e =>
+              Archive.unzipEntry(blob, e).isDefined)
+            (id, entries.size.toLong, entries.map(_.uncompSize).sum,
+              verified.toLong)
+          }
+          .toDF("doc_id", "n_entries", "uncomp_bytes", "verified")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(3 AS BIGINT) AS n_entries,
+               CAST(octet_length(encode(text)) AS BIGINT) AS uncomp_bytes,
+               CAST(3 AS BIGINT) AS verified
         FROM documents
         ORDER BY doc_id""")))
 }

@@ -162,7 +162,9 @@ object Ebml {
       var docType: String = null
       while (w.pos < hEnd) {
         val id = w.readId(); val sz = w.readSize()
-        if (w.pos + sz > hEnd) return None
+        // a 56-bit VINT truncated to Int could go negative and walk
+        // the cursor BACKWARD — an infinite loop on hostile streams
+        if (sz < 0 || sz > bytes.length || w.pos + sz > hEnd) return None
         if (id == IdDocType)
           docType = new String(bytes, w.pos, sz.toInt, "US-ASCII")
         w.pos += sz.toInt
@@ -176,13 +178,15 @@ object Ebml {
       val codecs = Seq.newBuilder[String]
       var blocks = 0; var blockBytes = 0L
       while (w.pos < segEnd) {
-        val id = w.readId(); val sz = w.readSize().toInt
+        val id = w.readId(); val szL = w.readSize()
+        if (szL < 0 || szL > bytes.length) return None // no backward walks
+        val sz = szL.toInt
         val end = w.pos + sz
         if (end > segEnd) return None
         if (id == IdInfo) {
           while (w.pos < end) {
             val iid = w.readId(); val isz = w.readSize().toInt
-            if (w.pos + isz > end) return None
+            if (isz < 0 || w.pos + isz > end) return None
             if (iid == IdTimestampScale) tsScale = w.readUint(isz)
             else w.pos += isz
           }
@@ -190,12 +194,12 @@ object Ebml {
           while (w.pos < end) {
             val tid = w.readId(); val tsz = w.readSize().toInt
             val tEnd = w.pos + tsz
-            if (tEnd > end) return None
+            if (tsz < 0 || tEnd > end) return None
             if (tid == IdTrackEntry) {
               tracks += 1
               while (w.pos < tEnd) {
                 val eid = w.readId(); val esz = w.readSize().toInt
-                if (w.pos + esz > tEnd) return None
+                if (esz < 0 || w.pos + esz > tEnd) return None
                 if (eid == IdTrackType) {
                   if (w.readUint(esz) == 1L) videoTracks += 1
                 } else if (eid == IdCodecId) {
@@ -208,7 +212,7 @@ object Ebml {
         } else if (id == IdCluster) {
           while (w.pos < end) {
             val cid = w.readId(); val csz = w.readSize().toInt
-            if (w.pos + csz > end) return None
+            if (csz < 0 || w.pos + csz > end) return None
             if (cid == IdSimpleBlock) { blocks += 1; blockBytes += csz }
             w.pos += csz
           }

@@ -173,7 +173,12 @@ object Pixels {
       var got = 0
       while (got < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, got, raw.length - got)
-        if (n == 0 && inf.needsInput()) { inf.end(); return None }
+        // needsDictionary: a hostile zlib stream demanding a preset
+        // dictionary would otherwise return 0 forever — reject, don't
+        // spin (PNG never uses preset dictionaries)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) {
+          inf.end(); return None
+        }
         got += n
       }
       inf.end()

@@ -264,4 +264,56 @@ class ArchiveSpec extends SparkSpec {
       (0L, "s1", 1L, "img", 7L, false),
       (1L, "s2", 2L, "cap.txt,img", 8L, true)))
   }
+
+  // ---- ZIP64 -----------------------------------------------------------
+
+  private val zip64Entries = Seq(
+    ("big/a.bin", Array.tabulate(1000)(i => (i * 7).toByte), true),
+    ("big/b.txt", "zip64 store payload".getBytes("UTF-8"), false))
+
+  test("zip64: forced-ZIP64 archive walks through the 64-bit path") {
+    val blob = Archive.encodeZip64(zip64Entries)
+    val Some(es) = Archive.zipEntries(blob)
+    assert(es.map(_.name) == Vector("big/a.bin", "big/b.txt"))
+    assert(es.map(_.uncompSize) == Vector(1000L, 19L))
+    for ((e, (_, payload, _)) <- es.zip(zip64Entries)) {
+      val Some(data) = Archive.unzipEntry(blob, e)
+      assert(data.toSeq == payload.toSeq)
+    }
+  }
+
+  test("zip64: JDK ZipFile referees the emitter's layout") {
+    val blob = Archive.encodeZip64(zip64Entries)
+    val f = java.io.File.createTempFile("graft-zip64", ".zip")
+    try {
+      java.nio.file.Files.write(f.toPath, blob)
+      val zf = new java.util.zip.ZipFile(f)
+      try {
+        val names = zf.entries()
+        val got = Iterator.continually(names)
+          .takeWhile(_.hasMoreElements).map(_.nextElement()).toList
+        assert(got.map(_.getName) == List("big/a.bin", "big/b.txt"))
+        for ((ze, (_, payload, _)) <- got.zip(zip64Entries)) {
+          assert(ze.getSize == payload.length,
+            s"${ze.getName}: JDK read size ${ze.getSize}")
+          val in = zf.getInputStream(ze)
+          val data = in.readAllBytes(); in.close()
+          assert(data.toSeq == payload.toSeq, s"${ze.getName} payload")
+        }
+      } finally zf.close()
+    } finally { f.delete(); () }
+  }
+
+  test("zip64: torn locator / missing zip64 EOCD rejects, classic still works") {
+    val blob = Archive.encodeZip64(zip64Entries)
+    // overwrite the locator signature: the pinned EOCD now has no
+    // resolvable 64-bit record
+    val locAt = blob.length - 22 - 20
+    assert(blob(locAt) == 'P' && blob(locAt + 3) == 7)
+    val torn = blob.clone(); torn(locAt + 3) = 9
+    assert(Archive.zipEntries(torn).isEmpty)
+    // the classic writer's output still parses (no regression)
+    val classic = Archive.encodeZip(Seq(("c.txt", "hi".getBytes, false)))
+    assert(Archive.zipEntries(classic).exists(_.map(_.name) == Vector("c.txt")))
+  }
 }
