@@ -65,6 +65,7 @@ object SparkEntry {
     Id3.defs,
     Ebml.defs,
     ParquetFooter.defs,
+    Avi.defs,
     Latex.defs,
     TableText.defs,
     Chat.defs,

@@ -568,6 +568,27 @@ object Pixels {
       if (cells(cy * 8 + cx) > cells(((cy + 1) % 8) * 8 + cx)) '1' else '0'
     }.mkString
 
+  /** Integer 2×2 box downsample (floor average) — the thumbnail
+    * primitive. Requires even dims; exact integer math so the oracle
+    * replays it. */
+  def downsample2x(w: Int, h: Int, px: Array[Int]): (Int, Int, Array[Int]) = {
+    require(w % 2 == 0 && h % 2 == 0, s"even dims required: ${w}x$h")
+    val tw = w / 2; val th = h / 2
+    val out = new Array[Int](tw * th)
+    var ty = 0
+    while (ty < th) {
+      var tx = 0
+      while (tx < tw) {
+        val x = tx * 2; val y = ty * 2
+        out(ty * tw + tx) = (px(y * w + x) + px(y * w + x + 1) +
+          px((y + 1) * w + x) + px((y + 1) * w + x + 1)) / 4
+        tx += 1
+      }
+      ty += 1
+    }
+    (tw, th, out)
+  }
+
   // ------------------------------------------------------------------
   // queries
   // ------------------------------------------------------------------
@@ -975,6 +996,61 @@ object Pixels {
         FROM dims d
         JOIN sums s ON s.doc_id = d.doc_id
         JOIN gh ON gh.doc_id = d.doc_id
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // ----- thumbnail pipeline: decode → box downsample → re-encode ----
+    // The canonical multimodal preprocessing op, end to end through
+    // REAL bytes both ways: PNG decode, 2×2 integer box downsample,
+    // PNG RE-encode at the new dims, decode AGAIN and report the
+    // thumbnail's pixel sum — so the encoder is exercised at derived
+    // sizes and any drift between the two decode passes breaks the
+    // hash. The oracle replays the floor-average arithmetic per 2×2
+    // cell (compressed byte counts are deliberately NOT a column:
+    // deflate output is implementation-defined; pixels are the
+    // contract).
+    QueryDef(
+      "q347_thumbnail_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text").as[(Long, String)]
+          .map { case (id, text) =>
+            val w = (16 + (id % 6) * 8).toInt
+            val h = (16 + ((id * 7) % 6) * 8).toInt
+            val src = encodeGrayPng(w, h, q334Pixels(id, w, h),
+              text.getBytes("UTF-8"))
+            val out = for {
+              (dw, dh, px) <- decodeGrayPng(src)
+              (tw, th, tpx) = downsample2x(dw, dh, px)
+              thumb = encodeGrayPng(tw, th, tpx, Array.emptyByteArray)
+              (fw, fh, fpx) <- decodeGrayPng(thumb)
+            } yield (id, fw, fh, fpx.foldLeft(0L)(_ + _))
+            out.getOrElse((id, -1, -1, -1L))
+          }
+          .toDF("doc_id", "thumb_w", "thumb_h", "thumb_px_sum")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH dims AS (
+          SELECT doc_id,
+                 CAST(16 + (doc_id % 6) * 8 AS INT) AS w,
+                 CAST(16 + ((doc_id * 7) % 6) * 8 AS INT) AS h
+          FROM documents),
+        xs AS (SELECT doc_id, w, h,
+                      unnest(generate_series(0, w - 1)) AS x FROM dims),
+        pxy AS (SELECT doc_id, w, h, x,
+                       unnest(generate_series(0, h - 1)) AS y FROM xs),
+        px AS (SELECT doc_id, w, h, x, y,
+                      (doc_id * 31 + x * 7 + y * 13) % 256 AS p FROM pxy),
+        cells AS (
+          SELECT doc_id, w, h, SUM(p) // 4 AS cell
+          FROM px GROUP BY doc_id, w, h, x // 2, y // 2)
+        SELECT doc_id,
+               CAST(MAX(w) // 2 AS INT) AS thumb_w,
+               CAST(MAX(h) // 2 AS INT) AS thumb_h,
+               CAST(SUM(cell) AS BIGINT) AS thumb_px_sum
+        FROM cells
+        GROUP BY doc_id
+        ORDER BY doc_id"""))
   )
 }
