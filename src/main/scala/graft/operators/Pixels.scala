@@ -447,6 +447,212 @@ object Pixels {
     } catch { case _: Exception => None }
 
   // ------------------------------------------------------------------
+  // TIFF grayscale strip codec (uncompressed + PackBits)
+  // ------------------------------------------------------------------
+
+  /** PackBits compress (TIFF 6.0 §9): runs ≥3 become (257−n, byte),
+    * literals are chunked ≤128 with a count-1 prefix. */
+  def packBits(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length + 16)
+    var i = 0
+    while (i < data.length) {
+      // measure the run at i
+      var run = 1
+      while (i + run < data.length && run < 128 &&
+        data(i + run) == data(i)) run += 1
+      if (run >= 3) {
+        out.write(257 - run); out.write(data(i))
+        i += run
+      } else {
+        // literal: until the next ≥3 run or 128 bytes
+        var lit = run
+        while (i + lit < data.length && lit < 128 && {
+          var r = 1
+          while (i + lit + r < data.length && r < 3 &&
+            data(i + lit + r) == data(i + lit)) r += 1
+          r < 3
+        }) lit += 1
+        out.write(lit - 1)
+        out.write(data, i, lit)
+        i += lit
+      }
+    }
+    out.toByteArray
+  }
+
+  /** PackBits decompress; `expected` bounds the output. None on
+    * malformed or over/underrun streams. */
+  def unpackBits(data: Array[Byte], expected: Int): Option[Array[Byte]] =
+    try {
+      val out = new Array[Byte](expected)
+      var i = 0; var n = 0
+      while (i < data.length) {
+        val c = data(i).toInt; i += 1
+        if (c >= 0) { // literal of c+1 bytes
+          if (i + c + 1 > data.length || n + c + 1 > expected) return None
+          System.arraycopy(data, i, out, n, c + 1)
+          i += c + 1; n += c + 1
+        } else if (c != -128) { // run of 1-c copies
+          if (i >= data.length || n + (1 - c) > expected) return None
+          java.util.Arrays.fill(out, n, n + (1 - c), data(i))
+          i += 1; n += 1 - c
+        } // -128: noop per spec
+      }
+      if (n == expected) Some(out) else None
+    } catch { case _: Exception => None }
+
+  /** Byte-valid grayscale TIFF (little-endian): header, pixel strips
+    * (RowsPerStrip=16; uncompressed or PackBits), then the IFD with
+    * the baseline grayscale tag set. Strip arrays are stored
+    * out-of-line when they outgrow the 4-byte inline value slot. */
+  def encodeGrayTiff(width: Int, height: Int, pixels: Array[Int],
+      usePackBits: Boolean): Array[Byte] = {
+    require(pixels.length == width * height,
+      s"pixel buffer ${pixels.length} != ${width}x$height")
+    val rowsPerStrip = 16
+    val nStrips = (height + rowsPerStrip - 1) / rowsPerStrip
+    val strips = (0 until nStrips).map { s =>
+      val y0 = s * rowsPerStrip
+      val rows = math.min(rowsPerStrip, height - y0)
+      val raw = new Array[Byte](rows * width)
+      var i = 0
+      while (i < raw.length) {
+        raw(i) = pixels((y0 + i / width) * width + i % width).toByte
+        i += 1
+      }
+      if (usePackBits) packBits(raw) else raw
+    }
+    val out = new ByteArrayOutputStream(pixels.length + 256)
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
+    out.write('I'); out.write('I'); w16(42)
+    // layout: header(8) + strips + [strip arrays if out-of-line] + IFD
+    val stripOffsets = new Array[Long](nStrips)
+    var cursor = 8L
+    (0 until nStrips).foreach { s =>
+      stripOffsets(s) = cursor; cursor += strips(s).length
+    }
+    val arraysAt = cursor
+    val arrayBytes = if (nStrips > 1) nStrips * 8L else 0L // two LONG arrays
+    val ifdAt = arraysAt + arrayBytes
+    w32(ifdAt)
+    strips.foreach(st => out.write(st, 0, st.length))
+    if (nStrips > 1) {
+      stripOffsets.foreach(w32)
+      strips.foreach(st => w32(st.length.toLong))
+    }
+    val entries = Seq[(Int, Int, Long, Long)](
+      (256, 4, 1, width.toLong), // ImageWidth LONG
+      (257, 4, 1, height.toLong), // ImageLength
+      (258, 3, 1, 8L), // BitsPerSample SHORT
+      (259, 3, 1, if (usePackBits) 32773L else 1L), // Compression
+      (262, 3, 1, 1L), // Photometric: BlackIsZero
+      (273, 4, nStrips.toLong,
+        if (nStrips > 1) arraysAt else stripOffsets(0)), // StripOffsets
+      (277, 3, 1, 1L), // SamplesPerPixel
+      (278, 4, 1, rowsPerStrip.toLong), // RowsPerStrip
+      (279, 4, nStrips.toLong,
+        if (nStrips > 1) arraysAt + nStrips * 4L
+        else strips(0).length.toLong)) // StripByteCounts
+    w16(entries.size)
+    entries.foreach { case (tag, typ, cnt, value) =>
+      w16(tag); w16(typ); w32(cnt)
+      if (typ == 3 && cnt == 1) { w16(value.toInt); w16(0) }
+      else w32(value)
+    }
+    w32(0) // next IFD
+    out.toByteArray
+  }
+
+  /** Decode a grayscale 8-bit TIFF (II or MM): IFD walk, strip
+    * assembly, PackBits when tagged. Corrupt / unsupported → None. */
+  def decodeGrayTiff(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      if (bytes.length < 16) return None
+      val be = bytes(0) == 'M' && bytes(1) == 'M'
+      val le = bytes(0) == 'I' && bytes(1) == 'I'
+      if (!be && !le) return None
+      def u16(i: Long): Int =
+        if (be) ((bytes(i.toInt) & 0xff) << 8) | (bytes(i.toInt + 1) & 0xff)
+        else (bytes(i.toInt) & 0xff) | ((bytes(i.toInt + 1) & 0xff) << 8)
+      def u32(i: Long): Long =
+        if (be) (u16(i).toLong << 16) | u16(i + 2)
+        else u16(i).toLong | (u16(i + 2).toLong << 16)
+      if (u16(2) != 42) return None
+      val ifdAt = u32(4)
+      if (ifdAt + 2 > bytes.length) return None
+      val n = u16(ifdAt)
+      var w = -1; var h = -1; var bps = 8; var comp = 1
+      var rowsPerStrip = Long.MaxValue
+      var offCnt = 0L; var offAt = -1L; var offInline = -1L
+      var cntCnt = 0L; var cntAt = -1L; var cntInline = -1L
+      var photometric = 1
+      var e = 0
+      while (e < n) {
+        val at = ifdAt + 2 + e * 12
+        if (at + 12 > bytes.length) return None
+        val tag = u16(at); val typ = u16(at + 2); val cnt = u32(at + 4)
+        def scalar(): Long =
+          if (typ == 3) u16(at + 8).toLong else u32(at + 8)
+        tag match {
+          case 256 => w = scalar().toInt
+          case 257 => h = scalar().toInt
+          case 258 => bps = scalar().toInt
+          case 259 => comp = scalar().toInt
+          case 262 => photometric = scalar().toInt
+          case 273 =>
+            offCnt = cnt
+            if (cnt == 1) offInline = scalar() else offAt = u32(at + 8)
+          case 278 => rowsPerStrip = scalar()
+          case 279 =>
+            cntCnt = cnt
+            if (cnt == 1) cntInline = scalar() else cntAt = u32(at + 8)
+          case _ => () // hop
+        }
+        e += 1
+      }
+      if (w <= 0 || h <= 0 || bps != 8 || photometric > 1) return None
+      if (comp != 1 && comp != 32773) return None
+      if (offCnt != cntCnt || offCnt <= 0) return None
+      if (w.toLong * h > (1 << 26)) return None
+      val nStrips = offCnt.toInt
+      def arr(cntN: Int, inline: Long, atOff: Long): Array[Long] =
+        if (cntN == 1) Array(inline)
+        else Array.tabulate(cntN)(i => u32(atOff + i * 4L))
+      val offs = arr(nStrips, offInline, offAt)
+      val cnts = arr(nStrips, cntInline, cntAt)
+      val px = new Array[Int](w * h)
+      var y0 = 0
+      var s = 0
+      while (s < nStrips) {
+        val rows = math.min(
+          if (rowsPerStrip == Long.MaxValue) h.toLong else rowsPerStrip,
+          (h - y0).toLong).toInt
+        if (rows <= 0) return None
+        if (offs(s) < 0 || offs(s) + cnts(s) > bytes.length) return None
+        val rawLen = rows * w
+        val strip: Array[Byte] =
+          if (comp == 1) {
+            if (cnts(s) != rawLen) return None
+            java.util.Arrays.copyOfRange(bytes, offs(s).toInt,
+              (offs(s) + cnts(s)).toInt)
+          } else {
+            unpackBits(java.util.Arrays.copyOfRange(bytes, offs(s).toInt,
+              (offs(s) + cnts(s)).toInt), rawLen) match {
+              case Some(d) => d
+              case None => return None
+            }
+          }
+        var i = 0
+        while (i < rawLen) { px((y0 + i / w) * w + i % w) = strip(i) & 0xff; i += 1 }
+        y0 += rows
+        s += 1
+      }
+      if (y0 != h) return None
+      Some((w, h, px))
+    } catch { case _: Exception => None }
+
+  // ------------------------------------------------------------------
   // PGM (netpbm P5) codec — the third dispatcher branch
   // ------------------------------------------------------------------
 
@@ -510,6 +716,9 @@ object Pixels {
       decodeGrayGif(bytes).map { case (w, h, px) => ("gif", w, h, px) }
     else if (bytes(0) == 'P' && bytes(1) == '5')
       decodeGrayPgm(bytes).map { case (w, h, px) => ("pgm", w, h, px) }
+    else if ((bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == 42) ||
+      (bytes(0) == 'M' && bytes(1) == 'M' && bytes(3) == 42))
+      decodeGrayTiff(bytes).map { case (w, h, px) => ("tiff", w, h, px) }
     else None
 
   // ------------------------------------------------------------------
@@ -1051,6 +1260,78 @@ object Pixels {
                CAST(SUM(cell) AS BIGINT) AS thumb_px_sum
         FROM cells
         GROUP BY doc_id
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ----- REAL TIFF strip decode: IFD walk + PackBits ----------------
+    // q258's TIFF walk stops at tags; this reads the PIXELS: strip
+    // offsets/byte-counts arrays (inline when they fit the 4-byte
+    // slot, out-of-line otherwise — both shapes exercised since
+    // RowsPerStrip=16 makes taller fixtures multi-strip), PackBits
+    // decompression on odd docs, uncompressed on even, reassembled
+    // through the same perceptual-hash path and SQL replay.
+    QueryDef(
+      "q349_tiff_pixel_decode",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val w = (16 + (id * 7 % 6) * 8).toInt
+            val h = (16 + (id * 3 % 6) * 8).toInt
+            val px = Array.tabulate(w * h) { i =>
+              ((id * 23 + (i % w).toLong * 13 + (i / w).toLong * 3) % 256).toInt
+            }
+            val bytes = encodeGrayTiff(w, h, px, usePackBits = id % 2 == 1)
+            decodeGrayTiff(bytes) match {
+              case Some((dw, dh, dpx)) =>
+                val cells = cellGrid(dw, dh, dpx)
+                PngPixelRow(id, dw, dh, dpx.foldLeft(0L)(_ + _),
+                  aHash(cells), gHash(cells))
+              case None => PngPixelRow(id, -1, -1, -1L, "", "")
+            }
+          }.toDF().orderBy($"doc_id")
+      },
+      Some("""
+        WITH dims AS (
+          SELECT doc_id,
+                 CAST(16 + (doc_id * 7 % 6) * 8 AS INT) AS w,
+                 CAST(16 + (doc_id * 3 % 6) * 8 AS INT) AS h
+          FROM documents),
+        xs AS (SELECT doc_id, w, h,
+                      unnest(generate_series(0, w - 1)) AS x FROM dims),
+        pxy AS (SELECT doc_id, w, h, x,
+                       unnest(generate_series(0, h - 1)) AS y FROM xs),
+        px AS (SELECT doc_id, w, h, x, y,
+                      (doc_id * 23 + x * 13 + y * 3) % 256 AS p FROM pxy),
+        cells AS (
+          SELECT doc_id, w, h,
+                 (y // (h // 8)) * 8 + (x // (w // 8)) AS b,
+                 SUM(p) // ((w // 8) * (h // 8)) AS cell
+          FROM px
+          GROUP BY doc_id, w, h, (y // (h // 8)) * 8 + (x // (w // 8))),
+        means AS (SELECT doc_id, SUM(cell) // 64 AS mean
+                  FROM cells GROUP BY doc_id),
+        sums AS (SELECT doc_id, SUM(p) AS px_sum FROM px GROUP BY doc_id),
+        ah AS (
+          SELECT c.doc_id,
+                 string_agg(CASE WHEN c.cell > m.mean THEN '1' ELSE '0' END,
+                            '' ORDER BY c.b) AS ahash
+          FROM cells c JOIN means m ON m.doc_id = c.doc_id
+          GROUP BY c.doc_id),
+        gh AS (
+          SELECT c1.doc_id,
+                 string_agg(CASE WHEN c1.cell > c2.cell THEN '1' ELSE '0' END,
+                            '' ORDER BY c1.b) AS ghash
+          FROM cells c1 JOIN cells c2
+            ON c2.doc_id = c1.doc_id
+           AND c2.b = (c1.b // 8) * 8 + ((c1.b % 8) + 1) % 8
+          GROUP BY c1.doc_id)
+        SELECT d.doc_id, d.w AS width, d.h AS height,
+               CAST(s.px_sum AS BIGINT) AS px_sum, ah.ahash, gh.ghash
+        FROM dims d
+        JOIN sums s ON s.doc_id = d.doc_id
+        JOIN ah ON ah.doc_id = d.doc_id
+        JOIN gh ON gh.doc_id = d.doc_id
+        ORDER BY d.doc_id"""))
   )
 }
