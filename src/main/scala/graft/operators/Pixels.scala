@@ -798,6 +798,52 @@ object Pixels {
     (tw, th, out)
   }
 
+  /** Banded Hamming near-dup over GHashRow frames — the shared engine
+    * behind q335 (direct) and q350 (through the crawl layers).
+    *
+    * 8 bands × 16 bits over the 128-bit fingerprint (pigeonhole: ≤7
+    * flips leave ≥1 band exact, so banding loses no true pair).
+    * Hot-bucket cap (bc ≤ 32 via one window count — the image twin of
+    * the text family's df-cut q286): degenerate textures concentrate
+    * in a few band values whose buckets would emit C(|bucket|,2)
+    * near-identical pairs; a true near-dup still meets in a
+    * distinctive band. The banded frame is CACHED — both self-join
+    * sides read the pin, not two full decode→hash lineages (the q188
+    * multiply-consumed-frame pattern). Hamming is four codegen'd
+    * bit_count(xor) over packed 32-bit quarters carried as longs (int
+    * columns sign-extend through bit_count, +32 phantom distance),
+    * and the pair-dedup DISTINCT runs AFTER the ≤7 filter on the
+    * small true-pair set. */
+  private def nearDupPairs(hashes: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bands = hashes
+      .select(col("doc_id"), col("q0"), col("q1"), col("q2"), col("q3"),
+        explode(sequence(lit(0), lit(7))).as("band"),
+        col("ghash"))
+      .withColumn("bits", expr("substring(ghash, band * 16 + 1, 16)"))
+      .drop("ghash")
+    val kept = bands
+      .withColumn("bc", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bits"))))
+      .filter(col("bc") <= 32)
+      .drop("bc")
+      .cache()
+    kept.as("a").join(kept.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bits") === col("b.bits") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (bit_count(col("a.q0").bitwiseXOR(col("b.q0"))) +
+          bit_count(col("a.q1").bitwiseXOR(col("b.q1"))) +
+          bit_count(col("a.q2").bitwiseXOR(col("b.q2"))) +
+          bit_count(col("a.q3").bitwiseXOR(col("b.q3"))))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= 7)
+      .distinct()
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ------------------------------------------------------------------
   // queries
   // ------------------------------------------------------------------
@@ -960,48 +1006,7 @@ object Pixels {
             val (q0, q1, q2, q3) = packQuarters(fp)
             GHashRow(id, fp, q0, q1, q2, q3)
           }.toDF()
-        val bands = hashes
-          .select($"doc_id", $"q0", $"q1", $"q2", $"q3",
-            explode(sequence(lit(0), lit(7))).as("band"),
-            $"ghash")
-          .withColumn("bits", expr("substring(ghash, band * 16 + 1, 16)"))
-          .drop("ghash")
-        // hot-bucket cap — the image twin of the text family's df-cut
-        // (q286): degenerate textures (flat regions, monotone ramps)
-        // concentrate in a few band values whose buckets would emit
-        // C(|bucket|,2) near-identical pairs; a true near-dup pair
-        // still meets in a DISTINCTIVE band (its fingerprints agree on
-        // ≥1 of 8 bands, and the degenerate ones are exactly the
-        // shared-by-everyone values the cap removes). One window
-        // count, then the bucket join runs on bounded buckets only.
-        // cached: consumed by BOTH self-join sides — without the pin
-        // the whole PNG encode→decode→hash lineage and the window
-        // count run twice (the q188 multiply-consumed-frame pattern)
-        val kept = bands
-          .withColumn("bc", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy($"band", $"bits")))
-          .filter($"bc" <= 32)
-          .drop("bc")
-          .cache()
-        // hamming via packed 32-bit quarters: four codegen'd
-        // bit_count(xor) per band match instead of a 128-substring
-        // lambda — and the pair-dedup DISTINCT runs AFTER the ≤7
-        // filter, on the small true-pair set (multiplicity ≤ 8), not
-        // on the full candidate stream carrying two 128-char strings
-        kept.as("a").join(kept.as("b"),
-            col("a.band") === col("b.band") &&
-            col("a.bits") === col("b.bits") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-            (bit_count(col("a.q0").bitwiseXOR(col("b.q0"))) +
-              bit_count(col("a.q1").bitwiseXOR(col("b.q1"))) +
-              bit_count(col("a.q2").bitwiseXOR(col("b.q2"))) +
-              bit_count(col("a.q3").bitwiseXOR(col("b.q3"))))
-              .cast("int").as("hamming"))
-          .filter($"hamming" <= 7)
-          .distinct()
-          .orderBy($"id_a", $"id_b")
+        nearDupPairs(hashes)
       },
       Some("""
         WITH dims AS (
@@ -1332,6 +1337,108 @@ object Pixels {
         JOIN sums s ON s.doc_id = d.doc_id
         JOIN ah ON ah.doc_id = d.doc_id
         JOIN gh ON gh.doc_id = d.doc_id
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // ----- crawl → image near-dup, end to end --------------------------
+    // The composition a real crawl-curation pipeline runs: each doc is
+    // a .warc.gz member (gzip → WARC response record → image payload),
+    // the SAME q335 group pixels but each group member serialized in a
+    // DIFFERENT format (png/gif/pgm by member), so the near-dup pairs
+    // are found ACROSS FORMATS — gzip, WARC framing, and the magic
+    // dispatch must all be exactly transparent for the oracle (q335's
+    // replay, pixels-only) to hash green. Same banded engine as q335.
+    QueryDef(
+      "q350_crawl_image_near_dup",
+      (s, dir) => {
+        import s.implicits._
+        val hashes = Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val g = id / 4; val m = (id % 4).toInt
+            val w = (16 + (g % 6) * 8).toInt
+            val h = (16 + ((g * 7) % 6) * 8).toInt
+            val px = q335Pixels(id, w, h)
+            val img = (m % 3) match {
+              case 0 => encodeGrayPng(w, h, px, Array.emptyByteArray)
+              case 1 => encodeGrayGif(w, h, px, Array.emptyByteArray)
+              case _ => encodePgm(w, h, px, "")
+            }
+            val warc = Warc.encodeRecord("response",
+              Some(s"http://img.site${g % 50}.example/im$id"),
+              s"<urn:uuid:img-$id>", img)
+            val blob = Compression.encodeGzip(warc, mtime = 0L,
+              fname = None, fcomment = None)
+            val cells = (for {
+              bytes <- Compression.gunzip(blob)
+              rec <- Warc.parse(bytes).headOption
+              (_, dw, dh, p) <- decodeImage(rec.payload)
+            } yield cellGrid(dw, dh, p)).getOrElse(Array.fill(64)(-1))
+            val fp = gHash(cells) + gHashV(cells)
+            val (q0, q1, q2, q3) = packQuarters(fp)
+            GHashRow(id, fp, q0, q1, q2, q3)
+          }.toDF()
+        nearDupPairs(hashes)
+      },
+      Some("""
+        WITH dims AS (
+          SELECT doc_id, doc_id // 4 AS g,
+                 CAST(16 + ((doc_id // 4) % 6) * 8 AS INT) AS w,
+                 CAST(16 + (((doc_id // 4) * 7) % 6) * 8 AS INT) AS h
+          FROM documents),
+        xs AS (SELECT doc_id, g, w, h,
+                      unnest(generate_series(0, w - 1)) AS x FROM dims),
+        pxy AS (SELECT doc_id, g, w, h, x,
+                       unnest(generate_series(0, h - 1)) AS y FROM xs),
+        px AS (SELECT doc_id, w, h, x, y,
+                      (g * 37 + x * (3 + g % 41) + y * (5 + g % 43)
+                       + (x * y % (2 + g % 13)) * 7
+                       + CASE WHEN (x * 3 + y * 5) % 197 < doc_id % 4
+                              THEN 1 ELSE 0 END) % 256 AS p
+               FROM pxy),
+        cells AS (
+          SELECT doc_id,
+                 (y // (h // 8)) * 8 + (x // (w // 8)) AS b,
+                 SUM(p) // ((w // 8) * (h // 8)) AS cell
+          FROM px
+          GROUP BY doc_id, w, h, (y // (h // 8)) * 8 + (x // (w // 8))),
+        ghh AS (
+          SELECT c1.doc_id,
+                 string_agg(CASE WHEN c1.cell > c2.cell THEN '1' ELSE '0' END,
+                            '' ORDER BY c1.b) AS hh
+          FROM cells c1 JOIN cells c2
+            ON c2.doc_id = c1.doc_id
+           AND c2.b = (c1.b // 8) * 8 + ((c1.b % 8) + 1) % 8
+          GROUP BY c1.doc_id),
+        ghv AS (
+          SELECT c1.doc_id,
+                 string_agg(CASE WHEN c1.cell > c2.cell THEN '1' ELSE '0' END,
+                            '' ORDER BY c1.b) AS hv
+          FROM cells c1 JOIN cells c2
+            ON c2.doc_id = c1.doc_id
+           AND c2.b = (((c1.b // 8) + 1) % 8) * 8 + c1.b % 8
+          GROUP BY c1.doc_id),
+        gh AS (
+          SELECT ghh.doc_id, ghh.hh || ghv.hv AS ghash
+          FROM ghh JOIN ghv ON ghv.doc_id = ghh.doc_id),
+        bands AS (
+          SELECT doc_id, ghash, t.band,
+                 substring(ghash, t.band * 16 + 1, 16) AS bits
+          FROM gh, (SELECT unnest(generate_series(0, 7)) AS band) t),
+        kept AS (
+          SELECT doc_id, ghash, band, bits
+          FROM (SELECT *, COUNT(*) OVER (PARTITION BY band, bits) AS bc
+                FROM bands)
+          WHERE bc <= 32),
+        pairs AS (
+          SELECT DISTINCT id_a, id_b, hamming FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.ghash::BIT, b.ghash::BIT)) AS INT)
+                     AS hamming
+            FROM kept a JOIN kept b
+              ON a.band = b.band AND a.bits = b.bits
+             AND a.doc_id < b.doc_id)
+          WHERE hamming <= 7)
+        SELECT id_a, id_b, hamming FROM pairs
+        ORDER BY id_a, id_b"""))
   )
 }
