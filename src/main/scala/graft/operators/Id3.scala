@@ -38,9 +38,13 @@ object Id3 {
 
   /** Byte-valid ID3v2.3 or v2.4 tag: header with syncsafe total size,
     * text frames (encoding byte 0 = ISO-8859-1), `padding` zero bytes.
-    * The frame SIZE field follows the version's rule. */
+    * The frame SIZE field follows the version's rule. With `unsync`,
+    * the whole tag body is unsynchronised (v2.3 §5: every 0xFF gets a
+    * 0x00 inserted after it so no false MPEG sync survives; frame
+    * sizes describe the ORIGINAL bytes, the header size the escaped
+    * on-disk bytes) and header flag 0x80 is set. */
   def encodeId3(version: Int, frames: Seq[(String, String)],
-      padding: Int): Array[Byte] = {
+      padding: Int, unsync: Boolean = false): Array[Byte] = {
     require(version == 3 || version == 4, s"id3v2.$version unsupported")
     val body = new ByteArrayOutputStream(256)
     frames.foreach { case (fid, text) =>
@@ -58,11 +62,21 @@ object Id3 {
       body.write(payload, 0, payload.length)
     }
     (0 until padding).foreach(_ => body.write(0))
-    val bodyBytes = body.toByteArray
+    val rawBody = body.toByteArray
+    val bodyBytes =
+      if (!unsync) rawBody
+      else {
+        val esc = new ByteArrayOutputStream(rawBody.length + 16)
+        rawBody.foreach { b =>
+          esc.write(b.toInt)
+          if ((b & 0xff) == 0xff) esc.write(0)
+        }
+        esc.toByteArray
+      }
     val out = new ByteArrayOutputStream(bodyBytes.length + 10)
     out.write('I'); out.write('D'); out.write('3')
     out.write(version); out.write(0) // version, revision
-    out.write(0) // flags
+    out.write(if (unsync) 0x80 else 0) // flags
     out.write(syncsafe(bodyBytes.length), 0, 4)
     out.write(bodyBytes, 0, bodyBytes.length)
     out.toByteArray
@@ -81,30 +95,49 @@ object Id3 {
         bytes(2) != '3') return None
       val version = bytes(3) & 0xff
       if (version != 3 && version != 4) return None
-      if ((bytes(5) & 0x80) != 0) return None // unsynchronisation: out of scope
       val size = readSyncsafe(bytes, 6)
       if (10 + size > bytes.length) return None
-      var off = 10
-      val end = 10 + size
+      // v2.3 whole-tag unsynchronisation: drop the 0x00 inserted after
+      // every 0xFF before the frame walk (frame sizes describe the
+      // restored bytes; the header size described the on-disk bytes)
+      val unsync = (bytes(5) & 0x80) != 0
+      val (walkBytes, off0, end0) =
+        if (!unsync) (bytes, 10, 10 + size)
+        else {
+          val restored = new ByteArrayOutputStream(size)
+          var i = 10
+          while (i < 10 + size) {
+            val b = bytes(i)
+            restored.write(b.toInt)
+            if ((b & 0xff) == 0xff && i + 1 < 10 + size &&
+              bytes(i + 1) == 0) i += 1
+            i += 1
+          }
+          val r = restored.toByteArray
+          (r, 0, r.length)
+        }
+      var off = off0
+      val end = end0
+      val bytes2 = walkBytes
       val frames = Map.newBuilder[String, String]
       var done = false
       while (!done && off + 10 <= end) {
-        if (bytes(off) == 0) done = true // padding
+        if (bytes2(off) == 0) done = true // padding
         else {
-          val fid = new String(bytes, off, 4, "US-ASCII")
+          val fid = new String(bytes2, off, 4, "US-ASCII")
           if (!fid.forall(c => c.isUpper || c.isDigit)) return None
-          val fsize = if (version == 4) readSyncsafe(bytes, off + 4)
-          else readBe32(bytes, off + 4)
+          val fsize = if (version == 4) readSyncsafe(bytes2, off + 4)
+          else readBe32(bytes2, off + 4)
           if (fsize < 0 || off + 10 + fsize > end) return None
           if (fid.startsWith("T") && fsize >= 1) {
-            val enc = bytes(off + 10) & 0xff
+            val enc = bytes2(off + 10) & 0xff
             val charset = enc match {
               case 0 => "ISO-8859-1"
               case 3 => "UTF-8"
               case _ => null // UTF-16 variants hopped, not decoded
             }
             if (charset != null) {
-              val raw = new String(bytes, off + 11, fsize - 1, charset)
+              val raw = new String(bytes2, off + 11, fsize - 1, charset)
               // v2.4 allows a trailing NUL / multiple values; take first
               frames += fid -> raw.takeWhile(_ != '\u0000')
             }
@@ -179,6 +212,43 @@ object Id3 {
                     + (10 + 1 + 4)
                     + doc_id % 7 AS BIGINT) AS tag_bytes
         FROM base
+        ORDER BY doc_id""")),
+
+    // ----- ID3v2.3 unsynchronisation (real-world MP3s set flag 0x80) --
+    // The title embeds 'ÿ' (0xFF in ISO-8859-1), forcing a real escape
+    // byte into the tag body: on-disk bytes grow by one per 0xFF while
+    // frame sizes describe the RESTORED bytes — a parser that walks
+    // the escaped bytes directly misreads every field after the first
+    // ÿ. tag_bytes is the on-disk size, so the escape count is itself
+    // oracle-checked.
+    QueryDef(
+      "q352_id3_unsync_walk",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val frames = Seq(
+              "TIT2" -> s"Title ÿ$id",
+              "TPE1" -> s"Artist ${id % 50}")
+            val blob = encodeId3(3, frames, padding = 0, unsync = true)
+            parseId3(blob) match {
+              case Some(t) => (id, t.frames.getOrElse("TIT2", ""),
+                t.frames.getOrElse("TPE1", ""), t.tagBytes.toLong)
+              case None => (id, "", "", -1L)
+            }
+          }.toDF("doc_id", "title", "artist", "tag_bytes")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               'Title ' || chr(255) || CAST(doc_id AS VARCHAR) AS title,
+               'Artist ' || CAST(doc_id % 50 AS VARCHAR) AS artist,
+               CAST(10
+                    + (10 + 1 + 7 + length(CAST(doc_id AS VARCHAR)))
+                    + (10 + 1 + 7 + length(CAST(doc_id % 50 AS VARCHAR)))
+                    + 1 AS BIGINT) AS tag_bytes
+        FROM documents
         ORDER BY doc_id"""))
   )
 }

@@ -653,6 +653,83 @@ object Pixels {
     } catch { case _: Exception => None }
 
   // ------------------------------------------------------------------
+  // BMP 8-bit palette codec — bottom-up rows, 4-byte stride padding
+  // ------------------------------------------------------------------
+
+  /** Byte-valid 8-bit palette BMP (BITMAPINFOHEADER): grayscale
+    * palette (index == value), rows stored BOTTOM-UP with each row
+    * padded to a 4-byte stride — the two quirks that break naive
+    * writers. */
+  def encodeGrayBmp(width: Int, height: Int, pixels: Array[Int])
+      : Array[Byte] = {
+    require(pixels.length == width * height,
+      s"pixel buffer ${pixels.length} != ${width}x$height")
+    val stride = (width + 3) / 4 * 4
+    val dataSize = stride * height
+    val offBits = 14 + 40 + 256 * 4
+    val out = new ByteArrayOutputStream(offBits + dataSize)
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def u32(v: Int): Unit = { u16(v & 0xffff); u16((v >>> 16) & 0xffff) }
+    out.write('B'); out.write('M')
+    u32(offBits + dataSize); u32(0); u32(offBits)
+    u32(40); u32(width); u32(height) // positive height = bottom-up
+    u16(1); u16(8) // planes, bpp
+    u32(0); u32(dataSize) // BI_RGB, image size
+    u32(2835); u32(2835); u32(256); u32(0) // dpi, palette size, important
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); out.write(0); i += 1 }
+    var y = height - 1
+    while (y >= 0) { // bottom-up
+      var x = 0
+      while (x < width) { out.write(pixels(y * width + x) & 0xff); x += 1 }
+      while (x < stride) { out.write(0); x += 1 }
+      y -= 1
+    }
+    out.toByteArray
+  }
+
+  /** Decode an 8-bit palette BMP back to top-down pixels: header walk,
+    * palette lookup (blue channel; gray palettes have B=G=R), stride
+    * hop, bottom-up (positive height) AND top-down (negative height)
+    * row orders. Corrupt / other bit depths → None. */
+  def decodeGrayBmp(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+      def u16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+      def u32(i: Int): Int = u16(i) | (u16(i + 2) << 16)
+      val offBits = u32(10)
+      val hdrSize = u32(14)
+      if (hdrSize < 40) return None // BITMAPCOREHEADER out of contract
+      val w = u32(18)
+      val hRaw = u32(22)
+      val topDown = hRaw < 0
+      val h = math.abs(hRaw)
+      if (u16(26) != 1 || u16(28) != 8) return None // 8-bit palette only
+      if (u32(30) != 0) return None // BI_RGB only
+      var palSize = u32(46)
+      if (palSize == 0) palSize = 256
+      if (w <= 0 || h <= 0 || w.toLong * h > (1 << 26)) return None
+      val palAt = 14 + hdrSize
+      if (palAt + palSize * 4 > offBits) return None
+      val palette = Array.tabulate(palSize)(i => bytes(palAt + i * 4) & 0xff)
+      val stride = (w + 3) / 4 * 4
+      if (offBits.toLong + stride.toLong * h > bytes.length) return None
+      val px = new Array[Int](w * h)
+      var row = 0
+      while (row < h) {
+        val srcY = if (topDown) row else h - 1 - row
+        var x = 0
+        while (x < w) {
+          val idx = bytes(offBits + srcY * stride + x) & 0xff
+          px(row * w + x) = if (idx < palSize) palette(idx) else 0
+          x += 1
+        }
+        row += 1
+      }
+      Some((w, h, px))
+    } catch { case _: Exception => None }
+
+  // ------------------------------------------------------------------
   // PGM (netpbm P5) codec — the third dispatcher branch
   // ------------------------------------------------------------------
 
@@ -719,6 +796,8 @@ object Pixels {
     else if ((bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == 42) ||
       (bytes(0) == 'M' && bytes(1) == 'M' && bytes(3) == 42))
       decodeGrayTiff(bytes).map { case (w, h, px) => ("tiff", w, h, px) }
+    else if (bytes(0) == 'B' && bytes(1) == 'M')
+      decodeGrayBmp(bytes).map { case (w, h, px) => ("bmp", w, h, px) }
     else None
 
   // ------------------------------------------------------------------
@@ -1439,6 +1518,77 @@ object Pixels {
              AND a.doc_id < b.doc_id)
           WHERE hamming <= 7)
         SELECT id_a, id_b, hamming FROM pairs
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // ----- REAL BMP pixel decode: bottom-up rows + palette -------------
+    // The legacy raster format's two traps done right: rows stored
+    // BOTTOM-UP (decode must flip; a sum-only check would pass, the
+    // gHash rows would not) and palette indirection. The ramp is
+    // y-asymmetric so a flip mistake lands in ghash. Top-down
+    // (negative height) BMPs are exercised in PixelsSpec.
+    QueryDef(
+      "q351_bmp_pixel_decode",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val w = (16 + (id * 5 % 6) * 8).toInt
+            val h = (16 + (id % 6) * 8).toInt
+            val px = Array.tabulate(w * h) { i =>
+              ((id * 29 + (i % w).toLong * 3 + (i / w).toLong * 31) % 256).toInt
+            }
+            val bytes = encodeGrayBmp(w, h, px)
+            decodeGrayBmp(bytes) match {
+              case Some((dw, dh, dpx)) =>
+                val cells = cellGrid(dw, dh, dpx)
+                PngPixelRow(id, dw, dh, dpx.foldLeft(0L)(_ + _),
+                  aHash(cells), gHash(cells))
+              case None => PngPixelRow(id, -1, -1, -1L, "", "")
+            }
+          }.toDF().orderBy($"doc_id")
+      },
+      Some("""
+        WITH dims AS (
+          SELECT doc_id,
+                 CAST(16 + (doc_id * 5 % 6) * 8 AS INT) AS w,
+                 CAST(16 + (doc_id % 6) * 8 AS INT) AS h
+          FROM documents),
+        xs AS (SELECT doc_id, w, h,
+                      unnest(generate_series(0, w - 1)) AS x FROM dims),
+        pxy AS (SELECT doc_id, w, h, x,
+                       unnest(generate_series(0, h - 1)) AS y FROM xs),
+        px AS (SELECT doc_id, w, h, x, y,
+                      (doc_id * 29 + x * 3 + y * 31) % 256 AS p FROM pxy),
+        cells AS (
+          SELECT doc_id, w, h,
+                 (y // (h // 8)) * 8 + (x // (w // 8)) AS b,
+                 SUM(p) // ((w // 8) * (h // 8)) AS cell
+          FROM px
+          GROUP BY doc_id, w, h, (y // (h // 8)) * 8 + (x // (w // 8))),
+        means AS (SELECT doc_id, SUM(cell) // 64 AS mean
+                  FROM cells GROUP BY doc_id),
+        sums AS (SELECT doc_id, SUM(p) AS px_sum FROM px GROUP BY doc_id),
+        ah AS (
+          SELECT c.doc_id,
+                 string_agg(CASE WHEN c.cell > m.mean THEN '1' ELSE '0' END,
+                            '' ORDER BY c.b) AS ahash
+          FROM cells c JOIN means m ON m.doc_id = c.doc_id
+          GROUP BY c.doc_id),
+        gh AS (
+          SELECT c1.doc_id,
+                 string_agg(CASE WHEN c1.cell > c2.cell THEN '1' ELSE '0' END,
+                            '' ORDER BY c1.b) AS ghash
+          FROM cells c1 JOIN cells c2
+            ON c2.doc_id = c1.doc_id
+           AND c2.b = (c1.b // 8) * 8 + ((c1.b % 8) + 1) % 8
+          GROUP BY c1.doc_id)
+        SELECT d.doc_id, d.w AS width, d.h AS height,
+               CAST(s.px_sum AS BIGINT) AS px_sum, ah.ahash, gh.ghash
+        FROM dims d
+        JOIN sums s ON s.doc_id = d.doc_id
+        JOIN ah ON ah.doc_id = d.doc_id
+        JOIN gh ON gh.doc_id = d.doc_id
+        ORDER BY d.doc_id"""))
   )
 }

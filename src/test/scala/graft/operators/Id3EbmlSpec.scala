@@ -39,6 +39,20 @@ class Id3EbmlSpec extends AnyFunSuite {
     assert(Id3.parseId3(v2).isEmpty)
   }
 
+  test("v2.3 unsynchronisation: 0xFF escapes round trip") {
+    val f = Seq("TIT2" -> "yÿÿz", "TALB" -> "after the escapes")
+    val tag = Id3.encodeId3(3, f, padding = 0, unsync = true)
+    // on-disk body grew by one byte per 0xFF
+    val plain = Id3.encodeId3(3, f, padding = 0)
+    assert(tag.length == plain.length + 2)
+    val Some(t) = Id3.parseId3(tag)
+    assert(t.frames == f.toMap)
+    assert(t.tagBytes == tag.length)
+    // a parser ignoring the flag would misparse: the raw escaped body
+    // differs from the restored one
+    assert(!java.util.Arrays.equals(tag, plain))
+  }
+
   test("UTF-8 text frames decode (encoding byte 3)") {
     // hand-build one v2.4 frame with encoding 3
     val payload = Array[Byte](3) ++ "héllo".getBytes("UTF-8")
