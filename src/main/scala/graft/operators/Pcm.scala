@@ -172,6 +172,46 @@ object Pcm {
   final case class PcmStatsRow(doc_id: Long, n_samples: Int, peak: Int,
       sum_abs: Long, zero_crossings: Int, clip_count: Int)
 
+  final case class SegmentRow(doc_id: Long, n_segments: Int,
+      speech_samples: Int, longest_segment: Int, silence_samples: Int)
+
+  /** Silence-based utterance segmentation — the clip splitter every
+    * speech pipeline runs before transcription: a SILENCE RUN is ≥
+    * `minRun` consecutive samples with |s| < `threshold`; segments
+    * are the maximal spans between silence runs (quiet blips shorter
+    * than minRun stay inside their segment). Single pass. */
+  def segments(id: Long, samples: Array[Int], threshold: Int,
+      minRun: Int): SegmentRow = {
+    // pass 1: mark silence-run membership
+    val silent = new Array[Boolean](samples.length)
+    var i = 0
+    while (i < samples.length) {
+      if (math.abs(samples(i)) < threshold) {
+        var j = i
+        while (j < samples.length && math.abs(samples(j)) < threshold) j += 1
+        if (j - i >= minRun) java.util.Arrays.fill(silent, i, j, true)
+        i = j
+      } else i += 1
+    }
+    // pass 2: islands of non-silence
+    var nSeg = 0; var speech = 0; var longest = 0; var silence = 0
+    var run = 0
+    i = 0
+    while (i <= samples.length) {
+      if (i < samples.length && !silent(i)) run += 1
+      else {
+        if (run > 0) {
+          nSeg += 1; speech += run
+          if (run > longest) longest = run
+          run = 0
+        }
+        if (i < samples.length) silence += 1
+      }
+      i += 1
+    }
+    SegmentRow(id, nSeg, speech, longest, silence)
+  }
+
   /** Integer signal stats over a decoded sample stream. Zero crossings
     * are STRICT sign changes between adjacent samples (a zero sample
     * breaks the run, matching the lag-window oracle); clip threshold
@@ -289,6 +329,88 @@ object Pcm {
                  AS clip_count
         FROM lagd
         GROUP BY doc_id
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ----- silence segmentation: the utterance splitter ---------------
+    // Every third 50-sample stretch is near-silent (|s| ≤ 3); the loud
+    // ramp's own incidental sub-threshold samples form runs of at most
+    // ~7 (< minRun 25), so they must stay INSIDE their segment — a
+    // splitter that cuts on any quiet sample over-segments and fails
+    // the hash. The oracle is a pure gaps-and-islands replay: silence
+    // runs via t − row_number() grouping with a ≥25 count filter, then
+    // speech islands over what remains.
+    QueryDef(
+      "q353_silence_segmentation",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text").as[(Long, String)]
+          .map { case (id, text) =>
+            val n = (450 + id % 300).toInt
+            val samplesArr = Array.tabulate(n) { t =>
+              if ((t / 50) % 3 == 2) ((id + t) % 7).toInt - 3
+              else {
+                val v = ((id * 31 + t.toLong * 17) % 3001).toInt - 1500
+                v
+              }
+            }
+            val bytes = encodePcmWav(1, 16000, samplesArr,
+              text.getBytes("UTF-8"))
+            decodePcmWav(bytes) match {
+              case Some(a) => segments(id, a.samples, threshold = 50,
+                minRun = 25)
+              case None => SegmentRow(id, -1, -1, -1, -1)
+            }
+          }.toDF().orderBy($"doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, 450 + doc_id % 300 AS n FROM documents),
+        ts AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS t
+               FROM base),
+        sm AS (SELECT doc_id, t,
+                      CASE WHEN (t // 50) % 3 = 2
+                           THEN (doc_id + t) % 7 - 3
+                           ELSE (doc_id * 31 + t * 17) % 3001 - 1500
+                      END AS s
+               FROM ts),
+        quiet AS (SELECT doc_id, t,
+                         CASE WHEN ABS(s) < 50 THEN 1 ELSE 0 END AS q
+                  FROM sm),
+        runs AS (SELECT doc_id, t, q,
+                        t - ROW_NUMBER() OVER (PARTITION BY doc_id, q
+                                               ORDER BY t) AS grp
+                 FROM quiet),
+        -- silence runs: quiet groups of >= 25 samples
+        silranges AS (
+          SELECT doc_id, grp, COUNT(*) AS len
+          FROM runs WHERE q = 1
+          GROUP BY doc_id, grp
+          HAVING COUNT(*) >= 25),
+        marked AS (
+          SELECT r.doc_id, r.t,
+                 CASE WHEN r.q = 1 AND sr.grp IS NOT NULL
+                      THEN 1 ELSE 0 END AS silent
+          FROM runs r
+          LEFT JOIN silranges sr
+            ON sr.doc_id = r.doc_id AND sr.grp = r.grp AND r.q = 1),
+        speech AS (
+          SELECT doc_id, t,
+                 t - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY t) AS seg
+          FROM marked WHERE silent = 0),
+        segs AS (SELECT doc_id, seg, COUNT(*) AS len
+                 FROM speech GROUP BY doc_id, seg),
+        sil AS (SELECT doc_id, SUM(CASE WHEN silent = 1 THEN 1 ELSE 0 END)
+                       AS silence_samples
+                FROM marked GROUP BY doc_id)
+        SELECT g.doc_id,
+               CAST(COUNT(*) AS INT) AS n_segments,
+               CAST(SUM(g.len) AS INT) AS speech_samples,
+               CAST(MAX(g.len) AS INT) AS longest_segment,
+               CAST(MAX(sil.silence_samples) AS INT) AS silence_samples
+        FROM segs g JOIN sil ON sil.doc_id = g.doc_id
+        GROUP BY g.doc_id
+        ORDER BY g.doc_id"""))
   )
 }

@@ -67,6 +67,31 @@ class PcmSpec extends AnyFunSuite {
     assert(a.samples.length == 7)
   }
 
+  test("silence segmentation: runs under minRun stay inside segments") {
+    // loud(10) quiet(30: a real silence run) loud(5) quiet(3: a blip
+    // that must NOT split) loud(7)
+    val samples =
+      Array.fill(10)(500) ++ Array.fill(30)(2) ++ Array.fill(5)(-400) ++
+        Array.fill(3)(1) ++ Array.fill(7)(300)
+    val r = Pcm.segments(1L, samples, threshold = 50, minRun = 25)
+    assert(r.n_segments == 2)
+    assert(r.speech_samples == 10 + 5 + 3 + 7) // the blip stays speech
+    assert(r.longest_segment == 15) // 5 + 3 + 7
+    assert(r.silence_samples == 30)
+  }
+
+  test("silence segmentation edges: all-silent, all-loud, empty") {
+    assert(Pcm.segments(1L, Array.fill(40)(0), 50, 25) ==
+      Pcm.SegmentRow(1L, 0, 0, 0, 40))
+    assert(Pcm.segments(1L, Array.fill(40)(999), 50, 25) ==
+      Pcm.SegmentRow(1L, 1, 40, 40, 0))
+    assert(Pcm.segments(1L, Array.empty[Int], 50, 25) ==
+      Pcm.SegmentRow(1L, 0, 0, 0, 0))
+    // a quiet run of exactly minRun IS silence
+    assert(Pcm.segments(1L, Array.fill(25)(0) ++ Array.fill(5)(99), 50, 25)
+      == Pcm.SegmentRow(1L, 1, 5, 5, 25))
+  }
+
   test("stats: peak, abs sum, strict zero crossings, clip count") {
     val r = Pcm.stats(7L, Array(100, -100, 0, -50, 1950, -1899), clipAt = 1900)
     assert(r.n_samples == 6)
