@@ -274,6 +274,11 @@ object ParquetFooter {
         val part = new java.io.File(tmp).listFiles()
           .filter(f => f.getName.endsWith(".parquet")).head
         val meta = readFooter(part.getAbsolutePath).flatMap(parseFooter)
+        // fixture hygiene: the audit file is consumed; drop the dir
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(tmp))
         val rows = meta match {
           case Some(m) => Seq((m.version, m.numRows,
             m.leafColumns.sorted.mkString(","), m.rowsViaGroups,
