@@ -231,6 +231,18 @@ object Pcm {
     PcmStatsRow(id, samples.length, peak, sumAbs, cross, clip)
   }
 
+  /** 2:1 decimation with a pair box filter — the audio thumbnail:
+    * d(k) = (s(2k) + s(2k+1)) / 2 with TRUNCATING division (toward
+    * zero). Division convention measured, not assumed: DuckDB's `//`
+    * truncates on negatives (−5 // 2 = −2), same as Scala's `/` — an
+    * earlier floorDiv draft hash-mismatched the oracle on every
+    * negative odd pair sum. Requires an even sample count. */
+  def decimate2(samples: Array[Int]): Array[Int] = {
+    require(samples.length % 2 == 0, "decimate2 needs an even count")
+    Array.tabulate(samples.length / 2)(k =>
+      (samples(2 * k) + samples(2 * k + 1)) / 2)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ----- REAL PCM sample decode: WAV → samples → signal gates ------
@@ -411,6 +423,57 @@ object Pcm {
                CAST(MAX(sil.silence_samples) AS INT) AS silence_samples
         FROM segs g JOIN sil ON sil.doc_id = g.doc_id
         GROUP BY g.doc_id
-        ORDER BY g.doc_id"""))
+        ORDER BY g.doc_id""")),
+
+    // ----- 2:1 decimation: the audio resize, through real bytes -------
+    // Decode 16-bit WAV → pair box filter (truncating division, the
+    // measured DuckDB `//` convention — see `decimate2`) → re-encode
+    // the half-rate stream → decode AGAIN and report its gates, so
+    // the encoder runs at the derived rate and a division-convention
+    // slip on negative pairs lands in sum_abs.
+    QueryDef(
+      "q355_audio_decimation",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text").as[(Long, String)]
+          .map { case (id, text) =>
+            val n = 2 * (150 + id % 200).toInt
+            val samples = Array.tabulate(n)(t =>
+              ((id * 31 + t.toLong * 17) % 4001).toInt - 2000)
+            val wav = encodePcmWav(1, 16000, samples,
+              text.getBytes("UTF-8"))
+            val out = for {
+              a <- decodePcmWav(wav)
+              half = decimate2(a.samples)
+              wav2 = encodePcmWav(1, 8000, half, Array.emptyByteArray)
+              b <- decodePcmWav(wav2)
+            } yield stats(id, b.samples, clipAt = 1900)
+            out.getOrElse(PcmStatsRow(id, -1, -1, -1L, -1, -1))
+          }.toDF().orderBy($"doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, 2 * (150 + doc_id % 200) AS n FROM documents),
+        ts AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS t
+               FROM base),
+        sm AS (SELECT doc_id, t // 2 AS k,
+                      (doc_id * 31 + t * 17) % 4001 - 2000 AS s FROM ts),
+        dec AS (SELECT doc_id, k, SUM(s) // 2 AS d
+                FROM sm GROUP BY doc_id, k),
+        lagd AS (SELECT doc_id, d,
+                        lag(d) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+                 FROM dec)
+        SELECT doc_id,
+               CAST(COUNT(*) AS INT) AS n_samples,
+               CAST(MAX(ABS(d)) AS INT) AS peak,
+               CAST(SUM(ABS(d)) AS BIGINT) AS sum_abs,
+               CAST(SUM(CASE WHEN prev * d < 0 THEN 1 ELSE 0 END) AS INT)
+                 AS zero_crossings,
+               CAST(SUM(CASE WHEN ABS(d) >= 1900 THEN 1 ELSE 0 END) AS INT)
+                 AS clip_count
+        FROM lagd
+        GROUP BY doc_id
+        ORDER BY doc_id"""))
   )
 }

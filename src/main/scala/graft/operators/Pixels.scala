@@ -130,17 +130,21 @@ object Pixels {
     out.toByteArray
   }
 
-  /** Decode a grayscale 8-bit PNG back to pixels: verified chunk walk
-    * (length + CRC32 per chunk), multi-IDAT concatenation, zlib
-    * inflate, filter reversal per scanline. Corrupt / unsupported →
-    * None, never throw (the family's corrupt-blob posture). */
-  def decodeGrayPng(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+  /** Shared PNG decode core: verified chunk walk (length + CRC32 per
+    * chunk), multi-IDAT concatenation, zlib inflate, filter reversal
+    * per scanline at the color type's byte-per-pixel stride (PNG
+    * filters predict from the sample `bpp` bytes back, not one).
+    * Returns (w, h, colorType, SAMPLES — w·h·bpp bytes as ints).
+    * Contract: 8-bit, color types 0 (gray) and 2 (truecolor), no
+    * interlace. Corrupt / unsupported → None, never throw. */
+  private def decodePngSamples(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Array[Int])] =
     try {
       if (bytes.length < 8 + 25 + 12) return None
       var i = 0
       while (i < 8) { if (bytes(i) != PngSig(i)) return None; i += 1 }
       var off = 8
-      var w = -1; var h = -1
+      var w = -1; var h = -1; var color = -1
       val idat = new ByteArrayOutputStream(bytes.length)
       var done = false
       while (!done && off + 12 <= bytes.length) {
@@ -155,10 +159,9 @@ object Pixels {
             if (len != 13) return None
             w = be32(bytes, off + 8); h = be32(bytes, off + 12)
             val depth = bytes(off + 16) & 0xff
-            val color = bytes(off + 17) & 0xff
-            // this decoder's contract: 8-bit grayscale, no interlace
-            if (depth != 8 || color != 0 || (bytes(off + 20) & 0xff) != 0)
-              return None
+            color = bytes(off + 17) & 0xff
+            if (depth != 8 || (color != 0 && color != 2) ||
+              (bytes(off + 20) & 0xff) != 0) return None
           case "IDAT" => idat.write(bytes, off + 8, len)
           case "IEND" => done = true
           case _ => () // ancillary (tEXt, ...) — hop
@@ -166,7 +169,9 @@ object Pixels {
         off += 12 + len
       }
       if (!done || w <= 0 || h <= 0 || w.toLong * h > (1 << 26)) return None
-      val stride = w + 1
+      val bpp = if (color == 2) 3 else 1
+      val rowBytes = w * bpp
+      val stride = rowBytes + 1
       val raw = new Array[Byte](stride * h)
       val inf = new Inflater(false) // zlib wrapper, adler32-verified
       inf.setInput(idat.toByteArray)
@@ -183,16 +188,17 @@ object Pixels {
       }
       inf.end()
       if (got != raw.length) return None
-      val px = new Array[Int](w * h)
+      val px = new Array[Int](rowBytes * h)
       var y = 0
       while (y < h) {
         val f = raw(y * stride) & 0xff
         if (f > 4) return None
         var x = 0
-        while (x < w) {
-          val left = if (x > 0) px(y * w + x - 1) else 0
-          val up = if (y > 0) px((y - 1) * w + x) else 0
-          val ul = if (x > 0 && y > 0) px((y - 1) * w + x - 1) else 0
+        while (x < rowBytes) {
+          val left = if (x >= bpp) px(y * rowBytes + x - bpp) else 0
+          val up = if (y > 0) px((y - 1) * rowBytes + x) else 0
+          val ul = if (x >= bpp && y > 0) px((y - 1) * rowBytes + x - bpp)
+            else 0
           val pred = f match {
             case 0 => 0
             case 1 => left
@@ -200,13 +206,96 @@ object Pixels {
             case 3 => (left + up) / 2
             case _ => paeth(left, up, ul)
           }
-          px(y * w + x) = ((raw(y * stride + 1 + x) & 0xff) + pred) & 0xff
+          px(y * rowBytes + x) = ((raw(y * stride + 1 + x) & 0xff) + pred) & 0xff
           x += 1
         }
         y += 1
       }
-      Some((w, h, px))
+      Some((w, h, color, px))
     } catch { case _: Exception => None }
+
+  /** Decode a grayscale 8-bit PNG back to pixels (color type 0 ONLY —
+    * the original contract the gray fixture family pins). */
+  def decodeGrayPng(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    decodePngSamples(bytes) match {
+      case Some((w, h, 0, px)) => Some((w, h, px))
+      case _ => None
+    }
+
+  /** Decode a PNG — grayscale OR truecolor — to LUMA pixels: type 0
+    * passes through, type 2 converts per pixel with the integer
+    * BT.601-style weights (77·R + 151·G + 28·B) >> 8 (they sum to
+    * 256, so the conversion is exact integer math the oracle
+    * replays). The dominant web PNG type is truecolor; this is the
+    * path a perceptual-hash pipeline actually runs. */
+  def decodePngLuma(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    decodePngSamples(bytes).map {
+      case (w, h, 0, px) => (w, h, px)
+      case (w, h, _, s) =>
+        (w, h, Array.tabulate(w * h) { i =>
+          (77 * s(i * 3) + 151 * s(i * 3 + 1) + 28 * s(i * 3 + 2)) >> 8
+        })
+    }
+
+  /** Byte-valid truecolor PNG (color type 2): same chunk layout and
+    * filter cycling as the gray encoder, 3 samples per pixel with the
+    * spec's bpp-offset filter predictions. `rgb` is row-major
+    * 0xRRGGBB ints. */
+  def encodeRgbPng(width: Int, height: Int, rgb: Array[Int],
+      comment: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height,
+      s"pixel buffer ${rgb.length} != ${width}x$height")
+    val rowBytes = width * 3
+    val samples = new Array[Int](rowBytes * height)
+    var i = 0
+    while (i < rgb.length) {
+      samples(i * 3) = (rgb(i) >> 16) & 0xff
+      samples(i * 3 + 1) = (rgb(i) >> 8) & 0xff
+      samples(i * 3 + 2) = rgb(i) & 0xff
+      i += 1
+    }
+    val raw = new Array[Byte]((1 + rowBytes) * height)
+    var y = 0
+    while (y < height) {
+      val f = y % 5
+      raw(y * (rowBytes + 1)) = f.toByte
+      var x = 0
+      while (x < rowBytes) {
+        val cur = samples(y * rowBytes + x)
+        val left = if (x >= 3) samples(y * rowBytes + x - 3) else 0
+        val up = if (y > 0) samples((y - 1) * rowBytes + x) else 0
+        val ul = if (x >= 3 && y > 0) samples((y - 1) * rowBytes + x - 3)
+          else 0
+        val v = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case _ => cur - paeth(left, up, ul)
+        }
+        raw(y * (rowBytes + 1) + 1 + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new Deflater(Deflater.DEFAULT_COMPRESSION, false)
+    defl.setInput(raw); defl.finish()
+    val zout = new ByteArrayOutputStream(raw.length / 2 + 32)
+    val buf = new Array[Byte](4096)
+    while (!defl.finished()) zout.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val out = new ByteArrayOutputStream(zout.size() + comment.length + 96)
+    out.write(PngSig, 0, PngSig.length)
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
+    ihdr(8) = 8; ihdr(9) = 2 // 8-bit, truecolor
+    writeChunk(out, "IHDR", ihdr)
+    writeChunk(out, "tEXt", "Comment".getBytes("US-ASCII") ++
+      Array(0.toByte) ++ comment)
+    writeChunk(out, "IDAT", zout.toByteArray)
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
 
   // ------------------------------------------------------------------
   // GIF87a grayscale codec (8-bit palette, real LZW both directions)
@@ -875,6 +964,44 @@ object Pixels {
       ty += 1
     }
     (tw, th, out)
+  }
+
+  /** Constant-border trim — letterbox/pillarbox removal, the screenshot
+    * curation op: peel full rows/columns equal to the corner color from
+    * all four edges. Returns (x0, y0, croppedW, croppedH, cropped
+    * pixels); an entirely-constant image trims to nothing →
+    * (0,0,0,0,empty). */
+  def trimBorders(w: Int, h: Int, px: Array[Int])
+      : (Int, Int, Int, Int, Array[Int]) = {
+    val c = px(0)
+    def rowConst(y: Int): Boolean = {
+      var x = 0
+      while (x < w) { if (px(y * w + x) != c) return false; x += 1 }
+      true
+    }
+    def colConst(x: Int, y0: Int, y1: Int): Boolean = {
+      var y = y0
+      while (y < y1) { if (px(y * w + x) != c) return false; y += 1 }
+      true
+    }
+    var top = 0
+    while (top < h && rowConst(top)) top += 1
+    if (top == h) return (0, 0, 0, 0, Array.empty[Int])
+    var bottom = h
+    while (bottom > top && rowConst(bottom - 1)) bottom -= 1
+    var left = 0
+    while (left < w && colConst(left, top, bottom)) left += 1
+    var right = w
+    while (right > left && colConst(right - 1, top, bottom)) right -= 1
+    val tw = right - left; val th = bottom - top
+    val out = new Array[Int](tw * th)
+    var y = 0
+    while (y < th) {
+      var x = 0
+      while (x < tw) { out(y * tw + x) = px((top + y) * w + left + x); x += 1 }
+      y += 1
+    }
+    (left, top, tw, th, out)
   }
 
   /** Banded Hamming near-dup over GHashRow frames — the shared engine
@@ -1589,6 +1716,139 @@ object Pixels {
         JOIN sums s ON s.doc_id = d.doc_id
         JOIN ah ON ah.doc_id = d.doc_id
         JOIN gh ON gh.doc_id = d.doc_id
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // ----- truecolor PNG → luma: the dominant web PNG path ------------
+    // Color type 2 with per-channel ramps; the decoder unfilters at
+    // the 3-byte pixel stride (a bpp slip corrupts every row after
+    // the first filtered one) and converts through the exact integer
+    // luma weights. The oracle replays channels → luma → sum/hash.
+    QueryDef(
+      "q354_png_truecolor_luma",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text").as[(Long, String)]
+          .map { case (id, text) =>
+            val w = (16 + (id % 6) * 8).toInt
+            val h = (16 + (id * 5 % 6) * 8).toInt
+            val rgb = Array.tabulate(w * h) { i =>
+              val x = (i % w).toLong; val y = (i / w).toLong
+              val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+              val g = ((id * 17 + x * 3 + y * 5) % 256).toInt
+              val b = ((id * 23 + x * 11 + y * 2) % 256).toInt
+              (r << 16) | (g << 8) | b
+            }
+            val bytes = encodeRgbPng(w, h, rgb, text.getBytes("UTF-8"))
+            decodePngLuma(bytes) match {
+              case Some((dw, dh, px)) =>
+                val cells = cellGrid(dw, dh, px)
+                PngPixelRow(id, dw, dh, px.foldLeft(0L)(_ + _),
+                  aHash(cells), gHash(cells))
+              case None => PngPixelRow(id, -1, -1, -1L, "", "")
+            }
+          }.toDF().orderBy($"doc_id")
+      },
+      Some("""
+        WITH dims AS (
+          SELECT doc_id,
+                 CAST(16 + (doc_id % 6) * 8 AS INT) AS w,
+                 CAST(16 + (doc_id * 5 % 6) * 8 AS INT) AS h
+          FROM documents),
+        xs AS (SELECT doc_id, w, h,
+                      unnest(generate_series(0, w - 1)) AS x FROM dims),
+        pxy AS (SELECT doc_id, w, h, x,
+                       unnest(generate_series(0, h - 1)) AS y FROM xs),
+        px AS (SELECT doc_id, w, h, x, y,
+                      (77 * ((doc_id * 31 + x * 7 + y * 13) % 256)
+                       + 151 * ((doc_id * 17 + x * 3 + y * 5) % 256)
+                       + 28 * ((doc_id * 23 + x * 11 + y * 2) % 256))
+                      // 256 AS p
+               FROM pxy),
+        cells AS (
+          SELECT doc_id, w, h,
+                 (y // (h // 8)) * 8 + (x // (w // 8)) AS b,
+                 SUM(p) // ((w // 8) * (h // 8)) AS cell
+          FROM px
+          GROUP BY doc_id, w, h, (y // (h // 8)) * 8 + (x // (w // 8))),
+        means AS (SELECT doc_id, SUM(cell) // 64 AS mean
+                  FROM cells GROUP BY doc_id),
+        sums AS (SELECT doc_id, SUM(p) AS px_sum FROM px GROUP BY doc_id),
+        ah AS (
+          SELECT c.doc_id,
+                 string_agg(CASE WHEN c.cell > m.mean THEN '1' ELSE '0' END,
+                            '' ORDER BY c.b) AS ahash
+          FROM cells c JOIN means m ON m.doc_id = c.doc_id
+          GROUP BY c.doc_id),
+        gh AS (
+          SELECT c1.doc_id,
+                 string_agg(CASE WHEN c1.cell > c2.cell THEN '1' ELSE '0' END,
+                            '' ORDER BY c1.b) AS ghash
+          FROM cells c1 JOIN cells c2
+            ON c2.doc_id = c1.doc_id
+           AND c2.b = (c1.b // 8) * 8 + ((c1.b % 8) + 1) % 8
+          GROUP BY c1.doc_id)
+        SELECT d.doc_id, d.w AS width, d.h AS height,
+               CAST(s.px_sum AS BIGINT) AS px_sum, ah.ahash, gh.ghash
+        FROM dims d
+        JOIN sums s ON s.doc_id = d.doc_id
+        JOIN ah ON ah.doc_id = d.doc_id
+        JOIN gh ON gh.doc_id = d.doc_id
+        ORDER BY d.doc_id""")),
+
+    // ----- constant-border trim: letterbox removal ---------------------
+    // Borders of color 0 with four INDEPENDENT widths (top/bottom/
+    // left/right from different mods) around an inner ramp that never
+    // hits 0 — so the trim must stop exactly at the content edge on
+    // every side; a one-off lands in both the offsets and the sum.
+    QueryDef(
+      "q356_border_trim",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val bt = (id % 4).toInt; val bb = (id * 3 % 4).toInt
+            val bl = (id * 5 % 4).toInt; val br = (id * 7 % 4).toInt
+            val iw = (16 + (id % 5) * 4).toInt
+            val ih = (16 + (id * 3 % 5) * 4).toInt
+            val w = iw + bl + br; val h = ih + bt + bb
+            val px = Array.tabulate(w * h) { i =>
+              val x = i % w; val y = i / w
+              if (x < bl || x >= bl + iw || y < bt || y >= bt + ih) 0
+              else {
+                val ix = (x - bl).toLong; val iy = (y - bt).toLong
+                1 + ((id * 13 + ix * 7 + iy * 11) % 255).toInt
+              }
+            }
+            val (x0, y0, tw, th, crop) = trimBorders(w, h, px)
+            (id, x0, y0, tw, th, crop.foldLeft(0L)(_ + _))
+          }
+          .toDF("doc_id", "x0", "y0", "crop_w", "crop_h", "px_sum")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH dims AS (
+          SELECT doc_id,
+                 CAST(doc_id % 4 AS INT) AS bt,
+                 CAST(doc_id * 5 % 4 AS INT) AS bl,
+                 CAST(16 + (doc_id % 5) * 4 AS INT) AS iw,
+                 CAST(16 + (doc_id * 3 % 5) * 4 AS INT) AS ih
+          FROM documents),
+        xs AS (SELECT doc_id, bt, bl, iw, ih,
+                      unnest(generate_series(0, iw - 1)) AS ix FROM dims),
+        pxy AS (SELECT doc_id, bt, bl, iw, ih, ix,
+                       unnest(generate_series(0, ih - 1)) AS iy FROM xs),
+        inner_px AS (
+          SELECT doc_id, bt, bl, iw, ih,
+                 1 + (doc_id * 13 + ix * 7 + iy * 11) % 255 AS p
+          FROM pxy)
+        SELECT doc_id,
+               MAX(bl) AS x0, MAX(bt) AS y0,
+               MAX(iw) AS crop_w, MAX(ih) AS crop_h,
+               CAST(SUM(p) AS BIGINT) AS px_sum
+        FROM inner_px
+        GROUP BY doc_id
+        ORDER BY doc_id"""))
   )
 }

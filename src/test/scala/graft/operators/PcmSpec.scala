@@ -92,6 +92,15 @@ class PcmSpec extends AnyFunSuite {
       == Pcm.SegmentRow(1L, 1, 5, 5, 25))
   }
 
+  test("decimate2 truncates toward zero (the measured DuckDB // law)") {
+    // (-3 + -2) = -5: -5 / 2 truncates to -2 in BOTH engines (DuckDB
+    // -5 // 2 = -2, measured — not floor)
+    assert(Pcm.decimate2(Array(-3, -2)).toSeq == Seq(-2))
+    assert(Pcm.decimate2(Array(3, 2)).toSeq == Seq(2))
+    assert(Pcm.decimate2(Array(10, 20, -7, -8)).toSeq == Seq(15, -7))
+    assert(Pcm.decimate2(Array.empty[Int]).isEmpty)
+  }
+
   test("stats: peak, abs sum, strict zero crossings, clip count") {
     val r = Pcm.stats(7L, Array(100, -100, 0, -50, 1950, -1899), clipAt = 1900)
     assert(r.n_samples == 6)

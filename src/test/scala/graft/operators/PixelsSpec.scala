@@ -137,6 +137,48 @@ class PixelsSpec extends AnyFunSuite {
     assert(dw == 8 && dh == 8 && dpx.toSeq == small.toSeq)
   }
 
+  test("truecolor PNG: 3-byte filter stride round trip + exact luma") {
+    val (w, h) = (24, 10) // height 10 cycles all five filters twice
+    val rgb = Array.tabulate(w * h) { i =>
+      val r = (i * 7) % 256; val g = (i * 13) % 256; val b = (i * 29) % 256
+      (r << 16) | (g << 8) | b
+    }
+    val bytes = Pixels.encodeRgbPng(w, h, rgb, "c".getBytes)
+    val Some((dw, dh, luma)) = Pixels.decodePngLuma(bytes)
+    assert(dw == w && dh == h)
+    val expected = rgb.map { v =>
+      (77 * ((v >> 16) & 0xff) + 151 * ((v >> 8) & 0xff) + 28 * (v & 0xff)) >> 8
+    }
+    assert(luma.toSeq == expected.toSeq)
+    // the gray-only decoder must REJECT truecolor (its pinned contract)
+    assert(Pixels.decodeGrayPng(bytes).isEmpty)
+    // while the luma decoder passes gray through unchanged
+    val gray = Pixels.encodeGrayPng(8, 8, ramp(8, 8, 3), Array.empty)
+    assert(Pixels.decodePngLuma(gray).exists(_._3.toSeq == ramp(8, 8, 3).toSeq))
+  }
+
+  test("border trim stops exactly at content on all four sides") {
+    // 2 top, 1 bottom, 3 left, 0 right borders of 0 around a 4x3 ramp
+    val iw = 4; val ih = 3
+    val (bl, br, bt, bb) = (3, 0, 2, 1)
+    val w = iw + bl + br; val h = ih + bt + bb
+    val inner = Array.tabulate(iw * ih)(i => 1 + i)
+    val px = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      if (x < bl || x >= bl + iw || y < bt || y >= bt + ih) 0
+      else inner((y - bt) * iw + (x - bl))
+    }
+    val (x0, y0, tw, th, crop) = Pixels.trimBorders(w, h, px)
+    assert((x0, y0, tw, th) == (3, 2, 4, 3))
+    assert(crop.toSeq == inner.toSeq)
+    // all-constant image trims to nothing
+    assert(Pixels.trimBorders(4, 4, Array.fill(16)(9))._3 == 0)
+    // borderless image is untouched
+    val plain = ramp(8, 4, 5)
+    val r = Pixels.trimBorders(8, 4, plain)
+    assert((r._1, r._2, r._3, r._4) == (0, 0, 8, 4))
+  }
+
   // ---- TIFF -----------------------------------------------------------
 
   test("PackBits round trip: runs, literals, chunk boundaries") {
