@@ -66,6 +66,7 @@ object SparkEntry {
     Ebml.defs,
     ParquetFooter.defs,
     Avi.defs,
+    Jpeg.defs,
     Latex.defs,
     TableText.defs,
     Chat.defs,
