@@ -273,20 +273,25 @@ object Bench {
     }
     val envFactor = calibBest.map(b => calibStart / math.max(b, 1e-9))
     val nf = math.max(envFactor.getOrElse(1.0), 1.0)
-    // regression-CONFIRM pass (round-9): a flag candidate is >1.5x the
-    // history MEDIAN env-normalized and >1s absolute (the floor keeps
-    // sub-second jitter out). A candidate the stall-retry pass has not
-    // already re-measured gets ONE re-run with the min kept — run-order
-    // jitter the two-point calib cannot see (r8: 11/11 false positives
-    // vs best) dies here, while a genuine plan regression is slow on
-    // both passes and still trips.
+    // regression-CONFIRM pass (round-9; re-grounded round-13): a flag
+    // candidate is >1.5x the history MEDIAN env-normalized and >1s
+    // absolute (the floor keeps sub-second jitter out). Every candidate
+    // — including ones the stall-retry pass already re-measured — gets
+    // ONE confirm re-run, and the confirm is normalized by ITS OWN
+    // calibration probe run immediately before it. Round 12 showed why:
+    // the sandbox degrades in mid-run WINDOWS the two-point start/end
+    // calib cannot see, and a confirm retry executed inside the same
+    // window re-confirmed four pure-jitter flags (q170/q175/q177/q179,
+    // judge-refuted). A per-retry local env factor makes the confirm
+    // self-normalizing: a genuine plan regression is slow even against
+    // a degraded-local calibration; window noise inflates the local
+    // calib by the same factor and dies.
     // worst offenders first (v/median), so a 15-cap can never skip the
     // genuine 10x regression in favor of alphabetically-earlier jitter;
     // anything dropped by the cap is said out loud, not silently left
     // unconfirmed
     val allCandidates = results.filter { case (k, v, _) =>
-      med.get(k).exists(m => Bench.shouldFlag(v, nf, m)) &&
-        !retried.contains(k)
+      med.get(k).exists(m => Bench.shouldFlag(v, nf, m))
     }.sortBy { case (k, v, _) => -(v / med(k)) }
     val candidates = allCandidates.take(15)
     if (allCandidates.size > candidates.size)
@@ -294,12 +299,21 @@ object Bench {
         s"[bench] flag-retry cap dropped ${allCandidates.size - 15} " +
           s"lower-severity candidates (unconfirmed): " +
           allCandidates.drop(15).map(_._1).mkString(","))
+    // confirmed regressions: name -> (retry_sec, local_env_factor)
+    val confirmed = scala.collection.mutable.Map.empty[String, (Double, Double)]
     val resultsFinal = if (candidates.isEmpty) results else {
       System.gc(); Thread.sleep(1000)
+      val calibRef = calibBest.getOrElse(calibStart)
       val re = candidates.map { case (name, first, _) =>
+        val localCalib = calibrate()
+        val localNf = math.max(localCalib / math.max(calibRef, 1e-9), 1.0)
         val (total, stream) = runOne(name, SparkEntry.queries(name))
+        val trips = med.get(name)
+          .exists(m => Bench.shouldFlag(total, localNf, m))
         System.err.println(
-          f"[flag-retry] $name%-34s first=$first%7.2f retry=$total%7.2f")
+          f"[flag-retry] $name%-34s first=$first%7.2f retry=$total%7.2f " +
+            f"localNf=$localNf%5.2f ${if (trips) "CONFIRMED" else "cleared"}")
+        if (trips) confirmed(name) = (total, localNf)
         retried(name) = (first, total)
         name -> (total, stream)
       }.toMap
@@ -322,22 +336,23 @@ object Bench {
         ",\"setup_sec\":" + ms(math.max(0.0, v - s)) + "}"
     }.mkString("{", ",", "}")
     val total = resultsFinal.map(_._2).sum
-    val regressed = resultsFinal.flatMap { case (k, v, _) =>
-      med.get(k).collect {
-        case m if Bench.shouldFlag(v, nf, m) => (k, v, v / nf, m)
-      }
+    // REGRESSED = flagged on the first pass AND confirmed by the
+    // locally-calibrated retry. norm_sec uses the retry's LOCAL env
+    // factor — that is the number the confirm decision was made on.
+    val regressed = confirmed.toSeq.sortBy(_._1).map {
+      case (k, (v, localNf)) => (k, v, v / localNf, med(k), localNf)
     }
     if (regressed.nonEmpty) {
       System.err.println(
-        f"REGRESSED >1.5x vs BENCH_HISTORY median (env-normalized /$nf%.2f, retry-confirmed):")
-      regressed.foreach { case (k, v, n, m) =>
+        "REGRESSED >1.5x vs BENCH_HISTORY median (locally-calibrated retry-confirmed):")
+      regressed.foreach { case (k, v, n, m, lnf) =>
         System.err.println(
-          f"  $k%-8s ${v}%8.2fs raw ${n}%8.2fs norm  (median ${m}%.2fs, ${n / m}%.1fx)")
+          f"  $k%-8s ${v}%8.2fs raw ${n}%8.2fs norm (/$lnf%.2f)  (median ${m}%.2fs, ${n / m}%.1fx)")
       }
     }
-    val regJson = regressed.map { case (k, v, n, m) =>
+    val regJson = regressed.map { case (k, v, n, m, lnf) =>
       s"\"" + k + "\":{\"sec\":" + ms(v) + ",\"norm_sec\":" + ms(n) +
-        ",\"median_sec\":" + ms(m) + "}"
+        ",\"median_sec\":" + ms(m) + ",\"local_env_factor\":" + ms(lnf) + "}"
     }.mkString("{", ",", "}")
     val retryJson = retried.toSeq.sortBy(_._1).map { case (k, (f, r)) =>
       s"\"" + k + "\":{\"first_sec\":" + ms(f) + ",\"retry_sec\":" + ms(r) + "}"

@@ -328,8 +328,17 @@ object Archive {
       // At 100 TB, >4 GB shards make this the COMMON path, not the
       // exotic one.
       val loc = eocd - 20
-      if (loc < 0 || !(b(loc) == 'P' && b(loc + 1) == 'K' &&
-        b(loc + 2) == 6 && b(loc + 3) == 7)) return None
+      val hasLocator = loc >= 0 && b(loc) == 'P' && b(loc + 1) == 'K' &&
+        b(loc + 2) == 6 && b(loc + 3) == 7
+      if (!hasLocator) {
+        // APPNOTE makes the ZIP64 record authoritative only when the
+        // locator exists: a classic archive with exactly 65,535 entries
+        // is legal, so pinned-n alone falls back to the classic fields;
+        // a pinned size/offset with no locator is genuinely broken.
+        if (cdSize == 0xffffffffL || cdOff == 0xffffffffL) return None
+        if (n != u16le(b, eocd + 8)) return None // single-disk only
+        return zipCentral(b, eocd, n, cdSize, cdOff)
+      }
       if (u32le(b, loc + 16) != 1L) return None // single-disk only
       val z64 = u64le(b, loc + 8)
       if (z64 < 0 || z64 + 56 > loc) return None
@@ -341,6 +350,14 @@ object Archive {
       cdSize = u64le(b, z + 40)
       cdOff = u64le(b, z + 48)
     } else if (n != u16le(b, eocd + 8)) return None // single-disk only
+    zipCentral(b, eocd, n, cdSize, cdOff)
+  }
+
+  /** The central-directory walk shared by the classic and ZIP64 EOCD
+    * resolutions. */
+  private def zipCentral(b: Array[Byte], eocd: Int, n: Long,
+      cdSize: Long, cdOff0: Long): Option[Vector[ZipEntryMeta]] = {
+    val cdOff = cdOff0
     if (cdOff < 0 || cdSize < 0 || cdOff + cdSize > eocd) return None
     if (n < 0 || n > (1L << 22)) return None // hostile-count bound
     val out = Vector.newBuilder[ZipEntryMeta]

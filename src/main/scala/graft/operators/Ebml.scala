@@ -185,21 +185,26 @@ object Ebml {
         if (end > segEnd) return None
         if (id == IdInfo) {
           while (w.pos < end) {
-            val iid = w.readId(); val isz = w.readSize().toInt
-            if (isz < 0 || w.pos + isz > end) return None
+            // validate the Long BEFORE .toInt: a hostile 5-byte VINT
+            // like 2^32 would truncate to 0 and silently misparse
+            val iid = w.readId(); val iszL = w.readSize()
+            if (iszL < 0 || w.pos + iszL > end) return None
+            val isz = iszL.toInt
             if (iid == IdTimestampScale) tsScale = w.readUint(isz)
             else w.pos += isz
           }
         } else if (id == IdTracks) {
           while (w.pos < end) {
-            val tid = w.readId(); val tsz = w.readSize().toInt
+            val tid = w.readId(); val tszL = w.readSize()
+            if (tszL < 0 || w.pos + tszL > end) return None
+            val tsz = tszL.toInt
             val tEnd = w.pos + tsz
-            if (tsz < 0 || tEnd > end) return None
             if (tid == IdTrackEntry) {
               tracks += 1
               while (w.pos < tEnd) {
-                val eid = w.readId(); val esz = w.readSize().toInt
-                if (esz < 0 || w.pos + esz > tEnd) return None
+                val eid = w.readId(); val eszL = w.readSize()
+                if (eszL < 0 || w.pos + eszL > tEnd) return None
+                val esz = eszL.toInt
                 if (eid == IdTrackType) {
                   if (w.readUint(esz) == 1L) videoTracks += 1
                 } else if (eid == IdCodecId) {
@@ -211,8 +216,9 @@ object Ebml {
           }
         } else if (id == IdCluster) {
           while (w.pos < end) {
-            val cid = w.readId(); val csz = w.readSize().toInt
-            if (csz < 0 || w.pos + csz > end) return None
+            val cid = w.readId(); val cszL = w.readSize()
+            if (cszL < 0 || w.pos + cszL > end) return None
+            val csz = cszL.toInt
             if (cid == IdSimpleBlock) { blocks += 1; blockBytes += csz }
             w.pos += csz
           }

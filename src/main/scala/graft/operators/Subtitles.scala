@@ -27,8 +27,11 @@ object Subtitles {
 
   final case class Cue(index: Int, startMs: Long, endMs: Long, text: String)
 
+  // hours group is (\d{2,}): SRT has no day field, so long media (and
+  // the q342 fixture's doc_id-derived times past ~sf7) legitimately
+  // carry 3+ hour digits; common SRT tooling accepts them
   private val SrtTime =
-    """(\d{2}):(\d{2}):(\d{2})[,.](\d{3})""".r
+    """(\d{2,}):(\d{2}):(\d{2})[,.](\d{3})""".r
 
   private def parseSrtTime(s: String): Option[Long] = s.trim match {
     case SrtTime(h, m, sec, ms) =>

@@ -304,6 +304,17 @@ class ArchiveSpec extends SparkSpec {
     } finally { f.delete(); () }
   }
 
+  test("zip64: classic 65,535-entry archive (pinned n, no locator) falls back") {
+    // APPNOTE pins the ZIP64 record as authoritative only when the
+    // locator EXISTS: a classic archive with exactly 0xFFFF entries is
+    // legal and must parse through the classic EOCD fields
+    val blob = Archive.encodeZip(
+      (0 until 65535).map(i => (f"e$i%05d", Array.empty[Byte], false)))
+    val Some(es) = Archive.zipEntries(blob)
+    assert(es.size == 65535)
+    assert(es.head.name == "e00000" && es.last.name == "e65534")
+  }
+
   test("zip64: torn locator / missing zip64 EOCD rejects, classic still works") {
     val blob = Archive.encodeZip64(zip64Entries)
     // overwrite the locator signature: the pinned EOCD now has no
