@@ -130,23 +130,34 @@ object Pixels {
     out.toByteArray
   }
 
+  // Adam7 pass geometry (RFC 2083 §2.6): origin and step per pass
+  private val A7xStart = Array(0, 4, 0, 2, 0, 1, 0)
+  private val A7xStep = Array(8, 8, 4, 4, 2, 2, 1)
+  private val A7yStart = Array(0, 0, 4, 0, 2, 0, 1)
+  private val A7yStep = Array(8, 8, 8, 4, 4, 2, 2)
+
   /** Shared PNG decode core: verified chunk walk (length + CRC32 per
     * chunk), multi-IDAT concatenation, zlib inflate, filter reversal
     * per scanline at the color type's byte-per-pixel stride (PNG
-    * filters predict from the sample `bpp` bytes back, not one).
-    * Returns (w, h, colorType, SAMPLES — w·h·bpp bytes as ints —
-    * and the PLTE palette as 0xRRGGBB ints, empty unless type 3).
-    * Contract: 8-bit, color types 0 (gray), 2 (truecolor) and 3
-    * (palette, which must carry a PLTE), no interlace. Corrupt /
-    * unsupported → None, never throw. */
+    * filters predict from the sample `bpp` bytes back, not one), and
+    * Adam7 de-interlacing (each reduced image filters its OWN
+    * scanlines at its own width; empty passes contribute no bytes).
+    * Returns (w, h, colorType, bitDepth, SAMPLES, palette): samples
+    * are w·h·spp ints 0–255 for depth 8 (spp = 3 for truecolor), or
+    * w·h ints 0–65535 for depth-16 grayscale; palette is 0xRRGGBB,
+    * empty unless type 3.
+    * Contract: 8-bit color types 0 (gray), 2 (truecolor), 3 (palette,
+    * which must carry a PLTE) plus 16-bit type 0, interlace methods 0
+    * and 1 (Adam7). Corrupt / unsupported → None, never throw. */
   private def decodePngSamples(bytes: Array[Byte])
-      : Option[(Int, Int, Int, Array[Int], Array[Int])] =
+      : Option[(Int, Int, Int, Int, Array[Int], Array[Int])] =
     try {
       if (bytes.length < 8 + 25 + 12) return None
       var i = 0
       while (i < 8) { if (bytes(i) != PngSig(i)) return None; i += 1 }
       var off = 8
-      var w = -1; var h = -1; var color = -1
+      var w = -1; var h = -1; var color = -1; var depth = -1
+      var interlace = -1
       var palette = Array.empty[Int]
       val idat = new ByteArrayOutputStream(bytes.length)
       var done = false
@@ -161,10 +172,12 @@ object Pixels {
           case "IHDR" =>
             if (len != 13) return None
             w = be32(bytes, off + 8); h = be32(bytes, off + 12)
-            val depth = bytes(off + 16) & 0xff
+            depth = bytes(off + 16) & 0xff
             color = bytes(off + 17) & 0xff
-            if (depth != 8 || (color != 0 && color != 2 && color != 3) ||
-              (bytes(off + 20) & 0xff) != 0) return None
+            interlace = bytes(off + 20) & 0xff
+            val depthOk = depth == 8 && (color == 0 || color == 2 ||
+              color == 3) || depth == 16 && color == 0
+            if (!depthOk || interlace > 1) return None
           case "PLTE" =>
             if (len % 3 != 0 || len > 768) return None
             palette = Array.tabulate(len / 3)(p =>
@@ -179,10 +192,23 @@ object Pixels {
       }
       if (!done || w <= 0 || h <= 0 || w.toLong * h > (1 << 26)) return None
       if (color == 3 && palette.isEmpty) return None // PLTE is mandatory
-      val bpp = if (color == 2) 3 else 1
-      val rowBytes = w * bpp
-      val stride = rowBytes + 1
-      val raw = new Array[Byte](stride * h)
+      val spp = if (color == 2) 3 else 1
+      val bpp = spp * (depth / 8) // filter stride in BYTES
+      // pass table: a non-interlaced image is one full-geometry pass
+      val passes: Array[(Int, Int, Int, Int)] =
+        if (interlace == 0) Array((0, 1, 0, 1))
+        else Array.tabulate(7)(p =>
+          (A7xStart(p), A7xStep(p), A7yStart(p), A7yStep(p)))
+      def passW(p: (Int, Int, Int, Int)): Int =
+        if (w <= p._1) 0 else (w - p._1 + p._2 - 1) / p._2
+      def passH(p: (Int, Int, Int, Int)): Int =
+        if (h <= p._3) 0 else (h - p._3 + p._4 - 1) / p._4
+      var total = 0
+      passes.foreach { p =>
+        val pw = passW(p); val ph = passH(p)
+        if (pw > 0 && ph > 0) total += ph * (pw * bpp + 1)
+      }
+      val raw = new Array[Byte](total)
       val inf = new Inflater(false) // zlib wrapper, adler32-verified
       inf.setInput(idat.toByteArray)
       var got = 0
@@ -198,37 +224,69 @@ object Pixels {
       }
       inf.end()
       if (got != raw.length) return None
-      val px = new Array[Int](rowBytes * h)
-      var y = 0
-      while (y < h) {
-        val f = raw(y * stride) & 0xff
-        if (f > 4) return None
-        var x = 0
-        while (x < rowBytes) {
-          val left = if (x >= bpp) px(y * rowBytes + x - bpp) else 0
-          val up = if (y > 0) px((y - 1) * rowBytes + x) else 0
-          val ul = if (x >= bpp && y > 0) px((y - 1) * rowBytes + x - bpp)
-            else 0
-          val pred = f match {
-            case 0 => 0
-            case 1 => left
-            case 2 => up
-            case 3 => (left + up) / 2
-            case _ => paeth(left, up, ul)
+      val out = new Array[Int](w * h * (if (depth == 8) spp else 1))
+      var roff = 0
+      passes.foreach { case p @ (xs, xStep, ys, yStep) =>
+        val pw = passW(p); val ph = passH(p)
+        if (pw > 0 && ph > 0) {
+          val rowBytes = pw * bpp
+          var prior = new Array[Int](rowBytes)
+          var cur = new Array[Int](rowBytes)
+          var j = 0
+          while (j < ph) {
+            val f = raw(roff) & 0xff
+            if (f > 4) return None
+            roff += 1
+            var x = 0
+            while (x < rowBytes) {
+              val left = if (x >= bpp) cur(x - bpp) else 0
+              val up = if (j > 0) prior(x) else 0
+              val ul = if (x >= bpp && j > 0) prior(x - bpp) else 0
+              val pred = f match {
+                case 0 => 0
+                case 1 => left
+                case 2 => up
+                case 3 => (left + up) / 2
+                case _ => paeth(left, up, ul)
+              }
+              cur(x) = ((raw(roff + x) & 0xff) + pred) & 0xff
+              x += 1
+            }
+            roff += rowBytes
+            val py = ys + j * yStep
+            var k = 0
+            while (k < pw) {
+              val px = xs + k * xStep
+              if (depth == 8) {
+                var c = 0
+                while (c < spp) {
+                  out((py * w + px) * spp + c) = cur(k * bpp + c)
+                  c += 1
+                }
+              } else out(py * w + px) = (cur(k * 2) << 8) | cur(k * 2 + 1)
+              k += 1
+            }
+            val t = prior; prior = cur; cur = t
+            j += 1
           }
-          px(y * rowBytes + x) = ((raw(y * stride + 1 + x) & 0xff) + pred) & 0xff
-          x += 1
         }
-        y += 1
       }
-      Some((w, h, color, px, palette))
+      Some((w, h, color, depth, out, palette))
     } catch { case _: Exception => None }
 
   /** Decode a grayscale 8-bit PNG back to pixels (color type 0 ONLY —
     * the original contract the gray fixture family pins). */
   def decodeGrayPng(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
     decodePngSamples(bytes) match {
-      case Some((w, h, 0, px, _)) => Some((w, h, px))
+      case Some((w, h, 0, 8, px, _)) => Some((w, h, px))
+      case _ => None
+    }
+
+  /** Decode a 16-bit grayscale PNG: values 0–65535, big-endian sample
+    * pairs, filters applied at the 2-byte stride (RFC 2083 §6.2). */
+  def decodeGray16Png(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    decodePngSamples(bytes) match {
+      case Some((w, h, 0, 16, px, _)) => Some((w, h, px))
       case _ => None
     }
 
@@ -243,12 +301,14 @@ object Pixels {
     * Out-of-palette indices → None (a corrupt stream, not a 0). */
   def decodePngLuma(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
     decodePngSamples(bytes).flatMap {
-      case (w, h, 0, px, _) => Some((w, h, px))
-      case (w, h, 2, s, _) =>
+      case (w, h, 0, 8, px, _) => Some((w, h, px))
+      case (w, h, 0, _, px, _) => // 16-bit gray: high byte is the luma
+        Some((w, h, px.map(_ >> 8)))
+      case (w, h, 2, _, s, _) =>
         Some((w, h, Array.tabulate(w * h) { i =>
           rgbLuma(s(i * 3), s(i * 3 + 1), s(i * 3 + 2))
         }))
-      case (w, h, _, idx, pal) =>
+      case (w, h, _, _, idx, pal) =>
         if (idx.exists(_ >= pal.length)) None
         else Some((w, h, idx.map { i =>
           val c = pal(i)
@@ -2020,6 +2080,158 @@ object Pixels {
         JOIN sums s ON s.doc_id = d.doc_id
         JOIN ah ON ah.doc_id = d.doc_id
         JOIN gh ON gh.doc_id = d.doc_id
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // ----- Adam7 interlaced PNG decode ---------------------------------
+    // The remaining real-world PNG population: the JDK's PNG writer
+    // (a foreign interlaced encoder) emits the seven-pass layout —
+    // each reduced image filters its OWN scanlines at its own width —
+    // over gray (even ids) and truecolor (odd ids) content at dims
+    // small enough that several passes are EMPTY. PNG is lossless, so
+    // the oracle replays pixel formula → luma → sum exactly; a pass-
+    // geometry or per-pass filter slip lands in every sum.
+    QueryDef(
+      "q361_png_interlaced_decode",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val w = (3 + id % 30).toInt
+            val h = (3 + (id * 5) % 28).toInt
+            val img =
+              if (id % 2 == 0) {
+                val g = new java.awt.image.BufferedImage(w, h,
+                  java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+                var i = 0
+                while (i < w * h) {
+                  g.getRaster.setSample(i % w, i / w, 0,
+                    ((id * 31 + (i % w) * 7 + (i / w) * 13) % 256).toInt)
+                  i += 1
+                }
+                g
+              } else {
+                val c = new java.awt.image.BufferedImage(w, h,
+                  java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+                var i = 0
+                while (i < w * h) {
+                  val x = i % w; val y = i / w
+                  val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+                  val g = ((id * 17 + x * 11 + y * 5) % 256).toInt
+                  val b = ((id * 23 + x * 3 + y * 19) % 256).toInt
+                  c.setRGB(x, y, (r << 16) | (g << 8) | b)
+                  i += 1
+                }
+                c
+              }
+            val blob = encodePngImageIO(img, interlaced = true)
+            val interlaced = (blob(28) & 0xff) == 1 // IHDR interlace byte
+            decodePngLuma(blob) match {
+              case Some((dw, dh, px)) =>
+                (id, dw, dh, interlaced, px.foldLeft(0L)(_ + _))
+              case None => (id, -1, -1, interlaced, -1L)
+            }
+          }
+          .toDF("doc_id", "width", "height", "interlaced", "luma_sum")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH dims AS (
+          SELECT doc_id,
+                 CAST(3 + doc_id % 30 AS INT) AS w,
+                 CAST(3 + (doc_id * 5) % 28 AS INT) AS h
+          FROM documents),
+        xs AS (SELECT doc_id, w, h,
+                      unnest(generate_series(0, w - 1)) AS x FROM dims),
+        pxy AS (SELECT doc_id, w, h, x,
+                       unnest(generate_series(0, h - 1)) AS y FROM xs),
+        px AS (
+          SELECT doc_id, w, h,
+                 CASE WHEN doc_id % 2 = 0
+                   THEN (doc_id * 31 + x * 7 + y * 13) % 256
+                   ELSE (77 * ((doc_id * 31 + x * 7 + y * 13) % 256)
+                       + 151 * ((doc_id * 17 + x * 11 + y * 5) % 256)
+                       + 28 * ((doc_id * 23 + x * 3 + y * 19) % 256)) // 256
+                 END AS p
+          FROM pxy)
+        SELECT doc_id, MAX(w) AS width, MAX(h) AS height,
+               TRUE AS interlaced,
+               CAST(SUM(p) AS BIGINT) AS luma_sum
+        FROM px
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    // ----- 16-bit grayscale PNG decode ---------------------------------
+    // Depth-16 type 0: big-endian sample pairs, filters at the 2-byte
+    // stride; odd ids additionally interlace, so both features compose
+    // through the same pass machinery. Values span the full 0–65535
+    // range — a byte-order or stride slip lands in the sum at scale
+    // 256, not 1. Encoder is the JDK's (foreign); lossless → the
+    // oracle replays the sample formula exactly.
+    QueryDef(
+      "q362_png_gray16_decode",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val w = (5 + id % 20).toInt
+            val h = (5 + (id * 3) % 18).toInt
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+            var i = 0
+            while (i < w * h) {
+              img.getRaster.setSample(i % w, i / w, 0,
+                ((id * 4099 + (i % w) * 257 + (i / w) * 769) % 65536).toInt)
+              i += 1
+            }
+            val blob = encodePngImageIO(img, interlaced = id % 2 == 1)
+            decodeGray16Png(blob) match {
+              case Some((dw, dh, px)) =>
+                (id, dw, dh, (blob(24) & 0xff) == 16,
+                  px.foldLeft(0L)(_ + _))
+              case None => (id, -1, -1, false, -1L)
+            }
+          }
+          .toDF("doc_id", "width", "height", "depth16", "px_sum")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH dims AS (
+          SELECT doc_id,
+                 CAST(5 + doc_id % 20 AS INT) AS w,
+                 CAST(5 + (doc_id * 3) % 18 AS INT) AS h
+          FROM documents),
+        xs AS (SELECT doc_id, w, h,
+                      unnest(generate_series(0, w - 1)) AS x FROM dims),
+        pxy AS (SELECT doc_id, w, h, x,
+                       unnest(generate_series(0, h - 1)) AS y FROM xs)
+        SELECT doc_id, MAX(w) AS width, MAX(h) AS height,
+               TRUE AS depth16,
+               CAST(SUM((doc_id * 4099 + x * 257 + y * 769) % 65536)
+                 AS BIGINT) AS px_sum
+        FROM pxy
+        GROUP BY doc_id
+        ORDER BY doc_id"""))
   )
+
+  /** Encode through the JDK's ImageIO PNG writer — a FOREIGN encoder
+    * for the interlaced/16-bit decode queries (progressive mode =
+    * Adam7; the image type picks gray8/gray16/truecolor). */
+  def encodePngImageIO(img: java.awt.image.BufferedImage,
+      interlaced: Boolean): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+    val writer = ImageIO.getImageWritersByFormatName("png").next()
+    try {
+      val param = writer.getDefaultWriteParam
+      if (interlaced) param.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+      else param.setProgressiveMode(ImageWriteParam.MODE_DISABLED)
+      val bos = new ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new IIOImage(img, null, null), param)
+      ios.close()
+      bos.toByteArray
+    } finally writer.dispose()
+  }
 }

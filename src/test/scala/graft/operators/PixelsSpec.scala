@@ -330,4 +330,83 @@ class PixelsSpec extends AnyFunSuite {
         assert(a.zip(b).count { case (x, y) => x != y } <= 7)
     }
   }
+
+  // ---- Adam7 interlace + 16-bit gray (round 13) ----------------------
+
+  private def imageioPng(img: java.awt.image.BufferedImage,
+      interlaced: Boolean): Array[Byte] =
+    Pixels.encodePngImageIO(img, interlaced)
+
+  test("Adam7: interlaced gray from ImageIO decodes pixel-exact") {
+    for ((w, h) <- Seq((21, 13), (8, 8), (16, 9))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (i <- 0 until w * h)
+        img.getRaster.setSample(i % w, i / w, 0, (i * 37) % 256)
+      val blob = imageioPng(img, interlaced = true)
+      assert((blob(28) & 0xff) == 1, "fixture must really interlace")
+      val Some((dw, dh, px)) = Pixels.decodeGrayPng(blob)
+      assert(dw == w && dh == h)
+      for (i <- 0 until w * h) assert(px(i) == (i * 37) % 256, s"px $i")
+    }
+  }
+
+  test("Adam7: tiny dims leave passes EMPTY and still decode") {
+    // w or h below a pass origin (x>=4, y>=4, ...) skips that pass
+    // entirely — no filter byte, no scanline bytes
+    for ((w, h) <- Seq((1, 1), (2, 3), (3, 2), (4, 4), (5, 1), (1, 7))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (i <- 0 until w * h)
+        img.getRaster.setSample(i % w, i / w, 0, (i * 97 + 5) % 256)
+      val Some((dw, dh, px)) = Pixels.decodeGrayPng(imageioPng(img, true))
+      assert(dw == w && dh == h)
+      for (i <- 0 until w * h) assert(px(i) == (i * 97 + 5) % 256)
+    }
+  }
+
+  test("Adam7: interlaced truecolor filters at the 3-byte stride per pass") {
+    val (w, h) = (19, 11)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y,
+        (((x * 7 + y) % 256) << 16) | (((x + y * 5) % 256) << 8) |
+          ((x * 3 + y * 11) % 256))
+    val Some((dw, dh, px)) = Pixels.decodePngLuma(imageioPng(img, true))
+    assert(dw == w && dh == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val expect = (77 * ((x * 7 + y) % 256) + 151 * ((x + y * 5) % 256) +
+        28 * ((x * 3 + y * 11) % 256)) >> 8
+      assert(px(y * w + x) == expect, s"($x,$y)")
+    }
+  }
+
+  test("16-bit gray: big-endian pairs, 2-byte filter stride, both interlace modes") {
+    for (interlaced <- Seq(false, true)) {
+      val (w, h) = (17, 9)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, (x * 4099 + y * 769 + 3) % 65536)
+      val blob = imageioPng(img, interlaced)
+      assert((blob(24) & 0xff) == 16, "fixture must really be 16-bit")
+      val Some((dw, dh, px)) = Pixels.decodeGray16Png(blob)
+      assert(dw == w && dh == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(px(y * w + x) == (x * 4099 + y * 769 + 3) % 65536)
+      // the 8-bit gray surface must NOT accept a 16-bit stream
+      assert(Pixels.decodeGrayPng(blob).isEmpty)
+      // ...but the luma surface scales it by the high byte
+      val Some((_, _, luma)) = Pixels.decodePngLuma(blob)
+      assert(luma(0) == ((3 % 65536) >> 8))
+    }
+  }
+
+  test("16-bit surface rejects 8-bit streams and corrupt depth") {
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val blob = imageioPng(img, interlaced = false)
+    assert(Pixels.decodeGray16Png(blob).isEmpty)
+  }
 }
