@@ -177,6 +177,71 @@ object Flac {
   private def zigzag(r: Long): Long = if (r >= 0) r << 1 else (-r << 1) - 1
   private def unzigzag(u: Long): Long = if ((u & 1) == 0) u >> 1 else -((u + 1) >> 1)
 
+  /** Rice-code residuals into `sub`: parameter fitted from the mean
+    * zigzag magnitude (4-bit method, partition order 0), escaping to
+    * raw two's-complement fixed width when the unary quotients would
+    * outgrow parameter 14 (spike-over-silence frames). */
+  private def writeResiduals(sub: BitWriter, res: Array[Long]): Unit = {
+    val zz = res.map(zigzag)
+    val mean = if (zz.isEmpty) 0L else zz.sum / math.max(1, zz.length)
+    var p = 0
+    while (p < 14 && (mean >> p) > 0) p += 1
+    val maxZz = if (zz.isEmpty) 0L else zz.max
+    sub.writeBits(0, 2) // residual method: 4-bit rice
+    sub.writeBits(0, 4) // partition order 0: one partition
+    if ((maxZz >> p) > (1 << 10)) {
+      val width = res.map { v =>
+        65 - java.lang.Long.numberOfLeadingZeros(if (v >= 0) v else ~v)
+      }.max.min(31)
+      sub.writeBits(0xf, 4); sub.writeBits(width, 5)
+      res.foreach(v => sub.writeBits(v & ((1L << width) - 1), width))
+    } else {
+      sub.writeBits(p, 4)
+      zz.foreach { u =>
+        sub.writeUnary((u >> p).toInt)
+        if (p > 0) sub.writeBits(u & ((1L << p) - 1), p)
+      }
+    }
+  }
+
+  private def mask(v: Int, w: Int): Long = v.toLong & ((1L << w) - 1)
+
+  /** LPC prediction of sample i: 64-bit dot product over the `ord`
+    * previous samples, arithmetic-shifted right (RFC 9639 §9.2.6). */
+  private def lpcPredict(s: Array[Int], i: Int, coefs: Array[Int],
+      shift: Int): Long = {
+    var acc = 0L
+    var j = 0
+    while (j < coefs.length) { acc += coefs(j).toLong * s(i - 1 - j); j += 1 }
+    acc >> shift
+  }
+
+  /** Write one LPC subframe: warmup at `bps`, coefficient precision /
+    * shift / quantized coefficients, then Rice residuals. */
+  private def writeSubframeLpc(sub: BitWriter, block: Array[Int], bps: Int,
+      coefs: Array[Int], shift: Int, prec: Int): Unit = {
+    val ord = coefs.length
+    sub.writeBits(0, 1); sub.writeBits(32 | (ord - 1), 6); sub.writeBits(0, 1)
+    var i = 0
+    while (i < ord) { sub.writeBits(mask(block(i), bps), bps); i += 1 }
+    sub.writeBits(prec - 1, 4)
+    sub.writeBits(shift, 5)
+    coefs.foreach(c => sub.writeBits(mask(c, prec), prec))
+    val res = Array.tabulate(block.length - ord)(j =>
+      block(ord + j).toLong - lpcPredict(block, ord + j, coefs, shift))
+    writeResiduals(sub, res)
+  }
+
+  /** Write one FIXED subframe (order capped by warmup availability). */
+  private def writeSubframeFixed(sub: BitWriter, block: Array[Int], bps: Int,
+      k: Int): Unit = {
+    sub.writeBits(0, 1); sub.writeBits(8 | k, 6); sub.writeBits(0, 1)
+    var i = 0
+    while (i < k) { sub.writeBits(mask(block(i), bps), bps); i += 1 }
+    writeResiduals(sub,
+      Array.tabulate(block.length - k)(j => fixedResidual(block, k + j, k)))
+  }
+
   /** Encode mono 16-bit samples as a byte-valid FLAC subset stream:
     * fLaC magic, STREAMINFO (incl. real MD5 of the raw LE sample
     * bytes), frames of `blockSize` with the uncommon-blocksize header
@@ -235,37 +300,106 @@ object Flac {
         block.foreach(s => sub.writeBits(s & 0xffffL, 16))
       } else { // FIXED order
         val k = math.min((frameIdx % 5).toInt, n - 1)
-        sub.writeBits(0, 1); sub.writeBits(8 | k, 6); sub.writeBits(0, 1)
-        var i = 0
-        while (i < k) { sub.writeBits(block(i) & 0xffffL, 16); i += 1 }
-        val res = Array.tabulate(n - k)(j => fixedResidual(block, k + j, k))
-        // rice fit: parameter from the mean zigzag magnitude
-        val zz = res.map(zigzag)
-        val mean = if (zz.isEmpty) 0L else zz.sum / math.max(1, zz.length)
-        var p = 0
-        while (p < 14 && (mean >> p) > 0) p += 1
-        val maxZz = if (zz.isEmpty) 0L else zz.max
-        sub.writeBits(0, 2) // residual method: 4-bit rice
-        sub.writeBits(0, 4) // partition order 0: one partition
-        if ((maxZz >> p) > (1 << 10)) {
-          // escape: raw fixed-width residuals in TWO'S COMPLEMENT (the
-          // spec's unencoded form — not zigzag), param 1111 + 5-bit
-          // width; engaged when the unary quotients would outgrow the
-          // fitted parameter (spike-over-silence frames)
-          val width = res.map { v =>
-            65 - java.lang.Long.numberOfLeadingZeros(if (v >= 0) v else ~v)
-          }.max.min(31)
-          sub.writeBits(0xf, 4); sub.writeBits(width, 5)
-          res.foreach(v => sub.writeBits(v & ((1L << width) - 1), width))
-        } else {
-          sub.writeBits(p, 4)
-          zz.foreach { u =>
-            sub.writeUnary((u >> p).toInt)
-            if (p > 0) sub.writeBits(u & ((1L << p) - 1), p)
-          }
-        }
+        writeSubframeFixed(sub, block, 16, k)
       }
       val subBytes = sub.toBytes // zero-padded to byte alignment per spec
+      val frameBytes = withCrc8 ++ subBytes
+      val c16 = crc16(frameBytes, 0, frameBytes.length)
+      out.write(frameBytes, 0, frameBytes.length)
+      out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
+      off += n
+      frameIdx += 1
+    }
+    out.toByteArray
+  }
+
+  /** Encode STEREO 16-bit samples as a byte-valid FLAC stream
+    * exercising the other half of RFC 9639: per-frame channel modes
+    * cycling independent → left/side → right/side → mid/side (side
+    * channels carry bps+1 = 17 bits), and LPC subframes (order 2,
+    * precision 12, per-frame-varying quantized coefficients with a
+    * 10-bit shift) alternating with FIXED on the non-side channel.
+    * STREAMINFO MD5 covers the interleaved LE sample bytes, so the
+    * decoder's MD5 check seals decorrelation + LPC reconstruction. */
+  def encodeFlacStereo(left: Array[Int], right: Array[Int], blockSize: Int,
+      sampleRate: Int): Array[Byte] = {
+    require(left.length == right.length, "channel length mismatch")
+    require(blockSize >= 16 && blockSize <= 65535, s"bad block $blockSize")
+    (left ++ right).foreach(s =>
+      require(s >= -32768 && s <= 32767, s"s16 range: $s"))
+    val total = left.length
+    val out = new ByteArrayOutputStream(total * 2 + 256)
+    out.write("fLaC".getBytes("US-ASCII"), 0, 4)
+    val si = new BitWriter
+    si.writeBits(blockSize, 16); si.writeBits(blockSize, 16)
+    si.writeBits(0, 24); si.writeBits(0, 24)
+    si.writeBits(sampleRate, 20)
+    si.writeBits(1, 3) // channels - 1 = 1 (stereo)
+    si.writeBits(15, 5)
+    si.writeBits(total.toLong, 36)
+    val md = MessageDigest.getInstance("MD5")
+    var t = 0
+    while (t < total) { // interleaved L R, little-endian 16-bit
+      md.update(left(t).toByte); md.update((left(t) >> 8).toByte)
+      md.update(right(t).toByte); md.update((right(t) >> 8).toByte)
+      t += 1
+    }
+    md.digest().foreach(b => si.writeBits(b & 0xffL, 8))
+    val siBytes = si.toBytes
+    out.write(0x80)
+    out.write(0); out.write(0); out.write(siBytes.length)
+    out.write(siBytes, 0, siBytes.length)
+
+    var frameIdx = 0L
+    var off = 0
+    while (off < total) {
+      val n = math.min(blockSize, total - off)
+      val mode = (frameIdx % 4).toInt // 0 indep, 1 L/S, 2 R/S, 3 M/S
+      val chanBits = mode match {
+        case 0 => 0x1 // two independent channels
+        case 1 => 0x8 // left/side
+        case 2 => 0x9 // right/side
+        case _ => 0xa // mid/side
+      }
+      val frame = new BitWriter
+      frame.writeBits(0xfff8L, 16)
+      frame.writeBits(0x7, 4) // blocksize: 16-bit at end of header
+      frame.writeBits(0x0, 4)
+      frame.writeBits(chanBits, 4)
+      frame.writeBits(0x4, 3) // 16-bit
+      frame.writeBits(0, 1)
+      writeUtf8Number(frame, frameIdx)
+      frame.writeBits(n - 1, 16)
+      val headerBytes = frame.toBytes
+      val withCrc8 = headerBytes :+
+        crc8(headerBytes, 0, headerBytes.length).toByte
+
+      val l = java.util.Arrays.copyOfRange(left, off, off + n)
+      val r = java.util.Arrays.copyOfRange(right, off, off + n)
+      val side = Array.tabulate(n)(i => l(i) - r(i)) // 17-bit range
+      val mid = Array.tabulate(n)(i => (l(i) + r(i)) >> 1)
+      val (ch0, bps0, ch1, bps1) = mode match {
+        case 0 => (l, 16, r, 16)
+        case 1 => (l, 16, side, 17)
+        case 2 => (side, 17, r, 16)
+        case _ => (mid, 16, side, 17)
+      }
+      val sub = new BitWriter
+      Seq((ch0, bps0), (ch1, bps1)).zipWithIndex.foreach {
+        case ((ch, bps), slot) =>
+          // LPC on slot 0 of even frames (order 2, varying coefs);
+          // FIXED order cycling elsewhere — both paths per stream
+          if (slot == 0 && frameIdx % 2 == 0 && n > 2) {
+            val c0 = 900 + (frameIdx * 97 % 600).toInt
+            val c1 = -(300 + (frameIdx * 53 % 500).toInt)
+            writeSubframeLpc(sub, ch, bps, Array(c0, c1), shift = 10,
+              prec = 12)
+          } else {
+            val k = math.min(((frameIdx + slot) % 5).toInt, n - 1)
+            writeSubframeFixed(sub, ch, bps, k)
+          }
+      }
+      val subBytes = sub.toBytes
       val frameBytes = withCrc8 ++ subBytes
       val c16 = crc16(frameBytes, 0, frameBytes.length)
       out.write(frameBytes, 0, frameBytes.length)
@@ -280,13 +414,106 @@ object Flac {
   // decode
   // ------------------------------------------------------------------
 
-  final case class FlacAudio(sampleRate: Int, samples: Array[Int],
-      frames: Int, md5Ok: Boolean)
+  final case class FlacAudio(sampleRate: Int, channels: Int,
+      samples: Array[Int], frames: Int, md5Ok: Boolean) {
+    /** Channel `c` de-interleaved. */
+    def channel(c: Int): Array[Int] =
+      Array.tabulate(samples.length / channels)(i =>
+        samples(i * channels + c))
+  }
 
-  /** Decode a mono 16-bit FLAC subset stream back to samples: verified
-    * STREAMINFO walk, per-frame CRC-8 + CRC-16, CONSTANT / VERBATIM /
-    * FIXED subframes, Rice + escape residuals, predictor
-    * reconstruction, final MD5 check. Corrupt / unsupported → None. */
+  private def sext(v: Long, w: Int): Int =
+    if (w > 0 && ((v >> (w - 1)) & 1L) == 1L) (v - (1L << w)).toInt
+    else v.toInt
+
+  /** Read one residual block (both Rice methods + the raw-width
+    * escape), returning the n-ord residual values (RFC 9639 §9.2.7). */
+  private def readResiduals(r: BitReader, n: Int, ord: Int): Array[Long] = {
+    val method = r.readBits(2).toInt
+    if (method > 1) throw new IllegalStateException("bad residual method")
+    val pBits = if (method == 0) 4 else 5
+    val escape = (1 << pBits) - 1
+    val partOrder = r.readBits(4).toInt
+    val nParts = 1 << partOrder
+    if (partOrder > 0 && (n % nParts != 0 || n / nParts <= ord))
+      throw new IllegalStateException("bad partition order")
+    val res = new Array[Long](n - ord)
+    var idx = 0
+    var part = 0
+    while (part < nParts) {
+      val count = (if (partOrder == 0) n else n / nParts) -
+        (if (part == 0) ord else 0)
+      val p = r.readBits(pBits).toInt
+      if (p == escape) {
+        val width = r.readBits(5).toInt // 0 = all-zero residuals
+        var j = 0
+        while (j < count) {
+          res(idx) = if (width == 0) 0L else sext(r.readBits(width), width)
+          idx += 1; j += 1
+        }
+      } else {
+        var j = 0
+        while (j < count) {
+          val q = r.readUnary().toLong
+          res(idx) = unzigzag((q << p) | (if (p > 0) r.readBits(p) else 0L))
+          idx += 1; j += 1
+        }
+      }
+      part += 1
+    }
+    res
+  }
+
+  /** Read one subframe at `bps` bits: CONSTANT / VERBATIM / FIXED
+    * orders 0–4 / LPC orders 1–32 with quantized-coefficient
+    * reconstruction (64-bit accumulator, arithmetic shift). */
+  private def readSubframe(r: BitReader, n: Int, bps: Int): Array[Int] = {
+    if (r.readBits(1) != 0) throw new IllegalStateException("pad bit")
+    val typ = r.readBits(6).toInt
+    if (r.readBits(1) != 0) // wasted bits unsupported
+      throw new IllegalStateException("wasted bits")
+    val block = new Array[Int](n)
+    if (typ == 0) { // CONSTANT
+      java.util.Arrays.fill(block, sext(r.readBits(bps), bps))
+    } else if (typ == 1) { // VERBATIM
+      var i = 0
+      while (i < n) { block(i) = sext(r.readBits(bps), bps); i += 1 }
+    } else if (typ >= 8 && typ <= 12) { // FIXED order 0-4
+      val k = typ - 8
+      if (k > n) throw new IllegalStateException("order > block")
+      var i = 0
+      while (i < k) { block(i) = sext(r.readBits(bps), bps); i += 1 }
+      val res = readResiduals(r, n, k)
+      i = k
+      while (i < n) { block(i) = fixedRestore(block, i, k, res(i - k)); i += 1 }
+    } else if (typ >= 32) { // LPC, order = typ - 31
+      val ord = typ - 31
+      if (ord > n) throw new IllegalStateException("order > block")
+      var i = 0
+      while (i < ord) { block(i) = sext(r.readBits(bps), bps); i += 1 }
+      val precM1 = r.readBits(4).toInt
+      if (precM1 == 15) throw new IllegalStateException("invalid precision")
+      val prec = precM1 + 1
+      val shift = r.readBits(5).toInt
+      if ((shift & 0x10) != 0) // 5-bit two's complement; negative invalid
+        throw new IllegalStateException("negative lpc shift")
+      val coefs = Array.fill(ord)(sext(r.readBits(prec), prec))
+      val res = readResiduals(r, n, ord)
+      i = ord
+      while (i < n) {
+        block(i) = (res(i - ord) + lpcPredict(block, i, coefs, shift)).toInt
+        i += 1
+      }
+    } else throw new IllegalStateException(s"reserved subframe type $typ")
+    block
+  }
+
+  /** Decode a 16-bit FLAC stream back to samples: verified STREAMINFO
+    * walk, per-frame CRC-8 + CRC-16, CONSTANT / VERBATIM / FIXED / LPC
+    * subframes, Rice + escape residuals, mono or stereo with all three
+    * decorrelation modes (left/side, right/side, mid/side — side
+    * channels at bps+1), final MD5 over the interleaved samples.
+    * Corrupt / unsupported → None. */
   def decodeFlac(bytes: Array[Byte]): Option[FlacAudio] =
     try {
       if (bytes.length < 4 + 4 + 34 + 2) return None
@@ -294,6 +521,7 @@ object Flac {
       // metadata blocks: walk until last-flag; need STREAMINFO first
       var off = 4
       var rate = -1; var totalSamples = -1L; var md5 = Array.empty[Byte]
+      var channels = -1
       var last = false
       var sawStreamInfo = false
       while (!last) {
@@ -309,9 +537,9 @@ object Flac {
           val r = new BitReader(bytes, off + 4)
           r.readBits(16); r.readBits(16); r.readBits(24); r.readBits(24)
           rate = r.readBits(20).toInt
-          val channels = r.readBits(3).toInt + 1
+          channels = r.readBits(3).toInt + 1
           val bps = r.readBits(5).toInt + 1
-          if (channels != 1 || bps != 16) return None // subset contract
+          if (channels > 2 || bps != 16) return None // subset contract
           totalSamples = r.readBits(36)
           md5 = Array.tabulate(16)(_ => r.readBits(8).toByte)
           sawStreamInfo = true
@@ -319,9 +547,9 @@ object Flac {
         off += 4 + len
       }
       if (!sawStreamInfo || totalSamples < 0 ||
-        totalSamples > (1L << 26)) return None
-      val samples = new Array[Int](totalSamples.toInt)
-      var got = 0
+        totalSamples * channels > (1L << 26)) return None
+      val samples = new Array[Int]((totalSamples * channels).toInt)
+      var got = 0L
       var frames = 0
       while (got < totalSamples) {
         val frameStart = off
@@ -334,7 +562,10 @@ object Flac {
         val chan = r.readBits(4).toInt
         val ssBits = r.readBits(3).toInt
         r.readBits(1)
-        if (chan != 0 || ssBits != 4) return None // mono 16-bit only
+        if (ssBits != 4) return None // 16-bit only
+        val frameChannels =
+          if (chan <= 7) chan + 1 else if (chan <= 10) 2 else return None
+        if (frameChannels != channels) return None
         readUtf8Number(r)
         val n = bsBits match {
           case 0x6 => r.readBits(8).toInt + 1
@@ -354,64 +585,39 @@ object Flac {
         if (got + n > totalSamples) return None
 
         val br = new BitReader(bytes, headerEnd + 1)
-        if (br.readBits(1) != 0) return None
-        val typ = br.readBits(6).toInt
-        if (br.readBits(1) != 0) return None // wasted bits unsupported
-        val block = new Array[Int](n)
-        if (typ == 0) { // CONSTANT
-          val v = br.readBits(16).toShort.toInt
-          java.util.Arrays.fill(block, v)
-        } else if (typ == 1) { // VERBATIM
-          var i = 0
-          while (i < n) { block(i) = br.readBits(16).toShort.toInt; i += 1 }
-        } else if (typ >= 8 && typ <= 12) { // FIXED order 0-4
-          val k = typ - 8
-          if (k > n) return None
-          var i = 0
-          while (i < k) { block(i) = br.readBits(16).toShort.toInt; i += 1 }
-          val method = br.readBits(2).toInt
-          if (method > 1) return None
-          val pBits = if (method == 0) 4 else 5
-          val escape = (1 << pBits) - 1
-          val partOrder = br.readBits(4).toInt
-          val nParts = 1 << partOrder
-          if (partOrder > 0 && (n % nParts != 0 || n / nParts <= k))
-            return None
-          var idx = k
-          var part = 0
-          while (part < nParts) {
-            val count = (if (partOrder == 0) n else n / nParts) -
-              (if (part == 0) k else 0)
-            val p = br.readBits(pBits).toInt
-            if (p == escape) {
-              val width = br.readBits(5).toInt // 0 = all-zero residuals
-              var j = 0
-              while (j < count) {
-                var v = if (width == 0) 0L else br.readBits(width)
-                if (width > 0 && (v >> (width - 1)) == 1)
-                  v -= 1L << width // sign-extend
-                block(idx) = fixedRestore(block, idx, k, v)
-                idx += 1; j += 1
-              }
-            } else {
-              var j = 0
-              while (j < count) {
-                val q = br.readUnary().toLong
-                val u = (q << p) | (if (p > 0) br.readBits(p) else 0L)
-                block(idx) = fixedRestore(block, idx, k, unzigzag(u))
-                idx += 1; j += 1
-              }
-            }
-            part += 1
+        if (channels == 1) {
+          val block = readSubframe(br, n, 16)
+          System.arraycopy(block, 0, samples, got.toInt, n)
+        } else {
+          // side channels carry one extra bit (RFC 9639 §9.1.3)
+          val (b0, b1) = chan match {
+            case 1 => (readSubframe(br, n, 16), readSubframe(br, n, 16))
+            case 8 => (readSubframe(br, n, 16), readSubframe(br, n, 17))
+            case 9 => (readSubframe(br, n, 17), readSubframe(br, n, 16))
+            case 10 => (readSubframe(br, n, 16), readSubframe(br, n, 17))
+            case _ => return None
           }
-        } else return None // LPC out of the subset contract
+          var i = 0
+          while (i < n) {
+            val (l, rr) = chan match {
+              case 1 => (b0(i), b1(i))
+              case 8 => (b0(i), b0(i) - b1(i)) // left/side
+              case 9 => (b1(i) + b0(i), b1(i)) // right/side
+              case _ => // mid/side: mid lost side's low bit to >>1
+                val m2 = (b0(i) << 1) | (b1(i) & 1)
+                ((m2 + b1(i)) >> 1, (m2 - b1(i)) >> 1)
+            }
+            val at = (got.toInt + i) * 2
+            samples(at) = l; samples(at + 1) = rr
+            i += 1
+          }
+        }
         br.alignByte()
         val bodyEnd = br.bytePos
         if (bodyEnd + 2 > bytes.length) return None
         val declared = ((bytes(bodyEnd) & 0xff) << 8) |
           (bytes(bodyEnd + 1) & 0xff)
         if (crc16(bytes, frameStart, bodyEnd) != declared) return None
-        System.arraycopy(block, 0, samples, got, n)
         got += n
         frames += 1
         off = bodyEnd + 2
@@ -421,7 +627,7 @@ object Flac {
       samples.foreach { s => md.update(s.toByte); md.update((s >> 8).toByte) }
       val md5Ok = java.util.Arrays.equals(md.digest(), md5)
       if (!md5Ok) return None
-      Some(FlacAudio(rate, samples, frames, md5Ok))
+      Some(FlacAudio(rate, channels, samples, frames, md5Ok))
     } catch { case _: Exception => None }
 
   // ------------------------------------------------------------------
@@ -486,6 +692,56 @@ object Flac {
                CAST(SUM(CASE WHEN prev * s < 0 THEN 1 ELSE 0 END) AS INT)
                  AS zero_crossings
         FROM lagd
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    // ----- FLAC stereo + LPC decode: the other half of RFC 9639 -------
+    // Channel modes cycle per frame (independent → left/side →
+    // right/side → mid/side; side subframes carry 17 bits) and even
+    // frames put an LPC subframe (order 2, per-frame quantized
+    // coefficients, 10-bit shift) on channel 0 — so every stream
+    // exercises all three decorrelations AND coefficient
+    // reconstruction. STREAMINFO's MD5 covers the interleaved
+    // samples: any decorrelation or LPC slip fails the whole decode,
+    // and the oracle replays both channels' formulas arithmetically.
+    QueryDef(
+      "q363_flac_stereo_decode",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val n = (300 + id % 500).toInt
+            val left = Array.tabulate(n)(t =>
+              ((id * 37 + t.toLong * 23) % 3989).toInt - 1994)
+            val right = Array.tabulate(n)(t =>
+              ((id * 29 + t.toLong * 17) % 3163).toInt - 1581)
+            val bytes = encodeFlacStereo(left, right, 128, 16000)
+            decodeFlac(bytes) match {
+              case Some(a) if a.channels == 2 =>
+                val l = a.channel(0); val r = a.channel(1)
+                (id, l.length, a.frames,
+                  l.foldLeft(0L)(_ + math.abs(_)),
+                  r.foldLeft(0L)(_ + math.abs(_)))
+              case _ => (id, -1, -1, -1L, -1L)
+            }
+          }
+          .toDF("doc_id", "n_samples", "frames", "sum_abs_l", "sum_abs_r")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, 300 + doc_id % 500 AS n FROM documents),
+        ts AS (SELECT doc_id, n,
+                      unnest(generate_series(0, n - 1)) AS t FROM base)
+        SELECT doc_id,
+               CAST(COUNT(*) AS INT) AS n_samples,
+               CAST((MAX(n) + 127) // 128 AS INT) AS frames,
+               CAST(SUM(ABS((doc_id * 37 + t * 23) % 3989 - 1994))
+                 AS BIGINT) AS sum_abs_l,
+               CAST(SUM(ABS((doc_id * 29 + t * 17) % 3163 - 1581))
+                 AS BIGINT) AS sum_abs_r
+        FROM ts
         GROUP BY doc_id
         ORDER BY doc_id"""))
   )
