@@ -119,9 +119,12 @@ object Aggregates {
           .agg(
             // money sums as integer cents (the sf1 lesson — see q01):
             // the grand-total cell sums 1.5M doubles and diverged from
-            // DuckDB by summation order at the 4dp boundary
-            round(sum(round($"o_totalprice" * 100).cast("long"))
-              / 100.0, 4).as("total"),
+            // DuckDB by summation order at the 4dp boundary. MoneyGuard
+            // promotes to DECIMAL(38,6) past the cents-overflow ceiling
+            // (o_totalprice < 600k currency).
+            round(graft.engine.MoneyGuard.moneySum($"o_totalprice", 100,
+              graft.engine.MoneyGuard.tableRows(dir, "orders"),
+              600000.0), 4).as("total"),
             count(lit(1)).as("n"))
           .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
       },

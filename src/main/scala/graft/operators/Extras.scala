@@ -505,9 +505,12 @@ object Extras {
           .groupBy($"c_mktsegment")
           .agg(count(lit(1)).as("n_orders"),
             // integer-cents sum (the sf1 lesson — see q01): 300k
-            // doubles per segment diverged at the 4dp boundary
-            round(sum(round($"o_totalprice" * 100).cast("long"))
-              / 100.0, 4).as("total"))
+            // doubles per segment diverged at the 4dp boundary.
+            // MoneyGuard promotes to DECIMAL(38,6) past the cents
+            // ceiling (o_totalprice < 600k currency).
+            round(graft.engine.MoneyGuard.moneySum($"o_totalprice", 100,
+              graft.engine.MoneyGuard.tableRows(dir, "orders"),
+              600000.0), 4).as("total"))
           .orderBy($"c_mktsegment")
       },
       Some("""

