@@ -82,6 +82,56 @@ object Id3 {
     out.toByteArray
   }
 
+  /** Byte-valid ID3v2.4 tag exercising the v2.4-only wire features:
+    * PER-FRAME unsynchronisation (format flag 0x02 — the frame size
+    * describes the ESCAPED on-disk bytes, unlike v2.3's whole-tag
+    * rule), the data-length indicator (flag 0x01 — a leading syncsafe
+    * u28 carrying the restored length), and the UTF-16 text encodings
+    * (byte 1 = BOM'd UTF-16, byte 2 = UTF-16BE). Each frame is
+    * (id, text, encodingByte, frameUnsync, dataLengthIndicator). */
+  def encodeId3v24(frames: Seq[(String, String, Int, Boolean, Boolean)],
+      padding: Int): Array[Byte] = {
+    val body = new ByteArrayOutputStream(256)
+    frames.foreach { case (fid, text, enc, unsync, dli) =>
+      require(fid.length == 4, s"frame id $fid")
+      val textBytes = enc match {
+        case 0 => text.getBytes("ISO-8859-1")
+        case 1 => // UTF-16 with BOM (little-endian body)
+          Array(0xff.toByte, 0xfe.toByte) ++ text.getBytes("UTF-16LE")
+        case 2 => text.getBytes("UTF-16BE")
+        case 3 => text.getBytes("UTF-8")
+        case _ => throw new IllegalArgumentException(s"encoding $enc")
+      }
+      val data = enc.toByte +: textBytes
+      val escaped =
+        if (!unsync) data
+        else {
+          val esc = new ByteArrayOutputStream(data.length + 8)
+          data.foreach { b =>
+            esc.write(b.toInt)
+            if ((b & 0xff) == 0xff) esc.write(0)
+          }
+          esc.toByteArray
+        }
+      val onDisk = (if (dli) syncsafe(data.length) else Array.empty[Byte]) ++
+        escaped
+      body.write(fid.getBytes("US-ASCII"), 0, 4)
+      body.write(syncsafe(onDisk.length), 0, 4)
+      body.write(0) // status flags
+      body.write((if (unsync) 0x02 else 0) | (if (dli) 0x01 else 0))
+      body.write(onDisk, 0, onDisk.length)
+    }
+    (0 until padding).foreach(_ => body.write(0))
+    val bodyBytes = body.toByteArray
+    val out = new ByteArrayOutputStream(bodyBytes.length + 10)
+    out.write('I'); out.write('D'); out.write('3')
+    out.write(4); out.write(0)
+    out.write(0) // per-frame unsync only; no whole-tag flag in v2.4
+    out.write(syncsafe(bodyBytes.length), 0, 4)
+    out.write(bodyBytes, 0, bodyBytes.length)
+    out.toByteArray
+  }
+
   final case class Id3Tag(version: Int, frames: Map[String, String],
       tagBytes: Int)
 
@@ -130,16 +180,49 @@ object Id3 {
           else readBe32(bytes2, off + 4)
           if (fsize < 0 || off + 10 + fsize > end) return None
           if (fid.startsWith("T") && fsize >= 1) {
-            val enc = bytes2(off + 10) & 0xff
-            val charset = enc match {
-              case 0 => "ISO-8859-1"
-              case 3 => "UTF-8"
-              case _ => null // UTF-16 variants hopped, not decoded
+            // v2.4 format flags: 0x01 data-length indicator (leading
+            // syncsafe u28 with the RESTORED length), 0x02 per-frame
+            // unsynchronisation (the size field counts ESCAPED bytes)
+            val fmtFlags = if (version == 4) bytes2(off + 9) & 0xff else 0
+            var dataOff = off + 10
+            var dataLen = fsize
+            if ((fmtFlags & 0x01) != 0) {
+              if (dataLen < 4) return None
+              dataOff += 4; dataLen -= 4
             }
-            if (charset != null) {
-              val raw = new String(bytes2, off + 11, fsize - 1, charset)
-              // v2.4 allows a trailing NUL / multiple values; take first
-              frames += fid -> raw.takeWhile(_ != '\u0000')
+            val data: Array[Byte] =
+              if ((fmtFlags & 0x02) == 0)
+                java.util.Arrays.copyOfRange(bytes2, dataOff,
+                  dataOff + dataLen)
+              else {
+                val restored = new ByteArrayOutputStream(dataLen)
+                var i = dataOff
+                val stop = dataOff + dataLen
+                while (i < stop) {
+                  val b = bytes2(i)
+                  restored.write(b.toInt)
+                  if ((b & 0xff) == 0xff && i + 1 < stop &&
+                    bytes2(i + 1) == 0) i += 1
+                  i += 1
+                }
+                restored.toByteArray
+              }
+            if ((fmtFlags & 0x01) != 0 &&
+              readSyncsafe(bytes2, off + 10) != data.length)
+              return None // DLI must match the restored length
+            if (data.nonEmpty) {
+              val charset = (data(0) & 0xff) match {
+                case 0 => "ISO-8859-1"
+                case 1 => "UTF-16" // BOM-directed (valid in v2.3 too)
+                case 2 if version == 4 => "UTF-16BE"
+                case 3 => "UTF-8"
+                case _ => null
+              }
+              if (charset != null) {
+                val raw = new String(data, 1, data.length - 1, charset)
+                // v2.4 allows a trailing NUL / multiple values; take first
+                frames += fid -> raw.takeWhile(_ != '\u0000')
+              }
             }
           }
           off += 10 + fsize
@@ -249,6 +332,63 @@ object Id3 {
                     + (10 + 1 + 7 + length(CAST(doc_id % 50 AS VARCHAR)))
                     + 1 AS BIGINT) AS tag_bytes
         FROM documents
+        ORDER BY doc_id""")),
+
+    // ----- ID3v2.4 per-frame unsync + UTF-16 text frames ---------------
+    // The v2.4-only wire features on one tag: TIT2 is BOM'd UTF-16
+    // (LE body) with PER-FRAME unsynchronisation — the BOM's 0xFF and
+    // 'ÿ' (FF 00 in LE) both force escapes, and the frame size counts
+    // the ESCAPED bytes (the opposite of v2.3's whole-tag rule);
+    // TPE1 is UTF-16BE (no BOM, no escapes); TALB is latin-1 with
+    // unsync + the data-length indicator, whose syncsafe restored
+    // length the parser cross-checks. tag_bytes replays every escape
+    // count arithmetically, so a phase slip in any of the three
+    // lands in the oracle.
+    QueryDef(
+      "q364_id3v24_unsync_utf16",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val blob = encodeId3v24(Seq(
+              ("TIT2", s"Tÿtle $id€", 1, true, false),
+              ("TPE1", s"Artist ${id % 50}", 2, false, false),
+              ("TALB", s"Albÿm ${id % 20}", 0, true, true)),
+              padding = (id % 5).toInt)
+            parseId3(blob) match {
+              case Some(t) => (id, t.version,
+                t.frames.getOrElse("TIT2", ""),
+                t.frames.getOrElse("TPE1", ""),
+                t.frames.getOrElse("TALB", ""), t.tagBytes.toLong)
+              case None => (id, -1, "", "", "", -1L)
+            }
+          }.toDF("doc_id", "version", "title", "artist", "album",
+            "tag_bytes")
+          .orderBy($"doc_id")
+      },
+      // sizes: TIT2 = 1 + 2(BOM) + 2*chars + 2 escapes (BOM FF + 'ÿ');
+      // TPE1 = 1 + 2*chars; TALB = 4(DLI) + 1 + chars + 1 escape ('ÿ')
+      Some("""
+        WITH base AS (
+          SELECT doc_id,
+                 length(CAST(doc_id AS VARCHAR)) AS d_id,
+                 length(CAST(doc_id % 50 AS VARCHAR)) AS d_artist,
+                 length(CAST(doc_id % 20 AS VARCHAR)) AS d_album
+          FROM documents)
+        SELECT doc_id,
+               CAST(4 AS INT) AS version,
+               'T' || chr(255) || 'tle ' || CAST(doc_id AS VARCHAR)
+                 || chr(8364) AS title,
+               'Artist ' || CAST(doc_id % 50 AS VARCHAR) AS artist,
+               'Alb' || chr(255) || 'm ' || CAST(doc_id % 20 AS VARCHAR)
+                 AS album,
+               CAST(10
+                    + (10 + 1 + 2 + 2 * (7 + d_id) + 2)
+                    + (10 + 1 + 2 * (7 + d_artist))
+                    + (10 + 4 + 1 + 6 + d_album + 1)
+                    + doc_id % 5 AS BIGINT) AS tag_bytes
+        FROM base
         ORDER BY doc_id"""))
   )
 }

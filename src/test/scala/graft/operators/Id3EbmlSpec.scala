@@ -106,4 +106,47 @@ class Id3EbmlSpec extends AnyFunSuite {
       Seq(Array[Byte](1)))
     assert(Ebml.decodeWebm(good.take(good.length - 2)).isEmpty)
   }
+
+  // ---- v2.4 per-frame features (round 13) -----------------------------
+
+  test("v2.4 per-frame unsync: escaped sizes, restored text") {
+    val blob = Id3.encodeId3v24(Seq(
+      ("TIT2", "a\u00ffb", 0, true, false)), padding = 0)
+    val Some(t) = Id3.parseId3(blob)
+    assert(t.frames("TIT2") == "a\u00ffb")
+    // frame size counts the ESCAPED bytes: enc(1) + 3 text + 1 escape
+    assert(t.tagBytes == 10 + 10 + 5)
+  }
+
+  test("v2.4 UTF-16 BOM and UTF-16BE text frames decode") {
+    val blob = Id3.encodeId3v24(Seq(
+      ("TIT2", "T\u00eft\u20acl", 1, false, false), // BOM'd UTF-16
+      ("TPE1", "Art\u00efst", 2, false, false)), // UTF-16BE, no BOM
+      padding = 2)
+    val Some(t) = Id3.parseId3(blob)
+    assert(t.frames("TIT2") == "T\u00eft\u20acl")
+    assert(t.frames("TPE1") == "Art\u00efst")
+  }
+
+  test("v2.4 data-length indicator is present and cross-checked") {
+    val good = Id3.encodeId3v24(Seq(
+      ("TALB", "x\u00ffy", 0, true, true)), padding = 0)
+    val Some(t) = Id3.parseId3(good)
+    assert(t.frames("TALB") == "x\u00ffy")
+    // corrupt the DLI: parser must reject, not mis-decode
+    val bad = good.clone()
+    bad(10 + 10 + 3) = 9 // last DLI byte: restored length now wrong
+    // (fix the frame CRC-free format: only the DLI mismatch trips)
+    assert(Id3.parseId3(bad).isEmpty)
+  }
+
+  test("v2.4 unsync composes with UTF-16 (BOM 0xFF itself escapes)") {
+    val blob = Id3.encodeId3v24(Seq(
+      ("TIT2", "\u00ff\u00ff", 1, true, false)), padding = 0)
+    val Some(t) = Id3.parseId3(blob)
+    assert(t.frames("TIT2") == "\u00ff\u00ff")
+    // body = enc(1) + BOM(2) + 2 chars x2 bytes; escapes: BOM FF +
+    // each char's FF low byte = 3
+    assert(t.tagBytes == 10 + 10 + (1 + 2 + 4 + 3))
+  }
 }
