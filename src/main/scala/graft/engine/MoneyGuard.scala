@@ -29,11 +29,24 @@ import org.apache.spark.sql.functions.{lit, round, sum}
   */
 object MoneyGuard {
 
+  private def footerRows(path: String): Long =
+    graft.operators.ParquetFooter.readFooter(path)
+      .flatMap(graft.operators.ParquetFooter.parseFooter)
+      .map(_.numRows)
+      .getOrElse(throw new IllegalStateException(
+        s"unreadable parquet footer: $path"))
+
   /** Exact row count for `dir/table.parquet` from parquet footers
     * only. Single files and part-file directories both resolve; an
     * unreadable footer throws (a guard that silently under-counts
-    * would defeat its purpose). */
-  def tableRows(dir: String, table: String): Long = {
+    * would defeat its purpose). Small layouts read on the driver; a
+    * many-file table (the 100 TB shape) distributes the footer reads
+    * so the guard never becomes a sequential driver stall. */
+  def tableRows(dir: String, table: String): Long =
+    tableRows(None, dir, table)
+
+  def tableRows(spark: Option[org.apache.spark.sql.SparkSession],
+      dir: String, table: String): Long = {
     val base = new java.io.File(s"$dir/$table.parquet")
     def collect(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(collect)
@@ -41,13 +54,13 @@ object MoneyGuard {
       else Seq.empty
     val files = collect(base)
     require(files.nonEmpty, s"no parquet files under $base")
-    files.map { f =>
-      graft.operators.ParquetFooter.readFooter(f.getPath)
-        .flatMap(graft.operators.ParquetFooter.parseFooter)
-        .map(_.numRows)
-        .getOrElse(throw new IllegalStateException(
-          s"unreadable parquet footer: $f"))
-    }.sum
+    spark match {
+      case Some(s) if files.size > 64 =>
+        val paths = files.map(_.getPath)
+        s.sparkContext.parallelize(paths, math.min(paths.size, 256))
+          .map(footerRows).sum().toLong
+      case _ => files.map(f => footerRows(f.getPath)).sum
+    }
   }
 
   /** Highest row count at which a `unit`-scaled long sum of values

@@ -123,7 +123,7 @@ object Aggregates {
             // promotes to DECIMAL(38,6) past the cents-overflow ceiling
             // (o_totalprice < 600k currency).
             round(graft.engine.MoneyGuard.moneySum($"o_totalprice", 100,
-              graft.engine.MoneyGuard.tableRows(dir, "orders"),
+              graft.engine.MoneyGuard.tableRows(Some(s), dir, "orders"),
               600000.0), 4).as("total"),
             count(lit(1)).as("n"))
           .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)

@@ -509,7 +509,7 @@ object Extras {
             // MoneyGuard promotes to DECIMAL(38,6) past the cents
             // ceiling (o_totalprice < 600k currency).
             round(graft.engine.MoneyGuard.moneySum($"o_totalprice", 100,
-              graft.engine.MoneyGuard.tableRows(dir, "orders"),
+              graft.engine.MoneyGuard.tableRows(Some(s), dir, "orders"),
               600000.0), 4).as("total"))
           .orderBy($"c_mktsegment")
       },

@@ -47,7 +47,7 @@ object Relational {
         // promotes to the q332 DECIMAL(38,6) path past the overflow
         // ceiling — 200k currency bounds the fixture's worst |charge|
         // (measured max ≈ 127k) with margin.
-        val rows = graft.engine.MoneyGuard.tableRows(dir, "lineitem")
+        val rows = graft.engine.MoneyGuard.tableRows(Some(s), dir, "lineitem")
         val money = (c: org.apache.spark.sql.Column, unit: Long) =>
           graft.engine.MoneyGuard.moneySum(c, unit, rows, 200000.0)
         t(s, dir, "lineitem")
