@@ -90,11 +90,31 @@ object Pcm {
     if (sign) -mag else mag
   }
 
+  /** G.711 A-law expansion (the European companding half): XOR 0x55,
+    * split sign / 3-bit segment / 4-bit mantissa; segment 0 is linear
+    * (+8 rounding), higher segments shift the biased mantissa. The
+    * classic alaw2linear law on the 16-bit scale: byte 0x55 → −8,
+    * 0xD5 → +8, max magnitude 32256. A-law's sign convention is the
+    * REVERSE of µ-law's: bit 7 SET means positive. Integer-exact, so
+    * the oracle replays it with SQL bit ops. */
+  def aLawToLinear(b: Int): Int = {
+    val i = (b ^ 0x55) & 0xff
+    val t0 = (i & 0x0f) << 4
+    val seg = (i >> 4) & 7
+    val mag = seg match {
+      case 0 => t0 + 8
+      case 1 => t0 + 0x108
+      case s => (t0 + 0x108) << (s - 1)
+    }
+    if ((i & 0x80) != 0) mag else -mag
+  }
+
   /** Decode PCM out of a RIFF/WAVE stream: LE chunk walk with
     * even-padding hops, fmt parse, data chunk → linear samples.
-    * Supported fmt combinations: code 1 (linear PCM) at 16 bits —
-    * sign-extended LE — and code 7 (G.711 µ-law) at 8 bits, expanded
-    * through `muLawToLinear`. Anything else / corrupt → None. */
+    * Supported fmt combinations: code 1 (linear PCM) at 16 or 24 bits
+    * — sign-extended LE — code 7 (G.711 µ-law) and code 6 (G.711
+    * A-law) at 8 bits, expanded through the published companding
+    * laws. Anything else / corrupt → None. */
   def decodePcmWav(bytes: Array[Byte]): Option[PcmAudio] =
     try {
       if (bytes.length < 44) return None
@@ -114,19 +134,31 @@ object Pcm {
             channels = le16(bytes, off + 10)
             rate = le32(bytes, off + 12)
             bits = le16(bytes, off + 22)
-            val supported = (fmtCode == 1 && bits == 16) ||
-              (fmtCode == 7 && bits == 8)
+            val supported = (fmtCode == 1 && (bits == 16 || bits == 24)) ||
+              ((fmtCode == 6 || fmtCode == 7) && bits == 8)
             if (!supported || channels < 1) return None
           case "data" =>
             if (fmtCode < 0) return None
-            if (fmtCode == 1) {
+            if (fmtCode == 1 && bits == 16) {
               if (len % 2 != 0) return None
               samples = Array.tabulate(len / 2) { i =>
                 le16(bytes, off + 8 + i * 2).toShort.toInt // sign-extend
               }
-            } else {
+            } else if (fmtCode == 1) { // 24-bit LE, sign-extended
+              if (len % 3 != 0) return None
+              samples = Array.tabulate(len / 3) { i =>
+                val p = off + 8 + i * 3
+                val v = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8) |
+                  ((bytes(p + 2) & 0xff) << 16)
+                (v << 8) >> 8 // sign-extend bit 23
+              }
+            } else if (fmtCode == 7) {
               samples = Array.tabulate(len) { i =>
                 muLawToLinear(bytes(off + 8 + i) & 0xff)
+              }
+            } else { // fmt 6: A-law
+              samples = Array.tabulate(len) { i =>
+                aLawToLinear(bytes(off + 8 + i) & 0xff)
               }
             }
           case _ => () // LIST and friends — hop
@@ -139,10 +171,54 @@ object Pcm {
 
   /** Byte-valid µ-law RIFF/WAVE (fmt code 7, 8 bits/sample): same
     * chunk layout as `encodePcmWav` but the data chunk carries raw
-    * µ-law BYTES — fixtures generate the bytes arithmetically, so no
-    * lossy linear→µ-law stage exists anywhere in the pipeline. */
+    * companded BYTES — fixtures generate the bytes arithmetically, so
+    * no lossy linear→companded stage exists anywhere in the pipeline. */
   def encodeMuLawWav(channels: Int, sampleRate: Int, mulaw: Array[Byte],
+      comment: Array[Byte]): Array[Byte] =
+    encodeG711Wav(7, channels, sampleRate, mulaw, comment)
+
+  /** A-law sibling (fmt code 6). */
+  def encodeALawWav(channels: Int, sampleRate: Int, alaw: Array[Byte],
+      comment: Array[Byte]): Array[Byte] =
+    encodeG711Wav(6, channels, sampleRate, alaw, comment)
+
+  /** Byte-valid 24-bit linear PCM RIFF/WAVE: 3-byte LE samples,
+    * interleaved by channel (the studio/podcast master format). */
+  def encodePcm24Wav(channels: Int, sampleRate: Int, samples: Array[Int],
       comment: Array[Byte]): Array[Byte] = {
+    require(channels >= 1 && samples.length % channels == 0,
+      s"sample count ${samples.length} not a multiple of $channels channels")
+    val listBody = "INFO".getBytes("US-ASCII") ++ comment
+    val listPad = listBody.length % 2
+    val dataLen = samples.length * 3
+    val dataPad = dataLen % 2
+    val riffLen = 4 + (8 + listBody.length + listPad) + (8 + 16) +
+      (8 + dataLen + dataPad)
+    val out = new ByteArrayOutputStream(riffLen + 8)
+    def tag(t: String): Unit = out.write(t.getBytes("US-ASCII"), 0, 4)
+    def u32(v: Int): Unit = { val b = new Array[Byte](4); putLe32(b, 0, v); out.write(b, 0, 4) }
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    tag("RIFF"); u32(riffLen); tag("WAVE")
+    tag("LIST"); u32(listBody.length); out.write(listBody, 0, listBody.length)
+    if (listPad == 1) out.write(0)
+    tag("fmt "); u32(16)
+    u16(1) // PCM
+    u16(channels); u32(sampleRate)
+    u32(sampleRate * channels * 3) // byte rate
+    u16(channels * 3) // block align
+    u16(24) // bits per sample
+    tag("data"); u32(dataLen)
+    samples.foreach { s =>
+      require(s >= -(1 << 23) && s < (1 << 23), s"sample $s out of s24 range")
+      out.write(s & 0xff); out.write((s >>> 8) & 0xff)
+      out.write((s >>> 16) & 0xff)
+    }
+    if (dataPad == 1) out.write(0)
+    out.toByteArray
+  }
+
+  private def encodeG711Wav(code: Int, channels: Int, sampleRate: Int,
+      mulaw: Array[Byte], comment: Array[Byte]): Array[Byte] = {
     require(channels >= 1 && mulaw.length % channels == 0,
       s"sample count ${mulaw.length} not a multiple of $channels channels")
     val listBody = "INFO".getBytes("US-ASCII") ++ comment
@@ -158,7 +234,7 @@ object Pcm {
     tag("LIST"); u32(listBody.length); out.write(listBody, 0, listBody.length)
     if (listPad == 1) out.write(0)
     tag("fmt "); u32(16)
-    u16(7) // G.711 µ-law
+    u16(code) // G.711: 6 = A-law, 7 = µ-law
     u16(channels); u32(sampleRate)
     u32(sampleRate * channels) // byte rate: one byte per sample
     u16(channels) // block align
@@ -473,6 +549,123 @@ object Pcm {
                CAST(SUM(CASE WHEN ABS(d) >= 1900 THEN 1 ELSE 0 END) AS INT)
                  AS clip_count
         FROM lagd
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    // ----- A-law WAV decode: the other G.711 companding half ----------
+    // fmt code 6, one A-law byte per sample. The expansion is the
+    // classic alaw2linear law (XOR 0x55, segment/mantissa split, sign
+    // bit REVERSED vs µ-law: set = positive); the oracle replays the
+    // bit math in SQL, so a segment-shift slip or the µ-law sign
+    // convention applied here lands in every column.
+    QueryDef(
+      "q365_alaw_wav_decode",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text").as[(Long, String)]
+          .map { case (id, text) =>
+            val n = (150 + id % 250).toInt
+            val alaw = Array.tabulate(n)(t =>
+              ((id * 19 + t.toLong * 31) % 256).toByte)
+            val bytes = encodeALawWav(1, 8000, alaw,
+              text.getBytes("UTF-8"))
+            decodePcmWav(bytes) match {
+              case Some(a) => stats(id, a.samples, clipAt = 16000)
+              case None => PcmStatsRow(id, -1, -1, -1L, -1, -1)
+            }
+          }.toDF().orderBy($"doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, 150 + doc_id % 250 AS n FROM documents),
+        ts AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS t
+               FROM base),
+        ib AS (SELECT doc_id, t,
+                      xor((doc_id * 19 + t * 31) % 256, 85) AS i FROM ts),
+        sm AS (SELECT doc_id, t,
+                      CASE WHEN i >= 128 THEN 1 ELSE -1 END *
+                      CASE (i // 16) % 8
+                        WHEN 0 THEN (i % 16) * 16 + 8
+                        WHEN 1 THEN (i % 16) * 16 + 264
+                        ELSE ((i % 16) * 16 + 264)
+                               << ((i // 16) % 8 - 1)
+                      END AS s
+               FROM ib),
+        lagd AS (SELECT doc_id, s,
+                        lag(s) OVER (PARTITION BY doc_id ORDER BY t) AS prev
+                 FROM sm)
+        SELECT doc_id,
+               CAST(COUNT(*) AS INT) AS n_samples,
+               CAST(MAX(ABS(s)) AS INT) AS peak,
+               CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+               CAST(SUM(CASE WHEN prev * s < 0 THEN 1 ELSE 0 END) AS INT)
+                 AS zero_crossings,
+               CAST(SUM(CASE WHEN ABS(s) >= 16000 THEN 1 ELSE 0 END) AS INT)
+                 AS clip_count
+        FROM lagd
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    // ----- 24-bit STEREO PCM decode: the studio/podcast master shape --
+    // fmt code 1 at 24 bits, 3-byte LE sign-extended samples
+    // interleaved L R — a byte-order or block-align slip scrambles
+    // the channels or lands at scale 256. Values span the full ±2^23
+    // range; per-channel sums are replayed exactly.
+    QueryDef(
+      "q366_wav_pcm24_stereo_decode",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text").as[(Long, String)]
+          .map { case (id, text) =>
+            val n = (120 + id % 200).toInt // frames
+            val inter = new Array[Int](2 * n)
+            var t = 0
+            while (t < n) {
+              inter(2 * t) =
+                ((id * 9973 + t.toLong * 104729) % 16000000).toInt - 8000000
+              inter(2 * t + 1) =
+                ((id * 7919 + t.toLong * 130363) % 12000000).toInt - 6000000
+              t += 1
+            }
+            val bytes = encodePcm24Wav(2, 48000, inter,
+              text.getBytes("UTF-8"))
+            decodePcmWav(bytes) match {
+              case Some(a) if a.channels == 2 =>
+                val m = a.samples.length / 2
+                var sl = 0L; var sr = 0L; var pk = 0
+                var i = 0
+                while (i < m) {
+                  sl += math.abs(a.samples(2 * i).toLong)
+                  sr += math.abs(a.samples(2 * i + 1).toLong)
+                  pk = math.max(pk, math.max(math.abs(a.samples(2 * i)),
+                    math.abs(a.samples(2 * i + 1))))
+                  i += 1
+                }
+                (id, m, a.sampleRate, pk, sl, sr)
+              case _ => (id, -1, -1, -1, -1L, -1L)
+            }
+          }.toDF("doc_id", "n_frames", "rate", "peak", "sum_abs_l",
+            "sum_abs_r")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, 120 + doc_id % 200 AS n FROM documents),
+        ts AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS t
+               FROM base),
+        sm AS (SELECT doc_id, n,
+                      (doc_id * 9973 + t * 104729) % 16000000 - 8000000 AS l,
+                      (doc_id * 7919 + t * 130363) % 12000000 - 6000000 AS r
+               FROM ts)
+        SELECT doc_id,
+               CAST(MAX(n) AS INT) AS n_frames,
+               CAST(48000 AS INT) AS rate,
+               CAST(MAX(GREATEST(ABS(l), ABS(r))) AS INT) AS peak,
+               CAST(SUM(ABS(l)) AS BIGINT) AS sum_abs_l,
+               CAST(SUM(ABS(r)) AS BIGINT) AS sum_abs_r
+        FROM sm
         GROUP BY doc_id
         ORDER BY doc_id"""))
   )

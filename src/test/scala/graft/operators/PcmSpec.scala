@@ -111,4 +111,47 @@ class PcmSpec extends AnyFunSuite {
     assert(r.zero_crossings == 3)
     assert(r.clip_count == 1) // only 1950; |-1899| < 1900
   }
+
+  // ---- A-law + 24-bit stereo (round 13) --------------------------------
+
+  test("A-law expansion matches the published law's landmark values") {
+    // 0x55 -> -8 (the quietest negative), 0xD5 -> +8, extremes +-32256;
+    // sign convention REVERSED vs mu-law (bit 7 set = positive)
+    assert(Pcm.aLawToLinear(0x55) == -8)
+    assert(Pcm.aLawToLinear(0xD5) == 8)
+    assert(Pcm.aLawToLinear(0x2A) == -32256)
+    assert(Pcm.aLawToLinear(0xAA) == 32256)
+    // monotone within a positive segment
+    assert(Pcm.aLawToLinear(0xD5) < Pcm.aLawToLinear(0xD4))
+  }
+
+  test("A-law WAV round trip (fmt 6) expands every byte") {
+    val alaw = Array.tabulate(300)(t => ((t * 31 + 7) % 256).toByte)
+    val wav = Pcm.encodeALawWav(1, 8000, alaw, "c".getBytes)
+    val Some(a) = Pcm.decodePcmWav(wav)
+    assert(a.samples.length == 300)
+    for (i <- 0 until 300)
+      assert(a.samples(i) == Pcm.aLawToLinear(alaw(i) & 0xff))
+  }
+
+  test("24-bit stereo WAV: 3-byte LE samples sign-extend and interleave") {
+    val inter = Array(-8388608, 8388607, -1, 1, 123456, -654321)
+    val wav = Pcm.encodePcm24Wav(2, 48000, inter, "x".getBytes)
+    val Some(a) = Pcm.decodePcmWav(wav)
+    assert(a.channels == 2 && a.sampleRate == 48000)
+    assert(a.samples.toSeq == inter.toSeq)
+  }
+
+  test("24-bit data length not a multiple of 3 rejects") {
+    val wav = Pcm.encodePcm24Wav(1, 8000, Array(5, -5, 9), "".getBytes)
+    // find the data chunk and shrink its declared length to 8 (% 3 != 0)
+    var at = -1
+    for (i <- 0 until wav.length - 4 if at < 0)
+      if (wav(i) == 'd' && wav(i + 1) == 'a' && wav(i + 2) == 't' &&
+        wav(i + 3) == 'a') at = i
+    assert(at > 0)
+    val bad = wav.clone()
+    bad(at + 4) = 8
+    assert(Pcm.decodePcmWav(bad).isEmpty)
+  }
 }
