@@ -676,6 +676,129 @@ object Pixels {
       None
     } catch { case _: Exception => None }
 
+  /** Byte-valid ANIMATED grayscale GIF89a: logical screen + GCT, the
+    * NETSCAPE2.0 looping application extension, then per frame a
+    * Graphic Control Extension (delay in centiseconds, disposal 1 =
+    * leave in place) followed by a full-rect image descriptor with
+    * real LZW data. Each frame is a complete w×h raster. */
+  def encodeAnimatedGif(width: Int, height: Int,
+      frames: Seq[(Array[Int], Int)], comment: Array[Byte]): Array[Byte] = {
+    require(frames.nonEmpty, "at least one frame")
+    frames.foreach { case (px, _) =>
+      require(px.length == width * height, "frame size mismatch") }
+    val out = new ByteArrayOutputStream(frames.size * width * height / 2 + 900)
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"), 0, 6)
+    u16(width); u16(height)
+    out.write(0xf7); out.write(0); out.write(0)
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    // NETSCAPE2.0 loop-forever application extension
+    out.write(0x21); out.write(0xff); out.write(11)
+    out.write("NETSCAPE2.0".getBytes("US-ASCII"), 0, 11)
+    out.write(3); out.write(1); u16(0); out.write(0)
+    // comment extension (variable length — the walk must hop it)
+    out.write(0x21); out.write(0xfe)
+    var off = 0
+    while (off < comment.length) {
+      val n = math.min(255, comment.length - off)
+      out.write(n); out.write(comment, off, n); off += n
+    }
+    out.write(0)
+    frames.foreach { case (px, delayCs) =>
+      // Graphic Control Extension: disposal 1 (leave), no transparency
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0x04); u16(delayCs); out.write(0); out.write(0)
+      out.write(0x2c); u16(0); u16(0); u16(width); u16(height); out.write(0)
+      out.write(8)
+      val lzw = lzwCompress(px)
+      var o = 0
+      while (o < lzw.length) {
+        val n = math.min(255, lzw.length - o)
+        out.write(n); out.write(lzw, o, n); o += n
+      }
+      out.write(0)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  final case class GifAnimation(width: Int, height: Int,
+      frames: Vector[(Int, Array[Int])]) // (delay centiseconds, pixels)
+
+  /** Decode an animated grayscale GIF: per-frame GCE delay capture,
+    * sub-block reassembly, real LZW, GCT lookup. Contract: full-rect
+    * frames only (left/top 0, frame dims == logical screen — each
+    * frame replaces the canvas, so disposal modes never matter);
+    * partial-rect frames, local color tables, interlace → None. */
+  def decodeAnimatedGif(bytes: Array[Byte]): Option[GifAnimation] =
+    try {
+      if (bytes.length < 13 + 10) return None
+      val sig = new String(bytes, 0, 6, "US-ASCII")
+      if (sig != "GIF87a" && sig != "GIF89a") return None
+      def le16(off: Int): Int =
+        (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+      val sw = le16(6); val sh = le16(8)
+      if (sw <= 0 || sh <= 0 || sw.toLong * sh > (1 << 26)) return None
+      val flags = bytes(10) & 0xff
+      var off = 13
+      val palette = if ((flags & 0x80) != 0) {
+        val gctSize = 2 << (flags & 7)
+        val p = Array.tabulate(gctSize)(i => bytes(off + i * 3) & 0xff)
+        off += gctSize * 3
+        p
+      } else Array.tabulate(256)(identity)
+      var pendingDelay = 0
+      val frames = Vector.newBuilder[(Int, Array[Int])]
+      var done = false
+      while (!done && off < bytes.length) {
+        (bytes(off) & 0xff) match {
+          case 0x21 if (bytes(off + 1) & 0xff) == 0xf9 => // GCE
+            if ((bytes(off + 2) & 0xff) != 4) return None
+            pendingDelay = le16(off + 4)
+            if ((bytes(off + 7) & 0xff) != 0) return None // terminator
+            off += 8
+          case 0x21 => // other extension: label + sub-block chain
+            off += 2
+            while (off < bytes.length && (bytes(off) & 0xff) != 0)
+              off += 1 + (bytes(off) & 0xff)
+            off += 1
+          case 0x2c =>
+            val left = le16(off + 1); val top = le16(off + 3)
+            val w = le16(off + 5); val h = le16(off + 7)
+            val iflags = bytes(off + 9) & 0xff
+            // full-rect replacement frames only; LCT/interlace out of
+            // contract
+            if (left != 0 || top != 0 || w != sw || h != sh) return None
+            if ((iflags & 0xc0) != 0) return None
+            off += 10
+            val minCode = bytes(off) & 0xff
+            if (minCode != 8) return None
+            off += 1
+            val lzw = new ByteArrayOutputStream(bytes.length - off)
+            while (off < bytes.length && (bytes(off) & 0xff) != 0) {
+              val n = bytes(off) & 0xff
+              if (off + 1 + n > bytes.length) return None
+              lzw.write(bytes, off + 1, n)
+              off += 1 + n
+            }
+            off += 1 // data terminator
+            lzwDecompress(lzw.toByteArray, w * h) match {
+              case Some(idx) =>
+                val px = idx.map(i => if (i < palette.length) palette(i)
+                  else return None)
+                frames += ((pendingDelay, px))
+                pendingDelay = 0
+              case None => return None
+            }
+          case 0x3b => done = true
+          case _ => return None
+        }
+      }
+      val fs = frames.result()
+      if (!done || fs.isEmpty) None else Some(GifAnimation(sw, sh, fs))
+    } catch { case _: Exception => None }
+
   // ------------------------------------------------------------------
   // TIFF grayscale strip codec (uncompressed + PackBits)
   // ------------------------------------------------------------------
@@ -2212,7 +2335,69 @@ object Pixels {
                  AS BIGINT) AS px_sum
         FROM pxy
         GROUP BY doc_id
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ----- ANIMATED GIF frame extraction -------------------------------
+    // The video-sampling substrate in GIF form: per-frame Graphic
+    // Control Extensions carry centisecond delays, each frame is a
+    // full-rect LZW raster; the decoder recovers (delay, pixels) per
+    // frame through the NETSCAPE loop extension and comment hops. The
+    // oracle replays frame count, the delay sum and the all-frame
+    // pixel sum — a GCE phase slip or a frame boundary error lands in
+    // all three.
+    QueryDef(
+      "q367_gif_animation_frames",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text").as[(Long, String)]
+          .map { case (id, text) =>
+            val w = (8 + id % 17).toInt
+            val h = (8 + (id * 3) % 15).toInt
+            val nf = (2 + id % 4).toInt
+            val frames = (0 until nf).map { f =>
+              (Array.tabulate(w * h)(i =>
+                ((id * 31 + f * 101 + (i % w) * 7 + (i / w) * 13)
+                  % 256).toInt),
+                (3 + (id + f) % 10).toInt)
+            }
+            val blob = encodeAnimatedGif(w, h, frames,
+              text.getBytes("UTF-8"))
+            decodeAnimatedGif(blob) match {
+              case Some(a) =>
+                (id, a.width, a.height, a.frames.size,
+                  a.frames.map(_._1.toLong).sum,
+                  a.frames.map(_._2.foldLeft(0L)(_ + _)).sum)
+              case None => (id, -1, -1, -1, -1L, -1L)
+            }
+          }
+          .toDF("doc_id", "width", "height", "n_frames",
+            "total_delay_cs", "px_sum")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH dims AS (
+          SELECT doc_id,
+                 CAST(8 + doc_id % 17 AS INT) AS w,
+                 CAST(8 + (doc_id * 3) % 15 AS INT) AS h,
+                 CAST(2 + doc_id % 4 AS INT) AS nf
+          FROM documents),
+        fs AS (SELECT doc_id, w, h, nf,
+                      unnest(generate_series(0, nf - 1)) AS f FROM dims),
+        delays AS (SELECT doc_id, SUM(3 + (doc_id + f) % 10) AS td
+                   FROM fs GROUP BY doc_id),
+        xs AS (SELECT doc_id, w, h, nf, f,
+                      unnest(generate_series(0, w - 1)) AS x FROM fs),
+        pxy AS (SELECT doc_id, w, h, nf, f, x,
+                       unnest(generate_series(0, h - 1)) AS y FROM xs)
+        SELECT p.doc_id, MAX(p.w) AS width, MAX(p.h) AS height,
+               MAX(p.nf) AS n_frames,
+               CAST(MAX(d.td) AS BIGINT) AS total_delay_cs,
+               CAST(SUM((p.doc_id * 31 + p.f * 101 + p.x * 7 + p.y * 13)
+                 % 256) AS BIGINT) AS px_sum
+        FROM pxy p JOIN delays d ON d.doc_id = p.doc_id
+        GROUP BY p.doc_id
+        ORDER BY p.doc_id"""))
   )
 
   /** Encode through the JDK's ImageIO PNG writer — a FOREIGN encoder

@@ -409,4 +409,63 @@ class PixelsSpec extends AnyFunSuite {
     val blob = imageioPng(img, interlaced = false)
     assert(Pixels.decodeGray16Png(blob).isEmpty)
   }
+
+  // ---- animated GIF (round 13) -----------------------------------------
+
+  test("animated GIF round trip: frames, delays, pixels all survive") {
+    val (w, h) = (11, 7)
+    val frames = (0 until 4).map { f =>
+      (Array.tabulate(w * h)(i => (i * 13 + f * 101) % 256), 3 + f)
+    }
+    val blob = Pixels.encodeAnimatedGif(w, h, frames, "cmt".getBytes)
+    val Some(a) = Pixels.decodeAnimatedGif(blob)
+    assert(a.width == w && a.height == h && a.frames.size == 4)
+    for ((f, i) <- a.frames.zipWithIndex) {
+      assert(f._1 == 3 + i, s"delay $i")
+      assert(f._2.toSeq == frames(i)._1.toSeq, s"frame $i pixels")
+    }
+  }
+
+  test("animated GIF interop: ImageIO reads our frame count, pixels, delays") {
+    import javax.imageio.ImageIO
+    val (w, h) = (9, 6)
+    val frames = (0 until 3).map { f =>
+      (Array.tabulate(w * h)(i => (i * 37 + f * 59) % 256), 5 + 2 * f)
+    }
+    val blob = Pixels.encodeAnimatedGif(w, h, frames, Array.empty)
+    val in = ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(blob))
+    val reader = ImageIO.getImageReaders(in).next()
+    reader.setInput(in)
+    assert(reader.getNumImages(true) == 3)
+    for (f <- 0 until 3) {
+      val img = reader.read(f)
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((img.getRGB(x, y) & 0xff) == frames(f)._1(y * w + x),
+          s"frame $f ($x,$y)")
+      val meta = reader.getImageMetadata(f)
+      val tree = meta.getAsTree("javax_imageio_gif_image_1.0")
+        .asInstanceOf[org.w3c.dom.Element]
+      val gce = tree.getElementsByTagName("GraphicControlExtension")
+      assert(gce.getLength == 1)
+      val delay = gce.item(0).asInstanceOf[org.w3c.dom.Element]
+        .getAttribute("delayTime").toInt
+      assert(delay == 5 + 2 * f, s"frame $f delay")
+    }
+    reader.dispose()
+  }
+
+  test("animated GIF: partial-rect frames are out of contract") {
+    // splice the first image descriptor's width down by one
+    val blob = Pixels.encodeAnimatedGif(8, 8,
+      Seq((Array.fill(64)(7), 4)), Array.empty)
+    var at = -1
+    for (i <- 13 + 768 until blob.length if at < 0) // skip the GCT
+      if ((blob(i) & 0xff) == 0x2c) at = i
+    assert(at > 0)
+    val bad = blob.clone()
+    bad(at + 5) = 7 // width low byte: 8 -> 7
+    assert(Pixels.decodeAnimatedGif(bad).isEmpty)
+  }
 }
