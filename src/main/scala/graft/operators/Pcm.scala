@@ -667,6 +667,97 @@ object Pcm {
                CAST(SUM(ABS(r)) AS BIGINT) AS sum_abs_r
         FROM sm
         GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    // ----- crawl → audio composition: the q350 story for sound --------
+    // Each doc is a gzipped WARC response whose payload is an AUDIO
+    // blob in one of three real formats by id%3 — 16-bit PCM WAV,
+    // µ-law WAV, FLAC (fixed-predictor mono) — and the pipeline runs
+    // the full consumer path: gunzip → WARC parse → dispatch on the
+    // payload magic (RIFF vs fLaC) → the format's real sample decode
+    // → signal stats. The oracle replays every branch's sample
+    // formula, so each transport layer must be exactly transparent
+    // (the q350 discipline: a stats-only oracle over a three-decoder
+    // dispatch).
+    QueryDef(
+      "q368_crawl_audio_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val n = (200 + id % 200).toInt
+            val fmt = (id % 3).toInt
+            val audio: Array[Byte] = fmt match {
+              case 0 =>
+                val samples = Array.tabulate(n)(t =>
+                  ((id * 37 + t.toLong * 23) % 3989).toInt - 1994)
+                encodePcmWav(1, 16000, samples, Array.emptyByteArray)
+              case 1 =>
+                val mulaw = Array.tabulate(n)(t =>
+                  ((id * 13 + t.toLong * 29) % 256).toByte)
+                encodeMuLawWav(1, 8000, mulaw, Array.emptyByteArray)
+              case _ =>
+                val samples = Array.tabulate(n)(t =>
+                  ((id * 37 + t.toLong * 23) % 3989).toInt - 1994)
+                Flac.encodeFlac(samples, 256, 8000)
+            }
+            val warc = Warc.encodeRecord("response",
+              Some(s"http://audio.site${id % 50}.example/a$id"),
+              s"<urn:uuid:audio-$id>", audio)
+            val blob = Compression.encodeGzip(warc, mtime = 0L,
+              fname = None, fcomment = None)
+            val decoded: Option[Array[Int]] = for {
+              bytes <- Compression.gunzip(blob)
+              rec <- Warc.parse(bytes).headOption
+              p = rec.payload
+              samples <- p match {
+                case _ if p.length >= 4 && p(0) == 'R' && p(1) == 'I' &&
+                  p(2) == 'F' && p(3) == 'F' =>
+                  decodePcmWav(p).map(_.samples)
+                case _ if p.length >= 4 && p(0) == 'f' && p(1) == 'L' &&
+                  p(2) == 'a' && p(3) == 'C' =>
+                  Flac.decodeFlac(p).map(_.samples)
+                case _ => None
+              }
+            } yield samples
+            decoded match {
+              case Some(sm) =>
+                val st = stats(id, sm, clipAt = Int.MaxValue)
+                (id, fmt, st.n_samples, st.peak, st.sum_abs)
+              case None => (id, fmt, -1, -1, -1L)
+            }
+          }
+          .toDF("doc_id", "format", "n_samples", "peak", "sum_abs")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, 200 + doc_id % 200 AS n,
+                 CAST(doc_id % 3 AS INT) AS fmt FROM documents),
+        ts AS (SELECT doc_id, n, fmt,
+                      unnest(generate_series(0, n - 1)) AS t FROM base),
+        sm AS (SELECT doc_id, fmt,
+                      CASE WHEN fmt = 1 THEN
+                        CASE WHEN 255 - (doc_id * 13 + t * 29) % 256 >= 128
+                          THEN -(((((255 - (doc_id * 13 + t * 29) % 256)
+                                    % 16) * 2 + 33)
+                                  << (((255 - (doc_id * 13 + t * 29) % 256)
+                                       // 16) % 8)) - 33)
+                          ELSE (((((255 - (doc_id * 13 + t * 29) % 256)
+                                   % 16) * 2 + 33)
+                                 << (((255 - (doc_id * 13 + t * 29) % 256)
+                                      // 16) % 8)) - 33)
+                        END
+                      ELSE (doc_id * 37 + t * 23) % 3989 - 1994
+                      END AS s
+               FROM ts)
+        SELECT doc_id, MAX(fmt) AS format,
+               CAST(COUNT(*) AS INT) AS n_samples,
+               CAST(MAX(ABS(s)) AS INT) AS peak,
+               CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs
+        FROM sm
+        GROUP BY doc_id
         ORDER BY doc_id"""))
   )
 }
