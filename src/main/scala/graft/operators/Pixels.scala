@@ -859,7 +859,16 @@ object Pixels {
     * the baseline grayscale tag set. Strip arrays are stored
     * out-of-line when they outgrow the 4-byte inline value slot. */
   def encodeGrayTiff(width: Int, height: Int, pixels: Array[Int],
-      usePackBits: Boolean): Array[Byte] = {
+      usePackBits: Boolean): Array[Byte] =
+    encodeGrayTiff(width, height, pixels,
+      if (usePackBits) 32773 else 1)
+
+  /** As above with an explicit compression tag: 1 = none, 5 = LZW,
+    * 32773 = PackBits. */
+  def encodeGrayTiff(width: Int, height: Int, pixels: Array[Int],
+      compression: Int): Array[Byte] = {
+    require(compression == 1 || compression == 5 || compression == 32773,
+      s"compression $compression")
     require(pixels.length == width * height,
       s"pixel buffer ${pixels.length} != ${width}x$height")
     val rowsPerStrip = 16
@@ -873,7 +882,11 @@ object Pixels {
         raw(i) = pixels((y0 + i / width) * width + i % width).toByte
         i += 1
       }
-      if (usePackBits) packBits(raw) else raw
+      compression match {
+        case 1 => raw
+        case 5 => tiffLzwCompress(raw)
+        case _ => packBits(raw)
+      }
     }
     val out = new ByteArrayOutputStream(pixels.length + 256)
     def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
@@ -898,7 +911,7 @@ object Pixels {
       (256, 4, 1, width.toLong), // ImageWidth LONG
       (257, 4, 1, height.toLong), // ImageLength
       (258, 3, 1, 8L), // BitsPerSample SHORT
-      (259, 3, 1, if (usePackBits) 32773L else 1L), // Compression
+      (259, 3, 1, compression.toLong), // Compression
       (262, 3, 1, 1L), // Photometric: BlackIsZero
       (273, 4, nStrips.toLong,
         if (nStrips > 1) arraysAt else stripOffsets(0)), // StripOffsets
@@ -917,8 +930,121 @@ object Pixels {
     out.toByteArray
   }
 
+  /** TIFF 6.0 §13 LZW compress: MSB-first variable-width codes with
+    * the spec's EARLY width change — the width bumps at table size
+    * 2^w−1, one code sooner than GIF's LSB-first variant. */
+  def tiffLzwCompress(data: Array[Byte]): Array[Byte] = {
+    val Clear = 256; val Eoi = 257
+    val out = new ByteArrayOutputStream(data.length / 2 + 16)
+    var bitBuf = 0L; var bitCnt = 0; var width = 9
+    def emit(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code; bitCnt += width
+      while (bitCnt >= 8) {
+        out.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt); bitCnt -= 8
+      }
+    }
+    var dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+    var nextCode = 258
+    emit(Clear)
+    var prev = -1
+    var i = 0
+    while (i < data.length) {
+      val sym = data(i) & 0xff
+      if (prev < 0) prev = sym
+      else dict.get((prev, sym)) match {
+        case Some(c) => prev = c
+        case None =>
+          emit(prev)
+          dict((prev, sym)) = nextCode; nextCode += 1
+          // the encoder runs one entry AHEAD of the decoder (it adds
+          // on emit; the decoder adds on the NEXT read), so its bump
+          // fires at 2^w where the decoder's fires at 2^w − 1 — one
+          // code earlier than the GIF variant either way
+          if (nextCode == (1 << width) && width < 12) width += 1
+          if (nextCode >= 4094) { // table nearly full: restart
+            emit(Clear); width = 9
+            dict = scala.collection.mutable.HashMap.empty
+            nextCode = 258
+          }
+          prev = sym
+      }
+      i += 1
+    }
+    if (prev >= 0) emit(prev)
+    // tail: the final emit above makes NO dictionary add, but the
+    // decoder DOES add on reading it — so for the EOI the two sit at
+    // the same count and the DECODER's bump rule (2^w − 1) applies
+    if (nextCode == (1 << width) - 1 && width < 12) width += 1
+    emit(Eoi)
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** TIFF LZW decompress (MSB-first, early change); `expected` bounds
+    * the output. None on overrun, bad code, or missing EOI. */
+  def tiffLzwDecompress(data: Array[Byte],
+      expected: Int): Option[Array[Byte]] = {
+    val Clear = 256; val Eoi = 257
+    val out = new Array[Byte](expected)
+    var n = 0
+    val suffix = new Array[Int](4096); val prefix = new Array[Int](4096)
+    val length = new Array[Int](4096)
+    var i = 0
+    while (i < 256) { suffix(i) = i; prefix(i) = -1; length(i) = 1; i += 1 }
+    var width = 9; var nextCode = 258; var prevCode = -1
+    var bitPos = 0
+    def readCode(): Int = {
+      if ((bitPos + width + 7) / 8 > data.length) return -1
+      var v = 0
+      var k = 0
+      while (k < width) {
+        val b = (data(bitPos >> 3) >> (7 - (bitPos & 7))) & 1
+        v = (v << 1) | b
+        bitPos += 1; k += 1
+      }
+      v
+    }
+    def writeCode(code: Int): Boolean = {
+      val len = length(code)
+      if (n + len > expected) return false
+      var at = n + len - 1
+      var c = code
+      while (c >= 0) { out(at) = suffix(c).toByte; at -= 1; c = prefix(c) }
+      n += len
+      true
+    }
+    while (true) {
+      val code = readCode()
+      if (code < 0) return None
+      if (code == Eoi) return if (n == expected) Some(out) else None
+      else if (code == Clear) { width = 9; nextCode = 258; prevCode = -1 }
+      else if (prevCode < 0) {
+        if (code > 255) return None
+        if (!writeCode(code)) return None
+        prevCode = code
+      } else {
+        if (code > nextCode || nextCode >= 4096) return None
+        // define (prevCode + first symbol of current string); for the
+        // KwKwK case the current string IS the new entry
+        var f = if (code == nextCode) prevCode else code
+        while (prefix(f) >= 0) f = prefix(f)
+        if (nextCode < 4096) {
+          prefix(nextCode) = prevCode
+          suffix(nextCode) = suffix(f)
+          length(nextCode) = length(prevCode) + 1
+          nextCode += 1
+          if (nextCode == (1 << width) - 1 && width < 12) width += 1
+        }
+        if (!writeCode(code)) return None
+        prevCode = code
+      }
+    }
+    None
+  }
+
   /** Decode a grayscale 8-bit TIFF (II or MM): IFD walk, strip
-    * assembly, PackBits when tagged. Corrupt / unsupported → None. */
+    * assembly, PackBits or LZW when tagged. Corrupt / unsupported →
+    * None. */
   def decodeGrayTiff(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
     try {
       if (bytes.length < 16) return None
@@ -940,6 +1066,7 @@ object Pixels {
       var offCnt = 0L; var offAt = -1L; var offInline = -1L
       var cntCnt = 0L; var cntAt = -1L; var cntInline = -1L
       var photometric = 1
+      var predictor = 1
       var e = 0
       while (e < n) {
         val at = ifdAt + 2 + e * 12
@@ -960,12 +1087,14 @@ object Pixels {
           case 279 =>
             cntCnt = cnt
             if (cnt == 1) cntInline = scalar() else cntAt = u32(at + 8)
+          case 317 => predictor = scalar().toInt
           case _ => () // hop
         }
         e += 1
       }
       if (w <= 0 || h <= 0 || bps != 8 || photometric > 1) return None
-      if (comp != 1 && comp != 32773) return None
+      if (comp != 1 && comp != 32773 && comp != 5) return None
+      if (predictor != 1) return None // differencing out of contract
       if (offCnt != cntCnt || offCnt <= 0) return None
       if (w.toLong * h > (1 << 26)) return None
       val nStrips = offCnt.toInt
@@ -989,6 +1118,12 @@ object Pixels {
             if (cnts(s) != rawLen) return None
             java.util.Arrays.copyOfRange(bytes, offs(s).toInt,
               (offs(s) + cnts(s)).toInt)
+          } else if (comp == 5) {
+            tiffLzwDecompress(java.util.Arrays.copyOfRange(bytes,
+              offs(s).toInt, (offs(s) + cnts(s)).toInt), rawLen) match {
+              case Some(d) => d
+              case None => return None
+            }
           } else {
             unpackBits(java.util.Arrays.copyOfRange(bytes, offs(s).toInt,
               (offs(s) + cnts(s)).toInt), rawLen) match {
@@ -2397,7 +2532,77 @@ object Pixels {
                  % 256) AS BIGINT) AS px_sum
         FROM pxy p JOIN delays d ON d.doc_id = p.doc_id
         GROUP BY p.doc_id
-        ORDER BY p.doc_id"""))
+        ORDER BY p.doc_id""")),
+
+    // ----- TIFF LZW strip decode (compression 5) -----------------------
+    // The scanned-document TIFF population: MSB-first variable-width
+    // LZW with the spec's EARLY width change (one code sooner than
+    // GIF's LSB variant — the classic cross-codec trap). Even docs are
+    // encoded by the JDK's OWN TIFF writer (a foreign LZW stream, MM
+    // byte order, its own strip layout); odd docs by this module's
+    // emitter at RowsPerStrip=16 (multi-strip). Both must decode to
+    // the same arithmetic ramp.
+    QueryDef(
+      "q369_tiff_lzw_decode",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val w = (16 + id % 40).toInt
+            val h = (16 + (id * 7) % 36).toInt
+            val px = Array.tabulate(w * h)(i =>
+              ((id * 31 + (i % w) * 7 + (i / w) * 13) % 256).toInt)
+            val blob =
+              if (id % 2 == 0) {
+                import javax.imageio._
+                val img = new java.awt.image.BufferedImage(w, h,
+                  java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+                var i = 0
+                while (i < w * h) {
+                  img.getRaster.setSample(i % w, i / w, 0, px(i)); i += 1
+                }
+                val writer =
+                  ImageIO.getImageWritersByFormatName("tiff").next()
+                try {
+                  val param = writer.getDefaultWriteParam
+                  param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+                  param.setCompressionType("LZW")
+                  val bos = new java.io.ByteArrayOutputStream()
+                  val ios = new javax.imageio.stream
+                    .MemoryCacheImageOutputStream(bos)
+                  writer.setOutput(ios)
+                  writer.write(null, new IIOImage(img, null, null), param)
+                  ios.close()
+                  bos.toByteArray
+                } finally writer.dispose()
+              } else encodeGrayTiff(w, h, px, compression = 5)
+            decodeGrayTiff(blob) match {
+              case Some((dw, dh, p)) =>
+                (id, dw, dh, id % 2 == 0, p.foldLeft(0L)(_ + _))
+              case None => (id, -1, -1, id % 2 == 0, -1L)
+            }
+          }
+          .toDF("doc_id", "width", "height", "foreign_encoder", "px_sum")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH dims AS (
+          SELECT doc_id,
+                 CAST(16 + doc_id % 40 AS INT) AS w,
+                 CAST(16 + (doc_id * 7) % 36 AS INT) AS h
+          FROM documents),
+        xs AS (SELECT doc_id, w, h,
+                      unnest(generate_series(0, w - 1)) AS x FROM dims),
+        pxy AS (SELECT doc_id, w, h, x,
+                       unnest(generate_series(0, h - 1)) AS y FROM xs)
+        SELECT doc_id, MAX(w) AS width, MAX(h) AS height,
+               doc_id % 2 = 0 AS foreign_encoder,
+               CAST(SUM((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT)
+                 AS px_sum
+        FROM pxy
+        GROUP BY doc_id
+        ORDER BY doc_id"""))
   )
 
   /** Encode through the JDK's ImageIO PNG writer — a FOREIGN encoder

@@ -468,4 +468,70 @@ class PixelsSpec extends AnyFunSuite {
     bad(at + 5) = 7 // width low byte: 8 -> 7
     assert(Pixels.decodeAnimatedGif(bad).isEmpty)
   }
+
+  // ---- TIFF LZW (round 13) ---------------------------------------------
+
+  test("TIFF LZW round trip across width-change and reset boundaries") {
+    var s = 7L
+    for (n <- Seq(1, 2, 253, 254, 255, 256, 509, 510, 511, 512, 1021,
+        1022, 1023, 1024, 4000, 50000); shape <- 0 to 2) {
+      val raw = Array.tabulate(n) { i =>
+        shape match {
+          case 0 => ((i * 7 + 31) % 256).toByte
+          case 1 =>
+            s = s * 6364136223846793005L + 1442695040888963407L
+            ((s >>> 33) % 256).toByte
+          case 2 => ((i / 9) % 2 * 255).toByte
+        }
+      }
+      val c = Pixels.tiffLzwCompress(raw)
+      assert(Pixels.tiffLzwDecompress(c, n).exists(_.toSeq == raw.toSeq),
+        s"n=$n shape=$shape")
+    }
+  }
+
+  test("TIFF LZW interop: the JDK TIFF reader decodes our compression-5 streams") {
+    import javax.imageio.ImageIO
+    val (w, h) = (33, 29) // multi-strip at RowsPerStrip=16
+    val px = Array.tabulate(w * h)(i => (i * 11 + 3) % 256)
+    val blob = Pixels.encodeGrayTiff(w, h, px, compression = 5)
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(blob))
+    assert(img != null, "JDK reader rejected our LZW TIFF")
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img.getRaster.getSample(x, y, 0) == px(y * w + x), s"($x,$y)")
+  }
+
+  test("TIFF LZW interop: we decode the JDK writer's LZW streams") {
+    import javax.imageio._
+    val (w, h) = (25, 18)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 5 + y * 17) % 256)
+    val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType("LZW")
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    val Some((dw, dh, px)) = Pixels.decodeGrayTiff(bos.toByteArray)
+    assert(dw == w && dh == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(px(y * w + x) == (x * 5 + y * 17) % 256)
+  }
+
+  test("TIFF LZW: truncated strips reject; absent predictor decodes") {
+    val px = Array.tabulate(64)(i => i * 4 % 256)
+    val blob = Pixels.encodeGrayTiff(8, 8, px, compression = 5)
+    // the encoder writes no Predictor tag -> default 1 decodes fine
+    assert(Pixels.decodeGrayTiff(blob).exists(_._3.toSeq == px.toSeq))
+    // a strip that runs out of bits before EOI rejects (TIFF LZW has
+    // no checksum, so mid-strip bit flips are undetectable by design
+    // — but truncation is structural and must be)
+    assert(Pixels.tiffLzwDecompress(
+      Pixels.tiffLzwCompress(px.map(_.toByte)).dropRight(3), 64).isEmpty)
+  }
 }
