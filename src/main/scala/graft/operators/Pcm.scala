@@ -134,6 +134,22 @@ object Pcm {
             channels = le16(bytes, off + 10)
             rate = le32(bytes, off + 12)
             bits = le16(bytes, off + 22)
+            if (fmtCode == 0xfffe) {
+              // WAVE_FORMAT_EXTENSIBLE: the real format lives in the
+              // SubFormat GUID's first two bytes; the remaining 14 must
+              // be the fixed KSDATAFORMAT tail (a stray GUID is not a
+              // format we know). Most real-world 24-bit WAVs use this.
+              if (len < 40 || le16(bytes, off + 24) < 22) return None
+              val guidAt = off + 8 + 24
+              val tail = Array(0x00, 0x00, 0x00, 0x00, 0x10, 0x00, 0x80,
+                0x00, 0x00, 0xaa, 0x00, 0x38, 0x9b, 0x71)
+              var i = 0
+              while (i < 14) {
+                if ((bytes(guidAt + 2 + i) & 0xff) != tail(i)) return None
+                i += 1
+              }
+              fmtCode = le16(bytes, guidAt)
+            }
             val supported = (fmtCode == 1 && (bits == 16 || bits == 24)) ||
               ((fmtCode == 6 || fmtCode == 7) && bits == 8)
             if (!supported || channels < 1) return None
@@ -207,6 +223,48 @@ object Pcm {
     u32(sampleRate * channels * 3) // byte rate
     u16(channels * 3) // block align
     u16(24) // bits per sample
+    tag("data"); u32(dataLen)
+    samples.foreach { s =>
+      require(s >= -(1 << 23) && s < (1 << 23), s"sample $s out of s24 range")
+      out.write(s & 0xff); out.write((s >>> 8) & 0xff)
+      out.write((s >>> 16) & 0xff)
+    }
+    if (dataPad == 1) out.write(0)
+    out.toByteArray
+  }
+
+  /** 24-bit PCM wrapped in WAVE_FORMAT_EXTENSIBLE (fmt 0xFFFE, 40-byte
+    * fmt chunk, SubFormat GUID = PCM) — how real-world studio WAVs
+    * actually declare >16-bit formats. */
+  def encodePcm24ExtensibleWav(channels: Int, sampleRate: Int,
+      samples: Array[Int], comment: Array[Byte]): Array[Byte] = {
+    require(channels >= 1 && samples.length % channels == 0,
+      s"sample count ${samples.length} not a multiple of $channels channels")
+    val listBody = "INFO".getBytes("US-ASCII") ++ comment
+    val listPad = listBody.length % 2
+    val dataLen = samples.length * 3
+    val dataPad = dataLen % 2
+    val riffLen = 4 + (8 + listBody.length + listPad) + (8 + 40) +
+      (8 + dataLen + dataPad)
+    val out = new ByteArrayOutputStream(riffLen + 8)
+    def tag(t: String): Unit = out.write(t.getBytes("US-ASCII"), 0, 4)
+    def u32(v: Int): Unit = { val b = new Array[Byte](4); putLe32(b, 0, v); out.write(b, 0, 4) }
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    tag("RIFF"); u32(riffLen); tag("WAVE")
+    tag("LIST"); u32(listBody.length); out.write(listBody, 0, listBody.length)
+    if (listPad == 1) out.write(0)
+    tag("fmt "); u32(40)
+    u16(0xfffe) // WAVE_FORMAT_EXTENSIBLE
+    u16(channels); u32(sampleRate)
+    u32(sampleRate * channels * 3)
+    u16(channels * 3)
+    u16(24)
+    u16(22) // cbSize
+    u16(24) // valid bits per sample
+    u32(0) // channel mask: unspecified
+    u16(1) // SubFormat: PCM
+    Seq(0x00, 0x00, 0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00, 0xaa,
+      0x00, 0x38, 0x9b, 0x71).foreach(out.write)
     tag("data"); u32(dataLen)
     samples.foreach { s =>
       require(s >= -(1 << 23) && s < (1 << 23), s"sample $s out of s24 range")
@@ -629,8 +687,13 @@ object Pcm {
                 ((id * 7919 + t.toLong * 130363) % 12000000).toInt - 6000000
               t += 1
             }
-            val bytes = encodePcm24Wav(2, 48000, inter,
-              text.getBytes("UTF-8"))
+            // odd ids wrap in WAVE_FORMAT_EXTENSIBLE — the container
+            // real studio tools emit for 24-bit; same samples, so the
+            // oracle is container-blind by construction
+            val bytes =
+              if (id % 2 == 1) encodePcm24ExtensibleWav(2, 48000, inter,
+                text.getBytes("UTF-8"))
+              else encodePcm24Wav(2, 48000, inter, text.getBytes("UTF-8"))
             decodePcmWav(bytes) match {
               case Some(a) if a.channels == 2 =>
                 val m = a.samples.length / 2

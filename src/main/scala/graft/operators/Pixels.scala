@@ -1176,10 +1176,81 @@ object Pixels {
     out.toByteArray
   }
 
+  /** Byte-valid RLE8-compressed 8-bit BMP (BI_RLE8): encoded runs
+    * (count, index), absolute mode for incompressible stretches (00,
+    * n≥3, bytes, word pad), end-of-line (00 00) after every row and
+    * end-of-bitmap (00 01) at the bottom. RLE8 bitmaps are always
+    * bottom-up (negative heights are invalid with compression). */
+  def encodeRle8Bmp(width: Int, height: Int, pixels: Array[Int])
+      : Array[Byte] = {
+    require(pixels.length == width * height,
+      s"pixel buffer ${pixels.length} != ${width}x$height")
+    val body = new ByteArrayOutputStream(pixels.length / 2 + 64)
+    var y = height - 1
+    while (y >= 0) { // bottom-up
+      var x = 0
+      while (x < width) {
+        var run = 1
+        while (x + run < width && run < 255 &&
+          pixels(y * width + x + run) == pixels(y * width + x)) run += 1
+        if (run >= 2) {
+          body.write(run); body.write(pixels(y * width + x) & 0xff)
+          x += run
+        } else {
+          // literal stretch: singles until the next real run
+          var lit = 1
+          while (x + lit < width && lit < 254 && {
+            var r = 1
+            while (x + lit + r < width &&
+              pixels(y * width + x + lit + r) ==
+                pixels(y * width + x + lit)) r += 1
+            r < 2
+          }) lit += 1
+          if (lit >= 3) { // absolute mode, word-aligned
+            body.write(0); body.write(lit)
+            var k = 0
+            while (k < lit) {
+              body.write(pixels(y * width + x + k) & 0xff); k += 1
+            }
+            if (lit % 2 == 1) body.write(0)
+            x += lit
+          } else {
+            var k = 0
+            while (k < lit) {
+              body.write(1); body.write(pixels(y * width + x + k) & 0xff)
+              k += 1
+            }
+            x += lit
+          }
+        }
+      }
+      body.write(0); body.write(if (y == 0) 1 else 0) // EOL / EOB
+      y -= 1
+    }
+    val data = body.toByteArray
+    val offBits = 14 + 40 + 256 * 4
+    val out = new ByteArrayOutputStream(offBits + data.length)
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def u32(v: Int): Unit = { u16(v & 0xffff); u16((v >>> 16) & 0xffff) }
+    out.write('B'); out.write('M')
+    u32(offBits + data.length); u32(0); u32(offBits)
+    u32(40); u32(width); u32(height)
+    u16(1); u16(8)
+    u32(1); u32(data.length) // BI_RLE8
+    u32(2835); u32(2835); u32(256); u32(0)
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); out.write(0); i += 1 }
+    out.write(data, 0, data.length)
+    out.toByteArray
+  }
+
   /** Decode an 8-bit palette BMP back to top-down pixels: header walk,
     * palette lookup (blue channel; gray palettes have B=G=R), stride
     * hop, bottom-up (positive height) AND top-down (negative height)
-    * row orders. Corrupt / other bit depths → None. */
+    * row orders, plus BI_RLE8 decompression (encoded runs, absolute
+    * mode with word padding, EOL/EOB/delta escapes — delta-skipped
+    * pixels stay index 0 per the format). Corrupt / other bit depths
+    * → None. */
   def decodeGrayBmp(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
     try {
       if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
@@ -1193,26 +1264,70 @@ object Pixels {
       val topDown = hRaw < 0
       val h = math.abs(hRaw)
       if (u16(26) != 1 || u16(28) != 8) return None // 8-bit palette only
-      if (u32(30) != 0) return None // BI_RGB only
+      val compression = u32(30)
+      if (compression != 0 && compression != 1) return None // RGB / RLE8
       var palSize = u32(46)
       if (palSize == 0) palSize = 256
       if (w <= 0 || h <= 0 || w.toLong * h > (1 << 26)) return None
       val palAt = 14 + hdrSize
       if (palAt + palSize * 4 > offBits) return None
       val palette = Array.tabulate(palSize)(i => bytes(palAt + i * 4) & 0xff)
-      val stride = (w + 3) / 4 * 4
-      if (offBits.toLong + stride.toLong * h > bytes.length) return None
       val px = new Array[Int](w * h)
-      var row = 0
-      while (row < h) {
-        val srcY = if (topDown) row else h - 1 - row
-        var x = 0
-        while (x < w) {
-          val idx = bytes(offBits + srcY * stride + x) & 0xff
-          px(row * w + x) = if (idx < palSize) palette(idx) else 0
-          x += 1
+      if (compression == 1) {
+        // BI_RLE8: bottom-up only (the spec forbids top-down RLE)
+        if (topDown) return None
+        val idx = new Array[Int](w * h) // palette indices, default 0
+        var x = 0; var y = h - 1
+        var i2 = offBits
+        var done = false
+        while (!done) {
+          if (i2 + 2 > bytes.length) return None
+          val b0 = bytes(i2) & 0xff; val b1 = bytes(i2 + 1) & 0xff
+          i2 += 2
+          if (b0 > 0) { // encoded run
+            if (y < 0 || x + b0 > w) return None
+            var k = 0
+            while (k < b0) { idx(y * w + x + k) = b1; k += 1 }
+            x += b0
+          } else b1 match {
+            case 0 => x = 0; y -= 1 // end of line
+            case 1 => done = true // end of bitmap
+            case 2 => // delta: skipped pixels keep index 0
+              if (i2 + 2 > bytes.length) return None
+              x += bytes(i2) & 0xff; y -= bytes(i2 + 1) & 0xff
+              i2 += 2
+              if (x > w || y < -1) return None
+            case n => // absolute mode, word-aligned
+              if (y < 0 || x + n > w) return None
+              if (i2 + n + (n % 2) > bytes.length) return None
+              var k = 0
+              while (k < n) { idx(y * w + x + k) = bytes(i2 + k) & 0xff; k += 1 }
+              i2 += n + (n % 2)
+              x += n
+          }
         }
-        row += 1
+        // the decode loop wrote the FIRST encoded row (the image
+        // bottom) at idx row h-1, so idx is already top-down
+        var j = 0
+        while (j < w * h) {
+          if (idx(j) >= palSize) return None
+          px(j) = palette(idx(j))
+          j += 1
+        }
+      } else {
+        val stride = (w + 3) / 4 * 4
+        if (offBits.toLong + stride.toLong * h > bytes.length) return None
+        var row = 0
+        while (row < h) {
+          val srcY = if (topDown) row else h - 1 - row
+          var x = 0
+          while (x < w) {
+            val idx = bytes(offBits + srcY * stride + x) & 0xff
+            px(row * w + x) = if (idx < palSize) palette(idx) else 0
+            x += 1
+          }
+          row += 1
+        }
       }
       Some((w, h, px))
     } catch { case _: Exception => None }
@@ -2600,6 +2715,56 @@ object Pixels {
                doc_id % 2 = 0 AS foreign_encoder,
                CAST(SUM((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT)
                  AS px_sum
+        FROM pxy
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    // ----- BMP RLE8 decode (the icon/screenshot compression) -----------
+    // Run-heavy fixtures (pixel value constant over rl-wide stretches,
+    // rl varying per doc) drive the encoded-run path; the inter-run
+    // boundaries drive absolute mode and the word-pad; EOL/EOB escapes
+    // close every row. Bottom-up only (top-down RLE is invalid by
+    // spec). Oracle replays the stretch formula exactly.
+    QueryDef(
+      "q370_bmp_rle8_decode",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val w = (16 + id % 37).toInt
+            val h = (12 + (id * 5) % 31).toInt
+            val rl = (3 + id % 4).toInt
+            val px = Array.tabulate(w * h) { i =>
+              val x = i % w; val y = i / w
+              ((id * 31 + (x / rl) * 7 + y * 13) % 256).toInt
+            }
+            val blob = encodeRle8Bmp(w, h, px)
+            decodeGrayBmp(blob) match {
+              case Some((dw, dh, p)) =>
+                (id, dw, dh, p.foldLeft(0L)(_ + _))
+              case None => (id, -1, -1, -1L)
+            }
+          }
+          .toDF("doc_id", "width", "height", "px_sum")
+          .orderBy($"doc_id")
+      },
+      // the compressed size depends on the encoder's run choices and
+      // is not oracle-replayable — replay dims + the exact pixel sum
+      Some("""
+        WITH dims AS (
+          SELECT doc_id,
+                 CAST(16 + doc_id % 37 AS INT) AS w,
+                 CAST(12 + (doc_id * 5) % 31 AS INT) AS h,
+                 3 + doc_id % 4 AS rl
+          FROM documents),
+        xs AS (SELECT doc_id, w, h, rl,
+                      unnest(generate_series(0, w - 1)) AS x FROM dims),
+        pxy AS (SELECT doc_id, w, h, rl, x,
+                       unnest(generate_series(0, h - 1)) AS y FROM xs)
+        SELECT doc_id, MAX(w) AS width, MAX(h) AS height,
+               CAST(SUM((doc_id * 31 + (x // rl) * 7 + y * 13) % 256)
+                 AS BIGINT) AS px_sum
         FROM pxy
         GROUP BY doc_id
         ORDER BY doc_id"""))

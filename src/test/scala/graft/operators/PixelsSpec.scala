@@ -534,4 +534,61 @@ class PixelsSpec extends AnyFunSuite {
     assert(Pixels.tiffLzwDecompress(
       Pixels.tiffLzwCompress(px.map(_.toByte)).dropRight(3), 64).isEmpty)
   }
+
+  // ---- BMP RLE8 (round 13) -----------------------------------------------
+
+  test("BMP RLE8 round trip: runs, absolute mode, word pad, EOL/EOB") {
+    for ((w, h, rl) <- Seq((17, 9, 3), (32, 12, 5), (23, 7, 1))) {
+      // rl=1 forces pure literal content -> absolute mode everywhere
+      val px = Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        ((x / rl) * 41 + y * 13 + 5) % 256
+      }
+      val blob = Pixels.encodeRle8Bmp(w, h, px)
+      val Some((dw, dh, p)) = Pixels.decodeGrayBmp(blob)
+      assert(dw == w && dh == h, s"dims rl=$rl")
+      assert(p.toSeq == px.toSeq, s"pixels rl=$rl")
+    }
+  }
+
+  test("BMP RLE8 interop: the JDK BMP reader decodes our streams") {
+    val (w, h) = (21, 13)
+    val px = Array.tabulate(w * h)(i => ((i / 4) * 7 + 3) % 256)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Pixels.encodeRle8Bmp(w, h, px)))
+    assert(img != null, "JDK reader rejected our RLE8 BMP")
+    // raster samples: the reader returns TYPE_BYTE_GRAY, where getRGB
+    // would push linear gray through sRGB color management
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img.getRaster.getSample(x, y, 0) == px(y * w + x), s"($x,$y)")
+  }
+
+  test("BMP RLE8 delta escape: skipped pixels stay palette index 0") {
+    // hand-craft: one run of 3 at the bottom-left, delta (2,1), then a
+    // run of 2 on the row above, EOL x2, EOB
+    val offBits = 14 + 40 + 256 * 4
+    val body = Array[Int](
+      3, 200, // run: 3 px of index 200 at (0..2, bottom)
+      0, 2, 2, 1, // delta: x += 2, y up 1
+      2, 100, // run: 2 px of 100 at (5.. wait x continues at 5? x=3+2=5 row=h-2
+      0, 0, // EOL
+      0, 1 // EOB
+    ).map(_.toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def u32(v: Int): Unit = { u16(v & 0xffff); u16((v >>> 16) & 0xffff) }
+    out.write('B'); out.write('M')
+    u32(offBits + body.length); u32(0); u32(offBits)
+    u32(40); u32(8); u32(2) // 8x2
+    u16(1); u16(8); u32(1); u32(body.length)
+    u32(2835); u32(2835); u32(256); u32(0)
+    for (i <- 0 until 256) { out.write(i); out.write(i); out.write(i); out.write(0) }
+    out.write(body.map(_.toInt & 0xff).map(_.toByte).toArray)
+    val Some((w, h, px)) = Pixels.decodeGrayBmp(out.toByteArray)
+    assert(w == 8 && h == 2)
+    // bottom row (output row 1): 200 200 200 0 0 0 0 0
+    assert(px.slice(8, 16).toSeq == Seq(200, 200, 200, 0, 0, 0, 0, 0))
+    // row above (output row 0): delta landed at x=5: 0 0 0 0 0 100 100 0
+    assert(px.slice(0, 8).toSeq == Seq(0, 0, 0, 0, 0, 100, 100, 0))
+  }
 }
