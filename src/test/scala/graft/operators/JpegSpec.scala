@@ -168,4 +168,12 @@ class JpegSpec extends AnyFunSuite {
     forged(sof + 4) = 12
     assert(Jpeg.decodeJpeg(forged).isEmpty)
   }
+
+  test("4:4:0 (v-only subsampling): transposed fancy filter within +-3") {
+    for (prog <- Seq(false, true); id <- 0L until 30L) {
+      val blob = Jpeg.encodeImageIO(Jpeg.colorFixture(id), 1, 2, prog)
+      val d = worstChannelDiff(blob)
+      assert(d <= 3, s"id=$id prog=$prog diff=$d")
+    }
+  }
 }

@@ -591,4 +591,59 @@ class PixelsSpec extends AnyFunSuite {
     // row above (output row 0): delta landed at x=5: 0 0 0 0 0 100 100 0
     assert(px.slice(0, 8).toSeq == Seq(0, 0, 0, 0, 0, 100, 100, 0))
   }
+
+  // ---- small-palette GIF + interlaced palette PNG (round 13) -----------
+
+  test("small-palette GIF: min code sizes 2..8 round trip") {
+    for (p <- Seq(2, 3, 4, 7, 16, 33, 200)) {
+      val pal = Array.tabulate(p)(j => (j * 37 + 11) % 256)
+      val idx = Array.tabulate(20 * 11)(i => (i * 13) % p)
+      val blob = Pixels.encodePaletteGif(20, 11, idx, pal)
+      val Some((w, h, px)) = Pixels.decodeGrayGif(blob)
+      assert(w == 20 && h == 11, s"p=$p")
+      assert(px.toSeq == idx.map(pal).toSeq, s"p=$p")
+    }
+  }
+
+  test("small-palette GIF interop: ImageIO reads our min-code-2 stream") {
+    val pal = Array(5, 250) // 2 entries -> GCT size 2, min code 2
+    val idx = Array.tabulate(16 * 8)(i => i % 2)
+    val blob = Pixels.encodePaletteGif(16, 8, idx, pal)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(blob))
+    assert(img != null, "ImageIO rejected our small-palette GIF")
+    for (y <- 0 until 8; x <- 0 until 16)
+      assert((img.getRGB(x, y) & 0xff) == pal(idx(y * 16 + x)), s"($x,$y)")
+  }
+
+  test("palette PNG composes with Adam7 interlace through the shared core") {
+    import javax.imageio._
+    import java.awt.image.{BufferedImage, DataBuffer, IndexColorModel}
+    val (w, h) = (13, 9)
+    val pal = Array.tabulate(20)(j => (j * 12 + 3) % 256)
+    val idx = Array.tabulate(w * h)(i => (i * 7) % 20)
+    val cmap = pal.map(g => (0xff << 24) | (g << 16) | (g << 8) | g)
+    val icm = new IndexColorModel(8, 20, cmap, 0, false, -1,
+      DataBuffer.TYPE_BYTE)
+    val bi = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (i <- 0 until w * h) bi.getRaster.setSample(i % w, i / w, 0, idx(i))
+    val writer = ImageIO.getImageWritersByFormatName("png").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(ImageWriteParam.MODE_DEFAULT) // Adam7
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new IIOImage(bi, null, null), param)
+    ios.close(); writer.dispose()
+    val blob = bos.toByteArray
+    assert((blob(25) & 0xff) == 3 && (blob(28) & 0xff) == 1,
+      "fixture must be interlaced palette")
+    val Some((dw, dh, luma)) = Pixels.decodePngLuma(blob)
+    assert(dw == w && dh == h)
+    val expect = idx.map { i =>
+      val g = pal(i)
+      (77 * g + 151 * g + 28 * g) >> 8
+    }
+    assert(luma.toSeq == expect.toSeq)
+  }
 }
