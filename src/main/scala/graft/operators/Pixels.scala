@@ -484,6 +484,13 @@ object Pixels {
       i += 1
     }
     if (prev >= 0) emit(prev)
+    // tail: the final emit above makes NO dictionary add, but the
+    // decoder DOES add on reading it — if that lands exactly on the
+    // decoder's bump boundary (nextCode == 2^w in the GIF schedule),
+    // the EOI must be written one bit wider. Caught live by the q371
+    // sf1 sweep at ~1000-symbol small-palette streams; the TIFF LZW
+    // pair has the same rule at ITS (early-change) boundary.
+    if (nextCode == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
     emit(EoiCode)
     if (bitCnt > 0) out.write((bitBuf & 0xff).toInt)
     out.toByteArray

@@ -605,6 +605,22 @@ class PixelsSpec extends AnyFunSuite {
     }
   }
 
+  test("LZW tail boundary: EOI lands one bit wider when the last add bumps") {
+    // the exact fixture shape the q371 sf1 sweep caught live (id 2725:
+    // 35x23, 32-entry palette -> mc 5): the decoder's add on the final
+    // data code landed exactly on nextCode == 2^w, so the EOI had to
+    // be written one bit wider
+    val id = 2725L
+    val (w, h, p) = (35, 23, 32)
+    val pal = Array.tabulate(p)(j => ((id * 17 + j * 37) % 256).toInt)
+    val idx = Array.tabulate(w * h)(i =>
+      ((id * 31 + (i % w) * 7 + (i / w) * 13) % p).toInt)
+    val Some((dw, dh, px)) =
+      Pixels.decodeGrayGif(Pixels.encodePaletteGif(w, h, idx, pal))
+    assert(dw == w && dh == h)
+    assert(px.toSeq == idx.map(pal).toSeq)
+  }
+
   test("small-palette GIF interop: ImageIO reads our min-code-2 stream") {
     val pal = Array(5, 250) // 2 entries -> GCT size 2, min code 2
     val idx = Array.tabulate(16 * 8)(i => i % 2)
