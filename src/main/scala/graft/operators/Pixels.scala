@@ -1433,6 +1433,58 @@ object Pixels {
   /** Magic-byte image dispatch: route a blob to the right pixel
     * decoder (PNG / GIF / PGM), the pixel-level mirror of the q255
     * content dispatcher. Returns (format, w, h, pixels). */
+  /** Binary PPM (netpbm P6) — the color half of the netpbm pair:
+    * same tokenizer header, raw RGB triples. */
+  def encodePpm(width: Int, height: Int, rgb: Array[Int],
+      comment: String): Array[Byte] = {
+    require(rgb.length == width * height,
+      s"pixel buffer ${rgb.length} != ${width}x$height")
+    val safe = comment.replace('\n', ' ').replace('\r', ' ')
+    val header = s"P6\n# $safe\n$width $height\n255\n"
+    val out = new ByteArrayOutputStream(header.length + rgb.length * 3)
+    out.write(header.getBytes("US-ASCII"))
+    rgb.foreach { v =>
+      out.write((v >> 16) & 0xff); out.write((v >> 8) & 0xff)
+      out.write(v & 0xff)
+    }
+    out.toByteArray
+  }
+
+  /** Decode binary PPM to LUMA pixels (the BT.601 integer weights the
+    * whole luma family shares); maxval 255 only, corrupt → None. */
+  def decodePpmLuma(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      if (bytes.length < 10 || bytes(0) != 'P' || bytes(1) != '6') return None
+      var off = 2
+      def nextInt(): Int = {
+        var inComment = false
+        while (off < bytes.length) {
+          val c = bytes(off) & 0xff
+          if (inComment) { if (c == '\n') inComment = false; off += 1 }
+          else if (c == '#') { inComment = true; off += 1 }
+          else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') off += 1
+          else {
+            var v = 0
+            while (off < bytes.length && (bytes(off) & 0xff) >= '0' &&
+                (bytes(off) & 0xff) <= '9') {
+              v = v * 10 + (bytes(off) - '0'); off += 1
+            }
+            return v
+          }
+        }
+        -1
+      }
+      val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+      if (w <= 0 || h <= 0 || maxval != 255) return None
+      if (w.toLong * h > (1 << 26)) return None
+      off += 1 // the single whitespace byte after maxval
+      if (off + w * h * 3 > bytes.length) return None
+      Some((w, h, Array.tabulate(w * h) { i =>
+        rgbLuma(bytes(off + i * 3) & 0xff, bytes(off + i * 3 + 1) & 0xff,
+          bytes(off + i * 3 + 2) & 0xff)
+      }))
+    } catch { case _: Exception => None }
+
   def decodeImage(bytes: Array[Byte]): Option[(String, Int, Int, Array[Int])] =
     if (bytes.length < 6) None
     else if (bytes(0) == 0x89.toByte && bytes(1) == 'P')
@@ -1441,6 +1493,8 @@ object Pixels {
       decodeGrayGif(bytes).map { case (w, h, px) => ("gif", w, h, px) }
     else if (bytes(0) == 'P' && bytes(1) == '5')
       decodeGrayPgm(bytes).map { case (w, h, px) => ("pgm", w, h, px) }
+    else if (bytes(0) == 'P' && bytes(1) == '6')
+      decodePpmLuma(bytes).map { case (w, h, px) => ("ppm", w, h, px) }
     else if ((bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == 42) ||
       (bytes(0) == 'M' && bytes(1) == 'M' && bytes(3) == 42))
       decodeGrayTiff(bytes).map { case (w, h, px) => ("tiff", w, h, px) }
@@ -2876,6 +2930,56 @@ object Pixels {
                CAST(SUM((doc_id * 17
                          + ((doc_id * 31 + x * 7 + y * 13) % p) * 37)
                     % 256) AS BIGINT) AS gray_sum
+        FROM pxy
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    // ----- PPM (P6) color netpbm → luma ---------------------------------
+    // The color half of the netpbm pair: same tokenizer header
+    // (#-comments, whitespace), raw RGB triples, routed by the pixel
+    // dispatcher alongside P5. Lossless, so the oracle composes the
+    // three channel formulas → BT.601 luma exactly.
+    QueryDef(
+      "q373_ppm_color_luma",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text").as[(Long, String)]
+          .map { case (id, text) =>
+            val w = (9 + id % 28).toInt
+            val h = (7 + (id * 3) % 26).toInt
+            val rgb = Array.tabulate(w * h) { i =>
+              val x = i % w; val y = i / w
+              val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+              val g = ((id * 17 + x * 11 + y * 5) % 256).toInt
+              val b = ((id * 23 + x * 3 + y * 19) % 256).toInt
+              (r << 16) | (g << 8) | b
+            }
+            val blob = encodePpm(w, h, rgb, text.take(40))
+            decodeImage(blob) match {
+              case Some(("ppm", dw, dh, px)) =>
+                (id, dw, dh, px.foldLeft(0L)(_ + _))
+              case _ => (id, -1, -1, -1L)
+            }
+          }
+          .toDF("doc_id", "width", "height", "luma_sum")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH dims AS (
+          SELECT doc_id,
+                 CAST(9 + doc_id % 28 AS INT) AS w,
+                 CAST(7 + (doc_id * 3) % 26 AS INT) AS h
+          FROM documents),
+        xs AS (SELECT doc_id, w, h,
+                      unnest(generate_series(0, w - 1)) AS x FROM dims),
+        pxy AS (SELECT doc_id, w, h, x,
+                       unnest(generate_series(0, h - 1)) AS y FROM xs)
+        SELECT doc_id, MAX(w) AS width, MAX(h) AS height,
+               CAST(SUM((77 * ((doc_id * 31 + x * 7 + y * 13) % 256)
+                       + 151 * ((doc_id * 17 + x * 11 + y * 5) % 256)
+                       + 28 * ((doc_id * 23 + x * 3 + y * 19) % 256))
+                    // 256) AS BIGINT) AS luma_sum
         FROM pxy
         GROUP BY doc_id
         ORDER BY doc_id"""))

@@ -662,4 +662,23 @@ class PixelsSpec extends AnyFunSuite {
     }
     assert(luma.toSeq == expect.toSeq)
   }
+
+  test("PPM (P6): header tokenizer, RGB triples, exact luma; dispatcher routes") {
+    val (w, h) = (11, 6)
+    val rgb = Array.tabulate(w * h)(i =>
+      (((i * 7) % 256) << 16) | (((i * 13) % 256) << 8) | ((i * 29) % 256))
+    val blob = Pixels.encodePpm(w, h, rgb, "a comment\nwith newline")
+    val Some((dw, dh, luma)) = Pixels.decodePpmLuma(blob)
+    assert(dw == w && dh == h)
+    val expect = rgb.map(v => (77 * ((v >> 16) & 0xff) +
+      151 * ((v >> 8) & 0xff) + 28 * (v & 0xff)) >> 8)
+    assert(luma.toSeq == expect.toSeq)
+    assert(Pixels.decodeImage(blob).exists(_._1 == "ppm"))
+    // gray PGM surface rejects P6 and vice versa
+    assert(Pixels.decodeGrayPgm(blob).isEmpty)
+    assert(Pixels.decodePpmLuma(
+      Pixels.encodePgm(4, 4, Array.fill(16)(9), "c")).isEmpty)
+    // truncated pixel data rejects
+    assert(Pixels.decodePpmLuma(blob.dropRight(2)).isEmpty)
+  }
 }
