@@ -176,7 +176,9 @@ object Pixels {
             color = bytes(off + 17) & 0xff
             interlace = bytes(off + 20) & 0xff
             val depthOk = depth == 8 && (color == 0 || color == 2 ||
-              color == 3) || depth == 16 && color == 0
+              color == 3) || depth == 16 && color == 0 ||
+              (depth == 1 || depth == 2 || depth == 4) &&
+                (color == 0 || color == 3)
             if (!depthOk || interlace > 1) return None
           case "PLTE" =>
             if (len % 3 != 0 || len > 768) return None
@@ -193,7 +195,8 @@ object Pixels {
       if (!done || w <= 0 || h <= 0 || w.toLong * h > (1 << 26)) return None
       if (color == 3 && palette.isEmpty) return None // PLTE is mandatory
       val spp = if (color == 2) 3 else 1
-      val bpp = spp * (depth / 8) // filter stride in BYTES
+      // filter stride in BYTES (sub-byte depths filter at stride 1)
+      val bpp = math.max(1, spp * (depth / 8))
       // pass table: a non-interlaced image is one full-geometry pass
       val passes: Array[(Int, Int, Int, Int)] =
         if (interlace == 0) Array((0, 1, 0, 1))
@@ -203,10 +206,12 @@ object Pixels {
         if (w <= p._1) 0 else (w - p._1 + p._2 - 1) / p._2
       def passH(p: (Int, Int, Int, Int)): Int =
         if (h <= p._3) 0 else (h - p._3 + p._4 - 1) / p._4
+      def rowBytesOf(pw: Int): Int =
+        if (depth >= 8) pw * bpp else (pw * depth + 7) / 8
       var total = 0
       passes.foreach { p =>
         val pw = passW(p); val ph = passH(p)
-        if (pw > 0 && ph > 0) total += ph * (pw * bpp + 1)
+        if (pw > 0 && ph > 0) total += ph * (rowBytesOf(pw) + 1)
       }
       val raw = new Array[Byte](total)
       val inf = new Inflater(false) // zlib wrapper, adler32-verified
@@ -229,7 +234,7 @@ object Pixels {
       passes.foreach { case p @ (xs, xStep, ys, yStep) =>
         val pw = passW(p); val ph = passH(p)
         if (pw > 0 && ph > 0) {
-          val rowBytes = pw * bpp
+          val rowBytes = rowBytesOf(pw)
           var prior = new Array[Int](rowBytes)
           var cur = new Array[Int](rowBytes)
           var j = 0
@@ -263,7 +268,14 @@ object Pixels {
                   out((py * w + px) * spp + c) = cur(k * bpp + c)
                   c += 1
                 }
-              } else out(py * w + px) = (cur(k * 2) << 8) | cur(k * 2 + 1)
+              } else if (depth == 16) {
+                out(py * w + px) = (cur(k * 2) << 8) | cur(k * 2 + 1)
+              } else { // 1/2/4-bit: MSB-first packed codes
+                val bit = k * depth
+                out(py * w + px) =
+                  (cur(bit >> 3) >> (8 - depth - (bit & 7))) &
+                    ((1 << depth) - 1)
+              }
               k += 1
             }
             val t = prior; prior = cur; cur = t
@@ -302,8 +314,11 @@ object Pixels {
   def decodePngLuma(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
     decodePngSamples(bytes).flatMap {
       case (w, h, 0, 8, px, _) => Some((w, h, px))
-      case (w, h, 0, _, px, _) => // 16-bit gray: high byte is the luma
+      case (w, h, 0, 16, px, _) => // 16-bit gray: high byte is the luma
         Some((w, h, px.map(_ >> 8)))
+      case (w, h, 0, d, px, _) => // 1/2/4-bit gray: linear code scale
+        val scale = 255 / ((1 << d) - 1)
+        Some((w, h, px.map(_ * scale)))
       case (w, h, 2, _, s, _) =>
         Some((w, h, Array.tabulate(w * h) { i =>
           rgbLuma(s(i * 3), s(i * 3 + 1), s(i * 3 + 2))
@@ -2981,6 +2996,105 @@ object Pixels {
                        + 28 * ((doc_id * 23 + x * 3 + y * 19) % 256))
                     // 256) AS BIGINT) AS luma_sum
         FROM pxy
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    // ----- sub-byte PNG decode (1/2/4-bit — the favicon population) ----
+    // Depths below a byte pack MSB-first codes into scanlines that
+    // still filter at stride 1; the JDK writes them as grayscale
+    // (type 0, gray palettes — even ids) or palette (type 3, color
+    // palettes — odd ids), every 5th doc additionally Adam7
+    // interlaced, so sub-byte unpacking composes with the pass
+    // machinery. Gray codes scale linearly (255/85/17); palette
+    // entries go through PLTE → BT.601. All foreign streams.
+    QueryDef(
+      "q374_png_subbyte_decode",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            import java.awt.image.{BufferedImage, DataBuffer, IndexColorModel}
+            import javax.imageio._
+            val p = Seq(2, 4, 16)((id % 3).toInt)
+            val bits = if (p <= 2) 1 else if (p <= 4) 2 else 4
+            val w = (9 + id % 22).toInt
+            val h = (6 + (id * 3) % 20).toInt
+            val gray = id % 2 == 0
+            val cmap = Array.tabulate(p) { j =>
+              if (gray) {
+                val g = j * (255 / (p - 1))
+                (0xff << 24) | (g << 16) | (g << 8) | g
+              } else {
+                val r = ((id * 17 + j * 37) % 256).toInt
+                val g = ((id * 13 + j * 29) % 256).toInt
+                val b = ((id * 7 + j * 41) % 256).toInt
+                (0xff << 24) | (r << 16) | (g << 8) | b
+              }
+            }
+            val icm = new IndexColorModel(bits, p, cmap, 0, false, -1,
+              DataBuffer.TYPE_BYTE)
+            val bi = new BufferedImage(w, h,
+              BufferedImage.TYPE_BYTE_BINARY, icm)
+            var i = 0
+            while (i < w * h) {
+              bi.getRaster.setSample(i % w, i / w, 0,
+                ((id * 31 + (i % w) * 7 + (i / w) * 13) % p).toInt)
+              i += 1
+            }
+            val writer = ImageIO.getImageWritersByFormatName("png").next()
+            val blob = try {
+              val param = writer.getDefaultWriteParam
+              if (id % 5 == 0)
+                param.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+              else param.setProgressiveMode(ImageWriteParam.MODE_DISABLED)
+              val bos = new java.io.ByteArrayOutputStream()
+              val ios = new javax.imageio.stream
+                .MemoryCacheImageOutputStream(bos)
+              writer.setOutput(ios)
+              writer.write(null, new IIOImage(bi, null, null), param)
+              ios.close()
+              bos.toByteArray
+            } finally writer.dispose()
+            decodePngLuma(blob) match {
+              case Some((dw, dh, luma)) =>
+                (id, dw, dh, (blob(24) & 0xff) == bits,
+                  luma.foldLeft(0L)(_ + _))
+              case None => (id, -1, -1, false, -1L)
+            }
+          }
+          .toDF("doc_id", "width", "height", "subbyte", "luma_sum")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH dims AS (
+          SELECT doc_id,
+                 CAST(9 + doc_id % 22 AS INT) AS w,
+                 CAST(6 + (doc_id * 3) % 20 AS INT) AS h,
+                 CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 16 END AS p
+          FROM documents),
+        xs AS (SELECT doc_id, w, h, p,
+                      unnest(generate_series(0, w - 1)) AS x FROM dims),
+        pxy AS (SELECT doc_id, w, h, p, x,
+                       unnest(generate_series(0, h - 1)) AS y FROM xs),
+        lum AS (
+          SELECT doc_id, w, h,
+                 CASE WHEN doc_id % 2 = 0 THEN
+                   ((doc_id * 31 + x * 7 + y * 13) % p) * (255 // (p - 1))
+                 ELSE
+                   (77 * ((doc_id * 17
+                           + ((doc_id * 31 + x * 7 + y * 13) % p) * 37) % 256)
+                  + 151 * ((doc_id * 13
+                           + ((doc_id * 31 + x * 7 + y * 13) % p) * 29) % 256)
+                  + 28 * ((doc_id * 7
+                           + ((doc_id * 31 + x * 7 + y * 13) % p) * 41) % 256))
+                   // 256
+                 END AS l
+          FROM pxy)
+        SELECT doc_id, MAX(w) AS width, MAX(h) AS height,
+               TRUE AS subbyte,
+               CAST(SUM(l) AS BIGINT) AS luma_sum
+        FROM lum
         GROUP BY doc_id
         ORDER BY doc_id"""))
   )

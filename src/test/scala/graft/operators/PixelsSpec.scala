@@ -681,4 +681,42 @@ class PixelsSpec extends AnyFunSuite {
     // truncated pixel data rejects
     assert(Pixels.decodePpmLuma(blob.dropRight(2)).isEmpty)
   }
+
+  test("sub-byte PNG: 1/2/4-bit gray and palette, plain and Adam7") {
+    import java.awt.image.{BufferedImage, DataBuffer, IndexColorModel}
+    import javax.imageio._
+    for (p <- Seq(2, 4, 16); gray <- Seq(true, false);
+        interlace <- Seq(false, true)) {
+      val bits = if (p <= 2) 1 else if (p <= 4) 2 else 4
+      val (w, h) = (13, 7)
+      val cmap = Array.tabulate(p) { j =>
+        if (gray) { val g = j * (255 / (p - 1)); (0xff << 24) | (g << 16) | (g << 8) | g }
+        else (0xff << 24) | (((j * 37 + 5) % 256) << 16) |
+          (((j * 29 + 9) % 256) << 8) | ((j * 41 + 3) % 256)
+      }
+      val icm = new IndexColorModel(bits, p, cmap, 0, false, -1,
+        DataBuffer.TYPE_BYTE)
+      val bi = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_BINARY, icm)
+      val idx = Array.tabulate(w * h)(i => (i * 3 + 1) % p)
+      for (i <- 0 until w * h) bi.getRaster.setSample(i % w, i / w, 0, idx(i))
+      val writer = ImageIO.getImageWritersByFormatName("png").next()
+      val param = writer.getDefaultWriteParam
+      if (interlace) param.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new IIOImage(bi, null, null), param)
+      ios.close(); writer.dispose()
+      val blob = bos.toByteArray
+      assert((blob(24) & 0xff) == bits, s"p=$p must be $bits-bit on the wire")
+      val Some((dw, dh, luma)) = Pixels.decodePngLuma(blob)
+      assert(dw == w && dh == h)
+      for (i <- 0 until w * h) {
+        val c = cmap(idx(i))
+        val expect = (77 * ((c >> 16) & 0xff) + 151 * ((c >> 8) & 0xff) +
+          28 * (c & 0xff)) >> 8
+        assert(luma(i) == expect, s"p=$p gray=$gray il=$interlace i=$i")
+      }
+    }
+  }
 }
