@@ -565,6 +565,16 @@ object Jpeg {
         my += 1
       }
     }
+    // In a sequential scan every entropy bit up to the next marker
+    // belongs to the MCUs above; a marker reached DURING block decode
+    // (hitMarker: the reader had to zero-fill) means the scan was
+    // truncated. Zero-fill happens to form valid Huffman codes often
+    // enough that "decode anyway" would return Some(wrong pixels) —
+    // enforce the corrupt→None contract instead. Progressive scans
+    // legitimately end at the next marker (spectral bands may leave
+    // trailing EOB runs), so the check is sequential-only.
+    if (!progressive && r.hitMarker)
+      throw new IllegalStateException("marker inside sequential scan")
     r.endPos
   }
 

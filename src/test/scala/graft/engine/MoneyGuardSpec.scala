@@ -44,8 +44,30 @@ class MoneyGuardSpec extends SparkSpec {
     val over = MoneyGuard.moneySum(col("v"), 1000000, ceiling + 1, 200000.0)
     assert(under.toString.toLowerCase.contains("bigint"),
       s"under-ceiling shape must sum longs: $under")
-    assert(over.toString.toLowerCase.contains("decimal(38,6)"),
-      s"over-ceiling shape must sum DECIMAL(38,6): $over")
+    assert(over.toString.toLowerCase.contains("decimal(38,0)"),
+      s"over-ceiling shape must sum integer sub-units in DECIMAL(38,0): $over")
+  }
+
+  test("tableRows resolves an explicit file:// scheme via Hadoop FS") {
+    val dir = "/root/testdata/sf0.001"
+    val expected = spark.read.parquet(s"$dir/orders.parquet").count()
+    assert(MoneyGuard.tableRows(s"file://$dir", "orders") == expected)
+  }
+
+  test("promoted shape is single-rounded past 2^53 sub-units") {
+    import spark.implicits._
+    // 600k rows x ~1.9e10 micro-units/row: S ~ 1.14e16 > 2^53, the
+    // regime where summing CURRENCY decimals and casting would round
+    // twice. The promoted shape must equal double(exact S)/unit.
+    val n = 600000L
+    val df = spark.range(n)
+      .selectExpr("19000.0 + cast(id % 1000 as double) / 1e6 as v")
+    val got = df.agg(
+      MoneyGuard.moneySum($"v", 1000000L, Long.MaxValue, 20000.0).as("t"))
+      .collect()(0).getDouble(0)
+    val s = BigInt(19000000000L) * n + BigInt(499500L) * (n / 1000L)
+    assert(got == s.toDouble / 1e6,
+      s"promoted sum must be double(S)/unit: got $got, want ${s.toDouble / 1e6}")
   }
 
   test("both representations agree to 4dp on grid-valued money") {

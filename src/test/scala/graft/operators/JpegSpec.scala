@@ -76,6 +76,20 @@ class JpegSpec extends AnyFunSuite {
     assert(Jpeg.decodeJpeg(bos.toByteArray).exists(_.nComp == 3))
   }
 
+  test("sequential scan cut short of its MCU count is None, not a mis-decode") {
+    // Chop entropy bytes out of the scan and close with a clean EOI:
+    // the zero-fill after the (now early) marker can form valid Huffman
+    // codes, so without the mid-scan marker check this would decode to
+    // Some(wrong pixels). The contract is corrupt -> None.
+    val blob = encode(64, 64, Array.tabulate(64 * 64)(i => (i * 7) % 256))
+    var truncated = 0
+    for (cut <- Seq(4, 16, 64, 256)) {
+      val t = blob.dropRight(cut + 2) ++ Array(0xff.toByte, 0xd9.toByte)
+      if (Jpeg.decodeJpegGray(t).nonEmpty) truncated += 1
+    }
+    assert(truncated == 0, s"$truncated truncated streams mis-decoded")
+  }
+
   // ---- color + progressive (round 13) --------------------------------
 
   private def worstChannelDiff(blob: Array[Byte]): Int = {
