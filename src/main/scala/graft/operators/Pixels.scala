@@ -1500,10 +1500,24 @@ object Pixels {
       }))
     } catch { case _: Exception => None }
 
+  /** WebP-lossless (VP8L) to LUMA pixels through the full-color
+    * decoder — the conversion is the same 77/151/28 integer formula
+    * every other color decode in this file uses. */
+  def decodeWebpLuma(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    Vp8l.decodeWebpLossless(bytes).map { img =>
+      (img.width, img.height, img.argb.map(p =>
+        rgbLuma((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)))
+    }
+
   def decodeImage(bytes: Array[Byte]): Option[(String, Int, Int, Array[Int])] =
     if (bytes.length < 6) None
     else if (bytes(0) == 0x89.toByte && bytes(1) == 'P')
       decodeGrayPng(bytes).map { case (w, h, px) => ("png", w, h, px) }
+    else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == 'F')
+      // RIFF: WEBP/VP8L decodes; other RIFF payloads (AVI, WAV) are
+      // not images and fall through to None inside the VP8L gate
+      decodeWebpLuma(bytes).map { case (w, h, px) => ("webp", w, h, px) }
     else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')
       decodeGrayGif(bytes).map { case (w, h, px) => ("gif", w, h, px) }
     else if (bytes(0) == 'P' && bytes(1) == '5')
@@ -3096,7 +3110,139 @@ object Pixels {
                CAST(SUM(l) AS BIGINT) AS luma_sum
         FROM lum
         GROUP BY doc_id
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ----- WebP VP8L pixel decode (round 14) ---------------------------
+    // The last dispatcher image format to gain a REAL pixel decode:
+    // planted ARGB -> own literal-only VP8L encoder -> full VP8L
+    // decoder -> per-channel sums the oracle replays arithmetically.
+    // Conformance referee is the system libwebp BOTH directions
+    // (Vp8lSpec committed vectors: libwebp's own predictor/cache/LZ77/
+    // meta-group encodings decode exactly; our encodings decode
+    // exactly under libwebp). Map-only per blob — zero shuffle, scales
+    // linearly with the corpus like every decoder in this family.
+    QueryDef(
+      "q375_webp_vp8l_decode",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val w = (8 + id % 21).toInt
+            val h = (5 + (id * 7) % 17).toInt
+            val argb = Array.tabulate(w * h) { i =>
+              val x = i % w; val y = i / w
+              if (id % 5 == 0) 0xff000000 | ((id % 200).toInt << 16) |
+                ((id % 100).toInt << 8) | (id % 50).toInt // flat: simple codes
+              else 0xff000000 |
+                (((id * 11 + x * 3 + y * 5) % 256).toInt << 16) |
+                (((id * 7 + x * 13 + y) % 256).toInt << 8) |
+                ((id * 3 + x + y * 11) % 256).toInt
+            }
+            val blob = Vp8l.encodeWebpLossless(w, h, argb)
+            Vp8l.decodeWebpLossless(blob) match {
+              case Some(img) =>
+                (id, img.width, img.height,
+                  img.argb.foldLeft(0L)((a, p) => a + ((p >> 16) & 0xff)),
+                  img.argb.foldLeft(0L)((a, p) => a + ((p >> 8) & 0xff)),
+                  img.argb.foldLeft(0L)((a, p) => a + (p & 0xff)))
+              case None => (id, -1, -1, -1L, -1L, -1L)
+            }
+          }
+          .toDF("doc_id", "width", "height", "r_sum", "g_sum", "b_sum")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH dims AS (
+          SELECT doc_id,
+                 CAST(8 + doc_id % 21 AS INT) AS w,
+                 CAST(5 + (doc_id * 7) % 17 AS INT) AS h
+          FROM documents),
+        xs AS (SELECT doc_id, w, h,
+                      unnest(generate_series(0, w - 1)) AS x FROM dims),
+        pxy AS (SELECT doc_id, w, h, x,
+                       unnest(generate_series(0, h - 1)) AS y FROM xs),
+        ch AS (
+          SELECT doc_id, w, h,
+                 CASE WHEN doc_id % 5 = 0 THEN doc_id % 200
+                      ELSE (doc_id * 11 + x * 3 + y * 5) % 256 END AS r,
+                 CASE WHEN doc_id % 5 = 0 THEN doc_id % 100
+                      ELSE (doc_id * 7 + x * 13 + y) % 256 END AS g,
+                 CASE WHEN doc_id % 5 = 0 THEN doc_id % 50
+                      ELSE (doc_id * 3 + x + y * 11) % 256 END AS b
+          FROM pxy)
+        SELECT doc_id, MAX(w) AS width, MAX(h) AS height,
+               CAST(SUM(r) AS BIGINT) AS r_sum,
+               CAST(SUM(g) AS BIGINT) AS g_sum,
+               CAST(SUM(b) AS BIGINT) AS b_sum
+        FROM ch
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    // ----- WebP through the content dispatcher onto the near-dup
+    // substrate: mixed webp/png corpus, one decodeImage call, luma +
+    // gHash — the q340 shape with the new format in the mix. WebP
+    // carries gray ARGB (r=g=b=p), so luma is exactly p and the oracle
+    // replays one formula for both formats.
+    QueryDef(
+      "q376_webp_dispatch_neardup",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text").as[(Long, String)]
+          .map { case (id, text) =>
+            val w = (16 + (id % 6) * 8).toInt
+            val h = (16 + (id * 11 % 6) * 8).toInt
+            val px = Array.tabulate(w * h) { i =>
+              ((id * 7 + (i % w).toLong * 3 + (i / w).toLong * 19) % 256).toInt
+            }
+            val blob =
+              if (id % 2 == 0)
+                Vp8l.encodeWebpLossless(w, h,
+                  px.map(p => 0xff000000 | (p << 16) | (p << 8) | p))
+              else encodeGrayPng(w, h, px, text.getBytes("UTF-8"))
+            decodeImage(blob) match {
+              case Some((fmt, dw, dh, dpx)) =>
+                DispatchPixelRow(id, fmt, dw, dh, dpx.foldLeft(0L)(_ + _),
+                  gHash(cellGrid(dw, dh, dpx)))
+              case None => DispatchPixelRow(id, "none", -1, -1, -1L, "")
+            }
+          }.toDF().orderBy($"doc_id")
+      },
+      Some("""
+        WITH dims AS (
+          SELECT doc_id,
+                 CASE doc_id % 2 WHEN 0 THEN 'webp' ELSE 'png' END AS format,
+                 CAST(16 + (doc_id % 6) * 8 AS INT) AS w,
+                 CAST(16 + (doc_id * 11 % 6) * 8 AS INT) AS h
+          FROM documents),
+        xs AS (SELECT doc_id, w, h,
+                      unnest(generate_series(0, w - 1)) AS x FROM dims),
+        pxy AS (SELECT doc_id, w, h, x,
+                       unnest(generate_series(0, h - 1)) AS y FROM xs),
+        px AS (SELECT doc_id, w, h, x, y,
+                      (doc_id * 7 + x * 3 + y * 19) % 256 AS p FROM pxy),
+        cells AS (
+          SELECT doc_id,
+                 (y // (h // 8)) * 8 + (x // (w // 8)) AS b,
+                 SUM(p) // ((w // 8) * (h // 8)) AS cell
+          FROM px
+          GROUP BY doc_id, w, h, (y // (h // 8)) * 8 + (x // (w // 8))),
+        sums AS (SELECT doc_id, SUM(p) AS px_sum FROM px GROUP BY doc_id),
+        gh AS (
+          SELECT c1.doc_id,
+                 string_agg(CASE WHEN c1.cell > c2.cell THEN '1' ELSE '0' END,
+                            '' ORDER BY c1.b) AS ghash
+          FROM cells c1 JOIN cells c2
+            ON c2.doc_id = c1.doc_id
+           AND c2.b = (c1.b // 8) * 8 + ((c1.b % 8) + 1) % 8
+          GROUP BY c1.doc_id)
+        SELECT d.doc_id, d.format, d.w AS width, d.h AS height,
+               CAST(s.px_sum AS BIGINT) AS px_sum, gh.ghash
+        FROM dims d
+        JOIN sums s ON s.doc_id = d.doc_id
+        JOIN gh ON gh.doc_id = d.doc_id
+        ORDER BY d.doc_id"""))
   )
 
   /** Encode through the JDK's ImageIO PNG writer — a FOREIGN encoder
