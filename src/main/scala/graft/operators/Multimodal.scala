@@ -1856,6 +1856,61 @@ object Multimodal {
         FROM documents
         ORDER BY doc_id""")),
 
+    // ----- PDF content-stream TEXT extraction (round 14) ---------------
+    // The docs modality past the object walk: each doc becomes a
+    // classic-xref PDF whose pages carry REAL text operators (Td+Tj,
+    // TD+Tj with escapes, T*+TJ kerned arrays, Tm+hex Tj), half of
+    // them FlateDecode'd; Pdf.extractText walks catalog → /Kids →
+    // /Contents (incl. indirect /Length), inflates, tokenizes, and
+    // must reproduce the planted lines byte-exactly — the oracle
+    // rebuilds them from doc_id arithmetic. Map-only per blob.
+    QueryDef(
+      "q377_pdf_text_extract",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val nPages = (1 + id % 3).toInt
+            val pages = (0 until nPages).map { p =>
+              val nLines = (2 + (id + p) % 3).toInt
+              (0 until nLines).map(k =>
+                s"d$id p$p l$k (${(id * 7 + p * 3 + k) % 100})")
+            }
+            val blob = Pdf.encodeTextPdf(s"1.${4 + id % 4}", pages,
+              flate = id % 2 == 0)
+            (Pdf.decodePdf(blob), Pdf.extractText(blob)) match {
+              case (Some(m), Some(lines)) =>
+                (id, m.nPages, lines.length, lines.mkString("\n"))
+              case _ => (id, -1, -1, "")
+            }
+          }
+          .toDF("doc_id", "n_pages", "n_lines", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH pg AS (
+          SELECT doc_id,
+                 unnest(generate_series(0, CAST(doc_id % 3 AS INT))) AS p
+          FROM documents),
+        ln AS (
+          SELECT doc_id, p,
+                 unnest(generate_series(0,
+                   1 + CAST((doc_id + p) % 3 AS INT))) AS k
+          FROM pg),
+        lines AS (
+          SELECT doc_id, p, k,
+                 'd' || doc_id || ' p' || p || ' l' || k || ' (' ||
+                   ((doc_id * 7 + p * 3 + k) % 100) || ')' AS line
+          FROM ln)
+        SELECT doc_id,
+               CAST(1 + doc_id % 3 AS INT) AS n_pages,
+               CAST(COUNT(*) AS INT) AS n_lines,
+               string_agg(line, chr(10) ORDER BY p, k) AS text
+        FROM lines
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
     // ----- MP4 / ISO-BMFF header decode: the VIDEO modality ------------
     // Completes the image/audio/video triad: each doc becomes a
     // byte-valid header-only MP4 — ftyp, a variable-length 'free' box

@@ -69,4 +69,45 @@ class PdfSpec extends AnyFunSuite {
     val blob = encodePdf("1.5", 7, encrypted = false, "hello".getBytes)
     assert(Multimodal.sniffContent(blob) === (("pdf", Some(7L))))
   }
+
+  // ---- content-stream text extraction (round 14) ---------------------
+
+  test("extractText is the identity on planted lines, plain and flate") {
+    val pages = Seq(
+      Seq("first line", "second (with parens)", "third\\backslash",
+        "fourth goes hex"),
+      Seq("page two opens", "tabs\tandéaccents"),
+      Seq("lone line on page three"))
+    for (flate <- Seq(false, true)) {
+      val blob = encodeTextPdf("1.6", pages, flate)
+      assert(decodePdf(blob).exists(_.nPages == 3))
+      assert(extractText(blob) === Some(pages.flatten), s"flate=$flate")
+    }
+  }
+
+  test("extractText handles every operator shape the emitter uses") {
+    // one long page cycles Td/TD/TJ/Tm renderings incl. escapes
+    val lines = (0 until 9).map(i => s"l$i (x)\\ ${i * 37}")
+    val blob = encodeTextPdf("1.4", Seq(lines), flate = true)
+    assert(extractText(blob) === Some(lines))
+  }
+
+  test("text-free and malformed streams") {
+    // the classic emitter writes a non-text payload stream: no BT/ET
+    val plain = encodePdf("1.7", 2, encrypted = false,
+      "no text operators here".getBytes)
+    assert(extractText(plain) === Some(Seq.empty))
+    // truncation sweep: never a throw, and never fabricated text
+    val good = encodeTextPdf("1.5", Seq(Seq("abc", "def")), flate = true)
+    (1 until good.length by 7).foreach { n =>
+      val got = extractText(good.take(n))
+      assert(got == None || got == Some(Seq.empty) ||
+        got.exists(_.forall(l => l == "abc" || l == "def")))
+    }
+    // unbalanced paren inside the stream -> None
+    val s = new String(encodeTextPdf("1.5", Seq(Seq("abc")), flate = false),
+      "ISO-8859-1")
+    val broken = s.replace("(abc)", "(abc").getBytes("ISO-8859-1")
+    assert(extractText(broken) === None)
+  }
 }
