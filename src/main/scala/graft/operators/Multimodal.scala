@@ -1911,6 +1911,109 @@ object Multimodal {
         GROUP BY doc_id
         ORDER BY doc_id""")),
 
+    // ----- EXIF GPS sub-IFD + IFD1 thumbnail (round 14) -----------------
+    // The remaining commonly-consumed EXIF families past q259's IFD0
+    // walk: geolocation (tag 0x8825 → GPS IFD: hemisphere refs, three
+    // RATIONALs per axis) and the IFD1 thumbnail (next-IFD pointer →
+    // JPEGInterchangeFormat/-Length, a complete embedded JPEG sliced
+    // and re-decoded through the plain header decoder). The oracle
+    // replays the planted rationals EXACTLY (centi-arcseconds as
+    // BIGINT), the decimal-degree derivation (identical IEEE op
+    // order both engines), thumbnail dims/length, and the full
+    // stream-length formula. Map-only per blob.
+    QueryDef(
+      "q378_exif_gps_thumbnail",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val thumb = ImageHeaders.encodeJpeg(
+              (8 + id % 56).toInt, (8 + (id * 3) % 40).toInt, 8,
+              Array.fill(((id * 5) % 48).toInt)('t'.toByte))
+            MediaRecord(id,
+              TiffHeaders.encodeJpegExifGps(
+                width = (16 + id % 624).toInt,
+                height = (16 + (id * 7) % 464).toInt,
+                orientation = (1 + id % 8).toInt, make = s"Cam${id % 9}",
+                bigEndian = id % 2 == 1,
+                latRef = if (id % 2 == 0) 'N' else 'S',
+                latDeg = id % 90, latMin = (id * 7) % 60,
+                latSecNum = (id * 13) % 6000, latSecDen = 100,
+                lonRef = if (id % 3 == 0) 'E' else 'W',
+                lonDeg = id % 180, lonMin = (id * 11) % 60,
+                lonSecNum = (id * 17) % 6000, lonSecDen = 100,
+                thumb = thumb),
+              "image/jpeg")
+          }
+        media.mapPartitions { it =>
+          def as100(c: TiffHeaders.GpsCoord): Long = {
+            val sign = if (c.ref == "S" || c.ref == "W") -1L else 1L
+            sign * ((c.degNum / c.degDen * 3600 +
+              c.minNum / c.minDen * 60) * 100 +
+              c.secNum * 100 / c.secDen)
+          }
+          it.map { r =>
+            val e = TiffHeaders.decodeJpegExifFull(r.media)
+            val lat = e.flatMap(_.lat)
+            val lon = e.flatMap(_.lon)
+            val thumbBytes = e.flatMap(_.thumbnail)
+            val thumbMeta = thumbBytes.flatMap(ImageHeaders.decode)
+            (r.doc_id, e.map(_.orientation).getOrElse(-1),
+              e.flatMap(_.make).orNull,
+              lat.map(_.ref).orNull,
+              lat.map(as100), lat.map(_.signedDecimalDegrees),
+              lon.map(_.ref).orNull,
+              lon.map(as100), lon.map(_.signedDecimalDegrees),
+              thumbMeta.map(_.width), thumbMeta.map(_.height),
+              thumbBytes.map(_.length.toLong),
+              r.media.length.toLong)
+          }
+        }.toDF("doc_id", "orientation", "make",
+            "lat_ref", "lat_as100", "lat_dd",
+            "lon_ref", "lon_as100", "lon_dd",
+            "thumb_w", "thumb_h", "thumb_len", "n_bytes")
+          .orderBy($"doc_id")
+      },
+      // arcseconds×100 exact; decimal degrees via deg + min/60 +
+      // sec/100/3600 (same op order as GpsCoord.decimalDegrees);
+      // |thumb| = 45 + (id*5)%48; stream = 265 + (id*5)%48
+      Some("""
+        WITH g AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0 THEN 'N' ELSE 'S' END AS lat_ref,
+                 doc_id % 90 AS lat_deg, (doc_id * 7) % 60 AS lat_min,
+                 (doc_id * 13) % 6000 AS lat_s100,
+                 CASE WHEN doc_id % 3 = 0 THEN 'E' ELSE 'W' END AS lon_ref,
+                 doc_id % 180 AS lon_deg, (doc_id * 11) % 60 AS lon_min,
+                 (doc_id * 17) % 6000 AS lon_s100
+          FROM documents)
+        SELECT doc_id,
+               CAST(1 + doc_id % 8 AS INT) AS orientation,
+               'Cam' || (doc_id % 9) AS make,
+               lat_ref,
+               CAST(CASE WHEN lat_ref = 'S' THEN -1 ELSE 1 END
+                    * ((lat_deg * 3600 + lat_min * 60) * 100 + lat_s100)
+                    AS BIGINT) AS lat_as100,
+               CAST(CASE WHEN lat_ref = 'S' THEN -1 ELSE 1 END AS DOUBLE)
+                 * (CAST(lat_deg AS DOUBLE)
+                    + CAST(lat_min AS DOUBLE) / 60.0
+                    + CAST(lat_s100 AS DOUBLE) / 100.0 / 3600.0) AS lat_dd,
+               lon_ref,
+               CAST(CASE WHEN lon_ref = 'W' THEN -1 ELSE 1 END
+                    * ((lon_deg * 3600 + lon_min * 60) * 100 + lon_s100)
+                    AS BIGINT) AS lon_as100,
+               CAST(CASE WHEN lon_ref = 'W' THEN -1 ELSE 1 END AS DOUBLE)
+                 * (CAST(lon_deg AS DOUBLE)
+                    + CAST(lon_min AS DOUBLE) / 60.0
+                    + CAST(lon_s100 AS DOUBLE) / 100.0 / 3600.0) AS lon_dd,
+               CAST(8 + doc_id % 56 AS INT) AS thumb_w,
+               CAST(8 + (doc_id * 3) % 40 AS INT) AS thumb_h,
+               CAST(45 + (doc_id * 5) % 48 AS BIGINT) AS thumb_len,
+               CAST(265 + (doc_id * 5) % 48 AS BIGINT) AS n_bytes
+        FROM g
+        ORDER BY doc_id""")),
+
     // ----- MP4 / ISO-BMFF header decode: the VIDEO modality ------------
     // Completes the image/audio/video triad: each doc becomes a
     // byte-valid header-only MP4 — ftyp, a variable-length 'free' box

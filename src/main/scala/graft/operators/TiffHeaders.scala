@@ -34,6 +34,32 @@ object TiffHeaders {
     * NUL-terminated in the stream). */
   final case class ExifMeta(orientation: Int, make: Option[String])
 
+  /** One GPS coordinate out of the EXIF GPS sub-IFD: the hemisphere
+    * ref ('N'/'S' for latitude, 'E'/'W' for longitude) and the three
+    * RATIONALs (degrees, minutes, seconds) exactly as stored — six
+    * longs `num/den` per component, no lossy pre-division, so a caller
+    * can replay the decimal-degree arithmetic (or keep exact). */
+  final case class GpsCoord(ref: String,
+      degNum: Long, degDen: Long,
+      minNum: Long, minDen: Long,
+      secNum: Long, secDen: Long) {
+    /** Unsigned decimal degrees; the ref supplies the sign. */
+    def decimalDegrees: Double =
+      degNum.toDouble / degDen + minNum.toDouble / minDen / 60.0 +
+        secNum.toDouble / secDen / 3600.0
+    /** Signed decimal degrees (S/W negative per convention). */
+    def signedDecimalDegrees: Double =
+      if (ref == "S" || ref == "W") -decimalDegrees else decimalDegrees
+  }
+
+  /** Full EXIF parse: IFD0 orientation/make, the GPS sub-IFD (tag
+    * 0x8825 pointer; lat/lon present only when all four GPS tags 1-4
+    * parse), and the IFD1 thumbnail (tags 513/514, a complete JPEG
+    * stream sliced out of the APP1 payload). */
+  final case class ExifFull(orientation: Int, make: Option[String],
+      lat: Option[GpsCoord], lon: Option[GpsCoord],
+      thumbnail: Option[Array[Byte]])
+
   // --- endianness-parameterized reads with explicit bounds ------------
   private def u16(b: Array[Byte], i: Long, be: Boolean): Int = {
     val o = i.toInt
@@ -148,6 +174,24 @@ object TiffHeaders {
     * embedded TIFF stream in place for Orientation(274) / Make(271).
     * SOS/EOI before any EXIF APP1 ⇒ None (scan data is opaque). */
   def decodeJpegExif(b: Array[Byte]): Option[ExifMeta] = {
+    val tiff = exifTiffSlice(b).getOrElse(return None)
+    val be =
+      if (tiff(0) == 'M' && tiff(1) == 'M') true
+      else if (tiff(0) == 'I' && tiff(1) == 'I') false
+      else return None
+    if (u16(tiff, 2, be) != 42) return None
+    val ifdOff = u32(tiff, 4, be)
+    val tags = parseIfd0(tiff, ifdOff, be).getOrElse(return None)
+    val orient = tags.getOrElse(274, 1L) // EXIF default: upright
+    if (orient < 1 || orient > 8) return None
+    Some(ExifMeta(orient.toInt, asciiTag(tiff, ifdOff, be, 271)))
+  }
+
+  /** Marker walk to the first APP1 whose payload leads with
+    * "Exif\0\0"; returns the embedded TIFF stream SLICED out so its
+    * internal offsets (relative to the TIFF origin per CIPA DC-008)
+    * need no rebasing. SOS/EOI before any EXIF APP1 ⇒ None. */
+  private def exifTiffSlice(b: Array[Byte]): Option[Array[Byte]] = {
     if (b == null || b.length < 4 ||
       (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
     var off = 2
@@ -167,25 +211,131 @@ object TiffHeaders {
         if (marker == 0xe1 && len >= 2 + 6 + 8 &&
           b(mOff + 3) == 'E' && b(mOff + 4) == 'x' && b(mOff + 5) == 'i' &&
           b(mOff + 6) == 'f' && b(mOff + 7) == 0 && b(mOff + 8) == 0) {
-          // the TIFF stream is embedded verbatim; offsets inside it are
-          // relative to ITS origin, so slice rather than rebase every read
           val tiff = java.util.Arrays.copyOfRange(b, mOff + 9, mOff + 1 + len)
           if (tiff.length < 8) return None
-          val be =
-            if (tiff(0) == 'M' && tiff(1) == 'M') true
-            else if (tiff(0) == 'I' && tiff(1) == 'I') false
-            else return None
-          if (u16(tiff, 2, be) != 42) return None
-          val ifdOff = u32(tiff, 4, be)
-          val tags = parseIfd0(tiff, ifdOff, be).getOrElse(return None)
-          val orient = tags.getOrElse(274, 1L) // EXIF default: upright
-          if (orient < 1 || orient > 8) return None
-          return Some(ExifMeta(orient.toInt, asciiTag(tiff, ifdOff, be, 271)))
+          return Some(tiff)
         }
         off = mOff + 1 + len
       }
     }
     None
+  }
+
+  /** Raw IFD entry: the value FIELD offset (e+8) is kept so typed
+    * readers can apply the inline-vs-offset rule per type. */
+  private final case class IfdEntry(tag: Int, typ: Int, cnt: Long,
+      fieldOff: Long)
+
+  /** Structural IFD walk: entries + the next-IFD offset (0 = none).
+    * Unlike [[parseIfd0]] this keeps every entry untyped so RATIONAL
+    * and sub-IFD pointers can be resolved by the caller. */
+  private def ifdEntries(b: Array[Byte], ifdOff: Long,
+      be: Boolean): Option[(Array[IfdEntry], Long)] = {
+    if (ifdOff < 8 || ifdOff + 2 > b.length) return None
+    val n = u16(b, ifdOff, be)
+    if (ifdOff + 2 + 12L * n + 4 > b.length) return None
+    val out = new Array[IfdEntry](n)
+    var i = 0
+    while (i < n) {
+      val e = ifdOff + 2 + 12L * i
+      out(i) = IfdEntry(u16(b, e, be), u16(b, e + 2, be),
+        u32(b, e + 4, be), e + 8)
+      i += 1
+    }
+    Some((out, u32(b, ifdOff + 2 + 12L * n, be)))
+  }
+
+  /** First scalar of a SHORT(3)/LONG(4) entry (inline rule honored). */
+  private def scalarOf(b: Array[Byte], e: IfdEntry,
+      be: Boolean): Option[Long] = {
+    if (e.cnt < 1) return None
+    val elemSize = e.typ match { case 3 => 2L; case 4 => 4L; case _ => 0L }
+    if (elemSize == 0) return None
+    val at = if (elemSize * e.cnt <= 4) e.fieldOff else u32(b, e.fieldOff, be)
+    if (at < 0 || at + elemSize > b.length) return None
+    Some(if (e.typ == 3) u16(b, at, be).toLong else u32(b, at, be))
+  }
+
+  /** ASCII entry (type 2, count includes the NUL; inline if ≤ 4). */
+  private def asciiOf(b: Array[Byte], e: IfdEntry,
+      be: Boolean): Option[String] = {
+    if (e.typ != 2 || e.cnt < 1) return None
+    val at = if (e.cnt <= 4) e.fieldOff else u32(b, e.fieldOff, be)
+    if (at < 0 || at + e.cnt > b.length) return None
+    val end = if (b((at + e.cnt - 1).toInt) == 0) e.cnt - 1 else e.cnt
+    Some(new String(b, at.toInt, end.toInt, "US-ASCII"))
+  }
+
+  /** RATIONAL (type 5) triple — 3 × (u32 num, u32 den), 24 bytes, by
+    * size always offset-valued. Zero denominators reject the entry
+    * (hostile or corrupt stream), per the decode-to-None discipline. */
+  private def rational3Of(b: Array[Byte], e: IfdEntry,
+      be: Boolean): Option[Array[Long]] = {
+    if (e.typ != 5 || e.cnt != 3) return None
+    val at = u32(b, e.fieldOff, be)
+    if (at < 0 || at + 24 > b.length) return None
+    val v = new Array[Long](6)
+    var i = 0
+    while (i < 3) {
+      v(2 * i) = u32(b, at + 8L * i, be)
+      v(2 * i + 1) = u32(b, at + 8L * i + 4, be)
+      if (v(2 * i + 1) == 0) return None
+      i += 1
+    }
+    Some(v)
+  }
+
+  /** GPS sub-IFD parse: tags 1/2 (latitude ref + RATIONAL×3) and 3/4
+    * (longitude). A coordinate surfaces only when both its ref and its
+    * rationals parse — half-present GPS blocks yield None for that
+    * axis rather than a fabricated hemisphere. */
+  private def gpsIfd(b: Array[Byte], gpsOff: Long,
+      be: Boolean): (Option[GpsCoord], Option[GpsCoord]) = {
+    val (entries, _) = ifdEntries(b, gpsOff, be).getOrElse(return (None, None))
+    def coord(refTag: Int, valTag: Int): Option[GpsCoord] =
+      for {
+        refE <- entries.find(_.tag == refTag)
+        ref <- asciiOf(b, refE, be)
+        if ref == "N" || ref == "S" || ref == "E" || ref == "W"
+        valE <- entries.find(_.tag == valTag)
+        r <- rational3Of(b, valE, be)
+      } yield GpsCoord(ref, r(0), r(1), r(2), r(3), r(4), r(5))
+    (coord(1, 2), coord(3, 4))
+  }
+
+  /** Full EXIF walk: IFD0 (orientation 274, make 271, GPS pointer
+    * 0x8825) → GPS sub-IFD → next-IFD (IFD1) thumbnail via
+    * JPEGInterchangeFormat(513)/-Length(514). The thumbnail is sliced
+    * out of the TIFF stream bounds-checked — a hostile offset/length
+    * pair yields no thumbnail, never an exception. Orientation out of
+    * 1..8 rejects the stream (same contract as [[decodeJpegExif]]). */
+  def decodeJpegExifFull(b: Array[Byte]): Option[ExifFull] = {
+    val tiff = exifTiffSlice(b).getOrElse(return None)
+    val be =
+      if (tiff(0) == 'M' && tiff(1) == 'M') true
+      else if (tiff(0) == 'I' && tiff(1) == 'I') false
+      else return None
+    if (u16(tiff, 2, be) != 42) return None
+    val ifdOff = u32(tiff, 4, be)
+    val (entries, nextIfd) = ifdEntries(tiff, ifdOff, be).getOrElse(return None)
+    val orient = entries.find(_.tag == 274)
+      .flatMap(scalarOf(tiff, _, be)).getOrElse(1L)
+    if (orient < 1 || orient > 8) return None
+    val make = entries.find(_.tag == 271).flatMap(asciiOf(tiff, _, be))
+    val (lat, lon) = entries.find(_.tag == 0x8825)
+      .flatMap(scalarOf(tiff, _, be)) match {
+      case Some(gpsOff) => gpsIfd(tiff, gpsOff, be)
+      case None => (None, None)
+    }
+    val thumb = for {
+      (ifd1, _) <- ifdEntries(tiff, nextIfd, be)
+      offE <- ifd1.find(_.tag == 513)
+      off <- scalarOf(tiff, offE, be)
+      lenE <- ifd1.find(_.tag == 514)
+      len <- scalarOf(tiff, lenE, be)
+      if off >= 8 && len >= 4 && off + len <= tiff.length
+    } yield java.util.Arrays.copyOfRange(tiff, off.toInt, (off + len).toInt)
+    Some(ExifFull(orient.toInt, make, lat, lon, thumb))
   }
 
   // ------------------------------------------------------------------
@@ -310,6 +460,105 @@ object TiffHeaders {
     var c = 1
     while (c <= 3) { out.write(c); out.write(0x11); out.write(0); c += 1 }
     marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Fixture emitter for the FULL EXIF walk: a byte-valid JPEG whose
+    * APP1 TIFF carries IFD0 (Make offset-valued, Orientation inline,
+    * GPSInfo(0x8825) sub-IFD pointer), a GPS IFD with hemisphere refs
+    * (ASCII count-2, inline) and two RATIONAL×3 coordinate arrays
+    * (offset-valued — 24 bytes each, the only shape type 5 can take),
+    * and an IFD1 reached through IFD0's next-IFD pointer holding
+    * JPEGInterchangeFormat(513)/-Length(514) over an embedded complete
+    * JPEG thumbnail. Layout (TIFF-relative): hdr 8, IFD0 42, make,
+    * GPS IFD 54, lat 24, lon 24, IFD1 30, thumbnail — so stream length
+    * = 2 + (4 + 6 + 182 + |make|+1 + |thumb|) + 19 + 2, the formula
+    * the q378 oracle replays. `make` must not fit inline (≥ 4 chars)
+    * to keep one layout. */
+  def encodeJpegExifGps(width: Int, height: Int, orientation: Int,
+      make: String, bigEndian: Boolean,
+      latRef: Char, latDeg: Long, latMin: Long,
+      latSecNum: Long, latSecDen: Long,
+      lonRef: Char, lonDeg: Long, lonMin: Long,
+      lonSecNum: Long, lonSecDen: Long,
+      thumb: Array[Byte]): Array[Byte] = {
+    require(width >= 1 && width <= 65535 && height >= 1 && height <= 65535,
+      s"JPEG dimensions are u16: got ${width}x$height")
+    require(orientation >= 1 && orientation <= 8,
+      s"EXIF orientation is 1..8: $orientation")
+    require(latRef == 'N' || latRef == 'S', s"latitude ref: $latRef")
+    require(lonRef == 'E' || lonRef == 'W', s"longitude ref: $lonRef")
+    require(latSecDen > 0 && lonSecDen > 0, "denominators must be positive")
+    val makeBytes = make.getBytes("US-ASCII")
+    val makeCnt = makeBytes.length + 1
+    require(makeCnt > 4, "make must be offset-valued (>= 4 chars)")
+    val out = new ByteArrayOutputStream(thumb.length + makeCnt + 256)
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def t16(v: Int): Unit =
+      if (bigEndian) be16(v)
+      else { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def t32(v: Long): Unit =
+      if (bigEndian) {
+        out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+        out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+      } else {
+        out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+        out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+      }
+    marker(0xd8) // SOI
+    // TIFF-relative offsets, computed up front
+    val ifd0Off = 8L
+    val makeOff = ifd0Off + 42
+    val gpsOff = makeOff + makeCnt
+    val latOff = gpsOff + 54
+    val lonOff = latOff + 24
+    val ifd1Off = lonOff + 24
+    val thumbOff = ifd1Off + 30
+    val tiffLen = thumbOff + thumb.length
+    require(2 + 6 + tiffLen <= 0xffff,
+      s"APP1 segment overflows u16 length: thumbnail too large (${thumb.length} B)")
+    marker(0xe1)
+    be16((2 + 6 + tiffLen).toInt)
+    out.write("Exif".getBytes("US-ASCII"), 0, 4); out.write(0); out.write(0)
+    if (bigEndian) { out.write('M'); out.write('M') }
+    else { out.write('I'); out.write('I') }
+    t16(42); t32(ifd0Off)
+    // IFD0: Make, Orientation, GPSInfo pointer; next-IFD -> IFD1
+    t16(3)
+    t16(271); t16(2); t32(makeCnt.toLong); t32(makeOff)
+    t16(274); t16(3); t32(1L); t16(orientation); t16(0)
+    t16(0x8825); t16(4); t32(1L); t32(gpsOff)
+    t32(ifd1Off)
+    out.write(makeBytes, 0, makeBytes.length); out.write(0)
+    // GPS IFD: refs inline ("N\0" count 2, field zero-padded), coords
+    // offset-valued RATIONAL x3
+    t16(4)
+    t16(1); t16(2); t32(2L); out.write(latRef); out.write(0)
+    t16(0); // pad the 4-byte value field
+    t16(2); t16(5); t32(3L); t32(latOff)
+    t16(3); t16(2); t32(2L); out.write(lonRef); out.write(0)
+    t16(0)
+    t16(4); t16(5); t32(3L); t32(lonOff)
+    t32(0L)
+    def rat(num: Long, den: Long): Unit = { t32(num); t32(den) }
+    rat(latDeg, 1); rat(latMin, 1); rat(latSecNum, latSecDen)
+    rat(lonDeg, 1); rat(lonMin, 1); rat(lonSecNum, lonSecDen)
+    // IFD1: thumbnail offset + length
+    t16(2)
+    t16(513); t16(4); t32(1L); t32(thumbOff)
+    t16(514); t16(4); t32(1L); t32(thumb.length.toLong)
+    t32(0L)
+    out.write(thumb, 0, thumb.length)
+    // SOF0 (3 components) + EOI — same shape as encodeJpegExif
+    marker(0xc0)
+    be16(8 + 3 * 3)
+    out.write(8)
+    be16(height); be16(width)
+    out.write(3)
+    var c = 1
+    while (c <= 3) { out.write(c); out.write(0x11); out.write(0); c += 1 }
+    marker(0xd9)
     out.toByteArray
   }
 }

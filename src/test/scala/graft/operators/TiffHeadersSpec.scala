@@ -149,4 +149,115 @@ class TiffHeadersSpec extends AnyFunSuite {
     }
     assert(decodeJpegExif(blob.take(20)) === None)
   }
+
+  // ----- GPS sub-IFD + IFD1 thumbnail (round 14) ----------------------
+
+  private def gpsBlob(orient: Int = 3, be: Boolean = false,
+      latRef: Char = 'N', latDeg: Long = 48, latMin: Long = 51,
+      latSecNum: Long = 2957, latSecDen: Long = 100,
+      lonRef: Char = 'E', lonDeg: Long = 2, lonMin: Long = 17,
+      lonSecNum: Long = 4512, lonSecDen: Long = 100,
+      thumbW: Int = 32, thumbH: Int = 24, thumbComment: Int = 7): Array[Byte] =
+    encodeJpegExifGps(640, 480, orient, "CamX", be,
+      latRef, latDeg, latMin, latSecNum, latSecDen,
+      lonRef, lonDeg, lonMin, lonSecNum, lonSecDen,
+      ImageHeaders.encodeJpeg(thumbW, thumbH, 8,
+        Array.fill(thumbComment)('t'.toByte)))
+
+  test("GPS + thumbnail round-trip across endianness and values") {
+    checkProp(Prop.forAll(Gen.choose(1, 8), Gen.oneOf(true, false),
+        Gen.oneOf('N', 'S'), Gen.choose(0L, 89L), Gen.choose(0L, 59L),
+        Gen.choose(0L, 5999L), Gen.oneOf('E', 'W'), Gen.choose(0L, 179L)) {
+      (orient, be, latRef, latDeg, latMin, latSec, lonRef, lonDeg) =>
+        val blob = gpsBlob(orient, be, latRef, latDeg, latMin, latSec, 100,
+          lonRef, lonDeg, 13, 999, 100)
+        decodeJpegExifFull(blob).exists { e =>
+          e.orientation == orient && e.make.contains("CamX") &&
+            e.lat.contains(GpsCoord(latRef.toString,
+              latDeg, 1, latMin, 1, latSec, 100)) &&
+            e.lon.contains(GpsCoord(lonRef.toString,
+              lonDeg, 1, 13, 1, 999, 100))
+        }
+    })
+  }
+
+  test("IFD1 thumbnail slices out as a decodable JPEG; length formulas hold") {
+    val blob = gpsBlob(thumbW = 48, thumbH = 20, thumbComment = 11)
+    val e = decodeJpegExifFull(blob).get
+    val thumb = e.thumbnail.get
+    assert(thumb.length === 45 + 11) // SOI+APP0+COM(4+c)+SOF0+EOI
+    assert(ImageHeaders.decode(thumb).contains(ImageMeta("jpeg", 48, 20, 8)))
+    // full-stream formula replayed by the q378 oracle (make 'CamX' = 4 chars)
+    assert(blob.length === 265 + 11)
+    // the host stream itself still decodes as a plain JPEG
+    assert(ImageHeaders.decode(blob).contains(ImageMeta("jpeg", 640, 480, 8)))
+  }
+
+  test("signed decimal degrees: S/W negate, identical op order to oracle") {
+    val e = decodeJpegExifFull(gpsBlob(latRef = 'S', latDeg = 33,
+      latMin = 52, latSecNum = 412, latSecDen = 100,
+      lonRef = 'W', lonDeg = 151, lonMin = 12, lonSecNum = 5700,
+      lonSecDen = 100)).get
+    val lat = e.lat.get
+    assert(lat.signedDecimalDegrees ===
+      -(33.0 + 52.0 / 60.0 + 412.0 / 100.0 / 3600.0))
+    assert(e.lon.get.signedDecimalDegrees ===
+      -(151.0 + 12.0 / 60.0 + 5700.0 / 100.0 / 3600.0))
+  }
+
+  test("legacy decodeJpegExif still reads orientation/make from GPS streams") {
+    assert(decodeJpegExif(gpsBlob(orient = 6, be = true))
+      .contains(ExifMeta(6, Some("CamX"))))
+  }
+
+  test("half-present GPS block yields None for that axis, not a guess") {
+    // rename the GPSLatitudeRef tag (1 -> 99): latitude loses its ref,
+    // longitude must still parse. LE stream: TIFF at 12, IFD0 at 8
+    // (3 entries, 42 B), make at 50 (5 B), GPS IFD at 55; first GPS
+    // entry tag bytes at TIFF-relative 55+2 = 57
+    val blob = gpsBlob(be = false)
+    assert(blob(12 + 57) === 1.toByte)
+    blob(12 + 57) = 99
+    val e = decodeJpegExifFull(blob).get
+    assert(e.lat === None)
+    assert(e.lon.isDefined)
+  }
+
+  test("zero GPS denominator rejects the coordinate") {
+    // LE: lat rationals at TIFF-relative 55+54 = 109; first pair's
+    // denominator at 109+4
+    val blob = gpsBlob(be = false)
+    var i = 0
+    while (i < 4) { blob(12 + 109 + 4 + i) = 0; i += 1 }
+    val e = decodeJpegExifFull(blob).get
+    assert(e.lat === None)
+    assert(e.lon.isDefined)
+  }
+
+  test("hostile thumbnail offset/length yields no thumbnail, no throw") {
+    // LE: IFD1 at TIFF-relative 55+54+48 = 157; entry 513's value field
+    // at 157+2+8 = 167 — point it past the buffer
+    val blob = gpsBlob(be = false)
+    blob(12 + 167) = 0xff.toByte; blob(12 + 168) = 0xff.toByte
+    blob(12 + 169) = 0xff.toByte; blob(12 + 170) = 0x7f.toByte
+    val e = decodeJpegExifFull(blob).get
+    assert(e.thumbnail === None)
+    assert(e.lat.isDefined) // the rest of the walk is unaffected
+  }
+
+  test("truncated GPS/thumbnail stream never throws") {
+    val blob = gpsBlob()
+    (1 until blob.length by 5).foreach { n =>
+      decodeJpegExifFull(blob.take(n)) // must not throw
+    }
+  }
+
+  test("stream without GPS or IFD1 decodes Full with empty options") {
+    val plain = encodeJpegExif(10, 10, 5, "CamY", bigEndian = true,
+      Array.emptyByteArray)
+    val e = decodeJpegExifFull(plain).get
+    assert(e.orientation === 5)
+    assert(e.make.contains("CamY"))
+    assert(e.lat === None && e.lon === None && e.thumbnail === None)
+  }
 }
