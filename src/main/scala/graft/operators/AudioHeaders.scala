@@ -508,6 +508,161 @@ object AudioHeaders {
     encodeOggStream(p, nDataPages, granulesPerPage, 0L, note)
   }
 
+  // ------------------------------------------------------------------
+  // Vorbis comments — the tag vocabulary of the whole Xiph family
+  // (Vorbis I §5, RFC 7845 §5.2 OpusTags, RFC 9639 FLAC block type 4).
+  // The audio-curation metadata sibling of ID3: artist/title/album out
+  // of FLAC and Ogg streams, no sample decode needed.
+  // ------------------------------------------------------------------
+
+  /** Parsed Vorbis-comment metadata. `fields` maps UPPERCASED keys to
+    * their FIRST value (the spec allows repeats; curation wants one);
+    * `nComments` counts every user comment including repeats. */
+  final case class AudioTags(container: String, vendor: String,
+      nComments: Int, fields: Map[String, String])
+
+  /** Comment body parse (shared by all three containers — the payload
+    * layout is identical, little-endian, per Vorbis I §5): u32 vendor
+    * length + UTF-8 vendor, u32 comment count, then per comment u32
+    * length + "KEY=value" UTF-8. Keys are case-insensitive per spec →
+    * uppercased here; a comment without '=' is skipped (not fatal —
+    * real taggers emit them). Declared lengths are bounds-checked as
+    * Long against hostile streams. Returns (vendor, count, fields). */
+  private def parseVorbisBody(b: Array[Byte], off0: Int,
+      end: Int): Option[(String, Int, Map[String, String])] = {
+    var off = off0.toLong
+    if (off + 4 > end) return None
+    val vendorLen = u32le(b, off.toInt)
+    if (off + 4 + vendorLen > end) return None
+    val vendor = new String(b, (off + 4).toInt, vendorLen.toInt, "UTF-8")
+    off += 4 + vendorLen
+    if (off + 4 > end) return None
+    val n = u32le(b, off.toInt)
+    if (n > Int.MaxValue) return None
+    off += 4
+    var fields = Map.empty[String, String]
+    var i = 0L
+    while (i < n) {
+      if (off + 4 > end) return None
+      val len = u32le(b, off.toInt)
+      if (off + 4 + len > end) return None
+      val c = new String(b, (off + 4).toInt, len.toInt, "UTF-8")
+      val eq = c.indexOf('=')
+      if (eq > 0) {
+        val key = c.substring(0, eq).toUpperCase(java.util.Locale.ROOT)
+        if (!fields.contains(key)) fields += key -> c.substring(eq + 1)
+      }
+      off += 4 + len
+      i += 1
+    }
+    Some((vendor, n.toInt, fields))
+  }
+
+  /** Fixture emitter for the comment body (the exact bytes FLAC's
+    * VORBIS_COMMENT block carries; Ogg packets wrap it — see
+    * [[opusTagsPacket]] / [[vorbisCommentPacket]]). */
+  def vorbisCommentBody(vendor: String,
+      comments: Seq[(String, String)]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(64)
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    val vb = vendor.getBytes("UTF-8")
+    le32(vb.length.toLong); out.write(vb, 0, vb.length)
+    le32(comments.length.toLong)
+    comments.foreach { case (k, v) =>
+      val cb = s"$k=$v".getBytes("UTF-8")
+      le32(cb.length.toLong); out.write(cb, 0, cb.length)
+    }
+    out.toByteArray
+  }
+
+  /** RFC 7845 §5.2: the Ogg Opus comment packet is "OpusTags" + body
+    * (no framing bit) — feed to [[encodeOggOpus]] as the `note`. */
+  def opusTagsPacket(vendor: String,
+      comments: Seq[(String, String)]): Array[Byte] =
+    "OpusTags".getBytes("US-ASCII") ++ vorbisCommentBody(vendor, comments)
+
+  /** Vorbis I §4.2.3: packet type 3 + "vorbis" + body + framing bit
+    * (a byte whose LSB must be 1) — feed to [[encodeOggVorbis]]. */
+  def vorbisCommentPacket(vendor: String,
+      comments: Seq[(String, String)]): Array[Byte] =
+    Array[Byte](3) ++ "vorbis".getBytes("US-ASCII") ++
+      vorbisCommentBody(vendor, comments) :+ 1.toByte
+
+  /** One Ogg page's (payload, next-page offset); None on a malformed
+    * header, a payload past the buffer, or a packet that CONTINUES
+    * into the next page (final lacing 255) — the tag parse handles
+    * single-page comment packets, the overwhelmingly common shape. */
+  private def oggPagePayload(b: Array[Byte],
+      off: Int): Option[(Array[Byte], Int)] = {
+    if (off + 27 > b.length) return None
+    if (b(off) != 'O' || b(off + 1) != 'g' || b(off + 2) != 'g' ||
+      b(off + 3) != 'S' || b(off + 4) != 0) return None
+    val nSegs = b(off + 26) & 0xff
+    if (off + 27 + nSegs > b.length) return None
+    var plen = 0
+    var i = 0
+    while (i < nSegs) { plen += b(off + 27 + i) & 0xff; i += 1 }
+    if (nSegs > 0 && (b(off + 27 + nSegs - 1) & 0xff) == 255) return None
+    val start = off + 27 + nSegs
+    if (start + plen > b.length) return None
+    Some((java.util.Arrays.copyOfRange(b, start, start + plen),
+      start + plen))
+  }
+
+  /** Tag extraction across the Xiph family, dispatched on container
+    * magic: FLAC walks the METADATA_BLOCK chain to type 4 (body raw);
+    * Ogg reads the BOS page to learn the codec, then the second page,
+    * whose payload must be an OpusTags or type-3 Vorbis comment
+    * packet. Streams without a comment block/packet (or with any
+    * structural damage) yield None — a curation pass must distinguish
+    * "untagged" from a fabricated empty tag set. */
+  def decodeAudioTags(b: Array[Byte]): Option[AudioTags] = {
+    if (b == null || b.length < 8) return None
+    if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') {
+      // block chain: 1-byte last<<7|type + u24 BE length
+      var off = 4L
+      var last = false
+      while (!last && off + 4 <= b.length) {
+        val hdr = b(off.toInt) & 0xff
+        last = (hdr & 0x80) != 0
+        val typ = hdr & 0x7f
+        val len = ((b(off.toInt + 1) & 0xff) << 16) |
+          ((b(off.toInt + 2) & 0xff) << 8) | (b(off.toInt + 3) & 0xff)
+        if (off + 4 + len > b.length) return None
+        if (typ == 4)
+          return parseVorbisBody(b, off.toInt + 4, (off + 4 + len).toInt)
+            .map { case (v, n, f) => AudioTags("flac", v, n, f) }
+        off += 4 + len
+      }
+      None
+    } else if (b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S') {
+      val (first, next) = oggPagePayload(b, 0).getOrElse(return None)
+      val codec =
+        if (first.length >= 19 &&
+          new String(first, 0, 8, "US-ASCII") == "OpusHead") "opus"
+        else if (first.length >= 30 && first(0) == 1 &&
+          new String(first, 1, 6, "US-ASCII") == "vorbis") "vorbis"
+        else return None
+      val (second, _) = oggPagePayload(b, next).getOrElse(return None)
+      if (codec == "opus") {
+        if (second.length < 8 ||
+          new String(second, 0, 8, "US-ASCII") != "OpusTags") return None
+        parseVorbisBody(second, 8, second.length)
+          .map { case (v, n, f) => AudioTags("opus", v, n, f) }
+      } else {
+        if (second.length < 8 || second(0) != 3 ||
+          new String(second, 1, 6, "US-ASCII") != "vorbis") return None
+        // framing byte (LSB must be 1) trails the body
+        if ((second(second.length - 1) & 1) != 1) return None
+        parseVorbisBody(second, 7, second.length - 1)
+          .map { case (v, n, f) => AudioTags("vorbis", v, n, f) }
+      }
+    } else None
+  }
+
   /** Minimal structurally-valid WAV header stream: RIFF/WAVE, a LIST
     * chunk carrying `note` (variable length — the walker must hop it),
     * fmt (PCM), and a data chunk DECLARING `nSamples` frames without

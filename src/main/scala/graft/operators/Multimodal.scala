@@ -702,6 +702,67 @@ object Multimodal {
         FROM p
         ORDER BY doc_id""")),
 
+    // ----- Vorbis-comment tags: the Xiph family's metadata (round 14) --
+    // The audio-curation sibling of ID3 (q260): artist/title/album out
+    // of FLAC (METADATA_BLOCK type 4), Ogg Opus (OpusTags packet, RFC
+    // 7845 §5.2), and Ogg Vorbis (type-3 comment packet + framing
+    // bit), cycled by doc parity. The comment BODY bytes are identical
+    // across all three (Vorbis I §5) — one parser, three container
+    // walks; the oracle replays every planted field, the repeat-key
+    // first-wins rule, and the comment count. Map-only per blob.
+    QueryDef(
+      "q379_audio_vorbis_tags",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val comments = Seq(
+              "ARTIST" -> s"artist ${id % 50}",
+              "TITLE" -> s"track no ${id}",
+              "ALBUM" -> s"album ${id % 20}",
+              "DATE" -> s"${1970 + id % 55}",
+              // repeated key: the parser must keep the FIRST value
+              "ARTIST" -> "ignored repeat",
+              // mixed-case key: case-insensitive per spec
+              "TrackNumber" -> s"${1 + id % 12}")
+            val vendor = s"graft ${id % 5}"
+            val blob = (id % 3) match {
+              case 0 => AudioHeaders.encodeFlac(44100, 2, 16, 1000 + id,
+                AudioHeaders.vorbisCommentBody(vendor, comments))
+              case 1 => AudioHeaders.encodeOggOpus(2, 312, 48000,
+                nDataPages = 2, granulesPerPage = 960,
+                AudioHeaders.opusTagsPacket(vendor, comments))
+              case _ => AudioHeaders.encodeOggVorbis(2, 44100,
+                nDataPages = 2, granulesPerPage = 1024,
+                AudioHeaders.vorbisCommentPacket(vendor, comments))
+            }
+            val t = AudioHeaders.decodeAudioTags(blob)
+            (id, t.map(_.container).orNull, t.map(_.vendor).orNull,
+              t.map(_.nComments), t.flatMap(_.fields.get("ARTIST")).orNull,
+              t.flatMap(_.fields.get("TITLE")).orNull,
+              t.flatMap(_.fields.get("ALBUM")).orNull,
+              t.flatMap(_.fields.get("DATE")).orNull,
+              t.flatMap(_.fields.get("TRACKNUMBER")).orNull)
+          }
+          .toDF("doc_id", "container", "vendor", "n_comments",
+            "artist", "title", "album", "date", "track")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'flac' WHEN 1 THEN 'opus'
+                    ELSE 'vorbis' END AS container,
+               'graft ' || (doc_id % 5) AS vendor,
+               CAST(6 AS INT) AS n_comments,
+               'artist ' || (doc_id % 50) AS artist,
+               'track no ' || doc_id AS title,
+               'album ' || (doc_id % 20) AS album,
+               CAST(1970 + doc_id % 55 AS VARCHAR) AS date,
+               CAST(1 + doc_id % 12 AS VARCHAR) AS track
+        FROM documents
+        ORDER BY doc_id""")),
+
     // ----- charset sniff: the ingestion step before ANY text op --------
     // Each doc's ASCII text is wrapped into one of six byte shapes: raw
     // (ascii), UTF-8 BOM prefix, an appended 2-byte UTF-8 sequence, an

@@ -290,4 +290,85 @@ class AudioHeadersSpec extends AnyFunSuite {
     reCrc(opus, 0, 47)
     assert(decodeOgg(opus).isEmpty, "OpusHead version 2 accepted")
   }
+
+  // ----- Vorbis comments across the Xiph family (round 14) -------------
+
+  private val tagSet = Seq("ARTIST" -> "Someone", "TITLE" -> "A Song",
+    "ALBUM" -> "An Album", "DATE" -> "1999")
+
+  test("Vorbis-comment round-trip: FLAC, Ogg Opus, Ogg Vorbis") {
+    val body = vorbisCommentBody("vend0r", tagSet)
+    val flac = encodeFlac(44100, 2, 16, 12345L, body)
+    val opus = encodeOggOpus(2, 312, 48000, 1, 960L,
+      opusTagsPacket("vend0r", tagSet))
+    val vorb = encodeOggVorbis(2, 44100, 1, 1024L,
+      vorbisCommentPacket("vend0r", tagSet))
+    Seq("flac" -> flac, "opus" -> opus, "vorbis" -> vorb).foreach {
+      case (container, blob) =>
+        val t = decodeAudioTags(blob).get
+        assert(t.container === container)
+        assert(t.vendor === "vend0r")
+        assert(t.nComments === 4)
+        assert(t.fields === Map("ARTIST" -> "Someone", "TITLE" -> "A Song",
+          "ALBUM" -> "An Album", "DATE" -> "1999"))
+        // the tag walk must not break the existing header sniffs
+        if (container == "flac") assert(decodeFlac(blob).nonEmpty)
+        else assert(decodeOgg(blob).nonEmpty)
+    }
+  }
+
+  test("repeated keys keep the FIRST value; keys are case-insensitive") {
+    val t = decodeAudioTags(encodeFlac(48000, 1, 16, 1L,
+      vorbisCommentBody("v", Seq("Artist" -> "first", "ARTIST" -> "second",
+        "tracknumber" -> "7")))).get
+    assert(t.nComments === 3)
+    assert(t.fields("ARTIST") === "first")
+    assert(t.fields("TRACKNUMBER") === "7")
+  }
+
+  test("UTF-8 values and '=' inside the value survive") {
+    val t = decodeAudioTags(encodeFlac(48000, 1, 16, 1L,
+      vorbisCommentBody("v", Seq("TITLE" -> "naïve = héroïque")))).get
+    assert(t.fields("TITLE") === "naïve = héroïque")
+  }
+
+  test("untagged or damaged streams yield None, never a fabricated tag set") {
+    // WAV has no vorbis comments at all
+    assert(decodeAudioTags(encodeWav(2, 44100, 16, 100L,
+      Array.emptyByteArray)) === None)
+    // vorbis comment packet with a cleared framing bit
+    val pkt = vorbisCommentPacket("v", tagSet)
+    pkt(pkt.length - 1) = 0
+    assert(decodeAudioTags(encodeOggVorbis(2, 44100, 1, 1024L, pkt)) === None)
+    // opus comment page whose payload is not OpusTags
+    assert(decodeAudioTags(encodeOggOpus(2, 0, 48000, 1, 960L,
+      "NotTags!".getBytes("US-ASCII"))) === None)
+    // truncation sweep must never throw
+    val flac = encodeFlac(44100, 2, 16, 9L, vorbisCommentBody("v", tagSet))
+    (1 until flac.length by 3).foreach(n => decodeAudioTags(flac.take(n)))
+    assert(decodeAudioTags(flac.take(flac.length - 2)) === None)
+    // declared comment length past the buffer (hostile u32)
+    val hostile = encodeFlac(44100, 2, 16, 9L,
+      vorbisCommentBody("v", Seq("A" -> "b")))
+    // body starts at 4 + 4 + 34 + 4 = 46; vendor len 1 -> comment count
+    // at 51, first comment length at 55
+    hostile(55) = 0xff.toByte; hostile(56) = 0xff.toByte
+    assert(decodeAudioTags(hostile) === None)
+  }
+
+  test("comment packet spanning pages (final lacing 255) is rejected, " +
+      "not mis-sliced") {
+    // a 255-byte payload laces as [255, 0] — complete in one page; the
+    // walker accepts it. Forge the CONTINUED shape by truncating the
+    // lacing table to the single 255 entry.
+    val body = opusTagsPacket("v", tagSet)
+    val blob = encodeOggOpus(2, 0, 48000, 1, 960L, body)
+    assert(decodeAudioTags(blob).nonEmpty)
+    // second page starts at 47; its lacing table declares the packet;
+    // overwrite nSegs to 1 with lacing 255 -> continued packet
+    val forged = blob.clone()
+    forged(47 + 26) = 1
+    forged(47 + 27) = 0xff.toByte
+    assert(decodeAudioTags(forged) === None)
+  }
 }
