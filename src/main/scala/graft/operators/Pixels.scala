@@ -1529,6 +1529,11 @@ object Pixels {
       decodeGrayTiff(bytes).map { case (w, h, px) => ("tiff", w, h, px) }
     else if (bytes(0) == 'B' && bytes(1) == 'M')
       decodeGrayBmp(bytes).map { case (w, h, px) => ("bmp", w, h, px) }
+    else if (bytes(0) == 0 && bytes(1) == 0 && bytes(2) == 1 &&
+      bytes(3) == 0)
+      // ICO favicon container: decode resolves to its LARGEST entry
+      // (itself PNG or DIB), the curation rule a favicon pass wants
+      Ico.decodeIco(bytes).map(i => ("ico", i.width, i.height, i.luma))
     else None
 
   // ------------------------------------------------------------------
@@ -3238,6 +3243,85 @@ object Pixels {
            AND c2.b = (c1.b // 8) * 8 + ((c1.b % 8) + 1) % 8
           GROUP BY c1.doc_id)
         SELECT d.doc_id, d.format, d.w AS width, d.h AS height,
+               CAST(s.px_sum AS BIGINT) AS px_sum, gh.ghash
+        FROM dims d
+        JOIN sums s ON s.doc_id = d.doc_id
+        JOIN gh ON gh.doc_id = d.doc_id
+        ORDER BY d.doc_id""")),
+
+    // ----- ICO favicon decode: largest-entry rule (round 14) -----------
+    // Every doc becomes a multi-entry ICO: an 8×8 BMP-DIB stub first
+    // (the decoder must NOT just take entry 0), the ramp image as the
+    // largest entry — stored as a PNG stream or a doubled-height DIB
+    // with AND mask by id%4 — and for id%3=0 a third tiny PNG. The
+    // oracle replays the chosen entry's dims, pixel sum, and gHash
+    // from the ramp arithmetic plus the entry count and payload kind;
+    // picking the wrong entry or mis-halving the DIB height shifts
+    // every pixel column. Map-only per blob.
+    QueryDef(
+      "q380_ico_favicon_decode",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val w = (16 + (id * 5 % 6) * 8).toInt
+            val h = (16 + (id % 6) * 8).toInt
+            val px = Array.tabulate(w * h) { i =>
+              ((id * 29 + (i % w).toLong * 3 + (i / w).toLong * 31) % 256).toInt
+            }
+            val big =
+              if (id % 4 == 0) encodeGrayBmp(w, h, px)
+              else encodeGrayPng(w, h, px, Array.emptyByteArray)
+            val stub = encodeGrayBmp(8, 8, Array.fill(64)(128))
+            val entries =
+              if (id % 3 == 0)
+                Seq(stub, big,
+                  encodeGrayPng(8, 8, Array.fill(64)(7), Array.emptyByteArray))
+              else Seq(stub, big)
+            Ico.decodeIco(Ico.encodeIco(entries)) match {
+              case Some(img) =>
+                (id, img.nEntries, img.entryFormat, img.width, img.height,
+                  img.luma.foldLeft(0L)(_ + _),
+                  gHash(cellGrid(img.width, img.height, img.luma)))
+              case None => (id, -1, "none", -1, -1, -1L, "")
+            }
+          }
+          .toDF("doc_id", "n_entries", "fmt", "width", "height",
+            "px_sum", "ghash")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH dims AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS INT)
+                   AS n_entries,
+                 CASE WHEN doc_id % 4 = 0 THEN 'dib' ELSE 'png' END AS fmt,
+                 CAST(16 + (doc_id * 5 % 6) * 8 AS INT) AS w,
+                 CAST(16 + (doc_id % 6) * 8 AS INT) AS h
+          FROM documents),
+        xs AS (SELECT doc_id, w, h,
+                      unnest(generate_series(0, w - 1)) AS x FROM dims),
+        pxy AS (SELECT doc_id, w, h, x,
+                       unnest(generate_series(0, h - 1)) AS y FROM xs),
+        px AS (SELECT doc_id, w, h, x, y,
+                      (doc_id * 29 + x * 3 + y * 31) % 256 AS p FROM pxy),
+        cells AS (
+          SELECT doc_id,
+                 (y // (h // 8)) * 8 + (x // (w // 8)) AS b,
+                 SUM(p) // ((w // 8) * (h // 8)) AS cell
+          FROM px
+          GROUP BY doc_id, w, h, (y // (h // 8)) * 8 + (x // (w // 8))),
+        sums AS (SELECT doc_id, SUM(p) AS px_sum FROM px GROUP BY doc_id),
+        gh AS (
+          SELECT c1.doc_id,
+                 string_agg(CASE WHEN c1.cell > c2.cell THEN '1' ELSE '0' END,
+                            '' ORDER BY c1.b) AS ghash
+          FROM cells c1 JOIN cells c2
+            ON c2.doc_id = c1.doc_id
+           AND c2.b = (c1.b // 8) * 8 + ((c1.b % 8) + 1) % 8
+          GROUP BY c1.doc_id)
+        SELECT d.doc_id, d.n_entries, d.fmt, d.w AS width, d.h AS height,
                CAST(s.px_sum AS BIGINT) AS px_sum, gh.ghash
         FROM dims d
         JOIN sums s ON s.doc_id = d.doc_id
