@@ -2129,6 +2129,80 @@ object Multimodal {
                     // (CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
                         ELSE 90000 END) AS BIGINT) AS duration_ms
         FROM documents
+        ORDER BY doc_id""")),
+
+    // ----- MP4 ilst tags: the iTunes metadata atoms (round 14) ---------
+    // Completes the tag triad — ID3 (q260), Vorbis comments (q379),
+    // ilst (here): moov > udta > meta(fullbox) > ilst, ©-prefixed
+    // 4ccs matched by RAW bytes (0xA9 is not ASCII), text carried in
+    // 'data' children with type flag 1 and trkn as a u16 pair with
+    // flag 0. Both decoders run over the same blob — the header sniff
+    // must be undisturbed by the udta growth. The oracle replays every
+    // tag, the trkn pair, the item count, and the full stream-length
+    // formula. Map-only per blob.
+    QueryDef(
+      "q381_mp4_ilst_tags",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            MediaRecord(id,
+              VideoHeaders.encodeMp4Tagged(
+                brand = if (id % 2 == 0) "isom" else "mp42",
+                timescale = 1000,
+                durationUnits = 1000L + (id * 29) % 100000,
+                width = (16 + id % 624).toInt,
+                height = (16 + (id * 7) % 464).toInt,
+                nTracks = (1 + id % 2).toInt,
+                note = text.getBytes("UTF-8"),
+                title = s"title $id", artist = s"artist ${id % 40}",
+                album = s"album ${id % 15}", day = s"${1980 + id % 45}",
+                track = (1 + id % 20).toInt, trackTotal = 20),
+              "video/mp4")
+          }
+        media.mapPartitions { it =>
+          it.map { r =>
+            val tags = VideoHeaders.decodeMp4Tags(r.media)
+            val meta = VideoHeaders.decodeMp4(r.media)
+            (r.doc_id,
+              tags.flatMap(_.title).orNull, tags.flatMap(_.artist).orNull,
+              tags.flatMap(_.album).orNull, tags.flatMap(_.day).orNull,
+              tags.flatMap(_.track), tags.flatMap(_.trackTotal),
+              tags.map(_.nItems),
+              meta.map(_.brand).orNull, meta.map(_.durationUnits),
+              r.media.length.toLong)
+          }
+        }.toDF("doc_id", "title", "artist", "album", "day",
+            "track", "track_total", "n_items", "brand", "duration_units",
+            "n_bytes")
+          .orderBy($"doc_id")
+      },
+      // n_bytes = 148 + |note| + 100*nTracks + 189 + sum of tag text
+      // lengths (all ASCII here)
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 'title ' || doc_id AS title,
+                 'artist ' || (doc_id % 40) AS artist,
+                 'album ' || (doc_id % 15) AS album,
+                 CAST(1980 + doc_id % 45 AS VARCHAR) AS day,
+                 octet_length(encode(text)) AS len,
+                 1 + doc_id % 2 AS ntracks
+          FROM documents)
+        SELECT doc_id, title, artist, album, day,
+               CAST(1 + doc_id % 20 AS INT) AS track,
+               CAST(20 AS INT) AS track_total,
+               CAST(5 AS INT) AS n_items,
+               CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+               CAST(1000 + (doc_id * 29) % 100000 AS BIGINT)
+                 AS duration_units,
+               CAST(148 + len + 100 * ntracks + 189
+                    + octet_length(encode(title)) + octet_length(encode(artist))
+                    + octet_length(encode(album)) + octet_length(encode(day))
+                    AS BIGINT) AS n_bytes
+        FROM t
         ORDER BY doc_id"""))
   )
 

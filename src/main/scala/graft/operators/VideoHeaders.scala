@@ -210,6 +210,191 @@ object VideoHeaders {
   }
 
   // ------------------------------------------------------------------
+  // MP4 ilst tags — the metadata atom family iTunes defined and the
+  // whole MP4/M4A ecosystem adopted (moov > udta > meta > ilst, each
+  // item a 4cc box wrapping a 'data' box: u32 type/flags — 1 = UTF-8
+  // text, 0 = binary — u32 locale, payload). Completes the tag triad:
+  // ID3 (MP3), Vorbis comments (FLAC/Ogg), ilst (MP4/M4A). The ©-tag
+  // 4ccs lead with byte 0xA9 (NOT ASCII), so the item walk compares
+  // raw bytes rather than decoded strings.
+  // ------------------------------------------------------------------
+
+  /** Parsed ilst metadata. `track`/`trackTotal` come from the trkn
+    * binary payload (u16 pair); `nItems` counts every ilst child,
+    * recognized or not. */
+  final case class Mp4Tags(title: Option[String], artist: Option[String],
+      album: Option[String], day: Option[String],
+      track: Option[Int], trackTotal: Option[Int], nItems: Int)
+
+  private def tagIs(b: Array[Byte], at: Long, c0: Int, c1: Char,
+      c2: Char, c3: Char): Boolean = {
+    val o = at.toInt
+    (b(o) & 0xff) == c0 && b(o + 1) == c1 && b(o + 2) == c2 && b(o + 3) == c3
+  }
+
+  /** The 'data' box inside one ilst item: (typeFlags, payload bytes).
+    * None on a malformed or missing data child. */
+  private def dataOf(b: Array[Byte], p: Long,
+      e: Long): Option[(Long, Array[Byte])] = {
+    var found: Option[(Long, Array[Byte])] = None
+    val ok = walk(b, p, e) { (typ, p2, e2) =>
+      if (typ == "data" && e2 - p2 >= 8) {
+        found = Some((u32(b, p2),
+          java.util.Arrays.copyOfRange(b, (p2 + 8).toInt, e2.toInt)))
+        false
+      } else true
+    }
+    if (ok) found else None
+  }
+
+  /** Tag extraction: ftyp gate, then moov > udta > meta (full box) >
+    * ilst; items are matched by raw 4cc bytes (©nam/©ART/©alb/©day
+    * UTF-8 text, trkn u16-pair binary). Streams without an ilst yield
+    * None — "untagged" must stay distinguishable from an empty tag
+    * set, the [[AudioHeaders.decodeAudioTags]] contract. */
+  def decodeMp4Tags(b: Array[Byte]): Option[Mp4Tags] = {
+    if (b == null || b.length < 16) return None
+    val head = boxAt(b, 0L, b.length.toLong) match {
+      case Some((p, e, "ftyp")) if e - p >= 8 => (p, e)
+      case _ => return None
+    }
+    var title, artist, album, day: Option[String] = None
+    var track, trackTotal: Option[Int] = None
+    var nItems = 0
+    var sawIlst = false
+    var bad = false
+    def parseIlst(p: Long, e: Long): Unit = {
+      sawIlst = true
+      var o = p
+      while (o < e && !bad) {
+        boxAt(b, o, e) match {
+          case Some((p2, e2, _)) =>
+            nItems += 1
+            def text: Option[String] = dataOf(b, p2, e2).collect {
+              case (1L, bytes) => new String(bytes, "UTF-8")
+            }
+            if (tagIs(b, o + 4, 0xa9, 'n', 'a', 'm')) title = text
+            else if (tagIs(b, o + 4, 0xa9, 'A', 'R', 'T')) artist = text
+            else if (tagIs(b, o + 4, 0xa9, 'a', 'l', 'b')) album = text
+            else if (tagIs(b, o + 4, 0xa9, 'd', 'a', 'y')) day = text
+            else if (tagIs(b, o + 4, 't', 'r', 'k', 'n'))
+              dataOf(b, p2, e2) match {
+                case Some((0L, bytes)) if bytes.length >= 6 =>
+                  track = Some(((bytes(2) & 0xff) << 8) | (bytes(3) & 0xff))
+                  trackTotal =
+                    Some(((bytes(4) & 0xff) << 8) | (bytes(5) & 0xff))
+                case _ => ()
+              }
+            o = e2
+          case None => bad = true
+        }
+      }
+    }
+    val ok = walk(b, head._2, b.length.toLong) { (typ, p, e) =>
+      if (typ == "moov") {
+        val moovOk = walk(b, p, e) { (t2, p2, e2) =>
+          if (t2 == "udta") {
+            val udtaOk = walk(b, p2, e2) { (t3, p3, e3) =>
+              if (t3 == "meta") {
+                if (e3 - p3 < 4) bad = true
+                else {
+                  // meta is a full box: hop version/flags
+                  val metaOk = walk(b, p3 + 4, e3) { (t4, p4, e4) =>
+                    if (t4 == "ilst") parseIlst(p4, e4)
+                    !bad
+                  }
+                  if (!metaOk) bad = true
+                }
+              }
+              !bad
+            }
+            if (!udtaOk) bad = true
+          }
+          !bad
+        }
+        if (!moovOk) bad = true
+        false // moov found: stop the top-level walk
+      } else true
+    }
+    if (!ok || bad || !sawIlst) None
+    else Some(Mp4Tags(title, artist, album, day, track, trackTotal, nItems))
+  }
+
+  /** Fixture emitter: [[encodeMp4]]'s exact layout plus a moov-level
+    * udta[meta[hdlr('mdir') + ilst[©nam/©ART/©alb/©day text items +
+    * trkn]]]. Text item size = 24 + |utf8|; trkn item = 32; udta =
+    * 61 + Σitems (8 udta + 12 meta fullbox + 33 hdlr + 8 ilst).
+    * Stream length = encodeMp4's formula + udta = 148 + |note| +
+    * 100·nTracks + 189 + Σ|text| — pinned by spec and replayed by the
+    * q381 oracle. */
+  def encodeMp4Tagged(brand: String, timescale: Int, durationUnits: Long,
+      width: Int, height: Int, nTracks: Int, note: Array[Byte],
+      title: String, artist: String, album: String, day: String,
+      track: Int, trackTotal: Int): Array[Byte] = {
+    require(track >= 0 && track <= 0xffff && trackTotal >= 0 &&
+      trackTotal <= 0xffff, "trkn pair is u16")
+    val plain = encodeMp4(brand, timescale, durationUnits, width, height,
+      nTracks, note)
+    val texts = Seq(
+      Array(0xa9.toByte, 'n'.toByte, 'a'.toByte, 'm'.toByte) ->
+        title.getBytes("UTF-8"),
+      Array(0xa9.toByte, 'A'.toByte, 'R'.toByte, 'T'.toByte) ->
+        artist.getBytes("UTF-8"),
+      Array(0xa9.toByte, 'a'.toByte, 'l'.toByte, 'b'.toByte) ->
+        album.getBytes("UTF-8"),
+      Array(0xa9.toByte, 'd'.toByte, 'a'.toByte, 'y'.toByte) ->
+        day.getBytes("UTF-8"))
+    val ilstBox = 8 + texts.map(24 + _._2.length).sum + 32
+    val hdlrBox = 8 + 4 + 4 + 4 + 12 + 1
+    val metaBox = 8 + 4 + hdlrBox + ilstBox
+    val udtaBox = 8 + metaBox
+    val out = new ByteArrayOutputStream(plain.length + udtaBox)
+    def be32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def cc(s: String): Unit = out.write(s.getBytes("US-ASCII"), 0, 4)
+    // copy everything, then grow the trailing moov by udtaBox. The
+    // moov box is the LAST top-level box in encodeMp4's layout, so its
+    // u32 size sits right after ftyp(24) + free(8+|note|).
+    out.write(plain, 0, plain.length)
+    val bytes = out.toByteArray
+    val moovAt = 24 + 8 + note.length
+    val moovSize = ((bytes(moovAt) & 0xff) << 24) |
+      ((bytes(moovAt + 1) & 0xff) << 16) |
+      ((bytes(moovAt + 2) & 0xff) << 8) | (bytes(moovAt + 3) & 0xff)
+    val grown = moovSize.toLong + udtaBox
+    bytes(moovAt) = ((grown >> 24) & 0xff).toByte
+    bytes(moovAt + 1) = ((grown >> 16) & 0xff).toByte
+    bytes(moovAt + 2) = ((grown >> 8) & 0xff).toByte
+    bytes(moovAt + 3) = (grown & 0xff).toByte
+    val tail = new ByteArrayOutputStream(udtaBox)
+    def tb32(v: Long): Unit = {
+      tail.write(((v >> 24) & 0xff).toInt); tail.write(((v >> 16) & 0xff).toInt)
+      tail.write(((v >> 8) & 0xff).toInt); tail.write((v & 0xff).toInt)
+    }
+    def tcc(s: String): Unit = tail.write(s.getBytes("US-ASCII"), 0, 4)
+    tb32(udtaBox.toLong); tcc("udta")
+    tb32(metaBox.toLong); tcc("meta"); tb32(0) // fullbox ver/flags
+    tb32(hdlrBox.toLong); tcc("hdlr"); tb32(0); tb32(0); tcc("mdir")
+    tail.write(new Array[Byte](12), 0, 12); tail.write(0) // empty name
+    tb32(ilstBox.toLong); tcc("ilst")
+    texts.foreach { case (tag, payload) =>
+      tb32(24L + payload.length); tail.write(tag, 0, 4)
+      tb32(16L + payload.length); tcc("data")
+      tb32(1L); tb32(0L) // UTF-8 type, locale
+      tail.write(payload, 0, payload.length)
+    }
+    tb32(32L); tcc("trkn")
+    tb32(24L); tcc("data"); tb32(0L); tb32(0L)
+    tail.write(0); tail.write(0)
+    tail.write((track >> 8) & 0xff); tail.write(track & 0xff)
+    tail.write((trackTotal >> 8) & 0xff); tail.write(trackTotal & 0xff)
+    tail.write(0); tail.write(0)
+    bytes ++ tail.toByteArray
+  }
+
+  // ------------------------------------------------------------------
   // AVIF / HEIC — the modern web-crawl image containers (public spec,
   // ISO/IEC 23008-12 HEIF on the 14496-12 box grammar above). Same box
   // walk, different tree: dims live in meta > iprp > ipco > ispe, bit

@@ -72,4 +72,74 @@ class VideoHeadersSpec extends AnyFunSuite {
     out.write(new Array[Byte](16), 0, 16)
     assert(decodeMp4(out.toByteArray).isEmpty)
   }
+
+  // ----- ilst tags (round 14) -------------------------------------------
+
+  private def tagged(title: String = "A Title", artist: String = "Someone",
+      album: String = "An Album", day: String = "2001", track: Int = 3,
+      total: Int = 12, note: Array[Byte] = "padding".getBytes,
+      nTracks: Int = 2): Array[Byte] =
+    encodeMp4Tagged("mp42", 1000, 90000L, 640, 360, nTracks, note,
+      title, artist, album, day, track, total)
+
+  test("ilst tags round-trip; the header sniff is undisturbed") {
+    val b = tagged()
+    val t = decodeMp4Tags(b).get
+    assert(t.title.contains("A Title"))
+    assert(t.artist.contains("Someone"))
+    assert(t.album.contains("An Album"))
+    assert(t.day.contains("2001"))
+    assert(t.track.contains(3))
+    assert(t.trackTotal.contains(12))
+    assert(t.nItems === 5)
+    // decodeMp4 must see the same movie through the grown moov
+    val m = decodeMp4(b).get
+    assert(m === Mp4Meta("mp42", 1000, 90000L, 640, 360, 2))
+  }
+
+  test("tagged stream length formula: 148 + |note| + 100*nTracks + 189 " +
+      "+ sum of text lengths") {
+    val b = tagged()
+    val textLen = "A Title".length + "Someone".length +
+      "An Album".length + "2001".length
+    assert(b.length === 148 + 7 + 100 * 2 + 189 + textLen)
+  }
+
+  test("UTF-8 tag values survive the ilst round-trip") {
+    val t = decodeMp4Tags(tagged(title = "naïve — héroïque")).get
+    assert(t.title.contains("naïve — héroïque"))
+  }
+
+  test("untagged MP4 yields None (untagged is not an empty tag set)") {
+    assert(decodeMp4Tags(encodeMp4("isom", 600, 1000L, 320, 240, 1,
+      Array.emptyByteArray)) === None)
+    assert(decodeMp4Tags(null) === None)
+    assert(decodeMp4Tags("not a box".getBytes) === None)
+  }
+
+  test("a data child with an unexpected type flag is skipped, not " +
+      "mis-decoded as text") {
+    val b = tagged(title = "FlagMe")
+    // the ©nam item is the first ilst child; its data 'type' u32 sits
+    // 16 bytes into the item box. Find the raw tag bytes.
+    var at = -1
+    var i = 0
+    while (at < 0 && i < b.length - 4) {
+      if ((b(i) & 0xff) == 0xa9 && b(i + 1) == 'n' && b(i + 2) == 'a' &&
+        b(i + 3) == 'm') at = i
+      i += 1
+    }
+    assert(at > 0)
+    b(at + 4 + 8 + 3) = 21 // type flags 1 -> 21 (reserved)
+    val t = decodeMp4Tags(b).get
+    assert(t.title === None) // flag not UTF-8 text: value dropped
+    assert(t.artist.contains("Someone")) // siblings unaffected
+    assert(t.nItems === 5)
+  }
+
+  test("truncated tagged stream never throws") {
+    val b = tagged()
+    (1 until b.length by 7).foreach(n => decodeMp4Tags(b.take(n)))
+    assert(decodeMp4Tags(b.take(b.length - 10)) === None)
+  }
 }
