@@ -2075,6 +2075,82 @@ object Multimodal {
         FROM g
         ORDER BY doc_id""")),
 
+    // ----- PNG text + eXIf chunks (round 14) ----------------------------
+    // The metadata the PNG decoders previously only HOPPED: tEXt
+    // (Latin-1), zTXt (deflated Latin-1), iTXt (UTF-8, compressed by
+    // parity, language-tagged), and eXIf (a bare TIFF IFD — the same
+    // walk as JPEG APP1), all CRC-verified and spliced into a real
+    // pixel-bearing PNG right before IEND. The PIXEL decoder runs over
+    // the same spliced stream — chunk hops must be transparent — and
+    // the oracle replays every text value (including the non-ASCII
+    // iTXt), the EXIF fields, the chunk count, and the ramp pixel sum.
+    QueryDef(
+      "q382_png_text_chunks",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val w = (8 + id % 16).toInt
+            val h = (8 + (id * 3) % 16).toInt
+            val px = Array.tabulate(w * h)(i =>
+              ((id * 13 + i.toLong * 7) % 256).toInt)
+            val blob = PngMeta.withChunks(
+              Pixels.encodeGrayPng(w, h, px, Array.emptyByteArray),
+              Seq(
+                PngMeta.textChunk("Title", s"title $id"),
+                PngMeta.ztxtChunk("Description",
+                  "d" * (10 + id % 40).toInt),
+                PngMeta.itxtChunk("Comment", s"café $id — ok", "en",
+                  compressed = id % 2 == 0),
+                PngMeta.exifChunk((1 + id % 8).toInt, s"Cam${id % 9}",
+                  bigEndian = id % 2 == 1)))
+            val meta = PngMeta.decodePngMeta(blob)
+            val pixels = Pixels.decodeGrayPng(blob)
+            def field(kw: String, kind: String): String =
+              meta.flatMap(_.texts.find(t =>
+                t.keyword == kw && t.kind == kind)).map(_.value).orNull
+            (id, meta.map(_.nChunks),
+              field("Title", "text"), field("Description", "ztxt"),
+              field("Comment", "itxt"),
+              meta.flatMap(_.texts.find(_.kind == "itxt")).map(_.lang).orNull,
+              meta.flatMap(_.exif).map(_.orientation),
+              meta.flatMap(_.exif).flatMap(_.make).orNull,
+              pixels.map(_._1), pixels.map(_._2),
+              pixels.map(_._3.foldLeft(0L)(_ + _)))
+          }
+          .toDF("doc_id", "n_chunks", "title", "description", "comment",
+            "lang", "exif_orientation", "exif_make", "width", "height",
+            "px_sum")
+          .orderBy($"doc_id")
+      },
+      // base PNG chunks (IHDR, tEXt, IDAT, IEND) + 4 spliced = 8
+      Some("""
+        WITH dims AS (
+          SELECT doc_id,
+                 CAST(8 + doc_id % 16 AS INT) AS w,
+                 CAST(8 + (doc_id * 3) % 16 AS INT) AS h
+          FROM documents),
+        idx AS (
+          SELECT doc_id, w, h,
+                 unnest(generate_series(0, w * h - 1)) AS i
+          FROM dims),
+        sums AS (
+          SELECT doc_id, SUM((doc_id * 13 + i * 7) % 256) AS px_sum
+          FROM idx GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(8 AS INT) AS n_chunks,
+               'title ' || d.doc_id AS title,
+               repeat('d', CAST(10 + d.doc_id % 40 AS INT)) AS description,
+               'café ' || d.doc_id || ' — ok' AS comment,
+               'en' AS lang,
+               CAST(1 + d.doc_id % 8 AS INT) AS exif_orientation,
+               'Cam' || (d.doc_id % 9) AS exif_make,
+               d.w AS width, d.h AS height,
+               CAST(s.px_sum AS BIGINT) AS px_sum
+        FROM dims d JOIN sums s ON s.doc_id = d.doc_id
+        ORDER BY d.doc_id""")),
+
     // ----- MP4 / ISO-BMFF header decode: the VIDEO modality ------------
     // Completes the image/audio/video triad: each doc becomes a
     // byte-valid header-only MP4 — ftyp, a variable-length 'free' box

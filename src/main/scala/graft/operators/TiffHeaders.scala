@@ -173,8 +173,14 @@ object TiffHeaders {
     * first APP1 whose payload leads with "Exif\0\0", then parse the
     * embedded TIFF stream in place for Orientation(274) / Make(271).
     * SOS/EOI before any EXIF APP1 ⇒ None (scan data is opaque). */
-  def decodeJpegExif(b: Array[Byte]): Option[ExifMeta] = {
-    val tiff = exifTiffSlice(b).getOrElse(return None)
+  def decodeJpegExif(b: Array[Byte]): Option[ExifMeta] =
+    exifTiffSlice(b).flatMap(exifFromTiff)
+
+  /** Orientation/Make out of a BARE TIFF stream — the payload shape
+    * shared by JPEG APP1 (after "Exif\0\0") and PNG's eXIf chunk
+    * (which embeds the TIFF with no prefix at all, PNG spec §11.3.4). */
+  def exifFromTiff(tiff: Array[Byte]): Option[ExifMeta] = {
+    if (tiff == null || tiff.length < 8) return None
     val be =
       if (tiff(0) == 'M' && tiff(1) == 'M') true
       else if (tiff(0) == 'I' && tiff(1) == 'I') false
@@ -185,6 +191,44 @@ object TiffHeaders {
     val orient = tags.getOrElse(274, 1L) // EXIF default: upright
     if (orient < 1 || orient > 8) return None
     Some(ExifMeta(orient.toInt, asciiTag(tiff, ifdOff, be, 271)))
+  }
+
+  /** Bare EXIF TIFF emitter (the [[encodeJpegExif]] APP1 payload
+    * without the JPEG wrapping): header + IFD0 with Make (ASCII,
+    * inline when it fits, offset-valued otherwise) and Orientation.
+    * Byte length = 8 + 30 + (|make|+1 > 4 ? |make|+1 : 0). */
+  def encodeExifTiff(orientation: Int, make: String,
+      bigEndian: Boolean): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8,
+      s"EXIF orientation is 1..8: $orientation")
+    val makeBytes = make.getBytes("US-ASCII")
+    val makeCnt = makeBytes.length + 1
+    val out = new ByteArrayOutputStream(48 + makeCnt)
+    def t16(v: Int): Unit =
+      if (bigEndian) { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+      else { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def t32(v: Long): Unit =
+      if (bigEndian) {
+        out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+        out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+      } else {
+        out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+        out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+      }
+    if (bigEndian) { out.write('M'); out.write('M') }
+    else { out.write('I'); out.write('I') }
+    t16(42); t32(8L)
+    t16(2)
+    t16(271); t16(2); t32(makeCnt.toLong)
+    if (makeCnt <= 4) {
+      out.write(makeBytes, 0, makeBytes.length); out.write(0)
+      var pad = 4 - makeCnt
+      while (pad > 0) { out.write(0); pad -= 1 }
+    } else t32(8L + 30L)
+    t16(274); t16(3); t32(1L); t16(orientation); t16(0)
+    t32(0L)
+    if (makeCnt > 4) { out.write(makeBytes, 0, makeBytes.length); out.write(0) }
+    out.toByteArray
   }
 
   /** Marker walk to the first APP1 whose payload leads with
