@@ -123,6 +123,106 @@ object ImageHeaders {
     None
   }
 
+  /** WebP extended-format metadata (VP8X, RFC 9649 §2.4): the EXIF
+    * chunk carries a TIFF stream (some writers keep the JPEG-style
+    * "Exif\0\0" prefix — both shapes accepted), the 'XMP ' chunk an
+    * XML packet. Returns (exif, xmp); None when the stream is not an
+    * extended WebP or declares neither flag's chunk. The VP8X flag
+    * bits (EXIF 0x08, XMP 0x04) gate the chunk walk — a chunk present
+    * WITHOUT its flag is ignored per spec. */
+  def decodeWebpMeta(b: Array[Byte])
+      : Option[(Option[TiffHeaders.ExifMeta], Option[String])] = {
+    if (b == null || b.length < 30) return None
+    if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+      b(8) != 'W' || b(9) != 'E' || b(10) != 'B' || b(11) != 'P') return None
+    // VP8X must lead the chunk chain in extended files
+    if (new String(b, 12, 4, "US-ASCII") != "VP8X") return None
+    if (u32le(b, 16) < 10) return None
+    val flags = u8(b, 20)
+    val wantExif = (flags & 0x08) != 0
+    val wantXmp = (flags & 0x04) != 0
+    var exif: Option[TiffHeaders.ExifMeta] = None
+    var xmp: Option[String] = None
+    var off = 20 + 10 // past the VP8X payload
+    while (off + 8 <= b.length) {
+      val id = new String(b, off, 4, "US-ASCII")
+      val size = u32le(b, off + 4)
+      if (size < 0) return None
+      val p = off + 8
+      if (p + size > b.length) return None
+      if (id == "EXIF" && wantExif && exif.isEmpty) {
+        val hasPrefix = size >= 6 && b(p) == 'E' && b(p + 1) == 'x' &&
+          b(p + 2) == 'i' && b(p + 3) == 'f' && b(p + 4) == 0 && b(p + 5) == 0
+        val from = if (hasPrefix) p + 6 else p
+        exif = Some(TiffHeaders.exifFromTiff(
+          java.util.Arrays.copyOfRange(b, from, (p + size).toInt))
+          .getOrElse(return None)) // a flagged-but-corrupt EXIF rejects
+      } else if (id == "XMP " && wantXmp && xmp.isEmpty)
+        xmp = Some(new String(b, p, size.toInt, "UTF-8"))
+      val next = off.toLong + 8L + size + (size & 1L)
+      if (next > b.length) return None
+      off = next.toInt
+    }
+    if (exif.isEmpty && xmp.isEmpty) None else Some((exif, xmp))
+  }
+
+  /** Fixture emitter: extended WebP — RIFF/WEBP, VP8X with the
+    * EXIF/XMP flags and 24-bit canvas dims, an EXIF chunk (TIFF from
+    * [[TiffHeaders.encodeExifTiff]], optionally "Exif\0\0"-prefixed,
+    * odd sizes padded per RIFF), an 'XMP ' chunk when `xmp` is
+    * non-empty, and a minimal VP8L header chunk so the plain sniff
+    * still reads the stream. Stream length = 12 + 18 + (8 + |exif| +
+    * pad) [+ 8 + |xmp| + pad] + 14 — the q383 oracle's formula. */
+  def encodeWebpExif(width: Int, height: Int, orientation: Int,
+      make: String, bigEndian: Boolean, exifPrefix: Boolean,
+      xmp: String): Array[Byte] = {
+    require(width >= 1 && width <= (1 << 24) &&
+      height >= 1 && height <= (1 << 24), "VP8X dims are 24-bit")
+    val tiff = TiffHeaders.encodeExifTiff(orientation, make, bigEndian)
+    val exifPayload =
+      if (exifPrefix) "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+      else tiff
+    val xmpBytes = xmp.getBytes("UTF-8")
+    val out = new java.io.ByteArrayOutputStream(exifPayload.length + 96)
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"), 0, 4)
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    def le24(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff)
+    }
+    def chunk(id: String, payload: Array[Byte]): Unit = {
+      ascii(id); le32(payload.length.toLong)
+      out.write(payload, 0, payload.length)
+      if (payload.length % 2 == 1) out.write(0) // RIFF pad byte
+    }
+    ascii("RIFF"); le32(0) // size patched below
+    ascii("WEBP")
+    ascii("VP8X"); le32(10L)
+    out.write(0x08 | (if (xmpBytes.nonEmpty) 0x04 else 0)) // EXIF [+XMP]
+    out.write(0); out.write(0); out.write(0) // reserved
+    le24(width - 1); le24(height - 1)
+    chunk("EXIF", exifPayload)
+    if (xmpBytes.nonEmpty) chunk("XMP ", xmpBytes)
+    // minimal VP8L header (signature + dims bits) so decodeWebp works
+    val bits = (width.min(1 << 14) - 1).toLong |
+      ((height.min(1 << 14) - 1).toLong << 14) | (1L << 28) // alpha hint
+    val vp8l = new Array[Byte](5)
+    vp8l(0) = 0x2f
+    var v = bits; var i = 1
+    while (i < 5) { vp8l(i) = (v & 0xff).toByte; v >>= 8; i += 1 }
+    chunk("VP8L", vp8l)
+    val bytes = out.toByteArray
+    val riffSize = bytes.length - 8L
+    bytes(4) = (riffSize & 0xff).toByte
+    bytes(5) = ((riffSize >> 8) & 0xff).toByte
+    bytes(6) = ((riffSize >> 16) & 0xff).toByte
+    bytes(7) = ((riffSize >> 24) & 0xff).toByte
+    bytes
+  }
+
   /** GIF87a/GIF89a: 6-byte signature, then logical-screen width/height
     * as u16 LITTLE-endian (GIF is the one LE format here), then a
     * packed byte whose bits 4-6 are the COLOR RESOLUTION − 1 (bits per

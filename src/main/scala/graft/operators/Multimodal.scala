@@ -2075,6 +2075,74 @@ object Multimodal {
         FROM g
         ORDER BY doc_id""")),
 
+    // ----- WebP VP8X EXIF/XMP chunks (round 14) -------------------------
+    // Completes EXIF across the big-three image formats (JPEG q378,
+    // PNG q382, WebP here): the VP8X flag bits gate EXIF ('Exif\0\0'-
+    // prefixed or bare TIFF, both real-writer shapes, cycled by
+    // parity) and 'XMP ' chunks, with RIFF odd-size padding exercised
+    // on every chunk. The plain header sniff reads canvas dims off the
+    // same stream. The oracle replays the EXIF fields, the XMP packet
+    // verbatim, dims, and the exact padded stream length.
+    QueryDef(
+      "q383_webp_exif_xmp",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val xmp =
+              if (id % 3 == 2) ""
+              else s"<x:xmpmeta><dc:title>t$id</dc:title></x:xmpmeta>"
+            MediaRecord(id,
+              ImageHeaders.encodeWebpExif(
+                width = (16 + id % 624).toInt,
+                height = (16 + (id * 7) % 464).toInt,
+                orientation = (1 + id % 8).toInt, make = s"Cam${id % 9}",
+                bigEndian = id % 2 == 1, exifPrefix = id % 2 == 0,
+                xmp = xmp),
+              "image/webp")
+          }
+        media.mapPartitions { it =>
+          it.map { r =>
+            val meta = ImageHeaders.decodeWebpMeta(r.media)
+            val exif = meta.flatMap(_._1)
+            val img = ImageHeaders.decode(r.media)
+            (r.doc_id, exif.map(_.orientation),
+              exif.flatMap(_.make).orNull,
+              meta.flatMap(_._2).orNull,
+              img.map(_.format).orNull,
+              img.map(_.width), img.map(_.height),
+              r.media.length.toLong)
+          }
+        }.toDF("doc_id", "orientation", "make", "xmp", "format",
+            "width", "height", "n_bytes")
+          .orderBy($"doc_id")
+      },
+      // exif payload 49 (prefixed) / 43 (bare), both odd -> +1 pad;
+      // chunks: RIFF 12 + VP8X 18 + EXIF + [XMP] + VP8L 14
+      Some("""
+        WITH w AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 2 THEN NULL
+                      ELSE '<x:xmpmeta><dc:title>t' || doc_id ||
+                           '</dc:title></x:xmpmeta>' END AS xmp,
+                 CASE WHEN doc_id % 2 = 0 THEN 50 ELSE 44 END AS exif_padded
+          FROM documents)
+        SELECT doc_id,
+               CAST(1 + doc_id % 8 AS INT) AS orientation,
+               'Cam' || (doc_id % 9) AS make,
+               xmp,
+               'webp_extended' AS format,
+               CAST(16 + doc_id % 624 AS INT) AS width,
+               CAST(16 + (doc_id * 7) % 464 AS INT) AS height,
+               CAST(12 + 18 + 8 + exif_padded
+                    + CASE WHEN xmp IS NULL THEN 0
+                           ELSE 8 + octet_length(encode(xmp))
+                                + octet_length(encode(xmp)) % 2 END
+                    + 14 AS BIGINT) AS n_bytes
+        FROM w
+        ORDER BY doc_id""")),
+
     // ----- PNG text + eXIf chunks (round 14) ----------------------------
     // The metadata the PNG decoders previously only HOPPED: tEXt
     // (Latin-1), zTXt (deflated Latin-1), iTXt (UTF-8, compressed by

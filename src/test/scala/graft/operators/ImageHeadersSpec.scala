@@ -238,4 +238,46 @@ class ImageHeadersSpec extends AnyFunSuite {
     base(sofIdx + 1) = 0xda.toByte // SOF0 -> SOS
     assert(decode(base).isEmpty)
   }
+
+  // ----- WebP VP8X EXIF/XMP metadata (round 14) -------------------------
+
+  test("VP8X EXIF round-trips with and without the Exif prefix; XMP " +
+      "comes back verbatim; the plain sniff reads canvas dims") {
+    Seq(true, false).foreach { prefix =>
+      val blob = encodeWebpExif(640, 360, 6, "CamQ", bigEndian = prefix,
+        exifPrefix = prefix, xmp = "<x:xmpmeta>hi</x:xmpmeta>")
+      val (exif, xmp) = decodeWebpMeta(blob).get
+      assert(exif.contains(TiffHeaders.ExifMeta(6, Some("CamQ"))))
+      assert(xmp.contains("<x:xmpmeta>hi</x:xmpmeta>"))
+      assert(decode(blob).contains(ImageMeta("webp_extended", 640, 360, 8)))
+    }
+  }
+
+  test("VP8X without the XMP flag bit ignores an XMP chunk (flag gate)") {
+    val blob = encodeWebpExif(100, 50, 2, "CamQ", bigEndian = false,
+      exifPrefix = false, xmp = "gated")
+    // clear the XMP flag (0x04) in the VP8X payload byte at offset 20
+    blob(20) = (blob(20) & ~0x04).toByte
+    val (exif, xmp) = decodeWebpMeta(blob).get
+    assert(exif.nonEmpty)
+    assert(xmp === None)
+  }
+
+  test("flagged-but-corrupt EXIF chunk rejects the stream") {
+    val blob = encodeWebpExif(100, 50, 2, "CamQ", bigEndian = false,
+      exifPrefix = false, xmp = "")
+    // EXIF payload (bare TIFF) starts after RIFF 12 + VP8X 18 + hdr 8
+    blob(38) = 'X'; blob(39) = 'X' // destroy the byte-order mark
+    assert(decodeWebpMeta(blob) === None)
+  }
+
+  test("plain (non-extended) WebP and truncated streams yield None") {
+    assert(decodeWebpMeta(encodeWebp("vp8l", 10, 10,
+      Array.emptyByteArray)) === None)
+    val blob = encodeWebpExif(64, 64, 1, "CamQ", bigEndian = true,
+      exifPrefix = true, xmp = "x")
+    (1 until blob.length by 5).foreach(n => decodeWebpMeta(blob.take(n)))
+    assert(decodeWebpMeta(blob.take(blob.length - 3)) === None)
+    assert(decodeWebpMeta(null) === None)
+  }
 }
