@@ -2075,6 +2075,75 @@ object Multimodal {
         FROM g
         ORDER BY doc_id""")),
 
+    // ----- cross-format tag dedup (round 14 composition) ----------------
+    // What the tag decoders exist FOR: five container formats (FLAC /
+    // Ogg Opus / Ogg Vorbis / MP4 ilst / bare ID3v2.4) normalize to
+    // one (artist, title) relation, then a distributed exact dedup
+    // keyed on the normalized pair — min-id keeper, copy count, and
+    // the container spread per group. The groupBy compiles to partial
+    // + final hash aggregation, so at corpus scale the shuffle carries
+    // one row per (task, key), never the blobs. The oracle replays the
+    // whole grouping from doc_id arithmetic.
+    QueryDef(
+      "q384_crossformat_tag_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val tags = Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val artist = s"artist ${id % 7}"
+            val title = s"track ${id % 40}"
+            val comments = Seq("ARTIST" -> artist, "TITLE" -> title)
+            val blob = (id % 5) match {
+              case 0 => AudioHeaders.encodeFlac(44100, 2, 16, 1000L,
+                AudioHeaders.vorbisCommentBody("v", comments))
+              case 1 => AudioHeaders.encodeOggOpus(2, 312, 48000, 1, 960L,
+                AudioHeaders.opusTagsPacket("v", comments))
+              case 2 => AudioHeaders.encodeOggVorbis(2, 44100, 1, 1024L,
+                AudioHeaders.vorbisCommentPacket("v", comments))
+              case 3 => VideoHeaders.encodeMp4Tagged("mp42", 1000, 1000L,
+                0, 0, 1, Array.emptyByteArray,
+                title, artist, "alb", "2000", 1, 1)
+              case _ => Id3.encodeId3(4,
+                Seq("TPE1" -> artist, "TIT2" -> title), padding = 16)
+            }
+            val parsed = (id % 5) match {
+              case 0 | 1 | 2 => AudioHeaders.decodeAudioTags(blob).map(x =>
+                (x.container, x.fields.get("ARTIST").orNull,
+                  x.fields.get("TITLE").orNull))
+              case 3 => VideoHeaders.decodeMp4Tags(blob).map(x =>
+                ("mp4", x.artist.orNull, x.title.orNull))
+              case _ => Id3.parseId3(blob).map(x =>
+                ("id3", x.frames.get("TPE1").orNull,
+                  x.frames.get("TIT2").orNull))
+            }
+            val (container, a, t) = parsed.getOrElse(("none", null, null))
+            (id, container, a, t)
+          }
+          .toDF("doc_id", "container", "artist", "title")
+        tags.groupBy($"artist", $"title")
+          .agg(min($"doc_id").as("keeper"),
+            count(lit(1)).as("n_copies"),
+            countDistinct($"container").as("n_containers"))
+          .orderBy($"artist", $"title")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 'artist ' || (doc_id % 7) AS artist,
+                 'track ' || (doc_id % 40) AS title,
+                 CASE doc_id % 5 WHEN 0 THEN 'flac' WHEN 1 THEN 'opus'
+                      WHEN 2 THEN 'vorbis' WHEN 3 THEN 'mp4'
+                      ELSE 'id3' END AS container
+          FROM documents)
+        SELECT artist, title,
+               CAST(MIN(doc_id) AS BIGINT) AS keeper,
+               CAST(COUNT(*) AS BIGINT) AS n_copies,
+               CAST(COUNT(DISTINCT container) AS BIGINT) AS n_containers
+        FROM t
+        GROUP BY artist, title
+        ORDER BY artist, title""")),
+
     // ----- WebP VP8X EXIF/XMP chunks (round 14) -------------------------
     // Completes EXIF across the big-three image formats (JPEG q378,
     // PNG q382, WebP here): the VP8X flag bits gate EXIF ('Exif\0\0'-
