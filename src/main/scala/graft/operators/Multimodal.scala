@@ -2075,6 +2075,72 @@ object Multimodal {
         FROM g
         ORDER BY doc_id""")),
 
+    // ----- EXIF capture-time curation (round 14) ------------------------
+    // The Exif sub-IFD (0x8769) timestamp fields temporal curation
+    // cuts on: DateTimeOriginal ("YYYY:MM:DD HH:MM:SS", offset-valued
+    // 20-byte ASCII) + SubSecTimeOriginal (inline ASCII digits). The
+    // composition is the cut itself: decode → parse the year → keep a
+    // 2000–2019 capture window → per-year histogram with distinct
+    // makes, min/max full timestamps (string order = time order in
+    // EXIF's zero-padded format), and the max sub-second — every
+    // column replayable from doc_id arithmetic. The groupBy shuffles
+    // 20 year-keys, never media.
+    QueryDef(
+      "q385_exif_capture_time_curation",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val dt = f"${1990 + id % 35}:${1 + id % 12}%02d:" +
+              f"${1 + id % 28}%02d ${id % 24}%02d:${id % 60}%02d:" +
+              f"${id * 7 % 60}%02d"
+            val blob = TiffHeaders.encodeJpegExifDated(
+              width = (16 + id % 624).toInt,
+              height = (16 + (id * 7) % 464).toInt,
+              orientation = (1 + id % 8).toInt, make = s"Cam${id % 9}",
+              bigEndian = id % 2 == 1, dateTime = dt,
+              subSec = s"${id % 1000}")
+            val e = TiffHeaders.decodeJpegExifFull(blob)
+            (id, e.flatMap(_.dateTimeOriginal).orNull,
+              e.flatMap(_.subSecOriginal).orNull,
+              e.flatMap(_.make).orNull, blob.length.toLong)
+          }
+          .toDF("doc_id", "dto", "subsec", "make", "n_bytes")
+          .filter(substring($"dto", 1, 4).cast("int").between(2000, 2019))
+          .groupBy(substring($"dto", 1, 4).cast("int").as("year"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct($"make").as("n_makes"),
+            min($"dto").as("first_ts"), max($"dto").as("last_ts"),
+            max($"subsec".cast("int")).as("max_subsec"),
+            max($"n_bytes").as("n_bytes"))
+          .orderBy($"year")
+      },
+      // stream length: 33 + 100 + |make|+1 = 138 for 'CamX'
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(1990 + doc_id % 35 AS INT) AS year,
+                 (1990 + doc_id % 35) || ':' ||
+                 lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') || ':' ||
+                 lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') || ' ' ||
+                 lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':' ||
+                 lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':' ||
+                 lpad(CAST(doc_id * 7 % 60 AS VARCHAR), 2, '0') AS dto,
+                 CAST(doc_id % 1000 AS INT) AS subsec,
+                 'Cam' || (doc_id % 9) AS make
+          FROM documents)
+        SELECT year,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT make) AS BIGINT) AS n_makes,
+               MIN(dto) AS first_ts, MAX(dto) AS last_ts,
+               CAST(MAX(subsec) AS INT) AS max_subsec,
+               CAST(138 AS BIGINT) AS n_bytes
+        FROM d
+        WHERE year BETWEEN 2000 AND 2019
+        GROUP BY year
+        ORDER BY year""")),
+
     // ----- cross-format tag dedup (round 14 composition) ----------------
     // What the tag decoders exist FOR: five container formats (FLAC /
     // Ogg Opus / Ogg Vorbis / MP4 ilst / bare ID3v2.4) normalize to

@@ -54,11 +54,16 @@ object TiffHeaders {
 
   /** Full EXIF parse: IFD0 orientation/make, the GPS sub-IFD (tag
     * 0x8825 pointer; lat/lon present only when all four GPS tags 1-4
-    * parse), and the IFD1 thumbnail (tags 513/514, a complete JPEG
+    * parse), the Exif sub-IFD's capture timestamp (tag 0x8769 pointer
+    * → DateTimeOriginal 0x9003 "YYYY:MM:DD HH:MM:SS" +
+    * SubSecTimeOriginal 0x9291 — the fields temporal curation cuts
+    * on), and the IFD1 thumbnail (tags 513/514, a complete JPEG
     * stream sliced out of the APP1 payload). */
   final case class ExifFull(orientation: Int, make: Option[String],
       lat: Option[GpsCoord], lon: Option[GpsCoord],
-      thumbnail: Option[Array[Byte]])
+      thumbnail: Option[Array[Byte]],
+      dateTimeOriginal: Option[String] = None,
+      subSecOriginal: Option[String] = None)
 
   // --- endianness-parameterized reads with explicit bounds ------------
   private def u16(b: Array[Byte], i: Long, be: Boolean): Int = {
@@ -371,6 +376,17 @@ object TiffHeaders {
       case Some(gpsOff) => gpsIfd(tiff, gpsOff, be)
       case None => (None, None)
     }
+    // Exif sub-IFD: capture timestamp (ASCII, 20 bytes incl. NUL per
+    // spec) + sub-second digits. A malformed sub-IFD drops the fields,
+    // not the stream — the GPS half-present discipline.
+    val (dto, subSec) = entries.find(_.tag == 0x8769)
+      .flatMap(scalarOf(tiff, _, be))
+      .flatMap(off => ifdEntries(tiff, off, be)) match {
+      case Some((sub, _)) =>
+        (sub.find(_.tag == 0x9003).flatMap(asciiOf(tiff, _, be)),
+          sub.find(_.tag == 0x9291).flatMap(asciiOf(tiff, _, be)))
+      case None => (None, None)
+    }
     val thumb = for {
       (ifd1, _) <- ifdEntries(tiff, nextIfd, be)
       offE <- ifd1.find(_.tag == 513)
@@ -379,7 +395,7 @@ object TiffHeaders {
       len <- scalarOf(tiff, lenE, be)
       if off >= 8 && len >= 4 && off + len <= tiff.length
     } yield java.util.Arrays.copyOfRange(tiff, off.toInt, (off + len).toInt)
-    Some(ExifFull(orient.toInt, make, lat, lon, thumb))
+    Some(ExifFull(orient.toInt, make, lat, lon, thumb, dto, subSec))
   }
 
   // ------------------------------------------------------------------
@@ -504,6 +520,80 @@ object TiffHeaders {
     var c = 1
     while (c <= 3) { out.write(c); out.write(0x11); out.write(0); c += 1 }
     marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Fixture emitter for the Exif sub-IFD timestamp walk: a byte-valid
+    * JPEG whose APP1 TIFF carries IFD0 [Make offset-valued, Orientation
+    * inline, ExifIFD(0x8769) pointer] and an Exif sub-IFD with
+    * DateTimeOriginal (ASCII, exactly 20 bytes incl. NUL per spec,
+    * offset-valued) and SubSecTimeOriginal (≤3 digits → inline).
+    * Layout: hdr 8, IFD0 42, make, sub-IFD 30, timestamp 20 → stream
+    * length = 33 + 100 + |make|+1 — the q385 oracle's formula. */
+  def encodeJpegExifDated(width: Int, height: Int, orientation: Int,
+      make: String, bigEndian: Boolean, dateTime: String,
+      subSec: String): Array[Byte] = {
+    require(width >= 1 && width <= 65535 && height >= 1 && height <= 65535,
+      s"JPEG dimensions are u16: got ${width}x$height")
+    require(orientation >= 1 && orientation <= 8,
+      s"EXIF orientation is 1..8: $orientation")
+    require(dateTime.length == 19,
+      s"DateTimeOriginal is 'YYYY:MM:DD HH:MM:SS' (19 chars): $dateTime")
+    require(subSec.nonEmpty && subSec.length <= 3 &&
+      subSec.forall(_.isDigit), s"SubSecTimeOriginal 1-3 digits: $subSec")
+    val makeBytes = make.getBytes("US-ASCII")
+    val makeCnt = makeBytes.length + 1
+    require(makeCnt > 4, "make must be offset-valued (>= 4 chars)")
+    val out = new ByteArrayOutputStream(makeCnt + 160)
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def t16(v: Int): Unit =
+      if (bigEndian) be16(v)
+      else { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def t32(v: Long): Unit =
+      if (bigEndian) {
+        out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+        out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+      } else {
+        out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+        out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+      }
+    marker(0xd8)
+    val ifd0Off = 8L
+    val makeOff = ifd0Off + 42
+    val exifOff = makeOff + makeCnt
+    val dtoOff = exifOff + 30
+    val tiffLen = dtoOff + 20
+    marker(0xe1)
+    be16((2 + 6 + tiffLen).toInt)
+    out.write("Exif".getBytes("US-ASCII"), 0, 4); out.write(0); out.write(0)
+    if (bigEndian) { out.write('M'); out.write('M') }
+    else { out.write('I'); out.write('I') }
+    t16(42); t32(ifd0Off)
+    t16(3)
+    t16(271); t16(2); t32(makeCnt.toLong); t32(makeOff)
+    t16(274); t16(3); t32(1L); t16(orientation); t16(0)
+    t16(0x8769); t16(4); t32(1L); t32(exifOff)
+    t32(0L)
+    out.write(makeBytes, 0, makeBytes.length); out.write(0)
+    // Exif sub-IFD
+    t16(2)
+    t16(0x9003); t16(2); t32(20L); t32(dtoOff)
+    t16(0x9291); t16(2); t32(subSec.length + 1L)
+    out.write(subSec.getBytes("US-ASCII"), 0, subSec.length); out.write(0)
+    var pad = 4 - (subSec.length + 1)
+    while (pad > 0) { out.write(0); pad -= 1 }
+    t32(0L)
+    out.write(dateTime.getBytes("US-ASCII"), 0, 19); out.write(0)
+    // SOF0 (3 components) + EOI — the family shape
+    marker(0xc0)
+    be16(8 + 3 * 3)
+    out.write(8)
+    be16(height); be16(width)
+    out.write(3)
+    var c = 1
+    while (c <= 3) { out.write(c); out.write(0x11); out.write(0); c += 1 }
+    marker(0xd9)
     out.toByteArray
   }
 

@@ -252,6 +252,45 @@ class TiffHeadersSpec extends AnyFunSuite {
     }
   }
 
+  test("Exif sub-IFD timestamp round-trips across endianness and lengths") {
+    checkProp(Prop.forAll(Gen.choose(1, 8), Gen.oneOf(true, false),
+        Gen.choose(0, 999), Gen.choose(1990, 2024)) { (orient, be, ss, yr) =>
+      val dt = f"$yr:07:15 12:34:56"
+      val blob = encodeJpegExifDated(320, 240, orient, "CamT", be, dt, s"$ss")
+      decodeJpegExifFull(blob).exists { e =>
+        e.orientation == orient && e.make.contains("CamT") &&
+          e.dateTimeOriginal.contains(dt) &&
+          e.subSecOriginal.contains(s"$ss") &&
+          e.lat.isEmpty && e.thumbnail.isEmpty
+      }
+    })
+  }
+
+  test("dated stream length formula: 138 for a 4-char make") {
+    val blob = encodeJpegExifDated(10, 10, 1, "CamX", bigEndian = false,
+      "2011:01:02 03:04:05", "7")
+    assert(blob.length === 138)
+    assert(ImageHeaders.decode(blob).contains(ImageMeta("jpeg", 10, 10, 8)))
+  }
+
+  test("malformed Exif sub-IFD drops the timestamp, not the stream") {
+    // LE: TIFF at 12; IFD0 entry 3 (0x8769) value field at 8+2+2*12+8=42;
+    // point the sub-IFD pointer past the buffer
+    val blob = encodeJpegExifDated(10, 10, 3, "CamX", bigEndian = false,
+      "2011:01:02 03:04:05", "42")
+    blob(12 + 42) = 0xff.toByte; blob(12 + 43) = 0xff.toByte
+    blob(12 + 44) = 0xff.toByte; blob(12 + 45) = 0x7f.toByte
+    val e = decodeJpegExifFull(blob).get
+    assert(e.dateTimeOriginal === None && e.subSecOriginal === None)
+    assert(e.orientation === 3 && e.make.contains("CamX"))
+  }
+
+  test("truncated dated stream never throws") {
+    val blob = encodeJpegExifDated(10, 10, 1, "CamX", bigEndian = true,
+      "1999:12:31 23:59:59", "999")
+    (1 until blob.length by 5).foreach(n => decodeJpegExifFull(blob.take(n)))
+  }
+
   test("stream without GPS or IFD1 decodes Full with empty options") {
     val plain = encodeJpegExif(10, 10, 5, "CamY", bigEndian = true,
       Array.emptyByteArray)
