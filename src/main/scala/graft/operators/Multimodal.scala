@@ -2075,6 +2075,56 @@ object Multimodal {
         FROM g
         ORDER BY doc_id""")),
 
+    // ----- SVG sniff: the vector-image population (round 14) ------------
+    // Dimensions (explicit px attrs OR the viewBox fallback), the
+    // entity-decoded <title>, and path/shape counts — the complexity
+    // signal that separates an illustration from a tracking pixel —
+    // across four prolog/quote/attribute-order variants (XML decl,
+    // comment-led single-quote, DOCTYPE + viewBox-only, bare attrs
+    // with no title). The oracle replays every field per variant.
+    // Map-only per blob.
+    QueryDef(
+      "q386_svg_sniff",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val w = (16 + id % 624).toInt
+            val h = (16 + (id * 7) % 464).toInt
+            val blob = Svg.encodeSvg(w, h, s"icon &$id <logo>",
+              nPaths = (id % 5).toInt, nRects = (id % 4).toInt,
+              variant = (id % 4).toInt)
+            val m = Svg.decodeSvg(blob)
+            (id, m.flatMap(_.width), m.flatMap(_.height),
+              m.flatMap(_.viewBoxW), m.flatMap(_.viewBoxH),
+              m.flatMap(_.title).orNull,
+              m.map(_.nPaths), m.map(_.nShapes))
+          }
+          .toDF("doc_id", "width", "height", "vb_w", "vb_h", "title",
+            "n_paths", "n_shapes")
+          .orderBy($"doc_id")
+      },
+      // variant 2 has no width/height attrs; variant 3 no viewBox/title
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(16 + doc_id % 624 AS DOUBLE) AS w,
+                 CAST(16 + (doc_id * 7) % 464 AS DOUBLE) AS h,
+                 doc_id % 4 AS v
+          FROM documents)
+        SELECT doc_id,
+               CASE WHEN v = 2 THEN NULL ELSE w END AS width,
+               CASE WHEN v = 2 THEN NULL ELSE h END AS height,
+               CASE WHEN v = 3 THEN NULL ELSE w END AS vb_w,
+               CASE WHEN v = 3 THEN NULL ELSE h END AS vb_h,
+               CASE WHEN v = 3 THEN NULL
+                    ELSE 'icon &' || doc_id || ' <logo>' END AS title,
+               CAST(doc_id % 5 AS INT) AS n_paths,
+               CAST(doc_id % 4 AS INT) AS n_shapes
+        FROM d
+        ORDER BY doc_id""")),
+
     // ----- EXIF capture-time curation (round 14) ------------------------
     // The Exif sub-IFD (0x8769) timestamp fields temporal curation
     // cuts on: DateTimeOriginal ("YYYY:MM:DD HH:MM:SS", offset-valued
