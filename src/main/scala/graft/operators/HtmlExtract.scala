@@ -329,7 +329,7 @@ object HtmlExtract {
     * the offset past the tag's '>'. Quote-aware (quoted values may
     * contain '>' and whitespace), unquoted values end at whitespace or
     * '>'; valueless attributes map to "". */
-  private def tagAttrs(html: String, from: Int): (Map[String, String], Int) = {
+  private[operators] def tagAttrs(html: String, from: Int): (Map[String, String], Int) = {
     val n = html.length
     val attrs = Map.newBuilder[String, String]
     var i = from

@@ -2075,6 +2075,72 @@ object Multimodal {
         FROM g
         ORDER BY doc_id""")),
 
+    // ----- JSON-LD extraction (round 14) --------------------------------
+    // The publisher-declared metadata channel (schema.org in
+    // <script type="application/ld+json">): headline / datePublished /
+    // @type read by a minimal JSON object reader that surfaces
+    // TOP-LEVEL STRING fields and structurally skips nested objects,
+    // arrays, and numbers. The page also carries a plain-script decoy
+    // and (every 5th doc) a MALFORMED ld+json block the reader must
+    // skip without poisoning the good one. The oracle replays every
+    // field, the block count, and the escape-decoded headline.
+    QueryDef(
+      "q387_jsonld_extract",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val atType = if (id % 3 == 1) "Product" else "Article"
+            val date = s"${2010 + id % 15}-0${1 + id % 9}-1${id % 10}"
+            val good =
+              s"""{"@context":"https://schema.org","@type":"$atType",
+                 |"headline":"h$id \\"x\\"","datePublished":"$date",
+                 |"author":{"@type":"Person","name":"a${id % 9}"},
+                 |"wordCount":${100 + id % 900}}""".stripMargin
+            val second =
+              if (id % 4 == 0)
+                """<script type="application/ld+json">
+                  |{"@type":"BreadcrumbList","name":"crumbs"}
+                  |</script>""".stripMargin
+              else ""
+            val broken =
+              if (id % 5 == 0)
+                """<script type="application/ld+json">{"@type":"Oops",</script>"""
+              else ""
+            val html =
+              s"""<html><head><title>decoy $id</title>
+                 |<script>var ld = "application/ld+json decoy";</script>
+                 |$broken
+                 |<script type="application/ld+json">$good</script>
+                 |$second</head><body>body $id</body></html>""".stripMargin
+            val blocks = JsonLd.extract(html)
+            val first = blocks.headOption
+            (id, blocks.length,
+              first.flatMap(_.atType).orNull,
+              first.flatMap(_.fields.get("headline")).orNull,
+              first.flatMap(_.fields.get("datePublished")).orNull,
+              first.map(_.fields.size))
+          }
+          .toDF("doc_id", "n_blocks", "at_type", "headline",
+            "date_published", "n_fields")
+          .orderBy($"doc_id")
+      },
+      // top-level strings of the good block: @context, @type, headline,
+      // datePublished = 4 (author object + wordCount skipped)
+      Some("""
+        SELECT doc_id,
+               CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS INT)
+                 AS n_blocks,
+               CASE WHEN doc_id % 3 = 1 THEN 'Product' ELSE 'Article' END
+                 AS at_type,
+               'h' || doc_id || ' "x"' AS headline,
+               (2010 + doc_id % 15) || '-0' || (1 + doc_id % 9) || '-1'
+                 || (doc_id % 10) AS date_published,
+               CAST(4 AS INT) AS n_fields
+        FROM documents
+        ORDER BY doc_id""")),
+
     // ----- SVG sniff: the vector-image population (round 14) ------------
     // Dimensions (explicit px attrs OR the viewBox fallback), the
     // entity-decoded <title>, and path/shape counts — the complexity
