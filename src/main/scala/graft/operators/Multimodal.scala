@@ -2075,6 +2075,79 @@ object Multimodal {
         FROM g
         ORDER BY doc_id""")),
 
+    // ----- HLS playlist parse (round 14) --------------------------------
+    // The manifests video ships under (RFC 8216): media playlists
+    // (EXTINF durations summed in exact ms, TARGETDURATION, ENDLIST =
+    // VOD vs live) and master playlists (STREAM-INF attribute lists
+    // whose quoted CODECS value carries a comma the parser must not
+    // split on; max bandwidth/resolution across variants), cycled by
+    // doc. Comment and blank-line noise sits between EXTINF and its
+    // URI. The oracle replays every field from doc_id arithmetic.
+    QueryDef(
+      "q388_hls_playlist_parse",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val blob =
+              if (id % 3 == 0) {
+                val n = (1 + id % 4).toInt
+                M3u8.encodeMasterPlaylist((3 + id % 5).toInt,
+                  (0 until n).map(k =>
+                    (100000L * (k + 1) + id % 997, 640 + 64 * k,
+                      360 + 36 * k)))
+              } else {
+                val n = (3 + id % 6).toInt
+                M3u8.encodeMediaPlaylist((3 + id % 5).toInt, 10,
+                  (0 until n).map(k => (20 + (id + k) % 80).toInt),
+                  ended = id % 2 == 1)
+              }
+            val m = M3u8.decodeM3u8(blob)
+            (id, m.map(_.kind).orNull, m.map(_.version),
+              m.map(_.nSegments), m.map(_.totalDurationMs),
+              m.map(_.targetDuration), m.map(_.ended),
+              m.map(_.nVariants), m.map(_.maxBandwidth),
+              m.map(_.maxWidth), m.map(_.maxHeight))
+          }
+          .toDF("doc_id", "kind", "version", "n_segments", "total_ms",
+            "target", "ended", "n_variants", "max_bw", "max_w", "max_h")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id,
+                 doc_id % 3 = 0 AS master,
+                 CAST(3 + doc_id % 5 AS INT) AS version,
+                 CAST(1 + doc_id % 4 AS BIGINT) AS nv,
+                 CAST(3 + doc_id % 6 AS INT) AS ns
+          FROM documents),
+        segs AS (
+          SELECT b.doc_id,
+                 SUM((20 + (b.doc_id + k) % 80) * 100) AS total_ms
+          FROM base b, unnest(generate_series(0, b.ns - 1)) AS t(k)
+          WHERE NOT b.master
+          GROUP BY b.doc_id)
+        SELECT b.doc_id,
+               CASE WHEN b.master THEN 'master' ELSE 'media' END AS kind,
+               b.version,
+               CAST(CASE WHEN b.master THEN 0 ELSE b.ns END AS INT)
+                 AS n_segments,
+               CAST(CASE WHEN b.master THEN 0 ELSE s.total_ms END AS BIGINT)
+                 AS total_ms,
+               CAST(CASE WHEN b.master THEN 0 ELSE 10 END AS INT) AS target,
+               (NOT b.master) AND b.doc_id % 2 = 1 AS ended,
+               CAST(CASE WHEN b.master THEN b.nv ELSE 0 END AS INT)
+                 AS n_variants,
+               CAST(CASE WHEN b.master THEN 100000 * b.nv + b.doc_id % 997
+                    ELSE 0 END AS BIGINT) AS max_bw,
+               CAST(CASE WHEN b.master THEN 640 + 64 * (b.nv - 1)
+                    ELSE 0 END AS INT) AS max_w,
+               CAST(CASE WHEN b.master THEN 360 + 36 * (b.nv - 1)
+                    ELSE 0 END AS INT) AS max_h
+        FROM base b LEFT JOIN segs s ON s.doc_id = b.doc_id
+        ORDER BY b.doc_id""")),
+
     // ----- JSON-LD extraction (round 14) --------------------------------
     // The publisher-declared metadata channel (schema.org in
     // <script type="application/ld+json">): headline / datePublished /
