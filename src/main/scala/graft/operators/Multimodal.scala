@@ -2075,6 +2075,57 @@ object Multimodal {
         FROM g
         ORDER BY doc_id""")),
 
+    // ----- RSS/Atom feed parse (round 14) -------------------------------
+    // The freshest-URL discovery channel next to sitemaps: RSS 2.0
+    // items (CDATA titles every third item) and Atom entries
+    // (href-style links, RFC 3339 updated stamps), cycled by doc
+    // parity. Channel title is the first <title> BEFORE any entry —
+    // an entry's own title must not leak up. The oracle replays the
+    // kind, titles, entry/link counts, and the max date stamp.
+    QueryDef(
+      "q389_feed_parse",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val n = (2 + id % 5).toInt
+            val entries = (0 until n).map { k =>
+              (s"post $id-$k & more",
+                s"https://h${id % 9}.test/p$k",
+                s"${2015 + (id + k) % 10}-0${1 + (id + k) % 9}-11")
+            }
+            val blob =
+              if (id % 2 == 0) Feed.encodeRss(s"chan <$id>", entries)
+              else Feed.encodeAtom(s"chan <$id>", entries)
+            val m = Feed.decodeFeed(blob)
+            (id, m.map(_.kind).orNull, m.flatMap(_.title).orNull,
+              m.map(_.nEntries), m.map(_.nLinks),
+              m.flatMap(_.maxDate).orNull)
+          }
+          .toDF("doc_id", "kind", "title", "n_entries", "n_links",
+            "max_date")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, CAST(2 + doc_id % 5 AS INT) AS n
+          FROM documents),
+        dates AS (
+          SELECT b.doc_id,
+                 MAX((2015 + (b.doc_id + k) % 10) || '-0' ||
+                     (1 + (b.doc_id + k) % 9) || '-11') AS max_date
+          FROM base b, unnest(generate_series(0, b.n - 1)) AS t(k)
+          GROUP BY b.doc_id)
+        SELECT b.doc_id,
+               CASE WHEN b.doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+               'chan <' || b.doc_id || '>' AS title,
+               b.n AS n_entries,
+               b.n AS n_links,
+               d.max_date
+        FROM base b JOIN dates d ON d.doc_id = b.doc_id
+        ORDER BY b.doc_id""")),
+
     // ----- HLS playlist parse (round 14) --------------------------------
     // The manifests video ships under (RFC 8216): media playlists
     // (EXTINF durations summed in exact ms, TARGETDURATION, ENDLIST =
