@@ -2075,6 +2075,80 @@ object Multimodal {
         FROM g
         ORDER BY doc_id""")),
 
+    // ----- GPS geo-cell density (round 14 composition) ------------------
+    // What q378's GPS decode feeds: quantize signed decimal degrees to
+    // integer 10°×10° cells (floor semantics — a western longitude
+    // must land in the NEGATIVE cell, which integer division would
+    // get wrong) and aggregate per-cell densities. The exact
+    // centi-arcsecond representation drives the cell math in integer
+    // space, so the oracle replays it with no floating-point hazard.
+    // The groupBy shuffles cell keys, never blobs.
+    QueryDef(
+      "q390_gps_geocell_density",
+      (s, dir) => {
+        import s.implicits._
+        val decoded = Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val thumb = ImageHeaders.encodeJpeg(8, 8, 8,
+              Array.emptyByteArray)
+            val blob = TiffHeaders.encodeJpegExifGps(
+              width = 64, height = 64,
+              orientation = 1, make = s"Cam${id % 9}",
+              bigEndian = id % 2 == 1,
+              latRef = if (id % 2 == 0) 'N' else 'S',
+              latDeg = id % 90, latMin = (id * 7) % 60,
+              latSecNum = (id * 13) % 6000, latSecDen = 100,
+              lonRef = if (id % 3 == 0) 'E' else 'W',
+              lonDeg = id % 180, lonMin = (id * 11) % 60,
+              lonSecNum = (id * 17) % 6000, lonSecDen = 100,
+              thumb = thumb)
+            val e = TiffHeaders.decodeJpegExifFull(blob)
+            def as100(c: TiffHeaders.GpsCoord): Long = {
+              val sign = if (c.ref == "S" || c.ref == "W") -1L else 1L
+              sign * ((c.degNum / c.degDen * 3600 +
+                c.minNum / c.minDen * 60) * 100 +
+                c.secNum * 100 / c.secDen)
+            }
+            (id, e.flatMap(_.lat).map(as100).getOrElse(Long.MinValue),
+              e.flatMap(_.lon).map(as100).getOrElse(Long.MinValue),
+              e.flatMap(_.make).orNull)
+          }
+          .toDF("doc_id", "lat_as100", "lon_as100", "make")
+        // 10° cell = 3_600_000 centi-arcseconds; floorDiv, NOT integer
+        // division (S/W coordinates must floor toward -∞)
+        val cellL = lit(3600000L)
+        decoded
+          .withColumn("cell_lat",
+            floor($"lat_as100".cast("double") / cellL).cast("int"))
+          .withColumn("cell_lon",
+            floor($"lon_as100".cast("double") / cellL).cast("int"))
+          .groupBy($"cell_lat", $"cell_lon")
+          .agg(count(lit(1)).as("n"),
+            countDistinct($"make").as("n_makes"),
+            min($"doc_id").as("first_doc"))
+          .orderBy($"cell_lat", $"cell_lon")
+      },
+      Some("""
+        WITH g AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END
+                   * ((doc_id % 90) * 360000 + ((doc_id * 7) % 60) * 6000
+                      + (doc_id * 13) % 6000) AS lat_as100,
+                 CASE WHEN doc_id % 3 = 0 THEN 1 ELSE -1 END
+                   * ((doc_id % 180) * 360000 + ((doc_id * 11) % 60) * 6000
+                      + (doc_id * 17) % 6000) AS lon_as100,
+                 'Cam' || (doc_id % 9) AS make
+          FROM documents)
+        SELECT CAST(floor(lat_as100 / 3600000.0) AS INT) AS cell_lat,
+               CAST(floor(lon_as100 / 3600000.0) AS INT) AS cell_lon,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT make) AS BIGINT) AS n_makes,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        FROM g
+        GROUP BY 1, 2
+        ORDER BY 1, 2""")),
+
     // ----- RSS/Atom feed parse (round 14) -------------------------------
     // The freshest-URL discovery channel next to sitemaps: RSS 2.0
     // items (CDATA titles every third item) and Atom entries
