@@ -2075,6 +2075,70 @@ object Multimodal {
         FROM g
         ORDER BY doc_id""")),
 
+    // ----- ICC profile assembly from APP2 (round 14) --------------------
+    // Color management as a curation signal: profiles larger than one
+    // segment SPAN multiple APP2s ("ICC_PROFILE\0" + 1-based seq +
+    // count) and must reassemble in SEQUENCE order — the fixture
+    // emits parts in REVERSE stream order with COM decoys between
+    // them to force the reorder. Header fields (device class, color
+    // space, PCS, rendering intent), the declared-vs-assembled size
+    // cross-check, and the tag count are replayed by the oracle along
+    // with the exact stream-length formula. The plain header decode
+    // runs the same stream.
+    QueryDef(
+      "q391_jpeg_icc_profile",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val devClass = (id % 3) match {
+              case 0 => "mntr"; case 1 => "prtr"; case _ => "scnr"
+            }
+            val space = (id % 4) match {
+              case 0 => "RGB "; case 1 => "CMYK"; case 2 => "GRAY"
+              case _ => "Lab "
+            }
+            val profile = Icc.encodeProfile(devClass, space, "XYZ ",
+              intent = (id % 4).toInt, nTags = (1 + id % 9).toInt)
+            val blob = Icc.encodeJpegWithIcc(
+              (16 + id % 624).toInt, (16 + (id * 7) % 464).toInt,
+              profile, nSegments = (1 + id % 4).toInt)
+            val p = Icc.decodeJpegIcc(blob)
+            val img = ImageHeaders.decode(blob)
+            (id, p.map(_.deviceClass).orNull, p.map(_.colorSpace).orNull,
+              p.map(_.pcs).orNull, p.map(_.renderingIntent),
+              p.map(_.profileSize), p.map(_.nTags), p.map(_.nSegments),
+              img.map(_.width), img.map(_.height), blob.length.toLong)
+          }
+          .toDF("doc_id", "device_class", "color_space", "pcs", "intent",
+            "profile_size", "n_tags", "n_segments", "width", "height",
+            "n_bytes")
+          .orderBy($"doc_id")
+      },
+      // profile = 144 + 12*nTags; stream = 14 + 27*nSeg + profile
+      Some("""
+        WITH p AS (
+          SELECT doc_id,
+                 CAST(1 + doc_id % 9 AS INT) AS ntags,
+                 CAST(1 + doc_id % 4 AS INT) AS nseg
+          FROM documents)
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'mntr' WHEN 1 THEN 'prtr'
+                    ELSE 'scnr' END AS device_class,
+               CASE doc_id % 4 WHEN 0 THEN 'RGB ' WHEN 1 THEN 'CMYK'
+                    WHEN 2 THEN 'GRAY' ELSE 'Lab ' END AS color_space,
+               'XYZ ' AS pcs,
+               CAST(doc_id % 4 AS INT) AS intent,
+               CAST(144 + 12 * ntags AS BIGINT) AS profile_size,
+               ntags AS n_tags,
+               nseg AS n_segments,
+               CAST(16 + doc_id % 624 AS INT) AS width,
+               CAST(16 + (doc_id * 7) % 464 AS INT) AS height,
+               CAST(14 + 27 * nseg + 144 + 12 * ntags AS BIGINT) AS n_bytes
+        FROM p
+        ORDER BY doc_id""")),
+
     // ----- GPS geo-cell density (round 14 composition) ------------------
     // What q378's GPS decode feeds: quantize signed decimal degrees to
     // integer 10°×10° cells (floor semantics — a western longitude
