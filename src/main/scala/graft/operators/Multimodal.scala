@@ -2075,6 +2075,49 @@ object Multimodal {
         FROM g
         ORDER BY doc_id""")),
 
+    // ----- email / MIME parse (round 14) --------------------------------
+    // Mailing-list archives as a corpus modality: folded headers
+    // unfold, RFC 2047 encoded-word subjects decode (B and Q forms by
+    // parity — the non-ASCII subject forces real encoding), and the
+    // multipart walk finds the FIRST text/plain part, decoding its
+    // quoted-printable body (escaped '=', a soft line break) while
+    // skipping the base64 HTML twin. The oracle replays every header,
+    // the part count, and the exact decoded body text.
+    QueryDef(
+      "q392_email_mime_parse",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val blob = Eml.encodeMultipart(
+              fromAddr = s"user${id % 40}@example.test",
+              subject = s"Report #$id — naïve résumé",
+              date = s"Mon, ${1 + id % 28} Jan ${2015 + id % 10} " +
+                "12:00:00 +0000",
+              textBody = s"body $id with = sign",
+              useB = id % 2 == 0)
+            val m = Eml.parseEmail(blob)
+            (id, m.flatMap(_.from).orNull, m.flatMap(_.subject).orNull,
+              m.flatMap(_.date).orNull, m.map(_.contentType).orNull,
+              m.map(_.nParts), m.flatMap(_.textBody).orNull)
+          }
+          .toDF("doc_id", "from_addr", "subject", "date", "content_type",
+            "n_parts", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               'user' || (doc_id % 40) || '@example.test' AS from_addr,
+               'Report #' || doc_id || ' — naïve résumé' AS subject,
+               'Mon, ' || (1 + doc_id % 28) || ' Jan ' ||
+                 (2015 + doc_id % 10) || ' 12:00:00 +0000' AS date,
+               'multipart/alternative' AS content_type,
+               CAST(2 AS INT) AS n_parts,
+               'body ' || doc_id || ' with = signsoft-wrapped tail' AS text
+        FROM documents
+        ORDER BY doc_id""")),
+
     // ----- ICC profile assembly from APP2 (round 14) --------------------
     // Color management as a curation signal: profiles larger than one
     // segment SPAN multiple APP2s ("ICC_PROFILE\0" + 1-based seq +
