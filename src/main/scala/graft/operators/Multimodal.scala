@@ -2075,6 +2075,53 @@ object Multimodal {
         FROM g
         ORDER BY doc_id""")),
 
+    // ----- EPUB metadata (round 14 composition) -------------------------
+    // The book-corpus container, three hops deep through the tested
+    // ZIP reader: STORED mimetype conformance check, container.xml →
+    // rootfile full-path, OPF Dublin Core (entity-escaped titles) +
+    // manifest/spine sizes as the chapter-count signal. The oracle
+    // replays every field from doc_id arithmetic.
+    QueryDef(
+      "q393_epub_metadata",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val n = (1 + id % 6).toInt
+            val blob = Epub.encodeEpub(
+              title = s"Book & Tome $id",
+              creator = s"Author ${id % 30}",
+              language = (id % 3) match {
+                case 0 => "en"; case 1 => "fr"; case _ => "de"
+              },
+              identifier = s"urn:isbn:978-$id",
+              nChapters = n)
+            val m = Epub.decodeEpub(blob)
+            (id, m.flatMap(_.title).orNull, m.flatMap(_.creator).orNull,
+              m.flatMap(_.language).orNull,
+              m.flatMap(_.identifier).orNull,
+              m.map(_.nManifest), m.map(_.nSpine), m.map(_.nEntries),
+              m.map(_.mimetypeOk))
+          }
+          .toDF("doc_id", "title", "creator", "language", "identifier",
+            "n_manifest", "n_spine", "n_entries", "mimetype_ok")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               'Book & Tome ' || doc_id AS title,
+               'Author ' || (doc_id % 30) AS creator,
+               CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'fr'
+                    ELSE 'de' END AS language,
+               'urn:isbn:978-' || doc_id AS identifier,
+               CAST(1 + doc_id % 6 AS INT) AS n_manifest,
+               CAST(1 + doc_id % 6 AS INT) AS n_spine,
+               CAST(3 + 1 + doc_id % 6 AS INT) AS n_entries,
+               TRUE AS mimetype_ok
+        FROM documents
+        ORDER BY doc_id""")),
+
     // ----- email / MIME parse (round 14) --------------------------------
     // Mailing-list archives as a corpus modality: folded headers
     // unfold, RFC 2047 encoded-word subjects decode (B and Q forms by
