@@ -2075,6 +2075,108 @@ object Multimodal {
         FROM g
         ORDER BY doc_id""")),
 
+    // ----- iCalendar parse (round 14) -----------------------------------
+    // The calendar-export corpus (RFC 5545): folded lines unfold
+    // (every long SUMMARY is split mid-word with CRLF+SP), property
+    // parameters respect the first-colon rule (DTSTART;TZID=...:v on
+    // every second event), and TEXT escapes (\, \; \n) decode. The
+    // oracle replays the event count, lexicographic min/max DTSTART
+    // (exact in the spec's basic format), the unescaped first
+    // summary, and PRODID.
+    QueryDef(
+      "q394_ical_parse",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val n = (1 + id % 7).toInt
+            val events = (0 until n).map { k =>
+              (s"${2018 + (id + k) % 8}0${1 + (id + k) % 9}15T1${k % 10}0000Z",
+                s"Event $id, room; $k with a long enough name to fold")
+            }
+            val blob = Ical.encodeIcal(s"-//graft//cal $id//EN", events)
+            val m = Ical.decodeIcal(blob)
+            (id, m.flatMap(_.prodid).orNull, m.map(_.nEvents),
+              m.flatMap(_.minStart).orNull, m.flatMap(_.maxStart).orNull,
+              m.flatMap(_.firstSummary).orNull)
+          }
+          .toDF("doc_id", "prodid", "n_events", "min_start", "max_start",
+            "first_summary")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, CAST(1 + doc_id % 7 AS INT) AS n FROM documents),
+        ev AS (
+          SELECT b.doc_id,
+                 (2018 + (b.doc_id + k) % 8) || '0' ||
+                 (1 + (b.doc_id + k) % 9) || '15T1' || (k % 10) ||
+                 '0000Z' AS start
+          FROM base b, unnest(generate_series(0, b.n - 1)) AS t(k)),
+        agg AS (
+          SELECT doc_id, MIN(start) AS min_start, MAX(start) AS max_start
+          FROM ev GROUP BY doc_id)
+        SELECT b.doc_id,
+               '-//graft//cal ' || b.doc_id || '//EN' AS prodid,
+               b.n AS n_events,
+               a.min_start, a.max_start,
+               'Event ' || b.doc_id ||
+                 ', room; 0 with a long enough name to fold'
+                 AS first_summary
+        FROM base b JOIN agg a ON a.doc_id = b.doc_id
+        ORDER BY b.doc_id""")),
+
+    // ----- SQLite header sniff (round 14) -------------------------------
+    // Database files as a crawl population: the 100-byte header
+    // answers triage without touching a page — page size (the value 1
+    // encoding 65536), page count cross-checked against the actual
+    // byte length (truncated dumps fail), text encoding, and the
+    // user/application ids. The oracle replays every field and the
+    // exact extent.
+    QueryDef(
+      "q395_sqlite_header_sniff",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val pageSize = (id % 5) match {
+              case 0 => 512; case 1 => 1024; case 2 => 4096
+              case 3 => 32768; case _ => 65536
+            }
+            val blob = Sqlite.encodeSqlite(pageSize,
+              nPages = (1 + id % 5).toInt,
+              encoding = (1 + id % 3).toInt,
+              userVersion = id % 100, applicationId = id % 1000)
+            val m = Sqlite.decodeSqlite(blob)
+            (id, m.map(_.pageSize), m.map(_.nPages),
+              m.map(_.encoding).orNull, m.map(_.userVersion),
+              m.map(_.applicationId), m.map(_.fileBytes))
+          }
+          .toDF("doc_id", "page_size", "n_pages", "encoding",
+            "user_version", "application_id", "file_bytes")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id,
+                 CASE doc_id % 5 WHEN 0 THEN 512 WHEN 1 THEN 1024
+                      WHEN 2 THEN 4096 WHEN 3 THEN 32768
+                      ELSE 65536 END AS page_size,
+                 CAST(1 + doc_id % 5 AS BIGINT) AS n_pages
+          FROM documents)
+        SELECT doc_id,
+               CAST(page_size AS INT) AS page_size,
+               n_pages,
+               CASE doc_id % 3 WHEN 0 THEN 'utf8' WHEN 1 THEN 'utf16le'
+                    ELSE 'utf16be' END AS encoding,
+               CAST(doc_id % 100 AS BIGINT) AS user_version,
+               CAST(doc_id % 1000 AS BIGINT) AS application_id,
+               CAST(page_size * n_pages AS BIGINT) AS file_bytes
+        FROM p
+        ORDER BY doc_id""")),
+
     // ----- EPUB metadata (round 14 composition) -------------------------
     // The book-corpus container, three hops deep through the tested
     // ZIP reader: STORED mimetype conformance check, container.xml →
