@@ -2075,6 +2075,67 @@ object Multimodal {
         FROM g
         ORDER BY doc_id""")),
 
+    // ----- DICOM Part 10 sniff (round 14) -------------------------------
+    // Medical imaging as a corpus modality: preamble + DICM magic,
+    // the File Meta group (always explicit-VR LE) delimited by its
+    // group-length element and carrying SOP class + transfer syntax
+    // UIDs (NUL-padded to even length), then the explicit-LE dataset:
+    // modality, NUL/space-padded patient name, u16 rows/cols, and an
+    // OB pixel stub exercising the long-VR 12-byte header. The oracle
+    // replays every field, the element count, and the exact padded
+    // stream length.
+    QueryDef(
+      "q396_dicom_sniff",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val (sop, modality) = (id % 3) match {
+              case 0 => ("1.2.840.10008.5.1.4.1.1.2", "CT")
+              case 1 => ("1.2.840.10008.5.1.4.1.1.4", "MR")
+              case _ => ("1.2.840.10008.5.1.4.1.1.6", "US")
+            }
+            val blob = Dicom.encodeDicom(sop, modality,
+              patient = s"Doe^J$id",
+              rows = (64 + id % 192).toInt, cols = (64 + (id * 3) % 192).toInt,
+              pixelBytes = (2 * (id % 50)).toInt)
+            val m = Dicom.decodeDicom(blob)
+            (id, m.map(_.transferSyntax).orNull,
+              m.flatMap(_.mediaSopClass).orNull,
+              m.flatMap(_.modality).orNull,
+              m.flatMap(_.rows), m.flatMap(_.cols),
+              m.flatMap(_.patientName).orNull,
+              m.map(_.nElements), blob.length.toLong)
+          }
+          .toDF("doc_id", "transfer_syntax", "sop_class", "modality",
+            "rows", "cols", "patient", "n_elements", "n_bytes")
+          .orderBy($"doc_id")
+      },
+      // n_bytes = 256 + padded |patient| + pixel bytes (sop UIDs all
+      // 25 chars -> 26 padded; see Dicom.encodeDicom layout)
+      Some("""
+        WITH p AS (
+          SELECT doc_id,
+                 octet_length(encode('Doe^J' || doc_id)) AS pl,
+                 2 * (doc_id % 50) AS pix
+          FROM documents)
+        SELECT doc_id,
+               '1.2.840.10008.1.2.1' AS transfer_syntax,
+               CASE doc_id % 3
+                 WHEN 0 THEN '1.2.840.10008.5.1.4.1.1.2'
+                 WHEN 1 THEN '1.2.840.10008.5.1.4.1.1.4'
+                 ELSE '1.2.840.10008.5.1.4.1.1.6' END AS sop_class,
+               CASE doc_id % 3 WHEN 0 THEN 'CT' WHEN 1 THEN 'MR'
+                 ELSE 'US' END AS modality,
+               CAST(64 + doc_id % 192 AS INT) AS rows,
+               CAST(64 + (doc_id * 3) % 192 AS INT) AS cols,
+               'Doe^J' || doc_id AS patient,
+               CAST(8 AS INT) AS n_elements,
+               CAST(256 + pl + pl % 2 + pix AS BIGINT) AS n_bytes
+        FROM p
+        ORDER BY doc_id""")),
+
     // ----- iCalendar parse (round 14) -----------------------------------
     // The calendar-export corpus (RFC 5545): folded lines unfold
     // (every long SUMMARY is split mid-word with CRLF+SP), property
