@@ -14,10 +14,12 @@ import java.io.ByteArrayOutputStream
   * 2-char VR; short-form VRs carry a u16 length, the long-form set
   * (OB/OW/OF/SQ/UT/UN) a 2-byte pad + u32 length. The walk is
   * bounds-checked Long math throughout; odd structural states (a
-  * dataset in implicit VR or big-endian per the transfer syntax UID)
-  * stop the dataset walk but keep the meta result — the triage
-  * fields live in meta + the common explicit-LE case this decoder
-  * supports. Corrupt → None.
+  * dataset in implicit VR or big-endian per the transfer syntax UID,
+  * or an undefined-length SQ/pixel-data element mid-walk) stop the
+  * dataset walk but keep what parsed so far — the triage fields live
+  * in meta + the common explicit-LE case this decoder supports. A
+  * torn or malformed element, by contrast, rejects the file: corrupt
+  * → None, never a silent partial.
   */
 object Dicom {
 
@@ -52,6 +54,16 @@ object Dicom {
     if (vLen < 0 || vOff + vLen > b.length) return None
     Some((group, elem, vOff, vLen, vOff + vLen))
   }
+
+  /** True when the element at `off` is a long-form VR declaring the
+    * undefined length 0xFFFFFFFF (PS3.5 §7.1.2 — SQ / encapsulated
+    * pixel data). Such elements end the dataset walk (kept-partial),
+    * never feed the bounds check. */
+  private def isUndefinedLen(b: Array[Byte], off: Long): Boolean =
+    off + 12 <= b.length && {
+      val vr = new String(b, off.toInt + 4, 2, "US-ASCII")
+      LongVrs.contains(vr) && u32(b, off.toInt + 8) == 0xFFFFFFFFL
+    }
 
   private def str(b: Array[Byte], off: Long, len: Long): String = {
     // UI values are NUL-padded to even length, text VRs space-padded
@@ -91,9 +103,15 @@ object Dicom {
       var cols: Option[Int] = None
       var patient: Option[String] = None
       if (ts == ExplicitVrLe) {
-        var ok = true
-        while (ok && off < b.length) {
-          elementAt(b, off) match {
+        var walking = true
+        while (walking && off < b.length) {
+          // undefined length (0xFFFFFFFF — standard for SQ and
+          // encapsulated PixelData in real Part 10 files): the walk
+          // cannot skip it without item-level SQ parsing; stop HERE and
+          // keep the triage fields already read (the header-doc
+          // degradation contract), rather than rejecting the file
+          if (isUndefinedLen(b, off)) walking = false
+          else elementAt(b, off) match {
             case Some((g, e, vOff, vLen, next)) =>
               n += 1
               if (g == 0x0008 && e == 0x0060)
@@ -105,10 +123,11 @@ object Dicom {
               else if (g == 0x0028 && e == 0x0011 && vLen == 2)
                 cols = Some(u16(b, vOff.toInt))
               off = next
-            case None => ok = false // stop, keep what parsed
+            // a malformed/truncated element rejects the whole file: a
+            // silent partial on a torn blob would be plausible-wrong
+            case None => return None
           }
         }
-        if (!ok) return None // a malformed dataset rejects the file
       }
       Some(DicomMeta(ts, sopClass, modality, rows, cols, patient, n))
     } catch { case _: Exception => None }

@@ -205,17 +205,44 @@ object Eml {
       if (mt.startsWith("multipart/")) {
         val boundary = ctParam(ct, "boundary").getOrElse(return None)
         val delim = "--" + boundary
-        val rawParts = body.split(java.util.regex.Pattern.quote(delim), -1)
-        // parts sit between the first delimiter and the --boundary--
-        // close; rawParts(0) is the preamble
+        // RFC 2046 §5.1.1: a delimiter is CRLF--boundary anchored at a
+        // LINE START, and the remainder of its line must be empty,
+        // "--" (the close), or transport padding — a body line merely
+        // CONTAINING the substring, or a longer sibling boundary
+        // sharing the prefix, is content, not a boundary.
+        // marks: (delim line start, index past the line's EOL, isClose)
+        val marks = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, Int, Boolean)]
+        var p = 0
+        while (p >= 0) {
+          val at = body.indexOf(delim, p)
+          if (at < 0) p = -1
+          else {
+            val atLineStart = at == 0 || body.charAt(at - 1) == '\n'
+            var eol = at + delim.length
+            while (eol < body.length && body.charAt(eol) != '\n') eol += 1
+            val rest = body.substring(at + delim.length, eol)
+              .stripSuffix("\r")
+            val isClose = rest.startsWith("--") &&
+              rest.drop(2).forall(c => c == ' ' || c == '\t')
+            val isOpen = rest.forall(c => c == ' ' || c == '\t')
+            if (atLineStart && (isOpen || isClose))
+              marks += ((at, math.min(eol + 1, body.length), isClose))
+            p = at + 1
+          }
+        }
+        // parts sit between consecutive delimiter lines, up to the
+        // first close; text before the first delimiter is the preamble
         var nParts = 0
         var text: Option[String] = None
         var closed = false
-        var k = 1
-        while (k < rawParts.length && !closed) {
-          val part = rawParts(k)
-          if (part.startsWith("--")) closed = true
-          else {
+        var k = 0
+        while (k < marks.length && !closed) {
+          if (marks(k)._3) closed = true
+          else if (k + 1 < marks.length) {
+            // the CRLF before the next delimiter belongs to the
+            // delimiter, not the part (handled by the suffix strip)
+            val part = body.substring(marks(k)._2, marks(k + 1)._1)
             val trimmed = part.dropWhile(c => c == '\r' || c == '\n')
             parseHeaders(trimmed, 0) match {
               case Some((ph, pBodyAt)) =>

@@ -137,7 +137,10 @@ object ImageHeaders {
       b(8) != 'W' || b(9) != 'E' || b(10) != 'B' || b(11) != 'P') return None
     // VP8X must lead the chunk chain in extended files
     if (new String(b, 12, 4, "US-ASCII") != "VP8X") return None
-    if (u32le(b, 16) < 10) return None
+    // the spec fixes the VP8X payload at exactly 10 bytes; accepting a
+    // larger declared size while hopping a hard-coded 10 would desync
+    // the chunk walk into the payload
+    if (u32le(b, 16) != 10) return None
     val flags = u8(b, 20)
     val wantExif = (flags & 0x08) != 0
     val wantXmp = (flags & 0x04) != 0

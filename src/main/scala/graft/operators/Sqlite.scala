@@ -58,6 +58,8 @@ object Sqlite {
     require(pageSize == 65536 || (pageSize >= 512 && pageSize <= 32768 &&
       Integer.bitCount(pageSize) == 1), s"bad page size $pageSize")
     require(nPages >= 1 && encoding >= 1 && encoding <= 3)
+    require(pageSize.toLong * nPages <= Int.MaxValue,
+      s"extent ${pageSize.toLong * nPages} exceeds a JVM array")
     val out = new Array[Byte](pageSize * nPages)
     Magic.copyToArray(out)
     val rawPage = if (pageSize == 65536) 1 else pageSize

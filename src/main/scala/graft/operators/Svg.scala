@@ -54,37 +54,46 @@ object Svg {
       if (!s.startsWith("<svg", i)) return None
       if (i + 4 < s.length && !s.charAt(i + 4).isWhitespace &&
         s.charAt(i + 4) != '>') return None // <svgfoo is not <svg
-      val tagEnd = s.indexOf('>', i)
-      if (tagEnd < 0) return None
-      val tag = s.substring(i + 4, tagEnd)
-
-      // attribute read: name, optional ws, '=', optional ws, quoted value
-      // (either quote kind); a word boundary before the name so e.g.
-      // data-width= does not satisfy width=
-      def attr(name: String): Option[String] = {
-        var j = 0
-        while (j < tag.length) {
-          val k = tag.indexOf(name, j)
-          if (k < 0) return None
-          val bounded = k == 0 || tag.charAt(k - 1).isWhitespace
-          var m = k + name.length
-          while (m < tag.length && tag.charAt(m).isWhitespace) m += 1
-          if (bounded && m < tag.length && tag.charAt(m) == '=') {
-            m += 1
-            while (m < tag.length && tag.charAt(m).isWhitespace) m += 1
-            if (m < tag.length &&
-              (tag.charAt(m) == '"' || tag.charAt(m) == '\'')) {
-              val qc = tag.charAt(m)
-              val e = tag.indexOf(qc, m + 1)
-              if (e < 0) return None
-              return Some(tag.substring(m + 1, e))
-            }
-            return None // unquoted values are not well-formed XML
-          }
-          j = k + 1
+      // Root-tag attribute TOKENIZER (quote-aware, single pass): a
+      // name occurring inside another attribute's quoted value must
+      // never be matched as an attribute, and a '>' inside a quoted
+      // value must not end the tag. Strict XML shape — every
+      // attribute is name = "value" with either quote kind; a
+      // valueless, unquoted, or unterminated attribute makes the root
+      // tag non-well-formed → None (decode-to-None, never
+      // plausible-wrong). First occurrence wins on duplicates.
+      def rootAttrs(from: Int): Option[(Map[String, String], Int)] = {
+        val out = Map.newBuilder[String, String]
+        val seen = scala.collection.mutable.Set.empty[String]
+        var j = from
+        while (j < s.length) {
+          while (j < s.length && s.charAt(j).isWhitespace) j += 1
+          if (j >= s.length) return None
+          if (s.charAt(j) == '>') return Some((out.result(), j + 1))
+          if (s.charAt(j) == '/' && j + 1 < s.length &&
+            s.charAt(j + 1) == '>') return Some((out.result(), j + 2))
+          val ks = j
+          while (j < s.length && !s.charAt(j).isWhitespace &&
+            s.charAt(j) != '=' && s.charAt(j) != '>' &&
+            s.charAt(j) != '/') j += 1
+          if (j == ks) return None
+          val key = s.substring(ks, j)
+          while (j < s.length && s.charAt(j).isWhitespace) j += 1
+          if (j >= s.length || s.charAt(j) != '=') return None
+          j += 1
+          while (j < s.length && s.charAt(j).isWhitespace) j += 1
+          if (j >= s.length ||
+            (s.charAt(j) != '"' && s.charAt(j) != '\'')) return None
+          val qc = s.charAt(j)
+          val e = s.indexOf(qc, j + 1)
+          if (e < 0) return None
+          if (seen.add(key)) out += key -> s.substring(j + 1, e)
+          j = e + 1
         }
-        None
+        None // tag never closed
       }
+      val (attrMap, tagEnd) = rootAttrs(i + 4).getOrElse(return None)
+      def attr(name: String): Option[String] = attrMap.get(name)
       def num(v: String): Option[Double] = {
         val t0 = v.trim
         val t = if (t0.endsWith("px")) t0.dropRight(2).trim else t0

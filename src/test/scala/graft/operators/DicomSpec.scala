@@ -73,4 +73,21 @@ class DicomSpec extends AnyFunSuite {
     assert(m.modality === None)
     assert(m.nElements === 3) // meta only
   }
+
+  test("an undefined-length element (0xFFFFFFFF: SQ / encapsulated " +
+      "pixel data) stops the walk and KEEPS the parsed fields") {
+    val good = encodeDicom("1.2.840.10008.5.1.4.1.1.2", "CT", "P", 5, 7, 4)
+    // append (0040,A730) SQ with the undefined length marker
+    val sq = Array[Byte](0x40, 0x00, 0x30.toByte, 0xA7.toByte,
+      'S', 'Q', 0, 0, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte)
+    val m = decodeDicom(good ++ sq).get
+    assert(m.modality.contains("CT"))
+    assert(m.rows.contains(5) && m.cols.contains(7))
+    assert(m.nElements === 8) // the undefined-length element is not counted
+    // a torn element (huge DEFINED length) still rejects the file
+    val torn = good ++ Array[Byte](0x40, 0x00, 0x30.toByte, 0xA7.toByte,
+      'S', 'Q', 0, 0, 0x00, 0x10, 0x00, 0x00)
+    assert(decodeDicom(torn) === None)
+  }
+
 }

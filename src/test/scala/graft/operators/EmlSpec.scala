@@ -80,4 +80,20 @@ class EmlSpec extends AnyFunSuite {
     val blob = good.getBytes("UTF-8")
     (1 until blob.length by 7).foreach(n => parseEmail(blob.take(n)))
   }
+
+  test("boundary delimiters anchor at line starts (RFC 2046): mid-line " +
+      "mentions and prefix-sharing sibling boundaries are content") {
+    val msg = ("From: a@b.test\nSubject: s\nDate: d\n" +
+      "Content-Type: multipart/mixed; boundary=\"b\"\n\n" +
+      "preamble mentions --b inline\n" +
+      "--b\nContent-Type: text/plain\n\n" +
+      "first part\nmid-line --b stays content\n--bxx\nsibling kept\n" +
+      "--b\nContent-Type: text/html\n\n<p>x</p>\n" +
+      "--b--\n").getBytes("UTF-8")
+    val m = parseEmail(msg).get
+    assert(m.nParts === 2)
+    assert(m.textBody.contains("first part\nmid-line --b stays " +
+      "content\n--bxx\nsibling kept"))
+  }
+
 }

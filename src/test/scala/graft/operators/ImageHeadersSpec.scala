@@ -280,4 +280,14 @@ class ImageHeadersSpec extends AnyFunSuite {
     assert(decodeWebpMeta(blob.take(blob.length - 3)) === None)
     assert(decodeWebpMeta(null) === None)
   }
+
+  test("a VP8X declaring a size other than the spec-fixed 10 rejects " +
+      "(a hard-coded hop would desync the chunk walk)") {
+    val blob = encodeWebpExif(64, 64, 1, "CamQ", bigEndian = false,
+      exifPrefix = false, xmp = "")
+    val patched = blob.clone
+    patched(16) = 12 // declared VP8X payload size 12 (LE u32 at 16)
+    assert(decodeWebpMeta(patched) === None)
+  }
+
 }

@@ -76,4 +76,31 @@ class SvgSpec extends AnyFunSuite {
       encodeSvg(20, 10, "t", 0, 0, 1)
     assert(decodeSvg(svg).get.width.contains(20.0))
   }
+
+  test("attribute names inside QUOTED VALUES are never matched (the " +
+      "tokenizer is quote-aware, not substring-scanning)") {
+    // a single-quoted decoy inside a double-quoted value must not
+    // yield a plausible-wrong width, nor abort the later real attr
+    val decoy = ("""<svg desc="width='999'" viewBox="0 0 10 20">""" +
+      "<path d=\"M0 0\"/></svg>").getBytes("UTF-8")
+    val m = decodeSvg(decoy).get
+    assert(m.width === None)
+    assert(m.viewBoxW.contains(10.0))
+    assert(m.viewBoxH.contains(20.0))
+    // an unquoted decoy inside a quoted value: the REAL width later in
+    // the tag must still be read
+    val decoy2 = ("""<svg data="width=7 h" width="30" height="40">""" +
+      "</svg>").getBytes("UTF-8")
+    val m2 = decodeSvg(decoy2).get
+    assert(m2.width.contains(30.0))
+    assert(m2.height.contains(40.0))
+    // '>' inside a quoted value must not end the root tag early
+    val gt = ("""<svg desc="a > b" viewBox="0 0 5 6">""" +
+      "<path d=\"M0 0\"/></svg>").getBytes("UTF-8")
+    assert(decodeSvg(gt).get.viewBoxW.contains(5.0))
+    assert(decodeSvg(gt).get.nPaths === 1)
+    // a genuinely unquoted attribute is not well-formed XML -> None
+    assert(decodeSvg("<svg width=30></svg>".getBytes("UTF-8")) === None)
+  }
+
 }
