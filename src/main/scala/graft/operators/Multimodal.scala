@@ -1972,6 +1972,70 @@ object Multimodal {
         GROUP BY doc_id
         ORDER BY doc_id""")),
 
+    // ----- PDF 1.5+ cross-reference streams + object streams (r15) ------
+    // The MODERN PDF layout (the one every current writer emits, and the
+    // round-14 verdict's top corpus gap): the catalog/page-tree/font
+    // dicts live compressed inside an /ObjStm, and the cross-reference
+    // is a /Type /XRef STREAM — FlateDecode'd [type,field2,field3]
+    // records under /W widths, PNG-Up predictor-coded on even ids. The
+    // decoder must inflate + unpredict the xref, resolve type-2 entries
+    // through the object stream, then run the same text tokenizer as
+    // q377. Oracle replays version/pages/objects/lines from doc_id
+    // arithmetic — a mis-unpredicted row or a torn ObjStm slice flips
+    // a row. Map-only per blob.
+    QueryDef(
+      "q397_pdf_xref_stream_text",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val nPages = (1 + id % 3).toInt
+            val pages = (0 until nPages).map { p =>
+              val nLines = (2 + (id + p) % 3).toInt
+              (0 until nLines).map(k =>
+                s"x$id p$p l$k (${(id * 11 + p * 5 + k) % 100})")
+            }
+            val blob = Pdf.encodeXrefPdf(s"1.${5 + id % 3}", pages,
+              encrypted = false, predictor = if (id % 2 == 0) 12 else 1)
+            (Pdf.decodePdf(blob), Pdf.extractText(blob)) match {
+              case (Some(m), Some(lines)) =>
+                (id, m.version, m.nPages, m.nObjects, lines.length,
+                  lines.mkString("\n"))
+              case _ => (id, "", -1, -1, -1, "")
+            }
+          }
+          .toDF("doc_id", "version", "n_pages", "n_objects", "n_lines",
+            "text")
+          .orderBy($"doc_id")
+      },
+      // objects: catalog + pages + n pages + font + n content streams
+      // + the ObjStm + the XRef stream = 5 + 2n
+      Some("""
+        WITH pg AS (
+          SELECT doc_id,
+                 unnest(generate_series(0, CAST(doc_id % 3 AS INT))) AS p
+          FROM documents),
+        ln AS (
+          SELECT doc_id, p,
+                 unnest(generate_series(0,
+                   1 + CAST((doc_id + p) % 3 AS INT))) AS k
+          FROM pg),
+        lines AS (
+          SELECT doc_id, p, k,
+                 'x' || doc_id || ' p' || p || ' l' || k || ' (' ||
+                   ((doc_id * 11 + p * 5 + k) % 100) || ')' AS line
+          FROM ln)
+        SELECT doc_id,
+               '1.' || (5 + doc_id % 3) AS version,
+               CAST(1 + doc_id % 3 AS INT) AS n_pages,
+               CAST(5 + 2 * (1 + doc_id % 3) AS INT) AS n_objects,
+               CAST(COUNT(*) AS INT) AS n_lines,
+               string_agg(line, chr(10) ORDER BY p, k) AS text
+        FROM lines
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
     // ----- EXIF GPS sub-IFD + IFD1 thumbnail (round 14) -----------------
     // The remaining commonly-consumed EXIF families past q259's IFD0
     // walk: geolocation (tag 0x8825 → GPS IFD: hemisphere refs, three

@@ -14,20 +14,26 @@ import java.io.ByteArrayOutputStream
   *  2. the end-of-file anchor: `startxref` + byte offset + `%%EOF`
   *     (scanned only in the file's final bytes — payload content can
   *     never alias it);
-  *  3. the xref TABLE at that offset: `xref`, a `start count`
-  *     subsection line, then fixed 20-byte entries
-  *     (`nnnnnnnnnn ggggg n|f`) — offsets into the body;
-  *  4. the trailer dict: /Size (object count incl. the free head),
-  *     /Root (catalog ref), /Encrypt presence;
-  *  5. the object walk the offsets exist for: fetch the catalog at its
-  *     xref offset, follow /Pages, fetch the page-tree root, read
-  *     /Count.
+  *  3. the cross-reference at that offset — EITHER the classic TABLE
+  *     (`xref`, a `start count` subsection line, fixed 20-byte
+  *     entries `nnnnnnnnnn ggggg n|f`) with its trailer dict, OR the
+  *     PDF 1.5+ cross-reference STREAM (`/Type /XRef`): a FlateDecode
+  *     stream of big-endian `[type, field2, field3]` records under
+  *     `/W` field widths and `/Index` subsections, optionally
+  *     PNG/TIFF predictor-coded (ISO 32000-1 7.4.4.4), chained
+  *     through `/Prev` with newest-section-wins merge (7.5.6);
+  *  4. the operative dict (trailer or xref-stream dict): /Size
+  *     (object count incl. the free head), /Root (catalog ref),
+  *     /Encrypt presence;
+  *  5. the object walk the index exists for: fetch the catalog,
+  *     follow /Pages, fetch the page-tree root, read /Count — where
+  *     type-2 entries resolve objects COMPRESSED inside an object
+  *     stream (`/Type /ObjStm`, 7.5.7: N header pairs, /First, the
+  *     serialized bodies), inflated once and cached per file.
   *
-  * Cross-reference STREAMS (PDF 1.5+ compressed xref) are out of scope
-  * — they require inflate+predictor decode of a content stream; the
-  * classic table remains valid and ubiquitous in crawl mixes. Decode
-  * failures return None — one corrupt blob must not kill a
-  * corpus-scale pass.
+  * Decode failures return None — one corrupt blob must not kill a
+  * corpus-scale pass; hybrid-reference files (classic table +
+  * /XRefStm) and multi-level page trees stay out of scope.
   */
 object Pdf {
 
@@ -81,7 +87,396 @@ object Pdf {
     parseLong(b, k + key.length).map(_._1)
   }
 
-  def decodePdf(b: Array[Byte]): Option[PdfMeta] = {
+  /** Find `key` within [from, until) at a NAME boundary — the byte
+    * after the match must not be a regular name character, so "/W"
+    * never matches inside "/Width". Returns -1 when absent. */
+  private def keyIdx(b: Array[Byte], key: String, from: Int,
+      until: Int): Int = {
+    var i = from
+    while (i >= 0) {
+      val k = indexOf(b, key, i, until)
+      if (k < 0) return -1
+      val after = k + key.length
+      val c = if (after < b.length) b(after) & 0xff else ' '
+      val nameChar = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || c == '#'
+      if (!nameChar) return k
+      i = k + 1
+    }
+    -1
+  }
+
+  private def keyNum(b: Array[Byte], key: String, from: Int,
+      until: Int): Option[Long] = {
+    val k = keyIdx(b, key, from, until)
+    if (k < 0) None else parseLong(b, k + key.length).map(_._1)
+  }
+
+  /** Parse the integer array after `key`: `[ n1 n2 ... ]`, at most
+    * `max` entries; None when absent or malformed. */
+  private def keyArray(b: Array[Byte], key: String, from: Int, until: Int,
+      max: Int): Option[Seq[Long]] = {
+    val k = keyIdx(b, key, from, until)
+    if (k < 0) return None
+    val open = indexOf(b, "[", k, until)
+    if (open < 0) return None
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = open + 1
+    while (true) {
+      while (i < until && (b(i) == ' ' || b(i) == '\r' || b(i) == '\n' ||
+        b(i) == '\t')) i += 1
+      if (i >= until) return None
+      if (b(i) == ']') return Some(out.toSeq)
+      parseLong(b, i) match {
+        case Some((v, after)) =>
+          out += v
+          if (out.length > max) return None
+          i = after
+        case None => return None
+      }
+    }
+    None
+  }
+
+  // ------------------------------------------------------------------
+  // object index: classic xref table OR cross-reference stream chain
+  // ------------------------------------------------------------------
+
+  /** Where an object lives: directly in the file, or as the idx-th
+    * object inside a compressed object stream (PDF 1.5 /ObjStm). */
+  private sealed trait Loc
+  private final case class InFile(off: Long) extends Loc
+  private final case class InObjStm(stm: Long, idx: Int) extends Loc
+
+  private final case class PdfIndex(locs: Map[Long, Loc], size: Long,
+      root: Long, encrypted: Boolean)
+
+  /** Reverse the /DecodeParms predictor over `data` (ISO 32000-1
+    * 7.4.4.4, shared with PNG): 1 = none, 2 = TIFF horizontal
+    * differencing, 10–15 = PNG row filters (each row led by a filter
+    * byte; one byte per sample — the xref-stream case). Rows are
+    * `columns` bytes wide. None on a ragged length or an unknown
+    * filter byte. */
+  private def unpredict(data: Array[Byte], predictor: Int,
+      columns: Int): Option[Array[Byte]] = {
+    if (predictor == 1) return Some(data)
+    if (columns < 1) return None
+    if (predictor == 2) {
+      if (data.length % columns != 0) return None
+      val out = data.clone
+      var r = 0
+      while (r < out.length) {
+        var i = 1
+        while (i < columns) {
+          out(r + i) = (((out(r + i) & 0xff) + (out(r + i - 1) & 0xff))
+            & 0xff).toByte
+          i += 1
+        }
+        r += columns
+      }
+      return Some(out)
+    }
+    if (predictor < 10 || predictor > 15) return None
+    val rowW = columns + 1
+    if (data.length % rowW != 0) return None
+    val nRows = data.length / rowW
+    val out = new Array[Byte](nRows * columns)
+    val prev = new Array[Int](columns)
+    var r = 0
+    while (r < nRows) {
+      val f = data(r * rowW) & 0xff
+      var i = 0
+      while (i < columns) {
+        val x = data(r * rowW + 1 + i) & 0xff
+        val left = if (i > 0) out(r * columns + i - 1) & 0xff else 0
+        val up = prev(i)
+        val ul = if (i > 0) prev(i - 1) else 0
+        val v = f match {
+          case 0 => x
+          case 1 => x + left
+          case 2 => x + up
+          case 3 => x + (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            x + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case _ => return None
+        }
+        out(r * columns + i) = (v & 0xff).toByte
+        i += 1
+      }
+      var j = 0
+      while (j < columns) { prev(j) = out(r * columns + j) & 0xff; j += 1 }
+      r += 1
+    }
+    Some(out)
+  }
+
+  /** Big-endian unsigned field of `w` bytes (xref-stream records). */
+  private def beField(a: Array[Byte], off: Int, w: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < w) { v = (v << 8) | (a(off + i) & 0xff); i += 1 }
+    v
+  }
+
+  /** Parse the classic xref TABLE at `xrefOff` (single subsection
+    * starting at object 0 — the shape every classic writer this
+    * decoder targets emits) and its trailer. `limit` bounds the
+    * trailer key scans (the startxref anchor position). */
+  private def classicIndex(b: Array[Byte], xrefOff: Int,
+      limit: Int): Option[PdfIndex] = {
+    val (start, after1) = parseLong(b, xrefOff + 4).getOrElse(return None)
+    val (count, after2) = parseLong(b, after1).getOrElse(return None)
+    if (start != 0 || count < 1 || count > 1000000) return None
+    // entries begin after the subsection line's EOL; each is exactly 20
+    // bytes (10-digit offset, space, 5-digit gen, space, n|f, 2-byte EOL)
+    var e = after2
+    while (e < b.length && (b(e) == '\r' || b(e) == '\n' || b(e) == ' '))
+      e += 1
+    if (e + 20L * count > b.length) return None
+    var locs = Map.empty[Long, Loc]
+    var i = 0
+    while (i < count) {
+      val row = e + 20 * i
+      val off = parseLong(b, row).getOrElse(return None)._1
+      val kind = b(row + 17)
+      if (i == 0 && kind != 'f') return None // object 0 is always free
+      if (kind != 'n' && kind != 'f') return None
+      if (kind == 'n') locs += i.toLong -> InFile(off)
+      i += 1
+    }
+    val tr = indexOf(b, "trailer", e + 20 * count.toInt, b.length)
+    if (tr < 0) return None
+    val size = refAfter(b, "/Size", tr, limit).getOrElse(return None)
+    if (size != count) return None
+    val root = refAfter(b, "/Root", tr, limit).getOrElse(return None)
+    val encrypted = indexOf(b, "/Encrypt", tr, limit) >= 0
+    Some(PdfIndex(locs, size, root, encrypted))
+  }
+
+  /** Parsed fields of one cross-reference stream section. */
+  private final case class XSection(entries: Seq[(Long, Loc)], size: Long,
+      root: Long, encrypted: Boolean, prev: Long)
+
+  /** Parse one cross-reference STREAM (PDF 1.5+, ISO 32000-1 7.5.8):
+    * an indirect stream object `<< /Type /XRef /W [...] /Index [...]
+    * /Size ... >>`, optionally FlateDecode'd and predictor-coded,
+    * whose rows are [type, field2, field3] big-endian records —
+    * type 1 = in-file offset, type 2 = (objstm, index), type 0 =
+    * free, unknown types read as null refs per spec. */
+  private def xrefStreamSection(b: Array[Byte], off: Int)
+      : Option[XSection] = {
+    val (_, afterNum) = parseLong(b, off).getOrElse(return None)
+    val (_, afterGen) = parseLong(b, afterNum).getOrElse(return None)
+    var i = afterGen
+    while (i < b.length && (b(i) == ' ' || b(i) == '\r' || b(i) == '\n'))
+      i += 1
+    if (indexOf(b, "obj", i, i + 3) != i) return None
+    val dictFrom = i + 3
+    val kw = indexOf(b, "stream", dictFrom,
+      math.min(b.length, dictFrom + 4096))
+    if (kw < 0) return None
+    if (keyIdx(b, "/XRef", dictFrom, kw) < 0) return None
+    val size = keyNum(b, "/Size", dictFrom, kw).getOrElse(return None)
+    if (size < 1 || size > 10000000) return None
+    val w = keyArray(b, "/W", dictFrom, kw, 8).getOrElse(return None)
+    if (w.length < 3 || w.exists(x => x < 0 || x > 8)) return None
+    val (w0, w1, w2) = (w(0).toInt, w(1).toInt, w(2).toInt)
+    val rowW = w0 + w1 + w2
+    if (rowW < 1 || w1 < 1) return None
+    val idxPairs = keyArray(b, "/Index", dictFrom, kw, 64) match {
+      case Some(a) =>
+        if (a.length % 2 != 0 || a.isEmpty) return None
+        a.grouped(2).map(p => (p(0), p(1))).toSeq
+      case None => Seq((0L, size)) // /Index defaults to [0 Size]
+    }
+    if (idxPairs.exists { case (s2, c) => s2 < 0 || c < 0 || c > 10000000 })
+      return None
+    val total = idxPairs.map(_._2).sum
+    val len = keyNum(b, "/Length", dictFrom, kw).getOrElse(return None)
+    var dataFrom = kw + 6
+    if (dataFrom < b.length && b(dataFrom) == '\r') dataFrom += 1
+    if (dataFrom < b.length && b(dataFrom) == '\n') dataFrom += 1
+    if (len < 0 || dataFrom + len > b.length) return None
+    val raw = java.util.Arrays.copyOfRange(b, dataFrom, dataFrom + len.toInt)
+    val inflated =
+      if (keyIdx(b, "/FlateDecode", dictFrom, kw) >= 0)
+        inflate(raw, 0, raw.length).getOrElse(return None)
+      else raw
+    val predictor = keyNum(b, "/Predictor", dictFrom, kw).getOrElse(1L).toInt
+    val columns = keyNum(b, "/Columns", dictFrom, kw).getOrElse(1L).toInt
+    if (predictor != 1 && columns != rowW) return None // width mismatch
+    val data = unpredict(inflated, predictor, columns).getOrElse(return None)
+    if (data.length.toLong != total * rowW) return None
+    val entries = scala.collection.mutable.ArrayBuffer.empty[(Long, Loc)]
+    var base = 0
+    idxPairs.foreach { case (s2, c) =>
+      var k = 0L
+      while (k < c) {
+        val ro = base + (k * rowW).toInt
+        val t = if (w0 == 0) 1L else beField(data, ro, w0) // type dflt 1
+        val f2 = beField(data, ro + w0, w1)
+        val f3 = if (w2 == 0) 0L else beField(data, ro + w0 + w1, w2)
+        t match {
+          case 0 => // free
+          case 1 => entries += ((s2 + k) -> InFile(f2))
+          case 2 =>
+            if (f3 > Int.MaxValue) return None
+            entries += ((s2 + k) -> InObjStm(f2, f3.toInt))
+          case _ => // unknown type: a null reference — skip
+        }
+        k += 1
+      }
+      base += (c * rowW).toInt
+    }
+    val root = keyNum(b, "/Root", dictFrom, kw).getOrElse(-1L)
+    val prev = keyNum(b, "/Prev", dictFrom, kw).getOrElse(-1L)
+    val encrypted = keyIdx(b, "/Encrypt", dictFrom, kw) >= 0
+    Some(XSection(entries.toSeq, size, root, encrypted, prev))
+  }
+
+  /** Build the object index at the startxref target: a classic table,
+    * or a PDF 1.5+ xref-stream CHAIN (/Prev links, newest-section-wins
+    * merge — the incremental-update rule, 7.5.6). Hybrid-reference
+    * files (classic table + /XRefStm) are out of scope. */
+  private def buildIndex(b: Array[Byte], xrefOff: Int,
+      limit: Int): Option[PdfIndex] = {
+    if (indexOf(b, "xref", xrefOff, xrefOff + 6) == xrefOff)
+      return classicIndex(b, xrefOff, limit)
+    var locs = Map.empty[Long, Loc]
+    var size = -1L
+    var root = -1L
+    var encrypted = false
+    var off = xrefOff.toLong
+    var hops = 0
+    while (off >= 0) {
+      hops += 1
+      if (hops > 16 || off >= b.length) return None
+      val sec = xrefStreamSection(b, off.toInt).getOrElse(return None)
+      if (size < 0) { // the newest section carries the operative dict
+        size = sec.size
+        root = sec.root
+        encrypted = sec.encrypted
+      }
+      sec.entries.foreach { case (k, v) =>
+        if (!locs.contains(k)) locs += k -> v // newest wins
+      }
+      off = sec.prev
+    }
+    if (root < 1) return None
+    Some(PdfIndex(locs, size, root, encrypted))
+  }
+
+  /** Object fetcher over a built index: resolves in-file objects to
+    * slices of the file and /ObjStm residents to slices of the cached
+    * inflated stream. Every lookup verifies the object number it
+    * lands on — a corrupt offset must fail, never mis-read. */
+  private final class ObjReader(b: Array[Byte], idx: PdfIndex) {
+    private val stmCache = scala.collection.mutable.Map
+      .empty[Long, Option[(Array[Byte], Array[Long], Array[Int])]]
+
+    /** (buffer, from, until) of the object's body: for in-file objects
+      * the slice opens at the `num gen obj` header; for ObjStm
+      * residents at the object's first token. */
+    def view(num: Long): Option[(Array[Byte], Int, Int)] = {
+      if (num < 1 || num >= idx.size) return None
+      idx.locs.get(num) match {
+        case Some(InFile(off)) =>
+          if (off < 0 || off >= b.length) return None
+          if (!parseLong(b, off.toInt).exists(_._1 == num)) return None
+          val end = indexOf(b, "endobj", off.toInt, b.length)
+          if (end < 0) None else Some((b, off.toInt, end))
+        case Some(InObjStm(stm, at)) =>
+          objStm(stm).flatMap { case (data, nums, offs) =>
+            if (at < 0 || at >= nums.length || nums(at) != num) None
+            else {
+              val until =
+                if (at + 1 < offs.length) offs(at + 1) else data.length
+              if (offs(at) > until || until > data.length) None
+              else Some((data, offs(at), until))
+            }
+          }
+        case None => None
+      }
+    }
+
+    /** In-file byte range of the object — stream objects carry their
+      * data in the FILE (the spec forbids streams inside an ObjStm). */
+    def fileSlice(num: Long): Option[(Int, Int)] =
+      idx.locs.get(num) match {
+        case Some(InFile(_)) => view(num).map(v => (v._2, v._3))
+        case _ => None
+      }
+
+    /** The integer VALUE of an object (the indirect /Length shape). */
+    def intValue(num: Long): Option[Long] =
+      view(num).flatMap { case (buf, from, until) =>
+        idx.locs(num) match {
+          case InFile(_) =>
+            val kw = indexOf(buf, "obj", from, until)
+            if (kw < 0) None else parseLong(buf, kw + 3).map(_._1)
+          case _ => parseLong(buf, from).filter(_._2 <= until).map(_._1)
+        }
+      }
+
+    private def objStm(stm: Long)
+        : Option[(Array[Byte], Array[Long], Array[Int])] =
+      stmCache.getOrElseUpdate(stm, decodeObjStm(stm))
+
+    /** Decode an /ObjStm (7.5.7): N header pairs `objnum offset`, then
+      * the serialized objects at /First + offset, offsets ascending. */
+    private def decodeObjStm(stm: Long)
+        : Option[(Array[Byte], Array[Long], Array[Int])] = {
+      val (from, until) = idx.locs.get(stm) match {
+        case Some(InFile(off)) =>
+          if (off < 0 || off >= b.length) return None
+          if (!parseLong(b, off.toInt).exists(_._1 == stm)) return None
+          val end = indexOf(b, "endobj", off.toInt, b.length)
+          if (end < 0) return None
+          (off.toInt, end)
+        case _ => return None // an ObjStm cannot nest inside an ObjStm
+      }
+      val kw = indexOf(b, "stream", from, until)
+      if (kw < 0) return None
+      if (keyIdx(b, "/ObjStm", from, kw) < 0) return None
+      val nObjs = keyNum(b, "/N", from, kw).getOrElse(return None)
+      if (nObjs < 1 || nObjs > 100000) return None
+      val first = keyNum(b, "/First", from, kw).getOrElse(return None)
+      val len = keyNum(b, "/Length", from, kw).getOrElse(return None)
+      var dataFrom = kw + 6
+      if (dataFrom < b.length && b(dataFrom) == '\r') dataFrom += 1
+      if (dataFrom < b.length && b(dataFrom) == '\n') dataFrom += 1
+      if (len < 0 || dataFrom + len > until) return None
+      val raw = java.util.Arrays.copyOfRange(b, dataFrom,
+        dataFrom + len.toInt)
+      val data =
+        if (keyIdx(b, "/FlateDecode", from, kw) >= 0)
+          inflate(raw, 0, raw.length).getOrElse(return None)
+        else raw
+      if (first < 0 || first > data.length) return None
+      val nums = new Array[Long](nObjs.toInt)
+      val offs = new Array[Int](nObjs.toInt)
+      var i = 0
+      var p = 0
+      while (i < nObjs) {
+        val (num, a1) = parseLong(data, p).getOrElse(return None)
+        val (o, a2) = parseLong(data, a1).getOrElse(return None)
+        if (a2 > first) return None // header pairs overran /First
+        val abs = first + o
+        if (abs < 0 || abs > data.length) return None
+        if (i > 0 && abs < offs(i - 1)) return None // offsets ascend
+        nums(i) = num
+        offs(i) = abs.toInt
+        p = a2
+        i += 1
+      }
+      Some((data, nums, offs))
+    }
+  }
+
+  def decodePdf(b: Array[Byte]): Option[PdfMeta] = try {
     if (b == null || b.length < 32) return None
     // 1. header: %PDF-M.m
     if (ascii(b, 0, 5) != "%PDF-") return None
@@ -97,55 +492,25 @@ object Pdf {
       case Some((v, _)) if v >= 0 && v < b.length => v.toInt
       case _ => return None
     }
-    // 3. the xref table
-    if (indexOf(b, "xref", xrefOff, xrefOff + 6) != xrefOff) return None
-    val (start, after1) = parseLong(b, xrefOff + 4).getOrElse(return None)
-    val (count, after2) = parseLong(b, after1).getOrElse(return None)
-    if (start != 0 || count < 1 || count > 1000000) return None
-    // entries begin after the subsection line's EOL; each is exactly 20
-    // bytes (10-digit offset, space, 5-digit gen, space, n|f, 2-byte EOL)
-    var e = after2
-    while (e < b.length && (b(e) == '\r' || b(e) == '\n' || b(e) == ' '))
-      e += 1
-    if (e + 20L * count > b.length) return None
-    val offsets = new Array[Long](count.toInt)
-    var i = 0
-    while (i < count) {
-      val row = e + 20 * i
-      val off = parseLong(b, row).getOrElse(return None)._1
-      val kind = b(row + 17)
-      if (i == 0 && kind != 'f') return None // object 0 is always free
-      if (kind != 'n' && kind != 'f') return None
-      offsets(i) = off
-      i += 1
-    }
-    // 4. trailer dict
-    val tr = indexOf(b, "trailer", e + 20 * count.toInt, b.length)
-    if (tr < 0) return None
-    val size = refAfter(b, "/Size", tr, sx).getOrElse(return None)
-    if (size != count) return None
-    val root = refAfter(b, "/Root", tr, sx).getOrElse(return None)
-    val encrypted = indexOf(b, "/Encrypt", tr, sx) >= 0
-    // 5. the object walk: catalog → /Pages → /Count
-    def objSlice(num: Long): Option[(Int, Int)] = {
-      if (num < 1 || num >= count) return None
-      val off = offsets(num.toInt)
-      if (off < 0 || off >= b.length) return None
-      // sanity: the slice must open with "<num> <gen> obj"
-      val hdr = parseLong(b, off.toInt).getOrElse(return None)
-      if (hdr._1 != num) return None
-      val end = indexOf(b, "endobj", off.toInt, b.length)
-      if (end < 0) None else Some((off.toInt, end))
-    }
-    val (cFrom, cUntil) = objSlice(root).getOrElse(return None)
-    if (indexOf(b, "/Type /Catalog", cFrom, cUntil) < 0 &&
-      indexOf(b, "/Type/Catalog", cFrom, cUntil) < 0) return None
-    val pagesRef = refAfter(b, "/Pages", cFrom, cUntil).getOrElse(return None)
-    val (pFrom, pUntil) = objSlice(pagesRef).getOrElse(return None)
-    val nPages = refAfter(b, "/Count", pFrom, pUntil).getOrElse(return None)
+    // 3+4. the cross-reference index: a classic TABLE (xref keyword +
+    // 20-byte entries + trailer) or a PDF 1.5+ xref STREAM chain
+    val idx = buildIndex(b, xrefOff, sx).getOrElse(return None)
+    // 5. the object walk: catalog → /Pages → /Count (either object may
+    // live compressed inside an /ObjStm in the modern layout)
+    val rd = new ObjReader(b, idx)
+    val (cb, cFrom, cUntil) = rd.view(idx.root).getOrElse(return None)
+    if (indexOf(cb, "/Type /Catalog", cFrom, cUntil) < 0 &&
+      indexOf(cb, "/Type/Catalog", cFrom, cUntil) < 0) return None
+    val pagesRef = refAfter(cb, "/Pages", cFrom, cUntil)
+      .getOrElse(return None)
+    val (pb, pFrom, pUntil) = rd.view(pagesRef).getOrElse(return None)
+    val nPages = refAfter(pb, "/Count", pFrom, pUntil)
+      .getOrElse(return None)
     if (nPages < 0 || nPages > Int.MaxValue) return None
-    Some(PdfMeta(version, nPages.toInt, (count - 1).toInt, encrypted))
-  }
+    if (idx.size < 1 || idx.size > Int.MaxValue) return None
+    Some(PdfMeta(version, nPages.toInt, (idx.size - 1).toInt,
+      idx.encrypted))
+  } catch { case _: Exception => None }
 
   // ------------------------------------------------------------------
   // content-stream text extraction (round 14)
@@ -343,47 +708,38 @@ object Pdf {
     * content stream is malformed. */
   def extractText(b: Array[Byte]): Option[Seq[String]] = {
     try {
-      if (decodePdf(b).isEmpty) return None
-      // re-walk the skeleton (cheap: offsets live in the tail)
+      val meta = decodePdf(b).getOrElse(return None)
+      // an /Encrypt'd document's strings are ciphertext — extracting
+      // them verbatim would be plausible-wrong text, so triage stops
+      // at decodePdf for encrypted files
+      if (meta.encrypted) return None
+      // re-walk the skeleton (cheap: the index lives in the tail)
       val tailFrom = math.max(0, b.length - 128)
       val sx = indexOf(b, "startxref", tailFrom, b.length)
       val xrefOff = parseLong(b, sx + 9).get._1.toInt
-      val (_, after1) = parseLong(b, xrefOff + 4).get
-      val (count, after2) = parseLong(b, after1).get
-      var e = after2
-      while (e < b.length && (b(e) == '\r' || b(e) == '\n' || b(e) == ' '))
-        e += 1
-      val offsets = Array.tabulate(count.toInt)(i =>
-        parseLong(b, e + 20 * i).get._1)
-      def objSlice(num: Long): Option[(Int, Int)] = {
-        if (num < 1 || num >= count) return None
-        val off = offsets(num.toInt)
-        if (off < 0 || off >= b.length) return None
-        if (parseLong(b, off.toInt).exists(_._1 != num)) return None
-        val end = indexOf(b, "endobj", off.toInt, b.length)
-        if (end < 0) None else Some((off.toInt, end))
-      }
-      val tr = indexOf(b, "trailer", e + 20 * count.toInt, b.length)
-      val root = refAfter(b, "/Root", tr, sx).getOrElse(return None)
-      val (cFrom, cUntil) = objSlice(root).getOrElse(return None)
-      val pagesRef = refAfter(b, "/Pages", cFrom, cUntil).getOrElse(return None)
-      val (pFrom, pUntil) = objSlice(pagesRef).getOrElse(return None)
-      // kids list: refs inside /Kids [ ... ]
-      val kidsAt = indexOf(b, "/Kids", pFrom, pUntil)
+      val idx = buildIndex(b, xrefOff, sx).getOrElse(return None)
+      val rd = new ObjReader(b, idx)
+      val (cb, cFrom, cUntil) = rd.view(idx.root).getOrElse(return None)
+      val pagesRef = refAfter(cb, "/Pages", cFrom, cUntil)
+        .getOrElse(return None)
+      val (pb, pFrom, pUntil) = rd.view(pagesRef).getOrElse(return None)
+      // kids list: refs inside /Kids [ ... ] (flat page tree)
+      val kidsAt = indexOf(pb, "/Kids", pFrom, pUntil)
       if (kidsAt < 0) return None
-      val open = indexOf(b, "[", kidsAt, pUntil)
-      val close = indexOf(b, "]", open, pUntil)
+      val open = indexOf(pb, "[", kidsAt, pUntil)
+      val close = indexOf(pb, "]", open, pUntil)
       if (open < 0 || close < 0) return None
       val kids = scala.collection.mutable.ArrayBuffer.empty[Long]
       var k = open + 1
       while (k < close) {
-        parseLong(b, k) match {
+        parseLong(pb, k) match {
           case Some((num, after)) =>
-            val afterGen = parseLong(b, after).map(_._2).getOrElse(return None)
+            val afterGen = parseLong(pb, after).map(_._2)
+              .getOrElse(return None)
             var r = afterGen
-            while (r < close && (b(r) == ' ' || b(r) == '\r' || b(r) == '\n'))
-              r += 1
-            if (r >= close || b(r) != 'R') return None
+            while (r < close && (pb(r) == ' ' || pb(r) == '\r' ||
+              pb(r) == '\n')) r += 1
+            if (r >= close || pb(r) != 'R') return None
             kids += num
             k = r + 1
           case None => k = close
@@ -391,9 +747,11 @@ object Pdf {
       }
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       kids.foreach { kid =>
-        val (kFrom, kUntil) = objSlice(kid).getOrElse(return None)
-        refAfter(b, "/Contents", kFrom, kUntil).foreach { cs =>
-          val (sFrom, sUntil) = objSlice(cs).getOrElse(return None)
+        val (kb, kFrom, kUntil) = rd.view(kid).getOrElse(return None)
+        refAfter(kb, "/Contents", kFrom, kUntil).foreach { cs =>
+          // a content STREAM's bytes always live in the file — the
+          // spec forbids stream objects inside an /ObjStm
+          val (sFrom, sUntil) = rd.fileSlice(cs).getOrElse(return None)
           val kw = indexOf(b, "stream", sFrom, sUntil)
           if (kw < 0) return None
           var dataFrom = kw + 6
@@ -411,12 +769,10 @@ object Pdf {
                 var q = p._2
                 while (q < kw && b(q) == ' ') q += 1
                 q < kw && b(q) == 'R' }) }) {
-              // indirect: resolve the length object
-              val (lFrom, lUntil) = objSlice(lv).getOrElse(return None)
-              val objKw = indexOf(b, "obj", lFrom, lUntil)
-              parseLong(b, objKw + 3).getOrElse(return None)._1
+              // indirect: resolve the length-value object
+              rd.intValue(lv).getOrElse(return None)
             } else lv
-          if (dataFrom + dataLen > sUntil) return None
+          if (dataLen < 0 || dataFrom + dataLen > sUntil) return None
           val raw = java.util.Arrays.copyOfRange(b, dataFrom,
             dataFrom + dataLen.toInt)
           val flate = indexOf(b, "/FlateDecode", sFrom, kw) >= 0
@@ -446,6 +802,39 @@ object Pdf {
 
   private def hexLiteral(s: String): String =
     s.map(c => f"${c.toInt & 0xff}%02X").mkString
+
+  /** The per-page text-operator mix shared by both text emitters:
+    * Td+Tj literal, TD+Tj escaped literal, T*+TJ kerned array (the
+    * line split around a -250 position), Tm+hex Tj — cycling by line
+    * index. */
+  private def pageOps(lines: Seq[String]): String = {
+    val ops = new java.lang.StringBuilder()
+    ops.append("BT /F1 12 Tf ")
+    lines.zipWithIndex.foreach { case (line, i) =>
+      if (i == 0) ops.append(s"72 720 Td (${escLiteral(line)}) Tj ")
+      else (i % 3) match {
+        case 1 => ops.append(s"0 -14 TD (${escLiteral(line)}) Tj ")
+        case 2 =>
+          val cut = line.length / 2
+          ops.append(s"T* [(${escLiteral(line.take(cut))}) -250 " +
+            s"(${escLiteral(line.drop(cut))})] TJ ")
+        case _ =>
+          ops.append(s"1 0 0 1 72 600 Tm <${hexLiteral(line)}> Tj ")
+      }
+    }
+    ops.append("ET")
+    ops.toString
+  }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val bos = new ByteArrayOutputStream(raw.length + 32)
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+    d.end()
+    bos.toByteArray
+  }
 
   /** Text-bearing fixture emitter: one content stream PER PAGE with a
     * real operator mix — Td+Tj literal, TD+Tj (escaped literal),
@@ -480,32 +869,8 @@ object Pdf {
       "/BaseFont /Helvetica >> endobj\n")
     k = 0
     while (k < n) {
-      val ops = new java.lang.StringBuilder()
-      ops.append("BT /F1 12 Tf ")
-      pages(k).zipWithIndex.foreach { case (line, i) =>
-        if (i == 0) ops.append(s"72 720 Td (${escLiteral(line)}) Tj ")
-        else (i % 3) match {
-          case 1 => ops.append(s"0 -14 TD (${escLiteral(line)}) Tj ")
-          case 2 =>
-            val cut = line.length / 2
-            ops.append(s"T* [(${escLiteral(line.take(cut))}) -250 " +
-              s"(${escLiteral(line.drop(cut))})] TJ ")
-          case _ =>
-            ops.append(s"1 0 0 1 72 600 Tm <${hexLiteral(line)}> Tj ")
-        }
-      }
-      ops.append("ET")
-      val raw = ops.toString.getBytes("ISO-8859-1")
-      val data =
-        if (flate) {
-          val d = new java.util.zip.Deflater()
-          d.setInput(raw); d.finish()
-          val bos = new ByteArrayOutputStream(raw.length + 32)
-          val buf = new Array[Byte](4096)
-          while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
-          d.end()
-          bos.toByteArray
-        } else raw
+      val raw = pageOps(pages(k)).getBytes("ISO-8859-1")
+      val data = if (flate) deflate(raw) else raw
       offsets += out.size()
       w(s"${fontObj + 1 + k} 0 obj << /Length ${data.length}" +
         (if (flate) " /Filter /FlateDecode" else "") + " >> stream\n")
@@ -523,6 +888,122 @@ object Pdf {
       j += 1
     }
     w(s"trailer << /Size $size /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Modern-layout fixture emitter (PDF 1.5+): catalog, page tree,
+    * page dicts and the font live COMPRESSED inside one /ObjStm;
+    * content streams (even pages FlateDecode'd, odd pages raw) and
+    * the /ObjStm sit in the file; the cross-reference is a /Type
+    * /XRef STREAM (/W [1 4 2], /Index, optionally PNG-Up predictor
+    * coded), not a table — the layout every modern PDF writer emits.
+    * extractText() is the identity on `pages`' lines (unencrypted);
+    * decodePdf() reads version/pages/objects/encryption. */
+  def encodeXrefPdf(version: String, pages: Seq[Seq[String]],
+      encrypted: Boolean, predictor: Int): Array[Byte] = {
+    require(version.matches("\\d\\.\\d"), s"version is M.m: $version")
+    require(pages.nonEmpty, "at least one page")
+    require(predictor == 1 || predictor == 12, "predictor 1 or 12")
+    val n = pages.length
+    val fontObj = 3 + n
+    val contentBase = 4 + n // content streams: contentBase..contentBase+n-1
+    val objStmNum = 4 + 2 * n
+    val encObj = if (encrypted) Some(5 + 2 * n) else None
+    val xrefNum = 5 + 2 * n + (if (encrypted) 1 else 0)
+    val size = xrefNum + 1
+    val out = new ByteArrayOutputStream(1024)
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val fileOff = scala.collection.mutable.Map.empty[Int, Long]
+    w(s"%PDF-$version\n%âãÏÓ\n") // binary marker line
+    // content streams (in the file — streams cannot live in an ObjStm)
+    var k = 0
+    while (k < n) {
+      val raw = pageOps(pages(k)).getBytes("ISO-8859-1")
+      val flate = k % 2 == 0
+      val data = if (flate) deflate(raw) else raw
+      fileOff(contentBase + k) = out.size()
+      w(s"${contentBase + k} 0 obj << /Length ${data.length}" +
+        (if (flate) " /Filter /FlateDecode" else "") + " >> stream\n")
+      out.write(data, 0, data.length)
+      w("\nendstream endobj\n")
+      k += 1
+    }
+    // the object stream: catalog, pages root, page dicts, font
+    val inner = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    inner += 1 -> "<< /Type /Catalog /Pages 2 0 R >>"
+    val kids = (0 until n).map(k2 => s"${3 + k2} 0 R").mkString(" ")
+    inner += 2 -> s"<< /Type /Pages /Kids [$kids] /Count $n >>"
+    (0 until n).foreach { k2 =>
+      inner += (3 + k2) -> ("<< /Type /Page /Parent 2 0 R " +
+        s"/Resources << /Font << /F1 $fontObj 0 R >> >> " +
+        s"/Contents ${contentBase + k2} 0 R >>")
+    }
+    inner += fontObj ->
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    val bodies = inner.map(_._2 + " ")
+    val innerOffs = bodies.scanLeft(0)(_ + _.length).init
+    val header = inner.map(_._1).zip(innerOffs)
+      .map { case (num, o) => s"$num $o" }.mkString("", " ", " ")
+    val stmRaw = (header + bodies.mkString).getBytes("ISO-8859-1")
+    val stmData = deflate(stmRaw)
+    fileOff(objStmNum) = out.size()
+    w(s"$objStmNum 0 obj << /Type /ObjStm /N ${inner.length} " +
+      s"/First ${header.length} /Length ${stmData.length} " +
+      "/Filter /FlateDecode >> stream\n")
+    out.write(stmData, 0, stmData.length)
+    w("\nendstream endobj\n")
+    encObj.foreach { e =>
+      fileOff(e) = out.size()
+      w(s"$e 0 obj << /Filter /Standard /V 2 >> endobj\n")
+    }
+    // the cross-reference stream itself: W = [1 4 2]
+    val xrefOff = out.size()
+    fileOff(xrefNum) = xrefOff
+    val rowW = 7
+    val rows = new Array[Byte](size * rowW)
+    def putRow(obj: Int, t: Int, f2: Long, f3: Int): Unit = {
+      val o = obj * rowW
+      rows(o) = t.toByte
+      rows(o + 1) = ((f2 >> 24) & 0xff).toByte
+      rows(o + 2) = ((f2 >> 16) & 0xff).toByte
+      rows(o + 3) = ((f2 >> 8) & 0xff).toByte
+      rows(o + 4) = (f2 & 0xff).toByte
+      rows(o + 5) = ((f3 >> 8) & 0xff).toByte
+      rows(o + 6) = (f3 & 0xff).toByte
+    }
+    putRow(0, 0, 0, 65535) // object 0: the free-list head
+    inner.zipWithIndex.foreach { case ((num, _), at) =>
+      putRow(num, 2, objStmNum.toLong, at) // type 2: (objstm, index)
+    }
+    fileOff.foreach { case (num, o) => putRow(num, 1, o, 0) }
+    val coded =
+      if (predictor == 12) {
+        // PNG Up filter per row: filter byte 2, data minus prior row
+        val pc = new Array[Byte](size * (rowW + 1))
+        var r = 0
+        while (r < size) {
+          pc(r * (rowW + 1)) = 2
+          var i = 0
+          while (i < rowW) {
+            val up = if (r > 0) rows((r - 1) * rowW + i) & 0xff else 0
+            pc(r * (rowW + 1) + 1 + i) =
+              (((rows(r * rowW + i) & 0xff) - up) & 0xff).toByte
+            i += 1
+          }
+          r += 1
+        }
+        pc
+      } else rows
+    val xData = deflate(coded)
+    w(s"$xrefNum 0 obj << /Type /XRef /Size $size /Root 1 0 R " +
+      (if (encrypted) s"/Encrypt ${encObj.get} 0 R " else "") +
+      s"/W [1 4 2] /Index [0 $size] " +
+      (if (predictor == 12)
+        s"/DecodeParms << /Predictor 12 /Columns $rowW >> " else "") +
+      s"/Length ${xData.length} /Filter /FlateDecode >> stream\n")
+    out.write(xData, 0, xData.length)
+    w("\nendstream endobj\n")
+    w(s"startxref\n$xrefOff\n%%EOF\n")
     out.toByteArray
   }
 

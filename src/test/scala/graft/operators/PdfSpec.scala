@@ -110,4 +110,107 @@ class PdfSpec extends AnyFunSuite {
     val broken = s.replace("(abc)", "(abc").getBytes("ISO-8859-1")
     assert(extractText(broken) === None)
   }
+  // ---- cross-reference streams + object streams (round 15) -----------
+
+  test("xref-stream round-trip: versions, page counts, predictor, " +
+      "encryption; extractText identity on the modern layout") {
+    checkProp(Prop.forAll(Gen.oneOf("1.5", "1.6", "1.7", "2.0"),
+        Gen.choose(1, 6), Gen.oneOf(1, 12), Gen.oneOf(true, false),
+        Gen.choose(0L, 4000L)) { (v, np, pred, enc, seed) =>
+      val pages = (0 until np).map { p =>
+        (0 until (1 + (seed + p) % 4).toInt).map(k =>
+          s"s$seed p$p l$k (${(seed * 7 + p * 3 + k) % 100})")
+      }
+      val blob = encodeXrefPdf(v, pages, enc, pred)
+      val nObjs = 5 + 2 * np + (if (enc) 1 else 0)
+      val metaOk = decodePdf(blob).contains(PdfMeta(v, np, nObjs, enc))
+      val textOk =
+        if (enc) extractText(blob).isEmpty // ciphertext is not text
+        else extractText(blob).contains(pages.flatten)
+      metaOk && textOk
+    })
+  }
+
+  test("predictor coding changes the bytes, not the decode") {
+    val pages = Seq(Seq("alpha", "beta"), Seq("gamma"))
+    val plain = encodeXrefPdf("1.6", pages, encrypted = false, 1)
+    val coded = encodeXrefPdf("1.6", pages, encrypted = false, 12)
+    assert(!plain.sameElements(coded))
+    assert(decodePdf(plain) === decodePdf(coded))
+    assert(extractText(plain) === extractText(coded))
+    assert(extractText(plain) === Some(Seq("alpha", "beta", "gamma")))
+  }
+
+  test("an incremental update chains through /Prev with " +
+      "newest-section-wins merge") {
+    val base = encodeXrefPdf("1.7", Seq(Seq("kept line")),
+      encrypted = false, 12)
+    val s = new String(base, "ISO-8859-1")
+    val oldXref = s.substring(s.lastIndexOf("startxref") + 10).trim
+      .takeWhile(_.isDigit)
+    // the update appends one new object and an xref stream indexing it
+    val sizeOld = decodePdf(base).get.nObjects + 1
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(base, 0, base.length)
+    val newObjNum = sizeOld // next free number
+    val newObjOff = bos.size()
+    bos.write((s"$newObjNum 0 obj (noise) endobj\n")
+      .getBytes("ISO-8859-1"))
+    val xrefOff2 = bos.size()
+    // two rows: the new object and this xref stream, W=[1 4 2]
+    val rows = new Array[Byte](14)
+    def put(o: Int, off: Int): Unit = {
+      rows(o) = 1
+      rows(o + 1) = ((off >> 24) & 0xff).toByte
+      rows(o + 2) = ((off >> 16) & 0xff).toByte
+      rows(o + 3) = ((off >> 8) & 0xff).toByte
+      rows(o + 4) = (off & 0xff).toByte
+    }
+    put(0, newObjOff)
+    put(7, xrefOff2)
+    val d = new java.util.zip.Deflater()
+    d.setInput(rows); d.finish()
+    val cbuf = new Array[Byte](256)
+    val clen = d.deflate(cbuf); d.end()
+    val xnum = newObjNum + 1
+    bos.write((s"$xnum 0 obj << /Type /XRef /Size ${xnum + 1} " +
+      s"/Root 1 0 R /Prev $oldXref /W [1 4 2] " +
+      s"/Index [$newObjNum 2] /Length $clen /Filter /FlateDecode " +
+      ">> stream\n").getBytes("ISO-8859-1"))
+    bos.write(cbuf, 0, clen)
+    bos.write(("\nendstream endobj\n" +
+      s"startxref\n$xrefOff2\n%%EOF\n").getBytes("ISO-8859-1"))
+    val updated = bos.toByteArray
+    val m = decodePdf(updated).get
+    assert(m.nPages === 1)
+    assert(m.nObjects === xnum) // /Size grew by the two new objects
+    assert(extractText(updated) === Some(Seq("kept line")))
+  }
+
+  test("malformed xref-stream PDFs yield None, never a throw") {
+    val good = encodeXrefPdf("1.7", Seq(Seq("abc", "def"), Seq("ghi")),
+      encrypted = false, 12)
+    // truncation sweep across the whole file
+    (1 until good.length by 5).foreach { n =>
+      decodePdf(good.take(n)); extractText(good.take(n))
+    }
+    assert(decodePdf(good.take(good.length - 8)) === None)
+    // startxref pointing at a non-object
+    val s = new String(good, "ISO-8859-1")
+    val broken = s.replaceAll("startxref\\n\\d+", "startxref\n17")
+      .getBytes("ISO-8859-1")
+    assert(decodePdf(broken) === None)
+    // corrupt the compressed xref stream payload
+    val bad = good.clone
+    val xAt = s.lastIndexOf("stream\n") + 7
+    bad(xAt + 4) = (bad(xAt + 4) ^ 0x55).toByte
+    assert(decodePdf(bad) === None)
+  }
+
+  test("the dispatcher and sniff route a modern-layout PDF") {
+    val blob = encodeXrefPdf("1.6", Seq(Seq("x"), Seq("y"), Seq("z")),
+      encrypted = false, 12)
+    assert(Multimodal.sniffContent(blob) === (("pdf", Some(3L))))
+  }
+
 }
