@@ -188,4 +188,28 @@ class DataSkippingSpec extends SparkSpec {
     assert(fSelC === fSelD && fTotC === fTotD)
     assert(fC.exceptAll(fD).isEmpty && fD.exceptAll(fC).isEmpty)
   }
+  test("writeClusteredCached reuses an identical layout and rewrites " +
+      "on any receipt mismatch") {
+    val out = java.nio.file.Files.createTempDirectory("graft_skip_cache")
+      .toFile.getAbsolutePath + "/layout"
+    val data = spark.range(2000).select($"id".as("k"),
+      ($"id" * 3).as("v"))
+    writeClusteredCached(data, $"k", span = 100L, out)
+    val part = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("fg=")).head.listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val t1 = part.lastModified()
+    Thread.sleep(20)
+    // identical input: the guard must SKIP the write
+    writeClusteredCached(data, $"k", span = 100L, out)
+    assert(part.lastModified() === t1, "cached layout was rewritten")
+    // changed span: receipt mismatch must rewrite
+    writeClusteredCached(data, $"k", span = 200L, out)
+    assert(new java.io.File(out).listFiles()
+      .count(_.getName.startsWith("fg=")) === 10)
+    // changed data: receipt mismatch must rewrite
+    writeClusteredCached(data.filter($"k" < 1000), $"k", span = 200L, out)
+    assert(spark.read.parquet(out).count() === 1000)
+  }
+
 }
