@@ -157,6 +157,8 @@ object Multimodal {
       .orElse(Compression.decodeParquetShell(b).map(m =>
         ("parquet", Some(m.footerLen))))
       .orElse(Avro.sniff(b).map(m => ("avro", Some(m.nRecords))))
+      .orElse(Font.decodeFont(b).map(m =>
+        ("font_" + m.container, m.nGlyphs.map(_.toLong))))
       .orElse {
         // tar: ustar magic + per-header checksum make text collision
         // impossible; require at least one verified member
@@ -2034,6 +2036,59 @@ object Multimodal {
                string_agg(line, chr(10) ORDER BY p, k) AS text
         FROM lines
         GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    // ----- font sniff: TTF / OTF / WOFF (round 15) ----------------------
+    // Web-asset triage: each doc becomes an sfnt (TrueType 0x00010000 /
+    // 'OTTO') or a WOFF 1.0 wrapper (zlib-compressed name table, stored
+    // head/maxp), with family/subfamily planted in BOTH the Mac Latin-1
+    // and Windows UTF-16BE name records (decoder must prefer Windows),
+    // glyph count in maxp, units-per-em in head. The oracle replays all
+    // fields from doc_id arithmetic — a misread table offset, a
+    // mis-inflated WOFF table, or a wrong name-record preference flips
+    // a row. Map-only per blob.
+    QueryDef(
+      "q398_font_sniff",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val fam = s"Fam ${id % 97}"
+            val sub = (id % 3) match {
+              case 0 => "Regular"; case 1 => "Bold"; case _ => "Italic"
+            }
+            val glyphs = (10 + id % 1000).toInt
+            val upem = if (id % 2 == 0) 2048 else 1000
+            val blob = (id % 3) match {
+              case 0 => Font.encodeSfnt("ttf", fam, sub, glyphs, upem)
+              case 1 => Font.encodeSfnt("otf", fam, sub, glyphs, upem)
+              case _ => Font.encodeWoff(if (id % 2 == 0) "ttf" else "otf",
+                fam, sub, glyphs, upem)
+            }
+            Font.decodeFont(blob) match {
+              case Some(m) => (id, m.container, m.family.getOrElse(""),
+                m.subfamily.getOrElse(""), m.nTables,
+                m.nGlyphs.getOrElse(-1), m.unitsPerEm.getOrElse(-1))
+              case None => (id, "", "", "", -1, -1, -1)
+            }
+          }
+          .toDF("doc_id", "container", "family", "subfamily", "n_tables",
+            "n_glyphs", "units_per_em")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'ttf' WHEN 1 THEN 'otf'
+                 ELSE 'woff' END AS container,
+               'Fam ' || (doc_id % 97) AS family,
+               CASE doc_id % 3 WHEN 0 THEN 'Regular' WHEN 1 THEN 'Bold'
+                 ELSE 'Italic' END AS subfamily,
+               CAST(3 AS INT) AS n_tables,
+               CAST(10 + doc_id % 1000 AS INT) AS n_glyphs,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 2048 ELSE 1000 END
+                 AS INT) AS units_per_em
+        FROM documents
         ORDER BY doc_id""")),
 
     // ----- EXIF GPS sub-IFD + IFD1 thumbnail (round 14) -----------------
