@@ -2091,6 +2091,55 @@ object Multimodal {
         FROM documents
         ORDER BY doc_id""")),
 
+    // ----- vCard parse: RFC 6350 (round 15) -----------------------------
+    // The contacts sibling of q394's iCal: unfolding (values folded at
+    // 75 octets across physical lines), parameters (TYPE=..., group
+    // prefixes item1.EMAIL), TEXT escaping in FN/N/ORG, the structured
+    // N split on unescaped ';', repeated-FN first-wins, and multi-card
+    // streams (fields from the FIRST card, every complete card
+    // counted). Oracle replays all fields from doc_id arithmetic.
+    QueryDef(
+      "q399_vcard_parse",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val version = Seq("2.1", "3.0", "4.0")((id % 3).toInt)
+            val nCards = (1 + id % 2).toInt
+            val cards = (0 until nCards).map { c =>
+              Vcard.CardFixture(s"Person ${(id + c) % 1000}",
+                s"Fam;${(id + c) % 50}", s"Giv${(id + c) % 25}",
+                s"Org, ${(id + c) % 17}",
+                (0 until ((id + c) % 4).toInt).map(i => s"e$i@x.test"),
+                (0 until ((id / 2 + c) % 3).toInt).map(i => s"+$i"))
+            }
+            val blob = Vcard.encodeVcard(version, cards)
+            Vcard.decodeVcard(blob) match {
+              case Some(m) => (id, m.version, m.fn.getOrElse(""),
+                m.family.getOrElse(""), m.given.getOrElse(""),
+                m.org.getOrElse(""), m.nEmails, m.nTels, m.nCards)
+              case None => (id, "", "", "", "", "", -1, -1, -1)
+            }
+          }
+          .toDF("doc_id", "version", "fn", "family", "given", "org",
+            "n_emails", "n_tels", "n_cards")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN '2.1' WHEN 1 THEN '3.0'
+                 ELSE '4.0' END AS version,
+               'Person ' || (doc_id % 1000) AS fn,
+               'Fam;' || (doc_id % 50) AS family,
+               'Giv' || (doc_id % 25) AS given,
+               'Org, ' || (doc_id % 17) AS org,
+               CAST(doc_id % 4 AS INT) AS n_emails,
+               CAST((doc_id // 2) % 3 AS INT) AS n_tels,
+               CAST(1 + doc_id % 2 AS INT) AS n_cards
+        FROM documents
+        ORDER BY doc_id""")),
+
     // ----- EXIF GPS sub-IFD + IFD1 thumbnail (round 14) -----------------
     // The remaining commonly-consumed EXIF families past q259's IFD0
     // walk: geolocation (tag 0x8825 → GPS IFD: hemisphere refs, three
