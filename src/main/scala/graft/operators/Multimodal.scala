@@ -2140,6 +2140,63 @@ object Multimodal {
         FROM documents
         ORDER BY doc_id""")),
 
+    // ----- torrent metainfo via bencode (round 15) ----------------------
+    // Dataset-distribution metadata: each doc becomes a BEP-3 metainfo
+    // (single-file on doc_id%3=0, multi-file otherwise with per-file
+    // planted sizes), keys emitted in the spec's sorted order, the
+    // pieces string carrying exactly ceil(total/pieceLength) 20-byte
+    // entries. The oracle replays announce/name/pieceLength and the
+    // file-size SUM + piece-count ceiling from doc_id arithmetic — a
+    // mis-parsed integer, a torn dict, or a wrong ceil flips a row.
+    QueryDef(
+      "q400_torrent_metainfo",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val pl = 16384L << (id % 3)
+            val nFiles = (1 + id % 3).toInt
+            val sizes = (0 until nFiles).map(k =>
+              100000L + (id * 13 + k * 7919) % 500000)
+            val blob = Bencode.encodeTorrent(
+              s"udp://tracker${id % 5}.example.test/ann", s"ds-${id % 1000}",
+              pl, sizes, id)
+            Bencode.decodeTorrent(blob) match {
+              case Some(m) => (id, m.announce.getOrElse(""), m.name,
+                m.pieceLength, m.nFiles, m.totalSize, m.nPieces)
+              case None => (id, "", "", -1L, -1, -1L, -1)
+            }
+          }
+          .toDF("doc_id", "announce", "name", "piece_length", "n_files",
+            "total_size", "n_pieces")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id,
+                 unnest(generate_series(0, CAST(doc_id % 3 AS INT))) AS k
+          FROM documents),
+        sz AS (
+          SELECT doc_id,
+                 CAST(sum(100000 + (doc_id * 13 + k * 7919) % 500000)
+                   AS BIGINT) AS total,
+                 CAST(count(*) AS INT) AS nf
+          FROM f GROUP BY doc_id)
+        SELECT doc_id,
+               'udp://tracker' || (doc_id % 5) || '.example.test/ann'
+                 AS announce,
+               'ds-' || (doc_id % 1000) AS name,
+               CAST(16384 * power(2, doc_id % 3) AS BIGINT)
+                 AS piece_length,
+               nf AS n_files,
+               total AS total_size,
+               CAST((total + CAST(16384 * power(2, doc_id % 3) AS BIGINT)
+                     - 1) // CAST(16384 * power(2, doc_id % 3) AS BIGINT)
+                 AS INT) AS n_pieces
+        FROM sz
+        ORDER BY doc_id""")),
+
     // ----- EXIF GPS sub-IFD + IFD1 thumbnail (round 14) -----------------
     // The remaining commonly-consumed EXIF families past q259's IFD0
     // walk: geolocation (tag 0x8825 → GPS IFD: hemisphere refs, three
