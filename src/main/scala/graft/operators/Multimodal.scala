@@ -2197,6 +2197,67 @@ object Multimodal {
         FROM sz
         ORDER BY doc_id""")),
 
+    // ----- DOCX text extraction (round 15) ------------------------------
+    // Office documents, the largest text population after HTML/PDF:
+    // each doc becomes an ECMA-376 WordprocessingML package (plain ZIP
+    // — the existing zipEntries/unzipEntry walk) whose paragraphs are
+    // SPLIT across multiple <w:t> runs by the emitter (the editor
+    // behavior extraction must undo), with tabs as <w:tab/>, entities
+    // escaped, an empty <w:p/> on id%4=0, Dublin Core title/creator,
+    // and the main part at a NON-default path on odd ids (resolved
+    // through _rels, never hard-coded). Oracle replays everything from
+    // doc_id arithmetic. Map-only per blob.
+    QueryDef(
+      "q401_docx_text_extract",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val nP = (2 + id % 3).toInt
+            val paras = (0 until nP).map { k =>
+              if (k == 0) s"t${id % 50}\tv${(id * 3) % 100}"
+              else if (k == 1 && id % 4 == 0) ""
+              else s"w$id k$k (${(id * 5 + k) % 100})"
+            }
+            val blob = Docx.encodeDocx(s"Title ${id % 40}",
+              s"Author ${id % 23}", paras,
+              mainPath = if (id % 2 == 0) "word/document.xml"
+                else s"word/part${id % 7}.xml")
+            Docx.decodeDocx(blob) match {
+              case Some(m) => (id, m.title.getOrElse(""),
+                m.creator.getOrElse(""), m.nParagraphs, m.text)
+              case None => (id, "", "", -1, "")
+            }
+          }
+          .toDF("doc_id", "title", "creator", "n_paragraphs", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH pg AS (
+          SELECT doc_id,
+                 unnest(generate_series(0, 1 + CAST(doc_id % 3 AS INT)))
+                   AS k
+          FROM documents),
+        ln AS (
+          SELECT doc_id, k,
+                 CASE
+                   WHEN k = 0 THEN 't' || (doc_id % 50) || chr(9) ||
+                     'v' || ((doc_id * 3) % 100)
+                   WHEN k = 1 AND doc_id % 4 = 0 THEN ''
+                   ELSE 'w' || doc_id || ' k' || k || ' (' ||
+                     ((doc_id * 5 + k) % 100) || ')'
+                 END AS para
+          FROM pg)
+        SELECT doc_id,
+               'Title ' || (doc_id % 40) AS title,
+               'Author ' || (doc_id % 23) AS creator,
+               CAST(COUNT(*) AS INT) AS n_paragraphs,
+               string_agg(para, chr(10) ORDER BY k) AS text
+        FROM ln
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
     // ----- EXIF GPS sub-IFD + IFD1 thumbnail (round 14) -----------------
     // The remaining commonly-consumed EXIF families past q259's IFD0
     // walk: geolocation (tag 0x8825 → GPS IFD: hemisphere refs, three
