@@ -2258,6 +2258,74 @@ object Multimodal {
         GROUP BY doc_id
         ORDER BY doc_id""")),
 
+    // ----- XLSX cell extraction (round 15) ------------------------------
+    // The tabular OOXML sibling of q401: shared-string indirection
+    // (plain + rich-run entries, deduped by the emitter), inline
+    // strings, numeric cells summed, sheet parts resolved through TWO
+    // relationship hops (package rels → workbook, workbook rels →
+    // r:id targets). Oracle replays sheet/row/cell counts, the numeric
+    // sum, and the tab/newline-joined string-cell text from doc_id
+    // arithmetic. Map-only per blob.
+    QueryDef(
+      "q402_xlsx_cell_extract",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val nSheets = (1 + id % 2).toInt
+            val sheets = (0 until nSheets).map { sh =>
+              (s"Sheet $sh", (0 until (1 + (id + sh) % 3).toInt).map { r =>
+                Seq[Either[String, Long]](
+                  Left(s"s$sh r$r d${(id * 7 + r) % 100}"),
+                  Right(id * 3 + sh * 10 + r),
+                  Left(s"k${(id + r) % 50}"),
+                  Right((id + r * 13) % 1000))
+              })
+            }
+            Xlsx.decodeXlsx(Xlsx.encodeXlsx(sheets)) match {
+              case Some(m) => (id, m.nSheets, m.firstSheetName, m.nRows,
+                m.nCells, math.rint(m.numericSum * 10000) / 10000, m.text)
+              case None => (id, -1, "", -1, -1, -1.0d, "")
+            }
+          }
+          .toDF("doc_id", "n_sheets", "first_sheet", "n_rows", "n_cells",
+            "numeric_sum", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH sh AS (
+          SELECT doc_id,
+                 unnest(generate_series(0, CAST(doc_id % 2 AS INT))) AS s
+          FROM documents),
+        rw AS (
+          SELECT doc_id, s,
+                 unnest(generate_series(0,
+                   CAST((doc_id + s) % 3 AS INT))) AS r
+          FROM sh),
+        cells AS (
+          SELECT doc_id, s, r,
+                 's' || s || ' r' || r || ' d' || ((doc_id * 7 + r) % 100)
+                   || chr(9) || 'k' || ((doc_id + r) % 50) AS rowtext,
+                 (doc_id * 3 + s * 10 + r) + ((doc_id + r * 13) % 1000)
+                   AS rowsum
+          FROM rw),
+        persheet AS (
+          SELECT doc_id, s,
+                 string_agg(rowtext, chr(10) ORDER BY r) AS stext,
+                 sum(rowsum) AS ssum, count(*) AS srows
+          FROM cells GROUP BY doc_id, s)
+        SELECT doc_id,
+               CAST(1 + doc_id % 2 AS INT) AS n_sheets,
+               'Sheet 0' AS first_sheet,
+               CAST(sum(srows) AS INT) AS n_rows,
+               CAST(sum(srows) * 4 AS INT) AS n_cells,
+               round(CAST(sum(ssum) AS DOUBLE), 4) AS numeric_sum,
+               string_agg(stext, chr(10) ORDER BY s) AS text
+        FROM persheet
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
     // ----- EXIF GPS sub-IFD + IFD1 thumbnail (round 14) -----------------
     // The remaining commonly-consumed EXIF families past q259's IFD0
     // walk: geolocation (tag 0x8825 → GPS IFD: hemisphere refs, three
