@@ -28,26 +28,7 @@ object Docx {
   final case class DocxMeta(title: Option[String], creator: Option[String],
       nParagraphs: Int, text: String)
 
-  private def decodeEntities(s: String): String =
-    s.replace("&lt;", "<").replace("&gt;", ">")
-      .replace("&quot;", "\"").replace("&apos;", "'")
-      .replace("&amp;", "&")
-
-  /** Find `<tag` at a word boundary (next char ws, '/', or '>'). */
-  private def findTag(s: String, tag: String, from: Int): Int = {
-    val pat = "<" + tag
-    var i = from
-    while (i >= 0) {
-      val k = s.indexOf(pat, i)
-      if (k < 0) return -1
-      val after = k + pat.length
-      if (after >= s.length) return -1
-      val c = s.charAt(after)
-      if (c.isWhitespace || c == '/' || c == '>') return k
-      i = k + 1
-    }
-    -1
-  }
+  import Ooxml.{decodeEntities, findTag}
 
   /** The text of one paragraph body (between `<w:p...>` and `</w:p>`):
     * all `<w:t>` runs concatenated, tabs/breaks rendered. None on a
@@ -95,44 +76,15 @@ object Docx {
     else Some(decodeEntities(s.substring(open + 1, close)))
   }
 
-  private def attrValue(s: String, name: String): Option[String] = {
-    val k = s.indexOf(name + "=\"")
-    if (k < 0) return None
-    val start = k + name.length + 2
-    val e = s.indexOf('"', start)
-    if (e < 0) None else Some(s.substring(start, e))
-  }
-
-  private val OfficeDocRel =
-    "http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument"
 
   def decodeDocx(b: Array[Byte]): Option[DocxMeta] =
     try {
       val entries = Archive.zipEntries(b).getOrElse(return None)
-      def read(name: String): Option[String] =
-        entries.find(_.name == name)
-          .flatMap(Archive.unzipEntry(b, _))
-          .map(new String(_, "UTF-8"))
-      // a WordprocessingML package MUST carry content types + the
-      // package relationships part
-      if (read("[Content_Types].xml").isEmpty) return None
-      val rels = read("_rels/.rels").getOrElse(return None)
-      // the officeDocument relationship names the main part
-      var mainPath: Option[String] = None
-      var i = 0
-      while (mainPath.isEmpty && i < rels.length) {
-        val k = findTag(rels, "Relationship", i)
-        if (k < 0) i = rels.length
-        else {
-          val end = rels.indexOf('>', k)
-          if (end < 0) return None
-          val tag = rels.substring(k, end)
-          if (attrValue(tag, "Type").contains(OfficeDocRel))
-            mainPath = attrValue(tag, "Target").map(_.stripPrefix("/"))
-          i = end + 1
-        }
-      }
-      val doc = read(mainPath.getOrElse(return None)).getOrElse(return None)
+      val read = Ooxml.readPart(b, entries) _
+      // the officeDocument relationship names the main part — a
+      // WordprocessingML package MUST carry content types + rels
+      val mainPath = Ooxml.mainPartPath(read).getOrElse(return None)
+      val doc = read(mainPath).getOrElse(return None)
       val bodyAt = findTag(doc, "w:body", 0)
       if (bodyAt < 0) return None
       // paragraph walk
@@ -169,9 +121,7 @@ object Docx {
   // fixture emitter
   // ------------------------------------------------------------------
 
-  private def esc(s: String): String =
-    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-      .replace("\"", "&quot;")
+  private def esc(s: String): String = Ooxml.escapeEntities(s)
 
   /** Emit a structurally-conformant package: content types, package
     * rels resolving the main part at `mainPath` (exercises non-default
@@ -195,7 +145,7 @@ object Docx {
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
          |<Relationship Id="rId9" Type="http://schemas.openxmlformats.org/package/2006/relationships/metadata/core-properties" Target="docProps/core.xml"/>
-         |<Relationship Id="rId1" Type="$OfficeDocRel" Target="$mainPath"/>
+         |<Relationship Id="rId1" Type="${Ooxml.OfficeDocRel}" Target="$mainPath"/>
          |</Relationships>""".stripMargin
     val core =
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>

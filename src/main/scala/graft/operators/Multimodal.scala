@@ -2326,6 +2326,139 @@ object Multimodal {
         GROUP BY doc_id
         ORDER BY doc_id""")),
 
+    // ----- PPTX slide text (round 15) -----------------------------------
+    // The third OOXML population: DrawingML runs reassemble per <a:p>,
+    // shapes count across the deck, and deck ORDER comes from
+    // <p:sldIdLst> — the emitter stores deck slide 0 in the HIGHEST
+    // numbered part file, so a file-name walk reads the deck backwards
+    // and flips every row. Oracle replays from doc_id arithmetic.
+    QueryDef(
+      "q403_pptx_slide_text",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val slides = (0 until (1 + id % 3).toInt).map { sl =>
+              (s"T$id s$sl", (0 until ((id + sl) % 3).toInt).map(p =>
+                s"b$sl.$p (${(id * 3 + sl + p) % 100})"))
+            }
+            Pptx.decodePptx(Pptx.encodePptx(slides)) match {
+              case Some(m) => (id, m.nSlides, m.nShapes, m.text)
+              case None => (id, -1, -1, "")
+            }
+          }
+          .toDF("doc_id", "n_slides", "n_shapes", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH sl AS (
+          SELECT doc_id,
+                 unnest(generate_series(0, CAST(doc_id % 3 AS INT))) AS s
+          FROM documents),
+        para AS (
+          SELECT doc_id, s, CAST((doc_id + s) % 3 AS INT) AS np
+          FROM sl),
+        body AS (
+          SELECT p.doc_id, p.s,
+                 string_agg('b' || p.s || '.' || k.k || ' (' ||
+                   ((p.doc_id * 3 + p.s + k.k) % 100) || ')',
+                   chr(10) ORDER BY k.k) AS btext
+          FROM para p, LATERAL (
+            SELECT unnest(generate_series(0, p.np - 1)) AS k) k
+          WHERE p.np > 0
+          GROUP BY p.doc_id, p.s),
+        slide AS (
+          SELECT para.doc_id, para.s,
+                 CASE WHEN para.np = 0 THEN 1 ELSE 2 END AS shapes,
+                 'T' || para.doc_id || ' s' || para.s ||
+                   CASE WHEN body.btext IS NULL THEN ''
+                        ELSE chr(10) || body.btext END AS stext
+          FROM para LEFT JOIN body
+            ON para.doc_id = body.doc_id AND para.s = body.s)
+        SELECT doc_id,
+               CAST(1 + doc_id % 3 AS INT) AS n_slides,
+               CAST(sum(shapes) AS INT) AS n_shapes,
+               string_agg(stext, chr(10) ORDER BY s) AS text
+        FROM slide
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    // ----- office-corpus triage composition (round 15) ------------------
+    // The composition contract (q384/q390 discipline): the round's
+    // document decoders feeding a DISTRIBUTED aggregation whose
+    // shuffle carries (format, n_chars) keys, never blobs. Docs route
+    // by id%5 into docx / xlsx / pptx / epub / modern-PDF containers;
+    // each decodes map-side to (format, extracted-text length), then
+    // one groupBy yields the corpus profile. The oracle replays the
+    // per-format doc counts and summed text lengths arithmetically.
+    QueryDef(
+      "q404_office_corpus_profile",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            (id % 5) match {
+              case 0 =>
+                val m = Docx.decodeDocx(Docx.encodeDocx(s"t$id", "a",
+                  Seq(s"p$id one", s"q${id % 7} two"))).get
+                ("docx", m.text.length.toLong)
+              case 1 =>
+                val m = Xlsx.decodeXlsx(Xlsx.encodeXlsx(Seq(("s",
+                  Seq(Seq(Left(s"c$id"), Right(id))))))).get
+                ("xlsx", m.text.length.toLong)
+              case 2 =>
+                val m = Pptx.decodePptx(Pptx.encodePptx(
+                  Seq((s"title $id", Seq(s"b${id % 9}"))))).get
+                ("pptx", m.text.length.toLong)
+              case 3 =>
+                val m = Epub.decodeEpub(Epub.encodeEpub(s"T$id", "A",
+                  "en", s"id$id", (1 + id % 3).toInt)).get
+                ("epub", m.title.getOrElse("").length.toLong)
+              case _ =>
+                val lines = Pdf.extractText(Pdf.encodeXrefPdf("1.7",
+                  Seq(Seq(s"line $id", s"next ${id % 13}")),
+                  encrypted = false, predictor = 12)).get
+                ("pdf", lines.mkString("\n").length.toLong)
+            }
+          }
+          .toDF("format", "n_chars")
+          .groupBy($"format")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_chars").as("total_chars"))
+          .orderBy($"format")
+      },
+      Some("""
+        WITH routed AS (
+          SELECT doc_id,
+                 CASE doc_id % 5
+                   WHEN 0 THEN 'docx' WHEN 1 THEN 'xlsx'
+                   WHEN 2 THEN 'pptx' WHEN 3 THEN 'epub'
+                   ELSE 'pdf' END AS format,
+                 CASE doc_id % 5
+                   -- docx: 'p<id> one' || \n || 'q<id%7> two'
+                   WHEN 0 THEN len('p' || doc_id || ' one') + 1 +
+                     len('q' || (doc_id % 7) || ' two')
+                   -- xlsx text: the single string cell 'c<id>'
+                   WHEN 1 THEN len('c' || doc_id)
+                   -- pptx: 'title <id>' || \n || 'b<id%9>'
+                   WHEN 2 THEN len('title ' || doc_id) + 1 +
+                     len('b' || (doc_id % 9))
+                   -- epub: the title 'T<id>'
+                   WHEN 3 THEN len('T' || doc_id)
+                   -- pdf: 'line <id>' || \n || 'next <id%13>'
+                   ELSE len('line ' || doc_id) + 1 +
+                     len('next ' || (doc_id % 13))
+                 END AS n_chars
+          FROM documents)
+        SELECT format,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM routed
+        GROUP BY format
+        ORDER BY format""")),
+
     // ----- EXIF GPS sub-IFD + IFD1 thumbnail (round 14) -----------------
     // The remaining commonly-consumed EXIF families past q259's IFD0
     // walk: geolocation (tag 0x8825 → GPS IFD: hemisphere refs, three

@@ -27,40 +27,7 @@ object Xlsx {
   final case class XlsxMeta(nSheets: Int, firstSheetName: String,
       nRows: Int, nCells: Int, numericSum: Double, text: String)
 
-  private def decodeEntities(s: String): String =
-    s.replace("&lt;", "<").replace("&gt;", ">")
-      .replace("&quot;", "\"").replace("&apos;", "'")
-      .replace("&amp;", "&")
-
-  /** `<tag` at a word boundary (next char ws, '/', or '>'). */
-  private def findTag(s: String, tag: String, from: Int): Int = {
-    val pat = "<" + tag
-    var i = from
-    while (i >= 0) {
-      val k = s.indexOf(pat, i)
-      if (k < 0) return -1
-      val after = k + pat.length
-      if (after >= s.length) return -1
-      val c = s.charAt(after)
-      if (c.isWhitespace || c == '/' || c == '>') return k
-      i = k + 1
-    }
-    -1
-  }
-
-  private def attrValue(tag: String, name: String): Option[String] = {
-    val k = tag.indexOf(name + "=\"")
-    if (k < 0) return None
-    // attribute-name boundary: r:id must not satisfy id
-    if (k > 0 && { val c = tag.charAt(k - 1)
-      c.isLetterOrDigit || c == ':' }) {
-      val rest = tag.substring(k + 1)
-      return attrValue(rest, name) // scan past the false hit
-    }
-    val start = k + name.length + 2
-    val e = tag.indexOf('"', start)
-    if (e < 0) None else Some(tag.substring(start, e))
-  }
+  import Ooxml.{attrValue, blocks, decodeEntities, findTag, tagBody}
 
   /** Concatenated text of every `<t>` element inside `s` (the shared-
     * string-item / inlineStr shape: plain or rich-text runs). None on
@@ -87,47 +54,12 @@ object Xlsx {
     Some(out.toString)
   }
 
-  /** Blocks of `<tag ...>...</tag>` (or self-closing) in order;
-    * returns (attrs-tag-text, body). None on a torn block. */
-  private def blocks(s: String, tag: String)
-      : Option[Seq[(String, String)]] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var i = 0
-    var scanning = true
-    while (scanning) {
-      val k = findTag(s, tag, i)
-      if (k < 0) scanning = false
-      else {
-        val open = s.indexOf('>', k)
-        if (open < 0) return None
-        if (s.charAt(open - 1) == '/') {
-          out += ((s.substring(k, open), ""))
-          i = open + 1
-        } else {
-          val close = s.indexOf(s"</$tag>", open)
-          if (close < 0) return None
-          out += ((s.substring(k, open), s.substring(open + 1, close)))
-          i = close + tag.length + 3
-        }
-      }
-    }
-    Some(out.toSeq)
-  }
-
   def decodeXlsx(b: Array[Byte]): Option[XlsxMeta] =
     try {
       val entries = Archive.zipEntries(b).getOrElse(return None)
-      def read(name: String): Option[String] =
-        entries.find(_.name == name)
-          .flatMap(Archive.unzipEntry(b, _))
-          .map(new String(_, "UTF-8"))
-      if (read("[Content_Types].xml").isEmpty) return None
+      val read = Ooxml.readPart(b, entries) _
       // hop 1: package rels -> workbook part
-      val rels = read("_rels/.rels").getOrElse(return None)
-      val wbPath = blocks(rels, "Relationship").getOrElse(return None)
-        .find(_._1.contains("/officeDocument\""))
-        .flatMap(r => attrValue(r._1, "Target")).map(_.stripPrefix("/"))
-        .getOrElse(return None)
+      val wbPath = Ooxml.mainPartPath(read).getOrElse(return None)
       val wb = read(wbPath).getOrElse(return None)
       val wbDir = wbPath.lastIndexOf('/') match {
         case -1 => ""
@@ -197,24 +129,11 @@ object Xlsx {
         sheetTexts.mkString("\n")))
     } catch { case _: Exception => None }
 
-  /** First `<tag>body</tag>` body inside `s` (no nesting). */
-  private def tagBody(s: String, tag: String): Option[String] = {
-    val k = findTag(s, tag, 0)
-    if (k < 0) return None
-    val open = s.indexOf('>', k)
-    if (open < 0) return None
-    if (s.charAt(open - 1) == '/') return Some("")
-    val close = s.indexOf(s"</$tag>", open)
-    if (close < 0) None else Some(s.substring(open + 1, close))
-  }
-
   // ------------------------------------------------------------------
   // fixture emitter
   // ------------------------------------------------------------------
 
-  private def esc(s: String): String =
-    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-      .replace("\"", "&quot;")
+  private def esc(s: String): String = Ooxml.escapeEntities(s)
 
   /** A fixture cell: Left = string (even shared indexes emit as PLAIN
     * `<t>`, odd as RICH runs; every third string cell inline instead
