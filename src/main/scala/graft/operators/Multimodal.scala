@@ -2459,6 +2459,53 @@ object Multimodal {
         GROUP BY format
         ORDER BY format""")),
 
+    // ----- RTF text extraction (round 15) -------------------------------
+    // The legacy office population: brace-grouped control stream whose
+    // font/color/stylesheet tables, starred destinations, and info
+    // block carry DECOY content that must not leak into the text;
+    // escapes (\{ \} \\ \'hh \uN? \tab) decode; the info title is
+    // captured. Oracle replays title and paragraphs (incl. the \'hh
+    // accent path and tabs) from doc_id arithmetic. Map-only per blob.
+    QueryDef(
+      "q405_rtf_text_extract",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val paras = (0 until (1 + id % 3).toInt).map {
+              case 0 => s"café ${id % 100}"
+              case 1 => s"tab\tsep ${id % 7}"
+              case _ => s"plain {$id} \\end"
+            }
+            Rtf.decodeRtf(Rtf.encodeRtf(s"Doc $id", paras)) match {
+              case Some(m) => (id, m.title.getOrElse(""), m.text)
+              case None => (id, "", "")
+            }
+          }
+          .toDF("doc_id", "title", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH pg AS (
+          SELECT doc_id,
+                 unnest(generate_series(0, CAST(doc_id % 3 AS INT))) AS k
+          FROM documents),
+        ln AS (
+          SELECT doc_id, k,
+                 CASE k
+                   WHEN 0 THEN 'café ' || (doc_id % 100)
+                   WHEN 1 THEN 'tab' || chr(9) || 'sep ' || (doc_id % 7)
+                   ELSE 'plain {' || doc_id || '} \end'
+                 END AS para
+          FROM pg)
+        SELECT doc_id,
+               'Doc ' || doc_id AS title,
+               string_agg(para, chr(10) ORDER BY k) AS text
+        FROM ln
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
     // ----- EXIF GPS sub-IFD + IFD1 thumbnail (round 14) -----------------
     // The remaining commonly-consumed EXIF families past q259's IFD0
     // walk: geolocation (tag 0x8825 → GPS IFD: hemisphere refs, three
