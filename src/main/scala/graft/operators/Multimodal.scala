@@ -167,10 +167,27 @@ object Multimodal {
       }
       .orElse {
         // zip: 'PK' gate first so the 64 KiB EOCD back-scan never runs
-        // on plain text blobs
+        // on plain text blobs. Container refinement: OOXML and EPUB
+        // packages are zips with a distinguishing part — route by the
+        // REAL decode (full-structure gate, same anti-misroute
+        // discipline as the rest of the chain) and fall back to the
+        // plain zip entry count when the package does not decode.
         if (b != null && b.length >= 4 && b(0) == 'P' && b(1) == 'K')
-          Archive.zipEntries(b).filter(_.nonEmpty)
-            .map(es => ("zip", Some(es.size.toLong)))
+          Archive.zipEntries(b).filter(_.nonEmpty).map { es =>
+            if (es.exists(_.name == "[Content_Types].xml"))
+              Docx.decodeDocx(b)
+                .map(m => ("docx", Some(m.nParagraphs.toLong)))
+                .orElse(Xlsx.decodeXlsx(b)
+                  .map(m => ("xlsx", Some(m.nCells.toLong))))
+                .orElse(Pptx.decodePptx(b)
+                  .map(m => ("pptx", Some(m.nSlides.toLong))))
+                .getOrElse(("zip", Some(es.size.toLong)))
+            else if (es.exists(_.name == "mimetype"))
+              Epub.decodeEpub(b)
+                .map(m => ("epub", Some(m.nSpine.toLong)))
+                .getOrElse(("zip", Some(es.size.toLong)))
+            else ("zip", Some(es.size.toLong))
+          }
         else None
       }
       .getOrElse {

@@ -85,4 +85,22 @@ class DocxSpec extends AnyFunSuite {
     (1 until good.length by 7).foreach(n => decodeDocx(good.take(n)))
     assert(decodeDocx(null) === None)
   }
+  test("the dispatcher routes OOXML and EPUB containers by real " +
+      "decode; plain zips stay zip") {
+    import Multimodal.sniffContent
+    assert(sniffContent(encodeDocx("t", "c", Seq("a", "b")))
+      === (("docx", Some(2L))))
+    assert(sniffContent(Xlsx.encodeXlsx(Seq(("s",
+      Seq(Seq(Left("x"), Right(1L)))))))
+      === (("xlsx", Some(2L))))
+    assert(sniffContent(Pptx.encodePptx(Seq(("t", Seq("p")), ("u", Nil))))
+      === (("pptx", Some(2L))))
+    assert(sniffContent(Epub.encodeEpub("t", "a", "en", "i", 3))
+      === (("epub", Some(3L))))
+    assert(sniffContent(Archive.encodeZip(Seq(
+      ("a.txt", "hello".getBytes, true),
+      ("b.txt", "world".getBytes, false))))
+      === (("zip", Some(2L))))
+  }
+
 }
