@@ -91,6 +91,13 @@ object Rtf {
               // the one-space delimiter is consumed
               if (j < s.length && s.charAt(j) == ' ') j += 1
               word match {
+                case "bin" =>
+                  // \binN is followed by N RAW bytes (picture data) —
+                  // walking them as RTF would desync the brace scan on
+                  // any byte that happens to be { } \
+                  if (!hasParam || neg || param < 0 ||
+                    j.toLong + param > s.length) return None
+                  j += param
                 case "par" | "line" => emit('\n')
                 case "tab" => emit('\t')
                 case "uc" =>

@@ -63,4 +63,13 @@ class RtfSpec extends AnyFunSuite {
     val good = encodeRtf("T", Seq("some body", "more"))
     (1 until good.length by 3).foreach(n => decodeRtf(good.take(n)))
   }
+  test("\\binN raw bytes are skipped, not walked as RTF") {
+    // 4 raw bytes including { and \\ that would desync a naive scan
+    val rtf = ("{\\rtf1{\\pict\\bin4 " + "{\\}x" + "}after}")
+      .getBytes("ISO-8859-1")
+    assert(decodeRtf(rtf).get.text === "after")
+    // a declared run past the end is a tear
+    assert(decodeRtf("{\\rtf1\\bin999 x}".getBytes) === None)
+  }
+
 }
