@@ -219,19 +219,25 @@ object Extras {
         import s.implicits._
         t(s, dir, "orders")
           .groupBy($"o_orderpriority")
+          // money cells in integer CENTS (MoneyGuard discipline): a
+          // Double sum over ~100k rows per pivot cell is partition-
+          // order dependent in its last ULPs — same hazard q10 hit
           .pivot("o_orderstatus", Seq("F", "O", "P"))
-          .agg(round(sum($"o_totalprice"), 4))
-          .na.fill(0.0, Seq("F", "O", "P"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")))
+          .na.fill(0L, Seq("F", "O", "P"))
           .orderBy($"o_orderpriority")
       },
       Some("""
         SELECT o_orderpriority,
-               coalesce(round(sum(CASE WHEN o_orderstatus = 'F'
-                                       THEN o_totalprice END), 4), 0) AS F,
-               coalesce(round(sum(CASE WHEN o_orderstatus = 'O'
-                                       THEN o_totalprice END), 4), 0) AS O,
-               coalesce(round(sum(CASE WHEN o_orderstatus = 'P'
-                                       THEN o_totalprice END), 4), 0) AS P
+               coalesce(CAST(sum(CASE WHEN o_orderstatus = 'F'
+                   THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                 END) AS BIGINT), 0) AS F,
+               coalesce(CAST(sum(CASE WHEN o_orderstatus = 'O'
+                   THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                 END) AS BIGINT), 0) AS O,
+               coalesce(CAST(sum(CASE WHEN o_orderstatus = 'P'
+                   THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                 END) AS BIGINT), 0) AS P
         FROM orders
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority""")),

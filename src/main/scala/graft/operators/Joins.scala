@@ -205,11 +205,19 @@ object Joins {
           .groupBy($"band")
           .agg(
             count(lit(1)).as("n_items"),
-            round(sum($"l_extendedprice"), 4).as("base_price"))
+            // money sums in integer cents (the MoneyGuard discipline):
+            // a Double sum over millions of rows is partition-order
+            // dependent in its last ULPs, and round(...,4) flips when
+            // the true value sits on a 1e-4 boundary — it flaked ONCE
+            // in a 135-query sf1 chunk this way
+            sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+              .as("base_price_cents"))
           .orderBy($"band")
       },
       Some("""
-        SELECT band, count(*) AS n_items, round(sum(l_extendedprice), 4) AS base_price
+        SELECT band, count(*) AS n_items,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 AS BIGINT) AS base_price_cents
         FROM lineitem
         JOIN (VALUES (1.0, 10.0, 'low'), (11.0, 25.0, 'mid'), (26.0, 50.0, 'high'))
              AS bands(lo, hi, band)
