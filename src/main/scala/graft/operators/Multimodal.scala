@@ -2523,6 +2523,75 @@ object Multimodal {
         GROUP BY doc_id
         ORDER BY doc_id""")),
 
+    // ----- PDF multi-level page trees (round 15) ------------------------
+    // Large real-world PDFs balance their page tree through
+    // intermediate /Type /Pages nodes; q397's flat walk would miss
+    // every page under one. Fixtures build a two-level tree (fanout
+    // 2 or 3 by id) inside the ObjStm; the oracle counts the
+    // intermediates (ceil(n/f), flattened when the grouping would
+    // yield a single node) and replays the planted text — a walk that
+    // read leaves in file order instead of TREE order scrambles text.
+    QueryDef(
+      "q406_pdf_page_tree",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val nPages = (3 + id % 6).toInt
+            val fanout = (2 + id % 2).toInt
+            val pages = (0 until nPages).map { p =>
+              (0 until (1 + (id + p) % 2).toInt).map(k =>
+                s"t$id p$p l$k (${(id * 17 + p * 3 + k) % 100})")
+            }
+            val blob = Pdf.encodeXrefPdf("1.7", pages, encrypted = false,
+              predictor = if (id % 2 == 0) 12 else 1,
+              treeFanout = fanout)
+            (Pdf.decodePdf(blob), Pdf.extractText(blob)) match {
+              case (Some(m), Some(lines)) =>
+                (id, m.nPages, m.nObjects, lines.length,
+                  lines.mkString("\n"))
+              case _ => (id, -1, -1, -1, "")
+            }
+          }
+          .toDF("doc_id", "n_pages", "n_objects", "n_lines", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(3 + doc_id % 6 AS INT) AS n,
+                 CAST(2 + doc_id % 2 AS INT) AS f
+          FROM documents),
+        cnt AS (
+          SELECT doc_id, n, f,
+                 CASE WHEN (n + f - 1) // f >= 2
+                      THEN (n + f - 1) // f ELSE 0 END AS nint
+          FROM base),
+        pg AS (
+          SELECT doc_id, unnest(generate_series(0, n - 1)) AS p
+          FROM base),
+        ln AS (
+          SELECT doc_id, p,
+                 unnest(generate_series(0,
+                   CAST((doc_id + p) % 2 AS INT))) AS k
+          FROM pg),
+        lines AS (
+          SELECT doc_id, p, k,
+                 't' || doc_id || ' p' || p || ' l' || k || ' (' ||
+                   ((doc_id * 17 + p * 3 + k) % 100) || ')' AS line
+          FROM ln),
+        agg AS (
+          SELECT doc_id, CAST(COUNT(*) AS INT) AS n_lines,
+                 string_agg(line, chr(10) ORDER BY p, k) AS text
+          FROM lines GROUP BY doc_id)
+        SELECT cnt.doc_id,
+               cnt.n AS n_pages,
+               CAST(5 + 2 * cnt.n + cnt.nint AS INT) AS n_objects,
+               agg.n_lines, agg.text
+        FROM cnt JOIN agg ON cnt.doc_id = agg.doc_id
+        ORDER BY cnt.doc_id""")),
+
     // ----- EXIF GPS sub-IFD + IFD1 thumbnail (round 14) -----------------
     // The remaining commonly-consumed EXIF families past q259's IFD0
     // walk: geolocation (tag 0x8825 → GPS IFD: hemisphere refs, three

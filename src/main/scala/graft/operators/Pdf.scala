@@ -722,31 +722,53 @@ object Pdf {
       val (cb, cFrom, cUntil) = rd.view(idx.root).getOrElse(return None)
       val pagesRef = refAfter(cb, "/Pages", cFrom, cUntil)
         .getOrElse(return None)
-      val (pb, pFrom, pUntil) = rd.view(pagesRef).getOrElse(return None)
-      // kids list: refs inside /Kids [ ... ] (flat page tree)
-      val kidsAt = indexOf(pb, "/Kids", pFrom, pUntil)
-      if (kidsAt < 0) return None
-      val open = indexOf(pb, "[", kidsAt, pUntil)
-      val close = indexOf(pb, "]", open, pUntil)
-      if (open < 0 || close < 0) return None
-      val kids = scala.collection.mutable.ArrayBuffer.empty[Long]
-      var k = open + 1
-      while (k < close) {
-        parseLong(pb, k) match {
-          case Some((num, after)) =>
-            val afterGen = parseLong(pb, after).map(_._2)
-              .getOrElse(return None)
-            var r = afterGen
-            while (r < close && (pb(r) == ' ' || pb(r) == '\r' ||
-              pb(r) == '\n')) r += 1
-            if (r >= close || pb(r) != 'R') return None
-            kids += num
-            k = r + 1
-          case None => k = close
+      // page-tree walk: /Kids may nest through intermediate /Type
+      // /Pages nodes (every large real-world PDF balances its tree
+      // this way); leaves are the page dicts. Depth- and count-
+      // bounded; leaves collected in tree order.
+      def parseKids(buf: Array[Byte], from: Int, until: Int)
+          : Option[Seq[Long]] = {
+        val kidsAt = indexOf(buf, "/Kids", from, until)
+        if (kidsAt < 0) return None
+        val open = indexOf(buf, "[", kidsAt, until)
+        val close = indexOf(buf, "]", open, until)
+        if (open < 0 || close < 0) return None
+        val kids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var k = open + 1
+        while (k < close) {
+          parseLong(buf, k) match {
+            case Some((num, after)) =>
+              val afterGen = parseLong(buf, after).map(_._2)
+                .getOrElse(return None)
+              var r = afterGen
+              while (r < close && (buf(r) == ' ' || buf(r) == '\r' ||
+                buf(r) == '\n')) r += 1
+              if (r >= close || buf(r) != 'R') return None
+              kids += num
+              k = r + 1
+            case None => k = close
+          }
+        }
+        Some(kids.toSeq)
+      }
+      val leaves = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def walk(node: Long, depth: Int): Boolean = { // false = malformed
+        if (depth > 16 || leaves.length > 1000000) return false
+        rd.view(node) match {
+          case Some((nb, nFrom, nUntil)) =>
+            if (indexOf(nb, "/Type /Pages", nFrom, nUntil) >= 0 ||
+              indexOf(nb, "/Type/Pages", nFrom, nUntil) >= 0)
+              parseKids(nb, nFrom, nUntil) match {
+                case Some(ks) => ks.forall(walk(_, depth + 1))
+                case None => false
+              }
+            else { leaves += node; true }
+          case None => false
         }
       }
+      if (!walk(pagesRef, 0)) return None
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      kids.foreach { kid =>
+      leaves.foreach { kid =>
         val (kb, kFrom, kUntil) = rd.view(kid).getOrElse(return None)
         refAfter(kb, "/Contents", kFrom, kUntil).foreach { cs =>
           // a content STREAM's bytes always live in the file — the
@@ -900,16 +922,27 @@ object Pdf {
     * extractText() is the identity on `pages`' lines (unencrypted);
     * decodePdf() reads version/pages/objects/encryption. */
   def encodeXrefPdf(version: String, pages: Seq[Seq[String]],
-      encrypted: Boolean, predictor: Int): Array[Byte] = {
+      encrypted: Boolean, predictor: Int,
+      treeFanout: Int = 0): Array[Byte] = {
     require(version.matches("\\d\\.\\d"), s"version is M.m: $version")
     require(pages.nonEmpty, "at least one page")
     require(predictor == 1 || predictor == 12, "predictor 1 or 12")
+    require(treeFanout == 0 || treeFanout >= 2, "fanout 0 (flat) or >=2")
     val n = pages.length
+    // BALANCED page tree (the large real-PDF layout): group the page
+    // dicts under intermediate /Pages nodes of `treeFanout` kids; a
+    // grouping that would yield a single intermediate stays flat
+    val nInt =
+      if (treeFanout >= 2) {
+        val g = (n + treeFanout - 1) / treeFanout
+        if (g >= 2) g else 0
+      } else 0
     val fontObj = 3 + n
-    val contentBase = 4 + n // content streams: contentBase..contentBase+n-1
-    val objStmNum = 4 + 2 * n
-    val encObj = if (encrypted) Some(5 + 2 * n) else None
-    val xrefNum = 5 + 2 * n + (if (encrypted) 1 else 0)
+    val intBase = 4 + n // intermediate /Pages nodes (in the ObjStm)
+    val contentBase = 4 + n + nInt // content streams (in the file)
+    val objStmNum = 4 + 2 * n + nInt
+    val encObj = if (encrypted) Some(5 + 2 * n + nInt) else None
+    val xrefNum = 5 + 2 * n + nInt + (if (encrypted) 1 else 0)
     val size = xrefNum + 1
     val out = new ByteArrayOutputStream(1024)
     def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
@@ -931,15 +964,25 @@ object Pdf {
     // the object stream: catalog, pages root, page dicts, font
     val inner = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
     inner += 1 -> "<< /Type /Catalog /Pages 2 0 R >>"
-    val kids = (0 until n).map(k2 => s"${3 + k2} 0 R").mkString(" ")
-    inner += 2 -> s"<< /Type /Pages /Kids [$kids] /Count $n >>"
+    val rootKids =
+      if (nInt == 0) (0 until n).map(k2 => s"${3 + k2} 0 R")
+      else (0 until nInt).map(g => s"${intBase + g} 0 R")
+    inner += 2 ->
+      s"<< /Type /Pages /Kids [${rootKids.mkString(" ")}] /Count $n >>"
     (0 until n).foreach { k2 =>
-      inner += (3 + k2) -> ("<< /Type /Page /Parent 2 0 R " +
+      val parent = if (nInt == 0) 2 else intBase + k2 / treeFanout
+      inner += (3 + k2) -> (s"<< /Type /Page /Parent $parent 0 R " +
         s"/Resources << /Font << /F1 $fontObj 0 R >> >> " +
         s"/Contents ${contentBase + k2} 0 R >>")
     }
     inner += fontObj ->
       "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    (0 until nInt).foreach { g =>
+      val members = (g * treeFanout) until math.min(n, (g + 1) * treeFanout)
+      val ks = members.map(k2 => s"${3 + k2} 0 R").mkString(" ")
+      inner += (intBase + g) -> ("<< /Type /Pages /Parent 2 0 R " +
+        s"/Kids [$ks] /Count ${members.length} >>")
+    }
     val bodies = inner.map(_._2 + " ")
     val innerOffs = bodies.scanLeft(0)(_ + _.length).init
     val header = inner.map(_._1).zip(innerOffs)

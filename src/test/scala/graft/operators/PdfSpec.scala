@@ -213,4 +213,22 @@ class PdfSpec extends AnyFunSuite {
     assert(Multimodal.sniffContent(blob) === (("pdf", Some(3L))))
   }
 
+  test("multi-level page trees: intermediate /Pages nodes walk in " +
+      "tree order; flat and tree layouts extract identically") {
+    checkProp(Prop.forAll(Gen.choose(3, 12), Gen.choose(2, 4),
+        Gen.choose(0L, 999L)) { (np, fanout, seed) =>
+      val pages = (0 until np).map(p =>
+        (0 until (1 + (seed + p) % 3).toInt).map(k => s"p$p l$k ($seed)"))
+      val flat = encodeXrefPdf("1.7", pages, encrypted = false, 12)
+      val tree = encodeXrefPdf("1.7", pages, encrypted = false, 12,
+        treeFanout = fanout)
+      val nInt = { val g = (np + fanout - 1) / fanout
+        if (g >= 2) g else 0 }
+      decodePdf(tree).contains(PdfMeta("1.7", np, 5 + 2 * np + nInt,
+        false)) &&
+        extractText(tree) == extractText(flat) &&
+        extractText(tree).contains(pages.flatten)
+    })
+  }
+
 }
