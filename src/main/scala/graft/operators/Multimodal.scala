@@ -2592,6 +2592,81 @@ object Multimodal {
         FROM cnt JOIN agg ON cnt.doc_id = agg.doc_id
         ORDER BY cnt.doc_id""")),
 
+    // ----- Jupyter notebook extraction (round 15) -----------------------
+    // The code-crawl population with prose and code interleaved: cells
+    // dispatch by type, `source` arrives as BOTH legal shapes (array
+    // of lines with their own newlines on even cells, one string on
+    // odd — the emitter alternates), outputs count only on code
+    // cells, the kernel language reads from metadata.language_info.
+    // Strict JSON parsing (escapes, no trailing garbage). Oracle
+    // replays counts and the concatenated sources from doc_id
+    // arithmetic. Map-only per blob.
+    QueryDef(
+      "q407_ipynb_extract",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val nCells = (2 + id % 4).toInt
+            val lang = Seq("python", "r", "julia")((id % 3).toInt)
+            val cells = (0 until nCells).map { c =>
+              (c % 3) match {
+                case 0 => ("markdown", s"## s$id c$c", 0)
+                case 1 => ("code",
+                  s"x$c = ${id * 3 + c}\nprint(x$c)",
+                  ((id + c) % 3).toInt)
+                case _ => ("raw", s"r${(id + c) % 50}", 0)
+              }
+            }
+            Ipynb.decodeIpynb(Ipynb.encodeIpynb(lang, cells)) match {
+              case Some(m) => (id, m.nbformat, m.language.getOrElse(""),
+                m.nCells, m.nCode, m.nMarkdown, m.nRaw, m.nOutputs,
+                m.text)
+              case None => (id, -1, "", -1, -1, -1, -1, -1, "")
+            }
+          }
+          .toDF("doc_id", "nbformat", "language", "n_cells", "n_code",
+            "n_markdown", "n_raw", "n_outputs", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH cl AS (
+          SELECT doc_id,
+                 unnest(generate_series(0, 1 + CAST(doc_id % 4 AS INT)))
+                   AS c
+          FROM documents),
+        cell AS (
+          SELECT doc_id, c,
+                 CASE c % 3
+                   WHEN 0 THEN 'markdown' WHEN 1 THEN 'code'
+                   ELSE 'raw' END AS tpe,
+                 CASE c % 3
+                   WHEN 0 THEN '## s' || doc_id || ' c' || c
+                   WHEN 1 THEN 'x' || c || ' = ' || (doc_id * 3 + c) ||
+                     chr(10) || 'print(x' || c || ')'
+                   ELSE 'r' || ((doc_id + c) % 50)
+                 END AS src,
+                 CASE WHEN c % 3 = 1 THEN CAST((doc_id + c) % 3 AS INT)
+                      ELSE 0 END AS n_out
+          FROM cl)
+        SELECT doc_id,
+               CAST(4 AS INT) AS nbformat,
+               CASE doc_id % 3 WHEN 0 THEN 'python' WHEN 1 THEN 'r'
+                 ELSE 'julia' END AS language,
+               CAST(COUNT(*) AS INT) AS n_cells,
+               CAST(sum(CASE WHEN tpe = 'code' THEN 1 ELSE 0 END)
+                 AS INT) AS n_code,
+               CAST(sum(CASE WHEN tpe = 'markdown' THEN 1 ELSE 0 END)
+                 AS INT) AS n_markdown,
+               CAST(sum(CASE WHEN tpe = 'raw' THEN 1 ELSE 0 END)
+                 AS INT) AS n_raw,
+               CAST(sum(n_out) AS INT) AS n_outputs,
+               string_agg(src, chr(10) ORDER BY c) AS text
+        FROM cell
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
     // ----- EXIF GPS sub-IFD + IFD1 thumbnail (round 14) -----------------
     // The remaining commonly-consumed EXIF families past q259's IFD0
     // walk: geolocation (tag 0x8825 → GPS IFD: hemisphere refs, three
