@@ -2667,6 +2667,73 @@ object Multimodal {
         GROUP BY doc_id
         ORDER BY doc_id""")),
 
+    // ----- cross-format content dedup (round 15) ------------------------
+    // The composition the office/text extractors exist for: the SAME
+    // logical document shipped as DOCX, RTF, modern PDF, and a Jupyter
+    // notebook (groups of four consecutive ids share content) must
+    // collapse to ONE cluster once extraction normalizes away the
+    // container. Extraction is map-side per blob; the dedup groupBy
+    // shuffles xxhash64(text) 8-byte keys plus tiny aggregates — never
+    // text, never blobs (the q384 discipline at the content level).
+    // The oracle replays clusters from doc_id // 4 arithmetic — one
+    // extractor emitting even one byte differently from its siblings
+    // splits a cluster and flips rows.
+    QueryDef(
+      "q408_crossformat_content_dedup",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val g = id / 4
+            val lines = (0 until (2 + g % 3).toInt).map(k =>
+              s"content g$g line $k (${(g * 7 + k) % 100})")
+            val text = (id % 4) match {
+              case 0 => Docx.decodeDocx(
+                Docx.encodeDocx(s"T$g", "A", lines)).get.text
+              case 1 => Rtf.decodeRtf(
+                Rtf.encodeRtf(s"T$g", lines)).get.text
+              case 2 => Pdf.extractText(Pdf.encodeXrefPdf("1.7",
+                Seq(lines), encrypted = false, predictor = 12))
+                .get.mkString("\n")
+              case _ => Ipynb.decodeIpynb(Ipynb.encodeIpynb("python",
+                lines.map(l => ("markdown", l, 0)))).get.text
+            }
+            (id, Seq("docx", "rtf", "pdf", "ipynb")((id % 4).toInt), text)
+          }
+          .toDF("doc_id", "format", "text")
+          .groupBy(xxhash64($"text"))
+          .agg(min($"doc_id").as("canonical_id"),
+            count(lit(1)).as("n_copies"),
+            countDistinct($"format").as("n_formats"),
+            first(length($"text")).as("text_len"))
+          .drop("xxhash64(text)")
+          .orderBy($"canonical_id")
+      },
+      Some("""
+        WITH g AS (
+          SELECT DISTINCT doc_id // 4 AS grp FROM documents),
+        ln AS (
+          SELECT grp,
+                 unnest(generate_series(0, 1 + CAST(grp % 3 AS INT)))
+                   AS k
+          FROM g),
+        content AS (
+          SELECT grp,
+                 string_agg('content g' || grp || ' line ' || k ||
+                   ' (' || ((grp * 7 + k) % 100) || ')',
+                   chr(10) ORDER BY k) AS text
+          FROM ln GROUP BY grp),
+        members AS (
+          SELECT doc_id // 4 AS grp, doc_id FROM documents)
+        SELECT min(members.doc_id) AS canonical_id,
+               count(*) AS n_copies,
+               count(DISTINCT members.doc_id % 4) AS n_formats,
+               CAST(any_value(len(content.text)) AS INT) AS text_len
+        FROM members JOIN content ON members.grp = content.grp
+        GROUP BY members.grp
+        ORDER BY canonical_id""")),
+
     // ----- EXIF GPS sub-IFD + IFD1 thumbnail (round 14) -----------------
     // The remaining commonly-consumed EXIF families past q259's IFD0
     // walk: geolocation (tag 0x8825 → GPS IFD: hemisphere refs, three
