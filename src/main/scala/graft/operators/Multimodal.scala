@@ -2734,6 +2734,86 @@ object Multimodal {
         GROUP BY members.grp
         ORDER BY canonical_id""")),
 
+    // ----- YAML front matter (round 15) ---------------------------------
+    // The static-site corpus channel: Markdown documents with ---
+    // fenced YAML carrying the publication metadata a curation
+    // pipeline filters on. The subset parser handles quoted/typed
+    // scalars, flow lists, nested maps, block sequences of maps, and
+    // literal blocks — and REJECTS anchors/aliases/tags/flow maps
+    // rather than guessing. Oracle replays every extracted field from
+    // doc_id arithmetic. Map-only per blob.
+    QueryDef(
+      "q409_yaml_front_matter",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val tags = (0 until (id % 4).toInt).map(k => s"t${(id + k) % 20}")
+            val blob = Yaml.encodeFrontMatter(
+              s"""Post "$id"""", f"2024-${1 + id % 12}%02d-${1 + id % 28}%02d",
+              tags, draft = id % 2 == 0, weight = id % 1000 - 500,
+              body = s"# Body $id\ncontent ${id % 7}")
+            Yaml.frontMatter(blob) match {
+              case Some((y, body)) =>
+                def str(k: String) = y.get(k) match {
+                  case Some(Yaml.YStr(v)) => v; case _ => ""
+                }
+                val tagsCsv = y.get("tags") match {
+                  case Some(Yaml.YList(items)) => items.collect {
+                    case Yaml.YStr(v) => v }.mkString(",")
+                  case _ => ""
+                }
+                val draft = y.get("draft") match {
+                  case Some(Yaml.YBool(v)) => v; case _ => false
+                }
+                val weight = y.get("weight") match {
+                  case Some(Yaml.YNum(v)) => v.toLong; case _ => -1L
+                }
+                val city = y.get("author") match {
+                  case Some(a: Yaml.YMap) => a.get("contact") match {
+                    case Some(c: Yaml.YMap) => c.get("city") match {
+                      case Some(Yaml.YStr(v)) => v; case _ => ""
+                    }
+                    case _ => ""
+                  }
+                  case _ => ""
+                }
+                (id, str("title"), str("date"), tagsCsv, draft, weight,
+                  city, str("summary"), body)
+              case None => (id, "", "", "", false, -1L, "", "", "")
+            }
+          }
+          .toDF("doc_id", "title", "date", "tags_csv", "draft",
+            "weight", "city", "summary", "body")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH tg AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 0 THEN ''
+                   ELSE (SELECT string_agg('t' || ((doc_id + k.k) % 20),
+                           ',' ORDER BY k.k)
+                         FROM (SELECT unnest(generate_series(0,
+                           CAST(doc_id % 4 AS INT) - 1)) AS k) k)
+                 END AS tags_csv
+          FROM documents)
+        SELECT doc_id,
+               'Post "' || doc_id || '"' AS title,
+               '2024-' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0')
+                 || '-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+                 AS date,
+               tags_csv,
+               doc_id % 2 = 0 AS draft,
+               CAST(doc_id % 1000 - 500 AS BIGINT) AS weight,
+               'Berlin' AS city,
+               'first line' || chr(10) || 'second line' || chr(10)
+                 AS summary,
+               '# Body ' || doc_id || chr(10) || 'content ' ||
+                 (doc_id % 7) AS body
+        FROM tg
+        ORDER BY doc_id""")),
+
     // ----- EXIF GPS sub-IFD + IFD1 thumbnail (round 14) -----------------
     // The remaining commonly-consumed EXIF families past q259's IFD0
     // walk: geolocation (tag 0x8825 → GPS IFD: hemisphere refs, three
