@@ -118,6 +118,148 @@ object Font {
       if (ok) Some(out) else None
     } catch { case _: Exception => None }
 
+  /** WOFF2 structural sniff (W3C WOFF2 spec). The table DIRECTORY is
+    * not Brotli-compressed — only the data block is — so container
+    * triage decodes honestly without a Brotli implementation (absent
+    * in-container; same deferral class as MP3): flavor, the directory
+    * walk with its known-tags index and UIntBase128 lengths, and the
+    * summed original sfnt size. Family strings live inside the
+    * compressed block → None fields, never guessed. */
+  final case class Woff2Meta(flavor: String, nTables: Int,
+      totalSfntSize: Long, sumOrigLengths: Long, tags: Seq[String])
+
+  /** The spec's known-table-tags index (WOFF2 §5.2, Table 1). */
+  private val Woff2KnownTags: Array[String] = Array(
+    "cmap", "head", "hhea", "hmtx", "maxp", "name", "OS/2", "post",
+    "cvt ", "fpgm", "glyf", "loca", "prep", "CFF ", "VORG", "EBDT",
+    "EBLC", "gasp", "hdmx", "kern", "LTSH", "PCLT", "VDMX", "vhea",
+    "vmtx", "BASE", "GDEF", "GPOS", "GSUB", "EBSC", "JSTF", "MATH",
+    "CBDT", "CBLC", "COLR", "CPAL", "SVG ", "sbix", "acnt", "avar",
+    "bdat", "bloc", "bsln", "cvar", "fdsc", "feat", "fmtx", "fvar",
+    "gvar", "hsty", "just", "lcar", "mort", "morx", "opbd", "prop",
+    "trak", "Zapf", "Silf", "Glat", "Gloc", "Feat", "Sill")
+
+  /** UIntBase128 (WOFF2 §5.2): 1–5 bytes, 7 bits each, MSB-first;
+    * a leading 0x80 byte and 32-bit overflow are spec ERRORS. */
+  private def uintBase128(b: Array[Byte], at: Int): Option[(Long, Int)] = {
+    var v = 0L
+    var i = at
+    var n = 0
+    while (n < 5) {
+      if (i >= b.length) return None
+      val byte = b(i) & 0xff
+      if (n == 0 && byte == 0x80) return None // leading zeros forbidden
+      if (v > (0xFFFFFFFFL >> 7)) return None // would overflow 32 bits
+      v = (v << 7) | (byte & 0x7f)
+      i += 1
+      n += 1
+      if ((byte & 0x80) == 0) return Some((v, i))
+    }
+    None // more than 5 bytes
+  }
+
+  def decodeWoff2(b: Array[Byte]): Option[Woff2Meta] = {
+    if (b == null || b.length < 48) return None
+    if (u32(b, 0) != 0x774F4632L) return None // 'wOF2'
+    val flavor = u32(b, 4) match {
+      case 0x00010000L | 0x74727565L => "ttf"
+      case 0x4F54544FL => "otf"
+      case _ => return None
+    }
+    if (u32(b, 8) != b.length) return None // declared total length
+    val nTables = u16(b, 12)
+    if (u16(b, 14) != 0) return None // reserved must be zero
+    if (nTables < 1 || nTables > 512) return None
+    val totalSfntSize = u32(b, 16)
+    var at = 48
+    var sumOrig = 0L
+    val tags = Vector.newBuilder[String]
+    var i = 0
+    while (i < nTables) {
+      if (at >= b.length) return None
+      val flags = b(at) & 0xff
+      at += 1
+      val tagIdx = flags & 0x3f
+      val tag =
+        if (tagIdx == 0x3f) { // arbitrary tag follows
+          if (at + 4 > b.length) return None
+          val t = new String(b, at, 4, "ISO-8859-1")
+          at += 4
+          t
+        } else Woff2KnownTags(tagIdx)
+      val (origLen, a1) = uintBase128(b, at).getOrElse(return None)
+      at = a1
+      // a transformed glyf/loca (transform version 0) additionally
+      // carries transformLength; other tables only when a non-null
+      // transform is flagged (bits 6–7 non-zero)
+      val transform = (flags >> 6) & 0x3
+      val transformed =
+        if (tag == "glyf" || tag == "loca") transform != 3
+        else transform != 0
+      if (transformed) {
+        val (_, a2) = uintBase128(b, at).getOrElse(return None)
+        at = a2
+      }
+      sumOrig += origLen
+      tags += tag
+      i += 1
+    }
+    Some(Woff2Meta(flavor, nTables, totalSfntSize, sumOrig,
+      tags.result()))
+  }
+
+  /** Fixture emitter: header + directory (known-index and arbitrary
+    * tags, UIntBase128 lengths incl. multi-byte values, a transformed
+    * glyf pair) + an OPAQUE stand-in data block of the declared
+    * compressed size (the real block is Brotli — deferred; the sniff
+    * never reads it). */
+  def encodeWoff2(flavor: String, tables: Seq[(String, Long)],
+      blockSize: Int): Array[Byte] = {
+    require(flavor == "ttf" || flavor == "otf", flavor)
+    require(tables.nonEmpty && tables.forall(t => t._1.length == 4 &&
+      t._2 >= 0 && t._2 <= 0xFFFFFFFFL), "tables")
+    require(blockSize >= 0 && blockSize <= (16 << 20), "block size")
+    val dir = new ByteArrayOutputStream(64)
+    def base128(v: Long): Unit = {
+      val bytes = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var x = v
+      do { bytes += (x & 0x7f).toInt; x >>= 7 } while (x != 0)
+      val out = bytes.reverse
+      out.init.foreach(bb => dir.write(bb | 0x80))
+      dir.write(out.last)
+    }
+    var sfnt = 12L + 16L * tables.length
+    tables.foreach { case (tag, origLen) =>
+      val idx = Woff2KnownTags.indexOf(tag)
+      // transform bits 0 throughout: the null transform for ordinary
+      // tables, and for glyf/loca the TRANSFORMED form (per spec 0 is
+      // transformed there), which carries transformLength
+      if (idx >= 0) dir.write(idx)
+      else {
+        dir.write(0x3f)
+        dir.write(tag.getBytes("ISO-8859-1"), 0, 4)
+      }
+      base128(origLen)
+      if (tag == "glyf" || tag == "loca") base128(origLen / 2)
+      sfnt += (origLen + 3) & ~3L
+    }
+    val dirBytes = dir.toByteArray
+    val total = 48 + dirBytes.length + blockSize
+    val o = new ByteArrayOutputStream(total)
+    w32(o, 0x774F4632L) // 'wOF2'
+    w32(o, if (flavor == "otf") 0x4F54544FL else 0x00010000L)
+    w32(o, total.toLong)
+    w16(o, tables.length); w16(o, 0)
+    w32(o, sfnt)
+    w32(o, blockSize.toLong) // totalCompressedSize
+    w16(o, 1); w16(o, 0)
+    w32(o, 0L); w32(o, 0L); w32(o, 0L) // meta
+    w32(o, 0L); w32(o, 0L) // priv
+    o.write(dirBytes, 0, dirBytes.length)
+    (0 until blockSize).foreach(k => o.write((k * 31 + 7) & 0xff))
+    o.toByteArray
+  }
+
   def decodeFont(b: Array[Byte]): Option[FontMeta] =
     try {
       if (b == null || b.length < 12) return None

@@ -159,6 +159,8 @@ object Multimodal {
       .orElse(Avro.sniff(b).map(m => ("avro", Some(m.nRecords))))
       .orElse(Font.decodeFont(b).map(m =>
         ("font_" + m.container, m.nGlyphs.map(_.toLong))))
+      .orElse(Font.decodeWoff2(b).map(m =>
+        ("font_woff2", Some(m.nTables.toLong))))
       .orElse {
         // tar: ustar magic + per-header checksum make text collision
         // impossible; require at least one verified member
@@ -2812,6 +2814,62 @@ object Multimodal {
                '# Body ' || doc_id || chr(10) || 'content ' ||
                  (doc_id % 7) AS body
         FROM tg
+        ORDER BY doc_id""")),
+
+    // ----- WOFF2 directory sniff (round 15) -----------------------------
+    // The woff sibling q398 left open: WOFF2's table directory is NOT
+    // Brotli-compressed, so container triage decodes honestly without
+    // a Brotli implementation (absent in-container — the MP3 deferral
+    // class; family strings live in the compressed block and stay
+    // None, never guessed). Exercises the known-tags index, the
+    // arbitrary-tag escape, UIntBase128 strictness, and transformed
+    // glyf/loca entries. Oracle replays fields from doc_id arithmetic.
+    QueryDef(
+      "q410_woff2_sniff",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val tables = Seq(
+              ("head", 54L),
+              ("glyf", 1000L + (id * 13) % 100000),
+              ("loca", 40L + (id % 50) * 2),
+              (if (id % 3 == 0) "Xtag" else "name", 80L + id % 800))
+            val blob = Font.encodeWoff2(
+              if (id % 2 == 0) "ttf" else "otf", tables,
+              blockSize = (id % 300).toInt)
+            Font.decodeWoff2(blob) match {
+              case Some(m) => (id, m.flavor, m.nTables, m.totalSfntSize,
+                m.sumOrigLengths, m.tags.mkString(","))
+              case None => (id, "", -1, -1L, -1L, "")
+            }
+          }
+          .toDF("doc_id", "flavor", "n_tables", "total_sfnt_size",
+            "sum_orig", "tags_csv")
+          .orderBy($"doc_id")
+      },
+      // sfnt size = 12 + 16*4 + sum of 4-byte-padded table lengths;
+      // head(54)->56, glyf g (pad (g+3)//4*4), loca l, name/Xtag n
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 1000 + (doc_id * 13) % 100000 AS glyf,
+                 40 + (doc_id % 50) * 2 AS loca,
+                 80 + doc_id % 800 AS extra
+          FROM documents)
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'ttf' ELSE 'otf' END
+                 AS flavor,
+               CAST(4 AS INT) AS n_tables,
+               CAST(12 + 64 + 56 + ((glyf + 3) // 4) * 4 +
+                    ((loca + 3) // 4) * 4 + ((extra + 3) // 4) * 4
+                 AS BIGINT) AS total_sfnt_size,
+               CAST(54 + glyf + loca + extra AS BIGINT) AS sum_orig,
+               'head,glyf,loca,' ||
+                 CASE WHEN doc_id % 3 = 0 THEN 'Xtag' ELSE 'name' END
+                 AS tags_csv
+        FROM t
         ORDER BY doc_id""")),
 
     // ----- EXIF GPS sub-IFD + IFD1 thumbnail (round 14) -----------------

@@ -111,4 +111,39 @@ class FontSpec extends AnyFunSuite {
     val meta = decodeFont(bos.toByteArray).get
     assert(meta === FontMeta("ttf", None, None, 2, Some(4), Some(1000)))
   }
+  test("woff2 directory sniff: known-index and arbitrary tags, " +
+      "UIntBase128 lengths, transformed glyf/loca, summed sizes") {
+    checkProp(Prop.forAll(Gen.oneOf("ttf", "otf"),
+        Gen.choose(0L, 300000L), Gen.choose(0, 500)) {
+      (fl, big, block) =>
+        val tables = Seq(("head", 54L), ("glyf", big), ("loca", 40L),
+          ("Xyz1", 7L)) // Xyz1 exercises the arbitrary-tag escape
+        val m = decodeWoff2(encodeWoff2(fl, tables, block)).get
+        m.flavor == fl && m.nTables == 4 &&
+          m.sumOrigLengths == 54L + big + 40L + 7L &&
+          m.tags == Seq("head", "glyf", "loca", "Xyz1")
+    })
+  }
+
+  test("woff2 strictness: leading-zero UIntBase128, reserved field, " +
+      "declared length, truncation") {
+    val good = encodeWoff2("ttf", Seq(("head", 54L), ("name", 99L)), 64)
+    assert(decodeWoff2(good).isDefined)
+    assert(decodeWoff2(good.take(good.length - 1)) === None)
+    val resv = good.clone; resv(14) = 1
+    assert(decodeWoff2(resv) === None)
+    // inject a leading 0x80 base128 byte into the first length
+    val bad = good.clone
+    // directory starts at 48: flags byte for 'head' (index 1), then
+    // the length byte 54 -> overwrite with 0x80,0x36 is longer; easier:
+    // flip the length byte to 0x80 (leading zero, continuation) and
+    // the parse must reject rather than read a padded value
+    bad(49) = 0x80.toByte
+    assert(decodeWoff2(bad) === None)
+    (1 until good.length by 3).foreach(n => decodeWoff2(good.take(n)))
+    assert(decodeWoff2(null) === None)
+    // the dispatcher routes woff2
+    assert(Multimodal.sniffContent(good) === (("font_woff2", Some(2L))))
+  }
+
 }
