@@ -101,4 +101,12 @@ class YamlSpec extends AnyFunSuite {
       "body")
     (1 until good.length by 5).foreach(n => frontMatter(good.take(n)))
   }
+  test("a quoted scalar containing ': ' inside a sequence stays a " +
+      "scalar, not a compact map") {
+    val y = parseYaml("xs:\n  - \"k: v\"\n  - plain\n".getBytes)
+      .get.asInstanceOf[YMap]
+    assert(y.get("xs") === Some(YList(Vector(YStr("k: v"),
+      YStr("plain")))))
+  }
+
 }
