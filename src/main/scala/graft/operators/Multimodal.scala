@@ -2872,6 +2872,80 @@ object Multimodal {
         FROM t
         ORDER BY doc_id""")),
 
+    // ----- TOML package-manifest analysis (round 15) --------------------
+    // Where repository-level dependency/feature analysis of a code
+    // crawl starts: Cargo.toml-shaped manifests with multiline arrays
+    // (trailing commas + comments), multiline strings, inline-table
+    // dependencies, [[bin]] array-of-tables with dotted keys. TOML's
+    // strictness rules enforced (bare-word values reject — the classic
+    // config-parser trap). Oracle replays all fields from doc_id
+    // arithmetic. Map-only per blob.
+    QueryDef(
+      "q411_toml_manifest",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val nDeps = (1 + id % 3).toInt
+            val blob = Toml.encodeManifest(s"pkg-${id % 200}",
+              s"0.${id % 10}.${id % 5}",
+              Seq(2015L, 2018L, 2021L)((id % 3).toInt),
+              (0 until (id % 4).toInt).map(k => s"feat${(id + k) % 9}"),
+              (0 until nDeps).map(k => (s"dep$k", s"1.${(id + k) % 20}.0")),
+              (id % 2).toInt)
+            Toml.parseToml(blob) match {
+              case Some(m) =>
+                val pkg = m.get("package") match {
+                  case Some(p: Yaml.YMap) => p
+                  case _ => Yaml.YMap(Vector.empty)
+                }
+                def str(y: Yaml.YMap, k: String) = y.get(k) match {
+                  case Some(Yaml.YStr(v)) => v; case _ => ""
+                }
+                val edition = pkg.get("edition") match {
+                  case Some(Yaml.YNum(v)) => v.toLong; case _ => -1L
+                }
+                val nFeat = pkg.get("features") match {
+                  case Some(Yaml.YList(xs)) => xs.length; case _ => -1
+                }
+                val deps = m.get("dependencies") match {
+                  case Some(d: Yaml.YMap) => d.fields.length
+                  case _ => 0
+                }
+                val bins = m.get("bin") match {
+                  case Some(Yaml.YList(xs)) => xs.length; case _ => 0
+                }
+                val dep0 = m.get("dependencies") match {
+                  case Some(d: Yaml.YMap) => d.get("dep0") match {
+                    case Some(Yaml.YStr(v)) => v
+                    case Some(t: Yaml.YMap) => str(t, "version")
+                    case _ => ""
+                  }
+                  case _ => ""
+                }
+                (id, str(pkg, "name"), str(pkg, "version"), edition,
+                  nFeat, deps, bins, dep0)
+              case None => (id, "", "", -1L, -1, -1, -1, "")
+            }
+          }
+          .toDF("doc_id", "name", "version", "edition", "n_features",
+            "n_deps", "n_bins", "dep0_version")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               'pkg-' || (doc_id % 200) AS name,
+               '0.' || (doc_id % 10) || '.' || (doc_id % 5) AS version,
+               CAST(CASE doc_id % 3 WHEN 0 THEN 2015 WHEN 1 THEN 2018
+                 ELSE 2021 END AS BIGINT) AS edition,
+               CAST(doc_id % 4 AS INT) AS n_features,
+               CAST(1 + doc_id % 3 AS INT) AS n_deps,
+               CAST(doc_id % 2 AS INT) AS n_bins,
+               '1.' || (doc_id % 20) || '.0' AS dep0_version
+        FROM documents
+        ORDER BY doc_id""")),
+
     // ----- EXIF GPS sub-IFD + IFD1 thumbnail (round 14) -----------------
     // The remaining commonly-consumed EXIF families past q259's IFD0
     // walk: geolocation (tag 0x8825 → GPS IFD: hemisphere refs, three
