@@ -64,10 +64,18 @@ object DataSkipping {
     * is ingested; per-query re-ingest is a harness artifact. */
   def writeClusteredCached(df: DataFrame, clusterCol: Column, span: Long,
       outDir: String): Unit = {
-    val sig = df.agg(count(lit(1)), sum(clusterCol.cast("long")),
+    // The fingerprint covers EVERY written column (order-independent
+    // xxhash64-of-row sum, decimal so ANSI sum can't overflow), plus
+    // the schema and the clustering-key stats: a regenerated dataset
+    // with identical key stats but different payload columns must NOT
+    // reuse a stale layout. One cheap aggregate either way.
+    val rowHash = xxhash64(df.columns.map(col).toIndexedSeq: _*)
+    val sig = df.agg(count(lit(1)),
+      sum(rowHash.cast("decimal(38,0)")),
       min(clusterCol.cast("long")), max(clusterCol.cast("long"))).head
-    val receipt = s"v1 span=$span n=${sig.get(0)} sum=${sig.get(1)} " +
-      s"mn=${sig.get(2)} mx=${sig.get(3)}"
+    val receipt = s"v2 span=$span n=${sig.get(0)} xsum=${sig.get(1)} " +
+      s"mn=${sig.get(2)} mx=${sig.get(3)} " +
+      s"schema=${df.schema.catalogString}"
     val marker = new java.io.File(outDir, "_graft_layout")
     val cached =
       try marker.isFile && {

@@ -33,7 +33,31 @@ object Docx {
   /** The text of one paragraph body (between `<w:p...>` and `</w:p>`):
     * all `<w:t>` runs concatenated, tabs/breaks rendered. None on a
     * torn run. */
-  private def paragraphText(p: String): Option[String] = {
+  private def paragraphText(p0: String): Option[String] = {
+    // Drop paragraph-property blocks first: <w:pPr><w:tabs> carries
+    // <w:tab w:pos=.../> tab-stop DEFINITIONS, which must not render
+    // as text tabs (only <w:tab/> inside a run is a text tab).
+    val p = {
+      val sb = new StringBuilder
+      var k = 0
+      var go = true
+      while (go) {
+        val at = findTag(p0, "w:pPr", k)
+        if (at < 0) { sb.append(p0.substring(k)); go = false }
+        else {
+          sb.append(p0.substring(k, at))
+          val open = p0.indexOf('>', at)
+          if (open < 0) return None
+          if (p0.charAt(open - 1) == '/') k = open + 1
+          else {
+            val close = p0.indexOf("</w:pPr>", open)
+            if (close < 0) return None // torn properties block
+            k = close + 8
+          }
+        }
+      }
+      sb.toString
+    }
     val out = new StringBuilder
     var i = 0
     var scanning = true
@@ -172,8 +196,16 @@ object Docx {
       }.mkString
     val body = paragraphs.map {
       case "" => "<w:p/>"
-      case text => s"<w:p><w:pPr><w:jc w:val=\"left\"/></w:pPr>" +
-        runs(text) + "</w:p>"
+      case text =>
+        // a paragraph that USES tabs also gets custom tab STOPS in its
+        // properties (what Word writes); those <w:tab w:pos=.../>
+        // definitions must not render as text tabs
+        val stops = if (text.contains('\t'))
+          "<w:tabs><w:tab w:val=\"left\" w:pos=\"720\"/>" +
+            "<w:tab w:val=\"right\" w:pos=\"8640\"/></w:tabs>"
+        else ""
+        s"<w:p><w:pPr><w:jc w:val=\"left\"/>$stops</w:pPr>" +
+          runs(text) + "</w:p>"
     }.mkString
     val doc =
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>

@@ -104,7 +104,12 @@ object Rtf {
                   stack = (cur._1, cur._2, cur._3,
                     if (hasParam) param else 1) :: stack.tail
                 case "u" =>
-                  val cp = if (neg) 65536 + param else param
+                  // \uN carries a SIGNED 16-bit value but `param` holds
+                  // the magnitude (neg is a separate flag): \u-10179 is
+                  // the signed value -10179, i.e. codepoint 65536-10179
+                  // = 0xD83D. Word emits surrogate pairs this way for
+                  // every codepoint >= U+8000.
+                  val cp = if (neg) 65536 - param else param
                   if (cp < 0 || cp > 0xffff) return None
                   emit(cp.toChar)
                   pendingUcSkip = cur._4
@@ -142,7 +147,12 @@ object Rtf {
       case '\t' => out.append("\\tab ")
       case c if c > 127 =>
         if (c <= 255) out.append(f"\\'${c.toInt}%02x")
-        else out.append(s"\\u${c.toInt}?") // uc1 fallback
+        else {
+          // \uN is a SIGNED 16-bit decimal: Word writes codepoints
+          // >= U+8000 (surrogates included) as negative values.
+          val signed = if (c.toInt >= 0x8000) c.toInt - 65536 else c.toInt
+          out.append(s"\\u$signed?") // uc1 fallback
+        }
       case c => out.append(c)
     }
     out.toString

@@ -148,19 +148,17 @@ object Toml {
     } else if (t.matches("\\d{4}-\\d{2}-\\d{2}([Tt ].*)?") ||
       t.matches("\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?")) {
       Some(YStr(t)) // datetimes surface as their literal text
-    } else if (t.matches("[-+]?0[xob][0-9a-fA-F_]+")) {
-      val neg = t.startsWith("-")
-      val body = t.dropWhile(c => c == '+' || c == '-')
-      val radix = body.charAt(1) match {
+    } else if (t.matches("0[xob][0-9a-fA-F_]+")) {
+      // TOML 1.0 forbids a sign on hex/octal/binary integers — a
+      // leading +/- on a 0x/0o/0b literal is invalid TOML, not -N
+      val radix = t.charAt(1) match {
         case 'x' => 16; case 'o' => 8; case _ => 2
       }
-      val digits = body.substring(2).replace("_", "")
-      if (digits.isEmpty || body.substring(2).startsWith("_") ||
-        body.endsWith("_") || body.contains("__")) return None
-      try {
-        val v = java.lang.Long.parseLong(digits, radix)
-        Some(YNum(if (neg) -v.toDouble else v.toDouble))
-      } catch { case _: Exception => None }
+      val digits = t.substring(2).replace("_", "")
+      if (digits.isEmpty || t.substring(2).startsWith("_") ||
+        t.endsWith("_") || t.contains("__")) return None
+      try Some(YNum(java.lang.Long.parseLong(digits, radix).toDouble))
+      catch { case _: Exception => None }
     } else if (t.matches("[-+]?[0-9](_?[0-9])*")) {
       t.replace("_", "").toLongOption.map(v => YNum(v.toDouble))
     } else if (t.matches(

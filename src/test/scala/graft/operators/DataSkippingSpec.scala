@@ -210,6 +210,17 @@ class DataSkippingSpec extends SparkSpec {
     // changed data: receipt mismatch must rewrite
     writeClusteredCached(data.filter($"k" < 1000), $"k", span = 200L, out)
     assert(spark.read.parquet(out).count() === 1000)
+    // SAME key column, DIFFERENT payload values: the fingerprint
+    // covers all written columns, so this must rewrite too
+    val payloadChanged = spark.range(1000).select($"id".as("k"),
+      ($"id" * 7).as("v"))
+    writeClusteredCached(payloadChanged, $"k", span = 200L, out)
+    assert(spark.read.parquet(out).agg(sum($"v")).head.getLong(0)
+      === (0L until 1000L).map(_ * 7).sum, "stale payload reused")
+    // SAME values, DIFFERENT schema (renamed payload col): rewrite
+    writeClusteredCached(payloadChanged.withColumnRenamed("v", "w"),
+      $"k", span = 200L, out)
+    assert(spark.read.parquet(out).columns.contains("w"))
   }
 
 }

@@ -57,6 +57,39 @@ class DocxSpec extends AnyFunSuite {
     assert(decodeDocx(patched).get.text === "a\nb")
   }
 
+  test("tab-stop DEFINITIONS in w:pPr never render as text tabs") {
+    // the emitter plants <w:tabs><w:tab w:pos=.../></w:tabs> stop
+    // definitions whenever a paragraph uses tabs; only the run-level
+    // <w:tab/> elements may surface as '\t'
+    assert(decodeDocx(encodeDocx("t", "c", Seq("a\tb"))).get.text
+      === "a\tb")
+    // a paragraph with stops but NO run tabs yields zero tabs
+    val blob = encodeDocx("t", "c", Seq("plain"))
+    val entries = Archive.zipEntries(blob).get
+    val patched = Archive.encodeZip(entries.map { e =>
+      val data = Archive.unzipEntry(blob, e).get
+      val out =
+        if (e.name == "word/document.xml")
+          new String(data, "UTF-8").replace("</w:pPr>",
+            "<w:tabs><w:tab w:val=\"left\" w:pos=\"720\"/></w:tabs>" +
+              "</w:pPr>").getBytes("UTF-8")
+        else data
+      (e.name, out, true)
+    })
+    assert(decodeDocx(patched).get.text === "plain")
+    // a torn pPr block rejects
+    val torn = Archive.encodeZip(entries.map { e =>
+      val data = Archive.unzipEntry(blob, e).get
+      val out =
+        if (e.name == "word/document.xml")
+          new String(data, "UTF-8").replace("</w:pPr>", "")
+            .getBytes("UTF-8")
+        else data
+      (e.name, out, true)
+    })
+    assert(decodeDocx(torn) === None)
+  }
+
   test("missing core props degrade per-field; torn XML rejects") {
     val good = encodeDocx("T", "C", Seq("hello", "world"))
     // strip docProps/core.xml by re-zipping without it

@@ -40,6 +40,20 @@ class RtfSpec extends AnyFunSuite {
     assert(decodeRtf(encodeRtf("t", Seq("x € y"))).get.text === "x € y")
   }
 
+  test("negative \\uN carries the signed 16-bit value (Word's " +
+      "encoding for codepoints >= U+8000, incl. surrogate pairs)") {
+    // \u-10179\u-8704 is the surrogate pair for U+1F600 (😀)
+    val rtf = "{\\rtf1\\uc1 hi \\u-10179?\\u-8704? !}"
+      .getBytes("ISO-8859-1")
+    assert(decodeRtf(rtf).get.text === "hi 😀 !")
+    // round-trip through the emitter: astral + BMP-high chars survive
+    val body = "emoji 😀 and hangul 한"
+    assert(decodeRtf(encodeRtf("t", Seq(body))).get.text === body)
+    // out-of-range magnitudes still reject
+    assert(decodeRtf("{\\rtf1 \\u-70000?}".getBytes) === None)
+    assert(decodeRtf("{\\rtf1 \\u70000?}".getBytes) === None)
+  }
+
   test("control-word delimiter rules: one space consumed, digit " +
       "params self-delimit, \\line and \\~ render") {
     val rtf = ("{\\rtf1 a\\line b\\~c\\fs24 d}").getBytes("ISO-8859-1")

@@ -81,6 +81,10 @@ class TomlSpec extends AnyFunSuite {
     assert(m.get("f") === Some(YStr("2024-02-29T12:30:00Z")))
     assert(m.get("g") === Some(YStr("tab\there é")))
     assert(m.get("h") === Some(YStr("C:\\raw\\path")))
+    // TOML 1.0 forbids signs on non-decimal integers
+    assert(parseToml("a = -0x10\n".getBytes) === None)
+    assert(parseToml("a = +0o7\n".getBytes) === None)
+    assert(parseToml("a = -0b101\n".getBytes) === None)
   }
 
   test("strictness: bare-word values, duplicate keys, duplicate " +
