@@ -2946,6 +2946,70 @@ object Multimodal {
         FROM documents
         ORDER BY doc_id""")),
 
+    // ----- PDF HYBRID-REFERENCE files (round 16) ------------------------
+    // Acrobat's pre-1.5-compatibility layout (ISO 32000-1 7.5.8.4), the
+    // last commonly-hit xref shape: a CLASSIC table whose trailer's
+    // /XRefStm key points at a cross-reference STREAM. The document
+    // objects live compressed in an /ObjStm and are FREE in the table;
+    // the decoder must merge the stream's type-2 entries under
+    // table-wins precedence, then run the q377 text tokenizer. The
+    // oracle replays version/pages/objects/lines from doc_id
+    // arithmetic — a reader that ignores /XRefStm (the pre-fix state)
+    // or lets the stream override the table flips every row. Map-only
+    // per blob.
+    QueryDef(
+      "q412_pdf_hybrid_xref_text",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val nPages = (1 + id % 3).toInt
+            val pages = (0 until nPages).map { p =>
+              val nLines = (2 + (id + p) % 3).toInt
+              (0 until nLines).map(k =>
+                s"y$id p$p l$k (${(id * 13 + p * 7 + k) % 100})")
+            }
+            val blob = Pdf.encodeHybridPdf(s"1.${4 + id % 4}", pages,
+              predictor = if (id % 2 == 0) 12 else 1)
+            (Pdf.decodePdf(blob), Pdf.extractText(blob)) match {
+              case (Some(m), Some(lines)) =>
+                (id, m.version, m.nPages, m.nObjects, lines.length,
+                  lines.mkString("\n"))
+              case _ => (id, "", -1, -1, -1, "")
+            }
+          }
+          .toDF("doc_id", "version", "n_pages", "n_objects", "n_lines",
+            "text")
+          .orderBy($"doc_id")
+      },
+      // objects: catalog + pages root + n pages + font + n content
+      // streams + the ObjStm + the XRef stream = 5 + 2n
+      Some("""
+        WITH pg AS (
+          SELECT doc_id,
+                 unnest(generate_series(0, CAST(doc_id % 3 AS INT))) AS p
+          FROM documents),
+        ln AS (
+          SELECT doc_id, p,
+                 unnest(generate_series(0,
+                   1 + CAST((doc_id + p) % 3 AS INT))) AS k
+          FROM pg),
+        lines AS (
+          SELECT doc_id, p, k,
+                 'y' || doc_id || ' p' || p || ' l' || k || ' (' ||
+                   ((doc_id * 13 + p * 7 + k) % 100) || ')' AS line
+          FROM ln)
+        SELECT doc_id,
+               '1.' || (4 + doc_id % 4) AS version,
+               CAST(1 + doc_id % 3 AS INT) AS n_pages,
+               CAST(5 + 2 * (1 + doc_id % 3) AS INT) AS n_objects,
+               CAST(COUNT(*) AS INT) AS n_lines,
+               string_agg(line, chr(10) ORDER BY p, k) AS text
+        FROM lines
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
     // ----- EXIF GPS sub-IFD + IFD1 thumbnail (round 14) -----------------
     // The remaining commonly-consumed EXIF families past q259's IFD0
     // walk: geolocation (tag 0x8825 → GPS IFD: hemisphere refs, three

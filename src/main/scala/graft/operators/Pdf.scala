@@ -32,8 +32,11 @@ import java.io.ByteArrayOutputStream
   *     serialized bodies), inflated once and cached per file.
   *
   * Decode failures return None — one corrupt blob must not kill a
-  * corpus-scale pass; hybrid-reference files (classic table +
-  * /XRefStm) and multi-level page trees stay out of scope.
+  * corpus-scale pass. HYBRID-REFERENCE files (a classic table whose
+  * trailer carries /XRefStm — ISO 32000-1 7.5.8.4, Acrobat's
+  * pre-1.5-compatibility layout) merge the pointed-to stream's
+  * entries under table-wins precedence; multi-level page trees walk
+  * recursively (7.7.3.2).
   */
 object Pdf {
 
@@ -253,6 +256,21 @@ object Pdf {
     if (size != count) return None
     val root = refAfter(b, "/Root", tr, limit).getOrElse(return None)
     val encrypted = indexOf(b, "/Encrypt", tr, limit) >= 0
+    // HYBRID-REFERENCE file (ISO 32000-1 7.5.8.4 — Acrobat's
+    // pre-1.5-compatibility layout): the trailer's /XRefStm key points
+    // at a cross-reference STREAM carrying the entries the classic
+    // table hides from old readers (its /ObjStm residents are marked
+    // free in the table). The table's in-use entries take precedence;
+    // the stream fills every object the table does not define. A
+    // broken /XRefStm target rejects the file — silently ignoring it
+    // would mis-read exactly the hidden objects.
+    keyNum(b, "/XRefStm", tr, limit).foreach { xs =>
+      if (xs < 0 || xs >= b.length) return None
+      val sec = xrefStreamSection(b, xs.toInt).getOrElse(return None)
+      sec.entries.foreach { case (k, v) =>
+        if (!locs.contains(k)) locs += k -> v
+      }
+    }
     Some(PdfIndex(locs, size, root, encrypted))
   }
 
@@ -337,10 +355,10 @@ object Pdf {
     Some(XSection(entries.toSeq, size, root, encrypted, prev))
   }
 
-  /** Build the object index at the startxref target: a classic table,
-    * or a PDF 1.5+ xref-stream CHAIN (/Prev links, newest-section-wins
-    * merge — the incremental-update rule, 7.5.6). Hybrid-reference
-    * files (classic table + /XRefStm) are out of scope. */
+  /** Build the object index at the startxref target: a classic table
+    * (hybrid /XRefStm merge inside [[classicIndex]]), or a PDF 1.5+
+    * xref-stream CHAIN (/Prev links, newest-section-wins merge — the
+    * incremental-update rule, 7.5.6). */
   private def buildIndex(b: Array[Byte], xrefOff: Int,
       limit: Int): Option[PdfIndex] = {
     if (indexOf(b, "xref", xrefOff, xrefOff + 6) == xrefOff)
@@ -1047,6 +1065,133 @@ object Pdf {
     out.write(xData, 0, xData.length)
     w("\nendstream endobj\n")
     w(s"startxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** HYBRID-REFERENCE fixture emitter (ISO 32000-1 7.5.8.4): the
+    * layout Acrobat writes for pre-1.5 compatibility. The document
+    * objects (catalog, page-tree root, page dicts, font) live
+    * COMPRESSED in an /ObjStm; the CLASSIC xref table marks them free
+    * (an old reader sees a well-formed table it cannot fully walk)
+    * and its trailer's /XRefStm key points at a cross-reference
+    * stream whose type-2 entries reveal them. `startxref` targets the
+    * CLASSIC table. In-file objects (content streams, the /ObjStm,
+    * the xref stream itself) appear in BOTH indexes with agreeing
+    * offsets — the table wins where both define an object. */
+  def encodeHybridPdf(version: String, pages: Seq[Seq[String]],
+      predictor: Int = 1): Array[Byte] = {
+    require(version.matches("\\d\\.\\d"), s"version is M.m: $version")
+    require(pages.nonEmpty, "at least one page")
+    require(predictor == 1 || predictor == 12, "predictor 1 or 12")
+    val n = pages.length
+    val fontObj = 3 + n
+    val contentBase = 4 + n // content streams (in the file)
+    val objStmNum = 4 + 2 * n
+    val xrefStmNum = 5 + 2 * n
+    val size = xrefStmNum + 1
+    val out = new ByteArrayOutputStream(1024)
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val fileOff = scala.collection.mutable.Map.empty[Int, Long]
+    w(s"%PDF-$version\n%âãÏÓ\n")
+    var k = 0
+    while (k < n) {
+      val raw = pageOps(pages(k)).getBytes("ISO-8859-1")
+      val flate = k % 2 == 0
+      val data = if (flate) deflate(raw) else raw
+      fileOff(contentBase + k) = out.size()
+      w(s"${contentBase + k} 0 obj << /Length ${data.length}" +
+        (if (flate) " /Filter /FlateDecode" else "") + " >> stream\n")
+      out.write(data, 0, data.length)
+      w("\nendstream endobj\n")
+      k += 1
+    }
+    // the hidden objects, compressed into one /ObjStm
+    val inner = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    inner += 1 -> "<< /Type /Catalog /Pages 2 0 R >>"
+    val kids = (0 until n).map(k2 => s"${3 + k2} 0 R").mkString(" ")
+    inner += 2 -> s"<< /Type /Pages /Kids [$kids] /Count $n >>"
+    (0 until n).foreach { k2 =>
+      inner += (3 + k2) -> (s"<< /Type /Page /Parent 2 0 R " +
+        s"/Resources << /Font << /F1 $fontObj 0 R >> >> " +
+        s"/Contents ${contentBase + k2} 0 R >>")
+    }
+    inner += fontObj ->
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    val bodies = inner.map(_._2 + " ")
+    val innerOffs = bodies.scanLeft(0)(_ + _.length).init
+    val header = inner.map(_._1).zip(innerOffs)
+      .map { case (num, o) => s"$num $o" }.mkString("", " ", " ")
+    val stmRaw = (header + bodies.mkString).getBytes("ISO-8859-1")
+    val stmData = deflate(stmRaw)
+    fileOff(objStmNum) = out.size()
+    w(s"$objStmNum 0 obj << /Type /ObjStm /N ${inner.length} " +
+      s"/First ${header.length} /Length ${stmData.length} " +
+      "/Filter /FlateDecode >> stream\n")
+    out.write(stmData, 0, stmData.length)
+    w("\nendstream endobj\n")
+    // the cross-reference STREAM the trailer's /XRefStm will point at:
+    // a complete index (W [1 4 2], Index [0 Size]) — type 2 for the
+    // ObjStm residents, type 1 for in-file objects
+    val xrefStmOff = out.size()
+    fileOff(xrefStmNum) = xrefStmOff
+    val rowW = 7
+    val rows = new Array[Byte](size * rowW)
+    def putRow(obj: Int, t: Int, f2: Long, f3: Int): Unit = {
+      val o = obj * rowW
+      rows(o) = t.toByte
+      rows(o + 1) = ((f2 >> 24) & 0xff).toByte
+      rows(o + 2) = ((f2 >> 16) & 0xff).toByte
+      rows(o + 3) = ((f2 >> 8) & 0xff).toByte
+      rows(o + 4) = (f2 & 0xff).toByte
+      rows(o + 5) = ((f3 >> 8) & 0xff).toByte
+      rows(o + 6) = (f3 & 0xff).toByte
+    }
+    putRow(0, 0, 0, 65535)
+    inner.zipWithIndex.foreach { case ((num, _), at) =>
+      putRow(num, 2, objStmNum.toLong, at)
+    }
+    fileOff.foreach { case (num, o) => putRow(num, 1, o, 0) }
+    val coded =
+      if (predictor == 12) {
+        val pc = new Array[Byte](size * (rowW + 1))
+        var r = 0
+        while (r < size) {
+          pc(r * (rowW + 1)) = 2 // PNG Up filter
+          var i = 0
+          while (i < rowW) {
+            val up = if (r > 0) rows((r - 1) * rowW + i) & 0xff else 0
+            pc(r * (rowW + 1) + 1 + i) =
+              (((rows(r * rowW + i) & 0xff) - up) & 0xff).toByte
+            i += 1
+          }
+          r += 1
+        }
+        pc
+      } else rows
+    val xData = deflate(coded)
+    w(s"$xrefStmNum 0 obj << /Type /XRef /Size $size /Root 1 0 R " +
+      s"/W [1 4 2] /Index [0 $size] " +
+      (if (predictor == 12)
+        s"/DecodeParms << /Predictor 12 /Columns $rowW >> " else "") +
+      s"/Length ${xData.length} /Filter /FlateDecode >> stream\n")
+    out.write(xData, 0, xData.length)
+    w("\nendstream endobj\n")
+    // the CLASSIC table startxref targets: hidden objects are FREE
+    // entries (what a pre-1.5 reader skips); the trailer reveals the
+    // stream via /XRefStm
+    val xrefOff = out.size()
+    w(s"xref\n0 $size\n")
+    w("0000000000 65535 f \n")
+    var j = 1
+    while (j < size) {
+      fileOff.get(j) match {
+        case Some(o) => w(f"$o%010d 00000 n \n")
+        case None => w("0000000000 00000 f \n")
+      }
+      j += 1
+    }
+    w(s"trailer << /Size $size /Root 1 0 R /XRefStm $xrefStmOff >>\n" +
+      s"startxref\n$xrefOff\n%%EOF\n")
     out.toByteArray
   }
 

@@ -213,6 +213,63 @@ class PdfSpec extends AnyFunSuite {
     assert(Multimodal.sniffContent(blob) === (("pdf", Some(3L))))
   }
 
+  // ---- hybrid-reference files (round 16) ------------------------------
+
+  test("hybrid-reference round-trip: the classic table's free entries " +
+      "resolve through the trailer's /XRefStm stream") {
+    checkProp(Prop.forAll(Gen.oneOf("1.4", "1.5", "1.6", "1.7"),
+        Gen.choose(1, 6), Gen.oneOf(1, 12), Gen.choose(0L, 4000L)) {
+      (v, np, pred, seed) =>
+        val pages = (0 until np).map { p =>
+          (0 until (1 + (seed + p) % 4).toInt).map(k =>
+            s"h$seed p$p l$k (${(seed * 5 + p * 3 + k) % 100})")
+        }
+        val blob = encodeHybridPdf(v, pages, pred)
+        // size = 6 + 2*np objects incl. the free head → nObjects 5+2np
+        decodePdf(blob).contains(PdfMeta(v, np, 5 + 2 * np, false)) &&
+          extractText(blob).contains(pages.flatten)
+    })
+  }
+
+  test("hybrid precedence: the classic table's in-use entries win " +
+      "over the /XRefStm stream where both define an object") {
+    val blob = encodeHybridPdf("1.6", Seq(Seq("alpha"), Seq("beta")), 1)
+    assert(extractText(blob) === Some(Seq("alpha", "beta")))
+    val s = new String(blob, "ISO-8859-1")
+    // Both indexes define the /ObjStm's offset (object 8 here: n=2 →
+    // objStmNum = 4+2n). Break the CLASSIC row only — the stream still
+    // carries the correct offset. Table-wins means the broken table
+    // entry is operative, the lookup's object-number check fails, and
+    // the decode returns None; a stream-wins reader would succeed.
+    val objStmNum = 8
+    val tableAt = s.lastIndexOf("xref\n0 10\n")
+    assert(tableAt > 0)
+    val rowAt = tableAt + "xref\n0 10\n".length + 20 * objStmNum
+    val goodOff = s.substring(rowAt, rowAt + 10).toLong
+    val patched = s.substring(0, rowAt) + f"${goodOff + 2}%010d" +
+      s.substring(rowAt + 10)
+    assert(patched.length === s.length)
+    assert(decodePdf(patched.getBytes("ISO-8859-1")) === None)
+    // a trailer whose /XRefStm points at a non-object rejects (hidden
+    // objects would silently vanish otherwise)
+    val broken = s.replaceAll("/XRefStm \\d+", "/XRefStm 17")
+      .getBytes("ISO-8859-1")
+    assert(decodePdf(broken) === None)
+  }
+
+  test("hybrid malformed sweep: truncation never throws") {
+    val good = encodeHybridPdf("1.7", Seq(Seq("abc", "def"), Seq("g")), 12)
+    (1 until good.length by 5).foreach { n =>
+      decodePdf(good.take(n)); extractText(good.take(n))
+    }
+    assert(decodePdf(good.take(good.length - 8)) === None)
+    // the classic-only view of the same file (drop /XRefStm): the
+    // table alone no longer reaches the hidden catalog → clean None
+    val classicOnly = new String(good, "ISO-8859-1")
+      .replaceAll("/XRefStm \\d+ ", "").getBytes("ISO-8859-1")
+    assert(decodePdf(classicOnly) === None)
+  }
+
   test("multi-level page trees: intermediate /Pages nodes walk in " +
       "tree order; flat and tree layouts extract identically") {
     checkProp(Prop.forAll(Gen.choose(3, 12), Gen.choose(2, 4),
