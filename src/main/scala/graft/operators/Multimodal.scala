@@ -3010,6 +3010,82 @@ object Multimodal {
         GROUP BY doc_id
         ORDER BY doc_id""")),
 
+    // ----- PDF outline / TOC metadata (round 16) ------------------------
+    // The navigation-quality signal for big-document curation: catalog
+    // → /Outlines → /First-/Next sibling chains, depth-first, every
+    // item living COMPRESSED inside the /ObjStm (the modern layout).
+    // Per doc the outline tree is planted from doc_id arithmetic —
+    // tops, kids, and an occasional grandchild — with parens in top
+    // titles (escape path). doc_id % 7 == 0 docs have NO outline and
+    // must yield the EMPTY outline, not a failure. The oracle replays
+    // item count, max depth, and the '|'-joined PRE-ORDER title walk —
+    // a wrong sibling order or a skipped ObjStm resident flips the
+    // string. Map-only per blob.
+    QueryDef(
+      "q413_pdf_outline_toc",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val outline =
+              if (id % 7 == 0) Nil
+              else (0 until (1 + id % 3).toInt).map { t =>
+                val nK = ((id + t) % 3).toInt
+                Pdf.OItem(s"o$id (t$t)", (0 until nK).map { j =>
+                  val g = if ((id + t + j) % 4 == 0)
+                    Seq(Pdf.OItem(s"o$id t$t k$j g")) else Nil
+                  Pdf.OItem(s"o$id t$t k$j", g)
+                })
+              }
+            val blob = Pdf.encodeXrefPdf(s"1.${5 + id % 3}",
+              Seq(Seq(s"body $id")), encrypted = false,
+              predictor = if (id % 2 == 0) 12 else 1, outline = outline)
+            Pdf.decodeOutline(blob) match {
+              case Some(o) =>
+                (id, o.nItems, o.maxDepth, o.titles.mkString("|"))
+              case None => (id, -1, -1, "")
+            }
+          }
+          .toDF("doc_id", "n_items", "max_depth", "titles")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH tops AS (
+          SELECT doc_id,
+                 unnest(generate_series(0, CAST(doc_id % 3 AS INT))) AS t
+          FROM documents WHERE doc_id % 7 <> 0),
+        kids AS (
+          SELECT doc_id, t,
+                 unnest(generate_series(0,
+                   CAST((doc_id + t) % 3 AS INT) - 1)) AS j
+          FROM tops),
+        grands AS (
+          SELECT doc_id, t, j FROM kids WHERE (doc_id + t + j) % 4 = 0),
+        items AS (
+          SELECT doc_id, t, -1 AS j, -1 AS g, 1 AS depth,
+                 'o' || doc_id || ' (t' || t || ')' AS title
+          FROM tops
+          UNION ALL
+          SELECT doc_id, t, j, -1, 2,
+                 'o' || doc_id || ' t' || t || ' k' || j
+          FROM kids
+          UNION ALL
+          SELECT doc_id, t, j, 0, 3,
+                 'o' || doc_id || ' t' || t || ' k' || j || ' g'
+          FROM grands),
+        agg AS (
+          SELECT doc_id, CAST(COUNT(*) AS INT) AS n_items,
+                 CAST(MAX(depth) AS INT) AS max_depth,
+                 string_agg(title, '|' ORDER BY t, j, g) AS titles
+          FROM items GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(a.n_items, 0) AS INT) AS n_items,
+               CAST(COALESCE(a.max_depth, 0) AS INT) AS max_depth,
+               COALESCE(a.titles, '') AS titles
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        ORDER BY d.doc_id""")),
+
     // ----- EXIF GPS sub-IFD + IFD1 thumbnail (round 14) -----------------
     // The remaining commonly-consumed EXIF families past q259's IFD0
     // walk: geolocation (tag 0x8825 → GPS IFD: hemisphere refs, three

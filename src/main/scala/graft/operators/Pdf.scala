@@ -826,6 +826,118 @@ object Pdf {
     } catch { case _: Exception => None }
   }
 
+  // ------------------------------------------------------------------
+  // document outline (TOC) metadata (round 16)
+  // ------------------------------------------------------------------
+
+  /** Outline (TOC) skeleton: item count, deepest level (1 = flat),
+    * and every /Title in pre-order — the navigation-quality signal
+    * for big-document curation. */
+  final case class PdfOutline(nItems: Int, maxDepth: Int,
+      titles: Seq[String])
+
+  /** Parse the `(...)` literal string starting at `start` (which must
+    * be the open paren): balanced-paren nesting, the standard escapes,
+    * octal codes. None when unterminated. */
+  private def literalString(buf: Array[Byte], start: Int, until: Int)
+      : Option[String] = {
+    if (start >= until || buf(start) != '(') return None
+    val sb = new java.lang.StringBuilder()
+    var depth = 1
+    var j = start + 1
+    while (j < until && depth > 0) {
+      (buf(j) & 0xff) match {
+        case '\\' =>
+          if (j + 1 >= until) return None
+          (buf(j + 1) & 0xff) match {
+            case 'n' => sb.append('\n'); j += 2
+            case 'r' => sb.append('\r'); j += 2
+            case 't' => sb.append('\t'); j += 2
+            case 'b' => sb.append('\b'); j += 2
+            case 'f' => sb.append('\f'); j += 2
+            case '(' => sb.append('('); j += 2
+            case ')' => sb.append(')'); j += 2
+            case '\\' => sb.append('\\'); j += 2
+            case d if d >= '0' && d <= '7' =>
+              var v = 0; var k = j + 1; var cnt = 0
+              while (k < until && cnt < 3 &&
+                buf(k) >= '0' && buf(k) <= '7') {
+                v = v * 8 + (buf(k) - '0'); k += 1; cnt += 1
+              }
+              sb.append((v & 0xff).toChar); j = k
+            case other => sb.append(other.toChar); j += 2
+          }
+        case '(' => depth += 1; sb.append('('); j += 1
+        case ')' => depth -= 1; if (depth > 0) sb.append(')'); j += 1
+        case c => sb.append(c.toChar); j += 1
+      }
+    }
+    if (depth != 0) None else Some(sb.toString)
+  }
+
+  /** The /Title literal of an outline item's dict slice. Every item
+    * REQUIRES a /Title (ISO 32000-1 12.3.3) — absence is malformed. */
+  private def titleOf(buf: Array[Byte], from: Int, until: Int)
+      : Option[String] = {
+    val k = keyIdx(buf, "/Title", from, until)
+    if (k < 0) return None
+    var j = k + 6
+    while (j < until && (buf(j) == ' ' || buf(j) == '\r' ||
+      buf(j) == '\n')) j += 1
+    literalString(buf, j, until)
+  }
+
+  /** Walk the document outline (ISO 32000-1 12.3.3): catalog →
+    * /Outlines → sibling chains through /First + /Next, depth-first.
+    * A valid PDF WITHOUT an /Outlines key yields the empty outline
+    * (no TOC is a fact, not a failure); a torn item, a missing
+    * /Title, a reference cycle, or an /Encrypt'd file (ciphertext
+    * titles) → None. Items may live compressed in an /ObjStm — the
+    * same ObjReader resolution as every other object. */
+  def decodeOutline(b: Array[Byte]): Option[PdfOutline] = try {
+    val meta = decodePdf(b).getOrElse(return None)
+    if (meta.encrypted) return None
+    val tailFrom = math.max(0, b.length - 128)
+    val sx = indexOf(b, "startxref", tailFrom, b.length)
+    val xrefOff = parseLong(b, sx + 9).get._1.toInt
+    val idx = buildIndex(b, xrefOff, sx).getOrElse(return None)
+    val rd = new ObjReader(b, idx)
+    val (cb, cFrom, cUntil) = rd.view(idx.root).getOrElse(return None)
+    val rootRef = refAfter(cb, "/Outlines", cFrom, cUntil) match {
+      case None => return Some(PdfOutline(0, 0, Nil))
+      case Some(r) => r
+    }
+    val titles = scala.collection.mutable.ArrayBuffer.empty[String]
+    val visited = scala.collection.mutable.Set.empty[Long]
+    var maxDepth = 0
+    def chain(first: Long, depth: Int): Boolean = {
+      if (depth > 32) return false // hostile nesting
+      var cur = first
+      while (cur >= 0) {
+        if (titles.length > 100000 || !visited.add(cur)) return false
+        val (ib, iFrom, iUntil) = rd.view(cur) match {
+          case Some(v) => v
+          case None => return false
+        }
+        titles += titleOf(ib, iFrom, iUntil).getOrElse(return false)
+        if (depth > maxDepth) maxDepth = depth
+        refAfter(ib, "/First", iFrom, iUntil) match {
+          case Some(f) => if (!chain(f, depth + 1)) return false
+          case None =>
+        }
+        cur = refAfter(ib, "/Next", iFrom, iUntil).getOrElse(-1L)
+      }
+      true
+    }
+    val (ob, oFrom, oUntil) = rd.view(rootRef).getOrElse(return None)
+    visited.add(rootRef)
+    refAfter(ob, "/First", oFrom, oUntil) match {
+      case Some(f) => if (!chain(f, 1)) return None
+      case None => // an /Outlines dict with zero items
+    }
+    Some(PdfOutline(titles.length, maxDepth, titles.toList))
+  } catch { case _: Exception => None }
+
   /** Escape a line for a PDF literal string. */
   private def escLiteral(s: String): String = {
     val sb = new java.lang.StringBuilder()
@@ -939,9 +1051,12 @@ object Pdf {
     * coded), not a table — the layout every modern PDF writer emits.
     * extractText() is the identity on `pages`' lines (unencrypted);
     * decodePdf() reads version/pages/objects/encryption. */
+  /** One outline (TOC) item for the fixture emitters. */
+  final case class OItem(title: String, kids: Seq[OItem] = Nil)
+
   def encodeXrefPdf(version: String, pages: Seq[Seq[String]],
       encrypted: Boolean, predictor: Int,
-      treeFanout: Int = 0): Array[Byte] = {
+      treeFanout: Int = 0, outline: Seq[OItem] = Nil): Array[Byte] = {
     require(version.matches("\\d\\.\\d"), s"version is M.m: $version")
     require(pages.nonEmpty, "at least one page")
     require(predictor == 1 || predictor == 12, "predictor 1 or 12")
@@ -961,7 +1076,12 @@ object Pdf {
     val objStmNum = 4 + 2 * n + nInt
     val encObj = if (encrypted) Some(5 + 2 * n + nInt) else None
     val xrefNum = 5 + 2 * n + nInt + (if (encrypted) 1 else 0)
-    val size = xrefNum + 1
+    // outline (TOC) objects — root + items in pre-order — take the
+    // numbers past the xref stream and live COMPRESSED in the ObjStm
+    def subSize(it: OItem): Int = 1 + it.kids.map(subSize).sum
+    val outlineRoot = xrefNum + 1
+    val nOutline = if (outline.isEmpty) 0 else 1 + outline.map(subSize).sum
+    val size = xrefNum + 1 + nOutline
     val out = new ByteArrayOutputStream(1024)
     def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
     val fileOff = scala.collection.mutable.Map.empty[Int, Long]
@@ -981,7 +1101,9 @@ object Pdf {
     }
     // the object stream: catalog, pages root, page dicts, font
     val inner = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
-    inner += 1 -> "<< /Type /Catalog /Pages 2 0 R >>"
+    inner += 1 -> ("<< /Type /Catalog /Pages 2 0 R" +
+      (if (outline.nonEmpty) s" /Outlines $outlineRoot 0 R" else "") +
+      " >>")
     val rootKids =
       if (nInt == 0) (0 until n).map(k2 => s"${3 + k2} 0 R")
       else (0 until nInt).map(g => s"${intBase + g} 0 R")
@@ -1000,6 +1122,36 @@ object Pdf {
       val ks = members.map(k2 => s"${3 + k2} 0 R").mkString(" ")
       inner += (intBase + g) -> ("<< /Type /Pages /Parent 2 0 R " +
         s"/Kids [$ks] /Count ${members.length} >>")
+    }
+    if (outline.nonEmpty) {
+      // pre-order numbering: an item's subtree occupies a contiguous
+      // number range, so sibling numbers are prefix sums of subtree
+      // sizes; each item links /Parent /Prev /Next and, when it has
+      // children, /First /Last /Count (open count = descendants)
+      def emitLevel(items: Seq[OItem], parent: Int, start: Int): Unit = {
+        val nums = items.scanLeft(start)((a, it) => a + subSize(it)).init
+        items.zip(nums).zipWithIndex.foreach { case ((it, num), i2) =>
+          val prev =
+            if (i2 == 0) "" else s" /Prev ${nums(i2 - 1)} 0 R"
+          val next = if (i2 == items.length - 1) ""
+            else s" /Next ${nums(i2 + 1)} 0 R"
+          val kidsPart = if (it.kids.isEmpty) "" else {
+            val kNums = it.kids
+              .scanLeft(num + 1)((a, k2) => a + subSize(k2)).init
+            s" /First ${num + 1} 0 R /Last ${kNums.last} 0 R" +
+              s" /Count ${subSize(it) - 1}"
+          }
+          inner += num -> (s"<< /Title (${escLiteral(it.title)})" +
+            s" /Parent $parent 0 R$prev$next$kidsPart >>")
+          emitLevel(it.kids, num, num + 1)
+        }
+      }
+      val topNums = outline
+        .scanLeft(outlineRoot + 1)((a, it) => a + subSize(it)).init
+      inner += outlineRoot -> ("<< /Type /Outlines" +
+        s" /First ${outlineRoot + 1} 0 R /Last ${topNums.last} 0 R" +
+        s" /Count ${nOutline - 1} >>")
+      emitLevel(outline, outlineRoot, outlineRoot + 1)
     }
     val bodies = inner.map(_._2 + " ")
     val innerOffs = bodies.scanLeft(0)(_ + _.length).init

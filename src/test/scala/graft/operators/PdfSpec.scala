@@ -213,6 +213,86 @@ class PdfSpec extends AnyFunSuite {
     assert(Multimodal.sniffContent(blob) === (("pdf", Some(3L))))
   }
 
+  // ---- document outlines / TOC (round 16) -----------------------------
+
+  test("outline round-trip: pre-order titles, count and depth; parens " +
+      "and backslashes in titles survive; ObjStm-compressed items") {
+    checkProp(Prop.forAll(Gen.choose(1, 4), Gen.choose(0L, 4000L)) {
+      (nTop, seed) =>
+        val items = (0 until nTop).map { t =>
+          val nK = ((seed + t) % 3).toInt
+          OItem(s"s$seed (t$t)", (0 until nK).map { j =>
+            val g = if ((seed + t + j) % 4 == 0)
+              Seq(OItem(s"g\\$t deep")) else Nil
+            OItem(s"s$seed t$t k$j", g)
+          })
+        }
+        def pre(it: OItem): Seq[String] = it.title +: it.kids.flatMap(pre)
+        def dep(it: OItem): Int =
+          1 + (if (it.kids.isEmpty) 0 else it.kids.map(dep).max)
+        val titles = items.flatMap(pre)
+        val blob = encodeXrefPdf("1.7", Seq(Seq("x")), encrypted = false,
+          predictor = 12, outline = items)
+        decodeOutline(blob).contains(
+          PdfOutline(titles.length, items.map(dep).max, titles)) &&
+          // the rest of the decode surface is undisturbed
+          decodePdf(blob).exists(_.nPages == 1) &&
+          extractText(blob).contains(Seq("x"))
+    })
+  }
+
+  test("a PDF without /Outlines yields the EMPTY outline, not None") {
+    val blob = encodeXrefPdf("1.6", Seq(Seq("x")), encrypted = false, 1)
+    assert(decodeOutline(blob) === Some(PdfOutline(0, 0, Nil)))
+    // classic layout too
+    val classic = encodePdf("1.4", 2, encrypted = false,
+      "BT (t) Tj ET".getBytes("ISO-8859-1"))
+    assert(decodeOutline(classic) === Some(PdfOutline(0, 0, Nil)))
+  }
+
+  test("outline malformations: reference cycles, missing /Title, " +
+      "truncation — None, never a throw or an infinite walk") {
+    def classicWith(objs: Seq[String]): Array[Byte] = {
+      val out = new StringBuilder
+      val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+      out.append("%PDF-1.4\n")
+      objs.zipWithIndex.foreach { case (body, i) =>
+        offs += out.length
+        out.append(s"${i + 1} 0 obj $body endobj\n")
+      }
+      val size = objs.length + 1
+      val xref = out.length
+      out.append(s"xref\n0 $size\n0000000000 65535 f \n")
+      offs.foreach(o => out.append(f"$o%010d 00000 n \n"))
+      out.append(s"trailer << /Size $size /Root 1 0 R >>\n" +
+        s"startxref\n$xref\n%%EOF\n")
+      out.toString.getBytes("ISO-8859-1")
+    }
+    val base = Seq(
+      "<< /Type /Catalog /Pages 2 0 R /Outlines 3 0 R >>",
+      "<< /Type /Pages /Kids [] /Count 0 >>",
+      "<< /Type /Outlines /First 4 0 R /Last 5 0 R /Count 2 >>")
+    // well-formed two-item chain decodes
+    val good = classicWith(base ++ Seq(
+      "<< /Title (a) /Parent 3 0 R /Next 5 0 R >>",
+      "<< /Title (b) /Parent 3 0 R /Prev 4 0 R >>"))
+    assert(decodeOutline(good) === Some(PdfOutline(2, 1, Seq("a", "b"))))
+    // /Next cycling back to a visited item must stop cleanly
+    val cycle = classicWith(base ++ Seq(
+      "<< /Title (a) /Parent 3 0 R /Next 5 0 R >>",
+      "<< /Title (b) /Parent 3 0 R /Prev 4 0 R /Next 4 0 R >>"))
+    assert(decodeOutline(cycle) === None)
+    // an item without the REQUIRED /Title rejects
+    val untitled = classicWith(base ++ Seq(
+      "<< /Parent 3 0 R /Next 5 0 R >>",
+      "<< /Title (b) /Parent 3 0 R >>"))
+    assert(decodeOutline(untitled) === None)
+    // truncation sweep over an outline-bearing modern blob
+    val blob = encodeXrefPdf("1.7", Seq(Seq("x")), encrypted = false, 12,
+      outline = Seq(OItem("top", Seq(OItem("kid")))))
+    (1 until blob.length by 5).foreach(n => decodeOutline(blob.take(n)))
+  }
+
   // ---- hybrid-reference files (round 16) ------------------------------
 
   test("hybrid-reference round-trip: the classic table's free entries " +
