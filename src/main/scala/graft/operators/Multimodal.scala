@@ -3086,6 +3086,107 @@ object Multimodal {
         FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         ORDER BY d.doc_id""")),
 
+    // ----- repo-manifest dependency histogram (round 16 composition) ----
+    // What the q409/q411 parsers exist FOR: a mixed corpus of
+    // Cargo-style TOML manifests (even ids) and hpack/pnpm-style YAML
+    // manifests (odd ids, with a dev-dependencies block) parses
+    // map-side, normalizes to (ecosystem, kind, dep, version) rows,
+    // and feeds a distributed dependency histogram — manifests per
+    // dep, distinct version-ranges, first adopter. The groupBy
+    // compiles to partial+final hash aggregation: at corpus scale the
+    // shuffle carries one row per (task, dep key), never manifest
+    // text. TOML inline-table deps ({ version = ... }) and plain
+    // string deps both normalize. The oracle replays the histogram
+    // from doc_id arithmetic.
+    QueryDef(
+      "q414_manifest_dependency_histogram",
+      (s, dir) => {
+        import s.implicits._
+        val rows = Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .flatMap { id =>
+            val deps = (0 to (id % 4).toInt).map(k =>
+              (s"lib${(id * 3 + k * 5) % 40}", s"1.${(id + k) % 20}"))
+            if (id % 2 == 0) {
+              val blob = Toml.encodeManifest(s"pkg-${id % 200}", "1.0.0",
+                2021L, Nil, deps, 0)
+              Toml.parseToml(blob) match {
+                case Some(m) =>
+                  val dm = m.get("dependencies") match {
+                    case Some(d: Yaml.YMap) => d.fields
+                    case _ => Vector.empty
+                  }
+                  dm.map { case (dep, v) =>
+                    val ver = v match {
+                      case Yaml.YStr(x) => x
+                      case t: Yaml.YMap => t.get("version") match {
+                        case Some(Yaml.YStr(x)) => x
+                        case _ => ""
+                      }
+                      case _ => ""
+                    }
+                    (id, "cargo", "runtime", dep, ver)
+                  }
+                case None => Seq((id, "cargo", "parse-error", "", ""))
+              }
+            } else {
+              val blob = Yaml.encodePackageManifest(s"pkg-${id % 200}",
+                s"0.${id % 10}.0", deps,
+                Seq((s"devlib${id % 10}", s"0.${id % 7}")))
+              Yaml.parseYaml(blob) match {
+                case Some(m: Yaml.YMap) =>
+                  def block(key: String, kind: String) = m.get(key) match {
+                    case Some(d: Yaml.YMap) => d.fields.map {
+                      case (dep, v) =>
+                        val ver = v match {
+                          case Yaml.YStr(x) => x
+                          case _ => ""
+                        }
+                        (id, "yaml", kind, dep, ver)
+                    }
+                    case _ => Vector.empty[(Long, String, String,
+                      String, String)]
+                  }
+                  block("dependencies", "runtime") ++
+                    block("dev-dependencies", "dev")
+                case _ => Seq((id, "yaml", "parse-error", "", ""))
+              }
+            }
+          }
+          .toDF("doc_id", "ecosystem", "kind", "dep", "ver")
+        rows.groupBy($"ecosystem", $"kind", $"dep")
+          .agg(count(lit(1)).as("n_manifests"),
+            countDistinct($"ver").as("n_versions"),
+            min($"doc_id").as("first_doc"))
+          .orderBy($"ecosystem", $"kind", $"dep")
+      },
+      Some("""
+        WITH runtime AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0 THEN 'cargo' ELSE 'yaml' END
+                   AS ecosystem,
+                 'runtime' AS kind,
+                 'lib' || ((doc_id * 3 + k * 5) % 40) AS dep,
+                 '1.' || ((doc_id + k) % 20) AS ver
+          FROM (SELECT doc_id,
+                       unnest(generate_series(0,
+                         CAST(doc_id % 4 AS INT))) AS k
+                FROM documents)),
+        dev AS (
+          SELECT doc_id, 'yaml' AS ecosystem, 'dev' AS kind,
+                 'devlib' || (doc_id % 10) AS dep,
+                 '0.' || (doc_id % 7) AS ver
+          FROM documents WHERE doc_id % 2 = 1),
+        both_ AS (
+          SELECT * FROM runtime UNION ALL SELECT * FROM dev)
+        SELECT ecosystem, kind, dep,
+               CAST(COUNT(*) AS BIGINT) AS n_manifests,
+               CAST(COUNT(DISTINCT ver) AS BIGINT) AS n_versions,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        FROM both_
+        GROUP BY ecosystem, kind, dep
+        ORDER BY ecosystem, kind, dep""")),
+
     // ----- EXIF GPS sub-IFD + IFD1 thumbnail (round 14) -----------------
     // The remaining commonly-consumed EXIF families past q259's IFD0
     // walk: geolocation (tag 0x8825 → GPS IFD: hemisphere refs, three

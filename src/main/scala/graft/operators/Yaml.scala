@@ -370,6 +370,32 @@ object Yaml {
     * quoted + plain scalars, a flow list, a nested mapping, a block
     * sequence of maps, a literal block scalar, comments, and typed
     * plain scalars. */
+  /** Package-manifest fixture (hpack / pnpm-workspace style): name and
+    * version scalars, then `dependencies:` / `dev-dependencies:` block
+    * mappings of dependency -> QUOTED version-range strings (alternating
+    * double/single quotes, a trailing comment on odd entries), a plain
+    * scalar trailer. Both dependency blocks must be non-empty — an
+    * empty block mapping is a null value this subset rejects. */
+  def encodePackageManifest(name: String, version: String,
+      deps: Seq[(String, String)],
+      devDeps: Seq[(String, String)]): Array[Byte] = {
+    require(deps.nonEmpty && devDeps.nonEmpty, "non-empty dep blocks")
+    val sb = new StringBuilder
+    sb.append("# generated package manifest\n")
+    sb.append(s"name: ${"\""}${name.replace("\\", "\\\\")
+      .replace("\"", "\\\"")}${"\""}\n")
+    sb.append(s"version: '$version'\n")
+    sb.append("dependencies:\n")
+    deps.zipWithIndex.foreach { case ((d, v), i) =>
+      if (i % 2 == 0) sb.append(s"""  $d: "$v"\n""")
+      else sb.append(s"  $d: '$v'  # pinned\n")
+    }
+    sb.append("dev-dependencies:\n")
+    devDeps.foreach { case (d, v) => sb.append(s"""  $d: "$v"\n""") }
+    sb.append("license: MIT\n")
+    sb.toString.getBytes("UTF-8")
+  }
+
   def encodeFrontMatter(title: String, date: String, tags: Seq[String],
       draft: Boolean, weight: Long, body: String): Array[Byte] = {
     val sb = new StringBuilder

@@ -109,4 +109,20 @@ class YamlSpec extends AnyFunSuite {
       YStr("plain")))))
   }
 
+  test("package-manifest round-trip: dependency blocks parse as " +
+      "nested mappings with quoted version strings") {
+    val blob = encodePackageManifest("pkg-a", "1.2.3",
+      Seq("lib1" -> "^1.2", "lib2" -> ">=2.0", "lib3" -> "~0.9"),
+      Seq("devlib" -> "0.4"))
+    val m = parseYaml(blob).get.asInstanceOf[YMap]
+    assert(m.get("name") === Some(YStr("pkg-a")))
+    assert(m.get("version") === Some(YStr("1.2.3")))
+    val deps = m.get("dependencies").get.asInstanceOf[YMap]
+    assert(deps.fields === Vector("lib1" -> YStr("^1.2"),
+      "lib2" -> YStr(">=2.0"), "lib3" -> YStr("~0.9")))
+    val dev = m.get("dev-dependencies").get.asInstanceOf[YMap]
+    assert(dev.fields === Vector("devlib" -> YStr("0.4")))
+    assert(m.get("license") === Some(YStr("MIT")))
+  }
+
 }
