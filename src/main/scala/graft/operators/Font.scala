@@ -118,13 +118,13 @@ object Font {
       if (ok) Some(out) else None
     } catch { case _: Exception => None }
 
-  /** WOFF2 structural sniff (W3C WOFF2 spec). The table DIRECTORY is
-    * not Brotli-compressed — only the data block is — so container
-    * triage decodes honestly without a Brotli implementation (absent
-    * in-container; same deferral class as MP3): flavor, the directory
+  /** WOFF2 structural sniff (W3C WOFF2 spec): flavor, the directory
     * walk with its known-tags index and UIntBase128 lengths, and the
-    * summed original sfnt size. Family strings live inside the
-    * compressed block → None fields, never guessed. */
+    * summed original sfnt size — the data block stays unread, so the
+    * sniff stays cheap on blobs whose tables nobody asked for. For
+    * family strings and the other triage fields the FULL decode
+    * ([[decodeWoff2Font]]) Brotli-decompresses the block (round 16 —
+    * the former deferral, promoted once [[Brotli]] landed). */
   final case class Woff2Meta(flavor: String, nTables: Int,
       totalSfntSize: Long, sumOrigLengths: Long, tags: Seq[String])
 
@@ -158,7 +158,17 @@ object Font {
     None // more than 5 bytes
   }
 
-  def decodeWoff2(b: Array[Byte]): Option[Woff2Meta] = {
+  /** One WOFF2 directory row: `dataLen` is the table's length inside
+    * the decompressed block (transformLength when a non-null
+    * transform applies, origLength otherwise). */
+  private final case class Woff2Entry(tag: String, origLen: Long,
+      dataLen: Long, transformed: Boolean)
+
+  /** Shared WOFF2 header + directory walk: (flavor, nTables,
+    * totalSfntSize, entries, byte offset past the directory — where
+    * the Brotli-compressed data block begins). */
+  private def woff2Directory(b: Array[Byte])
+      : Option[(String, Int, Long, Vector[Woff2Entry], Int)] = {
     if (b == null || b.length < 48) return None
     if (u32(b, 0) != 0x774F4632L) return None // 'wOF2'
     val flavor = u32(b, 4) match {
@@ -172,8 +182,7 @@ object Font {
     if (nTables < 1 || nTables > 512) return None
     val totalSfntSize = u32(b, 16)
     var at = 48
-    var sumOrig = 0L
-    val tags = Vector.newBuilder[String]
+    val entries = Vector.newBuilder[Woff2Entry]
     var i = 0
     while (i < nTables) {
       if (at >= b.length) return None
@@ -196,17 +205,62 @@ object Font {
       val transformed =
         if (tag == "glyf" || tag == "loca") transform != 3
         else transform != 0
+      var dataLen = origLen
       if (transformed) {
-        val (_, a2) = uintBase128(b, at).getOrElse(return None)
+        val (tl, a2) = uintBase128(b, at).getOrElse(return None)
         at = a2
+        dataLen = tl
       }
-      sumOrig += origLen
-      tags += tag
+      entries += Woff2Entry(tag, origLen, dataLen, transformed)
       i += 1
     }
-    Some(Woff2Meta(flavor, nTables, totalSfntSize, sumOrig,
-      tags.result()))
+    Some((flavor, nTables, totalSfntSize, entries.result(), at))
   }
+
+  def decodeWoff2(b: Array[Byte]): Option[Woff2Meta] =
+    woff2Directory(b).map { case (flavor, nTables, sfntSize, es, _) =>
+      Woff2Meta(flavor, nTables, sfntSize, es.map(_.origLen).sum,
+        es.map(_.tag))
+    }
+
+  /** FULL WOFF2 decode (round 16 — the Brotli deferral promoted):
+    * Brotli-decompress the data block and read head/maxp/name out of
+    * the reassembled table stream, with the same per-table
+    * degradation as every other container. The decompressed block
+    * must measure EXACTLY the directory's summed data lengths
+    * (W3C WOFF2 §4), and a triage table carrying a reserved
+    * (undecodable) transform rejects rather than mis-slicing. */
+  def decodeWoff2Font(b: Array[Byte]): Option[FontMeta] =
+    try {
+      val (flavor, nTables, _, entries, dataFrom) =
+        woff2Directory(b).getOrElse(return None)
+      val compLen = u32(b, 20) // totalCompressedSize
+      if (compLen < 0 || dataFrom + compLen > b.length) return None
+      val expected = entries.map(_.dataLen).sum
+      if (expected < 0 || expected > (64 << 20)) return None
+      val blob = Brotli.decompress(b, dataFrom,
+        (dataFrom + compLen).toInt, expected.toInt)
+        .getOrElse(return None)
+      if (blob.length.toLong != expected) return None
+      var head: Option[Array[Byte]] = None
+      var maxp: Option[Array[Byte]] = None
+      var name: Option[Array[Byte]] = None
+      var off = 0L
+      entries.foreach { e =>
+        if (e.tag == "head" || e.tag == "maxp" || e.tag == "name") {
+          if (e.transformed) return None // reserved transform: opaque
+          val slice = java.util.Arrays.copyOfRange(blob, off.toInt,
+            (off + e.dataLen).toInt)
+          e.tag match {
+            case "head" => head = Some(slice)
+            case "maxp" => maxp = Some(slice)
+            case _ => name = Some(slice)
+          }
+        }
+        off += e.dataLen
+      }
+      assemble("woff2", nTables, head, maxp, name)
+    } catch { case _: Exception => None }
 
   /** Fixture emitter: header + directory (known-index and arbitrary
     * tags, UIntBase128 lengths incl. multi-byte values, a transformed
@@ -260,11 +314,62 @@ object Font {
     o.toByteArray
   }
 
+  /** COMPLETE WOFF2 fixture (round 16): head/maxp/name built by the
+    * shared table builders, concatenated UNPADDED (W3C WOFF2 §4) and
+    * carried in a real Brotli stream — the compressed fixed-Huffman
+    * form or the stored form, both reference-validated in BrotliSpec.
+    * Directory rows use the known-tag index with null transforms. */
+  def encodeWoff2Font(flavor: String, family: String, subfamily: String,
+      nGlyphs: Int, unitsPerEm: Int, fixedHuffman: Boolean,
+      macFamily: Option[String] = None): Array[Byte] = {
+    require(flavor == "ttf" || flavor == "otf", flavor)
+    val tables = Seq(
+      ("head", headTable(unitsPerEm)),
+      ("maxp", maxpTable(nGlyphs, cff = flavor == "otf")),
+      ("name", nameTable(family, subfamily, macFamily)))
+    val blob = new ByteArrayOutputStream(256)
+    tables.foreach { case (_, t) => blob.write(t, 0, t.length) }
+    val comp =
+      if (fixedHuffman) Brotli.encodeFixed(blob.toByteArray)
+      else Brotli.encodeStored(blob.toByteArray)
+    val dir = new ByteArrayOutputStream(32)
+    def base128(v: Long): Unit = {
+      val bytes = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var x = v
+      do { bytes += (x & 0x7f).toInt; x >>= 7 } while (x != 0)
+      val out = bytes.reverse
+      out.init.foreach(bb => dir.write(bb | 0x80))
+      dir.write(out.last)
+    }
+    var sfnt = 12L + 16L * tables.length
+    tables.foreach { case (tag, data) =>
+      dir.write(Woff2KnownTags.indexOf(tag)) // transform bits 0 = null
+      base128(data.length.toLong)
+      sfnt += (data.length + 3) & ~3L
+    }
+    val dirBytes = dir.toByteArray
+    val total = 48 + dirBytes.length + comp.length
+    val o = new ByteArrayOutputStream(total)
+    w32(o, 0x774F4632L) // 'wOF2'
+    w32(o, if (flavor == "otf") 0x4F54544FL else 0x00010000L)
+    w32(o, total.toLong)
+    w16(o, tables.length); w16(o, 0)
+    w32(o, sfnt)
+    w32(o, comp.length.toLong) // totalCompressedSize
+    w16(o, 1); w16(o, 0)
+    w32(o, 0L); w32(o, 0L); w32(o, 0L) // meta
+    w32(o, 0L); w32(o, 0L) // priv
+    o.write(dirBytes, 0, dirBytes.length)
+    o.write(comp, 0, comp.length)
+    o.toByteArray
+  }
+
   def decodeFont(b: Array[Byte]): Option[FontMeta] =
     try {
       if (b == null || b.length < 12) return None
       val tag = u32(b, 0)
       if (tag == 0x774F4646L) return decodeWoff(b) // 'wOFF'
+      if (tag == 0x774F4632L) return decodeWoff2Font(b) // 'wOF2'
       val container = tag match {
         case 0x00010000L | 0x74727565L => "ttf" // 1.0 | 'true'
         case 0x4F54544FL => "otf" // 'OTTO'

@@ -3187,6 +3187,56 @@ object Multimodal {
         GROUP BY ecosystem, kind, dep
         ORDER BY ecosystem, kind, dep""")),
 
+    // ----- WOFF2 family strings through Brotli (round 16) ---------------
+    // The q410 deferral promoted: a conformant Brotli source landed
+    // in-container (libbrotli referee — see BrotliSpec), so the WOFF2
+    // data block now decompresses and the name/head/maxp tables read
+    // out of the reassembled stream. Fixtures carry REAL Brotli
+    // streams — the compressed fixed-Huffman form on most ids, the
+    // stored form on id % 3 == 0 — with a Mac-record decoy the
+    // Windows-record preference must beat. The oracle replays every
+    // field from doc_id arithmetic. Map-only per blob.
+    QueryDef(
+      "q415_woff2_family_strings",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val fam = s"Fam ${id % 97}"
+            val sub = (id % 3) match {
+              case 0 => "Regular"; case 1 => "Bold"; case _ => "Italic"
+            }
+            val blob = Font.encodeWoff2Font(
+              if (id % 2 == 0) "ttf" else "otf", fam, sub,
+              nGlyphs = (10 + id % 1000).toInt,
+              unitsPerEm = if (id % 2 == 0) 2048 else 1000,
+              fixedHuffman = id % 3 != 0,
+              macFamily = Some(s"DECOY ${id % 7}"))
+            Font.decodeFont(blob) match {
+              case Some(m) => (id, m.container, m.family.getOrElse(""),
+                m.subfamily.getOrElse(""), m.nTables,
+                m.nGlyphs.getOrElse(-1), m.unitsPerEm.getOrElse(-1))
+              case None => (id, "", "", "", -1, -1, -1)
+            }
+          }
+          .toDF("doc_id", "container", "family", "subfamily",
+            "n_tables", "n_glyphs", "units_per_em")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               'woff2' AS container,
+               'Fam ' || (doc_id % 97) AS family,
+               CASE doc_id % 3 WHEN 0 THEN 'Regular' WHEN 1 THEN 'Bold'
+                 ELSE 'Italic' END AS subfamily,
+               CAST(3 AS INT) AS n_tables,
+               CAST(10 + doc_id % 1000 AS INT) AS n_glyphs,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 2048 ELSE 1000 END
+                 AS INT) AS units_per_em
+        FROM documents
+        ORDER BY doc_id""")),
+
     // ----- EXIF GPS sub-IFD + IFD1 thumbnail (round 14) -----------------
     // The remaining commonly-consumed EXIF families past q259's IFD0
     // walk: geolocation (tag 0x8825 → GPS IFD: hemisphere refs, three

@@ -146,4 +146,47 @@ class FontSpec extends AnyFunSuite {
     assert(Multimodal.sniffContent(good) === (("font_woff2", Some(2L))))
   }
 
+  test("woff2 FULL decode: family strings through the Brotli block, " +
+      "both flavors, both stream forms, Windows-record preference") {
+    checkProp(Prop.forAll(Gen.oneOf("ttf", "otf"), Gen.alphaNumStr,
+        Gen.choose(1, 60000), Gen.choose(16, 16384),
+        Gen.oneOf(true, false)) { (fl, fam0, glyphs, upem, fixed) =>
+      val fam = s"F $fam0"
+      val blob = encodeWoff2Font(fl, fam, "Bold", glyphs, upem, fixed,
+        macFamily = Some("MAC DECOY"))
+      decodeFont(blob).contains(FontMeta("woff2", Some(fam),
+        Some("Bold"), 3, Some(glyphs), Some(upem))) &&
+        decodeWoff2Font(blob).contains(FontMeta("woff2", Some(fam),
+          Some("Bold"), 3, Some(glyphs), Some(upem)))
+    })
+  }
+
+  test("woff2 full-decode strictness: block-length mismatch, torn " +
+      "Brotli stream, truncation — None, never a throw") {
+    val good = encodeWoff2Font("ttf", "Fam", "Regular", 12, 1000,
+      fixedHuffman = true)
+    assert(decodeWoff2Font(good).isDefined)
+    // flipped bytes inside the compressed block: Brotli carries no
+    // checksum, so corruption is allowed to surface as None OR as
+    // different decompressed bytes (whose FIELD projection may even
+    // coincide when the flip lands in a don't-care region) — the
+    // byte-level divergence contract is pinned in BrotliSpec; here
+    // the requirement is no-throw over the whole flip sweep
+    (48 until good.length).foreach { i =>
+      val bad = good.clone
+      bad(i) = (bad(i) ^ 0x7f).toByte
+      decodeWoff2Font(bad)
+    }
+    // declared compressed size too small: decode must reject, not
+    // read a truncated stream
+    val shortLen = good.clone
+    shortLen(23) = (shortLen(23) - 1).toByte // totalCompressedSize -1
+    assert(decodeWoff2Font(shortLen) === None)
+    (1 until good.length by 3).foreach(n =>
+      decodeWoff2Font(good.take(n)))
+    // the sniff still reads the same directory
+    val sniff = decodeWoff2(good).get
+    assert(sniff.tags === Seq("head", "maxp", "name"))
+  }
+
 }
