@@ -3237,6 +3237,171 @@ object Multimodal {
         FROM documents
         ORDER BY doc_id""")),
 
+    // ----- PDF classic incremental updates (round 16) -------------------
+    // Save-in-place PDFs (ISO 32000-1 7.5.6): the original bytes stay
+    // put and each save APPENDS replacement objects plus a SPARSE
+    // multi-subsection xref section chaining through trailer /Prev.
+    // Every doc gets one update (replacing page doc_id % n); even ids
+    // get a SECOND update on page (doc_id+1) % n — on 1-page docs that
+    // re-updates the same page, so the newest-wins merge must beat the
+    // MIDDLE section, not just the base. The oracle replays the final
+    // per-page text. Map-only per blob.
+    QueryDef(
+      "q416_pdf_incremental_update",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val np = (1 + id % 3).toInt
+            val pages = (0 until np).map { p =>
+              (0 until (2 + (id + p) % 2).toInt).map(k =>
+                s"w$id p$p l$k (${(id * 17 + p * 5 + k) % 100})")
+            }
+            val base = Pdf.encodeTextPdf(s"1.${4 + id % 3}", pages,
+              flate = id % 2 == 0)
+            val u1 = (id % np).toInt
+            val up1 = Pdf.appendIncrementalUpdate(base, np, u1,
+              (0 until 2).map(k =>
+                s"u1 $id p$u1 l$k (${(id * 19 + k) % 100})"),
+              flate = id % 3 == 0)
+            val blob =
+              if (id % 2 == 0) {
+                val u2 = ((id + 1) % np).toInt
+                Pdf.appendIncrementalUpdate(up1, np, u2,
+                  Seq(s"u2 $id p$u2 (${(id * 23) % 100})"),
+                  flate = id % 3 != 0)
+              } else up1
+            (Pdf.decodePdf(blob), Pdf.extractText(blob)) match {
+              case (Some(m), Some(lines)) =>
+                (id, m.nPages, lines.length, lines.mkString("\n"))
+              case _ => (id, -1, -1, "")
+            }
+          }
+          .toDF("doc_id", "n_pages", "n_lines", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS np
+          FROM documents),
+        pg AS (
+          SELECT doc_id, np,
+                 unnest(generate_series(0, np - 1)) AS p
+          FROM d),
+        cls AS (
+          SELECT doc_id, np, p,
+                 CAST(doc_id % np AS INT) AS u1,
+                 CAST((doc_id + 1) % np AS INT) AS u2,
+                 (doc_id % 2 = 0) AS hasu2
+          FROM pg),
+        linesv2 AS (
+          SELECT doc_id, p, 0 AS k,
+                 'u2 ' || doc_id || ' p' || p || ' (' ||
+                   ((doc_id * 23) % 100) || ')' AS line
+          FROM cls WHERE hasu2 AND p = u2),
+        linesv1 AS (
+          SELECT doc_id, p, k,
+                 'u1 ' || doc_id || ' p' || p || ' l' || k || ' (' ||
+                   ((doc_id * 19 + k) % 100) || ')' AS line
+          FROM (SELECT doc_id, p, u1, u2, hasu2,
+                       unnest(generate_series(0, 1)) AS k
+                FROM cls) q
+          WHERE p = u1 AND NOT (hasu2 AND p = u2)),
+        lines0 AS (
+          SELECT doc_id, p, k,
+                 'w' || doc_id || ' p' || p || ' l' || k || ' (' ||
+                   ((doc_id * 17 + p * 5 + k) % 100) || ')' AS line
+          FROM (SELECT doc_id, p, u1, u2, hasu2,
+                       unnest(generate_series(0,
+                         1 + CAST((doc_id + p) % 2 AS INT))) AS k
+                FROM cls) q
+          WHERE p <> u1 AND NOT (hasu2 AND p = u2)),
+        alllines AS (
+          SELECT * FROM linesv2 UNION ALL
+          SELECT * FROM linesv1 UNION ALL
+          SELECT * FROM lines0)
+        SELECT a.doc_id,
+               CAST(1 + a.doc_id % 3 AS INT) AS n_pages,
+               CAST(COUNT(*) AS INT) AS n_lines,
+               string_agg(a.line, chr(10) ORDER BY a.p, a.k) AS text
+        FROM alllines a
+        GROUP BY a.doc_id
+        ORDER BY a.doc_id""")),
+
+    // ----- brotli-compressed web assets (round 16 composition) ----------
+    // Content-Encoding: br is the modern crawl's default wire form —
+    // what [[Brotli]] exists for beyond fonts. Each doc is an HTML
+    // page carried as a REAL Brotli stream (compressed fixed-Huffman
+    // form on even ids, stored on odd); the pipeline decompresses
+    // map-side, runs the q240-family page-metadata extractor
+    // (title + canonical), derives the host from the canonical URL,
+    // and aggregates a per-host crawl profile — pages, distinct
+    // titles, summed decompressed bytes. The shuffle carries (host)
+    // keys + counters only, never HTML. The oracle reconstructs the
+    // exact page text and replays the histogram.
+    QueryDef(
+      "q417_brotli_web_assets",
+      (s, dir) => {
+        import s.implicits._
+        val pages = Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val title = s"T ${id % 50}"
+            val host = s"h${id % 20}"
+            val html = "<html><head><title>" + title + "</title>" +
+              "<link rel=\"canonical\" href=\"https://" + host +
+              ".example/p" + id + "\">" +
+              "<meta name=\"description\" content=\"d" + id + "\">" +
+              "</head><body><p>" + ("body " * (1 + (id % 5)).toInt) +
+              id + "</p></body></html>"
+            val raw = html.getBytes("UTF-8")
+            val wire =
+              if (id % 2 == 0) Brotli.encodeFixed(raw)
+              else Brotli.encodeStored(raw)
+            // the decode path a crawl worker runs
+            Brotli.decompress(wire, 1 << 20) match {
+              case Some(body) =>
+                val meta = HtmlExtract.pageMetadata(
+                  new String(body, "UTF-8"))
+                val h = meta.canonical match {
+                  case Some(u) if u.startsWith("https://") &&
+                      u.contains(".example/") =>
+                    u.substring(8, u.indexOf(".example/"))
+                  case _ => ""
+                }
+                (id, h, meta.title.getOrElse(""), body.length)
+              case None => (id, "", "", -1)
+            }
+          }
+          .toDF("doc_id", "host", "title", "n_chars")
+        pages.groupBy($"host")
+          .agg(count(lit(1)).as("n_pages"),
+            countDistinct($"title").as("n_titles"),
+            sum($"n_chars").as("sum_chars"))
+          .orderBy($"host")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 'h' || (doc_id % 20) AS host,
+                 'T ' || (doc_id % 50) AS title,
+                 length('<html><head><title>T ' || (doc_id % 50) ||
+                   '</title><link rel="canonical" href="https://h' ||
+                   (doc_id % 20) || '.example/p' || doc_id ||
+                   '"><meta name="description" content="d' || doc_id ||
+                   '"></head><body><p>' ||
+                   repeat('body ', CAST(1 + doc_id % 5 AS INT)) ||
+                   doc_id || '</p></body></html>') AS n_chars
+          FROM documents)
+        SELECT host,
+               CAST(COUNT(*) AS BIGINT) AS n_pages,
+               CAST(COUNT(DISTINCT title) AS BIGINT) AS n_titles,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM d
+        GROUP BY host
+        ORDER BY host""")),
+
     // ----- EXIF GPS sub-IFD + IFD1 thumbnail (round 14) -----------------
     // The remaining commonly-consumed EXIF families past q259's IFD0
     // walk: geolocation (tag 0x8825 → GPS IFD: hemisphere refs, three

@@ -224,54 +224,88 @@ object Pdf {
     v
   }
 
-  /** Parse the classic xref TABLE at `xrefOff` (single subsection
-    * starting at object 0 — the shape every classic writer this
-    * decoder targets emits) and its trailer. `limit` bounds the
-    * trailer key scans (the startxref anchor position). */
-  private def classicIndex(b: Array[Byte], xrefOff: Int,
-      limit: Int): Option[PdfIndex] = {
-    val (start, after1) = parseLong(b, xrefOff + 4).getOrElse(return None)
-    val (count, after2) = parseLong(b, after1).getOrElse(return None)
-    if (start != 0 || count < 1 || count > 1000000) return None
-    // entries begin after the subsection line's EOL; each is exactly 20
-    // bytes (10-digit offset, space, 5-digit gen, space, n|f, 2-byte EOL)
-    var e = after2
-    while (e < b.length && (b(e) == '\r' || b(e) == '\n' || b(e) == ' '))
-      e += 1
-    if (e + 20L * count > b.length) return None
-    var locs = Map.empty[Long, Loc]
-    var i = 0
-    while (i < count) {
-      val row = e + 20 * i
-      val off = parseLong(b, row).getOrElse(return None)._1
-      val kind = b(row + 17)
-      if (i == 0 && kind != 'f') return None // object 0 is always free
-      if (kind != 'n' && kind != 'f') return None
-      if (kind == 'n') locs += i.toLong -> InFile(off)
-      i += 1
+  /** One parsed classic cross-reference SECTION: the table's own
+    * entries plus (hybrid files) those its /XRefStm stream reveals,
+    * the trailer dict fields, and the /Prev chain link. */
+  private final case class CSection(entries: Seq[(Long, Loc)],
+      size: Long, root: Long, encrypted: Boolean, prev: Long)
+
+  /** Parse the classic xref TABLE at `xrefOff` (ISO 32000-1 7.5.4):
+    * one or more `start count` SUBSECTIONS of fixed 20-byte entries
+    * (incremental updates write sparse subsections covering only the
+    * objects they touched), then the trailer. Trailer key scans are
+    * bounded by the section's own `startxref` anchor -- every write,
+    * incremental or original, ends with one -- so a chained OLDER
+    * section never reads a newer trailer's keys. `limit` is the
+    * fallback bound (the file-tail anchor position). */
+  private def classicSection(b: Array[Byte], xrefOff: Int,
+      limit: Int): Option[CSection] = {
+    val entries = scala.collection.mutable.ArrayBuffer.empty[(Long, Loc)]
+    var at = xrefOff + 4
+    var sawSub = false
+    var scanning = true
+    while (scanning) {
+      // next token: a `start count` subsection line, or `trailer`
+      var p = at
+      while (p < b.length && (b(p) == '\r' || b(p) == '\n' ||
+        b(p) == ' ')) p += 1
+      if (indexOf(b, "trailer", p, p + 7) == p) {
+        at = p
+        scanning = false
+      } else {
+        val (start, after1) = parseLong(b, at).getOrElse(return None)
+        val (count, after2) = parseLong(b, after1).getOrElse(return None)
+        if (start < 0 || count < 1 || count > 1000000) return None
+        if (start + count > 10000000) return None
+        sawSub = true
+        // entries begin after the subsection line's EOL; each is
+        // exactly 20 bytes (10-digit offset, space, 5-digit gen,
+        // space, n|f, 2-byte EOL)
+        var e = after2
+        while (e < b.length && (b(e) == '\r' || b(e) == '\n' ||
+          b(e) == ' ')) e += 1
+        if (e + 20L * count > b.length) return None
+        var i = 0
+        while (i < count) {
+          val row = e + 20 * i
+          val off = parseLong(b, row).getOrElse(return None)._1
+          val kind = b(row + 17)
+          if (start == 0 && i == 0 && kind != 'f') return None // obj 0
+          if (kind != 'n' && kind != 'f') return None
+          if (kind == 'n') entries += ((start + i) -> InFile(off))
+          i += 1
+        }
+        at = e + 20 * count.toInt
+      }
     }
-    val tr = indexOf(b, "trailer", e + 20 * count.toInt, b.length)
-    if (tr < 0) return None
-    val size = refAfter(b, "/Size", tr, limit).getOrElse(return None)
-    if (size != count) return None
-    val root = refAfter(b, "/Root", tr, limit).getOrElse(return None)
-    val encrypted = indexOf(b, "/Encrypt", tr, limit) >= 0
-    // HYBRID-REFERENCE file (ISO 32000-1 7.5.8.4 — Acrobat's
+    if (!sawSub) return None
+    val tr = at
+    val end = indexOf(b, "startxref", tr, b.length) match {
+      case -1 => limit
+      case sx => sx
+    }
+    val size = refAfter(b, "/Size", tr, end).getOrElse(return None)
+    if (size < 1 || size > 10000000) return None
+    val root = refAfter(b, "/Root", tr, end).getOrElse(return None)
+    val encrypted = indexOf(b, "/Encrypt", tr, end) >= 0
+    val prev = keyNum(b, "/Prev", tr, end).getOrElse(-1L)
+    // HYBRID-REFERENCE file (ISO 32000-1 7.5.8.4 -- Acrobat's
     // pre-1.5-compatibility layout): the trailer's /XRefStm key points
     // at a cross-reference STREAM carrying the entries the classic
     // table hides from old readers (its /ObjStm residents are marked
     // free in the table). The table's in-use entries take precedence;
     // the stream fills every object the table does not define. A
-    // broken /XRefStm target rejects the file — silently ignoring it
+    // broken /XRefStm target rejects the file -- silently ignoring it
     // would mis-read exactly the hidden objects.
-    keyNum(b, "/XRefStm", tr, limit).foreach { xs =>
+    keyNum(b, "/XRefStm", tr, end).foreach { xs =>
       if (xs < 0 || xs >= b.length) return None
       val sec = xrefStreamSection(b, xs.toInt).getOrElse(return None)
+      val have = entries.map(_._1).toSet
       sec.entries.foreach { case (k, v) =>
-        if (!locs.contains(k)) locs += k -> v
+        if (!have.contains(k)) entries += (k -> v)
       }
     }
-    Some(PdfIndex(locs, size, root, encrypted))
+    Some(CSection(entries.toSeq, size, root, encrypted, prev))
   }
 
   /** Parsed fields of one cross-reference stream section. */
@@ -355,33 +389,43 @@ object Pdf {
     Some(XSection(entries.toSeq, size, root, encrypted, prev))
   }
 
-  /** Build the object index at the startxref target: a classic table
-    * (hybrid /XRefStm merge inside [[classicIndex]]), or a PDF 1.5+
-    * xref-stream CHAIN (/Prev links, newest-section-wins merge — the
-    * incremental-update rule, 7.5.6). */
+  /** Build the object index at the startxref target: a chain of
+    * classic sections (incremental updates linking through trailer
+    * /Prev, each possibly hybrid via /XRefStm), or a PDF 1.5+
+    * xref-stream CHAIN — in both, the NEWEST section is read first
+    * and wins where sections overlap (the incremental-update rule,
+    * ISO 32000-1 7.5.6), and the newest section's dict is the
+    * operative one. A /Prev cycle or an over-long chain rejects. */
   private def buildIndex(b: Array[Byte], xrefOff: Int,
       limit: Int): Option[PdfIndex] = {
-    if (indexOf(b, "xref", xrefOff, xrefOff + 6) == xrefOff)
-      return classicIndex(b, xrefOff, limit)
     var locs = Map.empty[Long, Loc]
     var size = -1L
     var root = -1L
     var encrypted = false
     var off = xrefOff.toLong
     var hops = 0
+    val seen = scala.collection.mutable.Set.empty[Long]
     while (off >= 0) {
       hops += 1
-      if (hops > 16 || off >= b.length) return None
-      val sec = xrefStreamSection(b, off.toInt).getOrElse(return None)
+      if (hops > 16 || off >= b.length || !seen.add(off)) return None
+      val (entries, sSize, sRoot, sEnc, sPrev) =
+        if (indexOf(b, "xref", off.toInt, off.toInt + 6) == off.toInt) {
+          val s = classicSection(b, off.toInt, limit)
+            .getOrElse(return None)
+          (s.entries, s.size, s.root, s.encrypted, s.prev)
+        } else {
+          val s = xrefStreamSection(b, off.toInt).getOrElse(return None)
+          (s.entries, s.size, s.root, s.encrypted, s.prev)
+        }
       if (size < 0) { // the newest section carries the operative dict
-        size = sec.size
-        root = sec.root
-        encrypted = sec.encrypted
+        size = sSize
+        root = sRoot
+        encrypted = sEnc
       }
-      sec.entries.foreach { case (k, v) =>
+      entries.foreach { case (k, v) =>
         if (!locs.contains(k)) locs += k -> v // newest wins
       }
-      off = sec.prev
+      off = sPrev
     }
     if (root < 1) return None
     Some(PdfIndex(locs, size, root, encrypted))
@@ -1040,6 +1084,44 @@ object Pdf {
       j += 1
     }
     w(s"trailer << /Size $size /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Append one INCREMENTAL UPDATE (ISO 32000-1 7.5.6 — what every
+    * save-in-place writer appends) to a classic text PDF produced by
+    * [[encodeTextPdf]] (or by a previous call of this): a replacement
+    * content stream for page `pageIdx` carrying `newLines`, then a
+    * SPARSE xref section (the `0 1` free-head subsection plus a
+    * one-object subsection — the multi-subsection shape), a trailer
+    * chaining to the previous section via /Prev, and a fresh
+    * startxref + %%EOF. The original bytes are untouched — that is
+    * the point of the format. */
+  def appendIncrementalUpdate(base: Array[Byte], nPages: Int,
+      pageIdx: Int, newLines: Seq[String], flate: Boolean)
+      : Array[Byte] = {
+    require(pageIdx >= 0 && pageIdx < nPages, s"page $pageIdx/$nPages")
+    val size = 4 + 2 * nPages // unchanged: no new object numbers
+    val objNum = 4 + nPages + pageIdx // the page's content stream
+    val s = new String(base, "ISO-8859-1")
+    val sxAt = s.lastIndexOf("startxref")
+    require(sxAt >= 0, "base has no startxref anchor")
+    val prevOff = s.substring(sxAt + 9).trim.takeWhile(_.isDigit)
+    val out = new ByteArrayOutputStream(base.length + 256)
+    out.write(base, 0, base.length)
+    def w(str: String): Unit = out.write(str.getBytes("ISO-8859-1"))
+    val objOff = out.size()
+    val raw = pageOps(newLines).getBytes("ISO-8859-1")
+    val data = if (flate) deflate(raw) else raw
+    w(s"$objNum 0 obj << /Length ${data.length}" +
+      (if (flate) " /Filter /FlateDecode" else "") + " >> stream\n")
+    out.write(data, 0, data.length)
+    w("\nendstream endobj\n")
+    val xrefOff = out.size()
+    w(s"xref\n0 1\n0000000000 65535 f \n")
+    w(s"$objNum 1\n")
+    w(f"$objOff%010d 00000 n \n")
+    w(s"trailer << /Size $size /Root 1 0 R /Prev $prevOff >>\n")
+    w(s"startxref\n$xrefOff\n%%EOF\n")
     out.toByteArray
   }
 

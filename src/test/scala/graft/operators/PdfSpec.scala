@@ -293,6 +293,62 @@ class PdfSpec extends AnyFunSuite {
     (1 until blob.length by 5).foreach(n => decodeOutline(blob.take(n)))
   }
 
+  // ---- classic incremental updates (round 16) --------------------------
+
+  test("incremental updates: sparse multi-subsection sections chain " +
+      "through /Prev with newest-wins; original bytes untouched") {
+    checkProp(Prop.forAll(Gen.choose(2, 5), Gen.choose(0L, 4000L),
+        Gen.oneOf(true, false)) { (np, seed, flate) =>
+      val pages = (0 until np).map(p =>
+        (0 until (1 + (seed + p) % 3).toInt).map(k => s"v1 p$p l$k ($seed)"))
+      val base = encodeTextPdf("1.4", pages, flate)
+      val p1 = (seed % np).toInt
+      val up1 = appendIncrementalUpdate(base, np, p1,
+        Seq(s"v2 p$p1 ($seed)"), flate)
+      // a second update touching a DIFFERENT page
+      val p2 = ((seed + 1) % np).toInt
+      val up2 = appendIncrementalUpdate(up1, np, p2,
+        Seq(s"v3 p$p2 ($seed)", "extra"), !flate)
+      val want = pages.zipWithIndex.map { case (orig, p) =>
+        if (p == p2) Seq(s"v3 p$p2 ($seed)", "extra")
+        else if (p == p1) Seq(s"v2 p$p1 ($seed)")
+        else orig
+      }
+      up2.startsWith(up1) && up1.startsWith(base) && // append-only
+        extractText(up2).contains(want.flatten) &&
+        decodePdf(up2).contains(PdfMeta("1.4", np, 3 + 2 * np, false))
+    })
+  }
+
+  test("re-updating the SAME page twice: the newest section wins " +
+      "over the middle one, not just over the base") {
+    val base = encodeTextPdf("1.5", Seq(Seq("first")), flate = false)
+    val up1 = appendIncrementalUpdate(base, 1, 0, Seq("second"), true)
+    val up2 = appendIncrementalUpdate(up1, 1, 0, Seq("third"), false)
+    assert(extractText(up1) === Some(Seq("second")))
+    assert(extractText(up2) === Some(Seq("third")))
+  }
+
+  test("incremental malformations: /Prev cycles, dangling /Prev, " +
+      "truncation — None, never a throw or an endless chain") {
+    val base = encodeTextPdf("1.4", Seq(Seq("a"), Seq("b")), false)
+    val up = appendIncrementalUpdate(base, 2, 0, Seq("c"), false)
+    val s = new String(up, "ISO-8859-1")
+    // self-loop: /Prev pointing at the NEWEST section's own offset
+    val ownOff = s.substring(s.lastIndexOf("startxref") + 9).trim
+      .takeWhile(_.isDigit)
+    val cycle = s.replaceAll("/Prev \\d+", s"/Prev $ownOff")
+      .getBytes("ISO-8859-1")
+    assert(decodePdf(cycle) === None)
+    // dangling /Prev into the middle of nowhere
+    val dangling = s.replaceAll("/Prev \\d+", "/Prev 17")
+      .getBytes("ISO-8859-1")
+    assert(decodePdf(dangling) === None)
+    (1 until up.length by 5).foreach { n =>
+      decodePdf(up.take(n)); extractText(up.take(n))
+    }
+  }
+
   // ---- hybrid-reference files (round 16) ------------------------------
 
   test("hybrid-reference round-trip: the classic table's free entries " +
