@@ -1024,6 +1024,61 @@ object Multimodal {
         FROM documents
         ORDER BY doc_id""")),
 
+    // ----- snappy raw + framed decode (round 16) -------------------------
+    // q325's sibling for the OTHER lakehouse workhorse codec: snappy
+    // raw blocks (format_description.txt) and the sNaPpY framing
+    // stream (framing_format.txt, masked CRC-32C). Most ids decode
+    // REFERENCE encodings (snappy-java, the JNI binding on the Spark
+    // classpath) through our from-spec raw decoder; id % 4 == 0 runs
+    // our framed emitter (itself reference-validated the other
+    // direction in SnappyCodecSpec) through the framed decoder —
+    // identifier chunk, compressed + uncompressed chunk types, a
+    // padding chunk mid-stream, CRCs verified. The oracle replays
+    // length + md5 of the ORIGINAL text, so the codec layer must be
+    // exactly transparent. Map-side per cell.
+    QueryDef(
+      "q418_snappy_decode",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            val md = MessageDigest.getInstance("MD5")
+            it.map { case (id, text) =>
+              val tb = text.getBytes("UTF-8")
+              val (out, src) =
+                if (id % 4 == 0)
+                  (SnappyCodec.decompressFramed(
+                    SnappyCodec.compressFramed(tb), tb.length + 16),
+                    "framed")
+                else
+                  (SnappyCodec.decompressRaw(
+                    org.xerial.snappy.Snappy.compress(tb),
+                    tb.length + 16), "raw-jni")
+              out match {
+                case Some(o) =>
+                  md.reset()
+                  val hex = md.digest(o).map("%02x".format(_)).mkString
+                  (id, o.length.toLong, hex,
+                    java.util.Arrays.equals(o, tb), src)
+                case None => (id, -1L, "", false, src)
+              }
+            }
+          }
+          .toDF("doc_id", "n_out", "md5", "roundtrip_ok", "src")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_out,
+               md5(text) AS md5,
+               TRUE AS roundtrip_ok,
+               CASE WHEN doc_id % 4 = 0 THEN 'framed'
+                    ELSE 'raw-jni' END AS src
+        FROM documents
+        ORDER BY doc_id""")),
+
     // ----- .warc.zst: the modern Common Crawl layout, end to end -------
     // q251's sibling with zstd in place of gzip: one frame per record,
     // frames back to back, and a leading SKIPPABLE frame per blob (the
