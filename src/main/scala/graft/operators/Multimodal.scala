@@ -3457,6 +3457,87 @@ object Multimodal {
         GROUP BY host
         ORDER BY host""")),
 
+    // ----- JS source maps (round 16) -------------------------------------
+    // The code-crawl analog of EXIF: every minified JS/CSS asset points
+    // at a Source Map v3 file, the only route from minified positions
+    // back to original files/identifiers. JSON container through the
+    // q407 strict parser; the `mappings` string decodes as
+    // ';'/','-separated base64-VLQ segments with RELATIVE values
+    // (generated column resets per line, the other four accumulators
+    // run across the whole string — planted values jump backwards, so
+    // sign-bit VLQs are constantly exercised). The oracle replays
+    // source/name counts, segment counts, named-segment counts, and
+    // the summed absolute original lines from doc_id arithmetic — one
+    // mis-accumulated delta flips the sum. Map-only per blob.
+    QueryDef(
+      "q419_source_map",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val ns = (1 + id % 4).toInt
+            val nn = (id % 5).toInt
+            val nl = (1 + id % 6).toInt
+            val lines = (0 until nl).map { l =>
+              (0 until (1 + (id + l) % 2).toInt).map { st =>
+                SourceMap.Segment(
+                  genCol = 10 * st + (id % 7).toInt,
+                  srcIdx = ((id + l + st) % ns).toInt,
+                  origLine = ((id + l * 2 + st) % 50).toInt,
+                  origCol = ((id + st) % 40).toInt,
+                  nameIdx =
+                    if (nn > 0 && (id + l + st) % 3 == 0)
+                      ((id + l) % nn).toInt
+                    else -1)
+              }
+            }
+            val blob = SourceMap.encodeSourceMap(s"app$id.min.js",
+              (0 until ns).map(i => s"src/m$i.js"),
+              (0 until nn).map(i => s"fn$i"), lines)
+            SourceMap.decodeSourceMap(blob) match {
+              case Some(m) => (id, m.nSources, m.nNames, m.nLines,
+                m.nSegments, m.nNamed, m.sumOrigLines)
+              case None => (id, -1, -1, -1, -1, -1, -1L)
+            }
+          }
+          .toDF("doc_id", "n_sources", "n_names", "n_lines",
+            "n_segments", "n_named", "sum_orig_lines")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(1 + doc_id % 4 AS INT) AS ns,
+                 CAST(doc_id % 5 AS INT) AS nn,
+                 CAST(1 + doc_id % 6 AS INT) AS nl
+          FROM documents),
+        ln AS (
+          SELECT doc_id, ns, nn,
+                 unnest(generate_series(0, nl - 1)) AS l
+          FROM d),
+        seg AS (
+          SELECT doc_id, ns, nn, l,
+                 unnest(generate_series(0,
+                   CAST((doc_id + l) % 2 AS INT))) AS st
+          FROM ln),
+        rows_ AS (
+          SELECT doc_id, ns, nn,
+                 (doc_id + l * 2 + st) % 50 AS orig_line,
+                 CASE WHEN nn > 0 AND (doc_id + l + st) % 3 = 0
+                      THEN 1 ELSE 0 END AS named
+          FROM seg)
+        SELECT doc_id,
+               CAST(MAX(ns) AS INT) AS n_sources,
+               CAST(MAX(nn) AS INT) AS n_names,
+               CAST(1 + doc_id % 6 AS INT) AS n_lines,
+               CAST(COUNT(*) AS INT) AS n_segments,
+               CAST(SUM(named) AS INT) AS n_named,
+               CAST(SUM(orig_line) AS BIGINT) AS sum_orig_lines
+        FROM rows_
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
     // ----- EXIF GPS sub-IFD + IFD1 thumbnail (round 14) -----------------
     // The remaining commonly-consumed EXIF families past q259's IFD0
     // walk: geolocation (tag 0x8825 → GPS IFD: hemisphere refs, three
