@@ -3538,6 +3538,82 @@ object Multimodal {
         GROUP BY doc_id
         ORDER BY doc_id""")),
 
+    // ----- JS asset -> source-map pointer triage (round 16) --------------
+    // q419's composition: the crawl sees the minified ASSET, not the
+    // map — the pointer is the last `//# sourceMappingURL=` comment
+    // (legacy `//@` accepted, last occurrence wins). External
+    // references profile by URL; inline `data:application/json;base64`
+    // URIs decode straight through the q419 decoder. The shuffle
+    // carries (kind, url) keys + counters only. The oracle replays the
+    // kind histogram, distinct reference URLs, and the summed inline
+    // segment counts from doc_id arithmetic.
+    QueryDef(
+      "q420_js_sourcemap_pointer",
+      (s, dir) => {
+        import s.implicits._
+        val rows = Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val js = new StringBuilder
+            js.append(s"function f$id(){return ${id % 97};}\n")
+            if (id % 5 == 0) // a decoy the last-wins rule must beat
+              js.append("//# sourceMappingURL=decoy.map\n")
+            js.append(s"f$id();\n")
+            if (id % 3 == 0)
+              js.append(s"//# sourceMappingURL=maps/app${id % 9}.js.map\n")
+            else {
+              val nSegs = (1 + id % 2).toInt
+              val map = SourceMap.encodeSourceMap(s"a$id.min.js",
+                Seq(s"src/a$id.js"), Nil,
+                Seq((0 until nSegs).map(st => SourceMap.Segment(
+                  genCol = st * 8, srcIdx = 0,
+                  origLine = ((id + st) % 30).toInt,
+                  origCol = (id % 20).toInt))))
+              js.append("//# sourceMappingURL=data:application/json;" +
+                "base64," +
+                java.util.Base64.getEncoder.encodeToString(map) + "\n")
+            }
+            val asset = js.toString
+            SourceMap.sourceMappingUrl(asset) match {
+              case Some(url) =>
+                SourceMap.inlineMapBytes(url) match {
+                  case Some(bytes) =>
+                    SourceMap.decodeSourceMap(bytes) match {
+                      case Some(m) => (id, "inline", "", m.nSegments)
+                      case None => (id, "broken", "", -1)
+                    }
+                  case None => (id, "ref", url, 0)
+                }
+              case None => (id, "none", "", -1)
+            }
+          }
+          .toDF("doc_id", "kind", "url", "n_segments")
+        rows.groupBy($"kind")
+          .agg(count(lit(1)).as("n_assets"),
+            countDistinct($"url").as("n_urls"),
+            sum($"n_segments").as("sum_segments"))
+          .orderBy($"kind")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN 'ref'
+                      ELSE 'inline' END AS kind,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN 'maps/app' || (doc_id % 9) || '.js.map'
+                      ELSE '' END AS url,
+                 CASE WHEN doc_id % 3 = 0 THEN 0
+                      ELSE CAST(1 + doc_id % 2 AS INT)
+                      END AS n_segments
+          FROM documents)
+        SELECT kind,
+               CAST(COUNT(*) AS BIGINT) AS n_assets,
+               CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls,
+               CAST(SUM(n_segments) AS BIGINT) AS sum_segments
+        FROM d
+        GROUP BY kind
+        ORDER BY kind""")),
+
     // ----- EXIF GPS sub-IFD + IFD1 thumbnail (round 14) -----------------
     // The remaining commonly-consumed EXIF families past q259's IFD0
     // walk: geolocation (tag 0x8825 → GPS IFD: hemisphere refs, three

@@ -132,6 +132,38 @@ object SourceMap {
     } catch { case _: Exception => None }
 
   // ------------------------------------------------------------------
+  // the asset-side pointer (//# sourceMappingURL=...)
+  // ------------------------------------------------------------------
+
+  /** The map pointer of a JS/CSS asset: the LAST
+    * `//# sourceMappingURL=` (or legacy `//@`) comment line wins, per
+    * the spec's "last occurrence" rule. Returns the raw URL. */
+  def sourceMappingUrl(asset: String): Option[String] = {
+    if (asset == null) return None
+    var found: Option[String] = None
+    asset.split("\n", -1).foreach { line0 =>
+      val line = line0.stripSuffix("\r").trim
+      if (line.startsWith("//# sourceMappingURL=") ||
+        line.startsWith("//@ sourceMappingURL=")) {
+        val url = line.substring("//# sourceMappingURL=".length).trim
+        if (url.nonEmpty) found = Some(url)
+      }
+    }
+    found
+  }
+
+  /** Decode an INLINE map pointer — the
+    * `data:application/json;base64,` URI form bundlers embed — to the
+    * map's bytes. Non-data URLs and malformed base64 → None. */
+  def inlineMapBytes(url: String): Option[Array[Byte]] = {
+    val prefix = "data:application/json;base64,"
+    if (url == null || !url.startsWith(prefix)) return None
+    try Some(java.util.Base64.getDecoder.decode(
+      url.substring(prefix.length)))
+    catch { case _: IllegalArgumentException => None }
+  }
+
+  // ------------------------------------------------------------------
   // fixture emitter
   // ------------------------------------------------------------------
 

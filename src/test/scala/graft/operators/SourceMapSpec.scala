@@ -74,4 +74,26 @@ class SourceMapSpec extends AnyFunSuite {
       Seq(Seq(Segment(0, 0, 5, 2, 0), Segment(9, 0, 7, 0))))
     (1 until good.length).foreach(k => decodeSourceMap(good.take(k)))
   }
+
+  test("asset pointer: last sourceMappingURL wins, legacy //@ form, " +
+      "inline data-URI round-trips to a decodable map") {
+    assert(sourceMappingUrl("var x=1;\n//# sourceMappingURL=a.map\n")
+      === Some("a.map"))
+    assert(sourceMappingUrl(
+      "//@ sourceMappingURL=old.map\ncode()\n//# sourceMappingURL=new.map")
+      === Some("new.map"))
+    assert(sourceMappingUrl("no pointer here") === None)
+    assert(sourceMappingUrl("x// # sourceMappingURL=not.a.comment")
+      === None)
+    assert(sourceMappingUrl(null) === None)
+    val map = encodeSourceMap("f", Seq("a.js"), Nil,
+      Seq(Seq(Segment(0, 0, 3, 1))))
+    val js = "console.log(1);\n//# sourceMappingURL=data:application/" +
+      "json;base64," + java.util.Base64.getEncoder.encodeToString(map)
+    val bytes = inlineMapBytes(sourceMappingUrl(js).get).get
+    assert(decodeSourceMap(bytes) ===
+      Some(SourceMapMeta(1, 0, 1, 1, 0, 3L)))
+    assert(inlineMapBytes("https://cdn/app.map") === None)
+    assert(inlineMapBytes("data:application/json;base64,!!!") === None)
+  }
 }
