@@ -99,6 +99,54 @@ class BrotliSpec extends AnyFunSuite {
     }
   }
 
+  test("metadata blocks skip transparently (reference encoders never " +
+      "emit them, so this path needs a hand-built stream)") {
+    // hand-assembled LSB-first bit stream: WBITS 16, a metadata block
+    // (ISLAST=0, MNIBBLES-code 3, reserved 0, MSKIPBYTES=1, length
+    // byte, pad, skipped payload), a stored block with "hi", last-empty
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var n = 0
+    def put(v: Int, w: Int): Unit = {
+      acc |= (v.toLong & ((1L << w) - 1)) << n
+      n += w
+      while (n >= 8) { bits.write((acc & 0xff).toInt); acc >>>= 8; n -= 8 }
+    }
+    def alignZ(): Unit = if (n > 0) put(0, 8 - n)
+    put(0, 1) // WBITS = 16
+    put(0, 1) // ISLAST = 0
+    put(3, 2) // MNIBBLES code 3 => metadata
+    put(0, 1) // reserved
+    put(1, 2) // MSKIPBYTES = 1
+    put(4, 8) // MSKIPLEN - 1 = 4 -> skip 5 bytes
+    alignZ()
+    "SKIP!".getBytes("ISO-8859-1").foreach(b => bits.write(b & 0xff))
+    put(0, 1) // ISLAST = 0
+    put(0, 2) // MNIBBLES = 4
+    put(1, 16) // MLEN - 1 = 1 -> 2 bytes
+    put(1, 1) // ISUNCOMPRESSED
+    alignZ()
+    "hi".getBytes("ISO-8859-1").foreach(b => bits.write(b & 0xff))
+    put(1, 1); put(1, 1) // ISLAST + ISLASTEMPTY
+    alignZ()
+    val stream = bits.toByteArray
+    assert(decompress(stream, 16).map(new String(_, "ISO-8859-1"))
+      === Some("hi"))
+    // a LAST metadata block is malformed per RFC 9.2
+    val badBits = new java.io.ByteArrayOutputStream()
+    acc = 0L; n = 0
+    def put2(v: Int, w: Int): Unit = {
+      acc |= (v.toLong & ((1L << w) - 1)) << n
+      n += w
+      while (n >= 8) { badBits.write((acc & 0xff).toInt); acc >>>= 8; n -= 8 }
+    }
+    put2(0, 1); put2(1, 1) // ISLAST = 1
+    put2(0, 1) // not empty
+    put2(3, 2) // metadata
+    if (n > 0) put2(0, 8 - n)
+    assert(decompress(badBits.toByteArray, 16) === None)
+  }
+
   test("malformed streams: truncation sweep, bit flips, trailing " +
       "garbage, output cap — None, never a throw") {
     val good = resource("mixed_q11.br")
