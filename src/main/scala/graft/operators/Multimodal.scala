@@ -3614,6 +3614,52 @@ object Multimodal {
         GROUP BY kind
         ORDER BY kind""")),
 
+    // ----- HEIF primary-item resolution (round 16) -----------------------
+    // q260's sniff reads an ispe; REAL AVIF/HEIC files carry
+    // thumbnail/alpha ispe properties too, so canvas dims require the
+    // item machinery (ISO 23008-12): pitm names the primary item, ipma
+    // associates items with 1-based ipco property indexes, and only
+    // the primary's associated ispe is the canvas. Fixtures plant a
+    // 160x90 thumbnail decoy as property ONE with the primary's ispe
+    // at property THREE — a first-ispe shortcut flips every row — and
+    // cycle pitm v0/v1 and both ipma association widths. The oracle
+    // replays format/dims/item/property counts. Map-only per blob.
+    QueryDef(
+      "q421_heif_primary_item",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val blob = VideoHeaders.encodeAvifItems(
+              if (id % 2 == 0) "avif" else "heic",
+              width = (16 + id % 624).toInt,
+              height = (16 + (id * 7) % 464).toInt,
+              thumbW = 160, thumbH = 90,
+              nItems = (2 + id % 4).toInt,
+              widePitm = id % 2 == 0,
+              wideAssoc = id % 3 == 0)
+            VideoHeaders.decodeAvifItems(blob) match {
+              case Some(m) => (id, m.format, m.primaryWidth,
+                m.primaryHeight, m.nItems, m.nProps)
+              case None => (id, "", -1L, -1L, -1, -1)
+            }
+          }
+          .toDF("doc_id", "format", "width", "height", "n_items",
+            "n_props")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'avif' ELSE 'heic' END
+                 AS format,
+               CAST(16 + doc_id % 624 AS BIGINT) AS width,
+               CAST(16 + (doc_id * 7) % 464 AS BIGINT) AS height,
+               CAST(2 + doc_id % 4 AS INT) AS n_items,
+               CAST(3 AS INT) AS n_props
+        FROM documents
+        ORDER BY doc_id""")),
+
     // ----- EXIF GPS sub-IFD + IFD1 thumbnail (round 14) -----------------
     // The remaining commonly-consumed EXIF families past q259's IFD0
     // walk: geolocation (tag 0x8825 → GPS IFD: hemisphere refs, three

@@ -496,4 +496,207 @@ object VideoHeaders {
     out.write(depth); out.write(depth); out.write(depth)
     out.toByteArray
   }
+
+  // ------------------------------------------------------------------
+  // HEIF item-level resolution (round 16): pitm → ipma → ipco
+  // ------------------------------------------------------------------
+
+  private def u16(b: Array[Byte], i: Long): Int =
+    ((b(i.toInt) & 0xff) << 8) | (b(i.toInt + 1) & 0xff)
+
+  /** The PRIMARY item's dims plus the item/property inventory. */
+  final case class AvifItems(format: String, primaryWidth: Long,
+      primaryHeight: Long, nItems: Int, nProps: Int)
+
+  /** STRICT HEIF item resolution (ISO 23008-12): pitm names the
+    * primary item, ipma associates items with 1-BASED indexes into
+    * ipco's property list, and the primary's associated `ispe` is the
+    * canvas — real files carry thumbnail/alpha ispe properties too,
+    * so "first ispe" (the [[decodeAvif]] sniff's shortcut) is wrong
+    * the moment a decoy precedes the primary's. Handles pitm v0/v1
+    * (u16/u32 item ids), iinf v0/v1 entry counts, and both ipma
+    * association widths (7-bit, and 15-bit when flags&1). Missing
+    * pitm/iinf/ipma/ipco, out-of-range property indexes, or a primary
+    * with no associated ispe → None. */
+  def decodeAvifItems(b: Array[Byte]): Option[AvifItems] = {
+    if (b == null || b.length < 16) return None
+    val head = boxAt(b, 0L, b.length.toLong) match {
+      case Some((p, e, "ftyp")) if e - p >= 8 => (p, e)
+      case _ => return None
+    }
+    val brand = fourcc(b, head._1)
+    if (!HeifBrands.contains(brand)) return None
+    val fmt = if (brand.startsWith("he") || brand == "msf1") "heic" else "avif"
+    var pitm = -1L
+    var nItems = -1
+    val props = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    var assoc = Map.empty[Long, Vector[Int]]
+    var sawIpma = false
+    var bad = false
+    def parseIpma(p: Long, e: Long): Unit = {
+      if (e - p < 8) { bad = true; return }
+      val ver = b(p.toInt) & 0xff
+      val wide = (u32(b, p) & 1L) == 1L // flags bit 0: 15-bit indexes
+      val entries = u32(b, p + 4)
+      var o = p + 8
+      var i = 0L
+      val out = Map.newBuilder[Long, Vector[Int]]
+      while (i < entries) {
+        if (o + (if (ver < 1) 3 else 5) > e) { bad = true; return }
+        val id = if (ver < 1) u16(b, o).toLong else u32(b, o)
+        o += (if (ver < 1) 2 else 4)
+        val cnt = b(o.toInt) & 0xff
+        o += 1
+        val ixs = Vector.newBuilder[Int]
+        var j = 0
+        while (j < cnt) {
+          if (wide) {
+            if (o + 2 > e) { bad = true; return }
+            ixs += u16(b, o) & 0x7fff
+            o += 2
+          } else {
+            if (o + 1 > e) { bad = true; return }
+            ixs += b(o.toInt) & 0x7f
+            o += 1
+          }
+          j += 1
+        }
+        out += id -> ixs.result()
+        i += 1
+      }
+      assoc = out.result()
+      sawIpma = true
+    }
+    val ok = walk(b, head._2, b.length.toLong) { (typ, p, e) =>
+      if (typ == "meta") {
+        if (e - p < 4) { bad = true; false }
+        else {
+          val metaOk = walk(b, p + 4, e) { (t2, p2, e2) =>
+            t2 match {
+              case "pitm" =>
+                if (e2 - p2 < 6) bad = true
+                else {
+                  val ver = b(p2.toInt) & 0xff
+                  pitm =
+                    if (ver < 1) u16(b, p2 + 4).toLong
+                    else if (e2 - p2 >= 8) u32(b, p2 + 4)
+                    else { bad = true; -1L }
+                }
+              case "iinf" =>
+                if (e2 - p2 < 6) bad = true
+                else {
+                  val ver = b(p2.toInt) & 0xff
+                  val n =
+                    if (ver < 1) u16(b, p2 + 4).toLong
+                    else if (e2 - p2 >= 8) u32(b, p2 + 4)
+                    else { bad = true; -1L }
+                  if (n > 100000) bad = true else nItems = n.toInt
+                }
+              case "iprp" =>
+                val iprpOk = walk(b, p2, e2) { (t3, p3, e3) =>
+                  if (t3 == "ipco") {
+                    val ipcoOk = walk(b, p3, e3) { (t4, p4, e4) =>
+                      props += ((t4, p4, e4)); true
+                    }
+                    if (!ipcoOk) bad = true
+                  } else if (t3 == "ipma") parseIpma(p3, e3)
+                  !bad
+                }
+                if (!iprpOk) bad = true
+              case _ =>
+            }
+            !bad
+          }
+          if (!metaOk) bad = true
+          false
+        }
+      } else true
+    }
+    if (!ok || bad || pitm < 0 || nItems < 1 || !sawIpma ||
+      props.isEmpty) return None
+    val mine = assoc.getOrElse(pitm, return None)
+    var w = -1L
+    var h = -1L
+    mine.foreach { ix =>
+      if (ix < 1 || ix > props.length) return None // 1-based, in range
+      val (t, p, e) = props(ix - 1)
+      if (t == "ispe" && w < 0) {
+        if (e - p < 12) return None
+        w = u32(b, p + 4)
+        h = u32(b, p + 8)
+      }
+    }
+    if (w <= 0 || h <= 0) return None
+    Some(AvifItems(fmt, w, h, nItems, props.length))
+  }
+
+  /** Item-level fixture: ftyp, then meta[fullbox: hdlr + pitm(v by
+    * `widePitm`) + iinf with `nItems` infe v2 entries + iprp[ipco[
+    * ispe(THUMB decoy) + pixi + ispe(primary)] + ipma]] — the primary
+    * item (id 1) associates to the THIRD property, so first-ispe
+    * shortcuts read the thumbnail and item-resolving decoders read the
+    * canvas. `wideAssoc` flips ipma to 15-bit association indexes. */
+  def encodeAvifItems(brand: String, width: Int, height: Int,
+      thumbW: Int, thumbH: Int, nItems: Int, widePitm: Boolean,
+      wideAssoc: Boolean): Array[Byte] = {
+    require(brand.length == 4 && HeifBrands.contains(brand), brand)
+    require(nItems >= 2 && nItems <= 200, "items incl. the thumbnail")
+    val out = new ByteArrayOutputStream(512)
+    def be32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def cc(s: String): Unit = out.write(s.getBytes("US-ASCII"), 0, 4)
+    be32(24); cc("ftyp"); cc(brand); be32(0); cc("mif1"); cc("miaf")
+    val hdlrBox = 8 + 4 + 4 + 4 + 12 + 1
+    val pitmBox = 8 + 4 + (if (widePitm) 4 else 2)
+    val infeBox = 8 + 4 + 2 + 2 + 4 + 5 // v2: ids, type, "itemN\0"-ish
+    val iinfBox = 8 + 4 + 2 + nItems * infeBox
+    val ispeBox = 8 + 12
+    val pixiBox = 8 + 4 + 1 + 3
+    val ipcoBox = 8 + ispeBox + pixiBox + ispeBox
+    // ipma: fullbox + entry_count + 2 entries (primary: 2 assocs,
+    // thumb: 1 assoc), ids u16, index width by wideAssoc
+    val aw = if (wideAssoc) 2 else 1
+    val ipmaBox = 8 + 4 + 4 + (2 + 1 + 2 * aw) + (2 + 1 + 1 * aw)
+    val iprpBox = 8 + ipcoBox + ipmaBox
+    be32(8L + 4 + hdlrBox + pitmBox + iinfBox + iprpBox); cc("meta")
+    be32(0) // meta fullbox version/flags
+    be32(hdlrBox); cc("hdlr"); be32(0); be32(0); cc("pict")
+    out.write(new Array[Byte](12), 0, 12); out.write(0)
+    be32(pitmBox); cc("pitm")
+    if (widePitm) { be32(0x01000000L); be32(1L) } // v1: u32 item id
+    else { be32(0); be16(1) } // v0: u16 item id
+    be32(iinfBox); cc("iinf"); be32(0); be16(nItems)
+    var i = 0
+    while (i < nItems) {
+      be32(infeBox); cc("infe"); be32(0x02000000L) // infe version 2
+      be16(i + 1); be16(0) // item id, protection
+      cc(if (i == 0) "av01" else "thmb")
+      out.write(('a' + (i % 26)).toChar); out.write(0) // short name
+      out.write(0); out.write(0); out.write(0) // pad to the fixed size
+      i += 1
+    }
+    be32(iprpBox); cc("iprp")
+    be32(ipcoBox); cc("ipco")
+    be32(ispeBox); cc("ispe"); be32(0) // property 1: the THUMB decoy
+    be32(thumbW.toLong); be32(thumbH.toLong)
+    be32(pixiBox); cc("pixi"); be32(0); out.write(3) // property 2
+    out.write(8); out.write(8); out.write(8)
+    be32(ispeBox); cc("ispe"); be32(0) // property 3: the primary
+    be32(width.toLong); be32(height.toLong)
+    be32(ipmaBox); cc("ipma")
+    be32(if (wideAssoc) 1L else 0L) // version 0; flags bit0 = wide
+    be32(2L) // entry_count
+    def assocIx(essential: Boolean, ix: Int): Unit =
+      if (wideAssoc) be16((if (essential) 0x8000 else 0) | ix)
+      else out.write((if (essential) 0x80 else 0) | ix)
+    be16(1); out.write(2) // primary item: 2 associations
+    assocIx(essential = true, 3) // its ispe is property THREE
+    assocIx(essential = false, 2)
+    be16(2); out.write(1) // thumbnail item: 1 association
+    assocIx(essential = false, 1)
+    out.toByteArray
+  }
 }

@@ -87,4 +87,50 @@ class AvifHeadersSpec extends AnyFunSuite {
     assert(found)
     assert(decodeAvif(noIspe) === None)
   }
+
+  test("item resolution: pitm -> ipma -> ipco picks the PRIMARY " +
+      "item's ispe past a thumbnail decoy; both pitm versions and " +
+      "both ipma association widths") {
+    checkProp(Prop.forAll(Gen.oneOf("avif", "heic"), Gen.choose(2, 9),
+        Gen.oneOf(true, false), Gen.oneOf(true, false),
+        Gen.choose(0L, 9999L)) { (brand, nItems, wp, wa, seed) =>
+      val w = (16 + seed % 2000).toInt
+      val h = (16 + (seed * 7) % 1200).toInt
+      val blob = encodeAvifItems(brand, w, h,
+        thumbW = 160, thumbH = 90, nItems, widePitm = wp,
+        wideAssoc = wa)
+      val fmt = if (brand == "heic") "heic" else "avif"
+      decodeAvifItems(blob).contains(
+        AvifItems(fmt, w.toLong, h.toLong, nItems, 3)) &&
+        // the first-ispe sniff reads the DECOY here — exactly why the
+        // item-resolving decoder exists
+        decodeAvif(blob).exists(m => m.width == 160 || m.width == w)
+    })
+  }
+
+  test("item-resolution strictness: missing pitm/ipma, out-of-range " +
+      "property index, primary without an ispe, truncation") {
+    val good = encodeAvifItems("avif", 800, 600, 160, 90, 3,
+      widePitm = false, wideAssoc = false)
+    assert(decodeAvifItems(good).isDefined)
+    (1 until good.length by 3).foreach(n =>
+      decodeAvifItems(good.take(n)))
+    // surgically blank the pitm box type -> strict decode rejects
+    val s = new String(good, "ISO-8859-1")
+    def blank(tag: String): Array[Byte] = {
+      val at = s.indexOf(tag)
+      val c = good.clone
+      c(at) = 'X'.toByte
+      c
+    }
+    assert(decodeAvifItems(blank("pitm")) === None)
+    assert(decodeAvifItems(blank("ipma")) === None)
+    assert(decodeAvifItems(blank("iinf")) === None)
+    // point the primary's first association past ipco's 3 properties:
+    // the 0x83 byte (essential | index 3) follows "ipma"+ver+count+id+cnt
+    val ipmaAt = s.indexOf("ipma")
+    val bad = good.clone
+    bad(ipmaAt + 4 + 4 + 4 + 2 + 1) = 0x87.toByte // index 7 of 3
+    assert(decodeAvifItems(bad) === None)
+  }
 }
