@@ -70,7 +70,8 @@ object SparkEntry {
     Latex.defs,
     TableText.defs,
     Chat.defs,
-    MsgPack.defs)
+    MsgPack.defs,
+    Cbor.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 
