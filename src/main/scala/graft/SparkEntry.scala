@@ -71,7 +71,8 @@ object SparkEntry {
     TableText.defs,
     Chat.defs,
     MsgPack.defs,
-    Cbor.defs)
+    Cbor.defs,
+    Mbox.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 
