@@ -72,7 +72,8 @@ object SparkEntry {
     Chat.defs,
     MsgPack.defs,
     Cbor.defs,
-    Mbox.defs)
+    Mbox.defs,
+    XzCodec.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 

@@ -1,0 +1,238 @@
+package graft.operators
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import org.tukaani.xz.{DeltaOptions, FilterOptions, LZMA2Options, XZ,
+  XZInputStream, XZOutputStream}
+
+import XzCodec._
+
+/** XZ/LZMA2 conformance, refereed by xz-java (`org.tukaani.xz`, the
+  * reference Java implementation, on the Spark classpath): reference
+  * encodings — every preset/check/dict-size/multi-block/delta shape —
+  * decode byte-exactly through this decoder, and this file's stored +
+  * literal-LZMA containers are accepted by the reference the other
+  * direction. A third referee, the in-container `xz` CLI, cross-checks
+  * both directions when present. */
+class XzCodecSpec extends AnyFunSuite {
+
+  private def checkProp(p: Prop, n: Int = 40): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def payload(kind: Int, n: Int, seed: Long): Array[Byte] = {
+    val rnd = new scala.util.Random(seed)
+    kind match {
+      case 0 => Array.fill(n)(rnd.nextInt(256).toByte)
+      case 1 => // compressible text: exercises matches/reps heavily
+        val words = Seq("the", "of", "and", "data", "stream", "range")
+        Iterator.continually(words(rnd.nextInt(words.length)) + " ")
+          .flatMap(_.getBytes("UTF-8")).take(n).toArray
+      case 2 => Array.fill(n)('z'.toByte) // long rep runs
+      case _ => Array.tabulate(n)(i => ((i * 31 + seed) & 0xff).toByte)
+    }
+  }
+
+  private def refEncode(data: Array[Byte], opts: Array[FilterOptions],
+      check: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val xz = new XZOutputStream(bos, opts, check)
+    xz.write(data)
+    xz.close()
+    bos.toByteArray
+  }
+
+  private def refDecode(b: Array[Byte]): Array[Byte] = {
+    val in = new XZInputStream(new ByteArrayInputStream(b))
+    val bos = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+    in.close()
+    bos.toByteArray
+  }
+
+  test("CRC64-XZ known answer: '123456789' -> 0x995DC9BBDF1939FA") {
+    val b = "123456789".getBytes("US-ASCII")
+    assert(crc64(b, 0, b.length) == 0x995dc9bbdf1939faL)
+  }
+
+  test("reference encodings decode byte-exactly: presets 0/3/6, all " +
+      "check types, every payload kind, sizes through multi-chunk") {
+    val checks = Seq(XZ.CHECK_NONE, XZ.CHECK_CRC32, XZ.CHECK_CRC64,
+      XZ.CHECK_SHA256)
+    checkProp(Prop.forAll(Gen.choose(0, 3), Gen.choose(0, 150000),
+        Gen.choose(0L, 9999L), Gen.oneOf(0, 3, 6), Gen.choose(0, 3)) {
+      (kind, n, seed, preset, ci) =>
+        val data = payload(kind, n, seed)
+        val enc = refEncode(data,
+          Array[FilterOptions](new LZMA2Options(preset)), checks(ci))
+        xzDecompress(enc).exists(_.sameElements(data))
+    })
+  }
+
+  test("small dictionary forces window discipline: 64 KiB dict over " +
+      "a 300 KiB compressible payload decodes byte-exactly") {
+    val data = payload(1, 300000, 11L)
+    val o = new LZMA2Options(6)
+    o.setDictSize(1 << 16)
+    val enc = refEncode(data, Array[FilterOptions](o), XZ.CHECK_CRC64)
+    assert(xzDecompress(enc).exists(_.sameElements(data)))
+  }
+
+  test("multi-block reference streams (endBlock) decode, as do " +
+      "concatenated streams with 4-aligned stream padding") {
+    val a = payload(1, 40000, 3L)
+    val b = payload(0, 5000, 4L)
+    val bos = new ByteArrayOutputStream()
+    val xz = new XZOutputStream(bos, new LZMA2Options(4), XZ.CHECK_CRC32)
+    xz.write(a); xz.endBlock(); xz.write(b)
+    xz.close()
+    assert(xzDecompress(bos.toByteArray).exists(_.sameElements(a ++ b)))
+    // concatenation: stream1 + padding + stream2
+    val s1 = refEncode(a, Array[FilterOptions](new LZMA2Options(2)),
+      XZ.CHECK_CRC64)
+    val s2 = encodeXz(b, checkType = 1, literal = true)
+    val cat = s1 ++ Array.fill(8)(0.toByte) ++ s2
+    assert(xzDecompress(cat).exists(_.sameElements(a ++ b)))
+    // misaligned padding rejects
+    val bad = s1 ++ Array.fill(3)(0.toByte) ++ s2
+    assert(xzDecompress(bad).isEmpty)
+  }
+
+  test("delta-filtered reference streams decode (dist 1, 4, 16)") {
+    Seq(1, 4, 16).foreach { dist =>
+      val data = payload(3, 20000, dist.toLong)
+      val enc = refEncode(data, Array[FilterOptions](
+        new DeltaOptions(dist), new LZMA2Options(3)), XZ.CHECK_CRC32)
+      assert(xzDecompress(enc).exists(_.sameElements(data)), s"dist=$dist")
+    }
+  }
+
+  test("own containers are accepted by the reference, both stored and " +
+      "literal-LZMA, all check types, with and without delta") {
+    checkProp(Prop.forAll(Gen.choose(0, 3), Gen.choose(0, 120000),
+        Gen.choose(0L, 9999L), Gen.oneOf(0, 1, 4, 10),
+        Gen.oneOf(true, false), Gen.choose(0, 4)) {
+      (kind, n, seed, check, literal, dd) =>
+        val data = payload(kind, n, seed)
+        val mine = encodeXz(data, checkType = check, literal = literal,
+          deltaDist = dd)
+        refDecode(mine).sameElements(data) &&
+          xzDecompress(mine).exists(_.sameElements(data))
+    }, n = 30)
+  }
+
+  test("empty input: reference zero-block stream decodes to empty; " +
+      "own zero-block stream accepted by the reference") {
+    val refEmpty = refEncode(Array.emptyByteArray,
+      Array[FilterOptions](new LZMA2Options(6)), XZ.CHECK_CRC32)
+    assert(xzDecompress(refEmpty).exists(_.isEmpty))
+    val mine = encodeXz(Array.emptyByteArray, checkType = 4)
+    assert(refDecode(mine).isEmpty)
+    assert(xzDecompress(mine).exists(_.isEmpty))
+  }
+
+  test("CLI referee when present: xz -9e output decodes; own output " +
+      "survives xz -d") {
+    val bin = new java.io.File("/root/miniconda/bin/xz")
+    assume(bin.canExecute, "xz CLI not in container")
+    val data = payload(1, 60000, 42L)
+    val dir = java.nio.file.Files.createTempDirectory("xzref")
+    val raw = dir.resolve("a")
+    java.nio.file.Files.write(raw, data)
+    def run(args: String*): Int = {
+      val pb = new ProcessBuilder((bin.getAbsolutePath +: args): _*)
+      pb.inheritIO(); pb.start().waitFor()
+    }
+    assert(run("-9e", "-k", raw.toString) == 0)
+    val enc = java.nio.file.Files.readAllBytes(dir.resolve("a.xz"))
+    assert(xzDecompress(enc).exists(_.sameElements(data)))
+    // other direction: literal-LZMA container through the CLI
+    val mine = dir.resolve("b.xz")
+    java.nio.file.Files.write(mine,
+      encodeXz(data, checkType = 10, literal = true, deltaDist = 2))
+    assert(run("-d", "-k", mine.toString) == 0)
+    assert(java.nio.file.Files.readAllBytes(dir.resolve("b"))
+      .sameElements(data))
+  }
+
+  test("hostile input: every single-byte flip in a small checked " +
+      "stream either rejects or agrees with the reference (flips in " +
+      "dead entropy-coder slack bits are undetectable by design — the " +
+      "xz check covers OUTPUT, not compressed bytes); truncation " +
+      "sweep never throws") {
+    val data = payload(1, 700, 7L)
+    val enc = refEncode(data, Array[FilterOptions](new LZMA2Options(1)),
+      XZ.CHECK_CRC64)
+    (0 until enc.length).foreach { k =>
+      val bad = enc.clone()
+      bad(k) = (bad(k) ^ 0x01).toByte
+      xzDecompress(bad) match {
+        case None => // rejected — the common case
+        case Some(got) =>
+          // accepted: output must be untouched (the CRC64 gate) AND
+          // the reference must accept the same flipped stream
+          assert(got.sameElements(data), s"flip@$k diverged yet passed")
+          val ref = try Some(refDecode(bad)) catch {
+            case _: Exception => None
+          }
+          assert(ref.exists(_.sameElements(data)),
+            s"flip@$k accepted by us, rejected by the reference")
+      }
+    }
+    (0 until enc.length by 3).foreach(k => xzDecompress(enc.take(k)))
+    assert(xzDecompress(null).isEmpty)
+    assert(xzDecompress(Array.emptyByteArray).isEmpty)
+  }
+
+  test("structural rejects: bad magic, reserved flags, unsupported " +
+      "check id, unsupported filter, first chunk without dict reset") {
+    val ok = encodeXz(payload(1, 500, 1L), checkType = 1)
+    val m = ok.clone(); m(0) = 0x7f
+    assert(xzDecompress(m).isEmpty)
+    val f = ok.clone(); f(6) = 0x01 // reserved stream-flag byte
+    assert(xzDecompress(f).isEmpty)
+    // unsupported (reserved) check id 0x02 — re-CRC so only the id is bad
+    val c = ok.clone(); c(7) = 0x02
+    val crc = new java.util.zip.CRC32; crc.update(c, 6, 2)
+    val v = crc.getValue
+    var k = 0
+    while (k < 4) { c(8 + k) = ((v >>> (8 * k)) & 0xff).toByte; k += 1 }
+    assert(xzDecompress(c).isEmpty)
+    // unsupported filter: BCJ x86 from the reference
+    val bcj = refEncode(payload(0, 800, 2L), Array[FilterOptions](
+      new org.tukaani.xz.X86Options(), new LZMA2Options(1)), XZ.CHECK_CRC32)
+    assert(xzDecompress(bcj).isEmpty)
+    // LZMA2 stream whose first chunk skips the dictionary reset:
+    // control 0x02 (uncompressed, no reset) right after the header
+    val lz = lzma2Stored(payload(0, 100, 3L))
+    assert((lz(0) & 0xff) == 0x01)
+    lz(0) = 0x02
+    // wrap it manually through the container writer's layout by
+    // patching an encodeXz output of the same payload
+    val base = encodeXz(payload(0, 100, 3L), checkType = 0)
+    val at = {
+      // locate the 0x01 control byte: header(12) + block header(12)
+      val hdrSize = ((base(12) & 0xff) + 1) * 4
+      12 + hdrSize
+    }
+    assert((base(at) & 0xff) == 0x01)
+    base(at) = 0x02
+    assert(xzDecompress(base).isEmpty)
+  }
+
+  test("zip-bomb posture: output beyond maxOut rejects instead of " +
+      "allocating") {
+    val data = Array.fill(1 << 20)('a'.toByte)
+    val enc = refEncode(data, Array[FilterOptions](new LZMA2Options(6)),
+      XZ.CHECK_CRC32)
+    assert(xzDecompress(enc, maxOut = 1 << 16).isEmpty)
+    assert(xzDecompress(enc).exists(_.sameElements(data)))
+  }
+}
