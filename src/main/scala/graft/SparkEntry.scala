@@ -73,7 +73,8 @@ object SparkEntry {
     MsgPack.defs,
     Cbor.defs,
     Mbox.defs,
-    XzCodec.defs)
+    XzCodec.defs,
+    GitPack.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 

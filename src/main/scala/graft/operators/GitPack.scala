@@ -1,0 +1,629 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Git packfile + pack-index DECODER — pure JVM, from the public
+  * format documentation (git's Documentation/gitformat-pack.txt).
+  * Code corpora ship as bare repositories: the q414 manifest channel
+  * reads Cargo.toml/YAML, but nothing could walk commits/trees/blobs
+  * until now. A pack is the unit a mirror actually stores — decoding
+  * it map-side is how a 100 TB code-corpus pipeline inventories
+  * repositories without materializing loose objects.
+  *
+  * Implemented: pack v2/v3 entry walk (4-bit type + 7-bit-group size
+  * varints, zlib-deflated payloads via the JDK Inflater), OBJ_OFS_DELTA
+  * (the +1-biased big-endian base-offset encoding) and OBJ_REF_DELTA
+  * bases, full delta application (source/target size varints, copy
+  * commands with the size-0 = 0x10000 rule, literal inserts, reserved
+  * command 0 rejected), delta-chain depth bounding, per-object SHA-1
+  * (`"<type> <size>\0" + content` — reproducing git's object ids
+  * exactly), the SHA-1 pack trailer, and idx v2 (fanout monotonicity,
+  * sorted names, per-entry CRC32 over the compressed pack entry,
+  * 31-bit offsets with the 8-byte large-offset table, both trailer
+  * checksums).
+  *
+  * Referee posture: `/usr/bin/git` is the reference — GitPackSpec
+  * builds real repositories, repacks them, and requires this decoder
+  * to reproduce `git cat-file --batch-check` (sha, type, size) for
+  * every object, while [[encodePack]]/[[encodeIdx]] output must pass
+  * `git verify-pack` and `git index-pack`. Corrupt/truncated/thin
+  * packs → None: hostile declared lengths bounds-checked in Long, a
+  * ref_delta against a missing base (thin pack) rejects, depth > 64
+  * rejects.
+  */
+object GitPack {
+
+  /** Decoded-object cap per pack entry (hostile-size posture). */
+  val MaxObject: Int = 1 << 26
+
+  private final class Corrupt extends RuntimeException(null, null, false, false)
+  private def fail(): Nothing = throw new Corrupt
+
+  final case class PackObject(sha: String, otype: String, size: Long,
+      deltaDepth: Int, offset: Long, crc32: Long)
+
+  private val typeNames = Map(1 -> "commit", 2 -> "tree", 3 -> "blob",
+    4 -> "tag")
+
+  private def sha1Hex(prefix: Array[Byte], content: Array[Byte]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    md.update(prefix)
+    md.update(content)
+    md.digest().map(x => f"${x & 0xff}%02x").mkString
+  }
+
+  private def objectSha(otype: String, content: Array[Byte]): String =
+    sha1Hex(s"$otype ${content.length}".getBytes("US-ASCII") :+ 0.toByte, content)
+
+  private def crc32(b: Array[Byte], off: Int, len: Int): Long = {
+    val c = new java.util.zip.CRC32
+    c.update(b, off, len)
+    c.getValue
+  }
+
+  private def u32be(b: Array[Byte], i: Int): Long = {
+    if (i + 4 > b.length) fail()
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  }
+
+  /** Inflate one zlib stream starting at `off`; the declared
+    * uncompressed length must match exactly. Returns (data, consumed
+    * compressed bytes). */
+  private def inflateAt(b: Array[Byte], off: Int,
+      declared: Long): (Array[Byte], Int) = {
+    if (declared < 0 || declared > MaxObject) fail()
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(b, off, b.length - off)
+      val out = new Array[Byte](declared.toInt)
+      var n = 0
+      var stuck = false
+      while (n < out.length && !inf.finished() && !stuck) {
+        val k = inf.inflate(out, n, out.length - n)
+        if (k == 0 && (inf.needsInput() || inf.needsDictionary())) stuck = true
+        n += k
+      }
+      if (stuck || n != out.length) fail()
+      if (!inf.finished()) {
+        // the stream must END here — extra uncompressed bytes = corrupt
+        val extra = new Array[Byte](1)
+        if (inf.inflate(extra, 0, 1) != 0 || !inf.finished()) fail()
+      }
+      (out, (b.length - off) - inf.getRemaining)
+    } catch {
+      case _: java.util.zip.DataFormatException => fail()
+    } finally inf.end()
+  }
+
+  /** git delta application (gitformat-pack: copy/insert commands). */
+  private def applyDelta(base: Array[Byte],
+      delta: Array[Byte]): Array[Byte] = {
+    var i = 0
+    def sizeVarint(): Long = {
+      var v = 0L
+      var shift = 0
+      var done = false
+      while (!done) {
+        if (i >= delta.length || shift > 56) fail()
+        val c = delta(i) & 0xff
+        i += 1
+        v |= (c & 0x7fL) << shift
+        shift += 7
+        if ((c & 0x80) == 0) done = true
+      }
+      v
+    }
+    val srcSize = sizeVarint()
+    if (srcSize != base.length) fail()
+    val tgtSize = sizeVarint()
+    if (tgtSize < 0 || tgtSize > MaxObject) fail()
+    val out = new Array[Byte](tgtSize.toInt)
+    var o = 0
+    while (i < delta.length) {
+      val cmd = delta(i) & 0xff
+      i += 1
+      if ((cmd & 0x80) != 0) {
+        var cpOff = 0L
+        var cpSize = 0L
+        var bit = 0
+        while (bit < 4) {
+          if ((cmd & (1 << bit)) != 0) {
+            if (i >= delta.length) fail()
+            cpOff |= (delta(i) & 0xffL) << (8 * bit)
+            i += 1
+          }
+          bit += 1
+        }
+        while (bit < 7) {
+          if ((cmd & (1 << bit)) != 0) {
+            if (i >= delta.length) fail()
+            cpSize |= (delta(i) & 0xffL) << (8 * (bit - 4))
+            i += 1
+          }
+          bit += 1
+        }
+        if (cpSize == 0) cpSize = 0x10000L
+        if (cpOff + cpSize > base.length || o + cpSize > out.length) fail()
+        System.arraycopy(base, cpOff.toInt, out, o, cpSize.toInt)
+        o += cpSize.toInt
+      } else {
+        if (cmd == 0) fail() // reserved
+        if (i + cmd > delta.length || o + cmd > out.length) fail()
+        System.arraycopy(delta, i, out, o, cmd)
+        i += cmd
+        o += cmd
+      }
+    }
+    if (o != out.length) fail()
+    out
+  }
+
+  /** Decode every object in a pack, resolving delta chains. The
+    * SHA-1 trailer is verified first; thin packs (ref_delta against
+    * an absent base), cycles-by-construction (a delta can only
+    * reference an EARLIER offset), truncation, and declared-size lies
+    * all → None. */
+  def packObjectsWithContent(
+      pack: Array[Byte]): Option[Vector[(PackObject, Array[Byte])]] =
+    try {
+      if (pack == null || pack.length < 32) return None
+      if (pack(0) != 'P' || pack(1) != 'A' || pack(2) != 'C' ||
+        pack(3) != 'K') fail()
+      val version = u32be(pack, 4)
+      if (version != 2 && version != 3) fail()
+      val count = u32be(pack, 8)
+      if (count < 0 || count > (pack.length / 12) + 16) fail()
+      // trailer: SHA-1 of everything before it
+      val md = java.security.MessageDigest.getInstance("SHA-1")
+      md.update(pack, 0, pack.length - 20)
+      val dig = md.digest()
+      var t = 0
+      while (t < 20) {
+        if (dig(t) != pack(pack.length - 20 + t)) fail()
+        t += 1
+      }
+      var off = 12
+      val byOffset = scala.collection.mutable.LongMap
+        .empty[(String, Array[Byte], Int)]
+      val bySha = scala.collection.mutable.HashMap
+        .empty[String, (String, Array[Byte], Int)]
+      val out = Vector.newBuilder[(PackObject, Array[Byte])]
+      var k = 0L
+      while (k < count) {
+        val entryStart = off
+        if (off >= pack.length - 20) fail()
+        var c = pack(off) & 0xff
+        off += 1
+        val otypeId = (c >>> 4) & 7
+        var size = (c & 15).toLong
+        var shift = 4
+        while ((c & 0x80) != 0) {
+          if (off >= pack.length - 20 || shift > 56) fail()
+          c = pack(off) & 0xff
+          off += 1
+          size |= (c & 0x7fL) << shift
+          shift += 7
+        }
+        val (otype, content, depth) = otypeId match {
+          case 1 | 2 | 3 | 4 =>
+            val (data, used) = inflateAt(pack, off, size)
+            off += used
+            (typeNames(otypeId), data, 0)
+          case 6 => // ofs_delta: +1-biased big-endian varint, negative
+            if (off >= pack.length - 20) fail()
+            var d = pack(off) & 0xff
+            off += 1
+            var neg = (d & 0x7f).toLong
+            while ((d & 0x80) != 0) {
+              if (off >= pack.length - 20 || neg > Int.MaxValue) fail()
+              d = pack(off) & 0xff
+              off += 1
+              neg = ((neg + 1) << 7) | (d & 0x7fL)
+            }
+            val baseOff = entryStart - neg
+            if (baseOff < 12 || baseOff >= entryStart) fail()
+            val base = byOffset.getOrElse(baseOff, fail())
+            if (base._3 >= 64) fail() // chain depth bound (git's limit)
+            val (delta, used) = inflateAt(pack, off, size)
+            off += used
+            (base._1, applyDelta(base._2, delta), base._3 + 1)
+          case 7 => // ref_delta: 20-byte base id
+            if (off + 20 > pack.length - 20) fail()
+            val sha = pack.slice(off, off + 20)
+              .map(x => f"${x & 0xff}%02x").mkString
+            off += 20
+            val base = bySha.getOrElse(sha, fail()) // thin pack → reject
+            if (base._3 >= 64) fail()
+            val (delta, used) = inflateAt(pack, off, size)
+            off += used
+            (base._1, applyDelta(base._2, delta), base._3 + 1)
+          case _ => fail()
+        }
+        val sha = objectSha(otype, content)
+        byOffset(entryStart.toLong) = ((otype, content, depth))
+        bySha(sha) = ((otype, content, depth))
+        out += ((PackObject(sha, otype, content.length.toLong, depth,
+          entryStart.toLong, crc32(pack, entryStart, off - entryStart)),
+          content))
+        k += 1
+      }
+      if (off != pack.length - 20) fail()
+      Some(out.result())
+    } catch {
+      case _: Corrupt | _: ArrayIndexOutOfBoundsException |
+        _: NegativeArraySizeException => None
+    }
+
+  def packObjects(pack: Array[Byte]): Option[Vector[PackObject]] =
+    packObjectsWithContent(pack).map(_.map(_._1))
+
+  /** Parse + verify an idx v2: returns (shaHex, packOffset, crc32)
+    * in name order. Both trailer checksums, fanout monotonicity and
+    * consistency, and name ordering are enforced. */
+  def idxEntries(idx: Array[Byte]): Option[Vector[(String, Long, Long)]] =
+    try {
+      if (idx == null || idx.length < 8 + 1024 + 40) return None
+      if ((idx(0) & 0xff) != 0xff || idx(1) != 't' || idx(2) != 'O' ||
+        idx(3) != 'c') fail()
+      if (u32be(idx, 4) != 2) fail()
+      val fanout = Array.tabulate(256)(i => u32be(idx, 8 + 4 * i))
+      var i = 1
+      while (i < 256) { if (fanout(i) < fanout(i - 1)) fail(); i += 1 }
+      val n = fanout(255)
+      if (n < 0 || n > Int.MaxValue / 28) fail()
+      val namesAt = 8 + 1024
+      val crcAt = namesAt + 20 * n
+      val offAt = crcAt + 4 * n
+      val largeAt = offAt + 4 * n
+      if (largeAt + 40 > idx.length) fail()
+      val nLarge = (idx.length - 40 - largeAt) / 8
+      if (largeAt + 8 * nLarge + 40 != idx.length) fail()
+      // idx trailer checksum (over everything before it)
+      val md = java.security.MessageDigest.getInstance("SHA-1")
+      md.update(idx, 0, idx.length - 20)
+      val dig = md.digest()
+      var q = 0
+      while (q < 20) {
+        if (dig(q) != idx(idx.length - 20 + q)) fail()
+        q += 1
+      }
+      val out = Vector.newBuilder[(String, Long, Long)]
+      var prev: String = null
+      var e = 0L
+      while (e < n) {
+        val at = (namesAt + 20 * e).toInt
+        val sha = idx.slice(at, at + 20).map(x => f"${x & 0xff}%02x").mkString
+        if (prev != null && sha.compareTo(prev) <= 0) fail()
+        // fanout consistency: entry index range for this first byte
+        val fb = idx(at) & 0xff
+        val lo = if (fb == 0) 0L else fanout(fb - 1)
+        if (e < lo || e >= fanout(fb)) fail()
+        prev = sha
+        val crc = u32be(idx, (crcAt + 4 * e).toInt)
+        val o32 = u32be(idx, (offAt + 4 * e).toInt)
+        val offv =
+          if ((o32 & 0x80000000L) == 0) o32
+          else {
+            val li = o32 & 0x7fffffffL
+            if (li >= nLarge) fail()
+            val at8 = (largeAt + 8 * li).toInt
+            (u32be(idx, at8) << 32) | u32be(idx, at8 + 4)
+          }
+        out += ((sha, offv, crc))
+        e += 1
+      }
+      Some(out.result())
+    } catch {
+      case _: Corrupt | _: ArrayIndexOutOfBoundsException |
+        _: NegativeArraySizeException => None
+    }
+
+  /** Cross-verify a pack/idx pair: same sha set, offsets point at the
+    * right entries, per-entry CRC32s match the pack bytes, and the
+    * idx embeds the pack's trailer checksum. */
+  def verifyPair(pack: Array[Byte], idx: Array[Byte]): Boolean = {
+    (for {
+      objs <- packObjects(pack)
+      ents <- idxEntries(idx)
+    } yield {
+      val trailerOk = idx.length >= 40 && pack.length >= 20 &&
+        java.util.Arrays.equals(
+          java.util.Arrays.copyOfRange(idx, idx.length - 40, idx.length - 20),
+          java.util.Arrays.copyOfRange(pack, pack.length - 20, pack.length))
+      val byOff = objs.map(o => o.offset -> o).toMap
+      trailerOk && ents.length == objs.length && ents.forall {
+        case (sha, offv, crc) =>
+          byOff.get(offv).exists(o => o.sha == sha && o.crc32 == crc)
+      }
+    }).getOrElse(false)
+  }
+
+  // --------------------------------------------------- fixture emitters
+
+  sealed trait PackEntry
+  final case class Full(otypeId: Int, content: Array[Byte]) extends PackEntry
+  /** Delta against the entry at `baseIndex` (earlier in the list). */
+  final case class OfsDelta(baseIndex: Int, delta: Array[Byte])
+      extends PackEntry
+  final case class RefDelta(baseShaHex: String, delta: Array[Byte])
+      extends PackEntry
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data)
+    d.finish()
+    val out = new ByteArrayOutputStream(data.length / 2 + 16)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def writeTypeSize(out: ByteArrayOutputStream, otypeId: Int,
+      size: Long): Unit = {
+    var c = (otypeId << 4) | (size & 15).toInt
+    var rest = size >>> 4
+    while (rest != 0) {
+      out.write(c | 0x80)
+      c = (rest & 0x7f).toInt
+      rest >>>= 7
+    }
+    out.write(c)
+  }
+
+  /** A minimal delta: copy the whole base, then insert `tail`. */
+  def buildDelta(base: Array[Byte], tail: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(tail.length + 16)
+    def sizeVarint(v0: Long): Unit = {
+      var v = v0
+      var more = true
+      while (more) {
+        if ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+        else { out.write(v.toInt); more = false }
+      }
+    }
+    sizeVarint(base.length.toLong)
+    sizeVarint(base.length.toLong + tail.length)
+    if (base.nonEmpty) {
+      // copy command: offset 0 (no bytes), explicit size bytes
+      val n = base.length
+      var cmd = 0x80
+      if ((n & 0xff) != 0) cmd |= 0x10
+      if ((n & 0xff00) != 0) cmd |= 0x20
+      if ((n & 0xff0000) != 0) cmd |= 0x40
+      if (cmd == 0x80) cmd |= 0x10 // size 0x10000 multiples need a byte
+      out.write(cmd)
+      if ((cmd & 0x10) != 0) out.write(n & 0xff)
+      if ((cmd & 0x20) != 0) out.write((n >>> 8) & 0xff)
+      if ((cmd & 0x40) != 0) out.write((n >>> 16) & 0xff)
+    }
+    var i = 0
+    while (i < tail.length) {
+      val n = math.min(127, tail.length - i)
+      out.write(n)
+      out.write(tail, i, n)
+      i += n
+    }
+    out.toByteArray
+  }
+
+  /** Emit a byte-valid pack v2 (entries in the given order; deltas
+    * must reference earlier entries). Also returns per-entry resolved
+    * (otype, content) so callers can compute shas. */
+  def encodePack(entries: Seq[PackEntry]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(1024)
+    out.write("PACK".getBytes("US-ASCII"), 0, 4)
+    out.write(Array[Byte](0, 0, 0, 2), 0, 4)
+    var k = 3
+    while (k >= 0) { out.write((entries.length >>> (8 * k)) & 0xff); k -= 1 }
+    val resolved = new Array[(String, Array[Byte])](entries.length)
+    val offsets = new Array[Int](entries.length)
+    entries.zipWithIndex.foreach { case (e, i) =>
+      offsets(i) = out.size
+      e match {
+        case Full(tid, content) =>
+          writeTypeSize(out, tid, content.length.toLong)
+          val z = deflate(content)
+          out.write(z, 0, z.length)
+          resolved(i) = ((typeNames(tid), content))
+        case OfsDelta(bi, delta) =>
+          writeTypeSize(out, 6, delta.length.toLong)
+          // +1-biased big-endian offset varint, relative to entry start
+          var neg = (offsets(i) - offsets(bi)).toLong
+          var groups = List((neg & 0x7f).toInt)
+          neg >>>= 7
+          while (neg != 0) {
+            neg -= 1
+            groups ::= ((neg & 0x7f) | 0x80).toInt
+            neg >>>= 7
+          }
+          groups.foreach(out.write)
+          val z = deflate(delta)
+          out.write(z, 0, z.length)
+          val (bt, bc) = resolved(bi)
+          resolved(i) =
+            try ((bt, applyDelta(bc, delta)))
+            catch { case _: Corrupt => null } // emit anyway; decoder rejects
+        case RefDelta(shaHex, delta) =>
+          writeTypeSize(out, 7, delta.length.toLong)
+          shaHex.grouped(2).foreach(h => out.write(Integer.parseInt(h, 16)))
+          val z = deflate(delta)
+          out.write(z, 0, z.length)
+          // a base outside the pack (thin pack) still EMITS — the
+          // decoder is what must reject it; later in-pack deltas may
+          // not chain off an unresolvable entry
+          val bi = resolved.indexWhere(r =>
+            r != null && objectSha(r._1, r._2) == shaHex)
+          resolved(i) =
+            if (bi < 0) null
+            else try ((resolved(bi)._1, applyDelta(resolved(bi)._2, delta)))
+            catch { case _: Corrupt => null }
+      }
+    }
+    val body = out.toByteArray
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    md.update(body)
+    val fin = new ByteArrayOutputStream(body.length + 20)
+    fin.write(body, 0, body.length)
+    fin.write(md.digest(), 0, 20)
+    fin.toByteArray
+  }
+
+  /** Build the idx v2 for a pack via this file's own decode. */
+  def encodeIdx(pack: Array[Byte]): Option[Array[Byte]] =
+    packObjects(pack).map { objs =>
+      val sorted = objs.sortBy(_.sha)
+      val out = new ByteArrayOutputStream(1024)
+      out.write(0xff); out.write('t'); out.write('O'); out.write('c')
+      out.write(Array[Byte](0, 0, 0, 2), 0, 4)
+      def be32(v: Long): Unit = {
+        var k = 3
+        while (k >= 0) { out.write(((v >>> (8 * k)) & 0xff).toInt); k -= 1 }
+      }
+      var cum = 0
+      (0 until 256).foreach { fb =>
+        cum += sorted.count(o => Integer.parseInt(o.sha.take(2), 16) == fb)
+        be32(cum.toLong)
+      }
+      sorted.foreach(o =>
+        o.sha.grouped(2).foreach(h => out.write(Integer.parseInt(h, 16))))
+      sorted.foreach(o => be32(o.crc32))
+      val large = Vector.newBuilder[Long]
+      var nLarge = 0
+      sorted.foreach { o =>
+        if (o.offset <= 0x7fffffffL) be32(o.offset)
+        else { be32(0x80000000L | nLarge); large += o.offset; nLarge += 1 }
+      }
+      large.result().foreach { v => be32(v >>> 32); be32(v & 0xffffffffL) }
+      out.write(pack, pack.length - 20, 20) // pack trailer checksum
+      val md = java.security.MessageDigest.getInstance("SHA-1")
+      md.update(out.toByteArray)
+      out.write(md.digest(), 0, 20)
+      out.toByteArray
+    }
+
+  /** Build git object payloads for fixtures. */
+  def blobSha(content: Array[Byte]): String = objectSha("blob", content)
+
+  def treeContent(entries: Seq[(String, String, String)]): Array[Byte] = {
+    // (mode, name, shaHex), entries must be git-sorted by caller
+    val out = new ByteArrayOutputStream(entries.size * 48)
+    entries.foreach { case (mode, name, sha) =>
+      out.write(s"$mode $name".getBytes("UTF-8")); out.write(0)
+      sha.grouped(2).foreach(h => out.write(Integer.parseInt(h, 16)))
+    }
+    out.toByteArray
+  }
+
+  def commitContent(treeSha: String, msg: String): Array[Byte] =
+    (s"tree $treeSha\n" +
+      "author a <a@example.test> 0 +0000\n" +
+      "committer a <a@example.test> 0 +0000\n" +
+      s"\n$msg\n").getBytes("UTF-8")
+
+  /** The q426/q427 fixture pack: blob A (id-prefixed text), blob B =
+    * ofs_delta(A) + tail, the fixed LICENSE blob, a tree over all
+    * three, and a commit — five objects, one delta chain. */
+  def fixturePack(id: Long, text: String): Array[Byte] = {
+    val a = s"$id\n$text".getBytes("UTF-8")
+    val tail = s" tail $id".getBytes("UTF-8")
+    val lic = "MIT\n".getBytes("UTF-8")
+    val b = a ++ tail
+    val tree = treeContent(Seq(
+      ("100644", "LICENSE", blobSha(lic)),
+      ("100644", "a.txt", blobSha(a)),
+      ("100644", "b.txt", blobSha(b))))
+    val commit = commitContent(objectSha("tree", tree), s"commit $id")
+    encodePack(Seq(
+      Full(3, a),
+      OfsDelta(0, buildDelta(a, tail)),
+      Full(3, lic),
+      Full(2, tree),
+      Full(1, commit)))
+  }
+
+  // ------------------------------------------------------------------
+  // queries
+  // ------------------------------------------------------------------
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // per-pack inventory: each doc is one bare-repo pack (5 objects,
+    // one ofs_delta chain). The decode is map-side; idx_ok round-trips
+    // the pack through encodeIdx + verifyPair (crc32s, fanout, both
+    // trailers). The oracle replays sizes from doc_id arithmetic.
+    QueryDef(
+      "q426_git_pack_inventory",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val pack = fixturePack(id, text)
+            val objs = GitPack.packObjects(pack).getOrElse(Vector.empty)
+            val idxOk = GitPack.encodeIdx(pack)
+              .exists(idx => GitPack.verifyPair(pack, idx))
+            (id,
+              objs.count(_.otype == "commit").toLong,
+              objs.count(_.otype == "tree").toLong,
+              objs.count(_.otype == "blob").toLong,
+              objs.count(_.deltaDepth > 0).toLong,
+              objs.filter(_.otype == "blob").map(_.size).sum,
+              idxOk)
+          }
+          .toDF("doc_id", "n_commits", "n_trees", "n_blobs", "n_deltas",
+            "blob_bytes", "idx_ok")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(1 AS BIGINT) AS n_commits,
+               CAST(1 AS BIGINT) AS n_trees,
+               CAST(3 AS BIGINT) AS n_blobs,
+               CAST(1 AS BIGINT) AS n_deltas,
+               CAST(2 * (length(CAST(doc_id AS VARCHAR)) + 1
+                         + octet_length(encode(text)))
+                    + 6 + length(CAST(doc_id AS VARCHAR)) + 4
+                    AS BIGINT) AS blob_bytes,
+               TRUE AS idx_ok
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // repo census composition: packs group into repos (8 shards), the
+    // shuffle carries (repo, doc_id, sha) keys only — never pack
+    // bytes. The shared LICENSE blob dedups to ONE distinct sha per
+    // repo while the id-prefixed objects stay unique: 4n + 1.
+    QueryDef(
+      "q427_git_repo_census",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .flatMap { case (id, text) =>
+            val pack = fixturePack(id, text)
+            GitPack.packObjects(pack).getOrElse(Vector.empty)
+              .map(o => (s"repo${id % 8}", id, o.sha))
+          }
+          .toDF("repo", "doc_id", "sha")
+          .groupBy($"repo")
+          .agg(count_distinct($"doc_id").as("n_packs"),
+            count(lit(1)).as("n_objects"),
+            count_distinct($"sha").as("n_distinct_shas"))
+          .orderBy($"repo")
+      },
+      Some("""
+        SELECT 'repo' || (doc_id % 8) AS repo,
+               CAST(count(*) AS BIGINT) AS n_packs,
+               CAST(5 * count(*) AS BIGINT) AS n_objects,
+               CAST(4 * count(*) + 1 AS BIGINT) AS n_distinct_shas
+        FROM documents
+        GROUP BY 1
+        ORDER BY repo""")))
+}
