@@ -510,6 +510,99 @@ object GitPack {
   /** Build git object payloads for fixtures. */
   def blobSha(content: Array[Byte]): String = objectSha("blob", content)
 
+  // ------------------------------------------------------ loose objects
+
+  /** Decode one loose object (`.git/objects/xx/yyyy...`): a zlib
+    * stream over `"<type> <size>" NUL content`. Returns (sha, type,
+    * content); header lies, unknown types, truncation, trailing
+    * compressed garbage → None. */
+  def looseObject(b: Array[Byte]): Option[(String, String, Array[Byte])] = {
+    if (b == null || b.length < 8) return None
+    inflateAll(b, MaxObject).flatMap { raw =>
+      val nul = raw.indexOf(0.toByte)
+      if (nul <= 0 || nul > 31) return None
+      val hdr = new String(raw, 0, nul, "US-ASCII")
+      val sp = hdr.indexOf(' ')
+      if (sp <= 0) return None
+      val otype = hdr.substring(0, sp)
+      if (!typeNames.values.exists(_ == otype)) return None
+      val size = hdr.substring(sp + 1).toLongOption.getOrElse(return None)
+      if (size != raw.length - nul - 1) return None
+      val content = java.util.Arrays.copyOfRange(raw, nul + 1, raw.length)
+      Some((objectSha(otype, content), otype, content))
+    }
+  }
+
+  private def inflateAll(b: Array[Byte], cap: Int): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(b, 0, b.length)
+      val out = new ByteArrayOutputStream(math.min(b.length * 4, 1 << 16))
+      val buf = new Array[Byte](8192)
+      var stuck = false
+      while (!inf.finished() && !stuck) {
+        val k = inf.inflate(buf, 0, buf.length)
+        if (k == 0 && (inf.needsInput() || inf.needsDictionary())) stuck = true
+        else {
+          out.write(buf, 0, k)
+          if (out.size > cap) return None
+        }
+      }
+      if (stuck || inf.getRemaining != 0) None else Some(out.toByteArray)
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
+  }
+
+  /** Emit a loose object for fixtures. */
+  def encodeLoose(otype: String, content: Array[Byte]): Array[Byte] =
+    deflate((s"$otype ${content.length}".getBytes("US-ASCII") :+ 0.toByte)
+      ++ content)
+
+  /** Parse tree content into (mode, name, shaHex) entries; a
+    * non-octal mode, empty name, torn sha, or unsorted names → None. */
+  def treeEntries(content: Array[Byte])
+      : Option[Vector[(String, String, String)]] =
+    try {
+      val out = Vector.newBuilder[(String, String, String)]
+      var i = 0
+      var prevName: String = null
+      while (i < content.length) {
+        val sp = content.indexOf(' '.toByte, i)
+        if (sp <= i) fail()
+        val mode = new String(content, i, sp - i, "US-ASCII")
+        if (mode.isEmpty || !mode.forall(c => c >= '0' && c <= '7')) fail()
+        var z = sp + 1
+        while (z < content.length && content(z) != 0) z += 1
+        if (z >= content.length || z == sp + 1) fail()
+        val name = new String(content, sp + 1, z - sp - 1, "UTF-8")
+        if (z + 21 > content.length) fail()
+        val sha = content.slice(z + 1, z + 21)
+          .map(x => f"${x & 0xff}%02x").mkString
+        if (prevName != null && name.compareTo(prevName) <= 0) fail()
+        prevName = name
+        out += ((mode, name, sha))
+        i = z + 21
+      }
+      Some(out.result())
+    } catch { case _: Corrupt => None }
+
+  /** Parse commit content: (treeSha, parentShas, message). */
+  def commitFields(content: Array[Byte])
+      : Option[(String, Vector[String], String)] = {
+    val s = new String(content, "UTF-8")
+    val blank = s.indexOf("\n\n")
+    if (blank < 0) return None
+    val headers = s.substring(0, blank).linesIterator.toVector
+    val tree = headers.collectFirst {
+      case h if h.startsWith("tree ") && h.length == 45 => h.substring(5)
+    }
+    val parents = headers.collect {
+      case h if h.startsWith("parent ") && h.length == 47 => h.substring(7)
+    }
+    tree.map(t => (t, parents, s.substring(blank + 2).stripSuffix("\n")))
+  }
+
   def treeContent(entries: Seq[(String, String, String)]): Array[Byte] = {
     // (mode, name, shaHex), entries must be git-sorted by caller
     val out = new ByteArrayOutputStream(entries.size * 48)
@@ -625,5 +718,52 @@ object GitPack {
                CAST(4 * count(*) + 1 AS BIGINT) AS n_distinct_shas
         FROM documents
         GROUP BY 1
-        ORDER BY repo""")))
+        ORDER BY repo""")),
+
+    // loose-object wing: the other way repositories store objects.
+    // Per doc: four loose zlib objects (blob, LICENSE, tree, commit)
+    // decode map-side; the tree parser checks entry order and links,
+    // the commit parser recovers the tree pointer and message. The
+    // oracle replays structure from doc_id arithmetic.
+    QueryDef(
+      "q428_git_loose_objects",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val blob = s"$id\n$text".getBytes("UTF-8")
+            val lic = "MIT\n".getBytes("UTF-8")
+            val tree = treeContent(Seq(
+              ("100644", "LICENSE", blobSha(lic)),
+              ("100644", "a.txt", blobSha(blob))))
+            val commit = commitContent(objectSha("tree", tree),
+              s"commit $id")
+            val loose = Seq(
+              encodeLoose("blob", blob), encodeLoose("blob", lic),
+              encodeLoose("tree", tree), encodeLoose("commit", commit))
+            val decoded = loose.flatMap(GitPack.looseObject)
+            val treeSha = decoded.find(_._2 == "tree").map(_._1)
+            val entries = decoded.find(_._2 == "tree")
+              .flatMap(t => GitPack.treeEntries(t._3))
+            val cf = decoded.find(_._2 == "commit")
+              .flatMap(c => GitPack.commitFields(c._3))
+            (id, decoded.length.toLong,
+              entries.map(_.length.toLong).getOrElse(-1L),
+              cf.exists(f => treeSha.contains(f._1)),
+              cf.map(_._3).getOrElse(""))
+          }
+          .toDF("doc_id", "n_objects", "n_tree_entries",
+            "commit_links_tree", "msg")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(4 AS BIGINT) AS n_objects,
+               CAST(2 AS BIGINT) AS n_tree_entries,
+               TRUE AS commit_links_tree,
+               'commit ' || doc_id AS msg
+        FROM documents
+        ORDER BY doc_id""")))
 }

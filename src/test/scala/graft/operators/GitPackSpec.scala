@@ -171,4 +171,46 @@ class GitPackSpec extends AnyFunSuite {
     assert(idxEntries(rot).isDefined) // structurally fine...
     assert(!verifyPair(pack, rot))    // ...but the crcs don't match
   }
+
+  test("loose objects: git-written files decode to matching sha/type/" +
+      "content; our loose files are readable by git cat-file") {
+    assume(git.canExecute, "git not in container")
+    val dir = Files.createTempDirectory("gitloose")
+    sh(dir, "git", "init", "-q", ".")
+    val payload = "loose content\nwith lines\n"
+    Files.write(dir.resolve("f.txt"), payload.getBytes("UTF-8"))
+    val sha = sh(dir, "git", "hash-object", "-w", "f.txt").trim
+    val obj = dir.resolve(s".git/objects/${sha.take(2)}/${sha.drop(2)}")
+    val mine = looseObject(Files.readAllBytes(obj)).get
+    assert(mine._1 == sha)
+    assert(mine._2 == "blob")
+    assert(new String(mine._3, "UTF-8") == payload)
+    // other direction: our loose file placed in the object store
+    val content = "emitted loose\n".getBytes("UTF-8")
+    val mySha = blobSha(content)
+    val tgt = dir.resolve(s".git/objects/${mySha.take(2)}")
+    Files.createDirectories(tgt)
+    Files.write(tgt.resolve(mySha.drop(2)), encodeLoose("blob", content))
+    assert(sh(dir, "git", "cat-file", "-p", mySha) == "emitted loose\n")
+    // tree and commit parsers agree with git's view of a real commit
+    Files.write(dir.resolve("g.txt"), "second\n".getBytes("UTF-8"))
+    sh(dir, "git", "add", ".")
+    sh(dir, "git", "commit", "-q", "-m", "loose c1")
+    val headSha = sh(dir, "git", "rev-parse", "HEAD").trim
+    val cObj = dir.resolve(s".git/objects/${headSha.take(2)}/${headSha.drop(2)}")
+    val (cs, ct, cc) = looseObject(Files.readAllBytes(cObj)).get
+    assert(cs == headSha && ct == "commit")
+    val (treeSha, parents, msg) = commitFields(cc).get
+    assert(treeSha == sh(dir, "git", "rev-parse", "HEAD^{tree}").trim)
+    assert(parents.isEmpty && msg == "loose c1")
+    val tObj = dir.resolve(s".git/objects/${treeSha.take(2)}/${treeSha.drop(2)}")
+    val tree = looseObject(Files.readAllBytes(tObj)).get
+    val entries = treeEntries(tree._3).get
+    assert(entries.map(_._2) == Vector("f.txt", "g.txt"))
+    // hostile: header lie, truncation, unknown type
+    assert(looseObject(encodeLoose("blobx", content)).isEmpty)
+    val good = encodeLoose("blob", content)
+    (1 until good.length by 2).foreach(k => looseObject(good.take(k)))
+    assert(looseObject(null).isEmpty)
+  }
 }
