@@ -907,5 +907,75 @@ object XzCodec {
                CAST(2 AS BIGINT) AS n_members,
                CAST(octet_length(encode(text)) AS BIGINT) AS text_bytes
         FROM documents
-        ORDER BY doc_id""")))
+        ORDER BY doc_id""")),
+
+    // the sdist capstone (q408/q414 shape): each doc is a .tar.xz
+    // source distribution — xz outer decode, tar member walk, the
+    // Cargo.toml member through the q414 TOML manifest parser — and
+    // the dependency census shuffles only (dep, ver, doc_id) keys,
+    // never sdist bytes. Dep arithmetic matches q414's runtime rows
+    // so the oracle replays the histogram exactly.
+    QueryDef(
+      "q429_sdist_dependency_census",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .flatMap { case (id, text) =>
+            val deps = (0 to (id % 4).toInt).map(k =>
+              (s"lib${(id * 3 + k * 5) % 40}", s"1.${(id + k) % 20}"))
+            val manifest = Toml.encodeManifest(s"pkg-${id % 200}",
+              "1.0.0", 2021L, Nil, deps, 0)
+            val tar = Archive.encodeTar(Seq(
+              Archive.TarEntry("pkg/Cargo.toml", manifest, 1L),
+              Archive.TarEntry("pkg/src/main.rs",
+                text.getBytes("UTF-8"), 2L)))
+            val sdist = encodeXz(tar, checkType = 4, literal = id % 2 == 1)
+            for {
+              payload <- XzCodec.xzDecompress(sdist).toSeq
+              m <- Archive.tarMembers(payload)
+              if m.name.endsWith("Cargo.toml")
+              blob = java.util.Arrays.copyOfRange(payload,
+                (m.headerOffset + 512).toInt,
+                (m.headerOffset + 512 + m.size).toInt)
+              parsed <- Toml.parseToml(blob).toSeq
+              depMap <- (parsed.get("dependencies") match {
+                case Some(d: Yaml.YMap) => Some(d.fields)
+                case _ => None
+              }).toSeq
+              (dep, v) <- depMap
+            } yield {
+              val ver = v match {
+                case Yaml.YStr(x) => x
+                case t: Yaml.YMap => t.get("version") match {
+                  case Some(Yaml.YStr(x)) => x
+                  case _ => ""
+                }
+                case _ => ""
+              }
+              (dep, ver, id)
+            }
+          }
+          .toDF("dep", "ver", "doc_id")
+          .groupBy($"dep")
+          .agg(count(lit(1)).as("n_sdists"),
+            count_distinct($"ver").as("n_versions"),
+            min($"doc_id").as("first_doc"))
+          .orderBy($"dep")
+      },
+      Some("""
+        WITH deps AS (
+          SELECT doc_id,
+                 'lib' || ((doc_id * 3 + k * 5) % 40) AS dep,
+                 '1.' || ((doc_id + k) % 20) AS ver
+          FROM documents,
+               UNNEST(generate_series(0, doc_id % 4)) AS g(k))
+        SELECT dep,
+               CAST(count(*) AS BIGINT) AS n_sdists,
+               CAST(count(DISTINCT ver) AS BIGINT) AS n_versions,
+               CAST(min(doc_id) AS BIGINT) AS first_doc
+        FROM deps
+        GROUP BY dep
+        ORDER BY dep""")))
 }
