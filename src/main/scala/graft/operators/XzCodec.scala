@@ -283,11 +283,13 @@ object XzCodec {
     else if (rc.decodeBit(ch, 1) == 0) 8 + treeDecode(rc, mid, posState << 3, 3)
     else 16 + treeDecode(rc, high, 0, 8)
 
-  /** Decode one LZMA chunk: exactly `limit - out.len` bytes. posState
+  /** Decode one LZMA chunk: exactly `limit - out.len` bytes (or, when
+    * `allowEnd`, until the 0xFFFFFFFF end marker — the LZMA1 "alone"
+    * path; returns true when the marker ended the stream). posState
     * and the literal position context derive from the position since
     * the dictionary-reset barrier, matching the reference decoders. */
   private def decodeLzmaChunk(dec: LzmaDec, rc: RangeDec, out: OutBuf,
-      limit: Int, dictSize: Long): Unit = {
+      limit: Int, dictSize: Long, allowEnd: Boolean = false): Boolean = {
     val pbMask = (1 << dec.pb) - 1
     val lpMask = (1 << dec.lp) - 1
     while (out.len < limit) {
@@ -377,8 +379,12 @@ object XzCodec {
               dist += rc.decodeDirect(numDirect - 4) << 4
               dist += reverseTreeDecode(rc, dec.align, 0, 4)
             }
-            // 0xFFFFFFFF is the LZMA1 end marker — illegal in LZMA2
-            if (dist == -1) fail()
+            // 0xFFFFFFFF is the end marker: legal only where the
+            // caller says so (LZMA1 alone streams) — never in LZMA2
+            if (dist == -1) {
+              if (allowEnd) return true
+              fail()
+            }
             dec.rep0 = dist
           }
         }
@@ -392,6 +398,7 @@ object XzCodec {
         }
       }
     }
+    false
   }
 
   // ------------------------------------------------------------------
@@ -821,6 +828,89 @@ object XzCodec {
   }
 
   // ------------------------------------------------------------------
+  // LZMA1 "alone" format (.lzma — the legacy container: 13-byte
+  // header of props byte + u32le dict size + u64le uncompressed size,
+  // 0xFFFFFFFFFFFFFFFF = unknown/end-marker-terminated, then one raw
+  // LZMA stream). Still common in old sdists and firmware corpora.
+  // ------------------------------------------------------------------
+
+  /** Decode a `.lzma` alone file. Known-size streams stop at the
+    * declared size (an optional trailing end marker is consumed);
+    * unknown-size streams run to the end marker under the `maxOut`
+    * cap. The whole input must be consumed and the range coder must
+    * end clean (code == 0). */
+  def lzmaAloneDecompress(b: Array[Byte],
+      maxOut: Int = MaxOut): Option[Array[Byte]] =
+    try {
+      if (b == null || b.length < 18) return None
+      val props = b(0) & 0xff
+      if (props > 224) fail()
+      val lcv = props % 9
+      val lpv = (props / 9) % 5
+      val pbv = props / 45
+      val dictSize = math.max(u32le(b, 1), 4096L)
+      val declared = u64le(b, 5)
+      val known = declared != -1L
+      if (known && (declared < 0 || declared > maxOut)) return None
+      val out = new OutBuf(maxOut)
+      val dec = new LzmaDec(lcv, lpv, pbv)
+      val rc = new RangeDec(b, 13, b.length)
+      rc.init()
+      if (known) {
+        decodeLzmaChunk(dec, rc, out, declared.toInt, dictSize)
+        // encoders may still append the end marker — consume it
+        if (rc.pos != b.length)
+          if (!decodeLzmaChunk(dec, rc, out, out.len + 1, dictSize,
+            allowEnd = true)) fail()
+      } else {
+        if (!decodeLzmaChunk(dec, rc, out, maxOut, dictSize,
+          allowEnd = true)) fail()
+      }
+      if (rc.pos != b.length || rc.code != 0) fail()
+      Some(out.result)
+    } catch {
+      case _: Corrupt | _: ArrayIndexOutOfBoundsException |
+        _: NegativeArraySizeException => None
+    }
+
+  /** Literal-only `.lzma` alone emitter (known size, default props
+    * lc=3 lp=0 pb=2) — the runtime-encoder twin of [[lzma2Literal]];
+    * the reference implementation accepts its output (refereed). */
+  def lzmaAloneEncodeLiteral(data: Array[Byte],
+      dictSize: Long = 1L << 16): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length + data.length / 8 + 24)
+    out.write(93)
+    var k = 0
+    while (k < 4) { out.write(((dictSize >>> (8 * k)) & 0xff).toInt); k += 1 }
+    k = 0
+    while (k < 8) {
+      out.write(((data.length.toLong >>> (8 * k)) & 0xff).toInt)
+      k += 1
+    }
+    val rc = new RangeEnc(out)
+    val lit = Array.fill(0x300 << 3)(1024)
+    val isMatch0 = Array.fill(16)(1024)
+    var pos = 0
+    while (pos < data.length) {
+      rc.encodeBit(isMatch0, pos & 3, 0)
+      val prev = if (pos == 0) 0 else data(pos - 1) & 0xff
+      val base = 0x300 * (prev >>> 5)
+      val sym = data(pos) & 0xff
+      var m = 1
+      var bitIdx = 7
+      while (bitIdx >= 0) {
+        val bit = (sym >>> bitIdx) & 1
+        rc.encodeBit(lit, base + m, bit)
+        m = (m << 1) | bit
+        bitIdx -= 1
+      }
+      pos += 1
+    }
+    rc.flush()
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------------
   // queries
   // ------------------------------------------------------------------
 
@@ -977,5 +1067,32 @@ object XzCodec {
                CAST(min(doc_id) AS BIGINT) AS first_doc
         FROM deps
         GROUP BY dep
-        ORDER BY dep""")))
+        ORDER BY dep""")),
+
+    // legacy .lzma alone files: known-size literal streams at two
+    // dictionary sizes decode map-side; ok is byte-exactness.
+    QueryDef(
+      "q430_lzma_alone_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val data = text.getBytes("UTF-8")
+            val blob = lzmaAloneEncodeLiteral(data,
+              dictSize = if (id % 2 == 0) 1L << 16 else 1L << 20)
+            val dec = XzCodec.lzmaAloneDecompress(blob)
+            (id, dec.map(_.length.toLong).getOrElse(-1L),
+              dec.exists(_.sameElements(data)))
+          }
+          .toDF("doc_id", "n_bytes", "ok")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               TRUE AS ok
+        FROM documents
+        ORDER BY doc_id""")))
 }

@@ -227,6 +227,58 @@ class XzCodecSpec extends AnyFunSuite {
     assert(xzDecompress(base).isEmpty)
   }
 
+  test("LZMA1 alone format: reference known-size and end-marker " +
+      "streams decode; own literal streams accepted by the reference " +
+      "and the CLI") {
+    import org.tukaani.xz.{LZMAInputStream, LZMAOutputStream}
+    checkProp(Prop.forAll(Gen.choose(0, 3), Gen.choose(0, 90000),
+        Gen.choose(0L, 9999L), Gen.oneOf(true, false)) {
+      (kind, n, seed, knownSize) =>
+        val data = payload(kind, n, seed)
+        val bos = new ByteArrayOutputStream()
+        // inputSize -1 = unknown: header says 0xFF..FF and the stream
+        // ends with the end marker
+        val enc = new LZMAOutputStream(bos, new LZMA2Options(3),
+          if (knownSize) data.length.toLong else -1L)
+        enc.write(data); enc.close()
+        lzmaAloneDecompress(bos.toByteArray).exists(_.sameElements(data))
+    }, n = 25)
+    val data = payload(1, 30000, 5L)
+    val mine = lzmaAloneEncodeLiteral(data)
+    val ref = new LZMAInputStream(new ByteArrayInputStream(mine))
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = ref.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = ref.read(buf) }
+    assert(out.toByteArray.sameElements(data))
+    // CLI cross-check
+    val bin = new java.io.File("/root/miniconda/bin/xz")
+    if (bin.canExecute) {
+      val dir = java.nio.file.Files.createTempDirectory("lzmaref")
+      val raw = dir.resolve("a")
+      java.nio.file.Files.write(raw, data)
+      def run(args: String*): Int = {
+        val pb = new ProcessBuilder((bin.getAbsolutePath +: args): _*)
+        pb.inheritIO(); pb.start().waitFor()
+      }
+      assert(run("--format=lzma", "-6", "-k", raw.toString) == 0)
+      val enc = java.nio.file.Files.readAllBytes(dir.resolve("a.lzma"))
+      assert(lzmaAloneDecompress(enc).exists(_.sameElements(data)))
+      val mf = dir.resolve("b.lzma")
+      java.nio.file.Files.write(mf, mine)
+      assert(run("-d", "-k", mf.toString) == 0)
+      assert(java.nio.file.Files.readAllBytes(dir.resolve("b"))
+        .sameElements(data))
+    }
+    // hostile: truncation sweep, header junk
+    (0 until mine.length by 5).foreach(k => lzmaAloneDecompress(mine.take(k)))
+    assert(lzmaAloneDecompress(null).isEmpty)
+    val badProps = mine.clone(); badProps(0) = 0xe1.toByte // 225
+    assert(lzmaAloneDecompress(badProps).isEmpty)
+    val lie = mine.clone(); lie(5) = (lie(5) ^ 1).toByte // size lie
+    assert(lzmaAloneDecompress(lie).isEmpty)
+  }
+
   test("zip-bomb posture: output beyond maxOut rejects instead of " +
       "allocating") {
     val data = Array.fill(1 << 20)('a'.toByte)
