@@ -622,7 +622,8 @@ object GitPack {
   /** The q426/q427 fixture pack: blob A (id-prefixed text), blob B =
     * ofs_delta(A) + tail, the fixed LICENSE blob, a tree over all
     * three, and a commit — five objects, one delta chain. */
-  def fixturePack(id: Long, text: String): Array[Byte] = {
+  def fixturePack(id: Long, text: String,
+      withTag: Boolean = false): Array[Byte] = {
     val a = s"$id\n$text".getBytes("UTF-8")
     val tail = s" tail $id".getBytes("UTF-8")
     val lic = "MIT\n".getBytes("UTF-8")
@@ -632,12 +633,19 @@ object GitPack {
       ("100644", "a.txt", blobSha(a)),
       ("100644", "b.txt", blobSha(b))))
     val commit = commitContent(objectSha("tree", tree), s"commit $id")
-    encodePack(Seq(
+    val base = Seq(
       Full(3, a),
       OfsDelta(0, buildDelta(a, tail)),
       Full(3, lic),
       Full(2, tree),
-      Full(1, commit)))
+      Full(1, commit))
+    val tag =
+      (s"object ${objectSha("commit", commit)}\n" +
+        "type commit\n" +
+        s"tag v$id\n" +
+        "tagger a <a@example.test> 0 +0000\n" +
+        s"\nrelease $id\n").getBytes("UTF-8")
+    encodePack(if (withTag) base :+ Full(4, tag) else base)
   }
 
   // ------------------------------------------------------------------
@@ -764,6 +772,63 @@ object GitPack {
                CAST(2 AS BIGINT) AS n_tree_entries,
                TRUE AS commit_links_tree,
                'commit ' || doc_id AS msg
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // the round's two planes composed: bare repositories shipped as
+    // .tar.xz shards. xz outer decode, tar member walk, pack+idx pair
+    // cross-verified (crc32s + both trailers), object census with an
+    // annotated tag on every third repo. Map-side end to end.
+    QueryDef(
+      "q431_bare_repo_shard_census",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val pack = fixturePack(id, text, withTag = id % 3 == 0)
+            val idx = encodeIdx(pack).getOrElse(Array.emptyByteArray)
+            val tar = Archive.encodeTar(Seq(
+              Archive.TarEntry("repo.git/HEAD",
+                "ref: refs/heads/main\n".getBytes("UTF-8"), 1L),
+              Archive.TarEntry("repo.git/objects/pack/pack-1.pack", pack, 2L),
+              Archive.TarEntry("repo.git/objects/pack/pack-1.idx", idx, 3L)))
+            val shard = XzCodec.encodeXz(tar, checkType = 4,
+              literal = id % 3 == 0)
+            val walked = for {
+              payload <- XzCodec.xzDecompress(shard)
+              members = Archive.tarMembers(payload)
+              pm <- members.find(_.name.endsWith(".pack"))
+              im <- members.find(_.name.endsWith(".idx"))
+              pb = java.util.Arrays.copyOfRange(payload,
+                (pm.headerOffset + 512).toInt,
+                (pm.headerOffset + 512 + pm.size).toInt)
+              ib = java.util.Arrays.copyOfRange(payload,
+                (im.headerOffset + 512).toInt,
+                (im.headerOffset + 512 + im.size).toInt)
+              objs <- GitPack.packObjects(pb)
+            } yield (members.length.toLong, GitPack.verifyPair(pb, ib),
+              objs.length.toLong, objs.count(_.otype == "tag").toLong,
+              objs.map(_.deltaDepth).max.toLong)
+            walked match {
+              case Some((nm, ok, no, nt, md)) => (id, nm, ok, no, nt, md)
+              case None => (id, -1L, false, -1L, -1L, -1L)
+            }
+          }
+          .toDF("doc_id", "n_members", "pair_ok", "n_objects", "n_tags",
+            "max_depth")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(3 AS BIGINT) AS n_members,
+               TRUE AS pair_ok,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 6 ELSE 5 END AS BIGINT)
+                 AS n_objects,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+                 AS n_tags,
+               CAST(1 AS BIGINT) AS max_depth
         FROM documents
         ORDER BY doc_id""")))
 }
