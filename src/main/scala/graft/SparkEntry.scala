@@ -74,7 +74,8 @@ object SparkEntry {
     Cbor.defs,
     Mbox.defs,
     XzCodec.defs,
-    GitPack.defs)
+    GitPack.defs,
+    Bzip2.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 
