@@ -75,7 +75,8 @@ object SparkEntry {
     Mbox.defs,
     XzCodec.defs,
     GitPack.defs,
-    Bzip2.defs)
+    Bzip2.defs,
+    Ar.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 
