@@ -443,6 +443,24 @@ object Archive {
           }
           inf.end()
           out.toByteArray
+        case 12 => // bzip2 (APPNOTE 4.4.5): payload is one .bz2 stream
+          Bzip2.bunzip2(java.util.Arrays.copyOfRange(b, start.toInt,
+            (start + e.compSize).toInt)) match {
+            case Some(d) => d
+            case None => return None
+          }
+        case 14 => // LZMA (APPNOTE 5.8): 4-byte version/size hdr + props
+          if (e.compSize < 9) return None
+          val o2 = start.toInt
+          val propSize = u16le(b, o2 + 2)
+          if (propSize != 5 || e.compSize < 4 + 5) return None
+          val props = b(o2 + 4) & 0xff
+          val dictSize = u32le(b, o2 + 5)
+          XzCodec.lzmaRawDecode(b, o2 + 9, (start + e.compSize).toInt,
+            props, dictSize, e.uncompSize.toInt) match {
+            case Some(d) => d
+            case None => return None
+          }
         case _ => return None // no other methods emitted or accepted
       }
       val crc = new CRC32(); crc.update(data)
@@ -510,6 +528,63 @@ object Archive {
     * structures regardless of actual sizes, which is how a testable
     * fixture exercises the >4 GB layout without 4 GB of bytes; the
     * JDK's own ZipFile referees the output in `ArchiveSpec`. */
+  /** Fixture emitter for the modern compression methods: per entry
+    * (name, data, method) with method 0 (store), 12 (bzip2), or 14
+    * (LZMA — version header + 5-byte props + raw known-size stream,
+    * no EOS marker so general-purpose bit 1 stays 0). */
+  def encodeZipMethods(entries: Seq[(String, Array[Byte], Int)]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(512)
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = {
+      var k = 0
+      while (k < 4) { out.write(((v >> (8 * k)) & 0xff).toInt); k += 1 }
+    }
+    val centrals = Vector.newBuilder[(String, Int, Long, Long, Long, Long)]
+    entries.foreach { case (name, data, method) =>
+      val comp: Array[Byte] = method match {
+        case 0 => data
+        case 12 => Bzip2.bzip2Compress(data, level = 5)
+        case 14 =>
+          val raw = XzCodec.lzmaLiteralRaw(data)
+          val hdr = new ByteArrayOutputStream(9)
+          hdr.write(9); hdr.write(20) // LZMA SDK version tag
+          hdr.write(5); hdr.write(0)  // properties size
+          hdr.write(93)               // lc=3 lp=0 pb=2
+          var k = 0
+          while (k < 4) { hdr.write(((1 << 16) >> (8 * k)) & 0xff); k += 1 }
+          hdr.toByteArray ++ raw
+        case m => throw new IllegalArgumentException(s"method $m")
+      }
+      val crc = new CRC32(); crc.update(data)
+      val localOff = out.size.toLong
+      out.write('P'); out.write('K'); out.write(3); out.write(4)
+      le16(63); le16(0); le16(method)
+      le16(0); le16(0) // time, date
+      le32(crc.getValue); le32(comp.length.toLong); le32(data.length.toLong)
+      le16(name.length); le16(0)
+      out.write(name.getBytes("UTF-8"), 0, name.length)
+      out.write(comp, 0, comp.length)
+      centrals += ((name, method, crc.getValue, comp.length.toLong,
+        data.length.toLong, localOff))
+    }
+    val cdStart = out.size.toLong
+    centrals.result().foreach { case (name, method, crc, cs, us, off) =>
+      out.write('P'); out.write('K'); out.write(1); out.write(2)
+      le16(63); le16(63); le16(0); le16(method)
+      le16(0); le16(0)
+      le32(crc); le32(cs); le32(us)
+      le16(name.length); le16(0); le16(0)
+      le16(0); le16(0); le32(0)
+      le32(off)
+      out.write(name.getBytes("UTF-8"), 0, name.length)
+    }
+    val cdSize = out.size.toLong - cdStart
+    out.write('P'); out.write('K'); out.write(5); out.write(6)
+    le16(0); le16(0); le16(entries.length); le16(entries.length)
+    le32(cdSize); le32(cdStart); le16(0)
+    out.toByteArray
+  }
+
   def encodeZip64(entries: Seq[(String, Array[Byte], Boolean)]): Array[Byte] = {
     val out = new ByteArrayOutputStream(entries.map(_._2.length + 192).sum + 160)
     def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
@@ -932,6 +1007,47 @@ object Archive {
                CAST(3 AS BIGINT) AS n_entries,
                CAST(octet_length(encode(text)) AS BIGINT) AS uncomp_bytes,
                CAST(3 AS BIGINT) AS verified
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // modern zip compression methods: store + bzip2 (12) + LZMA (14)
+    // in one archive — real-world zips from 7-Zip/Info-ZIP use them,
+    // and both payloads route through this repo's own codecs. CRC32
+    // and declared-size verification per entry; ok counts entries
+    // whose decode round-trips byte-exactly.
+    QueryDef(
+      "q435_zip_modern_methods",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val tb = text.getBytes("UTF-8")
+            val zip = Archive.encodeZipMethods(Seq(
+              (s"s$id.txt", tb, 0),
+              ("b.txt", tb ++ "b".getBytes("UTF-8"), 12),
+              ("l.txt", tb ++ "l".getBytes("UTF-8"), 14)))
+            val entries = Archive.zipEntries(zip).getOrElse(Vector.empty)
+            val decoded = entries.flatMap(e =>
+              Archive.unzipEntry(zip, e).map(d => (e, d)))
+            val okAll = decoded.length == 3 &&
+              decoded.forall { case (e, d) => d.length == e.uncompSize }
+            (id, entries.length.toLong,
+              entries.map(_.method).sorted.mkString(","),
+              decoded.map(_._2.length.toLong).sum,
+              okAll)
+          }
+          .toDF("doc_id", "n_entries", "methods", "total_bytes", "ok")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(3 AS BIGINT) AS n_entries,
+               '0,12,14' AS methods,
+               CAST(3 * octet_length(encode(text)) + 2 AS BIGINT)
+                 AS total_bytes,
+               TRUE AS ok
         FROM documents
         ORDER BY doc_id""")))
 }

@@ -873,20 +873,39 @@ object XzCodec {
         _: NegativeArraySizeException => None
     }
 
-  /** Literal-only `.lzma` alone emitter (known size, default props
-    * lc=3 lp=0 pb=2) — the runtime-encoder twin of [[lzma2Literal]];
-    * the reference implementation accepts its output (refereed). */
-  def lzmaAloneEncodeLiteral(data: Array[Byte],
-      dictSize: Long = 1L << 16): Array[Byte] = {
-    val out = new ByteArrayOutputStream(data.length + data.length / 8 + 24)
-    out.write(93)
-    var k = 0
-    while (k < 4) { out.write(((dictSize >>> (8 * k)) & 0xff).toInt); k += 1 }
-    k = 0
-    while (k < 8) {
-      out.write(((data.length.toLong >>> (8 * k)) & 0xff).toInt)
-      k += 1
+  /** Raw LZMA1 stream decode — the zip method-14 / headerless-embed
+    * entry point: known output size, an optional trailing end marker
+    * consumed, full input consumption and a clean range-coder end
+    * (code == 0) required. */
+  def lzmaRawDecode(b: Array[Byte], off: Int, end: Int, props: Int,
+      dictSize: Long, outLen: Int,
+      maxOut: Int = MaxOut): Option[Array[Byte]] =
+    try {
+      if (b == null || off < 0 || end > b.length || props < 0 ||
+        props > 224 || outLen < 0 || outLen > maxOut) return None
+      val lcv = props % 9
+      val lpv = (props / 9) % 5
+      val pbv = props / 45
+      val ds = math.max(dictSize, 4096L)
+      val out = new OutBuf(maxOut)
+      val dec = new LzmaDec(lcv, lpv, pbv)
+      val rc = new RangeDec(b, off, end)
+      rc.init()
+      decodeLzmaChunk(dec, rc, out, outLen, ds)
+      if (rc.pos != end)
+        if (!decodeLzmaChunk(dec, rc, out, out.len + 1, ds,
+          allowEnd = true)) fail()
+      if (rc.pos != end || rc.code != 0) fail()
+      Some(out.result)
+    } catch {
+      case _: Corrupt | _: ArrayIndexOutOfBoundsException |
+        _: NegativeArraySizeException => None
     }
+
+  /** Literal-only raw LZMA1 stream (props 93, known size, no end
+    * marker) — shared by the alone and zip-method-14 emitters. */
+  def lzmaLiteralRaw(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length + data.length / 8 + 8)
     val rc = new RangeEnc(out)
     val lit = Array.fill(0x300 << 3)(1024)
     val isMatch0 = Array.fill(16)(1024)
@@ -907,6 +926,25 @@ object XzCodec {
       pos += 1
     }
     rc.flush()
+    out.toByteArray
+  }
+
+  /** Literal-only `.lzma` alone emitter (known size, default props
+    * lc=3 lp=0 pb=2) — the runtime-encoder twin of [[lzma2Literal]];
+    * the reference implementation accepts its output (refereed). */
+  def lzmaAloneEncodeLiteral(data: Array[Byte],
+      dictSize: Long = 1L << 16): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length + data.length / 8 + 24)
+    out.write(93)
+    var k = 0
+    while (k < 4) { out.write(((dictSize >>> (8 * k)) & 0xff).toInt); k += 1 }
+    k = 0
+    while (k < 8) {
+      out.write(((data.length.toLong >>> (8 * k)) & 0xff).toInt)
+      k += 1
+    }
+    val raw = lzmaLiteralRaw(data)
+    out.write(raw, 0, raw.length)
     out.toByteArray
   }
 
