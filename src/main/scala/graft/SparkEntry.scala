@@ -76,7 +76,8 @@ object SparkEntry {
     XzCodec.defs,
     GitPack.defs,
     Bzip2.defs,
-    Ar.defs)
+    Ar.defs,
+    PdfFilters.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 

@@ -287,7 +287,7 @@ class PixelsSpec extends AnyFunSuite {
     val bytes = Pixels.encodePgm(24, 16, px, "multi\nline # tricky")
     val Some((w, h, dpx)) = Pixels.decodeGrayPgm(bytes)
     assert(w == 24 && h == 16 && dpx.toSeq == px.toSeq)
-    assert(Pixels.decodeGrayPgm("P5\n1 1\n65535\n ".getBytes).isEmpty)
+    assert(Pixels.decodeGrayPgm(("P5\n1 1\n65535\n" + "\u0000").getBytes).isEmpty)
     assert(Pixels.decodeGrayPgm("P6\n1 1\n255\nxxx".getBytes).isEmpty)
     assert(Pixels.decodeGrayPgm(bytes.take(20)).isEmpty)
   }
