@@ -77,7 +77,8 @@ object SparkEntry {
     GitPack.defs,
     Bzip2.defs,
     Ar.defs,
-    PdfFilters.defs)
+    PdfFilters.defs,
+    Punycode.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 
