@@ -192,6 +192,26 @@ object Cbor {
     if (w.ok && w.i == b.length) Some(w.out.result()) else None
   }
 
+  /** CBOR Sequences (RFC 8742): back-to-back top-level items. Each
+    * item must be well-formed; (itemIndex, path, type) rows. An empty
+    * buffer is a VALID empty sequence (per the RFC) but null is not. */
+  def seqPathTypes(b: Array[Byte]): Option[Vector[(Int, String, String)]] = {
+    if (b == null) return None
+    val out = Vector.newBuilder[(Int, String, String)]
+    var i = 0
+    var item = 0
+    while (i < b.length) {
+      val w = new Walker(b)
+      w.i = i
+      w.value("$", 0)
+      if (!w.ok) return None
+      w.out.result().foreach { case (p, t) => out += ((item, p, t)) }
+      i = w.i
+      item += 1
+    }
+    Some(out.result())
+  }
+
   // --------------------------------------------------- fixture emitter
 
   private def writeHead(out: ByteArrayOutputStream, major: Int, v: Long): Unit = {
@@ -324,5 +344,56 @@ object Cbor {
           UNION ALL SELECT '$.tags[]', 'string', n, 2 * n FROM c
           UNION ALL SELECT '$.ts', 'string', n5, n5 FROM c
           UNION ALL SELECT '$.ts', 'tag', n5, n5 FROM c)
-        ORDER BY path, type""")))
+        ORDER BY path, type""")),
+
+    // CBOR Sequences (RFC 8742) — the streaming framing (one item
+    // after another, no array wrapper) used by log pipelines. Items
+    // per doc: an int (always), a {"a": text} map (id%3>=1), and a
+    // two-bool array (id%3==2); the census keys on (item_idx, path,
+    // type) so framing errors shift counts.
+    QueryDef(
+      "q439_cbor_seq_census",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id")
+          .as[Long]
+          .flatMap { id =>
+            val out = new ByteArrayOutputStream()
+            packInt(out, id)
+            if (id % 3 >= 1) {
+              packMapHeader(out, 1)
+              packStr(out, "a"); packStr(out, s"v$id")
+            }
+            if (id % 3 == 2) {
+              packArrayHeader(out, 2)
+              packBool(out, v = true); packBool(out, v = false)
+            }
+            Cbor.seqPathTypes(out.toByteArray) match {
+              case Some(rows) =>
+                rows.map { case (k, p, t) => (id, k, p, t) }
+              case None => Seq.empty
+            }
+          }
+          .toDF("doc_id", "item_idx", "path", "type")
+          .groupBy($"item_idx", $"path", $"type")
+          .agg(count_distinct($"doc_id").as("n_docs"))
+          .orderBy($"item_idx", $"path", $"type")
+      },
+      Some("""
+        WITH c AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN doc_id % 3 >= 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n2
+          FROM documents)
+        SELECT item_idx, path, type, n_docs FROM (
+          SELECT 0 AS item_idx, '$' AS path, 'int' AS type, n AS n_docs
+          FROM c
+          UNION ALL SELECT 1, '$', 'object', n1 FROM c
+          UNION ALL SELECT 1, '$.a', 'string', n1 FROM c
+          UNION ALL SELECT 2, '$', 'array', n2 FROM c
+          UNION ALL SELECT 2, '$[]', 'boolean', n2 FROM c)
+        ORDER BY item_idx, path, type""")))
 }

@@ -613,11 +613,98 @@ object GitPack {
     out.toByteArray
   }
 
-  def commitContent(treeSha: String, msg: String): Array[Byte] =
+  def commitContent(treeSha: String, msg: String,
+      parents: Seq[String] = Nil): Array[Byte] =
     (s"tree $treeSha\n" +
+      parents.map(p => s"parent $p\n").mkString +
       "author a <a@example.test> 0 +0000\n" +
       "committer a <a@example.test> 0 +0000\n" +
       s"\n$msg\n").getBytes("UTF-8")
+
+  /** Expose the object id for fixture plumbing (bundle refs etc.). */
+  def shaOf(otype: String, content: Array[Byte]): String =
+    objectSha(otype, content)
+
+  // ------------------------------------------------------ git bundles
+
+  /** Parse a v2 git bundle: header line, `-<sha>` prerequisites,
+    * `<sha> <refname>` refs, blank line, then a packfile. Returns
+    * (prereqs, refs, packObjects). Every non-prerequisite ref must
+    * resolve inside the pack. */
+  def bundle(b: Array[Byte]): Option[(Vector[String],
+      Vector[(String, String)], Vector[PackObject])] = {
+    if (b == null || b.length < 32) return None
+    val hdr = "# v2 git bundle\n".getBytes("US-ASCII")
+    if (b.length < hdr.length ||
+      !java.util.Arrays.equals(java.util.Arrays.copyOf(b, hdr.length), hdr))
+      return None
+    var i = hdr.length
+    val prereqs = Vector.newBuilder[String]
+    val refs = Vector.newBuilder[(String, String)]
+    var done = false
+    while (!done) {
+      if (i >= b.length) return None
+      val eol = {
+        var e = i
+        while (e < b.length && b(e) != '\n') e += 1
+        if (e >= b.length) return None
+        e
+      }
+      val line = new String(b, i, eol - i, "UTF-8")
+      i = eol + 1
+      if (line.isEmpty) done = true
+      else if (line.startsWith("-")) {
+        val sha = line.substring(1).takeWhile(_ != ' ')
+        if (sha.length != 40) return None
+        prereqs += sha
+      } else {
+        val sp = line.indexOf(' ')
+        if (sp != 40) return None
+        refs += ((line.substring(0, sp), line.substring(sp + 1)))
+      }
+    }
+    val pack = java.util.Arrays.copyOfRange(b, i, b.length)
+    packObjects(pack).flatMap { objs =>
+      val have = objs.map(_.sha).toSet
+      val pre = prereqs.result()
+      val rs = refs.result()
+      if (rs.forall(r => have.contains(r._1) || pre.contains(r._1)))
+        Some((pre, rs, objs))
+      else None
+    }
+  }
+
+  /** Emit a v2 bundle over a pack. */
+  def encodeBundle(refs: Seq[(String, String)], pack: Array[Byte],
+      prereqs: Seq[String] = Nil): Array[Byte] = {
+    val out = new ByteArrayOutputStream(pack.length + 128)
+    out.write("# v2 git bundle\n".getBytes("US-ASCII"))
+    prereqs.foreach(p => out.write(s"-$p\n".getBytes("US-ASCII")))
+    refs.foreach { case (sha, name) =>
+      out.write(s"$sha $name\n".getBytes("UTF-8"))
+    }
+    out.write('\n')
+    out.write(pack, 0, pack.length)
+    out.toByteArray
+  }
+
+  /** A pack holding one tree plus a chain of `n` commits (each the
+    * parent of the next); returns (pack, headSha). */
+  def fixtureChainPack(id: Long, text: String, n: Int): (Array[Byte], String) = {
+    val blob = s"$id\n$text".getBytes("UTF-8")
+    val tree = treeContent(Seq(("100644", "a.txt", blobSha(blob))))
+    val treeSha = objectSha("tree", tree)
+    var parents = List.empty[String]
+    val commits = (0 until n).map { k =>
+      val c = commitContent(treeSha, s"commit $k of $id",
+        parents.headOption.toSeq)
+      parents = objectSha("commit", c) :: parents
+      c
+    }
+    val entries = Seq(Full(3, blob), Full(2, tree)) ++
+      commits.map(c => Full(1, c))
+    (encodePack(entries), parents.head)
+  }
 
   /** The q426/q427 fixture pack: blob A (id-prefixed text), blob B =
     * ofs_delta(A) + tail, the fixed LICENSE blob, a tree over all
@@ -772,6 +859,98 @@ object GitPack {
                CAST(2 AS BIGINT) AS n_tree_entries,
                TRUE AS commit_links_tree,
                'commit ' || doc_id AS msg
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // commit-DAG lineage: each doc's pack holds a parent CHAIN of
+    // 1 + id%4 commits; the walk finds the head (the commit no other
+    // commit names as parent) and follows parent pointers to the
+    // root. Per-repo aggregation carries (repo, depth) keys only.
+    QueryDef(
+      "q438_git_commit_lineage",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val n = (1 + id % 4).toInt
+            val (pack, headSha) = fixtureChainPack(id, text, n)
+            val objs = GitPack.packObjectsWithContent(pack)
+              .getOrElse(Vector.empty)
+            val commits = objs.filter(_._1.otype == "commit").map {
+              case (o, c) => o.sha -> GitPack.commitFields(c)
+            }.toMap
+            val parentOf = commits.collect {
+              case (sha, Some((_, ps, _))) if ps.nonEmpty => sha -> ps.head
+            }
+            val named = parentOf.values.toSet
+            val heads = commits.keySet -- named
+            val headOk = heads == Set(headSha)
+            var depth = 0
+            var cur = headSha
+            var walking = commits.contains(cur)
+            while (walking && depth <= 8) {
+              depth += 1
+              parentOf.get(cur) match {
+                case Some(p) => cur = p
+                case None    => walking = false
+              }
+            }
+            val rootMsg = commits.get(cur).flatten.map(_._3).getOrElse("")
+            (s"repo${id % 8}", id, depth.toLong, headOk,
+              rootMsg == s"commit 0 of $id")
+          }
+          .toDF("repo", "doc_id", "depth", "head_ok", "root_ok")
+          .groupBy($"repo")
+          .agg(count(lit(1)).as("n_repos"),
+            sum($"depth").as("total_depth"),
+            count(when($"head_ok" && $"root_ok", 1)).as("n_clean"))
+          .orderBy($"repo")
+      },
+      Some("""
+        SELECT 'repo' || (doc_id % 8) AS repo,
+               CAST(count(*) AS BIGINT) AS n_repos,
+               CAST(sum(1 + doc_id % 4) AS BIGINT) AS total_depth,
+               CAST(count(*) AS BIGINT) AS n_clean
+        FROM documents
+        GROUP BY 1
+        ORDER BY repo""")),
+
+    // git bundles — how repositories ship offline (git bundle create /
+    // clone). v2 header + refs parse, the embedded pack decodes, and
+    // every ref must resolve inside the pack (a ref to a missing
+    // object rejects, like a thin pack).
+    QueryDef(
+      "q440_git_bundle_census",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val n = (1 + id % 3).toInt
+            val (pack, headSha) = fixtureChainPack(id, text, n)
+            val blob = encodeBundle(
+              Seq((headSha, "refs/heads/main"),
+                (headSha, s"refs/tags/v$id")), pack)
+            GitPack.bundle(blob) match {
+              case Some((pre, refs, objs)) =>
+                (id, pre.length.toLong, refs.length.toLong,
+                  refs.map(_._2).sorted.mkString(","),
+                  objs.count(_.otype == "commit").toLong)
+              case None => (id, -1L, -1L, "", -1L)
+            }
+          }
+          .toDF("doc_id", "n_prereqs", "n_refs", "refs", "n_commits")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(0 AS BIGINT) AS n_prereqs,
+               CAST(2 AS BIGINT) AS n_refs,
+               'refs/heads/main,refs/tags/v' || doc_id AS refs,
+               CAST(1 + doc_id % 3 AS BIGINT) AS n_commits
         FROM documents
         ORDER BY doc_id""")),
 

@@ -97,6 +97,21 @@ class CborSpec extends AnyFunSuite {
       0xff, 0xff)).isEmpty)
   }
 
+  test("sequences (RFC 8742): back-to-back items index correctly; a " +
+      "torn tail or mid-sequence junk rejects the whole sequence") {
+    val out = new ByteArrayOutputStream()
+    Cbor.packInt(out, 7)
+    Cbor.packMapHeader(out, 1); Cbor.packStr(out, "a"); Cbor.packStr(out, "v")
+    Cbor.packArrayHeader(out, 1); Cbor.packBool(out, v = true)
+    val rows = Cbor.seqPathTypes(out.toByteArray).get
+    assert(rows == Vector((0, "$", "int"), (1, "$", "object"),
+      (1, "$.a", "string"), (2, "$", "array"), (2, "$[]", "boolean")))
+    assert(Cbor.seqPathTypes(Array.emptyByteArray).contains(Vector.empty))
+    assert(Cbor.seqPathTypes(null).isEmpty)
+    assert(Cbor.seqPathTypes(out.toByteArray.dropRight(1)).isEmpty)
+    assert(Cbor.seqPathTypes(out.toByteArray :+ 0x1c.toByte).isEmpty)
+  }
+
   test("census rows are drift-compatible with the JSON and MsgPack " +
       "walkers' rows") {
     val json = Json.pathTypes("""{"a":[1,2],"b":{"c":"x"}}""").get

@@ -213,4 +213,44 @@ class GitPackSpec extends AnyFunSuite {
     (1 until good.length by 2).foreach(k => looseObject(good.take(k)))
     assert(looseObject(null).isEmpty)
   }
+
+  test("bundles: git bundle create output parses here; git clones OUR " +
+      "hand-built bundle and reads the commit chain") {
+    assume(git.canExecute, "git not in container")
+    val dir = Files.createTempDirectory("gitbundle")
+    // real bundle -> our parser
+    val repo = dir.resolve("src")
+    Files.createDirectories(repo)
+    sh(repo, "git", "init", "-q", "-b", "main", ".")
+    Files.write(repo.resolve("f.txt"), "one\n".getBytes)
+    sh(repo, "git", "add", ".")
+    sh(repo, "git", "commit", "-q", "-m", "b1")
+    Files.write(repo.resolve("f.txt"), "two\n".getBytes)
+    sh(repo, "git", "commit", "-q", "-am", "b2")
+    sh(repo, "git", "bundle", "create", "../real.bundle", "--all")
+    val real = Files.readAllBytes(dir.resolve("real.bundle"))
+    val (pre, refs, objs) = bundle(real).get
+    assert(pre.isEmpty)
+    assert(refs.exists(_._2 == "refs/heads/main"))
+    assert(objs.count(_.otype == "commit") == 2)
+    val headSha = sh(repo, "git", "rev-parse", "HEAD").trim
+    assert(refs.find(_._2 == "refs/heads/main").exists(_._1 == headSha))
+    // our bundle -> git clone
+    val (pack, head) = fixtureChainPack(5L, "bundle body text", 3)
+    Files.write(dir.resolve("ours.bundle"),
+      encodeBundle(Seq((head, "refs/heads/main"), (head, "HEAD")), pack))
+    sh(dir, "git", "clone", "-q", "ours.bundle", "cloned")
+    val cloned = dir.resolve("cloned")
+    val log = sh(cloned, "git", "log", "--format=%s")
+    assert(log.linesIterator.toSeq ==
+      Seq("commit 2 of 5", "commit 1 of 5", "commit 0 of 5"))
+    assert(new String(Files.readAllBytes(cloned.resolve("a.txt")), "UTF-8")
+      == "5\nbundle body text")
+    // hostile: a ref pointing at a missing object rejects
+    val ghost = "1234567890abcdef1234567890abcdef12345678"
+    assert(bundle(encodeBundle(Seq((ghost, "refs/heads/main")),
+      pack)).isEmpty)
+    assert(bundle(real.take(real.length / 2)).isEmpty)
+    assert(bundle("# v3 git bundle\n\n".getBytes).isEmpty)
+  }
 }
