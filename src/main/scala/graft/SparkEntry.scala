@@ -78,7 +78,8 @@ object SparkEntry {
     Bzip2.defs,
     Ar.defs,
     PdfFilters.defs,
-    Punycode.defs)
+    Punycode.defs,
+    ParquetPages.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 

@@ -37,7 +37,7 @@ object ParquetFooter {
   // thrift compact protocol primitives
   // ------------------------------------------------------------------
 
-  private final class Reader(val b: Array[Byte], var pos: Int) {
+  private[operators] final class Reader(val b: Array[Byte], var pos: Int) {
     def u8(): Int = { val v = b(pos) & 0xff; pos += 1; v }
     def varint(): Long = {
       var v = 0L; var shift = 0
@@ -59,16 +59,19 @@ object ParquetFooter {
     }
   }
 
-  // compact-protocol type codes
-  private val TStop = 0
-  private val TBoolTrue = 1; private val TBoolFalse = 2
-  private val TByte = 3; private val TI16 = 4; private val TI32 = 5
-  private val TI64 = 6; private val TDouble = 7; private val TBinary = 8
-  private val TList = 9; private val TSet = 10; private val TMap = 11
-  private val TStruct = 12
+  // compact-protocol type codes (shared with ParquetPages)
+  private[operators] val TStop = 0
+  private[operators] val TBoolTrue = 1; private[operators] val TBoolFalse = 2
+  private[operators] val TByte = 3; private[operators] val TI16 = 4
+  private[operators] val TI32 = 5
+  private[operators] val TI64 = 6; private[operators] val TDouble = 7
+  private[operators] val TBinary = 8
+  private[operators] val TList = 9; private[operators] val TSet = 10
+  private[operators] val TMap = 11
+  private[operators] val TStruct = 12
 
   /** Skip one value of compact type `t`. */
-  private def skip(r: Reader, t: Int): Unit = t match {
+  private[operators] def skip(r: Reader, t: Int): Unit = t match {
     case TBoolTrue | TBoolFalse => ()
     case TByte => r.u8(); ()
     case TI16 | TI32 | TI64 => r.zigzag(); ()
@@ -102,7 +105,7 @@ object ParquetFooter {
     case _ => throw new IllegalStateException(s"bad compact type $t")
   }
 
-  private def listHeader(r: Reader): (Int, Long) = {
+  private[operators] def listHeader(r: Reader): (Int, Long) = {
     val h = r.u8()
     val et = h & 0xf
     val n = (h >> 4) & 0xf
@@ -111,7 +114,7 @@ object ParquetFooter {
 
   /** Walk one struct, calling `field(id, type)` per field; the
     * callback must consume the value (or call skip). */
-  private def struct(r: Reader)(field: (Int, Int) => Unit): Unit = {
+  private[operators] def struct(r: Reader)(field: (Int, Int) => Unit): Unit = {
     var last = 0
     var done = false
     while (!done) {

@@ -1,0 +1,501 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import ParquetFooter.{struct => thriftStruct, _}
+
+/** Parquet PAGE-level column reader — from the public parquet-format
+  * spec, no parquet-mr classes. [[ParquetFooter]] stops at file
+  * metadata; this walks the actual column chunks: per-chunk
+  * ColumnMetaData (type, codec, page offsets, value counts), the
+  * PageHeader thrift structs (v1 data pages + dictionary pages, with
+  * the optional CRC32 over the compressed page body verified when
+  * present), page decompression through THIS REPO'S OWN codecs
+  * (snappy — Spark's default parquet codec — gzip, zstd,
+  * uncompressed), RLE/bit-packed hybrid definition levels, and the
+  * value encodings Spark's writer actually emits: PLAIN (int64 and
+  * byte-array) and PLAIN_DICTIONARY/RLE_DICTIONARY including the
+  * mid-column dictionary-fallback-to-PLAIN shape parquet-mr produces
+  * on high-cardinality columns.
+  *
+  * Scope is the flat-schema subset a forensics/data-skipping pass
+  * needs (required/optional INT64 and BYTE_ARRAY leaves); nested
+  * schemas, v2 pages, and other physical types reject with None
+  * rather than guessing.
+  *
+  * Referee: Spark's own parquet writer — the spec and the q441 query
+  * both have Spark write REAL files (dictionary + fallback pages,
+  * snappy-framed, CRC'd) and require this reader to reproduce the
+  * exact values Spark reads back. That is parquet-mr refereeing every
+  * byte of the chain, including this repo's from-spec snappy decoder
+  * sitting under a production file format.
+  */
+object ParquetPages {
+
+  final case class ChunkMeta(path: String, ptype: Int, codec: Int,
+      dataPageOffset: Long, dictPageOffset: Long, numValues: Long)
+
+  /** Column-chunk metadata for every leaf in every row group (in
+    * row-group order), total rows, and each leaf's repetition type
+    * (0 required, 1 optional — drives def-level presence). Flat
+    * schemas only. */
+  def chunkMetas(footer: Array[Byte])
+      : Option[(Long, Vector[ChunkMeta], Map[String, Int])] =
+    try {
+      val r = new Reader(footer, 0)
+      var numRows = -1L
+      val chunks = Vector.newBuilder[ChunkMeta]
+      val reps = Map.newBuilder[String, Int]
+      thriftStruct(r) { (id, t) =>
+        (id, t) match {
+          case (2, TList) => // schema elements
+            val (et, n) = listHeader(r)
+            if (et != TStruct) throw new IllegalStateException("schema")
+            var i = 0L
+            while (i < n) {
+              var name = ""
+              var rep = -1
+              var children = 0
+              thriftStruct(r) { (fid, ft) =>
+                (fid, ft) match {
+                  case (3, TI32) => rep = r.zigzag().toInt
+                  case (4, TBinary) =>
+                    name = new String(r.bytes(r.varint().toInt), "UTF-8")
+                  case (5, TI32) => children = r.zigzag().toInt
+                  case _ =>
+                    if (ft != TBoolTrue && ft != TBoolFalse) skip(r, ft)
+                }
+              }
+              if (children == 0 && i > 0 && rep >= 0) reps += name -> rep
+              i += 1
+            }
+          case (3, TI64) => numRows = r.zigzag()
+          case (4, TList) =>
+            val (et, n) = listHeader(r)
+            if (et != TStruct) throw new IllegalStateException("rg")
+            var i = 0L
+            while (i < n) {
+              thriftStruct(r) { (fid, ft) =>
+                (fid, ft) match {
+                  case (1, TList) =>
+                    val (ct, cn) = listHeader(r)
+                    if (ct != TStruct) throw new IllegalStateException("cc")
+                    var j = 0L
+                    while (j < cn) {
+                      var path = ""
+                      var ptype = -1
+                      var codec = -1
+                      var dataOff = -1L
+                      var dictOff = -1L
+                      var nvals = -1L
+                      thriftStruct(r) { (cid, cft) =>
+                        (cid, cft) match {
+                          case (3, TStruct) =>
+                            thriftStruct(r) { (mid, mft) =>
+                              (mid, mft) match {
+                                case (1, TI32) => ptype = r.zigzag().toInt
+                                case (3, TList) =>
+                                  val (pt, pn) = listHeader(r)
+                                  val parts = (0L until pn).map { _ =>
+                                    if (pt != TBinary)
+                                      throw new IllegalStateException("pp")
+                                    new String(r.bytes(r.varint().toInt),
+                                      "UTF-8")
+                                  }
+                                  path = parts.mkString(".")
+                                case (4, TI32) => codec = r.zigzag().toInt
+                                case (5, TI64) => nvals = r.zigzag()
+                                case (9, TI64) => dataOff = r.zigzag()
+                                case (11, TI64) => dictOff = r.zigzag()
+                                case _ =>
+                                  if (mft != TBoolTrue && mft != TBoolFalse)
+                                    skip(r, mft)
+                              }
+                            }
+                          case _ =>
+                            if (cft != TBoolTrue && cft != TBoolFalse)
+                              skip(r, cft)
+                        }
+                      }
+                      chunks += ChunkMeta(path, ptype, codec, dataOff,
+                        dictOff, nvals)
+                      j += 1
+                    }
+                  case _ =>
+                    if (ft != TBoolTrue && ft != TBoolFalse) skip(r, ft)
+                }
+              }
+              i += 1
+            }
+          case _ => if (t != TBoolTrue && t != TBoolFalse) skip(r, t)
+        }
+      }
+      if (numRows < 0) None
+      else Some((numRows, chunks.result(), reps.result()))
+    } catch { case _: Exception => None }
+
+  // ---- page header ----------------------------------------------------
+
+  private final case class PageHeader(ptype: Int, uncompSize: Int,
+      compSize: Int, crc: Option[Int], numValues: Int, encoding: Int,
+      headerLen: Int)
+
+  private def pageHeader(b: Array[Byte], off: Int): Option[PageHeader] =
+    try {
+      val r = new Reader(b, off)
+      var ptype = -1
+      var unc = -1
+      var comp = -1
+      var crc: Option[Int] = None
+      var nvals = -1
+      var enc = -1
+      thriftStruct(r) { (id, t) =>
+        (id, t) match {
+          case (1, TI32) => ptype = r.zigzag().toInt
+          case (2, TI32) => unc = r.zigzag().toInt
+          case (3, TI32) => comp = r.zigzag().toInt
+          case (4, TI32) => crc = Some(r.zigzag().toInt)
+          case (5, TStruct) => // DataPageHeader
+            thriftStruct(r) { (fid, ft) =>
+              (fid, ft) match {
+                case (1, TI32) => nvals = r.zigzag().toInt
+                case (2, TI32) => enc = r.zigzag().toInt
+                case _ =>
+                  if (ft != TBoolTrue && ft != TBoolFalse) skip(r, ft)
+              }
+            }
+          case (7, TStruct) => // DictionaryPageHeader
+            thriftStruct(r) { (fid, ft) =>
+              (fid, ft) match {
+                case (1, TI32) => nvals = r.zigzag().toInt
+                case (2, TI32) => enc = r.zigzag().toInt
+                case _ =>
+                  if (ft != TBoolTrue && ft != TBoolFalse) skip(r, ft)
+              }
+            }
+          case _ => if (t != TBoolTrue && t != TBoolFalse) skip(r, t)
+        }
+      }
+      if (ptype < 0 || unc < 0 || comp < 0) None
+      else Some(PageHeader(ptype, unc, comp, crc, nvals, enc, r.pos - off))
+    } catch { case _: Exception => None }
+
+  private def decompress(codec: Int, b: Array[Byte], off: Int, comp: Int,
+      unc: Int): Option[Array[Byte]] = {
+    val slice = java.util.Arrays.copyOfRange(b, off, off + comp)
+    codec match {
+      case 0 => Some(slice)
+      case 1 => SnappyCodec.decompressRaw(slice, unc + 8)
+      case 2 => Compression.gunzip(slice)
+      case 6 => ZstdCodec.zstdDecompress(slice)
+      case _ => None // LZO/BROTLI/LZ4 variants: out of scope
+    }
+  }
+
+  // ---- RLE/bit-packed hybrid ------------------------------------------
+
+  /** Decode `n` values of the RLE/bit-packed hybrid at `bitWidth`.
+    * `lengthPrefixed` = the 4-byte LE length header (definition
+    * levels); dictionary-id streams run to the end of the page. */
+  private[operators] def rleHybrid(b: Array[Byte], off0: Int, end0: Int,
+      bitWidth: Int, n: Int,
+      lengthPrefixed: Boolean): Option[(Array[Int], Int)] = {
+    var off = off0
+    var end = end0
+    if (lengthPrefixed) {
+      if (off + 4 > end0) return None
+      val len = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+      off += 4
+      if (len < 0 || off + len > end0) return None
+      end = off + len
+    }
+    val out = new Array[Int](n)
+    var k = 0
+    val byteW = (bitWidth + 7) / 8
+    var i = off
+    while (k < n) {
+      if (i >= end) return None
+      // ULEB128 run header
+      var hdr = 0L
+      var shift = 0
+      var c = 0x80
+      while ((c & 0x80) != 0) {
+        if (i >= end || shift > 35) return None
+        c = b(i) & 0xff
+        i += 1
+        hdr |= (c & 0x7fL) << shift
+        shift += 7
+      }
+      if ((hdr & 1) == 0) {
+        // RLE run: count = hdr >> 1, one bit-packed value in byteW bytes
+        val count = (hdr >>> 1).toInt
+        if (count < 0 || k + count > n || i + byteW > end) return None
+        var v = 0
+        var w = 0
+        while (w < byteW) { v |= (b(i + w) & 0xff) << (8 * w); w += 1 }
+        i += byteW
+        var z = 0
+        while (z < count) { out(k) = v; k += 1; z += 1 }
+      } else {
+        // bit-packed run: groups of 8 values, LSB-first within bytes
+        val groups = (hdr >>> 1).toInt
+        val total = groups * 8
+        val nBytes = groups * bitWidth
+        if (groups < 0 || i + nBytes > end) return None
+        var z = 0
+        var bit = 0
+        while (z < total && k < n) {
+          var v = 0
+          var t = 0
+          while (t < bitWidth) {
+            val at = i + ((bit + t) >>> 3)
+            v |= ((b(at) >>> ((bit + t) & 7)) & 1) << t
+            t += 1
+          }
+          bit += bitWidth
+          out(k) = v
+          k += 1
+          z += 1
+        }
+        i += nBytes
+      }
+    }
+    Some((out, (if (lengthPrefixed) end else i)))
+  }
+
+  // ---- column decode ---------------------------------------------------
+
+  /** Decoded leaf column: Right(longs) for INT64, Left(strings) for
+    * BYTE_ARRAY; None entries are nulls. */
+  def readColumn(file: Array[Byte], chunk: ChunkMeta,
+      optional: Boolean): Option[Vector[Option[Either[String, Long]]]] =
+    try {
+      if (chunk.ptype != 2 && chunk.ptype != 6) return None // INT64/BYTE_ARRAY
+      val out = Vector.newBuilder[Option[Either[String, Long]]]
+      var dictLongs: Array[Long] = null
+      var dictStrs: Array[String] = null
+      var off =
+        if (chunk.dictPageOffset >= 0) chunk.dictPageOffset.toInt
+        else chunk.dataPageOffset.toInt
+      var remaining = chunk.numValues
+      while (remaining > 0) {
+        val ph = pageHeader(file, off).getOrElse(return None)
+        val dataOff = off + ph.headerLen
+        if (dataOff + ph.compSize > file.length) return None
+        ph.crc.foreach { c =>
+          val crc = new java.util.zip.CRC32
+          crc.update(file, dataOff, ph.compSize)
+          if (crc.getValue.toInt != c) return None
+        }
+        val page = decompress(chunk.codec, file, dataOff, ph.compSize,
+          ph.uncompSize).getOrElse(return None)
+        if (page.length != ph.uncompSize) return None
+        ph.ptype match {
+          case 2 => // dictionary page (PLAIN / PLAIN_DICTIONARY payload)
+            if (chunk.ptype == 2) {
+              if (ph.numValues * 8 > page.length) return None
+              dictLongs = Array.tabulate(ph.numValues) { i =>
+                var v = 0L
+                var w = 0
+                while (w < 8) {
+                  v |= (page(i * 8 + w) & 0xffL) << (8 * w)
+                  w += 1
+                }
+                v
+              }
+            } else {
+              val ds = Array.newBuilder[String]
+              var i = 0
+              var cnt = 0
+              while (cnt < ph.numValues) {
+                if (i + 4 > page.length) return None
+                val len = (page(i) & 0xff) | ((page(i + 1) & 0xff) << 8) |
+                  ((page(i + 2) & 0xff) << 16) | ((page(i + 3) & 0xff) << 24)
+                i += 4
+                if (len < 0 || i + len > page.length) return None
+                ds += new String(page, i, len, "UTF-8")
+                i += len
+                cnt += 1
+              }
+              dictStrs = ds.result()
+            }
+          case 0 => // data page v1
+            val n = ph.numValues
+            var p = 0
+            val defs: Array[Int] =
+              if (optional) {
+                val (d, np) = rleHybrid(page, 0, page.length, 1, n,
+                  lengthPrefixed = true).getOrElse(return None)
+                p = np
+                d
+              } else Array.fill(n)(1)
+            val nPresent = defs.count(_ == 1)
+            ph.encoding match {
+              case 0 => // PLAIN
+                if (chunk.ptype == 2) {
+                  var k = 0
+                  var vi = p
+                  var emitted = 0
+                  while (emitted < n) {
+                    if (defs(emitted) == 0) out += None
+                    else {
+                      if (vi + 8 > page.length) return None
+                      var v = 0L
+                      var w = 0
+                      while (w < 8) {
+                        v |= (page(vi + w) & 0xffL) << (8 * w)
+                        w += 1
+                      }
+                      vi += 8
+                      out += Some(Right(v))
+                      k += 1
+                    }
+                    emitted += 1
+                  }
+                } else {
+                  var vi = p
+                  var emitted = 0
+                  while (emitted < n) {
+                    if (defs(emitted) == 0) out += None
+                    else {
+                      if (vi + 4 > page.length) return None
+                      val len = (page(vi) & 0xff) |
+                        ((page(vi + 1) & 0xff) << 8) |
+                        ((page(vi + 2) & 0xff) << 16) |
+                        ((page(vi + 3) & 0xff) << 24)
+                      vi += 4
+                      if (len < 0 || vi + len > page.length) return None
+                      out += Some(Left(new String(page, vi, len, "UTF-8")))
+                      vi += len
+                    }
+                    emitted += 1
+                  }
+                }
+              case 2 | 8 => // PLAIN_DICTIONARY / RLE_DICTIONARY ids
+                if (p >= page.length) return None
+                val bw = page(p) & 0xff
+                if (bw > 32) return None
+                val ids =
+                  if (bw == 0) Array.fill(nPresent)(0)
+                  else rleHybrid(page, p + 1, page.length, bw, nPresent,
+                    lengthPrefixed = false).getOrElse(return None)._1
+                var k = 0
+                var emitted = 0
+                while (emitted < n) {
+                  if (defs(emitted) == 0) out += None
+                  else {
+                    val id = ids(k)
+                    k += 1
+                    if (chunk.ptype == 2) {
+                      if (dictLongs == null || id >= dictLongs.length)
+                        return None
+                      out += Some(Right(dictLongs(id)))
+                    } else {
+                      if (dictStrs == null || id >= dictStrs.length)
+                        return None
+                      out += Some(Left(dictStrs(id)))
+                    }
+                  }
+                  emitted += 1
+                }
+              case _ => return None // v2 encodings out of scope
+            }
+            remaining -= n
+          case _ => return None // data page v2: reject, don't guess
+        }
+        off = dataOff + ph.compSize
+      }
+      Some(out.result())
+    } catch {
+      case _: ArrayIndexOutOfBoundsException |
+        _: NegativeArraySizeException => None
+    }
+
+  /** Convenience: read the footer from whole-file bytes. */
+  def footerBytes(file: Array[Byte]): Option[Array[Byte]] = {
+    if (file == null || file.length < 12) return None
+    val n = file.length
+    if (file(n - 4) != 'P' || file(n - 3) != 'A' || file(n - 2) != 'R' ||
+      file(n - 1) != '1') return None
+    val len = (file(n - 8) & 0xff) | ((file(n - 7) & 0xff) << 8) |
+      ((file(n - 6) & 0xff) << 16) | ((file(n - 5) & 0xff) << 24)
+    if (len < 0 || len > n - 12) return None
+    Some(java.util.Arrays.copyOfRange(file, n - 8 - len, n - 8))
+  }
+
+  // ------------------------------------------------------------------
+  // queries
+  // ------------------------------------------------------------------
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Spark writes REAL parquet (snappy pages, dictionary encoding
+    // with high-cardinality fallback, page CRCs); THIS reader decodes
+    // the raw bytes back and the aggregates must reproduce what the
+    // oracle computes from the logical table. Decode is distributed:
+    // each task reads whole files via binaryFile — the forensic path
+    // a data-skipping/audit pass uses when it can't trust a reader.
+    QueryDef(
+      "q441_parquet_page_decode",
+      (s, dir) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_pq_q441").toString
+        Tables.load(s, dir, "documents")
+          .select($"doc_id",
+            concat(lit("n"), ($"doc_id" % 100).cast("string")).as("name"))
+          .repartition(4)
+          .write.mode("overwrite").parquet(tmp)
+        val decoded = s.read.format("binaryFile")
+          .load(tmp + "/part-*.parquet")
+          .select($"content")
+          .as[Array[Byte]]
+          .map { bytes =>
+            val res = for {
+              footer <- footerBytes(bytes)
+              (nRows, chunks, reps) <- chunkMetas(footer)
+              idCol = chunks.filter(_.path == "doc_id")
+              nameCol = chunks.filter(_.path == "name")
+              ids <- idCol.foldLeft(
+                Option(Vector.empty[Option[Either[String, Long]]])) {
+                (acc, c) => acc.flatMap(v =>
+                  readColumn(bytes, c,
+                    optional = reps.getOrElse("doc_id", 1) == 1).map(v ++ _))
+              }
+              names <- nameCol.foldLeft(
+                Option(Vector.empty[Option[Either[String, Long]]])) {
+                (acc, c) => acc.flatMap(v =>
+                  readColumn(bytes, c,
+                    optional = reps.getOrElse("name", 1) == 1).map(v ++ _))
+              }
+            } yield {
+              val idv = ids.flatten.collect { case Right(v) => v }
+              val nv = names.flatten.collect { case Left(v) => v }
+              (nRows, idv.length.toLong, idv.sum,
+                nv.map(_.length.toLong).sum, idv.length == nRows &&
+                  nv.length == nRows)
+            }
+            res.getOrElse((-1L, -1L, -1L, -1L, false))
+          }
+          .toDF("n_rows", "n_ids", "sum_ids", "sum_name_len", "ok")
+        decoded.agg(
+          count(lit(1)).as("n_files"),
+          sum($"n_rows").as("n_rows"),
+          sum($"sum_ids").as("sum_ids"),
+          sum($"sum_name_len").as("sum_name_len"),
+          count(when($"ok", 1)).as("n_ok"))
+      },
+      Some("""
+        SELECT CAST(4 AS BIGINT) AS n_files,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+               CAST(sum(1 + length(CAST(doc_id % 100 AS VARCHAR)))
+                    AS BIGINT) AS sum_name_len,
+               CAST(4 AS BIGINT) AS n_ok
+        FROM documents"""))
+  )
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Parquet page-reader conformance, refereed by Spark's own parquet
+  * writer/reader (parquet-mr): real files across codecs and
+  * encoding shapes (dictionary, high-cardinality fallback to PLAIN,
+  * nulls, multi-row-group) must decode to exactly the values Spark
+  * reads back. */
+class ParquetPagesSpec extends SparkSpec {
+
+  private def writeAndRead(df: org.apache.spark.sql.DataFrame,
+      codec: String): Array[Array[Byte]] = {
+    val dir = Files.createTempDirectory("pqpages").toString
+    df.coalesce(1).write.mode("overwrite")
+      .option("compression", codec).parquet(dir)
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => Files.readAllBytes(f.toPath))
+  }
+
+  private def decodeAll(bytes: Array[Byte], col: String)
+      : Vector[Option[Either[String, Long]]] = {
+    val footer = ParquetPages.footerBytes(bytes).get
+    val (_, chunks, reps) = ParquetPages.chunkMetas(footer).get
+    chunks.filter(_.path == col).foldLeft(
+      Vector.empty[Option[Either[String, Long]]]) { (acc, c) =>
+      acc ++ ParquetPages.readColumn(bytes, c,
+        optional = reps.getOrElse(col, 1) == 1).get
+    }
+  }
+
+  test("snappy + gzip + zstd + uncompressed files decode to the exact " +
+      "values Spark reads back (dictionary-encoded low cardinality)") {
+    import spark.implicits._
+    val df = (0L until 3000L).map(i => (i, s"name${i % 40}")).toDF("id", "s")
+    Seq("snappy", "gzip", "zstd", "none").foreach { codec =>
+      val files = writeAndRead(df, codec)
+      assert(files.length == 1, codec)
+      val ids = decodeAll(files(0), "id").flatten.collect {
+        case Right(v) => v
+      }
+      val strs = decodeAll(files(0), "s").flatten.collect {
+        case Left(v) => v
+      }
+      assert(ids == (0L until 3000L).toVector, codec)
+      assert(strs == (0L until 3000L).map(i => s"name${i % 40}").toVector,
+        codec)
+    }
+  }
+
+  test("high-cardinality column triggers parquet-mr's mid-column " +
+      "dictionary fallback to PLAIN; both page kinds decode") {
+    import spark.implicits._
+    // long random-ish strings defeat the dictionary size ratio early
+    val rows = (0L until 30000L).map(i => (i, s"u$i-" + ("x" * (i % 37).toInt)))
+    val files = writeAndRead(rows.toDF("id", "s"), "snappy")
+    val strs = decodeAll(files(0), "s").flatten.collect { case Left(v) => v }
+    assert(strs == rows.map(_._2).toVector)
+    val ids = decodeAll(files(0), "id").flatten.collect { case Right(v) => v }
+    assert(ids == rows.map(_._1).toVector)
+  }
+
+  test("nulls: definition levels route around missing values") {
+    import spark.implicits._
+    val df = (0L until 5000L)
+      .map(i => (i, if (i % 7 == 0) None else Some(s"v${i % 13}")))
+      .toDF("id", "s")
+    val files = writeAndRead(df, "snappy")
+    val strs = decodeAll(files(0), "s")
+    assert(strs.length == 5000)
+    (0 until 5000).foreach { i =>
+      if (i % 7 == 0) assert(strs(i).isEmpty, i)
+      else assert(strs(i).contains(Left(s"v${i % 13}")), i)
+    }
+  }
+
+  test("multi-row-group files concatenate chunk decodes in order") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pqrg").toString
+    val df = (0L until 200000L).map(i => (i, s"g${i % 5}")).toDF("id", "s")
+    df.coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", (256 * 1024).toString)
+      .option("compression", "snappy").parquet(dir)
+    val bytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => Files.readAllBytes(f.toPath)).head
+    val footer = ParquetPages.footerBytes(bytes).get
+    val (nRows, chunks, _) = ParquetPages.chunkMetas(footer).get
+    assert(nRows == 200000L)
+    assert(chunks.count(_.path == "id") > 1, "expected multiple row groups")
+    val ids = decodeAll(bytes, "id").flatten.collect { case Right(v) => v }
+    assert(ids == (0L until 200000L).toVector)
+  }
+
+  test("hostile input: truncation, flipped page bytes (CRC gate), " +
+      "non-parquet bytes all reject") {
+    import spark.implicits._
+    val files = writeAndRead(
+      (0L until 500L).map(i => (i, s"n${i % 9}")).toDF("id", "s"), "snappy")
+    val bytes = files(0)
+    assert(ParquetPages.footerBytes("not parquet".getBytes).isEmpty)
+    assert(ParquetPages.footerBytes(null).isEmpty)
+    (1 until bytes.length by 97).foreach { k =>
+      val t = bytes.take(k)
+      ParquetPages.footerBytes(t).foreach { f =>
+        ParquetPages.chunkMetas(f).foreach { case (_, chunks, reps) =>
+          chunks.foreach(c =>
+            ParquetPages.readColumn(t, c, optional = true)) // no throw
+        }
+      }
+    }
+    // flip a byte inside the first data page region: CRC (or snappy
+    // framing, or value bounds) must reject — never wrong values
+    val footer = ParquetPages.footerBytes(bytes).get
+    val (_, chunks, reps) = ParquetPages.chunkMetas(footer).get
+    val c0 = chunks.head
+    val at = (math.min(c0.dataPageOffset,
+      if (c0.dictPageOffset >= 0) c0.dictPageOffset
+      else c0.dataPageOffset) + 20).toInt
+    val bad = bytes.clone()
+    bad(at) = (bad(at) ^ 0x40).toByte
+    val got = ParquetPages.readColumn(bad, c0,
+      optional = reps.getOrElse(c0.path, 1) == 1)
+    val orig = ParquetPages.readColumn(bytes, c0,
+      optional = reps.getOrElse(c0.path, 1) == 1)
+    assert(got.isEmpty || got == orig)
+  }
+}
