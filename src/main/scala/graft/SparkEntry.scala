@@ -79,7 +79,8 @@ object SparkEntry {
     Ar.defs,
     PdfFilters.defs,
     Punycode.defs,
-    ParquetPages.defs)
+    ParquetPages.defs,
+    AvroRecords.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 
