@@ -80,7 +80,8 @@ object SparkEntry {
     PdfFilters.defs,
     Punycode.defs,
     ParquetPages.defs,
-    AvroRecords.defs)
+    AvroRecords.defs,
+    Orc.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 
