@@ -81,7 +81,8 @@ object SparkEntry {
     Punycode.defs,
     ParquetPages.defs,
     AvroRecords.defs,
-    Orc.defs)
+    Orc.defs,
+    ArrowIpc.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 

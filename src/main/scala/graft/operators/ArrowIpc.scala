@@ -1,0 +1,334 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Arrow IPC stream reader — from the public Arrow columnar
+  * specification, including the FLATBUFFERS layer parsed from scratch
+  * (root offsets, signed vtable offsets, field slots, strings,
+  * vectors, structs, unions): encapsulated messages (0xFFFFFFFF
+  * continuation + metadata length + padded flatbuffer + body),
+  * Schema messages (field names, Int{bitWidth,signed} and Utf8
+  * types, nullability), RecordBatch messages (field nodes, buffer
+  * descriptors, LSB-first validity bitmaps, int32 offset arrays),
+  * multi-batch streams, and the end-of-stream marker.
+  *
+  * Arrow is how Spark hands columns to pandas UDFs and how feature
+  * stores ship training batches — the one interchange format left
+  * after parquet (q441), avro (q442), and ORC (q443).
+  *
+  * Scope: flat schemas of nullable Int64 + Utf8 columns,
+  * uncompressed bodies; other types/compression → None.
+  *
+  * Referee: the Arrow reference implementation on the Spark
+  * classpath (arrow-vector's ArrowStreamWriter) — it writes every
+  * fixture and spec stream; this reader must reproduce the values
+  * exactly.
+  */
+object ArrowIpc {
+
+  // ---- flatbuffers primitives -----------------------------------------
+
+  private def i16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  private def i32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) |
+      ((b(i + 3) & 0xff) << 24)
+
+  private def i64(b: Array[Byte], i: Int): Long =
+    (i32(b, i) & 0xffffffffL) | (i32(b, i + 4).toLong << 32)
+
+  private final class Corrupt extends RuntimeException(null, null, false, false)
+  private def fail(): Nothing = throw new Corrupt
+
+  /** Field slot address inside a flatbuffer table, or -1 if absent. */
+  private def slot(b: Array[Byte], table: Int, fieldId: Int): Int = {
+    if (table < 0 || table + 4 > b.length) fail()
+    val vtable = table - i32(b, table)
+    if (vtable < 0 || vtable + 4 > b.length) fail()
+    val vsize = i16(b, vtable)
+    val at = 4 + 2 * fieldId
+    if (at + 2 > vsize) return -1
+    val off = i16(b, vtable + at)
+    if (off == 0) -1 else table + off
+  }
+
+  private def tableAt(b: Array[Byte], pos: Int): Int = {
+    if (pos + 4 > b.length) fail()
+    pos + i32(b, pos)
+  }
+
+  private def stringAt(b: Array[Byte], pos: Int): String = {
+    val s = pos + i32(b, pos)
+    val len = i32(b, s)
+    if (len < 0 || s + 4 + len > b.length) fail()
+    new String(b, s + 4, len, "UTF-8")
+  }
+
+  private def vectorAt(b: Array[Byte], pos: Int): (Int, Int) = {
+    val v = pos + i32(b, pos)
+    val len = i32(b, v)
+    if (len < 0) fail()
+    (v + 4, len) // (first element, count)
+  }
+
+  // ---- schema / batch models ------------------------------------------
+
+  sealed trait ColType
+  case object CLong extends ColType
+  case object CUtf8 extends ColType
+
+  final case class BatchCol(values: Vector[Option[Either[String, Long]]])
+
+  /** Decode a whole IPC stream: (field names+types, per-column row
+    * values concatenated across batches). */
+  def readStream(b: Array[Byte], maxRows: Int = 1 << 22)
+      : Option[(Vector[(String, ColType)], Vector[Vector[Option[Either[String, Long]]]])] =
+    try {
+      if (b == null || b.length < 12) return None
+      var i = 0
+      var fields: Vector[(String, ColType)] = null
+      var cols: Array[scala.collection.mutable.ArrayBuffer[Option[Either[String, Long]]]] = null
+      var totalRows = 0L
+      var done = false
+      while (!done) {
+        if (i + 4 > b.length) { done = true }
+        else {
+          var metaLen = i32(b, i)
+          var metaOff = i + 4
+          if (metaLen == -1) { // continuation marker
+            if (i + 8 > b.length) fail()
+            metaLen = i32(b, i + 4)
+            metaOff = i + 8
+          }
+          if (metaLen == 0) { done = true; i = metaOff }
+          else {
+            if (metaLen < 0 || metaOff + metaLen > b.length) fail()
+            val msg = tableAt(b, metaOff)
+            // Message: version(0), header_type(1), header(2), bodyLength(3)
+            val htSlot = slot(b, msg, 1)
+            val headerType = if (htSlot < 0) 0 else b(htSlot) & 0xff
+            val hSlot = slot(b, msg, 2)
+            val blSlot = slot(b, msg, 3)
+            val bodyLen = if (blSlot < 0) 0L else i64(b, blSlot)
+            if (bodyLen < 0 || metaOff + metaLen + bodyLen > b.length) fail()
+            val bodyOff = metaOff + metaLen
+            headerType match {
+              case 1 => // Schema
+                if (hSlot < 0) fail()
+                val schema = tableAt(b, hSlot)
+                val fSlot = slot(b, schema, 1)
+                if (fSlot < 0) fail()
+                val (fv, fn) = vectorAt(b, fSlot)
+                val out = Vector.newBuilder[(String, ColType)]
+                var k = 0
+                while (k < fn) {
+                  val fld = tableAt(b, fv + 4 * k)
+                  val nSlot = slot(b, fld, 0)
+                  val name = if (nSlot < 0) "" else stringAt(b, nSlot)
+                  val ttSlot = slot(b, fld, 2)
+                  val tt = if (ttSlot < 0) 0 else b(ttSlot) & 0xff
+                  val tSlot = slot(b, fld, 3)
+                  val ct = tt match {
+                    case 2 => // Int
+                      if (tSlot < 0) fail()
+                      val it = tableAt(b, tSlot)
+                      val bwSlot = slot(b, it, 0)
+                      val bw = if (bwSlot < 0) 0 else i32(b, bwSlot)
+                      if (bw != 64) return None
+                      CLong
+                    case 5 => CUtf8
+                    case _ => return None // out of scope
+                  }
+                  out += ((name, ct))
+                  k += 1
+                }
+                fields = out.result()
+                cols = Array.fill(fields.length)(
+                  scala.collection.mutable.ArrayBuffer
+                    .empty[Option[Either[String, Long]]])
+              case 3 => // RecordBatch
+                if (fields == null || hSlot < 0) fail()
+                val rb = tableAt(b, hSlot)
+                val lenSlot = slot(b, rb, 0)
+                val nRows = if (lenSlot < 0) 0L else i64(b, lenSlot)
+                if (nRows < 0 || nRows > maxRows) fail()
+                totalRows += nRows
+                if (totalRows > maxRows) fail()
+                // compression (slot 3) present -> unsupported
+                if (slot(b, rb, 3) >= 0) return None
+                val (nv, nn) = vectorAt(b, slot(b, rb, 1) match {
+                  case -1 => fail(); case s => s
+                })
+                if (nn < fields.length) fail()
+                val (bv, bn) = vectorAt(b, slot(b, rb, 2) match {
+                  case -1 => fail(); case s => s
+                })
+                // nodes: stride 16 structs (length, null_count)
+                // buffers: stride 16 structs (offset, length)
+                var bufIdx = 0
+                def buf(k: Int): (Long, Long) = {
+                  if (k >= bn) fail()
+                  (i64(b, bv + 16 * k), i64(b, bv + 16 * k + 8))
+                }
+                var f = 0
+                while (f < fields.length) {
+                  val nodeLen = i64(b, nv + 16 * f).toInt
+                  val (vOff, vLen) = buf(bufIdx); bufIdx += 1
+                  def validAt(r: Int): Boolean =
+                    vLen == 0 ||
+                      ((b(bodyOff + vOff.toInt + (r >>> 3)) >>> (r & 7)) & 1) == 1
+                  fields(f)._2 match {
+                    case CLong =>
+                      val (dOff, dLen) = buf(bufIdx); bufIdx += 1
+                      if (dLen < nodeLen * 8L) fail()
+                      var r = 0
+                      while (r < nodeLen) {
+                        cols(f) += (if (validAt(r))
+                          Some(Right(i64(b, bodyOff + dOff.toInt + 8 * r)))
+                        else None)
+                        r += 1
+                      }
+                    case CUtf8 =>
+                      val (oOff, oLen) = buf(bufIdx); bufIdx += 1
+                      val (dOff, dLen) = buf(bufIdx); bufIdx += 1
+                      // an EMPTY vector may carry a zero-length
+                      // offsets buffer (no leading 0 entry)
+                      if (nodeLen > 0 && oLen < (nodeLen + 1) * 4L) fail()
+                      var r = 0
+                      while (r < nodeLen) {
+                        if (validAt(r)) {
+                          val s0 = i32(b, bodyOff + oOff.toInt + 4 * r)
+                          val s1 = i32(b, bodyOff + oOff.toInt + 4 * (r + 1))
+                          if (s0 < 0 || s1 < s0 || s1 > dLen) fail()
+                          cols(f) += Some(Left(new String(b,
+                            bodyOff + dOff.toInt + s0, s1 - s0, "UTF-8")))
+                        } else cols(f) += None
+                        r += 1
+                      }
+                  }
+                  f += 1
+                }
+              case 2 => return None // dictionary batches: out of scope
+              case _ => // ignore other message kinds
+            }
+            i = bodyOff + bodyLen.toInt
+          }
+        }
+      }
+      if (fields == null) None
+      else Some((fields, cols.map(_.toVector).toVector))
+    } catch {
+      case _: Corrupt | _: ArrayIndexOutOfBoundsException |
+        _: NegativeArraySizeException => None
+    }
+
+  // ------------------------------------------------------------------
+  // queries
+  // ------------------------------------------------------------------
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Arrow IPC census: the REFERENCE implementation (arrow-vector,
+    // the exact library Spark uses for pandas interchange) writes a
+    // per-doc stream — nullable int64 + utf8, two batches on id%4==0
+    // — and this reader decodes it back. The zstd-jni fixture pattern:
+    // real writer output, not a hand emitter that could share a
+    // misreading.
+    QueryDef(
+      "q444_arrow_ipc_decode",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id")
+          .as[Long]
+          .mapPartitions { it =>
+            import scala.jdk.CollectionConverters._
+            import org.apache.arrow.memory.RootAllocator
+            import org.apache.arrow.vector.{BigIntVector, VarCharVector,
+              VectorSchemaRoot}
+            import org.apache.arrow.vector.ipc.ArrowStreamWriter
+            import org.apache.arrow.vector.types.pojo.{ArrowType, Field,
+              FieldType, Schema}
+            val alloc = new RootAllocator()
+            val schema = new Schema(Seq(
+              new Field("rid",
+                FieldType.nullable(new ArrowType.Int(64, true)), null),
+              new Field("name",
+                FieldType.nullable(new ArrowType.Utf8()), null)).asJava)
+            val res = it.map { id =>
+              val root = VectorSchemaRoot.create(schema, alloc)
+              val bos = new java.io.ByteArrayOutputStream()
+              val w = new ArrowStreamWriter(root, null,
+                java.nio.channels.Channels.newChannel(bos))
+              w.start()
+              val nBatches = if (id % 4 == 0) 2 else 1
+              var batch = 0
+              while (batch < nBatches) {
+                val n = (1 + (id + batch) % 3).toInt
+                val rid = root.getVector("rid").asInstanceOf[BigIntVector]
+                val nm = root.getVector("name").asInstanceOf[VarCharVector]
+                root.setRowCount(n)
+                var r = 0
+                while (r < n) {
+                  rid.setSafe(r, id * 10 + batch * 5 + r)
+                  if ((id + r) % 5 == 0) nm.setNull(r)
+                  else nm.setSafe(r,
+                    s"a${(id + r) % 7}".getBytes("UTF-8"))
+                  r += 1
+                }
+                rid.setValueCount(n)
+                nm.setValueCount(n)
+                w.writeBatch()
+                batch += 1
+              }
+              w.end(); w.close(); root.close()
+              val stream = bos.toByteArray
+              val decoded = ArrowIpc.readStream(stream)
+              decoded match {
+                case Some((fs, cols))
+                    if fs.map(_._1) == Vector("rid", "name") =>
+                  val rids = cols(0).flatten.collect { case Right(v) => v }
+                  val names = cols(1)
+                  (id, rids.length.toLong, rids.sum,
+                    names.count(_.isEmpty).toLong,
+                    names.flatten.collect {
+                      case Left(s) => s.length.toLong
+                    }.sum)
+                case _ => (id, -1L, -1L, -1L, -1L)
+              }
+            }
+            new Iterator[(Long, Long, Long, Long, Long)] {
+              def hasNext: Boolean = res.hasNext || { alloc.close(); false }
+              def next(): (Long, Long, Long, Long, Long) = res.next()
+            }
+          }
+          .toDF("doc_id", "n_rows", "sum_rids", "n_nulls", "name_len")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH batches AS (
+          SELECT doc_id, b FROM documents,
+            UNNEST(generate_series(0,
+              CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)) AS g(b)),
+        rows_ AS (
+          SELECT doc_id, b, r,
+                 doc_id * 10 + b * 5 + r AS rid,
+                 CASE WHEN (doc_id + r) % 5 = 0 THEN 1 ELSE 0 END AS is_nul,
+                 CASE WHEN (doc_id + r) % 5 = 0 THEN 0
+                   ELSE 1 + length(CAST((doc_id + r) % 7 AS VARCHAR)) END
+                   AS nlen
+          FROM batches,
+            UNNEST(generate_series(0,
+              CAST((doc_id + b) % 3 AS INT))) AS g2(r))
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(rid) AS BIGINT) AS sum_rids,
+               CAST(sum(is_nul) AS BIGINT) AS n_nulls,
+               CAST(sum(nlen) AS BIGINT) AS name_len
+        FROM rows_
+        GROUP BY doc_id
+        ORDER BY doc_id""")))
+}

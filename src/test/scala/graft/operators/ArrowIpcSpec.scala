@@ -1,0 +1,101 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector.{BigIntVector, VarCharVector, VectorSchemaRoot}
+import org.apache.arrow.vector.ipc.ArrowStreamWriter
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+
+import ArrowIpc._
+
+/** Arrow IPC conformance, refereed by the reference implementation on
+  * the Spark classpath: ArrowStreamWriter output — nulls, empty and
+  * multi-row batches, multi-batch streams, large strings — must
+  * decode value-exactly through the from-scratch flatbuffers walk. */
+class ArrowIpcSpec extends AnyFunSuite {
+
+  private def write(batches: Seq[Seq[(Option[Long], Option[String])]])
+      : Array[Byte] = {
+    val alloc = new RootAllocator()
+    val schema = new Schema(Seq(
+      new Field("id", FieldType.nullable(new ArrowType.Int(64, true)), null),
+      new Field("s", FieldType.nullable(new ArrowType.Utf8()), null)).asJava)
+    val root = VectorSchemaRoot.create(schema, alloc)
+    val bos = new ByteArrayOutputStream()
+    val w = new ArrowStreamWriter(root, null,
+      java.nio.channels.Channels.newChannel(bos))
+    w.start()
+    batches.foreach { rows =>
+      val id = root.getVector("id").asInstanceOf[BigIntVector]
+      val s = root.getVector("s").asInstanceOf[VarCharVector]
+      root.setRowCount(rows.length)
+      rows.zipWithIndex.foreach { case ((iv, sv), r) =>
+        iv match {
+          case Some(v) => id.setSafe(r, v)
+          case None    => id.setNull(r)
+        }
+        sv match {
+          case Some(v) => s.setSafe(r, v.getBytes("UTF-8"))
+          case None    => s.setNull(r)
+        }
+      }
+      id.setValueCount(rows.length)
+      s.setValueCount(rows.length)
+      w.writeBatch()
+    }
+    w.end(); w.close(); root.close(); alloc.close()
+    bos.toByteArray
+  }
+
+  test("reference streams decode value-exactly: nulls, multi-batch, " +
+      "empty batches, long strings") {
+    val b1 = (0 until 500).map(i =>
+      (if (i % 9 == 0) None else Some(i.toLong * 3),
+        if (i % 5 == 0) None else Some(s"v$i-" + ("y" * (i % 23)))))
+    val b2 = (0 until 77).map(i => (Some(i.toLong), Some("z" * 1000)))
+    val stream = write(Seq(b1, Seq.empty, b2))
+    val (fields, cols) = readStream(stream).get
+    assert(fields == Vector(("id", CLong), ("s", CUtf8)))
+    val expected = b1 ++ b2
+    assert(cols(0).length == expected.length)
+    expected.zipWithIndex.foreach { case ((iv, sv), r) =>
+      assert(cols(0)(r) == iv.map(Right(_)), s"id@$r")
+      assert(cols(1)(r) == sv.map(Left(_)), s"s@$r")
+    }
+  }
+
+  test("single-batch and zero-batch streams") {
+    val one = write(Seq(Seq((Some(1L), Some("a")))))
+    assert(readStream(one).get._2(0) == Vector(Some(Right(1L))))
+    val none = write(Seq.empty)
+    val (f, c) = readStream(none).get
+    assert(f.length == 2 && c.forall(_.isEmpty))
+  }
+
+  test("hostile input: truncation sweep never throws; junk rejects; " +
+      "unsupported schema types reject cleanly") {
+    val stream = write(Seq((0 until 50).map(i =>
+      (Some(i.toLong), Some(s"n$i")))))
+    (0 until stream.length by 5).foreach(k => readStream(stream.take(k)))
+    assert(readStream(null).isEmpty)
+    assert(readStream("junkjunkjunkjunk".getBytes).isEmpty)
+    // a float64 column is out of scope -> None, not garbage
+    val alloc = new RootAllocator()
+    val schema = new Schema(Seq(new Field("f",
+      FieldType.nullable(new ArrowType.FloatingPoint(
+        org.apache.arrow.vector.types.FloatingPointPrecision.DOUBLE)),
+      null)).asJava)
+    val root = VectorSchemaRoot.create(schema, alloc)
+    val bos = new ByteArrayOutputStream()
+    val w = new ArrowStreamWriter(root, null,
+      java.nio.channels.Channels.newChannel(bos))
+    w.start(); root.setRowCount(0); w.writeBatch(); w.end(); w.close()
+    root.close(); alloc.close()
+    assert(readStream(bos.toByteArray).isEmpty)
+  }
+}
