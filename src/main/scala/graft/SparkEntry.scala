@@ -82,7 +82,8 @@ object SparkEntry {
     ParquetPages.defs,
     AvroRecords.defs,
     Orc.defs,
-    ArrowIpc.defs)
+    ArrowIpc.defs,
+    Lz4Codec.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 

@@ -422,7 +422,7 @@ object Compression {
       out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
     }
     le32(0x184d2204L)
-    val flg = 0x40 | (if (withContentSize) 0x08 else 0)
+    val flg = 0x40 | 0x20 | (if (withContentSize) 0x08 else 0)
     out.write(flg)
     out.write(blockMaxCode << 4)
     if (withContentSize) {
