@@ -225,6 +225,28 @@ object ArrowIpc {
         _: NegativeArraySizeException => None
     }
 
+  /** Arrow FILE format (feather v2): "ARROW1\0\0" magic at both
+    * ends, the stream sandwiched between, and a trailing footer
+    * flatbuffer + its length before the closing magic. The embedded
+    * stream parses with [[readStream]] directly — pandas/polars
+    * `.feather`/`.arrow` files are exactly this. */
+  def readFile(b: Array[Byte], maxRows: Int = 1 << 22)
+      : Option[(Vector[(String, ColType)], Vector[Vector[Option[Either[String, Long]]]])] = {
+    if (b == null || b.length < 24) return None
+    val magic = "ARROW1".getBytes("US-ASCII")
+    var k = 0
+    while (k < 6) {
+      if (b(k) != magic(k) || b(b.length - 6 + k) != magic(k)) return None
+      k += 1
+    }
+    if (b(6) != 0 || b(7) != 0) return None
+    val footerLen = i32(b, b.length - 10)
+    if (footerLen <= 0 || footerLen > b.length - 18) return None
+    // the stream body sits between the 8-byte magic pad and the footer
+    val streamEnd = b.length - 10 - footerLen
+    readStream(java.util.Arrays.copyOfRange(b, 8, streamEnd), maxRows)
+  }
+
   // ------------------------------------------------------------------
   // queries
   // ------------------------------------------------------------------
@@ -327,6 +349,80 @@ object ArrowIpc {
                CAST(count(*) AS BIGINT) AS n_rows,
                CAST(sum(rid) AS BIGINT) AS sum_rids,
                CAST(sum(is_nul) AS BIGINT) AS n_nulls,
+               CAST(sum(nlen) AS BIGINT) AS name_len
+        FROM rows_
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    // the FILE framing (feather v2 — what pandas/polars write):
+    // ArrowFileWriter per doc, decoded through the embedded-stream
+    // walk with both magics and the footer length verified.
+    QueryDef(
+      "q446_arrow_file_decode",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id")
+          .as[Long]
+          .mapPartitions { it =>
+            import scala.jdk.CollectionConverters._
+            import org.apache.arrow.memory.RootAllocator
+            import org.apache.arrow.vector.{BigIntVector, VarCharVector,
+              VectorSchemaRoot}
+            import org.apache.arrow.vector.ipc.ArrowFileWriter
+            import org.apache.arrow.vector.types.pojo.{ArrowType, Field,
+              FieldType, Schema}
+            val alloc = new RootAllocator()
+            val schema = new Schema(Seq(
+              new Field("rid",
+                FieldType.nullable(new ArrowType.Int(64, true)), null),
+              new Field("name",
+                FieldType.nullable(new ArrowType.Utf8()), null)).asJava)
+            val res = it.map { id =>
+              val root = VectorSchemaRoot.create(schema, alloc)
+              val bos = new java.io.ByteArrayOutputStream()
+              val w = new ArrowFileWriter(root, null,
+                java.nio.channels.Channels.newChannel(bos))
+              w.start()
+              val n = (1 + id % 4).toInt
+              val rid = root.getVector("rid").asInstanceOf[BigIntVector]
+              val nm = root.getVector("name").asInstanceOf[VarCharVector]
+              root.setRowCount(n)
+              var r = 0
+              while (r < n) {
+                rid.setSafe(r, id + r)
+                nm.setSafe(r, s"f${(id + r) % 9}".getBytes("UTF-8"))
+                r += 1
+              }
+              rid.setValueCount(n); nm.setValueCount(n)
+              w.writeBatch(); w.end(); w.close(); root.close()
+              val decoded = ArrowIpc.readFile(bos.toByteArray)
+              decoded match {
+                case Some((_, cols)) =>
+                  val rids = cols(0).flatten.collect { case Right(v) => v }
+                  (id, rids.length.toLong, rids.sum,
+                    cols(1).flatten.collect { case Left(x) =>
+                      x.length.toLong }.sum)
+                case None => (id, -1L, -1L, -1L)
+              }
+            }
+            new Iterator[(Long, Long, Long, Long)] {
+              def hasNext: Boolean = res.hasNext || { alloc.close(); false }
+              def next(): (Long, Long, Long, Long) = res.next()
+            }
+          }
+          .toDF("doc_id", "n_rows", "sum_rids", "name_len")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH rows_ AS (
+          SELECT doc_id, doc_id + r AS rid,
+                 2 AS nlen
+          FROM documents,
+            UNNEST(generate_series(0, CAST(doc_id % 4 AS INT))) AS g(r))
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(rid) AS BIGINT) AS sum_rids,
                CAST(sum(nlen) AS BIGINT) AS name_len
         FROM rows_
         GROUP BY doc_id

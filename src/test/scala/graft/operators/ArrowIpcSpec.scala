@@ -77,6 +77,40 @@ class ArrowIpcSpec extends AnyFunSuite {
     assert(f.length == 2 && c.forall(_.isEmpty))
   }
 
+  test("file format (feather v2): ArrowFileWriter output decodes " +
+      "through the embedded-stream walk") {
+    import org.apache.arrow.vector.ipc.ArrowFileWriter
+    val alloc = new RootAllocator()
+    val schema = new Schema(Seq(
+      new Field("id", FieldType.nullable(new ArrowType.Int(64, true)), null),
+      new Field("s", FieldType.nullable(new ArrowType.Utf8()), null)).asJava)
+    val root = VectorSchemaRoot.create(schema, alloc)
+    val bos = new ByteArrayOutputStream()
+    val w = new ArrowFileWriter(root, null,
+      java.nio.channels.Channels.newChannel(bos))
+    w.start()
+    (0 until 3).foreach { batch =>
+      val id = root.getVector("id").asInstanceOf[BigIntVector]
+      val sv = root.getVector("s").asInstanceOf[VarCharVector]
+      root.setRowCount(40)
+      (0 until 40).foreach { r =>
+        id.setSafe(r, batch * 100L + r)
+        sv.setSafe(r, s"b$batch-r$r".getBytes("UTF-8"))
+      }
+      id.setValueCount(40); sv.setValueCount(40)
+      w.writeBatch()
+    }
+    w.end(); w.close(); root.close(); alloc.close()
+    val file = bos.toByteArray
+    val (fields, cols) = readFile(file).get
+    assert(fields.map(_._1) == Vector("id", "s"))
+    assert(cols(0).length == 120)
+    assert(cols(0)(41) == Some(Right(101L)))
+    assert(cols(1)(119) == Some(Left("b2-r39")))
+    assert(readFile(file.take(file.length - 3)).isEmpty)
+    assert(readFile("ARROW1xxjunk".getBytes).isEmpty)
+  }
+
   test("hostile input: truncation sweep never throws; junk rejects; " +
       "unsupported schema types reject cleanly") {
     val stream = write(Seq((0 until 50).map(i =>
