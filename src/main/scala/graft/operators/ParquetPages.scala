@@ -141,7 +141,8 @@ object ParquetPages {
 
   private final case class PageHeader(ptype: Int, uncompSize: Int,
       compSize: Int, crc: Option[Int], numValues: Int, encoding: Int,
-      headerLen: Int)
+      headerLen: Int, v2DefLen: Int = 0, v2RepLen: Int = 0,
+      v2Compressed: Boolean = true)
 
   private def pageHeader(b: Array[Byte], off: Int): Option[PageHeader] =
     try {
@@ -152,6 +153,9 @@ object ParquetPages {
       var crc: Option[Int] = None
       var nvals = -1
       var enc = -1
+      var defLen = 0
+      var repLen = 0
+      var v2Comp = true
       thriftStruct(r) { (id, t) =>
         (id, t) match {
           case (1, TI32) => ptype = r.zigzag().toInt
@@ -176,11 +180,25 @@ object ParquetPages {
                   if (ft != TBoolTrue && ft != TBoolFalse) skip(r, ft)
               }
             }
+          case (8, TStruct) => // DataPageHeaderV2
+            thriftStruct(r) { (fid, ft) =>
+              (fid, ft) match {
+                case (1, TI32) => nvals = r.zigzag().toInt
+                case (4, TI32) => enc = r.zigzag().toInt
+                case (5, TI32) => defLen = r.zigzag().toInt
+                case (6, TI32) => repLen = r.zigzag().toInt
+                case (7, TBoolTrue)  => v2Comp = true
+                case (7, TBoolFalse) => v2Comp = false
+                case _ =>
+                  if (ft != TBoolTrue && ft != TBoolFalse) skip(r, ft)
+              }
+            }
           case _ => if (t != TBoolTrue && t != TBoolFalse) skip(r, t)
         }
       }
       if (ptype < 0 || unc < 0 || comp < 0) None
-      else Some(PageHeader(ptype, unc, comp, crc, nvals, enc, r.pos - off))
+      else Some(PageHeader(ptype, unc, comp, crc, nvals, enc,
+        r.pos - off, defLen, repLen, v2Comp))
     } catch { case _: Exception => None }
 
   private def decompress(codec: Int, b: Array[Byte], off: Int, comp: Int,
@@ -267,6 +285,114 @@ object ParquetPages {
     Some((out, (if (lengthPrefixed) end else i)))
   }
 
+  // ---- DELTA encodings (v2 pages) --------------------------------------
+
+  /** DELTA_BINARY_PACKED: returns (values, nextOffset). */
+  private[operators] def deltaBinaryPacked(b: Array[Byte], off0: Int,
+      n: Int): Option[(Array[Long], Int)] = try {
+    var i = off0
+    def uv(): Long = {
+      var v = 0L
+      var shift = 0
+      var c = 0x80
+      while ((c & 0x80) != 0) {
+        if (i >= b.length || shift > 63) throw new MatchError("varint")
+        c = b(i) & 0xff
+        i += 1
+        v |= (c & 0x7fL) << shift
+        shift += 7
+      }
+      v
+    }
+    def zzv(): Long = { val u = uv(); (u >>> 1) ^ -(u & 1L) }
+    val blockSize = uv().toInt
+    val mini = uv().toInt
+    val total = uv().toInt
+    val first = zzv()
+    if (blockSize <= 0 || mini <= 0 || blockSize % mini != 0 ||
+      total != n) return None
+    if (n == 0) return Some((Array.emptyLongArray, i))
+    val valuesPer = blockSize / mini
+    val out = new Array[Long](n)
+    out(0) = first
+    var produced = 1
+    var prev = first
+    while (produced < n) {
+      val minDelta = zzv()
+      if (i + mini > b.length) return None
+      val widths = java.util.Arrays.copyOfRange(b, i, i + mini)
+      i += mini
+      var m = 0
+      while (m < mini && produced < n) {
+        val w = widths(m) & 0xff
+        if (w > 64) return None
+        val nBytes = valuesPer * w / 8
+        if (i + nBytes > b.length) return None
+        var k = 0
+        var bit = 0
+        while (k < valuesPer) {
+          var d = 0L
+          var t = 0
+          while (t < w) {
+            val at = i + ((bit + t) >>> 3)
+            d |= ((b(at) >>> ((bit + t) & 7)) & 1).toLong << t
+            t += 1
+          }
+          bit += w
+          if (produced < n) {
+            prev = prev + minDelta + d
+            out(produced) = prev
+            produced += 1
+          }
+          k += 1
+        }
+        i += nBytes
+        m += 1
+      }
+    }
+    Some((out, i))
+  } catch { case _: MatchError => None }
+
+  /** DELTA_LENGTH_BYTE_ARRAY starting at off0. */
+  private[operators] def deltaLengthByteArray(b: Array[Byte], off0: Int,
+      n: Int): Option[Array[String]] =
+    deltaBinaryPacked(b, off0, n).flatMap { case (lens, dataOff) =>
+      var p = dataOff
+      val out = new Array[String](n)
+      var k = 0
+      while (k < n) {
+        val l = lens(k).toInt
+        if (l < 0 || p + l > b.length) return None
+        out(k) = new String(b, p, l, "UTF-8")
+        p += l
+        k += 1
+      }
+      Some(out)
+    }
+
+  /** DELTA_BYTE_ARRAY (prefix lengths + suffix DLBA). */
+  private[operators] def deltaByteArray(b: Array[Byte], off0: Int,
+      n: Int): Option[Array[String]] =
+    deltaBinaryPacked(b, off0, n).flatMap { case (prefixes, sOff) =>
+      deltaBinaryPacked(b, sOff, n).flatMap { case (slens, dOff) =>
+        var p = dOff
+        val out = new Array[String](n)
+        var prev = ""
+        var k = 0
+        while (k < n) {
+          val pl = prefixes(k).toInt
+          val sl = slens(k).toInt
+          if (pl < 0 || sl < 0 || pl > prev.length ||
+            p + sl > b.length) return None
+          out(k) = prev.substring(0, pl) + new String(b, p, sl, "UTF-8")
+          prev = out(k)
+          p += sl
+          k += 1
+        }
+        Some(out)
+      }
+    }
+
   // ---- column decode ---------------------------------------------------
 
   /** Decoded leaf column: Right(longs) for INT64, Left(strings) for
@@ -291,9 +417,16 @@ object ParquetPages {
           crc.update(file, dataOff, ph.compSize)
           if (crc.getValue.toInt != c) return None
         }
-        val page = decompress(chunk.codec, file, dataOff, ph.compSize,
-          ph.uncompSize).getOrElse(return None)
-        if (page.length != ph.uncompSize) return None
+        // v2 pages carry RAW level bytes before the codec region, so
+        // the whole-page decompress applies only to v1/dict pages
+        val page: Array[Byte] =
+          if (ph.ptype == 3) Array.emptyByteArray
+          else {
+            val p0 = decompress(chunk.codec, file, dataOff, ph.compSize,
+              ph.uncompSize).getOrElse(return None)
+            if (p0.length != ph.uncompSize) return None
+            p0
+          }
         ph.ptype match {
           case 2 => // dictionary page (PLAIN / PLAIN_DICTIONARY payload)
             if (chunk.ptype == 2) {
@@ -402,17 +535,89 @@ object ParquetPages {
                   }
                   emitted += 1
                 }
-              case _ => return None // v2 encodings out of scope
+              case _ => return None // v2 encodings handled below
             }
             remaining -= n
-          case _ => return None // data page v2: reject, don't guess
+          case 3 => // data page v2: raw levels outside the codec region
+            val n = ph.numValues
+            val levLen = ph.v2RepLen + ph.v2DefLen
+            if (levLen > ph.compSize || ph.v2RepLen != 0) return None
+            val defs: Array[Int] =
+              if (optional && ph.v2DefLen > 0)
+                rleHybrid(file, dataOff, dataOff + ph.v2DefLen, 1, n,
+                  lengthPrefixed = false).getOrElse(return None)._1
+              else Array.fill(n)(1)
+            val nPresent = defs.count(_ == 1)
+            val valComp = ph.compSize - levLen
+            val valUnc = ph.uncompSize - levLen
+            val vpage =
+              if (ph.v2Compressed) decompress(chunk.codec, file,
+                dataOff + levLen, valComp, valUnc).getOrElse(return None)
+              else java.util.Arrays.copyOfRange(file, dataOff + levLen,
+                dataOff + levLen + valComp)
+            if (vpage.length != valUnc) return None
+            def emit(get: Int => Either[String, Long]): Unit = {
+              var k = 0
+              var emitted = 0
+              while (emitted < n) {
+                if (defs(emitted) == 0) out += None
+                else { out += Some(get(k)); k += 1 }
+                emitted += 1
+              }
+            }
+            ph.encoding match {
+              case 5 => // DELTA_BINARY_PACKED (ints)
+                if (chunk.ptype != 2) return None
+                val (vals, _) = deltaBinaryPacked(vpage, 0, nPresent)
+                  .getOrElse(return None)
+                emit(k => Right(vals(k)))
+              case 7 => // DELTA_BYTE_ARRAY (strings)
+                if (chunk.ptype != 6) return None
+                val vals = deltaByteArray(vpage, 0, nPresent)
+                  .getOrElse(return None)
+                emit(k => Left(vals(k)))
+              case 6 => // DELTA_LENGTH_BYTE_ARRAY
+                if (chunk.ptype != 6) return None
+                val vals = deltaLengthByteArray(vpage, 0, nPresent)
+                  .getOrElse(return None)
+                emit(k => Left(vals(k)))
+              case 2 | 8 => // dictionary ids
+                if (vpage.isEmpty) return None
+                val bw = vpage(0) & 0xff
+                if (bw > 32) return None
+                val ids =
+                  if (bw == 0) Array.fill(nPresent)(0)
+                  else rleHybrid(vpage, 1, vpage.length, bw, nPresent,
+                    lengthPrefixed = false).getOrElse(return None)._1
+                if (chunk.ptype == 2) {
+                  if (dictLongs == null) return None
+                  emit { k =>
+                    val id = ids(k)
+                    if (id >= dictLongs.length) throw
+                      new ArrayIndexOutOfBoundsException(id)
+                    Right(dictLongs(id))
+                  }
+                } else {
+                  if (dictStrs == null) return None
+                  emit { k =>
+                    val id = ids(k)
+                    if (id >= dictStrs.length) throw
+                      new ArrayIndexOutOfBoundsException(id)
+                    Left(dictStrs(id))
+                  }
+                }
+              case _ => return None
+            }
+            remaining -= n
+          case _ => return None // unknown page kinds reject
         }
         off = dataOff + ph.compSize
       }
       Some(out.result())
     } catch {
       case _: ArrayIndexOutOfBoundsException |
-        _: NegativeArraySizeException => None
+        _: NegativeArraySizeException =>
+        None
     }
 
   /** Convenience: read the footer from whole-file bytes. */
@@ -494,6 +699,69 @@ object ParquetPages {
                CAST(count(*) AS BIGINT) AS n_rows,
                CAST(sum(doc_id) AS BIGINT) AS sum_ids,
                CAST(sum(1 + length(CAST(doc_id % 100 AS VARCHAR)))
+                    AS BIGINT) AS sum_name_len,
+               CAST(4 AS BIGINT) AS n_ok
+        FROM documents""")),
+
+    // the v2 writer path: DELTA_BINARY_PACKED ints and
+    // DELTA_BYTE_ARRAY strings behind v2 page headers (raw levels
+    // outside the codec region) — the shape parquet-mr emits with
+    // parquet.writer.version=v2, which modern lakehouse writers
+    // default to.
+    QueryDef(
+      "q447_parquet_v2_page_decode",
+      (s, dir) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_pq_q447").toString
+        Tables.load(s, dir, "documents")
+          .select($"doc_id",
+            concat(lit("v2-"), ($"doc_id" % 100).cast("string"),
+              lit("-u"), $"doc_id".cast("string")).as("name"))
+          .repartition(4)
+          .write.mode("overwrite")
+          .option("parquet.writer.version", "v2").parquet(tmp)
+        s.read.format("binaryFile")
+          .load(tmp + "/part-*.parquet")
+          .select($"content")
+          .as[Array[Byte]]
+          .map { bytes =>
+            val res = for {
+              footer <- footerBytes(bytes)
+              (nRows, chunks, reps) <- chunkMetas(footer)
+              ids <- chunks.filter(_.path == "doc_id").foldLeft(
+                Option(Vector.empty[Option[Either[String, Long]]])) {
+                (acc, c) => acc.flatMap(v =>
+                  readColumn(bytes, c,
+                    optional = reps.getOrElse("doc_id", 1) == 1).map(v ++ _))
+              }
+              names <- chunks.filter(_.path == "name").foldLeft(
+                Option(Vector.empty[Option[Either[String, Long]]])) {
+                (acc, c) => acc.flatMap(v =>
+                  readColumn(bytes, c,
+                    optional = reps.getOrElse("name", 1) == 1).map(v ++ _))
+              }
+            } yield {
+              val idv = ids.flatten.collect { case Right(v) => v }
+              val nv = names.flatten.collect { case Left(v) => v }
+              (nRows, idv.sum, nv.map(_.length.toLong).sum,
+                idv.length == nRows && nv.length == nRows)
+            }
+            res.getOrElse((-1L, -1L, -1L, false))
+          }
+          .toDF("n_rows", "sum_ids", "sum_name_len", "ok")
+          .agg(count(lit(1)).as("n_files"),
+            sum($"n_rows").as("n_rows"),
+            sum($"sum_ids").as("sum_ids"),
+            sum($"sum_name_len").as("sum_name_len"),
+            count(when($"ok", 1)).as("n_ok"))
+      },
+      Some("""
+        SELECT CAST(4 AS BIGINT) AS n_files,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+               CAST(sum(3 + length(CAST(doc_id % 100 AS VARCHAR))
+                        + 2 + length(CAST(doc_id AS VARCHAR)))
                     AS BIGINT) AS sum_name_len,
                CAST(4 AS BIGINT) AS n_ok
         FROM documents"""))

@@ -95,6 +95,33 @@ class ParquetPagesSpec extends SparkSpec {
     assert(ids == (0L until 200000L).toVector)
   }
 
+  test("v2 pages: DELTA_BINARY_PACKED ints and DELTA_BYTE_ARRAY " +
+      "strings (with dictionary pages first), nulls, all codecs") {
+    import spark.implicits._
+    val rows = (0L until 25000L).map(i =>
+      (i * 7 - 3000, if (i % 6 == 0) None
+      else Some(s"pfx-common-${i % 997}-u$i")))
+    val df = rows.toDF("id", "s")
+    Seq("snappy", "gzip", "zstd", "none").foreach { codec =>
+      val dir = Files.createTempDirectory("pqv2").toString
+      df.coalesce(1).write.mode("overwrite")
+        .option("compression", codec)
+        .option("parquet.writer.version", "v2")
+        .parquet(dir)
+      val bytes = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => Files.readAllBytes(f.toPath)).head
+      val ids = decodeAll(bytes, "id")
+      val strs = decodeAll(bytes, "s")
+      assert(ids.length == 25000, codec)
+      (0 until 25000).foreach { i =>
+        assert(ids(i) == Some(Right(i * 7L - 3000)), s"$codec id@$i")
+        val want = rows(i)._2
+        assert(strs(i) == want.map(Left(_)), s"$codec s@$i")
+      }
+    }
+  }
+
   test("hostile input: truncation, flipped page bytes (CRC gate), " +
       "non-parquet bytes all reject") {
     import spark.implicits._
