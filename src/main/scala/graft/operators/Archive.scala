@@ -561,8 +561,10 @@ object Archive {
       le16(63); le16(0); le16(method)
       le16(0); le16(0) // time, date
       le32(crc.getValue); le32(comp.length.toLong); le32(data.length.toLong)
-      le16(name.length); le16(0)
-      out.write(name.getBytes("UTF-8"), 0, name.length)
+      // length fields count UTF-8 BYTES, not UTF-16 chars
+      val nb = name.getBytes("UTF-8")
+      le16(nb.length); le16(0)
+      out.write(nb, 0, nb.length)
       out.write(comp, 0, comp.length)
       centrals += ((name, method, crc.getValue, comp.length.toLong,
         data.length.toLong, localOff))
@@ -573,10 +575,11 @@ object Archive {
       le16(63); le16(63); le16(0); le16(method)
       le16(0); le16(0)
       le32(crc); le32(cs); le32(us)
-      le16(name.length); le16(0); le16(0)
+      val nb = name.getBytes("UTF-8")
+      le16(nb.length); le16(0); le16(0)
       le16(0); le16(0); le32(0)
       le32(off)
-      out.write(name.getBytes("UTF-8"), 0, name.length)
+      out.write(nb, 0, nb.length)
     }
     val cdSize = out.size.toLong - cdStart
     out.write('P'); out.write('K'); out.write(5); out.write(6)

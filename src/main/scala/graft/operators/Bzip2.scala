@@ -15,7 +15,9 @@ import graft.engine.Tables
   *
   * DECODE implements the full pipeline: the bit-packed stream ("BZh"
   * + level, 48-bit block magics, byte-UNALIGNED block boundaries),
-  * per-block: randomization flag (legacy; rejected), 24-bit BWT
+  * per-block: randomization flag (legacy; derandomized via the
+  * public rNums table — Hadoop's CBZip2OutputStream still emits
+  * randomised blocks on repetitive payloads), 24-bit BWT
   * origin pointer, the two-level symbol usage map, 2–6 Huffman
   * groups with MTF-encoded selectors and delta-encoded code lengths,
   * the 50-symbol group switching, RUNA/RUNB bijective-base-2 zero
@@ -37,7 +39,8 @@ import graft.engine.Tables
   * Spark classpath inside hadoop-client-*, the codec Spark itself
   * uses for .bz2 inputs), the `bzip2` CLI, and CPython's bz2 (libbz2
   * itself) — refereed in BOTH directions in Bzip2Spec. Corrupt,
-  * truncated, CRC-broken, or randomized input → None.
+  * truncated, or CRC-broken input → None; legacy randomised blocks
+  * decode (derandomized), matching the reference implementations.
   */
 object Bzip2 {
 
@@ -359,7 +362,8 @@ object Bzip2 {
   }
 
   /** Full decode: one or more concatenated streams, every CRC
-    * verified. Corrupt/truncated/randomized → None. */
+    * verified. Corrupt/truncated → None; legacy randomised blocks
+    * are derandomized. */
   def bunzip2(b: Array[Byte], maxOut: Int = MaxOut): Option[Array[Byte]] =
     try {
       if (b == null || b.length < 14) return None

@@ -566,7 +566,27 @@ object GitPack {
     try {
       val out = Vector.newBuilder[(String, String, String)]
       var i = 0
-      var prevName: String = null
+      var prevKey: Array[Byte] = null
+      // git orders tree entries by raw name bytes with directory
+      // names compared as name+"/", so `foo.txt` sorts BEFORE a
+      // subtree `foo` ('.' 0x2e < '/' 0x2f) in a valid tree.
+      def gitSortKey(name: String, mode: String): Array[Byte] = {
+        val nb = name.getBytes("UTF-8")
+        if (mode == "40000" || mode == "040000") {
+          val k = java.util.Arrays.copyOf(nb, nb.length + 1)
+          k(nb.length) = '/'.toByte
+          k
+        } else nb
+      }
+      def unsignedLte(a: Array[Byte], b: Array[Byte]): Boolean = {
+        var j = 0
+        while (j < a.length && j < b.length) {
+          val d = (a(j) & 0xff) - (b(j) & 0xff)
+          if (d != 0) return d < 0
+          j += 1
+        }
+        a.length <= b.length
+      }
       while (i < content.length) {
         val sp = content.indexOf(' '.toByte, i)
         if (sp <= i) fail()
@@ -579,8 +599,9 @@ object GitPack {
         if (z + 21 > content.length) fail()
         val sha = content.slice(z + 1, z + 21)
           .map(x => f"${x & 0xff}%02x").mkString
-        if (prevName != null && name.compareTo(prevName) <= 0) fail()
-        prevName = name
+        val key = gitSortKey(name, mode)
+        if (prevKey != null && unsignedLte(key, prevKey)) fail()
+        prevKey = key
         out += ((mode, name, sha))
         i = z + 21
       }

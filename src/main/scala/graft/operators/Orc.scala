@@ -32,6 +32,10 @@ import graft.engine.Tables
   */
 object Orc {
 
+  /** Allocation cap for per-stripe row counts (GitPack.MaxObject
+    * style): a declared count beyond this is treated as corrupt. */
+  private val MaxRowsPerStripe: Long = 1L << 26
+
   // ---- minimal protobuf walk with payload slices ----------------------
 
   private def protoFields(b: Array[Byte], from: Int, until: Int)(
@@ -392,6 +396,10 @@ object Orc {
     val colId = idx + 1 // root is column 0
     val out = Vector.newBuilder[Option[Either[String, Long]]]
     meta.stripes.foreach { case (off, il, dl, fl, nRowsL) =>
+      // Hostile stripe row counts drive Array.fill allocations below;
+      // cap in Long BEFORE narrowing (an OOM is an Error and would
+      // escape the corrupt→None contract).
+      if (nRowsL < 0L || nRowsL > MaxRowsPerStripe) return None
       val nRows = nRowsL.toInt
       val sfOff = off + il + dl
       val sfooter = decodeStream(file, sfOff.toInt, fl.toInt,

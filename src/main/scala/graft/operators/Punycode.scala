@@ -87,6 +87,10 @@ object Punycode {
       }
       val numPoints = output.length + 1
       bias = adapt(i - oldi, numPoints, oldi == 0)
+      // RFC 3492 §6.2 overflow handling: with numPoints=1 a legal i
+      // can reach ~Int.MaxValue, so n would wrap negative and slip
+      // past the range guard below.
+      if (i / numPoints > Int.MaxValue - n) return None
       n += i / numPoints
       i %= numPoints
       if (n > 0x10ffff || (n >= 0xd800 && n <= 0xdfff)) return None

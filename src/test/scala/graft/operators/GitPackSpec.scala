@@ -207,6 +207,21 @@ class GitPackSpec extends AnyFunSuite {
     val tree = looseObject(Files.readAllBytes(tObj)).get
     val entries = treeEntries(tree._3).get
     assert(entries.map(_._2) == Vector("f.txt", "g.txt"))
+    // git sorts directory names as name+"/": file `foo.txt` sorts
+    // BEFORE subtree `foo` ('.' < '/'), and that tree is VALID
+    Files.write(dir.resolve("foo.txt"), "file\n".getBytes("UTF-8"))
+    Files.createDirectories(dir.resolve("foo"))
+    Files.write(dir.resolve("foo/inner.txt"), "inner\n".getBytes("UTF-8"))
+    sh(dir, "git", "add", ".")
+    sh(dir, "git", "commit", "-q", "-m", "dir-vs-file ordering")
+    val ts2 = sh(dir, "git", "rev-parse", "HEAD^{tree}").trim
+    val t2 = looseObject(Files.readAllBytes(
+      dir.resolve(s".git/objects/${ts2.take(2)}/${ts2.drop(2)}"))).get
+    val e2 = treeEntries(t2._3).get
+    assert(e2.map(_._2).containsSlice(Vector("foo.txt", "foo")))
+    // a genuinely unsorted tree still rejects
+    val swapped = treeContent(e2.reverse.map(e => (e._1, e._2, e._3)))
+    assert(treeEntries(swapped).isEmpty)
     // hostile: header lie, truncation, unknown type
     assert(looseObject(encodeLoose("blobx", content)).isEmpty)
     val good = encodeLoose("blob", content)

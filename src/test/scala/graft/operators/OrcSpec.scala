@@ -111,6 +111,14 @@ class OrcSpec extends SparkSpec {
     // unknown column
     val meta = Orc.parseTail(bytes).get
     assert(Orc.readColumn(bytes, meta, "nope").isEmpty)
+    // hostile stripe row count: a declared multi-billion nRows must
+    // reject BEFORE allocation (an OOM would escape the None contract)
+    val huge = meta.copy(stripes = meta.stripes.map(s =>
+      (s._1, s._2, s._3, s._4, 3000000000L)))
+    assert(Orc.readColumn(bytes, huge, "id").isEmpty)
+    val neg = meta.copy(stripes = meta.stripes.map(s =>
+      (s._1, s._2, s._3, s._4, -1L)))
+    assert(Orc.readColumn(bytes, neg, "id").isEmpty)
     // flips inside the data region: either reject or decode unchanged
     val orig = longs(bytes, "id")
     (100 until bytes.length - 100 by 211).foreach { k =>

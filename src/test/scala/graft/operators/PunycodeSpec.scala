@@ -71,6 +71,11 @@ class PunycodeSpec extends AnyFunSuite {
     assert(toUnicode("xn--!!!").isEmpty)
     // overflow: long run of high digits
     assert(decode("99999999999999999999999").isEmpty)
+    // RFC 3492 §6.2 n-overflow: digits (1,27,27,32,27,30,32,14)
+    // yield i=2147483521 with numPoints=1, so n=128+i wraps negative
+    // — must be None, not an uncaught appendCodePoint throw
+    assert(decode("b116146o").isEmpty)
+    assert(toUnicode("xn--b116146o").isEmpty)
     // non-ASCII in the basic section
     assert(decode("bü-abc").isEmpty)
     // all-ASCII label passes through toAscii unchanged

@@ -77,6 +77,25 @@ class ZipMethodsSpec extends AnyFunSuite {
     // and our own reader round-trips them too
     val entries = Archive.zipEntries(zip).get
     assert(entries.forall(e => Archive.unzipEntry(zip, e).isDefined))
+    // non-ASCII member name: length fields must count UTF-8 BYTES
+    // (name.length in UTF-16 chars produced a torn local header)
+    val uzip = Archive.encodeZipMethods(Seq(("bücher-日本.txt", payload, 12)))
+    Files.write(dir.resolve("uni.zip"), uzip)
+    val uscript =
+      """import zipfile, sys
+        |z = zipfile.ZipFile(sys.argv[1])
+        |assert z.testzip() is None
+        |n = z.namelist()[0]
+        |assert n.encode('cp437', 'replace') is not None
+        |assert z.read(n) == b'emitted payload ' * 300
+        |print('PY-UNI-OK')
+        |""".stripMargin
+    Files.write(dir.resolve("ru.py"), uscript.getBytes("UTF-8"))
+    assert(sh(dir, py.getAbsolutePath, "ru.py", "uni.zip")
+      .contains("PY-UNI-OK"))
+    val ue = Archive.zipEntries(uzip).get
+    assert(ue.size == 1 &&
+      Archive.unzipEntry(uzip, ue.head).get.sameElements(payload))
   }
 
   test("hostile method-12/14 payloads reject: CRC lies, torn streams, " +
