@@ -21,10 +21,13 @@ import ParquetFooter.{struct => thriftStruct, _}
   * mid-column dictionary-fallback-to-PLAIN shape parquet-mr produces
   * on high-cardinality columns.
   *
-  * Scope is the flat-schema subset a forensics/data-skipping pass
-  * needs (required/optional INT64 and BYTE_ARRAY leaves); nested
-  * schemas, v2 pages, and other physical types reject with None
-  * rather than guessing.
+  * Scope: flat required/optional INT64 and BYTE_ARRAY leaves
+  * ([[readColumn]]), plus one-level-nested LIST columns via Dremel
+  * repetition/definition-level record assembly ([[readListColumn]]
+  * with [[schemaLevels]]) — Spark's 3-level list encoding with null
+  * lists, empty lists, and null elements, in both v1 and v2 pages.
+  * Deeper nesting and other physical types reject with None rather
+  * than guessing.
   *
   * Referee: Spark's own parquet writer — the spec and the q441 query
   * both have Spark write REAL files (dictionary + fallback pages,
@@ -139,6 +142,11 @@ object ParquetPages {
 
   // ---- page header ----------------------------------------------------
 
+  /** Allocation caps (GitPack.MaxObject style) applied to declared
+    * page sizes/counts before any allocation. */
+  private val MaxPageBytes: Int = 1 << 28
+  private val MaxPageValues: Int = 1 << 24
+
   private final case class PageHeader(ptype: Int, uncompSize: Int,
       compSize: Int, crc: Option[Int], numValues: Int, encoding: Int,
       headerLen: Int, v2DefLen: Int = 0, v2RepLen: Int = 0,
@@ -196,7 +204,13 @@ object ParquetPages {
           case _ => if (t != TBoolTrue && t != TBoolFalse) skip(r, t)
         }
       }
-      if (ptype < 0 || unc < 0 || comp < 0) None
+      // Cap declared counts/sizes before they drive allocations
+      // downstream (Array.fill(numValues), decompress(uncompSize)):
+      // a hostile header must yield None, not an OutOfMemoryError
+      // escaping the corrupt→None contract.
+      if (ptype < 0 || unc < 0 || comp < 0 || unc > MaxPageBytes ||
+        comp > b.length - off || nvals > MaxPageValues ||
+        defLen < 0 || repLen < 0) None
       else Some(PageHeader(ptype, unc, comp, crc, nvals, enc,
         r.pos - off, defLen, repLen, v2Comp))
     } catch { case _: Exception => None }
@@ -430,7 +444,8 @@ object ParquetPages {
         ph.ptype match {
           case 2 => // dictionary page (PLAIN / PLAIN_DICTIONARY payload)
             if (chunk.ptype == 2) {
-              if (ph.numValues * 8 > page.length) return None
+              if (ph.numValues < 0 ||
+                ph.numValues.toLong * 8L > page.length) return None
               dictLongs = Array.tabulate(ph.numValues) { i =>
                 var v = 0L
                 var w = 0
@@ -620,6 +635,316 @@ object ParquetPages {
         None
     }
 
+  // ---- nested lists: Dremel repetition/definition levels ---------------
+
+  /** Level bounds for one leaf: max definition level, max repetition
+    * level, and whether the leaf ITSELF is optional (drives the
+    * null-element vs empty-list reading of def = maxDef-1). */
+  final case class LeafLevels(maxDef: Int, maxRep: Int,
+      leafOptional: Boolean)
+
+  /** Per-leaf level bounds from the footer's schema tree — the Dremel
+    * walk `chunkMetas`' flat view skips. Keys are dotted paths
+    * matching ColumnMetaData.path_in_schema (e.g.
+    * "tokens.list.element" for Spark's 3-level list encoding). */
+  def schemaLevels(footer: Array[Byte]): Option[Map[String, LeafLevels]] =
+    try {
+      val r = new Reader(footer, 0)
+      var out = Map.empty[String, LeafLevels]
+      final class Node(var remaining: Long, val defL: Int, val repL: Int,
+          val path: List[String])
+      thriftStruct(r) { (id, t) =>
+        (id, t) match {
+          case (2, TList) =>
+            val (et, n) = listHeader(r)
+            if (et != TStruct) throw new IllegalStateException("schema")
+            val stack = scala.collection.mutable.Stack.empty[Node]
+            var i = 0L
+            while (i < n) {
+              var name = ""
+              var rep = -1
+              var children = 0L
+              thriftStruct(r) { (fid, ft) =>
+                (fid, ft) match {
+                  case (3, TI32) => rep = r.zigzag().toInt
+                  case (4, TBinary) =>
+                    name = new String(r.bytes(r.varint().toInt), "UTF-8")
+                  case (5, TI32) => children = r.zigzag()
+                  case _ =>
+                    if (ft != TBoolTrue && ft != TBoolFalse) skip(r, ft)
+                }
+              }
+              if (i == 0) stack.push(new Node(children, 0, 0, Nil))
+              else {
+                while (stack.nonEmpty && stack.top.remaining == 0)
+                  stack.pop()
+                if (stack.isEmpty) throw new IllegalStateException("tree")
+                val parent = stack.top
+                parent.remaining -= 1
+                val defL = parent.defL + (if (rep == 1 || rep == 2) 1 else 0)
+                val repL = parent.repL + (if (rep == 2) 1 else 0)
+                val path = parent.path :+ name
+                if (children == 0)
+                  out += path.mkString(".") -> LeafLevels(defL, repL,
+                    rep == 1)
+                else stack.push(new Node(children, defL, repL, path))
+              }
+              i += 1
+            }
+          case _ => if (t != TBoolTrue && t != TBoolFalse) skip(r, t)
+        }
+      }
+      if (out.isEmpty) None else Some(out)
+    } catch { case _: Exception => None }
+
+  /** Decode one value region: PLAIN, dictionary ids (2|8), or the v2
+    * DELTA encodings, producing exactly `nPresent` present values. */
+  private def decodeValueRegion(page: Array[Byte], from: Int, enc: Int,
+      nPresent: Int, ptype: Int, dictLongs: Array[Long],
+      dictStrs: Array[String]): Option[IndexedSeq[Either[String, Long]]] =
+    enc match {
+      case 0 => // PLAIN
+        val out = Vector.newBuilder[Either[String, Long]]
+        var vi = from
+        var k = 0
+        while (k < nPresent) {
+          if (ptype == 2) {
+            if (vi + 8 > page.length) return None
+            var v = 0L
+            var w = 0
+            while (w < 8) { v |= (page(vi + w) & 0xffL) << (8 * w); w += 1 }
+            vi += 8
+            out += Right(v)
+          } else {
+            if (vi + 4 > page.length) return None
+            val len = (page(vi) & 0xff) | ((page(vi + 1) & 0xff) << 8) |
+              ((page(vi + 2) & 0xff) << 16) | ((page(vi + 3) & 0xff) << 24)
+            vi += 4
+            if (len < 0 || vi + len > page.length) return None
+            out += Left(new String(page, vi, len, "UTF-8"))
+            vi += len
+          }
+          k += 1
+        }
+        Some(out.result())
+      case 2 | 8 => // PLAIN_DICTIONARY / RLE_DICTIONARY ids
+        if (from >= page.length) return None
+        val bw = page(from) & 0xff
+        if (bw > 32) return None
+        val ids =
+          if (bw == 0) Array.fill(nPresent)(0)
+          else rleHybrid(page, from + 1, page.length, bw, nPresent,
+            lengthPrefixed = false).getOrElse(return None)._1
+        if (ptype == 2) {
+          if (dictLongs == null) return None
+          val out = new Array[Either[String, Long]](nPresent)
+          var k = 0
+          while (k < nPresent) {
+            val id = ids(k)
+            if (id < 0 || id >= dictLongs.length) return None
+            out(k) = Right(dictLongs(id))
+            k += 1
+          }
+          Some(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+        } else {
+          if (dictStrs == null) return None
+          val out = new Array[Either[String, Long]](nPresent)
+          var k = 0
+          while (k < nPresent) {
+            val id = ids(k)
+            if (id < 0 || id >= dictStrs.length) return None
+            out(k) = Left(dictStrs(id))
+            k += 1
+          }
+          Some(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+        }
+      case 5 => // DELTA_BINARY_PACKED
+        if (ptype != 2) return None
+        deltaBinaryPacked(page, from, nPresent).map { case (vals, _) =>
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            vals.map(Right(_): Either[String, Long]))
+        }
+      case 6 => // DELTA_LENGTH_BYTE_ARRAY
+        if (ptype != 6) return None
+        deltaLengthByteArray(page, from, nPresent).map(a =>
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            a.map(Left(_): Either[String, Long])))
+      case 7 => // DELTA_BYTE_ARRAY
+        if (ptype != 6) return None
+        deltaByteArray(page, from, nPresent).map(a =>
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            a.map(Left(_): Either[String, Long])))
+      case _ => None
+    }
+
+  /** Decode a one-level-nested LIST leaf (maxRep == 1): repetition
+    * levels open rows, definition levels distinguish null list /
+    * empty list / null element / value — the Dremel record assembly
+    * for Spark's 3-level `optional group f (LIST) { repeated group
+    * list { <rep> element } }` shape. Returns one entry per ROW:
+    * None = null list, Some(elems) with per-element Options.
+    * Corrupt input, deeper nesting, or non-INT64/BYTE_ARRAY leaves
+    * → None. */
+  def readListColumn(file: Array[Byte], chunk: ChunkMeta, lv: LeafLevels)
+      : Option[Vector[Option[Vector[Option[Either[String, Long]]]]]] =
+    try {
+      if (chunk.ptype != 2 && chunk.ptype != 6) return None
+      if (lv.maxRep != 1 || lv.maxDef < 1 || lv.maxDef > 3) return None
+      // def level of the repeated node: >= it means an element slot
+      val defList = lv.maxDef - (if (lv.leafOptional) 1 else 0)
+      val defBits = 32 - Integer.numberOfLeadingZeros(lv.maxDef)
+      val allDefs = Array.newBuilder[Int]
+      val allReps = Array.newBuilder[Int]
+      val values = Vector.newBuilder[Either[String, Long]]
+      var dictLongs: Array[Long] = null
+      var dictStrs: Array[String] = null
+      var off =
+        if (chunk.dictPageOffset >= 0) chunk.dictPageOffset.toInt
+        else chunk.dataPageOffset.toInt
+      var remaining = chunk.numValues
+      while (remaining > 0) {
+        val ph = pageHeader(file, off).getOrElse(return None)
+        val dataOff = off + ph.headerLen
+        if (dataOff + ph.compSize > file.length) return None
+        ph.crc.foreach { c =>
+          val crc = new java.util.zip.CRC32
+          crc.update(file, dataOff, ph.compSize)
+          if (crc.getValue.toInt != c) return None
+        }
+        ph.ptype match {
+          case 2 => // dictionary page
+            val page = decompress(chunk.codec, file, dataOff, ph.compSize,
+              ph.uncompSize).getOrElse(return None)
+            if (page.length != ph.uncompSize) return None
+            if (chunk.ptype == 2) {
+              if (ph.numValues < 0 ||
+                ph.numValues.toLong * 8L > page.length) return None
+              dictLongs = Array.tabulate(ph.numValues) { i =>
+                var v = 0L
+                var w = 0
+                while (w < 8) {
+                  v |= (page(i * 8 + w) & 0xffL) << (8 * w)
+                  w += 1
+                }
+                v
+              }
+            } else {
+              val ds = Array.newBuilder[String]
+              var i = 0
+              var cnt = 0
+              while (cnt < ph.numValues) {
+                if (i + 4 > page.length) return None
+                val len = (page(i) & 0xff) | ((page(i + 1) & 0xff) << 8) |
+                  ((page(i + 2) & 0xff) << 16) | ((page(i + 3) & 0xff) << 24)
+                i += 4
+                if (len < 0 || i + len > page.length) return None
+                ds += new String(page, i, len, "UTF-8")
+                i += len
+                cnt += 1
+              }
+              dictStrs = ds.result()
+            }
+          case 0 => // data page v1: rep levels, def levels, then values
+            val n = ph.numValues
+            if (n < 0) return None
+            val page = decompress(chunk.codec, file, dataOff, ph.compSize,
+              ph.uncompSize).getOrElse(return None)
+            if (page.length != ph.uncompSize) return None
+            val (reps, p1) = rleHybrid(page, 0, page.length, 1, n,
+              lengthPrefixed = true).getOrElse(return None)
+            val (defs, p2) = rleHybrid(page, p1, page.length, defBits, n,
+              lengthPrefixed = true).getOrElse(return None)
+            var nPresent = 0
+            var z = 0
+            while (z < n) { if (defs(z) == lv.maxDef) nPresent += 1; z += 1 }
+            val vals = decodeValueRegion(page, p2, ph.encoding, nPresent,
+              chunk.ptype, dictLongs, dictStrs).getOrElse(return None)
+            allReps ++= reps
+            allDefs ++= defs
+            values ++= vals
+            remaining -= n
+          case 3 => // data page v2: raw level regions, then codec region
+            val n = ph.numValues
+            if (n < 0) return None
+            val levLen = ph.v2RepLen + ph.v2DefLen
+            if (levLen > ph.compSize || ph.v2RepLen <= 0) return None
+            val reps = rleHybrid(file, dataOff, dataOff + ph.v2RepLen, 1,
+              n, lengthPrefixed = false).getOrElse(return None)._1
+            val defs =
+              if (ph.v2DefLen > 0)
+                rleHybrid(file, dataOff + ph.v2RepLen,
+                  dataOff + levLen, defBits, n,
+                  lengthPrefixed = false).getOrElse(return None)._1
+              else Array.fill(n)(lv.maxDef)
+            var nPresent = 0
+            var z = 0
+            while (z < n) { if (defs(z) == lv.maxDef) nPresent += 1; z += 1 }
+            val valComp = ph.compSize - levLen
+            val valUnc = ph.uncompSize - levLen
+            val vpage =
+              if (ph.v2Compressed) decompress(chunk.codec, file,
+                dataOff + levLen, valComp, valUnc).getOrElse(return None)
+              else java.util.Arrays.copyOfRange(file, dataOff + levLen,
+                dataOff + levLen + valComp)
+            if (vpage.length != valUnc) return None
+            val vals = decodeValueRegion(vpage, 0, ph.encoding, nPresent,
+              chunk.ptype, dictLongs, dictStrs).getOrElse(return None)
+            allReps ++= reps
+            allDefs ++= defs
+            values ++= vals
+            remaining -= n
+          case _ => return None
+        }
+        off = dataOff + ph.compSize
+      }
+      // record assembly
+      val reps = allReps.result()
+      val defs = allDefs.result()
+      val vals = values.result()
+      if (reps.length != defs.length) return None
+      val rows =
+        Vector.newBuilder[Option[Vector[Option[Either[String, Long]]]]]
+      var cur = Vector.newBuilder[Option[Either[String, Long]]]
+      var curNull = false
+      var curHasElems = false
+      var started = false
+      var vk = 0
+      def flush(): Unit =
+        rows += (if (curNull) None else Some(cur.result()))
+      var i = 0
+      while (i < reps.length) {
+        val rp = reps(i)
+        val df = defs(i)
+        if (rp == 0) {
+          if (started) flush()
+          started = true
+          cur = Vector.newBuilder
+          curNull = false
+          curHasElems = df >= defList
+          if (df < defList) curNull = df < defList - 1
+        } else if (!started || !curHasElems || df < defList) {
+          return None // continuation without an open element run
+        }
+        if (df >= defList) {
+          if (df == lv.maxDef) {
+            if (vk >= vals.length) return None
+            cur += Some(vals(vk))
+            vk += 1
+          } else if (lv.leafOptional && df == lv.maxDef - 1) {
+            cur += None
+          } else return None
+        }
+        i += 1
+      }
+      if (started) flush()
+      if (vk != vals.length) return None
+      Some(rows.result())
+    } catch {
+      case _: ArrayIndexOutOfBoundsException |
+        _: NegativeArraySizeException =>
+        None
+    }
+
   /** Convenience: read the footer from whole-file bytes. */
   def footerBytes(file: Array[Byte]): Option[Array[Byte]] = {
     if (file == null || file.length < 12) return None
@@ -764,6 +1089,88 @@ object ParquetPages {
                         + 2 + length(CAST(doc_id AS VARCHAR)))
                     AS BIGINT) AS sum_name_len,
                CAST(4 AS BIGINT) AS n_ok
-        FROM documents"""))
+        FROM documents""")),
+
+    // nested lists: Spark writes REAL array<bigint> columns (the
+    // 3-level LIST encoding with null lists, empty lists, and null
+    // elements), and the Dremel rep/def-level assembly must
+    // reconstruct every row — the ArrayType shape LLM-corpus parquet
+    // (token ids, shard manifests) is full of. Decode is distributed
+    // over whole files via binaryFile, as in q441/q447.
+    QueryDef(
+      "q448_parquet_list_decode",
+      (s, dir) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_pq_q448").toString
+        Tables.load(s, dir, "documents")
+          .select($"doc_id",
+            when($"doc_id" % 11 === 0, lit(null).cast("array<bigint>"))
+              .when($"doc_id" % 5 === 0, array().cast("array<bigint>"))
+              .otherwise(transform(
+                sequence($"doc_id" % 3, $"doc_id" % 3 + $"doc_id" % 7),
+                x => when(x % 4 =!= 0, x))).as("tokens"))
+          .repartition(4)
+          .write.mode("overwrite").parquet(tmp)
+        s.read.format("binaryFile")
+          .load(tmp + "/part-*.parquet")
+          .select($"content")
+          .as[Array[Byte]]
+          .map { bytes =>
+            val res = for {
+              footer <- footerBytes(bytes)
+              (nRows, chunks, _) <- chunkMetas(footer)
+              levels <- schemaLevels(footer)
+              lv <- levels.get("tokens.list.element")
+              lists <- chunks.filter(_.path == "tokens.list.element")
+                .foldLeft(Option(Vector.empty[
+                  Option[Vector[Option[Either[String, Long]]]]])) {
+                  (acc, c) => acc.flatMap(v =>
+                    readListColumn(bytes, c, lv).map(v ++ _))
+                }
+            } yield {
+              val elems = lists.flatten.flatten
+              (lists.length.toLong,
+                lists.count(_.isEmpty).toLong,
+                lists.count(l => l.exists(_.isEmpty)).toLong,
+                elems.count(_.isEmpty).toLong,
+                elems.length.toLong,
+                elems.flatten.collect { case Right(v) => v }.sum,
+                lists.length.toLong == nRows)
+            }
+            res.getOrElse((-1L, -1L, -1L, -1L, -1L, -1L, false))
+          }
+          .toDF("n_rows", "n_null_lists", "n_empty_lists", "n_null_elems",
+            "n_elems", "sum_elems", "ok")
+          .agg(sum($"n_rows").as("n_rows"),
+            sum($"n_null_lists").as("n_null_lists"),
+            sum($"n_empty_lists").as("n_empty_lists"),
+            sum($"n_null_elems").as("n_null_elems"),
+            sum($"n_elems").as("n_elems"),
+            sum($"sum_elems").as("sum_elems"),
+            count(when($"ok", 1)).as("n_ok"))
+      },
+      Some("""
+        WITH lists AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS is_null,
+                 CASE WHEN doc_id % 11 <> 0 AND doc_id % 5 = 0
+                      THEN 1 ELSE 0 END AS is_empty,
+                 doc_id % 3 AS a, doc_id % 3 + doc_id % 7 AS b
+          FROM documents),
+        elems AS (
+          SELECT unnest(generate_series(a, b)) AS x
+          FROM lists WHERE is_null = 0 AND is_empty = 0)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM lists) AS n_rows,
+               (SELECT CAST(sum(is_null) AS BIGINT) FROM lists)
+                 AS n_null_lists,
+               (SELECT CAST(sum(is_empty) AS BIGINT) FROM lists)
+                 AS n_empty_lists,
+               (SELECT CAST(count(*) FILTER (WHERE x % 4 = 0) AS BIGINT)
+                  FROM elems) AS n_null_elems,
+               (SELECT CAST(count(*) AS BIGINT) FROM elems) AS n_elems,
+               (SELECT CAST(sum(x) FILTER (WHERE x % 4 <> 0) AS BIGINT)
+                  FROM elems) AS sum_elems,
+               CAST(4 AS BIGINT) AS n_ok"""))
   )
 }
