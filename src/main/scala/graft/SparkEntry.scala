@@ -83,7 +83,8 @@ object SparkEntry {
     AvroRecords.defs,
     Orc.defs,
     ArrowIpc.defs,
-    Lz4Codec.defs)
+    Lz4Codec.defs,
+    Cpio.defs)
 
   private lazy val defs: Seq[QueryDef] = modules.flatten
 
