@@ -51,4 +51,43 @@ object Tables {
     * is the same thing with split planning + locality built in. */
   def loadMulti(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.parquet(paths: _*)
+
+  /** Scale-adaptive scan fan-out for CPU-heavy map stages (per-blob
+    * decode, per-shingle hashing): the optimization guide's fix for
+    * unsplittable input ("one huge unsplittable file ... repartition
+    * immediately after the read", §2.5). The fixture tables are
+    * single-file single-ROW-GROUP parquet, so every scan plans as ONE
+    * task no matter how many cores the session has — a 3 s JPEG-decode
+    * pass then serializes on one core while 31 idle.
+    *
+    * Fires ONLY when (a) the frame is a narrow scan pipeline (leaf +
+    * Filter/Project — anything with a shuffle below is already
+    * parallel), and (b) the planned scan parallelism is below the
+    * session default. At production scale (many files / row groups) the
+    * scan plans >= cores partitions and this is a structural no-op, so
+    * nothing here is tuned to local[32]; the target tracks
+    * `defaultParallelism`, which the driver varies via
+    * SPARK_GRAFT_CPUS. Round-robin (not keyed): perfectly balanced for
+    * uniform per-row work, and deterministic under retry via Spark's
+    * sort-before-repartition. Streaming frames pass through untouched
+    * (`.rdd` is illegal on them; the micro-batch planner parallelizes
+    * its own scans). */
+  def fanout(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def narrow(p: LogicalPlan): Boolean = p match {
+      case _: LeafNode => true
+      case p: Project => narrow(p.child)
+      case f: Filter => narrow(f.child)
+      case a: SubqueryAlias => narrow(a.child)
+      case _ => false
+    }
+    if (df.isStreaming || !narrow(df.queryExecution.analyzed)) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      // no exchange below (narrow) -> no AQE wrapper -> .rdd is pure
+      // planning, nothing executes here
+      if (df.rdd.getNumPartitions >= target) df
+      else df.repartition(target)
+    }
+  }
 }

@@ -147,7 +147,7 @@ object Ar {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val control = (s"Package: pkg-${id % 100}\n" +
               s"Version: 1.${id % 20}\n" +

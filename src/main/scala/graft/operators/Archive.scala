@@ -946,7 +946,7 @@ object Archive {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val blob = Archive.encodeZip(Seq(
               (s"a/doc$id.txt", text.getBytes("UTF-8"), id % 2 == 0),
@@ -988,7 +988,7 @@ object Archive {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val payload = text.getBytes("UTF-8")
             val third = payload.length / 3
@@ -1024,7 +1024,7 @@ object Archive {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val tb = text.getBytes("UTF-8")
             val zip = Archive.encodeZipMethods(Seq(

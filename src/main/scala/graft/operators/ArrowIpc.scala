@@ -296,6 +296,57 @@ object ArrowIpc {
   // queries
   // ------------------------------------------------------------------
 
+  /** [[org.apache.arrow.compression.CommonsCompressionFactory]] with a
+    * 64 KiB LZ4-frame block size. The stock arrow LZ4 codec runs each
+    * buffer through commons-compress's FramedLZ4CompressorOutputStream
+    * at the DEFAULT 4 MiB block size, which allocates (and zeroes)
+    * megabytes of block buffer per tiny Arrow buffer — measured 5.3 ms
+    * per q449 blob vs 0.12 ms for the ZSTD path, and WORSE under
+    * parallelism (allocation-bandwidth bound, 32 cores x ~10 MB/blob).
+    * Same commons-compress encoder, same legal LZ4-frame wire format
+    * (the frame's BD byte declares K64 — the from-spec decoder reads
+    * any declared block size), ~60x less allocation per buffer. ZSTD
+    * and every other codec id delegate to the stock factory. */
+  private[graft] object SmallBlockCompressionFactory
+      extends org.apache.arrow.vector.compression.CompressionCodec.Factory {
+    import org.apache.arrow.vector.compression.{CompressionCodec,
+      CompressionUtil}
+    private final class K64Lz4
+        extends org.apache.arrow.compression.Lz4CompressionCodec {
+      override protected def doCompress(
+          alloc: org.apache.arrow.memory.BufferAllocator,
+          uncompressed: org.apache.arrow.memory.ArrowBuf)
+          : org.apache.arrow.memory.ArrowBuf = {
+        import org.apache.commons.compress.compressors.lz4
+          .FramedLZ4CompressorOutputStream
+        val n = uncompressed.writerIndex().toInt
+        val in = new Array[Byte](n)
+        uncompressed.getBytes(0, in)
+        val bos = new java.io.ByteArrayOutputStream()
+        val out = new FramedLZ4CompressorOutputStream(bos,
+          new FramedLZ4CompressorOutputStream.Parameters(
+            FramedLZ4CompressorOutputStream.BlockSize.K64))
+        out.write(in); out.close()
+        val comp = bos.toByteArray
+        // doCompress contract (mirrors the stock codec): compressed
+        // bytes at offset 8; AbstractCompressionCodec fills the
+        // uncompressed-length prefix
+        val buf = alloc.buffer(8L + comp.length)
+        buf.setBytes(8L, comp)
+        buf.writerIndex(8L + comp.length)
+        buf
+      }
+    }
+    override def createCodec(
+        t: CompressionUtil.CodecType): CompressionCodec = t match {
+      case CompressionUtil.CodecType.LZ4_FRAME => new K64Lz4
+      case other => org.apache.arrow.compression
+        .CommonsCompressionFactory.INSTANCE.createCodec(other)
+    }
+    override def createCodec(t: CompressionUtil.CodecType,
+        level: Int): CompressionCodec = createCodec(t)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Arrow IPC census: the REFERENCE implementation (arrow-vector,
@@ -310,7 +361,7 @@ object ArrowIpc {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id")
-          .as[Long]
+          .fanout.as[Long]
           .mapPartitions { it =>
             import scala.jdk.CollectionConverters._
             import org.apache.arrow.memory.RootAllocator
@@ -408,7 +459,7 @@ object ArrowIpc {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id")
-          .as[Long]
+          .fanout.as[Long]
           .mapPartitions { it =>
             import scala.jdk.CollectionConverters._
             import org.apache.arrow.memory.RootAllocator
@@ -485,7 +536,7 @@ object ArrowIpc {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id")
-          .as[Long]
+          .fanout.as[Long]
           .mapPartitions { it =>
             import scala.jdk.CollectionConverters._
             import org.apache.arrow.memory.RootAllocator
@@ -509,9 +560,11 @@ object ArrowIpc {
               val ct =
                 if (id % 2 == 0) CompressionUtil.CodecType.LZ4_FRAME
                 else CompressionUtil.CodecType.ZSTD
+              // SmallBlockCompressionFactory: stock commons-compress
+              // LZ4 but with K64 frame blocks — see its scaladoc
               val w = new ArrowStreamWriter(root, null,
                 java.nio.channels.Channels.newChannel(bos),
-                IpcOption.DEFAULT, CommonsCompressionFactory.INSTANCE, ct)
+                IpcOption.DEFAULT, SmallBlockCompressionFactory, ct)
               w.start()
               val n = (1 + id % 4).toInt
               val rid = root.getVector("rid").asInstanceOf[BigIntVector]

@@ -156,7 +156,7 @@ object Avi {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id", $"text").as[(Long, String)]
+          .select($"doc_id", $"text").fanout.as[(Long, String)]
           .map { case (id, text) =>
             val hasAudio = id % 2 == 1
             val payload = text.getBytes("UTF-8")

@@ -130,7 +130,7 @@ object Avro {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id")
-          .as[Long]
+          .fanout.as[Long]
           .map { id =>
             val sync = Array.tabulate(16)(k => ((id + k) % 251).toByte)
             val blocks = (0L to (id % 3)).map(k =>

@@ -393,7 +393,7 @@ object AvroRecords {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id")
-          .as[Long]
+          .fanout.as[Long]
           .flatMap { id =>
             val codec = Vector("null", "deflate", "snappy")((id % 3).toInt)
             val recs = (0L to id % 3).map { k =>

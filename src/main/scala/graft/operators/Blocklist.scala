@@ -110,7 +110,7 @@ object Blocklist {
     val s = docs.sparkSession
     import s.implicits._
     val ac = AhoCorasick.build(patterns)
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.select(col("doc_id"), col("text")).fanout.as[(Long, String)]
       .map { case (id, text) =>
         val c = ac.countMatches(text)
         var total = 0L

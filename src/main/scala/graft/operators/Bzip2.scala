@@ -641,7 +641,7 @@ object Bzip2 {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val data = text.getBytes("UTF-8")
             val blob = bzip2Compress(data, level = (1 + id % 3).toInt)
@@ -667,7 +667,7 @@ object Bzip2 {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val tb = text.getBytes("UTF-8")
             val tar = Archive.encodeTar(Seq(

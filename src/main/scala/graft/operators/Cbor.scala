@@ -283,7 +283,7 @@ object Cbor {
         import s.implicits._
         val docs = Tables.load(s, dir, "documents")
           .select($"doc_id")
-          .as[Long]
+          .fanout.as[Long]
           .map { id =>
             val out = new ByteArrayOutputStream()
             val nEntries = 5 +
@@ -357,7 +357,7 @@ object Cbor {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id")
-          .as[Long]
+          .fanout.as[Long]
           .flatMap { id =>
             val out = new ByteArrayOutputStream()
             packInt(out, id)

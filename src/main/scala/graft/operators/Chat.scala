@@ -56,7 +56,7 @@ object Chat {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val (rendered, spans) = Chat.render(Seq(
               Turn(0, "system", "be helpful"),

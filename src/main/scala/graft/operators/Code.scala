@@ -247,7 +247,7 @@ object Code {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val (path, content) = (id % 5) match {
               case 0 => (s"src/m$id.py", s"#!/usr/bin/env node\n$text")
@@ -291,7 +291,7 @@ object Code {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val header = (id % 4) match {
               case 0 =>
@@ -331,7 +331,7 @@ object Code {
         import s.implicits._
         val keyed = Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val src = (id % 3) match {
               case 0 => s"// $text\nint alpha$id = beta$id + alpha$id;"
@@ -377,7 +377,7 @@ object Code {
         import s.implicits._
         val files = Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             (id,
               s"""// lead $text

@@ -216,7 +216,7 @@ object Cpio {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val entries = Seq(
               CpioEntry(s"docs/d$id.txt", 0x81a4, 1000000L + id,

@@ -92,7 +92,7 @@ object Csv {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id")
-          .as[Long]
+          .fanout.as[Long]
           .map { id =>
             val d = Csv.candidates((id % 4).toInt)._1
             val header = if (id % 2 == 0) Seq(s"name${d}qty${d}note") else Seq.empty

@@ -258,7 +258,9 @@ object Dedup {
   def simhash(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val tok = docs
+    // fan out before the explode: the per-token md5 pass otherwise runs
+    // in an under-parallel scan stage (no-op at real scale)
+    val tok = graft.engine.Tables.fanout(docs)
       .select($"doc_id", explode(split($"text", " ")).as("tk"))
       .filter(length($"tk") > 0)
       .withColumn("h", h32($"tk"))
@@ -335,7 +337,8 @@ object Dedup {
   def simhash64(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val tok = docs
+    // fan out before the explode — same rationale as [[simhash]]
+    val tok = graft.engine.Tables.fanout(docs)
       .select($"doc_id", explode(split($"text", " ")).as("tk"))
       .filter(length($"tk") > 0)
       .withColumn("h1", h32($"tk"))
@@ -407,7 +410,13 @@ object Dedup {
     import s.implicits._
     CosineSimilarity.register(s)
     val e = embeddings.select($"vec_id", $"embedding")
-    val a = e.toDF("id1", "v1")
+    // the theta join plans as BroadcastNestedLoopJoin with `a` STREAMED:
+    // every candidate pair's cosine is evaluated in a's scan stage, so an
+    // under-parallel scan (single-row-group fixture) serializes the whole
+    // n²/2 verify on one core — fan the streamed side out (scale-adaptive
+    // no-op when the scan already plans >= cores; the broadcast side b
+    // must NOT be fanned, its build collects anyway)
+    val a = Tables.fanout(e).toDF("id1", "v1")
     val b = e.toDF("id2", "v2")
     a.join(b, $"id1" < $"id2")
       .withColumn("cosine", round(expr("cosine_sim(v1, v2)"), 4))
@@ -489,7 +498,9 @@ object Dedup {
     val s = embeddings.sparkSession
     import s.implicits._
     CosineSimilarity.register(s)
-    val e = embeddings.select($"vec_id", $"embedding")
+    // fanned out: the broadcast-centroid crossJoin streams `e`, so an
+    // under-parallel scan serializes the n x k scoring pass on one core
+    val e = Tables.fanout(embeddings.select($"vec_id", $"embedding"))
     val centroids = e.filter(isCentroid).toDF("cent_id", "cent_v")
     // nearest-centroid argmax via max_by aggregation — partial-aggregated
     // map-side, so ONE row per vector crosses the shuffle instead of all

@@ -246,7 +246,7 @@ object Ebml {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id", $"text").as[(Long, String)]
+          .select($"doc_id", $"text").fanout.as[(Long, String)]
           .map { case (id, text) =>
             val docType = if (id % 2 == 0) "webm" else "matroska"
             val nTracks = (1 + id % 3).toInt

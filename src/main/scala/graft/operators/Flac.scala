@@ -652,7 +652,7 @@ object Flac {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id", $"text").as[(Long, String)]
+          .select($"doc_id", $"text").fanout.as[(Long, String)]
           .map { case (id, _) =>
             val n = (300 + id % 500).toInt
             val const = (id % 2000).toInt - 1000
@@ -709,7 +709,7 @@ object Flac {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val n = (300 + id % 500).toInt
             val left = Array.tabulate(n)(t =>

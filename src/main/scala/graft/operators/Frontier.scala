@@ -45,7 +45,7 @@ object Frontier {
         import s.implicits._
         val frontier = Tables.load(s, dir, "documents")
           .select($"doc_id")
-          .as[Long]
+          .fanout.as[Long]
           .map { id =>
             val h = id % 20
             (id, s"h$h.example", s"/p$id", (id % 13).toInt,

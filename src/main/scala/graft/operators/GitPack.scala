@@ -772,7 +772,7 @@ object GitPack {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val pack = fixturePack(id, text)
             val objs = GitPack.packObjects(pack).getOrElse(Vector.empty)
@@ -814,7 +814,7 @@ object GitPack {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .flatMap { case (id, text) =>
             val pack = fixturePack(id, text)
             GitPack.packObjects(pack).getOrElse(Vector.empty)
@@ -847,7 +847,7 @@ object GitPack {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val blob = s"$id\n$text".getBytes("UTF-8")
             val lic = "MIT\n".getBytes("UTF-8")
@@ -893,7 +893,7 @@ object GitPack {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val n = (1 + id % 4).toInt
             val (pack, headSha) = fixtureChainPack(id, text, n)
@@ -948,7 +948,7 @@ object GitPack {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val n = (1 + id % 3).toInt
             val (pack, headSha) = fixtureChainPack(id, text, n)
@@ -985,7 +985,7 @@ object GitPack {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val pack = fixturePack(id, text, withTag = id % 3 == 0)
             val idx = encodeIdx(pack).getOrElse(Array.emptyByteArray)

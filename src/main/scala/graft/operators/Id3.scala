@@ -248,7 +248,7 @@ object Id3 {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val version = 3 + (id % 2).toInt
             val frames = Seq(
@@ -309,7 +309,7 @@ object Id3 {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val frames = Seq(
               "TIT2" -> s"Title ÿ$id",
@@ -349,7 +349,7 @@ object Id3 {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val blob = encodeId3v24(Seq(
               ("TIT2", s"Tÿtle $id€", 1, true, false),

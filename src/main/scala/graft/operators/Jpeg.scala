@@ -869,7 +869,7 @@ object Jpeg {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val w = (16 + (id % 6) * 8).toInt
             val h = (16 + (id * 3 % 6) * 8).toInt
@@ -931,7 +931,7 @@ object Jpeg {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val (lh, lv, mode) = Modes((id % 3).toInt)
             val img = colorFixture(id)
@@ -960,7 +960,7 @@ object Jpeg {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val (lh, lv, mode) = Modes((id % 3).toInt)
             val img = colorFixture(id)
@@ -991,7 +991,7 @@ object Jpeg {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val img = colorFixture(id)
             val blob = encodeImageIO(img, lumaH = 1, lumaV = 2,

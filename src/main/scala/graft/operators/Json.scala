@@ -222,7 +222,7 @@ object Json {
         import s.implicits._
         val docs = Tables.load(s, dir, "documents")
           .select($"doc_id")
-          .as[Long]
+          .fanout.as[Long]
           .map(id => (id, fixtureJson(id)))
           .toDF("doc_id", "json")
         Json.schemaProfile(docs, "doc_id", "json")
@@ -259,7 +259,7 @@ object Json {
         import s.implicits._
         val docs = Tables.load(s, dir, "documents")
           .select($"doc_id")
-          .as[Long]
+          .fanout.as[Long]
           .map { id =>
             val j =
               if (id % 2 == 0)

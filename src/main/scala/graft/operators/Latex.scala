@@ -158,7 +158,7 @@ object Latex {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val tex =
               s"""\\documentclass{article}

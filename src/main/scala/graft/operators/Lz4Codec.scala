@@ -259,7 +259,7 @@ object Lz4Codec {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val data = text.getBytes("UTF-8")
             val blob =

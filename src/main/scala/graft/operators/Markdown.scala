@@ -282,7 +282,7 @@ object Markdown {
         import s.implicits._
         val pages = Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             (id,
               s"""# Doc $id

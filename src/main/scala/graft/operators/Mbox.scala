@@ -169,7 +169,7 @@ object Mbox {
         import s.implicits._
         val rows = Tables.load(s, dir, "documents")
           .select($"doc_id")
-          .as[Long]
+          .fanout.as[Long]
           .flatMap { id =>
             val msgs = (0L to id % 3).map(k => fixtureMessage(id, k))
             val blob = encode(msgs)

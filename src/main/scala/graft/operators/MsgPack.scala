@@ -162,7 +162,7 @@ object MsgPack {
         import s.implicits._
         val docs = Tables.load(s, dir, "documents")
           .select($"doc_id")
-          .as[Long]
+          .fanout.as[Long]
           .map { id =>
             val out = new ByteArrayOutputStream()
             val nEntries = 4 + (if (id % 3 == 0) 1 else 0)

@@ -380,7 +380,7 @@ object Multimodal {
         import s.implicits._
         val media = Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val w = (16 + id % 624).toInt
             val h = (16 + (id * 7) % 464).toInt
@@ -427,7 +427,7 @@ object Multimodal {
         import s.implicits._
         val media = Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val w = (16 + id % 624).toInt
             val h = (16 + (id * 7) % 464).toInt
@@ -479,7 +479,7 @@ object Multimodal {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val layer = (1 + id % 3).toInt
             val kbps = layer match {
@@ -533,7 +533,7 @@ object Multimodal {
         import s.implicits._
         val media = Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val rate = (id % 3) match {
               case 0 => 8000; case 1 => 16000; case _ => 44100
@@ -581,7 +581,7 @@ object Multimodal {
         import s.implicits._
         val media = Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val note = text.getBytes("UTF-8")
             if (id % 2 == 0) {
@@ -657,7 +657,7 @@ object Multimodal {
         import s.implicits._
         val media = Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val note = text.getBytes("UTF-8")
             val nData = (3 + id % 7).toInt
@@ -736,7 +736,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val comments = Seq(
               "ARTIST" -> s"artist ${id % 50}",
@@ -799,7 +799,7 @@ object Multimodal {
         import s.implicits._
         val media = Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val a = text.getBytes("US-ASCII")
             val bytes = (id % 6) match {
@@ -851,7 +851,7 @@ object Multimodal {
         import s.implicits._
         val media = Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             MediaRecord(id,
               Compression.encodeGzip(text.getBytes("UTF-8"),
@@ -985,7 +985,7 @@ object Multimodal {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .mapPartitions { it =>
             val md = MessageDigest.getInstance("MD5")
             it.map { case (id, text) =>
@@ -1042,7 +1042,7 @@ object Multimodal {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .mapPartitions { it =>
             val md = MessageDigest.getInstance("MD5")
             it.map { case (id, text) =>
@@ -1144,7 +1144,7 @@ object Multimodal {
         import s.implicits._
         val rows = Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .mapPartitions { it =>
             val md = MessageDigest.getInstance("MD5")
             it.flatMap { case (id, text) =>
@@ -1268,7 +1268,7 @@ object Multimodal {
         import s.implicits._
         val media = Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             MediaRecord(id,
               Http.encodeResponse(
@@ -1317,7 +1317,7 @@ object Multimodal {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .mapPartitions { it =>
             val md = MessageDigest.getInstance("MD5")
             it.map { case (id, text) =>
@@ -1431,7 +1431,7 @@ object Multimodal {
         import s.implicits._
         val media = Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             MediaRecord(id,
               Compression.encodeZstdHeader(
@@ -1481,7 +1481,7 @@ object Multimodal {
         import s.implicits._
         val media = Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             MediaRecord(id,
               Compression.encodeParquetShell(
@@ -1520,7 +1520,7 @@ object Multimodal {
         import s.implicits._
         val media = Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val tb = text.getBytes("UTF-8")
             val w = (16 + id % 624).toInt
@@ -1602,7 +1602,7 @@ object Multimodal {
         import s.implicits._
         val media = Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val tb = text.getBytes("UTF-8")
             val bytes = (id % 4) match {
@@ -1650,7 +1650,7 @@ object Multimodal {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val tb = text.getBytes("UTF-8")
             val blob = (id % 4) match {
@@ -1723,7 +1723,7 @@ object Multimodal {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val blob = Compression.encodeLz4(text.getBytes("UTF-8"),
               blockMaxCode = (4 + id % 4).toInt,
@@ -1763,7 +1763,7 @@ object Multimodal {
         import s.implicits._
         val media = Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val w = (16 + id % 624).toInt
             val h = (16 + (id * 7) % 464).toInt
@@ -1805,7 +1805,7 @@ object Multimodal {
         import s.implicits._
         val media = Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val w = (16 + id % 624).toInt
             val h = (16 + (id * 7) % 464).toInt
@@ -1854,7 +1854,7 @@ object Multimodal {
         import s.implicits._
         val media = Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val w = (16 + id % 624).toInt
             val h = (16 + (id * 7) % 464).toInt
@@ -1921,7 +1921,7 @@ object Multimodal {
         import s.implicits._
         val media = Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val w = (16 + id % 624).toInt
             val h = (16 + (id * 7) % 464).toInt
@@ -1962,7 +1962,7 @@ object Multimodal {
         import s.implicits._
         val media = Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             MediaRecord(id,
               Pdf.encodePdf(
@@ -2006,7 +2006,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val nPages = (1 + id % 3).toInt
             val pages = (0 until nPages).map { p =>
@@ -2064,7 +2064,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val nPages = (1 + id % 3).toInt
             val pages = (0 until nPages).map { p =>
@@ -2126,7 +2126,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val fam = s"Fam ${id % 97}"
             val sub = (id % 3) match {
@@ -2177,7 +2177,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val version = Seq("2.1", "3.0", "4.0")((id % 3).toInt)
             val nCards = (1 + id % 2).toInt
@@ -2227,7 +2227,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val pl = 16384L << (id % 3)
             val nFiles = (1 + id % 3).toInt
@@ -2286,7 +2286,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val nP = (2 + id % 3).toInt
             val paras = (0 until nP).map { k =>
@@ -2345,7 +2345,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val nSheets = (1 + id % 2).toInt
             val sheets = (0 until nSheets).map { sh =>
@@ -2411,7 +2411,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val slides = (0 until (1 + id % 3).toInt).map { sl =>
               (s"T$id s$sl", (0 until ((id + sl) % 3).toInt).map(p =>
@@ -2471,7 +2471,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             (id % 5) match {
               case 0 =>
@@ -2545,7 +2545,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val paras = (0 until (1 + id % 3).toInt).map {
               case 0 => s"café ${id % 100}"
@@ -2593,7 +2593,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val nPages = (3 + id % 6).toInt
             val fanout = (2 + id % 2).toInt
@@ -2663,7 +2663,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val nCells = (2 + id % 4).toInt
             val lang = Seq("python", "r", "julia")((id % 3).toInt)
@@ -2740,7 +2740,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val g = id / 4
             val lines = (0 until (2 + g % 3).toInt).map(k =>
@@ -2804,7 +2804,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val tags = (0 until (id % 4).toInt).map(k => s"t${(id + k) % 20}")
             val blob = Yaml.encodeFrontMatter(
@@ -2884,7 +2884,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val tables = Seq(
               ("head", 54L),
@@ -2940,7 +2940,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val nDeps = (1 + id % 3).toInt
             val blob = Toml.encodeManifest(s"pkg-${id % 200}",
@@ -3017,7 +3017,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val nPages = (1 + id % 3).toInt
             val pages = (0 until nPages).map { p =>
@@ -3081,7 +3081,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val outline =
               if (id % 7 == 0) Nil
@@ -3158,7 +3158,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         val rows = Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .flatMap { id =>
             val deps = (0 to (id % 4).toInt).map(k =>
               (s"lib${(id * 3 + k * 5) % 40}", s"1.${(id + k) % 20}"))
@@ -3256,7 +3256,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val fam = s"Fam ${id % 97}"
             val sub = (id % 3) match {
@@ -3306,7 +3306,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val np = (1 + id % 3).toInt
             val pages = (0 until np).map { p =>
@@ -3400,7 +3400,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         val pages = Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val title = s"T ${id % 50}"
             val host = s"h${id % 20}"
@@ -3474,7 +3474,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val ns = (1 + id % 4).toInt
             val nn = (id % 5).toInt
@@ -3552,7 +3552,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         val rows = Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val js = new StringBuilder
             js.append(s"function f$id(){return ${id % 97};}\n")
@@ -3629,7 +3629,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val blob = VideoHeaders.encodeAvifItems(
               if (id % 2 == 0) "avif" else "heic",
@@ -3675,7 +3675,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         val media = Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val thumb = ImageHeaders.encodeJpeg(
               (8 + id % 56).toInt, (8 + (id * 3) % 40).toInt, 8,
@@ -3777,7 +3777,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val (sop, modality) = (id % 3) match {
               case 0 => ("1.2.840.10008.5.1.4.1.1.2", "CT")
@@ -3837,7 +3837,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val n = (1 + id % 7).toInt
             val events = (0 until n).map { k =>
@@ -3888,7 +3888,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val pageSize = (id % 5) match {
               case 0 => 512; case 1 => 1024; case 2 => 4096
@@ -3937,7 +3937,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val n = (1 + id % 6).toInt
             val blob = Epub.encodeEpub(
@@ -3986,7 +3986,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val blob = Eml.encodeMultipart(
               fromAddr = s"user${id % 40}@example.test",
@@ -4031,7 +4031,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val devClass = (id % 3) match {
               case 0 => "mntr"; case 1 => "prtr"; case _ => "scnr"
@@ -4093,7 +4093,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         val decoded = Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val thumb = ImageHeaders.encodeJpeg(8, 8, 8,
               Array.emptyByteArray)
@@ -4166,7 +4166,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val n = (2 + id % 5).toInt
             val entries = (0 until n).map { k =>
@@ -4218,7 +4218,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val blob =
               if (id % 3 == 0) {
@@ -4292,7 +4292,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val atType = if (id % 3 == 1) "Product" else "Article"
             val date = s"${2010 + id % 15}-0${1 + id % 9}-1${id % 10}"
@@ -4357,7 +4357,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val w = (16 + id % 624).toInt
             val h = (16 + (id * 7) % 464).toInt
@@ -4409,7 +4409,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val dt = f"${1990 + id % 35}:${1 + id % 12}%02d:" +
               f"${1 + id % 28}%02d ${id % 24}%02d:${id % 60}%02d:" +
@@ -4474,7 +4474,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         val tags = Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val artist = s"artist ${id % 7}"
             val title = s"track ${id % 40}"
@@ -4542,7 +4542,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         val media = Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val xmp =
               if (id % 3 == 2) ""
@@ -4611,7 +4611,7 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val w = (8 + id % 16).toInt
             val h = (8 + (id * 3) % 16).toInt
@@ -4688,7 +4688,7 @@ object Multimodal {
         import s.implicits._
         val media = Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val ts = (id % 3) match {
               case 0 => 600; case 1 => 1000; case _ => 90000
@@ -4744,7 +4744,7 @@ object Multimodal {
         import s.implicits._
         val media = Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             MediaRecord(id,
               VideoHeaders.encodeMp4Tagged(

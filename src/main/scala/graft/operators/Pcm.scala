@@ -389,7 +389,7 @@ object Pcm {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id", $"text").as[(Long, String)]
+          .select($"doc_id", $"text").fanout.as[(Long, String)]
           .map { case (id, text) =>
             val n = (200 + id % 300).toInt
             val samples = Array.tabulate(n)(t =>
@@ -435,7 +435,7 @@ object Pcm {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id", $"text").as[(Long, String)]
+          .select($"doc_id", $"text").fanout.as[(Long, String)]
           .map { case (id, text) =>
             val n = (150 + id % 250).toInt
             val mulaw = Array.tabulate(n)(t =>
@@ -490,7 +490,7 @@ object Pcm {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id", $"text").as[(Long, String)]
+          .select($"doc_id", $"text").fanout.as[(Long, String)]
           .map { case (id, text) =>
             val n = (450 + id % 300).toInt
             val samplesArr = Array.tabulate(n) { t =>
@@ -570,7 +570,7 @@ object Pcm {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id", $"text").as[(Long, String)]
+          .select($"doc_id", $"text").fanout.as[(Long, String)]
           .map { case (id, text) =>
             val n = 2 * (150 + id % 200).toInt
             val samples = Array.tabulate(n)(t =>
@@ -621,7 +621,7 @@ object Pcm {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id", $"text").as[(Long, String)]
+          .select($"doc_id", $"text").fanout.as[(Long, String)]
           .map { case (id, text) =>
             val n = (150 + id % 250).toInt
             val alaw = Array.tabulate(n)(t =>
@@ -675,7 +675,7 @@ object Pcm {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id", $"text").as[(Long, String)]
+          .select($"doc_id", $"text").fanout.as[(Long, String)]
           .map { case (id, text) =>
             val n = (120 + id % 200).toInt // frames
             val inter = new Array[Int](2 * n)
@@ -747,7 +747,7 @@ object Pcm {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val n = (200 + id % 200).toInt
             val fmt = (id % 3).toInt

@@ -263,7 +263,7 @@ object PdfFilters {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val content = s"BT /F1 12 Tf ($id) Tj ET $text".getBytes("UTF-8")
             val (stored, chain, variant) = (id % 5) match {

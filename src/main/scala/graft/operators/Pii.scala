@@ -115,7 +115,7 @@ object Pii {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val num = f"${id * 7919}%016d"
             val grouped = num.grouped(4).mkString("-")

@@ -1768,7 +1768,7 @@ object Pixels {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id", $"text").as[(Long, String)]
+          .select($"doc_id", $"text").fanout.as[(Long, String)]
           .map { case (id, text) =>
             val w = (16 + (id % 6) * 8).toInt
             val h = (16 + ((id * 7) % 6) * 8).toInt
@@ -1844,7 +1844,7 @@ object Pixels {
       (s, dir) => {
         import s.implicits._
         val hashes = Tables.load(s, dir, "documents")
-          .select($"doc_id", $"text").as[(Long, String)]
+          .select($"doc_id", $"text").fanout.as[(Long, String)]
           .map { case (id, text) =>
             val g = id / 4
             val w = (16 + (g % 6) * 8).toInt
@@ -1937,7 +1937,7 @@ object Pixels {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id", $"text").as[(Long, String)]
+          .select($"doc_id", $"text").fanout.as[(Long, String)]
           .map { case (id, text) =>
             val w = (16 + (id * 3 % 6) * 8).toInt
             val h = (16 + (id * 5 % 6) * 8).toInt
@@ -2009,7 +2009,7 @@ object Pixels {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id", $"text").as[(Long, String)]
+          .select($"doc_id", $"text").fanout.as[(Long, String)]
           .map { case (id, text) =>
             val w = (16 + (id % 6) * 8).toInt
             val h = (16 + (id * 11 % 6) * 8).toInt
@@ -2080,7 +2080,7 @@ object Pixels {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id", $"text").as[(Long, String)]
+          .select($"doc_id", $"text").fanout.as[(Long, String)]
           .map { case (id, text) =>
             val w = (16 + (id % 6) * 8).toInt
             val h = (16 + ((id * 7) % 6) * 8).toInt
@@ -2132,7 +2132,7 @@ object Pixels {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val w = (16 + (id * 7 % 6) * 8).toInt
             val h = (16 + (id * 3 % 6) * 8).toInt
@@ -2205,7 +2205,7 @@ object Pixels {
       (s, dir) => {
         import s.implicits._
         val hashes = Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val g = id / 4; val m = (id % 4).toInt
             val w = (16 + (g % 6) * 8).toInt
@@ -2305,7 +2305,7 @@ object Pixels {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val w = (16 + (id * 5 % 6) * 8).toInt
             val h = (16 + (id % 6) * 8).toInt
@@ -2375,7 +2375,7 @@ object Pixels {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id", $"text").as[(Long, String)]
+          .select($"doc_id", $"text").fanout.as[(Long, String)]
           .map { case (id, text) =>
             val w = (16 + (id % 6) * 8).toInt
             val h = (16 + (id * 5 % 6) * 8).toInt
@@ -2453,7 +2453,7 @@ object Pixels {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val bt = (id % 4).toInt; val bb = (id * 3 % 4).toInt
             val bl = (id * 5 % 4).toInt; val br = (id * 7 % 4).toInt
@@ -2509,7 +2509,7 @@ object Pixels {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id", $"text").as[(Long, String)]
+          .select($"doc_id", $"text").fanout.as[(Long, String)]
           .map { case (id, text) =>
             val w = (16 + (id * 3 % 6) * 8).toInt
             val h = (16 + (id % 6) * 8).toInt
@@ -2601,7 +2601,7 @@ object Pixels {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val w = (3 + id % 30).toInt
             val h = (3 + (id * 5) % 28).toInt
@@ -2679,7 +2679,7 @@ object Pixels {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val w = (5 + id % 20).toInt
             val h = (5 + (id * 3) % 18).toInt
@@ -2733,7 +2733,7 @@ object Pixels {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id", $"text").as[(Long, String)]
+          .select($"doc_id", $"text").fanout.as[(Long, String)]
           .map { case (id, text) =>
             val w = (8 + id % 17).toInt
             val h = (8 + (id * 3) % 15).toInt
@@ -2795,7 +2795,7 @@ object Pixels {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val w = (16 + id % 40).toInt
             val h = (16 + (id * 7) % 36).toInt
@@ -2863,7 +2863,7 @@ object Pixels {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val w = (16 + id % 37).toInt
             val h = (12 + (id * 5) % 31).toInt
@@ -2915,7 +2915,7 @@ object Pixels {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val w = (10 + id % 30).toInt
             val h = (8 + (id * 3) % 24).toInt
@@ -2978,7 +2978,7 @@ object Pixels {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id", $"text").as[(Long, String)]
+          .select($"doc_id", $"text").fanout.as[(Long, String)]
           .map { case (id, text) =>
             val w = (9 + id % 28).toInt
             val h = (7 + (id * 3) % 26).toInt
@@ -3031,7 +3031,7 @@ object Pixels {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             import java.awt.image.{BufferedImage, DataBuffer, IndexColorModel}
             import javax.imageio._
@@ -3131,7 +3131,7 @@ object Pixels {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val w = (8 + id % 21).toInt
             val h = (5 + (id * 7) % 17).toInt
@@ -3194,7 +3194,7 @@ object Pixels {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id", $"text").as[(Long, String)]
+          .select($"doc_id", $"text").fanout.as[(Long, String)]
           .map { case (id, text) =>
             val w = (16 + (id % 6) * 8).toInt
             val h = (16 + (id * 11 % 6) * 8).toInt
@@ -3263,7 +3263,7 @@ object Pixels {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val w = (16 + (id * 5 % 6) * 8).toInt
             val h = (16 + (id % 6) * 8).toInt

@@ -126,7 +126,7 @@ object Protobuf {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id")
-          .as[Long]
+          .fanout.as[Long]
           .flatMap { id =>
             val payload = s"doc $id".getBytes("UTF-8")
             val msg = Protobuf.encodeMessage(

@@ -193,7 +193,7 @@ object Punycode {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id")
-          .as[Long]
+          .fanout.as[Long]
           .map { id =>
             val (uni, ace) = FixtureLabels((id % 7).toInt)
             val spelled = if (id % 2 == 0) s"$ace.example" else s"$uni.example"

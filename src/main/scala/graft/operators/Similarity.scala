@@ -59,7 +59,9 @@ object Similarity {
     CosineSimilarity.register(s)
     val e = embeddings.select($"vec_id", $"embedding")
     val queries = e.filter(isQuery).toDF("qid", "qv")
-    val cands = e.filter(!isQuery).toDF("cid", "cv")
+    // the broadcast-query join streams cands: fan out so the corpus x
+    // |queries| cosine pass is not serialized by an under-parallel scan
+    val cands = Tables.fanout(e.filter(!isQuery)).toDF("cid", "cv")
     val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"cid")
     cands.join(broadcast(queries))
       .withColumn("cosine", round(expr("cosine_sim(qv, cv)"), 4))
@@ -80,7 +82,9 @@ object Similarity {
     val s = embeddings.sparkSession
     import s.implicits._
     RhpSignature.register(s)
-    embeddings
+    // fan out BEFORE the signature pass so the per-vector hyperplane
+    // math runs across cores, not in an under-parallel scan stage
+    Tables.fanout(embeddings)
       .select($"vec_id", $"embedding".as("v"))
       .withColumn("bucket", expr(s"rhp_signature(v, $planes)"))
   }
@@ -149,7 +153,10 @@ object Similarity {
     val s = embeddings.sparkSession
     import s.implicits._
     CosineSimilarity.register(s)
-    val e = embeddings.select($"vec_id", $"embedding")
+    // the broadcast-centroid assignment pass streams `e`: an
+    // under-parallel scan (single-row-group fixture) serializes corpus x K
+    // scoring on one core — fan out (scale-adaptive no-op at real scale)
+    val e = Tables.fanout(embeddings.select($"vec_id", $"embedding"))
     val centroids = e.filter(isCentroid).toDF("cent_id", "cent_v")
     // argmax via max_by aggregation, not a row_number window: partial-
     // aggregated map-side, one row per vector crosses the shuffle instead
@@ -254,7 +261,10 @@ object Similarity {
   def kmeansClusters(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
     val s = embeddings.sparkSession
     import s.implicits._
-    val v = embeddings.select($"vec_id",
+    // fan out BEFORE the cache: the cached frame pins its partitioning,
+    // so an under-parallel scan would serialize every Lloyd iteration's
+    // corpus x K distance pass on one core
+    val v = Tables.fanout(embeddings).select($"vec_id",
       expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
         .as("ve"))
       .cache()
@@ -323,7 +333,10 @@ object Similarity {
       nProbes: Int, topK: Int, shortlistK: Int): DataFrame = {
     val s = embeddings.sparkSession
     import s.implicits._
-    val v = embeddings.select($"vec_id",
+    // same cached-partitioning rationale as kmeansClusters: fan out
+    // before the cache so the joint Lloyd loop over (vec_id, subspace)
+    // rows runs across cores
+    val v = Tables.fanout(embeddings).select($"vec_id",
       expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
         .as("ve"))
       .cache()

@@ -185,7 +185,7 @@ object Subtitles {
       (s, dir) => {
         import s.implicits._
         Tables.load(s, dir, "documents")
-          .select($"doc_id").as[Long]
+          .select($"doc_id").fanout.as[Long]
           .map { id =>
             val (fmt, cues) = parseSubtitles(fixtureDoc(id, FixtureWords))
             SubtitleRow(id, fmt, cues.length,

@@ -46,7 +46,7 @@ object TableText {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id")
-          .as[Long]
+          .fanout.as[Long]
           .flatMap { id =>
             val html =
               s"""<html><body><p>intro text</p><table>

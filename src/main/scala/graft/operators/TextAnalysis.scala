@@ -753,7 +753,7 @@ object TextAnalysis {
     val words = toks.groupBy($"w").agg(count(lit(1)).as("f"))
     // seed vocabulary: substring counts weighted by word frequency
     val mx = maxLen
-    val seed = words.as[(String, Long)]
+    val seed = words.fanout.as[(String, Long)]
       .flatMap { case (w, f) =>
         for {
           i <- 0 until w.length
@@ -765,7 +765,7 @@ object TextAnalysis {
       .as[(String, Long)].collect().toSeq // bounded: ≤ Σ_{k≤4} 26^k
     val costs0 = s.sparkContext.broadcast(quantCosts(seed))
     // E-step 1 (distinct table) + M-step (frequency-weighted usage)
-    val used = words.as[(String, Long)]
+    val used = words.fanout.as[(String, Long)]
       .flatMap { case (w, f) =>
         unigramViterbi(w, costs0.value, mx)._1.split(' ').map((_, f))
       }
@@ -777,7 +777,7 @@ object TextAnalysis {
     }
     val costs1 = s.sparkContext.broadcast(quantCosts(vocab1))
     // E-step 2 = final model; encode the corpus by word join-back
-    val enc = words.as[(String, Long)]
+    val enc = words.fanout.as[(String, Long)]
       .map { case (w, _) =>
         val (ps, n, c) = unigramViterbi(w, costs1.value, mx)
         (w, ps, n, c)
@@ -910,7 +910,7 @@ object TextAnalysis {
   def charEntropy(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.select($"doc_id", $"text").as[(Long, String)]
+    docs.select($"doc_id", $"text").fanout.as[(Long, String)]
       .map { case (id, t) =>
         // iterate CODE POINTS, not UTF-16 units: a supplementary-plane
         // char (emoji) is one symbol here and one char to SQL length()
@@ -1010,7 +1010,7 @@ object TextAnalysis {
   def canonicalDedupKey(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val canon = docs.select($"doc_id", $"text").as[(Long, String)]
+    val canon = docs.select($"doc_id", $"text").fanout.as[(Long, String)]
       .map { case (id, text) =>
         val nfc = java.text.Normalizer.normalize(
           text, java.text.Normalizer.Form.NFC)
@@ -1498,7 +1498,7 @@ object TextAnalysis {
         import s.implicits._
         val pages = t(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             (id,
               s"""<html><head><title>Doc $id</title></head><body>
@@ -1552,7 +1552,7 @@ object TextAnalysis {
         import s.implicits._
         val pages = t(s, dir, "documents")
           .select($"doc_id")
-          .as[Long]
+          .fanout.as[Long]
           .map { id =>
             val (a, b, c) = (id % 7, (id * 3) % 7, (id * 5 + 1) % 7)
             (s"doc${id % 11}.example",
@@ -1599,7 +1599,7 @@ object TextAnalysis {
         import s.implicits._
         val pages = t(s, dir, "documents")
           .select($"doc_id")
-          .as[Long]
+          .fanout.as[Long]
           .map { id =>
             val (a, b, c) = (id % 7, (id * 3) % 7, (id * 5 + 1) % 7)
             val m = (id * 13) % 11
@@ -1661,7 +1661,7 @@ object TextAnalysis {
         import s.implicits._
         val urls = t(s, dir, "documents")
           .select($"doc_id")
-          .as[Long]
+          .fanout.as[Long]
           .flatMap { id =>
             val a = id % 7
             Seq(
@@ -1714,7 +1714,7 @@ object TextAnalysis {
         }.toDF("host", "robots_txt")
         val urls = t(s, dir, "documents")
           .select($"doc_id")
-          .as[Long]
+          .fanout.as[Long]
           .map { id =>
             val path = (id % 5) match {
               case 0 => "/public/page"
@@ -1762,7 +1762,7 @@ object TextAnalysis {
         import s.implicits._
         val pages = t(s, dir, "documents")
           .select($"doc_id")
-          .as[Long]
+          .fanout.as[Long]
           .map { id =>
             (id,
               s"""<html><body><p>intro text</p><table>
@@ -1815,7 +1815,7 @@ object TextAnalysis {
         import s.implicits._
         val pages = t(s, dir, "documents")
           .select($"doc_id")
-          .as[Long]
+          .fanout.as[Long]
           .map { id =>
             (id,
               s"""<html><head>
@@ -1904,7 +1904,7 @@ object TextAnalysis {
         import s.implicits._
         val prose = t(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val ws = text.split(" ").filter(_.nonEmpty)
             val sw = (3 + id % 3).toInt

@@ -48,7 +48,10 @@ object TrainingPipeline {
     val s = docs.sparkSession
     import s.implicits._
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    val base = docs.select($"doc_id", posexplode(split($"text", " ")))
+    // fan out before the posexplode so the tokenize pass is not
+    // serialized by an under-parallel scan (no-op at real scale)
+    val base = graft.engine.Tables.fanout(docs)
+      .select($"doc_id", posexplode(split($"text", " ")))
       .toDF("doc_id", "pos", "tk0")
     val withLeads = (1 until n).foldLeft(base) { (df, i) =>
       df.withColumn(s"tk$i", lead($"tk0", i).over(w))

@@ -55,7 +55,7 @@ object UnicodeScripts {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val salted = text + " " + "я" * (id % 5).toInt +
               "α" * (id % 7).toInt

@@ -131,7 +131,7 @@ object Winnowing {
         val train = Tables.load(s, dir, "documents")
         val eval0 = train.select($"doc_id", $"text")
           .filter($"doc_id" % 97 === 0)
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val toks = text.split(" ").filter(_.nonEmpty)
             val etext =

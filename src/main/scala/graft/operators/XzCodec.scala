@@ -966,7 +966,7 @@ object XzCodec {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val data = text.getBytes("UTF-8")
             val blob = (id % 3) match {
@@ -1007,7 +1007,7 @@ object XzCodec {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val tb = text.getBytes("UTF-8")
             val tar = Archive.encodeTar(Seq(
@@ -1049,7 +1049,7 @@ object XzCodec {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .flatMap { case (id, text) =>
             val deps = (0 to (id % 4).toInt).map(k =>
               (s"lib${(id * 3 + k * 5) % 40}", s"1.${(id + k) % 20}"))
@@ -1115,7 +1115,7 @@ object XzCodec {
         import s.implicits._
         Tables.load(s, dir, "documents")
           .select($"doc_id", $"text")
-          .as[(Long, String)]
+          .fanout.as[(Long, String)]
           .map { case (id, text) =>
             val data = text.getBytes("UTF-8")
             val blob = lzmaAloneEncodeLiteral(data,
