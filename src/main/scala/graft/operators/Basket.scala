@@ -39,8 +39,11 @@ object Basket {
       minSupport: Long, maxBasketSize: Int = 1000): DataFrame = {
     val s = rows.sparkSession
     import s.implicits._
-    // bi feeds the size filter AND the kept join — cache for sharing
-    val bi = rows.select(basketCol.as("b"), itemCol.as("i")).distinct()
+    // bi feeds the size filter AND the kept join — cache for sharing.
+    // Fanned out first: the distinct's partial aggregate otherwise runs
+    // in an under-parallel scan stage (no-op at real scale).
+    val bi = graft.engine.Tables.fanout(
+        rows.select(basketCol.as("b"), itemCol.as("i"))).distinct()
       .cache()
     val sized = bi.groupBy($"b").agg(count(lit(1)).as("_sz"))
       .filter($"_sz" <= maxBasketSize)

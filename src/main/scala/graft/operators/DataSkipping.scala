@@ -70,7 +70,11 @@ object DataSkipping {
     // with identical key stats but different payload columns must NOT
     // reuse a stale layout. One cheap aggregate either way.
     val rowHash = xxhash64(df.columns.map(col).toIndexedSeq: _*)
-    val sig = df.agg(count(lit(1)),
+    // fanned out: this receipt aggregate runs on EVERY invocation (the
+    // guard itself), and its xxhash64-per-row partial agg otherwise
+    // serializes in an under-parallel scan stage; the sum is
+    // order-independent so the result is partitioning-invariant
+    val sig = Tables.fanout(df).agg(count(lit(1)),
       sum(rowHash.cast("decimal(38,0)")),
       min(clusterCol.cast("long")), max(clusterCol.cast("long"))).head
     val receipt = s"v2 span=$span n=${sig.get(0)} xsum=${sig.get(1)} " +

@@ -447,7 +447,10 @@ object Graph {
       dir: String): DataFrame = {
     import s.implicits._
     val o = Tables.load(s, dir, "orders")
-    val l = Tables.load(s, dir, "lineitem")
+    // fan the big side: orders broadcasts, so the join + the distinct's
+    // partial aggregate run in lineitem's scan stage — serialized by an
+    // under-parallel scan without this (no-op at real scale)
+    val l = Tables.fanout(Tables.load(s, dir, "lineitem"))
     val pairs = l.join(o, l("l_orderkey") === o("o_orderkey"))
       .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("p"))
       .distinct()
@@ -732,9 +735,13 @@ object Graph {
         import s.implicits._
         val op = Tables.load(s, dir, "lineitem")
           .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+        // no .distinct() here: triangleCount normalizes and dedupes its
+        // input itself (least/greatest + distinct), so a caller-side
+        // distinct was a second full exchange+aggregate over the edge
+        // list doing the same work (r18 measurement: one exchange saved)
         val edges = op.join(op.toDF("o", "p2"), Seq("o"))
           .filter($"p" < $"p2")
-          .select($"p".as("src"), $"p2".as("dst")).distinct()
+          .select($"p".as("src"), $"p2".as("dst"))
         triangleCount(edges)
       },
       Some("""

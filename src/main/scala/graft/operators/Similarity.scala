@@ -468,8 +468,11 @@ object Similarity {
   private def pcLoop(embeddings: DataFrame, iters: Int): (DataFrame, DataFrame) = {
     val s = embeddings.sparkSession
     import s.implicits._
-    // component rows feed the mean AND every round's two aggregations
-    val comp = embeddings
+    // component rows feed the mean AND every round's two aggregations;
+    // fanned out BEFORE the explode+cache so the cached frame (and with
+    // it every round's partial aggregations) is not pinned to an
+    // under-parallel scan's single partition
+    val comp = Tables.fanout(embeddings)
       .select($"vec_id", posexplode($"embedding").as(Seq("i0", "xf")))
       .select($"vec_id", ($"i0" + 1).as("i"), $"xf".cast("double").as("x"))
       .cache()
@@ -930,7 +933,10 @@ object Similarity {
       "q225_embedding_covariance",
       (s, dir) => {
         import s.implicits._
-        t(s, dir, "embeddings")
+        // fanned out: the inline() explodes each vector to d(d+1)/2 pair
+        // rows and the covariance partial-agg runs in the same stage —
+        // serialized by an under-parallel scan without this
+        t(s, dir, "embeddings").fanout
           .select(expr(
             """inline(flatten(transform(sequence(1, size(embedding)),
                  i -> transform(sequence(i, size(embedding)),

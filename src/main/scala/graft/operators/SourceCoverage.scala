@@ -225,9 +225,12 @@ object SourceCoverage {
         // stage one file per doc (partitioned text sink: doc_id=N/part-*.txt,
         // each holding the doc's text + one trailing \n) — all distributed,
         // no driver-side staging
-        Tables.load(s, dir, "documents")
+        // fanned out: the 200-directory partitioned write otherwise runs
+        // as ONE task writing 200 files sequentially (each doc_id still
+        // lands in exactly one file — bytes unchanged)
+        Tables.fanout(Tables.load(s, dir, "documents")
           .filter($"doc_id" % 25 === 0)
-          .select($"doc_id", $"text")
+          .select($"doc_id", $"text"))
           .write.mode("overwrite").partitionBy("doc_id").text(staged)
         // binaryFile: whole file -> one (path, mtime, length, content) row;
         // doc_id comes back through partition discovery
