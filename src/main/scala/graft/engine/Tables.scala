@@ -74,20 +74,40 @@ object Tables {
     * its own scans). */
   def fanout(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical._
-    def narrow(p: LogicalPlan): Boolean = p match {
-      case _: LeafNode => true
-      case p: Project => narrow(p.child)
-      case f: Filter => narrow(f.child)
-      case a: SubqueryAlias => narrow(a.child)
-      case _ => false
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def leafOf(p: LogicalPlan): Option[LeafNode] = p match {
+      case l: LeafNode => Some(l)
+      case p: Project => leafOf(p.child)
+      case f: Filter => leafOf(f.child)
+      case a: SubqueryAlias => leafOf(a.child)
+      case _ => None // a shuffle below means it is already parallel
     }
-    if (df.isStreaming || !narrow(df.queryExecution.analyzed)) df
-    else {
-      val target = df.sparkSession.sparkContext.defaultParallelism
-      // no exchange below (narrow) -> no AQE wrapper -> .rdd is pure
-      // planning, nothing executes here
-      if (df.rdd.getNumPartitions >= target) df
-      else df.repartition(target)
+    if (df.isStreaming) return df
+    leafOf(df.queryExecution.analyzed) match {
+      case None => df
+      case Some(leaf) =>
+        val spark = df.sparkSession
+        val target = spark.sparkContext.defaultParallelism
+        // planned scan parallelism, without paying a physical-planning
+        // pass per call (fanout sits inside timed query construction):
+        // for file relations, replicate FilePartition's split math from
+        // the file listing; anything else falls back to .rdd (narrow ->
+        // no AQE wrapper -> pure planning, nothing executes)
+        val scanParts = leaf match {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+            val openCost = spark.sessionState.conf.filesOpenCostInBytes
+            val sizes = fs.location.listFiles(Nil, Nil)
+              .flatMap(_.files).map(_.getLen)
+            val total = sizes.map(_ + openCost).sum
+            val targetSplit = math.max(openCost,
+              math.min(maxSplit, total / math.max(1, target)))
+            // files don't straddle splits: each contributes at least one
+            math.max(sizes.count(_ > 0),
+              sizes.map(s => (s + targetSplit - 1) / targetSplit).sum).toInt
+          case _ => df.rdd.getNumPartitions
+        }
+        if (scanParts >= target) df else df.repartition(target)
     }
   }
 }

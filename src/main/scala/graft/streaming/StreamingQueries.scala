@@ -676,9 +676,17 @@ object StreamingQueries {
           batch.repartition(1).write.mode("append").parquet(input)
           inc.update()
         }
-        arrive(o.filter($"o_orderkey" < 5000))
-        arrive(o.filter($"o_orderkey" >= 5000 && $"o_orderkey" < 10000))
-        arrive(o.filter($"o_orderkey" >= 10000))
+        // arrival boundaries derive from the key range (thirds of the
+        // max key) instead of fixed literals: the r18 fixture regen
+        // shrank sf0.001 to keys 0..1499, leaving the old >=5000
+        // arrivals EMPTY (no file, no manifest version — 'oldest'
+        // collapsed onto 'current'). One bounded scalar to the driver;
+        // the oracle replays the identical integer arithmetic.
+        val maxKey = o.agg(max($"o_orderkey")).head.getLong(0)
+        val (b1, b2) = (maxKey / 3, (2 * maxKey) / 3)
+        arrive(o.filter($"o_orderkey" <= b1))
+        arrive(o.filter($"o_orderkey" > b1 && $"o_orderkey" <= b2))
+        arrive(o.filter($"o_orderkey" > b2))
         val vs = inc.versions()
         def at(v: String, label: String) = {
           val (rows, nSel, nTot) = graft.operators.DataSkipping
@@ -712,7 +720,7 @@ object StreamingQueries {
                CAST(1 AS BIGINT) AS n_files,
                CAST(1 AS BIGINT) AS n_files_total
         FROM orders
-        WHERE o_orderkey < 5000
+        WHERE o_orderkey <= (SELECT max(o_orderkey) // 3 FROM orders)
         ORDER BY snapshot""")),
 
     // ----- snapshot diff / incremental change feed ------------------------
@@ -741,9 +749,14 @@ object StreamingQueries {
           batch.repartition(1).write.mode("append").parquet(input)
           inc.update()
         }
-        arrive(o.filter($"o_orderkey" < 5000))
-        arrive(o.filter($"o_orderkey" >= 5000 && $"o_orderkey" < 10000))
-        arrive(o.filter($"o_orderkey" >= 10000))
+        // key-range-derived arrival boundaries — same rationale and
+        // arithmetic as q278 (fixed >=5000 splits were empty at the
+        // regenerated sf0.001, collapsing the version chain)
+        val maxKey = o.agg(max($"o_orderkey")).head.getLong(0)
+        val (b1, b2) = (maxKey / 3, (2 * maxKey) / 3)
+        arrive(o.filter($"o_orderkey" <= b1))
+        arrive(o.filter($"o_orderkey" > b1 && $"o_orderkey" <= b2))
+        arrive(o.filter($"o_orderkey" > b2))
         val vs = inc.versions()
         def diffRow(from: String, to: String, label: String) = {
           val (nAdd, nRem, rows) = graft.operators.DataSkipping
@@ -761,20 +774,23 @@ object StreamingQueries {
           .orderBy($"diff")
       },
       Some("""
+        WITH b AS (SELECT max(o_orderkey) // 3 AS b1,
+                          (2 * max(o_orderkey)) // 3 AS b2
+                   FROM orders)
         SELECT 'v1_to_v2' AS diff,
                CAST(1 AS BIGINT) AS n_files_added,
                CAST(0 AS BIGINT) AS n_files_removed,
                count(*) AS n_rows_added,
                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                     AS BIGINT) AS added_cents
-        FROM orders WHERE o_orderkey >= 5000 AND o_orderkey < 10000
+        FROM orders, b WHERE o_orderkey > b.b1 AND o_orderkey <= b.b2
         UNION ALL
         SELECT 'v1_to_v3',
                CAST(2 AS BIGINT), CAST(0 AS BIGINT),
                count(*),
                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                     AS BIGINT)
-        FROM orders WHERE o_orderkey >= 5000
+        FROM orders, b WHERE o_orderkey > b.b1
         ORDER BY diff""")),
 
     // ----- incremental JSON schema census + drift alarm -------------------

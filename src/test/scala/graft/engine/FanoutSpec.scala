@@ -60,4 +60,17 @@ class FanoutSpec extends SparkSpec {
     val stream = spark.readStream.format("rate").load()
     assert(Tables.fanout(stream) eq stream)
   }
+
+  test("filters above a fanout still push down to the parquet scan") {
+    val s = spark
+    import s.implicits._
+    val q = Tables.fanout(spark.read.parquet(tmpParquet(100)))
+      .filter($"doc_id" > 42)
+    val formatted = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the optimizer pushes the predicate below the repartition into the
+    // scan — fanout must not cost the read its pushdown
+    assert(formatted.contains("PushedFilters: [IsNotNull(doc_id), " +
+      "GreaterThan(doc_id,42)]"), formatted)
+  }
 }
