@@ -9,8 +9,14 @@ object Scratch {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 2
+    // SPARK_GRAFT_EVENTLOG=<dir>: write the Spark event log for offline
+    // stage-time profiling (the UI is disabled in this sandbox)
+    val evDir = sys.env.get("SPARK_GRAFT_EVENTLOG")
+    evDir.foreach(d => new java.io.File(d).mkdirs())
     val spark = SparkSession.builder()
-      .master("local[8]")
+      .master(sys.env.getOrElse("SPARK_GRAFT_SCRATCH_MASTER", "local[8]"))
+      .config("spark.eventLog.enabled", evDir.isDefined.toString)
+      .config("spark.eventLog.dir", evDir.getOrElse("/tmp"))
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
