@@ -210,8 +210,14 @@ object Graph {
     val tri = wedges.join(
       dir.select($"src".as("b"), $"dst".as("c")).hint("shuffle_hash"),
       Seq("b", "c"), "left_semi")
-    val nn = deg.agg(count(lit(1)).as("n_nodes"))
-    val ne = e.agg(count(lit(1)).as("n_edges"))
+    // node/edge counts read the CACHED dir (one row per normalized
+    // undirected edge; every node is an edge endpoint), not the raw
+    // e/deg pipelines — the r18 event-log profile showed those two
+    // aggregates re-running the scan+join+distinct subtree that dir's
+    // materialization already paid for
+    val nn = dir.select($"src".as("n")).unionAll(dir.select($"dst".as("n")))
+      .distinct().agg(count(lit(1)).as("n_nodes"))
+    val ne = dir.agg(count(lit(1)).as("n_edges"))
     // Materialize-contract handoff: the 1-row result is checkpointed
     // (trivial) so the edge-scale dir cache can be freed before return
     Materialize.handoff(
