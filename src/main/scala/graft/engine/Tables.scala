@@ -94,14 +94,25 @@ object Tables {
         // the file listing; anything else falls back to .rdd (narrow ->
         // no AQE wrapper -> pure planning, nothing executes)
         val scanParts = leaf match {
-          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _)
+              if fs.fileFormat.isInstanceOf[
+                org.apache.spark.sql.execution.datasources
+                  .parquet.ParquetFileFormat] =>
+            // parquet only: the split math below assumes splittable
+            // files (a one-file gzip/binaryFile scan is 1 task no
+            // matter its size — those fall through to .rdd). The
+            // unfiltered listing can only OVER-estimate parallelism
+            // for partition-pruned reads, i.e. skip a fanout, never
+            // mis-fan one.
             val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
             val openCost = spark.sessionState.conf.filesOpenCostInBytes
             val sizes = fs.location.listFiles(Nil, Nil)
               .flatMap(_.files).map(_.getLen)
             val total = sizes.map(_ + openCost).sum
-            val targetSplit = math.max(openCost,
-              math.min(maxSplit, total / math.max(1, target)))
+            // floor of 1 byte: openCost can legitimately be tuned to 0,
+            // which must not turn the per-file ceil below into a /0
+            val targetSplit = math.max(1L, math.max(openCost,
+              math.min(maxSplit, total / math.max(1, target))))
             // files don't straddle splits: each contributes at least one
             math.max(sizes.count(_ > 0),
               sizes.map(s => (s + targetSplit - 1) / targetSplit).sum).toInt

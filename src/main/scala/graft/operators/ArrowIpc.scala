@@ -344,7 +344,13 @@ object ArrowIpc {
         .CommonsCompressionFactory.INSTANCE.createCodec(other)
     }
     override def createCodec(t: CompressionUtil.CodecType,
-        level: Int): CompressionCodec = createCodec(t)
+        level: Int): CompressionCodec = t match {
+      // LZ4-frame has no level knob in commons-compress; every other
+      // codec keeps the caller's level through the stock factory
+      case CompressionUtil.CodecType.LZ4_FRAME => new K64Lz4
+      case other => org.apache.arrow.compression
+        .CommonsCompressionFactory.INSTANCE.createCodec(other, level)
+    }
   }
 
   val defs: Seq[QueryDef] = Seq(

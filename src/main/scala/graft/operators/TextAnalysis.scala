@@ -753,7 +753,7 @@ object TextAnalysis {
     val words = toks.groupBy($"w").agg(count(lit(1)).as("f"))
     // seed vocabulary: substring counts weighted by word frequency
     val mx = maxLen
-    val seed = words.fanout.as[(String, Long)]
+    val seed = words.as[(String, Long)]
       .flatMap { case (w, f) =>
         for {
           i <- 0 until w.length
@@ -765,7 +765,7 @@ object TextAnalysis {
       .as[(String, Long)].collect().toSeq // bounded: ≤ Σ_{k≤4} 26^k
     val costs0 = s.sparkContext.broadcast(quantCosts(seed))
     // E-step 1 (distinct table) + M-step (frequency-weighted usage)
-    val used = words.fanout.as[(String, Long)]
+    val used = words.as[(String, Long)]
       .flatMap { case (w, f) =>
         unigramViterbi(w, costs0.value, mx)._1.split(' ').map((_, f))
       }
@@ -777,7 +777,7 @@ object TextAnalysis {
     }
     val costs1 = s.sparkContext.broadcast(quantCosts(vocab1))
     // E-step 2 = final model; encode the corpus by word join-back
-    val enc = words.fanout.as[(String, Long)]
+    val enc = words.as[(String, Long)]
       .map { case (w, _) =>
         val (ps, n, c) = unigramViterbi(w, costs1.value, mx)
         (w, ps, n, c)

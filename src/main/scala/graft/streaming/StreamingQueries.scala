@@ -676,14 +676,19 @@ object StreamingQueries {
           batch.repartition(1).write.mode("append").parquet(input)
           inc.update()
         }
-        // arrival boundaries derive from the key range (thirds of the
-        // max key) instead of fixed literals: the r18 fixture regen
+        // arrival boundaries derive from the key RANGE (min + thirds of
+        // the span) instead of fixed literals: the r18 fixture regen
         // shrank sf0.001 to keys 0..1499, leaving the old >=5000
         // arrivals EMPTY (no file, no manifest version — 'oldest'
-        // collapsed onto 'current'). One bounded scalar to the driver;
-        // the oracle replays the identical integer arithmetic.
-        val maxKey = o.agg(max($"o_orderkey")).head.getLong(0)
-        val (b1, b2) = (maxKey / 3, (2 * maxKey) / 3)
+        // collapsed onto 'current'). min-anchored so an offset key
+        // space cannot recreate the empty-first-batch class. One
+        // bounded 2-scalar aggregate to the driver; the oracle replays
+        // the identical integer arithmetic.
+        val kr = o.agg(min($"o_orderkey"), max($"o_orderkey")).head
+        val (mn, span) =
+          if (kr.isNullAt(0)) (0L, 0L)
+          else (kr.getLong(0), kr.getLong(1) - kr.getLong(0))
+        val (b1, b2) = (mn + span / 3, mn + (2 * span) / 3)
         arrive(o.filter($"o_orderkey" <= b1))
         arrive(o.filter($"o_orderkey" > b1 && $"o_orderkey" <= b2))
         arrive(o.filter($"o_orderkey" > b2))
@@ -720,7 +725,9 @@ object StreamingQueries {
                CAST(1 AS BIGINT) AS n_files,
                CAST(1 AS BIGINT) AS n_files_total
         FROM orders
-        WHERE o_orderkey <= (SELECT max(o_orderkey) // 3 FROM orders)
+        WHERE o_orderkey <= (SELECT min(o_orderkey)
+                             + (max(o_orderkey) - min(o_orderkey)) // 3
+                             FROM orders)
         ORDER BY snapshot""")),
 
     // ----- snapshot diff / incremental change feed ------------------------
@@ -752,8 +759,11 @@ object StreamingQueries {
         // key-range-derived arrival boundaries — same rationale and
         // arithmetic as q278 (fixed >=5000 splits were empty at the
         // regenerated sf0.001, collapsing the version chain)
-        val maxKey = o.agg(max($"o_orderkey")).head.getLong(0)
-        val (b1, b2) = (maxKey / 3, (2 * maxKey) / 3)
+        val kr = o.agg(min($"o_orderkey"), max($"o_orderkey")).head
+        val (mn, span) =
+          if (kr.isNullAt(0)) (0L, 0L)
+          else (kr.getLong(0), kr.getLong(1) - kr.getLong(0))
+        val (b1, b2) = (mn + span / 3, mn + (2 * span) / 3)
         arrive(o.filter($"o_orderkey" <= b1))
         arrive(o.filter($"o_orderkey" > b1 && $"o_orderkey" <= b2))
         arrive(o.filter($"o_orderkey" > b2))
@@ -774,8 +784,11 @@ object StreamingQueries {
           .orderBy($"diff")
       },
       Some("""
-        WITH b AS (SELECT max(o_orderkey) // 3 AS b1,
-                          (2 * max(o_orderkey)) // 3 AS b2
+        WITH b AS (SELECT min(o_orderkey)
+                          + (max(o_orderkey) - min(o_orderkey)) // 3 AS b1,
+                          min(o_orderkey)
+                          + (2 * (max(o_orderkey) - min(o_orderkey))) // 3
+                            AS b2
                    FROM orders)
         SELECT 'v1_to_v2' AS diff,
                CAST(1 AS BIGINT) AS n_files_added,
