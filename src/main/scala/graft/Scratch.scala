@@ -23,6 +23,14 @@ object Scratch {
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft_warehouse")
       .config("spark.sql.adaptive.enabled", "true")
+      // mirror GraftSession's join-strategy posture so Scratch A/Bs are
+      // faithful to the bench session (guide §3.1/§9);
+      // SPARK_GRAFT_PREFER_SMJ=true flips back for A/B comparison
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        if (sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false") == "true") "0"
+        else (64L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -70,6 +70,15 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // guide §3.1/§9: let the planner pick shuffled-hash over sort-merge
+      // when its size conditions hold (no sort of either side), and let
+      // AQE rewrite a planned SMJ to SHJ at runtime when every
+      // post-shuffle partition is small enough to hash (64 MiB — the
+      // per-partition build cap that makes SHJ memory-safe at any total
+      // scale; partitions at 100 TB are sized by AQE's advisory anyway)
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       // fixture events.ts is parquet TIMESTAMP(NANOS); read as long and
       // convert in Tables.load (Spark has no nanos timestamp type)

@@ -722,7 +722,13 @@ object Dedup {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val viaNbr = sym.join(labels, sym("dst") === labels("id"))
+      // SHUFFLE_HASH on the node-scale label side (the loop-join
+      // discipline shared with Graph.prLoop/lpaLoop): the static pick
+      // was sort-merge, re-sorting the edge frame AND the labels every
+      // round; hashing labels costs O(nodes/P) per partition at any
+      // total scale and lets the edge side stream unsorted
+      val viaNbr = sym.join(labels.hint("shuffle_hash"),
+          sym("dst") === labels("id"))
         .select(sym("src").as("id"), labels("comp"))
       val relaxed = labels.union(viaNbr)
         .groupBy($"id").agg(min($"comp").as("comp"))
@@ -733,7 +739,9 @@ object Dedup {
       // recomputes its un-materialized input subtree, so chaining
       // relaxations compounds recomputation — measured 35% slower)
       val byId = relaxed.toDF("jid", "jcomp")
-      val next = relaxed.join(byId, relaxed("comp") === byId("jid"))
+      // both sides node-scale; hash the renamed side, stream the other
+      val next = relaxed.join(byId.hint("shuffle_hash"),
+          relaxed("comp") === byId("jid"))
         .select(relaxed("id"), least(relaxed("comp"), byId("jcomp")).as("comp"))
         .localCheckpoint()
       val newSum = labelSum(next)
@@ -1751,11 +1759,18 @@ object Dedup {
         val root = rootFile.getAbsolutePath
         val (indexDir, outDir) = (s"$root/index", s"$root/out")
         val q = new graft.jobs.JobQueue()
+        // stage all three batch inputs in ONE pass: a partitionBy write
+        // splits the corpus by doc_id % 3 in a single scan where the
+        // previous per-batch filter+write pattern re-scanned the corpus
+        // three times (guide §2.4 — at 100 TB that is two saved corpus
+        // scans; each batch job reads its k=<n> subdirectory, whose files
+        // carry exactly the original columns). Batch contents and every
+        // survivor set are byte-identical to the per-filter staging.
+        docs.withColumn("k", $"doc_id" % 3)
+          .write.partitionBy("k").parquet(s"$root/in")
         Seq("a", "b", "c").zipWithIndex.foreach { case (name, k) =>
-          val in = s"$root/in_$name"
-          docs.filter($"doc_id" % 3 === k).write.parquet(in)
           q.submit(graft.jobs.IncrementalJobs
-            .nearDupBatchJob(name, in, indexDir, outDir, 0.8))
+            .nearDupBatchJob(name, s"$root/in/k=$k", indexDir, outDir, 0.8))
         }
         val rs = q.runAll(s)
         require(rs.size == 3 && rs.forall(_.ok),

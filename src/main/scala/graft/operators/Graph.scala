@@ -93,7 +93,15 @@ object Graph {
       .select($"node", $"rank")
     var superseded: List[DataFrame] = List(e2, nodes)
     for (i <- 1 to iters) {
-      val contribs = e2.join(r, e2("src") === r("node"))
+      // SHUFFLE_HASH on the rank side (q188's wedge-join discipline):
+      // these per-round joins sit mid-plan in one fused adaptive job, so
+      // AQE never revisits them and the static pick was sort-merge —
+      // which re-SORTS the edge frame AND the rank frame every round.
+      // Hashing the node-scale rank side per partition costs O(nodes/P)
+      // memory (safe at any total scale — P grows with the data) and
+      // lets the edge side stream through unsorted.
+      val contribs = e2.join(r.hint("shuffle_hash"),
+          e2("src") === r("node"))
         .select($"dst", expr("(rank * w) div deg").as("c"))
         .groupBy($"dst").agg(sum($"c").as("sc"))
       r = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
@@ -279,7 +287,11 @@ object Graph {
             lit(s"labelPropagation: node id out of [0, $K): "), $"node"))))
     var superseded: List[DataFrame] = List(e)
     for (i <- 1 to iters) {
-      val cnt = e.join(lab, e("src") === lab("node"))
+      // SHUFFLE_HASH on the label side — same rationale as prLoop: the
+      // per-round join is mid-plan (AQE can't rewrite it), sort-merge
+      // re-sorted edges AND labels every round, and the node-scale label
+      // side hashes in O(nodes/P) per partition at any total scale
+      val cnt = e.join(lab.hint("shuffle_hash"), e("src") === lab("node"))
         .groupBy($"dst", $"label").agg(sum($"w").as("c"))
       lab = cnt.groupBy($"dst".as("node"))
         .agg(max_by($"label", $"c" * K - $"label").as("label"))
@@ -414,6 +426,10 @@ object Graph {
         .select($"src".as("node"))
         .cache()
       pending ::= keep
+      // deliberately NO shuffle_hash hint here (unlike prLoop/lpaLoop):
+      // the post-filter keep set shrinks fast and the planner already
+      // broadcasts it — a forced shuffle-hash measured ~15% SLOWER
+      // (r19 interleaved A/B, q223 3.3 -> 3.9, q227 2.8 -> 3.2)
       e = e.join(keep, e("src") === keep("node"))
         .select($"src", $"dst", $"w")
         .join(keep.select($"node".as("node2")), $"dst" === $"node2")

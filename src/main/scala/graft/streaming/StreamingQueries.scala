@@ -120,6 +120,51 @@ object StreamingQueries {
       java.nio.file.Paths.get(graft.engine.GraftSession.scratchRoot),
       prefix).toString
 
+  /** Stage N sequential arrival batches with ONE corpus pass (guide
+    * §2.4 — the per-batch `filter(...).write` pattern this replaces
+    * re-scanned the input once per arrival): rows are written once,
+    * partitioned by a precomputed `_b` column (0..n-1, must cover every
+    * row), and delivering arrival k is a file RENAME into `inputDir` —
+    * the same write-then-rename atomic-visibility contract the A4
+    * operator documents, so the stream source can never observe a
+    * half-delivered batch. File contents per arrival are identical to
+    * the per-batch writes (partitionBy drops `_b` from the files, so
+    * each file carries exactly the payload columns); names gain a
+    * `b<k>_` prefix because one staging task writes an identically
+    * named part file into every `_b=` directory. Returns deliver(k). */
+  private def stageArrivals(withBatchCol: DataFrame,
+      inputDir: String): Int => Unit = {
+    val staging = tmp("arrstage_")
+    withBatchCol.write.mode("overwrite").partitionBy("_b").parquet(staging)
+    val s = withBatchCol.sparkSession
+    val payloadSchema = org.apache.spark.sql.types.StructType(
+      withBatchCol.schema.filterNot(_.name == "_b"))
+    val dst = new org.apache.hadoop.fs.Path(inputDir)
+    val fs = dst.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dst)
+    (k: Int) => {
+      val src = new org.apache.hadoop.fs.Path(staging, s"_b=$k")
+      val moved =
+        if (!fs.exists(src)) 0
+        else fs.listStatus(src).iterator
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map { st =>
+            fs.rename(st.getPath, new org.apache.hadoop.fs.Path(
+              dst, s"b${k}_${st.getPath.getName}"))
+          }.size
+      // an EMPTY batch must still deliver one schema-bearing empty file:
+      // the per-batch write pattern this replaces did (Spark writes one
+      // empty part file for an empty frame), and the arrival's fold —
+      // hence the state VERSION SEQUENCE a drift series reads — depends
+      // on the stream source seeing a new file per arrival
+      if (moved == 0)
+        s.createDataFrame(java.util.Collections.emptyList[
+            org.apache.spark.sql.Row](), payloadSchema)
+          .repartition(1).write.mode("append").parquet(inputDir)
+    }
+  }
+
   /** Streaming view of the events table (schema taken from the batch
     * reader; ts arrives as nanos-long, converted to micros like
     * Tables.load).
@@ -351,13 +396,13 @@ object StreamingQueries {
               org.apache.spark.sql.types.DoubleType))),
           ckpt, state, keyCol = "pri", valueCol = "v",
           lo = 0.0, hi = 500000.0, bins = 500)
-        def arrive(batch: org.apache.spark.sql.DataFrame): Unit = {
-          batch.select($"pri", $"v").write.mode("append").parquet(input)
-          inc.update()
-        }
-        arrive(o.filter($"yr" <= 1994))
-        arrive(o.filter($"yr" >= 1995 && $"yr" <= 1996))
-        arrive(o.filter($"yr" >= 1997))
+        // one staging scan, three rename-deliveries (same batch split
+        // the per-batch filter+write pattern produced — see stageArrivals)
+        val deliver = stageArrivals(o.select($"pri", $"v",
+          when($"yr" <= 1994, 0).when($"yr" <= 1996, 1).otherwise(2)
+            .as("_b")), input)
+        def arrive(k: Int): Unit = { deliver(k); inc.update() }
+        arrive(0); arrive(1); arrive(2)
         inc.driftSincePreviousVersion().get
           .select($"k".as("o_orderpriority"), $"n_ref", $"n_cur", $"psi")
           .orderBy($"o_orderpriority")
@@ -418,14 +463,13 @@ object StreamingQueries {
               org.apache.spark.sql.types.DoubleType))),
           ckpt, state, keyCol = "pri", valueCol = "v",
           lo = 0.0, hi = 500000.0, bins = 500, retainVersions = 4)
-        def arrive(batch: org.apache.spark.sql.DataFrame): Unit = {
-          batch.select($"pri", $"v").write.mode("append").parquet(input)
-          inc.update()
-        }
-        arrive(o.filter($"yr" <= 1994))
-        arrive(o.filter($"yr" === 1995))
-        arrive(o.filter($"yr" === 1996))
-        arrive(o.filter($"yr" >= 1997))
+        // one staging scan, four rename-deliveries (same year split the
+        // per-batch filter+write pattern produced — see stageArrivals)
+        val deliver = stageArrivals(o.select($"pri", $"v",
+          when($"yr" <= 1994, 0).when($"yr" === 1995, 1)
+            .when($"yr" === 1996, 2).otherwise(3).as("_b")), input)
+        def arrive(k: Int): Unit = { deliver(k); inc.update() }
+        arrive(0); arrive(1); arrive(2); arrive(3)
         inc.driftSeries().get
           .select($"k".as("o_orderpriority"), $"fold",
             $"n_ref", $"n_cur", $"psi")
@@ -495,14 +539,13 @@ object StreamingQueries {
               org.apache.spark.sql.types.DoubleType))),
           ckpt, state, keyCol = "o_custkey", valueCol = "v",
           lo = 0.0, hi = 500000.0, bins = 500)
-        def arrive(batch: org.apache.spark.sql.DataFrame): Unit = {
-          batch.select($"o_custkey", $"v")
-            .write.mode("append").parquet(input)
-          inc.update()
-        }
-        arrive(o.filter($"yr" <= 1994))
-        arrive(o.filter($"yr" >= 1995 && $"yr" <= 1996))
-        arrive(o.filter($"yr" >= 1997))
+        // one staging scan, three rename-deliveries (same batch split
+        // the per-batch filter+write pattern produced — see stageArrivals)
+        val deliver = stageArrivals(o.select($"o_custkey", $"v",
+          when($"yr" <= 1994, 0).when($"yr" <= 1996, 1).otherwise(2)
+            .as("_b")), input)
+        def arrive(k: Int): Unit = { deliver(k); inc.update() }
+        arrive(0); arrive(1); arrive(2)
         inc.quantile(0.5).get
           .select($"k".as("o_custkey"), $"n".as("n_orders"),
             round($"q", 4).as("est_p50"))
@@ -552,14 +595,13 @@ object StreamingQueries {
             org.apache.spark.sql.types.StructField("o_custkey",
               o.schema("o_custkey").dataType))),
           ckpt, state, keyCol = "pri", valueCol = "o_custkey", k = 32)
-        def arrive(batch: org.apache.spark.sql.DataFrame): Unit = {
-          batch.select($"pri", $"o_custkey")
-            .write.mode("append").parquet(input)
-          inc.update()
-        }
-        arrive(o.filter($"yr" <= 1994))
-        arrive(o.filter($"yr" >= 1995 && $"yr" <= 1996))
-        arrive(o.filter($"yr" >= 1997))
+        // one staging scan, three rename-deliveries (same batch split
+        // the per-batch filter+write pattern produced — see stageArrivals)
+        val deliver = stageArrivals(o.select($"pri", $"o_custkey",
+          when($"yr" <= 1994, 0).when($"yr" <= 1996, 1).otherwise(2)
+            .as("_b")), input)
+        def arrive(k: Int): Unit = { deliver(k); inc.update() }
+        arrive(0); arrive(1); arrive(2)
         val st = inc.state().get
         val est = inc.distinctEstimate().get
         val w = org.apache.spark.sql.expressions.Window
